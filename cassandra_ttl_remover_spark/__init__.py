@@ -1,0 +1,56 @@
+"""cassandra_ttl_remover_spark — a PySpark-native analytics engine with the
+query/data-processing capabilities of instaclustr/cassandra-ttl-remover.
+
+The reference (see /root/reference, SURVEY.md) is an offline rewrite tool for
+Cassandra SSTables: scan every partition, rewrite expiring cells into live
+cells (same value, same write timestamp, no TTL), preserve every tombstone,
+and write the result sorted. This package re-expresses that pipeline — and
+the surrounding operator surface (scans, range/point lookups, projections,
+key counts, HLL sketches, sorted partitioned writes) — as idiomatic PySpark
+DataFrame programs, then extends it with the large-scale pipeline operators a
+100 TB training-data corpus needs: exact and fuzzy deduplication, similarity
+search, text analysis, and multimodal column plumbing.
+
+Design stance (SURVEY.md §7): a library of composable DataFrame->DataFrame
+functions. Catalyst handles pushdown/pruning/codegen; we only add what Spark
+does not have natively (liveness semantics, tombstone reconciliation,
+order-preserving sink, sketch-based dedup).
+"""
+
+from cassandra_ttl_remover_spark.session import get_spark, configure_builder
+from cassandra_ttl_remover_spark.schema import cql_to_struct_type, cell_struct
+from cassandra_ttl_remover_spark.sources.scan import (
+    discover_data_files,
+    scan,
+    scan_table,
+    load_tables,
+)
+from cassandra_ttl_remover_spark.operators.liveness import (
+    annotate_events,
+    live_view,
+    strip_ttl,
+    cell_kind,
+    strip_ttl_cells,
+    live_view_cells,
+)
+from cassandra_ttl_remover_spark.sinks.writer import write_sorted
+
+__all__ = [
+    "get_spark",
+    "configure_builder",
+    "cql_to_struct_type",
+    "cell_struct",
+    "discover_data_files",
+    "scan",
+    "scan_table",
+    "load_tables",
+    "annotate_events",
+    "live_view",
+    "strip_ttl",
+    "cell_kind",
+    "strip_ttl_cells",
+    "live_view_cells",
+    "write_sorted",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,70 @@
+"""Sorted partitioned sink (SURVEY.md §2.1 W1/T5/W2, §4 ordering note).
+
+The reference writes transformed partitions in token order to new SSTables
+under ``out/<ks>/<table>/`` keeping originals
+(SSTableRewriter.constructKeepingOriginals — Cassandra3TTLRemover.java:93-99,
+output layout :49-61, append-in-scan-order :141; within-row sorted rebuild
+via BTreeRow.sortedBuilder :171).
+
+Spark does NOT preserve source order through shuffles (SURVEY.md §4), so the
+sink makes ordering explicit:
+
+  ``repartitionByRange(pk)`` — range-partition on the partition key, giving
+  globally ordered, non-overlapping output files (the analog of token-ordered
+  SSTables, with parquet min/max footers as the index summary), then
+  ``sortWithinPartitions(pk, *clustering)`` — the clustering sort inside each
+  partition (BTreeRow.sortedBuilder analog).
+
+"Keep originals" == write to a NEW path, never in place; Spark's job-commit
+protocol gives the atomic-rename lifecycle the reference gets from
+LifecycleTransaction.offline.
+
+Scale: repartitionByRange samples the key distribution (range bounds from a
+sample pass) so output files are balanced even under key skew; writing sorted
+parquet makes every downstream range scan prunable. Bloom filters on the key
+column are opt-in, mirroring the SSTable bloom
+(NoTTLReader.java:607-613) via parquet.bloom.filter.enabled.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def sort_within_partitions(df: DataFrame, pk: str, *clustering: str) -> DataFrame:
+    """T5 — clustering-sorted rows per partition-key partition, after a hash
+    repartition on pk (the reference's per-partition BTree sort,
+    Cassandra3TTLRemover.java:171-172)."""
+    return df.repartition(F.col(pk)).sortWithinPartitions(
+        F.col(pk), *[F.col(c) for c in clustering]
+    )
+
+
+def write_sorted(
+    df: DataFrame,
+    out: str,
+    pk: str,
+    clustering: list[str] | None = None,
+    *,
+    num_files: int | None = None,
+    bloom_filter: bool = False,
+    compression: str = "zstd",
+) -> None:
+    """W1 — range-partitioned, clustering-sorted parquet write.
+
+    Output is token-ordered across files and clustering-ordered within files;
+    originals untouched (new path). W2's serialization-header derivation is
+    automatic — parquet footers carry schema + min/max stats.
+    """
+    clustering = clustering or []
+    parts = [F.col(pk)] + [F.col(c) for c in clustering]
+    if num_files:
+        ranged = df.repartitionByRange(num_files, F.col(pk))
+    else:
+        ranged = df.repartitionByRange(F.col(pk))
+    writer = ranged.sortWithinPartitions(*parts).write.mode("overwrite")
+    writer = writer.option("compression", compression)
+    if bloom_filter:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{pk}", "true")
+    writer.parquet(out)

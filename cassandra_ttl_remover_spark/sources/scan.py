@@ -1,0 +1,117 @@
+"""Source discovery + scan operators (SURVEY.md §2.1 S1/S2).
+
+S1 — recursive file-source discovery: the reference walks a directory tree
+keeping files ending ``Data.db``, or accepts a single file
+(TTLRemoverCLI.java:147-163). Spark-first: we DON'T hand-walk directories on
+the driver — ``spark.read`` with ``recursiveFileLookup`` + ``pathGlobFilter``
+enumerates files inside the JVM, in parallel, and keeps planning metadata off
+the Python side. ``discover_data_files`` exists for CLI parity/UX only.
+
+S2 — full sorted scan: the reference streams all partitions in token order
+(getScanner — Cassandra3TTLRemover.java:103, NoTTLScanner.java:47-64). In
+Spark, global order is not a property of a scan (and must not be — a 100 TB
+sort-on-read would be absurd); order is applied where it matters: at the
+sink (sinks/writer.py) or per-partition after a hash shuffle, matching the
+reference's partition-local ordering guarantee.
+
+The scan layer also normalizes parquet TIMESTAMP(NANOS) columns (which
+Spark's µs TimestampType cannot ingest directly) by reading them as longs
+(``spark.sql.legacy.parquet.nanosAsLong``) and converting to
+``timestamp_ntz`` — a pure projection, fused into the scan by codegen.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def discover_data_files(root: str | os.PathLike, suffix: str = ".parquet") -> list[Path]:
+    """S1 driver-side analog of getSSTables() (TTLRemoverCLI.java:147-163):
+    accept a single data file, or walk a tree collecting ``*{suffix}``.
+
+    Prefer :func:`scan` (JVM-side listing) for actual reads; this is for CLI
+    validation and small-tool UX, mirroring the reference's contract.
+    """
+    p = Path(root)
+    if p.is_file():
+        return [p] if p.name.endswith(suffix) else []
+    return sorted(q for q in p.rglob(f"*{suffix}") if q.is_file())
+
+
+def _ns_timestamp_cols(spark: SparkSession, df: DataFrame, path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) that Spark surfaced as
+    LongType under nanosAsLong. Footer-only sniff via pyarrow (cheap,
+    driver-side planning metadata — not data movement)."""
+    try:
+        import pyarrow.dataset as pads
+        import pyarrow as pa
+
+        sch = pads.dataset(path, format="parquet").schema
+        out = []
+        for f in sch:
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                sf = df.schema[f.name] if f.name in df.columns else None
+                if sf is not None and isinstance(sf.dataType, T.LongType):
+                    out.append(f.name)
+        return out
+    except Exception:
+        return []
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: T.StructType | None = None,
+    recursive: bool = True,
+    glob: str | None = "*.parquet",
+) -> DataFrame:
+    """S1+S2: load a file/dir of parquet as a DataFrame, schema declared not
+    inferred when given (reference stance, SURVEY.md §1.3), with
+    TIMESTAMP(NANOS) normalization to ``timestamp_ntz`` micros.
+
+    Scale: listing, footer pruning and row-group skipping are Spark-native;
+    the ns->µs conversion is a codegen'd projection (no extra pass).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    opts = {}
+    if Path(path).is_dir():
+        if recursive:
+            opts["recursiveFileLookup"] = "true"
+        if glob:
+            opts["pathGlobFilter"] = glob
+    df = reader.options(**opts).parquet(path)
+    for c in _ns_timestamp_cols(spark, df, path):
+        # integer division keeps the µs value exact (ANSI-safe, JVM-side)
+        df = df.withColumn(
+            c, F.expr(f"cast(timestamp_micros(`{c}` div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def scan_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver fixture table (TESTDATA.md) with ns normalization."""
+    return scan(spark, f"{sf_dir}/{table}.parquet", recursive=False, glob=None)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load fixture tables and register them as temp views for spark.sql."""
+    out: dict[str, DataFrame] = {}
+    for t in tables or TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            df = scan_table(spark, sf_dir, t)
+            df.createOrReplaceTempView(t)
+            out[t] = df
+    return out
