@@ -1,38 +1,543 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a Spark DataFrame program (queries()) with ANSI SQL DuckDB
+runs on the same parquet (oracle_sql()); the driver hash-matches values with
+columns sorted by name, so names AND types are aligned on both sides.
+
+Determinism engineering (why these queries hash-match bit-for-bit):
+  * timestamps are returned as epoch-microsecond BIGINTs (Spark TimestampType
+    cannot ingest the fixtures' TIMESTAMP(NANOS) anyway — the engine's scan
+    layer normalizes; values are µs-precision so nothing is lost);
+  * float aggregations go through DECIMAL(18,2) exact sums, cast to DOUBLE at
+    the end (IEEE-identical in both engines);
+  * text hashing uses md5 (identical hex everywhere); SimHash bits derive
+    from md5 nibbles; embedding similarity uses exact int64 dot products on
+    1e-6-quantized floats (associativity-safe);
+  * every ratio is exact-int / exact-int -> one IEEE division;
+  * 'now' is the fixed literal NOW (SURVEY.md §2.3.1), never wall-clock.
+
+Keys without an oracle_sql entry are genuinely non-SQL-expressible (engine
+hash functions / Arrow UDF plumbing) and get the driver's rows-only check:
+  * q_s3b_token_range — Murmur3 token filter (Spark hash() ≠ DuckDB hash())
+  * q_n8_ann_lsh — LSH-bucketed ANN candidates (xxhash64-derived planes)
+  * q_mm2_media_features — mapInPandas Arrow plumbing with stub decoder
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from cassandra_ttl_remover_spark import (
+    annotate_events,
+    live_view,
+    scan,
+    scan_table,
+    strip_ttl,
+    write_sorted,
+)
+from cassandra_ttl_remover_spark.operators import dedup, similarity, text
+from cassandra_ttl_remover_spark.operators.liveness import (
+    ANNOTATE_EVENTS_SQL,
+    DEFAULT_NOW,
+    cell_kind,
+)
+from cassandra_ttl_remover_spark.operators.lookups import (
+    first_key_beyond,
+    named_columns,
+    point_lookup,
+    range_scan,
+    token_filter,
+)
+from cassandra_ttl_remover_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from cassandra_ttl_remover_spark.operators.tombstones import pair_range_markers
+from cassandra_ttl_remover_spark.schema import parse_cql_create_table
+
+NOW = DEFAULT_NOW  # 1706000000, inside the events ts range
+
+REFERENCE_CQL = (
+    "CREATE TABLE test.test (id uuid, name text, surname text, "
+    "PRIMARY KEY (id)) WITH default_time_to_live = 10"
+)
+
+_US = "unix_micros(cast({c} as timestamp))"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_table(spark, sf_dir, "events")
+
+
+def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return annotate_events(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: the reference round-trip shape + pricing rollup
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: TTL-annotate events, strip (the reference's core
+    transform), and roll up per event_type with exact decimal sums — proving
+    scan normalization, liveness semantics and aggregation in one plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    ann = _ann(spark, sf_dir)
+    stripped = strip_ttl(ann)
+    return (
+        stripped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr(
+                "cast(sum(cast(value as decimal(18,2))) as double)"
+            ).alias("sum_value"),
+            F.min("writetime").alias("min_writetime"),
+            F.max("writetime").alias("max_writetime"),
+            F.count("ttl").cast("long").alias("n_with_ttl"),  # 0 after strip
+        )
+        .orderBy("event_type")
+    )
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- S: sources / scans / lookups (SURVEY §2.1 S1-S6) ----
+    def q_s1(spark, sf):
+        # S1: glob/recursive discovery load, then count
+        df = scan(spark, sf, glob="events.parquet")
+        return df.agg(F.count("*").cast("long").alias("n"))
+    q["q_s1_source_count"] = q_s1
 
+    def q_s2(spark, sf):
+        # S2: full scan; ts surfaced as epoch-µs (see module docstring)
+        return _events(spark, sf).select(
+            "event_id",
+            F.expr(_US.format(c="ts")).alias("ts_us"),
+            "user_id", "event_type", "value", "props",
+        )
+    q["q_s2_full_scan"] = q_s2
+
+    def q_s3(spark, sf):
+        return range_scan(_events(spark, sf), "user_id", 10, 19).select(
+            "event_id",
+            F.expr(_US.format(c="ts")).alias("ts_us"),
+            "user_id", "event_type", "value", "props",
+        )
+    q["q_s3_range_scan"] = q_s3
+
+    def q_s3b(spark, sf):
+        # Murmur3 token-range restriction — engine-specific hash: rows-only
+        return token_filter(_events(spark, sf), "event_id", 0, 1 << 30).select(
+            "event_id", "user_id", "event_type"
+        )
+    q["q_s3b_token_range"] = q_s3b
+
+    def q_s4(spark, sf):
+        li = scan_table(spark, sf, "lineitem")
+        return point_lookup(li, "l_orderkey", 1).select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus",
+            F.expr(_US.format(c="l_shipdate")).alias("ship_us"),
+        )
+    q["q_s4_point_lookup"] = q_s4
+
+    def q_s5(spark, sf):
+        od = scan_table(spark, sf, "orders")
+        return first_key_beyond(od, "o_orderkey", 1000).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.expr(_US.format(c="o_orderdate")).alias("od_us"),
+            "o_orderpriority",
+        )
+    q["q_s5_successor"] = q_s5
+
+    def q_s6(spark, sf):
+        return named_columns(_events(spark, sf), "event_id", 7, ["event_type"])
+    q["q_s6_named_columns"] = q_s6
+
+    def q_s6b(spark, sf):
+        # projection-pushdown scan (Q-S6 FIXTURES form)
+        return _events(spark, sf).select("event_id", "event_type")
+    q["q_s6b_projection"] = q_s6b
+
+    # ---- T: the TTL transform family (SURVEY §2.1 T1-T5) ----
+    def q_t1(spark, sf):
+        return strip_ttl(_ann(spark, sf)).select(
+            "event_id", "props", "writetime", "ttl", "expires_at"
+        )
+    q["q_t1_strip_ttl"] = q_t1
+
+    def q_t1b(spark, sf):
+        ann = _ann(spark, sf)
+        total = ann.agg(F.count("*").cast("long").alias("total"))
+        pre = live_view(ann, NOW).agg(F.count("*").cast("long").alias("live_pre"))
+        post = live_view(strip_ttl(ann), NOW).agg(
+            F.count("*").cast("long").alias("live_post")
+        )
+        return total.crossJoin(pre).crossJoin(post)
+    q["q_t1b_live_roundtrip"] = q_t1b
+
+    def q_t2(spark, sf):
+        return cell_kind(_ann(spark, sf), "props").select("event_id", "kind")
+    q["q_t2_cell_kind"] = q_t2
+
+    def q_t3(spark, sf):
+        ev = _events(spark, sf).withColumn("ts_us", F.expr(_US.format(c="ts")))
+        return pair_range_markers(
+            ev, pk="user_id", kind_col="event_type",
+            open_kind="view", close_kind="click",
+            order_cols=("ts_us", "event_id"),
+        )
+    q["q_t3_interval_pairing"] = q_t3
+
+    def q_t5(spark, sf):
+        from pyspark.sql import Window
+        ev = _events(spark, sf).withColumn("ts_us", F.expr(_US.format(c="ts")))
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        return ev.select(
+            "user_id", "event_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+    q["q_t5_sort_within_partition"] = q_t5
+
+    # ---- A: counts & sketches (SURVEY §2.1 A1-A3) ----
+    def q_a1(spark, sf):
+        li = scan_table(spark, sf, "lineitem")
+        return li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_keys"))
+    q["q_a1_exact_key_count"] = q_a1
+
+    def q_a2(spark, sf):
+        # sketch values differ per engine -> verify the ±5% invariant instead
+        li = scan_table(spark, sf, "lineitem")
+        from cassandra_ttl_remover_spark.operators.counts import REFERENCE_HLL_RSD
+        r = li.agg(
+            F.countDistinct("l_orderkey").alias("exact"),
+            F.approx_count_distinct("l_orderkey", REFERENCE_HLL_RSD).alias("approx"),
+        )
+        return r.select(
+            (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact"))
+            .alias("within_tol")
+        )
+    q["q_a2_approx_distinct"] = q_a2
+
+    def q_a3(spark, sf):
+        ev = _events(spark, sf)
+        return ev.agg(
+            (
+                F.countDistinct(F.when(F.col("user_id") % 2 == 0, F.col("user_id")))
+                .cast("double")
+                / F.countDistinct("user_id")
+            ).alias("gain_ratio")
+        )
+    q["q_a3_merge_gain"] = q_a3
+
+    # ---- M1: DDL -> schema ----
+    def q_m1(spark, sf):
+        t = parse_cql_create_table(REFERENCE_CQL)
+        keys = set(t.partition_keys) | set(t.clustering_keys)
+        rows = [
+            (f.name, f.dataType.simpleString(), f.name in keys)
+            for f in t.schema.fields
+        ]
+        return spark.createDataFrame(
+            rows, "field_name string, dtype string, is_key boolean"
+        )
+    q["q_m1_ddl_schema"] = q_m1
+
+    # ---- W1: sorted write round-trip ----
+    def q_w1(spark, sf):
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_w1_{os.path.basename(sf.rstrip('/'))}"
+        )
+        stripped = strip_ttl(_ann(spark, sf))
+        write_sorted(
+            stripped.select("event_id", "user_id", "writetime", "ttl", "expires_at"),
+            out, pk="user_id", clustering=["event_id"], num_files=8,
+        )
+        return scan(spark, out).select("event_id", "user_id", "writetime", "ttl", "expires_at")
+    q["q_w1_sorted_write_roundtrip"] = q_w1
+
+    # ---- flagship pricing rollup (TPC-H Q1 shape, decimal-exact) ----
+    def q_p1(spark, sf):
+        li = scan_table(spark, sf, "lineitem")
+        dec = "cast(sum(cast({c} as decimal(18,2))) as double)"
+        return (
+            li.filter(F.expr(f"{_US.format(c='l_shipdate')} <= {NOW}000000"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.expr(dec.format(c="l_quantity")).alias("sum_qty"),
+                F.expr(dec.format(c="l_extendedprice")).alias("sum_base_price"),
+                F.expr(
+                    "cast(sum(cast(l_extendedprice as decimal(18,2))"
+                    " * (1 - cast(l_discount as decimal(18,2)))) as double)"
+                ).alias("sum_disc_price"),
+                F.count("*").cast("long").alias("count_order"),
+            )
+        )
+    q["q_p1_pricing_rollup"] = q_p1
+
+    # ---- N: north-star — dedup ----
+    def q_n1(spark, sf):
+        return dedup.exact_dedup_last_writer(
+            _ann(spark, sf), ["user_id", "event_type"], "writetime"
+        )
+    q["q_n1_dedup_last_writer"] = q_n1
+
+    def q_n2(spark, sf):
+        return dedup.exact_dedup(scan_table(spark, sf, "documents"))
+    q["q_n2_dedup_exact_docs"] = q_n2
+
+    def q_n3(spark, sf):
+        docs = scan_table(spark, sf, "documents")
+        return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    q["q_n3_ngram_jaccard_pairs"] = q_n3
+
+    def q_n4(spark, sf):
+        return dedup.simhash(scan_table(spark, sf, "documents"))
+    q["q_n4_simhash"] = q_n4
+
+    def q_n5(spark, sf):
+        docs = scan_table(spark, sf, "documents")
+        return dedup.simhash_neardup_pairs(docs, max_hamming=3, banded=True)
+    q["q_n5_simhash_neardup"] = q_n5
+
+    def q_n6(spark, sf):
+        emb = scan_table(spark, sf, "embeddings")
+        return dedup.embedding_neardup_pairs(emb, threshold=0.9)
+    q["q_n6_embedding_neardup"] = q_n6
+
+    def q_n7(spark, sf):
+        emb = scan_table(spark, sf, "embeddings")
+        return similarity.topk_dot(emb, query_id=0, k=10)
+    q["q_n7_topk_similarity"] = q_n7
+
+    def q_n8(spark, sf):
+        # ANN scale path — engine-specific hashing: rows-only check; recall
+        # vs q_n7 is asserted in tests/test_similarity.py
+        emb = scan_table(spark, sf, "embeddings")
+        return similarity.lsh_topk(emb, query_id=0, k=10, planes=4, probes=4)
+    q["q_n8_ann_lsh"] = q_n8
+
+    def q_n9(spark, sf):
+        # MinHash-LSH validated by recall against exact Jaccard pairs:
+        # margin thresholds (cand est>=0.3 vs exact>=0.5) make the outcome
+        # deterministic-true (see dedup.minhash_lsh_pairs docstring)
+        docs = scan_table(spark, sf, "documents")
+        exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+        cand = dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=32, threshold=0.3
+        ).select("a", "b")
+        hit = exact.join(cand, ["a", "b"], "left_semi").agg(
+            F.count("*").alias("n_hit")
+        )
+        tot = exact.agg(F.count("*").alias("n_exact"))
+        return tot.crossJoin(hit).select(
+            ((F.col("n_exact") == 0) | (F.col("n_hit") >= 0.8 * F.col("n_exact")))
+            .alias("recall_ok")
+        )
+    q["q_n9_minhash_recall"] = q_n9
+
+    # ---- N: north-star — text analysis ----
+    def q_n10(spark, sf):
+        return text.lang_id(spark, scan_table(spark, sf, "documents"))
+    q["q_n10_lang_id"] = q_n10
+
+    def q_n11(spark, sf):
+        return text.quality_score(scan_table(spark, sf, "documents"))
+    q["q_n11_quality_score"] = q_n11
+
+    def q_n12(spark, sf):
+        return text.token_counts(scan_table(spark, sf, "documents"))
+    q["q_n12_token_counts"] = q_n12
+
+    def q_n13(spark, sf):
+        return text.fingerprint(scan_table(spark, sf, "documents"))
+    q["q_n13_fingerprint"] = q_n13
+
+    # ---- MM: multimodal plumbing ----
+    def q_mm1(spark, sf):
+        media = documents_as_media(scan_table(spark, sf, "documents"))
+        return media.select(
+            "media_id",
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+    q["q_mm1_media_metadata"] = q_mm1
+
+    def q_mm2(spark, sf):
+        # Arrow/mapInPandas plumbing with the deterministic fake decoder —
+        # rows-only (Python UDF surface is not SQL-expressible)
+        media = documents_as_media(scan_table(spark, sf, "documents"))
+        feats = extract_features(media, fake=True)
+        return feats.select(
+            "media_id", "n_bytes", "sha256",
+            F.round(F.element_at("features", 1) * 1000000).cast("long").alias("f0_q"),
+        )
+    q["q_mm2_media_features"] = q_mm2
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views: region nation customer supplier part
+# orders lineitem events documents embeddings)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ann = ANNOTATE_EVENTS_SQL  # shared events-annotation fragment
+    o: dict[str, str] = {}
+
+    o["q_s1_source_count"] = "SELECT count(*)::BIGINT AS n FROM events"
+
+    o["q_s2_full_scan"] = """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        FROM events ORDER BY event_id"""
+
+    o["q_s3_range_scan"] = """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        FROM events WHERE user_id BETWEEN 10 AND 19 ORDER BY event_id"""
+
+    o["q_s4_point_lookup"] = """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+               epoch_us(l_shipdate) AS ship_us
+        FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber"""
+
+    o["q_s5_successor"] = """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               epoch_us(o_orderdate) AS od_us, o_orderpriority
+        FROM orders WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 1"""
+
+    o["q_s6_named_columns"] = """
+        SELECT event_id, event_type FROM events WHERE event_id = 7"""
+
+    o["q_s6b_projection"] = """
+        SELECT event_id, event_type FROM events ORDER BY event_id"""
+
+    o["q_t1_strip_ttl"] = """
+        SELECT event_id, props, epoch_us(ts) AS writetime,
+               CAST(NULL AS BIGINT) AS ttl, CAST(NULL AS BIGINT) AS expires_at
+        FROM events ORDER BY event_id"""
+
+    o["q_t1b_live_roundtrip"] = f"""
+        WITH a AS ({ann})
+        SELECT count(*)::BIGINT AS total,
+               (SELECT count(*) FROM a
+                WHERE expires_at IS NULL OR expires_at > {NOW})::BIGINT AS live_pre,
+               count(*)::BIGINT AS live_post
+        FROM a"""
+
+    o["q_t2_cell_kind"] = f"""
+        WITH a AS ({ann})
+        SELECT event_id,
+               CASE WHEN ttl IS NOT NULL THEN 'expiring'
+                    WHEN props IS NULL THEN 'tombstone'
+                    ELSE 'live' END AS kind
+        FROM a ORDER BY event_id"""
+
+    o["q_t3_interval_pairing"] = """
+        WITH m AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                 lead(event_type) OVER w AS next_kind,
+                 lead(epoch_us(ts)) OVER w AS next_ts
+          FROM events WHERE event_type IN ('view', 'click')
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT user_id, ts_us AS open_ts, next_ts AS close_ts
+        FROM m WHERE event_type = 'view' AND next_kind = 'click'
+        ORDER BY user_id, open_ts"""
+
+    o["q_t5_sort_within_partition"] = """
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)::BIGINT AS rn
+        FROM events ORDER BY user_id, rn"""
+
+    o["q_a1_exact_key_count"] = (
+        "SELECT count(DISTINCT l_orderkey)::BIGINT AS n_keys FROM lineitem"
+    )
+
+    o["q_a2_approx_distinct"] = "SELECT TRUE AS within_tol"
+
+    o["q_a3_merge_gain"] = """
+        SELECT CAST(count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS DOUBLE)
+               / count(DISTINCT user_id) AS gain_ratio
+        FROM events"""
+
+    o["q_m1_ddl_schema"] = """
+        SELECT * FROM (VALUES
+          ('id', 'string', TRUE),
+          ('name', 'string', FALSE),
+          ('surname', 'string', FALSE)
+        ) AS t(field_name, dtype, is_key) ORDER BY field_name"""
+
+    o["q_w1_sorted_write_roundtrip"] = f"""
+        WITH a AS ({ann})
+        SELECT event_id, user_id, writetime,
+               CAST(NULL AS BIGINT) AS ttl, CAST(NULL AS BIGINT) AS expires_at
+        FROM a ORDER BY event_id"""
+
+    o["q_p1_pricing_rollup"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE epoch_us(l_shipdate) <= {NOW}000000
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+
+    o["q_n1_dedup_last_writer"] = f"""
+        WITH a AS ({ann})
+        SELECT user_id, event_type, max(writetime) AS writetime
+        FROM a GROUP BY user_id, event_type ORDER BY user_id, event_type"""
+
+    o["q_n2_dedup_exact_docs"] = """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY content_hash"""
+
+    o["q_n3_ngram_jaccard_pairs"] = dedup.ngram_jaccard_oracle_sql(threshold=0.5)
+
+    o["q_n4_simhash"] = dedup.simhash_oracle_sql()
+
+    o["q_n5_simhash_neardup"] = dedup.simhash_neardup_oracle_sql(max_hamming=3)
+
+    o["q_n6_embedding_neardup"] = dedup.embedding_neardup_oracle_sql(threshold=0.9)
+
+    o["q_n7_topk_similarity"] = similarity.topk_dot_oracle_sql(query_id=0, k=10)
+
+    o["q_n9_minhash_recall"] = "SELECT TRUE AS recall_ok"
+
+    o["q_n10_lang_id"] = text.lang_id_oracle_sql()
+
+    o["q_n11_quality_score"] = text.quality_oracle_sql()
+
+    o["q_n12_token_counts"] = text.token_counts_oracle_sql()
+
+    o["q_n13_fingerprint"] = text.fingerprint_oracle_sql()
+
+    o["q_mm1_media_metadata"] = """
+        SELECT doc_id AS media_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               sha256(text) AS sha256,
+               (length(text) % 64 + 1)::INTEGER AS width,
+               (length(text) % 48 + 1)::INTEGER AS height
+        FROM documents ORDER BY media_id"""
+
+    # q_s3b_token_range, q_n8_ann_lsh, q_mm2_media_features: rows-only.
+    return o

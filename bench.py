@@ -1,0 +1,120 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the reference-core pipeline (strip + sorted write — the whole
+point of the reference tool) plus one representative of each engine family:
+scan-agg, window pairing, exact+fuzzy dedup, similarity search, text
+analysis. Each query runs once warm-up-free except a tiny session-warming
+no-op; timings are end-to-end (plan + execute + collect/write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark import (
+        annotate_events,
+        get_spark,
+        scan_table,
+        strip_ttl,
+        write_sorted,
+    )
+    from cassandra_ttl_remover_spark.operators import dedup, similarity, text
+
+    spark = get_spark("ctrs-bench")
+    spark.range(1).count()  # session warm-up (JVM + context), not query warm-up
+
+    events = scan_table(spark, sf_dir, "events")
+    lineitem = scan_table(spark, sf_dir, "lineitem")
+    documents = scan_table(spark, sf_dir, "documents")
+    embeddings = scan_table(spark, sf_dir, "embeddings")
+    out_dir = Path(tempfile.gettempdir()) / "ctrs_bench_out"
+
+    def q_strip_write():
+        # the reference's entire job: scan -> strip -> sorted partitioned write
+        shutil.rmtree(out_dir, ignore_errors=True)
+        stripped = strip_ttl(annotate_events(events))
+        write_sorted(stripped, str(out_dir), pk="user_id",
+                     clustering=["ts", "event_id"], num_files=32)
+
+    def q_pricing():
+        dec = "cast(sum(cast({c} as decimal(18,2))) as double)"
+        (
+            lineitem.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.expr(dec.format(c="l_quantity")).alias("sum_qty"),
+                F.expr(dec.format(c="l_extendedprice")).alias("sum_base"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+
+    def q_window_pairing():
+        from cassandra_ttl_remover_spark.operators.tombstones import pair_range_markers
+        ev = events.withColumn("ts_us", F.expr("unix_micros(cast(ts as timestamp))"))
+        pair_range_markers(ev, pk="user_id", kind_col="event_type",
+                           open_kind="view", close_kind="click",
+                           order_cols=("ts_us", "event_id")).count()
+
+    def q_exact_dedup():
+        dedup.exact_dedup(documents).count()
+
+    def q_minhash_lsh():
+        dedup.minhash_lsh_pairs(documents, num_hashes=64, bands=16,
+                                threshold=0.5).count()
+
+    def q_simhash_neardup():
+        dedup.simhash_neardup_pairs(documents, max_hamming=3, banded=True).count()
+
+    def q_topk_similarity():
+        similarity.topk_dot(embeddings, query_id=0, k=10).collect()
+
+    def q_text_quality():
+        text.quality_score(documents).agg(F.avg("quality")).collect()
+
+    queries = {
+        "strip_write": q_strip_write,
+        "pricing_rollup": q_pricing,
+        "window_pairing": q_window_pairing,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_neardup": q_simhash_neardup,
+        "topk_similarity": q_topk_similarity,
+        "text_quality": q_text_quality,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

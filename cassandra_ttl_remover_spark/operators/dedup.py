@@ -1,0 +1,389 @@
+"""Deduplication operators (north-star surface, SURVEY.md §2.2): exact,
+n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+The reference's closest relative is its last-writer-wins liveness merge
+(timestamp precedence, SURVEY.md §1.2) — exact_dedup_last_writer below is
+that exact rule lifted to a generic key. Everything else is new surface for
+the 100 TB pipeline.
+
+Determinism strategy (for the DuckDB oracle):
+  * exact dedup keys on md5(text) — identical hex in every engine;
+  * SimHash uses md5-nibble bits (portable) rather than engine hashes;
+  * Jaccard is exact integer set arithmetic (|A∩B| / |A∪B|);
+  * embedding similarity quantizes float32 -> round(x*1e6) int64 and does
+    exact integer dot products (associativity-safe), comparing cosine² via
+    doubles derived from those exact ints — identical in any IEEE engine.
+  * MinHash-LSH is the *scale path* whose candidate set is engine-specific
+    (xxhash64); it is validated by RECALL against the exact Jaccard pairs,
+    not hash-matched (FIXTURES.md Q-A2 pattern).
+
+Scale notes per operator are inline; the common theme: shuffle only on
+compact derived keys (hash, band signature), never on full text; pair
+generation is always bucketed (LSH band or simhash band) rather than the
+O(n²) cross join, which exists here only as the small-n oracle surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from cassandra_ttl_remover_spark.operators.text import SHINGLES_EXPR, WORDS_EXPR
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), keep the smallest id
+    (deterministic representative), report the group size.
+
+    Scale: the shuffle key is the 32-char digest, not the document — at
+    100 TB this moves ~32 bytes/doc plus ids. Map-side partial min/count."""
+    return (
+        docs.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_last_writer(df: DataFrame, keys: list[str],
+                            writetime_col: str = "writetime") -> DataFrame:
+    """Last-writer-wins dedup — the liveness merge rule (§1.2: higher
+    timestamp wins) as a generic group-max. One shuffle on the key."""
+    aggs = [F.max(writetime_col).alias(writetime_col)]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (oracle surface for fuzzy dedup)
+# ---------------------------------------------------------------------------
+
+def shingle_frame(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) exploded distinct 3-word shingles."""
+    ws = WORDS_EXPR.format(col=text_col)
+    sh = SHINGLES_EXPR.format(ws=ws)
+    return docs.select(id_col, F.explode(F.expr(sh)).alias("sh"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over 3-word shingle sets: pairs (a < b) with
+    |A∩B| / |A∪B| >= threshold. Inverted-index join (shingle -> docs), count
+    intersections, derive union from exact set sizes.
+
+    Scale: the join key is the shingle; document-frequency skew on hot
+    shingles is the known hazard — production path should df-cap (drop
+    shingles with df > K) or use minhash_lsh below. Exact integer counts ->
+    one IEEE division, so the oracle hash-matches."""
+    sh = shingle_frame(docs, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle_sql(threshold: float = 0.5, table: str = "documents",
+                             id_col: str = "doc_id", where: str = "TRUE") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    sh_list = (
+        f"CASE WHEN len({ws}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({ws}) - 1), i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]))"
+        f" ELSE [] END"
+    )
+    return f"""
+WITH sh AS (
+  SELECT {id_col}, unnest({sh_list}) AS s FROM {table} WHERE {where}
+),
+sizes AS (SELECT {id_col}, count(*) AS sz FROM sh GROUP BY {id_col}),
+inter AS (
+  SELECT x.{id_col} AS a, y.{id_col} AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.{id_col} < y.{id_col}
+  GROUP BY x.{id_col}, y.{id_col}
+)
+SELECT a, b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.{id_col} = a JOIN sizes sb ON sb.{id_col} = b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path for fuzzy dedup)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-permutation MinHash over 3-word shingles, computed as ONE hash
+    aggregate: explode shingles, then k parallel min() aggregations
+    (map-side combined). Permutations use the standard double-hashing
+    construction h_i = (h1 + i*h2) mod p (Kirsch-Mitzenmacher): 2 xxhash64
+    evaluations per shingle instead of k, the rest is cheap modular
+    arithmetic in the 31-bit domain (overflow-safe under ANSI mode).
+    No per-seed cross join — the classic explode×permutation blowup is
+    avoided; shuffle carries only fixed k-long signatures."""
+    p = 2_147_483_647  # 2^31 - 1
+    sh = (
+        shingle_frame(docs, text_col, id_col)
+        .withColumn("m1", F.pmod(F.xxhash64(F.col("sh")), F.lit(p)))
+        .withColumn("m2", F.pmod(F.xxhash64(F.lit(42), F.col("sh")), F.lit(p - 1)) + 1)
+    )
+    aggs = [
+        F.min(F.pmod(F.col("m1") + F.lit(i) * F.col("m2"), F.lit(p))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified by estimated Jaccard.
+
+    band/bucket join: signatures split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash become candidates
+    (shuffle key = (band, band_hash) — compact and well-distributed);
+    candidate pairs are scored by signature agreement (unbiased Jaccard
+    estimate) and filtered at ``threshold``.
+
+    At 100 TB this is the intended dedup path: no O(n²), skew bounded by
+    band-bucket sizes (hot buckets indicate near-identical content worth
+    capping/salting — documented operational knob)."""
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, text_col, id_col)
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b as band, xxhash64(slice(sig, b * {r} + 1, {r})) as bh))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "siga", "sigb")
+        .dropDuplicates(["a", "b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.expr(
+            "cast(size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v)) as double)"
+            f" / {num_hashes}"
+        ),
+    )
+    return est.filter(F.col("est_jaccard") >= F.lit(threshold)).select(
+        "a", "b", "est_jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (portable md5-nibble construction — oracle-matchable)
+# ---------------------------------------------------------------------------
+
+#: 60-bit SimHash from word md5s: bit b of a word = bit (b%4) of hex nibble
+#: (b div 4) of md5(word); per-doc bit b = sign of sum over words of ±1.
+#: Evaluated in three hoisted passes so md5 runs ONCE per word:
+#:   words -> md5 hex -> 60-bit int word-hash -> per-bit sign sums -> simhash.
+_WORD_HASHES_EXPR = (
+    "transform(transform({ws}, w -> md5(w)), m -> "
+    " aggregate(sequence(1, 15), 0L, (a, j) -> a + shiftleft("
+    "  cast(instr('0123456789abcdef', substring(m, j, 1)) - 1 as bigint),"
+    "  (j - 1) * 4)))"
+)
+
+#: `element_at(transform(array(<hashes>), hs -> body), 1)` binds the word-hash
+#: array to a lambda variable, forcing exactly-one evaluation per row even if
+#: Catalyst collapses the projections (an attribute would be re-inlined and
+#: re-evaluated 60x inside the per-bit lambda).
+SIMHASH_EXPR = (
+    "element_at(transform(array({hashes}), hs -> "
+    "aggregate("
+    " transform(sequence(0, 59), b -> struct(b as b,"
+    "  aggregate(hs, 0L, (acc, h) -> acc"
+    "   + 2 * (shiftright(h, cast(b as int)) & 1) - 1) as s)),"
+    " 0L, (acc, x) -> acc + if(x.s > 0, shiftleft(1L, cast(x.b as int)), 0L))"
+    "), 1)"
+)
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per document. Entirely per-row higher-order-function
+    arithmetic — zero shuffle, codegen'd, embarrassingly parallel at any
+    scale. md5-nibble bits keep it engine-portable for the oracle."""
+    ws = WORDS_EXPR.format(col=text_col)
+    hashes = _WORD_HASHES_EXPR.format(ws=ws)
+    return docs.select(
+        id_col, F.expr(SIMHASH_EXPR.format(hashes=hashes)).alias("simhash")
+    )
+
+
+def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                       where: str = "TRUE") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH words AS (
+  SELECT {id_col}, unnest({ws}) AS w FROM {table} WHERE {where}
+),
+bits AS (
+  SELECT {id_col}, r.range AS b,
+         SUM(2 * (((strpos('0123456789abcdef', substr(md5(w), (r.range // 4) + 1, 1)) - 1)
+                   >> (r.range % 4)) & 1) - 1) AS s
+  FROM words CROSS JOIN range(0, 60) r
+  GROUP BY {id_col}, r.range
+)
+SELECT {id_col},
+       SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM bits GROUP BY {id_col} ORDER BY {id_col}
+"""
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          banded: bool = True) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    banded=True (scale path): split the 60 bits into max_hamming+1 bands —
+    by pigeonhole any pair within the radius agrees exactly on ≥1 band, so a
+    band-equality join finds all pairs without O(n²). banded=False is the
+    small-n oracle surface (plain a<b self-join)."""
+    sh = simhash(docs, text_col, id_col)
+    if banded:
+        nb = max_hamming + 1
+        width = 60 // nb
+        bandcol = F.explode(
+            F.expr(
+                f"transform(sequence(0, {nb - 1}), b -> struct(b as band,"
+                f" (shiftright(simhash, b * {width}) & {(1 << width) - 1}) as bh))"
+            )
+        ).alias("bb")
+        banded_df = sh.select(id_col, "simhash", bandcol).select(
+            id_col, "simhash", "bb.band", "bb.bh"
+        )
+        a = banded_df.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "bh")
+        b = banded_df.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "bh")
+        cand = (
+            a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b", "ha", "hb").dropDuplicates(["a", "b"])
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+        b = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+        cand = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("a", "b", "hamming")
+    )
+
+
+def simhash_neardup_oracle_sql(max_hamming: int = 3, table: str = "documents",
+                               id_col: str = "doc_id", where: str = "TRUE") -> str:
+    inner = simhash_oracle_sql(table, id_col, where)
+    return f"""
+WITH sh AS ({inner})
+SELECT x.{id_col} AS a, y.{id_col} AS b,
+       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+FROM sh x JOIN sh y ON x.{id_col} < y.{id_col}
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (exact, quantized — oracle-matchable)
+# ---------------------------------------------------------------------------
+
+#: exact int64 dot product of two float vectors quantized at 1e-6.
+QDOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " cast(round(cast(x as double) * 1000000.0d) as bigint)"
+    " * cast(round(cast(y as double) * 1000000.0d) as bigint)), 0L, (acc, v) -> acc + v)"
+)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Pairs with cosine >= threshold, computed exactly on 1e-6-quantized
+    int64 vectors: cos>=t  ⟺  dot>0 ∧ dot² >= t²·|a|²·|b|², with dot/norms as
+    exact ints and the comparison in doubles derived from them — bit-stable
+    across engines.
+
+    This plain self-join is the verification/oracle surface; the scale path
+    buckets by LSH first (similarity.lsh_topk) and applies the same exact
+    predicate to candidates only."""
+    q = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.expr(QDOT_EXPR.format(a=vec_col, b=vec_col)).alias("nrm"),
+    )
+    a = q.select(F.col(id_col).alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = q.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    t2 = threshold * threshold
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("dot", F.expr(QDOT_EXPR.format(a="va", b="vb")))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double") * F.col("dot").cast("double")
+                >= F.lit(t2) * F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        )
+        .select("a", "b", "dot")
+    )
+
+
+def embedding_neardup_oracle_sql(threshold: float = 0.9, table: str = "embeddings",
+                                 id_col: str = "vec_id", where: str = "TRUE") -> str:
+    qdot = (
+        "list_sum(list_transform(range(1, 65), i ->"
+        " round(CAST({a}[i] AS DOUBLE) * 1000000.0)::BIGINT"
+        " * round(CAST({b}[i] AS DOUBLE) * 1000000.0)::BIGINT))::BIGINT"
+    )
+    t2 = threshold * threshold
+    return f"""
+WITH q AS (
+  SELECT {id_col}, embedding AS v,
+         {qdot.format(a='embedding', b='embedding')} AS nrm
+  FROM {table} WHERE {where}
+)
+SELECT x.{id_col} AS a, y.{id_col} AS b,
+       {qdot.format(a='x.v', b='y.v')} AS dot
+FROM q x JOIN q y ON x.{id_col} < y.{id_col}
+WHERE {qdot.format(a='x.v', b='y.v')} > 0
+  AND CAST({qdot.format(a='x.v', b='y.v')} AS DOUBLE) * CAST({qdot.format(a='x.v', b='y.v')} AS DOUBLE)
+      >= {t2} * CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)
+ORDER BY a, b
+"""

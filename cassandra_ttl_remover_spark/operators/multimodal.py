@@ -1,0 +1,154 @@
+"""Multimodal column plumbing (north-star surface, SURVEY.md §2.2).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct — the same stance the reference takes on cell values
+(opaque ByteBuffers, NoTTLColumnSerializer.java:30,38,44): the engine moves
+and organizes bytes; interpretation happens at well-defined UDF boundaries.
+
+The decode/feature-extract steps are STUBBED (image/audio libs are not in
+this container): ``decode_stub`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake (shape from metadata,
+content hash from bytes) exercises the real Spark plumbing — schema,
+Arrow batching, mapInPandas signature, partition sizing — which IS what this
+module is: the scaffolding a real decoder drops into.
+
+Scale notes: media blobs dominate row size, so ops here (a) never shuffle
+blobs (metadata-only projections where possible), (b) use mapInPandas with
+bounded Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch) so a
+4K-frame batch fits executor memory, (c) keep per-file parallelism via
+binaryFile's one-row-per-file source.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Typed metadata carried beside every media blob.
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),      # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Ingest raw media files: Spark's binaryFile source — one row per file
+    with (path, modificationTime, length, content). Parallelism = files;
+    no decode on read."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+
+
+def documents_as_media(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media-shaped frame from the documents fixture: utf-8
+    bytes as payload + synthesized metadata. Exercises the binary/metadata
+    schema end-to-end without real media files."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            (F.length(text_col) % 64 + 1).cast("int").alias("width"),
+            (F.length(text_col) % 48 + 1).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_stub(payload: bytes, meta: dict, *, fake: bool = False) -> list[float]:
+    """STUB decode step. Real deployments replace this with PIL/ffmpeg/etc.
+    With fake=True returns a deterministic 8-dim byte-histogram feature."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in "
+            "this environment; pass fake=True for the deterministic test path"
+        )
+    hist = [0] * 8
+    for b in payload:
+        hist[b & 7] += 1
+    n = max(1, len(payload))
+    return [h / n for h in hist]
+
+
+def extract_features(media: DataFrame, *, fake: bool = True,
+                     batch_size_hint: int = 256) -> DataFrame:
+    """Feature extraction over media blobs via mapInPandas (Arrow-batched —
+    the 10-100x-over-row-UDF path). Per batch: decode each payload with
+    decode_stub and emit fixed-schema features.
+
+    The plumbing (schema, batching, partition-level iteration) is real; only
+    the decode body is stubbed. At scale, pair with
+    spark.sql.execution.arrow.maxRecordsPerBatch sized so
+    batch_size × max_blob fits executor memory."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                "sha256": pdf["payload"].map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                ),
+                "width": pdf["meta"].map(lambda m: m["width"] if m else None),
+                "height": pdf["meta"].map(lambda m: m["height"] if m else None),
+                "features": pdf.apply(
+                    lambda r: decode_stub(r["payload"] or b"", r["meta"], fake=fake),
+                    axis=1,
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling *plan* for video payloads: metadata-only projection
+    computing which frame indices a downstream decoder should materialize.
+    No blob movement — the 100 TB-safe way to express sampling."""
+    return media.withColumn(
+        "sample_frames",
+        F.expr(
+            f"case when meta.n_frames is null then array() "
+            f"else filter(sequence(0, meta.n_frames - 1), i -> i % {every_nth} = 0) end"
+        ),
+    )

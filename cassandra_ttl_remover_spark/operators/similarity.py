@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (north-star surface,
+SURVEY.md §2.2): exact top-k as the baseline/oracle, LSH-bucketed and
+IVF-style variants as the 100 TB scale path.
+
+Scoring is the exact quantized-int dot product from operators/dedup.py
+(QDOT_EXPR) so the exact path hash-matches the DuckDB oracle; true cosine
+(float) is also provided for engine users. All vector math is JVM-side
+higher-order functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from cassandra_ttl_remover_spark.operators.dedup import QDOT_EXPR
+
+
+def _query_vector_col(emb: DataFrame, query_id, vec_col: str, id_col: str):
+    """The query vector as a broadcastable one-row frame."""
+    return emb.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col(vec_col).alias("_qv")
+    )
+
+
+def topk_dot(emb: DataFrame, query_id, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by quantized dot product against the vector of
+    ``query_id``. Broadcast the query vector; score map-side; take the top-k
+    with orderBy+limit, which Spark runs as TakeOrdered (per-partition heaps
+    + driver merge of k rows — no global sort, no full shuffle).
+
+    Ties broken by id for determinism. Excludes the query itself."""
+    q = _query_vector_col(emb, query_id, vec_col, id_col)
+    scored = (
+        emb.join(F.broadcast(q))
+        .withColumn("dot", F.expr(QDOT_EXPR.format(a=vec_col, b="_qv")))
+        .filter(F.col(id_col) != F.lit(query_id))
+        .select(id_col, "dot")
+    )
+    return scored.orderBy(F.col("dot").desc(), F.col(id_col).asc()).limit(k)
+
+
+def topk_dot_oracle_sql(query_id, k: int = 10, dim: int = 64,
+                        table: str = "embeddings", id_col: str = "vec_id") -> str:
+    qdot = (
+        "list_sum(list_transform(range(1, {n}), i ->"
+        " round(CAST({a}[i] AS DOUBLE) * 1000000.0)::BIGINT"
+        " * round(CAST({b}[i] AS DOUBLE) * 1000000.0)::BIGINT))::BIGINT"
+    ).format(n=dim + 1, a="e.embedding", b="q.embedding")
+    return f"""
+WITH q AS (SELECT embedding FROM {table} WHERE {id_col} = {query_id})
+SELECT e.{id_col}, {qdot} AS dot
+FROM {table} e CROSS JOIN q
+WHERE e.{id_col} <> {query_id}
+ORDER BY dot DESC, e.{id_col} ASC LIMIT {k}
+"""
+
+
+def topk_cosine(emb: DataFrame, query_id, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Float cosine top-k (engine surface; not oracle-hash-matched because
+    float summation order is engine-specific)."""
+    q = _query_vector_col(emb, query_id, vec_col, id_col)
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0.0d, (s, v) -> s + v)"
+    nrm = "sqrt(aggregate({v}, 0.0d, (s, x) -> s + cast(x as double) * cast(x as double)))"
+    return (
+        emb.join(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            F.expr(dot.format(a=vec_col, b="_qv"))
+            / (F.expr(nrm.format(v=vec_col)) * F.expr(nrm.format(v="_qv"))),
+        )
+        .filter(F.col(id_col) != F.lit(query_id))
+        .select(id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale paths
+# ---------------------------------------------------------------------------
+
+def rp_lsh_buckets(emb: DataFrame, planes: int = 16, seed: int = 42,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Sign-random-projection LSH: bucket = the sign-bit pattern of ``planes``
+    pseudo-random hyperplanes. Hyperplane components are derived
+    deterministically from xxhash64(seed, plane, dim) — no RNG state, so the
+    bucketing is reproducible across runs/executors (critical for
+    incremental 100 TB builds).
+
+    Map-side only: each row computes its own bucket; the shuffle (if any)
+    happens in the consumer's groupBy on the compact bucket int."""
+    # component h in [-0.5, 0.5): (xxhash64 & mask)/mask - 0.5
+    mask = (1 << 32) - 1
+    comp = (
+        f"(cast((xxhash64({seed}L, p, i) & {mask}) as double) / {mask}.0d - 0.5d)"
+    )
+    bucket = (
+        f"aggregate(transform(sequence(0, {planes - 1}), p -> "
+        f" if(aggregate(transform(sequence(1, size({vec_col})), i -> "
+        f"   cast(element_at({vec_col}, i) as double) * {comp}),"
+        f"  0.0d, (s, v) -> s + v) >= 0.0d, p, -1)),"
+        f" 0L, (acc, p) -> acc + if(p >= 0, shiftleft(1L, p), 0L))"
+    )
+    return emb.withColumn("bucket", F.expr(bucket))
+
+
+def lsh_topk(emb: DataFrame, query_id, k: int = 10, planes: int = 12,
+             probes: int = 0, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket (plus
+    ``probes`` single-bit-flip neighbor buckets for recall). Candidate set
+    shrinks ~2^-planes of the corpus; exact quantized scoring on candidates
+    keeps results comparable with topk_dot for recall measurement."""
+    b = rp_lsh_buckets(emb, planes, vec_col=vec_col, id_col=id_col)
+    qrow = b.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col(vec_col).alias("_qv"), F.col("bucket").alias("_qb")
+    )
+    cand = b.join(F.broadcast(qrow))
+    if probes > 0:
+        cand = cand.filter(
+            F.expr(
+                f"array_contains(array_union(array(_qb),"
+                f" transform(sequence(0, {probes - 1}), p -> _qb ^ shiftleft(1L, p))),"
+                f" bucket)"
+            )
+        )
+    else:
+        cand = cand.filter(F.col("bucket") == F.col("_qb"))
+    return (
+        cand.withColumn("dot", F.expr(QDOT_EXPR.format(a=vec_col, b="_qv")))
+        .filter(F.col(id_col) != F.lit(query_id))
+        .select(id_col, "dot")
+        .orderBy(F.col("dot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, id_col: str = "vec_id") -> float:
+    """Recall of an ANN result vs the exact top-k (driver-side; both inputs
+    are k-row frames)."""
+    e = {r[id_col] for r in exact.collect()}
+    a = {r[id_col] for r in approx.collect()}
+    return len(e & a) / max(1, len(e))

@@ -1,0 +1,268 @@
+"""Text-analysis operators over document tables (north-star surface,
+SURVEY.md §2.2): language ID, quality scoring, token counting, document
+fingerprinting.
+
+These extend the reference's operator surface with what a 100 TB
+training-data pipeline needs. The reference has no scalar function library at
+all (values are opaque ByteBuffers — NoTTLColumnSerializer.java:30,38,44), so
+this module is pure Spark-first design.
+
+Determinism-by-construction: every function here is expressible in ANSI SQL
+with engine-portable primitives only (md5, strpos/instr, integer bit ops,
+exact integer sums, int/int -> IEEE-double division), so the DuckDB oracle
+hash-matches bit-for-bit. No RNG, no engine-specific hash functions in the
+oracle-checked paths.
+
+Scale notes: everything is either per-row higher-order-function work (no
+shuffle: simhash, shingling, quality) or a single partial-aggregated groupBy
+(lang-id scoring). Stopword/language dims are broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+# ---------------------------------------------------------------------------
+# Portable word/shingle primitives
+# ---------------------------------------------------------------------------
+
+#: split on single spaces, dropping empties — identical to DuckDB
+#: ``[w for w in string_split(text,' ') if w <> '']``.
+WORDS_EXPR = "filter(split({col}, ' '), w -> w <> '')"
+
+#: 3-word shingles, 1-based indexing to mirror DuckDB list semantics.
+SHINGLES_EXPR = (
+    "case when size({ws}) >= 3 then "
+    "array_distinct(transform(sequence(1, size({ws}) - 2), "
+    "i -> concat_ws(' ', element_at({ws}, i), element_at({ws}, i + 1), "
+    "element_at({ws}, i + 2)))) "
+    "else array() end"
+)
+
+
+def with_words(df: DataFrame, text_col: str = "text", out: str = "ws") -> DataFrame:
+    return df.withColumn(out, F.expr(WORDS_EXPR.format(col=text_col)))
+
+
+def with_shingles(df: DataFrame, words_col: str = "ws", out: str = "shingles") -> DataFrame:
+    return df.withColumn(out, F.expr(SHINGLES_EXPR.format(ws=words_col)))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+#: (lang, priority, stopwords) — tiny built-in n-gram/stopword tables; the
+#: heuristic is the classic stopword-profile vote. Priority breaks ties
+#: deterministically (lowest wins).
+LANG_PROFILES: list[tuple[str, int, list[str]]] = [
+    ("en", 0, ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]),
+    ("de", 1, ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von"]),
+    ("es", 2, ["el", "la", "de", "y", "es", "un", "una", "en", "por", "que"]),
+    ("fr", 3, ["le", "la", "et", "est", "un", "une", "dans", "pour", "que"]),
+    ("it", 4, ["il", "la", "di", "e", "che", "un", "una", "per", "con"]),
+]
+
+
+def stopword_frame(spark: SparkSession) -> DataFrame:
+    rows = [
+        (lang, prio, w) for lang, prio, words in LANG_PROFILES for w in words
+    ]
+    return spark.createDataFrame(rows, "lang string, prio int, word string")
+
+
+def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Predict language by stopword hits: explode words, broadcast-join the
+    stopword dim, count hits per (doc, lang), argmax with (hits desc,
+    priority asc) tie-break; zero hits -> 'und'.
+
+    Scale: the only shuffle is the groupBy on (doc, lang) with map-side
+    partial counts; the stopword dim is broadcast (map-side join).
+    """
+    words = with_words(docs.select(id_col, text_col), text_col).select(
+        id_col, F.explode("ws").alias("w")
+    )
+    hits = (
+        words.join(broadcast(stopword_frame(spark)), words["w"] == F.col("word"))
+        .groupBy(id_col, "lang", "prio")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("prio").asc())
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("lang").alias("pred_lang"), "hits")
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        )
+    )
+
+
+#: DuckDB oracle equivalent of lang_id (shares LANG_PROFILES via format()).
+def lang_id_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    vals = ", ".join(
+        f"('{lang}', {prio}, '{w}')"
+        for lang, prio, words in LANG_PROFILES
+        for w in words
+    )
+    return f"""
+WITH stop(lang, prio, word) AS (VALUES {vals}),
+words AS (
+  SELECT {id_col}, unnest([w for w in string_split(text, ' ') if w <> '']) AS w
+  FROM {table}
+),
+hits AS (
+  SELECT {id_col}, lang, prio, count(*) AS hits
+  FROM words JOIN stop ON words.w = stop.word
+  GROUP BY {id_col}, lang, prio
+),
+best AS (
+  SELECT {id_col}, lang, hits,
+         row_number() OVER (PARTITION BY {id_col} ORDER BY hits DESC, prio ASC) AS rn
+  FROM hits
+)
+SELECT d.{id_col},
+       coalesce(b.lang, 'und') AS pred_lang,
+       coalesce(b.hits, 0)::BIGINT AS hits
+FROM {table} d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING ({id_col})
+ORDER BY d.{id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, word stats, punctuation ratio,
+    stopword ratio — combined into a [0,1]-ish score. All arithmetic is
+    exact-int then IEEE double, so the oracle matches bit-for-bit.
+    Pure per-row projection: no shuffle, codegen'd."""
+    stop_all = sorted({w for _, _, ws in LANG_PROFILES for w in ws})
+    stop_lit = "array(" + ", ".join(f"'{w}'" for w in stop_all) + ")"
+    ws = WORDS_EXPR.format(col=text_col)
+    return docs.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.expr(f"cast(size({ws}) as bigint)").alias("n_words"),
+        F.expr(
+            f"cast(aggregate({ws}, 0L, (a, w) -> a + length(w)) as double)"
+            f" / nullif(size({ws}), 0)"
+        ).alias("avg_word_len"),
+        F.expr(
+            f"cast(aggregate({ws}, 0L, (a, w) -> a + if(array_contains({stop_lit}, w), 1, 0)) as double)"
+            f" / nullif(size({ws}), 0)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"cast(length(regexp_replace({text_col}, '[a-z0-9 ]', '')) as double)"
+            f" / nullif(length({text_col}), 0)"
+        ).alias("punct_ratio"),
+    ).withColumn(
+        "quality",
+        F.expr(
+            "least(1.0d, n_words / 100.0d) * 0.5d"
+            " + least(1.0d, coalesce(stopword_ratio, 0.0d) * 4.0d) * 0.3d"
+            " + (1.0d - least(1.0d, coalesce(punct_ratio, 0.0d) * 5.0d)) * 0.2d"
+        ),
+    )
+
+
+def quality_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    stop_all = sorted({w for _, _, ws in LANG_PROFILES for w in ws})
+    stop_lit = "[" + ", ".join(f"'{w}'" for w in stop_all) + "]"
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH q AS (
+  SELECT {id_col},
+         length(text)::BIGINT AS n_chars,
+         len({ws})::BIGINT AS n_words,
+         CAST(list_sum(list_transform({ws}, w -> length(w))) AS DOUBLE)
+           / nullif(len({ws}), 0) AS avg_word_len,
+         CAST(len(list_filter({ws}, w -> list_contains({stop_lit}, w))) AS DOUBLE)
+           / nullif(len({ws}), 0) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           / nullif(length(text), 0) AS punct_ratio
+  FROM {table}
+)
+SELECT *,
+       least(1.0, n_words / 100.0) * 0.5
+       + least(1.0, coalesce(stopword_ratio, 0.0) * 4.0) * 0.3
+       + (1.0 - least(1.0, coalesce(punct_ratio, 0.0) * 5.0)) * 0.2 AS quality
+FROM q ORDER BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens ([a-z]+ | digit runs |
+    single other chars) — the two standard pre-tokenization counts.
+    Per-row projection, no shuffle."""
+    ws = WORDS_EXPR.format(col=text_col)
+    return docs.select(
+        id_col,
+        F.expr(f"cast(size({ws}) as bigint)").alias("ws_tokens"),
+        F.expr(f"cast(regexp_count({text_col}, '[a-z]+|[0-9]+|[^a-z0-9 ]') as bigint)").alias(
+            "bpe_tokens"
+        ),
+        F.expr(f"cast(regexp_count({text_col}, '[a-z0-9]+') as bigint)").alias(
+            "alnum_tokens"
+        ),
+    )
+
+
+def token_counts_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+SELECT {id_col},
+       len({ws})::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS alnum_tokens
+FROM {table} ORDER BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling-hash / min-hash fingerprint)
+# ---------------------------------------------------------------------------
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-style fingerprint: the minimum md5 over the document's
+    3-word shingles (a 1-permutation MinHash — robust to local edits), with
+    md5(text) fallback for short docs. Per-row projection."""
+    ws = WORDS_EXPR.format(col=text_col)
+    sh = SHINGLES_EXPR.format(ws=ws)
+    return docs.select(
+        id_col,
+        F.expr(
+            f"coalesce(array_min(transform({sh}, s -> md5(s))), md5({text_col}))"
+        ).alias("fingerprint"),
+    )
+
+
+def fingerprint_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    sh = (
+        f"CASE WHEN len({ws}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({ws}) - 1), i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]))"
+        f" ELSE [] END"
+    )
+    return f"""
+SELECT {id_col},
+       coalesce(list_min(list_transform({sh}, s -> md5(s))), md5(text)) AS fingerprint
+FROM {table} ORDER BY {id_col}
+"""

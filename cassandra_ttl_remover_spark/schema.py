@@ -168,6 +168,10 @@ def parse_cql_create_table(cql: str) -> CqlTable:
         if rest.lower().endswith(" static"):
             rest = rest[: -len(" static")].strip()
         fields.append(T.StructField(col, _parse_type(rest), nullable=col not in pk))
+    if not fields:
+        raise CqlParseError("table has no columns")
+    if not pk:
+        raise CqlParseError("table has no PRIMARY KEY")
     options: dict[str, str] = {}
     if m.group("opts"):
         for opt in re.split(r"\s+AND\s+", m.group("opts"), flags=re.IGNORECASE):

@@ -1,0 +1,29 @@
+"""A1/A2/A3 count & sketch operators (SURVEY.md §2.1)."""
+
+from cassandra_ttl_remover_spark.operators.counts import (
+    approximate_key_count,
+    count_keys,
+    estimate_merge_gain,
+)
+
+
+def test_exact_vs_approx(events):
+    exact = count_keys(events, "user_id")
+    approx = approximate_key_count(events, "user_id")
+    assert exact > 0
+    assert abs(approx - exact) <= max(1, 0.02 * exact)
+
+
+def test_merge_gain_disjoint_vs_identical(spark):
+    a = spark.range(0, 1000).withColumnRenamed("id", "k")
+    b = spark.range(1000, 2000).withColumnRenamed("id", "k")
+    disjoint = estimate_merge_gain([a, b], "k")
+    identical = estimate_merge_gain([a, a], "k")
+    # no overlap -> ~1.0 ; full overlap -> ~0.5 (NoTTLReader.java:221-250)
+    assert disjoint > 0.95
+    assert abs(identical - 0.5) < 0.02
+
+
+def test_merge_gain_empty_sources(spark):
+    e = spark.range(0).withColumnRenamed("id", "k")
+    assert estimate_merge_gain([e, e], "k") == 1.0

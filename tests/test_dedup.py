@@ -1,0 +1,79 @@
+"""Dedup operator family (north-star): exact, Jaccard, MinHash-LSH, SimHash,
+embedding near-dup."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cassandra_ttl_remover_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def near_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    edit = "the quick brown fox jumps over the lazy cat again and again today"
+    other = "completely different words having nothing in common with anything else"
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, edit), (3, other)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(near_docs):
+    out = {r.content_hash: (r.keep_id, r.n_copies)
+           for r in dedup.exact_dedup(near_docs).collect()}
+    assert len(out) == 3  # 0 and 1 are identical
+    assert (0, 2) in out.values()
+
+
+def test_exact_dedup_last_writer(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 30), (1, "b", 20)], "k long, g string, writetime long"
+    )
+    got = {(r.k, r.g): r.writetime
+           for r in dedup.exact_dedup_last_writer(df, ["k", "g"]).collect()}
+    assert got == {(1, "a"): 30, (1, "b"): 20}
+
+
+def test_jaccard_pairs(near_docs):
+    pairs = {(r.a, r.b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(near_docs, threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_recall_on_fixture(documents):
+    exact = {(r.a, r.b) for r in
+             dedup.ngram_jaccard_pairs(documents, threshold=0.5).collect()}
+    cand = {(r.a, r.b) for r in
+            dedup.minhash_lsh_pairs(documents, num_hashes=64, bands=32,
+                                    threshold=0.3).collect()}
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.8, f"recall {recall} over {len(exact)} true pairs"
+
+
+def test_simhash_identical_and_near(near_docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(near_docs).collect()}
+    assert sh[0] == sh[1]
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    assert ham02 < ham03, "one-word edit must be closer than unrelated text"
+    assert 0 <= sh[0] < (1 << 60)
+
+
+def test_simhash_banded_equals_bruteforce(documents):
+    banded = {(r.a, r.b, r.hamming) for r in
+              dedup.simhash_neardup_pairs(documents, max_hamming=3, banded=True).collect()}
+    brute = {(r.a, r.b, r.hamming) for r in
+             dedup.simhash_neardup_pairs(documents, max_hamming=3, banded=False).collect()}
+    assert banded == brute, "pigeonhole banding must find exactly the brute-force pairs"
+
+
+def test_embedding_neardup_self_similarity(spark):
+    v = [0.1] * 64
+    w = [0.1] * 32 + [-0.1] * 32
+    df = spark.createDataFrame([(0, v), (1, v), (2, w)],
+                               "vec_id long, embedding array<float>")
+    pairs = {(r.a, r.b) for r in
+             dedup.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(0, 1)}

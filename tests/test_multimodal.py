@@ -1,0 +1,55 @@
+"""Multimodal plumbing: binary columns, Arrow UDF feature extraction (stub),
+frame-sample planning."""
+
+import hashlib
+
+import pytest
+
+from cassandra_ttl_remover_spark.operators.multimodal import (
+    decode_stub,
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+
+
+def test_decode_stub_gates_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"abc", {})
+
+
+def test_decode_stub_fake_deterministic():
+    f1 = decode_stub(b"hello world", {}, fake=True)
+    f2 = decode_stub(b"hello world", {}, fake=True)
+    assert f1 == f2 and len(f1) == 8 and abs(sum(f1) - 1.0) < 1e-9
+
+
+def test_media_frame_schema(documents):
+    media = documents_as_media(documents)
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.first()
+    assert 1 <= row.meta.width <= 64 and row.meta.kind == "image"
+
+
+def test_extract_features_arrow_path(documents):
+    media = documents_as_media(documents.limit(20))
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 20
+    by_id = {r.media_id: r for r in feats}
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, payload in src.items():
+        assert by_id[mid].sha256 == hashlib.sha256(payload).hexdigest()
+        assert by_id[mid].n_bytes == len(payload)
+        assert len(by_id[mid].features) == 8
+
+
+def test_frame_sample_plan(documents):
+    import pyspark.sql.functions as F
+
+    media = documents_as_media(documents.limit(5)).withColumn(
+        "meta", F.expr("named_struct('kind','video','mime','v','width',int(1),"
+                       "'height',int(1),'n_frames',int(25),'sample_rate',cast(null as int),"
+                       "'duration_ms',cast(null as bigint))")
+    )
+    out = frame_sample(media, every_nth=10).first()
+    assert list(out.sample_frames) == [0, 10, 20]

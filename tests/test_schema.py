@@ -1,0 +1,77 @@
+"""CQL DDL -> StructType (SURVEY.md §2.1 M1, §1.3)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from cassandra_ttl_remover_spark.schema import (
+    CqlParseError,
+    annotated_schema,
+    cell_struct,
+    cql_to_struct_type,
+    parse_cql_create_table,
+)
+
+REF_CQL = (
+    "CREATE TABLE test.test (id uuid, name text, surname text, PRIMARY KEY (id)) "
+    "WITH default_time_to_live = 10"
+)
+
+
+def test_reference_table():
+    # the reference's only test table (cassandra-3 .../cql/table.cql:1)
+    t = parse_cql_create_table(REF_CQL)
+    assert t.keyspace == "test" and t.name == "test"
+    assert t.partition_keys == ["id"] and t.clustering_keys == []
+    assert [f.name for f in t.schema.fields] == ["id", "name", "surname"]
+    assert all(isinstance(f.dataType, T.StringType) for f in t.schema.fields)
+    assert t.options["default_time_to_live"] == "10"
+
+
+def test_composite_key_and_collections():
+    t = parse_cql_create_table(
+        "CREATE TABLE ks.t (pk1 uuid, pk2 int, ck timestamp, "
+        "m map<text, frozen<list<int>>>, s set<text>, tup tuple<int, text>, "
+        "PRIMARY KEY ((pk1, pk2), ck))"
+    )
+    assert t.partition_keys == ["pk1", "pk2"]
+    assert t.clustering_keys == ["ck"]
+    m = dict(zip([f.name for f in t.schema.fields], [f.dataType for f in t.schema.fields]))
+    assert m["m"] == T.MapType(T.StringType(), T.ArrayType(T.IntegerType()))
+    assert m["s"] == T.ArrayType(T.StringType())
+    assert isinstance(m["tup"], T.StructType)
+    assert isinstance(m["ck"], T.TimestampNTZType)
+
+
+def test_type_universe():
+    s = cql_to_struct_type(
+        "CREATE TABLE t (a bigint PRIMARY KEY, b double, c boolean, d blob, "
+        "e decimal, f counter, g inet, h date)"
+    )
+    types = {f.name: f.dataType for f in s.fields}
+    assert types["a"] == T.LongType()
+    assert types["d"] == T.BinaryType()
+    assert types["f"] == T.LongType()  # counters are long cells
+
+
+@pytest.mark.parametrize("bad", [
+    "DROP TABLE x",
+    "CREATE TABLE t (x unknown_type)",
+    "",
+    "CREATE TABLE t ()",
+])
+def test_rejects_bad_ddl(bad):
+    with pytest.raises((CqlParseError, ValueError)):
+        parse_cql_create_table(bad)
+
+
+def test_annotated_schema_shape():
+    t = parse_cql_create_table(REF_CQL)
+    ann = annotated_schema(t)
+    names = [f.name for f in ann.fields]
+    assert names[:3] == ["id", "name", "surname"]
+    assert {"pk_writetime", "pk_ttl", "pk_expires_at", "row_deletion_ts"} <= set(names)
+    name_t = ann["name"].dataType
+    assert name_t == cell_struct(T.StringType())
+    assert {f.name for f in name_t.fields} == {
+        "value", "writetime", "ttl", "expires_at", "deleted_ts"
+    }

@@ -1,0 +1,50 @@
+"""Similarity search: exact top-k correctness vs numpy; ANN recall."""
+
+import numpy as np
+import pytest
+
+from cassandra_ttl_remover_spark.operators import similarity
+
+
+def _numpy_topk(embeddings_rows, query_id, k):
+    ids = [r.vec_id for r in embeddings_rows]
+    vecs = {r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64)
+            for r in embeddings_rows}
+    q = vecs[query_id]
+    scored = [(int(vecs[i] @ q), i) for i in ids if i != query_id]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _, i in scored[:k]]
+
+
+def test_topk_dot_matches_numpy(embeddings):
+    rows = embeddings.collect()
+    want = _numpy_topk(rows, query_id=0, k=10)
+    got = [r.vec_id for r in similarity.topk_dot(embeddings, query_id=0, k=10).collect()]
+    assert got == want
+
+
+def test_topk_cosine_reasonable(embeddings):
+    got = similarity.topk_cosine(embeddings, query_id=0, k=5).collect()
+    assert len(got) == 5
+    assert all(-1.0 <= r.cosine <= 1.0 for r in got)
+    assert got[0].cosine >= got[-1].cosine
+
+
+def test_lsh_buckets_deterministic(embeddings):
+    b1 = {r.vec_id: r.bucket for r in similarity.rp_lsh_buckets(embeddings, planes=8).collect()}
+    b2 = {r.vec_id: r.bucket for r in similarity.rp_lsh_buckets(embeddings, planes=8).collect()}
+    assert b1 == b2
+    assert len(set(b1.values())) > 1, "vectors must spread across buckets"
+
+
+def test_lsh_topk_subset_scored_exactly(embeddings):
+    exact = similarity.topk_dot(embeddings, query_id=0, k=10)
+    approx = similarity.lsh_topk(embeddings, query_id=0, k=10, planes=4, probes=4)
+    recall = similarity.ann_recall(exact, approx)
+    # deterministic given fixed data + xxhash64 planes; bar set from measurement
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+    # every ANN hit must carry the exact quantized score of the brute path
+    ex = {r.vec_id: r.dot for r in exact.collect()}
+    for r in approx.collect():
+        if r.vec_id in ex:
+            assert r.dot == ex[r.vec_id]
