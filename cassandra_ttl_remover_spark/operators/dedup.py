@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from cassandra_ttl_remover_spark.operators.text import SHINGLES_EXPR, WORDS_EXPR
+from cassandra_ttl_remover_spark.plans import fan_out
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -68,7 +69,12 @@ def shingle_frame(docs: DataFrame, text_col: str = "text",
     """(id, shingle) exploded distinct 3-word shingles."""
     ws = WORDS_EXPR.format(col=text_col)
     sh = SHINGLES_EXPR.format(ws=ws)
-    return docs.select(id_col, F.explode(F.expr(sh)).alias("sh"))
+    # shingling + downstream hashing is CPU-bound: guarantee full parallelism
+    # even when the source arrives as a single file split (plans.fan_out is a
+    # no-op on well-partitioned inputs)
+    return fan_out(docs.select(id_col, text_col), id_col).select(
+        id_col, F.explode(F.expr(sh)).alias("sh")
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
@@ -160,20 +166,61 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
     )
 
 
+#: per-bucket i<j pair expansion over a sorted member list ``m`` of
+#: struct<i: id, s: payload> — `transform` with index + `slice` generates
+#: each member's pairs with all later members; `flatten` concatenates.
+_BUCKET_PAIRS_EXPR = (
+    "flatten(transform(m, (x, i) -> "
+    "transform(slice(m, i + 2, size(m)), y -> "
+    "struct(x.i as a, y.i as b, x.s as siga, y.s as sigb))))"
+)
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str, sig_col: str,
+                  bucket_cols: list[str], max_bucket: int) -> DataFrame:
+    """Candidate pairs from LSH buckets WITHOUT a self-join: group members
+    per bucket, expand i<j pairs from the (id-sorted) member list.
+
+    vs. the classic two-branch self-join this evaluates the signature
+    pipeline ONCE (a self-join re-executes the whole upstream plan per
+    branch) and shuffles each signature once, keyed by the compact bucket
+    id. ``max_bucket`` caps pathological buckets — at 100 TB a hot bucket
+    means thousands of near-identical documents, which exact hash dedup
+    (exact_dedup) should have removed first; expanding its O(B²) pairs is
+    never the right plan. Capped buckets are dropped (documented skew knob;
+    raise it if exact dedup is not run upstream)."""
+    members = (
+        banded.groupBy(*bucket_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col(sig_col).alias("s"))
+                )
+            ).alias("m")
+        )
+        .filter((F.size("m") >= 2) & (F.size("m") <= max_bucket))
+    )
+    return (
+        members.select(F.explode(F.expr(_BUCKET_PAIRS_EXPR)).alias("p"))
+        .select("p.a", "p.b", "p.siga", "p.sigb")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id", max_bucket: int = 1024) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified by estimated Jaccard.
 
-    band/bucket join: signatures split into ``bands`` bands of
-    ``num_hashes/bands`` rows; docs sharing any band hash become candidates
-    (shuffle key = (band, band_hash) — compact and well-distributed);
-    candidate pairs are scored by signature agreement (unbiased Jaccard
-    estimate) and filtered at ``threshold``.
+    Signatures are split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band hash become candidates. Pair generation is
+    per-bucket list expansion (_bucket_pairs) — one shuffle keyed by
+    (band, band_hash), no O(n²), no self-join re-execution; skew is bounded
+    by ``max_bucket``. Candidates are scored by signature agreement (the
+    unbiased Jaccard estimate) and filtered at ``threshold``.
 
-    At 100 TB this is the intended dedup path: no O(n²), skew bounded by
-    band-bucket sizes (hot buckets indicate near-identical content worth
-    capping/salting — documented operational knob)."""
+    At 100 TB this is the intended fuzzy-dedup path (run exact_dedup first
+    so identical content doesn't flood buckets)."""
     r = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, text_col, id_col)
     banded = sig.select(
@@ -186,14 +233,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
             )
         ).alias("bb"),
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb"), "band", "bh")
-    cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "siga", "sigb")
-        .dropDuplicates(["a", "b"])
-    )
+    cand = _bucket_pairs(banded, id_col, "sig", ["band", "bh"], max_bucket)
     est = cand.withColumn(
         "est_jaccard",
         F.expr(
@@ -243,7 +283,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
     scale. md5-nibble bits keep it engine-portable for the oracle."""
     ws = WORDS_EXPR.format(col=text_col)
     hashes = _WORD_HASHES_EXPR.format(ws=ws)
-    return docs.select(
+    return fan_out(docs.select(id_col, text_col), id_col).select(
         id_col, F.expr(SIMHASH_EXPR.format(hashes=hashes)).alias("simhash")
     )
 
@@ -270,13 +310,14 @@ FROM bits GROUP BY {id_col} ORDER BY {id_col}
 
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
                           text_col: str = "text", id_col: str = "doc_id",
-                          banded: bool = True) -> DataFrame:
+                          banded: bool = True, max_bucket: int = 4096) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     banded=True (scale path): split the 60 bits into max_hamming+1 bands —
-    by pigeonhole any pair within the radius agrees exactly on ≥1 band, so a
-    band-equality join finds all pairs without O(n²). banded=False is the
-    small-n oracle surface (plain a<b self-join)."""
+    by pigeonhole any pair within the radius agrees exactly on ≥1 band, so
+    band-bucket expansion (_bucket_pairs: simhash computed once, one shuffle
+    on the compact band key) finds all pairs without O(n²). banded=False is
+    the small-n oracle surface (plain a<b self-join)."""
     sh = simhash(docs, text_col, id_col)
     if banded:
         nb = max_hamming + 1
@@ -290,12 +331,8 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
         banded_df = sh.select(id_col, "simhash", bandcol).select(
             id_col, "simhash", "bb.band", "bb.bh"
         )
-        a = banded_df.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "bh")
-        b = banded_df.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "bh")
-        cand = (
-            a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
-            .select("a", "b", "ha", "hb").dropDuplicates(["a", "b"])
-        )
+        cand = _bucket_pairs(banded_df, id_col, "simhash", ["band", "bh"], max_bucket)
+        cand = cand.select("a", "b", F.col("siga").alias("ha"), F.col("sigb").alias("hb"))
     else:
         a = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
         b = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
@@ -343,7 +380,7 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     This plain self-join is the verification/oracle surface; the scale path
     buckets by LSH first (similarity.lsh_topk) and applies the same exact
     predicate to candidates only."""
-    q = emb.select(
+    q = fan_out(emb, id_col).select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         F.expr(QDOT_EXPR.format(a=vec_col, b=vec_col)).alias("nrm"),

@@ -28,6 +28,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from cassandra_ttl_remover_spark.plans import fan_out
+
 #: Typed metadata carried beside every media blob.
 MEDIA_META = T.StructType(
     [
@@ -138,7 +140,7 @@ def extract_features(media: DataFrame, *, fake: bool = True,
             }
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return fan_out(media, "media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:

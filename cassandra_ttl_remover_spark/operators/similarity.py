@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from cassandra_ttl_remover_spark.operators.dedup import QDOT_EXPR
+from cassandra_ttl_remover_spark.plans import fan_out
 
 
 def _query_vector_col(emb: DataFrame, query_id, vec_col: str, id_col: str):
@@ -33,7 +34,7 @@ def topk_dot(emb: DataFrame, query_id, k: int = 10,
     Ties broken by id for determinism. Excludes the query itself."""
     q = _query_vector_col(emb, query_id, vec_col, id_col)
     scored = (
-        emb.join(F.broadcast(q))
+        fan_out(emb, id_col).join(F.broadcast(q))
         .withColumn("dot", F.expr(QDOT_EXPR.format(a=vec_col, b="_qv")))
         .filter(F.col(id_col) != F.lit(query_id))
         .select(id_col, "dot")
@@ -104,7 +105,7 @@ def rp_lsh_buckets(emb: DataFrame, planes: int = 16, seed: int = 42,
         f"  0.0d, (s, v) -> s + v) >= 0.0d, p, -1)),"
         f" 0L, (acc, p) -> acc + if(p >= 0, shiftleft(1L, p), 0L))"
     )
-    return emb.withColumn("bucket", F.expr(bucket))
+    return fan_out(emb, id_col).withColumn("bucket", F.expr(bucket))
 
 
 def lsh_topk(emb: DataFrame, query_id, k: int = 10, planes: int = 12,

@@ -24,6 +24,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
+from cassandra_ttl_remover_spark.plans import fan_out
+
 # ---------------------------------------------------------------------------
 # Portable word/shingle primitives
 # ---------------------------------------------------------------------------
@@ -82,7 +84,7 @@ def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text",
     Scale: the only shuffle is the groupBy on (doc, lang) with map-side
     partial counts; the stopword dim is broadcast (map-side join).
     """
-    words = with_words(docs.select(id_col, text_col), text_col).select(
+    words = with_words(fan_out(docs.select(id_col, text_col), id_col), text_col).select(
         id_col, F.explode("ws").alias("w")
     )
     hits = (
@@ -151,6 +153,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     stop_all = sorted({w for _, _, ws in LANG_PROFILES for w in ws})
     stop_lit = "array(" + ", ".join(f"'{w}'" for w in stop_all) + ")"
     ws = WORDS_EXPR.format(col=text_col)
+    docs = fan_out(docs, id_col)
     return docs.select(
         id_col,
         F.length(text_col).cast("long").alias("n_chars"),
@@ -212,6 +215,7 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     single other chars) — the two standard pre-tokenization counts.
     Per-row projection, no shuffle."""
     ws = WORDS_EXPR.format(col=text_col)
+    docs = fan_out(docs, id_col)
     return docs.select(
         id_col,
         F.expr(f"cast(size({ws}) as bigint)").alias("ws_tokens"),
@@ -246,6 +250,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     md5(text) fallback for short docs. Per-row projection."""
     ws = WORDS_EXPR.format(col=text_col)
     sh = SHINGLES_EXPR.format(ws=ws)
+    docs = fan_out(docs, id_col)
     return docs.select(
         id_col,
         F.expr(

@@ -1,0 +1,88 @@
+"""Physical-plan utilities: parallelism guards and plan inspection.
+
+The reference gets its (single-threaded) execution shape for free from a
+hand-fused loop (SURVEY.md §4); in Spark the physical plan is Catalyst's
+job, but two things remain the engine's responsibility:
+
+1. **Parallelism floors.** A scan's task count is bounded by file splits;
+   a small file with one parquet row group arrives as ONE task no matter
+   what ``spark.sql.files.maxPartitionBytes`` says. That is correct for
+   cheap scans, but CPU-heavy per-row operators (shingling, minhash,
+   simhash, vector math) would then serialize onto one core. ``fan_out``
+   inserts a hash repartition only when the incoming plan has fewer
+   partitions than the cluster's parallelism — at 100 TB, where a scan
+   already yields ~800k tasks, it is a planning-time no-op (no shuffle is
+   added), while locally it spreads the expensive projection across all
+   cores for the cost of shuffling the (small) input once.
+
+2. **Plan inspection.** `explain`-derived assertions (pushed filters,
+   pruned read schemas, broadcast joins) used by tests and the bench docs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, *key_cols: str, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``min_partitions`` (default: cluster parallelism)
+    ahead of CPU-bound per-row transforms.
+
+    No-op when the plan already has enough partitions — the normal case at
+    scale — so it never *adds* a shuffle to a well-partitioned pipeline.
+    With ``key_cols`` the repartition is a deterministic hash exchange on
+    those columns (preferred: enables downstream co-partitioning); without,
+    a round-robin exchange.
+    """
+    spark = df.sparkSession
+    target = int(min_partitions or spark.sparkContext.defaultParallelism)
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # plan not RDD-convertible (e.g. streaming) — leave it
+        return df
+    if current >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan as a string (what ``.explain("formatted")``
+    prints) — for tests that assert pushdown/pruning/broadcast properties."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section(s) of the scan nodes, empty string if none."""
+    return "\n".join(
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "PushedFilters" in line
+    )
+
+
+def read_schema(df: DataFrame) -> str:
+    """The ReadSchema section(s) of the scan nodes — proves column pruning."""
+    return "\n".join(
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "ReadSchema" in line
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (lower is better;
+    used by tests to pin operator shuffle budgets)."""
+    return sum(
+        1
+        for line in formatted_plan(df).splitlines()
+        if line.strip().startswith("Exchange") or " Exchange" in line
+    )
