@@ -57,7 +57,11 @@ from cassandra_ttl_remover_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
 )
-from cassandra_ttl_remover_spark.operators.tombstones import pair_range_markers
+from cassandra_ttl_remover_spark.operators.tombstones import (
+    apply_range_tombstones,
+    pair_range_markers,
+    route_empty_partitions,
+)
 from cassandra_ttl_remover_spark.schema import parse_cql_create_table
 
 NOW = DEFAULT_NOW  # 1706000000, inside the events ts range
@@ -199,6 +203,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             order_cols=("ts_us", "event_id"),
         )
     q["q_t3_interval_pairing"] = q_t3
+
+    def q_t4(spark, sf):
+        # empty-partition passthrough: tombstone-ish rows (NULL props) bypass
+        # the strip and keep their metadata; everything else is stripped
+        ann = _ann(spark, sf)
+        routed = route_empty_partitions(ann, F.col("props").isNull(), strip_ttl)
+        return routed.select("event_id", "props", "ttl", "expires_at")
+    q["q_t4_empty_partition_routing"] = q_t4
+
+    def q_rt(spark, sf):
+        # range-tombstone application: partition-key-scoped writetime interval
+        # deletion (broadcast anti join), deterministic tombstone frame
+        ann = _ann(spark, sf)
+        lo = (NOW - 10 * 86400) * 1_000_000
+        hi = NOW * 1_000_000
+        tomb = (
+            ann.select("user_id").distinct()
+            .filter(F.col("user_id") % 10 == 0)
+            .withColumn("start", F.lit(lo).cast("long"))
+            .withColumn("end", F.lit(hi).cast("long"))
+            .withColumn("deletion_ts", F.lit(hi).cast("long"))
+        )
+        out = apply_range_tombstones(ann, tomb, pk="user_id", clustering="writetime")
+        return out.select("event_id", "user_id", "writetime")
+    q["q_rt_range_tombstone_apply"] = q_rt
 
     def q_t5(spark, sf):
         from pyspark.sql import Window
@@ -458,6 +487,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, ts_us AS open_ts, next_ts AS close_ts
         FROM m WHERE event_type = 'view' AND next_kind = 'click'
         ORDER BY user_id, open_ts"""
+
+    o["q_t4_empty_partition_routing"] = f"""
+        WITH a AS ({ann})
+        SELECT event_id, props,
+               CASE WHEN props IS NULL THEN ttl END AS ttl,
+               CASE WHEN props IS NULL THEN expires_at END AS expires_at
+        FROM a ORDER BY event_id"""
+
+    _rt_lo = (NOW - 10 * 86400) * 1_000_000
+    _rt_hi = NOW * 1_000_000
+    o["q_rt_range_tombstone_apply"] = f"""
+        WITH a AS ({ann})
+        SELECT event_id, user_id, writetime FROM a
+        WHERE NOT (user_id % 10 = 0
+                   AND writetime >= {_rt_lo} AND writetime <= {_rt_hi})
+        ORDER BY event_id"""
 
     o["q_t5_sort_within_partition"] = """
         SELECT user_id, event_id,

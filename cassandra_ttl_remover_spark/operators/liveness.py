@@ -135,13 +135,19 @@ def _cell_cols(df: DataFrame) -> dict[str, T.DataType]:
 
 def _strip_cell(c: Column) -> Column:
     """One cell: keep value/writetime/deleted_ts, null the liveness metadata
-    (BufferCell.live — value + timestamp only)."""
-    return F.struct(
-        c["value"].alias("value"),
-        c["writetime"].alias("writetime"),
-        F.lit(None).cast("long").alias("ttl"),
-        F.lit(None).cast("long").alias("expires_at"),
-        c["deleted_ts"].alias("deleted_ts"),
+    (BufferCell.live — value + timestamp only). An absent (NULL) cell stays
+    absent — F.struct over a NULL struct would otherwise materialize a
+    non-NULL all-NULL cell that live_view_cells counts as surviving (bug
+    found by tests/test_liveness_properties.py)."""
+    return F.when(
+        c.isNotNull(),
+        F.struct(
+            c["value"].alias("value"),
+            c["writetime"].alias("writetime"),
+            F.lit(None).cast("long").alias("ttl"),
+            F.lit(None).cast("long").alias("expires_at"),
+            c["deleted_ts"].alias("deleted_ts"),
+        ),
     )
 
 
