@@ -20,6 +20,7 @@ Keys without an oracle_sql entry are genuinely non-SQL-expressible (engine
 hash functions / Arrow UDF plumbing) and get the driver's rows-only check:
   * q_s3b_token_range — Murmur3 token filter (Spark hash() ≠ DuckDB hash())
   * q_n8_ann_lsh — LSH-bucketed ANN candidates (xxhash64-derived planes)
+  * q_n8b_ann_ivf — IVF ANN (xxhash64-sampled centroids)
   * q_mm2_media_features — mapInPandas Arrow plumbing with stub decoder
 """
 
@@ -357,6 +358,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.lsh_topk(emb, query_id=0, k=10, planes=4, probes=4)
     q["q_n8_ann_lsh"] = q_n8
 
+    def q_n8b(spark, sf):
+        # IVF ANN scale path — centroid sample is engine-hash-derived:
+        # rows-only; nprobe=n_cells==exact is asserted in tests/test_similarity.py
+        emb = scan_table(spark, sf, "embeddings")
+        return similarity.ivf_topk(emb, query_id=0, k=10, n_cells=8, nprobe=4)
+    q["q_n8b_ann_ivf"] = q_n8b
+
     def q_n9(spark, sf):
         # MinHash-LSH validated by recall against exact Jaccard pairs:
         # margin thresholds (cand est>=0.3 vs exact>=0.5) make the outcome
@@ -375,6 +383,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("recall_ok")
         )
     q["q_n9_minhash_recall"] = q_n9
+
+    def q_n14(spark, sf):
+        # pairs -> connected components -> keep/drop: the end-to-end fuzzy
+        # dedup decision (iterative min-label propagation; recursive CTE oracle)
+        docs = scan_table(spark, sf, "documents")
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+        return dedup.neardup_dedup(docs, pairs)
+    q["q_n14_neardup_components"] = q_n14
 
     # ---- N: north-star — text analysis ----
     def q_n10(spark, sf):
@@ -567,6 +583,10 @@ def oracle_sql() -> dict[str, str]:
     o["q_n7_topk_similarity"] = similarity.topk_dot_oracle_sql(query_id=0, k=10)
 
     o["q_n9_minhash_recall"] = "SELECT TRUE AS recall_ok"
+
+    o["q_n14_neardup_components"] = dedup.connected_components_oracle_sql(
+        f"SELECT a, b FROM ({dedup.ngram_jaccard_oracle_sql(threshold=0.5)})"
+    )
 
     o["q_n10_lang_id"] = text.lang_id_oracle_sql()
 

@@ -247,6 +247,88 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# Near-dup resolution: pairs -> connected components -> keep/drop decisions
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, ids: DataFrame,
+                         id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair frame via iterative
+    min-label propagation (the standard distributed "HashMin" algorithm):
+    every node starts labeled with itself; each round a node adopts the
+    minimum label among itself and its neighbors; converged when no label
+    changes. Rounds needed = graph diameter — near-dup clusters are shallow
+    (a handful of hops), so this terminates in a few rounds.
+
+    Scale: each round is one broadcast-or-shuffle join on the (tiny relative
+    to the corpus) edge set + a groupBy on node — no driver-side graph.
+    ``localCheckpoint`` truncates the growing lineage per round, keeping the
+    plan O(1) instead of O(iterations) (the classic iterative-Spark pitfall).
+
+    Returns ``(id_col, component)`` where component = min id reachable;
+    singleton docs are their own component."""
+    edges = pairs.select("a", "b")
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates(["a", "b"]).localCheckpoint(eager=False)
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new = (
+            labels.alias("l")
+            .join(nb.alias("n"), F.col("l.node") == F.col("n.a"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.label"), F.coalesce(F.col("n.nb_label"), F.col("l.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("x")
+            .join(labels.alias("y"), F.col("x.node") == F.col("y.node"))
+            .filter(F.col("x.label") != F.col("y.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def neardup_dedup(docs: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """End-to-end fuzzy-dedup decision: resolve near-dup pairs into
+    components and keep the minimum id per component (the deterministic
+    representative, matching exact_dedup's keep rule). Returns
+    ``(id_col, component, is_kept)`` for every document."""
+    cc = connected_components(pairs, docs.select(id_col), id_col)
+    return cc.withColumn("is_kept", F.col("component") == F.col(id_col))
+
+
+def connected_components_oracle_sql(pairs_sql: str, table: str = "documents",
+                                    id_col: str = "doc_id") -> str:
+    """Recursive-CTE oracle for connected_components: min reachable id per
+    node over the symmetric closure of the pair set."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT {id_col}, {id_col} FROM {table}
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.node
+)
+SELECT node AS {id_col}, min(r) AS component,
+       (min(r) = node) AS is_kept
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash (portable md5-nibble construction — oracle-matchable)
 # ---------------------------------------------------------------------------
 

@@ -11,9 +11,11 @@ the same semantics continuously:
     transform is a pure projection so batch/stream parity is by construction.
   * `expiring_counts` — watermarked sliding-window counts of soon-to-expire
     data (the operational dashboard the reference's users run the tool for).
-  * state TTL via `applyInPandasWithState` would be the custom-state analog;
-    not needed while the transform stays stateless (kept out per SURVEY's
-    "only if the query surface demands it").
+  * `track_ttl_state` — the custom stateful operator: per-key liveness state
+    with an event-time timeout via `applyInPandasWithState`, emitting an
+    'expired' record when a key stops receiving writes for its TTL — the
+    streaming-native realization of the reference's expiry semantics (a cell
+    whose localExpirationTime passes stops being visible).
 """
 
 from __future__ import annotations
@@ -59,6 +61,68 @@ def expiring_counts(events: DataFrame, ts_col: str = "ts",
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             "n_expiring",
+        )
+    )
+
+
+def track_ttl_state(events: DataFrame, key_col: str = "user_id",
+                    ts_col: str = "ts", ttl_seconds: int = 1800,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key liveness
+    with an event-time TTL.
+
+    For every key the state holds ``(n_events, last_write_us)``; each batch
+    of arrivals refreshes it and emits an 'active' snapshot; when the
+    watermark passes ``last_write + ttl`` the state times out, the key emits
+    one 'expired' record, and its state is dropped — bounded state, the
+    streaming analog of a cell's localExpirationTime passing.
+
+    Scale: state is shuffled by key (one shuffle), held in the state store,
+    and strictly bounded by the timeout — no unbounded growth on a 100 TB/day
+    ingest. Arrow batches carry the groups (Pandas-UDF path, not row-at-a-time).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_write_us", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ])
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"key": [k], "n_events": [n], "last_write_us": [last_us],
+                 "status": ["expired"]}
+            )
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max_ns = int(pdf[ts_col].astype("int64").max())
+            last_us = max(last_us, batch_max_ns // 1000)
+        state.update((n, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + ttl_seconds * 1000)
+        yield pd.DataFrame(
+            {"key": [k], "n_events": [n], "last_write_us": [last_us],
+             "status": ["active"]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -77,3 +77,14 @@ def test_embedding_neardup_self_similarity(spark):
     pairs = {(r.a, r.b) for r in
              dedup.embedding_neardup_pairs(df, threshold=0.9).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_connected_components_resolution(spark):
+    # graph: {0-1-2} chain, {3-4}, 5 singleton — min-label propagation must
+    # label each node with its component's minimum id
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (0, 1), (3, 4)], "a long, b long")
+    got = {(r.doc_id, r.component, r.is_kept)
+           for r in dedup.neardup_dedup(ids, pairs).collect()}
+    assert got == {(0, 0, True), (1, 0, False), (2, 0, False),
+                   (3, 3, True), (4, 3, False), (5, 5, True)}

@@ -48,3 +48,18 @@ def test_lsh_topk_subset_scored_exactly(embeddings):
     for r in approx.collect():
         if r.vec_id in ex:
             assert r.dot == ex[r.vec_id]
+
+
+def test_ivf_full_probe_equals_exact(embeddings):
+    exact = similarity.topk_dot(embeddings, query_id=0, k=10)
+    ivf = similarity.ivf_topk(embeddings, query_id=0, k=10, n_cells=8, nprobe=8)
+    assert [(r.vec_id, r.dot) for r in exact.collect()] == \
+           [(r.vec_id, r.dot) for r in ivf.collect()], \
+        "probing every cell must reproduce exact top-k"
+
+
+def test_ivf_partial_probe_recall(embeddings):
+    exact = similarity.topk_dot(embeddings, query_id=0, k=10)
+    ivf = similarity.ivf_topk(embeddings, query_id=0, k=10, n_cells=8, nprobe=4)
+    assert similarity.ann_recall(exact, ivf) >= 0.3
+    assert ivf.count() == 10

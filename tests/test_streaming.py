@@ -12,6 +12,7 @@ from cassandra_ttl_remover_spark.streaming.ttl_stream import (
     read_events_stream,
     run_to_completion,
     stream_strip_ttl,
+    track_ttl_state,
 )
 
 
@@ -34,5 +35,41 @@ def test_stream_strip_matches_batch(spark, events):
         assert batch.select("event_id", "writetime").exceptAll(
             got.select("event_id", "writetime")
         ).count() == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stateful_ttl_tracking(spark, events):
+    """applyInPandasWithState plumbing: per-key state snapshots must agree
+    with a batch groupBy over the same input (single file -> one batch ->
+    exactly one 'active' snapshot per key)."""
+    work = Path(tempfile.mkdtemp(prefix="ctrs_state_"))
+    src, ckpt = work / "src", work / "ckpt"
+    try:
+        src_df = events.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).limit(500).coalesce(1)
+        src_df.write.parquet(str(src))
+        expected = {
+            (r.user_id, r.n)
+            for r in spark.read.parquet(str(src))
+            .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+
+        stream = read_events_stream(
+            spark, str(src),
+            schema="user_id bigint, ts timestamp", max_files_per_trigger=10,
+        )
+        tracked = track_ttl_state(stream, key_col="user_id", ts_col="ts",
+                                  ttl_seconds=60)
+        (
+            tracked.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", str(ckpt))
+            .format("memory").queryName("ttl_state")
+            .start().awaitTermination()
+        )
+        got = spark.table("ttl_state").filter(F.col("status") == "active")
+        snapshots = {(r.key, r.n_events) for r in got.collect()}
+        assert snapshots == expected
     finally:
         shutil.rmtree(work, ignore_errors=True)
