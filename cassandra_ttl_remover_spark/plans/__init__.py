@@ -80,9 +80,9 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (lower is better;
-    used by tests to pin operator shuffle budgets)."""
-    return sum(
-        1
-        for line in formatted_plan(df).splitlines()
-        if line.strip().startswith("Exchange") or " Exchange" in line
-    )
+    used by tests to pin operator shuffle budgets). Counts the formatted
+    plan's node-detail headers ``(N) Exchange`` so each exchange counts once
+    (the tree section repeats every node)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))

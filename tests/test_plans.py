@@ -1,0 +1,75 @@
+"""Physical-plan budget tests: the scale properties the engine promises
+(SURVEY.md §4) must be visible in the plan, not just asserted in docstrings.
+
+Each test pins one property: shuffle counts, broadcast strategies, partial
+aggregation, parallelism floors. If Catalyst or an operator change regresses
+one of these, the 100 TB story breaks long before correctness does.
+"""
+
+import pyspark.sql.functions as F
+
+from cassandra_ttl_remover_spark import annotate_events, scan_table, strip_ttl
+from cassandra_ttl_remover_spark.operators import dedup, text
+from cassandra_ttl_remover_spark.operators.tombstones import apply_range_tombstones
+from cassandra_ttl_remover_spark.plans import (
+    exchange_count,
+    fan_out,
+    formatted_plan,
+    has_broadcast_join,
+)
+from tests.conftest import SF_DIR
+
+
+def test_strip_is_pure_projection(spark, events):
+    # the core transform must stay a zero-shuffle scan->project pipeline
+    assert exchange_count(strip_ttl(annotate_events(events))) == 0
+
+
+def test_range_tombstone_apply_is_broadcast_anti_join(spark, events):
+    ann = annotate_events(events)
+    tomb = (
+        ann.select("user_id").distinct().limit(5)
+        .withColumn("start", F.lit(0).cast("long"))
+        .withColumn("end", F.lit(10**18).cast("long"))
+        .withColumn("deletion_ts", F.lit(10**18).cast("long"))
+    )
+    plan = formatted_plan(apply_range_tombstones(ann, tomb, "user_id", "writetime"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "tombstone side must broadcast; the data side must not shuffle"
+    )
+
+
+def test_groupby_agg_has_partial_aggregation(spark):
+    li = scan_table(spark, SF_DIR, "lineitem")
+    plan = formatted_plan(li.groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    assert plan.count("HashAggregate") >= 4, "map-side partial agg missing"
+
+
+def test_lang_id_broadcasts_stopword_dim(spark, documents):
+    assert has_broadcast_join(text.lang_id(spark, documents))
+
+
+def test_exact_dedup_single_shuffle(spark, documents):
+    # one shuffle (the md5 groupBy) + possibly the fan_out floor — never more
+    df = dedup.exact_dedup(documents)
+    assert exchange_count(df) <= 2
+
+
+def test_fan_out_is_noop_on_wide_plans(spark):
+    wide = spark.range(0, 1000).repartition(64)
+    assert fan_out(wide).rdd.getNumPartitions() == 64
+
+
+def test_fan_out_raises_narrow_plans(spark):
+    narrow = spark.range(0, 1000).coalesce(1)
+    n = fan_out(narrow, "id").rdd.getNumPartitions()
+    assert n == spark.sparkContext.defaultParallelism
+
+
+def test_minhash_signatures_reuse_fanout_partitioning(spark, documents):
+    # the fan_out hash exchange on doc_id must satisfy the groupBy(doc_id)
+    # requirement: exactly one exchange between scan and signature agg
+    sig = dedup.minhash_signatures(documents, num_hashes=8)
+    assert exchange_count(sig) == 1, (
+        "groupBy must reuse the fan_out partitioning, not re-shuffle"
+    )
