@@ -73,6 +73,26 @@ def main() -> int:
                            open_kind="view", close_kind="click",
                            order_cols=("ts_us", "event_id")).count()
 
+    def q_broadcast_join():
+        orders = scan_table(spark, sf_dir, "orders")
+        customer = scan_table(spark, sf_dir, "customer")
+        (
+            orders.join(F.broadcast(customer),
+                        orders["o_custkey"] == customer["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+            .collect()
+        )
+
+    def q_shuffle_join():
+        orders = scan_table(spark, sf_dir, "orders")
+        (
+            lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("s"))
+            .collect()
+        )
+
     def q_exact_dedup():
         dedup.exact_dedup(documents).count()
 
@@ -93,6 +113,8 @@ def main() -> int:
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
         "window_pairing": q_window_pairing,
+        "broadcast_join": q_broadcast_join,
+        "shuffle_join": q_shuffle_join,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,

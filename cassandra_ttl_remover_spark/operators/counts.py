@@ -40,6 +40,14 @@ def approximate_key_count(df: DataFrame, key: str, rsd: float = REFERENCE_HLL_RS
     return int(df.select(F.approx_count_distinct(key, rsd).alias("n")).first()["n"])
 
 
+def approximate_keys_for_range(df: DataFrame, key: str, lo, hi,
+                               rsd: float = REFERENCE_HLL_RSD) -> int:
+    """A2 per-range variant (estimatedKeysForRanges —
+    NoTTLReader.java:1289-1299): range-filter first (pushes to the parquet
+    scan), then the HLL++ estimate."""
+    return approximate_key_count(df.filter(F.col(key).between(lo, hi)), key, rsd)
+
+
 def estimate_merge_gain(sources: list[DataFrame], key: str,
                         rsd: float = REFERENCE_HLL_RSD) -> float:
     """A3 — estimateCompactionGain (NoTTLReader.java:221-250): cardinality of

@@ -48,6 +48,50 @@ def fan_out(df: DataFrame, *key_cols: str, min_partitions: int | None = None) ->
     return df.repartition(target)
 
 
+#: merge rule per algebraic aggregate for the two-stage salted_agg.
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(df: DataFrame, keys: list[str],
+               aggs: dict[str, tuple[str, str]], n_salts: int = 32) -> DataFrame:
+    """Two-stage salted aggregation for skewed group keys.
+
+    ``aggs`` maps output column -> (fn, input column), fn one of
+    sum/count/min/max (algebraic, so partials merge exactly). Stage 1 groups
+    by (keys + salt) — a hot key's rows spread over ``n_salts`` reducers —
+    stage 2 merges the partials per key. The salt is a deterministic hash of
+    the whole row, so retries reproduce the same placement.
+
+    Use when one group key dominates (AQE splits skewed JOIN partitions but
+    a single aggregation group still lands on one reducer). For uniform
+    keys, plain groupBy is one shuffle and strictly cheaper.
+    """
+    for fn, _ in aggs.values():
+        if fn not in _MERGE:
+            raise ValueError(f"non-algebraic aggregate {fn!r}; use plain groupBy")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[
+            getattr(F, fn)(col).alias(out) for out, (fn, col) in aggs.items()
+        ])
+    )
+    return stage1.groupBy(*keys).agg(
+        *[_MERGE[fn](out).alias(out) for out, (fn, _) in aggs.items()]
+    )
+
+
+def skew_distinct_count(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Per-key distinct count that survives a hot key: dedupe (key, value)
+    first (spreads by the pair hash), then count per key — no single reducer
+    ever accumulates a hot key's full distinct set."""
+    return (
+        df.select(key, value).dropDuplicates([key, value])
+        .groupBy(key).agg(F.count("*").alias("n_distinct"))
+    )
+
+
 def formatted_plan(df: DataFrame) -> str:
     """The formatted physical plan as a string (what ``.explain("formatted")``
     prints) — for tests that assert pushdown/pruning/broadcast properties."""

@@ -73,3 +73,47 @@ def test_minhash_signatures_reuse_fanout_partitioning(spark, documents):
     assert exchange_count(sig) == 1, (
         "groupBy must reuse the fan_out partitioning, not re-shuffle"
     )
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from cassandra_ttl_remover_spark.plans import salted_agg
+    # heavily skewed: 90% of rows share key 0
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 7).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    got = {
+        (r.k, r.total, r.n, r.lo, r.hi)
+        for r in salted_agg(
+            df, ["k"],
+            {"total": ("sum", "v"), "n": ("count", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")},
+        ).collect()
+    }
+    want = {
+        (r.k, r.total, r.n, r.lo, r.hi)
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("total"), F.count("v").alias("n"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_skew_distinct_count_matches(spark):
+    from cassandra_ttl_remover_spark.plans import skew_distinct_count
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 50).alias("v")
+    )
+    got = {(r.k, r.n_distinct) for r in skew_distinct_count(df, "k", "v").collect()}
+    want = {(r.k, r.n) for r in
+            df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+    assert got == want
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    import pytest
+    from cassandra_ttl_remover_spark.plans import salted_agg
+    df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"x": ("avg", "v")})
