@@ -143,6 +143,39 @@ def extract_features(media: DataFrame, *, fake: bool = True,
     return fan_out(media, "media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize(media: DataFrame, width: int, height: int, *,
+           fake: bool = True) -> DataFrame:
+    """Resize step: metadata updates are real (target dims recorded); the
+    pixel transformation is the stubbed decode boundary — with ``fake=True``
+    a deterministic byte-resampling stands in for a real scaler so the
+    binary-in/binary-out mapInPandas plumbing (schema, Arrow batches,
+    payload size change) is exercised; ``fake=False`` raises at first batch,
+    like decode_stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "resize requires an image library not present in this "
+                    "environment; pass fake=True for the deterministic path"
+                )
+
+            def scale(b: bytes | None) -> bytes:
+                b = b or b"\x00"
+                # deterministic nearest-neighbor byte resample to w*h bytes
+                n = len(b)
+                return bytes(b[(i * n) // target] for i in range(target))
+
+            out = pdf.assign(payload=pdf["payload"].map(scale))
+            out["meta"] = out["meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield out
+
+    return fan_out(media, "media_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling *plan* for video payloads: metadata-only projection
     computing which frame indices a downstream decoder should materialize.

@@ -74,10 +74,17 @@ def scan(
     schema: T.StructType | None = None,
     recursive: bool = True,
     glob: str | None = "*.parquet",
+    ignore_corrupt: bool = False,
 ) -> DataFrame:
     """S1+S2: load a file/dir of parquet as a DataFrame, schema declared not
     inferred when given (reference stance, SURVEY.md §1.3), with
     TIMESTAMP(NANOS) normalization to ``timestamp_ntz`` micros.
+
+    ``ignore_corrupt=True`` is the corrupt-input quarantine (the reference
+    marks suspect SSTables and continues — NoTTLReader.java:436-452,
+    Cassandra2TTLRemover.java:58-61): unreadable files are skipped instead
+    of failing the job. Off by default — silently dropping data is a policy
+    the caller must opt into.
 
     Scale: listing, footer pruning and row-group skipping are Spark-native;
     the ns->µs conversion is a codegen'd projection (no extra pass).
@@ -86,18 +93,49 @@ def scan(
     if schema is not None:
         reader = reader.schema(schema)
     opts = {}
+    if ignore_corrupt:
+        opts["ignoreCorruptFiles"] = "true"
     if Path(path).is_dir():
         if recursive:
             opts["recursiveFileLookup"] = "true"
         if glob:
             opts["pathGlobFilter"] = glob
-    df = reader.options(**opts).parquet(path)
+    try:
+        df = reader.options(**opts).parquet(path)
+    except Exception:
+        # ignoreCorruptFiles covers corrupt files at READ time, but a file
+        # too short to even attempt a footer parse fails schema INFERENCE.
+        # Quarantine fallback: infer from the first readable footer, then
+        # re-read the directory with the schema pinned.
+        if not (ignore_corrupt and schema is None):
+            raise
+        good = _first_readable_schema(spark, path, glob or "*.parquet")
+        df = reader.schema(good).options(**opts).parquet(path)
     for c in _ns_timestamp_cols(spark, df, path):
         # integer division keeps the µs value exact (ANSI-safe, JVM-side)
         df = df.withColumn(
             c, F.expr(f"cast(timestamp_micros(`{c}` div 1000) as timestamp_ntz)")
         )
     return df
+
+
+def _first_readable_schema(spark: SparkSession, path: str, glob: str) -> T.StructType:
+    """Schema of the first file whose parquet footer parses (pyarrow validity
+    probe, then Spark's own parquet->Catalyst mapping on that single file).
+    Driver-side listing — only reached on the corrupt+schemaless fallback."""
+    import pyarrow.parquet as pq
+
+    for f in sorted(Path(path).rglob(glob)):
+        try:
+            pq.read_metadata(f)
+        except Exception:
+            continue
+        return spark.read.parquet(str(f)).schema
+    raise CorruptSourceError(f"no readable parquet file under {path!r}")
+
+
+class CorruptSourceError(RuntimeError):
+    """Every candidate input file failed the footer probe."""
 
 
 def scan_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

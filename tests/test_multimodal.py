@@ -53,3 +53,14 @@ def test_frame_sample_plan(documents):
     )
     out = frame_sample(media, every_nth=10).first()
     assert list(out.sample_frames) == [0, 10, 20]
+
+
+def test_resize_fake_path(documents):
+    from cassandra_ttl_remover_spark.operators.multimodal import resize
+
+    media = documents_as_media(documents.limit(10))
+    out = resize(media, 16, 8, fake=True).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(bytes(r.payload)) == 16 * 8
+        assert r.meta.width == 16 and r.meta.height == 8

@@ -75,3 +75,30 @@ def test_annotated_schema_shape():
     assert {f.name for f in name_t.fields} == {
         "value", "writetime", "ttl", "expires_at", "deleted_ts"
     }
+
+
+def test_scan_ignore_corrupt_quarantine(spark, tmp_path):
+    """Corrupt-input quarantine (NoTTLReader.java:436-452 analog): with
+    ignore_corrupt the job skips the bad file; without, it fails."""
+    import pytest
+    from cassandra_ttl_remover_spark import scan
+
+    good = spark.range(0, 10).toDF("id")
+    good.coalesce(1).write.parquet(str(tmp_path / "data"))
+    (tmp_path / "data" / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+
+    ok = scan(spark, str(tmp_path / "data"), ignore_corrupt=True)
+    assert ok.count() == 10
+    with pytest.raises(Exception):
+        scan(spark, str(tmp_path / "data")).count()
+
+
+def test_scan_quarantine_short_file_inference_fallback(spark, tmp_path):
+    """A sub-footer-size file breaks Spark's schema inference even under
+    ignoreCorruptFiles; scan's fallback pins the schema from the first
+    readable footer."""
+    from cassandra_ttl_remover_spark import scan
+
+    spark.range(0, 5).toDF("id").coalesce(1).write.parquet(str(tmp_path / "d"))
+    (tmp_path / "d" / "tiny.parquet").write_bytes(b"garbage")
+    assert scan(spark, str(tmp_path / "d"), ignore_corrupt=True).count() == 5
