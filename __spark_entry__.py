@@ -41,7 +41,7 @@ from cassandra_ttl_remover_spark import (
     strip_ttl,
     write_sorted,
 )
-from cassandra_ttl_remover_spark.operators import dedup, similarity, text
+from cassandra_ttl_remover_spark.operators import curate, dedup, similarity, text
 from cassandra_ttl_remover_spark.operators.liveness import (
     ANNOTATE_EVENTS_SQL,
     DEFAULT_NOW,
@@ -444,6 +444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.fingerprint(scan_table(spark, sf, "documents"))
     q["q_n13_fingerprint"] = q_n13
 
+    def q_pipe(spark, sf):
+        # the full curation pipeline: quality -> lang -> exact dedup ->
+        # fuzzy dedup components -> curated corpus (stage order = cost order)
+        return curate.curate_corpus(spark, scan_table(spark, sf, "documents"))
+    q["q_pipe_curate"] = q_pipe
+
     # ---- MM: multimodal plumbing ----
     def q_mm1(spark, sf):
         media = documents_as_media(scan_table(spark, sf, "documents"))
@@ -644,6 +650,8 @@ def oracle_sql() -> dict[str, str]:
     o["q_n12_token_counts"] = text.token_counts_oracle_sql()
 
     o["q_n13_fingerprint"] = text.fingerprint_oracle_sql()
+
+    o["q_pipe_curate"] = curate.curate_corpus_oracle_sql()
 
     o["q_mm1_media_metadata"] = """
         SELECT doc_id AS media_id,

@@ -36,7 +36,7 @@ def main() -> int:
         strip_ttl,
         write_sorted,
     )
-    from cassandra_ttl_remover_spark.operators import dedup, similarity, text
+    from cassandra_ttl_remover_spark.operators import curate, dedup, similarity, text
 
     spark = get_spark("ctrs-bench")
     spark.range(1).count()  # session warm-up (JVM + context), not query warm-up
@@ -109,6 +109,9 @@ def main() -> int:
     def q_text_quality():
         text.quality_score(documents).agg(F.avg("quality")).collect()
 
+    def q_curate_pipeline():
+        curate.curate_corpus(spark, documents).count()
+
     queries = {
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
@@ -120,6 +123,7 @@ def main() -> int:
         "simhash_neardup": q_simhash_neardup,
         "topk_similarity": q_topk_similarity,
         "text_quality": q_text_quality,
+        "curate_pipeline": q_curate_pipeline,
     }
 
     timings: dict[str, float] = {}

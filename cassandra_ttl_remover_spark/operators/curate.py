@@ -1,0 +1,104 @@
+"""Corpus curation — the north-star operators composed into the pipeline a
+100 TB training-data corpus actually runs (SURVEY.md §2.2 additions, end to
+end): quality filter -> language filter -> exact dedup -> fuzzy dedup
+(near-dup components) -> curated corpus.
+
+Stage economics at scale (why the order matters):
+  1. quality + lang-id are per-row projections / one broadcast-join groupBy —
+     the cheapest stages run first and shrink the corpus before anything
+     shuffles document content;
+  2. exact dedup shuffles 16-byte digests of the survivors only;
+  3. fuzzy dedup (shingle inverted index + components) — the most expensive
+     stage — sees only the quality-filtered, exactly-deduped remainder, and
+     its hot-bucket hazard is largely removed because identical content is
+     already gone (operators/dedup.py max_bucket note).
+
+Every stage is deterministic and SQL-expressible, so the whole pipeline is
+checked against a composed DuckDB oracle (q_pipe_curate) — including the
+recursive-CTE connected-components step.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_ttl_remover_spark.operators import dedup, text
+
+
+def curate_corpus(spark: SparkSession, docs: DataFrame, *,
+                  min_quality: float = 0.5,
+                  langs: tuple[str, ...] = ("en",),
+                  jaccard_threshold: float = 0.5,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The curated corpus: documents that pass quality and language gates,
+    survive exact dedup (min-id representative per content hash), and are
+    their near-dup component's representative.
+
+    Returns ``(id_col, pred_lang, quality)`` for every kept document."""
+    q = text.quality_score(docs, text_col, id_col).select(id_col, "quality")
+    lg = text.lang_id(spark, docs, text_col, id_col).select(id_col, "pred_lang")
+    keep0 = (
+        docs.select(id_col, text_col)
+        .join(q, id_col)
+        .join(lg, id_col)
+        .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs))
+    )
+    ex = dedup.exact_dedup(keep0, text_col, id_col)
+    # Stage boundary: materialize the exact-deduped survivors once.
+    # Downstream consumes keep1 from several branches (the shingle
+    # inverted-index join alone reads it twice); without materialization
+    # the quality/lang joins re-execute per branch. At 100 TB this boundary
+    # is a write to storage between pipeline stages; locally
+    # localCheckpoint gives the same cut with lineage truncation.
+    keep1 = keep0.join(
+        ex.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    ).localCheckpoint(eager=False)
+    pairs = dedup.ngram_jaccard_pairs(
+        keep1, jaccard_threshold, text_col, id_col
+    ).select("a", "b")
+    decisions = dedup.neardup_dedup(keep1.select(id_col), pairs, id_col)
+    kept = keep1.join(
+        decisions.filter("is_kept").select(id_col), id_col, "left_semi"
+    )
+    return kept.select(id_col, "pred_lang", "quality")
+
+
+def curate_corpus_oracle_sql(*, min_quality: float = 0.5,
+                             langs: tuple[str, ...] = ("en",),
+                             jaccard_threshold: float = 0.5,
+                             table: str = "documents",
+                             id_col: str = "doc_id") -> str:
+    """Composed DuckDB oracle for curate_corpus: the per-stage oracle
+    fragments chained through CTEs, components via a recursive CTE."""
+    langs_sql = ", ".join(f"'{lang}'" for lang in langs)
+    quality_sql = text.quality_oracle_sql(table, id_col)
+    lang_sql = text.lang_id_oracle_sql(table, id_col)
+    pairs_sql = dedup.ngram_jaccard_oracle_sql(
+        threshold=jaccard_threshold, table="keep1", id_col=id_col
+    )
+    return f"""
+WITH RECURSIVE
+qual AS (SELECT {id_col}, quality FROM ({quality_sql})),
+lang AS (SELECT {id_col}, pred_lang FROM ({lang_sql})),
+keep0 AS (
+  SELECT d.{id_col}, d.text, lang.pred_lang, qual.quality
+  FROM {table} d JOIN qual USING ({id_col}) JOIN lang USING ({id_col})
+  WHERE qual.quality >= {min_quality} AND lang.pred_lang IN ({langs_sql})
+),
+ex AS (SELECT min({id_col}) AS keep_id FROM keep0 GROUP BY md5(text)),
+keep1 AS (SELECT k.* FROM keep0 k JOIN ex ON k.{id_col} = ex.keep_id),
+pairs AS (SELECT a, b FROM ({pairs_sql})),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT {id_col}, {id_col} FROM keep1
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT k.{id_col}, k.pred_lang, k.quality
+FROM keep1 k JOIN comp ON comp.node = k.{id_col}
+WHERE comp.component = k.{id_col}
+ORDER BY k.{id_col}
+"""

@@ -271,7 +271,7 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).dropDuplicates(["a", "b"]).localCheckpoint(eager=False)
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nb = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
@@ -286,8 +286,16 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                     F.col("l.label"), F.coalesce(F.col("n.nb_label"), F.col("l.label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below is the materializing action,
+            # so each round runs ONE job, and later rounds read the blocks
+            .localCheckpoint(eager=False)
         )
+        if it == 0:
+            # round 0 always changes labels on any non-empty edge set —
+            # skip the convergence job, force materialization via count()
+            new.count()
+            labels = new
+            continue
         changed = (
             new.alias("x")
             .join(labels.alias("y"), F.col("x.node") == F.col("y.node"))
