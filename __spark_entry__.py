@@ -51,6 +51,8 @@ from cassandra_ttl_remover_spark.operators.lookups import (
     first_key_beyond,
     named_columns,
     point_lookup,
+    portable_token_filter,
+    portable_token_oracle_expr,
     range_scan,
     token_filter,
 )
@@ -146,6 +148,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "user_id", "event_type"
         )
     q["q_s3b_token_range"] = q_s3b
+
+    def q_s3c(spark, sf):
+        # token-range scan with the engine-portable md5 token — the
+        # oracle-checkable form of q_s3b's semantics (incl. wrap-around span)
+        hi = 1 << 59
+        return portable_token_filter(
+            _events(spark, sf), "event_id", (1 << 60) - (1 << 58), hi
+        ).select("event_id", "user_id", "event_type")
+    q["q_s3c_portable_token_range"] = q_s3c
 
     def q_s4(spark, sf):
         li = scan_table(spark, sf, "lineitem")
@@ -296,6 +307,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return scan(spark, out).select("event_id", "user_id", "writetime", "ttl", "expires_at")
     q["q_w1_sorted_write_roundtrip"] = q_w1
+
+    def q_p2(spark, sf):
+        # grouping-set breadth: CUBE over return flag x line status
+        li = scan_table(spark, sf, "lineitem")
+        return (
+            li.cube("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.expr(
+                    "cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+                ).alias("sum_qty"),
+            )
+        )
+    q["q_p2_cube_rollup"] = q_p2
 
     # ---- flagship pricing rollup (TPC-H Q1 shape, decimal-exact) ----
     def q_p1(spark, sf):
@@ -495,6 +520,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
         FROM events WHERE user_id BETWEEN 10 AND 19 ORDER BY event_id"""
 
+    _ptok = portable_token_oracle_expr("event_id")
+    o["q_s3c_portable_token_range"] = f"""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE {_ptok} >= {(1 << 60) - (1 << 58)} OR {_ptok} <= {1 << 59}
+        ORDER BY event_id"""
+
     o["q_s4_point_lookup"] = """
         SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
                l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
@@ -590,6 +621,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, writetime,
                CAST(NULL AS BIGINT) AS ttl, CAST(NULL AS BIGINT) AS expires_at
         FROM a ORDER BY event_id"""
+
+    o["q_p2_cube_rollup"] = """
+        SELECT l_returnflag, l_linestatus,
+               count(*)::BIGINT AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus"""
 
     o["q_p1_pricing_rollup"] = f"""
         SELECT l_returnflag, l_linestatus,

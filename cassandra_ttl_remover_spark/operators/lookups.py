@@ -64,3 +64,36 @@ def token_filter(df: DataFrame, key: str, lo_token: int, hi_token: int,
     else:
         cond = (tok >= F.lit(lo_token)) | (tok <= F.lit(hi_token))
     return df.filter(cond)
+
+
+#: 60-bit engine-portable token: md5 of the key's string form, first 15 hex
+#: nibbles folded into a bigint — identical arithmetic is expressible in any
+#: engine with md5 + string ops, so token-range scans become oracle-checkable
+#: (Murmur3 parity is impossible across engines; the SEMANTICS — a
+#: deterministic hash-range restriction — is what this verifies).
+PORTABLE_TOKEN_EXPR = (
+    "aggregate(sequence(1, 15), 0L, (a, j) -> a * 16 + "
+    "cast(instr('0123456789abcdef', substring(md5(cast({col} as string)), j, 1)) - 1 as bigint))"
+)
+
+
+def portable_token_oracle_expr(col: str) -> str:
+    """DuckDB expression computing the identical 60-bit md5 token."""
+    return (
+        "list_sum(list_transform(range(1, 16), j -> "
+        f"(strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), j, 1)) - 1)"
+        " * (1::BIGINT << ((15 - j) * 4))))::BIGINT"
+    )
+
+
+def portable_token_filter(df: DataFrame, key: str, lo_token: int,
+                          hi_token: int) -> DataFrame:
+    """S3 variant with the portable token — same range/wrap-around semantics
+    as token_filter, hash-matchable against the DuckDB oracle. Token domain
+    is [0, 2^60)."""
+    tok = F.expr(PORTABLE_TOKEN_EXPR.format(col=key))
+    if lo_token <= hi_token:
+        cond: Column = tok.between(F.lit(lo_token), F.lit(hi_token))
+    else:
+        cond = (tok >= F.lit(lo_token)) | (tok <= F.lit(hi_token))
+    return df.filter(cond)

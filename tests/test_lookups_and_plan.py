@@ -79,3 +79,16 @@ def test_whole_stage_codegen_in_strip(spark):
     plan = _plan(strip_ttl(annotate_events(ev)))
     assert "*(" in plan, "strip must stay in whole-stage codegen (no UDF)"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_portable_token_filter_partitions_space(spark, events):
+    """The portable-token spans [0,m] and (m,max] must partition the table,
+    and wrap-around must select the complement."""
+    from cassandra_ttl_remover_spark.operators.lookups import portable_token_filter
+
+    mid, top = 1 << 59, (1 << 60) - 1
+    lo = portable_token_filter(events, "event_id", 0, mid).count()
+    hi = portable_token_filter(events, "event_id", mid + 1, top).count()
+    assert lo + hi == events.count()
+    wrap = portable_token_filter(events, "event_id", mid + 1, mid).count()
+    assert wrap == events.count(), "full wrap-around selects everything"
