@@ -34,8 +34,16 @@ from cassandra_ttl_remover_spark.operators.liveness import (
     live_view_cells,
 )
 from cassandra_ttl_remover_spark.sinks.writer import write_sorted
+from cassandra_ttl_remover_spark.operators.curate import curate_corpus
+from cassandra_ttl_remover_spark.plans import fan_out, salted_agg, skew_distinct_count
+from cassandra_ttl_remover_spark import catalog
 
 __all__ = [
+    "catalog",
+    "curate_corpus",
+    "fan_out",
+    "salted_agg",
+    "skew_distinct_count",
     "get_spark",
     "configure_builder",
     "cql_to_struct_type",

@@ -65,6 +65,15 @@ def expiring_counts(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def stream_dedup(events: DataFrame, keys: list[str], ts_col: str = "ts",
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark window (dropDuplicatesWithinWatermark — state is purged once
+    the watermark passes, so memory stays bounded on an unbounded stream;
+    the streaming counterpart of operators/dedup.exact_dedup)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def track_ttl_state(events: DataFrame, key_col: str = "user_id",
                     ts_col: str = "ts", ttl_seconds: int = 1800,
                     watermark: str = "1 hour") -> DataFrame:

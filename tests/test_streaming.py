@@ -73,3 +73,35 @@ def test_stateful_ttl_tracking(spark, events):
         assert snapshots == expected
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark path: duplicates in one batch collapse;
+    state stays bounded by the watermark."""
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import stream_dedup
+
+    work = Path(tempfile.mkdtemp(prefix="ctrs_sdedup_"))
+    src, ckpt = work / "src", work / "ckpt"
+    try:
+        rows = [(i % 50, i % 7) for i in range(400)]  # heavy duplication
+        df = spark.createDataFrame(rows, "user_id bigint, v bigint").withColumn(
+            "ts", F.expr("timestamp_micros(1706000000000000 + user_id * 1000)")
+        )
+        df.coalesce(1).write.parquet(str(src))
+
+        stream = read_events_stream(
+            spark, str(src), schema="user_id bigint, v bigint, ts timestamp"
+        )
+        deduped = stream_dedup(stream, ["user_id", "v"], ts_col="ts")
+        (
+            deduped.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", str(ckpt))
+            .format("memory").queryName("sdedup")
+            .start().awaitTermination()
+        )
+        got = spark.table("sdedup")
+        expected = spark.read.parquet(str(src)).dropDuplicates(["user_id", "v"]).count()
+        assert got.count() == expected
+        assert got.groupBy("user_id", "v").count().filter("count > 1").count() == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
