@@ -42,6 +42,7 @@ from cassandra_ttl_remover_spark import (
     write_sorted,
 )
 from cassandra_ttl_remover_spark.operators import curate, dedup, similarity, text
+from cassandra_ttl_remover_spark.operators.asof import asof_join
 from cassandra_ttl_remover_spark.operators.liveness import (
     ANNOTATE_EVENTS_SQL,
     DEFAULT_NOW,
@@ -376,6 +377,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_j2_shuffle_join_rollup"] = q_j2
 
+    def q_aj(spark, sf):
+        # as-of join: each event picks up the value of the user's latest
+        # 'click' at-or-before its timestamp (DuckDB ASOF JOIN oracle)
+        ev = _events(spark, sf).select(
+            "event_id", "user_id",
+            F.expr(_US.format(c="ts")).alias("ts_us"),
+            "event_type", "value",
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts_us")
+            .agg(F.max("value").alias("click_value"))  # unique per (key, ts)
+            .withColumnRenamed("ts_us", "ts")
+        )
+        left = ev.select("event_id", "user_id", F.col("ts_us").alias("ts"))
+        out = asof_join(left, clicks, key="user_id", ts="ts")
+        return out.select("event_id", "user_id", F.col("ts").alias("ts_us"), "click_value")
+    q["q_aj_asof_join"] = q_aj
+
     # ---- N: north-star — dedup ----
     def q_n1(spark, sf):
         return dedup.exact_dedup_last_writer(
@@ -655,6 +675,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    o["q_aj_asof_join"] = """
+        WITH ev AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+          FROM events
+        ),
+        clicks AS (
+          SELECT user_id, ts_us AS cts, max(value) AS click_value
+          FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us
+        )
+        SELECT e.event_id, e.user_id, e.ts_us, c.click_value
+        FROM ev e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ts_us >= c.cts
+        ORDER BY e.event_id"""
 
     o["q_n1_dedup_last_writer"] = f"""
         WITH a AS ({ann})
