@@ -77,6 +77,17 @@ REFERENCE_CQL = (
 
 _US = "unix_micros(cast({c} as timestamp))"
 
+#: Dialect-neutral SQL executed VERBATIM by both Spark SQL and DuckDB —
+#: the engine's SQL surface is oracle-checked with zero translation.
+SHARED_SQL = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_table(spark, sf_dir, "events")
@@ -341,6 +352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["q_p1_pricing_rollup"] = q_p1
+
+    def q_sql(spark, sf):
+        # the SQL API surface: the SAME SQL text DuckDB runs as the oracle
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["customer", "nation"])
+        return spark.sql(SHARED_SQL)
+    q["q_sql_parity"] = q_sql
 
     # ---- J: joins (broadcast + shuffle — absent from the reference,
     # free from Spark SQL; declared so the judge sees the strategy) ----
@@ -661,6 +679,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE epoch_us(l_shipdate) <= {NOW}000000
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""
+
+    o["q_sql_parity"] = SHARED_SQL
 
     o["q_j1_broadcast_join_rollup"] = """
         SELECT c_mktsegment,

@@ -68,3 +68,22 @@ def write_sorted(
     if bloom_filter:
         writer = writer.option(f"parquet.bloom.filter.enabled#{pk}", "true")
     writer.parquet(out)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   num_buckets: int = 32,
+                   sort_cols: list[str] | None = None) -> None:
+    """Bucketed catalog table: rows hash-partitioned into ``num_buckets``
+    files by ``key`` and sorted within each bucket — the co-located-join
+    layout. Two tables bucketed on the same key with the same bucket count
+    join with NO shuffle on either side (the exchange is pre-paid once at
+    write time), which is the decisive layout when a 100 TB fact table is
+    joined repeatedly on the same key. tests/test_plans.py asserts the
+    exchange-free join plan."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(*(sort_cols or [key]))
+        .format("parquet")
+        .saveAsTable(table)
+    )

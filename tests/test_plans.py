@@ -117,3 +117,28 @@ def test_salted_agg_rejects_non_algebraic(spark):
     df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
     with pytest.raises(ValueError):
         salted_agg(df, ["k"], {"x": ("avg", "v")})
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed on the join key must join without an exchange on
+    either side (the co-located-join layout write_bucketed exists for)."""
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.plans import exchange_count
+    from cassandra_ttl_remover_spark.sinks.writer import write_bucketed
+    from tests.conftest import SF_DIR
+
+    li = scan_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    od = scan_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "b_lineitem", "l_orderkey", num_buckets=8)
+    write_bucketed(od, "b_orders", "o_orderkey", num_buckets=8)
+    try:
+        j = (
+            spark.table("b_lineitem").hint("merge")
+            .join(spark.table("b_orders").hint("merge"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+        )
+        assert exchange_count(j) == 0, "bucketed-bucketed join must not shuffle"
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
