@@ -23,6 +23,7 @@ Spark's µs TimestampType cannot ingest directly) by reading them as longs
 from __future__ import annotations
 
 import os
+import warnings
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -47,24 +48,72 @@ def discover_data_files(root: str | os.PathLike, suffix: str = ".parquet") -> li
     return sorted(q for q in p.rglob(f"*{suffix}") if q.is_file())
 
 
-def _ns_timestamp_cols(spark: SparkSession, df: DataFrame, path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) that Spark surfaced as
-    LongType under nanosAsLong. Footer-only sniff via pyarrow (cheap,
-    driver-side planning metadata — not data movement)."""
-    try:
-        import pyarrow.dataset as pads
-        import pyarrow as pa
+#: Runtime-settable SQL conf that lets Spark (µs TimestampType) ingest parquet
+#: TIMESTAMP(NANOS) columns as raw longs; the scan layer converts them back.
+_NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
-        sch = pads.dataset(path, format="parquet").schema
-        out = []
-        for f in sch:
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
-                sf = df.schema[f.name] if f.name in df.columns else None
-                if sf is not None and isinstance(sf.dataType, T.LongType):
-                    out.append(f.name)
-        return out
-    except Exception:
-        return []
+
+def _probe_ns_timestamp_cols(
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = True,
+    best_effort: bool = False,
+    max_files: int = 8,
+) -> list[str]:
+    """Names of parquet TIMESTAMP(NANOS) columns in the footer(s) at ``path``,
+    honoring the same ``glob``/``recursive`` selection the scan will use.
+
+    Footer-only sniff via pyarrow: cheap driver-side planning metadata, not
+    data movement. Capped at ``max_files`` footers — a scan's files share a
+    schema (Spark itself unifies from a subset unless mergeSchema), so a
+    bounded sample is sufficient and keeps the probe O(1) on a 100 TB,
+    million-file source. Probe failures are LOUD by default — silently
+    skipping normalization would hand downstream queries raw nanosecond longs
+    in place of timestamps (the round-1 failure mode). ``best_effort=True``
+    (used with ``ignore_corrupt``) degrades to a warning, matching the
+    reference's mark-suspect-and-continue stance (NoTTLReader.java:436-452).
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = Path(path)
+        if p.is_dir():
+            pattern = glob or "*.parquet"
+            it = p.rglob(pattern) if recursive else p.glob(pattern)
+            files: list[Path] = []
+            for q in sorted(it):
+                if q.is_file():
+                    files.append(q)
+                    if len(files) >= max_files:
+                        break
+        else:
+            files = [p]
+        out: set[str] = set()
+        for f in files:
+            for field in pq.read_schema(f):
+                if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+                    out.add(field.name)
+        return sorted(out)
+    except Exception as exc:
+        if best_effort:
+            warnings.warn(
+                f"parquet footer probe failed for {path!r} ({exc!r}); "
+                "TIMESTAMP(NANOS) normalization skipped",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            return []
+        raise ScanProbeError(
+            f"cannot probe parquet footers under {path!r} for TIMESTAMP(NANOS) "
+            f"columns: {exc}"
+        ) from exc
+
+
+class ScanProbeError(RuntimeError):
+    """The pyarrow footer probe failed; ns-timestamp normalization would be
+    silently wrong, so the scan refuses to proceed."""
 
 
 def scan(
@@ -89,6 +138,15 @@ def scan(
     Scale: listing, footer pruning and row-group skipping are Spark-native;
     the ns->µs conversion is a codegen'd projection (no extra pass).
     """
+    # Self-sufficiency: the session may not be engine-built (the driver's
+    # oracle harness constructs its own). nanosAsLong is a runtime-settable
+    # SQL conf; without it a TIMESTAMP(NANOS) read throws PARQUET_TYPE_ILLEGAL
+    # before any operator runs. Harmless for non-ns sources.
+    ns_cols = _probe_ns_timestamp_cols(
+        path, glob=glob, recursive=recursive, best_effort=ignore_corrupt
+    )
+    if ns_cols:
+        spark.conf.set(_NANOS_AS_LONG, "true")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -111,11 +169,14 @@ def scan(
             raise
         good = _first_readable_schema(spark, path, glob or "*.parquet")
         df = reader.schema(good).options(**opts).parquet(path)
-    for c in _ns_timestamp_cols(spark, df, path):
-        # integer division keeps the µs value exact (ANSI-safe, JVM-side)
-        df = df.withColumn(
-            c, F.expr(f"cast(timestamp_micros(`{c}` div 1000) as timestamp_ntz)")
-        )
+    for c in ns_cols:
+        # only normalize what actually surfaced as a raw long (a caller-pinned
+        # schema may already map the column differently)
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            # integer division keeps the µs value exact (ANSI-safe, JVM-side)
+            df = df.withColumn(
+                c, F.expr(f"cast(timestamp_micros(`{c}` div 1000) as timestamp_ntz)")
+            )
     return df
 
 

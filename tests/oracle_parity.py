@@ -66,9 +66,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     import __spark_entry__ as entry_mod
-    from cassandra_ttl_remover_spark import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("oracle-parity")
+    # deliberately VANILLA (no ENGINE_CONF): the driver's harness builds its
+    # own session, so the engine must be self-sufficient — round 1 failed
+    # exactly because this replica used get_spark() and hid the gap
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-parity")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
     con = duck_connection(sf_dir)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
