@@ -30,20 +30,39 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, *,
                   min_quality: float = 0.5,
                   langs: tuple[str, ...] = ("en",),
                   jaccard_threshold: float = 0.5,
+                  max_df: int | None = 1000,
+                  use_lsh: bool = False,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """The curated corpus: documents that pass quality and language gates,
     survive exact dedup (min-id representative per content hash), and are
     their near-dup component's representative.
 
+    ``max_df`` caps the shingle document frequency in the fuzzy-dedup stage
+    (stop-shingle removal — dedup.ngram_jaccard_pairs): without it one hot
+    boilerplate shingle makes the candidate expansion quadratic in its df,
+    which is exactly what a real corpus contains. The DuckDB oracle applies
+    the identical cap, so the pipeline stays hash-checkable.
+
+    ``use_lsh=True`` swaps the candidate generator for MinHash-LSH
+    (dedup.minhash_lsh_pairs — banded, bucket-capped): the 100 TB path when
+    even capped exact Jaccard is too expensive. Its candidate set is
+    engine-specific (xxhash64), so it is recall-validated (q_n9), not
+    hash-matched; leave False for the declared oracle query.
+
     Returns ``(id_col, pred_lang, quality)`` for every kept document."""
-    q = text.quality_score(docs, text_col, id_col).select(id_col, "quality")
-    lg = text.lang_id(spark, docs, text_col, id_col).select(id_col, "pred_lang")
-    keep0 = (
-        docs.select(id_col, text_col)
-        .join(q, id_col)
-        .join(lg, id_col)
-        .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs))
+    # both gates are pure per-row projections, so they CHAIN (quality keeps
+    # text; lang_id keeps text+quality) — zero joins, zero shuffles before
+    # the first dedup aggregation, one codegen'd scan of the corpus
+    scored = text.lang_id(
+        spark,
+        text.quality_score(docs, text_col, id_col, keep_cols=[text_col]),
+        text_col,
+        id_col,
+        keep_cols=[text_col, "quality"],
+    )
+    keep0 = scored.select(id_col, text_col, "pred_lang", "quality").filter(
+        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs)
     )
     ex = dedup.exact_dedup(keep0, text_col, id_col)
     # Stage boundary: materialize the exact-deduped survivors once.
@@ -55,9 +74,14 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, *,
     keep1 = keep0.join(
         ex.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
     ).localCheckpoint(eager=False)
-    pairs = dedup.ngram_jaccard_pairs(
-        keep1, jaccard_threshold, text_col, id_col
-    ).select("a", "b")
+    if use_lsh:
+        pairs = dedup.minhash_lsh_pairs(
+            keep1, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
+        ).select("a", "b")
+    else:
+        pairs = dedup.ngram_jaccard_pairs(
+            keep1, jaccard_threshold, text_col, id_col, max_df=max_df
+        ).select("a", "b")
     decisions = dedup.neardup_dedup(keep1.select(id_col), pairs, id_col)
     kept = keep1.join(
         decisions.filter("is_kept").select(id_col), id_col, "left_semi"
@@ -68,15 +92,17 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, *,
 def curate_corpus_oracle_sql(*, min_quality: float = 0.5,
                              langs: tuple[str, ...] = ("en",),
                              jaccard_threshold: float = 0.5,
+                             max_df: int | None = 1000,
                              table: str = "documents",
                              id_col: str = "doc_id") -> str:
     """Composed DuckDB oracle for curate_corpus: the per-stage oracle
-    fragments chained through CTEs, components via a recursive CTE."""
+    fragments chained through CTEs, components via a recursive CTE. Applies
+    the same shingle df-cap as the Spark side."""
     langs_sql = ", ".join(f"'{lang}'" for lang in langs)
     quality_sql = text.quality_oracle_sql(table, id_col)
     lang_sql = text.lang_id_oracle_sql(table, id_col)
     pairs_sql = dedup.ngram_jaccard_oracle_sql(
-        threshold=jaccard_threshold, table="keep1", id_col=id_col
+        threshold=jaccard_threshold, table="keep1", id_col=id_col, max_df=max_df
     )
     return f"""
 WITH RECURSIVE

@@ -77,24 +77,58 @@ def shingle_frame(docs: DataFrame, text_col: str = "text",
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact Jaccard over 3-word shingle sets: pairs (a < b) with
-    |A∩B| / |A∪B| >= threshold. Inverted-index join (shingle -> docs), count
-    intersections, derive union from exact set sizes.
+#: per-shingle i<j id-pair expansion over a sorted member id list ``m``.
+_ID_PAIRS_EXPR = (
+    "flatten(transform(m, (x, i) -> "
+    "transform(slice(m, i + 2, size(m)), y -> struct(x as a, y as b))))"
+)
 
-    Scale: the join key is the shingle; document-frequency skew on hot
-    shingles is the known hazard — production path should df-cap (drop
-    shingles with df > K) or use minhash_lsh below. Exact integer counts ->
-    one IEEE division, so the oracle hash-matches."""
-    sh = shingle_frame(docs, text_col, id_col)
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_df: int | None = None) -> DataFrame:
+    """Exact Jaccard over 3-word shingle sets: pairs (a < b) with
+    |A∩B| / |A∪B| >= threshold. Inverted index (shingle -> member id list),
+    per-shingle i<j pair expansion, count intersections, derive union from
+    exact set sizes.
+
+    ``max_df`` is the document-frequency cap: shingles appearing in more than
+    ``max_df`` documents (boilerplate headers, license text — guaranteed in
+    a real corpus) are treated as stop-shingles and removed BEFORE both the
+    pair expansion and the per-doc set sizes, so the semantics stay a
+    well-defined exact Jaccard over the capped shingle sets (and the DuckDB
+    oracle applies the identical cap — see ngram_jaccard_oracle_sql). Without
+    a cap a single hot shingle makes the pair expansion quadratic in its df;
+    with it, work per shingle is bounded by max_df²/2. ``None`` keeps the
+    uncapped exact semantics (small-n oracle surface only).
+
+    Scale: ONE shuffle keyed by the shingle for the pair expansion (groupBy
+    + collect_list — no self-join, so the upstream plan executes once), plus
+    the map-side-combined df/size aggregations. Exact integer counts -> one
+    IEEE division, so the oracle hash-matches."""
+    # materialize the exploded shingles ONCE (lazy checkpoint): the hot-set
+    # aggregate, the anti-join probe side, and the sizes/members branches all
+    # read the same blocks instead of re-running the explode pipeline
+    sh = shingle_frame(docs, text_col, id_col).localCheckpoint(eager=False)
+    if max_df is not None:
+        # hot-shingle set is small by construction (few shingles exceed the
+        # cap); the map-side-combined count never materializes a hot group,
+        # and AQE broadcasts the anti-join's tiny right side
+        hot = (
+            sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "sh")
-    b = sh.select(F.col(id_col).alias("b"), "sh")
+    members = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        members.select(F.explode(F.expr(_ID_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
@@ -112,17 +146,26 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def ngram_jaccard_oracle_sql(threshold: float = 0.5, table: str = "documents",
-                             id_col: str = "doc_id", where: str = "TRUE") -> str:
+                             id_col: str = "doc_id", where: str = "TRUE",
+                             max_df: int | None = None) -> str:
     ws = "[w for w in string_split(text, ' ') if w <> '']"
     sh_list = (
         f"CASE WHEN len({ws}) >= 3 THEN list_distinct(list_transform("
         f"range(1, len({ws}) - 1), i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]))"
         f" ELSE [] END"
     )
+    # identical df-cap semantics to ngram_jaccard_pairs: stop-shingles removed
+    # before both pair expansion and set sizes
+    cap = (
+        f"WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {max_df})"
+        if max_df is not None
+        else ""
+    )
     return f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT {id_col}, unnest({sh_list}) AS s FROM {table} WHERE {where}
 ),
+sh AS (SELECT * FROM sh0 {cap}),
 sizes AS (SELECT {id_col}, count(*) AS sz FROM sh GROUP BY {id_col}),
 inter AS (
   SELECT x.{id_col} AS a, y.{id_col} AS b, count(*) AS inter
@@ -257,10 +300,19 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     every node starts labeled with itself; each round a node adopts the
     minimum label among itself and its neighbors; converged when no label
     changes. Rounds needed = graph diameter — near-dup clusters are shallow
-    (a handful of hops), so this terminates in a few rounds.
+    (a handful of hops), so this terminates in a few rounds. If ``max_iter``
+    is exhausted before convergence the labels may be WRONG (split
+    components), so that case raises rather than silently returning.
 
-    Scale: each round is one broadcast-or-shuffle join on the (tiny relative
-    to the corpus) edge set + a groupBy on node — no driver-side graph.
+    Scale: the iteration runs over edge-INCIDENT nodes only — at 100 TB the
+    near-dup graph touches a small fraction of the corpus, and shuffling a
+    billion singleton labels through every round would dominate the job;
+    singletons are unioned back (label = self) at the end without ever
+    entering the loop. Each round is then one join on the (tiny) edge set +
+    a groupBy on node — no driver-side graph. Convergence detection rides on
+    monotonicity: labels only ever decrease, so the decimal-summed label
+    total strictly decreases iff any label changed — ONE map-side-combined
+    aggregate per round instead of an old-vs-new shuffle join.
     ``localCheckpoint`` truncates the growing lineage per round, keeping the
     plan O(1) instead of O(iterations) (the classic iterative-Spark pitfall).
 
@@ -270,7 +322,20 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).dropDuplicates(["a", "b"]).localCheckpoint(eager=False)
-    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # only nodes that appear in an edge can ever change label (sym is
+    # symmetric, so column "a" covers both endpoints)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    if sym.isEmpty():
+        return ids.select(
+            F.col(id_col), F.col(id_col).alias("component")
+        )
+    # decimal(38,0) keeps the total exact far beyond 100 TB node counts
+    # (int64 sums would overflow at ~1e6 nodes with 1e12-scale ids)
+    total = None
     for it in range(max_iter):
         nb = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -286,26 +351,34 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
                     F.col("l.label"), F.coalesce(F.col("n.nb_label"), F.col("l.label"))
                 ).alias("label"),
             )
-            # lazy: the convergence count below is the materializing action,
-            # so each round runs ONE job, and later rounds read the blocks
+            # lazy: the convergence aggregate below is the materializing
+            # action, so each round runs ONE job, and later rounds read the
+            # checkpointed blocks
             .localCheckpoint(eager=False)
         )
-        if it == 0:
-            # round 0 always changes labels on any non-empty edge set —
-            # skip the convergence job, force materialization via count()
-            new.count()
-            labels = new
-            continue
-        changed = (
-            new.alias("x")
-            .join(labels.alias("y"), F.col("x.node") == F.col("y.node"))
-            .filter(F.col("x.label") != F.col("y.label"))
-            .count()
-        )
+        new_total = new.agg(
+            F.coalesce(
+                F.sum(F.col("label").cast("decimal(38,0)")), F.lit(0)
+            ).alias("t")
+        ).collect()[0]["t"]
         labels = new
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+        if total is not None and new_total == total:
+            # singletons (no incident edge) label themselves; the converged
+            # edge-incident labels override via the left join
+            return (
+                ids.select(F.col(id_col))
+                .join(labels, ids[id_col] == labels["node"], "left")
+                .select(
+                    F.col(id_col),
+                    F.coalesce(F.col("label"), F.col(id_col)).alias("component"),
+                )
+            )
+        total = new_total
+    raise RuntimeError(
+        f"connected_components did not converge in max_iter={max_iter} rounds; "
+        "labels would be wrong (components split). Raise max_iter — rounds "
+        "needed equals the near-dup graph diameter."
+    )
 
 
 def neardup_dedup(docs: DataFrame, pairs: DataFrame,

@@ -76,36 +76,42 @@ def stopword_frame(spark: SparkSession) -> DataFrame:
 
 
 def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """Predict language by stopword hits: explode words, broadcast-join the
-    stopword dim, count hits per (doc, lang), argmax with (hits desc,
-    priority asc) tie-break; zero hits -> 'und'.
+            id_col: str = "doc_id",
+            keep_cols: list[str] | None = None) -> DataFrame:
+    """Predict language by stopword hits per language profile, argmax with
+    (hits desc, priority asc) tie-break; zero hits -> 'und'.
 
-    Scale: the only shuffle is the groupBy on (doc, lang) with map-side
-    partial counts; the stopword dim is broadcast (map-side join).
-    """
-    words = with_words(fan_out(docs.select(id_col, text_col), id_col), text_col).select(
-        id_col, F.explode("ws").alias("w")
-    )
-    hits = (
-        words.join(broadcast(stopword_frame(spark)), words["w"] == F.col("word"))
-        .groupBy(id_col, "lang", "prio")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("prio").asc())
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("lang").alias("pred_lang"), "hits")
-    )
-    return (
-        docs.select(id_col)
-        .join(best, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+    Scale: ZERO shuffle — the stopword dim is tiny and literal, so the whole
+    classifier is a per-row higher-order-function projection (per-lang
+    ``size(filter(words, contains))`` counts + a sorted-struct argmax),
+    entirely inside whole-stage codegen. The earlier explode + broadcast-join
+    + groupBy + window formulation shuffled the exploded word list twice for
+    the same answer. ``spark`` is kept for signature stability (unused).
+
+    ``keep_cols`` passes input columns through, letting pipelines chain
+    scorers as stacked projections instead of re-joining on the id."""
+    ws = WORDS_EXPR.format(col=text_col)
+    cands = ", ".join(
+        "struct(-cast(size(filter({ws}, w -> array_contains({lit}, w))) as bigint)"
+        " as nh, {prio} as prio, '{lang}' as lang)".format(
+            ws=ws,
+            lit="array(" + ", ".join(f"'{w}'" for w in words) + ")",
+            prio=prio,
+            lang=lang,
         )
+        for lang, prio, words in LANG_PROFILES
+    )
+    # sort ascending by (-hits, prio): element 1 is the winner; filter keeps
+    # only langs with >0 hits so an all-miss doc yields an empty array ->
+    # try_element_at NULL -> ('und', 0) (element_at would throw under ANSI)
+    best = f"try_element_at(array_sort(filter(array({cands}), x -> x.nh < 0)), 1)"
+    keep = [c for c in (keep_cols or []) if c != id_col]
+    return fan_out(docs.select(id_col, text_col, *[c for c in keep if c != text_col]),
+                   id_col).select(
+        F.col(id_col),
+        F.expr(f"coalesce({best}.lang, 'und')").alias("pred_lang"),
+        F.expr(f"cast(coalesce(-{best}.nh, 0) as bigint)").alias("hits"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -145,17 +151,21 @@ ORDER BY d.{id_col}
 # ---------------------------------------------------------------------------
 
 def quality_score(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  keep_cols: list[str] | None = None) -> DataFrame:
     """Heuristic document quality: length, word stats, punctuation ratio,
     stopword ratio — combined into a [0,1]-ish score. All arithmetic is
     exact-int then IEEE double, so the oracle matches bit-for-bit.
-    Pure per-row projection: no shuffle, codegen'd."""
+    Pure per-row projection: no shuffle, codegen'd. ``keep_cols`` passes
+    input columns through for join-free pipeline chaining."""
     stop_all = sorted({w for _, _, ws in LANG_PROFILES for w in ws})
     stop_lit = "array(" + ", ".join(f"'{w}'" for w in stop_all) + ")"
     ws = WORDS_EXPR.format(col=text_col)
+    keep = [c for c in (keep_cols or []) if c != id_col]
     docs = fan_out(docs, id_col)
     return docs.select(
         id_col,
+        *[F.col(c) for c in keep],
         F.length(text_col).cast("long").alias("n_chars"),
         F.expr(f"cast(size({ws}) as bigint)").alias("n_words"),
         F.expr(

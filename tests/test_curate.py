@@ -24,3 +24,11 @@ def test_curate_stages_compose(spark, documents):
     assert (
         dedup.ngram_jaccard_pairs(surviving, threshold=0.5).count() == 0
     )
+
+
+def test_curate_lsh_path_runs_and_filters(spark, documents):
+    # the 100 TB candidate generator: same gates, MinHash-LSH fuzzy stage
+    kept = curate.curate_corpus(spark, documents, use_lsh=True)
+    n_total, n_kept = documents.count(), kept.count()
+    assert 0 < n_kept < n_total
+    assert kept.filter(F.col("quality") < 0.5).count() == 0

@@ -88,3 +88,35 @@ def test_connected_components_resolution(spark):
            for r in dedup.neardup_dedup(ids, pairs).collect()}
     assert got == {(0, 0, True), (1, 0, False), (2, 0, False),
                    (3, 3, True), (4, 3, False), (5, 5, True)}
+
+
+def test_jaccard_df_cap_drops_hot_shingles(spark):
+    # boilerplate header shared by every doc; distinct tails. With the cap
+    # the header shingles are stop-shingles, so no pair survives; uncapped,
+    # the shared header makes every pair similar.
+    header = "standard license header apache version two point zero applies here"
+    docs = spark.createDataFrame(
+        [(i, f"{header} unique tail number {i} content piece {i * 7}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.3).count()
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_df=3).count()
+    assert uncapped > 0 and capped == 0
+
+    # a cap above every shingle's df must be a no-op
+    loose = {(r.a, r.b, r.jaccard) for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_df=1000).collect()}
+    exact = {(r.a, r.b, r.jaccard) for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert loose == exact
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # a 5-node path graph has diameter 4: max_iter=2 cannot converge
+    import pytest as _pytest
+
+    ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(4)], "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, ids, max_iter=2)

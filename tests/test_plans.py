@@ -45,8 +45,12 @@ def test_groupby_agg_has_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 4, "map-side partial agg missing"
 
 
-def test_lang_id_broadcasts_stopword_dim(spark, documents):
-    assert has_broadcast_join(text.lang_id(spark, documents))
+def test_lang_id_is_zero_shuffle_projection(spark, documents):
+    # the literal stopword dim makes lang-id a pure per-row classifier:
+    # nothing to broadcast, nothing to shuffle (fan_out floor aside)
+    df = text.lang_id(spark, documents)
+    assert not has_broadcast_join(df)
+    assert exchange_count(df) <= 1  # only the fan_out repartition floor
 
 
 def test_exact_dedup_single_shuffle(spark, documents):
