@@ -206,13 +206,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_t1_strip_ttl"] = q_t1
 
     def q_t1b(spark, sf):
+        # the reference's e2e round-trip shape (Cassandra3TTLRemoverTest
+        # .java:120-186): expired rows invisible pre-strip, ALL rows visible
+        # post-strip, and write timestamps preserved verbatim. sum_writetime
+        # is computed over the STRIPPED frame but cross-checked by the oracle
+        # against the pre-strip annotation — a genuine preservation check —
+        # and n_wt_changed counts (id, writetime) rows the strip altered
+        # (spec says 0; computed engine-side via exceptAll).
         ann = _ann(spark, sf)
+        stripped = strip_ttl(ann)
         total = ann.agg(F.count("*").cast("long").alias("total"))
         pre = live_view(ann, NOW).agg(F.count("*").cast("long").alias("live_pre"))
-        post = live_view(strip_ttl(ann), NOW).agg(
+        post = live_view(stripped, NOW).agg(
             F.count("*").cast("long").alias("live_post")
         )
-        return total.crossJoin(pre).crossJoin(post)
+        # modular checksum keeps the sum in int64 (epoch-µs sums overflow)
+        wt = stripped.agg(
+            F.sum(F.col("writetime") % 1000000007).cast("long").alias("wt_checksum")
+        )
+        changed = (
+            stripped.select("event_id", "writetime")
+            .exceptAll(ann.select("event_id", "writetime"))
+            .agg(F.count("*").cast("long").alias("n_wt_changed"))
+        )
+        return total.crossJoin(pre).crossJoin(post).crossJoin(wt).crossJoin(changed)
     q["q_t1b_live_roundtrip"] = q_t1b
 
     def q_t2(spark, sf):
@@ -270,7 +287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_a1_exact_key_count"] = q_a1
 
     def q_a2(spark, sf):
-        # sketch values differ per engine -> verify the ±5% invariant instead
+        # sketch values differ per engine, so the row carries (a) the EXACT
+        # count, hash-checked against DuckDB's own exact count — this column
+        # can genuinely disagree — and (b) the ±5% sketch invariant boolean
+        # (oracle side emits TRUE; a bad sketch flips it false -> mismatch)
         li = scan_table(spark, sf, "lineitem")
         from cassandra_ttl_remover_spark.operators.counts import REFERENCE_HLL_RSD
         r = li.agg(
@@ -278,8 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.approx_count_distinct("l_orderkey", REFERENCE_HLL_RSD).alias("approx"),
         )
         return r.select(
+            F.col("exact").cast("long").alias("n_exact"),
             (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact"))
-            .alias("within_tol")
+            .alias("within_tol"),
         )
     q["q_a2_approx_distinct"] = q_a2
 
@@ -293,6 +314,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("gain_ratio")
         )
     q["q_a3_merge_gain"] = q_a3
+
+    def q_a3b(spark, sf):
+        # the REAL multi-source A3 (estimateCompactionGain —
+        # NoTTLReader.java:221-250): merged-HLL cardinality over several
+        # overlapping sources vs the sum of per-source cardinalities. The
+        # exact union/sum counts are hash-checked against DuckDB; the
+        # engine-specific HLL gain must sit within 10% of the exact gain
+        # (oracle emits TRUE — a drifting sketch flips the row red).
+        from cassandra_ttl_remover_spark.operators import counts
+
+        ev = _events(spark, sf)
+        s1 = ev.filter(F.col("user_id") % 3 != 0).select("user_id")
+        s2 = ev.filter(F.col("user_id") % 2 == 0).select("user_id")
+        approx_gain = counts.estimate_merge_gain([s1, s2], "user_id")
+        exact = (
+            s1.unionByName(s2)
+            .agg(F.countDistinct("user_id").cast("long").alias("union_exact"))
+            .crossJoin(s1.agg(F.countDistinct("user_id").cast("long").alias("n1")))
+            .crossJoin(s2.agg(F.countDistinct("user_id").cast("long").alias("n2")))
+        )
+        return exact.select(
+            "union_exact",
+            (F.col("n1") + F.col("n2")).cast("long").alias("sum_exact"),
+            (
+                F.abs(
+                    F.lit(approx_gain)
+                    - F.col("union_exact") / (F.col("n1") + F.col("n2"))
+                )
+                <= 0.10 * (F.col("union_exact") / (F.col("n1") + F.col("n2")))
+            ).alias("gain_within_tol"),
+        )
+    q["q_a3b_multi_source_merge_gain"] = q_a3b
 
     # ---- M1: DDL -> schema ----
     def q_m1(spark, sf):
@@ -464,9 +517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_n8b_ann_ivf"] = q_n8b
 
     def q_n9(spark, sf):
-        # MinHash-LSH validated by recall against exact Jaccard pairs:
-        # margin thresholds (cand est>=0.3 vs exact>=0.5) make the outcome
-        # deterministic-true (see dedup.minhash_lsh_pairs docstring)
+        # MinHash-LSH validated by recall against exact Jaccard pairs (margin
+        # thresholds: cand est>=0.3 vs exact>=0.5). n_exact is hash-checked
+        # against DuckDB's own exact-Jaccard pair count — a real cross-engine
+        # check — and recall_ok can flip false on an LSH regression (oracle
+        # emits TRUE).
         docs = scan_table(spark, sf, "documents")
         exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
         cand = dedup.minhash_lsh_pairs(
@@ -475,12 +530,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hit = exact.join(cand, ["a", "b"], "left_semi").agg(
             F.count("*").alias("n_hit")
         )
-        tot = exact.agg(F.count("*").alias("n_exact"))
+        tot = exact.agg(F.count("*").cast("long").alias("n_exact"))
         return tot.crossJoin(hit).select(
+            "n_exact",
             ((F.col("n_exact") == 0) | (F.col("n_hit") >= 0.8 * F.col("n_exact")))
-            .alias("recall_ok")
+            .alias("recall_ok"),
         )
     q["q_n9_minhash_recall"] = q_n9
+
+    def q_n6b(spark, sf):
+        # bucketed (multi-table RP-LSH) embedding near-dup — the 100 TB path
+        # for q_n6's exact self-join. Every emitted pair passes the SAME
+        # exact quantized predicate (precision 1 by construction); the row
+        # hash-checks the exact pair count against DuckDB and asserts >=80%
+        # recall of the LSH candidate generator. Fixture vectors are
+        # near-orthogonal, hence the low threshold + wide-recall params.
+        emb = scan_table(spark, sf, "embeddings")
+        thr = 0.4
+        exact = dedup.embedding_neardup_pairs(emb, threshold=thr).select("a", "b")
+        lsh = similarity.embedding_neardup_pairs_lsh(
+            emb, threshold=thr, tables=16, planes=4
+        ).select("a", "b")
+        hit = exact.join(lsh, ["a", "b"], "left_semi").agg(F.count("*").alias("n_hit"))
+        tot = exact.agg(F.count("*").cast("long").alias("n_exact"))
+        return tot.crossJoin(hit).select(
+            "n_exact",
+            ((F.col("n_exact") == 0) | (F.col("n_hit") >= 0.8 * F.col("n_exact")))
+            .alias("recall_ok"),
+        )
+    q["q_n6b_embedding_neardup_lsh"] = q_n6b
 
     def q_n14(spark, sf):
         # pairs -> connected components -> keep/drop: the end-to-end fuzzy
@@ -591,7 +669,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(*)::BIGINT AS total,
                (SELECT count(*) FROM a
                 WHERE expires_at IS NULL OR expires_at > {NOW})::BIGINT AS live_pre,
-               count(*)::BIGINT AS live_post
+               count(*)::BIGINT AS live_post,
+               sum(writetime % 1000000007)::BIGINT AS wt_checksum,
+               0::BIGINT AS n_wt_changed
         FROM a"""
 
     o["q_t2_cell_kind"] = f"""
@@ -640,7 +720,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(DISTINCT l_orderkey)::BIGINT AS n_keys FROM lineitem"
     )
 
-    o["q_a2_approx_distinct"] = "SELECT TRUE AS within_tol"
+    o["q_a2_approx_distinct"] = (
+        "SELECT count(DISTINCT l_orderkey)::BIGINT AS n_exact,"
+        " TRUE AS within_tol FROM lineitem"
+    )
+
+    o["q_a3b_multi_source_merge_gain"] = """
+        WITH s1 AS (SELECT user_id FROM events WHERE user_id % 3 <> 0),
+             s2 AS (SELECT user_id FROM events WHERE user_id % 2 = 0)
+        SELECT (SELECT count(DISTINCT user_id)
+                FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2))::BIGINT
+                 AS union_exact,
+               ((SELECT count(DISTINCT user_id) FROM s1)
+                + (SELECT count(DISTINCT user_id) FROM s2))::BIGINT AS sum_exact,
+               TRUE AS gain_within_tol"""
 
     o["q_a3_merge_gain"] = """
         SELECT CAST(count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS DOUBLE)
@@ -730,7 +823,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_n7_topk_similarity"] = similarity.topk_dot_oracle_sql(query_id=0, k=10)
 
-    o["q_n9_minhash_recall"] = "SELECT TRUE AS recall_ok"
+    o["q_n9_minhash_recall"] = (
+        "SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok FROM "
+        f"({dedup.ngram_jaccard_oracle_sql(threshold=0.5)})"
+    )
+
+    o["q_n6b_embedding_neardup_lsh"] = (
+        "SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok FROM "
+        f"({dedup.embedding_neardup_oracle_sql(threshold=0.4)})"
+    )
 
     o["q_n14_neardup_components"] = dedup.connected_components_oracle_sql(
         f"SELECT a, b FROM ({dedup.ngram_jaccard_oracle_sql(threshold=0.5)})"

@@ -11,8 +11,8 @@ Spark-first: these are *declarative* — a filter/projection whose pushdown to
 parquet row-group stats / bloom filters / column chunks is Catalyst's job.
 The functions below are thin, typed wrappers that (a) document the mapping,
 (b) give the engine a stable API surface, and (c) are verified for pushdown
-in tests (tests/test_pushdown.py asserts PushedFilters / ReadSchema in the
-physical plan — the analog of "the seek actually happened").
+in tests (tests/test_lookups_and_plan.py asserts PushedFilters / ReadSchema
+in the physical plan — the analog of "the seek actually happened").
 """
 
 from __future__ import annotations

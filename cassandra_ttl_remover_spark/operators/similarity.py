@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from cassandra_ttl_remover_spark.operators.dedup import QDOT_EXPR
+from cassandra_ttl_remover_spark.operators.dedup import QDOT_EXPR, _bucket_pairs
 from cassandra_ttl_remover_spark.plans import fan_out
 
 
@@ -136,6 +136,71 @@ def lsh_topk(emb: DataFrame, query_id, k: int = 10, planes: int = 12,
         .select(id_col, "dot")
         .orderBy(F.col("dot").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def embedding_neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
+                                tables: int = 8, planes: int = 12,
+                                seed: int = 42, max_bucket: int = 4096,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> DataFrame:
+    """Bucketed embedding near-dup pairs — the 100 TB path for
+    dedup.embedding_neardup_pairs (whose plain self-join is the small-n
+    oracle surface).
+
+    Candidate generation: ``tables`` independent sign-random-projection
+    tables of ``planes`` hyperplanes each (the standard OR-of-ANDs LSH
+    construction); a pair is a candidate iff it shares a (table, bucket)
+    key. Hyperplanes derive from xxhash64(seed + table, plane, dim) — fully
+    deterministic, reproducible across runs/executors. Pair expansion is
+    per-bucket member-list expansion (dedup._bucket_pairs): one shuffle on
+    the compact (table, bucket) key, no self-join, skew capped at
+    ``max_bucket``.
+
+    Verification: candidates are filtered with the SAME exact quantized
+    predicate as the exact operator (dot > 0 ∧ dot² >= t²·|a|²·|b|² over
+    1e-6-quantized int64s), so every emitted pair is exactly correct — LSH
+    only affects RECALL, never precision. Tune (planes, tables) to the
+    threshold: agreement probability per plane is 1 - angle/π, per-table
+    recall is that to the ``planes``-th power, and overall recall is
+    1-(1-r_table)^tables. For near-dup thresholds (>= 0.9) the defaults give
+    >99% recall with ~2^-planes bucket occupancy."""
+    mask = (1 << 32) - 1
+    comp = f"(cast((xxhash64({seed}L + t, p, i) & {mask}) as double) / {mask}.0d - 0.5d)"
+    bucket = (
+        f"aggregate(transform(sequence(0, {planes - 1}), p -> "
+        f" if(aggregate(transform(sequence(1, size({vec_col})), i -> "
+        f"   cast(element_at({vec_col}, i) as double) * {comp}),"
+        f"  0.0d, (s, v) -> s + v) >= 0.0d, p, -1)),"
+        f" 0L, (acc, p) -> acc + if(p >= 0, shiftleft(1L, p), 0L))"
+    )
+    tb = f"transform(sequence(0, {tables - 1}), t -> struct(t as tbl, {bucket} as bh))"
+    base = (
+        fan_out(emb, id_col)
+        .select(
+            F.col(id_col),
+            F.struct(
+                F.col(vec_col).alias("v"),
+                F.expr(QDOT_EXPR.format(a=vec_col, b=vec_col)).alias("nrm"),
+            ).alias("payload"),
+            F.explode(F.expr(tb)).alias("bb"),
+        )
+        .select(id_col, "payload", F.col("bb.tbl").alias("tbl"), F.col("bb.bh").alias("bh"))
+    )
+    cand = _bucket_pairs(base, id_col, "payload", ["tbl", "bh"], max_bucket)
+    t2 = threshold * threshold
+    return (
+        cand.withColumn("dot", F.expr(QDOT_EXPR.format(a="siga.v", b="sigb.v")))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double") * F.col("dot").cast("double")
+                >= F.lit(t2)
+                * F.col("siga.nrm").cast("double")
+                * F.col("sigb.nrm").cast("double")
+            )
+        )
+        .select("a", "b", "dot")
     )
 
 

@@ -25,21 +25,69 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+import re as _re
+
+#: logical nodes whose output is shuffle.partitions-sized.
+_SHUFFLE_SIZED_NODES = frozenset(
+    {"Aggregate", "Join", "Window", "Sort", "Deduplicate", "RepartitionByExpression"}
+)
+
+#: ``Repartition N, <shuffle>`` — both repartition(N) (true) and coalesce(N)
+#: (false) print their exact target partition count.
+_REPARTITION_RE = _re.compile(r"^[\s:+-]*Repartition (\d+), (?:true|false)")
+
+#: head node name of a logical-plan line ('+- Aggregate [...]' -> 'Aggregate').
+_NODE_RE = _re.compile(r"^[\s:+-]*([A-Za-z]+)")
+
+
+def _size_bytes(text: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g')."""
+    t = text.strip().lower().rstrip("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(t[-1:], 1)
+    return int(t[:-1] if mult > 1 else t) * mult
+
+
+def _estimated_partitions(df: DataFrame) -> int:
+    """Planning-time estimate of the plan's output partition count — no RDD
+    conversion, no file listing, no execution. The TOPMOST partition-
+    determining logical node decides: an explicit Repartition/coalesce
+    carries its exact count; any shuffle-producing node yields
+    shuffle.partitions; a bare scan pipeline is sized by Catalyst's
+    sizeInBytes statistic over spark.sql.files.maxPartitionBytes — the same
+    quantity Spark's own file-split planner uses."""
+    spark = df.sparkSession
+    logical = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    for line in logical.toString().splitlines():
+        m = _REPARTITION_RE.match(line)
+        if m:
+            return int(m.group(1))
+        node = _NODE_RE.match(line)
+        if node and node.group(1) in _SHUFFLE_SIZED_NODES:
+            return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    size = int(logical.stats().sizeInBytes())
+    max_pb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    return max(1, -(-size // max_pb))
+
+
 def fan_out(df: DataFrame, *key_cols: str, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least ``min_partitions`` (default: cluster parallelism)
     ahead of CPU-bound per-row transforms.
 
-    No-op when the plan already has enough partitions — the normal case at
-    scale — so it never *adds* a shuffle to a well-partitioned pipeline.
-    With ``key_cols`` the repartition is a deterministic hash exchange on
-    those columns (preferred: enables downstream co-partitioning); without,
-    a round-robin exchange.
+    Decided entirely at PLANNING time via :func:`_estimated_partitions` (the
+    round-1 version forced an RDD conversion on every operator entry). At
+    100 TB a scan estimates ~800k splits >> parallelism, so fan_out never
+    adds a shuffle to a big pipeline; a single small file (one split) gets
+    spread across all cores before CPU-heavy work. With ``key_cols`` the
+    repartition is a deterministic hash exchange (preferred: enables
+    downstream co-partitioning); without, a round-robin exchange.
     """
     spark = df.sparkSession
     target = int(min_partitions or spark.sparkContext.defaultParallelism)
     try:
-        current = df.rdd.getNumPartitions()
-    except Exception:  # plan not RDD-convertible (e.g. streaming) — leave it
+        current = _estimated_partitions(df)
+    except Exception:  # plan not inspectable (e.g. streaming) — leave it
         return df
     if current >= target:
         return df

@@ -124,6 +124,7 @@ def scan(
     recursive: bool = True,
     glob: str | None = "*.parquet",
     ignore_corrupt: bool = False,
+    max_partition_bytes: int | str | None = None,
 ) -> DataFrame:
     """S1+S2: load a file/dir of parquet as a DataFrame, schema declared not
     inferred when given (reference stance, SURVEY.md §1.3), with
@@ -135,9 +136,21 @@ def scan(
     of failing the job. Off by default — silently dropping data is a policy
     the caller must opt into.
 
+    ``max_partition_bytes`` is the batch-path read throttle (M6 — the
+    reference rate-limits data-file reads via a RateLimiter on openDataReader,
+    NoTTLReader.java:1987-1996, NoTTLScanner.java:55). Spark's batch analog
+    is bounding how much input one task ingests: the value is applied to
+    ``spark.sql.files.maxPartitionBytes`` at plan time, so a smaller value
+    throttles per-task I/O (more, smaller splits) exactly where the
+    reference throttles per-read bytes. Session-scoped, like the reference's
+    process-wide limiter; the streaming analog is maxFilesPerTrigger
+    (streaming/ttl_stream.py).
+
     Scale: listing, footer pruning and row-group skipping are Spark-native;
     the ns->µs conversion is a codegen'd projection (no extra pass).
     """
+    if max_partition_bytes is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
     # Self-sufficiency: the session may not be engine-built (the driver's
     # oracle harness constructs its own). nanosAsLong is a runtime-settable
     # SQL conf; without it a TIMESTAMP(NANOS) read throws PARQUET_TYPE_ILLEGAL

@@ -57,3 +57,21 @@ def test_probe_best_effort_warns(tmp_path):
     bad.write_bytes(b"not a parquet file")
     with pytest.warns(RuntimeWarning):
         assert _probe_ns_timestamp_cols(str(bad), best_effort=True) == []
+
+
+def test_scan_max_partition_bytes_throttle(spark):
+    # M6 analog: a small split ceiling must yield more, smaller scan tasks
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        df = scan_table(spark, SF_DIR, "lineitem")
+        base = df.rdd.getNumPartitions()
+        from cassandra_ttl_remover_spark.sources.scan import scan
+
+        throttled = scan(
+            spark, f"{SF_DIR}/lineitem.parquet", recursive=False, glob=None,
+            max_partition_bytes=64 * 1024,
+        )
+        assert throttled.rdd.getNumPartitions() > base
+        assert throttled.count() == df.count()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)

@@ -63,3 +63,26 @@ def test_ivf_partial_probe_recall(embeddings):
     ivf = similarity.ivf_topk(embeddings, query_id=0, k=10, n_cells=8, nprobe=4)
     assert similarity.ann_recall(exact, ivf) >= 0.3
     assert ivf.count() == 10
+
+
+def test_embedding_neardup_lsh_precision_and_recall(spark, embeddings):
+    from cassandra_ttl_remover_spark.operators.dedup import embedding_neardup_pairs
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    # fixture vectors are near-orthogonal, so use a low threshold with
+    # wide-recall LSH params (few planes, many tables)
+    thr = 0.35
+    exact = {(r.a, r.b): r.dot
+             for r in embedding_neardup_pairs(embeddings, threshold=thr).collect()}
+    lsh = {(r.a, r.b): r.dot
+           for r in embedding_neardup_pairs_lsh(
+               embeddings, threshold=thr, tables=16, planes=4).collect()}
+    # precision is exact by construction: every LSH pair is a true pair with
+    # the identical quantized dot value
+    for p, d in lsh.items():
+        assert p in exact and exact[p] == d
+    if exact:
+        recall = len(set(lsh) & set(exact)) / len(exact)
+        assert recall >= 0.8, f"recall {recall} over {len(exact)} true pairs"
