@@ -50,6 +50,7 @@ from cassandra_ttl_remover_spark.operators.liveness import (
 )
 from cassandra_ttl_remover_spark.operators.lookups import (
     first_key_beyond,
+    murmur3_hash_oracle_expr,
     named_columns,
     point_lookup,
     portable_token_filter,
@@ -155,7 +156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_s3_range_scan"] = q_s3
 
     def q_s3b(spark, sf):
-        # Murmur3 token-range restriction — engine-specific hash: rows-only
+        # Murmur3 token-range restriction. Hash-checked: the oracle carries
+        # a bit-exact DuckDB re-implementation of Spark's Murmur3_x86_32
+        # hashLong (lookups.murmur3_hash_oracle_expr), mirroring how the
+        # reference hard-codes Murmur3Partitioner for its token ranges.
         return token_filter(_events(spark, sf), "event_id", 0, 1 << 30).select(
             "event_id", "user_id", "event_type"
         )
@@ -502,18 +506,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.topk_dot(emb, query_id=0, k=10)
     q["q_n7_topk_similarity"] = q_n7
 
-    def q_n8(spark, sf):
-        # ANN scale path — engine-specific hashing: rows-only check; recall
-        # vs q_n7 is asserted in tests/test_similarity.py
+    def _ann_invariant(spark, sf, approx_fn, min_recall):
+        # ANN candidate sets are engine-hash-specific, so the row carries
+        # (a) the exact top-k's summed quantized dots — DuckDB recomputes
+        # them independently, a real cross-engine check — and (b) the
+        # recall-vs-exact invariant (oracle emits TRUE; deterministic
+        # hashing makes the measured recall stable, so a regression flips
+        # the row red).
         emb = scan_table(spark, sf, "embeddings")
-        return similarity.lsh_topk(emb, query_id=0, k=10, planes=4, probes=4)
+        exact = similarity.topk_dot(emb, query_id=0, k=10)
+        approx = approx_fn(emb)
+        hit = exact.join(approx.select("vec_id"), "vec_id", "left_semi").agg(
+            F.count("*").alias("n_hit")
+        )
+        agg = exact.agg(F.sum("dot").cast("long").alias("sum_dot_exact"))
+        return agg.crossJoin(hit).select(
+            "sum_dot_exact",
+            (F.col("n_hit") >= F.lit(10 * min_recall)).alias("recall_ok"),
+        )
+
+    def q_n8(spark, sf):
+        return _ann_invariant(
+            spark, sf,
+            lambda emb: similarity.lsh_topk(emb, query_id=0, k=10, planes=4, probes=4),
+            0.3,
+        )
     q["q_n8_ann_lsh"] = q_n8
 
     def q_n8b(spark, sf):
-        # IVF ANN scale path — centroid sample is engine-hash-derived:
-        # rows-only; nprobe=n_cells==exact is asserted in tests/test_similarity.py
-        emb = scan_table(spark, sf, "embeddings")
-        return similarity.ivf_topk(emb, query_id=0, k=10, n_cells=8, nprobe=4)
+        return _ann_invariant(
+            spark, sf,
+            lambda emb: similarity.ivf_topk(emb, query_id=0, k=10, n_cells=8, nprobe=4),
+            0.5,
+        )
     q["q_n8b_ann_ivf"] = q_n8b
 
     def q_n9(spark, sf):
@@ -605,7 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_mm2(spark, sf):
         # Arrow/mapInPandas plumbing with the deterministic fake decoder —
-        # rows-only (Python UDF surface is not SQL-expressible)
+        # the fake decode is a deterministic byte histogram, so even the
+        # mapInPandas (Arrow) path is oracle-checked: DuckDB recomputes
+        # n_bytes/sha256/f0_q from the same utf-8 payload
         media = documents_as_media(scan_table(spark, sf, "documents"))
         feats = extract_features(media, fake=True)
         return feats.select(
@@ -613,6 +640,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.element_at("features", 1) * 1000000).cast("long").alias("f0_q"),
         )
     q["q_mm2_media_features"] = q_mm2
+
+    # ---- ST: Structured Streaming surface, drained via availableNow to a
+    # memory table so the SAME DuckDB oracles check streaming semantics.
+    # Stateless strip: bit-identical to batch by construction; dedup/window
+    # results are order-independent, hence deterministic under any trigger
+    # sequencing. Unique sink names keep repeated runs in one session safe.
+    def q_st1(spark, sf):
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+        )
+
+        st = scan_stream(spark, sf, glob="events.parquet")
+        out = strip_ttl(annotate_events(st)).select(
+            "event_id", "props", "writetime", "ttl", "expires_at"
+        )
+        return drain_to_table(out, f"st1_{uuid.uuid4().hex[:8]}")
+    q["q_st1_stream_strip"] = q_st1
+
+    def q_st2(spark, sf):
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+            stream_dedup,
+        )
+
+        st = scan_stream(spark, sf, glob="events.parquet", ns_to="timestamp")
+        # keep only the dedup keys: the retained representative row is
+        # arrival-order-dependent, the key set is not
+        out = stream_dedup(st, ["user_id"], ts_col="ts").select("user_id")
+        return drain_to_table(out, f"st2_{uuid.uuid4().hex[:8]}")
+    q["q_st2_stream_dedup"] = q_st2
+
+    def q_st3(spark, sf):
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+        )
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            expiring_counts,
+        )
+
+        st = annotate_events(
+            scan_stream(spark, sf, glob="events.parquet", ns_to="timestamp")
+        )
+        win = expiring_counts(st, ts_col="ts", window="1 day", watermark="1 hour")
+        out = win.select(
+            F.expr("unix_micros(cast(window_start as timestamp))").alias("ws_us"),
+            F.col("n_expiring").cast("long").alias("n_expiring"),
+        )
+        # complete mode: every window emits regardless of final watermark
+        return drain_to_table(out, f"st3_{uuid.uuid4().hex[:8]}", "complete")
+    q["q_st3_stream_expiring_window"] = q_st3
 
     return q
 
@@ -635,6 +721,14 @@ def oracle_sql() -> dict[str, str]:
     o["q_s3_range_scan"] = """
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
         FROM events WHERE user_id BETWEEN 10 AND 19 ORDER BY event_id"""
+
+    # pmod(signed_hash, 2^31) == unsigned_hash & 0x7fffffff (see
+    # murmur3_hash_oracle_expr docstring)
+    _mtok = f"({murmur3_hash_oracle_expr('event_id')} & 2147483647)"
+    o["q_s3b_token_range"] = f"""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE {_mtok} BETWEEN 0 AND {1 << 30}
+        ORDER BY event_id"""
 
     _ptok = portable_token_oracle_expr("event_id")
     o["q_s3c_portable_token_range"] = f"""
@@ -663,6 +757,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, props, epoch_us(ts) AS writetime,
                CAST(NULL AS BIGINT) AS ttl, CAST(NULL AS BIGINT) AS expires_at
         FROM events ORDER BY event_id"""
+
+    o["q_st1_stream_strip"] = """
+        SELECT event_id, props, epoch_us(ts) AS writetime,
+               CAST(NULL AS BIGINT) AS ttl, CAST(NULL AS BIGINT) AS expires_at
+        FROM events ORDER BY event_id"""
+
+    o["q_st2_stream_dedup"] = (
+        "SELECT DISTINCT user_id FROM events ORDER BY user_id"
+    )
+
+    # 1-day tumbling windows align to the epoch in both engines
+    o["q_st3_stream_expiring_window"] = f"""
+        WITH a AS ({ann})
+        SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS ws_us,
+               count(*)::BIGINT AS n_expiring
+        FROM a WHERE ttl IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""
 
     o["q_t1b_live_roundtrip"] = f"""
         WITH a AS ({ann})
@@ -855,5 +966,21 @@ def oracle_sql() -> dict[str, str]:
                (length(text) % 48 + 1)::INTEGER AS height
         FROM documents ORDER BY media_id"""
 
-    # q_s3b_token_range, q_n8_ann_lsh, q_mm2_media_features: rows-only.
+    _exact_topk = similarity.topk_dot_oracle_sql(query_id=0, k=10)
+    _ann_inv = (
+        "SELECT sum(dot)::BIGINT AS sum_dot_exact, TRUE AS recall_ok FROM "
+        f"({_exact_topk})"
+    )
+    o["q_n8_ann_lsh"] = _ann_inv
+    o["q_n8b_ann_ivf"] = _ann_inv
+
+    o["q_mm2_media_features"] = """
+        SELECT doc_id AS media_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               sha256(text) AS sha256,
+               round(len(list_filter(range(1, length(text) + 1),
+                                     i -> (ascii(text[i]) & 7) = 0))
+                     / greatest(1, length(text)) * 1000000.0)::BIGINT AS f0_q
+        FROM documents ORDER BY media_id"""
+
     return o

@@ -66,6 +66,60 @@ def token_filter(df: DataFrame, key: str, lo_token: int, hi_token: int,
     return df.filter(cond)
 
 
+def _u32(e: str) -> str:
+    return f"(({e}) & 4294967295)"
+
+
+def _mul32(a: str, b: int) -> str:
+    # 32-bit wrapping multiply via a HUGEINT (int128) intermediate
+    return f"((CAST({a} AS HUGEINT) * {b} & 4294967295)::BIGINT)"
+
+
+def _rotl32(x: str, r: int) -> str:
+    return _u32(f"(({x}) << {r}) | (({x}) >> {32 - r})")
+
+
+def murmur3_hash_oracle_expr(col: str, seed: int = 42) -> str:
+    """DuckDB expression reproducing Spark's ``F.hash`` on a BIGINT column
+    BIT-EXACTLY (verified): Murmur3_x86_32's hashLong — the long split into
+    two 32-bit halves, each mixed as a block, finalized with len=8. All
+    32-bit wrap-around arithmetic is emulated with masks (HUGEINT for the
+    multiplies), and the result is returned UNSIGNED in [0, 2^32); Spark's
+    signed int32 relates by ``h_signed = h - 2^32 if h >= 2^31``. For
+    token-range semantics note ``pmod(h_signed, 2^31) == h & 0x7fffffff``.
+
+    This makes the Murmur3 token-range scan (token_filter — the analog of
+    the reference's hard-coded Murmur3Partitioner ranges,
+    Cassandra3TTLRemover.java:69, NoTTLScanner.java:66-101) hash-checkable
+    against the oracle rather than rows-only."""
+    steps: list[tuple[str, str]] = []
+
+    def step(name: str, expr: str) -> str:
+        steps.append((name, expr))
+        return name
+
+    low = step("Qlow", _u32(col))
+    high = step("Qhigh", _u32(f"({col}) >> 32"))
+    h = str(seed)
+    for half in (low, high):
+        k1 = step(f"QkA{half}", _mul32(half, 0xCC9E2D51))
+        k1 = step(f"QkB{half}", _rotl32(k1, 15))
+        k1 = step(f"QkC{half}", _mul32(k1, 0x1B873593))
+        h1 = step(f"QhA{half}", _u32(f"xor({h}, {k1})"))
+        h1 = step(f"QhB{half}", _rotl32(h1, 13))
+        h = step(f"QhC{half}", _u32(f"{_mul32(h1, 5)} + 3864292196"))
+    f_ = step("Qf0", _u32(f"xor({h}, 8)"))
+    f_ = step("Qf1", _u32(f"xor({f_}, ({f_}) >> 16)"))
+    f_ = step("Qf2", _mul32(f_, 0x85EBCA6B))
+    f_ = step("Qf3", _u32(f"xor({f_}, ({f_}) >> 13)"))
+    f_ = step("Qf4", _mul32(f_, 0xC2B2AE35))
+    f_ = step("Qf5", _u32(f"xor({f_}, ({f_}) >> 16)"))
+    expr = f_
+    for name, e in reversed(steps):
+        expr = expr.replace(name, f"({e})")
+    return expr
+
+
 #: 60-bit engine-portable token: md5 of the key's string form, first 15 hex
 #: nibbles folded into a bigint — identical arithmetic is expressible in any
 #: engine with md5 + string ops, so token-range scans become oracle-checkable

@@ -40,6 +40,66 @@ def read_events_stream(spark: SparkSession, path: str,
     )
 
 
+def scan_stream(spark: SparkSession, path: str, *, glob: str | None = None,
+                ns_to: str = "timestamp_ntz",
+                max_files_per_trigger: int = 16) -> DataFrame:
+    """Streaming counterpart of sources.scan: self-configures
+    TIMESTAMP(NANOS) ingestion (nanosAsLong at runtime), derives the
+    declared schema from the parquet footers (streaming sources require an
+    explicit schema), and normalizes ns columns with the same exact
+    projection as the batch scan — so a streaming pipeline sees
+    bit-identical rows to the batch pipeline over the same files.
+
+    ``path`` must be a DIRECTORY (file-source streams watch directories);
+    restrict to specific files with ``glob``. ``ns_to='timestamp'`` yields
+    TimestampType instead of ntz — required when the column feeds a
+    watermark (Spark event time must be TIMESTAMP)."""
+    from cassandra_ttl_remover_spark.sources.scan import (
+        _NANOS_AS_LONG,
+        _probe_ns_timestamp_cols,
+    )
+
+    ns_cols = _probe_ns_timestamp_cols(path, glob=glob, recursive=False)
+    if ns_cols:
+        spark.conf.set(_NANOS_AS_LONG, "true")
+    batch = spark.read
+    reader = spark.readStream
+    if glob:
+        batch = batch.option("pathGlobFilter", glob)
+        reader = reader.option("pathGlobFilter", glob)
+    schema = batch.parquet(path).schema
+    df = (
+        reader.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    for c in ns_cols:
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(
+                c, F.expr(f"cast(timestamp_micros(`{c}` div 1000) as {ns_to})")
+            )
+    return df
+
+
+def drain_to_table(stream_df: DataFrame, name: str,
+                   output_mode: str = "append") -> DataFrame:
+    """Drain all currently-available input (availableNow trigger) into an
+    in-memory table and return it as a batch DataFrame — the bridge that
+    lets streaming pipelines be checked by the same batch/SQL oracles as
+    everything else. Driver-memory sink: use only on bounded test/verify
+    volumes; production drains go through run_to_completion (parquet)."""
+    spark = stream_df.sparkSession
+    (
+        stream_df.writeStream.trigger(availableNow=True)
+        .outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
 def stream_strip_ttl(events: DataFrame) -> DataFrame:
     """The TTL strip as a streaming transformation (stateless projection —
     exactly-once under the file sink's commit protocol)."""

@@ -105,3 +105,42 @@ def test_stream_dedup_within_watermark(spark):
         assert got.groupBy("user_id", "v").count().filter("count > 1").count() == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_scan_stream_matches_batch_scan(spark):
+    """Batch/stream parity: the same files through scan_stream drain to
+    bit-identical rows as the batch scan (incl. ns normalization)."""
+    import uuid
+
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        drain_to_table,
+        scan_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    st = scan_stream(spark, SF_DIR, glob="events.parquet")
+    got = drain_to_table(st, f"t_{uuid.uuid4().hex[:8]}")
+    batch = scan_table(spark, SF_DIR, "events")
+    assert got.schema == batch.schema
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_murmur3_oracle_expr_matches_spark_hash(spark):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+
+    vals = [0, 1, -1, 42, 2**33 + 7, -(2**40) - 123, 999999999999]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x long")
+    expected = {r.x: r.h for r in sdf.select("x", F.hash("x").alias("h")).collect()}
+    con = duckdb.connect()
+    e = murmur3_hash_oracle_expr("x")
+    for v in vals:
+        got_u = con.sql(f"SELECT {e} AS h FROM (SELECT {v}::BIGINT AS x)").fetchone()[0]
+        got = got_u - (1 << 32) if got_u >= (1 << 31) else got_u
+        assert got == expected[v], f"murmur3 mismatch for {v}"
