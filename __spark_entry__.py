@@ -471,6 +471,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("event_id", "user_id", F.col("ts").alias("ts_us"), "click_value")
     q["q_aj_asof_join"] = q_aj
 
+    def q_rj(spark, sf):
+        # interval join via the binned equi-join strategy (theta-join made
+        # hash-partitionable); intervals derived deterministically from nation
+        from cassandra_ttl_remover_spark.operators.asof import range_join
+
+        iv = scan_table(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("ikey"),
+            (F.col("n_nationkey") * 10).cast("long").alias("lo"),
+            (F.col("n_nationkey") * 10 + 14).cast("long").alias("hi"),
+        )
+        pts = _events(spark, sf).select("event_id", "user_id")
+        return range_join(pts, iv, "user_id", "lo", "hi", bin_width=16).select(
+            "event_id", "user_id", "ikey"
+        )
+    q["q_rj_range_join"] = q_rj
+
+    # ---- X: standard-taxonomy query surface (SURVEY §2.2 — the categories
+    # the reference lacks entirely; Spark SQL provides them, the oracle
+    # proves the engine exposes them correctly) ----
+    def q_x1(spark, sf):
+        # set operation: EXCEPT — users who never made a high-value purchase
+        # (the fixture's key sets cover each other densely, so the predicate
+        # keeps the difference non-empty and the check non-vacuous)
+        ev = _events(spark, sf)
+        all_users = ev.select("user_id")
+        big_buyers = ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 90)
+        ).select("user_id")
+        return all_users.subtract(big_buyers)
+    q["q_x1_set_except"] = q_x1
+
+    def q_x2(spark, sf):
+        # semi/anti join pair over one row set: suppliers flagged by whether
+        # any lineitem references them
+        s = scan_table(spark, sf, "supplier")
+        li = scan_table(spark, sf, "lineitem").select("l_suppkey")
+        active = s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi").select(
+            "s_suppkey", F.lit(True).alias("has_lineitems")
+        )
+        idle = s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_anti").select(
+            "s_suppkey", F.lit(False).alias("has_lineitems")
+        )
+        return active.unionByName(idle)
+    q["q_x2_semi_anti_join"] = q_x2
+
+    def q_x3(spark, sf):
+        # scalar function library: string/date/math over orders
+        o_ = scan_table(spark, sf, "orders")
+        return o_.select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderpriority", 1, 4)).alias("prio4"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.expr("cast(floor(o_totalprice / 1000) as bigint)").alias("price_k"),
+            F.length("o_orderpriority").cast("long").alias("prio_len"),
+        )
+    q["q_x3_scalar_functions"] = q_x3
+
+    def q_x4(spark, sf):
+        # window ranking + analytic offset: top-2 orders per customer with
+        # the previous order's price alongside
+        from pyspark.sql import Window
+
+        o_ = scan_table(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o_.select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                F.rank().over(w).cast("long").alias("rnk"),
+                F.dense_rank().over(w).cast("long").alias("drnk"),
+                F.lag("o_totalprice").over(w).alias("prev_price"),
+            )
+            .filter(F.col("rnk") <= 2)
+        )
+    q["q_x4_window_rank"] = q_x4
+
+    def q_x5(spark, sf):
+        # ROLLUP with exact decimal sums (CUBE is covered by q_p2)
+        li = scan_table(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.expr(
+                    "cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+                ).alias("sum_qty"),
+            )
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                "n",
+                "sum_qty",
+            )
+        )
+    q["q_x5_rollup"] = q_x5
+
     # ---- N: north-star — dedup ----
     def q_n1(spark, sf):
         return dedup.exact_dedup_last_writer(
@@ -899,6 +998,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    o["q_rj_range_join"] = """
+        SELECT e.event_id, e.user_id, n.n_nationkey::BIGINT AS ikey
+        FROM events e
+        JOIN nation n
+          ON e.user_id BETWEEN n.n_nationkey * 10 AND n.n_nationkey * 10 + 14
+        ORDER BY e.event_id, ikey"""
+
+    o["q_x1_set_except"] = """
+        SELECT user_id FROM events
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+        ORDER BY user_id"""
+
+    o["q_x2_semi_anti_join"] = """
+        SELECT s_suppkey,
+               EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+                 AS has_lineitems
+        FROM supplier ORDER BY s_suppkey"""
+
+    o["q_x3_scalar_functions"] = """
+        SELECT o_orderkey,
+               upper(substr(o_orderpriority, 1, 4)) AS prio4,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+               extract(year FROM o_orderdate)::BIGINT AS o_year,
+               extract(month FROM o_orderdate)::BIGINT AS o_month,
+               floor(o_totalprice / 1000)::BIGINT AS price_k,
+               length(o_orderpriority)::BIGINT AS prio_len
+        FROM orders ORDER BY o_orderkey"""
+
+    o["q_x4_window_rank"] = """
+        SELECT * FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 rank() OVER w::BIGINT AS rnk,
+                 dense_rank() OVER w::BIGINT AS drnk,
+                 lag(o_totalprice) OVER w AS prev_price
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ) WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey"""
+
+    o["q_x5_rollup"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*)::BIGINT AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY rf, ls"""
 
     o["q_aj_asof_join"] = """
         WITH ev AS (

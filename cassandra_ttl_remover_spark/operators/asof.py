@@ -57,3 +57,43 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     for c in value_cols:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return u.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(points: DataFrame, intervals: DataFrame, x_col: str,
+               lo_col: str, hi_col: str, *, bin_width: int | None = None,
+               broadcast_intervals: bool = True) -> DataFrame:
+    """Interval/range join — the brief's other canonical custom operator:
+    every point row joined to every interval row with
+    ``lo_col <= x_col <= hi_col``.
+
+    Two physical strategies:
+
+    * ``bin_width=None`` (small interval side): plain theta-join; with
+      ``broadcast_intervals`` the interval side broadcasts, so Spark runs a
+      BroadcastNestedLoopJoin — each point scans the in-memory interval list,
+      no shuffle of the point side. Right when intervals fit in memory.
+    * ``bin_width=W`` (the 100 TB path): both sides are mapped onto integer
+      bins of width W — a point to ``x div W``, an interval to EVERY bin in
+      ``[lo div W, hi div W]`` (exploded) — turning the theta-join into an
+      EQUI-join on the bin id (hash-partitioned, AQE-skew-splittable), with
+      the exact between-predicate applied to bin-collocated candidates.
+      Truncating division is monotonic (negatives included), so a matching
+      point's bin always lies within its interval's bin range: no misses,
+      no duplicates (each pair meets in exactly the point's bin). Choose W
+      near the median interval width: cost per interval is
+      O(width/W + 1) bin replicas vs candidate precision of ~W.
+
+    Both sides may carry extra columns; all are preserved.
+    """
+    between = (F.col(x_col) >= F.col(lo_col)) & (F.col(x_col) <= F.col(hi_col))
+    if bin_width is None:
+        iv = F.broadcast(intervals) if broadcast_intervals else intervals
+        return points.join(iv, between)
+    pts = points.withColumn("_rj_bin", F.expr(f"`{x_col}` div {bin_width}"))
+    iv = intervals.withColumn(
+        "_rj_bin",
+        F.explode(
+            F.expr(f"sequence(`{lo_col}` div {bin_width}, `{hi_col}` div {bin_width})")
+        ),
+    )
+    return pts.join(iv, "_rj_bin").filter(between).drop("_rj_bin")
