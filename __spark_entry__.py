@@ -236,6 +236,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return total.crossJoin(pre).crossJoin(post).crossJoin(wt).crossJoin(changed)
     q["q_t1b_live_roundtrip"] = q_t1b
 
+    def q_t1c(spark, sf):
+        # T1's NESTED path (the isComplex/CellPath branch,
+        # Cassandra3TTLRemover.java:180-186): build full cell structs (scalar
+        # cell + a map-of-cells collection column) from the annotated events,
+        # strip via transform_values, then flatten the results to scalars so
+        # the oracle can recompute every preserved/cleared field.
+        from cassandra_ttl_remover_spark.operators.liveness import strip_ttl_cells
+
+        ann = _ann(spark, sf)
+        nullL = F.lit(None).cast("long")
+        cell = lambda v: F.struct(  # noqa: E731
+            v.alias("value"),
+            F.col("writetime").alias("writetime"),
+            F.col("ttl").alias("ttl"),
+            F.col("expires_at").alias("expires_at"),
+            nullL.alias("deleted_ts"),
+        )
+        nested = ann.select(
+            "event_id",
+            cell(F.col("props").cast("string")).alias("props_cell"),
+            F.create_map(
+                # long->string casts format identically across engines
+                # (double->string would not)
+                F.lit("v"), cell(F.col("user_id").cast("string")),
+                F.lit("t"), cell(F.col("event_type").cast("string")),
+            ).alias("tags"),
+        )
+        st = strip_ttl_cells(nested)
+        return st.select(
+            "event_id",
+            F.col("props_cell.value").alias("props_value"),
+            F.col("props_cell.writetime").alias("props_wt"),
+            F.col("props_cell.ttl").alias("props_ttl"),
+            F.expr("element_at(tags, 'v').value").alias("v_value"),
+            F.expr("element_at(tags, 'v').writetime").alias("v_wt"),
+            F.expr("element_at(tags, 'v').expires_at").alias("v_expires_at"),
+            F.expr("element_at(tags, 't').value").alias("t_value"),
+            F.expr("element_at(tags, 't').ttl").alias("t_ttl"),
+        )
+    q["q_t1c_strip_nested_cells"] = q_t1c
+
     def q_t2(spark, sf):
         return cell_kind(_ann(spark, sf), "props").select("event_id", "kind")
     q["q_t2_cell_kind"] = q_t2
@@ -883,6 +924,19 @@ def oracle_sql() -> dict[str, str]:
                sum(writetime % 1000000007)::BIGINT AS wt_checksum,
                0::BIGINT AS n_wt_changed
         FROM a"""
+
+    o["q_t1c_strip_nested_cells"] = f"""
+        WITH a AS ({ann})
+        SELECT event_id,
+               props AS props_value,
+               writetime AS props_wt,
+               CAST(NULL AS BIGINT) AS props_ttl,
+               CAST(user_id AS VARCHAR) AS v_value,
+               writetime AS v_wt,
+               CAST(NULL AS BIGINT) AS v_expires_at,
+               event_type AS t_value,
+               CAST(NULL AS BIGINT) AS t_ttl
+        FROM a ORDER BY event_id"""
 
     o["q_t2_cell_kind"] = f"""
         WITH a AS ({ann})
