@@ -146,3 +146,31 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_range_join_binned_shuffle_budget(spark, events):
+    from cassandra_ttl_remover_spark.operators.asof import range_join
+
+    iv = spark.createDataFrame(
+        [(k, k * 10, k * 10 + 14) for k in range(25)], "ikey long, lo long, hi long"
+    )
+    df = range_join(events.select("event_id", "user_id"), iv, "user_id",
+                    "lo", "hi", bin_width=16)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join on the bin id: at most the two join-input exchanges (AQE may
+    # broadcast the exploded interval side instead)
+    assert exchange_count(df) <= 2
+
+
+def test_embedding_neardup_lsh_bucketed_plan(spark, embeddings):
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    df = embedding_neardup_pairs_lsh(embeddings, threshold=0.35, tables=4, planes=4)
+    plan = formatted_plan(df)
+    # candidate generation must be bucket expansion, never a cross/self join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # one shuffle keyed by (table, bucket) + the dedup + fan_out floor
+    assert exchange_count(df) <= 3
