@@ -119,7 +119,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
             .filter(F.col("df") > max_df)
             .select("sh")
         )
-        sh = sh.join(hot, "sh", "left_anti")
+        # the stop-shingle list is bounded-small by construction (few
+        # shingles exceed the cap in any real corpus — it is a discovered
+        # stopword dim), so broadcast the anti-join: the exploded shingle
+        # frame, the largest in this pipeline, never shuffles for the cap
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     members = (
         sh.groupBy("sh")
