@@ -90,6 +90,41 @@ ORDER BY n_name
 """
 
 
+#: TPC-H Q3 shape (shipping-priority): 3-way join + filtered agg + top-k.
+#: Per-row factors are cast to DECIMAL before multiplying so the revenue sum
+#: is exact integer arithmetic (order-independent) in both engines.
+SHARED_SQL_Q3 = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+#: TPC-H Q5 shape (local-supplier volume): 6-way join keyed down to region,
+#: revenue per nation, same exact-decimal construction.
+SHARED_SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_table(spark, sf_dir, "events")
 
@@ -457,6 +492,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_tables(spark, sf, ["customer", "nation"])
         return spark.sql(SHARED_SQL)
     q["q_sql_parity"] = q_sql
+
+    def q_sql_q3(spark, sf):
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["customer", "orders", "lineitem"])
+        return spark.sql(SHARED_SQL_Q3)
+    q["q_sql_q3_shipping_priority"] = q_sql_q3
+
+    def q_sql_q5(spark, sf):
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(
+            spark, sf,
+            ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+        )
+        return spark.sql(SHARED_SQL_Q5)
+    q["q_sql_q5_local_supplier_volume"] = q_sql_q5
 
     # ---- J: joins (broadcast + shuffle — absent from the reference,
     # free from Spark SQL; declared so the judge sees the strategy) ----
@@ -1038,6 +1088,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY l_returnflag, l_linestatus"""
 
     o["q_sql_parity"] = SHARED_SQL
+    o["q_sql_q3_shipping_priority"] = SHARED_SQL_Q3
+    o["q_sql_q5_local_supplier_volume"] = SHARED_SQL_Q5
 
     o["q_j1_broadcast_join_rollup"] = """
         SELECT c_mktsegment,

@@ -112,6 +112,19 @@ def main() -> int:
     def q_curate_pipeline():
         curate.curate_corpus(spark, documents).count()
 
+    def q_tpch_q3():
+        import __spark_entry__ as entry_mod
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+        spark.sql(entry_mod.SHARED_SQL_Q3).collect()
+
+    def q_tpch_q5():
+        import __spark_entry__ as entry_mod
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf_dir,
+                    ["customer", "orders", "lineitem", "supplier", "nation", "region"])
+        spark.sql(entry_mod.SHARED_SQL_Q5).collect()
+
     queries = {
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
@@ -124,6 +137,8 @@ def main() -> int:
         "topk_similarity": q_topk_similarity,
         "text_quality": q_text_quality,
         "curate_pipeline": q_curate_pipeline,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
     }
 
     timings: dict[str, float] = {}
