@@ -1,0 +1,72 @@
+"""Skew rehearsal: the 100 TB hazards the operators claim to survive —
+boilerplate-heavy corpora (hot shingles), near-identical floods (hot LSH
+buckets) — reproduced in miniature. These tests fail if a cap stops being
+applied, long before a real corpus would melt a cluster."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cassandra_ttl_remover_spark.operators import curate, dedup
+
+
+@pytest.fixture(scope="module")
+def boilerplate_corpus(spark):
+    """4k docs; EVERY doc shares a long license header (hot shingles in all
+    of them), plus 400 exact duplicates and 40 near-dup pairs."""
+    header = (
+        "licensed under the apache license version two point zero you may "
+        "not use this file except in compliance with the license you may "
+        "obtain a copy of the license at the following address"
+    )
+    rows = []
+    for i in range(4000):
+        if i < 400:
+            body = "common duplicated body shared by the duplicate cluster"
+        elif i < 480 and i % 2 == 0:
+            body = f"near duplicate body variant alpha number {i // 2} with shared tail"
+        elif i < 480:
+            body = f"near duplicate body variant beta number {i // 2} with shared tail"
+        else:
+            body = f"unique body {i} talking about topic {i * 7 % 991} in detail {i * 13 % 997}"
+        rows.append((i, f"{header} {body}"))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_df_cap_bounds_hot_shingle_work(spark, boilerplate_corpus):
+    # uncapped, the header shingles alone produce ~4000²/2 candidate pairs
+    # per shingle — the quadratic blowup. With the cap, candidate volume is
+    # bounded by the genuinely-similar documents.
+    pairs = dedup.ngram_jaccard_pairs(
+        boilerplate_corpus, threshold=0.5, max_df=500
+    )
+    n = pairs.count()
+    # duplicates + near-dups only — nowhere near the 8M uncapped pairs
+    assert 0 < n < 500_000
+    # and the capped shingle frame really has no hot shingle left
+    sh = dedup.shingle_frame(boilerplate_corpus)
+    hot = sh.groupBy("sh").count().filter(F.col("count") > 500)
+    capped = sh.join(hot.select("sh"), "sh", "left_anti")
+    assert capped.groupBy("sh").count().agg(F.max("count")).first()[0] <= 500
+
+
+def test_curate_survives_boilerplate_corpus(spark, boilerplate_corpus):
+    kept = curate.curate_corpus(
+        spark, boilerplate_corpus, min_quality=0.0, max_df=500
+    )
+    n_total, n_kept = boilerplate_corpus.count(), kept.count()
+    # the 400-doc exact cluster collapses to 1; near-dup pairs collapse too
+    assert n_kept < n_total - 399
+    assert n_kept > 1000  # the unique tail survives
+
+
+def test_minhash_bucket_cap_bounds_identical_flood(spark):
+    # 2k identical docs WITHOUT exact dedup first: every signature lands in
+    # one bucket per band. max_bucket drops those buckets instead of
+    # expanding ~2M pairs — candidate count stays 0.
+    docs = spark.createDataFrame(
+        [(i, "the exact same document body repeated everywhere all the time")
+         for i in range(2000)],
+        "doc_id long, text string",
+    )
+    cand = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=256)
+    assert cand.count() == 0
