@@ -731,6 +731,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_n8b_ann_ivf"] = q_n8b
 
+    def q_n8c(spark, sf):
+        # the MATERIALIZED index path: write the IVF index partitionBy(cell),
+        # query it back with partition pruning — same invariant row
+        import tempfile
+
+        from cassandra_ttl_remover_spark.operators.similarity import (
+            ivf_query,
+            ivf_write,
+        )
+
+        def approx(emb):
+            path = tempfile.mkdtemp(prefix="ctrs_ivf_") + "/ivf"
+            ivf_write(emb, path, n_cells=8)
+            qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+            return ivf_query(spark, path, qv, k=11, nprobe=4).filter(
+                F.col("vec_id") != 0
+            )
+
+        return _ann_invariant(spark, sf, approx, 0.5)
+    q["q_n8c_ann_ivf_materialized"] = q_n8c
+
     def q_n9(spark, sf):
         # MinHash-LSH validated by recall against exact Jaccard pairs (margin
         # thresholds: cand est>=0.3 vs exact>=0.5). n_exact is hash-checked
@@ -1227,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["q_n8_ann_lsh"] = _ann_inv
     o["q_n8b_ann_ivf"] = _ann_inv
+    o["q_n8c_ann_ivf_materialized"] = _ann_inv
 
     o["q_mm2_media_features"] = """
         SELECT doc_id AS media_id,

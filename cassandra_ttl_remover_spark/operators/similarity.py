@@ -278,6 +278,47 @@ def ivf_topk(emb: DataFrame, query_id, k: int = 10, n_cells: int = 16,
     )
 
 
+def ivf_write(emb: DataFrame, path: str, n_cells: int = 16,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Materialize the IVF index: the cell-assigned corpus written
+    ``partitionBy("cell")`` (one directory per inverted list) plus the tiny
+    centroid table under ``<path>/_centroids``. This is the write-once index
+    shape a 100 TB ANN deployment serves from — each query later touches
+    only its probed cells via PARTITION PRUNING, never the full corpus."""
+    centroids, assigned = ivf_index(emb, n_cells, vec_col, id_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    emb.sparkSession.createDataFrame(
+        centroids, f"cell int, cvec {emb.schema[vec_col].dataType.simpleString()}"
+    ).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
+              nprobe: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Query a materialized IVF index: read the O(n_cells) centroid table,
+    pick the ``nprobe`` nearest cells driver-side, and scan ONLY those cell
+    partitions (`cell IN (...)` prunes at the directory level — the plan's
+    PartitionFilters prove the other inverted lists are never read). Exact
+    quantized scoring on the probed candidates, same ordering contract as
+    topk_dot."""
+    cent = spark.read.parquet(f"{path}/_centroids").collect()
+    by_dist = sorted(
+        cent,
+        key=lambda r: sum((float(a) - b) ** 2 for a, b in zip(r["cvec"], query_vec)),
+    )
+    probes = [int(r["cell"]) for r in by_dist[:nprobe]]
+    qdf = spark.createDataFrame([(query_vec,)], f"_qv array<float>")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probes))
+        .join(F.broadcast(qdf))
+        .withColumn("dot", F.expr(QDOT_EXPR.format(a=vec_col, b="_qv")))
+        .select(id_col, "dot")
+        .orderBy(F.col("dot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame, id_col: str = "vec_id") -> float:
     """Recall of an ANN result vs the exact top-k (driver-side; both inputs
     are k-row frames)."""

