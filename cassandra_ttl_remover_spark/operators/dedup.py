@@ -86,7 +86,8 @@ _ID_PAIRS_EXPR = (
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        hash_shingles: bool = True) -> DataFrame:
     """Exact Jaccard over 3-word shingle sets: pairs (a < b) with
     |A∩B| / |A∪B| >= threshold. Inverted index (shingle -> member id list),
     per-shingle i<j pair expansion, count intersections, derive union from
@@ -102,14 +103,25 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     with it, work per shingle is bounded by max_df²/2. ``None`` keeps the
     uncapped exact semantics (small-n oracle surface only).
 
-    Scale: ONE shuffle keyed by the shingle for the pair expansion (groupBy
-    + collect_list — no self-join, so the upstream plan executes once), plus
-    the map-side-combined df/size aggregations. Exact integer counts -> one
-    IEEE division, so the oracle hash-matches."""
+    ``hash_shingles`` (default) replaces each shingle string with its
+    xxhash64 BEFORE anything shuffles: every downstream exchange and group
+    key carries 8 bytes instead of a ~30-byte string — at 100 TB that is the
+    pipeline's largest shuffle cut 3-4x. Set sizes and intersection counts
+    are unchanged (distinct strings -> distinct hashes) barring a 64-bit
+    collision (~1e-9 at a billion distinct shingles), so results — and the
+    string-based DuckDB oracle — still match exactly.
+
+    Scale: ONE shuffle keyed by the (hashed) shingle for the pair expansion
+    (groupBy + collect_list — no self-join, so the upstream plan executes
+    once), plus the map-side-combined df/size aggregations. Exact integer
+    counts -> one IEEE division, so the oracle hash-matches."""
     # materialize the exploded shingles ONCE (lazy checkpoint): the hot-set
     # aggregate, the anti-join probe side, and the sizes/members branches all
     # read the same blocks instead of re-running the explode pipeline
-    sh = shingle_frame(docs, text_col, id_col).localCheckpoint(eager=False)
+    sh = shingle_frame(docs, text_col, id_col)
+    if hash_shingles:
+        sh = sh.withColumn("sh", F.xxhash64("sh"))
+    sh = sh.localCheckpoint(eager=False)
     if max_df is not None:
         # hot-shingle set is small by construction (few shingles exceed the
         # cap); the map-side-combined count never materializes a hot group,
@@ -326,17 +338,19 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).dropDuplicates(["a", "b"]).localCheckpoint(eager=False)
-    # only nodes that appear in an edge can ever change label (sym is
-    # symmetric, so column "a" covers both endpoints)
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
     if sym.isEmpty():
         return ids.select(
             F.col(id_col), F.col(id_col).alias("component")
         )
+    # only nodes that appear in an edge can ever change label (sym is
+    # symmetric, so column "a" covers both endpoints), and round 0 is fused
+    # into initialization: label = min(self, neighbors) straight off the
+    # edge list — one aggregation instead of a join round
+    labels = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_nb"))
+        .select("node", F.least(F.col("node"), F.col("_nb")).alias("label"))
+    )
     # decimal(38,0) keeps the total exact far beyond 100 TB node counts
     # (int64 sums would overflow at ~1e6 nodes with 1e12-scale ids)
     total = None
