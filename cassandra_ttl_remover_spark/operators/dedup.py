@@ -273,32 +273,57 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
 
     Signatures are split into ``bands`` bands of ``num_hashes/bands`` rows;
     docs sharing any band hash become candidates. Pair generation is
-    per-bucket list expansion (_bucket_pairs) — one shuffle keyed by
-    (band, band_hash), no O(n²), no self-join re-execution; skew is bounded
-    by ``max_bucket``. Candidates are scored by signature agreement (the
-    unbiased Jaccard estimate) and filtered at ``threshold``.
+    per-bucket id-list expansion — one shuffle keyed by (band, band_hash)
+    carrying only 16-byte rows, no O(n²), no self-join re-execution; skew is
+    bounded by ``max_bucket``. Candidates then join the signature table back
+    and are scored by signature agreement (the unbiased Jaccard estimate),
+    filtered at ``threshold``.
 
     At 100 TB this is the intended fuzzy-dedup path (run exact_dedup first
     so identical content doesn't flood buckets)."""
     r = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, text_col, id_col)
+    # signatures materialize once (lazy checkpoint): the banding branch and
+    # the two score-join probes all read the same blocks
+    sig = minhash_signatures(docs, num_hashes, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    # band rows carry ONLY (id, band, band-hash) — 16 bytes of key, not the
+    # whole k-long signature. Replicating signatures into every band row
+    # would multiply the band shuffle by bands x 8 x num_hashes bytes/doc
+    # (terabytes at 1e9 docs); instead candidates join the signature table
+    # back afterward — candidate volume is bucket-capped and tiny relative
+    # to the corpus, so the two probe joins are the cheap side.
     banded = sig.select(
         id_col,
-        "sig",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
                 f"struct(b as band, xxhash64(slice(sig, b * {r} + 1, {r})) as bh))"
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    cand = _bucket_pairs(banded, id_col, "sig", ["band", "bh"], max_bucket)
-    est = cand.withColumn(
-        "est_jaccard",
-        F.expr(
-            "cast(size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v)) as double)"
-            f" / {num_hashes}"
-        ),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    members = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("m"))
+        .filter((F.size("m") >= 2) & (F.size("m") <= max_bucket))
+    )
+    cand = (
+        members.select(F.explode(F.expr(_ID_PAIRS_EXPR)).alias("p"))
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
+    )
+    sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"))
+    sb = sig.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb"))
+    est = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "cast(size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v)) as double)"
+                f" / {num_hashes}"
+            ),
+        )
     )
     return est.filter(F.col("est_jaccard") >= F.lit(threshold)).select(
         "a", "b", "est_jaccard"
