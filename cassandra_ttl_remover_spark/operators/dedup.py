@@ -360,40 +360,36 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     Returns ``(id_col, component)`` where component = min id reachable;
     singleton docs are their own component."""
     edges = pairs.select("a", "b")
+    # symmetric closure PLUS self-loops (v, v): with the self-edge in place a
+    # node's own label flows through the same neighbor-min as everyone
+    # else's, so each round is ONE join + ONE aggregation — the usual second
+    # join (folding old labels back in with least/coalesce) disappears.
+    # Self-loops only exist for edge-incident nodes, so the frame stays
+    # O(edges), not O(corpus).
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).dropDuplicates(["a", "b"]).localCheckpoint(eager=False)
+    )
+    # no dedup of sym: min-aggregation is duplicate-insensitive, so spending
+    # a full shuffle to distinct the edge list buys nothing
+    sym = sym.unionByName(sym.select("a", F.col("a").alias("b"))).localCheckpoint(
+        eager=False
+    )
     if sym.isEmpty():
         return ids.select(
             F.col(id_col), F.col(id_col).alias("component")
         )
-    # only nodes that appear in an edge can ever change label (sym is
-    # symmetric, so column "a" covers both endpoints), and round 0 is fused
-    # into initialization: label = min(self, neighbors) straight off the
-    # edge list — one aggregation instead of a join round
-    labels = (
-        sym.groupBy(F.col("a").alias("node"))
-        .agg(F.min("b").alias("_nb"))
-        .select("node", F.least(F.col("node"), F.col("_nb")).alias("label"))
-    )
+    # round 0 fused into initialization: label = min(self, neighbors)
+    # straight off the (self-looped) edge list — one aggregation, no join
+    labels = sym.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("label"))
     # decimal(38,0) keeps the total exact far beyond 100 TB node counts
     # (int64 sums would overflow at ~1e6 nodes with 1e12-scale ids)
     total = None
     for it in range(max_iter):
-        nb = (
+        new = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
-            .agg(F.min("label").alias("nb_label"))
-        )
-        new = (
-            labels.alias("l")
-            .join(nb.alias("n"), F.col("l.node") == F.col("n.a"), "left")
-            .select(
-                F.col("l.node").alias("node"),
-                F.least(
-                    F.col("l.label"), F.coalesce(F.col("n.nb_label"), F.col("l.label"))
-                ).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("a", "node")
             # lazy: the convergence aggregate below is the materializing
             # action, so each round runs ONE job, and later rounds read the
             # checkpointed blocks
