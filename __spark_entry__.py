@@ -827,6 +827,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.curate_corpus(spark, scan_table(spark, sf, "documents"))
     q["q_pipe_curate"] = q_pipe
 
+    def q_n15(spark, sf):
+        # benchmark decontamination: every 50th doc plays the benchmark
+        # corpus; docs sharing any 3-word shingle with it are flagged
+        # (broadcast membership probe over hashed shingles)
+        docs = scan_table(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        return curate.decontaminate(docs, bench)
+    q["q_n15_decontaminate"] = q_n15
+
     # ---- MM: multimodal plumbing ----
     def q_mm1(spark, sf):
         media = documents_as_media(scan_table(spark, sf, "documents"))
@@ -1232,6 +1241,9 @@ def oracle_sql() -> dict[str, str]:
     o["q_n13_fingerprint"] = text.fingerprint_oracle_sql()
 
     o["q_pipe_curate"] = curate.curate_corpus_oracle_sql()
+    o["q_n15_decontaminate"] = curate.decontaminate_oracle_sql(
+        benchmark_where="doc_id % 50 = 0"
+    )
 
     o["q_mm1_media_metadata"] = """
         SELECT doc_id AS media_id,

@@ -89,6 +89,83 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, *,
     return kept.select(id_col, "pred_lang", "quality")
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  min_overlap: int = 1, hash_shingles: bool = True,
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any 3-word
+    shingle with an evaluation/benchmark corpus (the standard n-gram-overlap
+    decontamination rule for training-data pipelines). Returns
+    ``(id_col, n_contaminated, is_clean)`` for EVERY training doc —
+    ``n_contaminated`` counts the doc's distinct shingles that appear
+    anywhere in the benchmark; ``is_clean`` is ``n_contaminated <
+    min_overlap``. Filter on it (or raise ``min_overlap`` to tolerate
+    incidental phrase collisions).
+
+    Scale: the benchmark side is distinct-shingled and — benchmarks being
+    tiny next to a training corpus — BROADCAST, so the exploded corpus
+    shingle frame never shuffles for the membership probe; the only shuffle
+    keys on ``id_col`` and carries just the matching shingle rows
+    (contamination is rare by construction). ``hash_shingles`` turns every
+    probe key into 8 bytes (distinct strings -> distinct xxhash64, counts
+    unchanged), so the broadcast table stays compact even for a benchmark
+    suite of millions of n-grams. Set ``broadcast_benchmark=False`` only if
+    the benchmark side genuinely outgrows broadcast range — the join then
+    degrades gracefully to a shuffle on the hashed shingle."""
+    doc_sh = dedup.shingle_frame(docs, text_col, id_col)
+    bench_sh = dedup.shingle_frame(benchmark, text_col, id_col).select("sh").distinct()
+    if hash_shingles:
+        doc_sh = doc_sh.withColumn("sh", F.xxhash64("sh"))
+        bench_sh = bench_sh.select(F.xxhash64("sh").alias("sh"))
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    hits = (
+        doc_sh.join(bench_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("n"), F.lit(0)) < min_overlap).alias("is_clean"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(*, table: str = "documents",
+                             benchmark_where: str, id_col: str = "doc_id",
+                             min_overlap: int = 1) -> str:
+    """DuckDB oracle for :func:`decontaminate` with the benchmark defined as
+    ``SELECT * FROM table WHERE benchmark_where`` — string shingles on both
+    sides (the Spark side's xxhash64 keying is a pure transport optimization,
+    bijective over the distinct shingles, so counts match exactly)."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    sh_list = (
+        f"CASE WHEN len({ws}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({ws}) - 1), i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]))"
+        f" ELSE [] END"
+    )
+    return f"""
+WITH dsh AS (
+  SELECT {id_col}, unnest({sh_list}) AS s FROM {table}
+),
+bsh AS (
+  SELECT DISTINCT unnest({sh_list}) AS s FROM {table} WHERE {benchmark_where}
+),
+hits AS (
+  SELECT {id_col}, count(*) AS n FROM dsh JOIN bsh USING (s) GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       coalesce(hits.n, 0) AS n_contaminated,
+       coalesce(hits.n, 0) < {min_overlap} AS is_clean
+FROM {table} d LEFT JOIN hits USING ({id_col})
+ORDER BY d.{id_col}
+"""
+
+
 def curate_corpus_oracle_sql(*, min_quality: float = 0.5,
                              langs: tuple[str, ...] = ("en",),
                              jaccard_threshold: float = 0.5,
