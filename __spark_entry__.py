@@ -836,6 +836,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.decontaminate(docs, bench)
     q["q_n15_decontaminate"] = q_n15
 
+    #: the mixing recipe shared by q_n16 and its oracle: full src0, half
+    #: src1, a quarter src2, everything else at 10%
+    _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+    def q_n16(spark, sf):
+        # deterministic weighted data mixing: per-domain hash-bucket
+        # sampling, a zero-shuffle scan-fused projection (murmur3 parity
+        # makes the verdict hash-checkable in DuckDB)
+        docs = scan_table(spark, sf, "documents")
+        return curate.mix_decisions(docs, _MIX_WEIGHTS, default_rate=0.1)
+    q["q_n16_mix_decisions"] = q_n16
+
+    def q_n16b(spark, sf):
+        # the per-domain audit: totals, sampled counts, achieved rate
+        docs = scan_table(spark, sf, "documents")
+        return curate.mix_report(docs, _MIX_WEIGHTS, default_rate=0.1)
+    q["q_n16b_mix_report"] = q_n16b
+
     # ---- MM: multimodal plumbing ----
     def q_mm1(spark, sf):
         media = documents_as_media(scan_table(spark, sf, "documents"))
@@ -1244,6 +1262,18 @@ def oracle_sql() -> dict[str, str]:
     o["q_n15_decontaminate"] = curate.decontaminate_oracle_sql(
         benchmark_where="doc_id % 50 = 0"
     )
+    _mix_sql = curate.mix_decisions_oracle_sql(
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    )
+    o["q_n16_mix_decisions"] = _mix_sql
+    o["q_n16b_mix_report"] = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN is_sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN is_sampled THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS rate_actual
+FROM ({_mix_sql}) GROUP BY source ORDER BY source
+"""
 
     o["q_mm1_media_metadata"] = """
         SELECT doc_id AS media_id,

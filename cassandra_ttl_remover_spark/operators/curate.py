@@ -166,6 +166,107 @@ ORDER BY d.{id_col}
 """
 
 
+#: hash-bucket domain for deterministic sampling: pmod(murmur3(id), 2^31).
+_MIX_BUCKETS = 1 << 31
+
+
+def _mix_threshold(rate: float) -> int:
+    """Sampling rate -> integer bucket threshold, clamped to [0, 2^31]."""
+    return min(max(int(rate * _MIX_BUCKETS), 0), _MIX_BUCKETS)
+
+
+def mix_decisions(docs: DataFrame, weights: dict[str, float], *,
+                  default_rate: float = 0.0, domain_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted data mixing: per-domain Bernoulli sampling by
+    hash bucket — the way a training pipeline composes its corpus ("all of
+    wiki, 30% of web, 5% of logs"). A doc is kept iff
+    ``pmod(murmur3(id), 2^31) < rate[domain] * 2^31``: reproducible across
+    runs and engines (no RNG state), stable under corpus growth (a doc's
+    verdict never changes when other docs arrive), and exactly proportional
+    in expectation. Returns ``(id_col, domain_col, is_sampled)`` for every
+    doc.
+
+    Scale: a pure per-row projection — no shuffle, no sort, fused into the
+    scan by codegen; the weight table rides inline as a literal map (it is a
+    config, not data). This is the correct 100 TB shape: sampling 100 TB
+    costs one read pass."""
+    pairs: list[F.Column] = []
+    for d, r in sorted(weights.items()):
+        # uniform long values: a 1.0 rate's threshold (2^31) exceeds int32,
+        # and create_map insists on one value type across entries
+        pairs += [F.lit(d), F.lit(_mix_threshold(r)).cast("long")]
+    thr = F.coalesce(
+        F.create_map(*pairs)[F.col(domain_col)] if pairs else F.lit(None),
+        F.lit(_mix_threshold(default_rate)).cast("long"),
+    )
+    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(_MIX_BUCKETS))
+    return docs.select(
+        F.col(id_col), F.col(domain_col), (bucket < thr).alias("is_sampled")
+    )
+
+
+def mix_corpus(docs: DataFrame, weights: dict[str, float], *,
+               default_rate: float = 0.0, domain_col: str = "source",
+               id_col: str = "doc_id") -> DataFrame:
+    """The mixed corpus itself: :func:`mix_decisions` applied as a filter,
+    keeping all original columns. Same zero-shuffle scan-fused shape."""
+    dec = mix_decisions(docs, weights, default_rate=default_rate,
+                        domain_col=domain_col, id_col=id_col)
+    return docs.join(
+        dec.filter("is_sampled").select(id_col), id_col, "left_semi"
+    )
+
+
+def mix_report(docs: DataFrame, weights: dict[str, float], *,
+               default_rate: float = 0.0, domain_col: str = "source",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain mixing audit: total docs, sampled docs, achieved rate
+    (exact integer counts; one IEEE division so it oracle-matches). One
+    map-side-combined aggregation keyed by the (low-cardinality) domain."""
+    dec = mix_decisions(docs, weights, default_rate=default_rate,
+                        domain_col=domain_col, id_col=id_col)
+    return (
+        dec.groupBy(domain_col)
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("is_sampled").cast("long")).alias("n_sampled"),
+        )
+        .withColumn(
+            "rate_actual", F.col("n_sampled").cast("double") / F.col("n_total")
+        )
+    )
+
+
+def mix_decisions_oracle_sql(weights: dict[str, float], *,
+                             default_rate: float = 0.0,
+                             table: str = "documents",
+                             domain_col: str = "source",
+                             id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`mix_decisions`, reproducing Spark's
+    ``pmod(F.hash(id), 2^31)`` bit-exactly via
+    lookups.murmur3_hash_oracle_expr (unsigned & 0x7fffffff == pmod of the
+    signed hash — see that docstring)."""
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+
+    bucket = f"({murmur3_hash_oracle_expr(id_col)} & 2147483647)"
+    cases = " ".join(
+        f"WHEN '{d}' THEN {_mix_threshold(r)}"
+        for d, r in sorted(weights.items())
+    )
+    thr = (
+        f"CASE {domain_col} {cases} ELSE {_mix_threshold(default_rate)} END"
+        if cases
+        else str(_mix_threshold(default_rate))
+    )
+    return f"""
+SELECT {id_col}, {domain_col}, {bucket} < ({thr}) AS is_sampled
+FROM {table} ORDER BY {id_col}
+"""
+
+
 def curate_corpus_oracle_sql(*, min_quality: float = 0.5,
                              langs: tuple[str, ...] = ("en",),
                              jaccard_threshold: float = 0.5,

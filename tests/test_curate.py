@@ -69,3 +69,35 @@ def test_decontaminate_shuffle_path_matches_broadcast(spark, documents):
     b = curate.decontaminate(documents, bench, broadcast_benchmark=False,
                              hash_shingles=False)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_mix_decisions_deterministic_and_weighted(spark, documents):
+    w = {"src0": 1.0, "src1": 0.0}
+    dec = curate.mix_decisions(documents, w, default_rate=0.5).cache()
+    assert dec.count() == documents.count()
+    # rate 1.0 keeps everything, rate 0.0 keeps nothing
+    assert dec.filter((F.col("source") == "src0") & ~F.col("is_sampled")).count() == 0
+    assert dec.filter((F.col("source") == "src1") & F.col("is_sampled")).count() == 0
+    # deterministic: a second evaluation gives the identical verdict set
+    dec2 = curate.mix_decisions(documents, w, default_rate=0.5)
+    assert dec.exceptAll(dec2).count() == 0
+    # default-rate domains land near the target (hash-uniform, loose bound)
+    rep = curate.mix_report(documents, w, default_rate=0.5)
+    other = rep.filter(~F.col("source").isin("src0", "src1")).agg(
+        F.sum("n_sampled").alias("k"), F.sum("n_total").alias("n")
+    ).first()
+    assert 0.3 <= other.k / other.n <= 0.7
+
+    # mix_corpus keeps original columns and exactly the sampled ids
+    mixed = curate.mix_corpus(documents, w, default_rate=0.5)
+    assert mixed.columns == documents.columns
+    kept_ids = {r.doc_id for r in mixed.select("doc_id").collect()}
+    dec_ids = {r.doc_id for r in dec.filter("is_sampled").select("doc_id").collect()}
+    assert kept_ids == dec_ids
+
+
+def test_mix_decisions_is_scan_fused(spark, documents):
+    # the decision frame must be a pure projection: no exchange in the plan
+    dec = curate.mix_decisions(documents, {"src0": 0.5})
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
