@@ -854,6 +854,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.mix_report(docs, _MIX_WEIGHTS, default_rate=0.1)
     q["q_n16b_mix_report"] = q_n16b
 
+    def q_n17(spark, sf):
+        # quantile quality gate, exact path: global top-half by
+        # (quality desc, id) — deterministic, hash-matched row for row
+        docs = scan_table(spark, sf, "documents")
+        return curate.quality_cutoff(docs, 0.5, exact=True)
+    q["q_n17_quality_cutoff"] = q_n17
+
+    def q_n17b(spark, sf):
+        # the scale path (approx_percentile threshold, no global sort):
+        # n_total is exact and hash-checked; the kept fraction must land
+        # within 10% of target or within_tol flips false -> mismatch
+        docs = scan_table(spark, sf, "documents")
+        kept = curate.quality_cutoff(docs, 0.5)
+        n_kept = kept.agg(F.count("*").alias("n")).select("n")
+        n_tot = docs.agg(F.count("*").alias("m")).select("m")
+        return n_tot.crossJoin(n_kept).select(
+            F.col("m").cast("long").alias("n_total"),
+            (F.abs(F.col("n") - 0.5 * F.col("m")) <= 0.1 * F.col("m"))
+            .alias("within_tol"),
+        )
+    q["q_n17b_quality_cutoff_approx"] = q_n17b
+
     # ---- MM: multimodal plumbing ----
     def q_mm1(spark, sf):
         media = documents_as_media(scan_table(spark, sf, "documents"))
@@ -1274,6 +1296,10 @@ SELECT source,
          AS rate_actual
 FROM ({_mix_sql}) GROUP BY source ORDER BY source
 """
+    o["q_n17_quality_cutoff"] = curate.quality_cutoff_oracle_sql(0.5)
+    o["q_n17b_quality_cutoff_approx"] = (
+        "SELECT count(*)::BIGINT AS n_total, TRUE AS within_tol FROM documents"
+    )
 
     o["q_mm1_media_metadata"] = """
         SELECT doc_id AS media_id,

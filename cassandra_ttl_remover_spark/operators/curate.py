@@ -20,8 +20,10 @@ recursive-CTE connected-components step.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cassandra_ttl_remover_spark.operators import dedup, text
 
@@ -163,6 +165,64 @@ SELECT d.{id_col},
        coalesce(hits.n, 0) < {min_overlap} AS is_clean
 FROM {table} d LEFT JOIN hits USING ({id_col})
 ORDER BY d.{id_col}
+"""
+
+
+def quality_cutoff(docs: DataFrame, keep_frac: float = 0.5, *,
+                   exact: bool = False, text_col: str = "text",
+                   id_col: str = "doc_id", accuracy: int = 10000) -> DataFrame:
+    """Keep the top ``keep_frac`` of documents by quality score (the
+    quantile-based quality gate a curation pipeline applies when the budget
+    is "best half of the corpus" rather than an absolute score).
+    Returns ``(id_col, quality)`` of the kept docs.
+
+    Default path (the 100 TB shape): two scan passes, no global sort —
+    ``approx_percentile`` finds the quality value at the (1 - keep_frac)
+    quantile (sketch aggregated map-side into one scalar), then a filter
+    keeps docs at or above it; the 1-row threshold frame broadcasts into
+    the comparison. Sketch error moves the CUT POINT by ~1/accuracy of the
+    mass; it never misorders documents.
+
+    ``exact=True`` is the deterministic oracle surface: global
+    top-``ceil(keep_frac*n)`` by (quality desc, id asc) via a row_number
+    window with no partitioning — a total order that serializes onto ONE
+    task, correct at any size but only sensible for verification and small
+    corpora."""
+    scored = text.quality_score(docs, text_col, id_col).select(id_col, "quality")
+    if exact:
+        n = scored.count()
+        k = max(1, math.ceil(keep_frac * n))
+        w = Window.orderBy(F.desc("quality"), F.asc(id_col))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "quality")
+        )
+    thr = scored.agg(
+        F.percentile_approx("quality", 1.0 - keep_frac, accuracy).alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), F.col("quality") >= F.col("thr"))
+        .select(id_col, "quality")
+    )
+
+
+def quality_cutoff_oracle_sql(keep_frac: float = 0.5, *,
+                              table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    """DuckDB oracle for the EXACT path of :func:`quality_cutoff` — same
+    row_number tie-break, same ceil(frac*n) cut."""
+    q = text.quality_oracle_sql(table, id_col)
+    return f"""
+WITH q AS (SELECT {id_col}, quality FROM ({q})),
+r AS (
+  SELECT {id_col}, quality,
+         row_number() OVER (ORDER BY quality DESC, {id_col}) AS rn
+  FROM q
+)
+SELECT {id_col}, quality FROM r
+WHERE rn <= greatest(1, CAST(ceil({keep_frac} * (SELECT count(*) FROM q)) AS BIGINT))
+ORDER BY {id_col}
 """
 
 

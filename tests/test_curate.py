@@ -101,3 +101,33 @@ def test_mix_decisions_is_scan_fused(spark, documents):
     dec = curate.mix_decisions(documents, {"src0": 0.5})
     plan = dec._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quality_cutoff_exact_and_approx_agree(spark, documents):
+    n = documents.count()
+    exact = curate.quality_cutoff(documents, 0.5, exact=True).cache()
+    k = exact.count()
+    assert k == -(-n // 2)  # ceil(n/2)
+    # the cut keeps the HIGH end: min kept quality >= max dropped quality
+    from cassandra_ttl_remover_spark.operators.text import quality_score
+    scored = quality_score(documents).select("doc_id", "quality")
+    dropped = scored.join(exact.select("doc_id"), "doc_id", "left_anti")
+    lo_kept = exact.agg(F.min("quality")).first()[0]
+    hi_drop = dropped.agg(F.max("quality")).first()[0]
+    assert hi_drop is None or hi_drop <= lo_kept
+
+    # approx path keeps a similar-sized, threshold-consistent set
+    approx = curate.quality_cutoff(documents, 0.5).cache()
+    ka = approx.count()
+    assert abs(ka - 0.5 * n) <= 0.1 * n
+    thr = approx.agg(F.min("quality")).first()[0]
+    # nothing below the achieved threshold is kept, everything at/above is
+    assert scored.filter(F.col("quality") >= thr).count() == ka
+
+
+def test_quality_cutoff_approx_plan_has_no_global_sort(spark, documents):
+    kept = curate.quality_cutoff(documents, 0.5)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # only exchanges allowed: the singleton threshold aggregation + fan_out
+    assert "rangepartitioning" not in plan.lower()
