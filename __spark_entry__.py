@@ -876,6 +876,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_n17b_quality_cutoff_approx"] = q_n17b
 
+    def q_n18(spark, sf):
+        # canonical text normalization (lowercase, whitespace collapse,
+        # trim) — the projection that runs before exact dedup/tokenization
+        return text.normalize_text(scan_table(spark, sf, "documents"))
+    q["q_n18_normalize_text"] = q_n18
+
+    def q_n19(spark, sf):
+        # deterministic fixed-size sample: exact top-k by murmur bucket,
+        # planned as TakeOrderedAndProject (per-task heaps, no global sort)
+        return curate.sample_fixed(scan_table(spark, sf, "documents"), 100)
+    q["q_n19_sample_fixed"] = q_n19
+
+    def q_n20(spark, sf):
+        # concat-and-chunk sequence packing, SHARDED shape (4 murmur shards
+        # packing in parallel) — the scale form, still hash-checkable
+        return curate.pack_sequences(
+            scan_table(spark, sf, "documents"), budget=500, num_shards=4
+        )
+    q["q_n20_pack_sequences"] = q_n20
+
     # ---- MM: multimodal plumbing ----
     def q_mm1(spark, sf):
         media = documents_as_media(scan_table(spark, sf, "documents"))
@@ -1299,6 +1319,11 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n17_quality_cutoff"] = curate.quality_cutoff_oracle_sql(0.5)
     o["q_n17b_quality_cutoff_approx"] = (
         "SELECT count(*)::BIGINT AS n_total, TRUE AS within_tol FROM documents"
+    )
+    o["q_n18_normalize_text"] = text.normalize_text_oracle_sql()
+    o["q_n19_sample_fixed"] = curate.sample_fixed_oracle_sql(100)
+    o["q_n20_pack_sequences"] = curate.pack_sequences_oracle_sql(
+        500, num_shards=4
     )
 
     o["q_mm1_media_metadata"] = """

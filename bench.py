@@ -112,6 +112,15 @@ def main() -> int:
     def q_curate_pipeline():
         curate.curate_corpus(spark, documents).count()
 
+    def q_decontaminate():
+        bench_docs = documents.filter(F.col("doc_id") % 50 == 0)
+        curate.decontaminate(documents, bench_docs).filter("NOT is_clean").count()
+
+    def q_mix_sample():
+        curate.mix_decisions(
+            documents, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+        ).filter("is_sampled").count()
+
     def q_tpch_q3():
         import __spark_entry__ as entry_mod
         from cassandra_ttl_remover_spark import load_tables
@@ -137,6 +146,8 @@ def main() -> int:
         "topk_similarity": q_topk_similarity,
         "text_quality": q_text_quality,
         "curate_pipeline": q_curate_pipeline,
+        "decontaminate": q_decontaminate,
+        "mix_sample": q_mix_sample,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
     }

@@ -327,6 +327,110 @@ FROM {table} ORDER BY {id_col}
 """
 
 
+def sample_fixed(docs: DataFrame, k: int, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fixed-SIZE uniform sample: the k docs with the smallest
+    ``pmod(murmur3(id), 2^31)`` (ties by id). Unlike rate-based sampling
+    (:func:`mix_decisions`) the output size is exactly ``min(k, n)``; like
+    it, the choice is reproducible and engine-portable (Murmur3 parity
+    oracle). Membership shifts as the corpus grows (a fixed-size sample
+    can't be growth-stable) — use mix_decisions when stability matters more
+    than exact size.
+
+    Scale: orderBy+limit plans as TakeOrderedAndProject — each task keeps a
+    k-row heap, the driver merges per-task heaps; nothing global is sorted
+    and only ``tasks * k`` rows move. For k in the millions prefer a
+    rate-based pre-filter (mix_decisions at ~2k/n) followed by this exact
+    top-k on the survivors."""
+    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(_MIX_BUCKETS))
+    return (
+        docs.select(F.col(id_col), bucket.alias("sample_key"))
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )
+
+
+def sample_fixed_oracle_sql(k: int, *, table: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+
+    bucket = f"({murmur3_hash_oracle_expr(id_col)} & 2147483647)"
+    return f"""
+SELECT {id_col}, {bucket} AS sample_key
+FROM {table} ORDER BY sample_key, {id_col} LIMIT {k}
+"""
+
+
+def pack_sequences(docs: DataFrame, budget: int, *, num_shards: int = 1,
+                   tokens_col: str = "alnum_tokens",
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-training step
+    that concatenates documents in a deterministic order and cuts the
+    stream every ``budget`` tokens. Each doc is assigned the bin its FIRST
+    token lands in: ``bin = (cumulative tokens before this doc) div
+    budget``. Returns ``(id_col, shard, n_tokens, bin)``.
+
+    Scale: a running total needs an order, and a single global order is one
+    task — so the corpus is sharded by ``pmod(murmur3(id), num_shards)``
+    and packed independently per shard (PARTITION BY shard ORDER BY id
+    window): shards pack in parallel, each emitting its own bin sequence.
+    ``num_shards=1`` is the strictly-sequential oracle/small-corpus shape;
+    at 100 TB set shards ~ cores so each holds a few GB. The shard hash is
+    Murmur3, so even the sharded shape stays hash-checkable in DuckDB."""
+    tokens = text.token_counts(docs, text_col, id_col).select(id_col, tokens_col)
+    shard = F.pmod(F.hash(F.col(id_col)), F.lit(num_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tokens.select(
+            F.col(id_col),
+            shard.cast("int").alias("shard"),
+            F.col(tokens_col).alias("n_tokens"),
+        )
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            F.expr(f"(_cum - n_tokens) div {budget}").cast("long").alias("bin"),
+        )
+    )
+
+
+def pack_sequences_oracle_sql(budget: int, *, num_shards: int = 1,
+                              table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+
+    # pmod of the SIGNED 32-bit hash: reconstruct the signed value from the
+    # unsigned oracle hash, then ((h % m) + m) % m
+    h = murmur3_hash_oracle_expr(id_col)
+    signed = f"(CASE WHEN ({h}) >= 2147483648 THEN ({h}) - 4294967296 ELSE ({h}) END)"
+    shard = f"((({signed}) % {num_shards} + {num_shards}) % {num_shards})"
+    ntok = "len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT"
+    return f"""
+WITH t AS (
+  SELECT {id_col}, CAST({shard} AS INTEGER) AS shard, {ntok} AS n_tokens
+  FROM {table}
+),
+c AS (
+  SELECT {id_col}, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT {id_col}, shard, n_tokens,
+       CAST((cum - n_tokens) // {budget} AS BIGINT) AS bin
+FROM c ORDER BY {id_col}
+"""
+
+
 def curate_corpus_oracle_sql(*, min_quality: float = 0.5,
                              langs: tuple[str, ...] = ("en",),
                              jaccard_threshold: float = 0.5,

@@ -281,3 +281,38 @@ SELECT {id_col},
        coalesce(list_min(list_transform({sh}, s -> md5(s))), md5(text)) AS fingerprint
 FROM {table} ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (preprocessing projection)
+# ---------------------------------------------------------------------------
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   keep_cols: list[str] | None = None) -> DataFrame:
+    """Canonical text normalization ahead of dedup/tokenization: lowercase,
+    collapse every whitespace run to a single space, trim. Normalizing
+    BEFORE exact dedup is what makes byte-distinct-but-equivalent documents
+    (trailing newlines, double spaces, case drift) collapse into one hash
+    group. Per-row projection — no shuffle, fused into the scan; returns
+    ``(id_col, *keep_cols, norm_text, n_chars)`` with ``n_chars`` the
+    normalized length."""
+    keep = [c for c in (keep_cols or []) if c != id_col]
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return docs.select(
+        id_col,
+        *[F.col(c) for c in keep],
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars"),
+    )
+
+
+def normalize_text_oracle_sql(table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    # the 'g' flag matters: DuckDB regexp_replace is first-match-only by
+    # default, Spark's replaces all occurrences
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+SELECT {id_col}, {norm} AS norm_text, length({norm})::BIGINT AS n_chars
+FROM {table} ORDER BY {id_col}
+"""

@@ -131,3 +131,49 @@ def test_quality_cutoff_approx_plan_has_no_global_sort(spark, documents):
     assert "Window" not in plan
     # only exchanges allowed: the singleton threshold aggregation + fan_out
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_sample_fixed_exact_size_and_determinism(spark, documents):
+    s = curate.sample_fixed(documents, 50).cache()
+    assert s.count() == 50
+    s2 = curate.sample_fixed(documents, 50)
+    assert s.exceptAll(s2).count() == 0
+    # nested property: the 20-sample is a prefix of the 50-sample
+    s20 = curate.sample_fixed(documents, 20)
+    assert s20.join(s, "doc_id", "left_anti").count() == 0
+    # top-k plan, not a global sort
+    plan = curate.sample_fixed(documents, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_bins_respect_budget(spark, documents):
+    packed = curate.pack_sequences(documents, budget=500, num_shards=4).cache()
+    assert packed.count() == documents.count()
+    assert packed.select("shard").distinct().count() == 4
+    # within a shard, bins are non-decreasing in id order and the tokens
+    # BEFORE each doc equal bin*budget + in-bin offset in [0, budget)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    with_prev = packed.withColumn("before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    bad = with_prev.filter(F.expr("before div 500") != F.col("bin"))
+    assert bad.count() == 0
+    # single-shard form is strictly sequential: bin 0 starts at doc with
+    # the smallest id
+    seq = curate.pack_sequences(documents, budget=500, num_shards=1)
+    first = seq.orderBy("doc_id").first()
+    assert first.bin == 0 and first.shard == 0
+
+
+def test_normalize_text_idempotent(spark, documents):
+    from cassandra_ttl_remover_spark.operators.text import normalize_text
+    n1 = normalize_text(documents)
+    # normalizing an already-normalized corpus is a fixed point
+    renorm = normalize_text(
+        n1.select("doc_id", F.col("norm_text").alias("text")))
+    diff = n1.join(renorm.withColumnRenamed("norm_text", "again"), "doc_id").filter(
+        F.col("norm_text") != F.col("again")
+    )
+    assert diff.count() == 0
+    # no double spaces / leading / trailing whitespace survive
+    assert n1.filter(F.col("norm_text").contains("  ")).count() == 0
+    assert n1.filter(F.col("norm_text") != F.trim(F.col("norm_text"))).count() == 0
