@@ -896,6 +896,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_n20_pack_sequences"] = q_n20
 
+    def q_n21(spark, sf):
+        # Gopher-style intra-doc repetition signals (dup shingle/word
+        # fractions) — exact integer counts, one IEEE division each
+        return text.repetition_ratio(scan_table(spark, sf, "documents"))
+    q["q_n21_repetition_ratio"] = q_n21
+
+    def q_n22(spark, sf):
+        # deterministic PII first pass: email + long-digit-run redaction
+        return text.scrub_pii(scan_table(spark, sf, "documents"))
+    q["q_n22_scrub_pii"] = q_n22
+
+    def q_se1(spark, sf):
+        # gap-based sessionization: 1h inactivity splits a user's stream
+        from cassandra_ttl_remover_spark.operators import sessions
+        return sessions.sessionize(_events(spark, sf), gap_seconds=3600)
+    q["q_se1_sessionize"] = q_se1
+
+    def q_se2(spark, sf):
+        # per-session rollup sharing the sessionize shuffle (one exchange)
+        from cassandra_ttl_remover_spark.operators import sessions
+        return sessions.session_stats(_events(spark, sf), gap_seconds=3600)
+    q["q_se2_session_stats"] = q_se2
+
     # ---- MM: multimodal plumbing ----
     def q_mm1(spark, sf):
         media = documents_as_media(scan_table(spark, sf, "documents"))
@@ -1325,6 +1348,11 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n20_pack_sequences"] = curate.pack_sequences_oracle_sql(
         500, num_shards=4
     )
+    o["q_n21_repetition_ratio"] = text.repetition_ratio_oracle_sql()
+    o["q_n22_scrub_pii"] = text.scrub_pii_oracle_sql()
+    from cassandra_ttl_remover_spark.operators import sessions as _sessions
+    o["q_se1_sessionize"] = _sessions.sessionize_oracle_sql(3600)
+    o["q_se2_session_stats"] = _sessions.session_stats_oracle_sql(3600)
 
     o["q_mm1_media_metadata"] = """
         SELECT doc_id AS media_id,

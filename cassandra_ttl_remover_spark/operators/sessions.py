@@ -1,0 +1,103 @@
+"""Sessionization — gap-based event grouping (standard-taxonomy addition,
+SURVEY.md §2.2): split each user's event stream into sessions wherever the
+inter-event gap exceeds a threshold, the batch analog of the streaming
+session window (streaming/ttl_stream.py handles the streaming side via
+watermarked windows). For a training-data pipeline this is the "chat log ->
+conversation" grouping step.
+
+Spark-first shape: one window (PARTITION BY user ORDER BY ts) carrying a
+lag-diff flag and its running sum — a single hash shuffle on the user key,
+no joins, no iteration. Skew caveat: one user's full history lands in one
+task (inherent to per-user ordering; the same caveat as asof_join — salt by
+time-bucket first if a single entity exceeds task memory).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: ANSI-safe µs extraction from the scan layer's timestamp_ntz.
+_US = "unix_micros(cast({c} as timestamp))"
+
+
+def sessionize(events: DataFrame, gap_seconds: int, *,
+               user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id") -> DataFrame:
+    """Assign ``(user_col, session_seq)`` to every event: ``session_seq``
+    starts at 0 per user and increments whenever the gap since the user's
+    previous event exceeds ``gap_seconds``. Deterministic (ties broken by
+    ``id_col``) and engine-portable — exact integer µs arithmetic.
+
+    Returns ``(id_col, user_col, ts_us, session_seq)``."""
+    gap_us = int(gap_seconds) * 1_000_000
+    ev = events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.expr(_US.format(c=ts_col)).alias("ts_us"),
+    )
+    w = Window.partitionBy(user_col).orderBy("ts_us", id_col)
+    new_sess = (
+        F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(gap_us)
+    ).cast("long")
+    run = Window.partitionBy(user_col).orderBy("ts_us", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.withColumn("_new", F.coalesce(new_sess, F.lit(0))).select(
+        id_col,
+        user_col,
+        "ts_us",
+        F.sum("_new").over(run).alias("session_seq"),
+    )
+
+
+def session_stats(events: DataFrame, gap_seconds: int, *,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id") -> DataFrame:
+    """Per-session rollup: event count, span in µs. The sessionize window
+    and this groupBy share the same user-key partitioning, so the
+    aggregation reuses the window's shuffle (one exchange total)."""
+    s = sessionize(events, gap_seconds, user_col=user_col, ts_col=ts_col,
+                   id_col=id_col)
+    return (
+        s.groupBy(user_col, "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+        )
+    )
+
+
+def sessionize_oracle_sql(gap_seconds: int, *, table: str = "events",
+                          user_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id") -> str:
+    gap_us = int(gap_seconds) * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT {id_col}, {user_col}, epoch_us({ts_col}) AS ts_us FROM {table}
+),
+f AS (
+  SELECT {id_col}, {user_col}, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY {user_col} ORDER BY ts_us, {id_col})
+)
+SELECT {id_col}, {user_col}, ts_us,
+       CAST(sum(new_sess) OVER (PARTITION BY {user_col} ORDER BY ts_us, {id_col}
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM f ORDER BY {id_col}
+"""
+
+
+def session_stats_oracle_sql(gap_seconds: int, *, table: str = "events",
+                             user_col: str = "user_id", ts_col: str = "ts",
+                             id_col: str = "event_id") -> str:
+    inner = sessionize_oracle_sql(gap_seconds, table=table, user_col=user_col,
+                                  ts_col=ts_col, id_col=id_col)
+    return f"""
+SELECT {user_col}, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
+FROM ({inner})
+GROUP BY {user_col}, session_seq
+ORDER BY {user_col}, session_seq
+"""

@@ -316,3 +316,100 @@ def normalize_text_oracle_sql(table: str = "documents",
 SELECT {id_col}, {norm} AS norm_text, length({norm})::BIGINT AS n_chars
 FROM {table} ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (Gopher-style intra-document quality signal)
+# ---------------------------------------------------------------------------
+
+def repetition_ratio(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition: the fraction of the doc's 3-word shingles
+    that are duplicates of an earlier one (``1 - distinct/total``), plus the
+    duplicate-word fraction — the standard repeated-n-gram quality filters
+    for LLM corpora (high values = boilerplate loops, keyboard mashing,
+    crawler traps). Exact integer counts -> one IEEE division each, so the
+    DuckDB oracle hash-matches. Per-row projection, no shuffle."""
+    ws = WORDS_EXPR.format(col=text_col)
+    total_sh = f"greatest(size({ws}) - 2, 0)"
+    distinct_sh = SHINGLES_EXPR.format(ws=ws)
+    docs = fan_out(docs, id_col)
+    return docs.select(
+        id_col,
+        F.expr(
+            f"1.0d - cast(size({distinct_sh}) as double) / nullif({total_sh}, 0)"
+        ).alias("dup_shingle_ratio"),
+        F.expr(
+            f"1.0d - cast(size(array_distinct({ws})) as double)"
+            f" / nullif(size({ws}), 0)"
+        ).alias("dup_word_ratio"),
+    )
+
+
+def repetition_ratio_oracle_sql(table: str = "documents",
+                                id_col: str = "doc_id") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    sh = (
+        f"CASE WHEN len({ws}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({ws}) - 1), i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]))"
+        f" ELSE [] END"
+    )
+    return f"""
+SELECT {id_col},
+       1.0 - CAST(len({sh}) AS DOUBLE) / nullif(greatest(len({ws}) - 2, 0), 0)
+         AS dup_shingle_ratio,
+       1.0 - CAST(len(list_distinct({ws})) AS DOUBLE) / nullif(len({ws}), 0)
+         AS dup_word_ratio
+FROM {table} ORDER BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction projection)
+# ---------------------------------------------------------------------------
+
+#: redaction patterns chosen for cross-engine regex portability (no
+#: lookarounds — Java regex and RE2 agree on these)
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+_LONGNUM_RE = "[0-9]{7,}"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact obvious PII-shaped spans: email addresses -> ``<email>``,
+    7+-digit runs (phone/account numbers) -> ``<number>``. Deliberately
+    conservative patterns — a recall-first PII pipeline layers an NER model
+    on top; this operator is the cheap deterministic first pass every
+    corpus gets. Returns ``(id_col, clean_text, n_redactions)``; per-row
+    projection, no shuffle."""
+    c = F.col(text_col)
+    # Column API only (F.regexp_count/F.regexp_replace take the pattern
+    # verbatim) — routing these through F.expr would subject the backslash
+    # in the email pattern to SQL string-literal escape processing
+    n_red = F.regexp_count(c, F.lit(_EMAIL_RE)) + F.regexp_count(
+        F.regexp_replace(c, _EMAIL_RE, "<email>"), F.lit(_LONGNUM_RE)
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(c, _EMAIL_RE, "<email>"), _LONGNUM_RE, "<number>"
+    )
+    docs = fan_out(docs, id_col)
+    return docs.select(
+        id_col,
+        clean.alias("clean_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def scrub_pii_oracle_sql(table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    email, num = _EMAIL_RE.replace("\\\\", "\\"), _LONGNUM_RE
+    return f"""
+SELECT {id_col},
+       regexp_replace(regexp_replace(text, '{email}', '<email>', 'g'),
+                      '{num}', '<number>', 'g') AS clean_text,
+       (len(regexp_extract_all(text, '{email}'))
+        + len(regexp_extract_all(
+            regexp_replace(text, '{email}', '<email>', 'g'), '{num}')))::BIGINT
+         AS n_redactions
+FROM {table} ORDER BY {id_col}
+"""

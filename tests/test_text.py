@@ -48,3 +48,39 @@ def test_fingerprint_stable_under_local_edit(spark):
     # min-shingle fingerprint usually survives a single-shingle change
     assert fp[0] == fp[1]
     assert len(fp[2]) == 32  # md5 fallback for short docs
+
+
+def test_repetition_ratio_bounds_and_known_doc(spark):
+    from cassandra_ttl_remover_spark.operators.text import repetition_ratio
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),       # 7 shingles, 3 distinct
+            (2, "w x y z"),                 # 2 shingles, all distinct
+            (3, "q"),                       # no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_ratio(docs).collect()}
+    assert abs(out[1].dup_shingle_ratio - (1 - 3 / 7)) < 1e-12
+    assert out[2].dup_shingle_ratio == 0.0
+    assert out[3].dup_shingle_ratio is None  # undefined, not fabricated
+    assert abs(out[1].dup_word_ratio - (1 - 3 / 9)) < 1e-12
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from cassandra_ttl_remover_spark.operators.text import scrub_pii
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe@example.com or call 5551234567 now"),
+            (2, "clean text with short 123 number"),
+            (3, "two mails: a@b.io c@d.org and 99999999"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert out[1].clean_text == "mail me at <email> or call <number> now"
+    assert out[1].n_redactions == 2
+    assert out[2].clean_text == "clean text with short 123 number"
+    assert out[2].n_redactions == 0
+    assert out[3].clean_text == "two mails: <email> <email> and <number>"
+    assert out[3].n_redactions == 3
