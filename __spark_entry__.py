@@ -919,6 +919,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sessions.session_stats(_events(spark, sf), gap_seconds=3600)
     q["q_se2_session_stats"] = q_se2
 
+    def q_c1(spark, sf):
+        # run compaction (the SSTable-compaction analog): base run + an
+        # update run touching every 3rd event with a newer writetime;
+        # file-level roundtrip — both runs written sorted, merged LWW,
+        # rewritten, read back
+        from cassandra_ttl_remover_spark.operators import compact as cp
+        base = _ann(spark, sf).select(
+            "user_id", "event_id", "writetime", "event_type", "value"
+        )
+        upd = base.filter(F.col("event_id") % 3 == 0).select(
+            "user_id", "event_id",
+            (F.col("writetime") + 1_000_000).alias("writetime"),
+            "event_type",
+            (F.col("value") + 1.0).alias("value"),
+        )
+        tag = os.path.basename(sf.rstrip("/"))
+        d1 = os.path.join(tempfile.gettempdir(), f"ctrs_c1_base_{tag}")
+        d2 = os.path.join(tempfile.gettempdir(), f"ctrs_c1_upd_{tag}")
+        do = os.path.join(tempfile.gettempdir(), f"ctrs_c1_out_{tag}")
+        write_sorted(base, d1, pk="user_id", clustering=["event_id"], num_files=8)
+        write_sorted(upd, d2, pk="user_id", clustering=["event_id"], num_files=8)
+        return cp.compact_runs(
+            spark, [d1, d2], keys=["user_id", "event_id"], out=do, num_files=8
+        )
+    q["q_c1_compact_runs"] = q_c1
+
     # ---- MM: multimodal plumbing ----
     def q_mm1(spark, sf):
         media = documents_as_media(scan_table(spark, sf, "documents"))
@@ -1353,6 +1379,18 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     from cassandra_ttl_remover_spark.operators import sessions as _sessions
     o["q_se1_sessionize"] = _sessions.sessionize_oracle_sql(3600)
     o["q_se2_session_stats"] = _sessions.session_stats_oracle_sql(3600)
+    from cassandra_ttl_remover_spark.operators import compact as _compact
+    o["q_c1_compact_runs"] = _compact.merge_runs_lww_oracle_sql(
+        [
+            f"WITH a AS ({ann}) SELECT user_id, event_id, writetime,"
+            " event_type, value FROM a",
+            f"WITH a AS ({ann}) SELECT user_id, event_id,"
+            " writetime + 1000000 AS writetime, event_type,"
+            " value + 1.0 AS value FROM a WHERE event_id % 3 = 0",
+        ],
+        keys=["user_id", "event_id"],
+        value_cols=["event_type", "value"],
+    )
 
     o["q_mm1_media_metadata"] = """
         SELECT doc_id AS media_id,

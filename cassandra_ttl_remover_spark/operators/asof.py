@@ -17,6 +17,14 @@ AND l.ts >= r.ts`` — which is the oracle used to verify it.
 NULL caveat: a right row whose value column is genuinely NULL is
 indistinguishable from "no row yet" to the ignorenulls carry; emit a
 sentinel or pre-coalesce if NULL right values are meaningful.
+
+Skew caveat: the window partitions by key only, so one key's ENTIRE
+history (both sides) lands in a single task — inherent to per-key time
+ordering, same as sessionization. If a single key's history outgrows task
+memory at 100 TB, pre-split by coarse time bucket (windowed asof per
+bucket, carry the last value of bucket N into N+1 as a seed row) before
+this operator; for merely-uneven keys AQE's skew handling does not apply
+to window exchanges, so size shuffle partitions for the largest key.
 """
 
 from __future__ import annotations

@@ -1,0 +1,86 @@
+"""Run compaction — merge N overlapping sorted runs into one with
+last-writer-wins conflict resolution (the reference's liveness merge rule,
+SURVEY.md §1.2: higher writetime wins — NoTTLReader's merge of updates
+across SSTable generations; the reference tool runs BEFORE compaction, this
+operator IS the compaction analog a user of the pipeline eventually runs).
+
+Spark-first shape: union the runs (a metadata-only concat — no data moves),
+then ONE hash shuffle on the merge key with a map-side-combined arg-max:
+``max(struct(writetime, *values))`` picks the winning version without a
+window sort. At 100 TB this is the optimal shape — each run is scanned
+once, the only exchange carries one row per (key, version), and partial
+aggregation collapses duplicate versions inside each map task before the
+shuffle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_ttl_remover_spark.sinks.writer import write_sorted
+from cassandra_ttl_remover_spark.sources.scan import scan
+
+
+def merge_runs_lww(frames: list[DataFrame], keys: list[str],
+                   writetime_col: str = "writetime") -> DataFrame:
+    """Merge overlapping runs: one surviving row per ``keys``, the one with
+    the highest ``writetime_col`` (ties broken deterministically by the
+    remaining columns' lexicographic struct order — NULL loses, matching
+    max() semantics in both engines with NULLS-LAST descending order).
+
+    Single shuffle on the key; arg-max via struct max, so no window, no
+    per-partition sort."""
+    if not frames:
+        raise ValueError("merge_runs_lww needs at least one run")
+    u = reduce(lambda a, b: a.unionByName(b), frames)
+    value_cols = [c for c in u.columns if c not in (*keys, writetime_col)]
+    picked = u.groupBy(*keys).agg(
+        F.max(F.struct(writetime_col, *value_cols)).alias("_w")
+    )
+    return picked.select(
+        *keys,
+        F.col(f"_w.{writetime_col}").alias(writetime_col),
+        *[F.col(f"_w.{c}").alias(c) for c in value_cols],
+    )
+
+
+def compact_runs(spark: SparkSession, paths: list[str], *, keys: list[str],
+                 writetime_col: str = "writetime", out: str | None = None,
+                 num_files: int = 32) -> DataFrame:
+    """File-level compaction: scan each run directory, merge with
+    last-writer-wins, and (if ``out``) rewrite as one sorted partitioned
+    run via the W1 sink — read back so callers see exactly what landed.
+    Without ``out`` the merged frame is returned unmaterialized (compose
+    into a larger plan)."""
+    frames = [scan(spark, p) for p in paths]
+    merged = merge_runs_lww(frames, keys=keys, writetime_col=writetime_col)
+    if out is not None:
+        write_sorted(merged, out, pk=keys[0], clustering=list(keys[1:]),
+                     num_files=num_files)
+        return scan(spark, out)
+    return merged
+
+
+def merge_runs_lww_oracle_sql(runs_sql: list[str], keys: list[str],
+                              value_cols: list[str],
+                              writetime_col: str = "writetime") -> str:
+    """DuckDB oracle: UNION ALL the run CTE bodies, arg-max per key via
+    row_number with the same (writetime, *values) descending NULLS LAST
+    order the struct max implies."""
+    union = " UNION ALL ".join(f"SELECT * FROM ({r})" for r in runs_sql)
+    order = ", ".join(
+        f"{c} DESC NULLS LAST" for c in (writetime_col, *value_cols)
+    )
+    keys_csv = ", ".join(keys)
+    cols_csv = ", ".join((*keys, writetime_col, *value_cols))
+    return f"""
+WITH u AS ({union}),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY {keys_csv} ORDER BY {order}) AS rn
+  FROM u
+)
+SELECT {cols_csv} FROM rk WHERE rn = 1 ORDER BY {keys_csv}
+"""

@@ -1,0 +1,51 @@
+import pyspark.sql.functions as F
+
+from cassandra_ttl_remover_spark.operators import compact
+from cassandra_ttl_remover_spark.operators.liveness import annotate_events
+
+
+def test_merge_runs_lww_picks_newest(spark):
+    r1 = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 11, 100, "b"), (2, 10, 100, "c")],
+        "pk long, ck long, writetime long, v string",
+    )
+    r2 = spark.createDataFrame(
+        [(1, 10, 200, "A"), (2, 10, 50, "C_old"), (3, 10, 100, "d")],
+        "pk long, ck long, writetime long, v string",
+    )
+    out = {(r.pk, r.ck): (r.writetime, r.v)
+           for r in compact.merge_runs_lww([r1, r2], ["pk", "ck"]).collect()}
+    assert out == {
+        (1, 10): (200, "A"),     # update wins
+        (1, 11): (100, "b"),     # untouched
+        (2, 10): (100, "c"),     # stale update loses
+        (3, 10): (100, "d"),     # new key appears
+    }
+
+
+def test_compact_runs_roundtrip_sorted(spark, events, tmp_path):
+    from cassandra_ttl_remover_spark.sinks.writer import write_sorted
+    base = annotate_events(events).select("user_id", "event_id", "writetime", "value")
+    upd = base.filter(F.col("event_id") % 5 == 0).withColumn(
+        "writetime", F.col("writetime") + 1
+    ).withColumn("value", F.col("value") * 2)
+    d1, d2, do = str(tmp_path / "r1"), str(tmp_path / "r2"), str(tmp_path / "out")
+    write_sorted(base, d1, pk="user_id", clustering=["event_id"], num_files=4)
+    write_sorted(upd, d2, pk="user_id", clustering=["event_id"], num_files=4)
+    merged = compact.compact_runs(
+        spark, [d1, d2], keys=["user_id", "event_id"], out=do, num_files=4
+    ).cache()
+    # one row per key, count preserved vs the base run
+    assert merged.count() == base.count()
+    assert merged.groupBy("user_id", "event_id").count().filter("count > 1").count() == 0
+    # every updated key carries the bumped writetime
+    joined = merged.join(upd.select("user_id", "event_id",
+                                    F.col("writetime").alias("wt_upd")),
+                         ["user_id", "event_id"])
+    assert joined.filter(F.col("writetime") != F.col("wt_upd")).count() == 0
+    # single shuffle for the merge itself (pre-write): union adds none
+    plan_df = compact.merge_runs_lww(
+        [spark.read.parquet(d1), spark.read.parquet(d2)], ["user_id", "event_id"]
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
