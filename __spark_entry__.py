@@ -1029,6 +1029,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return drain_to_table(out, f"st3_{uuid.uuid4().hex[:8]}", "complete")
     q["q_st3_stream_expiring_window"] = q_st3
 
+    def q_st4(spark, sf):
+        # streaming sessionization (session_window, 1h gap) drained via
+        # availableNow; the batch gap-split in DuckDB is the oracle
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+            stream_sessionize,
+        )
+
+        st = scan_stream(spark, sf, glob="events.parquet", ns_to="timestamp")
+        s = stream_sessionize(st, gap="1 hour")
+        out = s.select(
+            F.expr("unix_micros(cast(session_start as timestamp))").alias("start_us"),
+            F.expr("unix_micros(cast(session_end as timestamp))").alias("end_us"),
+            F.col("user_id"),
+            "n_events",
+        )
+        return drain_to_table(out, f"st4_{uuid.uuid4().hex[:8]}", "complete")
+    q["q_st4_stream_sessions"] = q_st4
+
     return q
 
 
@@ -1039,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     ann = ANNOTATE_EVENTS_SQL  # shared events-annotation fragment
+    from cassandra_ttl_remover_spark.operators import compact as _compact
+    from cassandra_ttl_remover_spark.operators import sessions as _sessions
     o: dict[str, str] = {}
 
     o["q_s1_source_count"] = "SELECT count(*)::BIGINT AS n FROM events"
@@ -1103,6 +1127,13 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_expiring
         FROM a WHERE ttl IS NOT NULL
         GROUP BY 1 ORDER BY 1"""
+
+    o["q_st4_stream_sessions"] = f"""
+        SELECT CAST(min(ts_us) AS BIGINT) AS start_us,
+               CAST(max(ts_us) + 3600000000 AS BIGINT) AS end_us,
+               user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM ({_sessions.sessionize_oracle_sql(3600)})
+        GROUP BY user_id, session_seq ORDER BY user_id, start_us"""
 
     o["q_t1b_live_roundtrip"] = f"""
         WITH a AS ({ann})
@@ -1376,10 +1407,8 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     )
     o["q_n21_repetition_ratio"] = text.repetition_ratio_oracle_sql()
     o["q_n22_scrub_pii"] = text.scrub_pii_oracle_sql()
-    from cassandra_ttl_remover_spark.operators import sessions as _sessions
     o["q_se1_sessionize"] = _sessions.sessionize_oracle_sql(3600)
     o["q_se2_session_stats"] = _sessions.session_stats_oracle_sql(3600)
-    from cassandra_ttl_remover_spark.operators import compact as _compact
     o["q_c1_compact_runs"] = _compact.merge_runs_lww_oracle_sql(
         [
             f"WITH a AS ({ann}) SELECT user_id, event_id, writetime,"

@@ -208,3 +208,27 @@ def run_to_completion(stream_df: DataFrame, out_dir: str, checkpoint: str) -> No
         .start()
         .awaitTermination()
     )
+
+
+def stream_sessionize(events: DataFrame, gap: str = "1 hour",
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation — the streaming counterpart of
+    operators/sessions.sessionize: a per-user session closes after ``gap``
+    of inactivity; emits (session_start, session_end, user, n_events) with
+    ``session_end = last event + gap`` (Spark's session_window contract).
+    Watermarked so session state is purged once no late event can extend it
+    — bounded state on an unbounded stream. Batch-checkable: the gap rule
+    is exactly the lag-split in operators/sessions.py, so a DuckDB oracle
+    over the drained table verifies counts and boundaries."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col(user_col),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )

@@ -144,3 +144,41 @@ def test_murmur3_oracle_expr_matches_spark_hash(spark):
         got_u = con.sql(f"SELECT {e} AS h FROM (SELECT {v}::BIGINT AS x)").fetchone()[0]
         got = got_u - (1 << 32) if got_u >= (1 << 31) else got_u
         assert got == expected[v], f"murmur3 mismatch for {v}"
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.operators import sessions
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        drain_to_table,
+        scan_stream,
+        stream_sessionize,
+    )
+    from tests.conftest import SF_DIR
+
+    sf = SF_DIR
+    st = scan_stream(spark, sf, glob="events.parquet", ns_to="timestamp")
+    drained = drain_to_table(
+        stream_sessionize(st, gap="1 hour"),
+        f"sess_{uuid.uuid4().hex[:8]}", "complete",
+    ).cache()
+    ev = scan_table(spark, sf, "events")
+    batch = (
+        sessions.sessionize(ev, 3600)
+        .groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts_us").alias("start_us"),
+             (F.max("ts_us") + 3_600_000_000).alias("end_us"))
+    )
+    a = drained.select(
+        F.expr("unix_micros(cast(session_start as timestamp))").alias("start_us"),
+        F.expr("unix_micros(cast(session_end as timestamp))").alias("end_us"),
+        "user_id", "n_events",
+    )
+    b = batch.select("start_us", "end_us", "user_id", F.col("n_events").cast("long"))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
