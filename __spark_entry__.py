@@ -907,6 +907,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.scrub_pii(scan_table(spark, sf, "documents"))
     q["q_n22_scrub_pii"] = q_n22
 
+    def q_n23(spark, sf):
+        # corpus vocabulary audit: top-100 words by occurrence with doc
+        # frequencies; top-k planned as TakeOrdered (per-task heaps)
+        return text.vocab_topk(scan_table(spark, sf, "documents"), 100)
+    q["q_n23_vocab_topk"] = q_n23
+
     def q_se1(spark, sf):
         # gap-based sessionization: 1h inactivity splits a user's stream
         from cassandra_ttl_remover_spark.operators import sessions
@@ -1407,6 +1413,7 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     )
     o["q_n21_repetition_ratio"] = text.repetition_ratio_oracle_sql()
     o["q_n22_scrub_pii"] = text.scrub_pii_oracle_sql()
+    o["q_n23_vocab_topk"] = text.vocab_topk_oracle_sql(100)
     o["q_se1_sessionize"] = _sessions.sessionize_oracle_sql(3600)
     o["q_se2_session_stats"] = _sessions.session_stats_oracle_sql(3600)
     o["q_c1_compact_runs"] = _compact.merge_runs_lww_oracle_sql(

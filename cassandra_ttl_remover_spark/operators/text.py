@@ -413,3 +413,40 @@ SELECT {id_col},
          AS n_redactions
 FROM {table} ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics
+# ---------------------------------------------------------------------------
+
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level word frequency: the ``k`` most frequent whitespace
+    words with their counts and document frequencies (ties broken by word
+    asc) — the vocabulary audit a tokenizer build starts from.
+
+    Scale: explode -> one map-side-combined count keyed by word (high
+    cardinality but uniform; no single word exceeds one reducer's
+    capacity), then top-k as TakeOrderedAndProject — per-task heaps, never
+    a global sort."""
+    ws = WORDS_EXPR.format(col=text_col)
+    w = fan_out(docs.select(id_col, text_col), id_col).select(
+        id_col, F.explode(F.expr(ws)).alias("word")
+    )
+    counts = w.groupBy("word").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(k)
+
+
+def vocab_topk_oracle_sql(k: int = 100, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH w AS (SELECT {id_col}, unnest({ws}) AS word FROM {table})
+SELECT word, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT {id_col})::BIGINT AS n_docs
+FROM w GROUP BY word
+ORDER BY n_occurrences DESC, word ASC LIMIT {k}
+"""

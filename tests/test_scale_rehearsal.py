@@ -70,3 +70,33 @@ def test_minhash_bucket_cap_bounds_identical_flood(spark):
     )
     cand = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=256)
     assert cand.count() == 0
+
+
+def test_sessionize_survives_hot_user(spark):
+    # one user owns 20k of 21k events (the per-key-ordering worst case the
+    # asof/sessions docstrings warn about): must complete and stay correct
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators import sessions
+
+    hot = spark.range(20_000).select(
+        F.col("id").alias("event_id"), F.lit(7).alias("user_id"),
+        # uniform 10-minute gaps never split; a 2h jump is injected every
+        # 1000 events, so exactly 19 session boundaries exist
+        F.expr("id * 600000000 + (id div 1000) * 7200000000").alias("us"),
+    )
+    cold = spark.range(1_000).select(
+        (F.col("id") + 100_000).alias("event_id"),
+        (F.col("id") + 10).alias("user_id"),
+        (F.col("id") * 600_000_000).alias("us"),
+    )
+    ev = hot.unionByName(cold).select(
+        "event_id", "user_id",
+        F.expr("cast(timestamp_micros(us) as timestamp_ntz)").alias("ts"),
+    )
+    s = sessions.sessionize(ev, gap_seconds=3600)
+    agg = s.filter("user_id = 7").agg(
+        F.count("*").alias("n"), F.max("session_seq").alias("mx")
+    ).first()
+    assert agg.n == 20_000
+    assert agg.mx == 19  # 20 sessions from 19 injected jumps

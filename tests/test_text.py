@@ -84,3 +84,17 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[2].n_redactions == 0
     assert out[3].clean_text == "two mails: <email> <email> and <number>"
     assert out[3].n_redactions == 3
+
+
+def test_vocab_topk_counts_and_order(spark):
+    from cassandra_ttl_remover_spark.operators.text import vocab_topk
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c c"), (3, "b a")],
+        "doc_id long, text string",
+    )
+    rows = vocab_topk(docs, 3).collect()
+    assert [(r.word, r.n_occurrences, r.n_docs) for r in rows] == [
+        ("a", 4, 3), ("b", 2, 2), ("c", 2, 1),   # tie b/c broken by word asc
+    ]
+    plan = vocab_topk(docs, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
