@@ -112,6 +112,10 @@ def main() -> int:
     def q_curate_pipeline():
         curate.curate_corpus(spark, documents).count()
 
+    def q_curate_pipeline_lsh():
+        # the 100 TB candidate-generator path (MinHash-LSH fuzzy stage)
+        curate.curate_corpus(spark, documents, use_lsh=True).count()
+
     def q_decontaminate():
         bench_docs = documents.filter(F.col("doc_id") % 50 == 0)
         curate.decontaminate(documents, bench_docs).filter("NOT is_clean").count()
@@ -146,6 +150,7 @@ def main() -> int:
         "topk_similarity": q_topk_similarity,
         "text_quality": q_text_quality,
         "curate_pipeline": q_curate_pipeline,
+        "curate_pipeline_lsh": q_curate_pipeline_lsh,
         "decontaminate": q_decontaminate,
         "mix_sample": q_mix_sample,
         "tpch_q3": q_tpch_q3,

@@ -34,13 +34,45 @@ from cassandra_ttl_remover_spark.operators.liveness import (
     live_view_cells,
 )
 from cassandra_ttl_remover_spark.sinks.writer import write_sorted
-from cassandra_ttl_remover_spark.operators.curate import curate_corpus
+from cassandra_ttl_remover_spark.operators.compact import compact_runs, merge_runs_lww
+from cassandra_ttl_remover_spark.operators.curate import (
+    curate_corpus,
+    decontaminate,
+    mix_corpus,
+    mix_decisions,
+    mix_report,
+    pack_sequences,
+    quality_cutoff,
+    sample_fixed,
+)
+from cassandra_ttl_remover_spark.operators.sessions import session_stats, sessionize
+from cassandra_ttl_remover_spark.operators.text import (
+    normalize_text,
+    repetition_ratio,
+    scrub_pii,
+    vocab_topk,
+)
 from cassandra_ttl_remover_spark.plans import fan_out, salted_agg, skew_distinct_count
 from cassandra_ttl_remover_spark import catalog
 
 __all__ = [
     "catalog",
+    "compact_runs",
     "curate_corpus",
+    "decontaminate",
+    "merge_runs_lww",
+    "mix_corpus",
+    "mix_decisions",
+    "mix_report",
+    "normalize_text",
+    "pack_sequences",
+    "quality_cutoff",
+    "repetition_ratio",
+    "sample_fixed",
+    "scrub_pii",
+    "session_stats",
+    "sessionize",
+    "vocab_topk",
     "fan_out",
     "salted_agg",
     "skew_distinct_count",
