@@ -913,6 +913,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.vocab_topk(scan_table(spark, sf, "documents"), 100)
     q["q_n23_vocab_topk"] = q_n23
 
+    def q_n24(spark, sf):
+        # balanced subset: at most 10 docs per source domain, chosen by
+        # murmur bucket (per-group window — groups rank in parallel)
+        return curate.sample_per_group(scan_table(spark, sf, "documents"), 10)
+    q["q_n24_sample_per_group"] = q_n24
+
     def q_se1(spark, sf):
         # gap-based sessionization: 1h inactivity splits a user's stream
         from cassandra_ttl_remover_spark.operators import sessions
@@ -1414,6 +1420,7 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n21_repetition_ratio"] = text.repetition_ratio_oracle_sql()
     o["q_n22_scrub_pii"] = text.scrub_pii_oracle_sql()
     o["q_n23_vocab_topk"] = text.vocab_topk_oracle_sql(100)
+    o["q_n24_sample_per_group"] = curate.sample_per_group_oracle_sql(10)
     o["q_se1_sessionize"] = _sessions.sessionize_oracle_sql(3600)
     o["q_se2_session_stats"] = _sessions.session_stats_oracle_sql(3600)
     o["q_c1_compact_runs"] = _compact.merge_runs_lww_oracle_sql(

@@ -362,6 +362,50 @@ FROM {table} ORDER BY sample_key, {id_col} LIMIT {k}
 """
 
 
+def sample_per_group(docs: DataFrame, k: int, *, group_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-group fixed-size sample: the ``k`` docs with the smallest
+    ``pmod(murmur3(id), 2^31)`` within each group (ties by id) — "at most k
+    documents per domain", the balanced-subset selection a curation recipe
+    uses when domains are wildly uneven. Deterministic and engine-portable.
+
+    Scale: one window partitioned by the group key — each group ranks
+    independently in parallel; no global sort, no driver state. A group's
+    rows land in one task (same per-key caveat as sessionize); for k ≪
+    group size, pre-filter with mix_decisions at a few×k/|group| first so
+    the window sees a bounded candidate set."""
+    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(_MIX_BUCKETS))
+    w = Window.partitionBy(group_col).orderBy("sample_key", id_col)
+    return (
+        docs.select(F.col(id_col), F.col(group_col), bucket.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, group_col, "sample_key")
+    )
+
+
+def sample_per_group_oracle_sql(k: int, *, table: str = "documents",
+                                group_col: str = "source",
+                                id_col: str = "doc_id") -> str:
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+
+    bucket = f"({murmur3_hash_oracle_expr(id_col)} & 2147483647)"
+    return f"""
+WITH b AS (
+  SELECT {id_col}, {group_col}, {bucket} AS sample_key FROM {table}
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_col}
+                               ORDER BY sample_key, {id_col}) AS rn
+  FROM b
+)
+SELECT {id_col}, {group_col}, sample_key FROM r WHERE rn <= {k}
+ORDER BY {id_col}
+"""
+
+
 def pack_sequences(docs: DataFrame, budget: int, *, num_shards: int = 1,
                    tokens_col: str = "alnum_tokens",
                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -177,3 +177,36 @@ def test_normalize_text_idempotent(spark, documents):
     # no double spaces / leading / trailing whitespace survive
     assert n1.filter(F.col("norm_text").contains("  ")).count() == 0
     assert n1.filter(F.col("norm_text") != F.trim(F.col("norm_text"))).count() == 0
+
+
+def test_sample_per_group_caps_each_group(spark, documents):
+    s = curate.sample_per_group(documents, 7).cache()
+    per = s.groupBy("source").count()
+    assert per.filter(F.col("count") > 7).count() == 0
+    # every group with >= 7 docs contributes exactly 7
+    totals = documents.groupBy("source").count().withColumnRenamed("count", "n")
+    short = totals.join(per.withColumnRenamed("count", "k"), "source")
+    assert short.filter((F.col("n") >= 7) & (F.col("k") != 7)).count() == 0
+    # consistency with the global fixed sample rule: within a group, the
+    # chosen ids are the group's smallest sample keys
+    glob = curate.sample_fixed(documents, documents.count())  # all, keyed
+    joined = s.join(glob.withColumnRenamed("sample_key", "gk"), "doc_id")
+    assert joined.filter(F.col("sample_key") != F.col("gk")).count() == 0
+
+
+def test_operator_edge_cases(spark, documents):
+    # empty benchmark -> everything clean
+    empty_bench = documents.filter("doc_id < 0")
+    dec = curate.decontaminate(documents, empty_bench)
+    assert dec.filter(~F.col("is_clean")).count() == 0
+    # no weights -> default rate drives everything
+    all_dec = curate.mix_decisions(documents, {}, default_rate=1.0)
+    assert all_dec.filter(~F.col("is_sampled")).count() == 0
+    none_dec = curate.mix_decisions(documents, {}, default_rate=0.0)
+    assert none_dec.filter(F.col("is_sampled")).count() == 0
+    # k beyond corpus size -> whole corpus, no error
+    assert curate.sample_fixed(documents, 10**6).count() == documents.count()
+    # budget smaller than any doc -> each doc still gets exactly one bin
+    packed = curate.pack_sequences(documents, budget=1)
+    assert packed.count() == documents.count()
+    assert packed.filter("bin < 0").count() == 0
