@@ -1063,6 +1063,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return drain_to_table(out, f"st4_{uuid.uuid4().hex[:8]}", "complete")
     q["q_st4_stream_sessions"] = q_st4
 
+    def q_st5(spark, sf):
+        # curation gates (quality + lang) on a stream: stateless projections
+        # lift unchanged; batch-oracle-identical survivor set
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+            stream_curate_gate,
+        )
+
+        st = scan_stream(spark, sf, glob="documents.parquet")
+        return drain_to_table(
+            stream_curate_gate(st), f"st5_{uuid.uuid4().hex[:8]}", "append"
+        )
+    q["q_st5_stream_curate_gate"] = q_st5
+
     return q
 
 
@@ -1075,6 +1092,8 @@ def oracle_sql() -> dict[str, str]:
     ann = ANNOTATE_EVENTS_SQL  # shared events-annotation fragment
     from cassandra_ttl_remover_spark.operators import compact as _compact
     from cassandra_ttl_remover_spark.operators import sessions as _sessions
+    _text_quality_sql = text.quality_oracle_sql()
+    _text_lang_sql = text.lang_id_oracle_sql()
     o: dict[str, str] = {}
 
     o["q_s1_source_count"] = "SELECT count(*)::BIGINT AS n FROM events"
@@ -1146,6 +1165,14 @@ def oracle_sql() -> dict[str, str]:
                user_id, CAST(count(*) AS BIGINT) AS n_events
         FROM ({_sessions.sessionize_oracle_sql(3600)})
         GROUP BY user_id, session_seq ORDER BY user_id, start_us"""
+
+    o["q_st5_stream_curate_gate"] = f"""
+        WITH q AS (SELECT doc_id, quality FROM ({_text_quality_sql})),
+        l AS (SELECT doc_id, pred_lang FROM ({_text_lang_sql}))
+        SELECT d.doc_id, l.pred_lang, q.quality
+        FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+        WHERE q.quality >= 0.5 AND l.pred_lang IN ('en')
+        ORDER BY d.doc_id"""
 
     o["q_t1b_live_roundtrip"] = f"""
         WITH a AS ({ann})

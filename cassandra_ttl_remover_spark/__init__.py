@@ -44,6 +44,7 @@ from cassandra_ttl_remover_spark.operators.curate import (
     pack_sequences,
     quality_cutoff,
     sample_fixed,
+    sample_per_group,
 )
 from cassandra_ttl_remover_spark.operators.sessions import session_stats, sessionize
 from cassandra_ttl_remover_spark.operators.text import (
@@ -69,6 +70,7 @@ __all__ = [
     "quality_cutoff",
     "repetition_ratio",
     "sample_fixed",
+    "sample_per_group",
     "scrub_pii",
     "session_stats",
     "sessionize",

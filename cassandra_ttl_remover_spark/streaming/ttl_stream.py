@@ -232,3 +232,31 @@ def stream_sessionize(events: DataFrame, gap: str = "1 hour",
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+def stream_curate_gate(docs: DataFrame, *, min_quality: float = 0.5,
+                       langs: tuple[str, ...] = ("en",),
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The curation pipeline's gate stages on a STREAM: quality score +
+    language ID are stateless per-row projections (operators/text.py), so
+    they lift to Structured Streaming unchanged — an always-on ingest can
+    drop low-quality / wrong-language documents before anything lands.
+    (The dedup stages stay batch: content-hash state over an unbounded
+    corpus belongs to the bounded-watermark variant, stream_dedup.)
+    Emits ``(id_col, pred_lang, quality)`` for survivors, matching the
+    batch curate_corpus gate exactly."""
+    import pyspark.sql.functions as FF
+
+    from cassandra_ttl_remover_spark.operators import text as text_ops
+
+    scored = text_ops.lang_id(
+        docs.sparkSession,
+        text_ops.quality_score(docs, text_col, id_col, keep_cols=[text_col]),
+        text_col,
+        id_col,
+        keep_cols=["quality"],
+    )
+    return scored.filter(
+        (FF.col("quality") >= min_quality) & FF.col("pred_lang").isin(*langs)
+    ).select(id_col, "pred_lang", "quality")

@@ -182,3 +182,33 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     b = batch.select("start_us", "end_us", "user_id", F.col("n_events").cast("long"))
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_curate_gate_matches_batch(spark):
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.operators import text as text_ops
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        drain_to_table,
+        scan_stream,
+        stream_curate_gate,
+    )
+    from tests.conftest import SF_DIR
+
+    st = scan_stream(spark, SF_DIR, glob="documents.parquet")
+    drained = drain_to_table(
+        stream_curate_gate(st), f"cur_{uuid.uuid4().hex[:8]}", "append"
+    )
+    docs = scan_table(spark, SF_DIR, "documents")
+    batch = text_ops.lang_id(
+        spark,
+        text_ops.quality_score(docs, keep_cols=["text"]),
+        keep_cols=["quality"],
+    ).filter(
+        (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
+    ).select("doc_id", "pred_lang", "quality")
+    assert drained.count() == batch.count()
+    assert drained.exceptAll(batch).count() == 0
