@@ -1080,6 +1080,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_st5_stream_curate_gate"] = q_st5
 
+    def q_mm3(spark, sf):
+        # audio chunk planning: per-clip 1s windows from metadata only —
+        # the fan-out layout an audio pipeline feeds to its decode stage
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            audio_chunks,
+            documents_as_audio,
+        )
+
+        media = documents_as_audio(scan_table(spark, sf, "documents"))
+        return audio_chunks(media, chunk_ms=1000)
+    q["q_mm3_audio_chunks"] = q_mm3
+
     return q
 
 
@@ -1173,6 +1185,24 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
         WHERE q.quality >= 0.5 AND l.pred_lang IN ('en')
         ORDER BY d.doc_id"""
+
+    o["q_mm3_audio_chunks"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 (length(text) * 1000) // 32000 AS duration_ms
+          FROM documents
+        ),
+        c AS (
+          SELECT media_id, duration_ms,
+                 unnest(range(0, CAST((duration_ms + 999) // 1000 AS INTEGER)))
+                   AS chunk_idx
+          FROM m WHERE duration_ms > 0
+        )
+        SELECT media_id, chunk_idx::BIGINT AS chunk_idx,
+               (chunk_idx * 1000)::BIGINT AS start_ms,
+               least((chunk_idx + 1) * 1000, duration_ms)::BIGINT AS end_ms,
+               CAST(16000 AS INTEGER) AS sample_rate
+        FROM c ORDER BY media_id, chunk_idx"""
 
     o["q_t1b_live_roundtrip"] = f"""
         WITH a AS ({ann})

@@ -187,3 +187,64 @@ def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
             f"else filter(sequence(0, meta.n_frames - 1), i -> i % {every_nth} = 0) end"
         ),
     )
+
+
+def documents_as_audio(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       sample_rate: int = 16_000) -> DataFrame:
+    """Audio-shaped media frame from the documents fixture: utf-8 payload
+    with synthesized (sample_rate, duration_ms) metadata — duration derives
+    deterministically from the byte length as if payload were 16-bit mono
+    PCM, so chunking math is oracle-checkable without real audio."""
+    dur = (F.length(text_col).cast("long") * 1000) / F.lit(2 * sample_rate)
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.lit("audio/pcm").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(sample_rate).cast("int").alias("sample_rate"),
+            dur.cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def audio_chunks(media: DataFrame, chunk_ms: int = 1000) -> DataFrame:
+    """Chunking *plan* for audio payloads: one row per ``chunk_ms`` window
+    of each clip — ``(media_id, chunk_idx, start_ms, end_ms, sample_rate)``
+    with the final chunk truncated at the clip's duration. Metadata-only
+    (sequence + explode on duration arithmetic; the payload slice itself
+    happens in the decode stage, which is the documented library boundary) —
+    so the chunk layout a 100 TB audio pipeline fans out over is planned,
+    partitioned, and verified without decoding a byte. Scale: pure per-row
+    explode, no shuffle; chunk count per row is duration/chunk_ms, bounded
+    by the source's clip-length ceiling."""
+    return (
+        media.filter(F.col("meta.kind") == "audio")
+        .select(
+            "media_id",
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.explode(
+                F.when(
+                    F.col("meta.duration_ms") > 0,
+                    F.expr(
+                        f"sequence(0, cast((meta.duration_ms + {chunk_ms} - 1)"
+                        f" div {chunk_ms} as int) - 1)"
+                    ),
+                ).otherwise(F.expr("cast(array() as array<int>)")),
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "media_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * chunk_ms).cast("long").alias("start_ms"),
+            F.least(
+                (F.col("chunk_idx") + 1) * chunk_ms, F.col("duration_ms")
+            ).cast("long").alias("end_ms"),
+            "sample_rate",
+        )
+    )

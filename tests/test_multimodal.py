@@ -64,3 +64,30 @@ def test_resize_fake_path(documents):
     for r in out:
         assert len(bytes(r.payload)) == 16 * 8
         assert r.meta.width == 16 and r.meta.height == 8
+
+
+def test_audio_chunks_layout(spark, documents):
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        audio_chunks,
+        documents_as_audio,
+    )
+
+    media = documents_as_audio(documents)
+    ch = audio_chunks(media, chunk_ms=1000).cache()
+    # chunk layout: idx dense from 0, windows tile [0, duration] exactly
+    assert ch.filter(F.col("start_ms") != F.col("chunk_idx") * 1000).count() == 0
+    assert ch.filter(F.col("end_ms") <= F.col("start_ms")).count() == 0
+    per = ch.groupBy("media_id").agg(
+        F.count("*").alias("n"), F.max("chunk_idx").alias("mx"),
+        F.max("end_ms").alias("last_end"),
+    )
+    assert per.filter(F.col("n") != F.col("mx") + 1).count() == 0
+    dur = media.select(
+        "media_id", F.col("meta.duration_ms").alias("d")
+    )
+    assert per.join(dur, "media_id").filter(F.col("last_end") != F.col("d")).count() == 0
+    # metadata-only plan: no shuffle
+    plan = audio_chunks(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
