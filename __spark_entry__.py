@@ -1092,6 +1092,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return audio_chunks(media, chunk_ms=1000)
     q["q_mm3_audio_chunks"] = q_mm3
 
+    def q_d1(spark, sf):
+        # snapshot diff: vs the base run, every 7th event removed, every
+        # 5th surviving value bumped, a shifted copy added — one full-outer
+        # join classifies added/removed/changed
+        from cassandra_ttl_remover_spark.operators.audit import diff_frames
+
+        old = _ann(spark, sf).select("user_id", "event_id", "value")
+        new = (
+            old.filter(F.col("event_id") % 7 != 0)
+            .withColumn(
+                "value",
+                F.when(F.col("event_id") % 5 == 0, F.col("value") + 1.0)
+                .otherwise(F.col("value")),
+            )
+            .unionByName(
+                old.select(
+                    "user_id",
+                    (F.col("event_id") + 1_000_000_000).alias("event_id"),
+                    "value",
+                )
+            )
+        )
+        return diff_frames(old, new, ["user_id", "event_id"])
+    q["q_d1_snapshot_diff"] = q_d1
+
+    def q_d2(spark, sf):
+        # ANALYZE-style column profile in ONE aggregation pass
+        from cassandra_ttl_remover_spark.operators.audit import profile_table
+
+        return profile_table(scan_table(spark, sf, "documents"))
+    q["q_d2_profile_table"] = q_d2
+
     return q
 
 
@@ -1185,6 +1217,39 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
         WHERE q.quality >= 0.5 AND l.pred_lang IN ('en')
         ORDER BY d.doc_id"""
+
+    o["q_d1_snapshot_diff"] = f"""
+        WITH a AS ({ann}),
+        old AS (SELECT user_id, event_id, value, TRUE AS in_old FROM a),
+        new0 AS (
+          SELECT user_id, event_id,
+                 CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+          FROM a WHERE event_id % 7 <> 0
+          UNION ALL
+          SELECT user_id, event_id + 1000000000, value FROM a
+        ),
+        new AS (SELECT *, TRUE AS in_new FROM new0),
+        j AS (
+          SELECT user_id, event_id, old.value AS ov, new.value AS nv,
+                 in_old, in_new
+          FROM old FULL JOIN new USING (user_id, event_id)
+        )
+        SELECT user_id, event_id,
+               CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'removed'
+                    WHEN ov IS DISTINCT FROM nv THEN 'changed' END AS change
+        FROM j
+        WHERE (CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'removed'
+                    WHEN ov IS DISTINCT FROM nv THEN 'changed' END) IS NOT NULL
+        ORDER BY user_id, event_id"""
+
+    from cassandra_ttl_remover_spark.operators.audit import (
+        profile_table_oracle_sql as _profile_sql,
+    )
+    o["q_d2_profile_table"] = _profile_sql(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
 
     o["q_mm3_audio_chunks"] = """
         WITH m AS (

@@ -1,0 +1,91 @@
+"""Data-ops audit operators: version diffing and column profiling — the
+two checks every pipeline run wraps around its real work ("what changed
+since yesterday's snapshot?", "what does this table even look like?").
+
+Both are deterministic and fully SQL-expressible, so they join the
+hash-matched oracle surface like everything else.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def diff_frames(old: DataFrame, new: DataFrame, keys: list[str],
+                compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level diff between two versions of a table: one row per key that
+    is ``added`` (new only), ``removed`` (old only), or ``changed`` (both,
+    any compared column differs — NULL-safe). Unchanged keys are omitted.
+    Returns ``(*keys, change)``.
+
+    Scale: ONE full-outer sort-merge join on the key — the minimal shape
+    for a two-sided comparison (both sides shuffle once); the change
+    classification is a projection on top. Comparing only ``compare_cols``
+    (default: all shared non-key columns) lets a 100 TB diff ship just the
+    columns that matter."""
+    shared = [c for c in old.columns if c in new.columns and c not in keys]
+    cols = compare_cols if compare_cols is not None else shared
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in cols]).withColumn(
+        "_in_old", F.lit(True)
+    )
+    n = new.select(*keys, *[F.col(c).alias(f"_n_{c}") for c in cols]).withColumn(
+        "_in_new", F.lit(True)
+    )
+    j = o.join(n, keys, "full_outer")
+    differs = F.lit(False)
+    for c in cols:
+        # eqNullSafe: NULL == NULL is a non-change
+        differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column profile: per column, row count, null count, exact distinct
+    count — the ANALYZE-style summary a pipeline records per snapshot.
+    Returns ``(col_name, n_rows, n_nulls, n_distinct)`` one row per column.
+
+    Scale: ONE aggregation job computing every column's stats in a single
+    pass (count + count(col) + count_distinct(col) per column, all
+    map-side combined); the per-column unpivot happens on the 1-row result.
+    For very wide tables swap count_distinct for approx_count_distinct —
+    the exact form is kept here because it is the oracle surface."""
+    cols = cols or df.columns
+    aggs = [F.count("*").alias("_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) as (col_name, _nonnull, n_distinct)"
+        ),
+        F.col("_rows"),
+    ).select(
+        "col_name",
+        F.col("_rows").cast("long").alias("n_rows"),
+        (F.col("_rows") - F.col("_nonnull")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+def profile_table_oracle_sql(table: str, cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,"
+        f" (count(*) - count({c}))::BIGINT AS n_nulls,"
+        f" count(DISTINCT {c})::BIGINT AS n_distinct FROM {table}"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
