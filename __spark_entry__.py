@@ -1124,6 +1124,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return profile_table(scan_table(spark, sf, "documents"))
     q["q_d2_profile_table"] = q_d2
 
+    def q_n25(spark, sf):
+        # corpus unigram-frequency quality (portable unigram-LM surrogate)
+        return text.unigram_freq_quality(scan_table(spark, sf, "documents"))
+    q["q_n25_unigram_quality"] = q_n25
+
+    def q_n26(spark, sf):
+        # top-3 characteristic terms per doc, rational-idf tf-idf
+        return text.tfidf_topk(scan_table(spark, sf, "documents"), k=3)
+    q["q_n26_tfidf_topk"] = q_n26
+
+    def q_n27(spark, sf):
+        # overlapping 64-word windows every 48 words — zero-shuffle chunking
+        return text.chunk_sliding(scan_table(spark, sf, "documents"), window=64, stride=48)
+    q["q_n27_chunk_sliding"] = q_n27
+
+    def q_n28(spark, sf):
+        # stable 80/10/10 train/valid/test assignment by key hash
+        return curate.hash_split(scan_table(spark, sf, "documents"))
+    q["q_n28_hash_split"] = q_n28
+
+    def q_n29(spark, sf):
+        # incremental ingest: odd-id batch deduped against even-id corpus
+        docs = scan_table(spark, sf, "documents")
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 != 0)
+        return dedup.dedup_against_corpus(batch, corpus, max_hamming=3)
+    q["q_n29_dedup_vs_corpus"] = q_n29
+
     return q
 
 
@@ -1249,6 +1277,14 @@ def oracle_sql() -> dict[str, str]:
     )
     o["q_d2_profile_table"] = _profile_sql(
         "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+    o["q_n25_unigram_quality"] = text.unigram_freq_quality_oracle_sql()
+    o["q_n26_tfidf_topk"] = text.tfidf_topk_oracle_sql(k=3)
+    o["q_n27_chunk_sliding"] = text.chunk_sliding_oracle_sql(window=64, stride=48)
+    o["q_n28_hash_split"] = curate.hash_split_oracle_sql()
+    o["q_n29_dedup_vs_corpus"] = dedup.dedup_against_corpus_oracle_sql(
+        corpus_where="doc_id % 2 = 0", max_hamming=3
     )
 
     o["q_mm3_audio_chunks"] = """

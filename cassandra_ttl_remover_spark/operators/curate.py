@@ -514,3 +514,58 @@ FROM keep1 k JOIN comp ON comp.node = k.{id_col}
 WHERE comp.component = k.{id_col}
 ORDER BY k.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/validation/test split
+# ---------------------------------------------------------------------------
+
+def hash_split(docs: DataFrame, train_pct: int = 80, valid_pct: int = 10,
+               id_col: str = "doc_id") -> DataFrame:
+    """Assign every row a stable ``train``/``valid``/``test`` split label by
+    key hash — the reproducible split a training pipeline needs: adding or
+    removing OTHER rows never moves a given key between splits (unlike
+    randomSplit, which is seed- and partitioning-dependent).
+
+    Bucketing: ``pmod(murmur3(id), 2^31) % 100`` — the 2^31 reduction keeps
+    the percent bucket oracle-expressible bit-exactly (see
+    lookups.murmur3_hash_oracle_expr); ``< train_pct`` -> train,
+    ``< train_pct + valid_pct`` -> valid, else test.
+
+    Scale: a pure projection — zero shuffle, fused into the scan; the label
+    is computable independently on any executor for any row.
+    """
+    pct = F.pmod(F.hash(F.col(id_col)), F.lit(_MIX_BUCKETS)) % 100
+    return docs.withColumn(
+        "split",
+        F.when(pct < train_pct, F.lit("train"))
+        .when(pct < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def hash_split_counts(docs: DataFrame, train_pct: int = 80,
+                      valid_pct: int = 10,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-split row counts — the split-audit summary (one partial agg)."""
+    return (
+        hash_split(docs, train_pct, valid_pct, id_col)
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def hash_split_oracle_sql(train_pct: int = 80, valid_pct: int = 10,
+                          table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+
+    pct = f"(({murmur3_hash_oracle_expr(id_col)} & 2147483647) % 100)"
+    return f"""
+SELECT *, CASE WHEN {pct} < {train_pct} THEN 'train'
+               WHEN {pct} < {train_pct + valid_pct} THEN 'valid'
+               ELSE 'test' END AS split
+FROM {table} ORDER BY {id_col}
+"""

@@ -626,3 +626,89 @@ WHERE {qdot.format(a='x.v', b='y.v')} > 0
       >= {t2} * CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)
 ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
+                         max_hamming: int = 3, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Drop from ``batch`` every document that duplicates the existing
+    ``corpus`` — the incremental-ingest shape (yesterday's corpus is
+    immutable; today's crawl must only add genuinely new material). Two
+    stages, cheap first:
+
+    1. exact: md5(text) LEFT ANTI against the corpus digest set — only
+       16-byte digests shuffle, never text.
+    2. near: banded 60-bit SimHash (pigeonhole over ``max_hamming + 1``
+       bands — exact recall at the radius) joined batch-bands ×
+       corpus-bands on the compact ``(band, bh)`` key; candidates filtered
+       by true hamming; surviving batch ids LEFT ANTI'd.
+
+    Returns the surviving batch rows, all columns. Scale: no self-join
+    anywhere; both joins key on digests/band-hashes (bytes, not text);
+    corpus text is read once for digests+simhash and never shuffled.
+    """
+    nb = max_hamming + 1
+    width = 60 // nb
+    band_expr = (
+        f"transform(sequence(0, {nb - 1}), b -> struct(b as band,"
+        f" (shiftright(simhash, b * {width}) & {(1 << width) - 1}) as bh))"
+    )
+
+    digests = corpus.select(F.md5(F.col(text_col)).alias("_digest")).distinct()
+    fresh = (
+        batch.withColumn("_digest", F.md5(F.col(text_col)))
+        .join(digests, "_digest", "left_anti")
+        .drop("_digest")
+    )
+
+    def _bands(df: DataFrame, side: str) -> DataFrame:
+        return (
+            simhash(df, text_col, id_col)
+            .select(
+                F.col(id_col).alias(side),
+                F.col("simhash").alias(f"sh_{side}"),
+                F.explode(F.expr(band_expr)).alias("bb"),
+            )
+            .select(side, f"sh_{side}", "bb.band", "bb.bh")
+        )
+
+    near_hit = (
+        _bands(fresh, "nb_id")
+        .join(_bands(corpus, "cp_id"), ["band", "bh"])
+        .filter(
+            F.bit_count(F.col("sh_nb_id").bitwiseXOR(F.col("sh_cp_id")))
+            <= F.lit(max_hamming)
+        )
+        .select(F.col("nb_id").alias(id_col))
+        .distinct()
+    )
+    return fresh.join(near_hit, id_col, "left_anti")
+
+
+def dedup_against_corpus_oracle_sql(corpus_where: str, max_hamming: int = 3,
+                                    table: str = "documents",
+                                    id_col: str = "doc_id",
+                                    cols: str = "*") -> str:
+    """ANSI oracle: corpus = rows WHERE ``corpus_where``; batch = the rest."""
+    shc = simhash_oracle_sql(table, id_col, corpus_where)
+    shb = simhash_oracle_sql("fresh", id_col)
+    return f"""
+WITH corpus AS (SELECT * FROM {table} WHERE {corpus_where}),
+batch AS (SELECT * FROM {table} WHERE NOT ({corpus_where})),
+fresh AS (
+  SELECT * FROM batch WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+),
+shb AS ({shb}),
+shc AS ({shc}),
+hits AS (
+  SELECT DISTINCT b.{id_col} FROM shb b JOIN shc c
+  ON bit_count(xor(b.simhash, c.simhash)) <= {max_hamming}
+)
+SELECT {cols} FROM fresh
+WHERE {id_col} NOT IN (SELECT {id_col} FROM hits)
+ORDER BY {id_col}
+"""

@@ -450,3 +450,181 @@ SELECT word, count(*)::BIGINT AS n_occurrences,
 FROM w GROUP BY word
 ORDER BY n_occurrences DESC, word ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality: unigram frequency score
+# ---------------------------------------------------------------------------
+
+def unigram_freq_quality(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM-style quality signal: for each document, the mean corpus
+    frequency of its tokens — documents full of corpus-rare tokens (OCR
+    noise, mojibake, exotic boilerplate) score low; documents of common
+    well-attested words score high. This is the engine-portable surrogate
+    for unigram log-likelihood (monotone in token frequency, no
+    transcendental ops, so it hash-matches an ANSI oracle exactly).
+    Returns ``(id_col, n_tokens, sum_freq, mean_freq)``; empty docs drop out
+    (no tokens to score).
+
+    Scale: explode -> one map-side-combined vocab count (word -> n), one
+    shuffle join token->count (AQE handles the inevitable hot-word skew),
+    one re-agg by doc. Token volume is corpus-size; both aggs are partial.
+    The vocab frame is reused via a single plan — Catalyst dedups the scan.
+    """
+    ws = WORDS_EXPR.format(col=text_col)
+    toks = fan_out(docs.select(id_col, text_col), id_col).select(
+        id_col, F.explode(F.expr(ws)).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count("*").alias("freq"))
+    return (
+        toks.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+        )
+        .withColumn("mean_freq", F.col("sum_freq") / F.col("n_tokens"))
+    )
+
+
+def unigram_freq_quality_oracle_sql(table: str = "documents",
+                                    id_col: str = "doc_id") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH toks AS (SELECT {id_col}, unnest({ws}) AS word FROM {table}),
+vocab AS (SELECT word, count(*)::BIGINT AS freq FROM toks GROUP BY word)
+SELECT {id_col}, count(*)::BIGINT AS n_tokens,
+       sum(freq)::BIGINT AS sum_freq,
+       (sum(freq)::BIGINT / count(*)::BIGINT::DOUBLE) AS mean_freq
+FROM toks JOIN vocab USING (word)
+GROUP BY {id_col} ORDER BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf, with a
+    *rational* idf (``n_docs / df`` instead of ``ln(n_docs/df)``) so the
+    score is one exact int multiply + one IEEE division — bit-portable
+    across engines, same ranking direction as log-idf. Ties break by term
+    asc. Returns ``(id_col, term, tf, df, score, rank)``.
+
+    Scale: explode -> (doc,term) tf agg; term -> df agg on top of it
+    (re-uses the same shuffle key prefix); df joins back on term; the
+    per-doc top-k is a window over the doc key — each doc's term list is
+    small, so no skew. The global doc count is a broadcast scalar join.
+    """
+    ws = WORDS_EXPR.format(col=text_col)
+    toks = fan_out(docs.select(id_col, text_col), id_col).select(
+        id_col, F.explode(F.expr(ws)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(
+        F.count("*").cast("long").alias("_n_docs")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", (F.col("tf") * F.col("_n_docs")) / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def tfidf_topk_oracle_sql(k: int = 3, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH toks AS (SELECT {id_col}, unnest({ws}) AS term FROM {table}),
+tf AS (SELECT {id_col}, term, count(*)::BIGINT AS tf FROM toks GROUP BY {id_col}, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM {table}),
+scored AS (
+  SELECT {id_col}, term, tf, df, (tf * n_docs)::BIGINT / df::DOUBLE AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+            ORDER BY score DESC, term ASC)::INT AS rank
+  FROM scored
+)
+SELECT {id_col}, term, tf, df, score, rank FROM ranked WHERE rank <= {k}
+ORDER BY {id_col}, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking
+# ---------------------------------------------------------------------------
+
+def chunk_sliding(docs: DataFrame, window: int = 64, stride: int = 48,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping word-window chunks (``window``
+    words every ``stride`` words — the long-context training-prep shape
+    where adjacent chunks share ``window - stride`` words of context).
+    Every document yields at least one chunk; the final chunk is the
+    remainder (possibly shorter than ``window``). Returns
+    ``(id_col, chunk_id, n_words, chunk)`` with ``chunk_id`` 0-based.
+
+    Scale: a pure per-row higher-order-function projection — sequence +
+    transform + posexplode, ZERO shuffle, fused into the scan by codegen.
+    Chunking 100 TB is embarrassingly parallel; output order within a doc
+    is carried explicitly by ``chunk_id``, not by row order.
+    """
+    ws = WORDS_EXPR.format(col=text_col)
+    starts = (
+        f"sequence(1, greatest(1, size(_ws) - {window - stride}), {stride})"
+    )
+    return (
+        docs.select(id_col, F.expr(ws).alias("_ws"))
+        .filter(F.size("_ws") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform({starts}, s -> concat_ws(' ', slice(_ws, s, {window})))"
+                )
+            ).alias("chunk_id", "chunk"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.expr(
+                WORDS_EXPR.format(col="chunk")
+            ).alias("_cw"),
+            "chunk",
+        )
+        .select(id_col, "chunk_id", F.size("_cw").cast("int").alias("n_words"), "chunk")
+    )
+
+
+def chunk_sliding_oracle_sql(window: int = 64, stride: int = 48,
+                             table: str = "documents",
+                             id_col: str = "doc_id") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH d AS (SELECT {id_col}, {ws} AS ws FROM {table}),
+nz AS (SELECT * FROM d WHERE len(ws) > 0),
+starts AS (
+  SELECT {id_col}, ws, unnest(range(1, greatest(1, len(ws) - {window - stride}) + 1, {stride})) AS s
+  FROM nz
+),
+chunks AS (
+  SELECT {id_col}, ((s - 1) / {stride})::INT AS chunk_id,
+         ws[s : s + {window} - 1] AS cw
+  FROM starts
+)
+SELECT {id_col}, chunk_id, len(cw)::INT AS n_words,
+       array_to_string(cw, ' ') AS chunk
+FROM chunks ORDER BY {id_col}, chunk_id
+"""

@@ -1,0 +1,117 @@
+"""Unit tests for the corpus-statistics / chunking / split / incremental-dedup
+operators (text.unigram_freq_quality, text.tfidf_topk, text.chunk_sliding,
+curate.hash_split, dedup.dedup_against_corpus)."""
+
+import pyspark.sql.functions as F
+
+from cassandra_ttl_remover_spark.operators import curate, dedup, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_freq_quality_hand_computed(spark):
+    # corpus: "a a b" and "a c": freqs a=3, b=1, c=1
+    df = _docs(spark, [(1, "a a b"), (2, "a c")])
+    out = {r.doc_id: r for r in text.unigram_freq_quality(df).collect()}
+    assert out[1].n_tokens == 3 and out[1].sum_freq == 3 + 3 + 1
+    assert out[2].n_tokens == 2 and out[2].sum_freq == 3 + 1
+    assert out[2].mean_freq == 2.0
+
+
+def test_unigram_freq_quality_drops_empty(spark):
+    df = _docs(spark, [(1, "x"), (2, ""), (3, "  ")])
+    ids = {r.doc_id for r in text.unigram_freq_quality(df).collect()}
+    assert ids == {1}
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    # "cat" appears in both docs (df=2); "dog"/"emu" are unique (df=1).
+    df = _docs(spark, [(1, "cat cat dog"), (2, "cat emu emu emu")])
+    out = text.tfidf_topk(df, k=2).collect()
+    top = {r.doc_id: [x.term for x in sorted(out, key=lambda y: y.rank)
+                      if x.doc_id == r.doc_id] for r in out}
+    # doc1: dog tf=1 df=1 score=2; cat tf=2 df=2 score=2 -> tie broken term asc
+    assert top[1] == ["cat", "dog"]
+    # doc2: emu tf=3 df=1 score=6 beats cat tf=1 df=2 score=1
+    assert top[2] == ["emu", "cat"]
+
+
+def test_chunk_sliding_covers_and_overlaps(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    df = _docs(spark, [(1, words)])
+    chunks = sorted(text.chunk_sliding(df, window=64, stride=48).collect(),
+                    key=lambda r: r.chunk_id)
+    assert [c.chunk_id for c in chunks] == [0, 1]
+    assert chunks[0].n_words == 64 and chunks[1].n_words == 52
+    # stride overlap: chunk 1 starts at word 48
+    assert chunks[1].chunk.split()[0] == "w48"
+    # full coverage: union of chunk words == original words
+    got = set(chunks[0].chunk.split()) | set(chunks[1].chunk.split())
+    assert got == set(words.split())
+
+
+def test_chunk_sliding_short_doc_single_chunk(spark):
+    df = _docs(spark, [(1, "only three words")])
+    chunks = text.chunk_sliding(df, window=64, stride=48).collect()
+    assert len(chunks) == 1
+    assert chunks[0].chunk == "only three words" and chunks[0].n_words == 3
+
+
+def test_chunk_sliding_zero_shuffle(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = text.chunk_sliding(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_split_stable_under_other_rows(spark, documents):
+    full = curate.hash_split(documents).select("doc_id", "split")
+    half = curate.hash_split(documents.filter(F.col("doc_id") % 2 == 0)).select(
+        "doc_id", "split"
+    )
+    # removing the odd rows must not move any even row's split
+    moved = full.join(half, "doc_id").filter(
+        full["split"] != half["split"]
+    )
+    assert moved.count() == 0
+
+
+def test_hash_split_proportions(spark, documents):
+    counts = {
+        r.split: r.n
+        for r in curate.hash_split_counts(documents).collect()
+    }
+    n = sum(counts.values())
+    assert n == documents.count()
+    # 80/10/10 within generous tolerance at n=500
+    assert 0.7 < counts["train"] / n < 0.9
+    assert counts.get("valid", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_dedup_against_corpus(spark):
+    corpus = _docs(spark, [
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "completely unrelated corpus material about spark physical plans"),
+    ])
+    batch = _docs(spark, [
+        # exact duplicate of corpus doc 2
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        # near duplicate: one word changed
+        (3, "the quick brown fox leaps over the lazy dog again and again"),
+        # novel
+        (5, "genuinely new content that matches nothing in the corpus at all"),
+    ])
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_against_corpus(batch, corpus, max_hamming=6).collect()
+    )
+    assert kept == [5]
+
+
+def test_dedup_against_corpus_no_corpus_text_in_output_plan(spark):
+    corpus = _docs(spark, [(2, "aa bb cc")])
+    batch = _docs(spark, [(1, "dd ee ff")])
+    out = dedup.dedup_against_corpus(batch, corpus)
+    assert out.columns == ["doc_id", "text"]
+    assert [r.doc_id for r in out.collect()] == [1]
