@@ -125,6 +125,16 @@ def main() -> int:
             documents, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
         ).filter("is_sampled").count()
 
+    def q_chunk_sliding():
+        # zero-shuffle long-context chunking over the full corpus
+        text.chunk_sliding(documents, window=64, stride=48).count()
+
+    def q_dedup_vs_corpus():
+        # incremental ingest: odd-id batch vs even-id immutable corpus
+        corpus = documents.filter(F.col("doc_id") % 2 == 0)
+        batch = documents.filter(F.col("doc_id") % 2 != 0)
+        dedup.dedup_against_corpus(batch, corpus, max_hamming=3).count()
+
     def q_tpch_q3():
         import __spark_entry__ as entry_mod
         from cassandra_ttl_remover_spark import load_tables
@@ -153,6 +163,8 @@ def main() -> int:
         "curate_pipeline_lsh": q_curate_pipeline_lsh,
         "decontaminate": q_decontaminate,
         "mix_sample": q_mix_sample,
+        "chunk_sliding": q_chunk_sliding,
+        "dedup_vs_corpus": q_dedup_vs_corpus,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
     }
