@@ -1152,6 +1152,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.dedup_against_corpus(batch, corpus, max_hamming=3)
     q["q_n29_dedup_vs_corpus"] = q_n29
 
+    def q_n15b(spark, sf):
+        # same contract as q_n15 but through the Bloom prefilter scale path —
+        # bit-identical output (fps die in the exact confirm join), so it
+        # shares the exact oracle
+        docs = scan_table(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        return curate.decontaminate_bloom(docs, bench)
+    q["q_n15b_decontaminate_bloom"] = q_n15b
+
+    def q_z1(spark, sf):
+        # Morton (Z-order) clustering key over two comparable-range dims:
+        # the layout key write_zordered sorts by for two-dim file pruning
+        from cassandra_ttl_remover_spark.sinks.writer import zorder_key_expr
+
+        docs = scan_table(spark, sf, "documents")
+        zk = zorder_key_expr("doc_id % 1024", "n_chars % 1024", bits=10)
+        return docs.select(
+            "doc_id", F.expr(zk).alias("zkey")
+        )
+    q["q_z1_zorder_key"] = q_z1
+
+    def q_st6(spark, sf):
+        # stream-static LEFT ANTI: arriving odd-id docs deduped against the
+        # static even-id corpus by content digest, drained via availableNow
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+            stream_dedup_against_corpus,
+        )
+
+        st = scan_stream(spark, sf, glob="documents.parquet").filter(
+            F.col("doc_id") % 2 != 0
+        )
+        corpus = scan_table(spark, sf, "documents").filter(
+            F.col("doc_id") % 2 == 0
+        )
+        out = stream_dedup_against_corpus(st, corpus)
+        return drain_to_table(out, f"st6_{uuid.uuid4().hex[:8]}", "append")
+    q["q_st6_stream_dedup_vs_corpus"] = q_st6
+
     return q
 
 
@@ -1286,6 +1328,22 @@ def oracle_sql() -> dict[str, str]:
     o["q_n29_dedup_vs_corpus"] = dedup.dedup_against_corpus_oracle_sql(
         corpus_where="doc_id % 2 = 0", max_hamming=3
     )
+    # bloom path shares the exact oracle: false positives are confirmed away
+    o["q_n15b_decontaminate_bloom"] = curate.decontaminate_oracle_sql(
+        benchmark_where="doc_id % 50 = 0"
+    )
+    from cassandra_ttl_remover_spark.sinks.writer import zorder_key_oracle_sql
+
+    o["q_z1_zorder_key"] = f"""
+        SELECT doc_id,
+               {zorder_key_oracle_sql('(doc_id % 1024)', '(n_chars % 1024)', bits=10)} AS zkey
+        FROM documents ORDER BY doc_id"""
+    o["q_st6_stream_dedup_vs_corpus"] = """
+        SELECT * FROM documents
+        WHERE doc_id % 2 <> 0
+          AND md5(text) NOT IN (
+            SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+        ORDER BY doc_id"""
 
     o["q_mm3_audio_chunks"] = """
         WITH m AS (

@@ -137,6 +137,104 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     )
 
 
+def _bloom_positions(hash_col: F.Column, num_bits: int, k: int) -> list[F.Column]:
+    """Kirsch–Mitzenmacher double hashing: k bit positions from ONE 64-bit
+    xxhash64 (h split into 32-bit halves; pos_i = (h1 + i*h2) mod num_bits).
+    The same construction this repo uses for MinHash seeds — public,
+    engine-free arithmetic."""
+    h1 = hash_col.bitwiseAND(F.lit(0xFFFFFFFF))
+    h2 = F.shiftright(hash_col, 32)
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(k)]
+
+
+def bloom_bits(items: DataFrame, col: str = "sh", *,
+               num_bits: int = 1 << 23, k: int = 5) -> list[int]:
+    """Build a Bloom bitset (as ``num_bits // 64`` longs) over a LONG column
+    — computed distributed (explode k positions, bit_or-agg per word), with
+    only the O(num_bits/64) word array collected to the driver: 128 KiB of
+    longs at the 2^23-bit default, the same bounded-collect budget as the
+    IVF centroid table (similarity.py)."""
+    nwords = num_bits // 64
+    h = F.xxhash64(F.col(col))
+    pos = items.select(
+        F.explode(F.array(*_bloom_positions(h, num_bits, k))).alias("p")
+    )
+    words = (
+        pos.select(
+            F.expr("p div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = [0] * nwords
+    for r in words:
+        arr[r.w] = r.bits
+    return arr
+
+
+def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        min_overlap: int = 1,
+                        num_bits: int = 1 << 23, k: int = 5) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter — IDENTICAL output
+    (bloom false positives are removed by the exact confirm join, so the
+    same exact oracle applies), but built for the regime where the hashed
+    benchmark shingle set strains a broadcast hash join: the benchmark
+    collapses to a 1 MiB bit array (2^23 bits holds ~1M shingles at ~2% fp
+    with k=5) carried to every task as a one-row broadcast, and only the
+    bloom-POSITIVE corpus shingles — true contamination plus the fp
+    trickle, a vanishing fraction of the exploded corpus — enter the exact
+    membership join. The join side that used to be "every shingle of every
+    document" becomes "almost nothing".
+
+    Scale: corpus shingles stream through a codegen'd bit-probe filter
+    (zero shuffle, fixed memory regardless of benchmark size); the exact
+    confirm join shuffles only bloom survivors; the final left join
+    restores the all-docs output contract.
+    """
+    spark = docs.sparkSession
+    doc_sh = dedup.shingle_frame(docs, text_col, id_col).withColumn(
+        "sh", F.xxhash64("sh")
+    )
+    bench_sh = (
+        dedup.shingle_frame(benchmark, text_col, id_col)
+        .select(F.xxhash64("sh").alias("sh"))
+        .distinct()
+    )
+    bits = bloom_bits(bench_sh, "sh", num_bits=num_bits, k=k)
+    bf = spark.createDataFrame([(bits,)], "bf array<bigint>")
+    preds = []
+    for i in range(k):
+        p = f"pmod(_h1 + {i} * _h2, {num_bits})"
+        preds.append(
+            f"((shiftright(element_at(bf, cast({p} div 64 as int) + 1),"
+            f" cast({p} % 64 as int)) & 1) = 1)"
+        )
+    candidates = (
+        doc_sh.join(F.broadcast(bf))
+        .withColumn("_h1", F.xxhash64(F.col("sh")).bitwiseAND(F.lit(0xFFFFFFFF)))
+        .withColumn("_h2", F.shiftright(F.xxhash64(F.col("sh")), 32))
+        .filter(F.expr(" AND ".join(preds)))
+        .select(id_col, "sh")
+    )
+    hits = (
+        candidates.join(bench_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("n"), F.lit(0)) < min_overlap).alias("is_clean"),
+        )
+    )
+
+
 def decontaminate_oracle_sql(*, table: str = "documents",
                              benchmark_where: str, id_col: str = "doc_id",
                              min_overlap: int = 1) -> str:

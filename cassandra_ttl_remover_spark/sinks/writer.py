@@ -87,3 +87,57 @@ def write_bucketed(df: DataFrame, table: str, key: str,
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order multi-dimensional clustering
+# ---------------------------------------------------------------------------
+
+def zorder_key_expr(c1: str, c2: str, bits: int = 31) -> str:
+    """SQL expression interleaving the low ``bits`` bits of two NON-NEGATIVE
+    integer columns into a Morton (Z-order) key: bit ``i`` of ``c1`` lands at
+    position ``2i``, of ``c2`` at ``2i+1``. With the default 31 bits the top
+    position is 61 — no sign-bit hazard. Pure integer arithmetic, identical
+    in any ANSI engine (the DuckDB oracle runs the same formula).
+
+    Dims should be pre-quantized to comparable ranges (rank/bucket first if
+    magnitudes differ wildly — standard Z-order practice) or locality on the
+    narrow dim is drowned by the wide one.
+    """
+    return (
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
+        f" + shiftleft(shiftright(cast({c1} as bigint), i) & 1, 2 * i)"
+        f" + shiftleft(shiftright(cast({c2} as bigint), i) & 1, 2 * i + 1))"
+    )
+
+
+def zorder_key_oracle_sql(c1: str, c2: str, bits: int = 31) -> str:
+    """The same Morton interleave in DuckDB SQL (list_sum over a bit range)."""
+    return (
+        f"list_sum(list_transform(range(0, {bits}), i ->"
+        f" ((({c1}::BIGINT >> i) & 1) << (2 * i))"
+        f" + ((({c2}::BIGINT >> i) & 1) << (2 * i + 1))))::BIGINT"
+    )
+
+
+def write_zordered(df: DataFrame, out: str, c1: str, c2: str, *,
+                   num_files: int = 32) -> None:
+    """Write parquet clustered by the Z-order key of (``c1``, ``c2``): range
+    partition + within-file sort on the interleaved key, so parquet min/max
+    footers prune on BOTH dimensions — the layout a 100 TB table wants when
+    queries filter on two independent columns (e.g. user and time). The
+    reference's sink can only order by token (one dimension,
+    Cassandra3TTLRemover.java:103); this is the genuinely-Spark upgrade.
+
+    Scale: one range shuffle on the computed key (sampled bounds — balanced
+    files under skew), key computed as a codegen'd projection.
+    """
+    zk = F.expr(zorder_key_expr(c1, c2))
+    (
+        df.withColumn("_zkey", zk)
+        .repartitionByRange(num_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )

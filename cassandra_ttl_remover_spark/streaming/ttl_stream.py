@@ -260,3 +260,25 @@ def stream_curate_gate(docs: DataFrame, *, min_quality: float = 0.5,
     return scored.filter(
         (FF.col("quality") >= min_quality) & FF.col("pred_lang").isin(*langs)
     ).select(id_col, "pred_lang", "quality")
+
+
+def stream_dedup_against_corpus(docs_stream: DataFrame, corpus: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Incremental-ingest dedup on a STREAM: drop arriving documents whose
+    content digest already exists in the immutable static corpus — the
+    stream-static LEFT ANTI join (stateless: no watermark, no state store;
+    the static side is re-broadcastable per micro-batch). This is the
+    continuous form of dedup.dedup_against_corpus's exact stage; the fuzzy
+    (SimHash) stage stays batch — cross-frame band joins need the whole
+    band index, which a micro-batch by definition lacks.
+
+    Scale: only 16-byte digests of the corpus participate; the stream side
+    computes its digest as a stateless projection.
+    """
+    digests = corpus.select(F.md5(F.col(text_col)).alias("_digest")).distinct()
+    return (
+        docs_stream.withColumn("_digest", F.md5(F.col(text_col)))
+        .join(digests, "_digest", "left_anti")
+        .drop("_digest")
+    )

@@ -1,0 +1,126 @@
+"""Tests for Z-order clustering, Bloom-prefiltered decontamination, and the
+stream-static incremental dedup."""
+
+import pyspark.sql.functions as F
+
+from cassandra_ttl_remover_spark.operators import curate
+from cassandra_ttl_remover_spark.sinks.writer import (
+    write_zordered,
+    zorder_key_expr,
+)
+
+
+def test_zorder_key_hand_computed(spark):
+    # x=0b11 (bits 0,1 -> positions 0,2), y=0b10 (bit 1 -> position 3):
+    # key = 1 + 4 + 8 = 13
+    df = spark.createDataFrame([(3, 2)], "x long, y long")
+    got = df.select(F.expr(zorder_key_expr("x", "y", bits=4)).alias("z")).first().z
+    assert got == 13
+
+
+def test_zorder_key_orders_locality(spark):
+    # points on a 4x4 grid: z-curve order is the classic 0,1,4,5,2,3,6,7...
+    pts = [(x, y) for y in range(4) for x in range(4)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = (
+        df.select("x", "y", F.expr(zorder_key_expr("x", "y", bits=2)).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    # first quadrant (x<2, y<2) must come before any point of the last
+    # quadrant (x>=2, y>=2) — the defining property of the Z curve
+    first_q = [i for i, r in enumerate(rows) if r.x < 2 and r.y < 2]
+    last_q = [i for i, r in enumerate(rows) if r.x >= 2 and r.y >= 2]
+    assert max(first_q) < min(last_q)
+
+
+def test_write_zordered_prunes_both_dims(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    # two independent uniform dims; z-layout should bound BOTH per file
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        F.expr("cast(id div 64 as bigint)").alias("b"),
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, "a", "b", num_files=16)
+    files = sorted((tmp_path / "z").glob("part-*.parquet"))
+    assert len(files) > 1
+    spans_a, spans_b = [], []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = {"a": 1 << 62, "b": 1 << 62}
+        maxs = {"a": -1, "b": -1}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mins[name] = min(mins[name], col.statistics.min)
+                    maxs[name] = max(maxs[name], col.statistics.max)
+        spans_a.append(maxs["a"] - mins["a"] + 1)
+        spans_b.append(maxs["b"] - mins["b"] + 1)
+    # on a single-dim sort one of the dims would span its full domain in
+    # every file; z-order bounds the AVERAGE span of both dims well below it
+    assert sum(spans_a) / len(spans_a) < 64 * 0.8
+    assert sum(spans_b) / len(spans_b) < 64 * 0.8
+
+
+def test_decontaminate_bloom_matches_exact(spark, documents):
+    bench = documents.filter(F.col("doc_id") % 50 == 0)
+    exact = curate.decontaminate(documents, bench)
+    bloom = curate.decontaminate_bloom(documents, bench)
+    assert exact.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(exact).count() == 0
+
+
+def test_decontaminate_bloom_small_filter_still_exact(spark, documents):
+    # a deliberately tiny, collision-heavy bloom (2^10 bits) must STILL give
+    # exact results — false positives only cost work, never correctness
+    bench = documents.filter(F.col("doc_id") % 50 == 0)
+    exact = curate.decontaminate(documents, bench)
+    bloom = curate.decontaminate_bloom(documents, bench, num_bits=1 << 10, k=2)
+    assert exact.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(exact).count() == 0
+
+
+def test_bloom_bits_has_no_false_negatives(spark):
+    items = spark.createDataFrame([(i * 7919,) for i in range(200)], "sh long")
+    bits = curate.bloom_bits(items, num_bits=1 << 14, k=5)
+    assert any(b != 0 for b in bits)
+    # every inserted item must probe positive: re-probe via the operator by
+    # decontaminating items against themselves at min_overlap semantics is
+    # covered above; here check the bit array is dense enough to be real
+    assert sum(bin(b & ((1 << 64) - 1)).count("1") for b in bits) <= 200 * 5
+
+
+def test_stream_dedup_against_corpus(spark):
+    import uuid
+
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        drain_to_table,
+        scan_stream,
+        stream_dedup_against_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    st = scan_stream(spark, sf, glob="documents.parquet").filter(
+        F.col("doc_id") % 2 != 0
+    )
+    from cassandra_ttl_remover_spark import scan_table
+
+    docs = scan_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    got = drain_to_table(
+        stream_dedup_against_corpus(st, corpus),
+        f"t_st6_{uuid.uuid4().hex[:8]}",
+        "append",
+    )
+    batch = docs.filter(F.col("doc_id") % 2 != 0).join(
+        corpus.select(F.md5("text").alias("d")).distinct(),
+        F.md5(F.col("text")) == F.col("d"),
+        "left_anti",
+    )
+    assert got.count() == batch.count()
+    assert got.select("doc_id").exceptAll(batch.select("doc_id")).count() == 0
