@@ -1194,6 +1194,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return drain_to_table(out, f"st6_{uuid.uuid4().hex[:8]}", "append")
     q["q_st6_stream_dedup_vs_corpus"] = q_st6
 
+    def q_v1(spark, sf):
+        # per-label mean embedding, exact quantized sums (group × dim rows)
+        return similarity.group_centroids(scan_table(spark, sf, "embeddings"))
+    q["q_v1_group_centroids"] = q_v1
+
+    def q_v2(spark, sf):
+        # spherical k-means E-step: reassign each vector to the label whose
+        # mean centroid maximizes the (exact, quantized) mean dot product
+        return similarity.assign_nearest_centroid(
+            scan_table(spark, sf, "embeddings")
+        )
+    q["q_v2_nearest_centroid"] = q_v2
+
     return q
 
 
@@ -1338,6 +1351,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                {zorder_key_oracle_sql('(doc_id % 1024)', '(n_chars % 1024)', bits=10)} AS zkey
         FROM documents ORDER BY doc_id"""
+    o["q_v1_group_centroids"] = similarity.group_centroids_oracle_sql()
+    o["q_v2_nearest_centroid"] = similarity.assign_nearest_centroid_oracle_sql()
     o["q_st6_stream_dedup_vs_corpus"] = """
         SELECT * FROM documents
         WHERE doc_id % 2 <> 0

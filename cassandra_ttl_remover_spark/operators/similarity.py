@@ -325,3 +325,158 @@ def ann_recall(exact: DataFrame, approx: DataFrame, id_col: str = "vec_id") -> f
     e = {r[id_col] for r in exact.collect()}
     a = {r[id_col] for r in approx.collect()}
     return len(e & a) / max(1, len(e))
+
+
+# ---------------------------------------------------------------------------
+# Group centroids + nearest-centroid assignment (the k-means E-step)
+# ---------------------------------------------------------------------------
+
+#: 1e-6-quantized int64 copy of a float vector (same scale as QDOT_EXPR).
+QVEC_EXPR = (
+    "transform({v}, x -> cast(round(cast(x as double) * 1000000.0d) as bigint))"
+)
+
+
+def group_centroids(emb: DataFrame, group_col: str = "label",
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-group mean embedding, one row per (group, dimension):
+    ``(group_col, dim, n_vectors, sum_q, mean_q)`` with ``sum_q`` the EXACT
+    int64 sum of 1e-6-quantized components (``dim`` 1-based) and ``mean_q``
+    the single-division mean — engine-portable, so it hash-matches the
+    oracle. The row form (group × dim) rather than an array keeps the
+    output streamable and the agg a plain two-key groupBy.
+
+    Scale: posexplode (n·d rows of 3 compact columns) -> ONE map-side-
+    combined agg keyed by (group, dim) — cardinality |groups|·d, tiny;
+    no skew (every vector contributes to every dim)."""
+    return (
+        fan_out(emb, id_col)
+        .select(
+            F.col(group_col),
+            F.posexplode(F.expr(QVEC_EXPR.format(v=vec_col))).alias("_p", "_xq"),
+        )
+        .groupBy(group_col, (F.col("_p") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("_xq").cast("long").alias("sum_q"),
+        )
+        .withColumn("mean_q", F.col("sum_q") / F.col("n_vectors"))
+    )
+
+
+def group_centroids_oracle_sql(group_col: str = "label",
+                               table: str = "embeddings") -> str:
+    return f"""
+WITH x AS (
+  SELECT {group_col},
+         generate_subscripts(embedding, 1)::INT AS dim,
+         round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xq
+  FROM {table}
+)
+SELECT {group_col}, dim, count(*)::BIGINT AS n_vectors,
+       sum(xq)::BIGINT AS sum_q,
+       (sum(xq)::BIGINT / count(*)::BIGINT::DOUBLE) AS mean_q
+FROM x GROUP BY {group_col}, dim ORDER BY {group_col}, dim
+"""
+
+
+def assign_nearest_centroid(emb: DataFrame, group_col: str = "label",
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Assign every vector to the group whose MEAN embedding it most aligns
+    with (max mean-centroid dot product — the spherical k-means E-step, and
+    as a diagnostic: label-coherence scoring of an embedding column).
+    Returns ``(id_col, group_col, assigned, is_match)``.
+
+    Exactness: score_g = (x_q · sum_g) / n_g — the integer dot is exact
+    (and < 2^53, so its double image is too), one IEEE division per group,
+    ties broken by group asc. Everything hash-matches the ANSI oracle.
+
+    Scale: the centroid table is |groups| × d longs — broadcast; scoring is
+    a zero-shuffle projection per vector over the broadcast array; the
+    argmax is ``max_by`` inside a single groupBy on the vector id (already
+    the partitioning of the explode-free plan — no extra exchange needed
+    beyond one agg)."""
+    cent = (
+        group_centroids(emb, group_col, vec_col, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "sum_q"))
+            ).alias("_cs"),
+            F.first("n_vectors").alias("_n"),
+        )
+        .select(
+            F.col(group_col).alias("_cg"),
+            F.expr("transform(_cs, s -> s.sum_q)").alias("_cvec"),
+            "_n",
+        )
+    )
+    scored = (
+        fan_out(emb, id_col)
+        .select(id_col, group_col, F.expr(QVEC_EXPR.format(v=vec_col)).alias("_xq"))
+        .join(F.broadcast(cent))
+        .withColumn(
+            "_dot",
+            F.expr(
+                "aggregate(zip_with(_xq, _cvec, (a, b) -> a * b), 0L, (s, v) -> s + v)"
+            ),
+        )
+        .withColumn("_score", F.col("_dot").cast("double") / F.col("_n"))
+    )
+    best = (
+        scored.groupBy(id_col, group_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("_score")).alias("ns"), F.col("_cg").alias("g"))
+            ).alias("_b")
+        )
+        .select(
+            id_col,
+            group_col,
+            F.col("_b.g").alias("assigned"),
+            (F.col("_b.g") == F.col(group_col)).alias("is_match"),
+        )
+    )
+    return best
+
+
+def assign_nearest_centroid_oracle_sql(group_col: str = "label",
+                                       table: str = "embeddings",
+                                       id_col: str = "vec_id") -> str:
+    return f"""
+WITH comp AS (
+  SELECT {group_col} AS cg,
+         generate_subscripts(embedding, 1) AS dim,
+         round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xq
+  FROM {table}
+),
+cent0 AS (
+  SELECT cg, dim, sum(xq) AS sum_q FROM comp GROUP BY cg, dim
+),
+cn AS (SELECT {group_col} AS cg, count(*)::BIGINT AS n FROM {table} GROUP BY cg),
+cent AS (
+  SELECT cg, list(sum_q ORDER BY dim) AS cvec FROM cent0 GROUP BY cg
+),
+x AS (
+  SELECT {id_col}, {group_col},
+         list_transform(embedding, v -> round(v::DOUBLE * 1000000)::BIGINT) AS xq
+  FROM {table}
+),
+scored AS (
+  SELECT x.{id_col}, x.{group_col}, cent.cg,
+         (list_sum(list_transform(range(1, len(xq) + 1),
+            i -> xq[i] * cvec[i]))::BIGINT)::DOUBLE / cn.n AS score
+  FROM x CROSS JOIN cent JOIN cn ON cn.cg = cent.cg
+),
+ranked AS (
+  SELECT {id_col}, {group_col}, cg,
+         row_number() OVER (PARTITION BY {id_col}
+                            ORDER BY score DESC, cg ASC) AS rn
+  FROM scored
+)
+SELECT {id_col}, {group_col}, cg AS assigned,
+       (cg = {group_col}) AS is_match
+FROM ranked WHERE rn = 1 ORDER BY {id_col}
+"""

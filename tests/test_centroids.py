@@ -1,0 +1,53 @@
+"""Tests for group centroids and nearest-centroid assignment."""
+
+import pyspark.sql.functions as F
+
+from cassandra_ttl_remover_spark.operators import similarity
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_group_centroids_hand_computed(spark):
+    df = _emb(spark, [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 0),
+        (3, [2.0, 2.0], 1),
+    ])
+    out = {(r.label, r.dim): r for r in similarity.group_centroids(df).collect()}
+    assert out[(0, 1)].sum_q == 1_000_000 and out[(0, 1)].n_vectors == 2
+    assert out[(0, 1)].mean_q == 500_000.0
+    assert out[(1, 1)].sum_q == 2_000_000 and out[(1, 2)].sum_q == 2_000_000
+
+
+def test_assign_nearest_centroid_separated_clusters(spark):
+    # two orthogonal clusters: every vector must re-assign to its own label
+    rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(5)]
+    rows += [(10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(5)]
+    out = similarity.assign_nearest_centroid(_emb(spark, rows)).collect()
+    assert len(out) == 10
+    assert all(r.is_match for r in out)
+
+
+def test_assign_nearest_centroid_flags_outlier(spark):
+    # vec 99 is labelled 0 but sits on cluster 1: is_match must be False
+    rows = [(i, [1.0, 0.0], 0) for i in range(4)]
+    rows += [(10 + i, [0.0, 1.0], 1) for i in range(4)]
+    rows += [(99, [0.0, 1.0], 0)]
+    out = {r.vec_id: r for r in
+           similarity.assign_nearest_centroid(_emb(spark, rows)).collect()}
+    assert out[99].assigned == 1 and not out[99].is_match
+    assert out[0].assigned == 0 and out[0].is_match
+
+
+def test_assign_centroid_join_is_broadcast(spark, embeddings):
+    plan = (
+        similarity.assign_nearest_centroid(embeddings)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan
+    # the scoring side must never sort-merge against the centroid table
+    assert "SortMergeJoin" not in plan
