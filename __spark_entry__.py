@@ -1207,6 +1207,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_v2_nearest_centroid"] = q_v2
 
+    def q_v3(spark, sf):
+        # 2 Lloyd iterations, warm-started from labels — an ITERATIVE ML
+        # loop that still hash-matches an unrolled-CTE ANSI oracle
+        return similarity.kmeans_labels(
+            scan_table(spark, sf, "embeddings"), iters=2
+        )
+    q["q_v3_kmeans_2iter"] = q_v3
+
+    def q_p3(spark, sf):
+        # PIVOT: doc counts + mean length, lang rows × source columns
+        docs = scan_table(spark, sf, "documents")
+        srcs = ["src0", "src1", "src2", "src3"]
+        return (
+            docs.filter(F.col("source").isin(srcs))
+            .groupBy("lang")
+            .pivot("source", srcs)
+            .agg(F.count(F.lit(1)))
+        )
+    q["q_p3_pivot_counts"] = q_p3
+
+    def q_x6(spark, sf):
+        # exact grouped percentiles. Values are scaled to integer cents
+        # first, making the (n-1)*q interpolation lands on dyadic fractions
+        # (.0/.25/.5/.75) — exactly representable, so the double result is
+        # bit-identical in any IEEE engine
+        # only q=0.5 is declared: for other q, Spark ((n-1)q lower-anchored)
+        # and DuckDB (midpoint convention) pick different index conventions,
+        # so cross-engine hashing is honest only at the median
+        li = scan_table(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.expr("percentile(cast(l_quantity * 100 as bigint), 0.5d)").alias("median_qty_c"),
+            F.expr("percentile(cast(l_extendedprice * 100 as bigint), 0.5d)").alias("median_price_c"),
+            F.expr("percentile(cast(l_discount * 100 as bigint), 0.5d)").alias("median_disc_c"),
+        )
+    q["q_x6_group_median"] = q_x6
+
     return q
 
 
@@ -1351,6 +1387,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                {zorder_key_oracle_sql('(doc_id % 1024)', '(n_chars % 1024)', bits=10)} AS zkey
         FROM documents ORDER BY doc_id"""
+    o["q_v3_kmeans_2iter"] = similarity.kmeans_oracle_sql(iters=2)
+    o["q_p3_pivot_counts"] = """
+        SELECT lang,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS src0,
+               sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS src1,
+               sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)::BIGINT AS src2,
+               sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)::BIGINT AS src3
+        FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        GROUP BY lang ORDER BY lang"""
+    o["q_x6_group_median"] = """
+        SELECT l_returnflag,
+               quantile_cont((l_quantity * 100)::BIGINT, 0.5) AS median_qty_c,
+               quantile_cont((l_extendedprice * 100)::BIGINT, 0.5) AS median_price_c,
+               quantile_cont((l_discount * 100)::BIGINT, 0.5) AS median_disc_c
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     o["q_v1_group_centroids"] = similarity.group_centroids_oracle_sql()
     o["q_v2_nearest_centroid"] = similarity.assign_nearest_centroid_oracle_sql()
     o["q_st6_stream_dedup_vs_corpus"] = """

@@ -480,3 +480,110 @@ SELECT {id_col}, {group_col}, cg AS assigned,
        (cg = {group_col}) AS is_match
 FROM ranked WHERE rn = 1 ORDER BY {id_col}
 """
+
+
+def kmeans_labels(emb: DataFrame, iters: int = 2, group_col: str = "label",
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Lloyd's k-means for ``iters`` iterations, warm-started from the
+    existing ``group_col`` assignment (cluster g := mean of label-g
+    vectors), alternating the exact quantized E-step
+    (:func:`assign_nearest_centroid` semantics) with the exact M-step
+    (integer component sums). Returns ``(id_col, cluster)`` — the
+    assignment after the last E-step.
+
+    Determinism: every step is integer sums + one IEEE division + argmax
+    with asc tie-break, so a FIXED iteration count is hash-matchable
+    against an unrolled-CTE ANSI oracle (kmeans_oracle_sql) — rare for an
+    iterative ML loop and the point of the construction.
+
+    Scale: per iteration ONE broadcast join (k×d centroid longs) + one
+    groupBy(id) argmax + one (cluster, dim) re-agg. The driver holds no
+    per-vector state; lineage grows linearly with iters (fine for the
+    small fixed counts this is for — checkpoint beyond ~10).
+    """
+    assigned = emb.select(
+        F.col(id_col), F.col(group_col).cast("long").alias("cluster"),
+        F.expr(QVEC_EXPR.format(v=vec_col)).alias("_xq"),
+    )
+    for _ in range(iters):
+        cent = (
+            assigned.select("cluster", F.posexplode("_xq").alias("_p", "_c"))
+            .groupBy("cluster", "_p")
+            .agg(F.sum("_c").alias("_s"), F.count("*").alias("_n"))
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_p, _s))), x -> x._s)"
+                ).alias("_cvec"),
+                F.first("_n").alias("_n"),
+            )
+            .select(F.col("cluster").alias("_cg"), "_cvec", "_n")
+        )
+        assigned = (
+            assigned.select(id_col, "_xq")
+            .join(F.broadcast(cent))
+            .withColumn(
+                "_dot",
+                F.expr(
+                    "aggregate(zip_with(_xq, _cvec, (a, b) -> a * b), 0L,"
+                    " (s, v) -> s + v)"
+                ),
+            )
+            .withColumn("_score", F.col("_dot").cast("double") / F.col("_n"))
+            .groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct((-F.col("_score")).alias("ns"), F.col("_cg").alias("g"))
+                ).alias("_b"),
+                F.first("_xq").alias("_xq"),
+            )
+            .select(id_col, F.col("_b.g").alias("cluster"), "_xq")
+        )
+    return assigned.select(id_col, "cluster")
+
+
+def kmeans_oracle_sql(iters: int = 2, group_col: str = "label",
+                      table: str = "embeddings",
+                      id_col: str = "vec_id") -> str:
+    """The same fixed-iteration Lloyd loop UNROLLED into chained CTEs."""
+    ctes = [f"""x AS (
+  SELECT {id_col},
+         list_transform(embedding, v -> round(v::DOUBLE * 1000000)::BIGINT) AS xq
+  FROM {table}
+)""", f"""a0 AS (
+  SELECT {id_col}, {group_col}::BIGINT AS cluster FROM {table}
+)"""]
+    for i in range(iters):
+        prev, cur = f"a{i}", f"a{i + 1}"
+        ctes.append(f"""comp{i} AS (
+  SELECT {prev}.cluster, generate_subscripts(x.xq, 1) AS dim, unnest(x.xq) AS c
+  FROM x JOIN {prev} USING ({id_col})
+)""")
+        ctes.append(f"""cent{i}0 AS (
+  SELECT cluster, dim, sum(c) AS s FROM comp{i} GROUP BY cluster, dim
+)""")
+        ctes.append(f"""cn{i} AS (
+  SELECT cluster, count(*)::BIGINT AS n FROM {prev} GROUP BY cluster
+)""")
+        ctes.append(f"""cent{i} AS (
+  SELECT cluster, list(s ORDER BY dim) AS cvec FROM cent{i}0 GROUP BY cluster
+)""")
+        ctes.append(f"""sc{i} AS (
+  SELECT x.{id_col}, cent{i}.cluster,
+         (list_sum(list_transform(range(1, len(x.xq) + 1),
+            j -> x.xq[j] * cent{i}.cvec[j]))::BIGINT)::DOUBLE / cn{i}.n AS score
+  FROM x CROSS JOIN cent{i} JOIN cn{i} ON cn{i}.cluster = cent{i}.cluster
+)""")
+        ctes.append(f"""{cur} AS (
+  SELECT {id_col}, cluster FROM (
+    SELECT {id_col}, cluster,
+           row_number() OVER (PARTITION BY {id_col}
+                              ORDER BY score DESC, cluster ASC) AS rn
+    FROM sc{i}
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {id_col}, cluster FROM a{iters} ORDER BY {id_col}"
+    )

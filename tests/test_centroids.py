@@ -51,3 +51,24 @@ def test_assign_centroid_join_is_broadcast(spark, embeddings):
     assert "Broadcast" in plan
     # the scoring side must never sort-merge against the centroid table
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_recovers_clusters_from_noisy_start(spark):
+    # two tight orthogonal clusters, but a THIRD of the labels are wrong;
+    # two Lloyd iterations must converge to the true geometry
+    rows = [(i, [1.0 + 0.01 * (i % 3), 0.0], 0 if i % 3 else 1) for i in range(9)]
+    rows += [(100 + i, [0.0, 1.0 + 0.01 * (i % 3)], 1 if i % 3 else 0)
+             for i in range(9)]
+    out = {r.vec_id: r.cluster
+           for r in similarity.kmeans_labels(_emb(spark, rows), iters=3).collect()}
+    left = {out[i] for i in range(9)}
+    right = {out[100 + i] for i in range(9)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_kmeans_zero_iters_is_input_labels(spark, embeddings):
+    out = similarity.kmeans_labels(embeddings, iters=0)
+    orig = embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("cluster")
+    )
+    assert out.exceptAll(orig).count() == 0
