@@ -66,16 +66,23 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, *,
     keep0 = scored.select(id_col, text_col, "pred_lang", "quality").filter(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs)
     )
-    ex = dedup.exact_dedup(keep0, text_col, id_col)
+    # Exact dedup as ONE window over the content digest (row_number, id-asc
+    # tie-break == the min-id representative the oracle computes): a single
+    # shuffle on the digest, versus the agg + join-back shape which costs a
+    # second exchange (or leans on a broadcast that stops existing at 100 TB).
+    digest_w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     # Stage boundary: materialize the exact-deduped survivors once.
     # Downstream consumes keep1 from several branches (the shingle
     # inverted-index join alone reads it twice); without materialization
     # the quality/lang joins re-execute per branch. At 100 TB this boundary
     # is a write to storage between pipeline stages; locally
     # localCheckpoint gives the same cut with lineage truncation.
-    keep1 = keep0.join(
-        ex.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
-    ).localCheckpoint(eager=False)
+    keep1 = (
+        keep0.withColumn("_rn", F.row_number().over(digest_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=False)
+    )
     if use_lsh:
         pairs = dedup.minhash_lsh_pairs(
             keep1, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
