@@ -1243,6 +1243,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_x6_group_median"] = q_x6
 
+    def q_f1(spark, sf):
+        # format breadth: documents -> CSV (quoted/escaped) -> scan_csv
+        # with declared schema; lossless, so the oracle is the identity
+        import tempfile
+
+        from cassandra_ttl_remover_spark.sources.scan import roundtrip_table
+
+        out = tempfile.mkdtemp(prefix="ctrs_csv_") + "/docs"
+        return roundtrip_table(spark, sf, "documents", "csv", out)
+    q["q_f1_csv_roundtrip"] = q_f1
+
+    def q_f2(spark, sf):
+        # format breadth: documents -> JSON lines -> scan_json
+        import tempfile
+
+        from cassandra_ttl_remover_spark.sources.scan import roundtrip_table
+
+        out = tempfile.mkdtemp(prefix="ctrs_json_") + "/docs"
+        return roundtrip_table(spark, sf, "documents", "json", out)
+    q["q_f2_json_roundtrip"] = q_f2
+
+    def q_st7(spark, sf):
+        # the production streaming shape: strip stream -> PARQUET FILE SINK
+        # (availableNow, checkpointed, exactly-once file commit) -> read the
+        # committed files back; same oracle as the memory-sink q_st1
+        import tempfile
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            run_to_completion,
+            scan_stream,
+        )
+
+        base = tempfile.mkdtemp(prefix="ctrs_st7_")
+        st = scan_stream(spark, sf, glob="events.parquet")
+        out = strip_ttl(annotate_events(st)).select(
+            "event_id", "props", "writetime", "ttl", "expires_at"
+        )
+        run_to_completion(out, f"{base}/data", f"{base}/ckpt")
+        return spark.read.parquet(f"{base}/data")
+    q["q_st7_stream_file_sink"] = q_st7
+
     return q
 
 
@@ -1309,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, props, epoch_us(ts) AS writetime,
                CAST(NULL AS BIGINT) AS ttl, CAST(NULL AS BIGINT) AS expires_at
         FROM events ORDER BY event_id"""
+
+    o["q_st7_stream_file_sink"] = o["q_st1_stream_strip"]
 
     o["q_st2_stream_dedup"] = (
         "SELECT DISTINCT user_id FROM events ORDER BY user_id"
@@ -1402,6 +1445,11 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont((l_extendedprice * 100)::BIGINT, 0.5) AS median_price_c,
                quantile_cont((l_discount * 100)::BIGINT, 0.5) AS median_disc_c
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    _docs_identity = """
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents ORDER BY doc_id"""
+    o["q_f1_csv_roundtrip"] = _docs_identity
+    o["q_f2_json_roundtrip"] = _docs_identity
     o["q_v1_group_centroids"] = similarity.group_centroids_oracle_sql()
     o["q_v2_nearest_centroid"] = similarity.assign_nearest_centroid_oracle_sql()
     o["q_st6_stream_dedup_vs_corpus"] = """

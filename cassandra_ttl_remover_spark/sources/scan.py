@@ -227,3 +227,52 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
             df.createOrReplaceTempView(t)
             out[t] = df
     return out
+
+
+# ---------------------------------------------------------------------------
+# Non-parquet source formats (schema declared, never inferred)
+# ---------------------------------------------------------------------------
+
+def scan_csv(spark: SparkSession, path: str, schema: T.StructType, *,
+             header: bool = True, multiline: bool = True) -> DataFrame:
+    """CSV source with a DECLARED schema (the reference's
+    schema-is-metadata stance, SURVEY.md §1.3 — inference is a full extra
+    pass over 100 TB and non-deterministic under dirty data).
+    ``multiline`` handles quoted embedded newlines (document text).
+
+    Scale note: multiLine CSV files are NOT splittable (a quoted newline
+    can't be detected mid-file) — many medium files beat one giant file;
+    set it False for machine-generated single-line rows to restore
+    intra-file splits."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("multiLine", str(multiline).lower())
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def scan_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines source with a DECLARED schema — splittable, self-
+    describing field names; schema pinning skips Spark's sampling pass and
+    rejects drifted types loudly (ANSI)."""
+    return spark.read.schema(schema).json(path)
+
+
+def roundtrip_table(spark: SparkSession, sf_dir: str, table: str, fmt: str,
+                    out_dir: str) -> DataFrame:
+    """Write a fixture table out as ``fmt`` ('csv' | 'json') and scan it
+    back with the SAME schema — the format-conversion correctness surface
+    (lossless for string/integral columns; parquet stays the canonical
+    store for timestamps/decimals)."""
+    src = scan_table(spark, sf_dir, table)
+    if fmt == "csv":
+        src.write.mode("overwrite").option("header", "true").option(
+            "escape", '"'
+        ).csv(out_dir)
+        return scan_csv(spark, out_dir, src.schema)
+    if fmt == "json":
+        src.write.mode("overwrite").json(out_dir)
+        return scan_json(spark, out_dir, src.schema)
+    raise ValueError(f"unsupported roundtrip format: {fmt!r}")

@@ -1,0 +1,49 @@
+"""Tests for the non-parquet source formats (CSV/JSON, declared schemas)."""
+
+import pyspark.sql.functions as F
+
+from cassandra_ttl_remover_spark.sources.scan import (
+    roundtrip_table,
+    scan_csv,
+    scan_json,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_roundtrip_lossless(spark, documents, tmp_path):
+    got = roundtrip_table(spark, SF, "documents", "csv", str(tmp_path / "c"))
+    assert got.schema == documents.schema
+    assert got.exceptAll(documents).count() == 0
+    assert documents.exceptAll(got).count() == 0
+
+
+def test_json_roundtrip_lossless(spark, documents, tmp_path):
+    got = roundtrip_table(spark, SF, "documents", "json", str(tmp_path / "j"))
+    assert got.exceptAll(documents).count() == 0
+    assert documents.exceptAll(got).count() == 0
+
+
+def test_csv_quoted_newlines_and_commas(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, 'line one\nline two'), (2, 'a,b,"c"')], "id long, text string"
+    )
+    out = str(tmp_path / "tricky")
+    src.write.option("header", "true").option("escape", '"').csv(out)
+    got = scan_csv(spark, out, src.schema)
+    assert {r.text for r in got.collect()} == {'line one\nline two', 'a,b,"c"'}
+
+
+def test_json_declared_schema_prunes_and_types(spark, tmp_path):
+    out = str(tmp_path / "js")
+    spark.createDataFrame(
+        [(1, "x", 99)], "id long, text string, extra long"
+    ).write.json(out)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    got = scan_json(spark, out, schema)
+    assert got.columns == ["id", "text"]
+    assert got.first().id == 1
