@@ -14,6 +14,7 @@ from cassandra_ttl_remover_spark.sources.scan import (
     _NANOS_AS_LONG,
     ScanProbeError,
     _probe_ns_timestamp_cols,
+    scan,
     scan_table,
 )
 from tests.conftest import SF_DIR
@@ -29,14 +30,48 @@ def vanilla_conf(spark):
     spark.conf.set(_NANOS_AS_LONG, "true")
 
 
-def test_scan_events_without_engine_conf(vanilla_conf):
+@pytest.fixture
+def ns_events(tmp_path):
+    """A TIMESTAMP(NANOS) parquet file (the round-1 fixture shape; the
+    driver's current fixtures are µs, so the regression input is synthesized
+    here to stay independent of fixture drift)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            # 2024-01-01T00:00:00.000000123 etc — sub-µs precision on purpose
+            "ts": pa.array(
+                [1704067200_000000123, 1704067201_000000456, 1704067202_000000789],
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    out = tmp_path / "ns_events.parquet"
+    pq.write_table(tbl, out)
+    return str(out)
+
+
+def test_scan_ns_parquet_without_engine_conf(vanilla_conf, ns_events):
     spark = vanilla_conf
-    df = scan_table(spark, SF_DIR, "events")
-    # ns column normalized to timestamp_ntz, not left as a raw long
+    df = scan(spark, ns_events, recursive=False, glob=None)
+    # ns column normalized to timestamp_ntz micros, not left as a raw long
     assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
-    assert df.count() > 0
+    rows = df.orderBy("event_id").collect()
+    assert len(rows) == 3
+    # µs truncation of the ns value, exact
+    assert rows[0]["ts"].isoformat() == "2024-01-01T00:00:00"
+    assert rows[1]["ts"].microsecond == 0
     # scan() must have set the conf on the live session
     assert spark.conf.get(_NANOS_AS_LONG) == "true"
+
+
+def test_scan_us_events_without_engine_conf(vanilla_conf):
+    # the driver's current events fixture is µs — must read with no conf help
+    df = scan_table(vanilla_conf, SF_DIR, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+    assert df.count() > 0
 
 
 def test_scan_non_ns_table_does_not_need_conf(vanilla_conf):
