@@ -53,7 +53,11 @@ def scan_stream(spark: SparkSession, path: str, *, glob: str | None = None,
     ``path`` must be a DIRECTORY (file-source streams watch directories);
     restrict to specific files with ``glob``. ``ns_to='timestamp'`` yields
     TimestampType instead of ntz — required when the column feeds a
-    watermark (Spark event time must be TIMESTAMP)."""
+    watermark (Spark event time must be TIMESTAMP). That conversion applies
+    both to ns-long columns being normalized and to columns the source
+    already surfaces as TIMESTAMP_NTZ (µs-precision footers): the ntz wall
+    clock is reinterpreted in the session timezone, an identity under the
+    engine's UTC-pinned sessions."""
     from cassandra_ttl_remover_spark.sources.scan import (
         _NANOS_AS_LONG,
         _probe_ns_timestamp_cols,
@@ -78,6 +82,15 @@ def scan_stream(spark: SparkSession, path: str, *, glob: str | None = None,
             df = df.withColumn(
                 c, F.expr(f"cast(timestamp_micros(`{c}` div 1000) as {ns_to})")
             )
+    if ns_to == "timestamp":
+        # watermark eligibility for µs sources: TIMESTAMP_NTZ columns can't
+        # carry event time, so surface them as TIMESTAMP (UTC sessions make
+        # this a pure type change, not a value change)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, T.TimestampNTZType):
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast("timestamp")
+                )
     return df
 
 
