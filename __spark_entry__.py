@@ -1284,6 +1284,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/data")
     q["q_st7_stream_file_sink"] = q_st7
 
+    def q_sk1(spark, sf):
+        # skew-safe two-stage aggregation (plans.salted_agg): a hot group
+        # key's rows spread over n_salts stage-1 reducers, algebraic merge
+        # in stage 2. DECIMAL partials keep the sum exact under regrouping,
+        # so the result hash-matches the plain one-shuffle GROUP BY oracle
+        # (the point: same answer, skew-proof plan)
+        from cassandra_ttl_remover_spark.plans import salted_agg
+
+        ev = _events(spark, sf).withColumn(
+            "val_dec", F.expr("cast(value as decimal(18,6))")
+        )
+        out = salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("count", "event_id"),
+                "min_id": ("min", "event_id"),
+                "max_id": ("max", "event_id"),
+                "sum_dec": ("sum", "val_dec"),
+            },
+        )
+        return out.select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("min_id").cast("long").alias("min_id"),
+            F.col("max_id").cast("long").alias("max_id"),
+            F.col("sum_dec").cast("double").alias("sum_val"),
+        )
+    q["q_sk1_salted_rollup"] = q_sk1
+
+    def q_n30(spark, sf):
+        # asymmetric near-dup: containment catches quoted-excerpt /
+        # page-with-boilerplate subsumption that Jaccard dilutes away
+        docs = scan_table(spark, sf, "documents")
+        return dedup.containment_pairs(docs, threshold=0.5)
+    q["q_n30_containment_pairs"] = q_n30
+
+    def q_n31(spark, sf):
+        # phrasing-level commonness (bigram analog of q_n25's unigram LM)
+        return text.bigram_freq_quality(scan_table(spark, sf, "documents"))
+    q["q_n31_bigram_quality"] = q_n31
+
     return q
 
 
@@ -1413,6 +1455,14 @@ def oracle_sql() -> dict[str, str]:
         "documents", ["doc_id", "text", "lang", "source", "n_chars"]
     )
 
+    o["q_sk1_salted_rollup"] = """
+SELECT event_type, count(event_id)::BIGINT AS n,
+       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+    o["q_n30_containment_pairs"] = dedup.containment_oracle_sql(threshold=0.5)
+    o["q_n31_bigram_quality"] = text.bigram_freq_quality_oracle_sql()
     o["q_n25_unigram_quality"] = text.unigram_freq_quality_oracle_sql()
     o["q_n26_tfidf_topk"] = text.tfidf_topk_oracle_sql(k=3)
     o["q_n27_chunk_sliding"] = text.chunk_sliding_oracle_sql(window=64, stride=48)

@@ -84,6 +84,43 @@ _ID_PAIRS_EXPR = (
 )
 
 
+def shingle_pair_counts(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", max_df: int | None = None,
+                        hash_shingles: bool = True) -> DataFrame:
+    """Shared inverted-index core for exact set-overlap measures: pairs
+    (a < b) sharing >= 1 shingle, with exact ``(inter, sza, szb)`` counts.
+    Jaccard, containment, overlap coefficient etc. are one projection on
+    top — the expensive shuffle work is identical, so they share it.
+
+    See :func:`ngram_jaccard_pairs` for the df-cap and shingle-hashing
+    rationale; both apply here verbatim."""
+    sh = shingle_frame(docs, text_col, id_col)
+    if hash_shingles:
+        sh = sh.withColumn("sh", F.xxhash64("sh"))
+    sh = sh.localCheckpoint(eager=False)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    members = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    inter = (
+        members.select(F.explode(F.expr(_ID_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return inter.join(sa, "a").join(sb, "b")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_df: int | None = None,
@@ -114,43 +151,18 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     Scale: ONE shuffle keyed by the (hashed) shingle for the pair expansion
     (groupBy + collect_list — no self-join, so the upstream plan executes
     once), plus the map-side-combined df/size aggregations. Exact integer
-    counts -> one IEEE division, so the oracle hash-matches."""
-    # materialize the exploded shingles ONCE (lazy checkpoint): the hot-set
-    # aggregate, the anti-join probe side, and the sizes/members branches all
-    # read the same blocks instead of re-running the explode pipeline
-    sh = shingle_frame(docs, text_col, id_col)
-    if hash_shingles:
-        sh = sh.withColumn("sh", F.xxhash64("sh"))
-    sh = sh.localCheckpoint(eager=False)
-    if max_df is not None:
-        # hot-shingle set is small by construction (few shingles exceed the
-        # cap); the map-side-combined count never materializes a hot group,
-        # and AQE broadcasts the anti-join's tiny right side
-        hot = (
-            sh.groupBy("sh").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
-        )
-        # the stop-shingle list is bounded-small by construction (few
-        # shingles exceed the cap in any real corpus — it is a discovered
-        # stopword dim), so broadcast the anti-join: the exploded shingle
-        # frame, the largest in this pipeline, never shuffles for the cap
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    members = (
-        sh.groupBy("sh")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("m"))
-        .filter(F.size("m") >= 2)
-    )
-    inter = (
-        members.select(F.explode(F.expr(_ID_PAIRS_EXPR)).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    counts -> one IEEE division, so the oracle hash-matches.
+
+    The exploded shingles are materialized ONCE (lazy checkpoint inside
+    :func:`shingle_pair_counts`): the hot-set aggregate, the anti-join probe
+    side, and the sizes/members branches all read the same blocks instead of
+    re-running the explode pipeline. The stop-shingle list is bounded-small
+    by construction (few shingles exceed the cap in any real corpus — it is
+    a discovered stopword dim), so the cap is a broadcast anti-join: the
+    exploded shingle frame, the largest in this pipeline, never shuffles
+    for the cap."""
     return (
-        inter.join(sa, "a").join(sb, "b")
+        shingle_pair_counts(docs, text_col, id_col, max_df, hash_shingles)
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -191,6 +203,68 @@ inter AS (
 SELECT a, b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
 FROM inter JOIN sizes sa ON sa.{id_col} = a JOIN sizes sb ON sb.{id_col} = b
 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+ORDER BY a, b
+"""
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_df: int | None = None,
+                      hash_shingles: bool = True) -> DataFrame:
+    """Asymmetric near-dup: shingle containment C(x in y) = |X∩Y| / |X|.
+    Jaccard misses subsumption — a paragraph quoted whole inside a much
+    longer page has tiny Jaccard but containment ≈ 1 from the short side —
+    and training corpora are full of exactly that (quoted excerpts,
+    scraped-with-boilerplate copies). Emits pairs (a < b) where EITHER
+    direction reaches ``threshold``, with both directions' scores, so the
+    caller can keep the superset document and drop the contained one.
+
+    Same single-shuffle inverted-index core as :func:`ngram_jaccard_pairs`
+    (:func:`shingle_pair_counts`) — containment is a different final
+    projection on identical (inter, sza, szb) counts, and the same df-cap
+    keeps hot boilerplate shingles from going quadratic."""
+    pc = shingle_pair_counts(docs, text_col, id_col, max_df, hash_shingles)
+    return (
+        pc.withColumn(
+            "cont_a", F.col("inter").cast("double") / F.col("sza"))
+        .withColumn(
+            "cont_b", F.col("inter").cast("double") / F.col("szb"))
+        .filter(F.greatest("cont_a", "cont_b") >= F.lit(threshold))
+        .select("a", "b", "cont_a", "cont_b")
+    )
+
+
+def containment_oracle_sql(threshold: float = 0.8, table: str = "documents",
+                           id_col: str = "doc_id",
+                           max_df: int | None = None) -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    sh_list = (
+        f"CASE WHEN len({ws}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({ws}) - 1), i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]))"
+        f" ELSE [] END"
+    )
+    cap = (
+        f"WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {max_df})"
+        if max_df is not None
+        else ""
+    )
+    return f"""
+WITH sh0 AS (
+  SELECT {id_col}, unnest({sh_list}) AS s FROM {table}
+),
+sh AS (SELECT * FROM sh0 {cap}),
+sizes AS (SELECT {id_col}, count(*) AS sz FROM sh GROUP BY {id_col}),
+inter AS (
+  SELECT x.{id_col} AS a, y.{id_col} AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.{id_col} < y.{id_col}
+  GROUP BY x.{id_col}, y.{id_col}
+)
+SELECT a, b,
+       CAST(inter AS DOUBLE) / sa.sz AS cont_a,
+       CAST(inter AS DOUBLE) / sb.sz AS cont_b
+FROM inter JOIN sizes sa ON sa.{id_col} = a JOIN sizes sb ON sb.{id_col} = b
+WHERE greatest(CAST(inter AS DOUBLE) / sa.sz, CAST(inter AS DOUBLE) / sb.sz)
+      >= {threshold}
 ORDER BY a, b
 """
 

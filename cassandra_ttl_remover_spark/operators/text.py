@@ -502,6 +502,66 @@ GROUP BY {id_col} ORDER BY {id_col}
 """
 
 
+#: 2-word sequences (NOT distinct — frequency-weighted, unlike shingles).
+BIGRAMS_EXPR = (
+    "case when size({ws}) >= 2 then "
+    "transform(sequence(1, size({ws}) - 1), "
+    "i -> concat_ws(' ', element_at({ws}, i), element_at({ws}, i + 1))) "
+    "else array() end"
+)
+
+
+def bigram_freq_quality(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM-style formulaicity signal: for each document, the mean
+    corpus frequency of its word bigrams. Where :func:`unigram_freq_quality`
+    scores vocabulary commonness, this scores PHRASING commonness —
+    boilerplate and template text repeats whole bigrams across the corpus
+    (high mean), original prose pairs common words in uncommon ways (low
+    mean). The two together separate clean-but-formulaic from
+    clean-and-novel, which unigrams alone cannot. Same determinism
+    construction: exact integer counts, one final IEEE division.
+    Returns ``(id_col, n_bigrams, sum_freq, mean_freq)``; docs with < 2
+    words drop out.
+
+    Scale: identical shape to the unigram path — explode (bigram volume =
+    token volume), one map-side-combined bigram count, one shuffle join
+    (AQE covers hot-bigram skew), one re-agg by doc."""
+    ws = WORDS_EXPR.format(col=text_col)
+    bg = BIGRAMS_EXPR.format(ws=ws)
+    toks = fan_out(docs.select(id_col, text_col), id_col).select(
+        id_col, F.explode(F.expr(bg)).alias("bigram")
+    )
+    counts = toks.groupBy("bigram").agg(F.count("*").alias("freq"))
+    return (
+        toks.join(counts, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+        )
+        .withColumn("mean_freq", F.col("sum_freq") / F.col("n_bigrams"))
+    )
+
+
+def bigram_freq_quality_oracle_sql(table: str = "documents",
+                                   id_col: str = "doc_id") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    bg = (
+        f"CASE WHEN len({ws}) >= 2 THEN list_transform(range(1, len({ws})), "
+        f"i -> {ws}[i] || ' ' || {ws}[i+1]) ELSE [] END"
+    )
+    return f"""
+WITH toks AS (SELECT {id_col}, unnest({bg}) AS bigram FROM {table}),
+counts AS (SELECT bigram, count(*)::BIGINT AS freq FROM toks GROUP BY bigram)
+SELECT {id_col}, count(*)::BIGINT AS n_bigrams,
+       sum(freq)::BIGINT AS sum_freq,
+       (sum(freq)::BIGINT / count(*)::BIGINT::DOUBLE) AS mean_freq
+FROM toks JOIN counts USING (bigram)
+GROUP BY {id_col} ORDER BY {id_col}
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top-k terms per document
 # ---------------------------------------------------------------------------

@@ -41,6 +41,40 @@ def test_jaccard_pairs(near_docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_containment_subsumption(spark):
+    # doc 1 is doc 0's text quoted whole inside a longer page: Jaccard is
+    # diluted below 0.5 but containment from the short side is 1.0
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    page = (
+        short
+        + " filler one two three four five six seven eight nine ten"
+        + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    docs = spark.createDataFrame(
+        [(0, short), (1, page)], "doc_id long, text string"
+    )
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # symmetric measure misses the subsumption
+    rows = dedup.containment_pairs(docs, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b) == (0, 1)
+    assert r.cont_a == 1.0  # every shingle of the short doc is in the page
+    assert r.cont_b < 0.5
+
+
+def test_containment_respects_max_df(spark):
+    # the shared boilerplate shingle is df-capped away, so no pair survives
+    docs = spark.createDataFrame(
+        [(i, f"common boiler plate unique{i} word{i} tail{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.containment_pairs(docs, threshold=0.2).collect()
+    assert uncapped  # all pairs share 'common boiler plate'
+    capped = dedup.containment_pairs(docs, threshold=0.2, max_df=3).collect()
+    assert capped == []
+
+
 def test_minhash_recall_on_fixture(documents):
     exact = {(r.a, r.b) for r in
              dedup.ngram_jaccard_pairs(documents, threshold=0.5).collect()}

@@ -86,6 +86,20 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[3].n_redactions == 3
 
 
+def test_bigram_freq_quality_known_counts(spark):
+    from cassandra_ttl_remover_spark.operators.text import bigram_freq_quality
+    docs = spark.createDataFrame(
+        # bigrams: doc1 {a b, b a}, doc2 {a b, b c}, doc3 {x} -> none
+        [(1, "a b a"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_bigrams, r.sum_freq, r.mean_freq)
+            for r in bigram_freq_quality(docs).collect()}
+    # corpus: 'a b' x2, 'b a' x1, 'b c' x1
+    assert rows == {1: (2, 3, 1.5), 2: (2, 3, 1.5)}
+    assert 3 not in rows  # single-word doc has no bigrams
+
+
 def test_vocab_topk_counts_and_order(spark):
     from cassandra_ttl_remover_spark.operators.text import vocab_topk
     docs = spark.createDataFrame(
