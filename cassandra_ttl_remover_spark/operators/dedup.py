@@ -408,8 +408,31 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
 # Near-dup resolution: pairs -> connected components -> keep/drop decisions
 # ---------------------------------------------------------------------------
 
+def _driver_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact min-label components on the driver: union-find with path
+    compression, roots chosen as the minimum member id (matching HashMin's
+    converged labels exactly). Only used under ``driver_limit`` edges."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(pairs: DataFrame, ids: DataFrame,
-                         id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
+                         id_col: str = "doc_id", max_iter: int = 20,
+                         driver_limit: int = 100_000) -> DataFrame:
     """Connected components over a near-dup pair frame via iterative
     min-label propagation (the standard distributed "HashMin" algorithm):
     every node starts labeled with itself; each round a node adopts the
@@ -431,9 +454,42 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     ``localCheckpoint`` truncates the growing lineage per round, keeping the
     plan O(1) instead of O(iterations) (the classic iterative-Spark pitfall).
 
+    ``driver_limit`` is the scale-adaptive cutover: a near-dup EDGE set is
+    tiny relative to the corpus (it is the duplicate graph, not the data),
+    and when it fits comfortably on the driver, iterative distributed label
+    propagation is pure overhead — each round costs scheduler latency on a
+    frame of a few hundred rows. Below the limit the (materialized) edges
+    are collected and resolved by exact union-find (same min-id labels),
+    replacing ~diameter×2 Spark jobs with one bounded collect — the same
+    small-graph/large-graph split production graph engines make. Above it,
+    the distributed loop runs unchanged; `0` forces the distributed path.
+
     Returns ``(id_col, component)`` where component = min id reachable;
     singleton docs are their own component."""
-    edges = pairs.select("a", "b")
+    # materialize the edge list once: the count probe, the driver collect
+    # OR the symmetric-closure branches all reuse the same blocks instead
+    # of re-running the (possibly expensive) pair-generation pipeline
+    edges = pairs.select("a", "b").localCheckpoint(eager=False)
+    if driver_limit and edges.count() <= driver_limit:
+        labels = _driver_union_find(
+            [(r["a"], r["b"]) for r in edges.collect()]
+        )
+        if not labels:
+            return ids.select(F.col(id_col), F.col(id_col).alias("component"))
+        spark = ids.sparkSession
+        lab = spark.createDataFrame(
+            list(labels.items()), schema="node long, component long"
+        )
+        # labels are bounded by 2*driver_limit rows — broadcast, so the
+        # corpus-sized ids frame never shuffles for the stitch-back
+        return (
+            ids.select(F.col(id_col))
+            .join(F.broadcast(lab), ids[id_col] == lab["node"], "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            )
+        )
     # symmetric closure PLUS self-loops (v, v): with the self-edge in place a
     # node's own label flows through the same neighbor-min as everyone
     # else's, so each round is ONE join + ONE aggregation — the usual second

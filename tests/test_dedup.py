@@ -153,4 +153,18 @@ def test_connected_components_nonconvergence_raises(spark):
     ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
     pairs = spark.createDataFrame([(i, i + 1) for i in range(4)], "a long, b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, ids, max_iter=2)
+        dedup.connected_components(pairs, ids, max_iter=2, driver_limit=0)
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    # two components + singletons, resolved through both execution paths
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (0, 1), (3, 4), (4, 6)], "a long, b long"
+    )
+    driver = {(r.doc_id, r.component) for r in
+              dedup.connected_components(pairs, ids).collect()}
+    dist = {(r.doc_id, r.component) for r in
+            dedup.connected_components(pairs, ids, driver_limit=0).collect()}
+    assert driver == dist == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3),
+                              (5, 5), (6, 3), (7, 7)}
