@@ -806,9 +806,19 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
             .select(side, f"sh_{side}", "bb.band", "bb.bh")
         )
 
+    # The band join's INPUT is small (4 rows/doc of 24 bytes) but its OUTPUT
+    # is the candidate-pair explosion — template-heavy corpora collide on
+    # whole bands, so a near-dup-rich batch can emit orders of magnitude
+    # more pairs than band rows. AQE sizes post-shuffle partitions by MAP
+    # output and would coalesce this join to ~1 task, serializing the
+    # hamming filter exactly when it is busiest; an explicit numbered
+    # repartition on the join keys pins the parallelism (AQE honors
+    # user-specified counts) and co-partitions both sides.
+    n_par = batch.sparkSession.sparkContext.defaultParallelism
     near_hit = (
-        _bands(fresh, "nb_id")
-        .join(_bands(corpus, "cp_id"), ["band", "bh"])
+        _bands(fresh, "nb_id").repartition(n_par, "band", "bh")
+        .join(_bands(corpus, "cp_id").repartition(n_par, "band", "bh"),
+              ["band", "bh"])
         .filter(
             F.bit_count(F.col("sh_nb_id").bitwiseXOR(F.col("sh_cp_id")))
             <= F.lit(max_hamming)

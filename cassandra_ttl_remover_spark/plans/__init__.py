@@ -57,14 +57,32 @@ def _estimated_partitions(df: DataFrame) -> int:
     quantity Spark's own file-split planner uses."""
     spark = df.sparkSession
     logical = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    size = int(logical.stats().sizeInBytes())
     for line in logical.toString().splitlines():
         m = _REPARTITION_RE.match(line)
         if m:
             return int(m.group(1))
         node = _NODE_RE.match(line)
         if node and node.group(1) in _SHUFFLE_SIZED_NODES:
-            return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    size = int(logical.stats().sizeInBytes())
+            n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            # AQE coalesces post-shuffle partitions by MAP-OUTPUT size, so a
+            # small plan downstream of a join/agg runs in far fewer tasks
+            # than shuffle.partitions — often one. Model that: the runtime
+            # partition count is bounded by size/advisoryPartitionSize.
+            # (A CPU-heavy projection placed after such a shuffle is the
+            # round-1 dedup_against_corpus failure mode: the whole simhash
+            # evaluation serialized onto the one coalesced task.)
+            if (
+                spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+                and spark.conf.get(
+                    "spark.sql.adaptive.coalescePartitions.enabled", "true"
+                ) == "true"
+            ):
+                adv = _size_bytes(spark.conf.get(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+                ))
+                n = max(1, min(n, -(-size // adv)))
+            return n
     max_pb = _size_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
