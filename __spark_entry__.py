@@ -1092,6 +1092,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return audio_chunks(media, chunk_ms=1000)
     q["q_mm3_audio_chunks"] = q_mm3
 
+    def q_mm4(spark, sf):
+        # video frame-sampling plan: per-clip kept-frame work-list from
+        # metadata only — the third modality's fan-out layout (audio has
+        # q_mm3, image q_mm1/q_mm2)
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_video,
+            frame_sample_plan,
+        )
+
+        media = documents_as_video(scan_table(spark, sf, "documents"))
+        return frame_sample_plan(media, every_nth=10, fps=24)
+    q["q_mm4_frame_sample"] = q_mm4
+
     def q_d1(spark, sf):
         # snapshot diff: vs the base run, every 7th event removed, every
         # 5th surviving value bumped, a shifted copy added — one full-outer
@@ -1526,6 +1539,22 @@ FROM events GROUP BY event_type ORDER BY event_type
                least((chunk_idx + 1) * 1000, duration_ms)::BIGINT AS end_ms,
                CAST(16000 AS INTEGER) AS sample_rate
         FROM c ORDER BY media_id, chunk_idx"""
+
+    o["q_mm4_frame_sample"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 greatest(1, length(text) // 16) AS n_frames
+          FROM documents
+        ),
+        f AS (
+          SELECT media_id,
+                 unnest(range(0, CAST(n_frames AS INTEGER))) AS frame_idx
+          FROM m
+        )
+        SELECT media_id, frame_idx::BIGINT AS frame_idx,
+               ((frame_idx * 1000) // 24)::BIGINT AS frame_ms
+        FROM f WHERE frame_idx % 10 = 0
+        ORDER BY media_id, frame_idx"""
 
     o["q_t1b_live_roundtrip"] = f"""
         WITH a AS ({ann})

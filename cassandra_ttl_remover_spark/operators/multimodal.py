@@ -189,6 +189,68 @@ def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
     )
 
 
+def documents_as_video(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", fps: int = 24) -> DataFrame:
+    """Video-shaped media frame from the documents fixture: utf-8 payload
+    with synthesized (n_frames, duration_ms) metadata — the frame count
+    derives deterministically from the byte length (one frame per 16 bytes,
+    min 1), so frame-sampling plans are oracle-checkable without real
+    video."""
+    # integer-division arithmetic throughout: double-divide-then-cast
+    # truncates in Spark but rounds in DuckDB, so `div` keeps the plan
+    # oracle-portable
+    n_frames = F.greatest(
+        F.lit(1).cast("int"),
+        F.expr(f"cast(length({text_col}) div 16 as int)"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("video/raw").alias("mime"),
+            F.lit(640).cast("int").alias("width"),
+            F.lit(480).cast("int").alias("height"),
+            n_frames.cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.expr(
+                f"cast(greatest(1, length({text_col}) div 16) as long)"
+                f" * 1000 div {fps}"
+            ).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_nth: int = 10,
+                      fps: int = 24) -> DataFrame:
+    """Exploded frame-sampling plan for video payloads: one row per kept
+    frame — ``(media_id, frame_idx, frame_ms)`` — the work-list a 100 TB
+    video pipeline hands its decode stage. Metadata-only like
+    :func:`audio_chunks` (sequence + filter + explode on n_frames; no blob
+    bytes move); clips with no frame metadata contribute no rows. Scale:
+    pure per-row explode, no shuffle; fan-out per clip is n_frames/nth."""
+    return (
+        media.filter(F.col("meta.kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.expr(
+                    f"case when meta.n_frames is null then "
+                    f"cast(array() as array<int>) "
+                    f"else filter(sequence(0, meta.n_frames - 1), "
+                    f"i -> i % {every_nth} = 0) end"
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.expr(f"cast(frame_idx as long) * 1000 div {fps}")
+            .alias("frame_ms"),
+        )
+    )
+
+
 def documents_as_audio(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        sample_rate: int = 16_000) -> DataFrame:

@@ -55,6 +55,26 @@ def test_frame_sample_plan(documents):
     assert list(out.sample_frames) == [0, 10, 20]
 
 
+def test_frame_sample_plan_exploded(spark):
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        documents_as_video,
+        frame_sample_plan,
+    )
+
+    # 400 chars -> 25 frames; 10 chars -> clamped to 1 frame
+    docs = spark.createDataFrame(
+        [(1, "x" * 400), (2, "y" * 10)], "doc_id long, text string"
+    )
+    media = documents_as_video(docs)
+    metas = {r.media_id: r.meta for r in media.collect()}
+    assert metas[1].n_frames == 25 and metas[2].n_frames == 1
+    rows = [(r.media_id, r.frame_idx, r.frame_ms)
+            for r in frame_sample_plan(media, every_nth=10, fps=24)
+            .orderBy("media_id", "frame_idx").collect()]
+    # frame_ms = frame_idx*1000 div 24, truncated integer division
+    assert rows == [(1, 0, 0), (1, 10, 416), (1, 20, 833), (2, 0, 0)]
+
+
 def test_resize_fake_path(documents):
     from cassandra_ttl_remover_spark.operators.multimodal import resize
 
