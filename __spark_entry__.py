@@ -125,6 +125,53 @@ ORDER BY revenue DESC, n_name
 """
 
 
+#: TPC-H Q6 shape (forecasting-revenue-change): the pushdown showcase — a
+#: single-table scan whose three predicates and two-column projection must
+#: all reach the parquet reader; the agg is exact-decimal as in Q3/Q5.
+#: year() instead of timestamp literals keeps the shared text portable
+#: across Spark's TIMESTAMP_LTZ-literal default and DuckDB's naive one.
+SHARED_SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE year(l_shipdate) = 1996
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+#: TPC-H Q10 shape (returned-item reporting): 4-way join, filtered agg,
+#: revenue top-k per customer.
+SHARED_SQL_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+#: Analytic-window breadth: lag/lead/ntile/cume_dist in one pass. The
+#: ordering key (ts, event_id) is unique per partition, so every ranking
+#: function is deterministic; cume_dist is an exact rational -> one IEEE
+#: division, bit-identical across engines.
+SHARED_SQL_WINDOW = """
+SELECT user_id, event_id,
+       lag(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id,
+       CAST(ntile(4)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile,
+       cume_dist()    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cd
+FROM events
+WHERE user_id < 20
+ORDER BY user_id, event_id
+"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_table(spark, sf_dir, "events")
 
@@ -507,6 +554,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return spark.sql(SHARED_SQL_Q5)
     q["q_sql_q5_local_supplier_volume"] = q_sql_q5
+
+    def q_sql_q6(spark, sf):
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["lineitem"])
+        return spark.sql(SHARED_SQL_Q6)
+    q["q_sql_q6_forecast_revenue"] = q_sql_q6
+
+    def q_sql_q10(spark, sf):
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["customer", "orders", "lineitem", "nation"])
+        return spark.sql(SHARED_SQL_Q10)
+    q["q_sql_q10_returned_items"] = q_sql_q10
+
+    def q_x7(spark, sf):
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["events"])
+        return spark.sql(SHARED_SQL_WINDOW)
+    q["q_x7_window_analytics"] = q_x7
+
+    def q_x8(spark, sf):
+        # semi-structured extraction: JSON props -> typed column -> rollup
+        # (the scan-fused projection shape a props-rich event table needs)
+        ev = _events(spark, sf)
+        return (
+            ev.select(
+                "event_type",
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("k").cast("long").alias("n_with_k"),
+                F.sum("k").cast("long").alias("sum_k"),
+                F.min("k").cast("long").alias("min_k"),
+                F.max("k").cast("long").alias("max_k"),
+            )
+        )
+    q["q_x8_json_extract"] = q_x8
 
     # ---- J: joins (broadcast + shuffle — absent from the reference,
     # free from Spark SQL; declared so the judge sees the strategy) ----
@@ -1681,6 +1765,18 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_sql_parity"] = SHARED_SQL
     o["q_sql_q3_shipping_priority"] = SHARED_SQL_Q3
     o["q_sql_q5_local_supplier_volume"] = SHARED_SQL_Q5
+    o["q_sql_q6_forecast_revenue"] = SHARED_SQL_Q6
+    o["q_sql_q10_returned_items"] = SHARED_SQL_Q10
+    o["q_x7_window_analytics"] = SHARED_SQL_WINDOW
+    o["q_x8_json_extract"] = """
+SELECT event_type,
+       count(k)::BIGINT AS n_with_k, sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
 
     o["q_j1_broadcast_join_rollup"] = """
         SELECT c_mktsegment,

@@ -79,6 +79,34 @@ def test_minhash_signatures_reuse_fanout_partitioning(spark, documents):
     )
 
 
+def test_fan_out_fires_downstream_of_small_join(spark, documents):
+    # AQE coalesces a small join's output to ~1 task; fan_out must model
+    # that and still insert the repartition so a CPU-heavy projection after
+    # the join doesn't serialize (the dedup_against_corpus regression)
+    other = documents.select(F.col("doc_id"))
+    joined = documents.join(other, "doc_id", "left_anti")  # tiny output
+    out = fan_out(joined.select("doc_id", "text"), "doc_id")
+    target = spark.sparkContext.defaultParallelism
+    assert f"Repartition {target}" in out._jdf.queryExecution().optimizedPlan().toString() \
+        or "RepartitionByExpression" in out._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_predicates_reach_parquet_scan(spark):
+    from cassandra_ttl_remover_spark.plans import pushed_filters, read_schema
+
+    li = scan_table(spark, SF_DIR, "lineitem")
+    q6 = li.filter(
+        (F.year("l_shipdate") == 1996)
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_extendedprice", "l_discount")
+    pf = pushed_filters(q6)
+    # the two plain comparisons push down; the projection prunes the scan
+    assert "l_discount" in pf and "l_quantity" in pf
+    rs = read_schema(q6)
+    assert "l_extendedprice" in rs and "l_orderkey" not in rs
+
+
 def test_salted_agg_matches_plain_groupby(spark):
     from cassandra_ttl_remover_spark.plans import salted_agg
     # heavily skewed: 90% of rows share key 0
