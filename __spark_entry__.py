@@ -1312,6 +1312,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_v3_kmeans_2iter"] = q_v3
 
+    def q_v4(spark, sf):
+        # L2 norms via exact quantized integer fold + one final sqrt
+        emb = scan_table(spark, sf, "embeddings")
+        return similarity.embedding_norms(emb)
+    q["q_v4_embedding_norms"] = q_v4
+
     def q_p3(spark, sf):
         # PIVOT: doc counts + mean length, lang rows × source columns
         docs = scan_table(spark, sf, "documents")
@@ -1598,6 +1604,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_f1_csv_roundtrip"] = _docs_identity
     o["q_f2_json_roundtrip"] = _docs_identity
     o["q_v1_group_centroids"] = similarity.group_centroids_oracle_sql()
+    o["q_v4_embedding_norms"] = similarity.embedding_norms_oracle_sql()
     o["q_v2_nearest_centroid"] = similarity.assign_nearest_centroid_oracle_sql()
     o["q_st6_stream_dedup_vs_corpus"] = """
         SELECT * FROM documents

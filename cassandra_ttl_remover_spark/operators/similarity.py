@@ -365,6 +365,42 @@ def group_centroids(emb: DataFrame, group_col: str = "label",
     )
 
 
+def embedding_norms(emb: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-vector L2 norm — the normalize-before-cosine prerequisite every
+    embedding pipeline runs. Exactness construction: the sum of squares is
+    an int64 fold over the 1e-6-quantized components (exact, associative —
+    64 dims × 1e12/term stays far under 2^63), and the only float op is the
+    final correctly-rounded sqrt, so the result hash-matches the oracle.
+    Returns ``(id_col, ssq, l2_norm)``.
+
+    Scale: pure per-row projection after :func:`plans.fan_out` — zero
+    shuffle at any corpus size."""
+    qv = QVEC_EXPR.format(v=vec_col)
+    return (
+        fan_out(emb.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col),
+            F.expr(f"aggregate({qv}, 0L, (acc, x) -> acc + x * x)").alias("ssq"),
+        )
+        .withColumn("l2_norm", F.expr("sqrt(cast(ssq as double)) / 1000000.0d"))
+    )
+
+
+def embedding_norms_oracle_sql(table: str = "embeddings",
+                               id_col: str = "vec_id") -> str:
+    return f"""
+WITH x AS (
+  SELECT {id_col},
+         round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xq
+  FROM {table}
+)
+SELECT {id_col}, sum(xq * xq)::BIGINT AS ssq,
+       sqrt(sum(xq * xq)::BIGINT::DOUBLE) / 1000000.0 AS l2_norm
+FROM x GROUP BY {id_col} ORDER BY {id_col}
+"""
+
+
 def group_centroids_oracle_sql(group_col: str = "label",
                                table: str = "embeddings") -> str:
     return f"""

@@ -50,6 +50,17 @@ def test_lsh_topk_subset_scored_exactly(embeddings):
             assert r.dot == ex[r.vec_id]
 
 
+def test_embedding_norms_match_numpy(embeddings):
+    rows = embeddings.limit(50).collect()
+    got = {r.vec_id: (r.ssq, r.l2_norm)
+           for r in similarity.embedding_norms(embeddings.limit(50)).collect()}
+    for r in rows:
+        q = np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64)
+        ssq = int(q @ q)
+        assert got[r.vec_id][0] == ssq
+        assert got[r.vec_id][1] == pytest.approx(np.sqrt(ssq) / 1e6, abs=0)
+
+
 def test_ivf_full_probe_equals_exact(embeddings):
     exact = similarity.topk_dot(embeddings, query_id=0, k=10)
     ivf = similarity.ivf_topk(embeddings, query_id=0, k=10, n_cells=8, nprobe=8)
