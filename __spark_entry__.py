@@ -1318,6 +1318,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.embedding_norms(emb)
     q["q_v4_embedding_norms"] = q_v4
 
+    def q_w2(spark, sf):
+        # small-files compaction roundtrip: fragment events into 64 files,
+        # compact back to target size, read the compacted table — identity
+        # oracle proves the housekeeping job is lossless
+        import tempfile
+
+        from cassandra_ttl_remover_spark.sinks.writer import compact_small_files
+
+        base = tempfile.mkdtemp(prefix="ctrs_w2_")
+        ev = _events(spark, sf).select(
+            "event_id", "user_id", "event_type", "value", "props"
+        )
+        ev.repartition(64).write.mode("overwrite").parquet(f"{base}/frag")
+        compact_small_files(
+            spark, f"{base}/frag", f"{base}/compact",
+            target_file_bytes=256 << 20, pk="user_id",
+            clustering=["event_id"],
+        )
+        return spark.read.parquet(f"{base}/compact")
+    q["q_w2_compact_small_files"] = q_w2
+
     def q_p3(spark, sf):
         # PIVOT: doc counts + mean length, lang rows × source columns
         docs = scan_table(spark, sf, "documents")
@@ -1605,6 +1626,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_f2_json_roundtrip"] = _docs_identity
     o["q_v1_group_centroids"] = similarity.group_centroids_oracle_sql()
     o["q_v4_embedding_norms"] = similarity.embedding_norms_oracle_sql()
+    o["q_w2_compact_small_files"] = (
+        "SELECT event_id, user_id, event_type, value, props FROM events"
+    )
     o["q_v2_nearest_centroid"] = similarity.assign_nearest_centroid_oracle_sql()
     o["q_st6_stream_dedup_vs_corpus"] = """
         SELECT * FROM documents

@@ -120,6 +120,42 @@ def zorder_key_oracle_sql(c1: str, c2: str, bits: int = 31) -> str:
     )
 
 
+def compact_small_files(spark, in_dir: str, out_dir: str, *,
+                        target_file_bytes: int = 128 << 20,
+                        pk: str | None = None,
+                        clustering: list[str] | None = None) -> int:
+    """Small-files compaction — the standing housekeeping job of any
+    long-lived table (streaming sinks and fine-grained ingests leave
+    thousands of KB-scale files whose open/footer overhead eventually
+    dominates scans; the reference's analog is SSTable compaction itself,
+    the job its whole reader stack exists to serve). Reads ``in_dir``,
+    computes the output file count from the ACTUAL input bytes over
+    ``target_file_bytes``, and writes to ``out_dir`` — sorted via
+    :func:`write_sorted` when ``pk`` is given (compaction is the natural
+    moment to establish clustering), plain coalesce otherwise. Returns the
+    target file count.
+
+    Scale: the byte total comes from driver-side listing (planning
+    metadata, same class as Spark's own file index); the coalesce path
+    adds NO shuffle — it merges existing splits; the sorted path pays the
+    one range shuffle that buys ordered, prunable output. New path, never
+    in place — same keep-originals lifecycle as every sink here."""
+    from pathlib import Path
+
+    from cassandra_ttl_remover_spark.sources.scan import scan
+
+    total = sum(
+        f.stat().st_size for f in Path(in_dir).rglob("*.parquet") if f.is_file()
+    )
+    n = max(1, -(-total // target_file_bytes))
+    df = scan(spark, in_dir)
+    if pk is not None:
+        write_sorted(df, out_dir, pk, clustering, num_files=n)
+    else:
+        df.coalesce(n).write.mode("overwrite").parquet(out_dir)
+    return n
+
+
 def write_zordered(df: DataFrame, out: str, c1: str, c2: str, *,
                    num_files: int = 32) -> None:
     """Write parquet clustered by the Z-order key of (``c1``, ``c2``): range

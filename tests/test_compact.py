@@ -23,6 +23,26 @@ def test_merge_runs_lww_picks_newest(spark):
     }
 
 
+def test_compact_small_files_shrinks_file_count(spark, events, tmp_path):
+    from cassandra_ttl_remover_spark.sinks.writer import compact_small_files
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    events.select("event_id", "user_id", "event_type").repartition(
+        32
+    ).write.parquet(frag)
+    n_frag = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_frag >= 30  # genuinely fragmented input
+    n_target = compact_small_files(spark, frag, out,
+                                   target_file_bytes=64 << 20)
+    n_out = len(list((tmp_path / "compact").glob("*.parquet")))
+    assert n_out == n_target < n_frag
+    back = spark.read.parquet(out)
+    src = events.select("event_id", "user_id", "event_type")
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+
 def test_compact_runs_roundtrip_sorted(spark, events, tmp_path):
     from cassandra_ttl_remover_spark.sinks.writer import write_sorted
     base = annotate_events(events).select("user_id", "event_id", "writetime", "value")
