@@ -115,3 +115,51 @@ def test_dedup_against_corpus_no_corpus_text_in_output_plan(spark):
     out = dedup.dedup_against_corpus(batch, corpus)
     assert out.columns == ["doc_id", "text"]
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Property-style invariants for the newest operators (random word soups)
+# ---------------------------------------------------------------------------
+
+def _word_soup_docs(spark, seed: int, n_docs: int = 8):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for i in range(n_docs)
+    ]
+    return _docs(spark, rows)
+
+
+def test_containment_dominates_jaccard_invariant(spark):
+    # for any pair, max containment >= jaccard: inter/min(sza,szb) >=
+    # inter/union. So at equal thresholds the containment pair set must be
+    # a superset of the jaccard pair set — on arbitrary inputs.
+    for seed in (7, 23, 91):
+        docs = _word_soup_docs(spark, seed)
+        thr = 0.4
+        jac = {(r.a, r.b) for r in
+               dedup.ngram_jaccard_pairs(docs, threshold=thr).collect()}
+        cont = {(r.a, r.b) for r in
+                dedup.containment_pairs(docs, threshold=thr).collect()}
+        assert jac <= cont, f"seed {seed}: jaccard pair missing from containment"
+
+
+def test_bigram_quality_invariants(spark):
+    # n_bigrams == n_words - 1 for docs with >= 2 words; mean_freq >= 1
+    # (every bigram occurs at least once — itself)
+    for seed in (3, 44):
+        docs = _word_soup_docs(spark, seed)
+        words = {
+            r.doc_id: len([w for w in r.text.split(" ") if w])
+            for r in docs.collect()
+        }
+        out = {r.doc_id: r for r in text.bigram_freq_quality(docs).collect()}
+        for d, nw in words.items():
+            if nw >= 2:
+                assert out[d].n_bigrams == nw - 1
+                assert out[d].mean_freq >= 1.0
+            else:
+                assert d not in out
