@@ -1339,6 +1339,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/compact")
     q["q_w2_compact_small_files"] = q_w2
 
+    def q_pipe_lsh(spark, sf):
+        # the 100 TB curate path: MinHash-LSH candidate generation instead
+        # of exact Jaccard. Candidate sets are engine-hash-specific, so this
+        # is declared rows-only (the exact-path q_pipe_curate carries the
+        # hash-matched oracle; q_n9 carries the LSH recall gate)
+        docs = scan_table(spark, sf, "documents")
+        return curate.curate_corpus(spark, docs, use_lsh=True)
+    q["q_pipe_curate_lsh"] = q_pipe_lsh
+
     def q_p3(spark, sf):
         # PIVOT: doc counts + mean length, lang rows × source columns
         docs = scan_table(spark, sf, "documents")

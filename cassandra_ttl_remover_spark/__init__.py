@@ -33,8 +33,20 @@ from cassandra_ttl_remover_spark.operators.liveness import (
     strip_ttl_cells,
     live_view_cells,
 )
-from cassandra_ttl_remover_spark.sinks.writer import write_sorted
+from cassandra_ttl_remover_spark.sinks.writer import compact_small_files, write_sorted
 from cassandra_ttl_remover_spark.operators.compact import compact_runs, merge_runs_lww
+from cassandra_ttl_remover_spark.operators.dedup import (
+    containment_pairs,
+    dedup_against_corpus,
+    exact_dedup,
+    minhash_lsh_pairs,
+    neardup_dedup,
+    ngram_jaccard_pairs,
+)
+from cassandra_ttl_remover_spark.operators.similarity import (
+    embedding_norms,
+    topk_dot,
+)
 from cassandra_ttl_remover_spark.operators.curate import (
     curate_corpus,
     decontaminate,
@@ -48,9 +60,11 @@ from cassandra_ttl_remover_spark.operators.curate import (
 )
 from cassandra_ttl_remover_spark.operators.sessions import session_stats, sessionize
 from cassandra_ttl_remover_spark.operators.text import (
+    bigram_freq_quality,
     normalize_text,
     repetition_ratio,
     scrub_pii,
+    unigram_freq_quality,
     vocab_topk,
 )
 from cassandra_ttl_remover_spark.plans import fan_out, salted_agg, skew_distinct_count
@@ -93,6 +107,17 @@ __all__ = [
     "strip_ttl_cells",
     "live_view_cells",
     "write_sorted",
+    "compact_small_files",
+    "containment_pairs",
+    "dedup_against_corpus",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "neardup_dedup",
+    "ngram_jaccard_pairs",
+    "embedding_norms",
+    "topk_dot",
+    "bigram_freq_quality",
+    "unigram_freq_quality",
 ]
 
 __version__ = "0.1.0"
