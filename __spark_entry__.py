@@ -431,6 +431,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_a2_approx_distinct"] = q_a2
 
+    def q_a4(spark, sf):
+        # two-level sketch merge — the 100 TB distinct-count pattern: one
+        # HLL sketch per source partition (map-side, mergeable state), then
+        # a union-merge + estimate. Same oracle construction as q_a2: the
+        # exact count hash-checks, the ±5% invariant can genuinely flip.
+        ev = _events(spark, sf)
+        per_src = ev.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        merged = per_src.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        exact = ev.agg(F.countDistinct("user_id").alias("exact"))
+        return merged.crossJoin(exact).select(
+            F.col("exact").cast("long").alias("n_exact"),
+            (F.abs(F.col("est") - F.col("exact")) <= 0.05 * F.col("exact"))
+            .alias("within_tol"),
+        )
+    q["q_a4_sketch_union_distinct"] = q_a4
+
     def q_a3(spark, sf):
         ev = _events(spark, sf)
         return ev.agg(
@@ -1752,6 +1772,11 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_a2_approx_distinct"] = (
         "SELECT count(DISTINCT l_orderkey)::BIGINT AS n_exact,"
         " TRUE AS within_tol FROM lineitem"
+    )
+
+    o["q_a4_sketch_union_distinct"] = (
+        "SELECT count(DISTINCT user_id)::BIGINT AS n_exact,"
+        " TRUE AS within_tol FROM events"
     )
 
     o["q_a3b_multi_source_merge_gain"] = """

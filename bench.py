@@ -135,6 +135,15 @@ def main() -> int:
         batch = documents.filter(F.col("doc_id") % 2 != 0)
         dedup.dedup_against_corpus(batch, corpus, max_hamming=3).count()
 
+    def q_embedding_norms():
+        # zero-shuffle exact quantized L2 norms over the embedding table
+        from cassandra_ttl_remover_spark.operators import similarity as sim
+        sim.embedding_norms(embeddings).count()
+
+    def q_containment():
+        # asymmetric subsumption pairs on the shared inverted-index core
+        dedup.containment_pairs(documents, threshold=0.5, max_df=1000).count()
+
     def q_tpch_q3():
         import __spark_entry__ as entry_mod
         from cassandra_ttl_remover_spark import load_tables
@@ -165,6 +174,8 @@ def main() -> int:
         "mix_sample": q_mix_sample,
         "chunk_sliding": q_chunk_sliding,
         "dedup_vs_corpus": q_dedup_vs_corpus,
+        "embedding_norms": q_embedding_norms,
+        "containment": q_containment,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
     }
