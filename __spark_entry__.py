@@ -1368,6 +1368,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.curate_corpus(spark, docs, use_lsh=True)
     q["q_pipe_curate_lsh"] = q_pipe_lsh
 
+    def q_st8(spark, sf):
+        # streaming LWW upsert: fragment events into 8 files, stream them
+        # 2 files per micro-batch, merge each batch into the versioned
+        # keyed table. The merge is associative+commutative, so the final
+        # table equals the one-shot batch LWW — the exact oracle.
+        import tempfile
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            scan_stream,
+            stream_upsert_lww,
+        )
+
+        base = tempfile.mkdtemp(prefix="ctrs_st8_")
+        _events(spark, sf).repartition(8).write.parquet(f"{base}/in")
+        st = annotate_events(
+            scan_stream(spark, f"{base}/in", max_files_per_trigger=2)
+        ).select("user_id", "event_type", "writetime", "event_id", "value")
+        return stream_upsert_lww(
+            st, ["user_id", "event_type"],
+            table_dir=f"{base}/table", checkpoint_dir=f"{base}/ckpt",
+        )
+    q["q_st8_stream_upsert"] = q_st8
+
     def q_p3(spark, sf):
         # PIVOT: doc counts + mean length, lang rows × source columns
         docs = scan_table(spark, sf, "documents")
@@ -1773,6 +1796,20 @@ FROM events GROUP BY event_type ORDER BY event_type
         "SELECT count(DISTINCT l_orderkey)::BIGINT AS n_exact,"
         " TRUE AS within_tol FROM lineitem"
     )
+
+    o["q_st8_stream_upsert"] = f"""
+        WITH a AS ({ann}),
+        rk AS (
+          SELECT user_id, event_type, writetime, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY writetime DESC NULLS LAST,
+                            event_id DESC NULLS LAST,
+                            value DESC NULLS LAST) AS rn
+          FROM a
+        )
+        SELECT user_id, event_type, writetime, event_id, value
+        FROM rk WHERE rn = 1 ORDER BY user_id, event_type"""
 
     o["q_a4_sketch_union_distinct"] = (
         "SELECT count(DISTINCT user_id)::BIGINT AS n_exact,"

@@ -295,3 +295,65 @@ def stream_dedup_against_corpus(docs_stream: DataFrame, corpus: DataFrame,
         .join(digests, "_digest", "left_anti")
         .drop("_digest")
     )
+
+
+def stream_upsert_lww(stream_df: DataFrame, keys: list[str], *,
+                      table_dir: str, checkpoint_dir: str,
+                      writetime_col: str = "writetime",
+                      version_keep: int = 2) -> DataFrame:
+    """Streaming last-writer-wins UPSERT into a versioned parquet table —
+    the production streaming-ingest sink: every micro-batch merges into the
+    keyed table with the liveness rule (higher writetime wins, struct
+    tie-break — SURVEY.md §1.2, the same rule compact.merge_runs_lww
+    applies), written as a NEW version directory with an atomically-swapped
+    pointer file, so readers never observe a half-written table and
+    the previous version remains for rollback (the keep-originals
+    lifecycle every sink here follows).
+
+    The merge is associative and commutative over batches (struct arg-max),
+    so the final table is independent of how the input was micro-batched —
+    which is what makes the batch LWW query an exact oracle for this sink.
+
+    Scale: per batch, ONE shuffle keyed on ``keys`` over current ∪ batch.
+    That is the compact-on-every-batch strategy — simplest correct form;
+    a production variant at 100 TB partitions the table and rewrites only
+    key-ranges the batch touches. ``version_keep`` old versions are pruned.
+
+    Runs the stream to completion (availableNow) and returns the final
+    table as a batch DataFrame.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from cassandra_ttl_remover_spark.operators.compact import merge_runs_lww
+
+    base = Path(table_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    ptr = base / "LATEST"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        frames = [batch_df]
+        if ptr.exists():
+            frames.append(spark.read.parquet(str(base / ptr.read_text().strip())))
+        merged = merge_runs_lww(frames, keys=keys, writetime_col=writetime_col)
+        vname = f"v{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(str(base / vname))
+        tmp = base / "LATEST.tmp"
+        tmp.write_text(vname)
+        os.replace(tmp, ptr)  # atomic pointer swap
+        versions = sorted(p.name for p in base.iterdir()
+                          if p.is_dir() and p.name.startswith("v"))
+        for old in versions[:-version_keep] if version_keep else []:
+            shutil.rmtree(base / old, ignore_errors=True)
+
+    (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    spark = stream_df.sparkSession
+    return spark.read.parquet(str(base / ptr.read_text().strip()))

@@ -212,3 +212,31 @@ def test_stream_curate_gate_matches_batch(spark):
     ).select("doc_id", "pred_lang", "quality")
     assert drained.count() == batch.count()
     assert drained.exceptAll(batch).count() == 0
+
+
+def test_stream_upsert_lww_incremental_equals_batch(spark, tmp_path):
+    from cassandra_ttl_remover_spark.operators.compact import merge_runs_lww
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        scan_stream,
+        stream_upsert_lww,
+    )
+
+    # 12 versions of 4 keys spread over 6 input files, 2 per micro-batch
+    rows = [(i % 4, 100 + i, i) for i in range(12)]  # (k, writetime, payload)
+    src = spark.createDataFrame(rows, "k long, writetime long, payload long")
+    src.repartition(6).write.parquet(str(tmp_path / "in"))
+
+    st = scan_stream(spark, str(tmp_path / "in"), max_files_per_trigger=2)
+    out = stream_upsert_lww(
+        st, ["k"], table_dir=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {(r.k, r.writetime, r.payload) for r in out.collect()}
+    want = {(r.k, r.writetime, r.payload)
+            for r in merge_runs_lww([src], keys=["k"]).collect()}
+    assert got == want  # batch-split independence of the LWW merge
+    # versioned lifecycle: multiple batches ran, old versions pruned to 2
+    versions = [p.name for p in (tmp_path / "table").iterdir()
+                if p.is_dir() and p.name.startswith("v")]
+    assert len(versions) == 2
+    assert (tmp_path / "table" / "LATEST").read_text() == max(versions)
