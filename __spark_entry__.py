@@ -1391,6 +1391,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_st8_stream_upsert"] = q_st8
 
+    def q_n32(spark, sf):
+        # conjunctive keyword search by posting-list intersection — the
+        # query path that never rescans the documents
+        docs = scan_table(spark, sf, "documents")
+        return text.keyword_search(docs, ["hash", "join", "scan"])
+    q["q_n32_keyword_search"] = q_n32
+
     def q_p3(spark, sf):
         # PIVOT: doc counts + mean length, lang rows × source columns
         docs = scan_table(spark, sf, "documents")
@@ -1639,6 +1646,9 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
     o["q_n30_containment_pairs"] = dedup.containment_oracle_sql(threshold=0.5)
     o["q_n31_bigram_quality"] = text.bigram_freq_quality_oracle_sql()
+    o["q_n32_keyword_search"] = text.keyword_search_oracle_sql(
+        ["hash", "join", "scan"]
+    )
     o["q_n25_unigram_quality"] = text.unigram_freq_quality_oracle_sql()
     o["q_n26_tfidf_topk"] = text.tfidf_topk_oracle_sql(k=3)
     o["q_n27_chunk_sliding"] = text.chunk_sliding_oracle_sql(window=64, stride=48)

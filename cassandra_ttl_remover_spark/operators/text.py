@@ -623,6 +623,60 @@ ORDER BY {id_col}, rank
 """
 
 
+def build_term_index(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Inverted term index: one ``(term, id)`` row per distinct word per
+    document — the search-engine posting-list primitive. Materialize with
+    ``sinks.writer.write_bucketed(ix, table, "term")`` so term lookups
+    prune to one bucket and index∪index joins co-locate shuffle-free.
+
+    Scale: explode + distinct-per-doc; rows are (8B-hashable term, id) —
+    the compact shape of every shuffle downstream."""
+    ws = WORDS_EXPR.format(col=text_col)
+    return fan_out(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(F.expr(ws))).alias("term")
+    )
+
+
+def keyword_search(docs: DataFrame, terms: list[str],
+                   text_col: str = "text", id_col: str = "doc_id",
+                   index: DataFrame | None = None) -> DataFrame:
+    """Documents containing ALL of ``terms`` (conjunctive keyword search)
+    via posting-list intersection: filter the inverted index to the query
+    terms (a broadcast of the tiny term list), then keep ids whose match
+    count equals the query arity. Returns ``(id_col, n_matched)``.
+
+    Scale: the full-corpus scan happens once to build/read the index; the
+    query touches only the query terms' postings (bucket-pruned when the
+    index is written bucketed by term) — never the documents themselves.
+    This is why engines index: a LIKE-scan over 100 TB per query vs a few
+    posting lists. Pass a pre-built (materialized) ``index`` to skip the
+    in-flight build."""
+    if not terms:
+        raise ValueError("keyword_search needs at least one term")
+    ix = index if index is not None else build_term_index(docs, text_col, id_col)
+    spark = docs.sparkSession
+    tf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    return (
+        ix.join(broadcast(tf), "term")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") == len(set(terms)))
+    )
+
+
+def keyword_search_oracle_sql(terms: list[str], table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    lst = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    n = len(set(terms))
+    return f"""
+SELECT {id_col}, {n}::BIGINT AS n_matched FROM {table}
+WHERE list_has_all(list_distinct({ws}), [{lst}])
+ORDER BY {id_col}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window document chunking
 # ---------------------------------------------------------------------------

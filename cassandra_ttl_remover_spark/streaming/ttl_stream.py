@@ -357,3 +357,26 @@ def stream_upsert_lww(stream_df: DataFrame, keys: list[str], *,
     )
     spark = stream_df.sparkSession
     return spark.read.parquet(str(base / ptr.read_text().strip()))
+
+
+def read_table_version(spark: SparkSession, table_dir: str,
+                       version: str | None = None) -> DataFrame:
+    """Read a :func:`stream_upsert_lww` table — latest by default, or any
+    retained version directory by name ("time travel" over the versioned
+    lifecycle; `version_keep` bounds how far back). The pointer file is the
+    atomic read boundary: a concurrent upsert swaps it only after its
+    version is fully committed."""
+    from pathlib import Path
+
+    base = Path(table_dir)
+    if version is None:
+        version = (base / "LATEST").read_text().strip()
+    target = base / version
+    if not target.is_dir():
+        have = sorted(p.name for p in base.iterdir()
+                      if p.is_dir() and p.name.startswith("v"))
+        raise FileNotFoundError(
+            f"version {version!r} not retained under {table_dir!r}; "
+            f"available: {have}"
+        )
+    return spark.read.parquet(str(target))

@@ -240,3 +240,29 @@ def test_stream_upsert_lww_incremental_equals_batch(spark, tmp_path):
                 if p.is_dir() and p.name.startswith("v")]
     assert len(versions) == 2
     assert (tmp_path / "table" / "LATEST").read_text() == max(versions)
+
+
+def test_read_table_version_time_travel(spark, tmp_path):
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        read_table_version,
+        scan_stream,
+        stream_upsert_lww,
+    )
+
+    rows = [(i % 3, 10 + i, i) for i in range(9)]
+    src = spark.createDataFrame(rows, "k long, writetime long, payload long")
+    src.repartition(4).write.parquet(str(tmp_path / "in"))
+    latest = stream_upsert_lww(
+        scan_stream(spark, str(tmp_path / "in"), max_files_per_trigger=2),
+        ["k"], table_dir=str(tmp_path / "t"), checkpoint_dir=str(tmp_path / "c"),
+    )
+    versions = sorted(p.name for p in (tmp_path / "t").iterdir()
+                      if p.is_dir() and p.name.startswith("v"))
+    assert len(versions) == 2  # retention bound
+    cur = read_table_version(spark, str(tmp_path / "t"))
+    assert {tuple(r) for r in cur.collect()} == {tuple(r) for r in latest.collect()}
+    prev = read_table_version(spark, str(tmp_path / "t"), versions[0])
+    assert prev.count() <= cur.count()
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        read_table_version(spark, str(tmp_path / "t"), "v0000000099")

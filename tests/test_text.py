@@ -112,3 +112,24 @@ def test_vocab_topk_counts_and_order(spark):
     ]
     plan = vocab_topk(docs, 3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_keyword_search_conjunctive(spark):
+    from cassandra_ttl_remover_spark.operators.text import (
+        build_term_index,
+        keyword_search,
+    )
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "apple banana"), (3, "apple"),
+         (4, "banana apple apple")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in keyword_search(docs, ["apple", "banana"]).collect()}
+    assert got == {1, 2, 4}
+    # pre-built index path gives the same answer
+    ix = build_term_index(docs)
+    got_ix = {r.doc_id
+              for r in keyword_search(docs, ["apple", "banana"], index=ix).collect()}
+    assert got_ix == got
+    # single-term degenerates to postings lookup
+    assert {r.doc_id for r in keyword_search(docs, ["cherry"]).collect()} == {1}
