@@ -1398,6 +1398,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.keyword_search(docs, ["hash", "join", "scan"])
     q["q_n32_keyword_search"] = q_n32
 
+    def q_d3(spark, sf):
+        # anti-entropy digest: per-bucket order-independent checksums —
+        # two runs agree iff every row matches, divergence localizes to a
+        # bucket (the Merkle-leaf construction of Cassandra repair)
+        from cassandra_ttl_remover_spark.operators.audit import table_digest
+
+        ev = _events(spark, sf)
+        return table_digest(
+            ev, ["event_id", "user_id", "event_type", "props"],
+            bucket_col="user_id", n_buckets=16,
+        )
+    q["q_d3_table_digest"] = q_d3
+
     def q_p3(spark, sf):
         # PIVOT: doc counts + mean length, lang rows × source columns
         docs = scan_table(spark, sf, "documents")
@@ -1633,6 +1646,12 @@ def oracle_sql() -> dict[str, str]:
 
     from cassandra_ttl_remover_spark.operators.audit import (
         profile_table_oracle_sql as _profile_sql,
+    )
+    from cassandra_ttl_remover_spark.operators.audit import table_digest_oracle_sql
+
+    o["q_d3_table_digest"] = table_digest_oracle_sql(
+        ["event_id", "user_id", "event_type", "props"],
+        bucket_col="user_id", n_buckets=16,
     )
     o["q_d2_profile_table"] = _profile_sql(
         "documents", ["doc_id", "text", "lang", "source", "n_chars"]

@@ -89,3 +89,64 @@ def profile_table_oracle_sql(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+#: prime just under 2^63: digests stay in BIGINT range in any engine.
+_DIGEST_MOD = 9_223_372_036_854_775_783
+
+
+def table_digest(df: DataFrame, cols: list[str],
+                 bucket_col: str, n_buckets: int = 16) -> DataFrame:
+    """Anti-entropy digest: one order-independent content checksum per key
+    bucket — the Merkle-leaf construction Cassandra repair runs over token
+    ranges (the reference's storage layer carries the same machinery:
+    NoTTLReader's validation metadata). Two replicas/runs of a table agree
+    iff every ``(bucket, n_rows, digest)`` row matches; a mismatched bucket
+    localizes the divergence to 1/``n_buckets`` of the keyspace without
+    either side shipping data.
+
+    Construction (engine-portable, so the DuckDB oracle hash-matches): each
+    row's canonical string (``'|'``-joined ``cols`` — caller supplies
+    integer/string columns; float formatting is NOT portable) is md5'd, the
+    first 15 hex digits become a 60-bit int, and the bucket digest is their
+    exact sum (decimal(38)) mod a prime under 2^63. Addition is commutative,
+    so the digest is independent of row order and partitioning — exactly
+    the property a distributed checksum needs.
+
+    Scale: one map-side-combined agg keyed by bucket; shuffle carries
+    ``n_buckets`` partial rows per task, nothing else."""
+    canon = "concat_ws('|', {cs})".format(
+        cs=", ".join(f"cast(`{c}` as string)" for c in cols)
+    )
+    leaf = (
+        f"cast(conv(substr(md5({canon}), 1, 15), 16, 10) as bigint)"
+    )
+    return (
+        df.select(
+            F.expr(f"pmod(`{bucket_col}`, {n_buckets})").cast("int").alias("bucket"),
+            F.expr(leaf).alias("_leaf"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr(
+                f"cast(sum(cast(_leaf as decimal(38,0))) % {_DIGEST_MOD} as bigint)"
+            ).alias("digest"),
+        )
+    )
+
+
+def table_digest_oracle_sql(cols: list[str], bucket_col: str,
+                            n_buckets: int = 16,
+                            table: str = "events") -> str:
+    canon = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"""
+WITH leaves AS (
+  SELECT ({bucket_col} % {n_buckets})::INT AS bucket,
+         ('0x' || substr(md5({canon}), 1, 15))::BIGINT::HUGEINT AS leaf
+  FROM {table}
+)
+SELECT bucket, count(*)::BIGINT AS n_rows,
+       CAST(sum(leaf) % {_DIGEST_MOD} AS BIGINT) AS digest
+FROM leaves GROUP BY bucket ORDER BY bucket
+"""

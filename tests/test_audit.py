@@ -33,3 +33,26 @@ def test_profile_table_single_pass(spark):
     rows = {r.col_name: r for r in profile_table(df).collect()}
     assert rows["a"].n_rows == 4 and rows["a"].n_nulls == 1 and rows["a"].n_distinct == 3
     assert rows["b"].n_nulls == 1 and rows["b"].n_distinct == 2
+
+
+def test_table_digest_detects_divergence_and_ignores_order(spark):
+    from cassandra_ttl_remover_spark.operators.audit import table_digest
+
+    rows = [(i, i % 7, f"t{i % 3}") for i in range(200)]
+    a = spark.createDataFrame(rows, "id long, k long, tag string")
+    # same content, different row order and partitioning
+    b = spark.createDataFrame(list(reversed(rows)), "id long, k long, tag string").repartition(7)
+    da = {(r.bucket): (r.n_rows, r.digest)
+          for r in table_digest(a, ["id", "k", "tag"], "k", 8).collect()}
+    db = {(r.bucket): (r.n_rows, r.digest)
+          for r in table_digest(b, ["id", "k", "tag"], "k", 8).collect()}
+    assert da == db
+    # one flipped row diverges exactly one bucket, same row counts
+    rows2 = list(rows)
+    rows2[17] = (17, 17 % 7, "CHANGED")
+    c = spark.createDataFrame(rows2, "id long, k long, tag string")
+    dc = {(r.bucket): (r.n_rows, r.digest)
+          for r in table_digest(c, ["id", "k", "tag"], "k", 8).collect()}
+    diff = [bkt for bkt in da if da[bkt] != dc[bkt]]
+    assert diff == [(17 % 7) % 8]
+    assert all(da[bkt][0] == dc[bkt][0] for bkt in da)  # counts agree
