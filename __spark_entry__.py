@@ -507,6 +507,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_m1_ddl_schema"] = q_m1
 
+    def q_m2(spark, sf):
+        # M2 schema-registry lookup: register under a keyspace, resolve
+        # known names (schema arity) and an unknown one (warn+skip -> not
+        # found), emitted as checkable rows
+        from cassandra_ttl_remover_spark import catalog
+
+        catalog.register_tables(spark, sf, keyspace="ks", tables=["events", "nation"])
+        rows = []
+        for name in ("ks.events", "ks.nation", "ks.missing_table"):
+            sch = catalog.table_schema(spark, name)
+            rows.append((name, sch is not None, len(sch.fields) if sch else 0))
+        return spark.createDataFrame(
+            rows, "qualified string, found boolean, n_fields int"
+        )
+    q["q_m2_registry_lookup"] = q_m2
+
+    def q_m7(spark, sf):
+        # M7 CLI option matrix (TTLRemoverCLI.java:165-197): accepted specs
+        # surface their parse, rejected combinations surface ok=false
+        from cassandra_ttl_remover_spark.cli import parse_args
+
+        cases = {
+            "v3_ok": ["--format-version", "3", "--input", "/in",
+                      "--output-path", "/out", "--cql",
+                      "CREATE TABLE ks.t (k bigint PRIMARY KEY, v text)",
+                      "--now", "1700000000", "--clustering", "a,b"],
+            "v2_no_cql_ok": ["--format-version", "2", "--input-file", "/f",
+                             "--output-path", "/out"],
+            "v3_missing_cql": ["--format-version", "3", "--input", "/in",
+                               "--output-path", "/out"],
+            "bad_version": ["--format-version", "9", "--input", "/in",
+                            "--output-path", "/out"],
+        }
+        rows = []
+        for cid, argv in sorted(cases.items()):
+            try:
+                spec = parse_args(argv)
+                rows.append((cid, True, spec.version, spec.now,
+                             len(spec.clustering)))
+            except SystemExit:
+                rows.append((cid, False, None, None, 0))
+        return spark.createDataFrame(
+            rows, "case_id string, ok boolean, version string, "
+                  "now long, n_clustering int"
+        )
+    q["q_m7_cli_option_matrix"] = q_m7
+
+    def q_m3(spark, sf):
+        # M3 strategy registry: the four reference format generations
+        # resolve to their strip convention; unknown versions error
+        from cassandra_ttl_remover_spark.registry import (
+            get_strategy,
+            registered_versions,
+        )
+
+        rows = []
+        for v in registered_versions():
+            s = get_strategy(v)
+            rows.append((v, s.description))
+        try:
+            get_strategy("9")
+            rows.append(("9", "UNEXPECTEDLY RESOLVED"))
+        except LookupError:
+            rows.append(("9", "no strategy"))
+        return spark.createDataFrame(rows, "version string, outcome string")
+    q["q_m3_strategy_registry"] = q_m3
+
     # ---- W1: sorted write round-trip ----
     def q_w1(spark, sf):
         out = os.path.join(
@@ -1866,6 +1933,30 @@ FROM events GROUP BY event_type ORDER BY event_type
           ('name', 'string', FALSE),
           ('surname', 'string', FALSE)
         ) AS t(field_name, dtype, is_key) ORDER BY field_name"""
+
+    o["q_m2_registry_lookup"] = """
+        SELECT * FROM (VALUES
+          ('ks.events', TRUE, 6),
+          ('ks.nation', TRUE, 3),
+          ('ks.missing_table', FALSE, 0)
+        ) AS t(qualified, found, n_fields) ORDER BY qualified"""
+
+    o["q_m7_cli_option_matrix"] = """
+        SELECT * FROM (VALUES
+          ('bad_version', FALSE, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 0),
+          ('v2_no_cql_ok', TRUE, '2', CAST(NULL AS BIGINT), 0),
+          ('v3_missing_cql', FALSE, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 0),
+          ('v3_ok', TRUE, '3', 1700000000, 2)
+        ) AS t(case_id, ok, version, now, n_clustering) ORDER BY case_id"""
+
+    o["q_m3_strategy_registry"] = """
+        SELECT * FROM (VALUES
+          ('2', 'flat columns, decode-time strip'),
+          ('3', 'cell structs, rebuild-time strip'),
+          ('4', 'cell structs, rebuild-time strip'),
+          ('4.1', 'cell structs, rebuild-time strip'),
+          ('9', 'no strategy')
+        ) AS t(version, outcome) ORDER BY version"""
 
     o["q_w1_sorted_write_roundtrip"] = f"""
         WITH a AS ({ann})
