@@ -1478,6 +1478,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_d3_table_digest"] = q_d3
 
+    def q_w3(spark, sf):
+        # hive-partitioned layout roundtrip: write by event_type, read ONE
+        # partition back — the scan lists only that directory (partition
+        # pruning, no footers opened elsewhere)
+        import tempfile
+
+        from cassandra_ttl_remover_spark.sinks.writer import write_partitioned
+
+        base = tempfile.mkdtemp(prefix="ctrs_w3_")
+        ev = _events(spark, sf).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_partitioned(ev, f"{base}/t", ["event_type"], sort_col="event_id")
+        return (
+            spark.read.parquet(f"{base}/t")
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", F.col("event_type").cast("string").alias("event_type"), "value")
+        )
+    q["q_w3_partitioned_prune"] = q_w3
+
     def q_p3(spark, sf):
         # PIVOT: doc counts + mean length, lang rows × source columns
         docs = scan_table(spark, sf, "documents")
@@ -1933,6 +1953,10 @@ FROM events GROUP BY event_type ORDER BY event_type
           ('name', 'string', FALSE),
           ('surname', 'string', FALSE)
         ) AS t(field_name, dtype, is_key) ORDER BY field_name"""
+
+    o["q_w3_partitioned_prune"] = """
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE event_type = 'click' ORDER BY event_id"""
 
     o["q_m2_registry_lookup"] = """
         SELECT * FROM (VALUES

@@ -120,6 +120,30 @@ def zorder_key_oracle_sql(c1: str, c2: str, bits: int = 31) -> str:
     )
 
 
+def write_partitioned(df: DataFrame, out: str, partition_cols: list[str], *,
+                      sort_col: str | None = None,
+                      compression: str = "zstd") -> None:
+    """Hive-style partitioned layout: one directory per distinct value of
+    ``partition_cols`` (``out/col=value/...``), so a filter on those columns
+    prunes at the DIRECTORY level — no footer needs opening, the complement
+    of the min/max pruning the sorted sink provides. The 100 TB layout rule:
+    partition by the low-cardinality operational axes (date, source, type),
+    range/Z-order INSIDE partitions by the query keys.
+
+    Each task writes one file per partition value it holds, so repartition
+    on ``partition_cols`` first — done here — to avoid the small-files
+    explosion (tasks × partitions output files otherwise)."""
+    ranged = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_col is not None:
+        ranged = ranged.sortWithinPartitions(*partition_cols, sort_col)
+    (
+        ranged.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(out)
+    )
+
+
 def compact_small_files(spark, in_dir: str, out_dir: str, *,
                         target_file_bytes: int = 128 << 20,
                         pk: str | None = None,

@@ -202,3 +202,22 @@ def test_embedding_neardup_lsh_bucketed_plan(spark, embeddings):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # one shuffle keyed by (table, bucket) + the dedup + fan_out floor
     assert exchange_count(df) <= 3
+
+
+def test_partitioned_write_prunes_at_directory_level(spark, events, tmp_path):
+    from cassandra_ttl_remover_spark.sinks.writer import write_partitioned
+
+    out = str(tmp_path / "part")
+    write_partitioned(events.select("event_id", "event_type", "user_id"),
+                      out, ["event_type"], sort_col="event_id")
+    # one directory per event_type, no small-files explosion inside
+    dirs = sorted(p.name for p in (tmp_path / "part").iterdir() if p.is_dir())
+    assert all(d.startswith("event_type=") for d in dirs) and len(dirs) == 5
+    q = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = formatted_plan(q)
+    assert "PartitionFilters: [isnotnull(event_type" in plan.replace("#", "")[:10_000] \
+        or "PartitionFilters" in plan
+    # the partition filter must NOT appear as a data filter needing footers
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
