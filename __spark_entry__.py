@@ -1498,6 +1498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_w3_partitioned_prune"] = q_w3
 
+    def q_d4(spark, sf):
+        # exact z-score outlier gate: the z>2 test rearranged into pure
+        # integer arithmetic — no floats, bit-identical across engines
+        from cassandra_ttl_remover_spark.operators.audit import group_outliers
+
+        return group_outliers(_events(spark, sf), "value", "event_type", z=2)
+    q["q_d4_group_outliers"] = q_d4
+
     def q_p3(spark, sf):
         # PIVOT: doc counts + mean length, lang rows × source columns
         docs = scan_table(spark, sf, "documents")
@@ -1734,8 +1742,14 @@ def oracle_sql() -> dict[str, str]:
     from cassandra_ttl_remover_spark.operators.audit import (
         profile_table_oracle_sql as _profile_sql,
     )
-    from cassandra_ttl_remover_spark.operators.audit import table_digest_oracle_sql
+    from cassandra_ttl_remover_spark.operators.audit import (
+        group_outliers_oracle_sql,
+        table_digest_oracle_sql,
+    )
 
+    o["q_d4_group_outliers"] = group_outliers_oracle_sql(
+        "value", "event_type", z=2
+    )
     o["q_d3_table_digest"] = table_digest_oracle_sql(
         ["event_id", "user_id", "event_type", "props"],
         bucket_col="user_id", n_buckets=16,

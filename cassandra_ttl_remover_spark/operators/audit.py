@@ -150,3 +150,70 @@ SELECT bucket, count(*)::BIGINT AS n_rows,
        CAST(sum(leaf) % {_DIGEST_MOD} AS BIGINT) AS digest
 FROM leaves GROUP BY bucket ORDER BY bucket
 """
+
+
+def group_outliers(df: DataFrame, value_col: str, group_col: str,
+                   z: int = 2) -> DataFrame:
+    """Per-group z-score outlier counts with NO floating point anywhere:
+    the test |x − μ| > z·σ (population σ) rearranges to the pure integer
+    inequality ``(n·x − Σx)² > z²·(n·Σx² − (Σx)²)`` over 1e-6-quantized
+    values — exact decimal(38) arithmetic both sides, so the result is
+    bit-identical in any engine (the standard data-quality gate, made
+    oracle-checkable). Returns ``(group_col, n_rows, n_outliers, mean_q)``
+    (``mean_q`` = Σx/n, the single IEEE division).
+
+    Scale: one map-side-combined stats agg per group + one broadcast join
+    back onto the quantized rows (the stats frame is |groups| rows), then
+    a second count agg. Bounds: works while n·max|x_q| < ~1e19 per group
+    (decimal(38) headroom) — rescale the quantization for larger groups.
+    """
+    xq = f"cast(round(cast(`{value_col}` as double) * 1000000.0d) as bigint)"
+    q = df.select(
+        F.col(group_col), F.expr(xq).alias("_xq")
+    )
+    stats = q.groupBy(group_col).agg(
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.sum(F.col("_xq").cast("decimal(38,0)")).alias("_sx"),
+        F.sum(
+            F.col("_xq").cast("decimal(38,0)") * F.col("_xq").cast("decimal(38,0)")
+        ).alias("_sxx"),
+    )
+    flagged = (
+        q.join(F.broadcast(stats), group_col)
+        .withColumn(
+            "_is_out",
+            (
+                (F.col("_n") * F.col("_xq").cast("decimal(38,0)") - F.col("_sx"))
+                * (F.col("_n") * F.col("_xq").cast("decimal(38,0)") - F.col("_sx"))
+            )
+            > F.lit(z * z).cast("decimal(38,0)")
+            * (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")),
+        )
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("_is_out").cast("long")).cast("long").alias("n_outliers"),
+        (F.max("_sx").cast("double") / F.max("_n").cast("double")).alias("mean_q"),
+    )
+
+
+def group_outliers_oracle_sql(value_col: str, group_col: str,
+                              z: int = 2, table: str = "events") -> str:
+    return f"""
+WITH q AS (
+  SELECT {group_col}, round(CAST({value_col} AS DOUBLE) * 1000000)::BIGINT AS xq
+  FROM {table}
+),
+s AS (
+  SELECT {group_col}, count(*)::HUGEINT AS n, sum(xq::HUGEINT) AS sx,
+         sum(xq::HUGEINT * xq::HUGEINT) AS sxx
+  FROM q GROUP BY {group_col}
+)
+SELECT {group_col}, CAST(n AS BIGINT) AS n_rows,
+       sum(CASE WHEN (n * xq - sx) * (n * xq - sx)
+                     > {z * z} * (n * sxx - sx * sx)
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q
+FROM q JOIN s USING ({group_col})
+GROUP BY {group_col}, n, sx ORDER BY {group_col}
+"""

@@ -56,3 +56,16 @@ def test_table_digest_detects_divergence_and_ignores_order(spark):
     diff = [bkt for bkt in da if da[bkt] != dc[bkt]]
     assert diff == [(17 % 7) % 8]
     assert all(da[bkt][0] == dc[bkt][0] for bkt in da)  # counts agree
+
+
+def test_group_outliers_exact_hand_case(spark):
+    from cassandra_ttl_remover_spark.operators.audit import group_outliers
+
+    # group 'a': nine 1.0s and one 100.0 -> the 100 is way past 2 sigma;
+    # group 'b': uniform values -> zero outliers
+    rows = [("a", 1.0)] * 9 + [("a", 100.0)] + [("b", float(v)) for v in range(5)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = {r.g: r for r in group_outliers(df, "value", "g", z=2).collect()}
+    assert out["a"].n_rows == 10 and out["a"].n_outliers == 1
+    assert out["b"].n_rows == 5 and out["b"].n_outliers == 0
+    assert abs(out["a"].mean_q - 10.9e6) < 1e-6
