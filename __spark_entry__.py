@@ -172,6 +172,25 @@ ORDER BY user_id, event_id
 """
 
 
+#: Correlated scalar subqueries: per-row comparison against the row's own
+#: group mean, multiplied through by the group count (x > sum/n written as
+#: x*n > sum) so both sides stay exact decimals — no division, no rounding
+#: convention to disagree on. Catalyst decorrelates both subqueries into
+#: one aggregate + join.
+SHARED_SQL_CORRELATED = """
+SELECT c_custkey, c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS acctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      (SELECT COUNT(*) FROM customer c2
+       WHERE c2.c_nationkey = c.c_nationkey)
+      >
+      (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+       WHERE c3.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_table(spark, sf_dir, "events")
 
@@ -678,6 +697,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["q_x8_json_extract"] = q_x8
+
+    def q_x9(spark, sf):
+        # correlated scalar subquery: customers above their own nation's
+        # average balance — Catalyst decorrelates to an aggregate + join;
+        # exact-decimal average so the threshold is portable
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["customer"])
+        return spark.sql(SHARED_SQL_CORRELATED)
+    q["q_x9_correlated_subquery"] = q_x9
+
+    def q_x10(spark, sf):
+        # unpivot (wide -> long): the reshape every metrics pipeline runs;
+        # values pass through untouched so doubles hash-match
+        li = scan_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 100)
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(3, 'quantity', l_quantity, 'extendedprice', "
+                "l_extendedprice, 'tax', l_tax) as (metric, val)"
+            ),
+        )
+    q["q_x10_unpivot"] = q_x10
 
     # ---- J: joins (broadcast + shuffle — absent from the reference,
     # free from Spark SQL; declared so the judge sees the strategy) ----
@@ -2028,6 +2070,18 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_sql_q6_forecast_revenue"] = SHARED_SQL_Q6
     o["q_sql_q10_returned_items"] = SHARED_SQL_Q10
     o["q_x7_window_analytics"] = SHARED_SQL_WINDOW
+    o["q_x9_correlated_subquery"] = SHARED_SQL_CORRELATED
+    o["q_x10_unpivot"] = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax
+FROM lineitem WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber, metric
+"""
     o["q_x8_json_extract"] = """
 SELECT event_type,
        count(k)::BIGINT AS n_with_k, sum(k)::BIGINT AS sum_k,
