@@ -1144,6 +1144,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sessions.session_stats(_events(spark, sf), gap_seconds=3600)
     q["q_se2_session_stats"] = q_se2
 
+    def q_se3(spark, sf):
+        # ordered funnel: view -> click -> purchase as a time-ordered
+        # subsequence of each user's history
+        from cassandra_ttl_remover_spark.operators.sessions import funnel_flags
+
+        return funnel_flags(_events(spark, sf), ["view", "click", "purchase"])
+    q["q_se3_funnel"] = q_se3
+
     def q_c1(spark, sf):
         # run compaction (the SSTable-compaction analog): base run + an
         # update run touching every 3rd event with a newer writetime;
@@ -2242,6 +2250,9 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n24_sample_per_group"] = curate.sample_per_group_oracle_sql(10)
     o["q_se1_sessionize"] = _sessions.sessionize_oracle_sql(3600)
     o["q_se2_session_stats"] = _sessions.session_stats_oracle_sql(3600)
+    o["q_se3_funnel"] = _sessions.funnel_oracle_sql(
+        ["view", "click", "purchase"]
+    )
     o["q_c1_compact_runs"] = _compact.merge_runs_lww_oracle_sql(
         [
             f"WITH a AS ({ann}) SELECT user_id, event_id, writetime,"

@@ -101,3 +101,61 @@ FROM ({inner})
 GROUP BY {user_col}, session_seq
 ORDER BY {user_col}, session_seq
 """
+
+
+def funnel_flags(events: DataFrame, steps: list[str], *,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel detection per user: did the user's event history
+    contain ``steps`` as a (non-contiguous) subsequence in time order —
+    view → click → purchase and friends, the standard product-analytics
+    question. Returns ``(user_col, n_events, sequence, reached)``.
+
+    Construction: one aggregation per user collecting (ts, id, type)
+    structs, array_sort (unique (ts,id) prefix -> deterministic total
+    order), project the type sequence to a delimited string, and test the
+    subsequence with one LIKE over '%step1%step2%...%' — valid while no
+    step name is a substring of another (assert-guarded). Everything is
+    engine-portable string logic, so the DuckDB oracle (string_agg ORDER
+    BY) hash-matches.
+
+    Scale: ONE shuffle keyed by user (map-side partial collect); per-user
+    state is that user's event types — the same per-entity bound as
+    sessionize, with the same salt-by-time-bucket escape hatch if a single
+    entity outgrows a task."""
+    for a in steps:
+        for b in steps:
+            if a != b and a in b:
+                raise ValueError(
+                    f"step {a!r} is a substring of {b!r}; LIKE subsequence "
+                    "matching would false-positive"
+                )
+    us = _US.format(c=ts_col)
+    seq = (
+        "array_join(transform(array_sort(collect_list(struct("
+        f"{us} as t, {id_col} as i, {type_col} as y))), s -> s.y), ',')"
+    )
+    pat = "%" + "%".join(steps) + "%"
+    return (
+        events.groupBy(user_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(seq).alias("sequence"),
+        )
+        .withColumn("reached", F.col("sequence").like(pat))
+    )
+
+
+def funnel_oracle_sql(steps: list[str], *, table: str = "events",
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type") -> str:
+    pat = "%" + "%".join(steps) + "%"
+    return f"""
+SELECT {user_col}, count(*)::BIGINT AS n_events,
+       string_agg({type_col}, ',' ORDER BY {ts_col}, {id_col}) AS sequence,
+       string_agg({type_col}, ',' ORDER BY {ts_col}, {id_col}) LIKE '{pat}'
+         AS reached
+FROM {table} GROUP BY {user_col} ORDER BY {user_col}
+"""

@@ -266,3 +266,27 @@ def test_read_table_version_time_travel(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError, match="not retained"):
         read_table_version(spark, str(tmp_path / "t"), "v0000000099")
+
+
+def test_funnel_flags_subsequence_semantics(spark):
+    from cassandra_ttl_remover_spark.operators.sessions import funnel_flags
+    import pytest as _pytest
+
+    rows = [
+        # user 1: view .. click .. purchase in order (with noise) -> reached
+        (1, 1, 10, "view"), (1, 2, 20, "error"), (1, 3, 30, "click"),
+        (1, 4, 40, "signup"), (1, 5, 50, "purchase"),
+        # user 2: purchase BEFORE the view/click -> not reached
+        (2, 6, 10, "purchase"), (2, 7, 20, "view"), (2, 8, 30, "click"),
+        # user 3: missing the click -> not reached
+        (3, 9, 10, "view"), (3, 10, 20, "purchase"),
+    ]
+    import pyspark.sql.functions as F
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, t long, event_type string"
+    ).withColumn("ts", F.expr("timestamp_micros(t * 1000000)"))
+    out = {r.user_id: r.reached
+           for r in funnel_flags(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {1: True, 2: False, 3: False}
+    with _pytest.raises(ValueError, match="substring"):
+        funnel_flags(ev, ["view", "view_extra"])
