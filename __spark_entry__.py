@@ -426,6 +426,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_t5_sort_within_partition"] = q_t5
 
+    def q_t6(spark, sf):
+        # partition-level liveness summary at the deterministic 'now': the
+        # per-user live/expired/no-ttl census an operator reads before
+        # deciding which partitions are worth rewriting
+        from cassandra_ttl_remover_spark.operators.liveness import DEFAULT_NOW
+
+        ann = _ann(spark, sf)
+        return (
+            ann.groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("ttl").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_no_ttl"),
+                F.sum(
+                    F.when(F.col("expires_at") <= F.lit(DEFAULT_NOW), 1)
+                    .otherwise(0)
+                ).cast("long").alias("n_expired"),
+                F.sum(
+                    F.when(F.col("expires_at") > F.lit(DEFAULT_NOW), 1)
+                    .otherwise(0)
+                ).cast("long").alias("n_expiring_live"),
+            )
+        )
+    q["q_t6_liveness_census"] = q_t6
+
     # ---- A: counts & sketches (SURVEY §2.1 A1-A3) ----
     def q_a1(spark, sf):
         li = scan_table(spark, sf, "lineitem")
@@ -1016,6 +1041,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
         return dedup.neardup_dedup(docs, pairs)
     q["q_n14_neardup_components"] = q_n14
+
+    def q_n33(spark, sf):
+        # dedup impact report: cluster-size histogram of the near-dup
+        # graph — the before/after census a curation run publishes
+        # (n_docs removed = sum over clusters of (size - 1))
+        docs = scan_table(spark, sf, "documents")
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+        cc = dedup.neardup_dedup(docs, pairs)
+        sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+        return (
+            sizes.groupBy("cluster_size")
+            .agg(F.count("*").cast("long").alias("n_clusters"))
+            .select(F.col("cluster_size").cast("long"), "n_clusters")
+        )
+    q["q_n33_cluster_histogram"] = q_n33
 
     # ---- N: north-star — text analysis ----
     def q_n10(spark, sf):
@@ -1962,6 +2002,17 @@ FROM events GROUP BY event_type ORDER BY event_type
                    AND writetime >= {_rt_lo} AND writetime <= {_rt_hi})
         ORDER BY event_id"""
 
+    o["q_t6_liveness_census"] = f"""
+        WITH a AS ({ann})
+        SELECT user_id, count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN ttl IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_no_ttl,
+               sum(CASE WHEN expires_at <= 1706000000 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_expired,
+               sum(CASE WHEN expires_at > 1706000000 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_expiring_live
+        FROM a GROUP BY user_id ORDER BY user_id"""
+
     o["q_t5_sort_within_partition"] = """
         SELECT user_id, event_id,
                row_number() OVER (PARTITION BY user_id
@@ -2210,6 +2261,16 @@ GROUP BY event_type ORDER BY event_type
     o["q_n14_neardup_components"] = dedup.connected_components_oracle_sql(
         f"SELECT a, b FROM ({dedup.ngram_jaccard_oracle_sql(threshold=0.5)})"
     )
+
+    o["q_n33_cluster_histogram"] = f"""
+        WITH cc AS ({dedup.connected_components_oracle_sql(
+            f"SELECT a, b FROM ({dedup.ngram_jaccard_oracle_sql(threshold=0.5)})"
+        )}),
+        sizes AS (SELECT component, count(*) AS cluster_size
+                  FROM cc GROUP BY component)
+        SELECT cluster_size::BIGINT AS cluster_size,
+               count(*)::BIGINT AS n_clusters
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
 
     o["q_n10_lang_id"] = text.lang_id_oracle_sql()
 
