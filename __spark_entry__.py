@@ -746,6 +746,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_x10_unpivot"] = q_x10
 
+    def q_p4(spark, sf):
+        # explicit GROUPING SETS with the grouping-id bitmask — the
+        # generalization cube/rollup (q_p2/q_x5) specialize; bitmask
+        # conventions agree across engines (0 detail, 1 subtotal, 3 total)
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["orders"])
+        return spark.sql("""
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(grouping_id() AS INT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), ())
+            ORDER BY gid, o_orderpriority, o_orderstatus
+        """)
+    q["q_p4_grouping_sets"] = q_p4
+
+    def q_a5(spark, sf):
+        # approx frequent items (top-k sketch): at this cardinality the
+        # sketch tracks every item, so counts are exact and the oracle is
+        # the plain top-k — the declared contract is the SKETCH API shape
+        ev = _events(spark, sf)
+        topk = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        return topk.select(F.explode("tk").alias("e")).select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("n"),
+        )
+    q["q_a5_frequent_items"] = q_a5
+
     # ---- J: joins (broadcast + shuffle — absent from the reference,
     # free from Spark SQL; declared so the judge sees the strategy) ----
     def q_j1(spark, sf):
@@ -2129,6 +2160,22 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_sql_q6_forecast_revenue"] = SHARED_SQL_Q6
     o["q_sql_q10_returned_items"] = SHARED_SQL_Q10
     o["q_x7_window_analytics"] = SHARED_SQL_WINDOW
+    o["q_p4_grouping_sets"] = """
+        SELECT o_orderpriority, o_orderstatus,
+               GROUPING(o_orderpriority, o_orderstatus)::INT AS gid,
+               count(*)::BIGINT AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        ORDER BY gid, o_orderpriority, o_orderstatus"""
+
+    o["q_a5_frequent_items"] = """
+        SELECT event_type AS item, count(*)::BIGINT AS n
+        FROM events GROUP BY event_type
+        ORDER BY n DESC, item LIMIT 3"""
+
     o["q_x9_correlated_subquery"] = SHARED_SQL_CORRELATED
     o["q_x10_unpivot"] = """
 SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
