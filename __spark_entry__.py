@@ -1088,6 +1088,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_n33_cluster_histogram"] = q_n33
 
+    def q_c2(spark, sf):
+        # CDC apply: a deterministic change feed (every 5th event a
+        # delete) merged onto the older half of the table — deletes are
+        # data, winner per key by (writetime, op, values)
+        from cassandra_ttl_remover_spark.operators.compact import apply_changes
+
+        ann = _ann(spark, sf).select(
+            "user_id", "event_type", "writetime", "event_id"
+        )
+        snapshot = ann.filter(F.col("event_id") % 3 == 0)
+        changes = ann.filter(F.col("event_id") % 3 != 0).withColumn(
+            "op", F.when(F.col("event_id") % 5 == 0, "D").otherwise("U")
+        )
+        return apply_changes(
+            snapshot, changes, ["user_id", "event_type"]
+        )
+    q["q_c2_apply_changes"] = q_c2
+
     # ---- N: north-star — text analysis ----
     def q_n10(spark, sf):
         return text.lang_id(spark, scan_table(spark, sf, "documents"))
@@ -2361,6 +2379,20 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_se3_funnel"] = _sessions.funnel_oracle_sql(
         ["view", "click", "purchase"]
     )
+    o["q_c2_apply_changes"] = _compact.apply_changes_oracle_sql(
+        snapshot_sql=(
+            f"WITH a AS ({ann}) SELECT user_id, event_type, writetime,"
+            " event_id FROM a WHERE event_id % 3 = 0"
+        ),
+        changes_sql=(
+            f"WITH a AS ({ann}) SELECT user_id, event_type, writetime,"
+            " event_id, CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END"
+            " AS op FROM a WHERE event_id % 3 <> 0"
+        ),
+        keys=["user_id", "event_type"],
+        value_cols=["event_id"],
+    )
+
     o["q_c1_compact_runs"] = _compact.merge_runs_lww_oracle_sql(
         [
             f"WITH a AS ({ann}) SELECT user_id, event_id, writetime,"

@@ -84,3 +84,58 @@ rk AS (
 )
 SELECT {cols_csv} FROM rk WHERE rn = 1 ORDER BY {keys_csv}
 """
+
+
+def apply_changes(snapshot: DataFrame, changes: DataFrame, keys: list[str],
+                  writetime_col: str = "writetime",
+                  op_col: str = "op") -> DataFrame:
+    """CDC apply: merge a change feed onto a snapshot — the delete-aware
+    generalization of :func:`merge_runs_lww`, and the §1.2 stance made
+    operational: DELETES ARE DATA. ``changes`` carries ``op_col`` in
+    {'I','U','D'}; snapshot rows participate as implicit upserts. Per key
+    the winner is the highest ``(writetime, op, *values)`` struct — op in
+    the tie-break means an equal-writetime delete LOSES to a write ('U' >
+    'I' > 'D' lexicographically), the conservative keep-data rule; a
+    winning 'D' removes the key from the output. Same single-shuffle
+    struct-arg-max shape as the LWW merge; the op column is dropped from
+    the result.
+
+    Scale: union is metadata-only; ONE hash shuffle on the key with
+    map-side-combined partials; the delete filter is a projection."""
+    snap = snapshot.withColumn(op_col, F.lit("U"))
+    u = snap.unionByName(changes.select(*snap.columns))
+    value_cols = [c for c in u.columns
+                  if c not in (*keys, writetime_col, op_col)]
+    picked = u.groupBy(*keys).agg(
+        F.max(F.struct(writetime_col, op_col, *value_cols)).alias("_w")
+    )
+    return picked.filter(F.col(f"_w.{op_col}") != "D").select(
+        *keys,
+        F.col(f"_w.{writetime_col}").alias(writetime_col),
+        *[F.col(f"_w.{c}").alias(c) for c in value_cols],
+    )
+
+
+def apply_changes_oracle_sql(snapshot_sql: str, changes_sql: str,
+                             keys: list[str], value_cols: list[str],
+                             writetime_col: str = "writetime",
+                             op_col: str = "op") -> str:
+    """DuckDB oracle: UNION ALL with the snapshot as implicit 'U', arg-max
+    per key over the same (writetime, op, *values) descending order, delete
+    winners removed."""
+    order = ", ".join(
+        f"{c} DESC NULLS LAST" for c in (writetime_col, op_col, *value_cols)
+    )
+    keys_csv = ", ".join(keys)
+    cols_csv = ", ".join((*keys, writetime_col, *value_cols))
+    return f"""
+WITH snap AS (SELECT *, 'U' AS {op_col} FROM ({snapshot_sql})),
+u AS (SELECT {cols_csv}, {op_col} FROM snap
+      UNION ALL SELECT {cols_csv}, {op_col} FROM ({changes_sql})),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY {keys_csv} ORDER BY {order}) AS rn
+  FROM u
+)
+SELECT {cols_csv} FROM rk WHERE rn = 1 AND {op_col} <> 'D'
+ORDER BY {keys_csv}
+"""

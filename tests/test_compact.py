@@ -69,3 +69,25 @@ def test_compact_runs_roundtrip_sorted(spark, events, tmp_path):
     )
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_apply_changes_delete_semantics(spark):
+    from cassandra_ttl_remover_spark.operators.compact import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c"), (4, 10, "d")],
+        "k long, writetime long, v string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 20, "a2", "U"),   # newer update wins
+            (2, 20, None, "D"),   # newer delete removes the key
+            (3, 10, None, "D"),   # equal-writetime delete LOSES to the write
+            (5, 20, "e", "I"),    # insert of a new key
+            (5, 30, None, "D"),   # ...then deleted again
+        ],
+        "k long, writetime long, v string, op string",
+    )
+    got = {(r.k): (r.writetime, r.v)
+           for r in apply_changes(snap, changes, ["k"]).collect()}
+    assert got == {1: (20, "a2"), 3: (10, "c"), 4: (10, "d")}
