@@ -1106,6 +1106,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_c2_apply_changes"] = q_c2
 
+    def q_st9(spark, sf):
+        # the SAME change feed as q_c2 streamed 2 files per micro-batch:
+        # tombstone retention makes the incremental result equal the
+        # one-shot batch apply — so they share the oracle
+        import tempfile
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            scan_stream,
+            stream_apply_changes,
+        )
+
+        base = tempfile.mkdtemp(prefix="ctrs_st9_")
+        ann = _ann(spark, sf).select(
+            "user_id", "event_type", "writetime", "event_id"
+        )
+        feed = (
+            ann.withColumn(
+                "op",
+                F.when(F.col("event_id") % 3 == 0, "U")  # the q_c2 snapshot
+                .when(F.col("event_id") % 5 == 0, "D")
+                .otherwise("U"),
+            )
+        )
+        feed.repartition(8).write.parquet(f"{base}/in")
+        st = scan_stream(spark, f"{base}/in", max_files_per_trigger=2)
+        return stream_apply_changes(
+            st, ["user_id", "event_type"],
+            table_dir=f"{base}/table", checkpoint_dir=f"{base}/ckpt",
+        )
+    q["q_st9_stream_apply_changes"] = q_st9
+
     # ---- N: north-star — text analysis ----
     def q_n10(spark, sf):
         return text.lang_id(spark, scan_table(spark, sf, "documents"))
@@ -2392,6 +2423,9 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
         keys=["user_id", "event_type"],
         value_cols=["event_id"],
     )
+
+    # tombstone retention makes the streamed apply equal the one-shot apply
+    o["q_st9_stream_apply_changes"] = o["q_c2_apply_changes"]
 
     o["q_c1_compact_runs"] = _compact.merge_runs_lww_oracle_sql(
         [

@@ -380,3 +380,74 @@ def read_table_version(spark: SparkSession, table_dir: str,
             f"available: {have}"
         )
     return spark.read.parquet(str(target))
+
+
+def stream_apply_changes(stream_df: DataFrame, keys: list[str], *,
+                         table_dir: str, checkpoint_dir: str,
+                         writetime_col: str = "writetime",
+                         op_col: str = "op",
+                         version_keep: int = 2) -> DataFrame:
+    """Streaming CDC apply — and the reference's deepest storage lesson
+    enforced by construction: TOMBSTONES ARE RETAINED. Each micro-batch
+    merges the change feed (``op_col`` in {'I','U','D'}) into the versioned
+    table by the same ``(writetime, op, *values)`` arg-max as the batch
+    :func:`operators.compact.apply_changes`, but winning DELETES are
+    STORED, not dropped — drop them at write time and a late-arriving
+    older update in a later batch would resurrect the key (exactly why
+    Cassandra keeps tombstones until compaction can prove them safe,
+    SURVEY.md §1.2). The live view — deletes filtered — is applied only at
+    READ time, so the incremental result equals the one-shot batch apply
+    no matter how the feed was micro-batched.
+
+    Returns the final LIVE table (tombstones filtered); the stored table
+    (read_table_version) retains them for repair/late-data correctness.
+
+    Scale: per batch one shuffle on the key, same as the upsert sink;
+    tombstone rows are key+metadata only in practice and compact away once
+    a retention policy allows (out of scope here, policy-dependent)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    base = Path(table_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    ptr = base / "LATEST"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        u = batch_df
+        if ptr.exists():
+            u = u.unionByName(
+                spark.read.parquet(str(base / ptr.read_text().strip()))
+            )
+        value_cols = [c for c in u.columns
+                      if c not in (*keys, writetime_col, op_col)]
+        picked = u.groupBy(*keys).agg(
+            F.max(F.struct(writetime_col, op_col, *value_cols)).alias("_w")
+        )
+        merged = picked.select(
+            *keys,
+            F.col(f"_w.{writetime_col}").alias(writetime_col),
+            F.col(f"_w.{op_col}").alias(op_col),
+            *[F.col(f"_w.{c}").alias(c) for c in value_cols],
+        )
+        vname = f"v{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(str(base / vname))
+        tmp = base / "LATEST.tmp"
+        tmp.write_text(vname)
+        os.replace(tmp, ptr)
+        versions = sorted(p.name for p in base.iterdir()
+                          if p.is_dir() and p.name.startswith("v"))
+        for old in versions[:-version_keep] if version_keep else []:
+            shutil.rmtree(base / old, ignore_errors=True)
+
+    (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    spark = stream_df.sparkSession
+    stored = spark.read.parquet(str(base / ptr.read_text().strip()))
+    return stored.filter(F.col(op_col) != "D").drop(op_col)

@@ -290,3 +290,33 @@ def test_funnel_flags_subsequence_semantics(spark):
     assert out == {1: True, 2: False, 3: False}
     with _pytest.raises(ValueError, match="substring"):
         funnel_flags(ev, ["view", "view_extra"])
+
+
+def test_stream_apply_changes_tombstones_block_resurrection(spark, tmp_path):
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        read_table_version,
+        scan_stream,
+        stream_apply_changes,
+    )
+
+    # file 1: delete of key 1 at t=30; file 2: LATE older update at t=20.
+    # With maxFilesPerTrigger=1 the delete lands in an earlier batch; if
+    # the store dropped tombstones, the late update would resurrect key 1.
+    f1 = [(1, 30, None, "D"), (2, 10, "b", "U")]
+    f2 = [(1, 20, "late", "U"), (3, 10, "c", "I")]
+    schema = "k long, writetime long, v string, op string"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in"))
+    st = scan_stream(spark, str(tmp_path / "in"), max_files_per_trigger=1)
+    live = stream_apply_changes(
+        st, ["k"], table_dir=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "c"),
+    )
+    got = {(r.k): (r.writetime, r.v) for r in live.collect()}
+    assert got == {2: (10, "b"), 3: (10, "c")}  # key 1 stays dead
+    # the STORED table retains the tombstone that blocked resurrection
+    stored = read_table_version(spark, str(tmp_path / "t"))
+    tomb = stored.filter("k = 1").collect()
+    assert len(tomb) == 1 and tomb[0]["op"] == "D" and tomb[0]["writetime"] == 30
