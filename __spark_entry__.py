@@ -777,6 +777,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_a5_frequent_items"] = q_a5
 
+    def q_x11(spark, sf):
+        # INTERSECT: users on both sides of an activity split — completes
+        # the set-op family next to q_x1's EXCEPT
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["events"])
+        return spark.sql("""
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
+        """)
+    q["q_x11_set_intersect"] = q_x11
+
+    def q_n34(spark, sf):
+        # corpus length histogram on log2 buckets — the shape report every
+        # curation run starts from. floor(log2(n)) via binary-string length
+        # (bin() in both engines) so the bucket is exact integer logic, not
+        # a libm log that can straddle power-of-two boundaries
+        docs = scan_table(spark, sf, "documents")
+        return (
+            docs.select(
+                F.expr(
+                    "cast(length(bin(greatest(1, n_chars))) - 1 as int)"
+                ).alias("log2_bucket")
+            )
+            .groupBy("log2_bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+    q["q_n34_length_histogram"] = q_n34
+
     # ---- J: joins (broadcast + shuffle — absent from the reference,
     # free from Spark SQL; declared so the judge sees the strategy) ----
     def q_j1(spark, sf):
@@ -2224,6 +2254,17 @@ FROM events GROUP BY event_type ORDER BY event_type
         SELECT event_type AS item, count(*)::BIGINT AS n
         FROM events GROUP BY event_type
         ORDER BY n DESC, item LIMIT 3"""
+
+    o["q_x11_set_intersect"] = """
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id"""
+
+    o["q_n34_length_histogram"] = """
+        SELECT (length(bin(greatest(1, n_chars))) - 1)::INT AS log2_bucket,
+               count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY log2_bucket ORDER BY log2_bucket"""
 
     o["q_x9_correlated_subquery"] = SHARED_SQL_CORRELATED
     o["q_x10_unpivot"] = """
