@@ -807,6 +807,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_n34_length_histogram"] = q_n34
 
+    def q_n36(spark, sf):
+        # leakage-proof split: near-dup clusters land whole in one split
+        # (the split key is the component, not the document)
+        docs = scan_table(spark, sf, "documents")
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+        return curate.cluster_safe_split(docs, pairs)
+    q["q_n36_cluster_safe_split"] = q_n36
+
     # ---- J: joins (broadcast + shuffle — absent from the reference,
     # free from Spark SQL; declared so the judge sees the strategy) ----
     def q_j1(spark, sf):
@@ -1973,6 +1981,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_n26_tfidf_topk"] = text.tfidf_topk_oracle_sql(k=3)
     o["q_n27_chunk_sliding"] = text.chunk_sliding_oracle_sql(window=64, stride=48)
     o["q_n28_hash_split"] = curate.hash_split_oracle_sql()
+    o["q_n36_cluster_safe_split"] = curate.cluster_safe_split_oracle_sql(
+        f"SELECT a, b FROM ({dedup.ngram_jaccard_oracle_sql(threshold=0.5)})"
+    )
     o["q_n29_dedup_vs_corpus"] = dedup.dedup_against_corpus_oracle_sql(
         corpus_where="doc_id % 2 = 0", max_hamming=3
     )

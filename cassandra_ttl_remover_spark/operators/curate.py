@@ -674,3 +674,49 @@ SELECT *, CASE WHEN {pct} < {train_pct} THEN 'train'
                ELSE 'test' END AS split
 FROM {table} ORDER BY {id_col}
 """
+
+
+def cluster_safe_split(docs: DataFrame, pairs: DataFrame,
+                       train_pct: int = 80, valid_pct: int = 10,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Leakage-proof train/valid/test split: a near-duplicate of a training
+    document sitting in the test set is evaluation contamination, and a
+    plain per-document :func:`hash_split` produces exactly that whenever a
+    near-dup cluster straddles the split boundary. Here the split key is
+    the document's near-dup COMPONENT (min reachable id over the pair
+    graph), so every cluster lands whole in one split by construction.
+    Returns ``(id_col, component, split)``.
+
+    Scale: components as in dedup.connected_components (driver union-find
+    under the edge bound, HashMin above); the split label is then the same
+    zero-shuffle hash projection as hash_split, keyed on the component."""
+    from cassandra_ttl_remover_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs, docs.select(id_col), id_col)
+    labeled = hash_split(cc, train_pct, valid_pct, id_col="component")
+    return labeled.select(id_col, "component", "split")
+
+
+def cluster_safe_split_oracle_sql(pairs_sql: str, train_pct: int = 80,
+                                  valid_pct: int = 10,
+                                  table: str = "documents",
+                                  id_col: str = "doc_id") -> str:
+    from cassandra_ttl_remover_spark.operators.dedup import (
+        connected_components_oracle_sql,
+    )
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+
+    cc = connected_components_oracle_sql(pairs_sql, table, id_col)
+    pct = f"(({murmur3_hash_oracle_expr('component')} & 2147483647) % 100)"
+    return f"""
+WITH cc AS ({cc})
+SELECT {id_col}, component,
+       CASE WHEN {pct} < {train_pct} THEN 'train'
+            WHEN {pct} < {train_pct + valid_pct} THEN 'valid'
+            ELSE 'test' END AS split
+FROM cc ORDER BY {id_col}
+"""

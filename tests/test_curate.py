@@ -210,3 +210,22 @@ def test_operator_edge_cases(spark, documents):
     packed = curate.pack_sequences(documents, budget=1)
     assert packed.count() == documents.count()
     assert packed.filter("bin < 0").count() == 0
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    from cassandra_ttl_remover_spark.operators.curate import cluster_safe_split
+
+    # many clusters (pairs chain i <-> i+1 within groups of 3) so some
+    # would straddle a per-doc split; the cluster-keyed split must not
+    ids = spark.createDataFrame([(i,) for i in range(90)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(89) if i % 3 != 2], "a long, b long"
+    )
+    out = cluster_safe_split(ids, pairs).collect()
+    by_component = {}
+    for r in out:
+        by_component.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_component.values()), (
+        "a near-dup cluster straddles splits"
+    )
+    assert len({r.split for r in out}) > 1  # multiple splits actually used
