@@ -1310,6 +1310,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return funnel_flags(_events(spark, sf), ["view", "click", "purchase"])
     q["q_se3_funnel"] = q_se3
 
+    def q_se4(spark, sf):
+        # weekly retention cohorts: users grouped by first-seen week, with
+        # the count still active the following week — exact integer week
+        # arithmetic (epoch_us div week) so the cohort keys are portable
+        wk = "cast(unix_micros(cast(ts as timestamp)) div 604800000000 as long)"
+        ev = _events(spark, sf).select(
+            "user_id", F.expr(wk).alias("week")
+        )
+        first = ev.groupBy("user_id").agg(F.min("week").alias("cohort"))
+        act = ev.distinct()
+        joined = first.join(act, "user_id")
+        return joined.groupBy("cohort").agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("week") == F.col("cohort") + 1, F.col("user_id"))
+            ).cast("long").alias("n_retained_next_week"),
+        )
+    q["q_se4_retention_cohorts"] = q_se4
+
     def q_c1(spark, sf):
         # run compaction (the SSTable-compaction analog): base run + an
         # update run touching every 3rd event with a newer writetime;
@@ -2462,6 +2481,19 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_se3_funnel"] = _sessions.funnel_oracle_sql(
         ["view", "click", "purchase"]
     )
+    o["q_se4_retention_cohorts"] = """
+        WITH ev AS (
+          SELECT user_id, (epoch_us(ts) // 604800000000)::BIGINT AS week
+          FROM events
+        ),
+        first AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, week FROM ev)
+        SELECT cohort,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               count(DISTINCT CASE WHEN week = cohort + 1 THEN user_id END)::BIGINT
+                 AS n_retained_next_week
+        FROM first JOIN act USING (user_id)
+        GROUP BY cohort ORDER BY cohort"""
     o["q_c2_apply_changes"] = _compact.apply_changes_oracle_sql(
         snapshot_sql=(
             f"WITH a AS ({ann}) SELECT user_id, event_type, writetime,"
