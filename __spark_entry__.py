@@ -790,6 +790,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """)
     q["q_x11_set_intersect"] = q_x11
 
+    def q_x12(spark, sf):
+        # calendar-function breadth: per-day event rollup. dayofweek is
+        # aligned explicitly (Spark is 1-based Sunday=1, DuckDB 0-based
+        # Sunday=0 — the engine subtracts 1)
+        ev = _events(spark, sf)
+        return (
+            ev.groupBy(
+                F.year("ts").cast("int").alias("y"),
+                F.month("ts").cast("int").alias("m"),
+                F.dayofmonth("ts").cast("int").alias("d"),
+                (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+    q["q_x12_calendar_rollup"] = q_x12
+
     def q_n34(spark, sf):
         # corpus length histogram on log2 buckets — the shape report every
         # curation run starts from. floor(log2(n)) via binary-string length
@@ -2284,6 +2300,12 @@ FROM events GROUP BY event_type ORDER BY event_type
         SELECT event_type AS item, count(*)::BIGINT AS n
         FROM events GROUP BY event_type
         ORDER BY n DESC, item LIMIT 3"""
+
+    o["q_x12_calendar_rollup"] = """
+        SELECT year(ts)::INT AS y, month(ts)::INT AS m,
+               dayofmonth(ts)::INT AS d, dayofweek(ts)::INT AS dow,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY y, m, d, dow ORDER BY y, m, d"""
 
     o["q_x11_set_intersect"] = """
         SELECT user_id FROM events WHERE event_type = 'view'
