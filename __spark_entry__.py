@@ -1519,6 +1519,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return frame_sample_plan(media, every_nth=10, fps=24)
     q["q_mm4_frame_sample"] = q_mm4
 
+    def q_mm5(spark, sf):
+        # ViT-style patch tokenization plan: 16x16 tile work-list from
+        # image metadata only — the fourth multimodal fan-out shape
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_media,
+            patch_grid_plan,
+        )
+
+        media = documents_as_media(scan_table(spark, sf, "documents"))
+        return patch_grid_plan(media, patch=16)
+    q["q_mm5_patch_grid"] = q_mm5
+
     def q_d1(spark, sf):
         # snapshot diff: vs the base run, every 7th event removed, every
         # 5th surviving value bumped, a shifted copy added — one full-outer
@@ -2082,6 +2094,23 @@ FROM events GROUP BY event_type ORDER BY event_type
                least((chunk_idx + 1) * 1000, duration_ms)::BIGINT AS end_ms,
                CAST(16000 AS INTEGER) AS sample_rate
         FROM c ORDER BY media_id, chunk_idx"""
+
+    o["q_mm5_patch_grid"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 length(text) % 64 + 1 AS w, length(text) % 48 + 1 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT media_id, h,
+                 unnest(range(0, CAST(w // 16 AS INTEGER))) AS px
+          FROM m WHERE w >= 16 AND h >= 16
+        )
+        SELECT media_id, px::INT AS px,
+               unnest(range(0, CAST(h // 16 AS INTEGER)))::INT AS py,
+               (px * 16)::INT AS x0,
+               (unnest(range(0, CAST(h // 16 AS INTEGER))) * 16)::INT AS y0
+        FROM px ORDER BY media_id, px, py"""
 
     o["q_mm4_frame_sample"] = """
         WITH m AS (

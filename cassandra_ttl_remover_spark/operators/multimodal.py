@@ -310,3 +310,37 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 1000) -> DataFrame:
             "sample_rate",
         )
     )
+
+
+def patch_grid_plan(media: DataFrame, patch: int = 16) -> DataFrame:
+    """Patch-grid *plan* for image payloads: one row per ``patch``×``patch``
+    tile — ``(media_id, px, py, x0, y0)`` — the ViT-style tokenization
+    work-list an image pipeline hands its decode stage, planned from
+    metadata alone like :func:`audio_chunks` and :func:`frame_sample_plan`
+    (no payload bytes move; partial edge tiles are dropped, matching the
+    crop-to-multiple convention). Scale: pure per-row double explode, no
+    shuffle; fan-out per image is (w div patch)·(h div patch)."""
+    nx = f"cast(meta.width div {patch} as int)"
+    ny = f"cast(meta.height div {patch} as int)"
+    return (
+        media.filter(F.col("meta.kind") == "image")
+        .filter((F.col("meta.width") >= patch) & (F.col("meta.height") >= patch))
+        .select(
+            "media_id",
+            F.explode(F.expr(f"sequence(0, {nx} - 1)")).alias("px"),
+            F.col("meta.height").alias("_h"),
+        )
+        .select(
+            "media_id",
+            "px",
+            F.explode(F.expr(f"sequence(0, cast(_h div {patch} as int) - 1)"))
+            .alias("py"),
+        )
+        .select(
+            "media_id",
+            F.col("px").cast("int").alias("px"),
+            F.col("py").cast("int").alias("py"),
+            (F.col("px") * patch).cast("int").alias("x0"),
+            (F.col("py") * patch).cast("int").alias("y0"),
+        )
+    )

@@ -111,3 +111,25 @@ def test_audio_chunks_layout(spark, documents):
     # metadata-only plan: no shuffle
     plan = audio_chunks(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_patch_grid_plan_tiles_and_edges(spark):
+    from cassandra_ttl_remover_spark.operators.multimodal import patch_grid_plan
+    import pyspark.sql.functions as F
+
+    media = spark.createDataFrame(
+        [(1, 40, 33), (2, 15, 100), (3, 16, 16)],
+        "media_id long, w int, h int",
+    ).select(
+        "media_id",
+        F.expr("named_struct('kind','image','mime','i','width',w,'height',h,"
+               "'n_frames',int(1),'sample_rate',cast(null as int),"
+               "'duration_ms',cast(null as bigint))").alias("meta"),
+    )
+    rows = {(r.media_id, r.px, r.py, r.x0, r.y0)
+            for r in patch_grid_plan(media, patch=16).collect()}
+    # 40x33 -> 2x2 tiles (partial edges cropped); 15-wide -> none; 16x16 -> 1
+    assert rows == {
+        (1, 0, 0, 0, 0), (1, 0, 1, 0, 16), (1, 1, 0, 16, 0), (1, 1, 1, 16, 16),
+        (3, 0, 0, 0, 0),
+    }
