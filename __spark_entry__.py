@@ -806,6 +806,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_x12_calendar_rollup"] = q_x12
 
+    def q_x13(spark, sf):
+        # array/higher-order-function surface: slice, per-element
+        # transform, and array-max over the 1e-6-quantized embedding —
+        # exact integers, so the HOF semantics themselves are what's
+        # checked against the oracle's list functions
+        emb = scan_table(spark, sf, "embeddings")
+        qv = "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0d) as bigint))"
+        return emb.select(
+            "vec_id",
+            F.expr(f"size({qv})").cast("int").alias("dim"),
+            F.expr(f"slice({qv}, 1, 4)").alias("head4_q"),
+            F.expr(f"array_max({qv})").cast("long").alias("max_q"),
+            F.expr(f"size(filter({qv}, x -> x > 0))").cast("int")
+            .alias("n_positive"),
+        )
+    q["q_x13_array_functions"] = q_x13
+
     def q_n34(spark, sf):
         # corpus length histogram on log2 buckets — the shape report every
         # curation run starts from. floor(log2(n)) via binary-string length
@@ -2329,6 +2346,19 @@ FROM events GROUP BY event_type ORDER BY event_type
         SELECT event_type AS item, count(*)::BIGINT AS n
         FROM events GROUP BY event_type
         ORDER BY n DESC, item LIMIT 3"""
+
+    o["q_x13_array_functions"] = """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) * 1000000)::BIGINT) AS qv
+          FROM embeddings
+        )
+        SELECT vec_id, len(qv)::INT AS dim,
+               qv[1:4] AS head4_q,
+               list_max(qv)::BIGINT AS max_q,
+               len(list_filter(qv, x -> x > 0))::INT AS n_positive
+        FROM q ORDER BY vec_id"""
 
     o["q_x12_calendar_rollup"] = """
         SELECT year(ts)::INT AS y, month(ts)::INT AS m,
