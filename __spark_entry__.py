@@ -840,6 +840,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_n34_length_histogram"] = q_n34
 
+    def q_n35(spark, sf):
+        # per-source duplication census: distinct content vs rows by
+        # source — which feeds are sending copies (digest-only distinct,
+        # text never shuffles)
+        docs = scan_table(spark, sf, "documents")
+        return (
+            docs.select("source", F.md5("text").alias("_d"))
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.countDistinct("_d").cast("long").alias("n_distinct"),
+            )
+            .withColumn(
+                "dup_ratio",
+                (F.col("n_docs") - F.col("n_distinct"))
+                / F.col("n_docs").cast("double"),
+            )
+        )
+    q["q_n35_source_dup_census"] = q_n35
+
     def q_n36(spark, sf):
         # leakage-proof split: near-dup clusters land whole in one split
         # (the split key is the component, not the document)
@@ -2371,6 +2391,13 @@ FROM events GROUP BY event_type ORDER BY event_type
         INTERSECT
         SELECT user_id FROM events WHERE event_type = 'purchase'
         ORDER BY user_id"""
+
+    o["q_n35_source_dup_census"] = """
+        SELECT source, count(*)::BIGINT AS n_docs,
+               count(DISTINCT md5(text))::BIGINT AS n_distinct,
+               (count(*) - count(DISTINCT md5(text)))
+                 / count(*)::DOUBLE AS dup_ratio
+        FROM documents GROUP BY source ORDER BY source"""
 
     o["q_n34_length_histogram"] = """
         SELECT (length(bin(greatest(1, n_chars))) - 1)::INT AS log2_bucket,
