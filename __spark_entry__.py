@@ -1228,6 +1228,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_st9_stream_apply_changes"] = q_st9
 
+    def q_st10(spark, sf):
+        # the liveness census (q_t6) lifted to a stream: stateful complete-
+        # mode aggregation over arriving files — batch oracle identical
+        import uuid
+
+        from cassandra_ttl_remover_spark.operators.liveness import DEFAULT_NOW
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+        )
+
+        st = annotate_events(scan_stream(spark, sf, glob="events.parquet"))
+        census = st.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("ttl").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_no_ttl"),
+            F.sum(
+                F.when(F.col("expires_at") <= F.lit(DEFAULT_NOW), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_expired"),
+            F.sum(
+                F.when(F.col("expires_at") > F.lit(DEFAULT_NOW), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_expiring_live"),
+        )
+        return drain_to_table(
+            census, f"st10_{uuid.uuid4().hex[:8]}", "complete"
+        )
+    q["q_st10_stream_liveness_census"] = q_st10
+
     # ---- N: north-star — text analysis ----
     def q_n10(spark, sf):
         return text.lang_id(spark, scan_table(spark, sf, "documents"))
@@ -2234,6 +2264,8 @@ FROM events GROUP BY event_type ORDER BY event_type
                sum(CASE WHEN expires_at > 1706000000 THEN 1 ELSE 0 END)::BIGINT
                  AS n_expiring_live
         FROM a GROUP BY user_id ORDER BY user_id"""
+
+    o["q_st10_stream_liveness_census"] = o["q_t6_liveness_census"]
 
     o["q_t5_sort_within_partition"] = """
         SELECT user_id, event_id,
