@@ -136,9 +136,12 @@ def main() -> int:
         dedup.dedup_against_corpus(batch, corpus, max_hamming=3).count()
 
     def q_embedding_norms():
-        # zero-shuffle exact quantized L2 norms over the embedding table
+        # zero-shuffle exact quantized L2 norms over the embedding table.
+        # NB: .count() would prune the unevaluated norm projection (a null
+        # measurement — see perf notes); aggregating over the computed
+        # column forces every row's ssq to actually be evaluated.
         from cassandra_ttl_remover_spark.operators import similarity as sim
-        sim.embedding_norms(embeddings).count()
+        sim.embedding_norms(embeddings).agg(F.sum("ssq")).collect()
 
     def q_containment():
         # asymmetric subsumption pairs on the shared inverted-index core

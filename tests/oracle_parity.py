@@ -44,6 +44,28 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def check_scalar_outputs(spark_df, name: str) -> str | None:
+    """Driver-harness contract: the external gate canonicalizes results via
+    pandas ``sort_values``, which raises ``unhashable type`` on list/dict
+    cells — so every declared query must emit ONLY scalar-typed top-level
+    columns (CORRECTNESS_r02's sole red row, q_x13, violated this).
+    Returns an error string, or None if the schema is harness-safe."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        return (
+            f"{name} emits complex-typed top-level column(s) {bad} — "
+            "the driver harness cannot canonicalize these; serialize "
+            "(array_join/to_json) before returning"
+        )
+    return None
+
+
 def compare(spark_df, duck_sql: str, con) -> tuple[bool, str]:
     sp_cols = spark_df.columns
     sp_rows = [tuple(r) for r in spark_df.collect()]
@@ -87,6 +109,11 @@ def main() -> int:
             continue
         try:
             df = fn(spark, sf_dir)
+            complex_err = check_scalar_outputs(df, name)
+            if complex_err:
+                print(f"  {name:32s} FAIL {complex_err}")
+                failures.append(name)
+                continue
             if name not in oracles:
                 n = df.count()
                 print(f"  {name:32s} rows-only: {n} rows")
