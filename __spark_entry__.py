@@ -58,6 +58,7 @@ from cassandra_ttl_remover_spark.operators.lookups import (
     range_scan,
     token_filter,
 )
+from cassandra_ttl_remover_spark.operators import multimodal
 from cassandra_ttl_remover_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
@@ -257,6 +258,7 @@ _DRIVER_PRIORITY = [
     "q_mm3_audio_chunks",
     "q_mm4_frame_sample",
     "q_mm5_patch_grid",
+    "q_mm6_wav_decode",
     # vector analytics
     "q_v1_group_centroids",
     "q_v2_nearest_centroid",
@@ -1722,6 +1724,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return patch_grid_plan(media, patch=16)
     q["q_mm5_patch_grid"] = q_mm5
 
+    def q_mm6(spark, sf):
+        # REAL media decode end-to-end: documents -> genuine RIFF/WAVE
+        # bytes (stdlib wave writer) -> stdlib wave READER parses the
+        # container and PCM frames back into header fields + exact sample
+        # statistics. The oracle recomputes every number from the source
+        # text, so a decode bug (header misparse, endianness, truncation)
+        # hash-mismatches. This is the one modality whose decoder is
+        # pure-Python; JPEG/MP4 stay behind the documented stub boundary.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_wav,
+            wav_decode_features,
+        )
+
+        media = documents_as_wav(scan_table(spark, sf, "documents"))
+        return wav_decode_features(media)
+    q["q_mm6_wav_decode"] = q_mm6
+
     def q_d1(spark, sf):
         # snapshot diff: vs the base run, every 7th event removed, every
         # 5th surviving value bumped, a shifted copy added — one full-outer
@@ -2268,6 +2287,8 @@ FROM events GROUP BY event_type ORDER BY event_type
           AND md5(text) NOT IN (
             SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
         ORDER BY doc_id"""
+
+    o["q_mm6_wav_decode"] = multimodal.wav_decode_oracle_sql()
 
     o["q_mm3_audio_chunks"] = """
         WITH m AS (

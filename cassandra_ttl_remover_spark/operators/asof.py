@@ -41,6 +41,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
 
     Both sides must carry ``key`` and ``ts`` (same names/types);
     ``value_cols`` defaults to right's non-key, non-ts columns.
+
+    Skew: the carry-forward window partitions by ``key`` ONLY, so one key's
+    entire merged history serializes into a single task, and AQE skew
+    handling does not split window exchanges. For a key whose history
+    outgrows a task, pre-split by coarse time bucket and seed each bucket
+    with the previous bucket's last right row (module docstring, Skew
+    caveat) — the operator itself stays single-window by design.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (key, ts)]
     overlap = set(value_cols) & set(left.columns)

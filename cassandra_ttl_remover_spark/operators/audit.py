@@ -142,7 +142,11 @@ def table_digest_oracle_sql(cols: list[str], bucket_col: str,
     canon = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
     return f"""
 WITH leaves AS (
-  SELECT ({bucket_col} % {n_buckets})::INT AS bucket,
+  -- ((x % n) + n) % n mirrors Spark's pmod: DuckDB's % follows the
+  -- dividend's sign, so a negative bucket key would otherwise land the
+  -- two engines in different buckets and diverge the digests
+  SELECT ((({bucket_col} % {n_buckets}) + {n_buckets}) % {n_buckets})::INT
+           AS bucket,
          ('0x' || substr(md5({canon}), 1, 15))::BIGINT::HUGEINT AS leaf
   FROM {table}
 )

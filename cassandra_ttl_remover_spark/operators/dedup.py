@@ -477,8 +477,19 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         if not labels:
             return ids.select(F.col(id_col), F.col(id_col).alias("component"))
         spark = ids.sparkSession
+        # stitch-back schema derives from the edge frame's id type: the
+        # distributed HashMin path below handles any orderable id (string
+        # doc ids included), so the driver fast path must too — a
+        # hardcoded long would make behavior depend on edge COUNT
+        from pyspark.sql import types as T
+
+        id_type = edges.schema["a"].dataType
         lab = spark.createDataFrame(
-            list(labels.items()), schema="node long, component long"
+            list(labels.items()),
+            schema=T.StructType([
+                T.StructField("node", id_type),
+                T.StructField("component", id_type),
+            ]),
         )
         # labels are bounded by 2*driver_limit rows — broadcast, so the
         # corpus-sized ids frame never shuffles for the stitch-back
@@ -511,8 +522,21 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     # round 0 fused into initialization: label = min(self, neighbors)
     # straight off the (self-looped) edge list — one aggregation, no join
     labels = sym.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("label"))
-    # decimal(38,0) keeps the total exact far beyond 100 TB node counts
-    # (int64 sums would overflow at ~1e6 nodes with 1e12-scale ids)
+    # Convergence probe, type-aware so non-numeric ids (string doc ids)
+    # work in BOTH execution paths:
+    #   * numeric ids — sum the labels as decimal(38,0): exact far beyond
+    #     100 TB node counts (int64 would overflow at ~1e6 nodes with
+    #     1e12-scale ids), and labels only ever decrease, so an unchanged
+    #     total PROVES convergence;
+    #   * any other type — sum xxhash64(label) as decimal(38,0): an
+    #     unchanged total implies convergence up to a ~2^-64-per-round hash
+    #     collision (any label change perturbs the sum otherwise).
+    from pyspark.sql import types as T
+
+    if isinstance(edges.schema["a"].dataType, T.NumericType):
+        probe = F.col("label").cast("decimal(38,0)")
+    else:
+        probe = F.xxhash64(F.col("label")).cast("decimal(38,0)")
     total = None
     for it in range(max_iter):
         new = (
@@ -526,9 +550,7 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
             .localCheckpoint(eager=False)
         )
         new_total = new.agg(
-            F.coalesce(
-                F.sum(F.col("label").cast("decimal(38,0)")), F.lit(0)
-            ).alias("t")
+            F.coalesce(F.sum(probe), F.lit(0)).alias("t")
         ).collect()[0]["t"]
         labels = new
         if total is not None and new_total == total:

@@ -103,6 +103,18 @@ ORDER BY {user_col}, session_seq
 """
 
 
+def _funnel_like_pattern(steps: list[str]) -> str:
+    """LIKE pattern for an ordered-funnel subsequence test over a
+    per-token-delimited sequence (each event type wrapped ',type,').
+    LIKE metacharacters ('%', '_') inside step names are escaped with '!'
+    (both Spark and DuckDB accept ``LIKE ... ESCAPE '!'``)."""
+    esc = [
+        s.replace("!", "!!").replace("%", "!%").replace("_", "!_")
+        for s in steps
+    ]
+    return "%" + "%".join(f",{s}," for s in esc) + "%"
+
+
 def funnel_flags(events: DataFrame, steps: list[str], *,
                  user_col: str = "user_id", ts_col: str = "ts",
                  id_col: str = "event_id",
@@ -115,35 +127,44 @@ def funnel_flags(events: DataFrame, steps: list[str], *,
     Construction: one aggregation per user collecting (ts, id, type)
     structs, array_sort (unique (ts,id) prefix -> deterministic total
     order), project the type sequence to a delimited string, and test the
-    subsequence with one LIKE over '%step1%step2%...%' — valid while no
-    step name is a substring of another (assert-guarded). Everything is
-    engine-portable string logic, so the DuckDB oracle (string_agg ORDER
-    BY) hash-matches.
+    subsequence with one LIKE over a DELIMITED-TOKEN form: every event type
+    is wrapped ',type,' on both sides, and the pattern is
+    '%,step1,%,step2,%...'. Whole-token matching means an unrelated event
+    type containing a step as a substring ('preview' vs 'view') can never
+    false-positive, and per-token wrapping (rather than one shared
+    delimiter) keeps adjacent steps from competing for the same comma.
+    LIKE metacharacters inside step names ('_' is common in event types)
+    are neutralized via an explicit ESCAPE character, identically in both
+    engines. Everything is engine-portable string logic, so the DuckDB
+    oracle (string_agg ORDER BY) hash-matches.
 
     Scale: ONE shuffle keyed by user (map-side partial collect); per-user
     state is that user's event types — the same per-entity bound as
     sessionize, with the same salt-by-time-bucket escape hatch if a single
     entity outgrows a task."""
-    for a in steps:
-        for b in steps:
-            if a != b and a in b:
-                raise ValueError(
-                    f"step {a!r} is a substring of {b!r}; LIKE subsequence "
-                    "matching would false-positive"
-                )
+    for s in steps:
+        if "," in s:
+            raise ValueError(
+                f"step {s!r} contains the token delimiter ','; "
+                "matching would be ambiguous"
+            )
     us = _US.format(c=ts_col)
-    seq = (
-        "array_join(transform(array_sort(collect_list(struct("
-        f"{us} as t, {id_col} as i, {type_col} as y))), s -> s.y), ',')"
+    sorted_types = (
+        "transform(array_sort(collect_list(struct("
+        f"{us} as t, {id_col} as i, {type_col} as y))), s -> s.y)"
     )
-    pat = "%" + "%".join(steps) + "%"
+    seq = f"array_join({sorted_types}, ',')"
+    # each token delimited on BOTH sides (',view,,click,'), so the LIKE
+    # pattern's ',step,' fragments match whole tokens only
+    wrapped = f"array_join(transform({sorted_types}, y -> concat(',', y, ',')), '')"
+    pat = _funnel_like_pattern(steps).replace("'", "''")
     return (
         events.groupBy(user_col)
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.expr(seq).alias("sequence"),
+            F.expr(f"({wrapped}) LIKE '{pat}' ESCAPE '!'").alias("reached"),
         )
-        .withColumn("reached", F.col("sequence").like(pat))
     )
 
 
@@ -151,11 +172,12 @@ def funnel_oracle_sql(steps: list[str], *, table: str = "events",
                       user_col: str = "user_id", ts_col: str = "ts",
                       id_col: str = "event_id",
                       type_col: str = "event_type") -> str:
-    pat = "%" + "%".join(steps) + "%"
+    # identical delimited-token + ESCAPE semantics to funnel_flags
+    pat = _funnel_like_pattern(steps).replace("'", "''")
     return f"""
 SELECT {user_col}, count(*)::BIGINT AS n_events,
        string_agg({type_col}, ',' ORDER BY {ts_col}, {id_col}) AS sequence,
-       string_agg({type_col}, ',' ORDER BY {ts_col}, {id_col}) LIKE '{pat}'
-         AS reached
+       string_agg(',' || {type_col} || ',', '' ORDER BY {ts_col}, {id_col})
+         LIKE '{pat}' ESCAPE '!' AS reached
 FROM {table} GROUP BY {user_col} ORDER BY {user_col}
 """

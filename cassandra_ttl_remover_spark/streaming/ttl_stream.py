@@ -297,6 +297,17 @@ def stream_dedup_against_corpus(docs_stream: DataFrame, corpus: DataFrame,
     )
 
 
+def _already_applied(ptr, vname: str) -> bool:
+    """True if a versioned sink's LATEST pointer already names ``vname`` or
+    a later version — i.e. this batch_id committed its merge before a crash
+    and is being re-delivered by checkpoint recovery. Merging again would
+    read the batch's own output directory while overwriting it (foreachBatch
+    is at-least-once; the pointer swap can land before the streaming
+    checkpoint commits). Version names are zero-padded so the string compare
+    is a numeric compare."""
+    return ptr.exists() and ptr.read_text().strip() >= vname
+
+
 def stream_upsert_lww(stream_df: DataFrame, keys: list[str], *,
                       table_dir: str, checkpoint_dir: str,
                       writetime_col: str = "writetime",
@@ -334,11 +345,15 @@ def stream_upsert_lww(stream_df: DataFrame, keys: list[str], *,
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        vname = f"v{batch_id:010d}"
+        # idempotent replay guard — see _already_applied: a re-delivered
+        # batch must not merge the table into its own output directory
+        if _already_applied(ptr, vname):
+            return
         frames = [batch_df]
         if ptr.exists():
             frames.append(spark.read.parquet(str(base / ptr.read_text().strip())))
         merged = merge_runs_lww(frames, keys=keys, writetime_col=writetime_col)
-        vname = f"v{batch_id:010d}"
         merged.write.mode("overwrite").parquet(str(base / vname))
         tmp = base / "LATEST.tmp"
         tmp.write_text(vname)
@@ -415,6 +430,10 @@ def stream_apply_changes(stream_df: DataFrame, keys: list[str], *,
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        vname = f"v{batch_id:010d}"
+        # idempotent replay guard — see _already_applied
+        if _already_applied(ptr, vname):
+            return
         u = batch_df
         if ptr.exists():
             u = u.unionByName(
@@ -431,7 +450,6 @@ def stream_apply_changes(stream_df: DataFrame, keys: list[str], *,
             F.col(f"_w.{op_col}").alias(op_col),
             *[F.col(f"_w.{c}").alias(c) for c in value_cols],
         )
-        vname = f"v{batch_id:010d}"
         merged.write.mode("overwrite").parquet(str(base / vname))
         tmp = base / "LATEST.tmp"
         tmp.write_text(vname)

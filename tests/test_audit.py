@@ -58,6 +58,33 @@ def test_table_digest_detects_divergence_and_ignores_order(spark):
     assert all(da[bkt][0] == dc[bkt][0] for bkt in da)  # counts agree
 
 
+def test_table_digest_negative_keys_match_oracle(spark, tmp_path):
+    # DuckDB's % follows the dividend's sign while Spark pmod is always
+    # non-negative — the oracle SQL must mirror pmod so NEGATIVE bucket
+    # keys land both engines in the same bucket
+    import duckdb
+
+    from cassandra_ttl_remover_spark.operators.audit import (
+        table_digest,
+        table_digest_oracle_sql,
+    )
+    from tests.oracle_parity import compare
+
+    rows = [(i, (-1) ** i * (i % 11), f"t{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k long, tag string")
+    p = str(tmp_path / "neg.parquet")
+    df.coalesce(1).write.parquet(p)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW negtab AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    ok, msg = compare(
+        table_digest(df, ["id", "k", "tag"], "k", 8),
+        table_digest_oracle_sql(["id", "k", "tag"], "k", 8, table="negtab"),
+        con,
+    )
+    assert ok, msg
+
+
 def test_group_outliers_exact_hand_case(spark):
     from cassandra_ttl_remover_spark.operators.audit import group_outliers
 

@@ -168,3 +168,21 @@ def test_connected_components_driver_and_distributed_agree(spark):
             dedup.connected_components(pairs, ids, driver_limit=0).collect()}
     assert driver == dist == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3),
                               (5, 5), (6, 3), (7, 7)}
+
+
+def test_connected_components_string_ids_both_paths(spark):
+    # the driver fast path must handle any orderable id type, same as the
+    # distributed HashMin loop — behavior must not depend on edge count
+    ids = spark.createDataFrame(
+        [(s,) for s in "abcdef"], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("d", "e")], "a string, b string"
+    )
+    expect = {("a", "a"), ("b", "a"), ("c", "a"),
+              ("d", "d"), ("e", "d"), ("f", "f")}
+    driver = {(r.doc_id, r.component) for r in
+              dedup.connected_components(pairs, ids).collect()}
+    dist = {(r.doc_id, r.component) for r in
+            dedup.connected_components(pairs, ids, driver_limit=0).collect()}
+    assert driver == dist == expect

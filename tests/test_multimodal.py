@@ -14,8 +14,58 @@ from cassandra_ttl_remover_spark.operators.multimodal import (
 
 
 def test_decode_stub_gates_without_fake():
+    # non-RIFF payloads still hit the stub boundary without fake=True
     with pytest.raises(NotImplementedError):
         decode_stub(b"abc", {})
+
+
+def test_decode_stub_real_wav_branch():
+    # RIFF/WAVE payloads decode for REAL (stdlib wave) — no stub, no fake
+    from cassandra_ttl_remover_spark.operators.multimodal import _text_to_wav_bytes
+
+    payload = _text_to_wav_bytes(b"hello", 8000)
+    sr, nch, sw, n, dur, ssq_lo, ssq_hi = (
+        decode_stub(payload, {})[i] for i in range(7)
+    )
+    assert (sr, nch, sw, n) == (8000.0, 1.0, 2.0, 5.0)
+    want_ssq = sum(((b - 128) * 256) ** 2 for b in b"hello")
+    assert int(ssq_lo) + (int(ssq_hi) << 32) == want_ssq
+
+
+def test_wav_roundtrip_exact():
+    # encoder -> stdlib decoder round-trip: every header field and sample
+    # statistic must match the integer model the oracle recomputes
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_wav,
+        _text_to_wav_bytes,
+    )
+
+    data = bytes(range(256))
+    sr, nch, sw, n, dur, ssq, peak = _parse_wav(_text_to_wav_bytes(data, 16_000))
+    assert (sr, nch, sw, n) == (16_000, 1, 2, 256)
+    assert dur == 256 * 1000 // 16_000
+    assert ssq == sum(((b - 128) * 256) ** 2 for b in data)
+    assert peak == max(abs((b - 128) * 256) for b in data)
+    # empty payload: zero samples, zero stats, valid container
+    assert _parse_wav(_text_to_wav_bytes(b"", 16_000))[3:] == (0, 0, 0, 0)
+
+
+def test_wav_decode_features_distributed(documents):
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        documents_as_wav,
+        wav_decode_features,
+    )
+
+    docs = documents.limit(10)
+    out = {r.media_id: r for r in
+           wav_decode_features(documents_as_wav(docs)).collect()}
+    src = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    assert out.keys() == src.keys()
+    for mid, data in src.items():
+        r = out[mid]
+        assert r.n_samples == len(data)
+        assert r.ssq == sum(((b - 128) * 256) ** 2 for b in data)
+        assert r.sample_rate == 16_000 and r.n_channels == 1
 
 
 def test_decode_stub_fake_deterministic():

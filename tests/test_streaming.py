@@ -242,6 +242,24 @@ def test_stream_upsert_lww_incremental_equals_batch(spark, tmp_path):
     assert (tmp_path / "table" / "LATEST").read_text() == max(versions)
 
 
+def test_versioned_sink_replay_guard(tmp_path):
+    # foreachBatch is at-least-once: if the process dies after the pointer
+    # swap but before the checkpoint commits, the same batch_id is
+    # re-delivered — by then LATEST names the batch's own output, and
+    # re-merging would read the directory being overwritten. The guard
+    # must skip exactly the already-applied batch ids (the same
+    # skip-committed-batch rule Spark's FileStreamSink metadata log
+    # implements).
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import _already_applied
+
+    ptr = tmp_path / "LATEST"
+    assert not _already_applied(ptr, "v0000000000")  # fresh table: apply
+    ptr.write_text("v0000000003\n")
+    assert _already_applied(ptr, "v0000000003")      # crash replay: skip
+    assert _already_applied(ptr, "v0000000002")      # older replay: skip
+    assert not _already_applied(ptr, "v0000000004")  # next batch: apply
+
+
 def test_read_table_version_time_travel(spark, tmp_path):
     from cassandra_ttl_remover_spark.streaming.ttl_stream import (
         read_table_version,
@@ -288,8 +306,34 @@ def test_funnel_flags_subsequence_semantics(spark):
     out = {r.user_id: r.reached
            for r in funnel_flags(ev, ["view", "click", "purchase"]).collect()}
     assert out == {1: True, 2: False, 3: False}
-    with _pytest.raises(ValueError, match="substring"):
-        funnel_flags(ev, ["view", "view_extra"])
+    with _pytest.raises(ValueError, match="delimiter"):
+        funnel_flags(ev, ["view", "a,b"])
+
+
+def test_funnel_flags_whole_token_matching(spark):
+    # an unrelated event type containing a step as a substring ('preview'
+    # vs 'view') must NOT satisfy the funnel; substring steps themselves
+    # are legal under delimited-token matching
+    from cassandra_ttl_remover_spark.operators.sessions import funnel_flags
+    import pyspark.sql.functions as F
+
+    rows = [
+        # user 1: preview .. click — 'view' never actually happened
+        (1, 1, 10, "preview"), (1, 2, 20, "click"),
+        # user 2: real view then click -> reached
+        (2, 3, 10, "view"), (2, 4, 20, "click"),
+        # user 3: steps that are substrings of each other, in order
+        (3, 5, 10, "view"), (3, 6, 20, "view_extra"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, t long, event_type string"
+    ).withColumn("ts", F.expr("timestamp_micros(t * 1000000)"))
+    out = {r.user_id: r.reached
+           for r in funnel_flags(ev, ["view", "click"]).collect()}
+    assert out == {1: False, 2: True, 3: False}
+    out2 = {r.user_id: r.reached
+            for r in funnel_flags(ev, ["view", "view_extra"]).collect()}
+    assert out2 == {1: False, 2: False, 3: True}
 
 
 def test_stream_apply_changes_tombstones_block_resurrection(spark, tmp_path):
