@@ -252,6 +252,7 @@ _DRIVER_PRIORITY = [
     "q_st8_stream_upsert",
     "q_st9_stream_apply_changes",
     "q_st10_stream_liveness_census",
+    "q_st11_stream_interval_join",
     # multimodal family
     "q_mm1_media_metadata",
     "q_mm2_media_features",
@@ -289,6 +290,7 @@ _DRIVER_PRIORITY = [
     "q_n12_token_counts",
     "q_n13_fingerprint",
     "q_n14_neardup_components",
+    "q_n37_substring_dup_census",
     "q_n15_decontaminate",
     "q_n15b_decontaminate_bloom",
     "q_n16_mix_decisions",
@@ -321,6 +323,7 @@ _DRIVER_PRIORITY = [
     "q_w3_partitioned_prune",
     "q_f1_csv_roundtrip",
     "q_f2_json_roundtrip",
+    "q_f3_orc_roundtrip",
     "q_sk1_salted_rollup",
     "q_rj_range_join",
     "q_x1_set_except",
@@ -1687,6 +1690,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_st5_stream_curate_gate"] = q_st5
 
+    def q_st11(spark, sf):
+        # stream-STREAM interval join (attribution): every click matched to
+        # the views it followed within 1 hour, per user — watermarked both
+        # sides so join state stays bounded on an unbounded stream. The
+        # oracle is the equivalent batch self-join.
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+            stream_interval_join,
+        )
+
+        def side(ts_name, id_name, etype):
+            return (
+                scan_stream(spark, sf, glob="events.parquet", ns_to="timestamp")
+                .filter(F.col("event_type") == etype)
+                .select(
+                    "user_id",
+                    F.col("event_id").alias(id_name),
+                    F.col("ts").alias(ts_name),
+                )
+            )
+
+        joined = stream_interval_join(
+            side("v_ts", "v_id", "view"),
+            side("c_ts", "c_id", "click"),
+            key="user_id", left_ts="v_ts", right_ts="c_ts",
+            max_lag="1 hour", watermark="2 hours",
+        ).select(
+            "user_id", "v_id", "c_id",
+            (F.expr("unix_micros(c_ts)") - F.expr("unix_micros(v_ts)"))
+            .cast("long").alias("lag_us"),
+        )
+        return drain_to_table(joined, f"st11_{uuid.uuid4().hex[:8]}")
+    q["q_st11_stream_interval_join"] = q_st11
+
     def q_mm3(spark, sf):
         # audio chunk planning: per-clip 1s windows from metadata only —
         # the fan-out layout an audio pipeline feeds to its decode stage
@@ -2020,6 +2060,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return roundtrip_table(spark, sf, "documents", "json", out)
     q["q_f2_json_roundtrip"] = q_f2
 
+    def q_f3(spark, sf):
+        # format breadth: EVENTS (timestamps included — the type CSV/JSON
+        # can't carry natively) -> ORC -> scan_orc; ts surfaced as epoch-µs
+        # so the roundtrip is hash-checked down to the microsecond
+        import tempfile
+
+        from cassandra_ttl_remover_spark.sources.scan import roundtrip_table
+
+        out = tempfile.mkdtemp(prefix="ctrs_orc_") + "/events"
+        return roundtrip_table(spark, sf, "events", "orc", out).select(
+            "event_id",
+            F.expr(_US.format(c="ts")).alias("ts_us"),
+            "user_id", "event_type", "value", "props",
+        )
+    q["q_f3_orc_roundtrip"] = q_f3
+
     def q_st7(spark, sf):
         # the production streaming shape: strip stream -> PARQUET FILE SINK
         # (availableNow, checkpointed, exactly-once file commit) -> read the
@@ -2076,6 +2132,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = scan_table(spark, sf, "documents")
         return dedup.containment_pairs(docs, threshold=0.5)
     q["q_n30_containment_pairs"] = q_n30
+
+    def q_n37(spark, sf):
+        # span-level exact duplication census: which documents contain
+        # n-token runs verbatim-shared with other documents — the
+        # substring-dedup report document-level dedup cannot see
+        return dedup.repeated_ngram_census(
+            scan_table(spark, sf, "documents"), n=8, min_docs=2
+        )
+    q["q_n37_substring_dup_census"] = q_n37
 
     def q_n31(spark, sf):
         # phrasing-level commonness (bigram analog of q_n25's unigram LM)
@@ -2245,6 +2310,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_n29_dedup_vs_corpus"] = dedup.dedup_against_corpus_oracle_sql(
         corpus_where="doc_id % 2 = 0", max_hamming=3
     )
+    o["q_n37_substring_dup_census"] = dedup.repeated_ngram_census_oracle_sql(
+        n=8, min_docs=2
+    )
     # bloom path shares the exact oracle: false positives are confirmed away
     o["q_n15b_decontaminate_bloom"] = curate.decontaminate_oracle_sql(
         benchmark_where="doc_id % 50 = 0"
@@ -2275,6 +2343,10 @@ FROM events GROUP BY event_type ORDER BY event_type
         FROM documents ORDER BY doc_id"""
     o["q_f1_csv_roundtrip"] = _docs_identity
     o["q_f2_json_roundtrip"] = _docs_identity
+    o["q_f3_orc_roundtrip"] = """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+               props
+        FROM events ORDER BY event_id"""
     o["q_v1_group_centroids"] = similarity.group_centroids_oracle_sql()
     o["q_v4_embedding_norms"] = similarity.embedding_norms_oracle_sql()
     o["q_w2_compact_small_files"] = (
@@ -2289,6 +2361,15 @@ FROM events GROUP BY event_type ORDER BY event_type
         ORDER BY doc_id"""
 
     o["q_mm6_wav_decode"] = multimodal.wav_decode_oracle_sql()
+
+    o["q_st11_stream_interval_join"] = """
+        SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,
+               (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS lag_us
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        ORDER BY v_id, c_id"""
 
     o["q_mm3_audio_chunks"] = """
         WITH m AS (

@@ -874,3 +874,134 @@ SELECT {cols} FROM fresh
 WHERE {id_col} NOT IN (SELECT {id_col} FROM hits)
 ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-n-gram (substring) duplication — span-level dedup
+# ---------------------------------------------------------------------------
+
+def repeated_ngram_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Span-level exact duplication: every position where a run of ``n``
+    consecutive tokens also appears in at least ``min_docs - 1`` OTHER
+    documents — the work-list for substring-level dedup (the span-removal
+    step LLM-corpus pipelines run after document-level dedup, since long
+    verbatim boilerplate hides inside otherwise-unique documents; document
+    granularity cannot see it). Returns ``(id_col, pos, window_hash,
+    n_docs_w)`` with ``pos`` the 1-based token offset.
+
+    Construction (engine-portable): tokenize on whitespace, md5 every
+    n-token window, count DISTINCT documents per window hash, keep windows
+    crossing ``min_docs``. Exact string hashing -> the DuckDB oracle
+    recomputes identical hex.
+
+    Scale: the explode carries (id, pos, 32-hex hash) — never the text —
+    at a fan-out of ~one row per token; ONE shuffle aggregates per-hash doc
+    counts (map-side combined), one more joins the qualifying hashes back.
+    The duplicated-hash side is the output of a HAVING over the full window
+    population, bounded by actual duplication, not corpus size. At 100 TB
+    swap md5 for xxhash64 (8-byte shuffle keys; ~1e-9 collisions at 1e9
+    distinct windows) — md5 keeps this form oracle-exact."""
+    ws = WORDS_EXPR.format(col=text_col)
+    spans = (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"case when size({ws}) >= {n} then "
+                    f"transform(sequence(1, size({ws}) - {n} + 1), "
+                    f"i -> struct(i as pos, "
+                    f"md5(array_join(slice({ws}, i, {n}), ' ')) as wh)) "
+                    f"else array() end"
+                )
+            ).alias("s"),
+        )
+        .select(id_col, F.col("s.pos").cast("long").alias("pos"),
+                F.col("s.wh").alias("window_hash"))
+    )
+    spans = spans.localCheckpoint(eager=False)  # explode runs once
+    hot = (
+        spans.groupBy("window_hash")
+        .agg(F.countDistinct(id_col).cast("long").alias("n_docs_w"))
+        .filter(F.col("n_docs_w") >= min_docs)
+    )
+    return spans.join(hot, "window_hash").select(
+        id_col, "pos", "window_hash", "n_docs_w"
+    )
+
+
+def repeated_ngram_census(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document substring-duplication census over
+    :func:`repeated_ngram_spans`: ``(id_col, n_windows, n_dup, dup_ratio)``
+    where ``dup_ratio`` = duplicated windows / total windows — the scalar
+    report that decides whether a document needs span-level cleaning (vs
+    whole-document dropping). Documents shorter than ``n`` tokens have zero
+    windows and ratio 0.0.
+
+    Scale: inherits the span construction's two shuffles plus one
+    map-side-combined per-doc count; output is one row per document."""
+    ws = WORDS_EXPR.format(col=text_col)
+    totals = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"cast(greatest(0, size({ws}) - {n} + 1) as long)"
+        ).alias("n_windows"),
+    )
+    dup = (
+        repeated_ngram_spans(docs, n=n, min_docs=min_docs,
+                             text_col=text_col, id_col=id_col)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_dup"))
+    )
+    return (
+        totals.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.when(F.col("n_windows") > 0,
+                   F.coalesce(F.col("n_dup"), F.lit(0))
+                   / F.col("n_windows").cast("double"))
+            .otherwise(F.lit(0.0)).alias("dup_ratio"),
+        )
+    )
+
+
+def repeated_ngram_census_oracle_sql(n: int = 8, min_docs: int = 2,
+                                     table: str = "documents",
+                                     id_col: str = "doc_id") -> str:
+    """DuckDB oracle: identical window-md5 construction over 1-based list
+    slices (inclusive ranges), HAVING over distinct doc counts."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {ws} AS ws FROM {table}
+),
+spans AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(ws) - {n} + 2),
+                i -> md5(array_to_string(ws[i:i + {n} - 1], ' ')))) AS wh
+  FROM toks WHERE len(ws) >= {n}
+),
+hot AS (
+  SELECT wh FROM spans GROUP BY wh
+  HAVING count(DISTINCT {id_col}) >= {min_docs}
+),
+dup AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_dup
+  FROM spans WHERE wh IN (SELECT wh FROM hot)
+  GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       greatest(0, len(t.ws) - {n} + 1)::BIGINT AS n_windows,
+       coalesce(d.n_dup, 0)::BIGINT AS n_dup,
+       CASE WHEN len(t.ws) >= {n}
+            THEN coalesce(d.n_dup, 0) / (len(t.ws) - {n} + 1)::DOUBLE
+            ELSE 0.0 END AS dup_ratio
+FROM toks t LEFT JOIN dup d ON t.{id_col} = d.{id_col}
+ORDER BY t.{id_col}
+"""

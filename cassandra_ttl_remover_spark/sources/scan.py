@@ -260,12 +260,24 @@ def scan_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def scan_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC source — the other columnar format large estates actually hold
+    (Hive-era warehouses). Splittable, predicate-pushdown-capable like
+    parquet; schema optional since ORC footers carry exact types (pass one
+    to pin against drift, same stance as the other sources)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def roundtrip_table(spark: SparkSession, sf_dir: str, table: str, fmt: str,
                     out_dir: str) -> DataFrame:
-    """Write a fixture table out as ``fmt`` ('csv' | 'json') and scan it
-    back with the SAME schema — the format-conversion correctness surface
-    (lossless for string/integral columns; parquet stays the canonical
-    store for timestamps/decimals)."""
+    """Write a fixture table out as ``fmt`` ('csv' | 'json' | 'orc') and
+    scan it back with the SAME schema — the format-conversion correctness
+    surface (CSV/JSON lossless for string/integral columns; ORC, like
+    parquet, carries timestamps/decimals natively)."""
     src = scan_table(spark, sf_dir, table)
     if fmt == "csv":
         src.write.mode("overwrite").option("header", "true").option(
@@ -275,4 +287,7 @@ def roundtrip_table(spark: SparkSession, sf_dir: str, table: str, fmt: str,
     if fmt == "json":
         src.write.mode("overwrite").json(out_dir)
         return scan_json(spark, out_dir, src.schema)
+    if fmt == "orc":
+        src.write.mode("overwrite").orc(out_dir)
+        return scan_orc(spark, out_dir, src.schema)
     raise ValueError(f"unsupported roundtrip format: {fmt!r}")

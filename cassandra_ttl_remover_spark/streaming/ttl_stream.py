@@ -297,6 +297,43 @@ def stream_dedup_against_corpus(docs_stream: DataFrame, corpus: DataFrame,
     )
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame, *, key: str,
+                         left_ts: str, right_ts: str,
+                         max_lag: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-STREAM inner join within a time interval — the attribution
+    shape (every right event matched to the left events it followed within
+    ``max_lag``, per ``key``): view→click, impression→conversion, etc. The
+    one Structured Streaming join mode the rest of this module doesn't
+    exercise (the corpus dedup join is stream-static).
+
+    Both sides are watermarked on their own event-time column and the join
+    condition carries the time-range predicate — the two things Spark
+    requires to bound join state: a side's buffered rows are evicted once
+    the other side's watermark passes beyond ``max_lag`` reach. Without the
+    range condition state grows unboundedly on an unbounded stream; with
+    it, state per key is O(events within watermark + lag).
+
+    Inner-join matches emit as found (append mode); the watermark governs
+    only state eviction, not result latency.
+
+    Scale: state is hash-partitioned by ``key`` like any keyed stateful op;
+    a hot key's in-window history lives on one partition — same per-entity
+    bound and salting escape hatch as sessionize.
+
+    Quirk worth knowing: event times within ``watermark`` of the epoch are
+    late against the INITIAL watermark (0) and silently dropped — only
+    synthetic 1970-adjacent test data can hit this."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"interval {max_lag}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def _already_applied(ptr, vname: str) -> bool:
     """True if a versioned sink's LATEST pointer already names ``vname`` or
     a later version — i.e. this batch_id committed its merge before a crash

@@ -186,3 +186,34 @@ def test_connected_components_string_ids_both_paths(spark):
     dist = {(r.doc_id, r.component) for r in
             dedup.connected_components(pairs, ids, driver_limit=0).collect()}
     assert driver == dist == expect
+
+
+def test_repeated_ngram_census_hand_case(spark):
+    # doc 1 and 2 share one verbatim 8-token run; doc 3 is unique
+    run = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x {run} y"),       # 10 tokens -> 3 windows, 1 duplicated
+            (2, f"{run} z"),         # 9 tokens -> 2 windows, 1 duplicated
+            (3, "p q r s t u v w"),  # 8 unique tokens -> 1 window, 0 dup
+            (4, "too short"),        # < 8 tokens -> 0 windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_windows, r.n_dup, r.dup_ratio)
+           for r in dedup.repeated_ngram_census(docs, n=8).collect()}
+    assert out[1] == (3, 1, 1 / 3)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (1, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+
+
+def test_repeated_ngram_spans_positions(spark):
+    run = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"x {run}"), (2, f"{run} z")], "doc_id long, text string"
+    )
+    spans = {(r.doc_id, r.pos)
+             for r in dedup.repeated_ngram_spans(docs, n=8).collect()}
+    # the shared run starts at token 2 in doc 1 and token 1 in doc 2
+    assert spans == {(1, 2), (2, 1)}

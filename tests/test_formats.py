@@ -47,3 +47,13 @@ def test_json_declared_schema_prunes_and_types(spark, tmp_path):
     got = scan_json(spark, out, schema)
     assert got.columns == ["id", "text"]
     assert got.first().id == 1
+
+
+def test_orc_roundtrip_with_timestamps(spark, events, tmp_path):
+    # ORC carries timestamps natively — the roundtrip must preserve events.ts
+    # to the microsecond, which CSV/JSON cannot promise
+    got = roundtrip_table(spark, SF, "events", "orc", str(tmp_path / "o"))
+    a = events.select("event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    b = got.select("event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

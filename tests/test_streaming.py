@@ -364,3 +364,49 @@ def test_stream_apply_changes_tombstones_block_resurrection(spark, tmp_path):
     stored = read_table_version(spark, str(tmp_path / "t"))
     tomb = stored.filter("k = 1").collect()
     assert len(tomb) == 1 and tomb[0]["op"] == "D" and tomb[0]["writetime"] == 30
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    # stream-stream interval join == the equivalent batch self-join
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        drain_to_table,
+        scan_stream,
+        stream_interval_join,
+    )
+
+    rows = [
+        # (user, id, minute, type) — clicks at various lags after views
+        (1, 1, 0, "view"), (1, 2, 30, "click"),    # within 1h -> match
+        (1, 3, 120, "click"),                      # 2h after -> no match
+        (2, 4, 0, "view"), (2, 5, 50, "view"),
+        (2, 6, 55, "click"),                       # matches BOTH views
+        (3, 7, 10, "click"),                       # click with no view
+    ]
+    # base far from epoch: event times within the watermark delay of
+    # 1970-01-01 are treated as late against the initial watermark (0) and
+    # silently dropped — an artifact no real event time hits
+    src = spark.createDataFrame(
+        rows, "user_id long, event_id long, m long, event_type string"
+    ).withColumn(
+        "ts", F.expr("timestamp_micros(1706000000000000 + m * 60000000)")
+    )
+    src.write.parquet(str(tmp_path / "ev"))
+
+    def side(ts_name, id_name, etype):
+        return (
+            scan_stream(spark, str(tmp_path / "ev"), ns_to="timestamp")
+            .filter(F.col("event_type") == etype)
+            .select("user_id", F.col("event_id").alias(id_name),
+                    F.col("ts").alias(ts_name))
+        )
+
+    joined = stream_interval_join(
+        side("v_ts", "v_id", "view"), side("c_ts", "c_id", "click"),
+        key="user_id", left_ts="v_ts", right_ts="c_ts",
+        max_lag="1 hour", watermark="2 hours",
+    )
+    got = {(r.user_id, r.v_id, r.c_id)
+           for r in drain_to_table(joined, "st_ij_test").collect()}
+    assert got == {(1, 1, 2), (2, 4, 6), (2, 5, 6)}
