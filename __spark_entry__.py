@@ -333,6 +333,8 @@ _DRIVER_PRIORITY = [
     "q_x5_rollup",
     "q_x6_group_median",
     "q_p3_pivot_counts",
+    # round-3 additions (graded when the window reaches them)
+    "q_n38_semdedup",
 ]
 
 
@@ -1177,6 +1179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = scan_table(spark, sf, "embeddings")
         return similarity.topk_dot(emb, query_id=0, k=10)
     q["q_n7_topk_similarity"] = q_n7
+
+    def q_n38(spark, sf):
+        # SemDeDup: nearest-centroid clustering bounds the cosine self-join
+        # to within-cluster pairs (sum c_i^2, not n^2) — the 100 TB-safe
+        # form of embedding dedup; same exact quantized predicate as q_n6
+        emb = scan_table(spark, sf, "embeddings")
+        return similarity.semdedup(emb, threshold=0.9)
+    q["q_n38_semdedup"] = q_n38
 
     def _ann_invariant(spark, sf, approx_fn, min_recall):
         # ANN candidate sets are engine-hash-specific, so the row carries
@@ -2782,6 +2792,8 @@ GROUP BY event_type ORDER BY event_type
     o["q_n6_embedding_neardup"] = dedup.embedding_neardup_oracle_sql(threshold=0.9)
 
     o["q_n7_topk_similarity"] = similarity.topk_dot_oracle_sql(query_id=0, k=10)
+
+    o["q_n38_semdedup"] = similarity.semdedup_oracle_sql(threshold=0.9)
 
     o["q_n9_minhash_recall"] = (
         "SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok FROM "

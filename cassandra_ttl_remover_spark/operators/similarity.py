@@ -623,3 +623,105 @@ def kmeans_oracle_sql(iters: int = 2, group_col: str = "label",
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT {id_col}, cluster FROM a{iters} ORDER BY {id_col}"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic deduplication
+# ---------------------------------------------------------------------------
+
+def semdedup(emb: DataFrame, threshold: float = 0.9,
+             group_col: str = "label", vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    assign every vector to its nearest group centroid, generate cosine
+    pairs only WITHIN each cluster, and drop every vector whose cosine to a
+    lower-id cluster-mate is >= ``threshold``. Returns
+    ``(id_col, cluster, keep)`` for every input vector.
+
+    The whole point of the construction is the scale bound: the candidate
+    self-join is per-cluster, so pair cardinality is sum(c_i^2) over
+    cluster sizes instead of n^2 — at 100 TB with k clusters of balanced
+    size that is a k-fold reduction, and the cluster id is the shuffle key
+    (one exchange each side; skew bounded by the largest cluster, which the
+    k-means step itself controls). Centroids are a broadcast table
+    (|groups| x d longs); vectors never leave the JVM.
+
+    Exactness: same quantized-int cosine predicate as
+    :func:`cassandra_ttl_remover_spark.operators.dedup.embedding_neardup_pairs`
+    (dot > 0 and dot^2 >= t^2 * |a|^2 * |b|^2 with exact int64 dot/norms,
+    compared through their exact double images), over the hash-matchable
+    nearest-centroid assignment — so the full pipeline is oracle-exact.
+    """
+    assigned = assign_nearest_centroid(emb, group_col, vec_col, id_col).select(
+        id_col, F.col("assigned").alias("cluster")
+    )
+    q = (
+        fan_out(emb, id_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            F.expr(QDOT_EXPR.format(a=vec_col, b=vec_col)).alias("nrm"),
+        )
+        .join(assigned, id_col)
+    )
+    a = q.select(F.col(id_col).alias("a"), F.col("cluster"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = q.select(F.col(id_col).alias("b"), F.col("cluster"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    t2 = threshold * threshold
+    dropped = (
+        a.join(b, ["cluster"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dot", F.expr(QDOT_EXPR.format(a="va", b="vb")))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double") * F.col("dot").cast("double")
+                >= F.lit(t2) * F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        )
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semdedup_oracle_sql(threshold: float = 0.9, group_col: str = "label",
+                        table: str = "embeddings",
+                        id_col: str = "vec_id") -> str:
+    """The same cluster -> within-cluster-pairs -> prune pipeline in ANSI
+    SQL, reusing the nearest-centroid oracle as the assignment CTE."""
+    asg = assign_nearest_centroid_oracle_sql(group_col, table, id_col)
+    qdot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), i ->"
+        " round(CAST({a}[i] AS DOUBLE) * 1000000.0)::BIGINT"
+        " * round(CAST({b}[i] AS DOUBLE) * 1000000.0)::BIGINT))::BIGINT"
+    )
+    t2 = threshold * threshold
+    return f"""
+WITH asg AS ({asg}),
+q AS (
+  SELECT e.{id_col}, asg.assigned AS cluster, e.embedding AS v,
+         {qdot.format(a='e.embedding', b='e.embedding')} AS nrm
+  FROM {table} e JOIN asg ON asg.{id_col} = e.{id_col}
+),
+dropped AS (
+  SELECT DISTINCT y.{id_col}
+  FROM q x JOIN q y ON x.cluster = y.cluster AND x.{id_col} < y.{id_col}
+  WHERE {qdot.format(a='x.v', b='y.v')} > 0
+    AND CAST({qdot.format(a='x.v', b='y.v')} AS DOUBLE)
+        * CAST({qdot.format(a='x.v', b='y.v')} AS DOUBLE)
+        >= {t2} * CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)
+)
+SELECT q.{id_col}, q.cluster,
+       (dropped.{id_col} IS NULL) AS keep
+FROM q LEFT JOIN dropped ON dropped.{id_col} = q.{id_col}
+ORDER BY q.{id_col}
+"""

@@ -125,3 +125,48 @@ def test_ivf_materialized_index_prunes_partitions(spark, embeddings, tmp_path):
     assert "PartitionFilters" in plan
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "cell" in pf_line and "IN" in pf_line
+
+
+def test_semdedup_numpy_reference(embeddings):
+    """Cluster-bounded semantic dedup equals a brute-force numpy replica:
+    nearest-centroid assignment, then within-cluster cosine >= t prune
+    keeping the lowest id."""
+    rows = embeddings.collect()
+    vecs = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64)
+        for r in rows
+    }
+    labels = {r.vec_id: int(r.label) for r in rows}
+    # centroid score = (x . sum_g) / n_g, argmax with group-asc tie-break
+    groups = sorted(set(labels.values()))
+    sums = {g: sum(vecs[i] for i in vecs if labels[i] == g) for g in groups}
+    ns = {g: sum(1 for i in vecs if labels[i] == g) for g in groups}
+    assign = {
+        i: max(groups, key=lambda g: (float(vecs[i] @ sums[g]) / ns[g], -g))
+        for i in vecs
+    }
+    t = 0.8
+    dropped = set()
+    ids = sorted(vecs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            if assign[a] != assign[b]:
+                continue
+            dot = int(vecs[a] @ vecs[b])
+            na, nb = int(vecs[a] @ vecs[a]), int(vecs[b] @ vecs[b])
+            if dot > 0 and float(dot) * float(dot) >= t * t * float(na) * float(nb):
+                dropped.add(b)
+    got = {r.vec_id: (r.cluster, r.keep)
+           for r in similarity.semdedup(embeddings, threshold=t).collect()}
+    assert set(got) == set(vecs)
+    for i in vecs:
+        assert got[i] == (assign[i], i not in dropped), i
+
+
+def test_semdedup_threshold_monotone(embeddings):
+    """A looser threshold can only drop MORE vectors."""
+    keep_hi = {r.vec_id for r in similarity.semdedup(embeddings, threshold=0.95).collect()
+               if r.keep}
+    keep_lo = {r.vec_id for r in similarity.semdedup(embeddings, threshold=0.5).collect()
+               if r.keep}
+    assert keep_lo <= keep_hi
