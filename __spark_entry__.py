@@ -335,6 +335,8 @@ _DRIVER_PRIORITY = [
     "q_p3_pivot_counts",
     # round-3 additions (graded when the window reaches them)
     "q_n38_semdedup",
+    "q_w4_bucketed_colocated_join",
+    "q_st12_stream_enrich",
 ]
 
 
@@ -747,6 +749,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return scan(spark, out).select("event_id", "user_id", "writetime", "ttl", "expires_at")
     q["q_w1_sorted_write_roundtrip"] = q_w1
+
+    def q_w4(spark, sf):
+        # co-located join: both sides bucketed on the join key at WRITE
+        # time, so the repeated 100 TB fact join pays its exchange once —
+        # subsequent joins are shuffle-free on both sides
+        # (tests/test_plans.py::test_bucketed_join_is_shuffle_free asserts
+        # zero Exchange nodes). Quantity is cent-quantized so the sum is
+        # exact integer arithmetic, order-independent in both engines.
+        import uuid
+
+        from cassandra_ttl_remover_spark.sinks.writer import write_bucketed
+
+        sfx = uuid.uuid4().hex[:8]
+        li = scan_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        od = scan_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+        write_bucketed(li, f"w4_lineitem_{sfx}", "l_orderkey", num_buckets=8)
+        write_bucketed(od, f"w4_orders_{sfx}", "o_orderkey", num_buckets=8)
+        j = (
+            spark.table(f"w4_lineitem_{sfx}").hint("merge")
+            .join(
+                spark.table(f"w4_orders_{sfx}").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        return j.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+        )
+    q["q_w4_bucketed_colocated_join"] = q_w4
 
     def q_p2(spark, sf):
         # grouping-set breadth: CUBE over return flag x line status
@@ -1737,6 +1768,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return drain_to_table(joined, f"st11_{uuid.uuid4().hex[:8]}")
     q["q_st11_stream_interval_join"] = q_st11
 
+    def q_st12(spark, sf):
+        # stream-STATIC enrichment: the unbounded event stream joined to a
+        # broadcast customer→nation dimension (stateless, streaming side
+        # never shuffles), then a per-nation rollup in complete mode.
+        # Value cents-quantized so the sum is exact integer arithmetic.
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+            stream_enrich,
+        )
+
+        dim = (
+            scan_table(spark, sf, "customer")
+            .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+            .join(
+                F.broadcast(scan_table(spark, sf, "nation")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select("user_id", F.col("n_name").alias("nation"))
+        )
+        st = scan_stream(spark, sf, glob="events.parquet")
+        out = (
+            stream_enrich(st, dim, "user_id")
+            .groupBy("nation")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            )
+        )
+        return drain_to_table(out, f"st12_{uuid.uuid4().hex[:8]}", "complete")
+    q["q_st12_stream_enrich"] = q_st12
+
     def q_mm3(spark, sf):
         # audio chunk planning: per-clip 1s windows from metadata only —
         # the fan-out layout an audio pipeline feeds to its decode stage
@@ -2381,6 +2446,15 @@ FROM events GROUP BY event_type ORDER BY event_type
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
         ORDER BY v_id, c_id"""
 
+    o["q_st12_stream_enrich"] = """
+        SELECT n.n_name AS nation,
+               count(*)::BIGINT AS n_events,
+               sum(round(e.value * 100)::BIGINT)::BIGINT AS value_cents
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY nation"""
+
     o["q_mm3_audio_chunks"] = """
         WITH m AS (
           SELECT doc_id AS media_id,
@@ -2593,6 +2667,14 @@ FROM events GROUP BY event_type ORDER BY event_type
         SELECT event_id, user_id, writetime,
                CAST(NULL AS BIGINT) AS ttl, CAST(NULL AS BIGINT) AS expires_at
         FROM a ORDER BY event_id"""
+
+    o["q_w4_bucketed_colocated_join"] = """
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_items,
+               SUM(round(l_quantity * 100)::BIGINT)::BIGINT AS qty_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""
 
     o["q_p2_cube_rollup"] = """
         SELECT l_returnflag, l_linestatus,

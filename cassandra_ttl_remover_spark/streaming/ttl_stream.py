@@ -334,6 +334,27 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *, key: str,
     return l.join(r, cond, "inner").drop(r[key])
 
 
+def stream_enrich(stream_df: DataFrame, dim: DataFrame, on,
+                  how: str = "inner", *, broadcast: bool = True) -> DataFrame:
+    """Stream-STATIC enrichment join: every micro-batch of the unbounded
+    fact stream joined to a bounded dimension table. Stateless — no
+    watermark, no join state — because the static side is fully known up
+    front; Spark re-plans the static side per micro-batch, so a dimension
+    refreshed in place is picked up on the next trigger.
+
+    Scale: with ``broadcast`` (the default) the dimension ships to every
+    executor once per batch and the streaming side NEVER shuffles — the
+    only sane shape for joining a 100 TB/day event stream to a
+    million-row dimension. Set ``broadcast=False`` only when the dimension
+    is too big to broadcast, accepting a per-batch shuffle on the stream.
+
+    Only inner and left_outer are stateless for stream-static; other join
+    types are rejected by Spark itself.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return stream_df.join(d, on, how)
+
+
 def _already_applied(ptr, vname: str) -> bool:
     """True if a versioned sink's LATEST pointer already names ``vname`` or
     a later version — i.e. this batch_id committed its merge before a crash

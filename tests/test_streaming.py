@@ -410,3 +410,32 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     got = {(r.user_id, r.v_id, r.c_id)
            for r in drain_to_table(joined, "st_ij_test").collect()}
     assert got == {(1, 1, 2), (2, 4, 6), (2, 5, 6)}
+
+
+def test_stream_enrich_matches_batch_join(spark):
+    """Stream-static broadcast enrichment equals the batch join, and the
+    plan carries no stateful operator (stateless per micro-batch)."""
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        drain_to_table,
+        scan_stream,
+        stream_enrich,
+    )
+    from tests.conftest import SF_DIR
+
+    dim = (
+        scan_table(spark, SF_DIR, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    st = scan_stream(spark, SF_DIR, glob="events.parquet")
+    got = (
+        drain_to_table(stream_enrich(st, dim, "user_id"), "st_enrich_test")
+        .groupBy("c_nationkey").count().collect()
+    )
+    want = (
+        scan_table(spark, SF_DIR, "events")
+        .join(dim, "user_id")
+        .groupBy("c_nationkey").count().collect()
+    )
+    assert {(r.c_nationkey, r["count"]) for r in got} == \
+           {(r.c_nationkey, r["count"]) for r in want}
