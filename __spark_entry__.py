@@ -337,6 +337,7 @@ _DRIVER_PRIORITY = [
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
     "q_st12_stream_enrich",
+    "q_n39_deterministic_shuffle",
 ]
 
 
@@ -1218,6 +1219,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = scan_table(spark, sf, "embeddings")
         return similarity.semdedup(emb, threshold=0.9)
     q["q_n38_semdedup"] = q_n38
+
+    def q_n39(spark, sf):
+        # seeded global shuffle: reproducible training order as a pure
+        # function of (seed, doc_id) — one exchange keyed by shard, no
+        # global sort; the md5 token makes it engine-portable
+        docs = scan_table(spark, sf, "documents")
+        return curate.shuffle_deterministic(docs, n_shards=16, seed=7)
+    q["q_n39_deterministic_shuffle"] = q_n39
 
     def _ann_invariant(spark, sf, approx_fn, min_recall):
         # ANN candidate sets are engine-hash-specific, so the row carries
@@ -2876,6 +2885,10 @@ GROUP BY event_type ORDER BY event_type
     o["q_n7_topk_similarity"] = similarity.topk_dot_oracle_sql(query_id=0, k=10)
 
     o["q_n38_semdedup"] = similarity.semdedup_oracle_sql(threshold=0.9)
+
+    o["q_n39_deterministic_shuffle"] = curate.shuffle_deterministic_oracle_sql(
+        n_shards=16, seed=7
+    )
 
     o["q_n9_minhash_recall"] = (
         "SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok FROM "

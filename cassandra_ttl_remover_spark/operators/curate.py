@@ -720,3 +720,60 @@ SELECT {id_col}, component,
             ELSE 'test' END AS split
 FROM cc ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global corpus shuffle (reproducible training order)
+# ---------------------------------------------------------------------------
+
+def shuffle_deterministic(docs: DataFrame, n_shards: int = 16, seed: int = 7,
+                          *, id_col: str = "doc_id") -> DataFrame:
+    """Seeded global shuffle for reproducible training order: every doc gets
+    a shard and a dense position within it, both functions of ``(seed, id)``
+    alone — independent of input partitioning, file order, or cluster size,
+    so two runs (or two clusters) produce byte-identical epoch order.
+    Returns ``(id_col, shard, pos)``.
+
+    The shuffle key is the engine-portable 60-bit md5 token
+    (lookups.PORTABLE_TOKEN_EXPR) of ``'<seed>:<id>'`` — changing the seed
+    re-deals the whole corpus. ``shard = token % n_shards`` (token is
+    non-negative, so plain ``%`` agrees across engines);
+    ``pos = row_number`` over the shard ordered by (token, id).
+
+    Scale: ONE exchange hash-partitioned by shard; each shard sorts locally
+    (the window's sort), so the global sort a naive ``orderBy(rand())``
+    would need never happens and no task sees more than corpus/n_shards
+    rows. n_shards is the training-job reader parallelism — size it so a
+    shard fits a reader task, and the epoch iterates shards in (shard, pos)
+    order."""
+    from cassandra_ttl_remover_spark.operators.lookups import PORTABLE_TOKEN_EXPR
+
+    keyed = f"concat('{seed}:', cast({id_col} as string))"
+    tok = F.expr(PORTABLE_TOKEN_EXPR.format(col=keyed))
+    w = Window.partitionBy("shard").orderBy("_tok", id_col)
+    return (
+        docs.select(F.col(id_col), tok.alias("_tok"))
+        .withColumn("shard", (F.col("_tok") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def shuffle_deterministic_oracle_sql(n_shards: int = 16, seed: int = 7, *,
+                                     table: str = "documents",
+                                     id_col: str = "doc_id") -> str:
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        portable_token_oracle_expr,
+    )
+
+    tok = portable_token_oracle_expr(f"'{seed}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {tok} AS tok FROM {table}
+)
+SELECT {id_col},
+       (tok % {n_shards})::INTEGER AS shard,
+       row_number() OVER (PARTITION BY tok % {n_shards}
+                          ORDER BY tok, {id_col})::BIGINT AS pos
+FROM t ORDER BY {id_col}
+"""

@@ -229,3 +229,26 @@ def test_cluster_safe_split_keeps_clusters_together(spark):
         "a near-dup cluster straddles splits"
     )
     assert len({r.split for r in out}) > 1  # multiple splits actually used
+
+
+def test_shuffle_deterministic_invariants(spark, documents):
+    """Seeded shuffle: (shard, pos) is a pure function of (seed, id) —
+    identical under different input partitioning; positions are dense
+    1..n per shard; a different seed re-deals the order."""
+    from cassandra_ttl_remover_spark.operators.curate import shuffle_deterministic
+
+    a = {(r.doc_id): (r.shard, r.pos)
+         for r in shuffle_deterministic(documents, n_shards=8, seed=7).collect()}
+    b = {(r.doc_id): (r.shard, r.pos)
+         for r in shuffle_deterministic(
+             documents.repartition(17), n_shards=8, seed=7).collect()}
+    assert a == b
+    # dense positions per shard
+    by_shard = {}
+    for (shard, pos) in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    c = {(r.doc_id): (r.shard, r.pos)
+         for r in shuffle_deterministic(documents, n_shards=8, seed=8).collect()}
+    assert a != c
