@@ -338,6 +338,8 @@ _DRIVER_PRIORITY = [
     "q_w4_bucketed_colocated_join",
     "q_st12_stream_enrich",
     "q_n39_deterministic_shuffle",
+    "q_f4_schema_evolution",
+    "q_g1_pagerank",
 ]
 
 
@@ -2160,6 +2162,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_f3_orc_roundtrip"] = q_f3
 
+    def q_f4(spark, sf):
+        # schema evolution on read: an old snapshot (doc_id, text) and a
+        # new one (+lang, +n_chars) under one root, merged by name via
+        # per-file footers (mergeSchema); missing columns surface NULL.
+        # The rollup groups by the evolved column so the NULL group IS the
+        # old snapshot — evolution semantics, hash-checked.
+        import shutil
+        import tempfile
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_f4_{os.path.basename(sf.rstrip('/'))}"
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        docs = scan_table(spark, sf, "documents")
+        docs.filter("doc_id % 2 = 0").select("doc_id", "text") \
+            .write.parquet(out + "/v1")
+        docs.filter("doc_id % 2 != 0") \
+            .select("doc_id", "text", "lang", "n_chars") \
+            .write.parquet(out + "/v2")
+        m = scan(spark, out, merge_schema=True)
+        return m.groupBy("lang").agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count("text").alias("n_text"),
+        )
+    q["q_f4_schema_evolution"] = q_f4
+
+    def q_g1(spark, sf):
+        # fixed-iteration integer PageRank on the customer<->supplier
+        # trade graph (both edge directions — no dangling sinks):
+        # scaled-long ranks, integer division, so 2 iterations hash-match
+        # the unrolled-CTE oracle exactly (same construction as q_v3)
+        from cassandra_ttl_remover_spark.operators import graph
+
+        orders = scan_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        li = scan_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        cs = (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                (F.col("o_custkey") * 2).alias("c"),
+                (F.col("l_suppkey") * 2 + 1).alias("s"),
+            )
+            .distinct()
+        )
+        edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+            cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        return graph.pagerank(edges, iters=2)
+    q["q_g1_pagerank"] = q_g1
+
     def q_st7(spark, sf):
         # the production streaming shape: strip stream -> PARQUET FILE SINK
         # (availableNow, checkpointed, exactly-once file commit) -> read the
@@ -2431,6 +2483,17 @@ FROM events GROUP BY event_type ORDER BY event_type
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
                props
         FROM events ORDER BY event_id"""
+    o["q_f4_schema_evolution"] = """
+        WITH m AS (
+          SELECT doc_id, text, NULL::VARCHAR AS lang, NULL::BIGINT AS n_chars
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, text, lang, n_chars
+          FROM documents WHERE doc_id % 2 <> 0
+        )
+        SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars,
+               count(text)::BIGINT AS n_text
+        FROM m GROUP BY lang ORDER BY lang"""
     o["q_v1_group_centroids"] = similarity.group_centroids_oracle_sql()
     o["q_v4_embedding_norms"] = similarity.embedding_norms_oracle_sql()
     o["q_w2_compact_small_files"] = (
@@ -2888,6 +2951,17 @@ GROUP BY event_type ORDER BY event_type
 
     o["q_n39_deterministic_shuffle"] = curate.shuffle_deterministic_oracle_sql(
         n_shards=16, seed=7
+    )
+
+    from cassandra_ttl_remover_spark.operators import graph as _graph
+
+    o["q_g1_pagerank"] = _graph.pagerank_oracle_sql(
+        """WITH cs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT c AS src, s AS dst FROM cs UNION ALL SELECT s AS src, c AS dst FROM cs""",
+        iters=2,
     )
 
     o["q_n9_minhash_recall"] = (

@@ -147,6 +147,38 @@ def main() -> int:
         # asymmetric subsumption pairs on the shared inverted-index core
         dedup.containment_pairs(documents, threshold=0.5, max_df=1000).count()
 
+    def q_semdedup():
+        # cluster-bounded semantic dedup: centroid assignment bounds the
+        # cosine self-join to within-cluster pairs
+        similarity.semdedup(embeddings, threshold=0.9).filter("NOT keep").count()
+
+    def q_det_shuffle():
+        # seeded reproducible training order: one exchange, no global sort
+        curate.shuffle_deterministic(documents, n_shards=32, seed=7) \
+            .agg(F.max("pos")).collect()
+
+    bucketed_ready = []
+
+    def q_bucketed_join():
+        # co-located join: the exchange is pre-paid ONCE at write time
+        # (first sample; amortized across every later join — the whole
+        # point of the layout), so best-of-3 measures the repeated
+        # shuffle-free join itself
+        from cassandra_ttl_remover_spark.sinks.writer import write_bucketed
+        if not bucketed_ready:
+            li = lineitem.select("l_orderkey", "l_quantity")
+            od = scan_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority")
+            write_bucketed(li, "bench_b_li", "l_orderkey", num_buckets=32)
+            write_bucketed(od, "bench_b_od", "o_orderkey", num_buckets=32)
+            bucketed_ready.append(True)
+        (
+            spark.table("bench_b_li").hint("merge")
+            .join(spark.table("bench_b_od").hint("merge"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority").count().collect()
+        )
+
     def q_tpch_q3():
         import __spark_entry__ as entry_mod
         from cassandra_ttl_remover_spark import load_tables
@@ -179,6 +211,9 @@ def main() -> int:
         "dedup_vs_corpus": q_dedup_vs_corpus,
         "embedding_norms": q_embedding_norms,
         "containment": q_containment,
+        "semdedup": q_semdedup,
+        "det_shuffle": q_det_shuffle,
+        "bucketed_join": q_bucketed_join,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
     }

@@ -1,0 +1,101 @@
+"""Graph analytics over DataFrames (north-star surface, SURVEY.md §2.2
+taxonomy — the reference has no graph operators; connected components lives
+in operators/dedup.py as near-dup clustering's backbone).
+
+PageRank here is the INTEGER-ARITHMETIC fixed-iteration form: ranks are
+scaled longs, per-edge contributions use integer division, and the damping
+update is ``base + (d_num * sum) div d_den`` — every step is exact and
+order-independent, so a fixed iteration count hash-matches an unrolled-CTE
+ANSI oracle (same construction as similarity.kmeans_labels). Float PageRank
+would converge to the same ordering but could never be bit-checked across
+engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pagerank(edges: DataFrame, iters: int = 2, *,
+             scale: int = 1_000_000, damping_num: int = 85,
+             damping_den: int = 100,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank on a directed edge list. Returns
+    ``(node, rank)`` — scaled-integer ranks after ``iters`` updates from a
+    uniform start of ``scale`` per node.
+
+    Update rule (all integer): ``contrib(u) = rank(u) div outdeg(u)``;
+    ``rank'(v) = (1 - d) * scale + d * sum(contribs into v)`` with the
+    damping factor d applied as ``(damping_num * s) div damping_den``.
+    Dangling nodes (no out-edges) contribute nothing — give the graph both
+    edge directions when sink absorption is not wanted.
+
+    Scale: the degree-annotated edge frame is computed once and reused
+    every iteration; each iteration is ONE join (edges x ranks, both
+    shuffled on the src key — co-partitioned after the first iteration, so
+    the edge side's exchange is reused) and one map-side-combinable
+    groupBy(dst) sum. The ranks frame is (node, long) — tiny next to
+    edges — so iterations move O(|E|) once and O(|V|) twice. Lineage grows
+    linearly with ``iters``; checkpoint beyond ~10 (fixed small counts are
+    the intended use).
+    """
+    e = edges.select(src, dst)
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(src).agg(F.count("*").alias("_d"))
+    ed = e.join(outdeg, src).localCheckpoint(eager=False)
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    base = (damping_den - damping_num) * scale // damping_den
+    for _ in range(iters):
+        contribs = (
+            ed.join(ranks, ed[src] == ranks["node"])
+            .select(F.col(dst).alias("node"),
+                    F.expr("rank div _d").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"cast({base} + ({damping_num} * coalesce(_s, 0L))"
+                    f" div {damping_den} as long)"
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(edges_sql: str, iters: int = 2, *,
+                        scale: int = 1_000_000, damping_num: int = 85,
+                        damping_den: int = 100) -> str:
+    """The same fixed-iteration integer loop UNROLLED into chained CTEs.
+    ``edges_sql`` must yield columns ``(src, dst)``."""
+    base = (damping_den - damping_num) * scale // damping_den
+    ctes = [f"e AS ({edges_sql})",
+            """nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+)""",
+            "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+            f"r0 AS (SELECT node, {scale}::BIGINT AS r FROM nodes)"]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node, sum({prev}.r // deg.d)::BIGINT AS s
+  FROM e JOIN {prev} ON {prev}.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""{cur} AS (
+  SELECT n.node,
+         ({base} + ({damping_num} * COALESCE(c{i}.s, 0)) // {damping_den})::BIGINT AS r
+  FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank FROM r{iters} ORDER BY node"
+    )

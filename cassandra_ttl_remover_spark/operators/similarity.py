@@ -655,24 +655,47 @@ def semdedup(emb: DataFrame, threshold: float = 0.9,
     assigned = assign_nearest_centroid(emb, group_col, vec_col, id_col).select(
         id_col, F.col("assigned").alias("cluster")
     )
+    # Quantize ONCE and materialize the (id, cluster, xq, nrm) frame: both
+    # pair-join branches and the final stitch read these blocks instead of
+    # re-running the centroid-assignment pipeline per branch, and the
+    # per-pair dot becomes a pure int64 zip_with (no per-element
+    # round/cast inside the quadratic stage).
     q = (
         fan_out(emb, id_col)
         .select(
             F.col(id_col),
-            F.col(vec_col).alias("v"),
-            F.expr(QDOT_EXPR.format(a=vec_col, b=vec_col)).alias("nrm"),
+            F.expr(QVEC_EXPR.format(v=vec_col)).alias("xq"),
+        )
+        .withColumn(
+            "nrm",
+            F.expr("aggregate(zip_with(xq, xq, (x, y) -> x * y), 0L,"
+                   " (s, v) -> s + v)"),
         )
         .join(assigned, id_col)
+        .localCheckpoint(eager=False)
     )
+    # Explicit NUMBERED repartition pins the pair stage's parallelism:
+    # the exchange feeding a tiny-map-output join is exactly where AQE
+    # coalesces to one task and then serializes the quadratic dot-product
+    # work (same counter as the incremental-dedup band join). Effective
+    # parallelism is min(n, #clusters) — at scale k grows with the corpus
+    # (SemDeDup uses ~sqrt(n) clusters), so cluster count, not this knob,
+    # is the real ceiling.
+    npart = emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     a = q.select(F.col(id_col).alias("a"), F.col("cluster"),
-                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+                 F.col("xq").alias("xa"), F.col("nrm").alias("na")) \
+         .repartition(int(npart), "cluster")
     b = q.select(F.col(id_col).alias("b"), F.col("cluster"),
-                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+                 F.col("xq").alias("xb"), F.col("nrm").alias("nb"))
     t2 = threshold * threshold
     dropped = (
         a.join(b, ["cluster"])
         .filter(F.col("a") < F.col("b"))
-        .withColumn("dot", F.expr(QDOT_EXPR.format(a="va", b="vb")))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(xa, xb, (x, y) -> x * y), 0L,"
+                   " (s, v) -> s + v)"),
+        )
         .filter(
             (F.col("dot") > 0)
             & (
@@ -684,7 +707,8 @@ def semdedup(emb: DataFrame, threshold: float = 0.9,
         .distinct()
     )
     return (
-        assigned.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        q.select(id_col, "cluster")
+        .join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
         .select(
             id_col,
             "cluster",

@@ -125,6 +125,7 @@ def scan(
     glob: str | None = "*.parquet",
     ignore_corrupt: bool = False,
     max_partition_bytes: int | str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """S1+S2: load a file/dir of parquet as a DataFrame, schema declared not
     inferred when given (reference stance, SURVEY.md §1.3), with
@@ -166,6 +167,14 @@ def scan(
     opts = {}
     if ignore_corrupt:
         opts["ignoreCorruptFiles"] = "true"
+    if merge_schema:
+        # schema evolution on read: union-by-name over per-file footers;
+        # columns absent from an older snapshot surface as NULL. Footer
+        # merging is a driver-side metadata pass (one footer per file, no
+        # data read), so the cost at 100 TB is file COUNT, not bytes —
+        # compact small files first (compact_small_files) when listing
+        # dominates.
+        opts["mergeSchema"] = "true"
     if Path(path).is_dir():
         if recursive:
             opts["recursiveFileLookup"] = "true"

@@ -57,3 +57,20 @@ def test_orc_roundtrip_with_timestamps(spark, events, tmp_path):
     b = got.select("event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_merge_schema_unions_by_name(spark, documents, tmp_path):
+    """Schema evolution on read: an old snapshot missing columns surfaces
+    them as NULL under merge_schema; without it the scan sees only the
+    first footer's columns."""
+    from cassandra_ttl_remover_spark.sources.scan import scan
+
+    root = tmp_path / "evo"
+    documents.limit(10).select("doc_id", "text").write.parquet(str(root / "v1"))
+    documents.filter("doc_id >= 10").limit(10) \
+        .select("doc_id", "text", "lang").write.parquet(str(root / "v2"))
+    m = scan(spark, str(root), merge_schema=True)
+    assert set(m.columns) == {"doc_id", "text", "lang"}
+    assert m.count() == 20
+    assert m.filter("lang IS NULL").count() == 10
+    assert m.filter("lang IS NOT NULL").count() == 10

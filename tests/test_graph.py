@@ -1,0 +1,53 @@
+"""Fixed-iteration integer PageRank: structural properties + a hand-checked
+tiny graph."""
+
+import pyspark.sql.functions as F
+
+from cassandra_ttl_remover_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edge_rows, iters=2):
+    e = spark.createDataFrame(edge_rows, "src long, dst long")
+    return {r.node: r.rank for r in pagerank(e, iters=iters).collect()}
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    """On a directed cycle every node keeps the uniform rank exactly:
+    contrib = scale div 1, update = 150000 + 85*scale div 100 = scale."""
+    cycle = [(i, (i + 1) % 5) for i in range(5)]
+    got = _ranks(spark, cycle, iters=3)
+    assert set(got.values()) == {1_000_000}
+
+
+def test_pagerank_star_funnels_through_hub(spark):
+    """A star (leaves -> hub, hub -> leaf 1): after two iterations the
+    hub's ENTIRE accumulated rank has flowed to its sole out-neighbor, so
+    leaf 1 ranks highest, the other leaves equal-lowest — exact funnel
+    semantics of the integer update."""
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    got = _ranks(spark, edges, iters=2)
+    assert got[1] == max(got.values())
+    assert got[2] == got[3] == got[4] == got[5] < got[0] < got[1]
+    # hand value: hub after iter1 = 150000 + 85*(5 * 1M) div 100 = 4.4M;
+    # leaf1 after iter2 = 150000 + 85*4.4M div 100
+    assert got[1] == 150_000 + (85 * 4_400_000) // 100
+
+
+def test_pagerank_matches_hand_computation(spark):
+    """1<->2 plus 3 -> 1, every node outdegree 1. After one iteration:
+    node 1 receives 2's and 3's full ranks, node 2 receives 1's, node 3
+    receives nothing."""
+    edges = [(1, 2), (2, 1), (3, 1)]
+    got = _ranks(spark, edges, iters=1)
+    assert got[1] == 150_000 + (85 * 2_000_000) // 100
+    assert got[2] == 150_000 + (85 * 1_000_000) // 100
+    assert got[3] == 150_000  # no in-edges
+
+
+def test_pagerank_dangling_node_keeps_base(spark):
+    """A node with in-edges but no out-edges absorbs rank; its outgoing
+    contribution is simply absent (documented semantics)."""
+    edges = [(1, 2)]
+    got = _ranks(spark, edges, iters=2)
+    assert got[1] == 150_000  # nothing flows into 1 after iter 1
+    assert got[2] > got[1]
