@@ -340,6 +340,8 @@ _DRIVER_PRIORITY = [
     "q_n39_deterministic_shuffle",
     "q_f4_schema_evolution",
     "q_g1_pagerank",
+    "q_st13_stream_custom_state",
+    "q_x14_pandas_udaf",
 ]
 
 
@@ -760,15 +762,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tests/test_plans.py::test_bucketed_join_is_shuffle_free asserts
         # zero Exchange nodes). Quantity is cent-quantized so the sum is
         # exact integer arithmetic, order-independent in both engines.
+        import shutil
+        import tempfile
         import uuid
 
         from cassandra_ttl_remover_spark.sinks.writer import write_bucketed
 
         sfx = uuid.uuid4().hex[:8]
+        broot = os.path.join(tempfile.gettempdir(), f"ctrs_w4_{sfx}")
+        shutil.rmtree(broot, ignore_errors=True)
         li = scan_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
         od = scan_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
-        write_bucketed(li, f"w4_lineitem_{sfx}", "l_orderkey", num_buckets=8)
-        write_bucketed(od, f"w4_orders_{sfx}", "o_orderkey", num_buckets=8)
+        write_bucketed(li, f"w4_lineitem_{sfx}", "l_orderkey", num_buckets=8,
+                       path=os.path.join(broot, "li"))
+        write_bucketed(od, f"w4_orders_{sfx}", "o_orderkey", num_buckets=8,
+                       path=os.path.join(broot, "od"))
         j = (
             spark.table(f"w4_lineitem_{sfx}").hint("merge")
             .join(
@@ -1813,6 +1821,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return drain_to_table(out, f"st12_{uuid.uuid4().hex[:8]}", "complete")
     q["q_st12_stream_enrich"] = q_st12
 
+    def q_st13(spark, sf):
+        # CUSTOM stateful operator (applyInPandasWithState): per-key
+        # liveness with event-time TTL expiry. The fixture is one file, so
+        # availableNow drains in a single batch: every key emits exactly
+        # one cumulative 'active' snapshot and no timeout fires — a
+        # deterministic surface the batch oracle recomputes exactly
+        # (multi-batch 'active' prefixes are the nondeterministic part,
+        # covered by pytest instead).
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+            track_ttl_state,
+        )
+
+        st = scan_stream(spark, sf, glob="events.parquet", ns_to="timestamp")
+        out = track_ttl_state(st, key_col="user_id", ts_col="ts")
+        return drain_to_table(out, f"st13_{uuid.uuid4().hex[:8]}")
+    q["q_st13_stream_custom_state"] = q_st13
+
     def q_mm3(spark, sf):
         # audio chunk planning: per-clip 1s windows from metadata only —
         # the fan-out layout an audio pipeline feeds to its decode stage
@@ -2212,6 +2241,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph.pagerank(edges, iters=2)
     q["q_g1_pagerank"] = q_g1
 
+    def q_x14(spark, sf):
+        # UDAF taxonomy slot: Arrow-vectorized grouped-agg pandas UDF,
+        # exact by integer-cents discipline (one final IEEE division) so
+        # even the Python aggregate hash-matches the ANSI oracle
+        from cassandra_ttl_remover_spark.functions import weighted_mean_cents
+
+        li = scan_table(spark, sf, "lineitem")
+        return weighted_mean_cents(
+            li, "l_returnflag", "l_extendedprice", "l_quantity"
+        )
+    q["q_x14_pandas_udaf"] = q_x14
+
     def q_st7(spark, sf):
         # the production streaming shape: strip stream -> PARQUET FILE SINK
         # (availableNow, checkpointed, exactly-once file commit) -> read the
@@ -2517,6 +2558,20 @@ FROM events GROUP BY event_type ORDER BY event_type
          AND v.event_type = 'view' AND c.event_type = 'click'
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
         ORDER BY v_id, c_id"""
+
+    o["q_st13_stream_custom_state"] = """
+        WITH agg AS (
+          SELECT user_id AS key, count(*)::BIGINT AS n_events,
+                 max(epoch_us(ts))::BIGINT AS last_write_us
+          FROM events GROUP BY user_id
+        ),
+        wm AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm_us FROM events)
+        SELECT key, n_events, last_write_us, 'active' AS status FROM agg
+        UNION ALL
+        SELECT key, n_events, last_write_us, 'expired' AS status
+        FROM agg, wm
+        WHERE last_write_us // 1000 + 1800000 < wm_us // 1000
+        ORDER BY key, status"""
 
     o["q_st12_stream_enrich"] = """
         SELECT n.n_name AS nation,
@@ -2954,6 +3009,10 @@ GROUP BY event_type ORDER BY event_type
     )
 
     from cassandra_ttl_remover_spark.operators import graph as _graph
+
+    from cassandra_ttl_remover_spark.functions import weighted_mean_oracle_sql
+
+    o["q_x14_pandas_udaf"] = weighted_mean_oracle_sql()
 
     o["q_g1_pagerank"] = _graph.pagerank_oracle_sql(
         """WITH cs AS (

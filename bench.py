@@ -166,11 +166,15 @@ def main() -> int:
         # shuffle-free join itself
         from cassandra_ttl_remover_spark.sinks.writer import write_bucketed
         if not bucketed_ready:
+            broot = Path(tempfile.gettempdir()) / "ctrs_bench_bucketed"
+            shutil.rmtree(broot, ignore_errors=True)
             li = lineitem.select("l_orderkey", "l_quantity")
             od = scan_table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderpriority")
-            write_bucketed(li, "bench_b_li", "l_orderkey", num_buckets=32)
-            write_bucketed(od, "bench_b_od", "o_orderkey", num_buckets=32)
+            write_bucketed(li, "bench_b_li", "l_orderkey", num_buckets=32,
+                           path=str(broot / "li"))
+            write_bucketed(od, "bench_b_od", "o_orderkey", num_buckets=32,
+                           path=str(broot / "od"))
             bucketed_ready.append(True)
         (
             spark.table("bench_b_li").hint("merge")

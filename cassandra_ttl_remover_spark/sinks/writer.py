@@ -72,21 +72,32 @@ def write_sorted(
 
 def write_bucketed(df: DataFrame, table: str, key: str,
                    num_buckets: int = 32,
-                   sort_cols: list[str] | None = None) -> None:
+                   sort_cols: list[str] | None = None,
+                   path: str | None = None) -> None:
     """Bucketed catalog table: rows hash-partitioned into ``num_buckets``
     files by ``key`` and sorted within each bucket — the co-located-join
     layout. Two tables bucketed on the same key with the same bucket count
     join with NO shuffle on either side (the exchange is pre-paid once at
     write time), which is the decisive layout when a 100 TB fact table is
     joined repeatedly on the same key. tests/test_plans.py asserts the
-    exchange-free join plan."""
-    (
+    exchange-free join plan.
+
+    ``path`` makes the table EXTERNAL at that location. Managed-table
+    locations under spark-warehouse outlive the in-memory catalog entry
+    (a new session forgets the table but finds the directory and refuses
+    the name), so any caller that may run twice should pass a ``path`` it
+    controls; either way a stale same-name catalog entry is dropped
+    first."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, key)
         .sortBy(*(sort_cols or [key]))
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 # ---------------------------------------------------------------------------
