@@ -342,6 +342,8 @@ _DRIVER_PRIORITY = [
     "q_g1_pagerank",
     "q_st13_stream_custom_state",
     "q_x14_pandas_udaf",
+    "q_g2_triangles",
+    "q_n40_hard_negatives",
 ]
 
 
@@ -1237,6 +1239,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = scan_table(spark, sf, "documents")
         return curate.shuffle_deterministic(docs, n_shards=16, seed=7)
     q["q_n39_deterministic_shuffle"] = q_n39
+
+    def q_n40(spark, sf):
+        # hard-negative mining for contrastive training: per anchor, the
+        # top-3 most-similar vectors that are NOT near-dups — broadcast
+        # anchors, zero-shuffle scoring, one per-anchor top-k window
+        emb = scan_table(spark, sf, "embeddings")
+        return similarity.hard_negatives(
+            emb, anchor_ids=[0, 1, 2], k=3, dup_threshold=0.9
+        )
+    q["q_n40_hard_negatives"] = q_n40
 
     def _ann_invariant(spark, sf, approx_fn, min_recall):
         # ANN candidate sets are engine-hash-specific, so the row carries
@@ -2241,6 +2253,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph.pagerank(edges, iters=2)
     q["q_g1_pagerank"] = q_g1
 
+    def q_g2(spark, sf):
+        # exact triangle counting (oriented double-join — each triangle
+        # found once as a<b<c) on the suppliers-sharing-a-part graph
+        from cassandra_ttl_remover_spark.operators import graph
+
+        ps = (
+            scan_table(spark, sf, "lineitem")
+            .select("l_partkey", "l_suppkey")
+            .distinct()
+        )
+        x, y = ps.alias("x"), ps.alias("y")
+        edges = (
+            x.join(y, "l_partkey")
+            .select(
+                F.col("x.l_suppkey").alias("src"),
+                F.col("y.l_suppkey").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        return graph.triangle_count(edges)
+    q["q_g2_triangles"] = q_g2
+
     def q_x14(spark, sf):
         # UDAF taxonomy slot: Arrow-vectorized grouped-agg pandas UDF,
         # exact by integer-cents discipline (one final IEEE division) so
@@ -3008,11 +3042,22 @@ GROUP BY event_type ORDER BY event_type
         n_shards=16, seed=7
     )
 
+    o["q_n40_hard_negatives"] = similarity.hard_negatives_oracle_sql(
+        anchor_ids=[0, 1, 2], k=3, dup_threshold=0.9
+    )
+
     from cassandra_ttl_remover_spark.operators import graph as _graph
 
     from cassandra_ttl_remover_spark.functions import weighted_mean_oracle_sql
 
     o["q_x14_pandas_udaf"] = weighted_mean_oracle_sql()
+
+    o["q_g2_triangles"] = _graph.triangle_count_oracle_sql(
+        """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+FROM ps x JOIN ps y
+  ON x.l_partkey = y.l_partkey AND x.l_suppkey <> y.l_suppkey"""
+    )
 
     o["q_g1_pagerank"] = _graph.pagerank_oracle_sql(
         """WITH cs AS (

@@ -99,3 +99,74 @@ def pagerank_oracle_sql(edges_sql: str, iters: int = 2, *,
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, r AS rank FROM r{iters} ORDER BY node"
     )
+
+
+def triangle_count(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact triangle counting on an undirected graph given as an edge
+    list (either or both directions, self-loops ignored). Returns
+    ``(node, triangles)`` for every node in at least one triangle.
+
+    The standard orientation trick: canonicalize each edge to ``a < b``
+    and dedup, then join oriented edges twice — (a,b) ⋈ (b,c) ⋈ (a,c)
+    finds each triangle exactly once as a < b < c. Orientation bounds the
+    join: a node contributes pairs only among its HIGHER-id neighbors, so
+    work per node is outdeg² under the orientation (≪ deg² for hubs when
+    ids spread a hub's neighbors — the degeneracy-ordering refinement
+    would replace id order with degree order, same plan shape).
+
+    Scale: two shuffle joins on single-key columns + one explode-free
+    groupBy; edge payload is two longs. At 100 TB-scale graphs the
+    (a,b)⋈(b,c) intermediate is the budget item — cap or sample hub
+    out-neighborhoods upstream if the orientation alone is not enough.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ab = e
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("_a"), F.col("b").alias("_c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("_a")) & (F.col("c") == F.col("_c")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return per_node
+
+
+def triangle_count_oracle_sql(edges_sql: str) -> str:
+    """Same orientation + double join in ANSI SQL; ``edges_sql`` yields
+    ``(src, dst)``."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+tri AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM e ab
+  JOIN e bc ON bc.a = ab.b
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+)
+SELECT node, count(*)::BIGINT AS triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY node ORDER BY node
+"""

@@ -749,3 +749,124 @@ SELECT q.{id_col}, q.cluster,
 FROM q LEFT JOIN dropped ON dropped.{id_col} = q.{id_col}
 ORDER BY q.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training pair selection)
+# ---------------------------------------------------------------------------
+
+def hard_negatives(emb: DataFrame, anchor_ids: list, k: int = 3,
+                   dup_threshold: float = 0.9,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """For each anchor, the k most-similar vectors that are NOT near-dups
+    (cosine < ``dup_threshold``) — the hard negatives a contrastive
+    trainer wants: close enough to be informative, far enough to be true
+    negatives. Returns ``(anchor, negative, dot, rank)``.
+
+    Ranking is by true cosine DESC (ties by id asc). The near-dup
+    exclusion reuses the exact integer predicate (dot² >= t²·|a|²·|b|²),
+    and the cosine ordering key ``dot / sqrt(|a|²·|b|²)`` is one IEEE
+    division of exact-integer-derived doubles — sqrt is correctly rounded
+    by both engines, so rank and hash match the ANSI oracle.
+
+    Scale: anchors are a BROADCAST table (bounded list — mine per
+    training batch, not per corpus); scoring is a zero-shuffle projection
+    over the corpus scan; the only exchange is the per-anchor top-k
+    window, keyed by anchor. Corpus vectors never shuffle.
+    """
+    anchors = (
+        emb.filter(F.col(id_col).isin(anchor_ids))
+        .select(
+            F.col(id_col).alias("anchor"),
+            F.expr(QVEC_EXPR.format(v=vec_col)).alias("_aq"),
+        )
+        .withColumn(
+            "_an",
+            F.expr("aggregate(zip_with(_aq, _aq, (x, y) -> x * y), 0L,"
+                   " (s, v) -> s + v)"),
+        )
+    )
+    cand = (
+        fan_out(emb, id_col)
+        .select(
+            F.col(id_col).alias("negative"),
+            F.expr(QVEC_EXPR.format(v=vec_col)).alias("_bq"),
+        )
+        .withColumn(
+            "_bn",
+            F.expr("aggregate(zip_with(_bq, _bq, (x, y) -> x * y), 0L,"
+                   " (s, v) -> s + v)"),
+        )
+    )
+    t2 = dup_threshold * dup_threshold
+    scored = (
+        cand.join(F.broadcast(anchors), F.col("anchor") != F.col("negative"))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(_aq, _bq, (x, y) -> x * y), 0L,"
+                   " (s, v) -> s + v)"),
+        )
+        # exclude near-duplicates of the anchor (would be false negatives)
+        .filter(
+            ~(
+                (F.col("dot") > 0)
+                & (
+                    F.col("dot").cast("double") * F.col("dot").cast("double")
+                    >= F.lit(t2)
+                    * F.col("_an").cast("double") * F.col("_bn").cast("double")
+                )
+            )
+        )
+        .withColumn(
+            "_cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("_an").cast("double") * F.col("_bn").cast("double")),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("_cos"), F.col("negative"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("anchor", "negative", "dot", "rank")
+    )
+
+
+def hard_negatives_oracle_sql(anchor_ids: list, k: int = 3,
+                              dup_threshold: float = 0.9,
+                              table: str = "embeddings",
+                              id_col: str = "vec_id") -> str:
+    ids = ", ".join(str(i) for i in anchor_ids)
+    qdot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), i ->"
+        " round(CAST({a}[i] AS DOUBLE) * 1000000.0)::BIGINT"
+        " * round(CAST({b}[i] AS DOUBLE) * 1000000.0)::BIGINT))::BIGINT"
+    )
+    t2 = dup_threshold * dup_threshold
+    return f"""
+WITH q AS (
+  SELECT {id_col}, embedding AS v,
+         {qdot.format(a='embedding', b='embedding')} AS nrm
+  FROM {table}
+),
+scored AS (
+  SELECT a.{id_col} AS anchor, b.{id_col} AS negative,
+         {qdot.format(a='a.v', b='b.v')} AS dot,
+         CAST({qdot.format(a='a.v', b='b.v')} AS DOUBLE)
+           / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cosv
+  FROM q a JOIN q b ON a.{id_col} <> b.{id_col}
+  WHERE a.{id_col} IN ({ids})
+    AND NOT ({qdot.format(a='a.v', b='b.v')} > 0
+         AND CAST({qdot.format(a='a.v', b='b.v')} AS DOUBLE)
+             * CAST({qdot.format(a='a.v', b='b.v')} AS DOUBLE)
+             >= {t2} * CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE))
+)
+SELECT anchor, negative, dot,
+       rank FROM (
+  SELECT anchor, negative, dot,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY cosv DESC, negative ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY anchor, rank
+"""

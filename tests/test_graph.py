@@ -51,3 +51,26 @@ def test_pagerank_dangling_node_keeps_base(spark):
     got = _ranks(spark, edges, iters=2)
     assert got[1] == 150_000  # nothing flows into 1 after iter 1
     assert got[2] > got[1]
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles, 3 per node; an attached pendant edge adds none."""
+    from cassandra_ttl_remover_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    edges = k4 + [(3, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_count(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # node 9 in no triangle
+
+
+def test_triangle_count_direction_and_dup_insensitive(spark):
+    from cassandra_ttl_remover_spark.operators.graph import triangle_count
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    noisy = tri + [(b, a) for a, b in tri] + tri  # reversed + duplicated
+    a = {r.node: r.triangles
+         for r in triangle_count(spark.createDataFrame(tri, "src long, dst long")).collect()}
+    b = {r.node: r.triangles
+         for r in triangle_count(spark.createDataFrame(noisy, "src long, dst long")).collect()}
+    assert a == b == {1: 1, 2: 1, 3: 1}

@@ -170,3 +170,35 @@ def test_semdedup_threshold_monotone(embeddings):
     keep_lo = {r.vec_id for r in similarity.semdedup(embeddings, threshold=0.5).collect()
                if r.keep}
     assert keep_lo <= keep_hi
+
+
+def test_hard_negatives_excludes_near_dups_and_ranks_by_cosine(embeddings):
+    """Numpy replica: per anchor, rank non-near-dup vectors by cosine desc
+    (id asc ties), take top-3."""
+    rows = embeddings.collect()
+    vecs = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64)
+        for r in rows
+    }
+    t = 0.9
+    want = {}
+    for a in [0, 1, 2]:
+        scored = []
+        va, na = vecs[a], int(vecs[a] @ vecs[a])
+        for b, vb in vecs.items():
+            if b == a:
+                continue
+            dot, nb = int(va @ vb), int(vb @ vb)
+            if dot > 0 and float(dot) * dot >= t * t * float(na) * nb:
+                continue  # near-dup: excluded
+            cos = float(dot) / (float(na) * nb) ** 0.5
+            scored.append((-cos, b, dot))
+        scored.sort()
+        want[a] = [(b, d) for _, b, d in scored[:3]]
+    got = {}
+    for r in similarity.hard_negatives(embeddings, [0, 1, 2], k=3,
+                                       dup_threshold=t).collect():
+        got.setdefault(r.anchor, []).append((r.rank, r.negative, r.dot))
+    for a in [0, 1, 2]:
+        got[a].sort()
+        assert [(b, d) for _, b, d in got[a]] == want[a], a
