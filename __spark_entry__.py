@@ -344,6 +344,8 @@ _DRIVER_PRIORITY = [
     "q_x14_pandas_udaf",
     "q_g2_triangles",
     "q_n40_hard_negatives",
+    "q_x15_hopping_window",
+    "q_x16_exact_correlation",
 ]
 
 
@@ -966,6 +968,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").cast("long").alias("n"))
         )
     q["q_x12_calendar_rollup"] = q_x12
+
+    def q_x15(spark, sf):
+        # HOPPING (sliding) windows: 1-day windows every 12 h — each event
+        # lands in exactly 2 windows. Spark's window() origin is the epoch,
+        # so starts live on an integer 12 h grid the oracle regenerates
+        # with integer epoch-µs arithmetic.
+        ev = _events(spark, sf)
+        return (
+            ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.expr("unix_micros(cast(w.start as timestamp))").alias("ws_us"),
+                "n",
+            )
+        )
+    q["q_x15_hopping_window"] = q_x15
+
+    def q_x16(spark, sf):
+        # Pearson correlation made cross-engine-exact: the five sufficient
+        # statistics are EXACT int64 sums over cents/units quantization;
+        # only the final closed-form formula runs in doubles (identical
+        # expression shape both engines). Built-in corr() would float-sum
+        # in engine-specific order and could never hash-match.
+        li = scan_table(spark, sf, "lineitem")
+        s = (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round("l_quantity").cast("long")).alias("sx"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sy"),
+                # product sums in DECIMAL(38,0): cents² × rows overflows
+                # int64 around sf0.1 (DuckDB's BIGINT sum widens to
+                # HUGEINT natively; Spark needs the explicit widening)
+                F.sum(
+                    (
+                        F.round("l_quantity").cast("long")
+                        * F.round(F.col("l_extendedprice") * 100).cast("long")
+                    ).cast("decimal(38,0)")
+                ).alias("sxy"),
+                F.sum(
+                    (
+                        F.round("l_quantity").cast("long")
+                        * F.round("l_quantity").cast("long")
+                    ).cast("decimal(38,0)")
+                ).alias("sxx"),
+                F.sum(
+                    (
+                        F.round(F.col("l_extendedprice") * 100).cast("long")
+                        * F.round(F.col("l_extendedprice") * 100).cast("long")
+                    ).cast("decimal(38,0)")
+                ).alias("syy"),
+            )
+        )
+        d = "cast({c} as double)"
+        num = f"({d.format(c='n')} * {d.format(c='sxy')} - {d.format(c='sx')} * {d.format(c='sy')})"
+        denx = f"sqrt({d.format(c='n')} * {d.format(c='sxx')} - {d.format(c='sx')} * {d.format(c='sx')})"
+        deny = f"sqrt({d.format(c='n')} * {d.format(c='syy')} - {d.format(c='sy')} * {d.format(c='sy')})"
+        return s.select(
+            "l_returnflag",
+            F.col("n"),
+            F.expr(f"{num} / ({denx} * {deny})").alias("corr_qty_price"),
+        )
+    q["q_x16_exact_correlation"] = q_x16
 
     def q_x13(spark, sf):
         # array/higher-order-function surface: slice, per-element
@@ -2898,6 +2963,36 @@ FROM events GROUP BY event_type ORDER BY event_type
                dayofmonth(ts)::INT AS d, dayofweek(ts)::INT AS dow,
                count(*)::BIGINT AS n
         FROM events GROUP BY y, m, d, dow ORDER BY y, m, d"""
+
+    o["q_x15_hopping_window"] = """
+        WITH w AS (
+          SELECT (epoch_us(ts) // 43200000000) * 43200000000
+                   - k * 43200000000 AS ws_us
+          FROM events, unnest([0, 1]) AS t(k)
+        )
+        SELECT ws_us::BIGINT AS ws_us, count(*)::BIGINT AS n
+        FROM w GROUP BY ws_us ORDER BY ws_us"""
+
+    o["q_x16_exact_correlation"] = """
+        WITH s AS (
+          SELECT l_returnflag,
+                 count(*)::BIGINT AS n,
+                 sum(round(l_quantity)::BIGINT)::BIGINT AS sx,
+                 sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sy,
+                 sum(round(l_quantity)::BIGINT
+                     * round(l_extendedprice * 100)::BIGINT) AS sxy,
+                 sum(round(l_quantity)::BIGINT
+                     * round(l_quantity)::BIGINT) AS sxx,
+                 sum(round(l_extendedprice * 100)::BIGINT
+                     * round(l_extendedprice * 100)::BIGINT) AS syy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                 AS corr_qty_price
+        FROM s ORDER BY l_returnflag"""
 
     o["q_x11_set_intersect"] = """
         SELECT user_id FROM events WHERE event_type = 'view'
