@@ -346,6 +346,8 @@ _DRIVER_PRIORITY = [
     "q_n40_hard_negatives",
     "q_x15_hopping_window",
     "q_x16_exact_correlation",
+    "q_a6_sketch_intersection",
+    "q_n41_equidepth_histogram",
 ]
 
 
@@ -622,6 +624,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("within_tol"),
         )
     q["q_a4_sketch_union_distinct"] = q_a4
+
+    def q_a6(spark, sf):
+        # sketch INTERSECTION by inclusion-exclusion (sketches union
+        # losslessly but can't intersect): the affordable "how many users
+        # did both" at 100 TB. Exact intersect hash-checks; the invariant
+        # gate is union-proportional because three estimates' noise lands
+        # on the (possibly small) difference.
+        from cassandra_ttl_remover_spark.operators import counts
+
+        ev = _events(spark, sf)
+        va = ev.filter(F.col("event_type") == "view")
+        vb = ev.filter(F.col("event_type") == "purchase")
+        est = counts.estimate_intersection(va, vb, "user_id")
+        exact = (
+            va.select("user_id").intersect(vb.select("user_id"))
+            .agg(F.count("*").alias("exact"))
+        )
+        union_exact = (
+            va.select("user_id").union(vb.select("user_id")).distinct()
+            .agg(F.count("*").alias("u_exact"))
+        )
+        return (
+            est.crossJoin(exact).crossJoin(union_exact)
+            .select(
+                F.col("exact").cast("long").alias("n_exact"),
+                (
+                    F.abs(F.col("est_intersection") - F.col("exact"))
+                    <= 0.15 * F.col("u_exact") + 5
+                ).alias("within_tol"),
+            )
+        )
+    q["q_a6_sketch_intersection"] = q_a6
 
     def q_a3(spark, sf):
         ev = _events(spark, sf)
@@ -1314,6 +1348,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, anchor_ids=[0, 1, 2], k=3, dup_threshold=0.9
         )
     q["q_n40_hard_negatives"] = q_n40
+
+    def q_n41(spark, sf):
+        # equi-DEPTH length histogram: quantile bucket bounds via
+        # SQL-standard ntile over the unique (value, id) order — the mass
+        # report equal-width log2 bins (q_n34) hide under skew
+        docs = scan_table(spark, sf, "documents")
+        return text.equidepth_histogram(docs, n_buckets=8)
+    q["q_n41_equidepth_histogram"] = q_n41
 
     def _ann_invariant(spark, sf, approx_fn, min_recall):
         # ANN candidate sets are engine-hash-specific, so the row carries
@@ -2838,6 +2880,13 @@ FROM events GROUP BY event_type ORDER BY event_type
         " TRUE AS within_tol FROM events"
     )
 
+    o["q_a6_sketch_intersection"] = """
+        SELECT count(*)::BIGINT AS n_exact, TRUE AS within_tol FROM (
+          SELECT user_id FROM events WHERE event_type = 'view'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+        )"""
+
     o["q_a3b_multi_source_merge_gain"] = """
         WITH s1 AS (SELECT user_id FROM events WHERE user_id % 3 <> 0),
              s2 AS (SELECT user_id FROM events WHERE user_id % 2 = 0)
@@ -3139,6 +3188,10 @@ GROUP BY event_type ORDER BY event_type
 
     o["q_n40_hard_negatives"] = similarity.hard_negatives_oracle_sql(
         anchor_ids=[0, 1, 2], k=3, dup_threshold=0.9
+    )
+
+    o["q_n41_equidepth_histogram"] = text.equidepth_histogram_oracle_sql(
+        n_buckets=8
     )
 
     from cassandra_ttl_remover_spark.operators import graph as _graph

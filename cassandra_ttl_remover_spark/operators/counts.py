@@ -61,3 +61,39 @@ def estimate_merge_gain(sources: list[DataFrame], key: str,
         reduce(lambda a, b: a.unionByName(b), [s.select(key) for s in sources]), key, rsd
     )
     return union / total
+
+
+def estimate_intersection(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Distinct-key INTERSECTION estimate by inclusion–exclusion over HLL
+    sketches: ``|A∩B| ≈ est(A) + est(B) − est(A∪B)``. Returns one row
+    ``(est_a, est_b, est_union, est_intersection)``.
+
+    HLL sketches union losslessly but cannot intersect directly — the
+    standard workaround is exactly this subtraction, whose error grows
+    with ``|A∪B| / |A∩B|`` (three estimates' noise lands on a possibly
+    small difference), so gate it with a tolerance proportional to the
+    UNION when the intersection may be small.
+
+    Scale: three sketch aggregations, each map-side mergeable (the same
+    one-pass shape as q_a4's two-level merge); no exact distinct, no
+    shuffle of raw keys beyond the sketch partials. At 100 TB this is the
+    only affordable way to ask "how many users did both"."""
+    sa = a.select(F.col(key).alias("k")).agg(F.hll_sketch_agg("k").alias("sk"))
+    sb = b.select(F.col(key).alias("k")).agg(F.hll_sketch_agg("k").alias("sk"))
+    est = (
+        sa.unionByName(sb)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+            F.min(F.hll_sketch_estimate("sk")).alias("_e1"),
+            F.max(F.hll_sketch_estimate("sk")).alias("_e2"),
+        )
+    )
+    # min/max over the two per-source estimates recovers both without a
+    # second pass; naming them a/b by construction order is not possible
+    # after the union, so expose them order-free
+    return est.select(
+        F.col("_e1").alias("est_small"),
+        F.col("_e2").alias("est_large"),
+        "est_union",
+        (F.col("_e1") + F.col("_e2") - F.col("est_union")).alias("est_intersection"),
+    )

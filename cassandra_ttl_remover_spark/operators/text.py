@@ -742,3 +742,52 @@ SELECT {id_col}, chunk_id, len(cw)::INT AS n_words,
        array_to_string(cw, ' ') AS chunk
 FROM chunks ORDER BY {id_col}, chunk_id
 """
+
+
+def equidepth_histogram(docs: DataFrame, n_buckets: int = 8,
+                        value_col: str = "n_chars",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Equi-DEPTH histogram of a numeric column: ``n_buckets`` buckets of
+    (near-)equal row count via ntile over the unique order
+    ``(value_col, id_col)`` — SQL-standard ntile splits remainders onto
+    the leading buckets identically in every engine, so the bucket bounds
+    hash-match. Returns ``(bucket, n, lo, hi)``.
+
+    Equi-depth (quantile) bounds are what a corpus length report or an
+    optimizer histogram wants — equal-WIDTH bins (length_histogram's log2
+    buckets) hide the mass distribution when lengths are skewed.
+
+    Scale caveat: a window with an empty partitionBy serializes into ONE
+    task — acceptable here because the frame it sorts is the (value, id)
+    pair only, never the text, so even a billion rows is ~16 GB of sort
+    keys on one core's external sort. For true corpus scale, pre-aggregate
+    to (value, count) before calling (same bounds, |distinct values| rows)
+    or switch to approx_percentile bounds (quality_cutoff's scale path).
+    """
+    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    return (
+        docs.select(id_col, value_col)
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )
+
+
+def equidepth_histogram_oracle_sql(n_buckets: int = 8,
+                                   value_col: str = "n_chars",
+                                   table: str = "documents",
+                                   id_col: str = "doc_id") -> str:
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {value_col},
+         ntile({n_buckets}) OVER (ORDER BY {value_col}, {id_col})::INT AS bucket
+  FROM {table}
+)
+SELECT bucket, count(*)::BIGINT AS n,
+       min({value_col}) AS lo, max({value_col}) AS hi
+FROM t GROUP BY bucket ORDER BY bucket
+"""

@@ -27,3 +27,18 @@ def test_merge_gain_disjoint_vs_identical(spark):
 def test_merge_gain_empty_sources(spark):
     e = spark.range(0).withColumnRenamed("id", "k")
     assert estimate_merge_gain([e, e], "k") == 1.0
+
+
+def test_estimate_intersection_inclusion_exclusion(spark, events):
+    """HLL inclusion-exclusion lands near the exact intersection."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.counts import estimate_intersection
+
+    a = events.filter(F.col("user_id") % 2 == 0)
+    b = events.filter(F.col("user_id") % 3 == 0)
+    row = estimate_intersection(a, b, "user_id").first()
+    exact = a.select("user_id").intersect(b.select("user_id")).count()
+    union = a.select("user_id").union(b.select("user_id")).distinct().count()
+    assert abs(row.est_intersection - exact) <= 0.15 * union + 5
+    assert row.est_union >= max(row.est_small, row.est_large) * 0.9

@@ -133,3 +133,19 @@ def test_keyword_search_conjunctive(spark):
     assert got_ix == got
     # single-term degenerates to postings lookup
     assert {r.doc_id for r in keyword_search(docs, ["cherry"]).collect()} == {1}
+
+
+def test_equidepth_histogram_properties(spark, documents):
+    """Buckets are near-equal depth (SQL ntile remainder rule), ranges are
+    ordered and non-overlapping, and counts sum to the corpus."""
+    from cassandra_ttl_remover_spark.operators.text import equidepth_histogram
+
+    n = documents.count()
+    rows = sorted(equidepth_histogram(documents, n_buckets=8).collect(),
+                  key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, 9))
+    assert sum(r.n for r in rows) == n
+    lo, hi = n // 8, n // 8 + 1
+    assert all(r.n in (lo, hi) for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.lo <= prev.hi <= cur.lo <= cur.hi
