@@ -348,6 +348,7 @@ _DRIVER_PRIORITY = [
     "q_x16_exact_correlation",
     "q_a6_sketch_intersection",
     "q_n41_equidepth_histogram",
+    "q_n8d_ann_ivf_append",
 ]
 
 
@@ -1412,6 +1413,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _ann_invariant(spark, sf, approx, 0.5)
     q["q_n8c_ann_ivf_materialized"] = q_n8c
+
+    def q_n8d(spark, sf):
+        # INCREMENTAL index ingest: build the IVF index on half the corpus,
+        # ivf_append the other half against the frozen centroids, then a
+        # FULL-probe query over the appended index — which degenerates to
+        # exact search, so the result hash-matches the exact-top-k oracle
+        # (appended vectors included == the append really landed)
+        import tempfile
+
+        from cassandra_ttl_remover_spark.operators.similarity import (
+            ivf_append,
+            ivf_query,
+            ivf_write,
+        )
+
+        emb = scan_table(spark, sf, "embeddings")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 != 0)
+        path = tempfile.mkdtemp(prefix="ctrs_ivf_app_") + "/ivf"
+        ivf_write(base, path, n_cells=8)
+        ivf_append(spark, path, batch)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return ivf_query(spark, path, qv, k=10, nprobe=8)
+    q["q_n8d_ann_ivf_append"] = q_n8d
 
     def q_n9(spark, sf):
         # MinHash-LSH validated by recall against exact Jaccard pairs (margin
@@ -3193,6 +3218,20 @@ GROUP BY event_type ORDER BY event_type
     o["q_n41_equidepth_histogram"] = text.equidepth_histogram_oracle_sql(
         n_buckets=8
     )
+
+    # full-probe query over the appended index == exact top-k INCLUDING the
+    # query vector itself (ivf_query takes a raw vector, so id 0 ranks first
+    # by its own norm — kept, and mirrored here)
+    _n8d_qdot = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), i ->"
+        " round(CAST(e.embedding[i] AS DOUBLE) * 1000000.0)::BIGINT"
+        " * round(CAST(q.embedding[i] AS DOUBLE) * 1000000.0)::BIGINT))::BIGINT"
+    )
+    o["q_n8d_ann_ivf_append"] = f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {_n8d_qdot} AS dot
+        FROM embeddings e CROSS JOIN q
+        ORDER BY dot DESC, e.vec_id ASC LIMIT 10"""
 
     from cassandra_ttl_remover_spark.operators import graph as _graph
 

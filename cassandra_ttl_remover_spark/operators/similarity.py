@@ -292,6 +292,35 @@ def ivf_write(emb: DataFrame, path: str, n_cells: int = 16,
     ).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
+def ivf_append(spark, path: str, new_emb: DataFrame,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Incremental IVF ingest: assign a NEW batch of vectors against the
+    index's FROZEN centroid table and append to the cell partitions — no
+    rebuild, no touch of existing inverted lists (parquet append adds
+    files inside each ``cell=`` directory).
+
+    Freezing the coarse quantizer is the standard IVF ingest contract:
+    recall of the probed search depends only on each vector sitting in its
+    true nearest cell, which stays true under append because assignment
+    uses the same centroids queries probe with. Re-train (ivf_write) only
+    when drift makes cells unbalanced — the cell-size census is one
+    ``groupBy("cell").count()`` away.
+
+    Scale: the append shuffles ONLY the new batch (centroids broadcast,
+    one groupBy on the batch's ids); a 100 TB index absorbs a daily batch
+    at the cost of the batch, not the corpus."""
+    cent_df = spark.read.parquet(f"{path}/_centroids")
+    scored = fan_out(new_emb, id_col).join(F.broadcast(cent_df)).withColumn(
+        "_d2", F.expr(_L2_EXPR.format(a=vec_col, b="cvec"))
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(F.min_by("cell", "_d2").alias("cell"))
+        .join(new_emb, id_col)
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
               nprobe: int = 4, vec_col: str = "embedding",
               id_col: str = "vec_id") -> DataFrame:

@@ -202,3 +202,35 @@ def test_hard_negatives_excludes_near_dups_and_ranks_by_cosine(embeddings):
     for a in [0, 1, 2]:
         got[a].sort()
         assert [(b, d) for _, b, d in got[a]] == want[a], a
+
+
+def test_ivf_append_preserves_full_probe_exactness(spark, embeddings, tmp_path):
+    """Append against frozen centroids: a full-probe query over the
+    appended index equals exact top-k over the whole corpus, and the
+    centroid table is untouched by the append."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_append,
+        ivf_query,
+        ivf_write,
+    )
+
+    base = embeddings.filter("vec_id % 2 = 0")
+    batch = embeddings.filter("vec_id % 2 != 0")
+    path = str(tmp_path / "ivf")
+    ivf_write(base, path, n_cells=4)
+    cent_before = sorted(
+        (r.cell, tuple(r.cvec))
+        for r in spark.read.parquet(path + "/_centroids").collect()
+    )
+    ivf_append(spark, path, batch)
+    cent_after = sorted(
+        (r.cell, tuple(r.cvec))
+        for r in spark.read.parquet(path + "/_centroids").collect()
+    )
+    assert cent_before == cent_after
+    assert spark.read.parquet(path).count() == embeddings.count()
+    qv = [float(x) for x in embeddings.filter("vec_id = 0").first()["embedding"]]
+    got = [r.vec_id for r in ivf_query(spark, path, qv, k=11, nprobe=4).collect()
+           if r.vec_id != 0][:10]
+    want = _numpy_topk(embeddings.collect(), query_id=0, k=10)
+    assert got == want
