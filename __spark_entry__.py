@@ -349,6 +349,7 @@ _DRIVER_PRIORITY = [
     "q_a6_sketch_intersection",
     "q_n41_equidepth_histogram",
     "q_n8d_ann_ivf_append",
+    "q_st14_stream_sliding_window",
 ]
 
 
@@ -1986,6 +1987,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return drain_to_table(out, f"st13_{uuid.uuid4().hex[:8]}")
     q["q_st13_stream_custom_state"] = q_st13
 
+    def q_st14(spark, sf):
+        # SLIDING windows on the stream (q_x15's hopping rollup lifted to
+        # Structured Streaming): 1-day windows every 12 h, complete mode —
+        # same epoch-grid oracle as the batch form
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+        )
+
+        st = scan_stream(spark, sf, glob="events.parquet", ns_to="timestamp")
+        out = (
+            st.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.expr("unix_micros(cast(w.start as timestamp))").alias("ws_us"),
+                "n",
+            )
+        )
+        return drain_to_table(out, f"st14_{uuid.uuid4().hex[:8]}", "complete")
+    q["q_st14_stream_sliding_window"] = q_st14
+
     def q_mm3(spark, sf):
         # audio chunk planning: per-clip 1s windows from metadata only —
         # the fan-out layout an audio pipeline feeds to its decode stage
@@ -3038,7 +3062,7 @@ FROM events GROUP BY event_type ORDER BY event_type
                count(*)::BIGINT AS n
         FROM events GROUP BY y, m, d, dow ORDER BY y, m, d"""
 
-    o["q_x15_hopping_window"] = """
+    _hopping_sql = """
         WITH w AS (
           SELECT (epoch_us(ts) // 43200000000) * 43200000000
                    - k * 43200000000 AS ws_us
@@ -3046,6 +3070,8 @@ FROM events GROUP BY event_type ORDER BY event_type
         )
         SELECT ws_us::BIGINT AS ws_us, count(*)::BIGINT AS n
         FROM w GROUP BY ws_us ORDER BY ws_us"""
+    o["q_x15_hopping_window"] = _hopping_sql
+    o["q_st14_stream_sliding_window"] = _hopping_sql
 
     o["q_x16_exact_correlation"] = """
         WITH s AS (

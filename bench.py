@@ -152,6 +152,22 @@ def main() -> int:
         # cosine self-join to within-cluster pairs
         similarity.semdedup(embeddings, threshold=0.9).filter("NOT keep").count()
 
+    def q_pagerank():
+        # 2-iteration integer PageRank on the customer<->supplier graph:
+        # per iteration one edges x ranks join + one combinable sum
+        from cassandra_ttl_remover_spark.operators.graph import pagerank
+        orders = scan_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = lineitem.select("l_orderkey", "l_suppkey")
+        cs = (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select((F.col("o_custkey") * 2).alias("c"),
+                    (F.col("l_suppkey") * 2 + 1).alias("s"))
+            .distinct()
+        )
+        edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+            cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        pagerank(edges, iters=2).agg(F.sum("rank")).collect()
+
     def q_det_shuffle():
         # seeded reproducible training order: one exchange, no global sort
         curate.shuffle_deterministic(documents, n_shards=32, seed=7) \
@@ -216,6 +232,7 @@ def main() -> int:
         "embedding_norms": q_embedding_norms,
         "containment": q_containment,
         "semdedup": q_semdedup,
+        "pagerank": q_pagerank,
         "det_shuffle": q_det_shuffle,
         "bucketed_join": q_bucketed_join,
         "tpch_q3": q_tpch_q3,
