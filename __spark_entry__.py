@@ -350,6 +350,7 @@ _DRIVER_PRIORITY = [
     "q_n41_equidepth_histogram",
     "q_n8d_ann_ivf_append",
     "q_st14_stream_sliding_window",
+    "q_f5_text_lines_roundtrip",
 ]
 
 
@@ -2359,6 +2360,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_f3_orc_roundtrip"] = q_f3
 
+    def q_f5(spark, sf):
+        # line-oriented text ingest: documents serialized to tab-delimited
+        # lines, written via the text sink, parsed back with a bounded
+        # split — the WET/log-shipping ingest shape
+        import tempfile
+
+        from cassandra_ttl_remover_spark.sources.scan import text_lines_roundtrip
+
+        out = tempfile.mkdtemp(prefix="ctrs_txt_") + "/docs"
+        return text_lines_roundtrip(spark, sf, out)
+    q["q_f5_text_lines_roundtrip"] = q_f5
+
     def q_f4(spark, sf):
         # schema evolution on read: an old snapshot (doc_id, text) and a
         # new one (+lang, +n_chars) under one root, merged by name via
@@ -2710,6 +2723,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         FROM documents ORDER BY doc_id"""
     o["q_f1_csv_roundtrip"] = _docs_identity
     o["q_f2_json_roundtrip"] = _docs_identity
+    o["q_f5_text_lines_roundtrip"] = _docs_identity
     o["q_f3_orc_roundtrip"] = """
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
                props

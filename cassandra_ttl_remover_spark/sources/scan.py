@@ -281,6 +281,40 @@ def scan_orc(spark: SparkSession, path: str,
     return r.orc(path)
 
 
+def scan_text(spark: SparkSession, path: str) -> DataFrame:
+    """Plain-text source: one row per line, single ``value`` string column —
+    the rawest ingest shape (log shipping, WET/WARC-extracted corpora).
+    Splittable by line; all structure is the caller's parse projection."""
+    return spark.read.text(path)
+
+
+def text_lines_roundtrip(spark: SparkSession, sf_dir: str,
+                         out_dir: str) -> DataFrame:
+    """Documents → tab-delimited text lines → parsed back: the line-ingest
+    path end-to-end. ``text`` is the LAST field and the split is bounded
+    (limit=5), so embedded delimiters in every earlier field would fail
+    loudly as cast errors rather than silently shifting columns; embedded
+    tabs/newlines in the payload are the format's real limitation — use
+    CSV-with-quoting (scan_csv) for payloads that need them."""
+    src = scan_table(spark, sf_dir, "documents")
+    lines = src.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id"), F.col("lang"), F.col("source"),
+            F.col("n_chars"), F.col("text"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out_dir)
+    p = F.split(F.col("value"), "\t", 5)
+    return scan_text(spark, out_dir).select(
+        p.getItem(0).cast("long").alias("doc_id"),
+        p.getItem(4).alias("text"),
+        p.getItem(1).alias("lang"),
+        p.getItem(2).alias("source"),
+        p.getItem(3).cast("long").alias("n_chars"),
+    )
+
+
 def roundtrip_table(spark: SparkSession, sf_dir: str, table: str, fmt: str,
                     out_dir: str) -> DataFrame:
     """Write a fixture table out as ``fmt`` ('csv' | 'json' | 'orc') and

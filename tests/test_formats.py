@@ -74,3 +74,13 @@ def test_merge_schema_unions_by_name(spark, documents, tmp_path):
     assert m.count() == 20
     assert m.filter("lang IS NULL").count() == 10
     assert m.filter("lang IS NOT NULL").count() == 10
+
+
+def test_text_lines_roundtrip_lossless(spark, documents, tmp_path):
+    from cassandra_ttl_remover_spark.sources.scan import text_lines_roundtrip
+
+    got = text_lines_roundtrip(spark, SF, str(tmp_path / "t"))
+    assert got.count() == documents.count()
+    a = documents.select("doc_id", "text", "lang", "source", "n_chars")
+    assert a.exceptAll(got.select(*a.columns)).count() == 0
+    assert got.select(*a.columns).exceptAll(a).count() == 0

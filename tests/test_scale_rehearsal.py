@@ -100,3 +100,51 @@ def test_sessionize_survives_hot_user(spark):
     ).first()
     assert agg.n == 20_000
     assert agg.mx == 19  # 20 sessions from 19 injected jumps
+
+
+def test_semdedup_single_cluster_worst_case(spark):
+    """Degenerate clustering (every vector in one cluster) is SemDeDup's
+    worst case — the pair join goes full quadratic within the cluster.
+    400 identical-label vectors must still complete and drop the exact
+    duplicates (keep-lowest-id), proving the predicate does the work even
+    when clustering gives no bound."""
+    import numpy as np
+
+    from cassandra_ttl_remover_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16).astype("float64")
+    rows = []
+    for i in range(400):
+        v = base[i % 8] + (rng.randn(16) * (0.0 if i < 16 else 0.5))
+        rows.append((i, [float(x) for x in v], 0))  # ONE label -> one cluster
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = semdedup(emb, threshold=0.999).collect()
+    assert len(out) == 400
+    kept = {r.vec_id for r in out if r.keep}
+    # the first 16 rows are 8 exact-duplicate pairs (i and i+8 share base
+    # with zero noise): the higher id of each pair must be dropped
+    for i in range(8, 16):
+        assert i not in kept, i
+    for i in range(8):
+        assert i in kept, i
+
+
+def test_pagerank_hub_graph_completes_exactly(spark):
+    """A 2000-leaf star (every leaf -> hub, hub -> leaf 0): the hub's row
+    carries the whole graph's contributions through one groupBy — rank
+    values stay exact integers."""
+    from cassandra_ttl_remover_spark.operators.graph import pagerank
+
+    n = 2000
+    edges = [(i, n) for i in range(n)] + [(n, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(e, iters=2).collect()}
+    # hub after iter1: 150000 + 85 * (n * 1M) div 100
+    hub1 = 150_000 + (85 * n * 1_000_000) // 100
+    assert got[0] == 150_000 + (85 * hub1) // 100
+    # hub after iter2: leaf 0 holds the hub's full initial 1M (received in
+    # iter1), the other n-1 leaves hold the 150000 base
+    assert got[n] == 150_000 + (85 * ((n - 1) * 150_000 + 1_000_000)) // 100
