@@ -351,6 +351,7 @@ _DRIVER_PRIORITY = [
     "q_n8d_ann_ivf_append",
     "q_st14_stream_sliding_window",
     "q_f5_text_lines_roundtrip",
+    "q_j3_shuffle_hash_join_rollup",
 ]
 
 
@@ -1172,6 +1173,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["q_j2_shuffle_join_rollup"] = q_j2
+
+    def q_j3(spark, sf):
+        # the THIRD join strategy: shuffle-HASH (hinted) — no sort on
+        # either side, builds a hash map from the smaller post-shuffle
+        # side; the right pick when one side is modest but over the
+        # broadcast threshold and sorting the big side would dominate
+        li = scan_table(spark, sf, "lineitem")
+        od = scan_table(spark, sf, "orders").hint("shuffle_hash")
+        return (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_lines"),
+                F.expr(
+                    "cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+                ).alias("sum_qty"),
+            )
+        )
+    q["q_j3_shuffle_hash_join_rollup"] = q_j3
 
     def q_aj(spark, sf):
         # as-of join: each event picks up the value of the user's latest
@@ -3159,6 +3179,13 @@ GROUP BY event_type ORDER BY event_type
         SELECT o_orderpriority,
                count(*)::BIGINT AS n_lines,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    o["q_j3_shuffle_hash_join_rollup"] = """
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
