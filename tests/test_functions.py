@@ -8,9 +8,14 @@ from cassandra_ttl_remover_spark.functions import weighted_mean_cents
 
 @pytest.fixture(scope="module")
 def lineitem(spark):
+    # unpersist on module teardown: Spark caches by logical plan, so a
+    # leaked cache would hijack every later scan_table("lineitem") and
+    # break the pushdown/pruning plan assertions in other modules
     from cassandra_ttl_remover_spark import scan_table
     from tests.conftest import SF_DIR
-    return scan_table(spark, SF_DIR, "lineitem").cache()
+    df = scan_table(spark, SF_DIR, "lineitem").cache()
+    yield df
+    df.unpersist()
 
 
 def test_weighted_mean_matches_sql_aggregate(spark, lineitem):
