@@ -352,6 +352,7 @@ _DRIVER_PRIORITY = [
     "q_st14_stream_sliding_window",
     "q_f5_text_lines_roundtrip",
     "q_j3_shuffle_hash_join_rollup",
+    "q_v5_gram_matrix",
 ]
 
 
@@ -1379,6 +1380,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = scan_table(spark, sf, "documents")
         return text.equidepth_histogram(docs, n_buckets=8)
     q["q_n41_equidepth_histogram"] = q_n41
+
+    def q_v5(spark, sf):
+        # the distributed half of PCA: the exact d x d Gram matrix as
+        # int64 sums — d(d+1)/2 keyed partials per task regardless of
+        # corpus size (map-side combine); a driver eigensolver takes over
+        # from here
+        emb = scan_table(spark, sf, "embeddings")
+        return similarity.gram_matrix(emb)
+    q["q_v5_gram_matrix"] = q_v5
 
     def _ann_invariant(spark, sf, approx_fn, min_recall):
         # ANN candidate sets are engine-hash-specific, so the row carries
@@ -3285,6 +3295,8 @@ GROUP BY event_type ORDER BY event_type
     o["q_n41_equidepth_histogram"] = text.equidepth_histogram_oracle_sql(
         n_buckets=8
     )
+
+    o["q_v5_gram_matrix"] = similarity.gram_matrix_oracle_sql()
 
     # full-probe query over the appended index == exact top-k INCLUDING the
     # query vector itself (ivf_query takes a raw vector, so id 0 ranks first

@@ -899,3 +899,54 @@ SELECT anchor, negative, dot,
 ) WHERE rank <= {k}
 ORDER BY anchor, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact Gram matrix (the distributed half of PCA / whitening)
+# ---------------------------------------------------------------------------
+
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """The exact d×d Gram matrix ``G = Σ_rows x xᵀ`` of the 1e-6-quantized
+    embedding column, upper triangle as rows ``(i, j, g)`` with 1-based
+    ``i <= j`` (G is symmetric; mirror for the full matrix). This is the
+    distributed half of PCA/whitening: G is all a driver-side eigensolver
+    needs, and its entries are exact int64 sums — reproducible to the bit,
+    unlike a float accumulation.
+
+    Scale: per-row work is d(d+1)/2 products generated by a single
+    higher-order-function projection (no self-join, no Python); the
+    shuffle moves only d(d+1)/2 keyed partial sums per task thanks to
+    map-side combine — for d=64 that is 2,080 longs per task regardless
+    of corpus size. Overflow headroom: |x_q| <= ~1e6·|x|, so entries grow
+    as n·(1e6·max|x|)² — at 1e12 rows of unit-norm vectors entries stay
+    under 1e25: switch the sum to decimal(38,0) past ~1e6 rows of
+    unnormalized data (same discipline as q_x16).
+    """
+    pairs = (
+        "flatten(transform({xq}, (xi, i) -> "
+        "transform(slice({xq}, i + 1, size({xq})), (xj, j) -> "
+        "struct(i + 1 as i, i + 1 + j as j, xi * xj as p))))"
+    )
+    return (
+        fan_out(emb, id_col)
+        .select(F.expr(QVEC_EXPR.format(v=vec_col)).alias("_xq"))
+        .select(F.explode(F.expr(pairs.format(xq="_xq"))).alias("e"))
+        .groupBy(F.col("e.i").cast("int").alias("i"),
+                 F.col("e.j").cast("int").alias("j"))
+        .agg(F.sum("e.p").alias("g"))
+    )
+
+
+def gram_matrix_oracle_sql(table: str = "embeddings") -> str:
+    return f"""
+WITH x AS (
+  SELECT list_transform(embedding, v -> round(v::DOUBLE * 1000000)::BIGINT) AS xq
+  FROM {table}
+)
+SELECT i::INT AS i, j::INT AS j, sum(xq[i] * xq[j])::BIGINT AS g
+FROM x, LATERAL (SELECT unnest(range(1, len(xq) + 1)) AS i) ri,
+       LATERAL (SELECT unnest(range(1, len(xq) + 1)) AS j) rj
+WHERE j >= i
+GROUP BY i, j ORDER BY i, j
+"""

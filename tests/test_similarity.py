@@ -234,3 +234,21 @@ def test_ivf_append_preserves_full_probe_exactness(spark, embeddings, tmp_path):
            if r.vec_id != 0][:10]
     want = _numpy_topk(embeddings.collect(), query_id=0, k=10)
     assert got == want
+
+
+def test_gram_matrix_matches_numpy(embeddings):
+    """Exact quantized Gram matrix equals numpy's integer X^T X (upper
+    triangle, 1-based)."""
+    from cassandra_ttl_remover_spark.operators.similarity import gram_matrix
+
+    X = np.stack([
+        np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64)
+        for r in embeddings.collect()
+    ])
+    G = X.T @ X
+    got = {(r.i, r.j): r.g for r in gram_matrix(embeddings).collect()}
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i + 1, j + 1)] == int(G[i, j]), (i, j)
