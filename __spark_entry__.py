@@ -353,6 +353,8 @@ _DRIVER_PRIORITY = [
     "q_f5_text_lines_roundtrip",
     "q_j3_shuffle_hash_join_rollup",
     "q_v5_gram_matrix",
+    "q_se5_transition_matrix",
+    "q_d5_referential_integrity",
 ]
 
 
@@ -1776,6 +1778,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).cast("long").alias("n_retained_next_week"),
         )
     q["q_se4_retention_cohorts"] = q_se4
+
+    def q_se5(spark, sf):
+        # first-order Markov transition counts of per-user journeys —
+        # the model a funnel is a special case of; same single exchange
+        # as sessionize, then a tiny |types|^2 rollup
+        from cassandra_ttl_remover_spark.operators.sessions import (
+            transition_matrix,
+        )
+
+        return transition_matrix(_events(spark, sf))
+    q["q_se5_transition_matrix"] = q_se5
+
+    def q_d5(spark, sf):
+        # referential-integrity audit: orphaned foreign keys via one
+        # LEFT ANTI pass over the child table
+        from cassandra_ttl_remover_spark.operators.audit import (
+            referential_integrity,
+        )
+
+        li = scan_table(spark, sf, "lineitem")
+        od = scan_table(spark, sf, "orders")
+        return referential_integrity(li, od, "l_orderkey", "o_orderkey")
+    q["q_d5_referential_integrity"] = q_d5
 
     def q_c1(spark, sf):
         # run compaction (the SSTable-compaction analog): base run + an
@@ -3401,6 +3426,15 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_se2_session_stats"] = _sessions.session_stats_oracle_sql(3600)
     o["q_se3_funnel"] = _sessions.funnel_oracle_sql(
         ["view", "click", "purchase"]
+    )
+    o["q_se5_transition_matrix"] = _sessions.transition_matrix_oracle_sql()
+
+    from cassandra_ttl_remover_spark.operators.audit import (
+        referential_integrity_oracle_sql,
+    )
+
+    o["q_d5_referential_integrity"] = referential_integrity_oracle_sql(
+        "lineitem", "orders", "l_orderkey", "o_orderkey"
     )
     o["q_se4_retention_cohorts"] = """
         WITH ev AS (

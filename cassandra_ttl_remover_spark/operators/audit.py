@@ -221,3 +221,37 @@ SELECT {group_col}, CAST(n AS BIGINT) AS n_rows,
 FROM q JOIN s USING ({group_col})
 GROUP BY {group_col}, n, sx ORDER BY {group_col}
 """
+
+
+def referential_integrity(child: DataFrame, parent: DataFrame,
+                          child_key: str, parent_key: str) -> DataFrame:
+    """Foreign-key audit: one row ``(n_child, n_orphans, ok)`` — how many
+    child rows reference a parent key that does not exist. The orphan scan
+    is a LEFT ANTI join (the probe side streams, the parent key set
+    builds/shuffles once; Catalyst broadcasts it when small), so the audit
+    costs one pass over the child at any scale — run it per ingest batch,
+    not per corpus."""
+    orphans = child.select(F.col(child_key).alias("_k")).join(
+        parent.select(F.col(parent_key).alias("_k")), "_k", "left_anti"
+    )
+    return (
+        child.agg(F.count("*").alias("n_child"))
+        .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+        .select(
+            "n_child", "n_orphans", (F.col("n_orphans") == 0).alias("ok")
+        )
+    )
+
+
+def referential_integrity_oracle_sql(child: str, parent: str,
+                                     child_key: str, parent_key: str) -> str:
+    return f"""
+SELECT (SELECT count(*) FROM {child})::BIGINT AS n_child,
+       (SELECT count(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{parent_key} = c.{child_key}))::BIGINT
+         AS n_orphans,
+       (SELECT count(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{parent_key} = c.{child_key})) = 0 AS ok
+"""

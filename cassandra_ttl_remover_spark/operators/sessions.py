@@ -181,3 +181,48 @@ SELECT {user_col}, count(*)::BIGINT AS n_events,
          LIKE '{pat}' ESCAPE '!' AS reached
 FROM {table} GROUP BY {user_col} ORDER BY {user_col}
 """
+
+
+def transition_matrix(events: DataFrame, *, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts of the per-user event
+    sequence: ``(prev_type, next_type, n)`` over consecutive events in
+    ``(ts_col, id_col)`` order — the journey model a funnel is a special
+    case of (its probabilities are one projection away: n / sum(n) over
+    prev_type).
+
+    Scale: same single exchange as sessionize — the lag window partitions
+    by user and sorts each user's history in one task (per-entity bound;
+    salting escape hatch applies to the same hot-user hazard) — then a
+    map-side-combinable count on a |types|² key space.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    return (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def transition_matrix_oracle_sql(*, table: str = "events",
+                                 user_col: str = "user_id",
+                                 ts_col: str = "ts",
+                                 type_col: str = "event_type",
+                                 id_col: str = "event_id") -> str:
+    return f"""
+WITH seq AS (
+  SELECT {user_col},
+         lag({type_col}) OVER (PARTITION BY {user_col}
+                               ORDER BY {ts_col}, {id_col}) AS prev_type,
+         {type_col} AS next_type
+  FROM {table}
+)
+SELECT prev_type, next_type, count(*)::BIGINT AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""

@@ -96,3 +96,14 @@ def test_group_outliers_exact_hand_case(spark):
     assert out["a"].n_rows == 10 and out["a"].n_outliers == 1
     assert out["b"].n_rows == 5 and out["b"].n_outliers == 0
     assert abs(out["a"].mean_q - 10.9e6) < 1e-6
+
+
+def test_referential_integrity_detects_orphans(spark):
+    from cassandra_ttl_remover_spark.operators.audit import referential_integrity
+
+    child = spark.createDataFrame([(1,), (2,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = referential_integrity(child, parent, "fk", "pk").first()
+    assert (row.n_child, row.n_orphans, row.ok) == (4, 1, False)
+    row2 = referential_integrity(child.filter("fk != 9"), parent, "fk", "pk").first()
+    assert (row2.n_child, row2.n_orphans, row2.ok) == (3, 0, True)

@@ -35,3 +35,20 @@ def test_session_stats_counts_and_span(spark, events):
     mx = s.groupBy("user_id").agg(F.max("session_seq").alias("m"),
                                   F.count_distinct("session_seq").alias("d"))
     assert mx.filter(F.col("d") != F.col("m") + 1).count() == 0
+
+
+def test_transition_matrix_counts(spark):
+    """Hand-built journeys: counts follow consecutive (ts, id) order."""
+    from cassandra_ttl_remover_spark.operators.sessions import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> a
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"),
+        (4, 2, 10, "a"), (5, 2, 20, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, _m long, event_type string"
+    ).withColumn("ts", F.expr("timestamp_micros(_m * 1000000)"))
+    got = {(r.prev_type, r.next_type): r.n
+           for r in transition_matrix(ev).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
