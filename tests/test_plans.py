@@ -221,3 +221,23 @@ def test_partitioned_write_prunes_at_directory_level(spark, events, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1)
+
+
+def test_round3_operator_exchange_budgets(spark, events, embeddings, documents):
+    """Shuffle budgets of the round-3 operators stay at their designed
+    counts — a regression here means an optimization boundary (broadcast,
+    checkpoint, fan_out) stopped applying."""
+    from cassandra_ttl_remover_spark.operators import curate, sessions, similarity
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    # seeded global shuffle: ONE exchange (the shard window), no global sort
+    assert exchange_count(curate.shuffle_deterministic(documents)) <= 1
+    # Markov transitions: lag window + rollup
+    assert exchange_count(sessions.transition_matrix(events)) <= 2
+    # Gram matrix: fan_out + one keyed aggregation (map-side combined)
+    assert exchange_count(similarity.gram_matrix(embeddings)) <= 2
+    # hard negatives: anchors broadcast; per-anchor window is the only
+    # exchange pair — corpus vectors never shuffle for scoring
+    assert exchange_count(
+        similarity.hard_negatives(embeddings, [0, 1], k=2)
+    ) <= 2
