@@ -355,6 +355,7 @@ _DRIVER_PRIORITY = [
     "q_v5_gram_matrix",
     "q_se5_transition_matrix",
     "q_d5_referential_integrity",
+    "q_j4_broadcast_nested_loop",
 ]
 
 
@@ -1195,6 +1196,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["q_j3_shuffle_hash_join_rollup"] = q_j3
+
+    def q_j4(spark, sf):
+        # the fourth strategy: broadcast NESTED-LOOP — the only plan for a
+        # pure inequality predicate (no equi-key to hash or bin on). Sane
+        # exactly when one side is tiny and broadcast; the binned
+        # range_join (q_rj) is the scale path when the predicate is an
+        # interval. Value bands derived from nation rows (deterministic).
+        ev = _events(spark, sf)
+        bands = (
+            scan_table(spark, sf, "nation")
+            .select(
+                F.col("n_nationkey").alias("band"),
+                (F.col("n_nationkey").cast("double") * 0.4).alias("lo"),
+                (F.col("n_nationkey").cast("double") * 0.4 + 0.4).alias("hi"),
+            )
+        )
+        return (
+            ev.join(
+                F.broadcast(bands),
+                (ev["value"] >= bands["lo"]) & (ev["value"] < bands["hi"]),
+            )
+            .groupBy("band")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+    q["q_j4_broadcast_nested_loop"] = q_j4
 
     def q_aj(spark, sf):
         # as-of join: each event picks up the value of the user's latest
@@ -3216,6 +3242,14 @@ GROUP BY event_type ORDER BY event_type
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    o["q_j4_broadcast_nested_loop"] = """
+        SELECT n.n_nationkey::BIGINT AS band, count(*)::BIGINT AS n
+        FROM events e
+        JOIN nation n
+          ON e.value >= n.n_nationkey * CAST(0.4 AS DOUBLE)
+         AND e.value < n.n_nationkey * CAST(0.4 AS DOUBLE) + CAST(0.4 AS DOUBLE)
+        GROUP BY band ORDER BY band"""
 
     o["q_j3_shuffle_hash_join_rollup"] = """
         SELECT o_orderpriority,

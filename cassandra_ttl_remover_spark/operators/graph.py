@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 
 def pagerank(edges: DataFrame, iters: int = 2, *,
              scale: int = 1_000_000, damping_num: int = 85,
-             damping_den: int = 100,
+             damping_den: int = 100, broadcast_nodes: int = 5_000_000,
              src: str = "src", dst: str = "dst") -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list. Returns
     ``(node, rank)`` — scaled-integer ranks after ``iters`` updates from a
@@ -40,19 +40,32 @@ def pagerank(edges: DataFrame, iters: int = 2, *,
     linearly with ``iters``; checkpoint beyond ~10 (fixed small counts are
     the intended use).
     """
-    e = edges.select(src, dst)
+    # Materialize the loop invariants ONCE: the edge frame feeds the node
+    # set (twice), the degree count, and every iteration's join — without
+    # the checkpoints each iteration re-executes the upstream
+    # distinct/union lineage, and the plan doubles per iteration.
+    e = edges.select(src, dst).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy(src).agg(F.count("*").alias("_d"))
     ed = e.join(outdeg, src).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     base = (damping_den - damping_num) * scale // damping_den
+    # Scale-adaptive join side: the ranks frame is |V| (node, long) rows —
+    # tiny next to |E|. Below ``broadcast_nodes`` it broadcasts, so the
+    # EDGE frame (the big side) never shuffles in any iteration; above it
+    # (billion-node graphs) fall back to the shuffled join, where the
+    # checkpointed ed at least re-reads local blocks. One cheap count()
+    # on the materialized node set decides.
+    bcast = nodes.count() <= broadcast_nodes
     for _ in range(iters):
+        r = F.broadcast(ranks) if bcast else ranks
         contribs = (
-            ed.join(ranks, ed[src] == ranks["node"])
+            ed.join(r, ed[src] == r["node"])
             .select(F.col(dst).alias("node"),
                     F.expr("rank div _d").alias("_c"))
             .groupBy("node")
@@ -67,6 +80,9 @@ def pagerank(edges: DataFrame, iters: int = 2, *,
                     f" div {damping_den} as long)"
                 ).alias("rank"),
             )
+            # lineage stays O(1) across iterations instead of nesting the
+            # whole previous plan under each new join
+            .localCheckpoint(eager=False)
         )
     return ranks
 
