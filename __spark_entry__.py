@@ -365,6 +365,7 @@ _DRIVER_PRIORITY = [
     "q_se5_transition_matrix",
     "q_d5_referential_integrity",
     "q_j4_broadcast_nested_loop",
+    "q_n42_bpe_segment",
 ]
 
 
@@ -1417,6 +1418,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = scan_table(spark, sf, "documents")
         return text.equidepth_histogram(docs, n_buckets=8)
     q["q_n41_equidepth_histogram"] = q_n41
+
+    def q_n42(spark, sf):
+        # inference-time BPE: fixed ordered merge table applied as a
+        # replace chain per word — JVM codegen, no shuffle; the training
+        # loop for the table is offline, applying it is the pipeline op
+        docs = scan_table(spark, sf, "documents")
+        return text.bpe_segment(docs)
+    q["q_n42_bpe_segment"] = q_n42
 
     def q_v5(spark, sf):
         # the distributed half of PCA: the exact d x d Gram matrix as
@@ -3365,6 +3374,8 @@ GROUP BY event_type ORDER BY event_type
     )
 
     o["q_v5_gram_matrix"] = similarity.gram_matrix_oracle_sql()
+
+    o["q_n42_bpe_segment"] = text.bpe_segment_oracle_sql()
 
     # full-probe query over the appended index == exact top-k INCLUDING the
     # query vector itself (ivf_query takes a raw vector, so id 0 ranks first

@@ -791,3 +791,66 @@ SELECT bucket, count(*)::BIGINT AS n,
        min({value_col}) AS lo, max({value_col}) AS hi
 FROM t GROUP BY bucket ORDER BY bucket
 """
+
+
+#: default mini merge table (most frequent English char bigrams) — a real
+#: vocabulary would be learned offline and passed in; the ALGORITHM is the
+#: thing the operator pins down.
+DEFAULT_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"),
+]
+
+
+def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Byte-pair-encoding segmentation with a FIXED, ordered merge table —
+    the deterministic half of a real tokenizer (training the merges is an
+    offline frequency loop; applying them is what a 100 TB pipeline runs
+    per document). Returns ``(id_col, n_words, n_subwords)``.
+
+    Algorithm, per word: split to space-separated characters, then apply
+    each merge rule in table order as a plain substring replace
+    (``'t h'`` -> ``'th'``), exactly the inference-time BPE procedure.
+    Implemented as a single per-row projection: a lambda over the word
+    array with a chain of ``replace`` calls — JVM codegen end to end, no
+    shuffle, no Python, and literally the same replace chain runs in the
+    DuckDB oracle.
+
+    Scale: O(len x merges) per row, map-side; the merge table is baked
+    into the expression (fine to a few thousand rules — beyond that,
+    switch to a pandas_udf with a trie, the documented Arrow boundary).
+    """
+    merges = DEFAULT_BPE_MERGES if merges is None else merges
+    ws = WORDS_EXPR.format(col=text_col)
+    seg = "trim(regexp_replace(w, '(.)', '$1 '))"
+    for a, b in merges:
+        pair = f"{a} {b}".replace("'", "\\'")
+        fused = f"{a}{b}".replace("'", "\\'")
+        seg = f"replace({seg}, '{pair}', '{fused}')"
+    expr = (
+        f"aggregate(transform({ws}, w -> size(split({seg}, ' '))), 0,"
+        f" (s, v) -> s + v)"
+    )
+    return fan_out(docs, id_col).select(
+        id_col,
+        F.expr(f"cast(size({ws}) as bigint)").alias("n_words"),
+        F.expr(f"cast({expr} as bigint)").alias("n_subwords"),
+    )
+
+
+def bpe_segment_oracle_sql(merges: list[tuple[str, str]] | None = None,
+                           table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    merges = DEFAULT_BPE_MERGES if merges is None else merges
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    seg = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for a, b in merges:
+        seg = f"replace({seg}, '{a} {b}', '{a}{b}')"
+    return f"""
+SELECT {id_col},
+       len({ws})::BIGINT AS n_words,
+       list_sum(list_transform({ws}, w -> len(string_split({seg}, ' '))))::BIGINT
+         AS n_subwords
+FROM {table} ORDER BY {id_col}
+"""

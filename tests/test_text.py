@@ -149,3 +149,26 @@ def test_equidepth_histogram_properties(spark, documents):
     assert all(r.n in (lo, hi) for r in rows)
     for prev, cur in zip(rows, rows[1:]):
         assert prev.lo <= prev.hi <= cur.lo <= cur.hi
+
+
+def test_bpe_segment_hand_example(spark):
+    """'the then in' with the default merges: 'the'->th+e->the (1 token),
+    'then'->the+n (2), 'in'->in (1)."""
+    from cassandra_ttl_remover_spark.operators.text import bpe_segment
+
+    df = spark.createDataFrame([(1, "the then in")], "doc_id long, text string")
+    row = bpe_segment(df).first()
+    assert row.n_words == 3
+    assert row.n_subwords == 1 + 2 + 1
+
+
+def test_bpe_merge_order_matters(spark):
+    """Applying ('t','h') before ('th','e') is what makes 'the' a single
+    token; without the first merge the second can never fire."""
+    from cassandra_ttl_remover_spark.operators.text import bpe_segment
+
+    df = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    only_second = bpe_segment(df, merges=[("th", "e")]).first()
+    assert only_second.n_subwords == 3  # 't h e' untouched
+    both = bpe_segment(df, merges=[("t", "h"), ("th", "e")]).first()
+    assert both.n_subwords == 1
