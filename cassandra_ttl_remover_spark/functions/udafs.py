@@ -25,8 +25,15 @@ def _weighted_mean_cents(price: pd.Series, qty: pd.Series) -> float:
     # call (grouped-agg pandas UDFs do no partial aggregation); the
     # quantization + int64 sums are vectorized and order-independent, so
     # the result is identical under any partitioning.
-    pc = (price * 100).round().astype("int64")
-    q = qty.round().astype("int64")
+    # round half AWAY FROM ZERO to match Spark's F.round and DuckDB's
+    # round() — pandas .round() is half-to-even (2.5 -> 2, not 3) and
+    # would silently diverge from the oracle on half-unit inputs
+    import numpy as np
+
+    pv = (price * 100).to_numpy(dtype="float64")
+    qv = qty.to_numpy(dtype="float64")
+    pc = (np.sign(pv) * np.floor(np.abs(pv) + 0.5)).astype("int64")
+    q = (np.sign(qv) * np.floor(np.abs(qv) + 0.5)).astype("int64")
     num = int((pc * q).sum())
     den = int(q.sum())
     return float(num) / den / 100.0 if den else float("nan")

@@ -78,22 +78,27 @@ def estimate_intersection(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     one-pass shape as q_a4's two-level merge); no exact distinct, no
     shuffle of raw keys beyond the sketch partials. At 100 TB this is the
     only affordable way to ask "how many users did both"."""
-    sa = a.select(F.col(key).alias("k")).agg(F.hll_sketch_agg("k").alias("sk"))
-    sb = b.select(F.col(key).alias("k")).agg(F.hll_sketch_agg("k").alias("sk"))
-    est = (
-        sa.unionByName(sb)
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
-            F.min(F.hll_sketch_estimate("sk")).alias("_e1"),
-            F.max(F.hll_sketch_estimate("sk")).alias("_e2"),
-        )
+    # An EMPTY side aggregates to a NULL sketch; coalescing its estimate
+    # to 0 (and skipping it in the union) keeps the identity honest —
+    # min/max over the raw estimates would silently drop the NULL row and
+    # report est_intersection ~ |B| for an empty A.
+    sa = a.select(F.col(key).alias("k")).agg(F.hll_sketch_agg("k").alias("ska"))
+    sb = b.select(F.col(key).alias("k")).agg(F.hll_sketch_agg("k").alias("skb"))
+    est = sa.crossJoin(sb).select(
+        F.coalesce(F.hll_sketch_estimate("ska"), F.lit(0)).alias("_ea"),
+        F.coalesce(F.hll_sketch_estimate("skb"), F.lit(0)).alias("_eb"),
+        F.coalesce(
+            F.hll_sketch_estimate(
+                F.when(F.col("ska").isNull(), F.col("skb"))
+                .when(F.col("skb").isNull(), F.col("ska"))
+                .otherwise(F.hll_union("ska", "skb"))
+            ),
+            F.lit(0),
+        ).alias("est_union"),
     )
-    # min/max over the two per-source estimates recovers both without a
-    # second pass; naming them a/b by construction order is not possible
-    # after the union, so expose them order-free
     return est.select(
-        F.col("_e1").alias("est_small"),
-        F.col("_e2").alias("est_large"),
+        F.least("_ea", "_eb").alias("est_small"),
+        F.greatest("_ea", "_eb").alias("est_large"),
         "est_union",
-        (F.col("_e1") + F.col("_e2") - F.col("est_union")).alias("est_intersection"),
+        (F.col("_ea") + F.col("_eb") - F.col("est_union")).alias("est_intersection"),
     )

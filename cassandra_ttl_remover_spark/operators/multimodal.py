@@ -406,7 +406,10 @@ def documents_as_wav(docs: DataFrame, text_col: str = "text",
                             "height": None,
                             "n_frames": None,
                             "sample_rate": sample_rate,
-                            "duration_ms": len(p_bytes) * 1000 // (2 * sample_rate),
+                            # one input BYTE becomes one 16-bit sample
+                            # (_text_to_wav_bytes), so sample count is the
+                            # byte count — not bytes/2 as raw PCM would be
+                            "duration_ms": len(p_bytes) * 1000 // sample_rate,
                         }
                         for p_bytes in (t.encode("utf-8") for t in pdf[text_col])
                     ],

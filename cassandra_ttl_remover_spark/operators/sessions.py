@@ -103,16 +103,24 @@ ORDER BY {user_col}, session_seq
 """
 
 
+#: token delimiter for funnel matching: the ASCII unit separator — a
+#: control character no sane event-type vocabulary contains, so neither
+#: step names nor DATA values can forge a token boundary (a ',' delimiter
+#: was forgeable by any event type containing a comma).
+FUNNEL_DELIM = "\x1f"
+
+
 def _funnel_like_pattern(steps: list[str]) -> str:
     """LIKE pattern for an ordered-funnel subsequence test over a
-    per-token-delimited sequence (each event type wrapped ',type,').
+    per-token-delimited sequence (each event type wrapped <US>type<US>).
     LIKE metacharacters ('%', '_') inside step names are escaped with '!'
     (both Spark and DuckDB accept ``LIKE ... ESCAPE '!'``)."""
     esc = [
         s.replace("!", "!!").replace("%", "!%").replace("_", "!_")
         for s in steps
     ]
-    return "%" + "%".join(f",{s}," for s in esc) + "%"
+    d = FUNNEL_DELIM
+    return "%" + "%".join(f"{d}{s}{d}" for s in esc) + "%"
 
 
 def funnel_flags(events: DataFrame, steps: list[str], *,
@@ -143,9 +151,9 @@ def funnel_flags(events: DataFrame, steps: list[str], *,
     sessionize, with the same salt-by-time-bucket escape hatch if a single
     entity outgrows a task."""
     for s in steps:
-        if "," in s:
+        if FUNNEL_DELIM in s:
             raise ValueError(
-                f"step {s!r} contains the token delimiter ','; "
+                f"step {s!r} contains the token delimiter U+001F; "
                 "matching would be ambiguous"
             )
     us = _US.format(c=ts_col)
@@ -154,9 +162,15 @@ def funnel_flags(events: DataFrame, steps: list[str], *,
         f"{us} as t, {id_col} as i, {type_col} as y))), s -> s.y)"
     )
     seq = f"array_join({sorted_types}, ',')"
-    # each token delimited on BOTH sides (',view,,click,'), so the LIKE
-    # pattern's ',step,' fragments match whole tokens only
-    wrapped = f"array_join(transform({sorted_types}, y -> concat(',', y, ',')), '')"
+    # each token delimited on BOTH sides with the unit separator, so the
+    # LIKE pattern's <US>step<US> fragments match whole tokens only and no
+    # data value can forge a boundary (the display `sequence` stays
+    # comma-joined for readability — it is not the matching surface)
+    d = FUNNEL_DELIM
+    wrapped = (
+        f"array_join(transform({sorted_types},"
+        f" y -> concat('{d}', y, '{d}')), '')"
+    )
     pat = _funnel_like_pattern(steps).replace("'", "''")
     return (
         events.groupBy(user_col)
@@ -173,11 +187,12 @@ def funnel_oracle_sql(steps: list[str], *, table: str = "events",
                       id_col: str = "event_id",
                       type_col: str = "event_type") -> str:
     # identical delimited-token + ESCAPE semantics to funnel_flags
+    d = FUNNEL_DELIM
     pat = _funnel_like_pattern(steps).replace("'", "''")
     return f"""
 SELECT {user_col}, count(*)::BIGINT AS n_events,
        string_agg({type_col}, ',' ORDER BY {ts_col}, {id_col}) AS sequence,
-       string_agg(',' || {type_col} || ',', '' ORDER BY {ts_col}, {id_col})
+       string_agg('{d}' || {type_col} || '{d}', '' ORDER BY {ts_col}, {id_col})
          LIKE '{pat}' ESCAPE '!' AS reached
 FROM {table} GROUP BY {user_col} ORDER BY {user_col}
 """

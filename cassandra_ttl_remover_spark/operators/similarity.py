@@ -212,6 +212,21 @@ _L2_EXPR = (
 )
 
 
+def _assign_cells(emb: DataFrame, cent_df, vec_col: str,
+                  id_col: str) -> DataFrame:
+    """Shared IVF assignment rule (argmin L2 against the broadcast
+    centroid table) — index builds and incremental appends MUST use the
+    same rule or probed queries miss appended vectors."""
+    scored = fan_out(emb, id_col).join(F.broadcast(cent_df)).withColumn(
+        "_d2", F.expr(_L2_EXPR.format(a=vec_col, b="cvec"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min_by("cell", "_d2").alias("cell"))
+        .join(emb, id_col)
+    )
+
+
 def ivf_index(emb: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
               id_col: str = "vec_id") -> tuple[list, DataFrame]:
     """IVF coarse quantizer: centroids are the vectors of the ``n_cells``
@@ -235,15 +250,7 @@ def ivf_index(emb: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
     cent_df = spark.createDataFrame(
         centroids, f"cell int, cvec {emb.schema[vec_col].dataType.simpleString()}"
     )
-    scored = fan_out(emb, id_col).join(F.broadcast(cent_df)).withColumn(
-        "_d2", F.expr(_L2_EXPR.format(a=vec_col, b="cvec"))
-    )
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(F.min_by("cell", "_d2").alias("cell"))
-        .join(emb, id_col)
-    )
-    return centroids, assigned
+    return centroids, _assign_cells(emb, cent_df, vec_col, id_col)
 
 
 def ivf_topk(emb: DataFrame, query_id, k: int = 10, n_cells: int = 16,
@@ -310,15 +317,8 @@ def ivf_append(spark, path: str, new_emb: DataFrame,
     one groupBy on the batch's ids); a 100 TB index absorbs a daily batch
     at the cost of the batch, not the corpus."""
     cent_df = spark.read.parquet(f"{path}/_centroids")
-    scored = fan_out(new_emb, id_col).join(F.broadcast(cent_df)).withColumn(
-        "_d2", F.expr(_L2_EXPR.format(a=vec_col, b="cvec"))
-    )
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(F.min_by("cell", "_d2").alias("cell"))
-        .join(new_emb, id_col)
-    )
-    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    _assign_cells(new_emb, cent_df, vec_col, id_col) \
+        .write.mode("append").partitionBy("cell").parquet(path)
 
 
 def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
@@ -918,10 +918,11 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding",
     higher-order-function projection (no self-join, no Python); the
     shuffle moves only d(d+1)/2 keyed partial sums per task thanks to
     map-side combine — for d=64 that is 2,080 longs per task regardless
-    of corpus size. Overflow headroom: |x_q| <= ~1e6·|x|, so entries grow
-    as n·(1e6·max|x|)² — at 1e12 rows of unit-norm vectors entries stay
-    under 1e25: switch the sum to decimal(38,0) past ~1e6 rows of
-    unnormalized data (same discipline as q_x16).
+    of corpus size. Overflow: entries grow as n·(1e6·max|x|)² and must
+    stay under 2^63 ≈ 9.2e18 — for unit-norm d=64 vectors (per-row
+    products ~1.6e10) that holds to ~5e8 rows; beyond that, or for
+    unnormalized data, cast the product to decimal(38,0) before the sum
+    (same discipline as q_x16).
     """
     pairs = (
         "flatten(transform({xq}, (xi, i) -> "

@@ -297,12 +297,30 @@ def text_lines_roundtrip(spark: SparkSession, sf_dir: str,
     tabs/newlines in the payload are the format's real limitation — use
     CSV-with-quoting (scan_csv) for payloads that need them."""
     src = scan_table(spark, sf_dir, "documents")
+    # concat_ws SKIPS nulls (it does not emit an empty field), which would
+    # silently shift every later column on parse — so a NULL in any
+    # serialized field fails the write loudly instead
+    not_null = " AND ".join(
+        f"{c} IS NOT NULL" for c in ("doc_id", "lang", "source", "n_chars", "text")
+    )
     lines = src.select(
-        F.concat_ws(
-            "\t",
-            F.col("doc_id"), F.col("lang"), F.col("source"),
-            F.col("n_chars"), F.col("text"),
-        ).alias("value")
+        F.when(
+            F.expr(not_null),
+            F.concat_ws(
+                "\t",
+                F.col("doc_id"), F.col("lang"), F.col("source"),
+                F.col("n_chars"), F.col("text"),
+            ),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("text_lines_roundtrip: NULL field in doc_id="),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+        .alias("value")
     )
     lines.write.mode("overwrite").text(out_dir)
     p = F.split(F.col("value"), "\t", 5)

@@ -42,3 +42,15 @@ def test_estimate_intersection_inclusion_exclusion(spark, events):
     union = a.select("user_id").union(b.select("user_id")).distinct().count()
     assert abs(row.est_intersection - exact) <= 0.15 * union + 5
     assert row.est_union >= max(row.est_small, row.est_large) * 0.9
+
+
+def test_estimate_intersection_empty_side_is_zero(spark, events):
+    """An empty side must yield est_intersection ~ 0, not ~ |other|."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.counts import estimate_intersection
+
+    row = estimate_intersection(events.filter(F.lit(False)), events, "user_id").first()
+    assert row.est_small == 0
+    assert row.est_intersection == 0
+    assert row.est_union == row.est_large

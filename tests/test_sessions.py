@@ -52,3 +52,16 @@ def test_transition_matrix_counts(spark):
     got = {(r.prev_type, r.next_type): r.n
            for r in transition_matrix(ev).collect()}
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
+
+
+def test_funnel_comma_in_data_cannot_forge_tokens(spark):
+    """An event-type value containing commas must not create spurious
+    token boundaries: 'a,view' then 'b,click' is NOT view->click."""
+    from cassandra_ttl_remover_spark.operators.sessions import funnel_flags
+
+    rows = [(1, 1, 10, "a,view"), (2, 1, 20, "b,click")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, _m long, event_type string"
+    ).withColumn("ts", F.expr("timestamp_micros(_m * 1000000)"))
+    got = funnel_flags(ev, ["view", "click"]).first()
+    assert got.reached is False
