@@ -366,6 +366,7 @@ _DRIVER_PRIORITY = [
     "q_d5_referential_integrity",
     "q_j4_broadcast_nested_loop",
     "q_n42_bpe_segment",
+    "q_mm7_pgm_decode",
 ]
 
 
@@ -2164,6 +2165,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wav_decode_features(media)
     q["q_mm6_wav_decode"] = q_mm6
 
+    def q_mm7(spark, sf):
+        # REAL image decode end-to-end: documents -> genuine P5 PGM bytes
+        # (header + raw raster, no native codec needed) -> strict parser
+        # recovers dimensions + exact pixel statistics; the oracle
+        # recomputes every number from the source text. With q_mm6 this
+        # makes two modalities' decoders real; JPEG/MP4 stay stubbed.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_pgm,
+            pgm_decode_features,
+        )
+
+        media = documents_as_pgm(scan_table(spark, sf, "documents"), width=32)
+        return pgm_decode_features(media)
+    q["q_mm7_pgm_decode"] = q_mm7
+
     def q_d1(spark, sf):
         # snapshot diff: vs the base run, every 7th event removed, every
         # 5th surviving value bumped, a shifted copy added — one full-outer
@@ -2852,6 +2868,8 @@ FROM events GROUP BY event_type ORDER BY event_type
         ORDER BY doc_id"""
 
     o["q_mm6_wav_decode"] = multimodal.wav_decode_oracle_sql()
+
+    o["q_mm7_pgm_decode"] = multimodal.pgm_decode_oracle_sql(width=32)
 
     o["q_st11_stream_interval_join"] = """
         SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

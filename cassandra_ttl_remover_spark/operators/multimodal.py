@@ -113,10 +113,17 @@ def decode_stub(payload: bytes, meta: dict, *, fake: bool = False) -> list[float
                 float(sr), float(nch), float(sw), float(n), float(dur),
                 float(ssq % (1 << 32)), float(ssq >> 32), float(peak),
             ]
+        if payload[:2] == b"P5":
+            w, h, n, s_px, mx = _parse_pgm(payload)
+            return [
+                float(w), float(h), 1.0, float(n), 0.0,
+                float(s_px % (1 << 32)), float(s_px >> 32), float(mx),
+            ]
         raise NotImplementedError(
-            "only RIFF/WAVE payloads decode natively (stdlib wave); other "
-            "formats require image/video libraries not present in this "
-            "environment — pass fake=True for the deterministic test path"
+            "only RIFF/WAVE (stdlib wave) and P5 PGM payloads decode "
+            "natively; other formats require image/video libraries not "
+            "present in this environment — pass fake=True for the "
+            "deterministic test path"
         )
     hist = [0] * 8
     for b in payload:
@@ -523,3 +530,131 @@ def patch_grid_plan(media: DataFrame, patch: int = 16) -> DataFrame:
             (F.col("py") * patch).cast("int").alias("y0"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Real IMAGE decode: P5 (binary PGM) — header + raw pixels, pure Python
+# ---------------------------------------------------------------------------
+
+def _text_to_pgm_bytes(data: bytes, width: int) -> bytes:
+    """Deterministic real PGM (P5) encoder: one input byte per 8-bit gray
+    pixel, row-major at ``width`` pixels per row, final row zero-padded —
+    a genuine image container (header + raw raster) that needs no native
+    codec, the image analog of _text_to_wav_bytes."""
+    import math
+
+    h = max(1, math.ceil(len(data) / width))
+    px = data + b"\x00" * (width * h - len(data))
+    return f"P5\n{width} {h}\n255\n".encode("ascii") + px
+
+
+def documents_as_pgm(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", width: int = 32) -> DataFrame:
+    """Media frame whose payloads are REAL PGM images synthesized from the
+    documents fixture — real header, real raster, decodable end-to-end
+    (unlike the JPEG/MP4 stub boundary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [_text_to_pgm_bytes(t, width) for t in texts],
+                    "meta": [
+                        {
+                            "kind": "image",
+                            "mime": "image/x-portable-graymap",
+                            "width": width,
+                            "height": max(1, math.ceil(len(t) / width)),
+                            "n_frames": 1,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                        }
+                        for t in texts
+                    ],
+                }
+            )
+
+    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def _parse_pgm(b: bytes) -> tuple:
+    """Strict P5 parser: magic, dimensions, maxval from the header; exact
+    integer pixel statistics from the raster. Raises on malformed input
+    rather than guessing (corrupt media should hit the quarantine policy,
+    not produce silent numbers)."""
+    if not b.startswith(b"P5"):
+        raise ValueError("not a P5 PGM payload")
+    parts = b.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PGM header")
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    px = parts[3]
+    if maxval != 255 or len(px) != w * h:
+        raise ValueError("unsupported or truncated PGM raster")
+    return w, h, w * h, sum(px), max(px) if px else 0
+
+
+PGM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_px", T.LongType()),
+        T.StructField("max_px", T.IntegerType()),
+    ]
+)
+
+
+def pgm_decode_features(media: DataFrame) -> DataFrame:
+    """REAL end-to-end image decode over PGM payloads: dimensions from the
+    parsed header, exact integer pixel sum/max from the raster. Same
+    reduce-at-the-source shape as wav_decode_features: blobs decode where
+    they sit, a few scalars per blob come back."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_parse_pgm(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_pixels": [f[2] for f in feats],
+                    "sum_px": [f[3] for f in feats],
+                    "max_px": [f[4] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PGM_FEATURES_SCHEMA
+    )
+
+
+def pgm_decode_oracle_sql(width: int = 32, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """Recomputes every decoded statistic from the source text: one byte
+    per pixel, zero padding to the row boundary (padding affects n_pixels
+    only — zeros change neither sum nor the max of non-empty ASCII)."""
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS media_id, text AS t, length(text)::BIGINT AS n
+  FROM {table}
+)
+SELECT media_id,
+       {width}::INT AS width,
+       greatest(1, (n + {width} - 1) // {width})::INT AS height,
+       ({width} * greatest(1, (n + {width} - 1) // {width}))::BIGINT AS n_pixels,
+       coalesce(list_aggregate(list_transform(range(1, (n + 1)::INT),
+                  i -> ascii(t[i])::BIGINT), 'sum'), 0)::BIGINT AS sum_px,
+       coalesce(list_aggregate(list_transform(range(1, (n + 1)::INT),
+                  i -> ascii(t[i])), 'max'), 0)::INT AS max_px
+FROM c ORDER BY media_id
+"""

@@ -183,3 +183,48 @@ def test_patch_grid_plan_tiles_and_edges(spark):
         (1, 0, 0, 0, 0), (1, 0, 1, 0, 16), (1, 1, 0, 16, 0), (1, 1, 1, 16, 16),
         (3, 0, 0, 0, 0),
     }
+
+
+def test_pgm_roundtrip_exact(spark):
+    """P5 encode -> strict parse recovers dimensions and exact pixel
+    stats; padding affects n_pixels only."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_pgm,
+        _text_to_pgm_bytes,
+    )
+
+    data = b"hello world"
+    b = _text_to_pgm_bytes(data, width=4)
+    w, h, n, s, mx = _parse_pgm(b)
+    assert (w, h, n) == (4, 3, 12)
+    assert s == sum(data)
+    assert mx == max(data)
+    # empty payload: one zero row
+    w, h, n, s, mx = _parse_pgm(_text_to_pgm_bytes(b"", width=4))
+    assert (w, h, n, s, mx) == (4, 1, 4, 0, 0)
+
+
+def test_pgm_parser_rejects_corrupt(spark):
+    import pytest as _pytest
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_pgm,
+        _text_to_pgm_bytes,
+    )
+
+    good = _text_to_pgm_bytes(b"abc", width=2)
+    with _pytest.raises(ValueError):
+        _parse_pgm(good[:-1])  # truncated raster
+    with _pytest.raises(ValueError):
+        _parse_pgm(b"P6" + good[2:])  # wrong magic
+
+
+def test_decode_stub_real_pgm_branch(spark):
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _text_to_pgm_bytes,
+        decode_stub,
+    )
+
+    feats = decode_stub(_text_to_pgm_bytes(b"abc", 2), {}, fake=False)
+    assert feats[:4] == [2.0, 2.0, 1.0, 4.0]
+    assert feats[5] == float(sum(b"abc"))
