@@ -811,11 +811,20 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
 
     Algorithm, per word: split to space-separated characters, then apply
     each merge rule in table order as a plain substring replace
-    (``'t h'`` -> ``'th'``), exactly the inference-time BPE procedure.
-    Implemented as a single per-row projection: a lambda over the word
-    array with a chain of ``replace`` calls — JVM codegen end to end, no
-    shuffle, no Python, and literally the same replace chain runs in the
-    DuckDB oracle.
+    (``'t h'`` -> ``'th'``). Implemented as a single per-row projection:
+    a lambda over the word array with a chain of ``replace`` calls — JVM
+    codegen end to end, no shuffle, no Python, and literally the same
+    replace chain runs in the DuckDB oracle.
+
+    Semantics caveat (deliberate): the un-delimited replace is a GREEDY
+    left-to-right pair fusion — on adversarial tables where one merge's
+    output ends with another merge's left element (e.g. ``a|t`` applied
+    after ``t|h`` on ``'a t h'``) it can fuse a token SUFFIX with its
+    neighbor, which strict whole-token BPE would not. Identical in both
+    engines (so oracle-exact) and identical to what a chain of
+    sed/replace passes — the common quick-and-dirty production shape —
+    computes; for strict HF-style BPE, implement the pair-scan loop at
+    the Arrow boundary instead.
 
     Scale: O(len x merges) per row, map-side; the merge table is baked
     into the expression (fine to a few thousand rules — beyond that,

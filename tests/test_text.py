@@ -172,3 +172,33 @@ def test_bpe_merge_order_matters(spark):
     assert only_second.n_subwords == 3  # 't h e' untouched
     both = bpe_segment(df, merges=[("t", "h"), ("th", "e")]).first()
     assert both.n_subwords == 1
+
+
+def test_bpe_segment_matches_python_reference(spark):
+    """Property check vs a direct Python BPE implementation on adversarial
+    word shapes (repeats, overlapping merge targets, single chars)."""
+    from cassandra_ttl_remover_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_segment,
+    )
+
+    def py_bpe(word):
+        toks = list(word)
+        for a, b in DEFAULT_BPE_MERGES:
+            s = " ".join(toks).replace(f"{a} {b}", f"{a}{b}")
+            toks = s.split(" ")
+        return len(toks)
+
+    texts = [
+        "ththth the thethe",
+        "in inn nin i n",
+        "aaaa attth erer",
+        "x the-end on,at",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_subwords) for r in bpe_segment(df).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        want = (len(words), sum(py_bpe(w) for w in words))
+        assert got[i] == want, (t, got[i], want)
