@@ -367,6 +367,7 @@ _DRIVER_PRIORITY = [
     "q_j4_broadcast_nested_loop",
     "q_n42_bpe_segment",
     "q_mm7_pgm_decode",
+    "q_w5_time_travel",
 ]
 
 
@@ -846,6 +847,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
         )
     q["q_w4_bucketed_colocated_join"] = q_w4
+
+    def q_w5(spark, sf):
+        # TIME TRAVEL over a versioned table: two batch commits (vNNNN
+        # dirs + atomic LATEST pointer — the same layout the streaming LWW
+        # sink maintains), then both versions read back and compared. A
+        # reader holding v0 keeps a consistent table while LATEST moves.
+        import shutil
+        import tempfile
+
+        from cassandra_ttl_remover_spark.sinks.writer import write_table_version
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            read_table_version,
+        )
+
+        tdir = os.path.join(
+            tempfile.gettempdir(), f"ctrs_w5_{os.path.basename(sf.rstrip('/'))}"
+        )
+        shutil.rmtree(tdir, ignore_errors=True)
+        ev = scan_table(spark, sf, "events").select("event_id", "user_id", "value")
+        write_table_version(ev, tdir)
+        write_table_version(
+            ev.filter(F.col("event_id") % 3 != 0)
+            .withColumn("value", F.col("value") * 2),
+            tdir,
+        )
+        old = read_table_version(spark, tdir, "v0000000000") \
+            .withColumn("version", F.lit("v0"))
+        new = read_table_version(spark, tdir).withColumn("version", F.lit("latest"))
+        return old.unionByName(new).groupBy("version").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    q["q_w5_time_travel"] = q_w5
 
     def q_p2(spark, sf):
         # grouping-set breadth: CUBE over return flag x line status
@@ -3122,6 +3156,16 @@ FROM events GROUP BY event_type ORDER BY event_type
         SELECT event_id, user_id, writetime,
                CAST(NULL AS BIGINT) AS ttl, CAST(NULL AS BIGINT) AS expires_at
         FROM a ORDER BY event_id"""
+
+    o["q_w5_time_travel"] = """
+        SELECT 'v0' AS version, count(*)::BIGINT AS n,
+               sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        FROM events
+        UNION ALL
+        SELECT 'latest', count(*)::BIGINT,
+               sum(round(value * 2 * 100)::BIGINT)::BIGINT
+        FROM events WHERE event_id % 3 <> 0
+        ORDER BY version"""
 
     o["q_w4_bucketed_colocated_join"] = """
         SELECT o_orderpriority,

@@ -212,3 +212,39 @@ def write_zordered(df: DataFrame, out: str, c1: str, c2: str, *,
         .write.mode("overwrite")
         .parquet(out)
     )
+
+
+def write_table_version(df: DataFrame, table_dir: str, *,
+                        version_keep: int = 0) -> str:
+    """Batch commit of a NEW version of a versioned table — the same
+    layout the streaming LWW sink maintains (``vNNNN`` directories + an
+    atomically-swapped ``LATEST`` pointer, streaming/ttl_stream.py), so
+    batch jobs and streaming upserts can share one table lifecycle and
+    :func:`~cassandra_ttl_remover_spark.streaming.ttl_stream.read_table_version`
+    time-travels over both. Returns the committed version name.
+
+    Readers never observe a half-written table: the data lands fully in
+    the new version directory before the pointer swap (os.replace is
+    atomic on POSIX). ``version_keep=0`` retains every version (time
+    travel unbounded); N keeps the newest N.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    base = Path(table_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    ptr = base / "LATEST"
+    cur = ptr.read_text().strip() if ptr.exists() else None
+    nxt = (int(cur[1:]) + 1) if cur else 0
+    vname = f"v{nxt:010d}"
+    df.write.mode("overwrite").parquet(str(base / vname))
+    tmp = base / "LATEST.tmp"
+    tmp.write_text(vname)
+    os.replace(tmp, ptr)
+    if version_keep:
+        versions = sorted(p.name for p in base.iterdir()
+                          if p.is_dir() and p.name.startswith("v"))
+        for old in versions[:-version_keep]:
+            shutil.rmtree(base / old, ignore_errors=True)
+    return vname

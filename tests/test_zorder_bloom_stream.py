@@ -124,3 +124,27 @@ def test_stream_dedup_against_corpus(spark):
     )
     assert got.count() == batch.count()
     assert got.select("doc_id").exceptAll(batch.select("doc_id")).count() == 0
+
+
+def test_write_table_version_batch_commits_and_travel(spark, tmp_path):
+    """Batch commits share the streaming sink's layout: sequential vNNNN
+    names, atomic pointer, old versions readable, keep-N pruning."""
+    from cassandra_ttl_remover_spark.sinks.writer import write_table_version
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        read_table_version,
+    )
+
+    d = str(tmp_path / "t")
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    df2 = spark.range(5).withColumnRenamed("id", "k")
+    assert write_table_version(df1, d) == "v0000000000"
+    assert write_table_version(df2, d) == "v0000000001"
+    assert read_table_version(spark, d).count() == 5
+    assert read_table_version(spark, d, "v0000000000").count() == 10
+    # keep-1 prunes v0 and v1 after a third commit
+    write_table_version(df1, d, version_keep=1)
+    import pathlib
+    vs = sorted(p.name for p in pathlib.Path(d).iterdir()
+                if p.is_dir() and p.name.startswith("v"))
+    assert vs == ["v0000000002"]
+    assert read_table_version(spark, d).count() == 10
