@@ -306,8 +306,11 @@ def test_funnel_flags_subsequence_semantics(spark):
     out = {r.user_id: r.reached
            for r in funnel_flags(ev, ["view", "click", "purchase"]).collect()}
     assert out == {1: True, 2: False, 3: False}
+    # commas in step names are LEGAL since the match delimiter moved to
+    # the unit separator; only a step containing U+001F itself is rejected
+    assert funnel_flags(ev, ["view", "a,b"]).count() == 3
     with _pytest.raises(ValueError, match="delimiter"):
-        funnel_flags(ev, ["view", "a,b"])
+        funnel_flags(ev, ["view", "a\x1fb"])
 
 
 def test_funnel_flags_whole_token_matching(spark):
