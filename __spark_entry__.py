@@ -368,6 +368,7 @@ _DRIVER_PRIORITY = [
     "q_n42_bpe_segment",
     "q_mm7_pgm_decode",
     "q_w5_time_travel",
+    "q_a7_range_distinct",
 ]
 
 
@@ -644,6 +645,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("within_tol"),
         )
     q["q_a4_sketch_union_distinct"] = q_a4
+
+    def q_a7(spark, sf):
+        # A2's per-range variant (estimatedKeysForRanges,
+        # NoTTLReader.java:1289-1299): range-filter FIRST — the predicate
+        # pushes to the parquet scan — then the HLL estimate; exact side
+        # hash-checks, the ±5% invariant can genuinely flip
+        from cassandra_ttl_remover_spark.operators import counts
+
+        ev = _events(spark, sf)
+        approx = counts.approximate_keys_for_range(ev, "user_id", 25, 99)
+        exact = (
+            ev.filter(F.col("user_id").between(25, 99))
+            .agg(F.countDistinct("user_id").alias("exact"))
+        )
+        return exact.select(
+            F.col("exact").cast("long").alias("n_exact"),
+            (F.abs(F.lit(approx) - F.col("exact")) <= 0.05 * F.col("exact"))
+            .alias("within_tol"),
+        )
+    q["q_a7_range_distinct"] = q_a7
 
     def q_a6(spark, sf):
         # sketch INTERSECTION by inclusion-exclusion (sketches union
@@ -3093,6 +3114,10 @@ FROM events GROUP BY event_type ORDER BY event_type
         "SELECT count(DISTINCT user_id)::BIGINT AS n_exact,"
         " TRUE AS within_tol FROM events"
     )
+
+    o["q_a7_range_distinct"] = """
+        SELECT count(DISTINCT user_id)::BIGINT AS n_exact, TRUE AS within_tol
+        FROM events WHERE user_id BETWEEN 25 AND 99"""
 
     o["q_a6_sketch_intersection"] = """
         SELECT count(*)::BIGINT AS n_exact, TRUE AS within_tol FROM (

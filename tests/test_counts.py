@@ -54,3 +54,18 @@ def test_estimate_intersection_empty_side_is_zero(spark, events):
     assert row.est_small == 0
     assert row.est_intersection == 0
     assert row.est_union == row.est_large
+
+
+def test_approximate_keys_for_range(spark, events):
+    """Per-range HLL: estimate within rsd of the exact distinct; predicate
+    pushes to the scan (filter-then-estimate)."""
+    from cassandra_ttl_remover_spark.operators.counts import (
+        approximate_keys_for_range,
+    )
+
+    approx = approximate_keys_for_range(events, "user_id", 5, 20)
+    exact = (
+        events.filter("user_id BETWEEN 5 AND 20")
+        .select("user_id").distinct().count()
+    )
+    assert abs(approx - exact) <= max(2, 0.05 * exact)
