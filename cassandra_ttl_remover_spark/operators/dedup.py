@@ -105,6 +105,9 @@ def shingle_pair_counts(docs: DataFrame, text_col: str = "text",
             .select("sh")
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    # NB: no checkpoint here — the two size-join branches (sa/sb) hit the
+    # same aggregation and Spark's ReusedExchange already dedupes it; a
+    # materialization boundary measured neutral-to-slower at sf0.1
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     members = (
         sh.groupBy("sh")
