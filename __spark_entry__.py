@@ -369,6 +369,7 @@ _DRIVER_PRIORITY = [
     "q_mm7_pgm_decode",
     "q_w5_time_travel",
     "q_a7_range_distinct",
+    "q_d6_distribution_drift",
 ]
 
 
@@ -1901,6 +1902,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         od = scan_table(spark, sf, "orders")
         return referential_integrity(li, od, "l_orderkey", "o_orderkey")
     q["q_d5_referential_integrity"] = q_d5
+
+    def q_d6(spark, sf):
+        # distribution-drift alarm: event-type shape of the stream's first
+        # half vs second half — exact counts, rational chi-square terms
+        # (no logs: libm ln rounding is not engine-portable; chi² is)
+        from cassandra_ttl_remover_spark.operators.audit import (
+            distribution_drift,
+        )
+
+        ev = _events(spark, sf)
+        return distribution_drift(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 != 0),
+            "event_type",
+        )
+    q["q_d6_distribution_drift"] = q_d6
 
     def q_c1(spark, sf):
         # run compaction (the SSTable-compaction analog): base run + an
@@ -3576,6 +3593,16 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
 
     o["q_d5_referential_integrity"] = referential_integrity_oracle_sql(
         "lineitem", "orders", "l_orderkey", "o_orderkey"
+    )
+
+    from cassandra_ttl_remover_spark.operators.audit import (
+        distribution_drift_oracle_sql,
+    )
+
+    o["q_d6_distribution_drift"] = distribution_drift_oracle_sql(
+        "SELECT * FROM events WHERE event_id % 2 = 0",
+        "SELECT * FROM events WHERE event_id % 2 <> 0",
+        "event_type",
     )
     o["q_se4_retention_cohorts"] = """
         WITH ev AS (

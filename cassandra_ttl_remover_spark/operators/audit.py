@@ -255,3 +255,84 @@ SELECT (SELECT count(*) FROM {child})::BIGINT AS n_child,
         WHERE NOT EXISTS (SELECT 1 FROM {parent} p
                           WHERE p.{parent_key} = c.{child_key})) = 0 AS ok
 """
+
+
+def distribution_drift(old: DataFrame, new: DataFrame, col: str) -> DataFrame:
+    """Categorical distribution drift between two snapshots: per-category
+    observed/expected counts and the chi-square statistic — the standing
+    data-ops alarm for "did this feed change shape". Returns one row per
+    category ``(category, n_old, n_new, chi2_term)`` plus exact counts;
+    sum chi2_term for the statistic (kept per-category so the report
+    shows WHICH categories drifted).
+
+    chi2 per category compares the new share against the old share scaled
+    to the new total: ``e = n_old * N_new / N_old``; ``term = (n_new -
+    e)^2 / e``. All inputs are exact integer counts and the formula is
+    rational double arithmetic (no logs — a KL/PSI variant would hang
+    engine-portability on libm's ln rounding), so it hash-matches the
+    ANSI oracle bit for bit.
+
+    Scale: two map-side-combined counts + a tiny full-outer join on the
+    category key — cost is the two scans, state is |categories|."""
+    a = old.groupBy(F.col(col).alias("category")).agg(
+        F.count("*").alias("n_old")
+    )
+    b = new.groupBy(F.col(col).alias("category")).agg(
+        F.count("*").alias("n_new")
+    )
+    joined = (
+        a.join(b, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("_ta"), F.sum("n_new").alias("_tb")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "expected",
+            F.col("n_old").cast("double") * F.col("_tb").cast("double")
+            / F.col("_ta").cast("double"),
+        )
+        .withColumn(
+            "chi2_term",
+            F.when(
+                F.col("expected") > 0,
+                (F.col("n_new").cast("double") - F.col("expected"))
+                * (F.col("n_new").cast("double") - F.col("expected"))
+                / F.col("expected"),
+            ).otherwise(F.lit(None).cast("double")),
+        )
+        .select("category", "n_old", "n_new", "expected", "chi2_term")
+    )
+
+
+def distribution_drift_oracle_sql(old_sql: str, new_sql: str,
+                                  col: str) -> str:
+    """Same exact-counts + rational-double formula; ``old_sql``/``new_sql``
+    are row sources exposing ``col``."""
+    return f"""
+WITH a AS (SELECT {col} AS category, count(*)::BIGINT AS n_old
+           FROM ({old_sql}) GROUP BY {col}),
+b AS (SELECT {col} AS category, count(*)::BIGINT AS n_new
+      FROM ({new_sql}) GROUP BY {col}),
+j AS (
+  SELECT COALESCE(a.category, b.category) AS category,
+         COALESCE(n_old, 0)::BIGINT AS n_old,
+         COALESCE(n_new, 0)::BIGINT AS n_new
+  FROM a FULL OUTER JOIN b ON a.category = b.category
+),
+t AS (SELECT sum(n_old)::BIGINT AS ta, sum(n_new)::BIGINT AS tb FROM j)
+SELECT category, n_old, n_new,
+       n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE AS expected,
+       CASE WHEN n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE > 0 THEN
+         (n_new::DOUBLE - n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE)
+         * (n_new::DOUBLE - n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE)
+         / (n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE)
+       END AS chi2_term
+FROM j CROSS JOIN t ORDER BY category
+"""

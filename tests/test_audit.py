@@ -107,3 +107,27 @@ def test_referential_integrity_detects_orphans(spark):
     assert (row.n_child, row.n_orphans, row.ok) == (4, 1, False)
     row2 = referential_integrity(child.filter("fk != 9"), parent, "fk", "pk").first()
     assert (row2.n_child, row2.n_orphans, row2.ok) == (3, 0, True)
+
+
+def test_distribution_drift_chi_square(spark):
+    """Hand-checked chi-square terms, including a category absent from one
+    side (expected=0 -> NULL term; new-only category still reported)."""
+    from cassandra_ttl_remover_spark.operators.audit import distribution_drift
+
+    old = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "c string")
+    new = spark.createDataFrame([("a",)] * 5 + [("b",)] * 4 + [("x",)], "c string")
+    rows = {r.category: r for r in distribution_drift(old, new, "c").collect()}
+    assert set(rows) == {"a", "b", "x"}
+    # expected_a = 8 * 10/10 = 8; term = (5-8)^2/8
+    assert rows["a"].expected == 8.0 and rows["a"].chi2_term == 9 / 8
+    assert rows["b"].expected == 2.0 and rows["b"].chi2_term == 4 / 2
+    assert rows["x"].n_old == 0 and rows["x"].chi2_term is None
+
+
+def test_distribution_drift_identical_is_zero(spark, events):
+    from cassandra_ttl_remover_spark.operators.audit import distribution_drift
+
+    import pyspark.sql.functions as F
+
+    r = distribution_drift(events, events, "event_type")
+    assert r.agg(F.sum("chi2_term")).first()[0] == 0.0
