@@ -370,6 +370,7 @@ _DRIVER_PRIORITY = [
     "q_w5_time_travel",
     "q_a7_range_distinct",
     "q_d6_distribution_drift",
+    "q_x17_lateral_posexplode",
 ]
 
 
@@ -1140,6 +1141,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr(f"{num} / ({denx} * {deny})").alias("corr_qty_price"),
         )
     q["q_x16_exact_correlation"] = q_x16
+
+    def q_x17(spark, sf):
+        # UDTF-shaped LATERAL surface: posexplode over the word array —
+        # one output row per token with its ordinal, the generator/table-
+        # function pattern as a JVM codegen'd generator (no Python UDTF
+        # needed for array-backed expansion)
+        docs = scan_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+        from cassandra_ttl_remover_spark.operators.text import WORDS_EXPR
+
+        ws = WORDS_EXPR.format(col="text")
+        return (
+            docs.select(
+                "doc_id", F.posexplode(F.expr(ws)).alias("pos", "word")
+            )
+            .filter(F.length("word") >= 6)
+            .select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+        )
+    q["q_x17_lateral_posexplode"] = q_x17
 
     def q_x13(spark, sf):
         # array/higher-order-function surface: slice, per-element
@@ -3131,6 +3150,16 @@ FROM events GROUP BY event_type ORDER BY event_type
         "SELECT count(DISTINCT user_id)::BIGINT AS n_exact,"
         " TRUE AS within_tol FROM events"
     )
+
+    o["q_x17_lateral_posexplode"] = """
+        WITH w AS (
+          SELECT doc_id, [x for x in string_split(text, ' ') if x <> ''] AS ws
+          FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id, (i - 1)::INT AS pos, ws[i] AS word
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) r
+        WHERE length(ws[i]) >= 6
+        ORDER BY doc_id, pos"""
 
     o["q_a7_range_distinct"] = """
         SELECT count(DISTINCT user_id)::BIGINT AS n_exact, TRUE AS within_tol
