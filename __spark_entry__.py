@@ -157,6 +157,24 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
 
+#: TPC-H Q18 shape (large-volume customers): an IN-subquery with HAVING
+#: over an aggregate — Catalyst plans the subquery as a semi-join against
+#: the re-aggregated fact; exact decimal sums keep it hash-checkable.
+SHARED_SQL_Q18 = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+GROUP BY c_custkey, c_name, o_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
 #: Analytic-window breadth: lag/lead/ntile/cume_dist in one pass. The
 #: ordering key (ts, event_id) is unique per partition, so every ranking
 #: function is deterministic; cume_dist is an exact rational -> one IEEE
@@ -371,6 +389,7 @@ _DRIVER_PRIORITY = [
     "q_a7_range_distinct",
     "q_d6_distribution_drift",
     "q_x17_lateral_posexplode",
+    "q_sql_q18_large_orders",
 ]
 
 
@@ -970,6 +989,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_tables(spark, sf, ["customer", "orders", "lineitem", "nation"])
         return spark.sql(SHARED_SQL_Q10)
     q["q_sql_q10_returned_items"] = q_sql_q10
+
+    def q_sql_q18(spark, sf):
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["customer", "orders", "lineitem"])
+        return spark.sql(SHARED_SQL_Q18)
+    q["q_sql_q18_large_orders"] = q_sql_q18
 
     def q_x7(spark, sf):
         from cassandra_ttl_remover_spark import load_tables
@@ -3271,6 +3296,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_sql_q5_local_supplier_volume"] = SHARED_SQL_Q5
     o["q_sql_q6_forecast_revenue"] = SHARED_SQL_Q6
     o["q_sql_q10_returned_items"] = SHARED_SQL_Q10
+    o["q_sql_q18_large_orders"] = SHARED_SQL_Q18
     o["q_x7_window_analytics"] = SHARED_SQL_WINDOW
     o["q_p4_grouping_sets"] = """
         SELECT o_orderpriority, o_orderstatus,
