@@ -390,6 +390,7 @@ _DRIVER_PRIORITY = [
     "q_d6_distribution_drift",
     "q_x17_lateral_posexplode",
     "q_sql_q18_large_orders",
+    "q_v6_power_iteration",
 ]
 
 
@@ -1536,6 +1537,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = scan_table(spark, sf, "embeddings")
         return similarity.gram_matrix(emb)
     q["q_v5_gram_matrix"] = q_v5
+
+    def q_v6(spark, sf):
+        # two power-iteration steps toward the dominant eigenvector of the
+        # Gram matrix, entirely in exact integers (rescale between the two
+        # multiplies keeps the second inside int64) — hash-matched like
+        # the k-means and PageRank loops
+        emb = scan_table(spark, sf, "embeddings")
+        return similarity.gram_power_iteration(emb)
+    q["q_v6_power_iteration"] = q_v6
 
     def _ann_invariant(spark, sf, approx_fn, min_recall):
         # ANN candidate sets are engine-hash-specific, so the row carries
@@ -3533,6 +3543,8 @@ GROUP BY event_type ORDER BY event_type
     )
 
     o["q_v5_gram_matrix"] = similarity.gram_matrix_oracle_sql()
+
+    o["q_v6_power_iteration"] = similarity.gram_power_iteration_oracle_sql()
 
     o["q_n42_bpe_segment"] = text.bpe_segment_oracle_sql()
 

@@ -951,3 +951,73 @@ FROM x, LATERAL (SELECT unnest(range(1, len(xq) + 1)) AS i) ri,
 WHERE j >= i
 GROUP BY i, j ORDER BY i, j
 """
+
+
+def gram_power_iteration(emb: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         rescale: int = 1000) -> DataFrame:
+    """Two power-iteration steps toward the Gram matrix's dominant
+    eigenvector (the corpus's first principal direction), ENTIRELY in
+    exact integer arithmetic. Returns ``(i, v)`` — the un-normalized
+    direction after the second multiply; normalize driver-side for the
+    unit eigenvector.
+
+    Construction: v1 = G·1 (row sums — exact int64);
+    v1' = (v1 * rescale) div max|v1| (integer rescale into
+    [-rescale, rescale] — the step that keeps the SECOND multiply inside
+    int64: |G| entries × rescale × d stays under 2^63 for quantized
+    unit-norm vectors); v2 = G·v1'. Every op is integer, so the result —
+    including the fixed truncation of the rescale — hash-matches the
+    unrolled ANSI oracle, same discipline as the k-means and PageRank
+    loops.
+
+    Scale: everything downstream of :func:`gram_matrix` operates on the
+    d(d+1)/2-row Gram frame — cluster-scale work is the one Gram pass;
+    the iteration itself is d²-sized arithmetic that any engine finishes
+    in milliseconds.
+    """
+    g = gram_matrix(emb, vec_col, id_col)
+    full = g.select("i", "j", "g").union(
+        g.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    ).localCheckpoint(eager=False)
+    v1 = full.groupBy("i").agg(F.sum("g").alias("v1"))
+    s1 = v1.agg(F.max(F.abs(F.col("v1"))).alias("_s"))
+    v1s = (
+        v1.crossJoin(F.broadcast(s1))
+        .select("i", F.expr(f"(v1 * {rescale}) div _s").alias("vs"))
+    )
+    v2 = (
+        full.join(v1s.withColumnRenamed("i", "j"), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("vs")).alias("v"))
+    )
+    return v2.select("i", "v")
+
+
+def gram_power_iteration_oracle_sql(table: str = "embeddings",
+                                    rescale: int = 1000) -> str:
+    gram = gram_matrix_oracle_sql(table)
+    return f"""
+WITH g AS ({gram}),
+full_g AS (
+  SELECT i, j, g FROM g
+  UNION ALL
+  SELECT j AS i, i AS j, g FROM g WHERE i <> j
+),
+v1 AS (SELECT i, sum(g)::HUGEINT AS v1 FROM full_g GROUP BY i),
+s1 AS (SELECT max(abs(v1)) AS s FROM v1),
+-- sign-split truncation: Spark's div truncates toward zero while
+-- DuckDB's // floors, and row sums CAN be negative
+v1s AS (SELECT i,
+               (CASE WHEN v1 >= 0 THEN (v1 * {rescale}) // s
+                     ELSE -((-v1 * {rescale}) // s) END)::BIGINT AS vs
+        FROM v1, s1),
+v2 AS (
+  SELECT full_g.i, sum(full_g.g * v1s.vs)::BIGINT AS v
+  FROM full_g JOIN v1s ON v1s.i = full_g.j
+  GROUP BY full_g.i
+)
+SELECT i, v FROM v2 ORDER BY i
+"""

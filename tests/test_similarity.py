@@ -252,3 +252,29 @@ def test_gram_matrix_matches_numpy(embeddings):
     for i in range(d):
         for j in range(i, d):
             assert got[(i + 1, j + 1)] == int(G[i, j]), (i, j)
+
+
+def test_gram_power_iteration_matches_numpy(embeddings):
+    """The integer two-step power iteration equals a numpy replica with the
+    same truncating rescale."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        gram_power_iteration,
+    )
+
+    X = np.stack([
+        np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64)
+        for r in embeddings.collect()
+    ])
+    G = (X.T @ X).astype(object)  # python ints: no silent int64 overflow
+    ones = np.ones(G.shape[0], dtype=object)
+    v1 = G @ ones
+    s1 = max(abs(int(x)) for x in v1)
+    # truncate-toward-zero rescale, matching Spark's div — exact integer
+    # arithmetic (float division would wobble at the 3e18 scale)
+    def trunc_div(a, b):
+        return a * 1000 // b if a >= 0 else -((-a * 1000) // b)
+    v1s = np.array([trunc_div(int(x), s1) for x in v1], dtype=object)
+    v2 = G @ v1s
+    got = {r.i: r.v for r in gram_power_iteration(embeddings).collect()}
+    for i in range(G.shape[0]):
+        assert got[i + 1] == int(v2[i]), i
