@@ -259,11 +259,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND-4 PLAN: the round-3 gate grades positions 1-50 of this order
 # (through ~q_n15b). At the START of round 4, rotate again — move the
 # r3-graded block to the back and bring forward q_n16..n33, the d/z/w/f/
-# sk/rj/x/p tail, and every round-3 addition (n38-n41, n8d, w4, st12-st14,
-# f4, f5, g1, g2, x14-x16, a6, j3, j4, v5, se5, d5) so rounds 3+4 together
-# give the whole surface driver-side evidence. Do NOT rotate mid-round:
-# the gate runs on end-of-round state, and rotating early would re-skip
-# the families this round is meant to certify.
+# sk/rj/x/p tail, and EVERY round-3 addition (everything after
+# "q_p3_pivot_counts" in this list — n38-n42, n8d, w4, w5, st12-st14,
+# f4, f5, g1, g2, x14-x17, a6, a7, d6, j3, j4, v5, v6, se5, d5, mm7,
+# sql_q18) so rounds 3+4 together give the whole surface driver-side
+# evidence. Do NOT rotate mid-round: the gate runs on end-of-round state,
+# and rotating early would re-skip the families this round certifies.
 _DRIVER_PRIORITY = [
     "q_x13_array_functions",
     "q_pipe_curate",
