@@ -80,3 +80,44 @@ def test_range_join_binned_equals_naive_on_random_intervals(spark, ivs, xs, w):
         for r in range_join(pts, iv, "x", "lo", "hi", bin_width=w).collect()
     }
     assert naive == binned
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
+                    max_size=40, unique=True),
+       seed=st.integers(min_value=0, max_value=1000),
+       n_shards=st.integers(min_value=1, max_value=16))
+def test_shuffle_deterministic_matches_python_replica(spark, ids, seed, n_shards):
+    """Third-implementation check of the training-order shuffle: a pure
+    Python md5-token replica must produce the identical (shard, pos) for
+    every id — the engine-portability claim verified outside both SQL
+    engines."""
+    import hashlib
+
+    from cassandra_ttl_remover_spark.operators.curate import (
+        shuffle_deterministic,
+    )
+
+    def py_token(s: str) -> int:
+        h = hashlib.md5(s.encode()).hexdigest()
+        t = 0
+        for ch in h[:15]:
+            t = t * 16 + int(ch, 16)
+        return t
+
+    toks = {i: py_token(f"{seed}:{i}") for i in ids}
+    by_shard = {}
+    for i in ids:
+        by_shard.setdefault(toks[i] % n_shards, []).append(i)
+    want = {}
+    for shard, members in by_shard.items():
+        members.sort(key=lambda i: (toks[i], i))
+        for pos, i in enumerate(members, start=1):
+            want[i] = (shard, pos)
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: (r.shard, r.pos)
+           for r in shuffle_deterministic(df, n_shards=n_shards,
+                                          seed=seed).collect()}
+    assert got == want
