@@ -321,6 +321,20 @@ def ivf_append(spark, path: str, new_emb: DataFrame,
         .write.mode("append").partitionBy("cell").parquet(path)
 
 
+def ivf_census(spark, path: str) -> DataFrame:
+    """Inverted-list balance report for a materialized IVF index:
+    ``(cell, n_vectors)`` per cell — the retrain signal ivf_append's
+    frozen-centroid contract defers to (drifted ingest shows up as a few
+    cells absorbing everything; rebuild with ivf_write when the skew
+    hurts probe cost). Reads partition-pruned footers only — no vector
+    data is touched beyond the cell column."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
               nprobe: int = 4, vec_col: str = "embedding",
               id_col: str = "vec_id") -> DataFrame:

@@ -278,3 +278,19 @@ def test_gram_power_iteration_matches_numpy(embeddings):
     got = {r.i: r.v for r in gram_power_iteration(embeddings).collect()}
     for i in range(G.shape[0]):
         assert got[i + 1] == int(v2[i]), i
+
+
+def test_ivf_census_counts_cells(spark, embeddings, tmp_path):
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_append,
+        ivf_census,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings.filter("vec_id % 2 = 0"), path, n_cells=4)
+    before = {r.cell: r.n_vectors for r in ivf_census(spark, path).collect()}
+    ivf_append(spark, path, embeddings.filter("vec_id % 2 != 0"))
+    after = {r.cell: r.n_vectors for r in ivf_census(spark, path).collect()}
+    assert sum(before.values()) * 2 == sum(after.values()) == embeddings.count()
+    assert all(after[c] >= before.get(c, 0) for c in after)
