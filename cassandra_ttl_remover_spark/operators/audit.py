@@ -291,12 +291,19 @@ def distribution_drift(old: DataFrame, new: DataFrame, col: str) -> DataFrame:
     tot = joined.agg(
         F.sum("n_old").alias("_ta"), F.sum("n_new").alias("_tb")
     )
+    # _ta = 0 (an entirely empty old snapshot) would make expected 0/0:
+    # Spark's NaN fails every comparison while DuckDB orders NaN above all
+    # doubles, so both expected and the term are explicitly NULL-guarded
+    # on _ta > 0 to keep the engines bit-identical on the degenerate input
     return (
         joined.crossJoin(F.broadcast(tot))
         .withColumn(
             "expected",
-            F.col("n_old").cast("double") * F.col("_tb").cast("double")
-            / F.col("_ta").cast("double"),
+            F.when(
+                F.col("_ta") > 0,
+                F.col("n_old").cast("double") * F.col("_tb").cast("double")
+                / F.col("_ta").cast("double"),
+            ),
         )
         .withColumn(
             "chi2_term",
@@ -328,8 +335,9 @@ j AS (
 ),
 t AS (SELECT sum(n_old)::BIGINT AS ta, sum(n_new)::BIGINT AS tb FROM j)
 SELECT category, n_old, n_new,
-       n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE AS expected,
-       CASE WHEN n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE > 0 THEN
+       CASE WHEN ta > 0 THEN n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE
+       END AS expected,
+       CASE WHEN ta > 0 AND n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE > 0 THEN
          (n_new::DOUBLE - n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE)
          * (n_new::DOUBLE - n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE)
          / (n_old::DOUBLE * tb::DOUBLE / ta::DOUBLE)

@@ -978,12 +978,22 @@ def gram_power_iteration(emb: DataFrame, vec_col: str = "embedding",
 
     Construction: v1 = G·1 (row sums — exact int64);
     v1' = (v1 * rescale) div max|v1| (integer rescale into
-    [-rescale, rescale] — the step that keeps the SECOND multiply inside
-    int64: |G| entries × rescale × d stays under 2^63 for quantized
-    unit-norm vectors); v2 = G·v1'. Every op is integer, so the result —
-    including the fixed truncation of the rescale — hash-matches the
+    [-rescale, rescale]); v2 = G·v1'. Every op is integer, so the result
+    — including the fixed truncation of the rescale — hash-matches the
     unrolled ANSI oracle, same discipline as the k-means and PageRank
     loops.
+
+    Domain bound (be honest about it): EVERY intermediate must fit
+    int64. For quantized unit-norm d=64 vectors, Gram entries grow
+    ~1.6e10·n, so v1 ~1e12·n and the v1·rescale intermediate crosses
+    2^63 near n ≈ 1e4 rows (the v2 products bind slightly later). The
+    engine's sessions run ANSI mode, so exceeding the bound FAILS LOUDLY
+    (ARITHMETIC_OVERFLOW) rather than silently wrapping — note the
+    DuckDB oracle widens to HUGEINT and would keep going. Past the
+    bound, lower ``rescale``, pre-normalize G (divide by n via the
+    centroid form), or run the iteration driver-side on the collected
+    d×d Gram (2,080 longs — the intended 100 TB shape anyway: one
+    distributed Gram pass, then a driver eigensolver).
 
     Scale: everything downstream of :func:`gram_matrix` operates on the
     d(d+1)/2-row Gram frame — cluster-scale work is the one Gram pass;

@@ -214,37 +214,80 @@ def write_zordered(df: DataFrame, out: str, c1: str, c2: str, *,
     )
 
 
-def write_table_version(df: DataFrame, table_dir: str, *,
-                        version_keep: int = 0) -> str:
-    """Batch commit of a NEW version of a versioned table — the same
-    layout the streaming LWW sink maintains (``vNNNN`` directories + an
-    atomically-swapped ``LATEST`` pointer, streaming/ttl_stream.py), so
-    batch jobs and streaming upserts can share one table lifecycle and
-    :func:`~cassandra_ttl_remover_spark.streaming.ttl_stream.read_table_version`
-    time-travels over both. Returns the committed version name.
+def claim_table_writer(table_dir, kind: str) -> None:
+    """Single-writer ownership for a versioned table: the first committer
+    stamps a ``WRITER`` marker ('batch' | 'stream'); a committer of the
+    OTHER kind raises instead of corrupting. The two lifecycles derive
+    version names differently (batch: LATEST+1; streaming: the
+    checkpoint's batch_id, which the replay guard string-compares), so a
+    mixed-writer table would silently drop micro-batches — without a
+    transaction log, one table has one writer lineage (the same stance
+    lakehouse formats without a lock service take)."""
+    from pathlib import Path
 
-    Readers never observe a half-written table: the data lands fully in
-    the new version directory before the pointer swap (os.replace is
-    atomic on POSIX). ``version_keep=0`` retains every version (time
-    travel unbounded); N keeps the newest N.
-    """
+    base = Path(table_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    marker = base / "WRITER"
+    if marker.exists():
+        owner = marker.read_text().strip()
+        if owner != kind:
+            raise ValueError(
+                f"versioned table {table_dir!r} is owned by a {owner!r} "
+                f"writer; committing from a {kind!r} writer would break "
+                "its version numbering/replay contract — use a separate "
+                "table_dir"
+            )
+    else:
+        marker.write_text(kind)
+
+
+def commit_table_version(df: DataFrame, table_dir: str, vname: str, *,
+                         version_keep: int = 0) -> None:
+    """Shared version-commit primitive for EVERY versioned-table writer
+    (batch write_table_version, streaming LWW upsert, streaming CDC
+    apply): write the data fully into ``<table_dir>/<vname>``, then swap
+    the ``LATEST`` pointer atomically (os.replace), then prune to the
+    newest ``version_keep`` versions (0 = keep all). Readers never
+    observe a half-written table."""
     import os
     import shutil
     from pathlib import Path
 
     base = Path(table_dir)
     base.mkdir(parents=True, exist_ok=True)
-    ptr = base / "LATEST"
-    cur = ptr.read_text().strip() if ptr.exists() else None
-    nxt = (int(cur[1:]) + 1) if cur else 0
-    vname = f"v{nxt:010d}"
     df.write.mode("overwrite").parquet(str(base / vname))
     tmp = base / "LATEST.tmp"
     tmp.write_text(vname)
-    os.replace(tmp, ptr)
+    os.replace(tmp, base / "LATEST")
     if version_keep:
         versions = sorted(p.name for p in base.iterdir()
                           if p.is_dir() and p.name.startswith("v"))
         for old in versions[:-version_keep]:
             shutil.rmtree(base / old, ignore_errors=True)
+
+
+def write_table_version(df: DataFrame, table_dir: str, *,
+                        version_keep: int = 0) -> str:
+    """Batch commit of a NEW version of a versioned table — the same
+    layout the streaming LWW sink maintains (``vNNNN`` directories + an
+    atomically-swapped ``LATEST`` pointer, streaming/ttl_stream.py), so
+    :func:`~cassandra_ttl_remover_spark.streaming.ttl_stream.read_table_version`
+    time-travels over both kinds. Returns the committed version name.
+
+    One table, ONE writer lineage: batch and streaming writers derive
+    version names differently, so mixing them on a single table_dir
+    would confuse the streaming replay guard into dropping micro-batches
+    — :func:`claim_table_writer` turns that mistake into a loud error.
+    ``version_keep=0`` retains every version (time travel unbounded);
+    N keeps the newest N.
+    """
+    from pathlib import Path
+
+    base = Path(table_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    claim_table_writer(table_dir, "batch")
+    ptr = base / "LATEST"
+    cur = ptr.read_text().strip() if ptr.exists() else None
+    vname = f"v{(int(cur[1:]) + 1) if cur else 0:010d}"
+    commit_table_version(df, table_dir, vname, version_keep=version_keep)
     return vname

@@ -391,14 +391,17 @@ def stream_upsert_lww(stream_df: DataFrame, keys: list[str], *,
     Runs the stream to completion (availableNow) and returns the final
     table as a batch DataFrame.
     """
-    import os
-    import shutil
     from pathlib import Path
 
     from cassandra_ttl_remover_spark.operators.compact import merge_runs_lww
+    from cassandra_ttl_remover_spark.sinks.writer import (
+        claim_table_writer,
+        commit_table_version,
+    )
 
     base = Path(table_dir)
     base.mkdir(parents=True, exist_ok=True)
+    claim_table_writer(str(base), "stream")
     ptr = base / "LATEST"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -412,14 +415,8 @@ def stream_upsert_lww(stream_df: DataFrame, keys: list[str], *,
         if ptr.exists():
             frames.append(spark.read.parquet(str(base / ptr.read_text().strip())))
         merged = merge_runs_lww(frames, keys=keys, writetime_col=writetime_col)
-        merged.write.mode("overwrite").parquet(str(base / vname))
-        tmp = base / "LATEST.tmp"
-        tmp.write_text(vname)
-        os.replace(tmp, ptr)  # atomic pointer swap
-        versions = sorted(p.name for p in base.iterdir()
-                          if p.is_dir() and p.name.startswith("v"))
-        for old in versions[:-version_keep] if version_keep else []:
-            shutil.rmtree(base / old, ignore_errors=True)
+        commit_table_version(merged, str(base), vname,
+                             version_keep=version_keep)
 
     (
         stream_df.writeStream.foreachBatch(_apply)
@@ -478,12 +475,16 @@ def stream_apply_changes(stream_df: DataFrame, keys: list[str], *,
     Scale: per batch one shuffle on the key, same as the upsert sink;
     tombstone rows are key+metadata only in practice and compact away once
     a retention policy allows (out of scope here, policy-dependent)."""
-    import os
-    import shutil
     from pathlib import Path
+
+    from cassandra_ttl_remover_spark.sinks.writer import (
+        claim_table_writer,
+        commit_table_version,
+    )
 
     base = Path(table_dir)
     base.mkdir(parents=True, exist_ok=True)
+    claim_table_writer(str(base), "stream")
     ptr = base / "LATEST"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -508,14 +509,8 @@ def stream_apply_changes(stream_df: DataFrame, keys: list[str], *,
             F.col(f"_w.{op_col}").alias(op_col),
             *[F.col(f"_w.{c}").alias(c) for c in value_cols],
         )
-        merged.write.mode("overwrite").parquet(str(base / vname))
-        tmp = base / "LATEST.tmp"
-        tmp.write_text(vname)
-        os.replace(tmp, ptr)
-        versions = sorted(p.name for p in base.iterdir()
-                          if p.is_dir() and p.name.startswith("v"))
-        for old in versions[:-version_keep] if version_keep else []:
-            shutil.rmtree(base / old, ignore_errors=True)
+        commit_table_version(merged, str(base), vname,
+                             version_keep=version_keep)
 
     (
         stream_df.writeStream.foreachBatch(_apply)

@@ -131,3 +131,16 @@ def test_distribution_drift_identical_is_zero(spark, events):
 
     r = distribution_drift(events, events, "event_type")
     assert r.agg(F.sum("chi2_term")).first()[0] == 0.0
+
+
+def test_distribution_drift_empty_old_snapshot(spark):
+    """ta = 0 would be 0/0: both expected and chi2_term must be NULL (not
+    NaN) so the engines agree on the degenerate input."""
+    from cassandra_ttl_remover_spark.operators.audit import distribution_drift
+
+    old = spark.createDataFrame([], "c string")
+    new = spark.createDataFrame([("a",), ("b",)], "c string")
+    rows = {r.category: r for r in distribution_drift(old, new, "c").collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r.expected is None and r.chi2_term is None

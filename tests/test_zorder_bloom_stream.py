@@ -148,3 +148,24 @@ def test_write_table_version_batch_commits_and_travel(spark, tmp_path):
                 if p.is_dir() and p.name.startswith("v"))
     assert vs == ["v0000000002"]
     assert read_table_version(spark, d).count() == 10
+
+
+def test_versioned_table_single_writer_enforced(spark, tmp_path):
+    """A batch-owned table rejects streaming commits and vice versa —
+    the mixed-writer numbering clash would silently drop micro-batches,
+    so it must fail loudly instead."""
+    import pytest as _pytest
+
+    from cassandra_ttl_remover_spark.sinks.writer import (
+        claim_table_writer,
+        write_table_version,
+    )
+
+    d = str(tmp_path / "t")
+    write_table_version(spark.range(3), d)
+    with _pytest.raises(ValueError, match="owned by a 'batch' writer"):
+        claim_table_writer(d, "stream")
+    d2 = str(tmp_path / "t2")
+    claim_table_writer(d2, "stream")
+    with _pytest.raises(ValueError, match="owned by a 'stream' writer"):
+        write_table_version(spark.range(3), d2)
