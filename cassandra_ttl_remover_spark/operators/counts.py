@@ -66,7 +66,10 @@ def estimate_merge_gain(sources: list[DataFrame], key: str,
 def estimate_intersection(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     """Distinct-key INTERSECTION estimate by inclusion–exclusion over HLL
     sketches: ``|A∩B| ≈ est(A) + est(B) − est(A∪B)``. Returns one row
-    ``(est_a, est_b, est_union, est_intersection)``.
+    ``(est_small, est_large, est_union, est_intersection)`` — the two
+    side estimates surfaced order-independently (min/max), and the
+    intersection clamped at 0 (sketch noise can push the raw
+    inclusion–exclusion difference slightly negative for disjoint sets).
 
     HLL sketches union losslessly but cannot intersect directly — the
     standard workaround is exactly this subtraction, whose error grows
@@ -100,5 +103,8 @@ def estimate_intersection(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
         F.least("_ea", "_eb").alias("est_small"),
         F.greatest("_ea", "_eb").alias("est_large"),
         "est_union",
-        (F.col("_ea") + F.col("_eb") - F.col("est_union")).alias("est_intersection"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("_ea") + F.col("_eb") - F.col("est_union"),
+        ).alias("est_intersection"),
     )

@@ -53,6 +53,34 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, *,
     hash-matched; leave False for the declared oracle query.
 
     Returns ``(id_col, pred_lang, quality)`` for every kept document."""
+    keep1 = gated_exact_dedup(
+        spark, docs, min_quality=min_quality, langs=langs,
+        id_col=id_col, text_col=text_col,
+    )
+    if use_lsh:
+        pairs = dedup.minhash_lsh_pairs(
+            keep1, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
+        ).select("a", "b")
+    else:
+        pairs = dedup.ngram_jaccard_pairs(
+            keep1, jaccard_threshold, text_col, id_col, max_df=max_df
+        ).select("a", "b")
+    decisions = dedup.neardup_dedup(keep1.select(id_col), pairs, id_col)
+    kept = keep1.join(
+        decisions.filter("is_kept").select(id_col), id_col, "left_semi"
+    )
+    return kept.select(id_col, "pred_lang", "quality")
+
+
+def gated_exact_dedup(spark: SparkSession, docs: DataFrame, *,
+                      min_quality: float = 0.5,
+                      langs: tuple[str, ...] = ("en",),
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The deterministic pipeline prefix shared by the exact and LSH
+    curation paths: quality gate -> language gate -> exact dedup. Returns
+    ``(id_col, text_col, pred_lang, quality)`` for every surviving doc.
+    """
     # both gates are pure per-row projections, so they CHAIN (quality keeps
     # text; lang_id keeps text+quality) — zero joins, zero shuffles before
     # the first dedup aggregation, one codegen'd scan of the corpus
@@ -77,25 +105,114 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, *,
     # the quality/lang joins re-execute per branch. At 100 TB this boundary
     # is a write to storage between pipeline stages; locally
     # localCheckpoint gives the same cut with lineage truncation.
-    keep1 = (
+    return (
         keep0.withColumn("_rn", F.row_number().over(digest_w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .localCheckpoint(eager=False)
     )
-    if use_lsh:
-        pairs = dedup.minhash_lsh_pairs(
-            keep1, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
-        ).select("a", "b")
-    else:
-        pairs = dedup.ngram_jaccard_pairs(
-            keep1, jaccard_threshold, text_col, id_col, max_df=max_df
-        ).select("a", "b")
-    decisions = dedup.neardup_dedup(keep1.select(id_col), pairs, id_col)
-    kept = keep1.join(
-        decisions.filter("is_kept").select(id_col), id_col, "left_semi"
+
+
+def curate_lsh_invariants(spark: SparkSession, docs: DataFrame, *,
+                          min_quality: float = 0.5,
+                          langs: tuple[str, ...] = ("en",),
+                          jaccard_threshold: float = 0.5,
+                          max_df: int | None = 1000,
+                          recall_gate: float = 0.8,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Hash-checkable certificate for the LSH curation path
+    (``curate_corpus(use_lsh=True)``), whose candidate set is
+    engine-hash-specific (xxhash64) and therefore cannot be value-matched
+    row-for-row against another engine. Instead of going oracle-less, the
+    pipeline is graded through ONE invariant row (model: q_n9's recall
+    frame):
+
+    - ``n_gate``      — survivors of the deterministic prefix (quality +
+      language + exact dedup). DuckDB recomputes this EXACTLY from the
+      same composed stage oracles, so a regression anywhere in the shared
+      prefix flips the hash.
+    - ``n_exact_pairs`` — capped exact-Jaccard near-dup pairs over those
+      survivors (the ground truth the LSH generator approximates); also
+      recomputed exactly by DuckDB.
+    - ``recall_ok``   — the pipeline's ACTUAL candidate generator
+      (minhash_lsh_pairs at the pipeline's own threshold) captures
+      >= ``recall_gate`` of the exact pairs. Oracle emits TRUE; an LSH
+      regression flips it false.
+    - ``kept_lsh_ok`` — the end-to-end LSH pipeline output is non-empty
+      and no larger than the gate survivors (components only ever remove
+      docs). Oracle emits TRUE.
+
+    The full curated-corpus row set stays available via
+    :func:`curate_corpus`; the exact path's output is value-matched by
+    q_pipe_curate. Cost: one extra exact-pair pass over the (already
+    gate-shrunk, exactly-deduped) survivors — the price of grading the
+    approximate path against ground truth."""
+    keep1 = gated_exact_dedup(
+        spark, docs, min_quality=min_quality, langs=langs,
+        id_col=id_col, text_col=text_col,
     )
-    return kept.select(id_col, "pred_lang", "quality")
+    exact = dedup.ngram_jaccard_pairs(
+        keep1, jaccard_threshold, text_col, id_col, max_df=max_df
+    ).select("a", "b")
+    cand = dedup.minhash_lsh_pairs(
+        keep1, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
+    ).select("a", "b")
+    decisions = dedup.neardup_dedup(keep1.select(id_col), cand, id_col)
+    n_gate = keep1.agg(F.count("*").cast("long").alias("n_gate"))
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+    n_hit = exact.join(cand, ["a", "b"], "left_semi").agg(
+        F.count("*").alias("_n_hit")
+    )
+    n_kept = decisions.filter("is_kept").agg(F.count("*").alias("_n_kept"))
+    return (
+        n_gate.crossJoin(n_exact).crossJoin(n_hit).crossJoin(n_kept)
+        .select(
+            "n_gate",
+            "n_exact_pairs",
+            (
+                (F.col("n_exact_pairs") == 0)
+                | (F.col("_n_hit") >= recall_gate * F.col("n_exact_pairs"))
+            ).alias("recall_ok"),
+            (
+                (F.col("_n_kept") > 0) & (F.col("_n_kept") <= F.col("n_gate"))
+            ).alias("kept_lsh_ok"),
+        )
+    )
+
+
+def curate_lsh_invariants_oracle_sql(*, min_quality: float = 0.5,
+                                     langs: tuple[str, ...] = ("en",),
+                                     jaccard_threshold: float = 0.5,
+                                     max_df: int | None = 1000,
+                                     table: str = "documents",
+                                     id_col: str = "doc_id") -> str:
+    """DuckDB side of :func:`curate_lsh_invariants`: recompute the two
+    deterministic counts exactly from the same composed stage oracles and
+    emit TRUE for the two gates the Spark side must earn."""
+    langs_sql = ", ".join(f"'{lang}'" for lang in langs)
+    quality_sql = text.quality_oracle_sql(table, id_col)
+    lang_sql = text.lang_id_oracle_sql(table, id_col)
+    pairs_sql = dedup.ngram_jaccard_oracle_sql(
+        threshold=jaccard_threshold, table="keep1", id_col=id_col, max_df=max_df
+    )
+    return f"""
+WITH
+qual AS (SELECT {id_col}, quality FROM ({quality_sql})),
+lang AS (SELECT {id_col}, pred_lang FROM ({lang_sql})),
+keep0 AS (
+  SELECT d.{id_col}, d.text, lang.pred_lang, qual.quality
+  FROM {table} d JOIN qual USING ({id_col}) JOIN lang USING ({id_col})
+  WHERE qual.quality >= {min_quality} AND lang.pred_lang IN ({langs_sql})
+),
+ex AS (SELECT min({id_col}) AS keep_id FROM keep0 GROUP BY md5(text)),
+keep1 AS (SELECT k.* FROM keep0 k JOIN ex ON k.{id_col} = ex.keep_id),
+pairs AS (SELECT a, b FROM ({pairs_sql}))
+SELECT (SELECT count(*) FROM keep1)::BIGINT AS n_gate,
+       (SELECT count(*) FROM pairs)::BIGINT AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS kept_lsh_ok
+"""
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, *,

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 def pagerank(edges: DataFrame, iters: int = 2, *,
              scale: int = 1_000_000, damping_num: int = 85,
              damping_den: int = 100, broadcast_nodes: int = 5_000_000,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             checkpoint: bool = True) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list. Returns
     ``(node, rank)`` — scaled-integer ranks after ``iters`` updates from a
     uniform start of ``scale`` per node.
@@ -71,19 +72,24 @@ def pagerank(edges: DataFrame, iters: int = 2, *,
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                F.expr(
-                    f"cast({base} + ({damping_num} * coalesce(_s, 0L))"
-                    f" div {damping_den} as long)"
-                ).alias("rank"),
-            )
-            # lineage stays O(1) across iterations instead of nesting the
-            # whole previous plan under each new join
-            .localCheckpoint(eager=False)
+        # below the cutover the contribs frame (<= |V| rows, post-combine)
+        # broadcasts into the update join as well: per iteration the only
+        # exchange left is the map-side-combined groupBy(dst) — the edge
+        # frame and the node set never shuffle
+        c = F.broadcast(contribs) if bcast else contribs
+        ranks = nodes.join(c, "node", "left").select(
+            "node",
+            F.expr(
+                f"cast({base} + ({damping_num} * coalesce(_s, 0L))"
+                f" div {damping_den} as long)"
+            ).alias("rank"),
         )
+        if checkpoint:
+            # lineage stays O(1) across iterations instead of nesting the
+            # whole previous plan under each new join. (checkpoint=False
+            # keeps the nested plan visible — for plan inspection/tests
+            # only; leave True for real iteration counts.)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -117,26 +123,13 @@ def pagerank_oracle_sql(edges_sql: str, iters: int = 2, *,
     )
 
 
-def triangle_count(edges: DataFrame, *, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
-    """Exact triangle counting on an undirected graph given as an edge
-    list (either or both directions, self-loops ignored). Returns
-    ``(node, triangles)`` for every node in at least one triangle.
-
-    The standard orientation trick: canonicalize each edge to ``a < b``
-    and dedup, then join oriented edges twice — (a,b) ⋈ (b,c) ⋈ (a,c)
-    finds each triangle exactly once as a < b < c. Orientation bounds the
-    join: a node contributes pairs only among its HIGHER-id neighbors, so
-    work per node is outdeg² under the orientation (≪ deg² for hubs when
-    ids spread a hub's neighbors — the degeneracy-ordering refinement
-    would replace id order with degree order, same plan shape).
-
-    Scale: two shuffle joins on single-key columns + one explode-free
-    groupBy; edge payload is two longs. At 100 TB-scale graphs the
-    (a,b)⋈(b,c) intermediate is the budget item — cap or sample hub
-    out-neighborhoods upstream if the orientation alone is not enough.
-    """
-    e = (
+def oriented_edges(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+                   degree_ordered: bool = True) -> DataFrame:
+    """Deduped, low→high oriented edge set ``(a, b)`` under either total
+    order — the triangle join's input, exposed so the degeneracy claim is
+    directly testable (a 1000-leaf star's hub has oriented out-degree 1000
+    under id order when its id is lowest, but 0 under degree order)."""
+    und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -145,6 +138,65 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if not degree_ordered:
+        return und
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_dg"))
+    )
+    # re-key both endpoints with their degree, then orient by
+    # (degree, id) — a total order, so each undirected edge yields
+    # exactly one oriented edge and dedup is preserved
+    lt = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        und.join(deg.withColumnRenamed("node", "a")
+                    .withColumnRenamed("_dg", "_da"), "a")
+        .join(deg.withColumnRenamed("node", "b")
+                 .withColumnRenamed("_dg", "_db"), "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+        .select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def triangle_count(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst", degree_ordered: bool = True) -> DataFrame:
+    """Exact triangle counting on an undirected graph given as an edge
+    list (either or both directions, self-loops ignored). Returns
+    ``(node, triangles)`` for every node in at least one triangle.
+
+    The standard orientation trick: dedup the undirected edge set, orient
+    each edge low→high under a total order, then join oriented edges
+    twice — (a,b) ⋈ (b,c) ⋈ (a,c) finds each triangle exactly once.
+    Orientation bounds the join: a node contributes pairs only among its
+    HIGHER-ranked neighbors, so per-node work is outdeg² under the
+    orientation.
+
+    ``degree_ordered=True`` (default) ranks nodes by ``(degree, id)``
+    instead of raw id — the degeneracy-ordering refinement: a hub's
+    neighbors almost all rank BELOW it, so the hub's oriented out-degree
+    collapses to its few same-or-higher-degree neighbors and the
+    (a,b)⋈(b,c) wedge intermediate is bounded by the graph's core number
+    (O(|E|·arboricity) total) instead of a hub's full deg². On power-law
+    graphs that is the difference between a runnable and a melted join;
+    the price is one degree aggregation plus two re-key joins before the
+    triangle joins. Triangle counts are orientation-invariant, so both
+    orders return identical results (property-tested) and share the
+    id-ordered DuckDB oracle. ``degree_ordered=False`` keeps the plain
+    id order (skip the degree pass when the graph is known benign).
+
+    Scale: two shuffle joins on single-key columns + one explode-free
+    groupBy; edge payload is two longs. Cap or sample upstream only if
+    even the degeneracy bound is too hot.
+    """
+    e = oriented_edges(edges, src=src, dst=dst, degree_ordered=degree_ordered)
     ab = e
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     ac = e.select(F.col("a").alias("_a"), F.col("b").alias("_c"))

@@ -1007,7 +1007,13 @@ def gram_power_iteration(emb: DataFrame, vec_col: str = "embedding",
         )
     ).localCheckpoint(eager=False)
     v1 = full.groupBy("i").agg(F.sum("g").alias("v1"))
-    s1 = v1.agg(F.max(F.abs(F.col("v1"))).alias("_s"))
+    # greatest(·, 1): an all-zero (or fully cancelling) corpus gives
+    # max|v1| = 0; without the floor the rescale division DIVIDE_BY_ZEROs
+    # under ANSI. With it, v1s (and hence v2) are all-zero — the honest
+    # "no dominant direction" answer. Oracle mirrors the same floor.
+    s1 = v1.agg(
+        F.greatest(F.max(F.abs(F.col("v1"))), F.lit(1).cast("long")).alias("_s")
+    )
     v1s = (
         v1.crossJoin(F.broadcast(s1))
         .select("i", F.expr(f"(v1 * {rescale}) div _s").alias("vs"))
@@ -1018,6 +1024,91 @@ def gram_power_iteration(emb: DataFrame, vec_col: str = "embedding",
         .agg(F.sum(F.col("g") * F.col("vs")).alias("v"))
     )
     return v2.select("i", "v")
+
+
+def gram_power_driver(spark, emb: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id", iters: int = 2,
+                      rescale: int = 1000) -> DataFrame:
+    """Dominant-eigenvector power iteration in the DOCUMENTED 100 TB shape:
+    ONE distributed pass builds the exact integer Gram matrix
+    (:func:`gram_matrix` — d(d+1)/2 map-side-combined int64 sums), the
+    d×d result (2,080 longs for d=64) is collected, and the iteration
+    runs driver-side in exact arbitrary-precision Python integers with a
+    truncating rescale into ``[-rescale, rescale]`` after EVERY multiply.
+    Returns ``(i, v)`` — 1-based coordinate index and the rescaled
+    direction after the last multiply.
+
+    Why this replaces :func:`gram_power_iteration` as the declared form
+    (q_v6): the all-distributed variant keeps ``v1 * rescale`` as an
+    int64 Spark intermediate, which crosses 2^63 near n ≈ 1e4 rows and
+    loud-fails under ANSI. Here the cluster-scale work is only the Gram
+    pass (its own overflow budget holds to ~5e8 unit-norm rows, with the
+    documented decimal(38,0) escape beyond), and every iteration-side
+    intermediate is an unbounded Python int — no domain cliff at any
+    corpus size (tests/test_scale_rehearsal.py runs n >> 1e4). The
+    per-step rescale also bounds the DuckDB oracle's HUGEINT unroll
+    (|G·v| <= d·max|g|·rescale ~ 1e15·n for d=64 unit-norm — 128-bit
+    safe past n = 1e20).
+
+    Exactness: integer multiply + the same sign-split truncating division
+    on both engines, so the result hash-matches the unrolled oracle for
+    any ``iters`` — the k-means/PageRank discipline, applied driver-side.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    rows = gram_matrix(emb, vec_col, id_col).collect()
+    if not rows:
+        raise ValueError("gram_power_driver: empty embedding input")
+    d = max(r["j"] for r in rows)
+    g = [[0] * d for _ in range(d)]
+    for r in rows:
+        g[r["i"] - 1][r["j"] - 1] = r["g"]
+        g[r["j"] - 1][r["i"] - 1] = r["g"]
+
+    def _trunc_div(x: int, s: int) -> int:
+        return -((-x) // s) if x < 0 else x // s
+
+    v = [1] * d
+    for _ in range(iters):
+        v = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+        s = max(max(abs(x) for x in v), 1)
+        v = [_trunc_div(x * rescale, s) for x in v]
+    out = [(i + 1, int(v[i])) for i in range(d)]
+    return spark.createDataFrame(out, "i int, v bigint")
+
+
+def gram_power_driver_oracle_sql(table: str = "embeddings",
+                                 iters: int = 2,
+                                 rescale: int = 1000) -> str:
+    """Unrolled HUGEINT oracle for :func:`gram_power_driver`: ``iters``
+    multiply+rescale rounds as chained CTEs, sign-split ``//`` emulating
+    truncation-toward-zero, same max(·,1) floor on the scale."""
+    gram = gram_matrix_oracle_sql(table)
+    ctes = [f"g AS ({gram})",
+            """full_g AS (
+  SELECT i, j, g FROM g
+  UNION ALL
+  SELECT j AS i, i AS j, g FROM g WHERE i <> j
+)""",
+            "v0 AS (SELECT DISTINCT i, 1::HUGEINT AS vs FROM full_g)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""m{k} AS (
+  SELECT full_g.i, sum(full_g.g::HUGEINT * v{k - 1}.vs)::HUGEINT AS v
+  FROM full_g JOIN v{k - 1} ON v{k - 1}.i = full_g.j
+  GROUP BY full_g.i
+)""")
+        ctes.append(f"s{k} AS (SELECT greatest(max(abs(v)), 1) AS s FROM m{k})")
+        ctes.append(
+            f"""v{k} AS (SELECT i,
+  (CASE WHEN v >= 0 THEN (v * {rescale}) // s
+        ELSE -((-v * {rescale}) // s) END)::HUGEINT AS vs
+  FROM m{k}, s{k})""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT i, vs::BIGINT AS v FROM v{iters} ORDER BY i
+"""
 
 
 def gram_power_iteration_oracle_sql(table: str = "embeddings",
@@ -1031,7 +1122,7 @@ full_g AS (
   SELECT j AS i, i AS j, g FROM g WHERE i <> j
 ),
 v1 AS (SELECT i, sum(g)::HUGEINT AS v1 FROM full_g GROUP BY i),
-s1 AS (SELECT max(abs(v1)) AS s FROM v1),
+s1 AS (SELECT greatest(max(abs(v1)), 1) AS s FROM v1),
 -- sign-split truncation: Spark's div truncates toward zero while
 -- DuckDB's // floors, and row sums CAN be negative
 v1s AS (SELECT i,

@@ -859,7 +859,8 @@ def bpe_segment_oracle_sql(merges: list[tuple[str, str]] | None = None,
     return f"""
 SELECT {id_col},
        len({ws})::BIGINT AS n_words,
-       list_sum(list_transform({ws}, w -> len(string_split({seg}, ' '))))::BIGINT
-         AS n_subwords
+       coalesce(
+         list_sum(list_transform({ws}, w -> len(string_split({seg}, ' ')))), 0
+       )::BIGINT AS n_subwords
 FROM {table} ORDER BY {id_col}
 """

@@ -225,20 +225,31 @@ def claim_table_writer(table_dir, kind: str) -> None:
     lakehouse formats without a lock service take)."""
     from pathlib import Path
 
+    import os
+
     base = Path(table_dir)
     base.mkdir(parents=True, exist_ok=True)
     marker = base / "WRITER"
-    if marker.exists():
-        owner = marker.read_text().strip()
-        if owner != kind:
-            raise ValueError(
-                f"versioned table {table_dir!r} is owned by a {owner!r} "
-                f"writer; committing from a {kind!r} writer would break "
-                "its version numbering/replay contract — use a separate "
-                "table_dir"
-            )
+    # Atomic claim: O_CREAT|O_EXCL means exactly one of two concurrent
+    # first committers creates the marker; the loser falls through to the
+    # owner check below (re-reading what the winner wrote) instead of
+    # both stamping. A lost race between same-kind writers is a no-op.
+    try:
+        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError:
+        pass
     else:
-        marker.write_text(kind)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(kind)
+        return
+    owner = marker.read_text().strip()
+    if owner != kind:
+        raise ValueError(
+            f"versioned table {table_dir!r} is owned by a {owner!r} "
+            f"writer; committing from a {kind!r} writer would break "
+            "its version numbering/replay contract — use a separate "
+            "table_dir"
+        )
 
 
 def commit_table_version(df: DataFrame, table_dir: str, vname: str, *,

@@ -74,3 +74,43 @@ def test_triangle_count_direction_and_dup_insensitive(spark):
     b = {r.node: r.triangles
          for r in triangle_count(spark.createDataFrame(noisy, "src long, dst long")).collect()}
     assert a == b == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_degree_order_equals_id_order(spark):
+    """Triangle counts are orientation-invariant: the degeneracy-ordered
+    default and the id-ordered fallback must agree exactly on a messy
+    pseudo-random graph (hubs, chains, cliques)."""
+    from cassandra_ttl_remover_spark.operators.graph import triangle_count
+
+    edges = []
+    for i in range(400):                       # pseudo-random sprinkle
+        edges.append((i * 7919 % 97, i * 104729 % 97))
+    edges += [(0, i) for i in range(1, 60)]    # hub with lowest id
+    edges += [(a, b) for a in range(90, 96) for b in range(90, 96)]  # clique
+    e = spark.createDataFrame(
+        [r for r in edges if r[0] != r[1]], "src long, dst long"
+    )
+    a = {r.node: r.triangles
+         for r in triangle_count(e, degree_ordered=True).collect()}
+    b = {r.node: r.triangles
+         for r in triangle_count(e, degree_ordered=False).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_degeneracy_order_collapses_hub_outdegree(spark):
+    """The refinement's whole point, asserted directly on the oriented
+    frame: a 1000-leaf star whose hub holds the LOWEST id is the id-order
+    worst case (hub out-degree 1000 -> 1000-choose-2 wedges); under
+    degree order the hub ranks last and its out-degree drops to 0, so the
+    wedge intermediate vanishes."""
+    from cassandra_ttl_remover_spark.operators.graph import oriented_edges
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 1001)], "src long, dst long"
+    )
+    ido = oriented_edges(star, degree_ordered=False)
+    dgo = oriented_edges(star, degree_ordered=True)
+    max_out_id = ido.groupBy("a").count().agg(F.max("count")).first()[0]
+    max_out_dg = dgo.groupBy("a").count().agg(F.max("count")).first()[0]
+    assert max_out_id == 1000
+    assert max_out_dg == 1  # every leaf -> hub; hub emits nothing

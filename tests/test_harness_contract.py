@@ -50,15 +50,24 @@ def test_driver_priority_names_all_resolve():
 
 
 def test_ungraded_families_lead_the_dict():
-    # the driver grades the first ~50 entries per round; rounds 1-2 already
-    # graded the S/T/A/M/W + SQL blocks, so the never-graded families must
-    # occupy the front slots
+    # the driver grades the first ~50 entries per round; rounds 1-3 graded
+    # the S/T/A/M/W + SQL blocks and the pipeline/streaming/multimodal/
+    # vector/session families, so the ROUND-4 front must be: the repaired
+    # q_pipe_curate_lsh slot, every round-3 addition, then the n16-n33
+    # curation tail — none of which have a driver-green row yet
     import __spark_entry__ as entry_mod
 
     first50 = list(entry_mod.queries().keys())[:50]
-    assert first50[0] == "q_x13_array_functions"  # round-2's one red row
-    for prefix in ("q_pipe", "q_st1", "q_st7", "q_mm1", "q_v1", "q_se1", "q_n1_"):
-        assert any(k.startswith(prefix) for k in first50), prefix
+    assert first50[0] == "q_pipe_curate_lsh"  # round-3's one non-green row
+    for probe in ("q_n38_semdedup", "q_g1_pagerank", "q_v6_power_iteration",
+                  "q_w5_time_travel", "q_st14_stream_sliding_window",
+                  "q_n42_bpe_segment", "q_mm7_pgm_decode",
+                  "q_n16_mix_decisions", "q_n29_dedup_vs_corpus"):
+        assert probe in first50, probe
+    # and the already-graded blocks stay OUT of the window this round
+    for graded in ("q_x13_array_functions", "q_st1_stream_strip",
+                   "q_mm1_media_metadata", "q_n1_dedup_last_writer"):
+        assert graded not in first50, graded
 
 
 def test_oracle_keys_subset_of_queries():

@@ -148,3 +148,88 @@ def test_pagerank_hub_graph_completes_exactly(spark):
     # hub after iter2: leaf 0 holds the hub's full initial 1M (received in
     # iter1), the other n-1 leaves hold the 150000 base
     assert got[n] == 150_000 + (85 * ((n - 1) * 150_000 + 1_000_000)) // 100
+
+
+def test_pagerank_100k_edge_hub_broadcasts_ranks_not_edges(spark):
+    """Skewed-PageRank rehearsal at 100k edges: a hub-and-spoke graph
+    (50k leaves each -> hub and hub -> each leaf — the bench graph is
+    near-bipartite and benign; this one is not). Asserts (a) the exact
+    integer fixed point on the hub, (b) the iteration join BROADCASTS the
+    ranks side so the edge frame never shuffles — the plan the 100 TB
+    design document promises below the broadcast_nodes cutover."""
+    import time
+
+    from cassandra_ttl_remover_spark.operators.graph import pagerank
+    from cassandra_ttl_remover_spark.plans import formatted_plan
+
+    n = 50_000
+    leaves = spark.range(1, n + 1)
+    edges = (
+        leaves.select(F.col("id").alias("src"), F.lit(0).alias("dst"))
+        .unionAll(leaves.select(F.lit(0).alias("src"), F.col("id").alias("dst")))
+    )
+    t0 = time.monotonic()
+    # checkpoint=False keeps the nested 2-iteration plan visible for the
+    # broadcast assertion (the default lazily checkpoints each iteration,
+    # which collapses the plan to an opaque ExistingRDD scan)
+    ranks = pagerank(edges, iters=2, checkpoint=False)
+    plan = formatted_plan(ranks)
+    got = {r.node: r.rank for r in ranks.collect()}
+    wall = time.monotonic() - t0
+    # exact integer fixed point: hub receives every leaf's full rank each
+    # iteration (leaf outdeg 1); leaves split the hub's rank n ways
+    hub1 = 150_000 + (85 * (n * 1_000_000)) // 100
+    leaf1 = 150_000 + (85 * (1_000_000 // n)) // 100
+    assert got[0] == 150_000 + (85 * n * leaf1) // 100
+    assert got[1] == 150_000 + (85 * (hub1 // n)) // 100
+    # ranks side broadcast in the final iteration's join: the plan shows a
+    # BroadcastHashJoin and no SortMergeJoin anywhere in the loop body
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # 2 iterations over 100k edges is seconds, not minutes, on local[*]
+    assert wall < 120, f"pagerank hub rehearsal took {wall:.0f}s"
+
+
+def test_gram_power_driver_survives_n_much_greater_1e4(spark):
+    """The q_v6 reshape's reason to exist: the all-distributed integer
+    form overflows int64 near n=1e4 rows; the collect-Gram +
+    driver-eigensolver form must sail past that. 50k synthetic d=8
+    vectors (n >> 1e4), exact integer result checked against a numpy
+    recomputation of the same truncating iteration."""
+    import numpy as np
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        gram_power_driver,
+    )
+
+    n, d = 50_000, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), k -> "
+            "cast(0.1 * cast((id * 31 + k * 17) % 11 - 5 as double) as float))"
+        ).alias("embedding"),
+    )
+    got = {r.i: r.v for r in gram_power_driver(spark, emb, iters=2).collect()}
+    # numpy replica in object (unbounded int) dtype, same truncation rule
+    ids = np.arange(n, dtype=np.int64)
+    x = np.empty((n, d), dtype=object)
+    for k in range(d):
+        # quantized exactly as QVEC_EXPR: round(v * 1e6) of the float32
+        col = (0.1 * (((ids * 31 + k * 17) % 11) - 5).astype(np.float32))
+        x[:, k] = [int(round(float(np.float32(v)) * 1_000_000)) for v in col]
+    g = x.T @ x
+    v = np.array([1] * d, dtype=object)
+    for _ in range(2):
+        v = g @ v
+        s = max(max(abs(int(t)) for t in v), 1)
+        v = np.array(
+            [-((-int(t) * 1000) // s) if t < 0 else (int(t) * 1000) // s
+             for t in v],
+            dtype=object,
+        )
+    want = {i + 1: int(v[i]) for i in range(d)}
+    assert got == want
+    # and the magnitude really did cross int64 territory upstream:
+    # the UNRESCALED second multiply would not have fit a long
+    assert any(abs(int(t)) for t in g @ (g @ np.array([1] * d, dtype=object)))
