@@ -266,6 +266,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # repaired err-slot: invariant certificate, hash-matchable now
     "q_pipe_curate_lsh",
+    # new round-4 additions: graded immediately
+    "q_mm8_ppm_decode",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -2310,6 +2312,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pgm_decode_features(media)
     q["q_mm7_pgm_decode"] = q_mm7
 
+    def q_mm8(spark, sf):
+        # REAL COLOR image decode end-to-end: documents -> genuine P6 PPM
+        # bytes (header + interleaved RGB raster) -> strict parser
+        # recovers dimensions + exact PER-CHANNEL pixel sums; the oracle
+        # recomputes every number from the source text (byte k -> channel
+        # k mod 3). With q_mm6 (WAV) and q_mm7 (PGM) this makes three
+        # real decoders; JPEG/MP4 stay the documented stub boundary.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_ppm,
+            ppm_decode_features,
+        )
+
+        media = documents_as_ppm(scan_table(spark, sf, "documents"), width=16)
+        return ppm_decode_features(media)
+    q["q_mm8_ppm_decode"] = q_mm8
+
     def q_d1(spark, sf):
         # snapshot diff: vs the base run, every 7th event removed, every
         # 5th surviving value bumped, a shifted copy added — one full-outer
@@ -3007,6 +3025,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_mm6_wav_decode"] = multimodal.wav_decode_oracle_sql()
 
     o["q_mm7_pgm_decode"] = multimodal.pgm_decode_oracle_sql(width=32)
+    o["q_mm8_ppm_decode"] = multimodal.ppm_decode_oracle_sql(width=16)
 
     o["q_st11_stream_interval_join"] = """
         SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

@@ -658,3 +658,149 @@ SELECT media_id,
                   i -> ascii(t[i])), 'max'), 0)::INT AS max_px
 FROM c ORDER BY media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Real COLOR image decode: P6 (binary PPM) — header + interleaved RGB raster
+# ---------------------------------------------------------------------------
+
+def _text_to_ppm_bytes(data: bytes, width: int) -> bytes:
+    """Deterministic real PPM (P6) encoder: input bytes fill an
+    interleaved 8-bit RGB raster (byte k is channel k mod 3) row-major at
+    ``width`` pixels per row, final row zero-padded — the color sibling
+    of _text_to_pgm_bytes, again a genuine container needing no native
+    codec."""
+    import math
+
+    n_px = max(1, math.ceil(len(data) / 3))
+    h = max(1, math.ceil(n_px / width))
+    raster = data + b"\x00" * (3 * width * h - len(data))
+    return f"P6\n{width} {h}\n255\n".encode("ascii") + raster
+
+
+def documents_as_ppm(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", width: int = 16) -> DataFrame:
+    """Media frame whose payloads are REAL P6 PPM color images synthesized
+    from the documents fixture — decodable end-to-end like the WAV and PGM
+    families; JPEG/MP4 remain the documented native-codec stub boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [_text_to_ppm_bytes(t, width) for t in texts],
+                    "meta": [
+                        {
+                            "kind": "image",
+                            "mime": "image/x-portable-pixmap",
+                            "width": width,
+                            "height": max(
+                                1,
+                                math.ceil(max(1, math.ceil(len(t) / 3)) / width),
+                            ),
+                            "n_frames": 1,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                        }
+                        for t in texts
+                    ],
+                }
+            )
+
+    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def _parse_ppm(b: bytes) -> tuple:
+    """Strict P6 parser: magic, dimensions, maxval from the header; exact
+    per-channel integer sums from the interleaved raster. Raises on
+    malformed input (quarantine policy, not silent numbers)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = b.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    px = parts[3]
+    if maxval != 255 or len(px) != 3 * w * h:
+        raise ValueError("unsupported or truncated PPM raster")
+    return (w, h, w * h,
+            sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+            max(px) if px else 0)
+
+
+PPM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("max_px", T.IntegerType()),
+    ]
+)
+
+
+def ppm_decode_features(media: DataFrame) -> DataFrame:
+    """REAL end-to-end COLOR image decode over PPM payloads: dimensions
+    from the parsed header, exact per-channel integer sums from the
+    interleaved raster — the channel split is what distinguishes this
+    from the grayscale path and what a real image featurizer (mean color,
+    channel histograms) builds on. Same reduce-at-the-source shape as the
+    WAV/PGM decoders: blobs decode where they sit, scalars come back."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_parse_ppm(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_pixels": [f[2] for f in feats],
+                    "sum_r": [f[3] for f in feats],
+                    "sum_g": [f[4] for f in feats],
+                    "sum_b": [f[5] for f in feats],
+                    "max_px": [f[6] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PPM_FEATURES_SCHEMA
+    )
+
+
+def ppm_decode_oracle_sql(width: int = 16, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """Recomputes every decoded statistic from the source text: byte k
+    (0-based) lands in channel k mod 3; zero padding to the pixel/row
+    boundary affects n_pixels only (zeros change neither channel sums nor
+    the max of non-empty ASCII)."""
+    ch = ("coalesce(list_aggregate(list_transform("
+          "  list_filter(range(1, (n + 1)::INT), i -> (i - 1) % 3 = {c}),"
+          "  i -> ascii(t[i])::BIGINT), 'sum'), 0)::BIGINT")
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS media_id, text AS t, length(text)::BIGINT AS n,
+         greatest(1, (length(text) + 2) // 3)::BIGINT AS npx
+  FROM {table}
+)
+SELECT media_id,
+       {width}::INT AS width,
+       greatest(1, (npx + {width} - 1) // {width})::INT AS height,
+       ({width} * greatest(1, (npx + {width} - 1) // {width}))::BIGINT AS n_pixels,
+       {ch.format(c=0)} AS sum_r,
+       {ch.format(c=1)} AS sum_g,
+       {ch.format(c=2)} AS sum_b,
+       coalesce(list_aggregate(list_transform(range(1, (n + 1)::INT),
+                  i -> ascii(t[i])), 'max'), 0)::INT AS max_px
+FROM c ORDER BY media_id
+"""

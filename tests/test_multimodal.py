@@ -228,3 +228,57 @@ def test_decode_stub_real_pgm_branch(spark):
     feats = decode_stub(_text_to_pgm_bytes(b"abc", 2), {}, fake=False)
     assert feats[:4] == [2.0, 2.0, 1.0, 4.0]
     assert feats[5] == float(sum(b"abc"))
+
+
+def test_ppm_roundtrip_exact(spark):
+    """P6 encode -> strict parse recovers dimensions and exact per-channel
+    sums; padding affects n_pixels only."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_ppm,
+        _text_to_ppm_bytes,
+    )
+
+    data = b"hello world"  # 11 bytes -> 4 pixels
+    b = _text_to_ppm_bytes(data, width=3)
+    w, h, n, sr, sg, sb, mx = _parse_ppm(b)
+    assert (w, h, n) == (3, 2, 6)
+    assert sr == sum(data[0::3])
+    assert sg == sum(data[1::3])
+    assert sb == sum(data[2::3])
+    assert mx == max(data)
+    # empty payload: one zero pixel row
+    w, h, n, sr, sg, sb, mx = _parse_ppm(_text_to_ppm_bytes(b"", width=3))
+    assert (w, h, n, sr, sg, sb, mx) == (3, 1, 3, 0, 0, 0, 0)
+
+
+def test_ppm_parser_rejects_corrupt(spark):
+    import pytest as _pytest
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_ppm,
+        _text_to_ppm_bytes,
+    )
+
+    good = _text_to_ppm_bytes(b"abcdef", width=2)
+    with _pytest.raises(ValueError):
+        _parse_ppm(good[:-1])  # truncated raster
+    with _pytest.raises(ValueError):
+        _parse_ppm(b"P5" + good[2:])  # wrong magic
+
+
+def test_ppm_decode_features_frame(spark):
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        documents_as_ppm,
+        ppm_decode_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "x" * 100)], "doc_id long, text string"
+    )
+    got = {r.media_id: r for r in
+           ppm_decode_features(documents_as_ppm(docs, width=4)).collect()}
+    assert got[1].n_pixels == 4 and got[1].sum_r == ord("a") + 0
+    assert got[2].n_pixels == 4 and (got[2].sum_r, got[2].max_px) == (0, 0)
+    # 100 bytes -> 34 pixels -> ceil(34/4)=9 rows
+    assert (got[3].width, got[3].height, got[3].n_pixels) == (4, 9, 36)
+    assert got[3].sum_r == ord("x") * 34  # bytes 0,3,...,99 -> 34 of them
