@@ -268,6 +268,8 @@ _DRIVER_PRIORITY = [
     "q_pipe_curate_lsh",
     # new round-4 additions: graded immediately
     "q_mm8_ppm_decode",
+    "q_s7_sstable_scan",
+    "q_s8_sstable_strip",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -2328,6 +2330,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ppm_decode_features(media)
     q["q_mm8_ppm_decode"] = q_mm8
 
+    def q_s7(spark, sf):
+        # REAL binary-format scan — the reference's native surface
+        # (Data.db/Index.db + per-cell mask decode, NoTTLScanner.java:32,
+        # NoTTLColumnSerializer.java:24-51) implemented as a Spark Python
+        # DataSource over the simple-cell subset: the planner reads only
+        # the index and cuts contiguous Data.db byte ranges, one seek per
+        # task. The fixture is generated deterministically from events
+        # parquet, so every decoded cell row hash-checks against a DuckDB
+        # recomputation — a full binary write->parallel-scan->value-match
+        # loop.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sst_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, out)
+        return ss.scan_sstable(spark, out, num_splits=8)
+    q["q_s7_sstable_scan"] = q_s7
+
+    def q_s8(spark, sf):
+        # the reference's CORE e2e on its own format: scan the binary
+        # SSTable, strip TTL (expiring cell -> normal cell, ttl/expiration
+        # dropped, writetime/value untouched — Cassandra3TTLRemover's
+        # whole job) as a pure zero-shuffle projection over the cell frame
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sst_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, out)
+        return ss.strip_ttl_cells(ss.scan_sstable(spark, out, num_splits=8))
+    q["q_s8_sstable_strip"] = q_s8
+
     def q_d1(spark, sf):
         # snapshot diff: vs the base run, every 7th event removed, every
         # 5th surviving value bumped, a shifted copy added — one full-outer
@@ -3026,6 +3061,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 
     o["q_mm7_pgm_decode"] = multimodal.pgm_decode_oracle_sql(width=32)
     o["q_mm8_ppm_decode"] = multimodal.ppm_decode_oracle_sql(width=16)
+    from cassandra_ttl_remover_spark.sources import sstable as _ss
+    o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()
+    o["q_s8_sstable_strip"] = f"""
+SELECT pk, cell,
+       CASE WHEN kind = 'expiring' THEN 'normal' ELSE kind END AS kind,
+       CASE WHEN kind = 'expiring' THEN NULL ELSE ttl END::BIGINT AS ttl,
+       CASE WHEN kind = 'expiring' THEN NULL ELSE expiration END::BIGINT
+         AS expiration,
+       writetime, value
+FROM ({_ss.sstable_scan_oracle_sql()})
+"""
 
     o["q_st11_stream_interval_join"] = """
         SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

@@ -1,0 +1,130 @@
+"""Simple-cell SSTable source: binary write -> parallel scan roundtrip,
+split planning, decode-subset enforcement, and the TTL-strip transform on
+the native format (the reference's core e2e —
+cassandra-2/.../NoTTLColumnSerializer.java:24-51 decode dispatch)."""
+
+import os
+import shutil
+import struct
+import tempfile
+import uuid
+
+import pytest
+
+from cassandra_ttl_remover_spark.sources import sstable as ss
+
+
+def _tmpdir():
+    return os.path.join(tempfile.gettempdir(), f"sst_{uuid.uuid4().hex[:8]}")
+
+
+def _mixed_partitions():
+    return [
+        (b"u2", [
+            (b"c1", ss.EXPIRATION_MASK, 600, 1_700_000_600, 1_700_000_000_000_000, b"v1"),
+            (b"c2", 0, 0, 0, 1_700_000_000_000_001, b"v2"),
+        ]),
+        (b"u1", [
+            (b"c1", ss.DELETION_MASK, 0, 0, 1_700_000_000_000_002,
+             struct.pack(">i", 1_700_000_000)),
+        ]),
+        (b"u3", []),
+    ]
+
+
+def test_write_scan_roundtrip_all_kinds(spark):
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), out)
+    rows = sorted(
+        tuple(r) for r in ss.scan_sstable(spark, out, num_splits=4).collect()
+    )
+    assert rows == [
+        ("u1", "c1", "tombstone", None, 1_700_000_000, 1_700_000_000_000_002, None),
+        ("u2", "c1", "expiring", 600, 1_700_000_600, 1_700_000_000_000_000, "v1"),
+        ("u2", "c2", "normal", None, None, 1_700_000_000_000_001, "v2"),
+    ]
+    shutil.rmtree(out)
+
+
+def test_writer_sorts_partitions_by_key_bytes():
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), out)
+    keys = [k for k, _ in ss.read_index(os.path.join(out, "Index.db"))]
+    assert keys == sorted(keys) == [b"u1", b"u2", b"u3"]
+    shutil.rmtree(out)
+
+
+def test_splits_snap_to_partition_starts_and_cover_all(spark):
+    """Every split boundary is a real partition offset from the index, so
+    no decode ever starts mid-record; rows are produced exactly once for
+    any split count (1, equal to, and far above the partition count)."""
+    out = _tmpdir()
+    parts = [(f"k{i:04d}".encode(),
+              [(b"c", 0, 0, 0, i, str(i).encode())]) for i in range(37)]
+    ss.write_sstable(parts, out)
+    want = sorted((f"k{i:04d}", str(i)) for i in range(37))
+    for n in (1, 5, 37, 200):
+        got = sorted(
+            (r.pk, r.value)
+            for r in ss.scan_sstable(spark, out, num_splits=n).collect()
+        )
+        assert got == want, n
+    shutil.rmtree(out)
+
+
+def test_unsupported_mask_and_partition_deletion_fail_loud(spark):
+    out = _tmpdir()
+    ss.write_sstable(
+        [(b"k", [(b"c", 0x04, 0, 0, 1, b"v")])], out  # counter mask
+    )
+    with pytest.raises(Exception, match="simple-cell subset"):
+        list(ss.scan_data_range(os.path.join(out, "Data.db"), 0, 10**9))
+    shutil.rmtree(out)
+
+
+def test_empty_table_scans_to_zero_rows(spark):
+    out = _tmpdir()
+    ss.write_sstable([], out)
+    assert ss.scan_sstable(spark, out).count() == 0
+    shutil.rmtree(out)
+
+
+def test_strip_ttl_cells_is_the_reference_transform(spark):
+    """Expiring -> normal with ttl/expiration dropped; writetime, value,
+    tombstones, and normal cells byte-identical — the exact contract of
+    the reference's rewrite loop."""
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), out)
+    cells = ss.scan_sstable(spark, out, num_splits=2)
+    stripped = sorted(tuple(r) for r in ss.strip_ttl_cells(cells).collect())
+    assert stripped == [
+        ("u1", "c1", "tombstone", None, 1_700_000_000, 1_700_000_000_000_002, None),
+        ("u2", "c1", "normal", None, None, 1_700_000_000_000_000, "v1"),
+        ("u2", "c2", "normal", None, None, 1_700_000_000_000_001, "v2"),
+    ]
+    # and no expiring cell survives anywhere
+    assert ss.strip_ttl_cells(cells).filter("kind = 'expiring'").count() == 0
+    shutil.rmtree(out)
+
+
+def test_events_fixture_scan_matches_duckdb_oracle(spark):
+    """Miniature of the driver gate: generate the fixture at sf0.001,
+    scan the binary, and value-match the SQL recomputation."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    out = _tmpdir()
+    ss.events_sstable_fixture(spark, SF_DIR, out)
+    got = sorted(
+        tuple(r) for r in ss.scan_sstable(spark, out, num_splits=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(ss.sstable_scan_oracle_sql()).fetchall())
+    assert got == want and len(got) == 3000
+    shutil.rmtree(out)
