@@ -270,6 +270,7 @@ _DRIVER_PRIORITY = [
     "q_mm8_ppm_decode",
     "q_s7_sstable_scan",
     "q_s8_sstable_strip",
+    "q_s9_sstable_range_lookup",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -2363,6 +2364,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.strip_ttl_cells(ss.scan_sstable(spark, out, num_splits=8))
     q["q_s8_sstable_strip"] = q_s8
 
+    def q_s9(spark, sf):
+        # index-driven key-range scan on the BINARY format (S3 semantics
+        # on the reference's own surface): the planner binary-searches
+        # Index.db for the ['1','2') key-byte run and tasks read only that
+        # contiguous Data.db window — the reference scanner's
+        # seek-to-partition path (NoTTLScanner.java:47-64) generalized to
+        # a range. Keys are decimal user ids, so the range selects every
+        # user id whose ascii form starts with '1' at any SF.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sst_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, out)
+        return ss.scan_sstable(spark, out, num_splits=4,
+                               key_start="1", key_stop="2")
+    q["q_s9_sstable_range_lookup"] = q_s9
+
     def q_d1(spark, sf):
         # snapshot diff: vs the base run, every 7th event removed, every
         # 5th surviving value bumped, a shifted copy added — one full-outer
@@ -3071,6 +3090,10 @@ SELECT pk, cell,
          AS expiration,
        writetime, value
 FROM ({_ss.sstable_scan_oracle_sql()})
+"""
+    o["q_s9_sstable_range_lookup"] = f"""
+SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
+WHERE pk >= '1' AND pk < '2'
 """
 
     o["q_st11_stream_interval_join"] = """

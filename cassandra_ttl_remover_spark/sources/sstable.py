@@ -99,6 +99,33 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str) -> None:
 # low-level decode
 # ---------------------------------------------------------------------------
 
+def select_index_range(
+    entries: list[tuple[bytes, int]],
+    data_size: int,
+    key_start: bytes | None = None,
+    key_stop: bytes | None = None,
+) -> tuple[int, int, int]:
+    """Index-driven key-range pruning — the planner-side analog of the
+    reference scanner's seek-to-partition path (NoTTLScanner.java:47-64
+    positions the data file at an index-resolved offset instead of
+    scanning from byte 0). Entries are in key-BYTE order (writer
+    invariant), so the partitions with ``key_start <= key < key_stop``
+    form one contiguous run: binary-search both bounds and return
+    ``(lo_entry, byte_start, byte_end)``. A point lookup is the
+    degenerate run of one; bytes outside the run are never read."""
+    import bisect
+
+    keys = [k for k, _ in entries]
+    lo = 0 if key_start is None else bisect.bisect_left(keys, key_start)
+    hi = len(entries) if key_stop is None else bisect.bisect_left(
+        keys, key_stop)
+    if lo >= hi:
+        return (lo, 0, 0)
+    byte_start = entries[lo][1]
+    byte_end = entries[hi][1] if hi < len(entries) else data_size
+    return (lo, byte_start, byte_end)
+
+
 def read_index(index_path: str) -> list[tuple[bytes, int]]:
     """The planner's only I/O: ``[(key, Data.db offset), …]`` in file
     order (== key-byte order, by the writer invariant)."""
@@ -193,22 +220,37 @@ def _make_datasource_cls():
             if not self.path:
                 raise ValueError("sstable_simple requires option 'path'")
             self.num_splits = int(options.get("num_splits", "8"))
+            ks = options.get("key_start")
+            kp = options.get("key_stop")
+            self.key_start = ks.encode("utf-8") if ks is not None else None
+            self.key_stop = kp.encode("utf-8") if kp is not None else None
 
         def partitions(self):
             data_path = os.path.join(self.path, "Data.db")
             entries = read_index(os.path.join(self.path, "Index.db"))
             size = os.path.getsize(data_path)
-            if not entries:
+            # key-range pushdown: prune to the contiguous index run first
+            # (point lookup == a one-partition run), THEN parallelize —
+            # tasks collectively read only the selected partitions' bytes
+            lo, byte_start, byte_end = select_index_range(
+                entries, size, self.key_start, self.key_stop
+            )
+            if byte_start >= byte_end:
                 return [_Split(data_path, 0, 0)]
-            n = min(self.num_splits, len(entries))
+            hi = lo + 1
+            while hi < len(entries) and entries[hi][1] < byte_end:
+                hi += 1
+            selected = entries[lo:hi]
+            n = min(self.num_splits, len(selected))
             # contiguous partition-count slices; boundaries snap to real
             # partition starts from the index, so splits never bisect a
             # partition record
-            per = (len(entries) + n - 1) // n
+            per = (len(selected) + n - 1) // n
             splits = []
-            for s in range(0, len(entries), per):
-                start = entries[s][1]
-                end = entries[s + per][1] if s + per < len(entries) else size
+            for s in range(0, len(selected), per):
+                start = selected[s][1]
+                end = (selected[s + per][1] if s + per < len(selected)
+                       else byte_end)
                 splits.append(_Split(data_path, start, end))
             return splits
 
@@ -246,16 +288,33 @@ def register_sstable_source(spark) -> None:
     spark.dataSource.register(_DS_CLS)
 
 
-def scan_sstable(spark, path: str, num_splits: int = 8):
+def scan_sstable(spark, path: str, num_splits: int = 8,
+                 key_start: str | None = None,
+                 key_stop: str | None = None):
     """Parallel scan of a simple-cell SSTable directory into flat cell
-    rows."""
+    rows. ``key_start``/``key_stop`` (byte-order half-open range over the
+    partition key) push pruning into the PLANNER via the index — the S3/S4
+    scan semantics on the binary format: only the selected partitions'
+    Data.db bytes are ever read."""
     register_sstable_source(spark)
-    return (
+    r = (
         spark.read.format("sstable_simple")
         .option("path", path)
         .option("num_splits", str(num_splits))
-        .load()
     )
+    if key_start is not None:
+        r = r.option("key_start", key_start)
+    if key_stop is not None:
+        r = r.option("key_stop", key_stop)
+    return r.load()
+
+
+def lookup_partition(spark, path: str, key: str):
+    """Point lookup of one partition by key — an index binary search plus a
+    single seek-and-decode task (the reference's per-partition access
+    path). Implemented as the degenerate one-key range."""
+    return scan_sstable(spark, path, num_splits=1,
+                        key_start=key, key_stop=key + "\x00")
 
 
 # ---------------------------------------------------------------------------

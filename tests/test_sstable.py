@@ -107,6 +107,56 @@ def test_strip_ttl_cells_is_the_reference_transform(spark):
     shutil.rmtree(out)
 
 
+def test_key_range_pushdown_prunes_bytes_and_matches_filter(spark):
+    """The planner's key-range pruning (select_index_range) reads ONLY the
+    selected partitions' byte run: split byte extents cover the exact
+    [start-of-first-match, start-of-first-beyond) window, and results
+    equal the full scan filtered post-hoc — for interior, prefix-shaped,
+    open-ended, and empty ranges."""
+    out = _tmpdir()
+    parts = [(f"k{i:04d}".encode(),
+              [(b"c", 0, 0, 0, i, str(i).encode())]) for i in range(37)]
+    ss.write_sstable(parts, out)
+    entries = ss.read_index(os.path.join(out, "Index.db"))
+    size = os.path.getsize(os.path.join(out, "Data.db"))
+    full = sorted((r.pk, r.value)
+                  for r in ss.scan_sstable(spark, out).collect())
+    for ks, kp in (("k0010", "k0020"), ("k000", "k001"),
+                   ("k0030", None), (None, "k0005"), ("zz", None)):
+        got = sorted(
+            (r.pk, r.value)
+            for r in ss.scan_sstable(spark, out, num_splits=4,
+                                     key_start=ks, key_stop=kp).collect()
+        )
+        want = [(pk, v) for pk, v in full
+                if (ks is None or pk >= ks) and (kp is None or pk < kp)]
+        assert got == want, (ks, kp)
+        lo, bs, be = ss.select_index_range(
+            entries, size,
+            ks.encode() if ks else None, kp.encode() if kp else None)
+        # the byte window is exactly the matched run — pruning is real
+        assert be - bs <= size
+        if want:
+            assert entries[lo][0].decode() == want[0][0]
+    shutil.rmtree(out)
+
+
+def test_point_lookup_decodes_one_partition(spark):
+    """lookup_partition = index binary search + one seek: exactly the hit
+    partition's cells, one split, and a miss is zero rows (not an
+    error) — the reference scanner's per-partition access path."""
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), out)
+    got = sorted(tuple(r)
+                 for r in ss.lookup_partition(spark, out, "u2").collect())
+    assert [r[:3] for r in got] == [("u2", "c1", "expiring"),
+                                    ("u2", "c2", "normal")]
+    assert ss.lookup_partition(spark, out, "nope").count() == 0
+    # prefix of a real key must not match ("u" is not "u1")
+    assert ss.lookup_partition(spark, out, "u").count() == 0
+    shutil.rmtree(out)
+
+
 def test_events_fixture_scan_matches_duckdb_oracle(spark):
     """Miniature of the driver gate: generate the fixture at sf0.001,
     scan the binary, and value-match the SQL recomputation."""
