@@ -271,6 +271,7 @@ _DRIVER_PRIORITY = [
     "q_s7_sstable_scan",
     "q_s8_sstable_strip",
     "q_s9_sstable_range_lookup",
+    "q_s10_sstable_write_roundtrip",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -2382,6 +2383,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                key_start="1", key_stop="2")
     q["q_s9_sstable_range_lookup"] = q_s9
 
+    def q_s10(spark, sf):
+        # the reference job's FULL e2e on its native format, distributed:
+        # scan binary SSTable -> strip TTL -> range-partitioned sharded
+        # SSTable WRITE (one sorted Data.db/Index.db per task, the output
+        # side of Cassandra3TTLRemover) -> rescan the shard directory.
+        # The returned frame is the post-roundtrip state, so the oracle
+        # certifies write+rescan byte-fidelity, not just the transform.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sst_{uuid.uuid4().hex[:8]}"
+        )
+        src, dst = base + "_src", base + "_out"
+        ss.events_sstable_fixture(spark, sf, src)
+        stripped = ss.strip_ttl_cells(ss.scan_sstable(spark, src))
+        ss.write_sstable_distributed(stripped, dst, shards=4)
+        return ss.scan_sstable(spark, dst, num_splits=8)
+    q["q_s10_sstable_write_roundtrip"] = q_s10
+
     def q_d1(spark, sf):
         # snapshot diff: vs the base run, every 7th event removed, every
         # 5th surviving value bumped, a shifted copy added — one full-outer
@@ -3095,6 +3115,7 @@ FROM ({_ss.sstable_scan_oracle_sql()})
 SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
 WHERE pk >= '1' AND pk < '2'
 """
+    o["q_s10_sstable_write_roundtrip"] = o["q_s8_sstable_strip"]
 
     o["q_st11_stream_interval_join"] = """
         SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

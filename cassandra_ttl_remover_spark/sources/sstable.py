@@ -225,34 +225,54 @@ def _make_datasource_cls():
             self.key_start = ks.encode("utf-8") if ks is not None else None
             self.key_stop = kp.encode("utf-8") if kp is not None else None
 
-        def partitions(self):
-            data_path = os.path.join(self.path, "Data.db")
-            entries = read_index(os.path.join(self.path, "Index.db"))
-            size = os.path.getsize(data_path)
-            # key-range pushdown: prune to the contiguous index run first
-            # (point lookup == a one-partition run), THEN parallelize —
-            # tasks collectively read only the selected partitions' bytes
-            lo, byte_start, byte_end = select_index_range(
-                entries, size, self.key_start, self.key_stop
+        def _table_dirs(self):
+            # a path is either ONE sstable (Data.db directly inside) or a
+            # directory of shard sstables (the distributed writer's
+            # layout, == a Cassandra data directory of generations)
+            if os.path.exists(os.path.join(self.path, "Data.db")):
+                return [self.path]
+            subs = sorted(
+                os.path.join(self.path, d)
+                for d in os.listdir(self.path)
+                if os.path.exists(os.path.join(self.path, d, "Data.db"))
             )
-            if byte_start >= byte_end:
-                return [_Split(data_path, 0, 0)]
-            hi = lo + 1
-            while hi < len(entries) and entries[hi][1] < byte_end:
-                hi += 1
-            selected = entries[lo:hi]
-            n = min(self.num_splits, len(selected))
-            # contiguous partition-count slices; boundaries snap to real
-            # partition starts from the index, so splits never bisect a
-            # partition record
-            per = (len(selected) + n - 1) // n
+            if not subs:
+                raise ValueError(
+                    f"no Data.db under {self.path} or its subdirectories"
+                )
+            return subs
+
+        def partitions(self):
             splits = []
-            for s in range(0, len(selected), per):
-                start = selected[s][1]
-                end = (selected[s + per][1] if s + per < len(selected)
-                       else byte_end)
-                splits.append(_Split(data_path, start, end))
-            return splits
+            for table in self._table_dirs():
+                data_path = os.path.join(table, "Data.db")
+                entries = read_index(os.path.join(table, "Index.db"))
+                size = os.path.getsize(data_path)
+                # key-range pushdown: prune to the contiguous index run
+                # first (point lookup == a one-partition run), THEN
+                # parallelize — tasks collectively read only the selected
+                # partitions' bytes
+                lo, byte_start, byte_end = select_index_range(
+                    entries, size, self.key_start, self.key_stop
+                )
+                if byte_start >= byte_end:
+                    continue
+                hi = lo + 1
+                while hi < len(entries) and entries[hi][1] < byte_end:
+                    hi += 1
+                selected = entries[lo:hi]
+                n = min(self.num_splits, len(selected))
+                # contiguous partition-count slices; boundaries snap to
+                # real partition starts from the index, so splits never
+                # bisect a partition record
+                per = (len(selected) + n - 1) // n
+                for s in range(0, len(selected), per):
+                    start = selected[s][1]
+                    end = (selected[s + per][1] if s + per < len(selected)
+                           else byte_end)
+                    splits.append(_Split(data_path, start, end))
+            return splits or [_Split(os.path.join(self._table_dirs()[0],
+                                                  "Data.db"), 0, 0)]
 
         def read(self, partition):
             yield from scan_data_range(
@@ -315,6 +335,76 @@ def lookup_partition(spark, path: str, key: str):
     path). Implemented as the degenerate one-key range."""
     return scan_sstable(spark, path, num_splits=1,
                         key_start=key, key_stop=key + "\x00")
+
+
+# ---------------------------------------------------------------------------
+# distributed sink: cell frame -> sharded SSTables
+# ---------------------------------------------------------------------------
+
+def write_sstable_distributed(cells, out_dir: str, shards: int = 4):
+    """Distributed SSTable SINK — the reference job's OUTPUT side
+    (Cassandra3TTLRemover writes stripped SSTables back to disk;
+    NoTTLWriter in the patched stack). A cell frame in
+    :data:`SSTABLE_SCHEMA` shape range-partitions on ``pk`` (every cell
+    of a partition lands in ONE shard and shard key ranges don't
+    overlap — the sorted-run invariant across files), sorts within each
+    task, and each task encodes ONE sstable (``Data.db`` + ``Index.db``)
+    under ``out_dir/shard=NNNNN``. Exactly one shuffle; the per-task
+    encode is the byte-level inverse of :func:`scan_data_range`, so
+    write->scan roundtrips bit-faithfully. On a cluster each task would
+    PUT its shard to object storage — the same one-file-per-task shape
+    as ``sinks/writer.write_sorted`` uses for parquet.
+
+    Eagerly executes and returns the shard report rows
+    ``(shard, n_partitions, n_cells)`` (bounded: one per shard)."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts: dict[bytes, list] = {}
+        n = 0
+        for pdf in batches:
+            for pk, cell, kind, ttl, exp, wt, val in pdf[
+                ["pk", "cell", "kind", "ttl", "expiration",
+                 "writetime", "value"]
+            ].itertuples(index=False):
+                name = str(cell).encode()
+                if kind == "expiring":
+                    c = (name, EXPIRATION_MASK, int(ttl), int(exp),
+                         int(wt), str(val).encode())
+                elif kind == "tombstone":
+                    c = (name, DELETION_MASK, 0, 0, int(wt),
+                         struct.pack(">i", int(exp)))
+                elif kind == "normal":
+                    c = (name, 0, 0, 0, int(wt), str(val).encode())
+                else:
+                    raise ValueError(
+                        f"cell kind {kind!r} is outside the simple-cell "
+                        "subset"
+                    )
+                parts.setdefault(str(pk).encode(), []).append(c)
+                n += 1
+        if parts:
+            shard = f"shard={pid:05d}"
+            write_sstable(parts.items(), os.path.join(out_dir, shard))
+            yield pd.DataFrame(
+                {"shard": [shard], "n_partitions": [len(parts)],
+                 "n_cells": [n]}
+            )
+
+    report = (
+        cells.repartitionByRange(shards, "pk")
+        .sortWithinPartitions("pk", "cell")
+        .mapInPandas(
+            _encode,
+            schema="shard string, n_partitions bigint, n_cells bigint",
+        )
+    )
+    return report.collect()
 
 
 # ---------------------------------------------------------------------------

@@ -157,6 +157,41 @@ def test_point_lookup_decodes_one_partition(spark):
     shutil.rmtree(out)
 
 
+def test_distributed_write_scan_roundtrip(spark):
+    """The reference job's full e2e on the native format: scan -> strip ->
+    DISTRIBUTED sharded write -> rescan. Every cell byte-roundtrips, each
+    shard is a sorted sstable with non-overlapping key ranges, and the
+    multi-shard scan prunes by key across shards."""
+    src, dst = _tmpdir(), _tmpdir()
+    parts = [(f"k{i:04d}".encode(),
+              [(b"a", ss.EXPIRATION_MASK, 60, 1_700_000_060,
+                1_000 + i, str(i).encode()),
+               (b"b", 0, 0, 0, 2_000 + i, f"x{i}".encode())])
+             for i in range(23)]
+    ss.write_sstable(parts, src)
+    stripped = ss.strip_ttl_cells(ss.scan_sstable(spark, src))
+    report = ss.write_sstable_distributed(stripped, dst, shards=4)
+    assert sum(r.n_cells for r in report) == 46
+    assert 1 < len(report) <= 4
+    # shard key ranges must not overlap (global sorted-run invariant)
+    ranges = []
+    for r in sorted(rr.shard for rr in report):
+        keys = [k for k, _ in
+                ss.read_index(os.path.join(dst, r, "Index.db"))]
+        assert keys == sorted(keys)
+        ranges.append((keys[0], keys[-1]))
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    back = sorted(tuple(r)
+                  for r in ss.scan_sstable(spark, dst).collect())
+    want = sorted(tuple(r) for r in stripped.collect())
+    assert back == want
+    # key pruning works across the shard directory too
+    one = ss.lookup_partition(spark, dst, "k0011").collect()
+    assert sorted(r.cell for r in one) == ["a", "b"]
+    shutil.rmtree(src), shutil.rmtree(dst)
+
+
 def test_events_fixture_scan_matches_duckdb_oracle(spark):
     """Miniature of the driver gate: generate the fixture at sf0.001,
     scan the binary, and value-match the SQL recomputation."""
