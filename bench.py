@@ -199,6 +199,27 @@ def main() -> int:
             .groupBy("o_orderpriority").count().collect()
         )
 
+    sstable_src: list[str] = []
+
+    def q_sstable_e2e():
+        # the reference's ENTIRE job on its NATIVE format, distributed:
+        # parallel binary scan -> TTL strip -> range-sharded binary write.
+        # The reference does exactly this single-threaded and sequential
+        # per SSTable (Cassandra3TTLRemover.java:103-142), so this is the
+        # one directly baseline-anchored number. Fixture generation is the
+        # input corpus, not the job — built once outside the timing.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+        if not sstable_src:
+            src = str(Path(tempfile.gettempdir()) / "ctrs_bench_sst_src")
+            shutil.rmtree(src, ignore_errors=True)
+            ss.events_sstable_fixture(spark, sf_dir, src)
+            sstable_src.append(src)
+        dst = tempfile.mkdtemp(prefix="ctrs_bench_sst_out")
+        stripped = ss.strip_ttl_cells(
+            ss.scan_sstable(spark, sstable_src[0], num_splits=32))
+        ss.write_sstable_distributed(stripped, dst, shards=8)
+        shutil.rmtree(dst, ignore_errors=True)
+
     def q_tpch_q3():
         import __spark_entry__ as entry_mod
         from cassandra_ttl_remover_spark import load_tables
@@ -235,6 +256,7 @@ def main() -> int:
         "pagerank": q_pagerank,
         "det_shuffle": q_det_shuffle,
         "bucketed_join": q_bucketed_join,
+        "sstable_e2e": q_sstable_e2e,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
     }
