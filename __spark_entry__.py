@@ -272,6 +272,7 @@ _DRIVER_PRIORITY = [
     "q_s8_sstable_strip",
     "q_s9_sstable_range_lookup",
     "q_s10_sstable_write_roundtrip",
+    "q_mm9_frame_energy",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -2332,6 +2333,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ppm_decode_features(media)
     q["q_mm8_ppm_decode"] = q_mm8
 
+    def q_mm9(spark, sf):
+        # framed DSP over REAL decoded PCM — the exact-integer precursor
+        # of an fbank/spectrogram stage: synthesize WAV payloads, decode,
+        # slide a 256-sample window by 128, one row per frame with its
+        # energy and peak. The oracle recomputes every frame straight
+        # from the source text under the generator's sample mapping.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_wav,
+            wav_frame_energies,
+        )
+
+        media = documents_as_wav(scan_table(spark, sf, "documents"))
+        return wav_frame_energies(media, win=256, hop=128)
+    q["q_mm9_frame_energy"] = q_mm9
+
     def q_s7(spark, sf):
         # REAL binary-format scan — the reference's native surface
         # (Data.db/Index.db + per-cell mask decode, NoTTLScanner.java:32,
@@ -3100,6 +3116,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 
     o["q_mm7_pgm_decode"] = multimodal.pgm_decode_oracle_sql(width=32)
     o["q_mm8_ppm_decode"] = multimodal.ppm_decode_oracle_sql(width=16)
+    o["q_mm9_frame_energy"] = multimodal.wav_frame_oracle_sql(win=256, hop=128)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()
     o["q_s8_sstable_strip"] = f"""

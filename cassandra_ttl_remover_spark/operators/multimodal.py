@@ -365,6 +365,17 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     sum-of-squares, peak amplitude) — header fields read from the actual
     container, sample statistics from the actual PCM frames (exact integer
     arithmetic; ssq of int16 fits int64 up to ~2^33 samples)."""
+    sr, nch, sw, samples = _wav_pcm(payload)
+    n = len(samples) // nch
+    ssq = sum(s * s for s in samples)
+    peak = max((abs(s) for s in samples), default=0)
+    return sr, nch, sw, n, n * 1000 // sr, ssq, peak
+
+
+def _wav_pcm(payload: bytes) -> tuple[int, int, int, tuple]:
+    """Decode a WAV container to its raw int16 samples:
+    ``(sample_rate, n_channels, sample_width, samples)`` — the shared
+    front half of :func:`_parse_wav` and the framed-feature path."""
     import io
     import struct
     import wave
@@ -377,10 +388,7 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
         frames = w.readframes(n)
     if sw != 2:
         raise NotImplementedError(f"only 16-bit PCM supported, got width {sw}")
-    samples = struct.unpack(f"<{n * nch}h", frames)
-    ssq = sum(s * s for s in samples)
-    peak = max((abs(s) for s in samples), default=0)
-    return sr, nch, sw, n, n * 1000 // sr, ssq, peak
+    return sr, nch, sw, struct.unpack(f"<{n * nch}h", frames)
 
 
 def documents_as_wav(docs: DataFrame, text_col: str = "text",
@@ -495,6 +503,85 @@ SELECT media_id,
        coalesce(list_aggregate(list_transform(range(1, (n + 1)::INT),
                   i -> abs({s})), 'max'), 0)::INT AS peak
 FROM chars ORDER BY media_id
+"""
+
+
+WAV_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ssq", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def wav_frame_energies(media: DataFrame, win: int = 256,
+                       hop: int = 128) -> DataFrame:
+    """FRAMED feature extraction over decoded PCM — the exact-integer
+    precursor of an fbank/spectrogram pipeline: decode each WAV payload,
+    slide a ``win``-sample window by ``hop``, and emit one row per frame
+    with its energy (sum of squares) and peak. Trailing partial frames
+    are dropped (the standard STFT framing convention); a clip shorter
+    than one window yields no rows.
+
+    Scale: mapInPandas, blobs decoded where they sit (no shuffle); the
+    fan-out is n_frames per clip ≈ n_samples/hop rows of four scalars —
+    output stays a small multiple of the metadata, never the media bytes.
+    Mono only (the :func:`documents_as_wav` contract); numpy does the
+    per-frame reduction vectorized in int64."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fs, ssqs, peaks = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, nch, _, samples = _wav_pcm(payload)
+                if nch != 1:
+                    raise NotImplementedError(
+                        "framed energies are defined for mono PCM"
+                    )
+                arr = np.asarray(samples, dtype=np.int64)
+                nf = (len(arr) - win) // hop + 1 if len(arr) >= win else 0
+                for f in range(nf):
+                    seg = arr[f * hop:f * hop + win]
+                    ids.append(mid)
+                    fs.append(f)
+                    ssqs.append(int((seg * seg).sum()))
+                    peaks.append(int(np.abs(seg).max()))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(fs, dtype="int32"),
+                 "ssq": pd.Series(ssqs, dtype="int64"),
+                 "peak": pd.Series(peaks, dtype="int32")}
+            )
+
+    return fan_out(media, "media_id").mapInPandas(run, schema=WAV_FRAME_SCHEMA)
+
+
+def wav_frame_oracle_sql(win: int = 256, hop: int = 128,
+                         table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB oracle for documents_as_wav -> wav_frame_energies: frames
+    recomputed straight from the source text under the generator's sample
+    mapping s_i = (byte_i - 128) * 256 (1-indexed chars; frame f covers
+    chars f*hop+1 .. f*hop+win)."""
+    s = "((ascii(t[(f * {hop} + j)::INT]) - 128) * 256)".format(hop=hop)
+    return f"""
+WITH chars AS (
+  SELECT {id_col} AS media_id, text AS t, length(text)::BIGINT AS n
+  FROM {table}
+),
+frames AS (
+  SELECT media_id, t, unnest(range(0, (n - {win}) // {hop} + 1)) AS f
+  FROM chars WHERE n >= {win}
+)
+SELECT media_id, f::INT AS frame_idx,
+       list_aggregate(list_transform(range(1, {win + 1}),
+           j -> {s}::BIGINT * {s}), 'sum')::BIGINT AS ssq,
+       list_aggregate(list_transform(range(1, {win + 1}),
+           j -> abs({s})), 'max')::INT AS peak
+FROM frames
 """
 
 

@@ -68,6 +68,41 @@ def test_wav_decode_features_distributed(documents):
         assert r.sample_rate == 16_000 and r.n_channels == 1
 
 
+def test_wav_frame_energies_match_python_replica(documents):
+    """Frame f covers samples [f*hop, f*hop+win); trailing partials drop;
+    sub-window clips emit nothing — checked against a pure-Python STFT
+    framing replica over the same generator mapping."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        documents_as_wav,
+        wav_frame_energies,
+    )
+
+    win, hop = 64, 48
+    docs = documents.limit(12)
+    got = {(r.media_id, r.frame_idx): (r.ssq, r.peak)
+           for r in wav_frame_energies(
+               documents_as_wav(docs), win=win, hop=hop).collect()}
+    want = {}
+    for r in docs.collect():
+        s = [(b - 128) * 256 for b in r.text.encode("utf-8")]
+        nf = (len(s) - win) // hop + 1 if len(s) >= win else 0
+        for f in range(nf):
+            seg = s[f * hop:f * hop + win]
+            want[(r.doc_id, f)] = (sum(x * x for x in seg),
+                                   max(abs(x) for x in seg))
+    assert got == want and len(got) > 0
+
+
+def test_wav_frame_energies_short_clip_yields_no_rows(spark, documents):
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        documents_as_wav,
+        wav_frame_energies,
+    )
+
+    docs = documents.limit(3)
+    assert wav_frame_energies(documents_as_wav(docs), win=10**6).count() == 0
+
+
 def test_decode_stub_fake_deterministic():
     f1 = decode_stub(b"hello world", {}, fake=True)
     f2 = decode_stub(b"hello world", {}, fake=True)
