@@ -250,6 +250,73 @@ def test_distributed_write_scan_roundtrip(spark):
     shutil.rmtree(src), shutil.rmtree(dst)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _key = st.text(
+        alphabet=st.characters(codec="utf-8",
+                               blacklist_categories=("Cs",)),
+        min_size=1, max_size=12,
+    ).map(lambda s: s.encode("utf-8"))
+    _name = st.text(min_size=1, max_size=8).map(lambda s: s.encode("utf-8"))
+    _wt = st.integers(min_value=0, max_value=2**62)
+    _cell = st.one_of(
+        st.tuples(_name, st.just(0), st.just(0), st.just(0), _wt,
+                  st.text(max_size=16).map(lambda s: s.encode("utf-8"))),
+        st.tuples(_name, st.just(ss.EXPIRATION_MASK),
+                  st.integers(1, 2**31 - 1), st.integers(0, 2**31 - 1),
+                  _wt, st.text(max_size=16).map(lambda s: s.encode("utf-8"))),
+        st.tuples(_name, st.just(ss.DELETION_MASK), st.just(0), st.just(0),
+                  _wt, st.integers(0, 2**31 - 1).map(
+                      lambda v: struct.pack(">i", v))),
+    )
+    _table = st.dictionaries(_key, st.lists(_cell, max_size=4), max_size=12)
+
+    @given(table=_table, cut=st.tuples(_key, _key))
+    @settings(max_examples=60, deadline=None)
+    def test_property_binary_roundtrip_and_pruning(table, cut):
+        """For ARBITRARY utf-8 keys/names/values (not just the ascii
+        fixtures): write -> full decode recovers every cell with exact
+        field fidelity, and index pruning for an arbitrary key range
+        equals the post-hoc byte-range filter. Pure-Python (no Spark) so
+        hypothesis can drive many cases."""
+        parts = list(table.items())
+        out = _tmpdir()
+        try:
+            ss.write_sstable(parts, out)
+            data = os.path.join(out, "Data.db")
+            got = list(ss.scan_data_range(data, 0, os.path.getsize(data)))
+            want = []
+            for k, cells in parts:
+                pk = k.decode("utf-8")
+                for n, m, t, e, w, v in cells:
+                    if m == ss.EXPIRATION_MASK:
+                        want.append((pk, n.decode(), "expiring", t, e, w,
+                                     v.decode()))
+                    elif m == ss.DELETION_MASK:
+                        want.append((pk, n.decode(), "tombstone", None,
+                                     struct.unpack(">i", v)[0], w, None))
+                    else:
+                        want.append((pk, n.decode(), "normal", None, None,
+                                     w, v.decode()))
+            assert sorted(got, key=repr) == sorted(want, key=repr)
+
+            lo, hi = min(cut), max(cut)
+            entries = ss.read_index(os.path.join(out, "Index.db"))
+            _, bs, be = ss.select_index_range(
+                entries, os.path.getsize(data), lo, hi)
+            pruned = (list(ss.scan_data_range(data, bs, be))
+                      if bs < be else [])
+            want_rng = [r for r in got
+                        if lo <= r[0].encode("utf-8") < hi]
+            assert sorted(pruned, key=repr) == sorted(want_rng, key=repr)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+except ImportError:  # pragma: no cover - hypothesis always present in CI
+    pass
+
+
 def test_events_fixture_scan_matches_duckdb_oracle(spark):
     """Miniature of the driver gate: generate the fixture at sf0.001,
     scan the binary, and value-match the SQL recomputation."""
