@@ -273,6 +273,7 @@ _DRIVER_PRIORITY = [
     "q_s9_sstable_range_lookup",
     "q_s10_sstable_write_roundtrip",
     "q_mm9_frame_energy",
+    "q_d7_ks_drift",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -1983,6 +1984,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type",
         )
     q["q_d6_distribution_drift"] = q_d6
+
+    def q_d7(spark, sf):
+        # numeric-distribution drift: exact-integer two-sample KS
+        # distance between view and click spend (cents) — D as the
+        # integer numerator d_num / (n_a * n_b), no float division to
+        # hash-mismatch on
+        from cassandra_ttl_remover_spark.operators.audit import ks_drift
+
+        ev = _events(spark, sf).withColumn(
+            "vcents",
+            F.expr("cast(round(value * 100) as bigint)"),
+        )
+        return ks_drift(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+            "vcents",
+        )
+    q["q_d7_ks_drift"] = q_d7
 
     def q_c1(spark, sf):
         # run compaction (the SSTable-compaction analog): base run + an
@@ -3813,6 +3832,15 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
         "SELECT * FROM events WHERE event_id % 2 = 0",
         "SELECT * FROM events WHERE event_id % 2 <> 0",
         "event_type",
+    )
+    from cassandra_ttl_remover_spark.operators.audit import (
+        ks_drift_oracle_sql,
+    )
+
+    _vc = ("SELECT CAST(round(value * 100) AS BIGINT) AS vcents "
+           "FROM events WHERE event_type = '{et}'")
+    o["q_d7_ks_drift"] = ks_drift_oracle_sql(
+        _vc.format(et="view"), _vc.format(et="click"), "vcents"
     )
     o["q_se4_retention_cohorts"] = """
         WITH ev AS (

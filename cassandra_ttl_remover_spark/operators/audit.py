@@ -344,3 +344,77 @@ SELECT category, n_old, n_new,
        END AS chi2_term
 FROM j CROSS JOIN t ORDER BY category
 """
+
+
+def ks_drift(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance in EXACT integer
+    arithmetic — the numeric-distribution companion to the categorical
+    :func:`distribution_drift`: ``D = max_x |F_a(x) - F_b(x)|`` over the
+    empirical CDFs, returned as one row ``(n_a, n_b, d_num)`` where
+    ``D = d_num / (n_a * n_b)``. Keeping the integer numerator (no float
+    division) makes the statistic engine-portable bit for bit; the caller
+    divides when it wants the [0,1] form. NULLs carry no distributional
+    information and are dropped on both sides.
+
+    Scale: one tagged union + one map-side-combined count per distinct
+    value, then ONE ordered window over the |distinct| aggregate — the
+    cumulative pass runs on the post-aggregation frame, not the rows, so
+    a 100 TB column with bounded cardinality is fine; for genuinely
+    unbounded continuous columns, pre-bin (the standard KS-on-histogram
+    approximation) before calling. Products stay under 2^63 through
+    ~3·10^9 rows per side."""
+    from pyspark.sql import Window
+
+    tagged = a.filter(F.col(col).isNotNull()).select(
+        F.col(col).alias("v"), F.lit(1).alias("_ca"), F.lit(0).alias("_cb")
+    ).unionAll(
+        b.filter(F.col(col).isNotNull()).select(
+            F.col(col).alias("v"), F.lit(0).alias("_ca"),
+            F.lit(1).alias("_cb")
+        )
+    )
+    per = tagged.groupBy("v").agg(
+        F.sum("_ca").alias("ca"), F.sum("_cb").alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = per.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = per.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b")
+                      - F.col("cum_b") * F.col("n_a"))
+            ).alias("d_num")
+        )
+    )
+
+
+def ks_drift_oracle_sql(a_sql: str, b_sql: str, col: str) -> str:
+    """Same exact-integer KS numerator; ``a_sql``/``b_sql`` are row
+    sources exposing ``col``."""
+    return f"""
+WITH tagged AS (
+  SELECT {col} AS v, 1 AS _ca, 0 AS _cb FROM ({a_sql})
+   WHERE {col} IS NOT NULL
+  UNION ALL
+  SELECT {col} AS v, 0 AS _ca, 1 AS _cb FROM ({b_sql})
+   WHERE {col} IS NOT NULL
+),
+per AS (SELECT v, sum(_ca)::BIGINT AS ca, sum(_cb)::BIGINT AS cb
+        FROM tagged GROUP BY v),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY v)::BIGINT AS cum_a,
+         sum(cb) OVER (ORDER BY v)::BIGINT AS cum_b
+  FROM per
+),
+tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM per)
+SELECT n_a, n_b,
+       max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num
+FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+"""

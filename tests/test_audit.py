@@ -144,3 +144,45 @@ def test_distribution_drift_empty_old_snapshot(spark):
     assert set(rows) == {"a", "b"}
     for r in rows.values():
         assert r.expected is None and r.chi2_term is None
+
+
+def _ks_num(xs, ys):
+    """Pure-Python exact KS numerator replica: max |cA(x)*nB - cB(x)*nA|
+    over the merged support."""
+    na, nb = len(xs), len(ys)
+    best = 0
+    for t in sorted(set(xs) | set(ys)):
+        ca = sum(1 for x in xs if x <= t)
+        cb = sum(1 for y in ys if y <= t)
+        best = max(best, abs(ca * nb - cb * na))
+    return best
+
+
+def test_ks_drift_matches_replica_with_ties_and_nulls(spark):
+    from cassandra_ttl_remover_spark.operators.audit import ks_drift
+
+    xs = [1, 1, 2, 5, 5, 5, 9]
+    ys = [2, 2, 3, 5, 10, 10]
+    a = spark.createDataFrame([(v,) for v in xs] + [(None,)], "v bigint")
+    b = spark.createDataFrame([(v,) for v in ys], "v bigint")
+    r = ks_drift(a, b, "v").first()
+    assert (r.n_a, r.n_b) == (len(xs), len(ys))
+    assert r.d_num == _ks_num(xs, ys)
+    # D in [0,1] by construction
+    assert 0 <= r.d_num <= r.n_a * r.n_b
+
+
+def test_ks_drift_identical_samples_is_zero(spark, events):
+    from cassandra_ttl_remover_spark.operators.audit import ks_drift
+
+    r = ks_drift(events, events, "event_id").first()
+    assert r.d_num == 0 and r.n_a == r.n_b
+
+
+def test_ks_drift_disjoint_supports_is_max(spark):
+    from cassandra_ttl_remover_spark.operators.audit import ks_drift
+
+    a = spark.createDataFrame([(v,) for v in (1, 2, 3)], "v bigint")
+    b = spark.createDataFrame([(v,) for v in (10, 11)], "v bigint")
+    r = ks_drift(a, b, "v").first()
+    assert r.d_num == r.n_a * r.n_b  # D == 1
