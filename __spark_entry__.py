@@ -274,6 +274,7 @@ _DRIVER_PRIORITY = [
     "q_s10_sstable_write_roundtrip",
     "q_mm9_frame_energy",
     "q_d7_ks_drift",
+    "q_st15_stream_sstable_strip",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -2442,6 +2443,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.scan_sstable(spark, dst, num_splits=8)
     q["q_s10_sstable_write_roundtrip"] = q_s10
 
+    def q_st15(spark, sf):
+        # incremental-migration shape on the NATIVE format: SSTable
+        # shards arrive -> the streaming source batches each new-shard
+        # delta (DataSourceStreamReader; executor-side index-planned
+        # splits, offsets = consumed shard names) -> stateless TTL strip
+        # -> availableNow drain. Output equals the batch q_s8 transform,
+        # so the oracle certifies streaming delivery of the same cells.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+        )
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sst_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, base + "_src")
+        cells = ss.scan_sstable(spark, base + "_src")
+        ss.write_sstable_distributed(cells, base + "_shards", shards=4)
+        stripped = ss.strip_ttl_cells(
+            ss.stream_sstable(spark, base + "_shards")
+        )
+        return drain_to_table(
+            stripped, f"st15_{uuid.uuid4().hex[:8]}"
+        )
+    q["q_st15_stream_sstable_strip"] = q_st15
+
     def q_d1(spark, sf):
         # snapshot diff: vs the base run, every 7th event removed, every
         # 5th surviving value bumped, a shifted copy added — one full-outer
@@ -3157,6 +3184,7 @@ SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
 WHERE pk >= '1' AND pk < '2'
 """
     o["q_s10_sstable_write_roundtrip"] = o["q_s8_sstable_strip"]
+    o["q_st15_stream_sstable_strip"] = o["q_s8_sstable_strip"]
 
     o["q_st11_stream_interval_join"] = """
         SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

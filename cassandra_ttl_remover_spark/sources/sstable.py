@@ -199,12 +199,42 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
 # Spark Python DataSource
 # ---------------------------------------------------------------------------
 
+def _plan_table_splits(table_dir: str, num_splits: int,
+                       key_start: bytes | None = None,
+                       key_stop: bytes | None = None) -> list[tuple]:
+    """Shared split planner: contiguous index-snapped byte ranges of one
+    sstable directory as ``(data_path, start, end)`` triples — used by
+    both the batch reader and the per-shard streaming micro-batches."""
+    data_path = os.path.join(table_dir, "Data.db")
+    entries = read_index(os.path.join(table_dir, "Index.db"))
+    size = os.path.getsize(data_path)
+    lo, byte_start, byte_end = select_index_range(
+        entries, size, key_start, key_stop
+    )
+    if byte_start >= byte_end:
+        return []
+    hi = lo + 1
+    while hi < len(entries) and entries[hi][1] < byte_end:
+        hi += 1
+    selected = entries[lo:hi]
+    n = min(num_splits, len(selected))
+    per = (len(selected) + n - 1) // n
+    out = []
+    for s in range(0, len(selected), per):
+        start = selected[s][1]
+        end = (selected[s + per][1] if s + per < len(selected)
+               else byte_end)
+        out.append((data_path, start, end))
+    return out
+
+
 def _make_datasource_cls():
     # deferred import so the module stays importable where pyspark's
     # datasource API is absent; class built once and cached
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
     )
 
@@ -294,34 +324,18 @@ def _make_datasource_cls():
             return subs
 
         def partitions(self):
-            splits = []
-            for table in self._table_dirs():
-                data_path = os.path.join(table, "Data.db")
-                entries = read_index(os.path.join(table, "Index.db"))
-                size = os.path.getsize(data_path)
-                # key-range pushdown: prune to the contiguous index run
-                # first (point lookup == a one-partition run), THEN
-                # parallelize — tasks collectively read only the selected
-                # partitions' bytes
-                lo, byte_start, byte_end = select_index_range(
-                    entries, size, self.key_start, self.key_stop
-                )
-                if byte_start >= byte_end:
-                    continue
-                hi = lo + 1
-                while hi < len(entries) and entries[hi][1] < byte_end:
-                    hi += 1
-                selected = entries[lo:hi]
-                n = min(self.num_splits, len(selected))
-                # contiguous partition-count slices; boundaries snap to
-                # real partition starts from the index, so splits never
-                # bisect a partition record
-                per = (len(selected) + n - 1) // n
-                for s in range(0, len(selected), per):
-                    start = selected[s][1]
-                    end = (selected[s + per][1] if s + per < len(selected)
-                           else byte_end)
-                    splits.append(_Split(data_path, start, end))
+            # key-range pushdown happens in the planner: each table is
+            # pruned to the contiguous index run first (point lookup ==
+            # a one-partition run), THEN parallelized — tasks
+            # collectively read only the selected partitions' bytes, and
+            # split boundaries snap to real partition starts so no
+            # decode ever begins mid-record
+            splits = [
+                _Split(*t)
+                for table in self._table_dirs()
+                for t in _plan_table_splits(table, self.num_splits,
+                                            self.key_start, self.key_stop)
+            ]
             return splits or [_Split(os.path.join(self._table_dirs()[0],
                                                   "Data.db"), 0, 0)]
 
@@ -330,9 +344,58 @@ def _make_datasource_cls():
                 partition.data_path, partition.start, partition.end
             )
 
+    class SSTableStreamReader(DataSourceStreamReader):
+        """Micro-batch source over a DIRECTORY of shard sstables: each
+        batch is the set of shard directories that appeared since the
+        last offset — the incremental-migration shape ("new SSTables
+        keep landing; strip them as they arrive"). Offsets are the
+        sorted list of consumed shard names (small: one string per
+        shard; a production source would compact this into a manifest
+        log the way file-stream sources do). Decoding stays on the
+        EXECUTORS — partitions() plans index-snapped byte splits per
+        new shard exactly like the batch reader."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("sstable_simple requires option 'path'")
+            self.num_splits = int(options.get("num_splits", "4"))
+
+        def _shards(self) -> list[str]:
+            return sorted(
+                d for d in os.listdir(self.path)
+                if os.path.exists(os.path.join(self.path, d, "Data.db"))
+            )
+
+        def initialOffset(self):
+            return {"shards": []}
+
+        def latestOffset(self):
+            return {"shards": self._shards()}
+
+        def partitions(self, start, end):
+            new = sorted(set(end["shards"]) - set(start["shards"]))
+            return [
+                _Split(*t)
+                for shard in new
+                for t in _plan_table_splits(
+                    os.path.join(self.path, shard), self.num_splits
+                )
+            ]
+
+        def read(self, partition):
+            yield from scan_data_range(
+                partition.data_path, partition.start, partition.end
+            )
+
+        def commit(self, end):
+            pass
+
     class SimpleSSTableDataSource(DataSource):
         """``spark.read.format("sstable_simple").option("path", d).load()``
-        — flat cell rows per SSTABLE_SCHEMA."""
+        — flat cell rows per SSTABLE_SCHEMA; ``spark.readStream`` over a
+        shard directory yields one micro-batch per newly-arrived shard
+        set."""
 
         @classmethod
         def name(cls):
@@ -343,6 +406,9 @@ def _make_datasource_cls():
 
         def reader(self, schema):
             return SimpleSSTableReader(self.options)
+
+        def streamReader(self, schema):
+            return SSTableStreamReader(self.options)
 
     return SimpleSSTableDataSource
 
@@ -387,6 +453,18 @@ def scan_sstable(spark, path: str, num_splits: int = 8,
     if key_stop is not None:
         r = r.option("key_stop", key_stop)
     return r.load()
+
+
+def stream_sstable(spark, path: str, num_splits: int = 4):
+    """Streaming scan of a shard-sstable directory: one micro-batch per
+    newly-arrived shard set (see ``SSTableStreamReader``)."""
+    register_sstable_source(spark)
+    return (
+        spark.readStream.format("sstable_simple")
+        .option("path", path)
+        .option("num_splits", str(num_splits))
+        .load()
+    )
 
 
 def lookup_partition(spark, path: str, key: str):

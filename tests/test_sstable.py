@@ -317,6 +317,42 @@ except ImportError:  # pragma: no cover - hypothesis always present in CI
     pass
 
 
+def test_stream_source_drains_and_batches_per_shard_arrival(spark):
+    """The streaming source: an availableNow drain equals the batch scan,
+    and the offset protocol batches exactly the newly-arrived shards —
+    consumed shards never replan, an unchanged directory plans nothing,
+    and a shard added later shows up alone in the next delta."""
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        drain_to_table,
+    )
+
+    out = _tmpdir()
+    parts = [(f"k{i:04d}".encode(),
+              [(b"c", 0, 0, 0, i, str(i).encode())]) for i in range(20)]
+    ss.write_sstable(parts[:10], os.path.join(out, "shard=00000"))
+    ss.write_sstable(parts[10:], os.path.join(out, "shard=00001"))
+    got = drain_to_table(
+        ss.stream_sstable(spark, out),
+        f"sst_stream_{uuid.uuid4().hex[:6]}",
+    )
+    want = sorted(tuple(r) for r in ss.scan_sstable(spark, out).collect())
+    assert sorted(tuple(r) for r in got.collect()) == want
+
+    cls = ss._make_datasource_cls()
+    rd = cls({"path": out}).streamReader(None)
+    s0, s1 = rd.initialOffset(), rd.latestOffset()
+    assert s0 == {"shards": []} and len(s1["shards"]) == 2
+    assert len(rd.partitions(s1, s1)) == 0
+    first = rd.partitions(s0, s1)
+    ss.write_sstable(parts[:3], os.path.join(out, "shard=00002"))
+    s2 = rd.latestOffset()
+    assert set(s2["shards"]) - set(s1["shards"]) == {"shard=00002"}
+    delta = rd.partitions(s1, s2)
+    assert delta and all("shard=00002" in p.data_path for p in delta)
+    assert len(rd.partitions(s0, s2)) > len(first)
+    shutil.rmtree(out)
+
+
 def test_events_fixture_scan_matches_duckdb_oracle(spark):
     """Miniature of the driver gate: generate the fixture at sf0.001,
     scan the binary, and value-match the SQL recomputation."""
