@@ -53,16 +53,20 @@ def test_ungraded_families_lead_the_dict():
     # the driver grades the first ~50 entries per round; rounds 1-3 graded
     # the S/T/A/M/W + SQL blocks and the pipeline/streaming/multimodal/
     # vector/session families, so the ROUND-4 front must be: the repaired
-    # q_pipe_curate_lsh slot, every round-3 addition, then the n16-n33
-    # curation tail — none of which have a driver-green row yet
+    # q_pipe_curate_lsh slot, the round-4 additions (graded immediately),
+    # every round-3 addition, then the front of the n16-n33 curation
+    # tail — none of which have a driver-green row yet (the tail past
+    # ~q_n24 slides to round 5's window)
     import __spark_entry__ as entry_mod
 
     first50 = list(entry_mod.queries().keys())[:50]
     assert first50[0] == "q_pipe_curate_lsh"  # round-3's one non-green row
-    for probe in ("q_n38_semdedup", "q_g1_pagerank", "q_v6_power_iteration",
+    for probe in ("q_s10_sstable_write_roundtrip", "q_mm9_frame_energy",
+                  "q_d7_ks_drift", "q_st15_stream_sstable_strip",
+                  "q_n38_semdedup", "q_g1_pagerank", "q_v6_power_iteration",
                   "q_w5_time_travel", "q_st14_stream_sliding_window",
                   "q_n42_bpe_segment", "q_mm7_pgm_decode",
-                  "q_n16_mix_decisions", "q_n29_dedup_vs_corpus"):
+                  "q_n16_mix_decisions"):
         assert probe in first50, probe
     # and the already-graded blocks stay OUT of the window this round
     for graded in ("q_x13_array_functions", "q_st1_stream_strip",
