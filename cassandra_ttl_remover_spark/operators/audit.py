@@ -376,22 +376,24 @@ def ks_drift(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
     per = tagged.groupBy("v").agg(
         F.sum("_ca").alias("ca"), F.sum("_cb").alias("cb")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
-                                        Window.currentRow)
+    # cumulative AND total counts from ONE Sort+Window pass (the totals
+    # are the unbounded-frame sums over the same ordering), so the
+    # per-value aggregate is scanned once, not rebuilt per branch
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                            Window.unboundedFollowing)
     cum = per.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("n_a"),
+        F.sum("cb").over(w_all).alias("n_b"),
     )
-    tot = per.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
-    return (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("n_a", "n_b")
-        .agg(
-            F.max(
-                F.abs(F.col("cum_a") * F.col("n_b")
-                      - F.col("cum_b") * F.col("n_a"))
-            ).alias("d_num")
-        )
+    return cum.groupBy("n_a", "n_b").agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b")
+                  - F.col("cum_b") * F.col("n_a"))
+        ).alias("d_num")
     )
 
 

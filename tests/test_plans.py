@@ -241,3 +241,42 @@ def test_round3_operator_exchange_budgets(spark, events, embeddings, documents):
     assert exchange_count(
         similarity.hard_negatives(embeddings, [0, 1], k=2)
     ) <= 2
+
+
+def test_round4_operator_exchange_budgets(spark, events):
+    """Round-4 operators hold their designed shuffle counts."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.audit import ks_drift
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    # KS drift: tagged-union count (1) + ordered window over the
+    # distinct-value aggregate (1) + final max (1); totals come from the
+    # SAME Sort+Window pass (unbounded frame), so each input scans once
+    ev = events.withColumn(
+        "vcents", F.expr("cast(round(value * 100) as bigint)")
+    )
+    d = ks_drift(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'click'"),
+        "vcents",
+    )
+    assert exchange_count(d) <= 3
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    # one Window node carries both cumulative and total sums
+    assert plan.count("Window") == 1
+
+
+def test_sstable_strip_is_zero_shuffle(spark, tmp_path):
+    """The native-format TTL strip stays a pure projection over the scan:
+    zero exchanges — the plan shape that lets q_s8 parallelize as
+    embarrassingly as the reference's per-file loop, but across tasks."""
+    from cassandra_ttl_remover_spark.plans import exchange_count
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    out = str(tmp_path / "sst")
+    ss.write_sstable(
+        [(b"k1", [(b"c", ss.EXPIRATION_MASK, 60, 100, 1, b"v")])], out
+    )
+    stripped = ss.strip_ttl_cells(ss.scan_sstable(spark, out))
+    assert exchange_count(stripped) == 0
