@@ -233,3 +233,42 @@ def test_gram_power_driver_survives_n_much_greater_1e4(spark):
     # and the magnitude really did cross int64 territory upstream:
     # the UNRESCALED second multiply would not have fit a long
     assert any(abs(int(t)) for t in g @ (g @ np.array([1] * d, dtype=object)))
+
+
+def test_sstable_index_pruning_at_60k_partitions(spark, tmp_path):
+    """Binary-source rehearsal: at 60k partitions the planner still reads
+    only the index, a point lookup's byte window is one partition
+    (~1/60000 of the file), a 1%-ish key-prefix range stays proportional,
+    and the pruned scans return exactly the matching cells. This is the
+    property that makes the source viable when Data.db is terabytes:
+    planned bytes scale with selectivity, never with file size."""
+    import os
+
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    out = str(tmp_path / "big")
+    n = 60_000
+    ss.write_sstable(
+        ((f"p{i:06d}".encode(),
+          [(b"c", 0, 0, 0, i, str(i).encode()),
+           (b"d", ss.EXPIRATION_MASK, 60, 100 + i, i, b"x")])
+         for i in range(n)),
+        out,
+    )
+    entries = ss.read_index(os.path.join(out, "Index.db"))
+    size = os.path.getsize(os.path.join(out, "Data.db"))
+    assert len(entries) == n
+
+    # point lookup: byte window == one partition record
+    _, bs, be = ss.select_index_range(
+        entries, size, b"p031415", b"p031415\x00")
+    assert 0 < be - bs < size // 10_000
+    rows = ss.lookup_partition(spark, out, "p031415").collect()
+    assert sorted(r.cell for r in rows) == ["c", "d"]
+
+    # prefix range p00042*: 10 partitions of 60k, planned bytes ~ 1/6000
+    _, bs, be = ss.select_index_range(entries, size, b"p00042", b"p00043")
+    assert 0 < be - bs < size // 1_000
+    got = ss.scan_sstable(spark, out, num_splits=4,
+                          key_start="p00042", key_stop="p00043").collect()
+    assert len(got) == 20 and all(r.pk.startswith("p00042") for r in got)
