@@ -275,6 +275,7 @@ _DRIVER_PRIORITY = [
     "q_mm9_frame_energy",
     "q_d7_ks_drift",
     "q_st15_stream_sstable_strip",
+    "q_mm10_pbm_decode",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -2368,6 +2369,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wav_frame_energies(media, win=256, hop=128)
     q["q_mm9_frame_energy"] = q_mm9
 
+    def q_mm10(spark, sf):
+        # fourth real decode family — 1-bit PACKED bitmaps (P4 PBM):
+        # dimensions from the parsed header, exact black-pixel popcount
+        # from the bit-packed raster, integer fill ratio. Bit unpacking
+        # is a genuinely different decode shape from the byte-sampled
+        # PGM/PPM paths; the oracle recomputes per-char popcounts.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_pbm,
+            pbm_decode_features,
+        )
+
+        media = documents_as_pbm(scan_table(spark, sf, "documents"), width=16)
+        return pbm_decode_features(media)
+    q["q_mm10_pbm_decode"] = q_mm10
+
     def q_s7(spark, sf):
         # REAL binary-format scan — the reference's native surface
         # (Data.db/Index.db + per-cell mask decode, NoTTLScanner.java:32,
@@ -3168,6 +3184,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_mm7_pgm_decode"] = multimodal.pgm_decode_oracle_sql(width=32)
     o["q_mm8_ppm_decode"] = multimodal.ppm_decode_oracle_sql(width=16)
     o["q_mm9_frame_energy"] = multimodal.wav_frame_oracle_sql(win=256, hop=128)
+    o["q_mm10_pbm_decode"] = multimodal.pbm_decode_oracle_sql(width=16)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()
     o["q_s8_sstable_strip"] = f"""

@@ -865,6 +865,144 @@ def ppm_decode_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _text_to_pbm_bytes(data: bytes, width: int) -> bytes:
+    """Deterministic real PBM (P4) encoder: input bytes ARE the packed
+    1-bit raster (MSB-first, 1 = black), row-major at ``width`` pixels
+    per row with ``width % 8 == 0`` so rows pack whole bytes and no
+    per-row padding bits exist; final row zero-padded. The bit-packed
+    sibling of _text_to_pgm_bytes — a genuinely different decode shape
+    (bit unpacking, not byte sampling)."""
+    import math
+
+    if width % 8:
+        raise ValueError("PBM widths here must be byte-aligned")
+    bpr = width // 8
+    h = max(1, math.ceil(len(data) / bpr))
+    raster = data + b"\x00" * (bpr * h - len(data))
+    return f"P4\n{width} {h}\n".encode("ascii") + raster
+
+
+def _parse_pbm(b: bytes) -> tuple:
+    """Strict P4 parser: magic and dimensions from the header, exact
+    black-pixel population count from the packed raster (popcount per
+    byte). Raises on malformed input — quarantine, not silent numbers."""
+    if not b.startswith(b"P4"):
+        raise ValueError("not a P4 PBM payload")
+    parts = b.split(b"\n", 2)
+    if len(parts) < 3:
+        raise ValueError("truncated PBM header")
+    w, h = (int(x) for x in parts[1].split())
+    if w % 8:
+        raise ValueError("unsupported non-byte-aligned PBM width")
+    px = parts[2]
+    if len(px) != (w // 8) * h:
+        raise ValueError("truncated PBM raster")
+    return (w, h, w * h, sum(byte.bit_count() for byte in px))
+
+
+PBM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("n_black", T.LongType()),
+        T.StructField("fill_permille", T.LongType()),
+    ]
+)
+
+
+def documents_as_pbm(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", width: int = 16) -> DataFrame:
+    """Media frame whose payloads are REAL P4 bitmap images synthesized
+    from the documents fixture — the fourth decodable modality family
+    (16-bit PCM audio, 8-bit grayscale, 8-bit RGB, and now 1-bit packed
+    bitmaps)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        bpr = width // 8
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [_text_to_pbm_bytes(t, width) for t in texts],
+                    "meta": [
+                        {
+                            "kind": "image",
+                            "mime": "image/x-portable-bitmap",
+                            "width": width,
+                            "height": max(1, math.ceil(len(t) / bpr)),
+                            "n_frames": 1,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                        }
+                        for t in texts
+                    ],
+                }
+            )
+
+    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def pbm_decode_features(media: DataFrame) -> DataFrame:
+    """REAL 1-bit bitmap decode over PBM payloads: dimensions from the
+    parsed header, exact black-pixel count by per-byte popcount over the
+    packed raster, and an integer fill ratio (permille, floor-divided so
+    it stays engine-exact). Same reduce-at-the-source shape as the other
+    decoders: blobs decode where they sit, scalars come back."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_parse_pbm(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_pixels": [f[2] for f in feats],
+                    "n_black": [f[3] for f in feats],
+                    "fill_permille": [f[3] * 1000 // f[2] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PBM_FEATURES_SCHEMA
+    )
+
+
+def pbm_decode_oracle_sql(width: int = 16, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """Recomputes every decoded statistic from the source text: byte i of
+    the text is raster byte i, so n_black is the popcount sum over the
+    chars (zero padding adds no set bits)."""
+    bpr = width // 8
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS media_id, text AS t, length(text)::BIGINT AS n,
+         greatest(1, (length(text) + {bpr} - 1) // {bpr})::BIGINT AS h
+  FROM {table}
+),
+s AS (
+  SELECT media_id,
+         {width}::INT AS width,
+         h::INT AS height,
+         ({width} * h)::BIGINT AS n_pixels,
+         coalesce(list_aggregate(list_transform(range(1, (n + 1)::INT),
+                    i -> bit_count(ascii(t[i]))::BIGINT), 'sum'), 0)::BIGINT
+           AS n_black
+  FROM c
+)
+SELECT media_id, width, height, n_pixels, n_black,
+       (n_black * 1000 // n_pixels)::BIGINT AS fill_permille
+FROM s ORDER BY media_id
+"""
+
+
 def ppm_decode_oracle_sql(width: int = 16, table: str = "documents",
                           id_col: str = "doc_id") -> str:
     """Recomputes every decoded statistic from the source text: byte k

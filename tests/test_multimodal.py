@@ -317,3 +317,42 @@ def test_ppm_decode_features_frame(spark):
     # 100 bytes -> 34 pixels -> ceil(34/4)=9 rows
     assert (got[3].width, got[3].height, got[3].n_pixels) == (4, 9, 36)
     assert got[3].sum_r == ord("x") * 34  # bytes 0,3,...,99 -> 34 of them
+
+
+def test_pbm_roundtrip_exact_bits():
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_pbm,
+        _text_to_pbm_bytes,
+    )
+
+    data = bytes(range(256))
+    w, h, npx, nb = _parse_pbm(_text_to_pbm_bytes(data, 16))
+    assert (w, h, npx) == (16, 128, 2048)
+    assert nb == sum(b.bit_count() for b in data) == 1024
+    # empty payload: one zero-padded row, no black pixels
+    assert _parse_pbm(_text_to_pbm_bytes(b"", 16)) == (16, 1, 16, 0)
+    import pytest
+
+    with pytest.raises(ValueError, match="byte-aligned"):
+        _text_to_pbm_bytes(b"x", 12)
+    with pytest.raises(ValueError, match="not a P4"):
+        _parse_pbm(b"P5\n1 1\n255\n\x00")
+
+
+def test_pbm_decode_features_distributed(documents):
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        documents_as_pbm,
+        pbm_decode_features,
+    )
+
+    docs = documents.limit(10)
+    out = {r.media_id: r for r in
+           pbm_decode_features(documents_as_pbm(docs, width=16)).collect()}
+    src = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    assert out.keys() == src.keys()
+    for mid, data in src.items():
+        r = out[mid]
+        nb = sum(b.bit_count() for b in data)
+        assert r.n_black == nb
+        assert r.height == max(1, -(-len(data) // 2))
+        assert r.fill_permille == nb * 1000 // r.n_pixels
