@@ -276,6 +276,7 @@ _DRIVER_PRIORITY = [
     "q_d7_ks_drift",
     "q_st15_stream_sstable_strip",
     "q_mm10_pbm_decode",
+    "q_a8_sketch_difference",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -726,6 +727,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["q_a6_sketch_intersection"] = q_a6
+
+    def q_a8(spark, sf):
+        # sketch DIFFERENCE |A \ B| ~ est(A∪B) - est(B), completing the
+        # sketch set algebra (union q_a4, intersection q_a6): "how many
+        # users viewed but never purchased" without an exact distinct.
+        # Exact EXCEPT hash-checks; the gate is union-proportional for
+        # the same three-estimate-noise reason as q_a6.
+        from cassandra_ttl_remover_spark.operators import counts
+
+        ev = _events(spark, sf)
+        va = ev.filter(F.col("event_type") == "view")
+        vb = ev.filter(F.col("event_type") == "purchase")
+        est = counts.estimate_difference(va, vb, "user_id")
+        # SET difference (subtract == EXCEPT DISTINCT): a user who both
+        # viewed and purchased must vanish regardless of multiplicities
+        exact = (
+            va.select("user_id").subtract(vb.select("user_id"))
+            .agg(F.count("*").alias("exact"))
+        )
+        union_exact = (
+            va.select("user_id").union(vb.select("user_id")).distinct()
+            .agg(F.count("*").alias("u_exact"))
+        )
+        return (
+            est.crossJoin(exact).crossJoin(union_exact)
+            .select(
+                F.col("exact").cast("long").alias("n_exact"),
+                (
+                    F.abs(F.col("est_difference") - F.col("exact"))
+                    <= 0.15 * F.col("u_exact") + 5
+                ).alias("within_tol"),
+            )
+        )
+    q["q_a8_sketch_difference"] = q_a8
 
     def q_a3(spark, sf):
         ev = _events(spark, sf)
@@ -3410,6 +3445,13 @@ WHERE pk >= '1' AND pk < '2'
         SELECT count(*)::BIGINT AS n_exact, TRUE AS within_tol FROM (
           SELECT user_id FROM events WHERE event_type = 'view'
           INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+        )"""
+
+    o["q_a8_sketch_difference"] = """
+        SELECT count(*)::BIGINT AS n_exact, TRUE AS within_tol FROM (
+          SELECT user_id FROM events WHERE event_type = 'view'
+          EXCEPT
           SELECT user_id FROM events WHERE event_type = 'purchase'
         )"""
 

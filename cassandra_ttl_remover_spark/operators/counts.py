@@ -108,3 +108,40 @@ def estimate_intersection(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
             F.col("_ea") + F.col("_eb") - F.col("est_union"),
         ).alias("est_intersection"),
     )
+
+
+def estimate_difference(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Distinct-key DIFFERENCE estimate ``|A \\ B| ≈ est(A∪B) − est(B)`` —
+    completing the sketch set algebra (union: merge_gain/q_a4,
+    intersection: q_a6, difference: this). Returns one row
+    ``(est_a, est_b, est_union, est_difference)`` with the difference
+    clamped at 0 (sketch noise can push it negative when A ⊆ B).
+
+    HLL sketches union losslessly but cannot subtract directly; the
+    identity above is the standard workaround, and like the intersection
+    its error is proportional to the UNION estimate's noise — gate with
+    a union-proportional tolerance when |A \\ B| may be small.
+
+    Scale: three map-side-mergeable sketch aggregations, no exact
+    distinct, no shuffle of raw keys beyond sketch partials."""
+    sa = a.select(F.col(key).alias("k")).agg(F.hll_sketch_agg("k").alias("ska"))
+    sb = b.select(F.col(key).alias("k")).agg(F.hll_sketch_agg("k").alias("skb"))
+    est = sa.crossJoin(sb).select(
+        F.coalesce(F.hll_sketch_estimate("ska"), F.lit(0)).alias("est_a"),
+        F.coalesce(F.hll_sketch_estimate("skb"), F.lit(0)).alias("est_b"),
+        F.coalesce(
+            F.hll_sketch_estimate(
+                F.when(F.col("ska").isNull(), F.col("skb"))
+                .when(F.col("skb").isNull(), F.col("ska"))
+                .otherwise(F.hll_union("ska", "skb"))
+            ),
+            F.lit(0),
+        ).alias("est_union"),
+    )
+    return est.select(
+        "est_a", "est_b", "est_union",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("est_union") - F.col("est_b"),
+        ).alias("est_difference"),
+    )

@@ -69,3 +69,28 @@ def test_approximate_keys_for_range(spark, events):
         .select("user_id").distinct().count()
     )
     assert abs(approx - exact) <= max(2, 0.05 * exact)
+
+
+def test_estimate_difference_identities(spark):
+    """Sketch difference: disjoint sets -> ~|A|; A ⊆ B -> clamped >= 0;
+    empty B -> difference == union estimate."""
+    from cassandra_ttl_remover_spark.operators.counts import (
+        estimate_difference,
+    )
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "k")
+    b = spark.range(2000, 2500).withColumnRenamed("id", "k")
+    r = estimate_difference(a, b, "k").first()
+    assert abs(r.est_difference - 1000) <= 0.1 * 1500
+    # subset: A within B -> true difference 0, estimate clamped small
+    r2 = estimate_difference(
+        spark.range(0, 200).withColumnRenamed("id", "k"),
+        spark.range(0, 1000).withColumnRenamed("id", "k"),
+        "k",
+    ).first()
+    assert 0 <= r2.est_difference <= 0.1 * 1000 + 5
+    # empty subtrahend: difference == union == est(A)
+    r3 = estimate_difference(
+        a, spark.createDataFrame([], "k long"), "k"
+    ).first()
+    assert r3.est_b == 0 and r3.est_difference == r3.est_union
