@@ -277,6 +277,7 @@ _DRIVER_PRIORITY = [
     "q_st15_stream_sstable_strip",
     "q_mm10_pbm_decode",
     "q_a8_sketch_difference",
+    "q_n43_ngram_novelty",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -2580,6 +2581,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.dedup_against_corpus(batch, corpus, max_hamming=3)
     q["q_n29_dedup_vs_corpus"] = q_n29
 
+    def q_n43(spark, sf):
+        # data-valuation signal: per-doc n-gram novelty of the odd-id
+        # batch vs the even-id corpus — distinct-shingle membership join
+        # + integer permille; the doc-scored complement of q_n15
+        # (boolean decontaminate) and q_n30 (pair containment)
+        docs = scan_table(spark, sf, "documents")
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 != 0)
+        return dedup.ngram_novelty(batch, corpus)
+    q["q_n43_ngram_novelty"] = q_n43
+
     def q_n15b(spark, sf):
         # same contract as q_n15 but through the Bloom prefilter scale path —
         # bit-identical output (fps die in the exact confirm join), so it
@@ -3767,6 +3779,10 @@ GROUP BY event_type ORDER BY event_type
         FROM documents GROUP BY md5(text) ORDER BY content_hash"""
 
     o["q_n3_ngram_jaccard_pairs"] = dedup.ngram_jaccard_oracle_sql(threshold=0.5)
+
+    o["q_n43_ngram_novelty"] = dedup.ngram_novelty_oracle_sql(
+        batch_where="doc_id % 2 <> 0", corpus_where="doc_id % 2 = 0"
+    )
 
     o["q_n4_simhash"] = dedup.simhash_oracle_sql()
 

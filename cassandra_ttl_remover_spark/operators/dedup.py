@@ -1015,3 +1015,84 @@ SELECT t.{id_col},
 FROM toks t LEFT JOIN dup d ON t.{id_col} = d.{id_col}
 ORDER BY t.{id_col}
 """
+
+
+def ngram_novelty(batch: DataFrame, corpus: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: of a
+    doc's distinct 3-word shingles, how many never occur anywhere in the
+    corpus — ``(id, n_ngrams, n_novel, novelty_permille)``. The
+    document-scored complement of :func:`~..curate.decontaminate`
+    (doc-level boolean) and :func:`containment_pairs` (pair-level): a
+    low-novelty batch is mostly restatement of the corpus, a
+    high-novelty one adds new content — the standard dedup-aware data
+    -valuation signal when growing a pretraining mix. Docs with fewer
+    than 3 words have no shingles and score 0 novelty (nothing to
+    judge), kept in the output so the frame stays total over the batch.
+
+    Scale: the corpus reduces ONCE to its distinct shingle set (cache or
+    materialize it when scoring many batches — the same reusable-index
+    shape as q_n8c); one shuffle keyed by shingle for the membership
+    join, one map-side-combined per-doc count. Integer permille, no
+    float division."""
+    sh_b = shingle_frame(batch, text_col, id_col)
+    sh_c = shingle_frame(corpus, text_col, id_col).select("sh").distinct()
+    per = (
+        sh_b.join(sh_c.withColumn("_seen", F.lit(1)), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("_seen").isNull(), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        batch.select(id_col).join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.expr(
+                "case when coalesce(n_ngrams, 0) > 0 "
+                "then n_novel * 1000 div n_ngrams else 0 end"
+            ).cast("long").alias("novelty_permille"),
+        )
+    )
+
+
+def ngram_novelty_oracle_sql(table: str = "documents",
+                             id_col: str = "doc_id",
+                             batch_where: str = "TRUE",
+                             corpus_where: str = "TRUE") -> str:
+    """DuckDB recomputation of :func:`ngram_novelty` over ``table`` split
+    into batch/corpus by the two WHERE predicates."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    sh_list = (
+        f"CASE WHEN len({ws}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({ws}) - 1), i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]))"
+        f" ELSE [] END"
+    )
+    return f"""
+WITH sb AS (
+  SELECT {id_col}, unnest({sh_list}) AS s FROM {table} WHERE {batch_where}
+),
+sc AS (
+  SELECT DISTINCT unnest({sh_list}) AS s FROM {table} WHERE {corpus_where}
+),
+per AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_ngrams,
+         sum(CASE WHEN s NOT IN (SELECT s FROM sc) THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel
+  FROM sb GROUP BY {id_col}
+)
+SELECT d.{id_col}, coalesce(n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(n_novel, 0)::BIGINT AS n_novel,
+       (CASE WHEN coalesce(n_ngrams, 0) > 0
+             THEN n_novel * 1000 // n_ngrams ELSE 0 END)::BIGINT
+         AS novelty_permille
+FROM (SELECT {id_col} FROM {table} WHERE {batch_where}) d
+LEFT JOIN per USING ({id_col})
+ORDER BY d.{id_col}
+"""

@@ -163,3 +163,28 @@ def test_bigram_quality_invariants(spark):
                 assert out[d].mean_freq >= 1.0
             else:
                 assert d not in out
+
+
+def test_ngram_novelty_scoring(spark):
+    from cassandra_ttl_remover_spark.operators.dedup import ngram_novelty
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # all seen
+            (3, "completely new material about something else entirely"),
+            (5, "the quick brown fox went somewhere new today"),  # mixed
+            (7, "too short"),  # < 3 words: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in ngram_novelty(batch, corpus).collect()}
+    assert set(r) == {1, 3, 5, 7}
+    assert r[1].n_novel == 0 and r[1].novelty_permille == 0
+    assert r[3].n_novel == r[3].n_ngrams > 0 and r[3].novelty_permille == 1000
+    assert 0 < r[5].n_novel < r[5].n_ngrams
+    assert r[5].novelty_permille == r[5].n_novel * 1000 // r[5].n_ngrams
+    assert r[7].n_ngrams == 0 and r[7].novelty_permille == 0
