@@ -176,6 +176,40 @@ ORDER BY total_qty DESC, o_orderkey
 LIMIT 20
 """
 
+#: TPC-H Q4 shape (order-priority checking): correlated EXISTS against
+#: the fact table + priority rollup. The classic l_commitdate <
+#: l_receiptdate predicate is adapted to this fixture's columns
+#: (l_shipdate > o_orderdate: any line shipped after the order date) —
+#: same plan shape (semi join), same decorrelation challenge.
+SHARED_SQL_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE year(o_orderdate) = 1996
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+#: TPC-H Q14 shape (promotion effect): conditional revenue share over a
+#: part join. Exact DECIMAL sums (the Q6 convention), then exactly two
+#: IEEE double ops (multiply, divide) so the ratio is bit-portable.
+SHARED_SQL_Q14 = """
+SELECT CAST(100.0 AS DOUBLE)
+       * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1996
+"""
+
 #: Analytic-window breadth: lag/lead/ntile/cume_dist in one pass. The
 #: ordering key (ts, event_id) is unique per partition, so every ranking
 #: function is deterministic; cume_dist is an exact rational -> one IEEE
@@ -278,6 +312,8 @@ _DRIVER_PRIORITY = [
     "q_mm10_pbm_decode",
     "q_a8_sketch_difference",
     "q_n43_ngram_novelty",
+    "q_sql_q4_priority_exists",
+    "q_sql_q14_promo_revenue",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -1042,6 +1078,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_tables(spark, sf, ["customer", "orders", "lineitem"])
         return spark.sql(SHARED_SQL_Q18)
     q["q_sql_q18_large_orders"] = q_sql_q18
+
+    def q_sql_q4(spark, sf):
+        # Q4 shape: correlated EXISTS -> semi join, priority rollup
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["orders", "lineitem"])
+        return spark.sql(SHARED_SQL_Q4)
+    q["q_sql_q4_priority_exists"] = q_sql_q4
+
+    def q_sql_q14(spark, sf):
+        # Q14 shape: conditional revenue share over the part join, exact
+        # decimal sums then two IEEE ops for the percentage
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["lineitem", "part"])
+        return spark.sql(SHARED_SQL_Q14)
+    q["q_sql_q14_promo_revenue"] = q_sql_q14
 
     def q_x7(spark, sf):
         from cassandra_ttl_remover_spark import load_tables
@@ -3567,6 +3618,8 @@ WHERE pk >= '1' AND pk < '2'
     o["q_sql_q6_forecast_revenue"] = SHARED_SQL_Q6
     o["q_sql_q10_returned_items"] = SHARED_SQL_Q10
     o["q_sql_q18_large_orders"] = SHARED_SQL_Q18
+    o["q_sql_q4_priority_exists"] = SHARED_SQL_Q4
+    o["q_sql_q14_promo_revenue"] = SHARED_SQL_Q14
     o["q_x7_window_analytics"] = SHARED_SQL_WINDOW
     o["q_p4_grouping_sets"] = """
         SELECT o_orderpriority, o_orderstatus,
