@@ -314,6 +314,7 @@ _DRIVER_PRIORITY = [
     "q_n43_ngram_novelty",
     "q_sql_q4_priority_exists",
     "q_sql_q14_promo_revenue",
+    "q_x18_approx_percentile",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -1085,6 +1086,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_tables(spark, sf, ["orders", "lineitem"])
         return spark.sql(SHARED_SQL_Q4)
     q["q_sql_q4_priority_exists"] = q_sql_q4
+
+    def q_x18(spark, sf):
+        # approximate percentile with a RANK-ERROR certificate: Spark's
+        # percentile_approx (Greenwald-Khanna style sketch) promises
+        # bounded rank error; the certificate counts how many values sit
+        # at or below the sketch's answer and checks that rank lands in
+        # [p - eps, p + eps]. Exact integers + booleans only, so the row
+        # hash-matches even though the sketch value itself is
+        # engine-specific. The affordable distributed quantile at 100 TB
+        # (exact ntile needs a global sort; the sketch is one pass,
+        # map-side mergeable).
+        li = scan_table(spark, sf, "lineitem").select(
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("v")
+        )
+        acc = 10_000  # rank error <= 1/acc
+        approx = li.agg(
+            F.expr(f"percentile_approx(v, 0.5, {acc})").alias("a"),
+            F.count("*").alias("n"),
+        )
+        return (
+            li.crossJoin(F.broadcast(approx))
+            .agg(
+                F.first("n").alias("n"),
+                F.sum(F.when(F.col("v") <= F.col("a"), 1).otherwise(0))
+                .alias("_le"),
+            )
+            .select(
+                F.col("n").cast("long").alias("n"),
+                (
+                    (F.col("_le") >= (F.lit(0.5) - F.lit(2.0) / acc) * F.col("n"))
+                    & (F.col("_le") <= (F.lit(0.5) + F.lit(2.0) / acc) * F.col("n") + 1)
+                ).alias("rank_within_tol"),
+            )
+        )
+    q["q_x18_approx_percentile"] = q_x18
 
     def q_sql_q14(spark, sf):
         # Q14 shape: conditional revenue share over the part join, exact
@@ -3619,6 +3655,9 @@ WHERE pk >= '1' AND pk < '2'
     o["q_sql_q10_returned_items"] = SHARED_SQL_Q10
     o["q_sql_q18_large_orders"] = SHARED_SQL_Q18
     o["q_sql_q4_priority_exists"] = SHARED_SQL_Q4
+    o["q_x18_approx_percentile"] = """
+        SELECT count(*)::BIGINT AS n, TRUE AS rank_within_tol
+        FROM lineitem"""
     o["q_sql_q14_promo_revenue"] = SHARED_SQL_Q14
     o["q_x7_window_analytics"] = SHARED_SQL_WINDOW
     o["q_p4_grouping_sets"] = """
