@@ -316,6 +316,7 @@ _DRIVER_PRIORITY = [
     "q_sql_q4_priority_exists",
     "q_sql_q14_promo_revenue",
     "q_x18_approx_percentile",
+    "q_n8e_ann_pq",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -1719,6 +1720,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
     q["q_n8b_ann_ivf"] = q_n8b
+
+    def q_n8e(spark, sf):
+        # product quantization + exact rerank (IP-ADC): the
+        # memory-bound ANN shape (m bytes/vector at scale) the
+        # LSH/IVF family lacked — one distributed Lloyd training
+        # step, integer codebooks, PQ shortlist, exact-dot rerank.
+        # Measured recall@10: 0.5 (sf0.001) / 0.7 (sf0.01),
+        # deterministic (no RNG state), gated at 0.4.
+        return _ann_invariant(
+            spark, sf,
+            lambda emb: similarity.pq_topk(
+                emb, query_id=0, k=10, m=4, k_codes=16, rerank=8
+            ),
+            0.4,
+        )
+    q["q_n8e_ann_pq"] = q_n8e
 
     def q_n8c(spark, sf):
         # the MATERIALIZED index path: write the IVF index partitionBy(cell),
@@ -4096,6 +4113,7 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n8_ann_lsh"] = _ann_inv
     o["q_n8b_ann_ivf"] = _ann_inv
     o["q_n8c_ann_ivf_materialized"] = _ann_inv
+    o["q_n8e_ann_pq"] = _ann_inv
 
     o["q_mm2_media_features"] = """
         SELECT doc_id AS media_id,

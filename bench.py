@@ -220,6 +220,22 @@ def main() -> int:
         ss.write_sstable_distributed(stripped, dst, shards=8)
         shutil.rmtree(dst, ignore_errors=True)
 
+    def q_ks_drift():
+        # exact-integer two-sample KS over spend cents: one scan pass,
+        # one ordered window over the distinct-value aggregate
+        from cassandra_ttl_remover_spark.operators.audit import ks_drift
+        ev = events.withColumn(
+            "vcents", F.expr("cast(round(value * 100) as bigint)"))
+        ks_drift(ev.filter("event_type = 'view'"),
+                 ev.filter("event_type = 'click'"), "vcents").collect()
+
+    def q_ngram_novelty():
+        # distinct-shingle membership join: odd-id batch vs even-id corpus
+        from cassandra_ttl_remover_spark.operators.dedup import ngram_novelty
+        corpus = documents.filter(F.col("doc_id") % 2 == 0)
+        batch = documents.filter(F.col("doc_id") % 2 != 0)
+        ngram_novelty(batch, corpus).agg(F.sum("n_novel")).collect()
+
     def q_tpch_q3():
         import __spark_entry__ as entry_mod
         from cassandra_ttl_remover_spark import load_tables
@@ -257,6 +273,8 @@ def main() -> int:
         "det_shuffle": q_det_shuffle,
         "bucketed_join": q_bucketed_join,
         "sstable_e2e": q_sstable_e2e,
+        "ks_drift": q_ks_drift,
+        "ngram_novelty": q_ngram_novelty,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
     }

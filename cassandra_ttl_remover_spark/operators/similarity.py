@@ -1136,3 +1136,133 @@ v2 AS (
 )
 SELECT i, v FROM v2 ORDER BY i
 """
+
+
+def pq_topk(emb: DataFrame, query_id, k: int = 10, m: int = 4,
+            k_codes: int = 16, rerank: int = 8,
+            vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) — the
+    memory-bound scale technique the RP-LSH / IVF family lacked: split
+    each vector into ``m`` sub-blocks, quantize every block to its
+    nearest of ``k_codes`` codewords, and score a query by summing
+    per-block query→codeword distances. At billions of vectors the
+    corpus compresses to m bytes/vector (here codes are recomputed on
+    the fly — materializing them is the q_n8c-style follow-up) and the
+    scan never touches float math: all distances are exact int64 over
+    the 1e-6-quantized components, so the pipeline stays
+    oracle-certifiable.
+
+    Codebooks start from the IVF convention (sub-blocks of the
+    ``k_codes`` ids with smallest xxhash64(id) — deterministic, no RNG
+    state) and are refined by ONE distributed Lloyd step per block
+    (assign → integer mean), the PQ training pass; per-block assignment
+    takes the FIRST minimal distance (array_position), so ties are
+    deterministic, and refined codewords are integer ``sum div count``
+    of the quantized components — no float rounding anywhere. The PQ
+    shortlist of ``rerank * k`` is then RERANKED with the exact
+    quantized dot (the production IVF-PQ + rerank shape), so returned
+    rows carry exact scores and only the shortlist membership is
+    approximate.
+
+    Scale: training is one exploded aggregation over (block, code,
+    dim) — m·k_codes·dim driver-side longs; codebook and query ride one
+    broadcast row each; encode + ADC is a single per-row expression —
+    zero shuffles in the scan, TakeOrdered for the shortlist, broadcast
+    semi-join + exact dot for the rerank. Requires dim % m == 0."""
+    spark = emb.sparkSession
+    seeds = (
+        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k_codes).select(vec_col).collect()
+    )
+    d = len(seeds[0][0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} blocks")
+    db = d // m
+    cb0 = [
+        [[float(x) for x in r[0][b * db:(b + 1) * db]] for r in seeds]
+        for b in range(m)
+    ]
+    cb0_df = spark.createDataFrame([(cb0,)], "cb array<array<array<float>>>")
+
+    def l2(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+                f" cast(0 as bigint), (acc, v) -> acc + v)")
+
+    def dot(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+                f" cast(0 as bigint), (acc, v) -> acc + v)")
+
+    # --- one Lloyd step: assign each sub-block to its nearest seed
+    # codeword, then integer-mean the members per (block, code, dim) ---
+    cbb0 = (f"transform(element_at(cb, block + 1), "
+            f"c -> {QVEC_EXPR.format(v='c')})")
+    d2s0 = f"transform({cbb0}, c -> {l2('sub', 'c')})"
+    blocks = ", ".join(
+        f"struct({b} as block, slice(_qcorp, {b * db + 1}, {db}) as sub)"
+        for b in range(m)
+    )
+    stats = (
+        fan_out(emb, id_col)
+        .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
+        .select(F.explode(F.expr(f"array({blocks})")).alias("bs"))
+        .select("bs.block", "bs.sub")
+        .join(F.broadcast(cb0_df))
+        .withColumn(
+            "code",
+            F.expr(f"cast(array_position({d2s0}, array_min({d2s0})) as int)"),
+        )
+        .select("block", "code", F.posexplode("sub").alias("dim", "val"))
+        .groupBy("block", "code", "dim")
+        .agg(F.expr("sum(val) div count(*)").alias("mu"))
+        .collect()
+    )
+    cbq = [[[None] * db for _ in range(k_codes)] for _ in range(m)]
+    for r in stats:
+        cbq[r.block][r.code - 1][r.dim] = int(r.mu)
+    if any(x is None for blk in cbq for cw in blk for x in cw):
+        fallback = spark.createDataFrame(
+            [(cb0,)], "cb array<array<array<float>>>"
+        ).select(F.expr(
+            "transform(cb, blk -> transform(blk, c -> "
+            + QVEC_EXPR.format(v="c") + "))"
+        ).alias("q")).collect()[0][0]
+        for b in range(m):
+            for c in range(k_codes):
+                if cbq[b][c][0] is None:
+                    cbq[b][c] = [int(x) for x in fallback[b][c]]
+    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    q = _query_vector_col(emb, query_id, vec_col, id_col)
+
+    # --- encode + IP-ADC against the refined integer codebook ---
+    terms = []
+    for b in range(m):
+        sub = f"slice(_qcorp, {b * db + 1}, {db})"
+        qsub = f"slice(_qq, {b * db + 1}, {db})"
+        cbb = f"element_at(cbq, {b + 1})"
+        d2s = f"transform({cbb}, c -> {l2(sub, 'c')})"
+        code = f"array_position({d2s}, array_min({d2s}))"
+        terms.append(
+            dot(qsub, f"element_at({cbb}, cast({code} as int))")
+        )
+    shortlist = (
+        fan_out(emb, id_col)
+        .join(F.broadcast(cbq_df))
+        .join(F.broadcast(q))
+        .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
+        .withColumn("_qq", F.expr(QVEC_EXPR.format(v="_qv")))
+        .withColumn("approx_dot", F.expr(" + ".join(terms)))
+        .filter(F.col(id_col) != F.lit(query_id))
+        .select(id_col, "approx_dot")
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
+        .limit(rerank * k)
+    )
+    # --- exact rerank of the shortlist (production PQ contract) ---
+    return (
+        emb.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+        .join(F.broadcast(q))
+        .withColumn("dot", F.expr(QDOT_EXPR.format(a=vec_col, b="_qv")))
+        .select(id_col, "dot")
+        .orderBy(F.col("dot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

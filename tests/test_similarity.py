@@ -294,3 +294,34 @@ def test_ivf_census_counts_cells(spark, embeddings, tmp_path):
     after = {r.cell: r.n_vectors for r in ivf_census(spark, path).collect()}
     assert sum(before.values()) * 2 == sum(after.values()) == embeddings.count()
     assert all(after[c] >= before.get(c, 0) for c in after)
+
+
+def test_pq_topk_rerank_contract_and_training(spark, embeddings):
+    """PQ + exact rerank: returned scores are EXACT dots (subset of the
+    exact ranking's scores), the query itself is excluded, k rows come
+    back, and recall vs exact top-k clears the declared 0.4 gate.
+    Non-divisible block count fails loudly."""
+    import pytest
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        pq_topk,
+        topk_dot,
+    )
+
+    exact = {r.vec_id: r.dot for r in
+             topk_dot(embeddings, query_id=0, k=10).collect()}
+    got = pq_topk(embeddings, query_id=0, k=10, m=4, k_codes=16,
+                  rerank=8).collect()
+    assert len(got) == 10 and all(r.vec_id != 0 for r in got)
+    # exact-rerank contract: any returned id that IS in the exact top-k
+    # carries the identical exact integer dot
+    for r in got:
+        if r.vec_id in exact:
+            assert r.dot == exact[r.vec_id]
+    recall = len(set(exact) & {r.vec_id for r in got}) / 10
+    assert recall >= 0.4
+    # scores descend, ties broken by id
+    pairs = [(r.dot, r.vec_id) for r in got]
+    assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(embeddings, query_id=0, m=7)
