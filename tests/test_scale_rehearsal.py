@@ -272,3 +272,31 @@ def test_sstable_index_pruning_at_60k_partitions(spark, tmp_path):
     got = ss.scan_sstable(spark, out, num_splits=4,
                           key_start="p00042", key_stop="p00043").collect()
     assert len(got) == 20 and all(r.pk.startswith("p00042") for r in got)
+
+
+def test_skewed_join_completes_under_aqe(spark):
+    """Join-side skew rehearsal (the agg-side lives in q_sk1's salted
+    rollup): one key owns 50k of 60k fact rows. AQE's skew-join split is
+    enabled in the engine conf; the join must complete exactly — the
+    hot key's multiplicity neither drops nor duplicates rows — and the
+    plan must stay a join, not a driver-side collect."""
+    import pyspark.sql.functions as F
+
+    fact = spark.range(60_000).select(
+        F.when(F.col("id") < 50_000, F.lit(7)).otherwise(F.col("id") % 997)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(997).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    # force the shuffle path: broadcast would hide the skew entirely
+    joined = fact.join(dim.hint("shuffle_merge"), "k")
+    agg = {r.k: r.n for r in
+           joined.groupBy("k").agg(F.count("*").alias("n"))
+           .filter(F.col("k").isin(7, 13)).collect()}
+    assert agg[7] == 50_000 + sum(1 for i in range(50_000, 60_000)
+                                  if i % 997 == 7)
+    assert agg.get(13, 0) == sum(1 for i in range(50_000, 60_000)
+                                 if i % 997 == 13)
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
