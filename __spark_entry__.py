@@ -291,13 +291,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_pipe_curate_lsh slot first (now an invariant-certificate row instead of
 # err no_oracle), then ALL round-3 operator additions, then the n16-n33
 # curation tail, then the misc d/z/w/f/sk/rj/x/p tail; the r1-r3-graded
-# blocks follow in their prior order. The fourteen round-4 additions
+# blocks follow in their prior order. The fifteen round-4 additions
 # (q_mm8-mm10, q_s7-s10, q_st15, q_d7, q_a8, q_n43, q_sql_q4/q14,
-# q_x18 — inserted right after the repaired q_pipe_curate_lsh slot)
-# shift the ~50-query window to certify through ~q_n19; ROUND-5 PLAN:
-# rotate once more so the ~31 still-ungraded entries (q_n20-n33 + the
-# misc tail from q_d1 on) lead. Do NOT rotate mid-round: the gate runs
-# on end-of-round state.
+# q_x18, q_n8e — inserted right after the repaired q_pipe_curate_lsh
+# slot) shift the ~50-query window to certify through ~q_n17; ROUND-5
+# PLAN: rotate once more so the ~32 still-ungraded entries (q_n18-n33
+# + the misc tail from q_d1 on) lead. Do NOT rotate mid-round: the
+# gate runs on end-of-round state.
 _DRIVER_PRIORITY = [
     # repaired err-slot: invariant certificate, hash-matchable now
     "q_pipe_curate_lsh",
