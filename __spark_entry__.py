@@ -291,12 +291,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_pipe_curate_lsh slot first (now an invariant-certificate row instead of
 # err no_oracle), then ALL round-3 operator additions, then the n16-n33
 # curation tail, then the misc d/z/w/f/sk/rj/x/p tail; the r1-r3-graded
-# blocks follow in their prior order. The fifteen round-4 additions
+# blocks follow in their prior order. The sixteen round-4 additions
 # (q_mm8-mm10, q_s7-s10, q_st15, q_d7, q_a8, q_n43, q_sql_q4/q14,
-# q_x18, q_n8e — inserted right after the repaired q_pipe_curate_lsh
-# slot) shift the ~50-query window to certify through ~q_n17; ROUND-5
-# PLAN: rotate once more so the ~32 still-ungraded entries (q_n18-n33
-# + the misc tail from q_d1 on) lead. Do NOT rotate mid-round: the
+# q_x18, q_n8e/n8f — inserted right after the repaired
+# q_pipe_curate_lsh slot) shift the ~50-query window to certify
+# through ~q_n16; ROUND-5 PLAN: rotate once more so the ~33
+# still-ungraded entries (q_n17-n33 + the misc tail from q_d1 on)
+# lead. Do NOT rotate mid-round: the
 # gate runs on end-of-round state.
 _DRIVER_PRIORITY = [
     # repaired err-slot: invariant certificate, hash-matchable now
@@ -317,6 +318,7 @@ _DRIVER_PRIORITY = [
     "q_sql_q14_promo_revenue",
     "q_x18_approx_percentile",
     "q_n8e_ann_pq",
+    "q_n8f_ann_pq_materialized",
     # round-3 additions (never driver-graded before this round)
     "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
@@ -1736,6 +1738,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.4,
         )
     q["q_n8e_ann_pq"] = q_n8e
+
+    def q_n8f(spark, sf):
+        # MATERIALIZED PQ index: codes-only parquet (m small ints per
+        # vector) + codebook sidecar; the query scans codes with the
+        # query's distance table folded in as literals — no vector
+        # bytes read before the exact rerank. Bit-identical to the
+        # inline q_n8e path, same deterministic recall, same gate.
+        import tempfile
+
+        from cassandra_ttl_remover_spark.operators.similarity import (
+            pq_query,
+            pq_write,
+        )
+
+        def approx(emb):
+            path = tempfile.mkdtemp(prefix="ctrs_pq_") + "/pq"
+            pq_write(emb, path, m=4, k_codes=16)
+            return pq_query(spark, path, emb, 0, k=10, rerank=8)
+
+        return _ann_invariant(spark, sf, approx, 0.4)
+    q["q_n8f_ann_pq_materialized"] = q_n8f
 
     def q_n8c(spark, sf):
         # the MATERIALIZED index path: write the IVF index partitionBy(cell),
@@ -4114,6 +4137,7 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n8b_ann_ivf"] = _ann_inv
     o["q_n8c_ann_ivf_materialized"] = _ann_inv
     o["q_n8e_ann_pq"] = _ann_inv
+    o["q_n8f_ann_pq_materialized"] = _ann_inv
 
     o["q_mm2_media_features"] = """
         SELECT doc_id AS media_id,

@@ -1138,6 +1138,81 @@ SELECT i, v FROM v2 ORDER BY i
 """
 
 
+def _PQ_L2(a: str, b: str) -> str:
+    """Exact int64 squared L2 between two quantized component arrays."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+            f" cast(0 as bigint), (acc, v) -> acc + v)")
+
+
+def _PQ_DOT(a: str, b: str) -> str:
+    """Exact int64 dot between two quantized component arrays."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            f" cast(0 as bigint), (acc, v) -> acc + v)")
+
+
+def _pq_train(emb: DataFrame, m: int, k_codes: int, vec_col: str,
+              id_col: str) -> tuple[list, int]:
+    """Train the PQ codebooks: deterministic xxhash-seeded initial
+    codewords, then ONE distributed Lloyd step per block (assign ->
+    integer sum-div-count mean over the quantized components — no float
+    rounding on the driver). Empty codewords keep their SQL-quantized
+    seed. Returns ``(cbq, db)``: the integer codebook
+    ``[block][code][dim]`` and the sub-block width."""
+    spark = emb.sparkSession
+    seeds = (
+        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k_codes).select(vec_col).collect()
+    )
+    d = len(seeds[0][0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} blocks")
+    db = d // m
+    cb0 = [
+        [[float(x) for x in r[0][b * db:(b + 1) * db]] for r in seeds]
+        for b in range(m)
+    ]
+    cb0_df = spark.createDataFrame([(cb0,)], "cb array<array<array<float>>>")
+    cbb0 = (f"transform(element_at(cb, block + 1), "
+            f"c -> {QVEC_EXPR.format(v='c')})")
+    d2s0 = f"transform({cbb0}, c -> {_PQ_L2('sub', 'c')})"
+    blocks = ", ".join(
+        f"struct({b} as block, slice(_qcorp, {b * db + 1}, {db}) as sub)"
+        for b in range(m)
+    )
+    stats = (
+        fan_out(emb, id_col)
+        .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
+        .select(F.explode(F.expr(f"array({blocks})")).alias("bs"))
+        .select("bs.block", "bs.sub")
+        .join(F.broadcast(cb0_df))
+        .withColumn(
+            "code",
+            F.expr(f"cast(array_position({d2s0}, array_min({d2s0})) as int)"),
+        )
+        .select("block", "code", F.posexplode("sub").alias("dim", "val"))
+        .groupBy("block", "code", "dim")
+        .agg(F.expr("sum(val) div count(*)").alias("mu"))
+        .collect()
+    )
+    cbq = [[[None] * db for _ in range(k_codes)] for _ in range(m)]
+    for r in stats:
+        cbq[r.block][r.code - 1][r.dim] = int(r.mu)
+    if any(x is None for blk in cbq for cw in blk for x in cw):
+        # empty codeword fallback: the seed, quantized BY SPARK (python
+        # round() is banker's — never quantize driver-side)
+        fallback = spark.createDataFrame(
+            [(cb0,)], "cb array<array<array<float>>>"
+        ).select(F.expr(
+            "transform(cb, blk -> transform(blk, c -> "
+            + QVEC_EXPR.format(v="c") + "))"
+        ).alias("q")).collect()[0][0]
+        for b in range(m):
+            for c in range(k_codes):
+                if cbq[b][c][0] is None:
+                    cbq[b][c] = [int(x) for x in fallback[b][c]]
+    return cbq, db
+
+
 def pq_topk(emb: DataFrame, query_id, k: int = 10, m: int = 4,
             k_codes: int = 16, rerank: int = 8,
             vec_col: str = "embedding",
@@ -1171,66 +1246,7 @@ def pq_topk(emb: DataFrame, query_id, k: int = 10, m: int = 4,
     zero shuffles in the scan, TakeOrdered for the shortlist, broadcast
     semi-join + exact dot for the rerank. Requires dim % m == 0."""
     spark = emb.sparkSession
-    seeds = (
-        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(k_codes).select(vec_col).collect()
-    )
-    d = len(seeds[0][0])
-    if d % m:
-        raise ValueError(f"dim {d} not divisible into {m} blocks")
-    db = d // m
-    cb0 = [
-        [[float(x) for x in r[0][b * db:(b + 1) * db]] for r in seeds]
-        for b in range(m)
-    ]
-    cb0_df = spark.createDataFrame([(cb0,)], "cb array<array<array<float>>>")
-
-    def l2(a: str, b: str) -> str:
-        return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
-                f" cast(0 as bigint), (acc, v) -> acc + v)")
-
-    def dot(a: str, b: str) -> str:
-        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-                f" cast(0 as bigint), (acc, v) -> acc + v)")
-
-    # --- one Lloyd step: assign each sub-block to its nearest seed
-    # codeword, then integer-mean the members per (block, code, dim) ---
-    cbb0 = (f"transform(element_at(cb, block + 1), "
-            f"c -> {QVEC_EXPR.format(v='c')})")
-    d2s0 = f"transform({cbb0}, c -> {l2('sub', 'c')})"
-    blocks = ", ".join(
-        f"struct({b} as block, slice(_qcorp, {b * db + 1}, {db}) as sub)"
-        for b in range(m)
-    )
-    stats = (
-        fan_out(emb, id_col)
-        .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
-        .select(F.explode(F.expr(f"array({blocks})")).alias("bs"))
-        .select("bs.block", "bs.sub")
-        .join(F.broadcast(cb0_df))
-        .withColumn(
-            "code",
-            F.expr(f"cast(array_position({d2s0}, array_min({d2s0})) as int)"),
-        )
-        .select("block", "code", F.posexplode("sub").alias("dim", "val"))
-        .groupBy("block", "code", "dim")
-        .agg(F.expr("sum(val) div count(*)").alias("mu"))
-        .collect()
-    )
-    cbq = [[[None] * db for _ in range(k_codes)] for _ in range(m)]
-    for r in stats:
-        cbq[r.block][r.code - 1][r.dim] = int(r.mu)
-    if any(x is None for blk in cbq for cw in blk for x in cw):
-        fallback = spark.createDataFrame(
-            [(cb0,)], "cb array<array<array<float>>>"
-        ).select(F.expr(
-            "transform(cb, blk -> transform(blk, c -> "
-            + QVEC_EXPR.format(v="c") + "))"
-        ).alias("q")).collect()[0][0]
-        for b in range(m):
-            for c in range(k_codes):
-                if cbq[b][c][0] is None:
-                    cbq[b][c] = [int(x) for x in fallback[b][c]]
+    cbq, db = _pq_train(emb, m, k_codes, vec_col, id_col)
     cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
     q = _query_vector_col(emb, query_id, vec_col, id_col)
 
@@ -1240,10 +1256,10 @@ def pq_topk(emb: DataFrame, query_id, k: int = 10, m: int = 4,
         sub = f"slice(_qcorp, {b * db + 1}, {db})"
         qsub = f"slice(_qq, {b * db + 1}, {db})"
         cbb = f"element_at(cbq, {b + 1})"
-        d2s = f"transform({cbb}, c -> {l2(sub, 'c')})"
+        d2s = f"transform({cbb}, c -> {_PQ_L2(sub, 'c')})"
         code = f"array_position({d2s}, array_min({d2s}))"
         terms.append(
-            dot(qsub, f"element_at({cbb}, cast({code} as int))")
+            _PQ_DOT(qsub, f"element_at({cbb}, cast({code} as int))")
         )
     shortlist = (
         fan_out(emb, id_col)
@@ -1258,6 +1274,95 @@ def pq_topk(emb: DataFrame, query_id, k: int = 10, m: int = 4,
         .limit(rerank * k)
     )
     # --- exact rerank of the shortlist (production PQ contract) ---
+    return (
+        emb.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+        .join(F.broadcast(q))
+        .withColumn("dot", F.expr(QDOT_EXPR.format(a=vec_col, b="_qv")))
+        .select(id_col, "dot")
+        .orderBy(F.col("dot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_write(emb: DataFrame, path: str, m: int = 4, k_codes: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """MATERIALIZE the PQ index: train codebooks (:func:`_pq_train`),
+    encode every vector once, and store ONLY ``(id, codes)`` — m small
+    ints per vector, the memory-bound serving layout — plus the
+    codebook sidecar at ``path/_codebook``. Queries then scan codes,
+    never vectors (q_n8c's materialization contract, PQ edition)."""
+    spark = emb.sparkSession
+    cbq, db = _pq_train(emb, m, k_codes, vec_col, id_col)
+    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    codes = []
+    for b in range(m):
+        sub = f"slice(_qcorp, {b * db + 1}, {db})"
+        cbb = f"element_at(cbq, {b + 1})"
+        d2s = f"transform({cbb}, c -> {_PQ_L2(sub, 'c')})"
+        codes.append(f"cast(array_position({d2s}, array_min({d2s})) as int)")
+    (
+        fan_out(emb, id_col)
+        .join(F.broadcast(cbq_df))
+        .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
+        .select(id_col, F.expr(f"array({', '.join(codes)})").alias("codes"))
+        .write.mode("overwrite").parquet(path)
+    )
+    rows = [(b, c, cbq[b][c]) for b in range(m) for c in range(k_codes)]
+    spark.createDataFrame(
+        rows, "block int, code int, comps array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
+
+
+def pq_query(spark, path: str, emb: DataFrame, query_id, k: int = 10,
+             rerank: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Query a materialized PQ index: read the O(m·k_codes) codebook
+    sidecar, build the per-(block, code) inner-product DISTANCE TABLE
+    against the query (computed in Spark SQL over quantized ints — the
+    driver only copies longs), fold it into the scan as literal arrays,
+    and scan ONLY the codes frame: per row the score is m array
+    lookups — no vector bytes are read until the exact rerank of the
+    shortlist against the base table. Constant-folded literals keep the
+    scan whole-stage-codegen with zero joins and zero shuffles."""
+    cb_rows = spark.read.parquet(f"{path}/_codebook").collect()
+    q = _query_vector_col(emb, query_id, vec_col, id_col)
+    # DT[b][c] = dot(query_sub_b, codeword) — exact ints via one tiny
+    # Spark job (never python-rounded)
+    m = 1 + max(r.block for r in cb_rows)
+    db = len(cb_rows[0].comps)
+    cbq = [[None] * (len(cb_rows) // m) for _ in range(m)]
+    for r in cb_rows:
+        # sidecar codes are 0-based codebook positions; the stored
+        # per-vector codes are 1-based array_position values into the
+        # same order
+        cbq[r.block][r.code] = [int(x) for x in r.comps]
+    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    dt_terms = ", ".join(
+        f"transform(element_at(cbq, {b + 1}), "
+        f"c -> {_PQ_DOT(f'slice(_qq, {b * db + 1}, {db})', 'c')})"
+        for b in range(m)
+    )
+    dt = (
+        q.join(F.broadcast(cbq_df))
+        .withColumn("_qq", F.expr(QVEC_EXPR.format(v="_qv")))
+        .select(F.expr(f"array({dt_terms})").alias("dt"))
+        .collect()[0][0]
+    )
+    adc = " + ".join(
+        "element_at(array({vals}), element_at(codes, {bi}))".format(
+            vals=", ".join(f"cast({int(v)} as bigint)" for v in dt[b]),
+            bi=b + 1,
+        )
+        for b in range(m)
+    )
+    shortlist = (
+        spark.read.parquet(path)
+        .filter(F.col(id_col) != F.lit(query_id))
+        .withColumn("approx_dot", F.expr(adc))
+        .select(id_col, "approx_dot")
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
+        .limit(rerank * k)
+    )
     return (
         emb.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
         .join(F.broadcast(q))

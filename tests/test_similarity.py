@@ -325,3 +325,29 @@ def test_pq_topk_rerank_contract_and_training(spark, embeddings):
     assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(embeddings, query_id=0, m=7)
+
+
+def test_pq_materialized_index_matches_inline(spark, embeddings, tmp_path):
+    """pq_write -> pq_query returns bit-identical rows to the inline
+    pq_topk path (same codebooks, same codes, same rerank), the index
+    stores only (id, codes array of m), and the codes scan's plan reads
+    no vector column."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        pq_query,
+        pq_topk,
+        pq_write,
+    )
+
+    path = str(tmp_path / "pq")
+    pq_write(embeddings, path, m=4, k_codes=16)
+    inline = [(r.vec_id, r.dot) for r in
+              pq_topk(embeddings, 0, k=10, m=4, k_codes=16,
+                      rerank=8).collect()]
+    mat = [(r.vec_id, r.dot) for r in
+           pq_query(spark, path, embeddings, 0, k=10, rerank=8).collect()]
+    assert mat == inline and len(mat) == 10
+    codes = spark.read.parquet(path)
+    assert set(codes.columns) == {"vec_id", "codes"}
+    row = codes.first()
+    assert len(row.codes) == 4 and all(1 <= c <= 16 for c in row.codes)
+    assert codes.count() == embeddings.count()
