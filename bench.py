@@ -220,6 +220,12 @@ def main() -> int:
         ss.write_sstable_distributed(stripped, dst, shards=8)
         shutil.rmtree(dst, ignore_errors=True)
 
+    def q_pq_ann():
+        # PQ train (one Lloyd pass) + zero-shuffle IP-ADC scan + exact
+        # rerank — the full memory-bound ANN pipeline per query
+        from cassandra_ttl_remover_spark.operators.similarity import pq_topk
+        pq_topk(embeddings, 0, k=10, m=4, k_codes=16, rerank=8).collect()
+
     def q_ks_drift():
         # exact-integer two-sample KS over spend cents: one scan pass,
         # one ordered window over the distinct-value aggregate
@@ -273,6 +279,7 @@ def main() -> int:
         "det_shuffle": q_det_shuffle,
         "bucketed_join": q_bucketed_join,
         "sstable_e2e": q_sstable_e2e,
+        "pq_ann": q_pq_ann,
         "ks_drift": q_ks_drift,
         "ngram_novelty": q_ngram_novelty,
         "tpch_q3": q_tpch_q3,
