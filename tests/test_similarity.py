@@ -351,3 +351,21 @@ def test_pq_materialized_index_matches_inline(spark, embeddings, tmp_path):
     row = codes.first()
     assert len(row.codes) == 4 and all(1 <= c <= 16 for c in row.codes)
     assert codes.count() == embeddings.count()
+
+
+def test_pq_topk_is_partitioning_independent(spark, embeddings):
+    """The PQ certificate's stability rests on full determinism: seeds
+    (xxhash order), training (integer sums), encode (first-min codes),
+    and both TakeOrdered stages (total order with id tiebreak) must not
+    depend on how the input happens to be partitioned."""
+    from cassandra_ttl_remover_spark.operators.similarity import pq_topk
+
+    a = [(r.vec_id, r.dot) for r in
+         pq_topk(embeddings, 0, k=10, m=4, k_codes=16, rerank=8).collect()]
+    b = [(r.vec_id, r.dot) for r in
+         pq_topk(embeddings.repartition(7), 0, k=10, m=4, k_codes=16,
+                 rerank=8).collect()]
+    c = [(r.vec_id, r.dot) for r in
+         pq_topk(embeddings.coalesce(1), 0, k=10, m=4, k_codes=16,
+                 rerank=8).collect()]
+    assert a == b == c and len(a) == 10
