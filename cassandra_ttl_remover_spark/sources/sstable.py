@@ -99,6 +99,22 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str) -> None:
 # low-level decode
 # ---------------------------------------------------------------------------
 
+class CorruptSSTableError(ValueError):
+    """A Data.db record ended mid-field — the file is truncated or the
+    layout is not the simple-cell subset. The reference quarantines such
+    files (markSuspect); callers here should do the same rather than
+    emit partial partitions."""
+
+
+def _must_read(f, n: int, path: str, what: str) -> bytes:
+    b = f.read(n)
+    if len(b) != n:
+        raise CorruptSSTableError(
+            f"{path}: truncated while reading {what} at offset "
+            f"{f.tell() - len(b)} (wanted {n} bytes, got {len(b)})"
+        )
+    return b
+
 def select_index_range(
     entries: list[tuple[bytes, int]],
     data_size: int,
@@ -148,7 +164,10 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
     """Decode every partition whose record starts in ``[start, end)`` and
     yield flat cell rows (the SSTABLE_SCHEMA tuple shape). Seeks once,
     then reads forward — a task never touches bytes outside its split
-    except to finish the final partition it started."""
+    except to finish the final partition it started. A file truncated
+    mid-record fails with a descriptive CorruptSSTableError (quarantine
+    the file, don't emit partial partitions) rather than a bare struct
+    error."""
     with open(data_path, "rb") as f:
         f.seek(start)
         while f.tell() < end:
@@ -156,8 +175,9 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
             if len(hdr) < 2:
                 return
             (klen,) = struct.unpack(">H", hdr)
-            key = f.read(klen)
-            ldt, mfda = struct.unpack(">iq", f.read(12))
+            key = _must_read(f, klen, data_path, "partition key")
+            ldt, mfda = struct.unpack(
+                ">iq", _must_read(f, 12, data_path, "partition header"))
             if ldt != LIVE_LOCAL_DELETION or mfda != LIVE_MARKED_FOR_DELETE:
                 raise ValueError(
                     "partition-level deletion is outside the simple-cell "
@@ -165,27 +185,40 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                 )
             pk = key.decode("utf-8")
             while True:
-                (nlen,) = struct.unpack(">H", f.read(2))
+                (nlen,) = struct.unpack(
+                    ">H", _must_read(f, 2, data_path, "cell-name length"))
                 if nlen == 0:
                     break
-                name = f.read(nlen).decode("utf-8")
-                (mask,) = struct.unpack(">B", f.read(1))
+                name = _must_read(f, nlen, data_path,
+                                  "cell name").decode("utf-8")
+                (mask,) = struct.unpack(
+                    ">B", _must_read(f, 1, data_path, "cell mask"))
                 if mask & EXPIRATION_MASK:
-                    ttl, exp, wt = struct.unpack(">iiq", f.read(16))
-                    (vlen,) = struct.unpack(">i", f.read(4))
-                    value = f.read(vlen)
+                    ttl, exp, wt = struct.unpack(
+                        ">iiq",
+                        _must_read(f, 16, data_path, "expiring-cell body"))
+                    (vlen,) = struct.unpack(
+                        ">i", _must_read(f, 4, data_path, "value length"))
+                    value = _must_read(f, vlen, data_path, "cell value")
                     yield (pk, name, "expiring", ttl, exp, wt,
                            value.decode("utf-8"))
                 elif mask & DELETION_MASK:
-                    (wt,) = struct.unpack(">q", f.read(8))
-                    (vlen,) = struct.unpack(">i", f.read(4))
-                    (cell_ldt,) = struct.unpack(">i", f.read(vlen))
+                    (wt,) = struct.unpack(
+                        ">q",
+                        _must_read(f, 8, data_path, "tombstone writetime"))
+                    (vlen,) = struct.unpack(
+                        ">i", _must_read(f, 4, data_path, "value length"))
+                    (cell_ldt,) = struct.unpack(
+                        ">i",
+                        _must_read(f, vlen, data_path, "tombstone body"))
                     yield (pk, name, "tombstone", None, int(cell_ldt), wt,
                            None)
                 elif mask == 0:
-                    (wt,) = struct.unpack(">q", f.read(8))
-                    (vlen,) = struct.unpack(">i", f.read(4))
-                    value = f.read(vlen)
+                    (wt,) = struct.unpack(
+                        ">q", _must_read(f, 8, data_path, "cell writetime"))
+                    (vlen,) = struct.unpack(
+                        ">i", _must_read(f, 4, data_path, "value length"))
+                    value = _must_read(f, vlen, data_path, "cell value")
                     yield (pk, name, "normal", None, None, wt,
                            value.decode("utf-8"))
                 else:
@@ -360,6 +393,10 @@ def _make_datasource_cls():
             if not self.path:
                 raise ValueError("sstable_simple requires option 'path'")
             self.num_splits = int(options.get("num_splits", "4"))
+            ks = options.get("key_start")
+            kp = options.get("key_stop")
+            self.key_start = ks.encode("utf-8") if ks is not None else None
+            self.key_stop = kp.encode("utf-8") if kp is not None else None
 
         def _shards(self) -> list[str]:
             return sorted(
@@ -374,12 +411,14 @@ def _make_datasource_cls():
             return {"shards": self._shards()}
 
         def partitions(self, start, end):
+            # same index key pruning as the batch planner, per new shard
             new = sorted(set(end["shards"]) - set(start["shards"]))
             return [
                 _Split(*t)
                 for shard in new
                 for t in _plan_table_splits(
-                    os.path.join(self.path, shard), self.num_splits
+                    os.path.join(self.path, shard), self.num_splits,
+                    self.key_start, self.key_stop
                 )
             ]
 

@@ -374,3 +374,36 @@ def test_events_fixture_scan_matches_duckdb_oracle(spark):
                   con.execute(ss.sstable_scan_oracle_sql()).fetchall())
     assert got == want and len(got) == 3000
     shutil.rmtree(out)
+
+
+def test_truncated_data_file_fails_loud(spark):
+    """A Data.db cut mid-record raises CorruptSSTableError naming the
+    file, offset, and field — quarantine semantics (the reference's
+    markSuspect analog on the binary path), never partial partitions."""
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), out)
+    data = os.path.join(out, "Data.db")
+    full = open(data, "rb").read()
+    # cut inside u2's first cell body (u1 record decodes fine first)
+    open(data, "wb").write(full[:len(full) - 7])
+    with pytest.raises(ss.CorruptSSTableError, match="truncated"):
+        list(ss.scan_data_range(data, 0, len(full)))
+    shutil.rmtree(out)
+
+
+def test_stream_source_applies_key_range_per_shard(spark):
+    """The streaming reader prunes each new shard by the same key range
+    as the batch planner."""
+    out = _tmpdir()
+    parts = [(f"k{i:04d}".encode(),
+              [(b"c", 0, 0, 0, i, str(i).encode())]) for i in range(20)]
+    ss.write_sstable(parts[:10], os.path.join(out, "shard=00000"))
+    ss.write_sstable(parts[10:], os.path.join(out, "shard=00001"))
+    cls = ss._make_datasource_cls()
+    rd = cls({"path": out, "key_start": "k0008",
+              "key_stop": "k0012"}).streamReader(None)
+    splits = rd.partitions(rd.initialOffset(), rd.latestOffset())
+    rows = sorted(r for s in splits
+                  for r in ss.scan_data_range(s.data_path, s.start, s.end))
+    assert [r[0] for r in rows] == ["k0008", "k0009", "k0010", "k0011"]
+    shutil.rmtree(out)
