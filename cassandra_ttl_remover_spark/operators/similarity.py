@@ -1293,6 +1293,22 @@ def pq_write(emb: DataFrame, path: str, m: int = 4, k_codes: int = 16,
     never vectors (q_n8c's materialization contract, PQ edition)."""
     spark = emb.sparkSession
     cbq, db = _pq_train(emb, m, k_codes, vec_col, id_col)
+    _pq_encode(emb, cbq, db, vec_col, id_col).write.mode(
+        "overwrite").parquet(path)
+    rows = [(b, c, cbq[b][c]) for b in range(m) for c in range(k_codes)]
+    spark.createDataFrame(
+        rows, "block int, code int, comps array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
+
+
+def _pq_encode(emb: DataFrame, cbq: list, db: int, vec_col: str,
+               id_col: str) -> DataFrame:
+    """Encode vectors against a FIXED integer codebook: per block, the
+    1-based position of the first-minimal-L2 codeword — the shared rule
+    of pq_write and pq_append (append MUST use the build's rule or
+    queries mis-rank appended vectors)."""
+    m = len(cbq)
+    spark = emb.sparkSession
     cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
     codes = []
     for b in range(m):
@@ -1300,17 +1316,37 @@ def pq_write(emb: DataFrame, path: str, m: int = 4, k_codes: int = 16,
         cbb = f"element_at(cbq, {b + 1})"
         d2s = f"transform({cbb}, c -> {_PQ_L2(sub, 'c')})"
         codes.append(f"cast(array_position({d2s}, array_min({d2s})) as int)")
-    (
+    return (
         fan_out(emb, id_col)
         .join(F.broadcast(cbq_df))
         .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
         .select(id_col, F.expr(f"array({', '.join(codes)})").alias("codes"))
-        .write.mode("overwrite").parquet(path)
     )
-    rows = [(b, c, cbq[b][c]) for b in range(m) for c in range(k_codes)]
-    spark.createDataFrame(
-        rows, "block int, code int, comps array<bigint>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
+
+
+def _pq_read_codebook(spark, path: str) -> tuple[list, int]:
+    """Load the codebook sidecar back into ``(cbq, db)``."""
+    cb_rows = spark.read.parquet(f"{path}/_codebook").collect()
+    m = 1 + max(r.block for r in cb_rows)
+    db = len(cb_rows[0].comps)
+    cbq = [[None] * (len(cb_rows) // m) for _ in range(m)]
+    for r in cb_rows:
+        cbq[r.block][r.code] = [int(x) for x in r.comps]
+    return cbq, db
+
+
+def pq_append(spark, path: str, new_emb: DataFrame,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Incremental PQ ingest with a FROZEN codebook (ivf_append's
+    contract, codes edition): new vectors are encoded against the
+    stored codebook by the exact build-time rule and appended to the
+    codes frame — no retrain, no rewrite of existing codes, so
+    continuous 100 TB ingest touches only the new rows. Retrain (a
+    fresh pq_write) is signaled by reconstruction-quality drift, the
+    same census-style decision as IVF's."""
+    cbq, db = _pq_read_codebook(spark, path)
+    _pq_encode(new_emb, cbq, db, vec_col, id_col).write.mode(
+        "append").parquet(path)
 
 
 def pq_query(spark, path: str, emb: DataFrame, query_id, k: int = 10,
@@ -1324,18 +1360,13 @@ def pq_query(spark, path: str, emb: DataFrame, query_id, k: int = 10,
     lookups — no vector bytes are read until the exact rerank of the
     shortlist against the base table. Constant-folded literals keep the
     scan whole-stage-codegen with zero joins and zero shuffles."""
-    cb_rows = spark.read.parquet(f"{path}/_codebook").collect()
+    # sidecar codes are 0-based codebook positions; the stored
+    # per-vector codes are 1-based array_position values into the same
+    # order. DT[b][c] = dot(query_sub_b, codeword) — exact ints via one
+    # tiny Spark job (never python-rounded)
+    cbq, db = _pq_read_codebook(spark, path)
+    m = len(cbq)
     q = _query_vector_col(emb, query_id, vec_col, id_col)
-    # DT[b][c] = dot(query_sub_b, codeword) — exact ints via one tiny
-    # Spark job (never python-rounded)
-    m = 1 + max(r.block for r in cb_rows)
-    db = len(cb_rows[0].comps)
-    cbq = [[None] * (len(cb_rows) // m) for _ in range(m)]
-    for r in cb_rows:
-        # sidecar codes are 0-based codebook positions; the stored
-        # per-vector codes are 1-based array_position values into the
-        # same order
-        cbq[r.block][r.code] = [int(x) for x in r.comps]
     cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
     dt_terms = ", ".join(
         f"transform(element_at(cbq, {b + 1}), "

@@ -369,3 +369,35 @@ def test_pq_topk_is_partitioning_independent(spark, embeddings):
          pq_topk(embeddings.coalesce(1), 0, k=10, m=4, k_codes=16,
                  rerank=8).collect()]
     assert a == b == c and len(a) == 10
+
+
+def test_pq_append_frozen_codebook(spark, embeddings, tmp_path):
+    """pq_append encodes new vectors with the BUILD's exact rule against
+    the stored codebook: appended codes equal what a direct encode of
+    the same vectors produces, the index grows without rewriting the
+    base rows, and queries over the appended index can return appended
+    ids."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        pq_append,
+        pq_query,
+        pq_write,
+    )
+
+    base = embeddings.filter(F.col("vec_id") % 2 == 0)
+    newer = embeddings.filter(F.col("vec_id") % 2 != 0)
+    path = str(tmp_path / "pq")
+    pq_write(base, path, m=4, k_codes=16)
+    before = {r.vec_id: list(r.codes)
+              for r in spark.read.parquet(path).collect()}
+    pq_append(spark, path, newer)
+    after = {r.vec_id: list(r.codes)
+             for r in spark.read.parquet(path).collect()}
+    assert set(after) == {r.vec_id for r in embeddings.collect()}
+    # base rows byte-stable across the append
+    assert all(after[i] == c for i, c in before.items())
+    # a query can surface appended (odd) ids, with exact rerank scores
+    got = pq_query(spark, path, embeddings, 0, k=10, rerank=8).collect()
+    assert len(got) == 10
+    assert any(r.vec_id % 2 != 0 for r in got)
