@@ -1349,6 +1349,53 @@ def pq_append(spark, path: str, new_emb: DataFrame,
         "append").parquet(path)
 
 
+def pq_census(spark, path: str, emb: DataFrame,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Reconstruction census over a materialized PQ index — the RETRAIN
+    signal named by :func:`pq_append`'s contract (ivf_census's role for
+    codes): per block, the vector count, total and mean exact integer
+    reconstruction error (L2 between each sub-vector and its assigned
+    codeword), and the number of distinct codewords in use. Rising mean
+    error or collapsing codeword usage after appends means the frozen
+    codebook no longer fits the data — rebuild with pq_write.
+
+    Scale: codes join their base vectors on id (the only shuffle),
+    per-block errors are one map-side expression, and the report is m
+    rows."""
+    cbq, db = _pq_read_codebook(spark, path)
+    m = len(cbq)
+    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    joined = (
+        spark.read.parquet(path)
+        .join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(cbq_df))
+        .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
+    )
+    per_block = []
+    for b in range(m):
+        sub = f"slice(_qcorp, {b * db + 1}, {db})"
+        cw = (f"element_at(element_at(cbq, {b + 1}), "
+              f"element_at(codes, {b + 1}))")
+        per_block.append(
+            f"struct({b} as block, element_at(codes, {b + 1}) as code, "
+            f"{_PQ_L2(sub, cw)} as err)"
+        )
+    return (
+        joined.select(
+            F.explode(F.expr(f"array({', '.join(per_block)})")).alias("e")
+        )
+        .groupBy(F.col("e.block").alias("block"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("e.err").alias("total_err"),
+            F.expr("sum(e.err) div count(*)").alias("mean_err"),
+            F.countDistinct("e.code").alias("codes_in_use"),
+        )
+        .orderBy("block")
+    )
+
+
 def pq_query(spark, path: str, emb: DataFrame, query_id, k: int = 10,
              rerank: int = 8, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:

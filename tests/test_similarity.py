@@ -401,3 +401,34 @@ def test_pq_append_frozen_codebook(spark, embeddings, tmp_path):
     got = pq_query(spark, path, embeddings, 0, k=10, rerank=8).collect()
     assert len(got) == 10
     assert any(r.vec_id % 2 != 0 for r in got)
+
+
+def test_pq_census_reconstruction_report(spark, embeddings, tmp_path):
+    """m rows; counts equal the corpus; errors match a pure-Python
+    replica computed from the stored codebook and codes; trained
+    codebooks use multiple codewords."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        _pq_read_codebook,
+        pq_census,
+        pq_write,
+    )
+
+    path = str(tmp_path / "pq")
+    pq_write(embeddings, path, m=4, k_codes=16)
+    rep = {r.block: r for r in pq_census(spark, path, embeddings).collect()}
+    assert set(rep) == {0, 1, 2, 3}
+    n = embeddings.count()
+    cbq, db = _pq_read_codebook(spark, path)
+    codes = {r.vec_id: r.codes for r in spark.read.parquet(path).collect()}
+    vecs = {r.vec_id: r.embedding for r in embeddings.collect()}
+    for b, r in rep.items():
+        assert r.n_vectors == n and r.codes_in_use > 1
+        want = 0
+        for vid, cs in codes.items():
+            # replicate Spark's round (half away from zero on .5)
+            qsub = [int(float(x) * 1e6 + (0.5 if x >= 0 else -0.5))
+                    for x in vecs[vid][b * db:(b + 1) * db]]
+            cw = cbq[b][cs[b] - 1]
+            want += sum((a - c) ** 2 for a, c in zip(qsub, cw))
+        assert r.total_err == want
+        assert r.mean_err == want // n
