@@ -280,3 +280,20 @@ def test_sstable_strip_is_zero_shuffle(spark, tmp_path):
     )
     stripped = ss.strip_ttl_cells(ss.scan_sstable(spark, out))
     assert exchange_count(stripped) == 0
+
+
+def test_pq_query_codes_scan_is_shuffle_free(spark, embeddings, tmp_path):
+    """The materialized-PQ serving path: the whole query — codes scan
+    with literal distance tables, TakeOrdered shortlist, broadcast
+    exact rerank — contains ZERO shuffle exchanges (broadcasts don't
+    count; there is no hash or range exchange anywhere)."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        pq_query,
+        pq_write,
+    )
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    path = str(tmp_path / "pq")
+    pq_write(embeddings, path, m=4, k_codes=16)
+    q = pq_query(spark, path, embeddings, 0, k=10, rerank=8)
+    assert exchange_count(q) == 0
