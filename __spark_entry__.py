@@ -371,6 +371,8 @@ _DRIVER_PRIORITY = [
     "q_n31_bigram_quality",
     "q_n32_keyword_search",
     "q_n33_cluster_histogram",
+    # round-4-late additions (round-5 window reaches these)
+    "q_mm11_png_decode",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -2548,6 +2550,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pbm_decode_features(media)
     q["q_mm10_pbm_decode"] = q_mm10
 
+    def q_mm11(spark, sf):
+        # fifth real decode family and the first COMPRESSED one: genuine
+        # PNG payloads (CRC-32-checked chunks, DEFLATE-compressed IDAT,
+        # rows cycling all five scanline filters) decoded back to exact
+        # pixel statistics. The recovered raster must equal the padded
+        # source bytes, so the oracle recomputes everything from text —
+        # any defect in the chunk walk, inflation, or any filter's
+        # reconstruction hash-mismatches. JPEG/MP4 stay stubbed.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_png,
+            png_decode_features,
+        )
+
+        media = documents_as_png(scan_table(spark, sf, "documents"), width=32)
+        return png_decode_features(media)
+    q["q_mm11_png_decode"] = q_mm11
+
     def q_s7(spark, sf):
         # REAL binary-format scan — the reference's native surface
         # (Data.db/Index.db + per-cell mask decode, NoTTLScanner.java:32,
@@ -3360,6 +3379,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_mm8_ppm_decode"] = multimodal.ppm_decode_oracle_sql(width=16)
     o["q_mm9_frame_energy"] = multimodal.wav_frame_oracle_sql(win=256, hop=128)
     o["q_mm10_pbm_decode"] = multimodal.pbm_decode_oracle_sql(width=16)
+    o["q_mm11_png_decode"] = multimodal.png_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()
     o["q_s8_sstable_strip"] = f"""

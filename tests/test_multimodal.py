@@ -356,3 +356,54 @@ def test_pbm_decode_features_distributed(documents):
         assert r.n_black == nb
         assert r.height == max(1, -(-len(data) // 2))
         assert r.fill_permille == nb * 1000 // r.n_pixels
+
+def test_png_roundtrip_all_filters():
+    """The encoder cycles all five scanline filters by row, so a >=5-row
+    payload proves every reconstruction path (None/Sub/Up/Average/Paeth)
+    recovers the exact raster through real DEFLATE."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_png,
+        _text_to_png_bytes,
+    )
+
+    data = bytes(range(256)) * 2          # 64 rows at width 8: filters cycle
+    w, h, npx, s, mx = _parse_png(_text_to_png_bytes(data, 8))
+    assert (w, h, npx) == (8, 64, 512)
+    assert s == sum(data) and mx == 255
+    # empty payload: one zero row
+    assert _parse_png(_text_to_png_bytes(b"", 8)) == (8, 1, 8, 0, 0)
+
+
+def test_png_parser_rejects_corrupt():
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_png,
+        _text_to_png_bytes,
+    )
+    import pytest
+
+    good = _text_to_png_bytes(b"some pixels here", 4)
+    with pytest.raises(ValueError, match="not a PNG"):
+        _parse_png(b"GIF89a" + good)
+    # flip a raster byte inside IDAT: CRC must catch it
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_png(bytes(bad))
+
+
+def test_png_decode_features_distributed(documents):
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        documents_as_png,
+        png_decode_features,
+    )
+
+    docs = documents.limit(10)
+    out = {r.media_id: r for r in
+           png_decode_features(documents_as_png(docs, width=32)).collect()}
+    src = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    assert out.keys() == src.keys()
+    for mid, data in src.items():
+        r = out[mid]
+        assert r.sum_px == sum(data)
+        assert r.max_px == (max(data) if data else 0)
+        assert r.height == max(1, -(-len(data) // 32))
