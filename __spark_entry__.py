@@ -373,6 +373,7 @@ _DRIVER_PRIORITY = [
     "q_n33_cluster_histogram",
     # round-4-late additions (round-5 window reaches these)
     "q_mm11_png_decode",
+    "q_n44_repetition_runs",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -2739,6 +2740,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.ngram_novelty(batch, corpus)
     q["q_n43_ngram_novelty"] = q_n43
 
+    def q_n44(spark, sf):
+        # the counting Gopher repetition signals (mode-bigram frequency +
+        # longest identical-token run) completing q_n21's fraction pair;
+        # run scan is a zero-shuffle fold HOF, bigram mode is one partial-
+        # aggregated shuffle; oracle recomputes the run via gaps-and-
+        # islands — a genuinely different algorithm that must agree
+        from cassandra_ttl_remover_spark.operators.text import repetition_runs
+
+        return repetition_runs(scan_table(spark, sf, "documents"))
+    q["q_n44_repetition_runs"] = q_n44
+
     def q_n15b(spark, sf):
         # same contract as q_n15 but through the Bloom prefilter scale path —
         # bit-identical output (fps die in the exact confirm join), so it
@@ -4062,6 +4074,7 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
         500, num_shards=4
     )
     o["q_n21_repetition_ratio"] = text.repetition_ratio_oracle_sql()
+    o["q_n44_repetition_runs"] = text.repetition_runs_oracle_sql()
     o["q_n22_scrub_pii"] = text.scrub_pii_oracle_sql()
     o["q_n23_vocab_topk"] = text.vocab_topk_oracle_sql(100)
     o["q_n24_sample_per_group"] = curate.sample_per_group_oracle_sql(10)

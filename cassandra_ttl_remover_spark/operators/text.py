@@ -864,3 +864,110 @@ SELECT {id_col},
        )::BIGINT AS n_subwords
 FROM {table} ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition runs (the counting Gopher signals: mode bigram + longest run)
+# ---------------------------------------------------------------------------
+
+def repetition_runs(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The two counting repetition signals that complete repetition_ratio's
+    fraction-based pair: the frequency of each document's MOST COMMON word
+    bigram (crawler-trap boilerplate shows up as one bigram dominating) and
+    the longest run of consecutive identical tokens (keyboard-mash / token
+    -loop detector). All outputs are exact integers.
+
+    Scale shape: the longest-run scan is a pure per-row ``aggregate`` HOF —
+    JVM codegen, zero shuffle, O(doc length). The bigram mode needs a
+    per-(doc, bigram) count, expressed as explode -> two-level aggregation
+    so Spark's partial (map-side) aggregation absorbs the duplicate mass
+    before the single hash shuffle on ``id_col``; the tiny per-doc scalars
+    ride through the aggregation keys rather than re-joining the docs table.
+    At 100 TB this is the same plan: one shuffle keyed by (doc, bigram),
+    pre-combined map-side, no doc-level skew beyond document length itself.
+    """
+    ws = WORDS_EXPR.format(col=text_col)
+    # longest run of identical adjacent tokens via fold: carry
+    # (prev token, current run, best run); empty docs fold to best=0
+    max_run = (
+        f"aggregate({ws}, struct('' as prev, 0 as run, 0 as best),"
+        f" (a, w) -> struct(w as prev,"
+        f"   if(w = a.prev, a.run + 1, 1) as run,"
+        f"   greatest(a.best, if(w = a.prev, a.run + 1, 1)) as best),"
+        f" a -> a.best)"
+    )
+    base = fan_out(docs, id_col).select(
+        F.col(id_col),
+        F.expr(f"size({ws})").cast("long").alias("n_tokens"),
+        F.expr(max_run).cast("long").alias("max_run"),
+        # sequence(1, 0) would DESCEND to [1, 0] in Spark, so docs with
+        # fewer than two tokens must short-circuit to an empty bigram list
+        F.expr(
+            f"if(size({ws}) < 2, array(),"
+            f" transform(sequence(1, size({ws}) - 1),"
+            f"  i -> concat(element_at({ws}, i), ' ',"
+            f"              element_at({ws}, i + 1))))"
+        ).alias("_bgs"),
+    )
+    exploded = base.select(
+        id_col, "n_tokens", "max_run", F.explode_outer("_bgs").alias("_bg")
+    )
+    per_bigram = exploded.groupBy(id_col, "n_tokens", "max_run", "_bg").agg(
+        F.count("*").alias("_c")
+    )
+    return (
+        per_bigram.groupBy(id_col, "n_tokens", "max_run")
+        .agg(
+            F.max(
+                F.when(F.col("_bg").isNull(), F.lit(0)).otherwise(F.col("_c"))
+            ).cast("long").alias("top_bigram_count")
+        )
+        .select(id_col, "n_tokens", "top_bigram_count", "max_run")
+    )
+
+
+def repetition_runs_oracle_sql(table: str = "documents",
+                               id_col: str = "doc_id") -> str:
+    """Independent recomputation: the longest run via gaps-and-islands
+    (position minus per-token rank groups consecutive occurrences) instead
+    of the Spark side's fold, and the bigram mode via plain GROUP BY — two
+    different algorithms that must agree exactly."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH b AS (
+  SELECT {id_col}, {ws} AS ws, len({ws})::BIGINT AS n_tokens FROM {table}
+),
+tok AS (
+  SELECT {id_col}, unnest(ws) AS w,
+         unnest(range(1, len(ws) + 1)) AS i
+  FROM b
+),
+runs AS (
+  SELECT {id_col}, count(*)::BIGINT AS run_len
+  FROM (
+    SELECT {id_col}, w, i,
+           i - row_number() OVER (PARTITION BY {id_col}, w ORDER BY i) AS isl
+    FROM tok
+  )
+  GROUP BY {id_col}, w, isl
+),
+bigr AS (
+  SELECT {id_col}, count(*)::BIGINT AS c
+  FROM (
+    SELECT {id_col}, ws[i] || ' ' || ws[i + 1] AS bg
+    FROM (
+      SELECT {id_col}, ws,
+             unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS i
+      FROM b
+    )
+  )
+  GROUP BY {id_col}, bg
+)
+SELECT b.{id_col}, b.n_tokens,
+       coalesce((SELECT max(c) FROM bigr WHERE bigr.{id_col} = b.{id_col}),
+                0)::BIGINT AS top_bigram_count,
+       coalesce((SELECT max(run_len) FROM runs WHERE runs.{id_col} = b.{id_col}),
+                0)::BIGINT AS max_run
+FROM b ORDER BY b.{id_col}
+"""

@@ -202,3 +202,32 @@ def test_bpe_segment_matches_python_reference(spark):
         words = [w for w in t.split(" ") if w]
         want = (len(words), sum(py_bpe(w) for w in words))
         assert got[i] == want, (t, got[i], want)
+
+
+def test_repetition_runs_hand_examples(spark):
+    from cassandra_ttl_remover_spark.operators.text import repetition_runs
+
+    rows = [
+        (1, "a a a b a b"),   # run of three a's; "a a" and "a b" tie at 2
+        (2, ""),              # degenerate: no tokens at all
+        (3, "x"),             # one token: no bigrams, run of 1
+        (4, "p q p q p q"),   # alternation: "p q" dominates, runs stay 1
+        (5, "z  z   z"),      # multi-space splits: still three z tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.top_bigram_count, r.max_run)
+           for r in repetition_runs(df).collect()}
+    assert got[1] == (6, 2, 3)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (1, 0, 1)
+    assert got[4] == (6, 3, 1)
+    assert got[5] == (3, 2, 3)
+
+
+def test_repetition_runs_exchange_budget(spark, documents):
+    """The whole operator must cost at most the two aggregation exchanges
+    (per-bigram, then per-doc) — the run-length fold rides the projection."""
+    from cassandra_ttl_remover_spark.operators.text import repetition_runs
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    assert exchange_count(repetition_runs(documents)) <= 2
