@@ -374,6 +374,7 @@ _DRIVER_PRIORITY = [
     # round-4-late additions (round-5 window reaches these)
     "q_mm11_png_decode",
     "q_n44_repetition_runs",
+    "q_v7_random_projection",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -1690,6 +1691,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = scan_table(spark, sf, "embeddings")
         return similarity.gram_power_driver(spark, emb, iters=2)
     q["q_v6_power_iteration"] = q_v6
+
+    def q_v7(spark, sf):
+        # Johnson-Lindenstrauss reduction 64 -> 8 under a deterministic
+        # Rademacher matrix with power-of-two quantization: reduced
+        # integer vectors as flat columns, exact across engines. Zero
+        # shuffle; the matrix is a plan literal (no broadcast, no join).
+        emb = scan_table(spark, sf, "embeddings")
+        return similarity.random_projection(emb, d=64, k=8)
+    q["q_v7_random_projection"] = q_v7
 
     def _ann_invariant(spark, sf, approx_fn, min_recall):
         # ANN candidate sets are engine-hash-specific, so the row carries
@@ -3974,6 +3984,9 @@ GROUP BY event_type ORDER BY event_type
     o["q_v5_gram_matrix"] = similarity.gram_matrix_oracle_sql()
 
     o["q_v6_power_iteration"] = similarity.gram_power_driver_oracle_sql(iters=2)
+    o["q_v7_random_projection"] = similarity.random_projection_oracle_sql(
+        d=64, k=8
+    )
 
     o["q_n42_bpe_segment"] = text.bpe_segment_oracle_sql()
 

@@ -1449,3 +1449,78 @@ def pq_query(spark, path: str, emb: DataFrame, query_id, k: int = 10,
         .orderBy(F.col("dot").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (JL transform, exact-integer)
+# ---------------------------------------------------------------------------
+
+def _rp_sign_matrix(d: int, k: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign(out, dim) = parity of the
+    first md5 byte of "seed:out:dim". A Rademacher matrix satisfies the
+    JL lemma like a Gaussian one (Achlioptas 2003) but needs no float RNG,
+    so the identical literals inline into BOTH engines' expressions."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{out}:{j}".encode()).digest()[0] & 1
+            else -1
+            for j in range(d)
+        ]
+        for out in range(k)
+    ]
+
+
+def random_projection(emb: DataFrame, d: int = 64, k: int = 8,
+                      scale: int = 1024, seed: int = 7,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Johnson-Lindenstrauss reduction to ``k`` integer components: each
+    output is the signed sum of the quantized inputs under a deterministic
+    Rademacher (±1) matrix. Quantization is ``floor(x * scale)`` with a
+    power-of-two scale, so the float→int step is IEEE-exact and every
+    downstream sum is int64 — the reduced vectors hash-match across
+    engines, unlike float matrix products whose summation order drifts.
+
+    The k components come back as FLAT columns (p0..p{k-1}) — harness-safe
+    and directly usable as a bucketing/sort key set for coarse ANN.
+
+    Scale: zero shuffle — one codegen'd projection per row; the matrix is
+    a literal in the plan (no broadcast, no join). At 100 TB this is a
+    map-only pass you pipeline in front of any clustering/LSH stage."""
+    signs = _rp_sign_matrix(d, k, seed)
+    q = (f"transform(sequence(1, {d}), j -> cast(floor(cast("
+         f"element_at({vec_col}, j) as double) * {scale}) as bigint))")
+    cols = [
+        F.expr(
+            "aggregate(zip_with({q}, array({s}), (x, s) -> x * s), 0L,"
+            " (a, v) -> a + v)".format(
+                q=q, s=", ".join(f"{s}L" for s in signs[out])
+            )
+        ).alias(f"p{out}")
+        for out in range(k)
+    ]
+    return fan_out(emb, id_col).select(F.col(id_col), *cols)
+
+
+def random_projection_oracle_sql(d: int = 64, k: int = 8, scale: int = 1024,
+                                 seed: int = 7, table: str = "embeddings",
+                                 id_col: str = "vec_id") -> str:
+    """Same literal sign matrix, DuckDB list primitives: the two engines
+    must agree bit-for-bit on every reduced component."""
+    signs = _rp_sign_matrix(d, k, seed)
+    cols = ",\n       ".join(
+        "coalesce(list_aggregate(list_transform(range(1, {n}), "
+        "j -> floor(embedding[j]::DOUBLE * {scale})::BIGINT * ([{s}])[j]), "
+        "'sum'), 0)::BIGINT AS p{out}".format(
+            n=d + 1, scale=scale,
+            s=", ".join(str(s) for s in signs[out]), out=out
+        )
+        for out in range(k)
+    )
+    return f"""
+SELECT {id_col},
+       {cols}
+FROM {table} ORDER BY {id_col}
+"""

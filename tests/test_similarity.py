@@ -432,3 +432,39 @@ def test_pq_census_reconstruction_report(spark, embeddings, tmp_path):
             want += sum((a - c) ** 2 for a, c in zip(qsub, cw))
         assert r.total_err == want
         assert r.mean_err == want // n
+
+
+def test_random_projection_exact_and_zero_shuffle(spark, embeddings):
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        _rp_sign_matrix,
+        random_projection,
+    )
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    import math
+
+    out = random_projection(embeddings, d=64, k=8)
+    # map-only JL pass: the only exchange is fan_out's round-robin
+    # repartition for CPU parallelism — never a key shuffle
+    assert exchange_count(out) <= 1
+    got = {r.vec_id: [r[f"p{i}"] for i in range(8)]
+           for r in out.limit(0).unionAll(out).collect()}
+    signs = _rp_sign_matrix(64, 8)
+    src = {r.vec_id: list(r.embedding) for r in embeddings.collect()}
+    for vid, vec in list(src.items())[:25]:
+        q = [math.floor(float(x) * 1024) for x in vec]
+        want = [sum(qj * s for qj, s in zip(q, row)) for row in signs]
+        assert got[vid] == want, vid
+
+
+def test_rp_sign_matrix_deterministic_and_balanced():
+    from cassandra_ttl_remover_spark.operators.similarity import _rp_sign_matrix
+
+    a = _rp_sign_matrix(64, 8)
+    assert a == _rp_sign_matrix(64, 8)
+    assert all(s in (-1, 1) for row in a for s in row)
+    # md5-derived signs should be roughly balanced, not constant
+    flat = [s for row in a for s in row]
+    assert 0.3 < flat.count(1) / len(flat) < 0.7
+    # seed changes the matrix
+    assert a != _rp_sign_matrix(64, 8, seed=8)
