@@ -196,6 +196,27 @@ ORDER BY o_orderpriority
 #: TPC-H Q14 shape (promotion effect): conditional revenue share over a
 #: part join. Exact DECIMAL sums (the Q6 convention), then exactly two
 #: IEEE double ops (multiply, divide) so the ratio is bit-portable.
+#: Q19 shape — revenue under an OR-of-ANDs predicate spanning both join
+#: sides. The point of this query is the optimizer work, not the sum:
+#: Catalyst's CNF conversion (SPARK-24196) must derive the single-side
+#: residuals (a brand/size disjunction for the part scan, a quantity
+#: disjunction for lineitem) and push them below the join, so each scan
+#: prunes before shuffling. DuckDB performs the same derivation, making
+#: this a cross-engine test that disjunctive pushdown preserves semantics.
+SHARED_SQL_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
 SHARED_SQL_Q14 = """
 SELECT CAST(100.0 AS DOUBLE)
        * CAST(SUM(CASE WHEN p_type = 'PROMO'
@@ -375,6 +396,7 @@ _DRIVER_PRIORITY = [
     "q_mm11_png_decode",
     "q_n44_repetition_runs",
     "q_v7_random_projection",
+    "q_sql_q19_disjunctive",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -1137,6 +1159,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_tables(spark, sf, ["lineitem", "part"])
         return spark.sql(SHARED_SQL_Q14)
     q["q_sql_q14_promo_revenue"] = q_sql_q14
+
+    def q_sql_q19(spark, sf):
+        # Q19 shape: disjunctive OR-of-ANDs spanning the join — exercises
+        # CNF-derived single-side filter pushdown on both scans
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["lineitem", "part"])
+        return spark.sql(SHARED_SQL_Q19)
+    q["q_sql_q19_disjunctive"] = q_sql_q19
 
     def q_x7(spark, sf):
         from cassandra_ttl_remover_spark import load_tables
@@ -3742,6 +3772,7 @@ WHERE pk >= '1' AND pk < '2'
         SELECT count(*)::BIGINT AS n, TRUE AS rank_within_tol
         FROM lineitem"""
     o["q_sql_q14_promo_revenue"] = SHARED_SQL_Q14
+    o["q_sql_q19_disjunctive"] = SHARED_SQL_Q19
     o["q_x7_window_analytics"] = SHARED_SQL_WINDOW
     o["q_p4_grouping_sets"] = """
         SELECT o_orderpriority, o_orderstatus,

@@ -297,3 +297,20 @@ def test_pq_query_codes_scan_is_shuffle_free(spark, embeddings, tmp_path):
     pq_write(embeddings, path, m=4, k_codes=16)
     q = pq_query(spark, path, embeddings, 0, k=10, rerank=8)
     assert exchange_count(q) == 0
+
+
+def test_q19_disjunctive_pushdown_both_sides(spark):
+    """The Q19 OR-of-ANDs spans the join; Catalyst's CNF conversion must
+    derive single-side residuals and push BOTH of them into the parquet
+    scans — a brand/size disjunction on part, a quantity disjunction on
+    lineitem — so each side prunes before the shuffle."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_sql_q19_disjunctive"](
+        spark, "/root/testdata/sf0.001"
+    )
+    from cassandra_ttl_remover_spark.plans import pushed_filters
+
+    pf = pushed_filters(df)
+    assert "p_brand" in pf, pf
+    assert "l_quantity" in pf, pf
