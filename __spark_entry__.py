@@ -252,6 +252,27 @@ ORDER BY user_id, event_id
 #: x*n > sum) so both sides stay exact decimals — no division, no rounding
 #: convention to disagree on. Catalyst decorrelates both subqueries into
 #: one aggregate + join.
+#: Recursive CTE — BFS over the implicit binary tree on customer keys
+#: (children of k are 2k and 2k+1), rolled up per depth. Shared verbatim by
+#: both engines: the join condition uses only multiplication (IN (2k, 2k+1))
+#: because integer division spells differently in Spark ANSI (`div`) and
+#: DuckDB (`//`). Spark 4 executes WITH RECURSIVE as iterative joins with
+#: the (small) frontier on one side; at 100 TB scale the same shape is the
+#: explicit checkpointed loop graph.pagerank uses — this query pins the SQL
+#: surface itself.
+SHARED_SQL_RECURSIVE = """
+WITH RECURSIVE tree(k, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+  UNION ALL
+  SELECT c.c_custkey AS k, t.depth + CAST(1 AS BIGINT) AS depth
+  FROM customer c JOIN tree t ON c.c_custkey IN (2 * t.k, 2 * t.k + 1)
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key,
+       CAST(sum(k) AS BIGINT) AS sum_keys
+FROM tree GROUP BY depth ORDER BY depth
+"""
+
 SHARED_SQL_CORRELATED = """
 SELECT c_custkey, c_nationkey,
        CAST(c_acctbal AS DOUBLE) AS acctbal
@@ -397,6 +418,7 @@ _DRIVER_PRIORITY = [
     "q_n44_repetition_runs",
     "q_v7_random_projection",
     "q_sql_q19_disjunctive",
+    "q_x19_recursive_cte",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -1151,6 +1173,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["q_x18_approx_percentile"] = q_x18
+
+    def q_x19(spark, sf):
+        # WITH RECURSIVE (new in Spark 4): BFS depth census over the
+        # implicit binary tree on customer keys — identical SQL text runs
+        # on both engines (see SHARED_SQL_RECURSIVE note)
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["customer"])
+        return spark.sql(SHARED_SQL_RECURSIVE)
+    q["q_x19_recursive_cte"] = q_x19
 
     def q_sql_q14(spark, sf):
         # Q14 shape: conditional revenue share over the part join, exact
@@ -3773,6 +3804,7 @@ WHERE pk >= '1' AND pk < '2'
         FROM lineitem"""
     o["q_sql_q14_promo_revenue"] = SHARED_SQL_Q14
     o["q_sql_q19_disjunctive"] = SHARED_SQL_Q19
+    o["q_x19_recursive_cte"] = SHARED_SQL_RECURSIVE
     o["q_x7_window_analytics"] = SHARED_SQL_WINDOW
     o["q_p4_grouping_sets"] = """
         SELECT o_orderpriority, o_orderstatus,
