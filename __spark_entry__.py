@@ -419,6 +419,7 @@ _DRIVER_PRIORITY = [
     "q_v7_random_projection",
     "q_sql_q19_disjunctive",
     "q_x19_recursive_cte",
+    "q_n45_bpe_train",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -2822,6 +2823,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_runs(scan_table(spark, sf, "documents"))
     q["q_n44_repetition_runs"] = q_n44
 
+    def q_n45(spark, sf):
+        # BPE vocabulary INDUCTION — the offline tokenizer half (q_n42
+        # applies a fixed table; this learns one): per round, a map-side-
+        # combined pair count over the checkpointed distinct-word table,
+        # a deterministic argmax, and the same greedy replace fusion the
+        # apply side uses. Oracle unrolls the loop as a CTE chain.
+        from cassandra_ttl_remover_spark.operators.text import bpe_train
+
+        return bpe_train(scan_table(spark, sf, "documents"), n_merges=3)
+    q["q_n45_bpe_train"] = q_n45
+
     def q_n15b(spark, sf):
         # same contract as q_n15 but through the Bloom prefilter scale path —
         # bit-identical output (fps die in the exact confirm join), so it
@@ -4151,6 +4163,7 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     )
     o["q_n21_repetition_ratio"] = text.repetition_ratio_oracle_sql()
     o["q_n44_repetition_runs"] = text.repetition_runs_oracle_sql()
+    o["q_n45_bpe_train"] = text.bpe_train_oracle_sql(n_merges=3)
     o["q_n22_scrub_pii"] = text.scrub_pii_oracle_sql()
     o["q_n23_vocab_topk"] = text.vocab_topk_oracle_sql(100)
     o["q_n24_sample_per_group"] = curate.sample_per_group_oracle_sql(10)

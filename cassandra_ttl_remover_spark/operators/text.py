@@ -971,3 +971,120 @@ SELECT b.{id_col}, b.n_tokens,
                 0)::BIGINT AS max_run
 FROM b ORDER BY b.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (distributed merge training)
+# ---------------------------------------------------------------------------
+
+def bpe_train(docs: DataFrame, n_merges: int = 3, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus — the
+    OFFLINE half of the tokenizer whose online half is bpe_segment. Each
+    round counts adjacent symbol pairs over the distinct-word table
+    (weighted by word frequency), takes the argmax under the deterministic
+    (count DESC, pair ASC) order, and fuses that pair everywhere via the
+    same replace-chain semantics bpe_segment applies, so train and apply
+    agree on one greedy convention.
+
+    Returns ``(merge_round, pair, pair_count)`` — one row per learned rule.
+
+    Scale shape: the corpus collapses to the distinct-word frequency table
+    ONCE (one shuffle on word; at 100 TB this is the classic vocab count,
+    ~10M rows regardless of corpus size), localCheckpointed so the merge
+    loop never rescans the corpus. Each round is then one map-side-
+    combined aggregation over a small symbol-pair key space plus a 1-row
+    collect — the same bounded-driver-action pattern as kmeans/IVF. The
+    per-round frontier (the argmax) is a scalar, never a broadcast table.
+    """
+    ws = WORDS_EXPR.format(col=text_col)
+    words = (
+        fan_out(docs, id_col)
+        .select(F.explode(F.expr(ws)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.expr("trim(regexp_replace(word, '(.)', '$1 '))").alias("seq"),
+            "cnt",
+        )
+        .localCheckpoint(eager=False)
+    )
+    pair_expr = (
+        "explode(if(size(split(seq, ' ')) < 2, array(),"
+        " transform(sequence(1, size(split(seq, ' ')) - 1),"
+        "  i -> concat(element_at(split(seq, ' '), i), ' ',"
+        "              element_at(split(seq, ' '), i + 1)))))"
+    )
+    learned = []
+    for r in range(n_merges):
+        top = (
+            words.select(F.expr(pair_expr).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, c = top[0].pair, top[0].c
+        learned.append((r, pair, int(c)))
+        fused = pair.replace(" ", "")
+        safe_pair = pair.replace("'", "\\'")
+        safe_fused = fused.replace("'", "\\'")
+        words = words.withColumn(
+            "seq", F.expr(f"replace(seq, '{safe_pair}', '{safe_fused}')")
+        )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        learned, "merge_round bigint, pair string, pair_count bigint"
+    ).orderBy("merge_round")
+
+
+def bpe_train_oracle_sql(n_merges: int = 3, table: str = "documents") -> str:
+    """Unrolled recomputation: one CTE chain per round (pair counts ->
+    argmax -> replace), the SQL transliteration of the training loop. The
+    argmax tie-break (count DESC, pair ASC over ASCII symbols) is total,
+    so both engines must learn the identical merge table."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    ctes = [
+        f"""w0 AS (
+  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,
+         count(*)::BIGINT AS cnt
+  FROM (SELECT unnest({ws}) AS word FROM {table})
+  GROUP BY word
+)""",
+        f"s0 AS (SELECT seq, cnt FROM w0)",
+    ]
+    selects = []
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+  SELECT pair, sum(cnt)::BIGINT AS c
+  FROM (
+    SELECT toks[i] || ' ' || toks[i + 1] AS pair, cnt
+    FROM (
+      SELECT string_split(seq, ' ') AS toks, cnt,
+             unnest(range(1, greatest(len(string_split(seq, ' ')) - 1, 0) + 1)) AS i
+      FROM s{r}
+    )
+  )
+  GROUP BY pair
+)""")
+        ctes.append(
+            f"t{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair ASC "
+            f"LIMIT 1)"
+        )
+        ctes.append(f"""s{r + 1} AS (
+  SELECT replace(seq, (SELECT pair FROM t{r}),
+                 replace((SELECT pair FROM t{r}), ' ', '')) AS seq, cnt
+  FROM s{r}
+)""")
+        selects.append(
+            f"SELECT {r}::BIGINT AS merge_round, pair, c::BIGINT AS pair_count "
+            f"FROM t{r}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY merge_round"
+    )

@@ -231,3 +231,43 @@ def test_repetition_runs_exchange_budget(spark, documents):
     from cassandra_ttl_remover_spark.plans import exchange_count
 
     assert exchange_count(repetition_runs(documents)) <= 2
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """Hand-checkable corpus: 'aa' dominates, then after fusing, 'aab'
+    appears; the deterministic (count DESC, pair ASC) tie-break is pinned
+    by the b/c tie in round 2."""
+    from cassandra_ttl_remover_spark.operators.text import bpe_train
+
+    rows = [
+        (1, "aab aab aab"),
+        (2, "aac aab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.merge_round, r.pair, r.pair_count)
+           for r in bpe_train(df, n_merges=3).collect()]
+    # distinct words: aab (cnt applies per distinct word, weighted by
+    # occurrences: aab x4, aac x1) -> pairs: "a a" 5, "a b" 4, "a c" 1
+    assert got[0] == (0, "a a", 5)
+    # after fusing: "aa b" x4 (as distinct word aab), "aa c" x1
+    assert got[1] == (1, "aa b", 4)
+    assert got[2] == (2, "aa c", 1)
+
+
+def test_bpe_train_agrees_with_segment_semantics(spark, documents):
+    """The merges learned on the corpus, fed into bpe_segment, must
+    reproduce bpe_segment's replace-chain behavior — train and apply
+    share one greedy convention."""
+    from cassandra_ttl_remover_spark.operators.text import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = documents.limit(40)
+    merges = [tuple(r.pair.split(" ")) for r in
+              bpe_train(docs, n_merges=2).collect()]
+    assert len(merges) == 2 and all(len(m) == 2 for m in merges)
+    seg = bpe_segment(docs, merges=merges).collect()
+    # merging strictly reduces or preserves subword counts vs raw chars
+    for r in seg:
+        assert r.n_subwords >= r.n_words
