@@ -420,6 +420,7 @@ _DRIVER_PRIORITY = [
     "q_sql_q19_disjunctive",
     "q_x19_recursive_cte",
     "q_n45_bpe_train",
+    "q_g3_kcore",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -3160,6 +3161,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph.triangle_count(edges)
     q["q_g2_triangles"] = q_g2
 
+    def q_g3(spark, sf):
+        # fixed-round k-core peel on the trade graph: degrees recount
+        # after each peel, so survivors' numbers drop as low-degree
+        # neighbors vanish (full 2-round collapse at sf0.001, partial
+        # peel at sf0.01) — bounded-rounds determinism like q_g1
+        from cassandra_ttl_remover_spark.operators import graph
+
+        orders = scan_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        li = scan_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        cs = (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                (F.col("o_custkey") * 2).alias("c"),
+                (F.col("l_suppkey") * 2 + 1).alias("s"),
+            )
+            .distinct()
+        )
+        edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+            cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        return graph.kcore(edges, k=12, rounds=2)
+    q["q_g3_kcore"] = q_g3
+
     def q_x14(spark, sf):
         # UDAF taxonomy slot: Arrow-vectorized grouped-agg pandas UDF,
         # exact by integer-cents discipline (one final IEEE division) so
@@ -4090,6 +4114,15 @@ GROUP BY event_type ORDER BY event_type
 SELECT x.l_suppkey AS src, y.l_suppkey AS dst
 FROM ps x JOIN ps y
   ON x.l_partkey = y.l_partkey AND x.l_suppkey <> y.l_suppkey"""
+    )
+
+    o["q_g3_kcore"] = _graph.kcore_oracle_sql(
+        """WITH cs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT c AS src, s AS dst FROM cs UNION ALL SELECT s AS src, c AS dst FROM cs""",
+        k=12, rounds=2,
     )
 
     o["q_g1_pagerank"] = _graph.pagerank_oracle_sql(

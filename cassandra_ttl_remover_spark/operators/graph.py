@@ -238,3 +238,66 @@ FROM (
 )
 GROUP BY node ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+def kcore(edges: DataFrame, k: int = 12, rounds: int = 2, *,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-round k-core peeling over a SYMMETRIC edge list (both
+    directions present, as pagerank expects): each round computes degrees
+    over the remaining edges and drops every node below ``k`` together
+    with its edges, so survivors' degrees fall and the next round can
+    cascade. Returns ``(node, degree)`` — the degree AFTER the final
+    round's edge set, i.e. the membership certificate of the ``rounds``-
+    step peel.
+
+    Fixed ``rounds`` instead of peel-to-fixpoint is the same stance as
+    the integer pagerank above: a bounded, deterministic computation that
+    an unrolled-CTE oracle recomputes exactly. At 100 TB you run the same
+    loop to convergence with an emptiness check on the peeled frontier
+    (each round is one partial-aggregated degree count + two semi-joins;
+    all shuffles key on the node id, and AQE picks broadcast sides when
+    the survivor set collapses).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("src", "_a"),
+                   F.col("src") == F.col("_a"), "left_semi")
+            .join(keep.withColumnRenamed("src", "_b"),
+                  F.col("dst") == F.col("_b"), "left_semi")
+        )
+    return (
+        e.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
+        .select(F.col("src").cast("long").alias("node"), "degree")
+        .orderBy("node")
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 12, rounds: int = 2) -> str:
+    """Unrolled peel: one (degree -> survivor -> edge restriction) CTE
+    block per round, then the final degree count."""
+    ctes = [f"e0 AS ({edges_sql})"]
+    for r in range(rounds):
+        ctes.append(
+            f"d{r} AS (SELECT src, count(*)::BIGINT AS deg FROM e{r} "
+            f"GROUP BY src)"
+        )
+        ctes.append(f"k{r} AS (SELECT src FROM d{r} WHERE deg >= {k})")
+        ctes.append(
+            f"e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e "
+            f"JOIN k{r} a ON e.src = a.src JOIN k{r} b ON e.dst = b.src)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src::BIGINT AS node, count(*)::BIGINT AS degree "
+        f"FROM e{rounds} GROUP BY src ORDER BY node"
+    )

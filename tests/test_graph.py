@@ -114,3 +114,34 @@ def test_degeneracy_order_collapses_hub_outdegree(spark):
     max_out_dg = dgo.groupBy("a").count().agg(F.max("count")).first()[0]
     assert max_out_id == 1000
     assert max_out_dg == 1  # every leaf -> hub; hub emits nothing
+
+
+def test_kcore_cascade_on_chain(spark):
+    """A 6-node path graph has no 2-core: each round peels the current
+    endpoints (degree 1), so 2-core peeling with enough rounds empties
+    it — and with rounds=1 only the first endpoints go. Pins that
+    degrees are RECOUNTED after each peel."""
+    from cassandra_ttl_remover_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    one = {r.node: r.degree for r in kcore(edges, k=2, rounds=1).collect()}
+    assert set(one) == {2, 3, 4, 5}          # endpoints 1 and 6 peeled
+    assert one[2] == 1 and one[3] == 2       # 2's degree DROPPED to 1
+    two = {r.node: r.degree for r in kcore(edges, k=2, rounds=2).collect()}
+    assert set(two) == {3, 4}                # cascade continues inward
+    assert kcore(edges, k=2, rounds=3).count() == 0
+
+
+def test_kcore_stable_core_survives(spark):
+    """A 4-clique is its own 3-core: peeling at k=3 must leave it intact
+    with degrees unchanged at any round count."""
+    from cassandra_ttl_remover_spark.operators.graph import kcore
+
+    nodes = [1, 2, 3, 4]
+    und = [(a, b) for a in nodes for b in nodes if a != b]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    got = {r.node: r.degree for r in kcore(edges, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
