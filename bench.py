@@ -242,6 +242,39 @@ def main() -> int:
         batch = documents.filter(F.col("doc_id") % 2 != 0)
         ngram_novelty(batch, corpus).agg(F.sum("n_novel")).collect()
 
+    def q_png_decode():
+        # full compressed-codec round trip at the Arrow boundary: encode
+        # (filters + DEFLATE) then decode (CRC walk, inflate, unfilter)
+        # for every document — the per-blob Python cost the multimodal
+        # plumbing is designed to amortize
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_png,
+            png_decode_features,
+        )
+        png_decode_features(documents_as_png(documents, width=32)) \
+            .agg(F.sum("sum_px")).collect()
+
+    def q_bpe_train():
+        # 3-round distributed vocabulary induction: one corpus collapse
+        # + per-round pair count and argmax
+        text.bpe_train(documents, n_merges=3).collect()
+
+    def q_kcore():
+        # 2-round k-core peel on the trade graph: degree count + two
+        # semi-joins per round
+        from cassandra_ttl_remover_spark.operators.graph import kcore
+        orders = scan_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = lineitem.select("l_orderkey", "l_suppkey")
+        cs = (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select((F.col("o_custkey") * 2).alias("c"),
+                    (F.col("l_suppkey") * 2 + 1).alias("s"))
+            .distinct()
+        )
+        edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+            cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        kcore(edges, k=12, rounds=2).agg(F.sum("degree")).collect()
+
     def q_tpch_q3():
         import __spark_entry__ as entry_mod
         from cassandra_ttl_remover_spark import load_tables
@@ -282,6 +315,9 @@ def main() -> int:
         "pq_ann": q_pq_ann,
         "ks_drift": q_ks_drift,
         "ngram_novelty": q_ngram_novelty,
+        "png_decode": q_png_decode,
+        "bpe_train": q_bpe_train,
+        "kcore": q_kcore,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
     }
