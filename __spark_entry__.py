@@ -3178,9 +3178,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .distinct()
         )
-        edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-            cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-        )
+        # symmetrize by explode, not union: a union of two selects over cs
+        # re-executes the orders x lineitem join + distinct TWICE; one
+        # exploded projection pays for it once (same rows, same oracle)
+        edges = cs.select(
+            F.explode(
+                F.expr("array(struct(c as src, s as dst),"
+                       " struct(s as src, c as dst))")
+            ).alias("e")
+        ).select("e.src", "e.dst")
         return graph.kcore(edges, k=12, rounds=2)
     q["q_g3_kcore"] = q_g3
 
