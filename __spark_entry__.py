@@ -421,6 +421,7 @@ _DRIVER_PRIORITY = [
     "q_x19_recursive_cte",
     "q_n45_bpe_train",
     "q_g3_kcore",
+    "q_a9_countmin",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -853,6 +854,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["q_a8_sketch_difference"] = q_a8
+
+    def q_a9(spark, sf):
+        # count-min sketch with its one-sided-error guarantee surfaced:
+        # exact count, CMS min-over-rows estimate, and est >= true flag
+        # for the top-20 tokens — identical portable-md5 sketch built in
+        # both engines, so the estimates hash-match exactly
+        from cassandra_ttl_remover_spark.operators.counts import (
+            countmin_estimates,
+        )
+
+        return countmin_estimates(
+            scan_table(spark, sf, "documents"), depth=4, width=256, top=20
+        )
+    q["q_a9_countmin"] = q_a9
 
     def q_a3(spark, sf):
         ev = _events(spark, sf)
@@ -3732,6 +3747,11 @@ WHERE pk >= '1' AND pk < '2'
           INTERSECT
           SELECT user_id FROM events WHERE event_type = 'purchase'
         )"""
+
+    from cassandra_ttl_remover_spark.operators.counts import (
+        countmin_oracle_sql as _cms_oracle,
+    )
+    o["q_a9_countmin"] = _cms_oracle(depth=4, width=256, top=20)
 
     o["q_a8_sketch_difference"] = """
         SELECT count(*)::BIGINT AS n_exact, TRUE AS within_tol FROM (

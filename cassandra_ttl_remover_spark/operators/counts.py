@@ -145,3 +145,115 @@ def estimate_difference(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
             F.col("est_union") - F.col("est_b"),
         ).alias("est_difference"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (portable-hash, exact-certificate form)
+# ---------------------------------------------------------------------------
+
+def countmin_estimates(docs: DataFrame, depth: int = 4, width: int = 256,
+                       top: int = 20, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Count-min sketch frequency estimation over the corpus vocabulary,
+    with its defining guarantee surfaced as a checkable certificate: for
+    the ``top`` most frequent tokens, return the exact count, the CMS
+    estimate (min over ``depth`` counters), and the one-sided-error flag
+    ``est >= true`` that CMS can never violate.
+
+    Completes the sketch family (HLL distinct / union / intersection /
+    difference, Bloom membership) with the frequency sketch. The hash
+    rows reuse the engine-portable 60-bit md5 token, so BOTH engines
+    build the identical sketch and the estimates hash-match exactly —
+    unlike library CMS implementations whose hash choices are private.
+
+    Scale shape: the only corpus-sized pass is the word count (one
+    partial-aggregated shuffle to the vocab frame). The sketch itself is
+    built FROM the vocab (sum of word counts per (row, cell) — identical
+    to streaming increments, since CMS cells are linear in the input),
+    giving a depth x width counter table (~1k rows) that broadcasts to
+    the probe lookups. At 100 TB nothing here grows beyond vocabulary
+    size."""
+    from pyspark.sql.functions import broadcast
+
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        PORTABLE_TOKEN_EXPR,
+    )
+    from cassandra_ttl_remover_spark.operators.text import WORDS_EXPR
+    from cassandra_ttl_remover_spark.plans import fan_out
+
+    ws = WORDS_EXPR.format(col=text_col)
+    counts = (
+        fan_out(docs, id_col)
+        .select(F.explode(F.expr(ws)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    spark = docs.sparkSession
+    rows_df = spark.range(depth).select(F.col("id").cast("int").alias("i"))
+    tok = PORTABLE_TOKEN_EXPR.format(col="concat(cast(i as string), ':', w)")
+    cell = f"pmod({tok}, {width})"
+    counters = (
+        counts.crossJoin(broadcast(rows_df))
+        .select("i", F.expr(cell).cast("long").alias("cell"), "true_count")
+        .groupBy("i", "cell")
+        .agg(F.sum("true_count").alias("cell_count"))
+    )
+    probes = (
+        counts.orderBy(F.col("true_count").desc(), F.col("w").asc())
+        .limit(top)
+    )
+    return (
+        probes.crossJoin(broadcast(rows_df))
+        .select("w", "true_count", "i",
+                F.expr(cell).cast("long").alias("cell"))
+        .join(broadcast(counters), ["i", "cell"])
+        .groupBy("w", "true_count")
+        .agg(F.min("cell_count").cast("long").alias("cms_est"))
+        .select(
+            F.col("w").alias("token"),
+            "true_count",
+            "cms_est",
+            (F.col("cms_est") >= F.col("true_count")).alias("is_overestimate"),
+        )
+        .orderBy(F.col("true_count").desc(), F.col("token").asc())
+    )
+
+
+def countmin_oracle_sql(depth: int = 4, width: int = 256, top: int = 20,
+                        table: str = "documents") -> str:
+    """Identical sketch in DuckDB list primitives: same portable token,
+    same cell arithmetic, same min-over-rows estimate."""
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        portable_token_oracle_expr,
+    )
+
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    tok = portable_token_oracle_expr("CAST(i AS VARCHAR) || ':' || w")
+    return f"""
+WITH counts AS (
+  SELECT w, count(*)::BIGINT AS true_count
+  FROM (SELECT unnest({ws}) AS w FROM {table})
+  GROUP BY w
+),
+rows_i AS (SELECT unnest(range(0, {depth}))::INT AS i),
+cells AS (
+  SELECT i, (({tok}) % {width} + {width}) % {width} AS cell, true_count, w
+  FROM counts CROSS JOIN rows_i
+),
+counters AS (
+  SELECT i, cell, sum(true_count)::BIGINT AS cell_count
+  FROM cells GROUP BY i, cell
+),
+probes AS (
+  SELECT w, true_count FROM counts
+  ORDER BY true_count DESC, w ASC LIMIT {top}
+)
+SELECT p.w AS token, p.true_count,
+       min(c.cell_count)::BIGINT AS cms_est,
+       (min(c.cell_count) >= p.true_count) AS is_overestimate
+FROM probes p
+JOIN cells x ON x.w = p.w
+JOIN counters c ON c.i = x.i AND c.cell = x.cell
+GROUP BY p.w, p.true_count
+ORDER BY p.true_count DESC, token ASC
+"""

@@ -94,3 +94,23 @@ def test_estimate_difference_identities(spark):
         a, spark.createDataFrame([], "k long"), "k"
     ).first()
     assert r3.est_b == 0 and r3.est_difference == r3.est_union
+
+
+def test_countmin_certificate_and_collision_behavior(spark):
+    """A tiny width forces collisions: colliding tokens must OVERestimate
+    (cell absorbs both counts) while the guarantee est >= true holds for
+    every probe; a generous width recovers exact counts."""
+    from cassandra_ttl_remover_spark.operators.counts import countmin_estimates
+
+    rows = [(i, ("alpha " * 5 + "beta " * 3 + "gamma").strip())
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tight = {r.token: r for r in
+             countmin_estimates(df, depth=2, width=2, top=3).collect()}
+    assert set(tight) == {"alpha", "beta", "gamma"}
+    assert all(r.is_overestimate for r in tight.values())
+    assert tight["alpha"].true_count == 30
+    wide = {r.token: r for r in
+            countmin_estimates(df, depth=4, width=4096, top=3).collect()}
+    # at width >> vocab, every estimate should be exact
+    assert all(r.cms_est == r.true_count for r in wide.values())
