@@ -422,6 +422,7 @@ _DRIVER_PRIORITY = [
     "q_n45_bpe_train",
     "q_g3_kcore",
     "q_a9_countmin",
+    "q_x20_pareto_frontier",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -1199,6 +1200,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_tables(spark, sf, ["customer"])
         return spark.sql(SHARED_SQL_RECURSIVE)
     q["q_x19_recursive_cte"] = q_x19
+
+    def q_x20(spark, sf):
+        # 2-D skyline: orders no other order beats on BOTH price and
+        # recency — windows-only frontier test with the partition-local
+        # prefilter scale path; oracle recomputes by the quadratic
+        # NOT-EXISTS definition, a different algorithm entirely
+        from cassandra_ttl_remover_spark.operators.curate import (
+            pareto_frontier,
+        )
+
+        base = scan_table(spark, sf, "orders").select(
+            "o_orderkey",
+            F.expr("cast(round(o_totalprice * 100) as bigint)")
+            .alias("price_cents"),
+            F.expr(
+                "cast(datediff(cast(o_orderdate as date),"
+                " date'1992-01-01') as bigint)"
+            ).alias("order_day"),
+        )
+        return pareto_frontier(base, x="price_cents", y="order_day",
+                               id_col="o_orderkey")
+    q["q_x20_pareto_frontier"] = q_x20
 
     def q_sql_q14(spark, sf):
         # Q14 shape: conditional revenue share over the part join, exact
@@ -3867,6 +3890,17 @@ WHERE pk >= '1' AND pk < '2'
     o["q_sql_q14_promo_revenue"] = SHARED_SQL_Q14
     o["q_sql_q19_disjunctive"] = SHARED_SQL_Q19
     o["q_x19_recursive_cte"] = SHARED_SQL_RECURSIVE
+    from cassandra_ttl_remover_spark.operators.curate import (
+        pareto_frontier_oracle_sql as _pf_oracle,
+    )
+    o["q_x20_pareto_frontier"] = _pf_oracle(
+        """SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(date_diff('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day
+FROM orders""",
+        x="price_cents", y="order_day", id_col="o_orderkey",
+    )
     o["q_x7_window_analytics"] = SHARED_SQL_WINDOW
     o["q_p4_grouping_sets"] = """
         SELECT o_orderpriority, o_orderstatus,

@@ -894,3 +894,80 @@ SELECT {id_col},
                           ORDER BY tok, {id_col})::BIGINT AS pos
 FROM t ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) — multi-objective selection
+# ---------------------------------------------------------------------------
+
+def pareto_frontier(df: DataFrame, x: str, y: str, id_col: str,
+                    prefilter: bool = True) -> DataFrame:
+    """Rows not dominated on two integer objectives (both maximized):
+    ``r`` is dominated iff some other row is >= on both and > on at least
+    one. The multi-objective selection primitive for curation tradeoffs
+    (keep documents no other beats on BOTH quality and length) — also the
+    classic skyline operator.
+
+    Frontier test as windows, no self-join: with integer objectives,
+    a row survives iff (a) its ``y`` is the max among equal-``x`` rows and
+    (b) its ``y`` strictly exceeds max{y' : x' > x}, computed by ONE
+    value-range window (``ORDER BY x RANGE BETWEEN 1 FOLLOWING AND
+    UNBOUNDED FOLLOWING``). Duplicate (x, y) points tie the frontier and
+    are all kept, per the standard strict-dominance definition.
+
+    Scale: the global pass is a single sort on ``x``. With
+    ``prefilter=True`` the same two-window test runs per input partition
+    first (keyed on ``spark_partition_id``, so no exchange): a local
+    frontier preserves the global one (dominance within a partition is
+    dominance globally), and on real data it collapses each partition to
+    a handful of candidates before the global sort ever shuffles — the
+    textbook distributed-skyline split. Result is partitioning-
+    independent either way."""
+    cand = df.select(id_col, x, y)
+    if prefilter:
+        pid = F.spark_partition_id()
+        lw = Window.partitionBy("_pid").orderBy(F.col(x).asc()) \
+            .rangeBetween(1, Window.unboundedFollowing)
+        le = Window.partitionBy("_pid", x)
+        cand = (
+            cand.withColumn("_pid", pid)
+            .withColumn("_m", F.max(y).over(lw))
+            .withColumn("_e", F.max(y).over(le))
+            .filter(
+                (F.col(y) == F.col("_e"))
+                & ((F.col("_m").isNull()) | (F.col(y) > F.col("_m")))
+            )
+            .select(id_col, x, y)
+        )
+    gw = Window.orderBy(F.col(x).asc()) \
+        .rangeBetween(1, Window.unboundedFollowing)
+    ge = Window.partitionBy(x)
+    return (
+        cand.withColumn("_m", F.max(y).over(gw))
+        .withColumn("_e", F.max(y).over(ge))
+        .filter(
+            (F.col(y) == F.col("_e"))
+            & ((F.col("_m").isNull()) | (F.col(y) > F.col("_m")))
+        )
+        .select(id_col, x, y)
+        .orderBy(id_col)
+    )
+
+
+def pareto_frontier_oracle_sql(inner_sql: str, x: str, y: str,
+                               id_col: str) -> str:
+    """Independent recomputation by the definition itself: a NOT EXISTS
+    anti-join against any dominating row — quadratic, but a different
+    algorithm entirely, so a window-frame bug on the Spark side cannot
+    hide."""
+    return f"""
+WITH base AS ({inner_sql})
+SELECT b.{id_col}, b.{x}, b.{y}
+FROM base b
+WHERE NOT EXISTS (
+  SELECT 1 FROM base o
+  WHERE o.{x} >= b.{x} AND o.{y} >= b.{y}
+    AND (o.{x} > b.{x} OR o.{y} > b.{y})
+)
+ORDER BY b.{id_col}
+"""

@@ -252,3 +252,43 @@ def test_shuffle_deterministic_invariants(spark, documents):
     c = {(r.doc_id): (r.shard, r.pos)
          for r in shuffle_deterministic(documents, n_shards=8, seed=8).collect()}
     assert a != c
+
+
+def test_pareto_frontier_dominance_and_ties(spark):
+    from cassandra_ttl_remover_spark.operators.curate import pareto_frontier
+
+    rows = [
+        (1, 10, 10),  # frontier
+        (2, 10, 10),  # duplicate point: ties the frontier, kept
+        (3, 10, 9),   # dominated by 1 (equal x, lower y)
+        (4, 12, 5),   # frontier (best x among y<=5... no: nothing beats it)
+        (5, 11, 5),   # dominated by 4
+        (6, 5, 20),   # frontier (best y)
+        (7, 4, 20),   # dominated by 6
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    for pf in (True, False):
+        got = sorted(r.id for r in
+                     pareto_frontier(df, "x", "y", "id", prefilter=pf)
+                     .collect())
+        assert got == [1, 2, 4, 6], (pf, got)
+
+
+def test_pareto_frontier_partitioning_independent(spark):
+    """The prefilter keys on physical partitions; the result must not."""
+    from cassandra_ttl_remover_spark.operators.curate import pareto_frontier
+
+    import random
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(100), rnd.randrange(100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    a = sorted((r.id, r.x, r.y) for r in
+               pareto_frontier(df.repartition(3), "x", "y", "id").collect())
+    b = sorted((r.id, r.x, r.y) for r in
+               pareto_frontier(df.repartition(17), "x", "y", "id").collect())
+    # brute-force reference
+    def dominated(p, q):
+        return q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+    want = sorted(p for p in rows
+                  if not any(dominated(p, q) for q in rows))
+    assert a == b == want
