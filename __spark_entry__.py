@@ -423,6 +423,7 @@ _DRIVER_PRIORITY = [
     "q_g3_kcore",
     "q_a9_countmin",
     "q_x20_pareto_frontier",
+    "q_st16_stream_countmin",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -2432,6 +2433,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_st5_stream_curate_gate"] = q_st5
 
+    def q_st16(spark, sf):
+        # streaming count-min: CMS cells are LINEAR in the input, so the
+        # sketch is just a complete-mode counter aggregation over arriving
+        # files — per-batch increments merge into the identical table the
+        # batch build produces (q_a9's counter stage), which IS the oracle.
+        # Depth rows come from a second explode, not a stream-static cross
+        # join, keeping the plan stateless until the single aggregation.
+        import uuid
+
+        from cassandra_ttl_remover_spark.operators.lookups import (
+            PORTABLE_TOKEN_EXPR,
+        )
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+        )
+
+        st = scan_stream(spark, sf, glob="documents.parquet")
+        ws = "filter(split(text, ' '), w -> w <> '')"
+        tok = PORTABLE_TOKEN_EXPR.format(
+            col="concat(cast(i as string), ':', w)"
+        )
+        counters = (
+            st.select(F.explode(F.expr(ws)).alias("w"))
+            .select("w", F.explode(F.expr("sequence(0, 3)")).alias("i"))
+            .select("i", F.expr(f"pmod({tok}, 256)").cast("long").alias("cell"))
+            .groupBy("i", "cell")
+            .agg(F.count("*").cast("long").alias("cell_count"))
+        )
+        out = drain_to_table(
+            counters, f"st16_{uuid.uuid4().hex[:8]}", "complete"
+        )
+        return out.select(
+            F.col("i").cast("int").alias("i"), "cell", "cell_count"
+        ).orderBy("i", "cell")
+    q["q_st16_stream_countmin"] = q_st16
+
     def q_st11(spark, sf):
         # stream-STREAM interval join (attribution): every click matched to
         # the views it followed within 1 hour, per user — watermarked both
@@ -3775,6 +3813,23 @@ WHERE pk >= '1' AND pk < '2'
         countmin_oracle_sql as _cms_oracle,
     )
     o["q_a9_countmin"] = _cms_oracle(depth=4, width=256, top=20)
+
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        portable_token_oracle_expr as _pt_oracle,
+    )
+    _st16_tok = _pt_oracle("CAST(i AS VARCHAR) || ':' || w")
+    o["q_st16_stream_countmin"] = f"""
+WITH toks AS (
+  SELECT unnest([w for w in string_split(text, ' ') if w <> '']) AS w
+  FROM documents
+),
+cells AS (
+  SELECT i::INT AS i, ((({_st16_tok}) % 256 + 256) % 256)::BIGINT AS cell
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+)
+SELECT i, cell, count(*)::BIGINT AS cell_count
+FROM cells GROUP BY i, cell ORDER BY i, cell
+"""
 
     o["q_a8_sketch_difference"] = """
         SELECT count(*)::BIGINT AS n_exact, TRUE AS within_tol FROM (
