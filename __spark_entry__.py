@@ -424,6 +424,7 @@ _DRIVER_PRIORITY = [
     "q_a9_countmin",
     "q_x20_pareto_frontier",
     "q_st16_stream_countmin",
+    "q_mm12_gif_decode",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -2717,6 +2718,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return png_decode_features(media)
     q["q_mm11_png_decode"] = q_mm11
 
+    def q_mm12(spark, sf):
+        # sixth real decode family, second COMPRESSED codec: genuine
+        # GIF87a payloads (grayscale identity palette, variable-width
+        # LZW with dictionary growth/reset and the KwKwK case, sub-block
+        # framing) decoded back to exact pixel statistics — shares the
+        # PGM text oracle like q_mm11, so raw/DEFLATE/LZW all check
+        # against one independent recomputation.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_gif,
+            gif_decode_features,
+        )
+
+        media = documents_as_gif(scan_table(spark, sf, "documents"), width=32)
+        return gif_decode_features(media)
+    q["q_mm12_gif_decode"] = q_mm12
+
     def q_s7(spark, sf):
         # REAL binary-format scan — the reference's native surface
         # (Data.db/Index.db + per-cell mask decode, NoTTLScanner.java:32,
@@ -3581,6 +3598,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_mm9_frame_energy"] = multimodal.wav_frame_oracle_sql(win=256, hop=128)
     o["q_mm10_pbm_decode"] = multimodal.pbm_decode_oracle_sql(width=16)
     o["q_mm11_png_decode"] = multimodal.png_decode_oracle_sql(width=32)
+    o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()
     o["q_s8_sstable_strip"] = f"""

@@ -1247,3 +1247,254 @@ def png_decode_oracle_sql(width: int = 32, table: str = "documents",
     the decoded statistics are the PGM ones — one shared oracle, two
     independent codecs that must agree on it."""
     return pgm_decode_oracle_sql(width=width, table=table, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Real LZW-compressed image decode: GIF87a grayscale — second compression
+# codec (LZW), after PNG's DEFLATE
+# ---------------------------------------------------------------------------
+
+def _lzw_compress(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable-width codes starting at
+    ``min_code_size + 1`` bits, LSB-first bit packing, CLEAR/EOI control
+    codes, dictionary capped at 4096 entries (emit CLEAR and reset).
+    Width grows when ``next_code == 2^width + 1`` — the encoder-side
+    convention that pairs with the decoder's ``next_code == 2^width``
+    (the decoder's dictionary lags by exactly one insertion)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return ({bytes([i]): i for i in range(clear)}, eoi + 1,
+                min_code_size + 1)
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        else:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(payload: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of _lzw_compress; raises on malformed streams (unknown
+    code, missing EOI) rather than guessing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = acc = n_bits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, n_bits
+        while n_bits < width:
+            if pos >= len(payload):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= payload[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    next_code = eoi + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if not table:
+            raise ValueError("LZW data before first CLEAR code")
+        if code < len(table) and code != next_code:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]          # the KwKwK special case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _text_to_gif_bytes(data: bytes, width: int) -> bytes:
+    """Deterministic real GIF87a encoder (grayscale, 256-entry global
+    palette where index i is gray level i): input bytes ARE the palette
+    indices, row-major at ``width`` px/row, final row zero-padded, LZW-
+    compressed into 255-byte sub-blocks. Opens in any GIF viewer; with
+    PNG's DEFLATE this makes two genuinely different compression codecs
+    in the decodable family."""
+    import math
+    import struct
+
+    h = max(1, math.ceil(len(data) / width))
+    px = data + b"\x00" * (width * h - len(data))
+    out = bytearray(b"GIF87a")
+    # logical screen descriptor: global color table, 8 bits/pixel
+    out += struct.pack("<HHBBB", width, h, 0xF7, 0, 0)
+    for i in range(256):                      # grayscale palette
+        out += bytes((i, i, i))
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, h, 0)  # image desc
+    out.append(8)                             # LZW minimum code size
+    lzw = _lzw_compress(px, 8)
+    for off in range(0, len(lzw), 255):
+        block = lzw[off:off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"                        # block terminator + trailer
+    return bytes(out)
+
+
+def _parse_gif(b: bytes) -> tuple:
+    """Strict GIF87a decoder for the grayscale profile this family
+    writes: signature, screen/image descriptors, palette-is-grayscale
+    check, sub-block reassembly, full LZW decompression. Raises on
+    malformed input. Returns (width, height, n_pixels, sum_px, max_px)
+    over the recovered index raster (== gray values under the identity
+    palette)."""
+    import math
+    import struct
+
+    if not b.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table")
+    n_colors = 2 << (flags & 0x07)
+    pos = 13
+    pal = b[pos:pos + 3 * n_colors]
+    pos += 3 * n_colors
+    if any(pal[3 * i] != pal[3 * i + 1] or pal[3 * i] != pal[3 * i + 2]
+           for i in range(n_colors)):
+        raise ValueError("unsupported non-grayscale GIF palette")
+    if pos >= len(b) or b[pos] != 0x2C:
+        raise ValueError("expected image descriptor")
+    _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", b[pos + 1:pos + 10])
+    if iflags & 0xC0:
+        raise ValueError("unsupported local-palette/interlaced GIF")
+    pos += 10
+    min_code = b[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF sub-blocks truncated")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += b[pos:pos + n]
+        pos += n
+    px = _lzw_decompress(bytes(lzw), min_code)
+    if len(px) != iw * ih:
+        raise ValueError("GIF raster size mismatch")
+    return iw, ih, iw * ih, sum(px), max(px) if px else 0
+
+
+def documents_as_gif(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", width: int = 32) -> DataFrame:
+    """Media frame whose payloads are REAL GIF87a images synthesized from
+    the documents fixture — the sixth decodable modality family and the
+    second compressed one (LZW, after PNG's DEFLATE)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [_text_to_gif_bytes(t, width) for t in texts],
+                    "meta": [
+                        {
+                            "kind": "image",
+                            "mime": "image/gif",
+                            "width": width,
+                            "height": max(1, math.ceil(len(t) / width)),
+                            "n_frames": 1,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                        }
+                        for t in texts
+                    ],
+                }
+            )
+
+    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def gif_decode_features(media: DataFrame) -> DataFrame:
+    """REAL end-to-end LZW decode over GIF payloads. The recovered index
+    raster equals the zero-padded source bytes under the identity
+    palette, so the statistics share the PGM text oracle — a defect in
+    the sub-block walk, the variable-width bit reader, the dictionary
+    growth/reset, or the KwKwK path breaks the hash match."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_parse_gif(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_pixels": [f[2] for f in feats],
+                    "sum_px": [f[3] for f in feats],
+                    "max_px": [f[4] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PGM_FEATURES_SCHEMA
+    )
+
+
+def gif_decode_oracle_sql(width: int = 32, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """The GIF round-trip recovers exactly the zero-padded source bytes
+    (identity palette), so the decoded statistics are the PGM ones —
+    three independent codecs (raw, DEFLATE, LZW) against one oracle."""
+    return pgm_decode_oracle_sql(width=width, table=table, id_col=id_col)

@@ -407,3 +407,56 @@ def test_png_decode_features_distributed(documents):
         assert r.sum_px == sum(data)
         assert r.max_px == (max(data) if data else 0)
         assert r.height == max(1, -(-len(data) // 32))
+
+
+def test_lzw_roundtrip_hard_cases():
+    """Width growth across 512/1024/2048, the 4096-entry CLEAR reset,
+    the KwKwK special case (low-alphabet input), and high-repetition
+    compression all round-trip exactly."""
+    import random
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rnd = random.Random(13)
+    cases = [
+        b"", b"x", b"aaaaaaaaaa", b"abcabcabc",
+        bytes(rnd.randrange(256) for _ in range(20000)),  # cap + reset
+        bytes(rnd.randrange(4) for _ in range(30000)),    # KwKwK chains
+        b"the quick brown fox " * 1000,
+    ]
+    for c in cases:
+        assert _lzw_decompress(_lzw_compress(c)) == c
+    comp = _lzw_compress(b"the quick brown fox " * 1000)
+    assert len(comp) < 2000          # repetition actually compresses
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decompress(b"\x00\x01")
+
+
+def test_gif_roundtrip_and_rejects(documents):
+    import pytest
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_gif,
+        _text_to_gif_bytes,
+        documents_as_gif,
+        gif_decode_features,
+    )
+
+    data = bytes(range(256)) * 2
+    w, h, npx, s, mx = _parse_gif(_text_to_gif_bytes(data, 32))
+    assert (w, h, npx, s, mx) == (32, 16, 512, sum(data), 255)
+    assert _parse_gif(_text_to_gif_bytes(b"", 32)) == (32, 1, 32, 0, 0)
+    with pytest.raises(ValueError, match="not a GIF"):
+        _parse_gif(b"PNG..")
+    # distributed path against source bytes
+    docs = documents.limit(8)
+    out = {r.media_id: r for r in
+           gif_decode_features(documents_as_gif(docs, width=32)).collect()}
+    src = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for k, d in src.items():
+        assert out[k].sum_px == sum(d) and out[k].max_px == max(d)
