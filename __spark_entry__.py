@@ -337,9 +337,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q_mm8-mm10, q_s7-s10, q_st15, q_d7, q_a8, q_n43, q_sql_q4/q14,
 # q_x18, q_n8e/n8f — inserted right after the repaired
 # q_pipe_curate_lsh slot) shift the ~50-query window to certify
-# through ~q_n16; ROUND-5 PLAN: rotate once more so the ~33
-# still-ungraded entries (q_n17-n33 + the misc tail from q_d1 on)
-# lead. Do NOT rotate mid-round: the
+# through ~q_n16; ROUND-5 PLAN: rotate once more so the remaining
+# never-graded entries lead — the n17b-n33 tail, the round-4-late
+# block (q_mm11/mm12, q_n44-n46, q_v7, q_g3, q_a9, q_x19/x20,
+# q_sql_q19, q_st16), and the misc tail from q_d1 on (~46 total,
+# fits one window). Do NOT rotate mid-round: the
 # gate runs on end-of-round state.
 _DRIVER_PRIORITY = [
     # repaired err-slot: invariant certificate, hash-matchable now
@@ -425,6 +427,7 @@ _DRIVER_PRIORITY = [
     "q_x20_pareto_frontier",
     "q_st16_stream_countmin",
     "q_mm12_gif_decode",
+    "q_n46_cluster_representatives",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -1994,6 +1997,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("cluster_size").cast("long"), "n_clusters")
         )
     q["q_n33_cluster_histogram"] = q_n33
+
+    def q_n46(spark, sf):
+        # quality-aware dedup resolution: keep the LONGEST member per
+        # near-dup cluster (min-id tiebreak) instead of q_n14's min-id
+        # rule — the production keep-best default; same df-capped pair
+        # generator, one extra argmax window keyed on the component
+        docs = scan_table(spark, sf, "documents")
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df=1000
+        ).select("a", "b")
+        return dedup.cluster_representatives(docs, pairs)
+    q["q_n46_cluster_representatives"] = q_n46
 
     def q_c2(spark, sf):
         # CDC apply: a deterministic change feed (every 5th event a
@@ -4275,6 +4290,11 @@ SELECT c AS src, s AS dst FROM cs UNION ALL SELECT s AS src, c AS dst FROM cs"""
     o["q_n6b_embedding_neardup_lsh"] = (
         "SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok FROM "
         f"({dedup.embedding_neardup_oracle_sql(threshold=0.4)})"
+    )
+
+    o["q_n46_cluster_representatives"] = dedup.cluster_representatives_oracle_sql(
+        "SELECT a, b FROM "
+        f"({dedup.ngram_jaccard_oracle_sql(threshold=0.5, max_df=1000)})"
     )
 
     o["q_n14_neardup_components"] = dedup.connected_components_oracle_sql(

@@ -1096,3 +1096,55 @@ FROM (SELECT {id_col} FROM {table} WHERE {batch_where}) d
 LEFT JOIN per USING ({id_col})
 ORDER BY d.{id_col}
 """
+
+
+def cluster_representatives(docs: DataFrame, pairs: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Quality-aware near-dup resolution: where neardup_dedup keeps the
+    minimum id per component, real curation keeps the BEST member — here
+    the standard keep-longest rule (score = exact character length,
+    min-id tiebreak), the production default when no model scorer is
+    wired in. Returns ``(id_col, component, score, is_kept)`` for every
+    document.
+
+    Scale: components as in neardup_dedup, then one argmax window keyed
+    on the component — a single extra hash shuffle whose key count is the
+    number of clusters, with the length projection computed map-side."""
+    cc = connected_components(pairs, docs.select(id_col), id_col)
+    scored = docs.select(
+        id_col, F.length(text_col).cast("long").alias("score")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cc.join(scored, id_col)
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select(id_col, "component", "score", "is_kept")
+        .orderBy(id_col)
+    )
+
+
+def cluster_representatives_oracle_sql(pairs_sql: str,
+                                       table: str = "documents",
+                                       id_col: str = "doc_id") -> str:
+    """Recursive-CTE components + the same keep-longest argmax window."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT {id_col}, {id_col} FROM {table}
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.node
+),
+cc AS (SELECT node AS {id_col}, min(r) AS component FROM reach GROUP BY node),
+scored AS (
+  SELECT cc.{id_col}, cc.component, length(d.text)::BIGINT AS score
+  FROM cc JOIN {table} d USING ({id_col})
+)
+SELECT {id_col}, component, score,
+       (row_number() OVER (PARTITION BY component
+                           ORDER BY score DESC, {id_col} ASC) = 1) AS is_kept
+FROM scored ORDER BY {id_col}
+"""

@@ -217,3 +217,25 @@ def test_repeated_ngram_spans_positions(spark):
              for r in dedup.repeated_ngram_spans(docs, n=8).collect()}
     # the shared run starts at token 2 in doc 1 and token 1 in doc 2
     assert spans == {(1, 2), (2, 1)}
+
+
+def test_cluster_representatives_keeps_longest(spark):
+    from cassandra_ttl_remover_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest document"), (3, "medium doc"),
+         (4, "isolated"), (5, "also-longest-tie"), (6, "also-longest-tie")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    )
+    got = {r.doc_id: r for r in
+           cluster_representatives(docs, pairs).collect()}
+    # cluster {1,2,3}: 2 is longest -> kept; min-id rule would keep 1
+    assert got[2].is_kept and not got[1].is_kept and not got[3].is_kept
+    assert got[4].is_kept                       # singleton keeps itself
+    # tie on score: min id wins
+    assert got[5].is_kept and not got[6].is_kept
