@@ -915,14 +915,19 @@ def pareto_frontier(df: DataFrame, x: str, y: str, id_col: str,
     UNBOUNDED FOLLOWING``). Duplicate (x, y) points tie the frontier and
     are all kept, per the standard strict-dominance definition.
 
-    Scale: the global pass is a single sort on ``x``. With
-    ``prefilter=True`` the same two-window test runs per input partition
-    first (keyed on ``spark_partition_id``, so no exchange): a local
-    frontier preserves the global one (dominance within a partition is
-    dominance globally), and on real data it collapses each partition to
-    a handful of candidates before the global sort ever shuffles — the
-    textbook distributed-skyline split. Result is partitioning-
-    independent either way."""
+    Scale: the global pass is a SinglePartition window — one task sorts
+    whatever reaches it, so the input to it is everything that matters.
+    With ``prefilter=True`` the same two-window test first runs keyed on
+    ``spark_partition_id``: this costs one hash exchange on the synthetic
+    key (Catalyst cannot know rows already sit with their pid), but the
+    local windows then run 32-way parallel and a local frontier preserves
+    the global one (dominance within a partition is dominance globally),
+    so the single-task global window sees only the per-partition
+    frontiers — the textbook distributed-skyline split. (A mapInPandas
+    local pass would make the prefilter exchange-free at the cost of an
+    Arrow boundary; the JVM window form is kept for codegen and
+    exactness uniformity.) Result is partitioning-independent either
+    way, property-tested."""
     cand = df.select(id_col, x, y)
     if prefilter:
         pid = F.spark_partition_id()
