@@ -3241,9 +3241,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .distinct()
         )
-        edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-            cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-        )
+        # explode, not union-of-selects: the union form executes the
+        # orders x lineitem join + distinct twice (same fix as q_g3)
+        edges = cs.select(
+            F.explode(
+                F.expr("array(struct(c as src, s as dst),"
+                       " struct(s as src, c as dst))")
+            ).alias("e")
+        ).select("e.src", "e.dst")
         return graph.pagerank(edges, iters=2)
     q["q_g1_pagerank"] = q_g1
 

@@ -164,8 +164,10 @@ def main() -> int:
                     (F.col("l_suppkey") * 2 + 1).alias("s"))
             .distinct()
         )
-        edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-            cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        edges = cs.select(
+            F.explode(F.expr("array(struct(c as src, s as dst),"
+                             " struct(s as src, c as dst))")).alias("e")
+        ).select("e.src", "e.dst")
         pagerank(edges, iters=2).agg(F.sum("rank")).collect()
 
     def q_det_shuffle():
