@@ -428,6 +428,7 @@ _DRIVER_PRIORITY = [
     "q_st16_stream_countmin",
     "q_mm12_gif_decode",
     "q_n46_cluster_representatives",
+    "q_x21_python_udtf",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -1227,6 +1228,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pareto_frontier(base, x="price_cents", y="order_day",
                                id_col="o_orderkey")
     q["q_x20_pareto_frontier"] = q_x20
+
+    def q_x21(spark, sf):
+        # Python UDTF surface (Spark 4): imperative row generation with a
+        # scan cursor — run-length segments per document via LATERAL.
+        # The JVM generator path (q_x17) covers HOF-expressible
+        # expansions; this pins the genuinely-stateful escape hatch.
+        from cassandra_ttl_remover_spark.functions.udtfs import (
+            RunLengthSegments,
+        )
+
+        spark.udtf.register("ctrs_run_lengths", RunLengthSegments)
+        scan_table(spark, sf, "documents").createOrReplaceTempView(
+            "_x21_docs"
+        )
+        return spark.sql(
+            "SELECT d.doc_id, r.pos, r.token, r.run_len "
+            "FROM _x21_docs d, LATERAL ctrs_run_lengths(d.text) r "
+            "ORDER BY d.doc_id, r.pos"
+        )
+    q["q_x21_python_udtf"] = q_x21
 
     def q_sql_q14(spark, sf):
         # Q14 shape: conditional revenue share over the part join, exact
@@ -3986,6 +4007,11 @@ FROM cells GROUP BY i, cell ORDER BY i, cell
     from cassandra_ttl_remover_spark.operators.curate import (
         pareto_frontier_oracle_sql as _pf_oracle,
     )
+    from cassandra_ttl_remover_spark.functions.udtfs import (
+        run_length_oracle_sql as _rl_oracle,
+    )
+    o["q_x21_python_udtf"] = _rl_oracle()
+
     o["q_x20_pareto_frontier"] = _pf_oracle(
         """SELECT o_orderkey,
        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

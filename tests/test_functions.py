@@ -42,3 +42,26 @@ def test_weighted_mean_partitioning_independent(spark, lineitem):
                             "l_extendedprice", "l_quantity").collect()
     assert {(r.l_returnflag, r.wmean) for r in a} == \
            {(r.l_returnflag, r.wmean) for r in b}
+
+
+def test_run_length_udtf_hand_examples(spark):
+    from cassandra_ttl_remover_spark.functions.udtfs import RunLengthSegments
+
+    spark.udtf.register("t_run_lengths", RunLengthSegments)
+    df = spark.createDataFrame(
+        [(1, "a a a b a"), (2, ""), (3, "x"), (4, "z  z   q")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_t_rl_docs")
+    got = [
+        (r.doc_id, r.pos, r.token, r.run_len)
+        for r in spark.sql(
+            "SELECT d.doc_id, r.* FROM _t_rl_docs d,"
+            " LATERAL t_run_lengths(d.text) r ORDER BY d.doc_id, r.pos"
+        ).collect()
+    ]
+    assert got == [
+        (1, 1, "a", 3), (1, 4, "b", 1), (1, 5, "a", 1),
+        (3, 1, "x", 1),
+        (4, 1, "z", 2), (4, 3, "q", 1),
+    ]  # doc 2 (empty) emits no rows; multi-spaces collapse
