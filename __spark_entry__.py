@@ -217,6 +217,71 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 20 AND 30)
 """
 
+#: Q13 shape — customer order-count distribution: LEFT OUTER join with an
+#: ON-clause filter (not WHERE — null-extended rows must survive), then a
+#: group-on-the-grouped-count histogram. Exercises outer-join + double
+#: aggregation.
+SHARED_SQL_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey AS ck, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+#: Q15 shape — top-revenue supplier via a reused aggregate (the TPC-H view):
+#: the revenue CTE is referenced twice (join side + scalar MAX), exercising
+#: CTE reuse / re-evaluation with an exact-decimal aggregate.
+SHARED_SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem WHERE year(l_shipdate) = 1996
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+#: Q16 shape — supplier diversity per part profile: NOT IN anti-join
+#: against a filtered dimension + COUNT(DISTINCT) over the join. The
+#: exclusion predicate is keyed (s_suppkey % 7) since the fixture's name
+#: text doesn't carry Q16's comment patterns.
+SHARED_SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_suppkey % 7 = 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+#: Q17 shape — small-quantity revenue under a correlated per-part mean:
+#: l_quantity < 0.2 * avg(part's quantity), spelled division-free
+#: (q * 5 * n < sum) with exact decimals so both engines agree to the bit.
+#: Two correlated scalar subqueries decorrelate into one aggregate + join.
+SHARED_SQL_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_qty_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 *
+      (SELECT count(*) FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+      <
+      (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
 SHARED_SQL_Q14 = """
 SELECT CAST(100.0 AS DOUBLE)
        * CAST(SUM(CASE WHEN p_type = 'PROMO'
@@ -429,6 +494,10 @@ _DRIVER_PRIORITY = [
     "q_mm12_gif_decode",
     "q_n46_cluster_representatives",
     "q_x21_python_udtf",
+    "q_sql_q13_custdist",
+    "q_sql_q15_top_supplier",
+    "q_sql_q16_supplier_diversity",
+    "q_sql_q17_small_quantity",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -1264,6 +1333,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_tables(spark, sf, ["lineitem", "part"])
         return spark.sql(SHARED_SQL_Q19)
     q["q_sql_q19_disjunctive"] = q_sql_q19
+
+    def q_sql_q13(spark, sf):
+        # Q13: outer join with ON-clause filter + count histogram
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["customer", "orders"])
+        return spark.sql(SHARED_SQL_Q13)
+    q["q_sql_q13_custdist"] = q_sql_q13
+
+    def q_sql_q15(spark, sf):
+        # Q15: reused revenue aggregate + scalar MAX (the TPC-H view)
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["lineitem", "supplier"])
+        return spark.sql(SHARED_SQL_Q15)
+    q["q_sql_q15_top_supplier"] = q_sql_q15
+
+    def q_sql_q16(spark, sf):
+        # Q16: NOT IN anti-join + COUNT(DISTINCT) per part profile
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["lineitem", "part", "supplier"])
+        return spark.sql(SHARED_SQL_Q16)
+    q["q_sql_q16_supplier_diversity"] = q_sql_q16
+
+    def q_sql_q17(spark, sf):
+        # Q17: correlated per-part mean threshold, division-free
+        from cassandra_ttl_remover_spark import load_tables
+        load_tables(spark, sf, ["lineitem", "part"])
+        return spark.sql(SHARED_SQL_Q17)
+    q["q_sql_q17_small_quantity"] = q_sql_q17
 
     def q_x7(spark, sf):
         from cassandra_ttl_remover_spark import load_tables
@@ -4003,6 +4100,10 @@ FROM cells GROUP BY i, cell ORDER BY i, cell
         FROM lineitem"""
     o["q_sql_q14_promo_revenue"] = SHARED_SQL_Q14
     o["q_sql_q19_disjunctive"] = SHARED_SQL_Q19
+    o["q_sql_q13_custdist"] = SHARED_SQL_Q13
+    o["q_sql_q15_top_supplier"] = SHARED_SQL_Q15
+    o["q_sql_q16_supplier_diversity"] = SHARED_SQL_Q16
+    o["q_sql_q17_small_quantity"] = SHARED_SQL_Q17
     o["q_x19_recursive_cte"] = SHARED_SQL_RECURSIVE
     from cassandra_ttl_remover_spark.operators.curate import (
         pareto_frontier_oracle_sql as _pf_oracle,
