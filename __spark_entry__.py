@@ -404,9 +404,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_pipe_curate_lsh slot) shift the ~50-query window to certify
 # through ~q_n16; ROUND-5 PLAN: rotate once more so the remaining
 # never-graded entries lead — the n17b-n33 tail, the round-4-late
-# block (q_mm11/mm12, q_n44-n46, q_v7, q_g3, q_a9, q_x19/x20,
-# q_sql_q19, q_st16), and the misc tail from q_d1 on (~46 total,
-# fits one window). Do NOT rotate mid-round: the
+# block (q_mm11/mm12, q_n44-n46, q_v7, q_g3, q_a9, q_x19-x21,
+# q_st16, q_sql_q13/15/16/17/19), and the misc tail from q_d1 on
+# (~53 total — a few spill to round 6; order operator families
+# before the extra TPC-H shapes so the spill is SQL-shape rows the
+# taxonomy already evidences). Do NOT rotate mid-round: the
 # gate runs on end-of-round state.
 _DRIVER_PRIORITY = [
     # repaired err-slot: invariant certificate, hash-matchable now
