@@ -500,6 +500,7 @@ _DRIVER_PRIORITY = [
     "q_sql_q15_top_supplier",
     "q_sql_q16_supplier_diversity",
     "q_sql_q17_small_quantity",
+    "q_a10_join_size_estimate",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -946,6 +947,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scan_table(spark, sf, "documents"), depth=4, width=256, top=20
         )
     q["q_a9_countmin"] = q_a9
+
+    def q_a10(spark, sf):
+        # sketch-based join cardinality: |orders x customer| estimated by
+        # the CMS inner product (min over rows) against the exact size —
+        # the optimizer's stats consult, with the one-sided certificate
+        from cassandra_ttl_remover_spark.operators.counts import (
+            countmin_join_size,
+        )
+
+        return countmin_join_size(
+            scan_table(spark, sf, "orders"), "o_custkey",
+            scan_table(spark, sf, "customer"), "c_custkey",
+            depth=4, width=512,
+        )
+    q["q_a10_join_size_estimate"] = q_a10
 
     def q_a3(spark, sf):
         ev = _events(spark, sf)
@@ -3971,6 +3987,14 @@ WHERE pk >= '1' AND pk < '2'
         countmin_oracle_sql as _cms_oracle,
     )
     o["q_a9_countmin"] = _cms_oracle(depth=4, width=256, top=20)
+    from cassandra_ttl_remover_spark.operators.counts import (
+        countmin_join_size_oracle_sql as _cms_join_oracle,
+    )
+    o["q_a10_join_size_estimate"] = _cms_join_oracle(
+        "SELECT o_custkey FROM orders", "o_custkey",
+        "SELECT c_custkey FROM customer", "c_custkey",
+        depth=4, width=512,
+    )
 
     from cassandra_ttl_remover_spark.operators.lookups import (
         portable_token_oracle_expr as _pt_oracle,

@@ -257,3 +257,110 @@ JOIN counters c ON c.i = x.i AND c.cell = x.cell
 GROUP BY p.w, p.true_count
 ORDER BY p.true_count DESC, token ASC
 """
+
+
+def countmin_join_size(a: DataFrame, a_key: str, b: DataFrame, b_key: str,
+                       depth: int = 4, width: int = 512) -> DataFrame:
+    """Equi-join cardinality estimation by count-min inner product:
+    |A ⋈ B| = Σ_k f_A(k)·f_B(k) ≤ min_i ⟨row_i(A), row_i(B)⟩ — the
+    classic sketch-based cardinality estimate an optimizer consults
+    before picking a join strategy. Returns one row: the exact join
+    size, the CMS estimate, and the one-sided certificate
+    ``est >= exact`` (inner products only gain from collisions).
+
+    Both sketches use the engine-portable md5 token rows, so the oracle
+    rebuilds them identically and the estimate hash-matches. Scale: each
+    side collapses to its key-frequency table (one partial-aggregated
+    shuffle each — the optimizer's stats pass); the d×w counter tables
+    then join on (i, cell), a broadcast-sized operation. The exact side
+    is the same two frequency tables joined on the key — never the raw
+    join — so the certificate costs key-cardinality, not join-output,
+    work."""
+    from pyspark.sql.functions import broadcast
+
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        PORTABLE_TOKEN_EXPR,
+    )
+
+    def counters(df: DataFrame, key: str) -> DataFrame:
+        freq = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count("*").cast("long").alias("f")
+        )
+        spark = df.sparkSession
+        rows_df = spark.range(depth).select(
+            F.col("id").cast("int").alias("i")
+        )
+        tok = PORTABLE_TOKEN_EXPR.format(
+            col="concat(cast(i as string), ':', k)"
+        )
+        return (
+            freq.crossJoin(broadcast(rows_df))
+            .select("i", F.expr(f"pmod({tok}, {width})").cast("long")
+                    .alias("cell"), "f")
+            .groupBy("i", "cell")
+            .agg(F.sum("f").alias("cnt"))
+        )
+
+    fa = a.groupBy(F.col(a_key).cast("string").alias("k")).agg(
+        F.count("*").cast("long").alias("fa")
+    )
+    fb = b.groupBy(F.col(b_key).cast("string").alias("k")).agg(
+        F.count("*").cast("long").alias("fb")
+    )
+    exact = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+        .cast("long").alias("exact_join_size")
+    )
+    ca = counters(a, a_key).withColumnRenamed("cnt", "ca")
+    cb = counters(b, b_key).withColumnRenamed("cnt", "cb")
+    est = (
+        ca.join(cb, ["i", "cell"])
+        .groupBy("i")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("cms_join_est"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_size", "cms_join_est",
+        (F.col("cms_join_est") >= F.col("exact_join_size"))
+        .alias("is_overestimate"),
+    )
+
+
+def countmin_join_size_oracle_sql(a_sql: str, a_key: str, b_sql: str,
+                                  b_key: str, depth: int = 4,
+                                  width: int = 512) -> str:
+    """Identical sketches + inner products in DuckDB."""
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        portable_token_oracle_expr,
+    )
+
+    tok = portable_token_oracle_expr("CAST(i AS VARCHAR) || ':' || k")
+    cell = f"((({tok}) % {width} + {width}) % {width})"
+    return f"""
+WITH fa AS (SELECT CAST({a_key} AS VARCHAR) AS k, count(*)::BIGINT AS f
+            FROM ({a_sql}) GROUP BY 1),
+fb AS (SELECT CAST({b_key} AS VARCHAR) AS k, count(*)::BIGINT AS f
+       FROM ({b_sql}) GROUP BY 1),
+rows_i AS (SELECT unnest(range(0, {depth}))::INT AS i),
+ca AS (
+  SELECT i, {cell}::BIGINT AS cell, sum(f)::BIGINT AS cnt
+  FROM fa CROSS JOIN rows_i GROUP BY 1, 2
+),
+cb AS (
+  SELECT i, {cell}::BIGINT AS cell, sum(f)::BIGINT AS cnt
+  FROM fb CROSS JOIN rows_i GROUP BY 1, 2
+),
+ip AS (
+  SELECT ca.i, sum(ca.cnt * cb.cnt)::BIGINT AS ip
+  FROM ca JOIN cb ON ca.i = cb.i AND ca.cell = cb.cell
+  GROUP BY ca.i
+),
+ex AS (
+  SELECT coalesce(sum(fa.f * fb.f), 0)::BIGINT AS exact_join_size
+  FROM fa JOIN fb USING (k)
+)
+SELECT ex.exact_join_size,
+       (SELECT min(ip) FROM ip)::BIGINT AS cms_join_est,
+       ((SELECT min(ip) FROM ip) >= ex.exact_join_size) AS is_overestimate
+FROM ex
+"""

@@ -114,3 +114,26 @@ def test_countmin_certificate_and_collision_behavior(spark):
             countmin_estimates(df, depth=4, width=4096, top=3).collect()}
     # at width >> vocab, every estimate should be exact
     assert all(r.cms_est == r.true_count for r in wide.values())
+
+
+def test_countmin_join_size_certificate(spark):
+    """Skewed key frequencies: exact |A join B| = sum f_A(k)*f_B(k); the
+    CMS inner product must bound it from above, and a wide sketch must
+    recover it exactly (no collisions)."""
+    from cassandra_ttl_remover_spark.operators.counts import (
+        countmin_join_size,
+    )
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1] * 10 + [2] * 3 + [3] * 1 + [9] * 5], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1] * 2 + [2] * 4 + [4] * 7], "k long"
+    )
+    exact = 10 * 2 + 3 * 4  # keys 1 and 2 overlap
+    wide = countmin_join_size(a, "k", b, "k", depth=4, width=4096).collect()[0]
+    assert wide.exact_join_size == exact
+    assert wide.cms_join_est == exact          # collision-free at this width
+    tight = countmin_join_size(a, "k", b, "k", depth=2, width=2).collect()[0]
+    assert tight.exact_join_size == exact
+    assert tight.is_overestimate               # collisions only inflate
