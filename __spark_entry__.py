@@ -501,6 +501,7 @@ _DRIVER_PRIORITY = [
     "q_sql_q16_supplier_diversity",
     "q_sql_q17_small_quantity",
     "q_a10_join_size_estimate",
+    "q_n8g_ann_ivfpq",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -1993,6 +1994,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.4,
         )
     q["q_n8e_ann_pq"] = q_n8e
+
+    def q_n8g(spark, sf):
+        # IVF-PQ composite: coarse cells prune the scan to nprobe
+        # inverted lists, PQ IP-ADC scores codes within them, exact
+        # rerank on the shortlist — the FAISS serving shape, composed
+        # from the exact blocks q_n8b and q_n8e certify standalone.
+        # Measured recall@10: 0.5 at sf0.001 AND sf0.01 (deterministic),
+        # gated at 0.4.
+        return _ann_invariant(
+            spark, sf,
+            lambda emb: similarity.ivfpq_topk(
+                emb, query_id=0, k=10, n_cells=8, nprobe=4,
+                m=4, k_codes=16, rerank=8,
+            ),
+            0.4,
+        )
+    q["q_n8g_ann_ivfpq"] = q_n8g
 
     def q_n8f(spark, sf):
         # MATERIALIZED PQ index: codes-only parquet (m small ints per
@@ -4604,6 +4622,7 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n8c_ann_ivf_materialized"] = _ann_inv
     o["q_n8e_ann_pq"] = _ann_inv
     o["q_n8f_ann_pq_materialized"] = _ann_inv
+    o["q_n8g_ann_ivfpq"] = _ann_inv
 
     o["q_mm2_media_features"] = """
         SELECT doc_id AS media_id,

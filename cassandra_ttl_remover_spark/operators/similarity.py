@@ -1524,3 +1524,71 @@ SELECT {id_col},
        {cols}
 FROM {table} ORDER BY {id_col}
 """
+
+
+def ivfpq_topk(emb: DataFrame, query_id, k: int = 10, n_cells: int = 8,
+               nprobe: int = 4, m: int = 4, k_codes: int = 16,
+               rerank: int = 8, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ: the production composite ANN index — the IVF coarse
+    quantizer prunes the scan to ``nprobe`` cells' inverted lists, and
+    WITHIN the probed cells scoring runs on PQ codes via IP-ADC, then
+    the shortlist reranks with the exact quantized dot. This is the
+    FAISS IVFPQ serving shape (here with codes over raw vectors, the
+    by_residual=false variant; residual encoding per cell is the
+    documented refinement that needs per-cell codebooks).
+
+    Both stages reuse the exact building blocks their standalone forms
+    certify: cell assignment is :func:`_assign_cells` (the append-safe
+    rule), codebooks come from :func:`_pq_train`, and the ADC expression
+    is pq_topk's. At 100 TB: centroids and codebook are two broadcast
+    rows, the probed-cell filter is partition pruning on the
+    materialized cell-bucketed index, the ADC scan reads m bytes per
+    vector, and only ``rerank*k`` full vectors are ever touched."""
+    spark = emb.sparkSession
+    centroids, assigned = ivf_index(emb, n_cells, vec_col, id_col)
+    cbq, db = _pq_train(emb, m, k_codes, vec_col, id_col)
+    qrow = emb.filter(F.col(id_col) == F.lit(query_id)) \
+        .select(vec_col).collect()
+    if not qrow:
+        raise KeyError(f"query id {query_id!r} not found")
+    qv = [float(x) for x in qrow[0][vec_col]]
+    by_dist = sorted(
+        centroids, key=lambda c: sum((a - b) ** 2 for a, b in zip(c[1], qv))
+    )
+    probes = [c[0] for c in by_dist[:nprobe]]
+    cbq_df = spark.createDataFrame([(cbq,)],
+                                   "cbq array<array<array<bigint>>>")
+    q = emb.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col(vec_col).alias("_qv")
+    )
+    terms = []
+    for b in range(m):
+        sub = f"slice(_qcorp, {b * db + 1}, {db})"
+        qsub = f"slice(_qq, {b * db + 1}, {db})"
+        cbb = f"element_at(cbq, {b + 1})"
+        d2s = f"transform({cbb}, c -> {_PQ_L2(sub, 'c')})"
+        code = f"array_position({d2s}, array_min({d2s}))"
+        terms.append(
+            _PQ_DOT(qsub, f"element_at({cbb}, cast({code} as int))")
+        )
+    shortlist = (
+        assigned.filter(F.col("cell").isin(probes))
+        .join(F.broadcast(cbq_df))
+        .join(F.broadcast(q))
+        .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
+        .withColumn("_qq", F.expr(QVEC_EXPR.format(v="_qv")))
+        .withColumn("approx_dot", F.expr(" + ".join(terms)))
+        .filter(F.col(id_col) != F.lit(query_id))
+        .select(id_col, "approx_dot")
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
+        .limit(rerank * k)
+    )
+    return (
+        emb.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+        .join(F.broadcast(q))
+        .withColumn("dot", F.expr(QDOT_EXPR.format(a=vec_col, b="_qv")))
+        .select(id_col, "dot")
+        .orderBy(F.col("dot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -468,3 +468,43 @@ def test_rp_sign_matrix_deterministic_and_balanced():
     assert 0.3 < flat.count(1) / len(flat) < 0.7
     # seed changes the matrix
     assert a != _rp_sign_matrix(64, 8, seed=8)
+
+
+def test_ivfpq_full_probe_full_rerank_recovers_exact(spark, embeddings):
+    """The composite's degeneration guarantee: nprobe == n_cells removes
+    cell pruning and rerank*k >= corpus makes the shortlist everything,
+    so the exact-dot rerank MUST reproduce exact search regardless of
+    ADC quantization quality. (ADC alone carries no such guarantee —
+    the shortlist is the approximate part of the contract.)"""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivfpq_topk,
+        topk_dot,
+    )
+
+    n = embeddings.count()
+    exact = [(r.vec_id, r.dot) for r in
+             topk_dot(embeddings, query_id=0, k=5).collect()]
+    got = [(r.vec_id, r.dot) for r in
+           ivfpq_topk(embeddings, 0, k=5, n_cells=4, nprobe=4,
+                      m=4, k_codes=16, rerank=(n // 5) + 1).collect()]
+    assert got == exact
+
+
+def test_ivfpq_prunes_cells(spark, embeddings):
+    """nprobe < n_cells must actually scan fewer candidates than the
+    corpus: the ADC stage's input is bounded by the probed lists."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_topk,
+    )
+
+    _, assigned = ivf_index(embeddings, n_cells=8)
+    sizes = {r.cell: r.n for r in
+             assigned.groupBy("cell").count()
+             .withColumnRenamed("count", "n").collect()}
+    total = sum(sizes.values())
+    top4 = sum(sorted(sizes.values(), reverse=True)[:4])
+    assert top4 < total  # pruning is real on this fixture
+    # and the query still returns k rows with exact scores
+    got = ivfpq_topk(embeddings, 0, k=5, n_cells=8, nprobe=4).collect()
+    assert len(got) == 5
