@@ -314,3 +314,31 @@ def test_q19_disjunctive_pushdown_both_sides(spark):
     pf = pushed_filters(df)
     assert "p_brand" in pf, pf
     assert "l_quantity" in pf, pf
+
+
+def test_countmin_exchange_budget(spark, documents):
+    """The frequency sketch's corpus-sized work is the single word-count
+    shuffle; everything after is vocab-sized aggregation + broadcast
+    lookups. Budget: word count, counter agg, probe top-k, final
+    min-agg — at most 5 exchanges end to end."""
+    from cassandra_ttl_remover_spark.operators.counts import countmin_estimates
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    assert exchange_count(
+        countmin_estimates(documents, depth=4, width=256, top=10)
+    ) <= 5
+
+
+def test_pareto_exchange_budget(spark):
+    """Skyline: exactly the prefilter's pid exchange plus the global
+    SinglePartition exchange — a third would mean the windows stopped
+    sharing their sort."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.curate import pareto_frontier
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    pts = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).alias("x"), (F.col("id") % 89).alias("y")
+    )
+    assert exchange_count(pareto_frontier(pts, "x", "y", "id")) == 2
