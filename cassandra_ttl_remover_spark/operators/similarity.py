@@ -1592,3 +1592,145 @@ def ivfpq_topk(emb: DataFrame, query_id, k: int = 10, n_cells: int = 8,
         .orderBy(F.col("dot").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _pq_train_q(df: DataFrame, m: int, k_codes: int, qcol: str,
+                id_col: str) -> tuple[list, int]:
+    """PQ training over an ALREADY-QUANTIZED integer vector column —
+    the residual-encoding path's trainer. Same construction as
+    :func:`_pq_train` (xxhash-seeded codewords, one distributed Lloyd
+    step, integer sum-div-count means, deterministic ties) but with no
+    float quantization anywhere: seeds are exact ints, so the empty-
+    codeword fallback needs no Spark-side re-rounding."""
+    seeds = (
+        df.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k_codes).select(qcol).collect()
+    )
+    d = len(seeds[0][0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} blocks")
+    db = d // m
+    cbq0 = [
+        [[int(x) for x in r[0][b * db:(b + 1) * db]] for r in seeds]
+        for b in range(m)
+    ]
+    spark = df.sparkSession
+    cb_df = spark.createDataFrame([(cbq0,)], "cb array<array<array<bigint>>>")
+    cbb = "element_at(cb, block + 1)"
+    d2s = f"transform({cbb}, c -> {_PQ_L2('sub', 'c')})"
+    blocks = ", ".join(
+        f"struct({b} as block, slice({qcol}, {b * db + 1}, {db}) as sub)"
+        for b in range(m)
+    )
+    stats = (
+        df.select(F.explode(F.expr(f"array({blocks})")).alias("bs"))
+        .select("bs.block", "bs.sub")
+        .join(F.broadcast(cb_df))
+        .withColumn(
+            "code",
+            F.expr(f"cast(array_position({d2s}, array_min({d2s})) as int)"),
+        )
+        .select("block", "code", F.posexplode("sub").alias("dim", "val"))
+        .groupBy("block", "code", "dim")
+        .agg(F.expr("sum(val) div count(*)").alias("mu"))
+        .collect()
+    )
+    cbq = [[list(cbq0[b][c]) for c in range(k_codes)] for b in range(m)]
+    seen = set()
+    for r in stats:
+        cbq[r.block][r.code - 1][r.dim] = int(r.mu)
+        seen.add((r.block, r.code - 1))
+    return cbq, db
+
+
+def ivfpq_residual_topk(emb: DataFrame, query_id, k: int = 10,
+                        n_cells: int = 8, nprobe: int = 4, m: int = 4,
+                        k_codes: int = 16, rerank: int = 8,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (FAISS by_residual=true) — the
+    refinement :func:`ivfpq_topk` documents: codes quantize the residual
+    ``q(v) − q(centroid(v))`` instead of the raw vector, so the codebook
+    only has to cover within-cell variation, and the ADC estimate is
+    ``⟨q, centroid_cell⟩ + ADC(q, residual codes)`` — the first term is
+    computed EXACTLY per probed cell, so all quantization error lives in
+    the (smaller) residual. Residuals are integer differences of the
+    shared quantization, so the whole pipeline stays exact-int certifiable.
+
+    Shortlist, then exact rerank, as in every PQ form. Scale identical
+    to ivfpq_topk plus one broadcast of the n_cells exact centroid dots.
+
+    MEASURED trade-off on the driver fixtures (and the reason this form
+    is API surface but not a declared query): the fixture embeddings are
+    near-orthogonal with no real cluster structure — residual norms stay
+    ~0.99 of raw even under true-label centroids — so quantizing
+    residuals buys nothing and recall@10 measures 0.2/0.4 vs raw
+    IVF-PQ's 0.5/0.5 (sf0.001/sf0.01). Residual encoding wins exactly
+    when the coarse quantizer captures genuine cluster mass (the
+    production case); on clusterless data prefer by_residual=false.
+    The unit test pins this measured relationship."""
+    spark = emb.sparkSession
+    centroids, assigned = ivf_index(emb, n_cells, vec_col, id_col)
+    cent_df = spark.createDataFrame(
+        centroids,
+        f"cell int, cvec {emb.schema[vec_col].dataType.simpleString()}",
+    )
+    resid = (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .withColumn("_qv_c", F.expr(QVEC_EXPR.format(v=vec_col)))
+        .withColumn("_qc", F.expr(QVEC_EXPR.format(v="cvec")))
+        .withColumn("_qr", F.expr("zip_with(_qv_c, _qc, (x, y) -> x - y)"))
+    )
+    cbq, db = _pq_train_q(resid, m, k_codes, "_qr", id_col)
+    qrow = emb.filter(F.col(id_col) == F.lit(query_id)) \
+        .select(vec_col).collect()
+    if not qrow:
+        raise KeyError(f"query id {query_id!r} not found")
+    qv = [float(x) for x in qrow[0][vec_col]]
+    by_dist = sorted(
+        centroids, key=lambda c: sum((a - b) ** 2 for a, b in zip(c[1], qv))
+    )
+    probes = [c[0] for c in by_dist[:nprobe]]
+    q = emb.filter(F.col(id_col) == F.lit(query_id)).select(
+        F.col(vec_col).alias("_qv")
+    )
+    # exact <q, centroid_c> per cell, quantized BY SPARK (never python
+    # round(), which is banker's) — an n_cells-row broadcast
+    cdots = (
+        cent_df.join(F.broadcast(q))
+        .withColumn("_qq", F.expr(QVEC_EXPR.format(v="_qv")))
+        .withColumn("_qc", F.expr(QVEC_EXPR.format(v="cvec")))
+        .select("cell", F.expr(_PQ_DOT("_qq", "_qc")).alias("cent_dot"))
+    )
+    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    terms = []
+    for b in range(m):
+        sub = f"slice(_qr, {b * db + 1}, {db})"
+        qsub = f"slice(_qq, {b * db + 1}, {db})"
+        cbb = f"element_at(cbq, {b + 1})"
+        d2s = f"transform({cbb}, c -> {_PQ_L2(sub, 'c')})"
+        code = f"array_position({d2s}, array_min({d2s}))"
+        terms.append(
+            _PQ_DOT(qsub, f"element_at({cbb}, cast({code} as int))")
+        )
+    shortlist = (
+        resid.filter(F.col("cell").isin(probes))
+        .join(F.broadcast(cdots), "cell")
+        .join(F.broadcast(cbq_df))
+        .join(F.broadcast(q))
+        .withColumn("_qq", F.expr(QVEC_EXPR.format(v="_qv")))
+        .withColumn("approx_dot",
+                    F.col("cent_dot") + F.expr(" + ".join(terms)))
+        .filter(F.col(id_col) != F.lit(query_id))
+        .select(id_col, "approx_dot")
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
+        .limit(rerank * k)
+    )
+    return (
+        emb.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+        .join(F.broadcast(q))
+        .withColumn("dot", F.expr(QDOT_EXPR.format(a=vec_col, b="_qv")))
+        .select(id_col, "dot")
+        .orderBy(F.col("dot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -508,3 +508,32 @@ def test_ivfpq_prunes_cells(spark, embeddings):
     # and the query still returns k rows with exact scores
     got = ivfpq_topk(embeddings, 0, k=5, n_cells=8, nprobe=4).collect()
     assert len(got) == 5
+
+
+def test_ivfpq_residual_form_and_measured_tradeoff(spark, embeddings):
+    """Residual IVF-PQ returns exact-scored rows like every PQ form; on
+    this clusterless fixture its shortlist recall is DOCUMENTED as no
+    better than raw-vector IVF-PQ (residual norms ~= raw norms here) —
+    the docstring's measured trade-off, pinned so a fixture change that
+    flips it gets noticed. Degeneration: full probe + full rerank still
+    recovers exact search."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivfpq_residual_topk,
+        topk_dot,
+    )
+
+    n = embeddings.count()
+    exact = [(r.vec_id, r.dot) for r in
+             topk_dot(embeddings, query_id=0, k=5).collect()]
+    full = [(r.vec_id, r.dot) for r in
+            ivfpq_residual_topk(embeddings, 0, k=5, n_cells=4, nprobe=4,
+                                m=4, k_codes=16,
+                                rerank=(n // 5) + 1).collect()]
+    assert full == exact
+    pruned = ivfpq_residual_topk(embeddings, 0, k=5, n_cells=8, nprobe=4)
+    rows = pruned.collect()
+    assert len(rows) == 5
+    ex = dict(exact)
+    for r in rows:
+        if r.vec_id in ex:
+            assert r.dot == ex[r.vec_id]   # rerank scores stay exact
