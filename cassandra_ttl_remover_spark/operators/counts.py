@@ -282,11 +282,16 @@ def countmin_join_size(a: DataFrame, a_key: str, b: DataFrame, b_key: str,
         PORTABLE_TOKEN_EXPR,
     )
 
-    def counters(df: DataFrame, key: str) -> DataFrame:
-        freq = df.groupBy(F.col(key).cast("string").alias("k")).agg(
-            F.count("*").cast("long").alias("f")
+    def freq_table(df: DataFrame, key: str, fcol: str) -> DataFrame:
+        return df.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count("*").cast("long").alias(fcol)
         )
-        spark = df.sparkSession
+
+    def counters(freq: DataFrame, fcol: str) -> DataFrame:
+        # builds the sketch FROM the same frequency frame the exact side
+        # consumes — one key universe by construction, so the est >= exact
+        # certificate can never compare sketches over diverging casts
+        spark = freq.sparkSession
         rows_df = spark.range(depth).select(
             F.col("id").cast("int").alias("i")
         )
@@ -296,23 +301,19 @@ def countmin_join_size(a: DataFrame, a_key: str, b: DataFrame, b_key: str,
         return (
             freq.crossJoin(broadcast(rows_df))
             .select("i", F.expr(f"pmod({tok}, {width})").cast("long")
-                    .alias("cell"), "f")
+                    .alias("cell"), fcol)
             .groupBy("i", "cell")
-            .agg(F.sum("f").alias("cnt"))
+            .agg(F.sum(fcol).alias("cnt"))
         )
 
-    fa = a.groupBy(F.col(a_key).cast("string").alias("k")).agg(
-        F.count("*").cast("long").alias("fa")
-    )
-    fb = b.groupBy(F.col(b_key).cast("string").alias("k")).agg(
-        F.count("*").cast("long").alias("fb")
-    )
+    fa = freq_table(a, a_key, "fa")
+    fb = freq_table(b, b_key, "fb")
     exact = fa.join(fb, "k").agg(
         F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
         .cast("long").alias("exact_join_size")
     )
-    ca = counters(a, a_key).withColumnRenamed("cnt", "ca")
-    cb = counters(b, b_key).withColumnRenamed("cnt", "cb")
+    ca = counters(fa, "fa").withColumnRenamed("cnt", "ca")
+    cb = counters(fb, "fb").withColumnRenamed("cnt", "cb")
     est = (
         ca.join(cb, ["i", "cell"])
         .groupBy("i")

@@ -592,21 +592,29 @@ def neardup_dedup(docs: DataFrame, pairs: DataFrame,
     return cc.withColumn("is_kept", F.col("component") == F.col(id_col))
 
 
-def connected_components_oracle_sql(pairs_sql: str, table: str = "documents",
-                                    id_col: str = "doc_id") -> str:
-    """Recursive-CTE oracle for connected_components: min reachable id per
-    node over the symmetric closure of the pair set."""
-    return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
+def _components_cte(pairs_sql: str, table: str, id_col: str) -> str:
+    """The shared recursive-CTE text computing min-reachable-id components
+    over the symmetric closure — the single source both component oracles
+    (q_n14's keep rule and q_n46's keep-longest rule) build on, so a fix
+    to edge symmetrization or reachability applies to both."""
+    return f"""pairs AS ({pairs_sql}),
 edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
 reach(node, r) AS (
   SELECT {id_col}, {id_col} FROM {table}
   UNION
   SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.node
-)
-SELECT node AS {id_col}, min(r) AS component,
-       (min(r) = node) AS is_kept
-FROM reach GROUP BY node ORDER BY node
+),
+cc AS (SELECT node AS {id_col}, min(r) AS component FROM reach GROUP BY node)"""
+
+
+def connected_components_oracle_sql(pairs_sql: str, table: str = "documents",
+                                    id_col: str = "doc_id") -> str:
+    """Recursive-CTE oracle for connected_components: min reachable id per
+    node over the symmetric closure of the pair set."""
+    return f"""
+WITH RECURSIVE {_components_cte(pairs_sql, table, id_col)}
+SELECT {id_col}, component, (component = {id_col}) AS is_kept
+FROM cc ORDER BY {id_col}
 """
 
 
@@ -1129,16 +1137,9 @@ def cluster_representatives(docs: DataFrame, pairs: DataFrame,
 def cluster_representatives_oracle_sql(pairs_sql: str,
                                        table: str = "documents",
                                        id_col: str = "doc_id") -> str:
-    """Recursive-CTE components + the same keep-longest argmax window."""
+    """The shared component CTE + the keep-longest argmax window."""
     return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
-edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-reach(node, r) AS (
-  SELECT {id_col}, {id_col} FROM {table}
-  UNION
-  SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.node
-),
-cc AS (SELECT node AS {id_col}, min(r) AS component FROM reach GROUP BY node),
+WITH RECURSIVE {_components_cte(pairs_sql, table, id_col)},
 scored AS (
   SELECT cc.{id_col}, cc.component, length(d.text)::BIGINT AS score
   FROM cc JOIN {table} d USING ({id_col})

@@ -635,11 +635,13 @@ def _text_to_pgm_bytes(data: bytes, width: int) -> bytes:
     return f"P5\n{width} {h}\n255\n".encode("ascii") + px
 
 
-def documents_as_pgm(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id", width: int = 32) -> DataFrame:
-    """Media frame whose payloads are REAL PGM images synthesized from the
-    documents fixture — real header, real raster, decodable end-to-end
-    (unlike the JPEG/MP4 stub boundary)."""
+def _documents_as_raster(docs: DataFrame, encode, mime: str, width: int,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Shared builder for every one-byte-per-pixel raster family
+    (PGM raw, PNG/DEFLATE, GIF/LZW): synthesize ``encode(text_bytes,
+    width)`` payloads with the common height rule. One scaffolding, many
+    codecs — a MEDIA_SCHEMA/meta change lands once."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -649,11 +651,11 @@ def documents_as_pgm(docs: DataFrame, text_col: str = "text",
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
-                    "payload": [_text_to_pgm_bytes(t, width) for t in texts],
+                    "payload": [encode(t, width) for t in texts],
                     "meta": [
                         {
                             "kind": "image",
-                            "mime": "image/x-portable-graymap",
+                            "mime": mime,
                             "width": width,
                             "height": max(1, math.ceil(len(t) / width)),
                             "n_frames": 1,
@@ -668,6 +670,40 @@ def documents_as_pgm(docs: DataFrame, text_col: str = "text",
     return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
+
+
+def _raster_decode_features(media: DataFrame, parse) -> DataFrame:
+    """Shared reduce-at-the-source decode for the PGM-statistics codecs:
+    ``parse(payload) -> (width, height, n_pixels, sum_px, max_px)``.
+    Blobs decode where they sit; five scalars per blob come back."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [parse(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_pixels": [f[2] for f in feats],
+                    "sum_px": [f[3] for f in feats],
+                    "max_px": [f[4] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PGM_FEATURES_SCHEMA
+    )
+
+
+def documents_as_pgm(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", width: int = 32) -> DataFrame:
+    """Media frame whose payloads are REAL PGM images synthesized from the
+    documents fixture — real header, real raster, decodable end-to-end
+    (unlike the JPEG/MP4 stub boundary)."""
+    return _documents_as_raster(docs, _text_to_pgm_bytes,
+                                "image/x-portable-graymap", width,
+                                text_col, id_col)
 
 
 def _parse_pgm(b: bytes) -> tuple:
@@ -702,27 +738,9 @@ PGM_FEATURES_SCHEMA = T.StructType(
 
 def pgm_decode_features(media: DataFrame) -> DataFrame:
     """REAL end-to-end image decode over PGM payloads: dimensions from the
-    parsed header, exact integer pixel sum/max from the raster. Same
-    reduce-at-the-source shape as wav_decode_features: blobs decode where
-    they sit, a few scalars per blob come back."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [_parse_pgm(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "n_pixels": [f[2] for f in feats],
-                    "sum_px": [f[3] for f in feats],
-                    "max_px": [f[4] for f in feats],
-                }
-            )
-
-    return media.select("media_id", "payload").mapInPandas(
-        run, schema=PGM_FEATURES_SCHEMA
-    )
+    parsed header, exact integer pixel sum/max from the raster — the
+    shared raster-decode shape (see _raster_decode_features)."""
+    return _raster_decode_features(media, _parse_pgm)
 
 
 def pgm_decode_oracle_sql(width: int = 32, table: str = "documents",
@@ -1183,34 +1201,8 @@ def documents_as_png(docs: DataFrame, text_col: str = "text",
     """Media frame whose payloads are REAL PNG images synthesized from the
     documents fixture — the fifth decodable modality family and the first
     COMPRESSED one (CRC-checked chunks, DEFLATE, filter prediction)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
-        for pdf in batches:
-            texts = [t.encode("utf-8") for t in pdf[text_col]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col],
-                    "payload": [_text_to_png_bytes(t, width) for t in texts],
-                    "meta": [
-                        {
-                            "kind": "image",
-                            "mime": "image/png",
-                            "width": width,
-                            "height": max(1, math.ceil(len(t) / width)),
-                            "n_frames": 1,
-                            "sample_rate": None,
-                            "duration_ms": None,
-                        }
-                        for t in texts
-                    ],
-                }
-            )
-
-    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return _documents_as_raster(docs, _text_to_png_bytes, "image/png",
+                                width, text_col, id_col)
 
 
 def png_decode_features(media: DataFrame) -> DataFrame:
@@ -1219,26 +1211,8 @@ def png_decode_features(media: DataFrame) -> DataFrame:
     integer pixel statistics. Because the recovered raster must equal the
     zero-padded source bytes, the statistics are text-recomputable — the
     oracle is the PGM one — and any defect anywhere in the codec chain
-    (CRC, inflate, any of the five filters) breaks the hash match. Same
-    reduce-at-the-source shape as the other decoders."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [_parse_png(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "n_pixels": [f[2] for f in feats],
-                    "sum_px": [f[3] for f in feats],
-                    "max_px": [f[4] for f in feats],
-                }
-            )
-
-    return media.select("media_id", "payload").mapInPandas(
-        run, schema=PGM_FEATURES_SCHEMA
-    )
+    (CRC, inflate, any of the five filters) breaks the hash match."""
+    return _raster_decode_features(media, _parse_png)
 
 
 def png_decode_oracle_sql(width: int = 32, table: str = "documents",
@@ -1436,34 +1410,8 @@ def documents_as_gif(docs: DataFrame, text_col: str = "text",
     """Media frame whose payloads are REAL GIF87a images synthesized from
     the documents fixture — the sixth decodable modality family and the
     second compressed one (LZW, after PNG's DEFLATE)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
-        for pdf in batches:
-            texts = [t.encode("utf-8") for t in pdf[text_col]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col],
-                    "payload": [_text_to_gif_bytes(t, width) for t in texts],
-                    "meta": [
-                        {
-                            "kind": "image",
-                            "mime": "image/gif",
-                            "width": width,
-                            "height": max(1, math.ceil(len(t) / width)),
-                            "n_frames": 1,
-                            "sample_rate": None,
-                            "duration_ms": None,
-                        }
-                        for t in texts
-                    ],
-                }
-            )
-
-    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return _documents_as_raster(docs, _text_to_gif_bytes, "image/gif",
+                                width, text_col, id_col)
 
 
 def gif_decode_features(media: DataFrame) -> DataFrame:
@@ -1472,24 +1420,7 @@ def gif_decode_features(media: DataFrame) -> DataFrame:
     palette, so the statistics share the PGM text oracle — a defect in
     the sub-block walk, the variable-width bit reader, the dictionary
     growth/reset, or the KwKwK path breaks the hash match."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [_parse_gif(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "n_pixels": [f[2] for f in feats],
-                    "sum_px": [f[3] for f in feats],
-                    "max_px": [f[4] for f in feats],
-                }
-            )
-
-    return media.select("media_id", "payload").mapInPandas(
-        run, schema=PGM_FEATURES_SCHEMA
-    )
+    return _raster_decode_features(media, _parse_gif)
 
 
 def gif_decode_oracle_sql(width: int = 32, table: str = "documents",

@@ -1250,24 +1250,15 @@ def pq_topk(emb: DataFrame, query_id, k: int = 10, m: int = 4,
     cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
     q = _query_vector_col(emb, query_id, vec_col, id_col)
 
-    # --- encode + IP-ADC against the refined integer codebook ---
-    terms = []
-    for b in range(m):
-        sub = f"slice(_qcorp, {b * db + 1}, {db})"
-        qsub = f"slice(_qq, {b * db + 1}, {db})"
-        cbb = f"element_at(cbq, {b + 1})"
-        d2s = f"transform({cbb}, c -> {_PQ_L2(sub, 'c')})"
-        code = f"array_position({d2s}, array_min({d2s}))"
-        terms.append(
-            _PQ_DOT(qsub, f"element_at({cbb}, cast({code} as int))")
-        )
+    # --- encode + IP-ADC against the refined integer codebook (the
+    # shared _adc_terms rule — defined below, bound at call time) ---
     shortlist = (
         fan_out(emb, id_col)
         .join(F.broadcast(cbq_df))
         .join(F.broadcast(q))
         .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
         .withColumn("_qq", F.expr(QVEC_EXPR.format(v="_qv")))
-        .withColumn("approx_dot", F.expr(" + ".join(terms)))
+        .withColumn("approx_dot", F.expr(_adc_terms(m, db, "_qcorp")))
         .filter(F.col(id_col) != F.lit(query_id))
         .select(id_col, "approx_dot")
         .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
@@ -1526,6 +1517,42 @@ FROM {table} ORDER BY {id_col}
 """
 
 
+def _probe_cells(emb: DataFrame, centroids: list, query_id, nprobe: int,
+                 vec_col: str, id_col: str) -> list:
+    """Shared IVF probe selection: the nprobe cells whose centroids are
+    L2-nearest the query vector (driver-side over the tiny centroid
+    list). ivf_topk, ivfpq_topk and ivfpq_residual_topk must all pick
+    probes by this one rule or recall comparisons across the family
+    stop meaning anything."""
+    qrow = emb.filter(F.col(id_col) == F.lit(query_id))         .select(vec_col).collect()
+    if not qrow:
+        raise KeyError(f"query id {query_id!r} not found")
+    qv = [float(x) for x in qrow[0][vec_col]]
+    by_dist = sorted(
+        centroids, key=lambda c: sum((a - b) ** 2 for a, b in zip(c[1], qv))
+    )
+    return [c[0] for c in by_dist[:nprobe]]
+
+
+def _adc_terms(m: int, db: int, corp_col: str, qq_col: str = "_qq") -> str:
+    """Shared IP-ADC expression: per block, assign ``corp_col``'s slice to
+    its L2-nearest codeword (first-minimum ties, the training rule) and
+    dot the query slice with that codeword. One definition serves
+    pq_topk, ivfpq_topk and the residual form — the assignment/tie rule
+    cannot silently diverge between them."""
+    terms = []
+    for b in range(m):
+        sub = f"slice({corp_col}, {b * db + 1}, {db})"
+        qsub = f"slice({qq_col}, {b * db + 1}, {db})"
+        cbb = f"element_at(cbq, {b + 1})"
+        d2s = f"transform({cbb}, c -> {_PQ_L2(sub, 'c')})"
+        code = f"array_position({d2s}, array_min({d2s}))"
+        terms.append(
+            _PQ_DOT(qsub, f"element_at({cbb}, cast({code} as int))")
+        )
+    return " + ".join(terms)
+
+
 def ivfpq_topk(emb: DataFrame, query_id, k: int = 10, n_cells: int = 8,
                nprobe: int = 4, m: int = 4, k_codes: int = 16,
                rerank: int = 8, vec_col: str = "embedding",
@@ -1548,37 +1575,17 @@ def ivfpq_topk(emb: DataFrame, query_id, k: int = 10, n_cells: int = 8,
     spark = emb.sparkSession
     centroids, assigned = ivf_index(emb, n_cells, vec_col, id_col)
     cbq, db = _pq_train(emb, m, k_codes, vec_col, id_col)
-    qrow = emb.filter(F.col(id_col) == F.lit(query_id)) \
-        .select(vec_col).collect()
-    if not qrow:
-        raise KeyError(f"query id {query_id!r} not found")
-    qv = [float(x) for x in qrow[0][vec_col]]
-    by_dist = sorted(
-        centroids, key=lambda c: sum((a - b) ** 2 for a, b in zip(c[1], qv))
-    )
-    probes = [c[0] for c in by_dist[:nprobe]]
+    probes = _probe_cells(emb, centroids, query_id, nprobe, vec_col, id_col)
     cbq_df = spark.createDataFrame([(cbq,)],
                                    "cbq array<array<array<bigint>>>")
-    q = emb.filter(F.col(id_col) == F.lit(query_id)).select(
-        F.col(vec_col).alias("_qv")
-    )
-    terms = []
-    for b in range(m):
-        sub = f"slice(_qcorp, {b * db + 1}, {db})"
-        qsub = f"slice(_qq, {b * db + 1}, {db})"
-        cbb = f"element_at(cbq, {b + 1})"
-        d2s = f"transform({cbb}, c -> {_PQ_L2(sub, 'c')})"
-        code = f"array_position({d2s}, array_min({d2s}))"
-        terms.append(
-            _PQ_DOT(qsub, f"element_at({cbb}, cast({code} as int))")
-        )
+    q = _query_vector_col(emb, query_id, vec_col, id_col)
     shortlist = (
         assigned.filter(F.col("cell").isin(probes))
         .join(F.broadcast(cbq_df))
         .join(F.broadcast(q))
         .withColumn("_qcorp", F.expr(QVEC_EXPR.format(v=vec_col)))
         .withColumn("_qq", F.expr(QVEC_EXPR.format(v="_qv")))
-        .withColumn("approx_dot", F.expr(" + ".join(terms)))
+        .withColumn("approx_dot", F.expr(_adc_terms(m, db, "_qcorp")))
         .filter(F.col(id_col) != F.lit(query_id))
         .select(id_col, "approx_dot")
         .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
@@ -1635,11 +1642,11 @@ def _pq_train_q(df: DataFrame, m: int, k_codes: int, qcol: str,
         .agg(F.expr("sum(val) div count(*)").alias("mu"))
         .collect()
     )
+    # empty codewords simply keep their exact-integer seeds — no
+    # re-quantization pass needed, unlike the float-seeded _pq_train
     cbq = [[list(cbq0[b][c]) for c in range(k_codes)] for b in range(m)]
-    seen = set()
     for r in stats:
         cbq[r.block][r.code - 1][r.dim] = int(r.mu)
-        seen.add((r.block, r.code - 1))
     return cbq, db
 
 
@@ -1682,18 +1689,8 @@ def ivfpq_residual_topk(emb: DataFrame, query_id, k: int = 10,
         .withColumn("_qr", F.expr("zip_with(_qv_c, _qc, (x, y) -> x - y)"))
     )
     cbq, db = _pq_train_q(resid, m, k_codes, "_qr", id_col)
-    qrow = emb.filter(F.col(id_col) == F.lit(query_id)) \
-        .select(vec_col).collect()
-    if not qrow:
-        raise KeyError(f"query id {query_id!r} not found")
-    qv = [float(x) for x in qrow[0][vec_col]]
-    by_dist = sorted(
-        centroids, key=lambda c: sum((a - b) ** 2 for a, b in zip(c[1], qv))
-    )
-    probes = [c[0] for c in by_dist[:nprobe]]
-    q = emb.filter(F.col(id_col) == F.lit(query_id)).select(
-        F.col(vec_col).alias("_qv")
-    )
+    probes = _probe_cells(emb, centroids, query_id, nprobe, vec_col, id_col)
+    q = _query_vector_col(emb, query_id, vec_col, id_col)
     # exact <q, centroid_c> per cell, quantized BY SPARK (never python
     # round(), which is banker's) — an n_cells-row broadcast
     cdots = (
@@ -1703,16 +1700,6 @@ def ivfpq_residual_topk(emb: DataFrame, query_id, k: int = 10,
         .select("cell", F.expr(_PQ_DOT("_qq", "_qc")).alias("cent_dot"))
     )
     cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
-    terms = []
-    for b in range(m):
-        sub = f"slice(_qr, {b * db + 1}, {db})"
-        qsub = f"slice(_qq, {b * db + 1}, {db})"
-        cbb = f"element_at(cbq, {b + 1})"
-        d2s = f"transform({cbb}, c -> {_PQ_L2(sub, 'c')})"
-        code = f"array_position({d2s}, array_min({d2s}))"
-        terms.append(
-            _PQ_DOT(qsub, f"element_at({cbb}, cast({code} as int))")
-        )
     shortlist = (
         resid.filter(F.col("cell").isin(probes))
         .join(F.broadcast(cdots), "cell")
@@ -1720,7 +1707,7 @@ def ivfpq_residual_topk(emb: DataFrame, query_id, k: int = 10,
         .join(F.broadcast(q))
         .withColumn("_qq", F.expr(QVEC_EXPR.format(v="_qv")))
         .withColumn("approx_dot",
-                    F.col("cent_dot") + F.expr(" + ".join(terms)))
+                    F.col("cent_dot") + F.expr(_adc_terms(m, db, "_qr")))
         .filter(F.col(id_col) != F.lit(query_id))
         .select(id_col, "approx_dot")
         .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())

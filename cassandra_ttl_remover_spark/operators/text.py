@@ -1029,11 +1029,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 3, text_col: str = "text",
             break
         pair, c = top[0].pair, top[0].c
         learned.append((r, pair, int(c)))
-        fused = pair.replace(" ", "")
-        safe_pair = pair.replace("'", "\\'")
-        safe_fused = fused.replace("'", "\\'")
+        # column-arg replace, never an interpolated SQL literal: corpus
+        # tokens can contain quotes/backslashes, and literal escaping
+        # would either throw (PARSE_SYNTAX_ERROR on a trailing backslash)
+        # or silently unescape sequences the oracle's subquery-based
+        # replace treats verbatim
         words = words.withColumn(
-            "seq", F.expr(f"replace(seq, '{safe_pair}', '{safe_fused}')")
+            "seq",
+            F.replace(F.col("seq"), F.lit(pair),
+                      F.lit(pair.replace(" ", ""))),
         )
     spark = docs.sparkSession
     return spark.createDataFrame(

@@ -271,3 +271,20 @@ def test_bpe_train_agrees_with_segment_semantics(spark, documents):
     # merging strictly reduces or preserves subword counts vs raw chars
     for r in seg:
         assert r.n_subwords >= r.n_words
+
+
+def test_bpe_train_survives_hostile_tokens(spark):
+    """Corpus tokens containing quotes and backslashes must not break the
+    merge-application step (the learned pair is applied as a column
+    value, never an interpolated SQL literal)."""
+    from cassandra_ttl_remover_spark.operators.text import bpe_train
+
+    rows = [
+        (1, "a\\ a\\ a\\ a\\"),        # trailing-backslash token dominates
+        (2, "it's it's it's"),          # embedded single quote
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.merge_round, r.pair, r.pair_count)
+           for r in bpe_train(df, n_merges=2).collect()]
+    assert len(got) == 2
+    assert all(c > 0 for _, _, c in got)
