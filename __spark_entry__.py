@@ -502,6 +502,7 @@ _DRIVER_PRIORITY = [
     "q_sql_q17_small_quantity",
     "q_a10_join_size_estimate",
     "q_n8g_ann_ivfpq",
+    "q_se6_peak_concurrency",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -2377,6 +2378,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return funnel_flags(_events(spark, sf), ["view", "click", "purchase"])
     q["q_se3_funnel"] = q_se3
+
+    def q_se6(spark, sf):
+        # sweep-line peak concurrency over the gap-split sessions: the
+        # capacity-planning number (+1/-1 endpoint deltas, one ordered
+        # running sum over SESSION endpoints, not events; two-level
+        # bucketed sweep documented as the 100 TB path)
+        from cassandra_ttl_remover_spark.operators.sessions import (
+            peak_concurrency,
+        )
+
+        return peak_concurrency(_events(spark, sf), gap_seconds=3600)
+    q["q_se6_peak_concurrency"] = q_se6
 
     def q_se4(spark, sf):
         # weekly retention cohorts: users grouped by first-seen week, with
@@ -4530,6 +4543,7 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n23_vocab_topk"] = text.vocab_topk_oracle_sql(100)
     o["q_n24_sample_per_group"] = curate.sample_per_group_oracle_sql(10)
     o["q_se1_sessionize"] = _sessions.sessionize_oracle_sql(3600)
+    o["q_se6_peak_concurrency"] = _sessions.peak_concurrency_oracle_sql(3600)
     o["q_se2_session_stats"] = _sessions.session_stats_oracle_sql(3600)
     o["q_se3_funnel"] = _sessions.funnel_oracle_sql(
         ["view", "click", "purchase"]

@@ -241,3 +241,87 @@ SELECT prev_type, next_type, count(*)::BIGINT AS n
 FROM seq WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type ORDER BY prev_type, next_type
 """
+
+
+def peak_concurrency(events: DataFrame, gap_seconds: int, *,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
+    """Sweep-line maximum concurrency over the gap-split sessions: how
+    many sessions are simultaneously open at the busiest instant (the
+    capacity-planning number), with the first time it is reached.
+    Sessions are CLOSED intervals [start, end] — at an instant where one
+    session ends and another starts both count, so +1 deltas order
+    before -1 at equal times; single-event sessions contribute 1 at
+    their instant. All arithmetic is exact integer µs.
+
+    Returns one row: ``(n_sessions, peak_concurrency, first_peak_ts_us)``.
+
+    Scale: the sweep runs over SESSION endpoints (2 per session — far
+    smaller than the event stream that produced them), as one ordered
+    running sum; that final window is single-partition, which is the
+    honest cost of a global instant. The 100 TB path is the two-level
+    sweep: per time-bucket delta sums, a tiny prefix over bucket totals,
+    then independent within-bucket sweeps seeded by the prefix — same
+    numbers, bucket-parallel."""
+    s = sessionize(events, gap_seconds, user_col=user_col, ts_col=ts_col,
+                   id_col=id_col)
+    spans = s.groupBy(user_col, "session_seq").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+    )
+    deltas = spans.select(
+        F.explode(
+            F.expr("array(struct(start_us as t, 1L as d),"
+                   " struct(end_us as t, -1L as d))")
+        ).alias("e")
+    ).select("e.t", "e.d")
+    run = Window.orderBy(F.col("t").asc(), F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = deltas.withColumn("conc", F.sum("d").over(run))
+    peak = swept.agg(F.max("conc").alias("peak"))
+    return (
+        swept.join(F.broadcast(peak))
+        .filter(F.col("conc") == F.col("peak"))
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("_n_at_peak"),
+            F.min("t").alias("first_peak_ts_us"),
+            F.max("peak").alias("peak_concurrency"),
+        )
+        .crossJoin(spans.agg(F.count("*").cast("long").alias("n_sessions")))
+        .select("n_sessions", "peak_concurrency", "first_peak_ts_us")
+    )
+
+
+def peak_concurrency_oracle_sql(gap_seconds: int, *, table: str = "events",
+                                user_col: str = "user_id",
+                                ts_col: str = "ts",
+                                id_col: str = "event_id") -> str:
+    """Same sweep in DuckDB over the shared sessionize CTE."""
+    inner = sessionize_oracle_sql(
+        gap_seconds, table=table, user_col=user_col, ts_col=ts_col,
+        id_col=id_col,
+    ).strip().rstrip(";")
+    return f"""
+WITH sess AS ({inner}),
+spans AS (
+  SELECT {user_col}, session_seq,
+         min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM sess GROUP BY {user_col}, session_seq
+),
+deltas AS (
+  SELECT start_us AS t, 1::BIGINT AS d FROM spans
+  UNION ALL
+  SELECT end_us AS t, -1::BIGINT AS d FROM spans
+),
+swept AS (
+  SELECT t, d,
+         sum(d) OVER (ORDER BY t ASC, d DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM deltas
+)
+SELECT (SELECT count(*)::BIGINT FROM spans) AS n_sessions,
+       (SELECT max(conc)::BIGINT FROM swept) AS peak_concurrency,
+       (SELECT min(t)::BIGINT FROM swept
+        WHERE conc = (SELECT max(conc) FROM swept)) AS first_peak_ts_us
+"""

@@ -65,3 +65,63 @@ def test_funnel_comma_in_data_cannot_forge_tokens(spark):
     ).withColumn("ts", F.expr("timestamp_micros(_m * 1000000)"))
     got = funnel_flags(ev, ["view", "click"]).first()
     assert got.reached is False
+
+
+def test_peak_concurrency_hand_example(spark):
+    """Three users, known overlaps under a 10s gap: sessions A=[0,30],
+    B=[20,40], C=[35,50] (seconds) -> peak 2, first reached at B's
+    start; a fourth user D=[25,25] (single event) pushes the peak to 3
+    at t=25. Closed-interval semantics: an end meeting a start counts
+    both."""
+    import datetime
+
+    from cassandra_ttl_remover_spark.operators.sessions import (
+        peak_concurrency,
+    )
+
+    def ts(sec):
+        return datetime.datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        (1, 1, ts(0)), (2, 1, ts(30)),         # A
+        (3, 2, ts(20)), (4, 2, ts(40)),        # B
+        (5, 3, ts(35)), (6, 3, ts(50)),        # C
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = peak_concurrency(df, gap_seconds=60).collect()[0]
+    assert (got.n_sessions, got.peak_concurrency) == (3, 2)
+    # first peak is at B's start: 20s after the epoch of the first event
+    # (tz-independent as a difference)
+    first_event_us = min(
+        r.ts_us for r in
+        __import__("cassandra_ttl_remover_spark.operators.sessions",
+                   fromlist=["sessionize"]).sessionize(
+            df, gap_seconds=60).collect()
+    )
+    assert got.first_peak_ts_us - first_event_us == 20 * 1_000_000
+    rows.append((7, 4, ts(25)))                # D: instant session
+    df2 = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got2 = peak_concurrency(df2, gap_seconds=60).collect()[0]
+    assert (got2.n_sessions, got2.peak_concurrency) == (4, 3)
+
+
+def test_peak_concurrency_closed_interval_touching(spark):
+    """A session ending exactly when another starts: both count at that
+    instant (+1 ordered before -1), so two back-to-back sessions peak
+    at 2, not 1."""
+    import datetime
+
+    from cassandra_ttl_remover_spark.operators.sessions import (
+        peak_concurrency,
+    )
+
+    def ts(sec):
+        return datetime.datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        (1, 1, ts(0)), (2, 1, ts(10)),         # user 1: [0,10]
+        (3, 2, ts(10)), (4, 2, ts(20)),        # user 2: [10,20]
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = peak_concurrency(df, gap_seconds=60).collect()[0]
+    assert got.peak_concurrency == 2
