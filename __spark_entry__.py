@@ -503,6 +503,7 @@ _DRIVER_PRIORITY = [
     "q_a10_join_size_estimate",
     "q_n8g_ann_ivfpq",
     "q_se6_peak_concurrency",
+    "q_n47_pps_sample",
     # misc never-graded tail (round-5 window reaches these)
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
@@ -2390,6 +2391,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return peak_concurrency(_events(spark, sf), gap_seconds=3600)
     q["q_se6_peak_concurrency"] = q_se6
+
+    def q_n47(spark, sf):
+        # deterministic systematic PPS sampling: 50 selection points on
+        # the length-weighted cumulative lattice — expected picks exactly
+        # proportional to weight, pure function of the corpus (fixed
+        # half-stride offset, no RNG)
+        from cassandra_ttl_remover_spark.operators.curate import (
+            pps_systematic_sample,
+        )
+
+        return pps_systematic_sample(
+            scan_table(spark, sf, "documents"), n=50
+        )
+    q["q_n47_pps_sample"] = q_n47
 
     def q_se4(spark, sf):
         # weekly retention cohorts: users grouped by first-seen week, with
@@ -4544,6 +4559,10 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n24_sample_per_group"] = curate.sample_per_group_oracle_sql(10)
     o["q_se1_sessionize"] = _sessions.sessionize_oracle_sql(3600)
     o["q_se6_peak_concurrency"] = _sessions.peak_concurrency_oracle_sql(3600)
+    from cassandra_ttl_remover_spark.operators.curate import (
+        pps_systematic_oracle_sql as _pps_oracle,
+    )
+    o["q_n47_pps_sample"] = _pps_oracle(50)
     o["q_se2_session_stats"] = _sessions.session_stats_oracle_sql(3600)
     o["q_se3_funnel"] = _sessions.funnel_oracle_sql(
         ["view", "click", "purchase"]

@@ -976,3 +976,99 @@ WHERE NOT EXISTS (
 )
 ORDER BY b.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS sampling (probability proportional to size, deterministic)
+# ---------------------------------------------------------------------------
+
+def pps_systematic_sample(docs: DataFrame, n: int,
+                          weight_expr: str = "greatest(n_chars, 1)",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling: lay the
+    documents' integer weights end to end (ordered by ``id_col``), place
+    ``n`` selection points at ``stride/2 + i*stride`` where
+    ``stride = total div n``, and pick each document once per point its
+    weight interval covers — the survey-statistics systematic PPS
+    design, with the fixed half-stride offset instead of a random one so
+    the sample is a pure function of the corpus (the reproducibility
+    contract every deterministic op here keeps). Long documents with
+    weight > stride are legitimately picked multiple times (``n_picks``
+    reports it); expected picks are exactly proportional to weight.
+
+    Point-counting uses only non-negative integer division, sidestepping
+    the Spark-div-truncates vs DuckDB-//-floors divergence on negatives.
+
+    Returns picked docs: ``(id_col, weight, cum_weight, n_picks)``.
+
+    Scale: one global ordered prefix sum — the same single-partition
+    honesty as the sweep line, over doc-level rows; the 100 TB path is
+    the identical two-level prefix (per-shard weight totals, driver
+    prefix over shards, shard-local cumsum seeded by the prefix)."""
+    w = docs.select(
+        F.col(id_col), F.expr(weight_expr).cast("long").alias("weight")
+    )
+    run = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.withColumn("cum_weight", F.sum("weight").over(run))
+    total_row = cum.agg(F.max("cum_weight").alias("_t")).collect()[0]
+    total = int(total_row._t or 0)
+    stride = total // n
+    if stride == 0:
+        raise ValueError(
+            f"total weight {total} too small for {n} PPS points"
+        )
+    off = stride // 2
+    # points <= c: none below the offset, else (c - off) div stride + 1,
+    # capped at the n points that exist (total % n != 0 would otherwise
+    # imply a phantom point n)
+    n_le = (f"least(if({{c}} < {off}L, 0L,"
+            f" ({{c}} - {off}L) div {stride}L + 1L), {n}L)")
+    picked = cum.withColumn(
+        "n_picks",
+        F.expr(
+            f"{n_le.format(c='cum_weight')}"
+            f" - {n_le.format(c='(cum_weight - weight)')}"
+        ),
+    ).filter(F.col("n_picks") > 0)
+    # cap at exactly n points: the final doc's interval may extend past
+    # point n-1 when total % n != 0 (no point lands there, no-op), but
+    # guard the count anyway via the derivation being point-based
+    return picked.select(id_col, "weight", "cum_weight", "n_picks") \
+        .orderBy(id_col)
+
+
+def pps_systematic_oracle_sql(n: int, weight_expr: str = "greatest(n_chars, 1)",
+                              table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    """Same lattice in DuckDB; integer division only ever sees
+    non-negative operands, so // and Spark's div agree."""
+    return f"""
+WITH w AS (
+  SELECT {id_col}, CAST({weight_expr} AS BIGINT) AS weight FROM {table}
+),
+c AS (
+  SELECT {id_col}, weight,
+         sum(weight) OVER (ORDER BY {id_col}
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_weight
+  FROM w
+),
+p AS (SELECT (sum(weight) // {n})::BIGINT AS stride FROM w),
+s AS (
+  SELECT c.*, p.stride, (p.stride // 2)::BIGINT AS off FROM c CROSS JOIN p
+)
+SELECT {id_col}, weight, cum_weight, n_picks
+FROM (
+  SELECT {id_col}, weight, cum_weight,
+         (least(CASE WHEN cum_weight < off THEN 0
+                     ELSE (cum_weight - off) // stride + 1 END, {n})
+          - least(CASE WHEN cum_weight - weight < off THEN 0
+                       ELSE (cum_weight - weight - off) // stride + 1 END,
+                  {n}))::BIGINT AS n_picks
+  FROM s
+)
+WHERE n_picks > 0
+ORDER BY {id_col}
+"""

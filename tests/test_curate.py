@@ -292,3 +292,32 @@ def test_pareto_frontier_partitioning_independent(spark):
     want = sorted(p for p in rows
                   if not any(dominated(p, q) for q in rows))
     assert a == b == want
+
+
+def test_pps_systematic_properties(spark):
+    """Hand lattice: weights [10,10,10,10,10] (total 50), n=5 -> stride
+    10, offset 5 -> points 5,15,25,35,45: exactly one per doc. A huge
+    doc (weight > stride) is picked multiple times; total picks == n
+    always; zero weight never picked."""
+    from cassandra_ttl_remover_spark.operators.curate import (
+        pps_systematic_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 10) for i in range(5)], "doc_id long, text string"
+    ).withColumn("n_chars", __import__("pyspark.sql.functions",
+                                       fromlist=["length"]).length("text"))
+    got = pps_systematic_sample(docs, n=5).collect()
+    assert [(r.doc_id, r.n_picks) for r in got] == [(i, 1) for i in range(5)]
+
+    import pyspark.sql.functions as F
+    big = spark.createDataFrame(
+        [(1, 5), (2, 90), (3, 5)], "doc_id long, n_chars long"
+    )
+    got2 = {r.doc_id: r.n_picks for r in
+            pps_systematic_sample(big, n=10,
+                                  weight_expr="n_chars").collect()}
+    assert sum(got2.values()) == 10
+    assert got2[2] >= 8          # the heavy doc absorbs most points
+    # proportionality: expected picks ~ weight * n / total
+    assert got2[2] == 9          # points at 5,15,...,95: doc2 covers (5,95]
