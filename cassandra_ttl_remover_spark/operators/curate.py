@@ -984,7 +984,8 @@ ORDER BY b.{id_col}
 
 def pps_systematic_sample(docs: DataFrame, n: int,
                           weight_expr: str = "greatest(n_chars, 1)",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          two_level: bool = False) -> DataFrame:
     """Deterministic probability-proportional-to-size sampling: lay the
     documents' integer weights end to end (ordered by ``id_col``), place
     ``n`` selection points at ``stride/2 + i*stride`` where
@@ -1001,17 +1002,23 @@ def pps_systematic_sample(docs: DataFrame, n: int,
 
     Returns picked docs: ``(id_col, weight, cum_weight, n_picks)``.
 
-    Scale: one global ordered prefix sum — the same single-partition
-    honesty as the sweep line, over doc-level rows; the 100 TB path is
-    the identical two-level prefix (per-shard weight totals, driver
-    prefix over shards, shard-local cumsum seeded by the prefix)."""
+    Scale: the default is one global ordered prefix sum (single
+    partition); ``two_level=True`` runs the REAL scale path via
+    :func:`plans.two_level_cumsum` (range-sharded parallel prefix
+    seeded by a driver scan over shard totals), property-tested equal
+    to the window form."""
     w = docs.select(
         F.col(id_col), F.expr(weight_expr).cast("long").alias("weight")
     )
-    run = Window.orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = w.withColumn("cum_weight", F.sum("weight").over(run))
+    if two_level:
+        from cassandra_ttl_remover_spark.plans import two_level_cumsum
+
+        cum = two_level_cumsum(w, [id_col], "weight", out="cum_weight")
+    else:
+        run = Window.orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = w.withColumn("cum_weight", F.sum("weight").over(run))
     total_row = cum.agg(F.max("cum_weight").alias("_t")).collect()[0]
     total = int(total_row._t or 0)
     stride = total // n

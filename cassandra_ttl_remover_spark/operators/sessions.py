@@ -245,7 +245,8 @@ GROUP BY prev_type, next_type ORDER BY prev_type, next_type
 
 def peak_concurrency(events: DataFrame, gap_seconds: int, *,
                      user_col: str = "user_id", ts_col: str = "ts",
-                     id_col: str = "event_id") -> DataFrame:
+                     id_col: str = "event_id",
+                     two_level: bool = False) -> DataFrame:
     """Sweep-line maximum concurrency over the gap-split sessions: how
     many sessions are simultaneously open at the busiest instant (the
     capacity-planning number), with the first time it is reached.
@@ -257,12 +258,12 @@ def peak_concurrency(events: DataFrame, gap_seconds: int, *,
     Returns one row: ``(n_sessions, peak_concurrency, first_peak_ts_us)``.
 
     Scale: the sweep runs over SESSION endpoints (2 per session — far
-    smaller than the event stream that produced them), as one ordered
-    running sum; that final window is single-partition, which is the
-    honest cost of a global instant. The 100 TB path is the two-level
-    sweep: per time-bucket delta sums, a tiny prefix over bucket totals,
-    then independent within-bucket sweeps seeded by the prefix — same
-    numbers, bucket-parallel."""
+    smaller than the event stream that produced them). The default form
+    is one ordered running sum (single-partition — the honest cost of a
+    global instant at fixture scale); ``two_level=True`` runs the REAL
+    100 TB path via :func:`plans.two_level_cumsum` — range-sharded
+    parallel scans seeded by a driver prefix over shard totals — and is
+    property-tested equal to the window form."""
     s = sessionize(events, gap_seconds, user_col=user_col, ts_col=ts_col,
                    id_col=id_col)
     spans = s.groupBy(user_col, "session_seq").agg(
@@ -274,10 +275,19 @@ def peak_concurrency(events: DataFrame, gap_seconds: int, *,
                    " struct(end_us as t, -1L as d))")
         ).alias("e")
     ).select("e.t", "e.d")
-    run = Window.orderBy(F.col("t").asc(), F.col("d").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    swept = deltas.withColumn("conc", F.sum("d").over(run))
+    if two_level:
+        # shard-parallel scan: (t asc, d desc) expressed as the all-asc
+        # key (t, -d); ties within (t, d) carry equal deltas, so the
+        # two-level result matches the single window exactly
+        from cassandra_ttl_remover_spark.plans import two_level_cumsum
+
+        swept = two_level_cumsum(
+            deltas.withColumn("_negd", -F.col("d")),
+            ["t", "_negd"], "d", out="conc",
+        ).drop("_negd")
+    else:
+        run = Window.orderBy(F.col("t").asc(), F.col("d").desc())             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        swept = deltas.withColumn("conc", F.sum("d").over(run))
     peak = swept.agg(F.max("conc").alias("peak"))
     return (
         swept.join(F.broadcast(peak))

@@ -196,3 +196,54 @@ def exchange_count(df: DataFrame) -> int:
     import re
 
     return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
+
+
+def two_level_cumsum(df: DataFrame, order_cols: list[str], val_col: str,
+                     out: str = "cum", shards: int = 32) -> DataFrame:
+    """Distributed running sum over a global order WITHOUT a
+    single-partition window: range-partition on the order columns, run
+    the prefix sum per shard in parallel, collect the ≤``shards`` shard
+    totals to the driver, prefix them there, and broadcast each shard's
+    offset back — the classic two-level scan. This is the real form of
+    the "documented 100 TB path" that sweep-line and PPS-style operators
+    name: identical numbers to ``Window.orderBy(...)`` whenever the
+    ties among ``order_cols`` carry equal ``val_col`` contributions (or
+    no ties exist), at shard-parallel cost.
+
+    Driver state is one number per shard. Result columns: the input's
+    plus ``out``."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # localCheckpoint pins ONE materialization of the range partitioning:
+    # repartitionByRange samples its boundaries per job, so without it
+    # the shard-totals job and the output job could disagree on which
+    # shard a row belongs to, silently corrupting the offsets
+    d = df.repartitionByRange(shards, *[F.col(c) for c in order_cols]) \
+        .withColumn("_pid", F.spark_partition_id()) \
+        .localCheckpoint(eager=False)
+    lw = Window.partitionBy("_pid").orderBy(
+        *[F.col(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = d.withColumn("_lc", F.sum(val_col).over(lw))
+    # shard total = SUM of values, never max of the running sum — with
+    # negative values (sweep-line deltas) the running max is not the
+    # shard's net contribution
+    totals = {
+        r._pid: r._t
+        for r in d.groupBy("_pid").agg(F.sum(val_col).alias("_t")).collect()
+    }
+    run, offsets = 0, {}
+    for pid in sorted(totals):
+        offsets[pid] = run
+        run += int(totals[pid] or 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(out, F.col("_lc") + F.coalesce(F.col("_off"), F.lit(0)))
+        .drop("_pid", "_lc", "_off")
+    )

@@ -375,3 +375,60 @@ def test_bpe_train_vocab_bounded_rounds(spark):
          for r in bpe_train(docs, n_merges=2).collect()]
     assert a == b and len(a) == 2
     assert all(c > 0 for _, _, c in a)
+
+
+def test_two_level_cumsum_equals_global_window(spark):
+    """The distributed prefix sum must reproduce the single-partition
+    window bit-for-bit over unique keys, at several shard counts and
+    under repartitioning."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from cassandra_ttl_remover_spark.plans import two_level_cumsum
+
+    # bijective scramble (gcd(37, 10000) = 1) -> unique keys, and mix in
+    # NEGATIVE values so the shard-total derivation is exercised beyond
+    # the all-positive case
+    df = spark.range(10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"),
+        (F.col("id") % 100 - 30).alias("v"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    want = {(r.k, r.cum) for r in
+            df.withColumn("cum", F.sum("v").over(w)).collect()}
+    for shards in (1, 7, 32):
+        got = {(r.k, r.cum) for r in
+               two_level_cumsum(df.repartition(11), ["k"], "v",
+                                shards=shards).collect()}
+        assert got == want, shards
+
+
+def test_peak_concurrency_two_level_matches_window(spark):
+    """The shard-parallel sweep and the single-window sweep must agree
+    on the full certificate over the events fixture."""
+    import cassandra_ttl_remover_spark as ctrs
+    from cassandra_ttl_remover_spark.operators.sessions import (
+        peak_concurrency,
+    )
+
+    ev = ctrs.scan_table(spark, "/root/testdata/sf0.001", "events")
+    a = peak_concurrency(ev, gap_seconds=3600).collect()[0]
+    b = peak_concurrency(ev, gap_seconds=3600, two_level=True).collect()[0]
+    assert (a.n_sessions, a.peak_concurrency, a.first_peak_ts_us) == \
+        (b.n_sessions, b.peak_concurrency, b.first_peak_ts_us)
+
+
+def test_pps_two_level_matches_window(spark):
+    """Same picks, same counts, either prefix-sum strategy."""
+    import cassandra_ttl_remover_spark as ctrs
+    from cassandra_ttl_remover_spark.operators.curate import (
+        pps_systematic_sample,
+    )
+
+    docs = ctrs.scan_table(spark, "/root/testdata/sf0.001", "documents")
+    a = [(r.doc_id, r.n_picks) for r in
+         pps_systematic_sample(docs, n=20).collect()]
+    b = [(r.doc_id, r.n_picks) for r in
+         pps_systematic_sample(docs, n=20, two_level=True).collect()]
+    assert a == b
