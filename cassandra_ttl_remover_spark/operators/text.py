@@ -746,7 +746,8 @@ FROM chunks ORDER BY {id_col}, chunk_id
 
 def equidepth_histogram(docs: DataFrame, n_buckets: int = 8,
                         value_col: str = "n_chars",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        two_level: bool = False) -> DataFrame:
     """Equi-DEPTH histogram of a numeric column: ``n_buckets`` buckets of
     (near-)equal row count via ntile over the unique order
     ``(value_col, id_col)`` — SQL-standard ntile splits remainders onto
@@ -757,18 +758,41 @@ def equidepth_histogram(docs: DataFrame, n_buckets: int = 8,
     optimizer histogram wants — equal-WIDTH bins (length_histogram's log2
     buckets) hide the mass distribution when lengths are skewed.
 
-    Scale caveat: a window with an empty partitionBy serializes into ONE
-    task — acceptable here because the frame it sorts is the (value, id)
-    pair only, never the text, so even a billion rows is ~16 GB of sort
-    keys on one core's external sort. For true corpus scale, pre-aggregate
-    to (value, count) before calling (same bounds, |distinct values| rows)
-    or switch to approx_percentile bounds (quality_cutoff's scale path).
+    Scale: the default ntile window serializes into ONE task (sorting
+    only (value, id) pairs — tolerable far beyond fixture scale);
+    ``two_level=True`` runs the REAL distributed form — exact ranks from
+    :func:`plans.two_level_cumsum` plus closed-form ntile arithmetic —
+    property-tested identical. Pre-aggregating to (value, count) first
+    or approx_percentile bounds remain the documented alternatives.
     """
-    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    base = docs.select(id_col, value_col)
+    if two_level:
+        # the real scale path: exact global ranks from the shard-parallel
+        # prefix sum, then SQL-standard ntile arithmetic (first n mod b
+        # buckets take the extra row) applied as a closed-form expression
+        from cassandra_ttl_remover_spark.plans import two_level_cumsum
+
+        total = base.count()
+        q, rem = total // n_buckets, total % n_buckets
+        ranked = two_level_cumsum(
+            base.withColumn("_one", F.lit(1).cast("long")),
+            [value_col, id_col], "_one", out="_rank",
+        )
+        big = q + 1
+        bucket = (
+            f"cast(if(_rank <= {rem}L * {big}L,"
+            f" (_rank - 1L) div {big}L + 1L,"
+            f" {rem}L + (_rank - {rem}L * {big}L - 1L) div {max(q, 1)}L + 1L)"
+            f" as int)"
+        )
+        bucketed = ranked.withColumn("bucket", F.expr(bucket))
+    else:
+        w = Window.orderBy(F.col(value_col), F.col(id_col))
+        bucketed = base.withColumn(
+            "bucket", F.ntile(n_buckets).over(w).cast("int")
+        )
     return (
-        docs.select(id_col, value_col)
-        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("int"))
-        .groupBy("bucket")
+        bucketed.groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
             F.min(value_col).alias("lo"),

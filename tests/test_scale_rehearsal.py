@@ -432,3 +432,21 @@ def test_pps_two_level_matches_window(spark):
     b = [(r.doc_id, r.n_picks) for r in
          pps_systematic_sample(docs, n=20, two_level=True).collect()]
     assert a == b
+
+
+def test_equidepth_two_level_matches_ntile(spark):
+    """Closed-form ntile over distributed ranks == the window ntile,
+    including the remainder-onto-leading-buckets rule."""
+    import cassandra_ttl_remover_spark as ctrs
+    from cassandra_ttl_remover_spark.operators.text import (
+        equidepth_histogram,
+    )
+
+    docs = ctrs.scan_table(spark, "/root/testdata/sf0.001", "documents")
+    for b in (3, 8):         # 500 % 3 != 0 exercises the remainder rule
+        a = sorted((r.bucket, r.n, r.lo, r.hi) for r in
+                   equidepth_histogram(docs, n_buckets=b).collect())
+        c = sorted((r.bucket, r.n, r.lo, r.hi) for r in
+                   equidepth_histogram(docs, n_buckets=b,
+                                       two_level=True).collect())
+        assert a == c, b
