@@ -1273,6 +1273,17 @@ def _lzw_compress(data: bytes, min_code_size: int = 8) -> bytes:
         cur = bytes([b])
     if cur:
         emit(table[cur], width)
+    # EOI width parity: during the stream the encoder's counter leads the
+    # decoder's by one add (final data code's add has no encoder
+    # counterpart), so the checks == 2^w+1 (enc) / == 2^w (dec) pair up.
+    # At EOI time the counters are EQUAL — the decoder adds on the final
+    # data code and may grow width before reading EOI while the encoder's
+    # +1 check never fired. Mirror the decoder's check here so EOI is
+    # written at the exact width it will be read with (reachable when the
+    # segment since the last CLEAR has exactly 2^w - eoi - 1 adds, e.g.
+    # 254/766/1790 for min_code_size=8).
+    if next_code == (1 << width) and width < 12:
+        width += 1
     emit(eoi, width)
     if n_bits:
         out.append(acc & 0xFF)

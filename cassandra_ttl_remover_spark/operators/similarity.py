@@ -1163,6 +1163,13 @@ def _pq_train(emb: DataFrame, m: int, k_codes: int, vec_col: str,
         emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(k_codes).select(vec_col).collect()
     )
+    if len(seeds) < k_codes:
+        # fewer vectors than codewords: cb0/fallback would be short and
+        # the empty-codeword loop would IndexError — fail descriptively
+        raise ValueError(
+            f"PQ training needs >= k_codes={k_codes} vectors to seed the "
+            f"codebooks; corpus has only {len(seeds)} — lower k_codes or "
+            f"grow the corpus")
     d = len(seeds[0][0])
     if d % m:
         raise ValueError(f"dim {d} not divisible into {m} blocks")

@@ -833,22 +833,20 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
     offline frequency loop; applying them is what a 100 TB pipeline runs
     per document). Returns ``(id_col, n_words, n_subwords)``.
 
-    Algorithm, per word: split to space-separated characters, then apply
-    each merge rule in table order as a plain substring replace
-    (``'t h'`` -> ``'th'``). Implemented as a single per-row projection:
-    a lambda over the word array with a chain of ``replace`` calls — JVM
-    codegen end to end, no shuffle, no Python, and literally the same
-    replace chain runs in the DuckDB oracle.
-
-    Semantics caveat (deliberate): the un-delimited replace is a GREEDY
-    left-to-right pair fusion — on adversarial tables where one merge's
-    output ends with another merge's left element (e.g. ``a|t`` applied
-    after ``t|h`` on ``'a t h'``) it can fuse a token SUFFIX with its
-    neighbor, which strict whole-token BPE would not. Identical in both
-    engines (so oracle-exact) and identical to what a chain of
-    sed/replace passes — the common quick-and-dirty production shape —
-    computes; for strict HF-style BPE, implement the pair-scan loop at
-    the Arrow boundary instead.
+    Algorithm, per word: split to characters, then apply each merge rule
+    in table order as a canonical NON-OVERLAPPING left-to-right pair
+    fusion over whole symbols. Implemented as a single per-row
+    projection — JVM codegen end to end, no shuffle, no Python — via the
+    doubled-delimiter trick: the symbol sequence is rendered with TWO
+    spaces between symbols (and at both ends) so the literal pattern
+    ``' a  b '`` can only match a whole-symbol-adjacent pair (each match
+    consumes one space from each side, preserving the doubled form for
+    subsequent rules and letting back-to-back occurrences both match).
+    A plain substring replace on the single-spaced form would be wrong:
+    ``'b b'`` can match across a symbol boundary once earlier merges
+    create multi-char symbols (e.g. spanning the tail of ``'ab'`` in
+    ``'a ab b'``), fusing fragments of different symbols. Literally the
+    same doubled-delimiter chain runs in the DuckDB oracle.
 
     Scale: O(len x merges) per row, map-side; the merge table is baked
     into the expression (fine to a few thousand rules — beyond that,
@@ -856,19 +854,24 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
     """
     merges = DEFAULT_BPE_MERGES if merges is None else merges
     ws = WORDS_EXPR.format(col=text_col)
-    seg = "trim(regexp_replace(w, '(.)', '$1 '))"
-    for a, b in merges:
-        pair = f"{a} {b}".replace("'", "\\'")
-        fused = f"{a}{b}".replace("'", "\\'")
-        seg = f"replace({seg}, '{pair}', '{fused}')"
-    expr = (
-        f"aggregate(transform({ws}, w -> size(split({seg}, ' '))), 0,"
-        f" (s, v) -> s + v)"
+
+    def _subwords(w):
+        # '  t  h  e  ': every symbol fully delimited by double spaces
+        seg = F.concat(F.lit("  "), F.regexp_replace(w, "(.)", "$1  "))
+        for a, b in merges:
+            # merge symbols are passed as ONE literal each (F.lit), never
+            # interpolated into SQL text — quotes/backslashes in learned
+            # merges cannot break or alter the expression
+            seg = F.replace(seg, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        return F.size(F.split(F.trim(seg), " +"))
+
+    n_sub = F.aggregate(
+        F.expr(ws), F.lit(0), lambda s, w: s + _subwords(w)
     )
     return fan_out(docs, id_col).select(
         id_col,
         F.expr(f"cast(size({ws}) as bigint)").alias("n_words"),
-        F.expr(f"cast({expr} as bigint)").alias("n_subwords"),
+        n_sub.cast("long").alias("n_subwords"),
     )
 
 
@@ -877,14 +880,21 @@ def bpe_segment_oracle_sql(merges: list[tuple[str, str]] | None = None,
                            id_col: str = "doc_id") -> str:
     merges = DEFAULT_BPE_MERGES if merges is None else merges
     ws = "[w for w in string_split(text, ' ') if w <> '']"
-    seg = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    # the same doubled-delimiter whole-symbol fusion as the Spark side
+    seg = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
     for a, b in merges:
-        seg = f"replace({seg}, '{a} {b}', '{a}{b}')"
+        seg = (f"replace({seg}, ' {_q(a)}  {_q(b)} ',"
+               f" ' {_q(a)}{_q(b)} ')")
     return f"""
 SELECT {id_col},
        len({ws})::BIGINT AS n_words,
        coalesce(
-         list_sum(list_transform({ws}, w -> len(string_split({seg}, ' ')))), 0
+         list_sum(list_transform({ws},
+                  w -> len(string_split_regex(trim({seg}), ' +')))), 0
        )::BIGINT AS n_subwords
 FROM {table} ORDER BY {id_col}
 """
@@ -1007,9 +1017,13 @@ def bpe_train(docs: DataFrame, n_merges: int = 3, text_col: str = "text",
     OFFLINE half of the tokenizer whose online half is bpe_segment. Each
     round counts adjacent symbol pairs over the distinct-word table
     (weighted by word frequency), takes the argmax under the deterministic
-    (count DESC, pair ASC) order, and fuses that pair everywhere via the
-    same replace-chain semantics bpe_segment applies, so train and apply
-    agree on one greedy convention.
+    (count DESC, pair ASC) order, and fuses that pair everywhere as a
+    whole-symbol non-overlapping left-to-right merge — the same
+    doubled-delimiter construction bpe_segment applies, so train and
+    apply agree on one canonical convention (a bare substring replace
+    would be wrong: ``'b b'`` can span the tail of a multi-char symbol
+    like ``'ab'`` once earlier merges exist, learning fused fragments of
+    different symbols).
 
     Returns ``(merge_round, pair, pair_count)`` — one row per learned rule.
 
@@ -1053,15 +1067,28 @@ def bpe_train(docs: DataFrame, n_merges: int = 3, text_col: str = "text",
             break
         pair, c = top[0].pair, top[0].c
         learned.append((r, pair, int(c)))
-        # column-arg replace, never an interpolated SQL literal: corpus
+        # Whole-symbol fusion via the doubled-delimiter form: wrap seq in
+        # double spaces, double the inter-symbol spaces, replace the
+        # fully-delimited pair pattern (consuming one space per side so
+        # adjacent occurrences still match), then collapse back to the
+        # single-spaced canonical seq. Column-arg replace with the pair
+        # as ONE literal, never an interpolated SQL literal: corpus
         # tokens can contain quotes/backslashes, and literal escaping
         # would either throw (PARSE_SYNTAX_ERROR on a trailing backslash)
         # or silently unescape sequences the oracle's subquery-based
         # replace treats verbatim
+        wrapped = F.concat(
+            F.lit("  "),
+            F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+            F.lit("  "),
+        )
+        fused = F.replace(
+            wrapped,
+            F.lit(" " + pair.replace(" ", "  ") + " "),
+            F.lit(" " + pair.replace(" ", "") + " "),
+        )
         words = words.withColumn(
-            "seq",
-            F.replace(F.col("seq"), F.lit(pair),
-                      F.lit(pair.replace(" ", ""))),
+            "seq", F.regexp_replace(F.trim(fused), " +", " ")
         )
     spark = docs.sparkSession
     return spark.createDataFrame(
@@ -1103,8 +1130,11 @@ def bpe_train_oracle_sql(n_merges: int = 3, table: str = "documents") -> str:
             f"LIMIT 1)"
         )
         ctes.append(f"""s{r + 1} AS (
-  SELECT replace(seq, (SELECT pair FROM t{r}),
-                 replace((SELECT pair FROM t{r}), ' ', '')) AS seq, cnt
+  SELECT trim(regexp_replace(
+           replace('  ' || replace(seq, ' ', '  ') || '  ',
+                   ' ' || replace((SELECT pair FROM t{r}), ' ', '  ') || ' ',
+                   ' ' || replace((SELECT pair FROM t{r}), ' ', '') || ' '),
+           ' +', ' ', 'g')) AS seq, cnt
   FROM s{r}
 )""")
         selects.append(

@@ -455,22 +455,19 @@ def _make_datasource_cls():
 _DS_CLS = None
 
 
-_REGISTERED_SESSIONS: set[int] = set()
-
-
 def register_sstable_source(spark) -> None:
-    """Idempotently register the ``sstable_simple`` format on this
-    session and enable Python-source filter pushdown (runtime-settable;
-    needed when the session wasn't built by :func:`session.get_spark`,
-    e.g. the grading driver's)."""
+    """Register the ``sstable_simple`` format on this session and enable
+    Python-source filter pushdown (runtime-settable; needed when the
+    session wasn't built by :func:`session.get_spark`, e.g. the grading
+    driver's). Registration is unconditional: ``dataSource.register``
+    overwrites any prior binding, and keying a seen-set on ``id(spark)``
+    is unsound — a garbage-collected session's CPython id can be reused
+    by a fresh one, which would then silently skip registration."""
     global _DS_CLS
     if _DS_CLS is None:
         _DS_CLS = _make_datasource_cls()
-    if id(spark) in _REGISTERED_SESSIONS:
-        return
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(_DS_CLS)
-    _REGISTERED_SESSIONS.add(id(spark))
 
 
 def scan_sstable(spark, path: str, num_splits: int = 8,

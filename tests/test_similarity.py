@@ -325,6 +325,9 @@ def test_pq_topk_rerank_contract_and_training(spark, embeddings):
     assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(embeddings, query_id=0, m=7)
+    # corpus smaller than the codebook: descriptive error, not IndexError
+    with pytest.raises(ValueError, match="k_codes"):
+        pq_topk(embeddings.limit(5), query_id=0, k=2, m=4, k_codes=16)
 
 
 def test_pq_materialized_index_matches_inline(spark, embeddings, tmp_path):

@@ -89,6 +89,20 @@ def test_empty_table_scans_to_zero_rows(spark):
     shutil.rmtree(out)
 
 
+def test_register_sstable_source_is_unconditional(spark):
+    """Registration must not be memoized on id(spark): a reused CPython id
+    from a garbage-collected session would silently skip registration.
+    Re-registering on every call is idempotent — repeated registration
+    plus a scan must behave identically to a single registration."""
+    ss.register_sstable_source(spark)
+    ss.register_sstable_source(spark)
+    out = _tmpdir()
+    ss.write_sstable([], out)
+    assert ss.scan_sstable(spark, out).count() == 0
+    assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    shutil.rmtree(out)
+
+
 def test_strip_ttl_cells_is_the_reference_transform(spark):
     """Expiring -> normal with ttl/expiration dropped; writetime, value,
     tombstones, and normal cells byte-identical — the exact contract of

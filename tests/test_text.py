@@ -183,10 +183,18 @@ def test_bpe_segment_matches_python_reference(spark):
     )
 
     def py_bpe(word):
+        # canonical BPE: whole-symbol, non-overlapping, left-to-right
         toks = list(word)
         for a, b in DEFAULT_BPE_MERGES:
-            s = " ".join(toks).replace(f"{a} {b}", f"{a}{b}")
-            toks = s.split(" ")
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
         return len(toks)
 
     texts = [
@@ -194,6 +202,11 @@ def test_bpe_segment_matches_python_reference(spark):
         "in inn nin i n",
         "aaaa attth erer",
         "x the-end on,at",
+        # boundary-spanning regression: after (t,h) fuses 'th', the old
+        # substring replace let the later (a,t) rule match 'a t' ACROSS
+        # the head of symbol 'th' ('ath' -> 1 token, 'tath' -> 2); whole
+        # -symbol BPE keeps them at 2 and 3
+        "ath tath atth atat",
     ]
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
