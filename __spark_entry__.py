@@ -702,6 +702,8 @@ _DRIVER_PRIORITY = [
     "q_sql_q17_small_quantity",
     "q_sql_q19_disjunctive",
     # --- new in round 5 (graded with round 6's window) ---
+    "q_n48_prefix_filter_join",
+    "q_ml1_linear_fit",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3432,6 +3434,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpe_train(scan_table(spark, sf, "documents"), n_merges=3)
     q["q_n45_bpe_train"] = q_n45
 
+    def q_n48(spark, sf):
+        # EXACT tau-Jaccard similarity join via prefix filtering (PPJoin/
+        # AllPairs family): lossless candidate reduction — order each
+        # doc's tokens by global (df, token) and join only on the
+        # |d|-ceil(tau|d|)+1 rarest prefix tokens, then verify in-row.
+        # The exact complement of the approximate band families (q_n9
+        # MinHash, q_n5 SimHash): identical output to brute force with
+        # no recall knob. tau=9/10 keeps the graded row bounded.
+        return dedup.prefix_filter_join(
+            scan_table(spark, sf, "documents"), threshold=(9, 10)
+        )
+    q["q_n48_prefix_filter_join"] = q_n48
+
+    def q_ml1(spark, sf):
+        # exact closed-form OLS over integer text features: ONE map-side-
+        # combined pass to the 9 sufficient statistics of the normal
+        # equations, then Cramer determinants in DECIMAL(38,0) — each
+        # coefficient is a single IEEE division of two exact integers,
+        # so floats hash-match across engines bit-for-bit.
+        from cassandra_ttl_remover_spark.operators.ml import linear_fit
+
+        return linear_fit(scan_table(spark, sf, "documents"))
+    q["q_ml1_linear_fit"] = q_ml1
+
     def q_n15b(spark, sf):
         # same contract as q_n15 but through the Bloom prefilter scale path —
         # bit-identical output (fps die in the exact confirm join), so it
@@ -4870,6 +4896,11 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n21_repetition_ratio"] = text.repetition_ratio_oracle_sql()
     o["q_n44_repetition_runs"] = text.repetition_runs_oracle_sql()
     o["q_n45_bpe_train"] = text.bpe_train_oracle_sql(n_merges=3)
+    o["q_n48_prefix_filter_join"] = dedup.prefix_filter_join_oracle_sql(
+        threshold=(9, 10)
+    )
+    from cassandra_ttl_remover_spark.operators.ml import linear_fit_oracle_sql
+    o["q_ml1_linear_fit"] = linear_fit_oracle_sql()
     o["q_n22_scrub_pii"] = text.scrub_pii_oracle_sql()
     o["q_n23_vocab_topk"] = text.vocab_topk_oracle_sql(100)
     o["q_n24_sample_per_group"] = curate.sample_per_group_oracle_sql(10)

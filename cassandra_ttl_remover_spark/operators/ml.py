@@ -1,0 +1,145 @@
+"""Closed-form model fitting over DataFrames (north-star surface,
+SURVEY.md §2.2 taxonomy — the training-pipeline side the reference never
+had: fitting a quality-prediction model over corpus statistics).
+
+The scalable shape for (small-d) linear models at 100 TB is NOT an
+iterative optimizer over the data — it is ONE pass that reduces the
+corpus to the d(d+3)/2 sufficient statistics of the normal equations
+(map-side-combined integer sums, a single 1-row aggregation, zero
+shuffles beyond the final combine), then an O(d^3) solve on scalars.
+With integer features the solve itself can stay EXACT: Cramer's rule
+expresses each coefficient as a ratio of integer determinants, and with
+d = 2 features + intercept those determinants are degree-3 polynomials
+in the sums — computable in wide-decimal arithmetic by both engines and
+therefore hash-checkable bit-for-bit (the float coefficients are each
+ONE IEEE division of two exact integers, so they too match exactly).
+
+This is the same exactness discipline as graph.pagerank (scaled-integer
+fixed point) and similarity.gram_matrix (integer Gram sums); the linear
+algebra rides on top of the one aggregation those operators also use.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..plans import fan_out
+
+#: shared feature definitions over the documents table: all exact
+#: integers, spelled identically in Spark SQL and DuckDB.
+#:   x1 = character length, x2 = word count, y = occurrences of 'e'
+_X1 = "cast(length({t}) as bigint)"
+_X2 = "cast(size(filter(split({t}, ' '), w -> w <> '')) as bigint)"
+_Y = "cast(length({t}) - length(replace({t}, 'e', '')) as bigint)"
+
+
+def _det_exprs(dec: str) -> dict[str, str]:
+    """Cofactor-expansion determinants for the 3x3 normal equations
+    ``A @ [b0, b1, b2] = rhs`` with
+    ``A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]`` and
+    ``rhs = [sy, s1y, s2y]``. ``dec`` wraps a sum name in the engine's
+    wide-integer type (Spark: DECIMAL(38,0); DuckDB: HUGEINT) so every
+    product of three sums stays exact."""
+    n, s1, s2 = dec.format(v="n"), dec.format(v="s1"), dec.format(v="s2")
+    s11, s12, s22 = (dec.format(v="s11"), dec.format(v="s12"),
+                     dec.format(v="s22"))
+    sy, s1y, s2y = (dec.format(v="sy"), dec.format(v="s1y"),
+                    dec.format(v="s2y"))
+    return {
+        "det": (f"{n} * ({s11} * {s22} - {s12} * {s12})"
+                f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+                f" + {s2} * ({s1} * {s12} - {s11} * {s2})"),
+        "num0": (f"{sy} * ({s11} * {s22} - {s12} * {s12})"
+                 f" - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+                 f" + {s2} * ({s1y} * {s12} - {s11} * {s2y})"),
+        "num1": (f"{n} * ({s1y} * {s22} - {s2y} * {s12})"
+                 f" - {sy} * ({s1} * {s22} - {s12} * {s2})"
+                 f" + {s2} * ({s1} * {s2y} - {s1y} * {s2})"),
+        "num2": (f"{n} * ({s11} * {s2y} - {s12} * {s1y})"
+                 f" - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+                 f" + {sy} * ({s1} * {s12} - {s11} * {s2})"),
+    }
+
+
+def linear_fit(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Exact ordinary-least-squares fit of ``y ~ b0 + b1*x1 + b2*x2``
+    over integer text features (x1 = char length, x2 = word count,
+    y = count of 'e'). Returns ONE row:
+    ``(n, det, num0, num1, num2, b0, b1, b2)`` where det/num_i are the
+    exact Cramer determinants (DECIMAL(38,0)) and each b_i is the single
+    IEEE division ``num_i / det`` — bit-identical across engines because
+    both operands are exact.
+
+    Scale shape: the corpus reduces to 9 integer sums in one map-side-
+    combined aggregation (the only exchange is the final 1-row combine);
+    the determinant algebra runs on that single row. At 100 TB this is
+    the canonical "sufficient statistics + driver solve" pattern — the
+    same pass extends to any d with d(d+3)/2 sums and a d x d solve
+    outside the data path. Wide-decimal bound: each determinant term is
+    a product of three sums, so sums up to ~1e12 stay within
+    DECIMAL(38,0); centre/rescale features first at extremes.
+    """
+    x1 = _X1.format(t=text_col)
+    x2 = _X2.format(t=text_col)
+    y = _Y.format(t=text_col)
+    sums = fan_out(docs, id_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(f"sum({x1})").alias("s1"),
+        F.expr(f"sum({x2})").alias("s2"),
+        F.expr(f"sum({y})").alias("sy"),
+        F.expr(f"sum({x1} * {x1})").alias("s11"),
+        F.expr(f"sum({x1} * {x2})").alias("s12"),
+        F.expr(f"sum({x2} * {x2})").alias("s22"),
+        F.expr(f"sum({x1} * {y})").alias("s1y"),
+        F.expr(f"sum({x2} * {y})").alias("s2y"),
+    )
+    d = _det_exprs("cast({v} as decimal(38,0))")
+    return sums.select(
+        F.col("n"),
+        F.expr(d["det"]).alias("det"),
+        F.expr(d["num0"]).alias("num0"),
+        F.expr(d["num1"]).alias("num1"),
+        F.expr(d["num2"]).alias("num2"),
+        F.expr(f"cast({d['num0']} as double)"
+               f" / cast({d['det']} as double)").alias("b0"),
+        F.expr(f"cast({d['num1']} as double)"
+               f" / cast({d['det']} as double)").alias("b1"),
+        F.expr(f"cast({d['num2']} as double)"
+               f" / cast({d['det']} as double)").alias("b2"),
+    )
+
+
+def linear_fit_oracle_sql(table: str = "documents") -> str:
+    """Independent recomputation in DuckDB: the identical sums, with the
+    determinant algebra in HUGEINT (int128 — exact for products of three
+    sums up to ~1e12) cast to DECIMAL(38,0) at the boundary so both
+    engines emit the same logical type."""
+    x1 = "length(text)::BIGINT"
+    x2 = "len([w for w in string_split(text, ' ') if w <> ''])::BIGINT"
+    y = "(length(text) - length(replace(text, 'e', '')))::BIGINT"
+    d = _det_exprs("{v}::HUGEINT")
+    return f"""
+WITH sums AS (
+  SELECT count(*)::BIGINT AS n,
+         sum({x1})::BIGINT AS s1,
+         sum({x2})::BIGINT AS s2,
+         sum({y})::BIGINT AS sy,
+         sum({x1} * {x1})::BIGINT AS s11,
+         sum({x1} * {x2})::BIGINT AS s12,
+         sum({x2} * {x2})::BIGINT AS s22,
+         sum({x1} * {y})::BIGINT AS s1y,
+         sum({x2} * {y})::BIGINT AS s2y
+  FROM {table}
+)
+SELECT n,
+       ({d['det']})::DECIMAL(38,0) AS det,
+       ({d['num0']})::DECIMAL(38,0) AS num0,
+       ({d['num1']})::DECIMAL(38,0) AS num1,
+       ({d['num2']})::DECIMAL(38,0) AS num2,
+       ({d['num0']})::DOUBLE / ({d['det']})::DOUBLE AS b0,
+       ({d['num1']})::DOUBLE / ({d['det']})::DOUBLE AS b1,
+       ({d['num2']})::DOUBLE / ({d['det']})::DOUBLE AS b2
+FROM sums
+"""

@@ -239,3 +239,38 @@ def test_cluster_representatives_keeps_longest(spark):
     assert got[4].is_kept                       # singleton keeps itself
     # tie on score: min id wins
     assert got[5].is_kept and not got[6].is_kept
+
+
+def test_prefix_filter_join_equals_bruteforce(spark, documents):
+    """Lossless-candidate theorem: the prefix-filtered join must equal
+    the brute-force all-pairs join exactly (same pairs, same integers)."""
+    docs = documents.limit(120)
+    got = {(r.id_a, r.id_b): (r.inter, r.size_a, r.size_b)
+           for r in dedup.prefix_filter_join(docs, threshold=(3, 5)).collect()}
+    base = (
+        docs.select(F.col("doc_id").alias("_id"),
+                    F.expr("array_distinct(filter(split(text, ' '),"
+                           " w -> w <> ''))").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    brute = (
+        base.alias("a").crossJoin(base.alias("b"))
+        .filter(F.expr("a._id < b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.expr("cast(size(array_intersect(a.toks, b.toks)) as bigint)"
+                       ).alias("inter"),
+                F.expr("cast(size(a.toks) as bigint)").alias("sa"),
+                F.expr("cast(size(b.toks) as bigint)").alias("sb"))
+        .filter(F.expr("5 * inter >= 3 * (sa + sb - inter)"))
+    )
+    want = {(r.id_a, r.id_b): (r.inter, r.sa, r.sb) for r in brute.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_prefix_filter_join_excludes_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "   "), (4, "")],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in
+           dedup.prefix_filter_join(df, threshold=(1, 2)).collect()}
+    assert got == {(1, 2)}

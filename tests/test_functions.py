@@ -65,3 +65,26 @@ def test_run_length_udtf_hand_examples(spark):
         (3, 1, "x", 1),
         (4, 1, "z", 2), (4, 3, "q", 1),
     ]  # doc 2 (empty) emits no rows; multi-spaces collapse
+
+
+def test_linear_fit_matches_numpy(spark, documents):
+    """Cramer-rule OLS must agree with numpy's lstsq on the same
+    integer feature matrix (rtol generous: numpy solves in floats)."""
+    import numpy as np
+
+    from cassandra_ttl_remover_spark.operators.ml import linear_fit
+
+    docs = documents.limit(200)
+    row = linear_fit(docs).collect()[0]
+    pdf = docs.selectExpr(
+        "cast(length(text) as bigint) as x1",
+        "cast(size(filter(split(text, ' '), w -> w <> '')) as bigint) as x2",
+        "cast(length(text) - length(replace(text, 'e', '')) as bigint) as y",
+    ).toPandas()
+    A = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    beta, *_ = np.linalg.lstsq(A, pdf.y.to_numpy(), rcond=None)
+    assert row.n == len(pdf)
+    assert abs(row.b0 - beta[0]) < 1e-6 * max(1.0, abs(beta[0]))
+    assert abs(row.b1 - beta[1]) < 1e-6 * max(1.0, abs(beta[1]))
+    assert abs(row.b2 - beta[2]) < 1e-6 * max(1.0, abs(beta[2]))
+    assert row.det != 0
