@@ -703,7 +703,10 @@ _DRIVER_PRIORITY = [
     "q_sql_q19_disjunctive",
     # --- new in round 5 (graded with round 6's window) ---
     "q_n48_prefix_filter_join",
+    "q_n49_span_removal",
     "q_ml1_linear_fit",
+    "q_ml2_ridge_fit",
+    "q_ml3_residual_outliers",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3458,6 +3461,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return linear_fit(scan_table(spark, sf, "documents"))
     q["q_ml1_linear_fit"] = q_ml1
 
+    def q_ml2(spark, sf):
+        # exact ridge regression: same one-pass sufficient statistics,
+        # integer penalty on the slope diagonal BEFORE the Cramer solve —
+        # determinants stay exact, lam=0 degenerates to q_ml1
+        from cassandra_ttl_remover_spark.operators.ml import ridge_fit
+
+        return ridge_fit(scan_table(spark, sf, "documents"), lam=1000)
+    q["q_ml2_ridge_fit"] = q_ml2
+
+    def q_ml3(spark, sf):
+        # regression-based anomaly detection with zero float residuals:
+        # det-scaled residual det*y - (num0 + num1*x1 + num2*x2) is an
+        # exact DECIMAL integer per doc; top-k by |r_scaled| via a
+        # broadcast 1-row fit + zero-shuffle projection + TakeOrdered
+        from cassandra_ttl_remover_spark.operators.ml import (
+            ols_residual_outliers,
+        )
+
+        return ols_residual_outliers(scan_table(spark, sf, "documents"), k=20)
+    q["q_ml3_residual_outliers"] = q_ml3
+
+    def q_n49(spark, sf):
+        # the REWRITE step of substring-level dedup (Lee et al. 2022):
+        # min-id doc keeps each cross-corpus n-gram run, every other doc
+        # drops covered tokens; output is hash-checkable (md5 of cleaned
+        # tokens) without shipping cleaned text
+        return dedup.remove_duplicate_spans(
+            scan_table(spark, sf, "documents"), n=8, min_docs=2
+        )
+    q["q_n49_span_removal"] = q_n49
+
     def q_n15b(spark, sf):
         # same contract as q_n15 but through the Bloom prefilter scale path —
         # bit-identical output (fps die in the exact confirm join), so it
@@ -4899,8 +4933,17 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_n48_prefix_filter_join"] = dedup.prefix_filter_join_oracle_sql(
         threshold=(9, 10)
     )
-    from cassandra_ttl_remover_spark.operators.ml import linear_fit_oracle_sql
+    from cassandra_ttl_remover_spark.operators.ml import (
+        linear_fit_oracle_sql,
+        ols_residual_outliers_oracle_sql,
+        ridge_fit_oracle_sql,
+    )
     o["q_ml1_linear_fit"] = linear_fit_oracle_sql()
+    o["q_ml2_ridge_fit"] = ridge_fit_oracle_sql(lam=1000)
+    o["q_ml3_residual_outliers"] = ols_residual_outliers_oracle_sql(k=20)
+    o["q_n49_span_removal"] = dedup.remove_duplicate_spans_oracle_sql(
+        n=8, min_docs=2
+    )
     o["q_n22_scrub_pii"] = text.scrub_pii_oracle_sql()
     o["q_n23_vocab_topk"] = text.vocab_topk_oracle_sql(100)
     o["q_n24_sample_per_group"] = curate.sample_per_group_oracle_sql(10)

@@ -1267,3 +1267,129 @@ WHERE {q} * len(list_intersect(a.s, b.s))
       >= {p} * (a.sz + b.sz - len(list_intersect(a.s, b.s)))
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Span-removal rewrite — the third step of substring-level dedup
+# ---------------------------------------------------------------------------
+
+def remove_duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The REWRITE step that :func:`repeated_ngram_spans` is the work-list
+    for (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" — public method, re-derived): spans detect cross-corpus
+    verbatim runs; this produces the CLEANED corpus. Rule (deterministic,
+    engine-portable): for every n-token window appearing in >= ``min_docs``
+    documents, the document with the GLOBAL MIN id keeps its occurrences;
+    every other document drops all tokens covered by any such window.
+    Returns ``(id_col, n_tokens, n_removed, cleaned_hash)`` with
+    ``cleaned_hash`` = md5 of the space-joined surviving tokens — the
+    whole rewrite is hash-checkable without shipping cleaned text.
+
+    Scale shape: reuses the span pass (explode to (id, pos, 16-byte hash),
+    ONE map-side-combined aggregate for (n_docs, min_id) per hash, one
+    join back — never shuffling text). Removed positions per doc collapse
+    to a COVERAGE SET built in-row: collect the bounded list of covered
+    starts per doc (bounded by actual duplication), then one HOF filter
+    over the token array — no per-token join, no window function. Docs
+    with no duplicated spans never leave the scan unscathed... they take
+    the left-anti path: a left join + coalesce keeps them at zero cost.
+    At 100 TB the only sized state is the duplicated-window table
+    (HAVING-bounded) and per-doc covered-start lists (token-count
+    bounded); both are orders below corpus size.
+    """
+    ws = WORDS_EXPR.format(col=text_col)
+    base = (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.expr(ws).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    spans = (
+        base.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"case when size(toks) >= {n} then "
+                    f"transform(sequence(1, size(toks) - {n} + 1), "
+                    f"i -> struct(i as pos, "
+                    f"md5(array_join(slice(toks, i, {n}), ' ')) as wh)) "
+                    f"else array() end"
+                )
+            ).alias("s"),
+        )
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.wh").alias("wh"))
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        spans.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("nd"), F.min(id_col).alias("canon"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    # covered window STARTS per non-canonical doc (bounded by duplication)
+    starts = (
+        spans.join(dup, "wh")
+        .filter(F.col(id_col) != F.col("canon"))
+        .groupBy(id_col)
+        .agg(F.expr("sort_array(collect_set(pos))").alias("starts"))
+    )
+    return (
+        base.join(starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.expr("cast(size(toks) as bigint)").alias("n_tokens"),
+            F.expr(
+                f"filter(transform(toks, (w, i) -> "
+                f"case when exists(coalesce(starts, array()), "
+                f"s -> i + 1 >= s and i + 1 < s + {n}) "
+                f"then cast(null as string) else w end), w -> w is not null)"
+            ).alias("kept"),
+        )
+        .select(
+            id_col, "n_tokens",
+            F.expr("n_tokens - cast(size(kept) as bigint)").alias("n_removed"),
+            F.expr("md5(array_join(kept, ' '))").alias("cleaned_hash"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def remove_duplicate_spans_oracle_sql(n: int = 8, min_docs: int = 2,
+                                      table: str = "documents",
+                                      id_col: str = "doc_id") -> str:
+    """Independent recomputation: windows via UNNEST over generate_series,
+    (n_docs, min_id) per window hash, covered positions per doc as a
+    distinct-position set, cleaned text rebuilt by list comprehension over
+    token indices — a different mechanism (position join vs HOF filter)
+    that must agree hash-for-hash."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {ws} AS toks FROM {table}
+), w AS (
+  SELECT id, i AS pos,
+         md5(array_to_string(toks[i:i+{n}-1], ' ')) AS wh
+  FROM t, LATERAL UNNEST(generate_series(1, len(toks) - {n} + 1)) AS u(i)
+  WHERE len(toks) >= {n}
+), dup AS (
+  SELECT wh, min(id) AS canon
+  FROM w GROUP BY wh HAVING count(DISTINCT id) >= {min_docs}
+), cov AS (
+  SELECT DISTINCT w.id, w.pos + v.p AS cp
+  FROM w JOIN dup USING (wh),
+       LATERAL UNNEST(generate_series(0, {n} - 1)) AS v(p)
+  WHERE w.id <> dup.canon
+), covset AS (
+  SELECT id, list(DISTINCT cp) AS cps FROM cov GROUP BY id
+)
+SELECT t.id AS {id_col},
+       len(t.toks)::BIGINT AS n_tokens,
+       (len(t.toks) - len([x for x in generate_series(1, len(t.toks))
+                           IF NOT list_contains(coalesce(c.cps, []), x)]))::BIGINT
+         AS n_removed,
+       md5(coalesce(array_to_string(
+         [t.toks[x] for x in generate_series(1, len(t.toks))
+          IF NOT list_contains(coalesce(c.cps, []), x)], ' '), '')) AS cleaned_hash
+FROM t LEFT JOIN covset c ON t.id = c.id
+ORDER BY {id_col}
+"""

@@ -143,3 +143,145 @@ SELECT n,
        ({d['num2']})::DOUBLE / ({d['det']})::DOUBLE AS b2
 FROM sums
 """
+
+
+def ridge_fit(docs: DataFrame, lam: int = 1000, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Exact ridge regression (L2-penalized OLS, intercept unpenalized):
+    identical one-pass sufficient statistics as :func:`linear_fit`, with
+    the integer penalty ``lam`` added to the slope diagonal of the normal
+    matrix (``s11 + lam``, ``s22 + lam``) BEFORE the Cramer solve — so
+    every determinant stays an exact integer and the coefficients remain
+    single exact-operand IEEE divisions. Same schema as linear_fit; at
+    ``lam=0`` it degenerates to it (property-tested). Scale shape is
+    unchanged: the penalty is arithmetic on the one-row aggregate, zero
+    extra passes."""
+    x1 = _X1.format(t=text_col)
+    x2 = _X2.format(t=text_col)
+    y = _Y.format(t=text_col)
+    sums = fan_out(docs, id_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(f"sum({x1})").alias("s1"),
+        F.expr(f"sum({x2})").alias("s2"),
+        F.expr(f"sum({y})").alias("sy"),
+        F.expr(f"sum({x1} * {x1}) + cast({lam} as bigint)").alias("s11"),
+        F.expr(f"sum({x1} * {x2})").alias("s12"),
+        F.expr(f"sum({x2} * {x2}) + cast({lam} as bigint)").alias("s22"),
+        F.expr(f"sum({x1} * {y})").alias("s1y"),
+        F.expr(f"sum({x2} * {y})").alias("s2y"),
+    )
+    d = _det_exprs("cast({v} as decimal(38,0))")
+    return sums.select(
+        F.col("n"),
+        F.expr(d["det"]).alias("det"),
+        F.expr(d["num0"]).alias("num0"),
+        F.expr(d["num1"]).alias("num1"),
+        F.expr(d["num2"]).alias("num2"),
+        F.expr(f"cast({d['num0']} as double)"
+               f" / cast({d['det']} as double)").alias("b0"),
+        F.expr(f"cast({d['num1']} as double)"
+               f" / cast({d['det']} as double)").alias("b1"),
+        F.expr(f"cast({d['num2']} as double)"
+               f" / cast({d['det']} as double)").alias("b2"),
+    )
+
+
+def ridge_fit_oracle_sql(lam: int = 1000, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`ridge_fit`: HUGEINT determinant algebra
+    over the penalized sums."""
+    x1 = "length(text)::BIGINT"
+    x2 = "len([w for w in string_split(text, ' ') if w <> ''])::BIGINT"
+    y = "(length(text) - length(replace(text, 'e', '')))::BIGINT"
+    d = _det_exprs("{v}::HUGEINT")
+    return f"""
+WITH sums AS (
+  SELECT count(*)::BIGINT AS n,
+         sum({x1})::BIGINT AS s1,
+         sum({x2})::BIGINT AS s2,
+         sum({y})::BIGINT AS sy,
+         (sum({x1} * {x1}) + {lam})::BIGINT AS s11,
+         sum({x1} * {x2})::BIGINT AS s12,
+         (sum({x2} * {x2}) + {lam})::BIGINT AS s22,
+         sum({x1} * {y})::BIGINT AS s1y,
+         sum({x2} * {y})::BIGINT AS s2y
+  FROM {table}
+)
+SELECT n,
+       ({d['det']})::DECIMAL(38,0) AS det,
+       ({d['num0']})::DECIMAL(38,0) AS num0,
+       ({d['num1']})::DECIMAL(38,0) AS num1,
+       ({d['num2']})::DECIMAL(38,0) AS num2,
+       ({d['num0']})::DOUBLE / ({d['det']})::DOUBLE AS b0,
+       ({d['num1']})::DOUBLE / ({d['det']})::DOUBLE AS b1,
+       ({d['num2']})::DOUBLE / ({d['det']})::DOUBLE AS b2
+FROM sums
+"""
+
+
+def ols_residual_outliers(docs: DataFrame, k: int = 20,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Regression-based anomaly detection with EXACT arithmetic: the
+    top-``k`` documents by |residual| under the :func:`linear_fit` model,
+    computed without ever forming a float residual. Since each b_i is
+    num_i/det, the det-scaled residual
+    ``r_scaled = det*y - (num0 + num1*x1 + num2*x2)`` is an exact
+    DECIMAL(38,0) integer per document; ranking by |r_scaled| IS ranking
+    by |residual| (det > 0 up to global sign — handled via abs on both
+    sides). Output ``(id, x1, x2, y, r_scaled)``.
+
+    Scale shape: pass 1 reduces to the 9 sums (map-side combined); the
+    1-row solve broadcasts back via a literal-free crossJoin(broadcast),
+    so pass 2 is a zero-shuffle projection + a k-row top-k (TakeOrdered,
+    no global sort materialization). This is the leave-nothing-to-floats
+    version of model-based data valuation at corpus scale."""
+    fitted = F.broadcast(linear_fit(docs, text_col, id_col)
+                         .select("det", "num0", "num1", "num2"))
+    x1 = _X1.format(t=text_col)
+    x2 = _X2.format(t=text_col)
+    y = _Y.format(t=text_col)
+    dec = "cast({v} as decimal(38,0))"
+    r = (f"{dec.format(v='det')} * {dec.format(v='y')}"
+         f" - ({dec.format(v='num0')}"
+         f" + {dec.format(v='num1')} * {dec.format(v='x1')}"
+         f" + {dec.format(v='num2')} * {dec.format(v='x2')})")
+    return (
+        fan_out(docs, id_col)
+        .select(F.col(id_col),
+                F.expr(x1).alias("x1"), F.expr(x2).alias("x2"),
+                F.expr(y).alias("y"))
+        .crossJoin(fitted)
+        .select(id_col, "x1", "x2", "y", F.expr(r).alias("r_scaled"))
+        .orderBy(F.abs(F.col("r_scaled")).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ols_residual_outliers_oracle_sql(k: int = 20, table: str = "documents",
+                                     id_col: str = "doc_id") -> str:
+    x1 = "length(text)::BIGINT"
+    x2 = "len([w for w in string_split(text, ' ') if w <> ''])::BIGINT"
+    y = "(length(text) - length(replace(text, 'e', '')))::BIGINT"
+    d = _det_exprs("{v}::HUGEINT")
+    return f"""
+WITH sums AS (
+  SELECT count(*)::BIGINT AS n,
+         sum({x1})::BIGINT AS s1, sum({x2})::BIGINT AS s2,
+         sum({y})::BIGINT AS sy,
+         sum({x1} * {x1})::BIGINT AS s11, sum({x1} * {x2})::BIGINT AS s12,
+         sum({x2} * {x2})::BIGINT AS s22,
+         sum({x1} * {y})::BIGINT AS s1y, sum({x2} * {y})::BIGINT AS s2y
+  FROM {table}
+), fit AS (
+  SELECT ({d['det']})::HUGEINT AS det, ({d['num0']})::HUGEINT AS num0,
+         ({d['num1']})::HUGEINT AS num1, ({d['num2']})::HUGEINT AS num2
+  FROM sums
+), feats AS (
+  SELECT {id_col}, {x1} AS x1, {x2} AS x2, {y} AS y FROM {table}
+)
+SELECT {id_col}, x1, x2, y,
+       (det * y - (num0 + num1 * x1 + num2 * x2))::DECIMAL(38,0) AS r_scaled
+FROM feats, fit
+ORDER BY abs(det * y - (num0 + num1 * x1 + num2 * x2)) DESC, {id_col} ASC
+LIMIT {k}
+"""

@@ -274,3 +274,32 @@ def test_prefix_filter_join_excludes_empty_docs(spark):
     got = {(r.id_a, r.id_b) for r in
            dedup.prefix_filter_join(df, threshold=(1, 2)).collect()}
     assert got == {(1, 2)}
+
+
+def test_remove_duplicate_spans_canonical_keeps_all(spark):
+    """Min-id doc keeps its duplicated runs; the copy loses exactly the
+    covered tokens; unrelated docs are untouched."""
+    boiler = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, boiler + " tail1 tail2"),
+         (2, "head1 head2 " + boiler),
+         (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_removed)
+           for r in dedup.remove_duplicate_spans(df, n=8, min_docs=2).collect()}
+    assert out[1] == (10, 0)      # canonical: untouched
+    assert out[2] == (10, 8)      # copy: the 8 boilerplate tokens removed
+    assert out[3] == (9, 0)       # unique doc: untouched
+
+
+def test_remove_duplicate_spans_cleaned_hash_matches_manual(spark):
+    import hashlib
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, boiler), (2, "x1 x2 " + boiler + " x3")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.cleaned_hash
+            for r in dedup.remove_duplicate_spans(df, n=8, min_docs=2).collect()}
+    assert rows[2] == hashlib.md5(b"x1 x2 x3").hexdigest()
+    assert rows[1] == hashlib.md5(boiler.encode()).hexdigest()

@@ -88,3 +88,27 @@ def test_linear_fit_matches_numpy(spark, documents):
     assert abs(row.b1 - beta[1]) < 1e-6 * max(1.0, abs(beta[1]))
     assert abs(row.b2 - beta[2]) < 1e-6 * max(1.0, abs(beta[2]))
     assert row.det != 0
+
+
+def test_ridge_shrinks_toward_zero(spark, documents):
+    from cassandra_ttl_remover_spark.operators.ml import linear_fit, ridge_fit
+
+    docs = documents.limit(200)
+    o = linear_fit(docs).collect()[0]
+    big = ridge_fit(docs, lam=10**9).collect()[0]
+    # huge penalty drives slopes toward 0 (intercept stays free)
+    assert abs(big.b1) < abs(o.b1) and abs(big.b2) < abs(o.b2)
+    assert abs(big.b1) < 1e-3 and abs(big.b2) < 1e-3
+
+
+def test_residual_outliers_exactness(spark, documents):
+    """r_scaled / det must equal the float residual of the fitted model."""
+    from cassandra_ttl_remover_spark.operators.ml import (
+        linear_fit, ols_residual_outliers,
+    )
+
+    docs = documents.limit(200)
+    fit = linear_fit(docs).collect()[0]
+    for r in ols_residual_outliers(docs, k=5).collect():
+        resid = float(r.y) - (fit.b0 + fit.b1 * r.x1 + fit.b2 * r.x2)
+        assert abs(float(r.r_scaled) / float(fit.det) - resid) < 1e-6
