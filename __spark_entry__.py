@@ -707,6 +707,9 @@ _DRIVER_PRIORITY = [
     "q_ml1_linear_fit",
     "q_ml2_ridge_fit",
     "q_ml3_residual_outliers",
+    "q_ml4_grouped_fit",
+    "q_ml5_chi2_tokens",
+    "q_n50_pmi_bigrams",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3482,6 +3485,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ols_residual_outliers(scan_table(spark, sf, "documents"), k=20)
     q["q_ml3_residual_outliers"] = q_ml3
 
+    def q_ml4(spark, sf):
+        # per-group exact OLS in ONE keyed pass (9 longs per group through
+        # a single exchange) — the per-domain scaling-fit shape; singular
+        # groups yield NULL coefficients, never an ANSI error
+        from cassandra_ttl_remover_spark.operators.ml import grouped_fit
+
+        return grouped_fit(scan_table(spark, sf, "documents"))
+    q["q_ml4_grouped_fit"] = q_ml4
+
+    def q_ml5(spark, sf):
+        # chi-squared feature selection: supervised vocabulary ranking by
+        # exact 2x2 document-frequency contingency, DECIMAL num/den + one
+        # IEEE quotient, TakeOrdered top-k
+        from cassandra_ttl_remover_spark.operators.ml import chi2_top_tokens
+
+        return chi2_top_tokens(scan_table(spark, sf, "documents"),
+                               positive="en", k=50, min_df=5)
+    q["q_ml5_chi2_tokens"] = q_ml5
+
+    def q_n50(spark, sf):
+        # collocation mining: top-k adjacent bigrams by PMI ranked through
+        # the exact integer lift ratio (c_xy*T^2)/(B*c_x*c_y) — no float
+        # log anywhere, so the ranking hash-matches the oracle
+        return text.pmi_bigrams(scan_table(spark, sf, "documents"),
+                                k=50, min_count=5)
+    q["q_n50_pmi_bigrams"] = q_n50
+
     def q_n49(spark, sf):
         # the REWRITE step of substring-level dedup (Lee et al. 2022):
         # min-id doc keeps each cross-corpus n-gram run, every other doc
@@ -4941,6 +4971,15 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
     o["q_ml1_linear_fit"] = linear_fit_oracle_sql()
     o["q_ml2_ridge_fit"] = ridge_fit_oracle_sql(lam=1000)
     o["q_ml3_residual_outliers"] = ols_residual_outliers_oracle_sql(k=20)
+    from cassandra_ttl_remover_spark.operators.ml import (
+        chi2_top_tokens_oracle_sql,
+        grouped_fit_oracle_sql,
+    )
+    o["q_ml4_grouped_fit"] = grouped_fit_oracle_sql()
+    o["q_ml5_chi2_tokens"] = chi2_top_tokens_oracle_sql(
+        positive="en", k=50, min_df=5
+    )
+    o["q_n50_pmi_bigrams"] = text.pmi_bigrams_oracle_sql(k=50, min_count=5)
     o["q_n49_span_removal"] = dedup.remove_duplicate_spans_oracle_sql(
         n=8, min_docs=2
     )

@@ -285,3 +285,191 @@ FROM feats, fit
 ORDER BY abs(det * y - (num0 + num1 * x1 + num2 * x2)) DESC, {id_col} ASC
 LIMIT {k}
 """
+
+
+def grouped_fit(docs: DataFrame, group_col: str = "lang",
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-group exact OLS — one :func:`linear_fit` PER ``group_col``
+    value in a single pass (the scaling-law / per-domain fit shape:
+    "fit quality ~ length features separately for every language").
+    Returns one row per group: ``(group_col, n, det, b0, b1, b2)`` with
+    the same exact-Cramer discipline; groups whose normal matrix is
+    singular (det = 0 — degenerate or tiny groups) emit NULL
+    coefficients instead of an ANSI division error, so the operator is
+    total over any grouping.
+
+    Scale shape: identical to linear_fit but keyed — ONE map-side-
+    combined aggregation shuffling 9 longs per group (not per row), then
+    scalar algebra on the grouped rows. 100 TB with a million groups is
+    a million 9-long records through one exchange; no per-group scans,
+    no driver loop. This is the canonical replacement for "for g in
+    groups: fit(g)" driver-side iteration."""
+    x1 = _X1.format(t=text_col)
+    x2 = _X2.format(t=text_col)
+    y = _Y.format(t=text_col)
+    sums = fan_out(docs, id_col).groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(f"sum({x1})").alias("s1"),
+        F.expr(f"sum({x2})").alias("s2"),
+        F.expr(f"sum({y})").alias("sy"),
+        F.expr(f"sum({x1} * {x1})").alias("s11"),
+        F.expr(f"sum({x1} * {x2})").alias("s12"),
+        F.expr(f"sum({x2} * {x2})").alias("s22"),
+        F.expr(f"sum({x1} * {y})").alias("s1y"),
+        F.expr(f"sum({x2} * {y})").alias("s2y"),
+    )
+    d = _det_exprs("cast({v} as decimal(38,0))")
+    det = d["det"]
+    return sums.select(
+        F.col(group_col),
+        F.col("n"),
+        F.expr(det).alias("det"),
+        *[
+            F.expr(
+                f"case when {det} = 0 then cast(null as double) "
+                f"else cast({d[num]} as double) / cast({det} as double) end"
+            ).alias(b)
+            for num, b in (("num0", "b0"), ("num1", "b1"), ("num2", "b2"))
+        ],
+    ).orderBy(group_col)
+
+
+def grouped_fit_oracle_sql(group_col: str = "lang",
+                           table: str = "documents") -> str:
+    x1 = "length(text)::BIGINT"
+    x2 = "len([w for w in string_split(text, ' ') if w <> ''])::BIGINT"
+    y = "(length(text) - length(replace(text, 'e', '')))::BIGINT"
+    d = _det_exprs("{v}::HUGEINT")
+    det = d["det"]
+    cols = ", ".join(
+        f"CASE WHEN ({det}) = 0 THEN NULL "
+        f"ELSE ({d[num]})::DOUBLE / ({det})::DOUBLE END AS {b}"
+        for num, b in (("num0", "b0"), ("num1", "b1"), ("num2", "b2"))
+    )
+    return f"""
+WITH sums AS (
+  SELECT {group_col}, count(*)::BIGINT AS n,
+         sum({x1})::BIGINT AS s1, sum({x2})::BIGINT AS s2,
+         sum({y})::BIGINT AS sy,
+         sum({x1} * {x1})::BIGINT AS s11, sum({x1} * {x2})::BIGINT AS s12,
+         sum({x2} * {x2})::BIGINT AS s22,
+         sum({x1} * {y})::BIGINT AS s1y, sum({x2} * {y})::BIGINT AS s2y
+  FROM {table} GROUP BY {group_col}
+)
+SELECT {group_col}, n, ({det})::DECIMAL(38,0) AS det, {cols}
+FROM sums ORDER BY {group_col}
+"""
+
+
+def chi2_top_tokens(docs: DataFrame, positive: str = "en",
+                    label_col: str = "lang", k: int = 50, min_df: int = 5,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Chi-squared feature selection: the ``k`` tokens whose DOCUMENT
+    FREQUENCY is most associated with the ``label_col = positive`` class
+    (the classic supervised vocabulary-selection step before training a
+    quality / language / domain classifier). Per token, the 2x2
+    contingency over distinct (doc, token) incidence:
+    a = positive docs containing t, b = negative docs containing t,
+    c = positive docs without t, d = negative docs without t, and
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b) * (c+d) * (a+c) * (b+d))
+
+    computed as exact DECIMAL(38,0) numerator/denominator plus their one
+    IEEE quotient — hash-stable across engines. Output
+    ``(token, df, pos_df, chi2_num, chi2_den, chi2)`` ordered by chi2
+    desc, token asc. Exactness bound: numerator <= N^5, so N up to ~3e7
+    docs stays inside DECIMAL(38,0); beyond that, sample or shard by
+    label (documented cliff, loud ANSI overflow — never silent).
+
+    Scale shape: explode -> distinct (doc, token) is one shuffle;
+    the contingency is ONE map-side-combined groupBy(token) with a
+    conditional sum; N and P are a broadcast 1-row aggregate; the final
+    top-k is TakeOrdered (no global sort materialization)."""
+    from .text import WORDS_EXPR
+
+    ws = WORDS_EXPR.format(col=text_col)
+    base = fan_out(docs, id_col).select(
+        F.col(id_col),
+        (F.col(label_col) == F.lit(positive)).cast("long").alias("pos"),
+        F.expr(ws).alias("_toks"),
+    )
+    totals = F.broadcast(
+        base.agg(F.count("*").cast("long").alias("N"),
+                 F.sum("pos").alias("P"))
+    )
+    incidence = (
+        base.select(id_col, "pos", F.explode("_toks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.first("pos").alias("pos"))
+    )
+    cont = (
+        incidence.groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"),
+             F.sum("pos").alias("pos_df"))
+        .filter(F.col("df") >= min_df)
+        .crossJoin(totals)
+    )
+    dec = "cast({v} as decimal(38,0))"
+    a = dec.format(v="pos_df")
+    ab = dec.format(v="df")
+    n = dec.format(v="N")
+    p = dec.format(v="P")
+    b = f"({ab} - {a})"
+    c = f"({p} - {a})"
+    d = f"({n} - {p} - {b})"
+    num = f"{n} * ({a} * {d} - {b} * {c}) * ({a} * {d} - {b} * {c})"
+    den = (f"{ab} * ({n} - {ab}) * {p} * ({n} - {p})")
+    return (
+        cont.select(
+            "token", "df", "pos_df",
+            F.expr(num).alias("chi2_num"),
+            F.expr(den).alias("chi2_den"),
+            F.expr(
+                f"case when {den} = 0 then cast(0.0 as double) "
+                f"else cast({num} as double) / cast({den} as double) end"
+            ).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def chi2_top_tokens_oracle_sql(positive: str = "en", label_col: str = "lang",
+                               k: int = 50, min_df: int = 5,
+                               table: str = "documents",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB mirror: same incidence/contingency in HUGEINT, same single
+    quotient, DECIMAL(38,0) at the column boundary."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    num = "N::HUGEINT * (a * d0 - b * c) * (a * d0 - b * c)"
+    den = "df::HUGEINT * (N - df) * P * (N - P)"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         CASE WHEN {label_col} = '{positive}' THEN 1 ELSE 0 END::BIGINT AS pos,
+         {ws} AS toks
+  FROM {table}
+), totals AS (
+  SELECT count(*)::BIGINT AS N, sum(pos)::BIGINT AS P FROM base
+), incidence AS (
+  SELECT DISTINCT id, pos, unnest(toks) AS token FROM base
+), cont AS (
+  SELECT token, count(*)::BIGINT AS df, sum(pos)::BIGINT AS pos_df
+  FROM incidence GROUP BY token HAVING count(*) >= {min_df}
+), scored AS (
+  SELECT token, df, pos_df,
+         pos_df::HUGEINT AS a, (df - pos_df)::HUGEINT AS b,
+         (P - pos_df)::HUGEINT AS c,
+         (N - P - (df - pos_df))::HUGEINT AS d0, N, P
+  FROM cont, totals
+)
+SELECT token, df, pos_df,
+       ({num})::DECIMAL(38,0) AS chi2_num,
+       ({den})::DECIMAL(38,0) AS chi2_den,
+       CASE WHEN ({den}) = 0 THEN 0.0
+            ELSE ({num})::DOUBLE / ({den})::DOUBLE END AS chi2
+FROM scored
+ORDER BY chi2 DESC, token ASC
+LIMIT {k}
+"""

@@ -1146,3 +1146,111 @@ def bpe_train_oracle_sql(n_merges: int = 3, table: str = "documents") -> str:
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY merge_round"
     )
+
+
+def pmi_bigrams(docs: DataFrame, k: int = 50, min_count: int = 5,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Collocation mining: the top-``k`` adjacent token bigrams by
+    pointwise mutual information.  PMI = log(p(xy) / (p(x) p(y))) is
+    monotone in the exact integer ratio
+
+        lift = (c_xy * T * T) / (B * c_x * c_y)
+
+    (T = total tokens, B = total bigrams, c_* = corpus counts), so the
+    ranking never needs a float log: both engines compute the two exact
+    DECIMAL(38,0) operands and ONE IEEE quotient — hash-stable.  Output
+    ``(w1, w2, c_xy, c_x, c_y, lift_num, lift_den, lift)`` ordered by
+    lift desc, (w1, w2) asc, with the classic ``min_count`` support
+    filter that keeps PMI from promoting hapax noise.  Overflow bound:
+    lift_num <= c_xy * T^2 — corpora to ~1e12 tokens stay inside
+    DECIMAL(38,0) (loud ANSI overflow beyond, never silent).
+
+    Scale shape: one explode for unigram counts, one for bigram counts
+    (both map-side-combined aggs); T and B ride along as a broadcast
+    1-row aggregate; the two dictionary joins are token-keyed shuffles
+    (vocabulary-sized, orders below corpus size); final top-k is
+    TakeOrdered.  No driver loops, no crossJoin anywhere."""
+    ws = WORDS_EXPR.format(col=text_col)
+    toks = fan_out(docs, id_col).select(F.expr(ws).alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "case when size(_t) >= 2 then "
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> struct(_t[i - 1] as w1, _t[i] as w2)) "
+                    "else array() end"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    totals = F.broadcast(
+        toks.agg(
+            F.expr("sum(cast(size(_t) as bigint))").alias("T"),
+            F.expr(
+                "sum(cast(greatest(size(_t) - 1, 0) as bigint))"
+            ).alias("B"),
+        )
+    )
+    dec = "cast({v} as decimal(38,0))"
+    num = (f"{dec.format(v='c_xy')} * {dec.format(v='T')}"
+           f" * {dec.format(v='T')}")
+    den = (f"{dec.format(v='B')} * {dec.format(v='c_x')}"
+           f" * {dec.format(v='c_y')}")
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")),
+                "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")),
+              "w2")
+        .crossJoin(totals)
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.expr(num).alias("lift_num"),
+            F.expr(den).alias("lift_den"),
+            (F.expr(num).cast("double") / F.expr(den).cast("double"))
+            .alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+
+
+def pmi_bigrams_oracle_sql(k: int = 50, min_count: int = 5,
+                           table: str = "documents") -> str:
+    """DuckDB mirror: identical counts, HUGEINT operands, one quotient."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH t AS (
+  SELECT {ws} AS toks FROM {table}
+), uni AS (
+  SELECT unnest(toks) AS w FROM t
+), uc AS (
+  SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w
+), bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), bc AS (
+  SELECT w1, w2, count(*)::BIGINT AS c_xy
+  FROM bi GROUP BY w1, w2 HAVING count(*) >= {min_count}
+), totals AS (
+  SELECT sum(len(toks))::BIGINT AS T,
+         sum(greatest(len(toks) - 1, 0))::BIGINT AS B
+  FROM t
+)
+SELECT w1, w2, c_xy, x.c AS c_x, y.c AS c_y,
+       (c_xy::HUGEINT * T * T)::DECIMAL(38,0) AS lift_num,
+       (B::HUGEINT * x.c * y.c)::DECIMAL(38,0) AS lift_den,
+       (c_xy::HUGEINT * T * T)::DOUBLE
+         / (B::HUGEINT * x.c * y.c)::DOUBLE AS lift
+FROM bc JOIN uc x ON bc.w1 = x.w JOIN uc y ON bc.w2 = y.w, totals
+ORDER BY lift DESC, w1 ASC, w2 ASC
+LIMIT {k}
+"""

@@ -112,3 +112,47 @@ def test_residual_outliers_exactness(spark, documents):
     for r in ols_residual_outliers(docs, k=5).collect():
         resid = float(r.y) - (fit.b0 + fit.b1 * r.x1 + fit.b2 * r.x2)
         assert abs(float(r.r_scaled) / float(fit.det) - resid) < 1e-6
+
+
+def test_grouped_fit_matches_per_group_linear_fit(spark, documents):
+    """grouped_fit(lang) row-for-row equals linear_fit run on each
+    lang slice separately."""
+    from cassandra_ttl_remover_spark.operators.ml import grouped_fit, linear_fit
+
+    docs = documents.limit(300)
+    got = {r.lang: (r.n, r.b0, r.b1, r.b2)
+           for r in grouped_fit(docs).collect()}
+    for lang in got:
+        solo = linear_fit(docs.filter(F.col("lang") == lang)).collect()[0]
+        assert got[lang] == (solo.n, solo.b0, solo.b1, solo.b2)
+
+
+def test_grouped_fit_singular_group_yields_null(spark):
+    """A group whose docs are all identical has a singular normal matrix:
+    coefficients must be NULL, not an error."""
+    from cassandra_ttl_remover_spark.operators.ml import grouped_fit
+
+    df = spark.createDataFrame(
+        [(1, "same text here", "x"), (2, "same text here", "x"),
+         (3, "one two", "y"), (4, "three four five six", "y"),
+         (5, "a b c d e f g", "y")],
+        "doc_id long, text string, lang string")
+    rows = {r.lang: r for r in grouped_fit(df).collect()}
+    assert rows["x"].det == 0 and rows["x"].b1 is None
+    assert rows["y"].det != 0 or rows["y"].b1 is None
+
+
+def test_chi2_contingency_manual(spark):
+    """Hand-checked 2x2: token 'pos' in 2/2 positive docs and 0/2
+    negative docs -> chi2 = N = 4 (perfect association)."""
+    from cassandra_ttl_remover_spark.operators.ml import chi2_top_tokens
+
+    df = spark.createDataFrame(
+        [(1, "pos alpha", "en"), (2, "pos beta", "en"),
+         (3, "neg alpha", "de"), (4, "neg beta", "de")],
+        "doc_id long, text string, lang string")
+    rows = {r.token: r for r in
+            chi2_top_tokens(df, positive="en", k=10, min_df=1).collect()}
+    assert float(rows["pos"].chi2) == 4.0
+    assert float(rows["neg"].chi2) == 4.0
+    assert float(rows["alpha"].chi2) == 0.0  # present in one of each class

@@ -301,3 +301,30 @@ def test_bpe_train_survives_hostile_tokens(spark):
            for r in bpe_train(df, n_merges=2).collect()]
     assert len(got) == 2
     assert all(c > 0 for _, _, c in got)
+
+
+def test_pmi_bigrams_manual(spark):
+    """Tiny corpus where 'new york' is a perfect collocation: lift =
+    c_xy*T^2/(B*c_x*c_y) computed by hand."""
+    from cassandra_ttl_remover_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "new york new york"), (2, "old town new york"), (3, "old old town")],
+        "doc_id long, text string")
+    rows = {(r.w1, r.w2): r for r in
+            T.pmi_bigrams(df, k=10, min_count=1).collect()}
+    ny = rows[("new", "york")]
+    # T=11 tokens, B=8 bigrams, c(new)=3, c(york)=3, c_xy=3
+    assert (ny.c_xy, ny.c_x, ny.c_y) == (3, 3, 3)
+    assert float(ny.lift) == (3 * 11 * 11) / (8 * 3 * 3)
+    # 'york new' happens once across doc boundaries -> lower lift
+    assert float(rows[("york", "new")].lift) < float(ny.lift)
+
+
+def test_pmi_bigrams_min_count_filters(spark):
+    from cassandra_ttl_remover_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d")], "doc_id long, text string")
+    got = {(r.w1, r.w2) for r in T.pmi_bigrams(df, k=10, min_count=2).collect()}
+    assert got == {("a", "b")}
