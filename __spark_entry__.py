@@ -710,6 +710,8 @@ _DRIVER_PRIORITY = [
     "q_ml4_grouped_fit",
     "q_ml5_chi2_tokens",
     "q_n50_pmi_bigrams",
+    "q_se7_scd2_build",
+    "q_d8_cascade_delete",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -2706,6 +2708,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return peak_concurrency(_events(spark, sf), gap_seconds=3600)
     q["q_se6_peak_concurrency"] = q_se6
+
+    def q_se7(spark, sf):
+        # Type-2 SCD build from the event stream: consecutive-repeat
+        # collapse + versioned validity intervals, two windows over ONE
+        # key exchange (shared partitioning)
+        from cassandra_ttl_remover_spark.operators.sessions import scd2_build
+
+        return scd2_build(_events(spark, sf))
+    q["q_se7_scd2_build"] = q_se7
+
+    def q_d8(spark, sf):
+        # GDPR right-to-erasure dry run: cascade customer -> orders ->
+        # lineitem as two LEFT SEMI joins; 3-row per-table impact report,
+        # nothing collected
+        from cassandra_ttl_remover_spark.operators.audit import (
+            cascade_delete_audit,
+        )
+
+        return cascade_delete_audit(
+            scan_table(spark, sf, "customer"),
+            scan_table(spark, sf, "orders"),
+            scan_table(spark, sf, "lineitem"),
+            nation_key=3,
+        )
+    q["q_d8_cascade_delete"] = q_d8
 
     def q_n47(spark, sf):
         # deterministic systematic PPS sampling: 50 selection points on
@@ -4997,6 +5024,11 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
         ["view", "click", "purchase"]
     )
     o["q_se5_transition_matrix"] = _sessions.transition_matrix_oracle_sql()
+    o["q_se7_scd2_build"] = _sessions.scd2_build_oracle_sql()
+    from cassandra_ttl_remover_spark.operators.audit import (
+        cascade_delete_audit_oracle_sql,
+    )
+    o["q_d8_cascade_delete"] = cascade_delete_audit_oracle_sql(nation_key=3)
 
     from cassandra_ttl_remover_spark.operators.audit import (
         referential_integrity_oracle_sql,

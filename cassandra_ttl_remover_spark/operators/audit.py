@@ -420,3 +420,88 @@ SELECT n_a, n_b,
        max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num
 FROM cum CROSS JOIN tot GROUP BY n_a, n_b
 """
+
+
+def cascade_delete_audit(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, *,
+                         nation_key: int = 3) -> DataFrame:
+    """Right-to-erasure impact audit (the GDPR "forget these users"
+    pre-flight): given a deletion request — every customer in nation
+    ``nation_key`` — report, per table, how many rows the cascade
+    customer -> orders -> lineitem would remove and how many survive.
+    Returns ``(table_name, n_total, n_deleted, n_surviving)`` — the
+    dry-run report a pipeline runs BEFORE executing the actual anti-join
+    rewrite (which is the same three joins with ``left_anti``).
+
+    Scale shape: the request set never materializes on the driver — it
+    flows as two LEFT SEMI joins (custkey into orders, the deleted
+    orderkeys into lineitem), each a key-partitioned shuffle that AQE
+    converts to broadcast when the request set is small (the common
+    case). Counts are 1-row aggregates; nothing is collected except the
+    3-row report."""
+    del_cust = customer.filter(
+        F.col("c_nationkey") == F.lit(int(nation_key))
+    ).select("c_custkey")
+    del_orders = orders.join(
+        del_cust, orders["o_custkey"] == del_cust["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_line = lineitem.join(
+        del_orders, lineitem["l_orderkey"] == del_orders["o_orderkey"],
+        "left_semi",
+    )
+    rows = []
+    for name, total_df, deleted_df in (
+        ("customer", customer, del_cust),
+        ("lineitem", lineitem, del_line),
+        ("orders", orders, del_orders),
+    ):
+        rows.append(
+            total_df.agg(F.count("*").cast("long").alias("n_total"))
+            .crossJoin(
+                deleted_df.agg(F.count("*").cast("long").alias("n_deleted"))
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_total",
+                "n_deleted",
+                (F.col("n_total") - F.col("n_deleted")).alias("n_surviving"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name")
+
+
+def cascade_delete_audit_oracle_sql(nation_key: int = 3) -> str:
+    return f"""
+WITH del_cust AS (
+  SELECT c_custkey FROM customer WHERE c_nationkey = {nation_key}
+), del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+), del_line AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+)
+SELECT * FROM (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM customer)::BIGINT AS n_total,
+         (SELECT count(*) FROM del_cust)::BIGINT AS n_deleted,
+         ((SELECT count(*) FROM customer)
+          - (SELECT count(*) FROM del_cust))::BIGINT AS n_surviving
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM del_line)::BIGINT,
+         ((SELECT count(*) FROM lineitem)
+          - (SELECT count(*) FROM del_line))::BIGINT
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders)::BIGINT,
+         (SELECT count(*) FROM del_orders)::BIGINT,
+         ((SELECT count(*) FROM orders)
+          - (SELECT count(*) FROM del_orders))::BIGINT
+)
+ORDER BY table_name
+"""

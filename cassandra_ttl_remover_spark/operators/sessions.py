@@ -335,3 +335,75 @@ SELECT (SELECT count(*)::BIGINT FROM spans) AS n_sessions,
        (SELECT min(t)::BIGINT FROM swept
         WHERE conc = (SELECT max(conc) FROM swept)) AS first_peak_ts_us
 """
+
+
+def scd2_build(events: DataFrame, *, key_col: str = "user_id",
+               attr_col: str = "event_type", ts_col: str = "ts",
+               id_col: str = "event_id") -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from an event stream: per
+    ``key_col``, collapse consecutive repeats of ``attr_col`` into
+    versioned validity intervals ``(key, attr, valid_from_us, valid_to_us,
+    is_current, version)`` — the warehouse "change capture -> versioned
+    dimension" step (each row answers "what was this entity's attribute
+    between from and to?"; the open interval is the current version).
+
+    Deterministic: events ordered by (ts, id); a change row is one whose
+    attr differs from the previous event's attr (lag); ``valid_to_us`` is
+    the NEXT change's start (lead over change rows only), NULL while
+    current; ``version`` numbers changes per key from 1.
+
+    Scale shape: exactly TWO window passes over ONE hash exchange on the
+    key (lag to flag changes, lead/row_number over the filtered change
+    rows reuse the same partitioning — Spark plans a single Exchange
+    because both windows share partition keys). Per-entity history sits
+    in one task: the sessionize skew caveat applies (salt by time bucket
+    if one entity's history exceeds task memory)."""
+    ev = events.select(
+        F.col(key_col),
+        F.col(attr_col).alias("attr"),
+        F.expr(_US.format(c=ts_col)).alias("ts_us"),
+        F.col(id_col).alias("_tie"),
+    )
+    w = Window.partitionBy(key_col).orderBy("ts_us", "_tie")
+    changes = (
+        ev.withColumn("_prev", F.lag("attr").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("attr")))
+    )
+    w2 = Window.partitionBy(key_col).orderBy("ts_us", "_tie")
+    return (
+        changes.select(
+            F.col(key_col),
+            F.col("attr"),
+            F.col("ts_us").alias("valid_from_us"),
+            F.lead("ts_us").over(w2).alias("valid_to_us"),
+            F.lead("ts_us").over(w2).isNull().alias("is_current"),
+            F.row_number().over(w2).cast("long").alias("version"),
+        )
+        .orderBy(key_col, "version")
+    )
+
+
+def scd2_build_oracle_sql(table: str = "events", *, key_col: str = "user_id",
+                          attr_col: str = "event_type", ts_col: str = "ts",
+                          id_col: str = "event_id") -> str:
+    return f"""
+WITH ev AS (
+  SELECT {key_col}, {attr_col} AS attr,
+         epoch_us({ts_col}) AS ts_us, {id_col} AS tie
+  FROM {table}
+), flagged AS (
+  SELECT *, lag(attr) OVER
+           (PARTITION BY {key_col} ORDER BY ts_us, tie) AS prev
+  FROM ev
+), changes AS (
+  SELECT * FROM flagged WHERE prev IS NULL OR prev <> attr
+)
+SELECT {key_col}, attr,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER w AS valid_to_us,
+       (lead(ts_us) OVER w) IS NULL AS is_current,
+       row_number() OVER w AS version
+FROM changes
+WINDOW w AS (PARTITION BY {key_col} ORDER BY ts_us, tie)
+ORDER BY {key_col}, version
+"""

@@ -186,3 +186,22 @@ def test_ks_drift_disjoint_supports_is_max(spark):
     b = spark.createDataFrame([(v,) for v in (10, 11)], "v bigint")
     r = ks_drift(a, b, "v").first()
     assert r.d_num == r.n_a * r.n_b  # D == 1
+
+
+def test_cascade_delete_audit_manual(spark):
+    from cassandra_ttl_remover_spark.operators.audit import (
+        cascade_delete_audit,
+    )
+
+    customer = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 5)], "c_custkey long, c_nationkey long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 2), (12, 1)], "l_orderkey long, l_linenumber long")
+    got = {r.table_name: (r.n_total, r.n_deleted, r.n_surviving)
+           for r in cascade_delete_audit(
+               customer, orders, lineitem, nation_key=3).collect()}
+    assert got == {"customer": (3, 2, 1),
+                   "orders": (3, 2, 1),
+                   "lineitem": (3, 2, 1)}

@@ -125,3 +125,41 @@ def test_peak_concurrency_closed_interval_touching(spark):
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
     got = peak_concurrency(df, gap_seconds=60).collect()[0]
     assert got.peak_concurrency == 2
+
+
+def test_scd2_build_manual(spark):
+    """Consecutive repeats collapse; versions number changes; the last
+    interval per key is open/current."""
+    import datetime as dt
+
+    from cassandra_ttl_remover_spark.operators.sessions import scd2_build
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    df = spark.createDataFrame(
+        [(1, t(0), 7, "bronze", 0.0, ""), (2, t(10), 7, "bronze", 0.0, ""),
+         (3, t(20), 7, "gold", 0.0, ""), (4, t(30), 7, "bronze", 0.0, ""),
+         (5, t(5), 8, "silver", 0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    rows = [(r.user_id, r.attr, r.version, r.is_current)
+            for r in scd2_build(df).collect()]
+    assert rows == [
+        (7, "bronze", 1, False),
+        (7, "gold", 2, False),
+        (7, "bronze", 3, True),
+        (8, "silver", 1, True),
+    ]
+
+
+def test_scd2_single_exchange(spark, events):
+    """Both window passes share the key partitioning: exactly one
+    Exchange in the physical plan."""
+    from cassandra_ttl_remover_spark.operators.sessions import scd2_build
+
+    plan = scd2_build(events)._jdf.queryExecution().executedPlan().toString()
+    import re
+    # ignore the final presentation orderBy's range exchange
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, plan
