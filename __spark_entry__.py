@@ -712,6 +712,7 @@ _DRIVER_PRIORITY = [
     "q_n50_pmi_bigrams",
     "q_se7_scd2_build",
     "q_d8_cascade_delete",
+    "q_pipe_entity_resolution",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3539,6 +3540,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 k=50, min_count=5)
     q["q_n50_pmi_bigrams"] = q_n50
 
+    def q_pipe_er(spark, sf):
+        # entity resolution end-to-end: rarest-token blocking (block size
+        # bounded by the key token's df) -> rational-Jaccard matching ->
+        # connected-components closure; per-record entity id + canon flag
+        from cassandra_ttl_remover_spark.operators.er import resolve_entities
+
+        return resolve_entities(
+            scan_table(spark, sf, "documents"),
+            threshold=(1, 2), max_block_df=50,
+        )
+    q["q_pipe_entity_resolution"] = q_pipe_er
+
     def q_n49(spark, sf):
         # the REWRITE step of substring-level dedup (Lee et al. 2022):
         # min-id doc keeps each cross-corpus n-gram run, every other doc
@@ -5007,6 +5020,12 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
         positive="en", k=50, min_df=5
     )
     o["q_n50_pmi_bigrams"] = text.pmi_bigrams_oracle_sql(k=50, min_count=5)
+    from cassandra_ttl_remover_spark.operators.er import (
+        resolve_entities_oracle_sql,
+    )
+    o["q_pipe_entity_resolution"] = resolve_entities_oracle_sql(
+        threshold=(1, 2), max_block_df=50
+    )
     o["q_n49_span_removal"] = dedup.remove_duplicate_spans_oracle_sql(
         n=8, min_docs=2
     )
