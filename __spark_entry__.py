@@ -713,6 +713,7 @@ _DRIVER_PRIORITY = [
     "q_se7_scd2_build",
     "q_d8_cascade_delete",
     "q_pipe_entity_resolution",
+    "q_mm13_jpeg_decode",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3258,6 +3259,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return png_decode_features(media)
     q["q_mm11_png_decode"] = q_mm11
 
+    def q_mm13(spark, sf):
+        # seventh real decode family and the first ENTROPY-CODED TRANSFORM
+        # codec: genuine baseline-grayscale JPEGs (canonical Huffman from
+        # DHT, byte-stuffed bitstream, DC prediction, AC RLE/EOB, dequant,
+        # full IDCT). The fixture encoder keeps the transform exactly
+        # invertible (one byte per flat 8x8 block -> DC-only spectra), so
+        # the decode lands on the hash-matched oracle surface; any defect
+        # in table parsing, bit unstuffing, EXTEND, or the IDCT mismatches.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_jpeg,
+            jpeg_decode_features,
+        )
+
+        media = documents_as_jpeg(scan_table(spark, sf, "documents"),
+                                  width=64)
+        return jpeg_decode_features(media)
+    q["q_mm13_jpeg_decode"] = q_mm13
+
     def q_mm12(spark, sf):
         # sixth real decode family, second COMPRESSED codec: genuine
         # GIF87a payloads (grayscale identity palette, variable-width
@@ -4237,6 +4256,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_mm9_frame_energy"] = multimodal.wav_frame_oracle_sql(win=256, hop=128)
     o["q_mm10_pbm_decode"] = multimodal.pbm_decode_oracle_sql(width=16)
     o["q_mm11_png_decode"] = multimodal.png_decode_oracle_sql(width=32)
+    o["q_mm13_jpeg_decode"] = multimodal.jpeg_decode_oracle_sql(width=64)
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

@@ -1440,3 +1440,336 @@ def gif_decode_oracle_sql(width: int = 32, table: str = "documents",
     (identity palette), so the decoded statistics are the PGM ones —
     three independent codecs (raw, DEFLATE, LZW) against one oracle."""
     return pgm_decode_oracle_sql(width=width, table=table, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline (ITU-T T.81) — the third compressed container, and the first
+# ENTROPY-CODED TRANSFORM codec in the decodable family: canonical Huffman
+# tables parsed from DHT, a byte-stuffed bitstream, differential DC
+# prediction, AC run-length/EOB symbols, dequantization through the zigzag
+# order, and a full 8x8 inverse DCT (numpy separable form). The decoder is
+# GENERAL baseline-grayscale; the fixture ENCODER keeps the transform stage
+# exactly invertible by construction: each source byte becomes one FLAT 8x8
+# block, whose forward DCT is a single integer DC coefficient
+# (F(0,0) = 8*(v-128), AC all zero) — so the full lossy pipeline
+# quantize -> Huffman -> parse -> dequantize -> IDCT -> round reconstructs
+# every pixel bit-exactly (IDCT float error ~1e-13 << the 0.5 rounding
+# margin), keeping the whole path on the hash-matched oracle surface.
+# Reference scope note: the reference engine ships no media decode at all
+# (SURVEY.md §2.2 additions); native-codec formats beyond these stdlib-pure
+# ones remain the documented stub boundary (decode_stub above).
+# ---------------------------------------------------------------------------
+
+def _jpeg_zigzag() -> list:
+    """The spec's zigzag scan as (row, col) pairs, computed (not typed)."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        order.extend(diag)
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+#: quant table in natural (row, col) order: DC step 8 (exactly cancels the
+#: 8x DC gain of a flat block), AC step 16 (never used by the encoder but
+#: exercised generally by the decoder).
+_JPEG_QUANT = [[8 if (r, c) == (0, 0) else 16 for c in range(8)]
+               for r in range(8)]
+#: DC table: symbols 0..11 (bit-category of the DC diff), all 4-bit codes.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+#: AC table: single 1-bit EOB symbol — all fixture blocks are DC-only.
+_JPEG_AC_BITS = [1] + [0] * 15
+_JPEG_AC_VALS = [0x00]
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman code assignment per T.81 Annex C:
+    symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit emitter with the spec's 0xFF -> 0xFF 0x00 stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    """Bit-category (magnitude size) of a DC/AC value, per F.1.2.1.1."""
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _text_to_jpeg_bytes(data: bytes, width: int) -> bytes:
+    """Deterministic baseline-grayscale JPEG: one source byte per FLAT 8x8
+    block, ``width`` pixels (= width//8 blocks) per row, zero-byte-valued
+    padding blocks to the row boundary. Real SOI/DQT/SOF0/DHT/SOS/EOI
+    segment stream, real canonical-Huffman entropy coding with DC
+    prediction and byte stuffing."""
+    import math
+    import struct
+
+    bpr = width // 8
+    nrows = max(1, math.ceil(len(data) / bpr))
+    blocks = list(data) + [0] * (bpr * nrows - len(data))
+    height = nrows * 8
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(_JPEG_QUANT[r][c]
+                                      for (r, c) in _JPEG_ZZ))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+              + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos_hdr = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev = 0
+    for v in blocks:
+        dc = v - 128  # flat block: F(0,0)/8 = v-128, quant step 8 -> v-128
+        diff = dc - prev
+        prev = dc
+        s = _jpeg_category(diff)
+        code, length = dc_codes[s]
+        w.put(code, length)
+        if s:
+            bits = diff if diff >= 0 else diff + (1 << s) - 1
+            w.put(bits, s)
+        code, length = ac_codes[0x00]  # EOB: all 63 AC coefficients zero
+        w.put(code, length)
+    return (b"\xff\xd8" + dqt + sof + dht + sos_hdr + w.flush() + b"\xff\xd9")
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy segment, un-stuffing
+    0xFF 0x00 and stopping at any other marker."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.buf[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.buf):
+                    raise ValueError("JPEG entropy stream truncated at FF")
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(bits: list, vals: list) -> dict:
+    """(length, code) -> symbol, for generic canonical decode."""
+    return {(length, code): sym
+            for sym, (code, length) in _huff_codes(bits, vals).items()}
+
+
+def _jpeg_read_symbol(rd: "_JpegBitReader", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpeg_extend(bits: int, s: int) -> int:
+    """Sign-extend an s-bit magnitude value per F.2.2.1 EXTEND."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def _parse_jpeg(b: bytes) -> tuple:
+    """General baseline-grayscale JPEG decoder: segment walk, DQT/DHT/SOF0
+    parse, entropy decode (DC prediction + AC run-length/EOB), dequantize
+    through the zigzag order, full separable IDCT (numpy), level shift,
+    clamp, round. Returns the shared raster feature tuple
+    ``(width, height, n_pixels, sum_px, max_px)``. Strict: raises on any
+    malformed structure (quarantine policy, not silent numbers)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    quant = None
+    dc_tab = ac_tab = None
+    width = height = None
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG segment desync")
+        marker = struct.unpack(">H", b[pos:pos + 2])[0]
+        if marker == 0xFFD9:
+            raise ValueError("EOI before SOS")
+        pos += 2
+        ln = struct.unpack(">H", b[pos:pos + 2])[0]
+        body = b[pos + 2:pos + ln]
+        if marker == 0xFFDB:
+            if body[0] != 0x00:
+                raise ValueError("only 8-bit quant tables supported")
+            quant = np.zeros((8, 8), dtype=np.int64)
+            for k, (r, c) in enumerate(_JPEG_ZZ):
+                quant[r, c] = body[1 + k]
+        elif marker == 0xFFC0:
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline supported")
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                tab = _huff_decode_table(bits, vals)
+                if tc_th >> 4 == 0:
+                    dc_tab = tab
+                else:
+                    ac_tab = tab
+                off += 17 + nv
+        elif marker == 0xFFDA:
+            pos += ln
+            break
+        else:
+            pass  # APPn/COM: ignored, as the spec allows
+        pos += ln
+    if quant is None or dc_tab is None or ac_tab is None or width is None:
+        raise ValueError("missing DQT/DHT/SOF0 before SOS")
+
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    rd = _JpegBitReader(b, pos)
+    coefs = np.zeros((bw * bh, 8, 8), dtype=np.int64)
+    pred = 0
+    for blk in range(bw * bh):
+        s = _jpeg_read_symbol(rd, dc_tab)
+        pred += _jpeg_extend(rd.bits(s), s)
+        coefs[blk, 0, 0] = pred
+        k = 1
+        while k < 64:
+            rs = _jpeg_read_symbol(rd, ac_tab)
+            if rs == 0x00:  # EOB
+                break
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC run symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC index overflow")
+            r, c = _JPEG_ZZ[k]
+            coefs[blk, r, c] = _jpeg_extend(rd.bits(size), size)
+            k += 1
+    # dequantize + separable IDCT over all blocks at once
+    deq = coefs * quant[None, :, :]
+    n = np.arange(8)
+    cmat = np.cos((2 * n[:, None] + 1) * n[None, :] * np.pi / 16) / 2.0
+    cmat[:, 0] /= np.sqrt(2.0)
+    px = np.einsum("ik,bkl,jl->bij", cmat, deq.astype(np.float64), cmat)
+    px = np.clip(np.rint(px + 128.0), 0, 255).astype(np.int64)
+    # assemble block grid, crop to (height, width)
+    img = (px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(bh * 8, bw * 8)[:height, :width])
+    return (int(width), int(height), int(width) * int(height),
+            int(img.sum()), int(img.max()) if img.size else 0)
+
+
+def documents_as_jpeg(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", width: int = 64) -> DataFrame:
+    """Media frame whose payloads are REAL baseline JPEGs synthesized from
+    the documents fixture (one byte per flat 8x8 block)."""
+    return _documents_as_raster(docs, _text_to_jpeg_bytes, "image/jpeg",
+                                width, text_col, id_col)
+
+
+def jpeg_decode_features(media: DataFrame) -> DataFrame:
+    """End-to-end ENTROPY-CODED TRANSFORM decode: Huffman + bitstream +
+    dequant + IDCT per blob, exact integer pixel statistics out — the
+    shared raster-decode shape."""
+    return _raster_decode_features(media, _parse_jpeg)
+
+
+def jpeg_decode_oracle_sql(width: int = 64, table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    """Recomputes every decoded statistic from the source text: byte i is
+    a flat 8x8 block, so it contributes 64 copies of its value; geometry
+    follows the block grid (width//8 blocks per row, zero-valued padding
+    blocks to the row boundary)."""
+    bpr = width // 8
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS media_id, text AS t, length(text)::BIGINT AS n
+  FROM {table}
+)
+SELECT media_id,
+       {width}::INT AS width,
+       (8 * greatest(1, (n + {bpr} - 1) // {bpr}))::INT AS height,
+       ({width} * 8 * greatest(1, (n + {bpr} - 1) // {bpr}))::BIGINT
+         AS n_pixels,
+       (64 * coalesce(list_aggregate(list_transform(range(1, (n + 1)::INT),
+          i -> ord(t[i])), 'sum'), 0))::BIGINT AS sum_px,
+       coalesce(list_aggregate(list_transform(range(1, (n + 1)::INT),
+          i -> ord(t[i])), 'max'), 0)::INT AS max_px
+FROM c
+ORDER BY media_id
+"""

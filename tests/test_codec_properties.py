@@ -78,3 +78,109 @@ def test_gif_roundtrip_property(data, width):
     assert h == max(1, math.ceil(len(data) / width))
     assert s == sum(data)
     assert mx == (max(data) if data else 0)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec
+# ---------------------------------------------------------------------------
+
+def test_jpeg_roundtrip_exact_random():
+    """Flat-block JPEGs reconstruct exact pixel statistics for arbitrary
+    printable payloads and widths (entropy layer is lossless; DC-only
+    IDCT error ~1e-13 << 0.5 rounding margin)."""
+    import math
+    import random
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_jpeg, _text_to_jpeg_bytes)
+
+    rng = random.Random(1234)
+    for _ in range(40):
+        n = rng.randint(0, 400)
+        data = bytes(rng.randint(32, 126) for _ in range(n))
+        w = rng.choice([16, 24, 64])
+        width, height, npx, s, mx = _parse_jpeg(_text_to_jpeg_bytes(data, w))
+        rows = max(1, math.ceil(len(data) / (w // 8)))
+        assert (width, height, npx) == (w, 8 * rows, w * 8 * rows)
+        assert s == 64 * sum(data)
+        assert mx == (max(data) if data else 0)
+
+
+def test_jpeg_stuffing_and_padding_edges():
+    """Payload engineered to produce 0xFF entropy bytes exercises the
+    stuff/unstuff path; empty payload yields one zero padding block."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_jpeg, _text_to_jpeg_bytes)
+
+    blob = _text_to_jpeg_bytes(bytes([126] * 500), 16)
+    assert _parse_jpeg(blob)[3] == 64 * 126 * 500
+    width, height, npx, s, mx = _parse_jpeg(_text_to_jpeg_bytes(b"", 32))
+    assert (width, height, s, mx) == (32, 8, 0, 0)
+
+
+def test_jpeg_malformed_raises():
+    import pytest
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_jpeg, _text_to_jpeg_bytes)
+
+    with pytest.raises(ValueError):
+        _parse_jpeg(b"\x00\x01notajpeg")
+    blob = _text_to_jpeg_bytes(b"hello world jpeg", 16)
+    with pytest.raises(ValueError):
+        _parse_jpeg(blob[:len(blob) - 6])  # truncated entropy stream
+
+
+def test_jpeg_general_ac_path():
+    """The decoder's AC run/size + EXTEND + zigzag placement path (which
+    the flat-block encoder never emits): hand-build a one-block stream
+    with a negative DC and one AC coefficient and check the decoded
+    pixels against an independent IDCT."""
+    import struct
+
+    import numpy as np
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _JPEG_ZZ, _huff_codes, _JpegBitWriter, _parse_jpeg)
+
+    # tables: DC cats 0..11 at 4 bits; AC needs EOB (0x00) and (run=1,
+    # size=2) = 0x12 -> two 2-bit codes
+    dc_bits, dc_vals = [0, 0, 0, 12] + [0] * 12, list(range(12))
+    ac_bits, ac_vals = [0, 2] + [0] * 14, [0x00, 0x12]
+    quant_nat = [[8 if (r, c) == (0, 0) else 16 for c in range(8)]
+                 for r in range(8)]
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(quant_nat[r][c] for r, c in _JPEG_ZZ))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+              + b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dcc, acc = _huff_codes(dc_bits, dc_vals), _huff_codes(ac_bits, ac_vals)
+    w = _JpegBitWriter()
+    # DC diff = -5 (category 3, bits = one's complement 010)
+    code, ln = dcc[3]
+    w.put(code, ln)
+    w.put((-5) + (1 << 3) - 1, 3)
+    # AC: skip 1, size 2, value -2 at zigzag k=2
+    code, ln = acc[0x12]
+    w.put(code, ln)
+    w.put((-2) + (1 << 2) - 1, 2)
+    code, ln = acc[0x00]
+    w.put(code, ln)
+    blob = b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
+
+    width, height, npx, s, mx = _parse_jpeg(blob)
+    # independent reconstruction
+    coef = np.zeros((8, 8))
+    coef[0, 0] = -5 * 8
+    r, c = _JPEG_ZZ[2]
+    coef[r, c] = -2 * 16
+    n = np.arange(8)
+    cm = np.cos((2 * n[:, None] + 1) * n[None, :] * np.pi / 16) / 2.0
+    cm[:, 0] /= np.sqrt(2.0)
+    img = np.clip(np.rint(cm @ coef @ cm.T + 128.0), 0, 255)
+    assert (width, height) == (8, 8)
+    assert s == int(img.sum()) and mx == int(img.max())
