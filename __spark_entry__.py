@@ -714,6 +714,8 @@ _DRIVER_PRIORITY = [
     "q_d8_cascade_delete",
     "q_pipe_entity_resolution",
     "q_mm13_jpeg_decode",
+    "q_d9_source_overlap",
+    "q_v8_centroid_similarity",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -2735,6 +2737,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             nation_key=3,
         )
     q["q_d8_cascade_delete"] = q_d8
+
+    def q_d9(spark, sf):
+        # cross-subcorpus contamination audit: distinct 3-gram incidence
+        # once, pairs keyed on the SHINGLE (fan-out bounded by sources^2),
+        # exact-operand Jaccard per source pair
+        from cassandra_ttl_remover_spark.operators.audit import (
+            source_overlap_matrix,
+        )
+
+        return source_overlap_matrix(scan_table(spark, sf, "documents"))
+    q["q_d9_source_overlap"] = q_d9
+
+    def q_v8(spark, sf):
+        # pairwise cosine between label centroids: corpus reduces once to
+        # the (group, dim) component frame; pair matrix is a dim-keyed
+        # self-join — vectors never join; exact DECIMAL dot/norms
+        from cassandra_ttl_remover_spark.operators.similarity import (
+            centroid_similarity_matrix,
+        )
+
+        return centroid_similarity_matrix(scan_table(spark, sf, "embeddings"))
+    q["q_v8_centroid_similarity"] = q_v8
 
     def q_n47(spark, sf):
         # deterministic systematic PPS sampling: 50 selection points on
@@ -5068,6 +5092,14 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
         cascade_delete_audit_oracle_sql,
     )
     o["q_d8_cascade_delete"] = cascade_delete_audit_oracle_sql(nation_key=3)
+    from cassandra_ttl_remover_spark.operators.audit import (
+        source_overlap_matrix_oracle_sql,
+    )
+    o["q_d9_source_overlap"] = source_overlap_matrix_oracle_sql()
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        centroid_similarity_matrix_oracle_sql,
+    )
+    o["q_v8_centroid_similarity"] = centroid_similarity_matrix_oracle_sql()
 
     from cassandra_ttl_remover_spark.operators.audit import (
         referential_integrity_oracle_sql,

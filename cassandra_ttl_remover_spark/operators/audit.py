@@ -505,3 +505,87 @@ SELECT * FROM (
 )
 ORDER BY table_name
 """
+
+
+def source_overlap_matrix(docs: DataFrame, *, source_col: str = "source",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Cross-subcorpus contamination audit: for every PAIR of sources,
+    how many distinct word 3-gram shingles they share — the "is my eval
+    slice leaking into my train slice?" / "which two crawls overlap?"
+    governance report. Returns
+    ``(src_a, src_b, shared, n_a, n_b, jaccard)`` for every source pair
+    with ``shared > 0``, ordered by (src_a, src_b); ``jaccard`` is the
+    exact-operand IEEE quotient shared / (n_a + n_b - shared).
+
+    Scale shape: the corpus reduces ONCE to distinct (shingle, source)
+    incidence (one shuffle, map-side combined); pairs come from a
+    self-join keyed on the SHINGLE — per-shingle fan-out is bounded by
+    sources^2 (sources are dozens-to-hundreds, never corpus-sized), so
+    no all-pairs term exists anywhere. Per-source distinct counts ride
+    the same incidence frame; the |sources|^2-row result is trivially
+    collectable."""
+    from cassandra_ttl_remover_spark.operators.text import (
+        SHINGLES_EXPR, WORDS_EXPR)
+
+    ws = WORDS_EXPR.format(col=text_col)
+    sh = SHINGLES_EXPR.format(ws=ws)
+    incidence = (
+        docs.select(F.col(source_col).alias("src"),
+                    F.explode(F.expr(sh)).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    per_src = incidence.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_g")
+    )
+    pairs = (
+        incidence.alias("x")
+        .join(incidence.alias("y"), "g")
+        .filter(F.col("x.src") < F.col("y.src"))
+        .groupBy(F.col("x.src").alias("src_a"), F.col("y.src").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    return (
+        pairs.join(F.broadcast(per_src.select(F.col("src").alias("src_a"),
+                                              F.col("n_g").alias("n_a"))),
+                   "src_a")
+        .join(F.broadcast(per_src.select(F.col("src").alias("src_b"),
+                                         F.col("n_g").alias("n_b"))),
+              "src_b")
+        .select(
+            "src_a", "src_b", "shared", "n_a", "n_b",
+            (F.col("shared").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+             ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def source_overlap_matrix_oracle_sql(table: str = "documents",
+                                     source_col: str = "source") -> str:
+    """Independent recomputation: shingles via UNNEST over the token
+    sequence, distinct incidence, pair counts, same single quotient."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH t AS (
+  SELECT {source_col} AS src, {ws} AS toks FROM {table}
+), inc AS (
+  SELECT DISTINCT src,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM t, LATERAL UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+), per_src AS (
+  SELECT src, count(*)::BIGINT AS n_g FROM inc GROUP BY src
+), pairs AS (
+  SELECT x.src AS src_a, y.src AS src_b, count(*)::BIGINT AS shared
+  FROM inc x JOIN inc y ON x.g = y.g AND x.src < y.src
+  GROUP BY x.src, y.src
+)
+SELECT src_a, src_b, shared, a.n_g AS n_a, b.n_g AS n_b,
+       shared::DOUBLE / (a.n_g + b.n_g - shared)::DOUBLE AS jaccard
+FROM pairs JOIN per_src a ON pairs.src_a = a.src
+           JOIN per_src b ON pairs.src_b = b.src
+ORDER BY src_a, src_b
+"""

@@ -1728,3 +1728,75 @@ def ivfpq_residual_topk(emb: DataFrame, query_id, k: int = 10,
         .orderBy(F.col("dot").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def centroid_similarity_matrix(emb: DataFrame, group_col: str = "label",
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> DataFrame:
+    """Pairwise cosine between GROUP CENTROIDS — the cluster-structure
+    diagnostic ("which labels are semantically adjacent?", the merge
+    signal for over-split clusters). Cosine of means equals cosine of
+    integer component SUMS (the 1/n factors cancel), so the whole matrix
+    stays exact: per-pair dot and squared norms are DECIMAL(38,0) sums of
+    quantized-int products, and ``cos`` is the deterministic two-step
+    ``dot / sqrt(double(naa) * double(nbb))`` (exact-operand casts, IEEE
+    multiply, IEEE sqrt, IEEE divide — bit-identical across engines).
+    Returns ``(label_a, label_b, dot, cos)`` for every a < b pair.
+
+    Scale shape: the corpus reduces ONCE to the (group, dim) component
+    frame (|groups| x d rows — :func:`group_centroids`' aggregate); the
+    pair matrix is a self-join keyed on DIM (fan-out per dim = groups^2,
+    never corpus-sized) plus one groupBy over |groups|^2/2 rows. Vectors
+    themselves never join."""
+    comp = (
+        group_centroids(emb, group_col, vec_col, id_col)
+        .select(F.col(group_col).alias("g"), "dim",
+                F.col("sum_q").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    a = comp.select(F.col("g").alias("label_a"), "dim", F.col("s").alias("sa"))
+    b = comp.select(F.col("g").alias("label_b"), "dim", F.col("s").alias("sb"))
+    dec = "cast({v} as decimal(38,0))"
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.expr(f"sum({dec.format(v='sa')} * sb)").alias("dot"),
+            F.expr(f"sum({dec.format(v='sa')} * sa)").alias("naa"),
+            F.expr(f"sum({dec.format(v='sb')} * sb)").alias("nbb"),
+        )
+        .select(
+            "label_a", "label_b", "dot",
+            (F.col("dot").cast("double")
+             / F.sqrt(F.col("naa").cast("double") * F.col("nbb").cast("double"))
+             ).alias("cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def centroid_similarity_matrix_oracle_sql(group_col: str = "label",
+                                          table: str = "embeddings") -> str:
+    """DuckDB mirror over the identical component frame; HUGEINT sums,
+    the same double-cast multiply/sqrt/divide sequence."""
+    return f"""
+WITH x AS (
+  SELECT {group_col} AS g,
+         generate_subscripts(embedding, 1)::INT AS dim,
+         round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xq
+  FROM {table}
+), comp AS (
+  SELECT g, dim, sum(xq)::BIGINT AS s FROM x GROUP BY g, dim
+), p AS (
+  SELECT a.g AS label_a, b.g AS label_b,
+         sum(a.s::HUGEINT * b.s) AS dot,
+         sum(a.s::HUGEINT * a.s) AS naa,
+         sum(b.s::HUGEINT * b.s) AS nbb
+  FROM comp a JOIN comp b ON a.dim = b.dim AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT label_a, label_b, dot::DECIMAL(38,0) AS dot,
+       dot::DOUBLE / sqrt(naa::DOUBLE * nbb::DOUBLE) AS cos
+FROM p ORDER BY label_a, label_b
+"""

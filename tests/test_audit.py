@@ -205,3 +205,22 @@ def test_cascade_delete_audit_manual(spark):
     assert got == {"customer": (3, 2, 1),
                    "orders": (3, 2, 1),
                    "lineitem": (3, 2, 1)}
+
+
+def test_source_overlap_matrix_manual(spark):
+    """Two sources sharing exactly one 3-gram; third source disjoint."""
+    from cassandra_ttl_remover_spark.operators.audit import (
+        source_overlap_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox", "a"),
+         (2, "a quick brown fox runs", "b"),
+         (3, "zeta eta theta", "c")],
+        "doc_id long, text string, source string")
+    rows = {(r.src_a, r.src_b): (r.shared, r.n_a, r.n_b, r.jaccard)
+            for r in source_overlap_matrix(df).collect()}
+    # a: {the quick brown, quick brown fox}; b: {a quick brown,
+    # quick brown fox, brown fox runs} -> share exactly 1
+    assert rows[("a", "b")] == (1, 2, 3, 1 / 4)
+    assert ("a", "c") not in rows and ("b", "c") not in rows

@@ -72,3 +72,28 @@ def test_kmeans_zero_iters_is_input_labels(spark, embeddings):
         "vec_id", F.col("label").cast("long").alias("cluster")
     )
     assert out.exceptAll(orig).count() == 0
+
+
+def test_centroid_similarity_matrix_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        centroid_similarity_matrix,
+    )
+
+    emb = embeddings.limit(300)
+    pdf = emb.toPandas()
+    cents = {}
+    for lab, grp in pdf.groupby("label"):
+        x = np.stack(grp["embedding"].to_numpy()).astype(np.float64) * 1e6
+        # Spark round() is half-away-from-zero, not banker's rint
+        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+        cents[lab] = q.sum(axis=0)
+    got = {(r.label_a, r.label_b): float(r.cos)
+           for r in centroid_similarity_matrix(emb).collect()}
+    for (a, b), cos in got.items():
+        va, vb = cents[a], cents[b]
+        want = float(va @ vb) / np.sqrt(float(va @ va) * float(vb @ vb))
+        assert abs(cos - want) < 1e-9
+    labs = sorted(cents)
+    assert len(got) == len(labs) * (len(labs) - 1) // 2
