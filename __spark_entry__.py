@@ -716,6 +716,8 @@ _DRIVER_PRIORITY = [
     "q_mm13_jpeg_decode",
     "q_d9_source_overlap",
     "q_v8_centroid_similarity",
+    "q_ml6_ttest",
+    "q_d10_key_skew",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -2759,6 +2761,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return centroid_similarity_matrix(scan_table(spark, sf, "embeddings"))
     q["q_v8_centroid_similarity"] = q_v8
+
+    def q_ml6(spark, sf):
+        # pooled two-sample t-test as a RATIONAL of six integer sums (one
+        # conditional map-side-combined pass, no group shuffle); t is
+        # sign * sqrt(num/den) over exact operands
+        from cassandra_ttl_remover_spark.operators.ml import ttest_two_group
+
+        return ttest_two_group(scan_table(spark, sf, "documents"),
+                               positive="en")
+    q["q_ml6_ttest"] = q_ml6
+
+    def q_d10(spark, sf):
+        # join-key skew pre-flight on orders.o_custkey: per-key counts
+        # once, discrete order-statistic percentiles (integer rank
+        # selection), top-k heavy keys — the salt/broadcast decision row
+        from cassandra_ttl_remover_spark.operators.audit import (
+            key_skew_report,
+        )
+
+        return key_skew_report(scan_table(spark, sf, "orders"), "o_custkey")
+    q["q_d10_key_skew"] = q_d10
 
     def q_n47(spark, sf):
         # deterministic systematic PPS sampling: 50 selection points on
@@ -5100,6 +5123,14 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
         centroid_similarity_matrix_oracle_sql,
     )
     o["q_v8_centroid_similarity"] = centroid_similarity_matrix_oracle_sql()
+    from cassandra_ttl_remover_spark.operators.ml import (
+        ttest_two_group_oracle_sql,
+    )
+    o["q_ml6_ttest"] = ttest_two_group_oracle_sql(positive="en")
+    from cassandra_ttl_remover_spark.operators.audit import (
+        key_skew_report_oracle_sql,
+    )
+    o["q_d10_key_skew"] = key_skew_report_oracle_sql("orders", "o_custkey")
 
     from cassandra_ttl_remover_spark.operators.audit import (
         referential_integrity_oracle_sql,

@@ -292,6 +292,29 @@ def main() -> int:
                     ["customer", "orders", "lineitem", "supplier", "nation", "region"])
         spark.sql(entry_mod.SHARED_SQL_Q5).collect()
 
+    def q_entity_resolution():
+        # blocking + Jaccard + closure end-to-end over documents
+        from cassandra_ttl_remover_spark.operators.er import resolve_entities
+        resolve_entities(documents, threshold=(1, 2)).filter(
+            "NOT is_canon").count()
+
+    def q_jpeg_decode():
+        # entropy-coded transform decode: Huffman + bitstream + IDCT
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_jpeg, jpeg_decode_features)
+        jpeg_decode_features(documents_as_jpeg(documents, width=64)).agg(
+            F.sum("sum_px")).collect()
+
+    def q_scd2():
+        # Type-2 SCD from events: two windows over one key exchange
+        from cassandra_ttl_remover_spark.operators.sessions import scd2_build
+        scd2_build(events).filter("is_current").count()
+
+    def q_pmi():
+        # collocations: two explode-aggs + vocab joins + TakeOrdered
+        from cassandra_ttl_remover_spark.operators import text as text_ops
+        text_ops.pmi_bigrams(documents, k=50, min_count=5).collect()
+
     queries = {
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
@@ -322,6 +345,10 @@ def main() -> int:
         "png_decode": q_png_decode,
         "bpe_train": q_bpe_train,
         "kcore": q_kcore,
+        "entity_resolution": q_entity_resolution,
+        "jpeg_decode": q_jpeg_decode,
+        "scd2": q_scd2,
+        "pmi_bigrams": q_pmi,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
     }

@@ -589,3 +589,95 @@ FROM pairs JOIN per_src a ON pairs.src_a = a.src
            JOIN per_src b ON pairs.src_b = b.src
 ORDER BY src_a, src_b
 """
+
+
+def key_skew_report(df: DataFrame, key_col: str, *,
+                    quantiles: tuple = (50, 90, 99),
+                    top_k: int = 5) -> DataFrame:
+    """Join-key skew audit — the pre-flight a 100 TB join wants before it
+    shuffles: per-key row counts reduced to the numbers that decide the
+    strategy (salt? AQE skew-join? broadcast?). Returns ONE row
+    ``(n_rows, n_keys, max_cnt, p50_cnt, p90_cnt, p99_cnt, top_keys)``
+    where the percentiles are DISCRETE order statistics over the per-key
+    count distribution (rank = floor((n_keys-1)*q/100) + 1 on the
+    ascending counts — integer selection, no interpolation formula to
+    disagree on between engines) and ``top_keys`` is the concatenated
+    ``key:cnt`` list of the ``top_k`` heaviest keys (count desc, key asc).
+
+    Scale shape: one groupBy(key) (the same shuffle the real join would
+    do, at count-only width), then ALL statistics ride a single ordered
+    window pass over the per-key frame (vocab-sized, orders below the
+    data) plus one 1-row aggregate. No collect, no sort of the raw data."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy(F.col("cnt").asc(), F.col("k").asc())
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    wtop = Window.orderBy(F.col("cnt").desc(), F.col("k").asc())
+    top = (
+        counts.withColumn("rt", F.row_number().over(wtop))
+        .filter(F.col("rt") <= top_k)
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(rt, k,"
+                " cnt))), x -> concat(x.k, ':', x.cnt)), ',')"
+            ).alias("top_keys")
+        )
+    )
+    qcols = [
+        F.max(
+            F.when(
+                # integer rank selection: ((n-1)*q) div 100 + 1 — no float
+                # interpolation formula for the engines to disagree on
+                F.col("rn")
+                == F.expr(f"((n_keys - 1) * {int(qq)}) div 100 + 1"),
+                F.col("cnt"),
+            )
+        ).alias(f"p{qq}_cnt")
+        for qq in quantiles
+    ]
+    stats = (
+        ranked.withColumn("n_keys", F.count("*").over(
+            Window.partitionBy(F.lit(1))))
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.max("rn").cast("long").alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            *qcols,
+        )
+    )
+    return stats.crossJoin(F.broadcast(top))
+
+
+def key_skew_report_oracle_sql(table: str, key_col: str, *,
+                               quantiles: tuple = (50, 90, 99),
+                               top_k: int = 5) -> str:
+    qsel = ", ".join(
+        f"(SELECT cnt FROM ranked WHERE rn = "
+        f"((SELECT count(*) FROM counts) - 1) * {qq} // 100 + 1)"
+        f"::BIGINT AS p{qq}_cnt"
+        for qq in quantiles
+    )
+    return f"""
+WITH counts AS (
+  SELECT {key_col} AS k, count(*)::BIGINT AS cnt
+  FROM {table} GROUP BY {key_col}
+), ranked AS (
+  SELECT k, cnt, row_number() OVER (ORDER BY cnt ASC, k ASC) AS rn
+  FROM counts
+), top AS (
+  SELECT string_agg(k || ':' || cnt, ',' ORDER BY cnt DESC, k ASC)
+           AS top_keys
+  FROM (SELECT k, cnt FROM counts ORDER BY cnt DESC, k ASC LIMIT {top_k})
+)
+SELECT (SELECT sum(cnt) FROM counts)::BIGINT AS n_rows,
+       (SELECT count(*) FROM counts)::BIGINT AS n_keys,
+       (SELECT max(cnt) FROM counts)::BIGINT AS max_cnt,
+       {qsel},
+       top_keys
+FROM top
+"""

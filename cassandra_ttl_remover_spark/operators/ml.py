@@ -473,3 +473,86 @@ FROM scored
 ORDER BY chi2 DESC, token ASC
 LIMIT {k}
 """
+
+
+def ttest_two_group(docs: DataFrame, positive: str = "en",
+                    label_col: str = "lang", text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Pooled two-sample t-test on document LENGTH between the
+    ``label_col = positive`` class and the rest ("are my English docs
+    longer than the others?" — the A/B significance read every curation
+    change wants). The pooled-variance t statistic is a RATIONAL in the
+    per-group integer sums: with S_g = sum(x), Q_g = sum(x^2),
+
+        t^2 = (n1+n2-2) * (n2*S1 - n1*S2)^2
+              / ((n1+n2) * (n2*(n1*Q1 - S1^2) + n1*(n2*Q2 - S2^2)))
+
+    so both operands are exact DECIMAL(38,0) and ``t`` is
+    ``sign(n2*S1 - n1*S2) * sqrt(num/den)`` — one IEEE division + one
+    IEEE sqrt over exact-operand doubles, hash-stable. Returns ONE row
+    ``(n1, n2, mean_diff_num, t2_num, t2_den, t)``.
+
+    Scale shape: the corpus reduces to SIX integer sums in one
+    map-side-combined conditional aggregation (no group shuffle at all —
+    the two groups are conditional sums in the same pass); the algebra
+    runs on the single row. Overflow bound: num <= N^3 * maxlen^2 — N to
+    ~1e8 docs at 1e4 chars stays in DECIMAL(38,0)."""
+    x = f"cast(length({text_col}) as bigint)"
+    pos = f"cast({label_col} = '{positive}' as bigint)"
+    sums = fan_out(docs, id_col).agg(
+        F.expr(f"sum({pos})").alias("n1"),
+        F.expr(f"sum(1 - {pos})").alias("n2"),
+        F.expr(f"sum({pos} * {x})").alias("s1"),
+        F.expr(f"sum((1 - {pos}) * {x})").alias("s2"),
+        F.expr(f"sum({pos} * {x} * {x})").alias("q1"),
+        F.expr(f"sum((1 - {pos}) * {x} * {x})").alias("q2"),
+    )
+    dec = "cast({v} as decimal(38,0))"
+    n1, n2 = dec.format(v="n1"), dec.format(v="n2")
+    s1, s2 = dec.format(v="s1"), dec.format(v="s2")
+    q1, q2 = dec.format(v="q1"), dec.format(v="q2")
+    d = f"({n2} * {s1} - {n1} * {s2})"
+    num = f"({n1} + {n2} - 2) * {d} * {d}"
+    den = (f"({n1} + {n2}) * ({n2} * ({n1} * {q1} - {s1} * {s1})"
+           f" + {n1} * ({n2} * {q2} - {s2} * {s2}))")
+    return sums.select(
+        "n1", "n2",
+        F.expr(d).alias("mean_diff_num"),
+        F.expr(num).alias("t2_num"),
+        F.expr(den).alias("t2_den"),
+        F.expr(
+            f"case when {den} = 0 then cast(0.0 as double) else "
+            f"cast(sign({d}) as double)"
+            f" * sqrt(cast({num} as double) / cast({den} as double)) end"
+        ).alias("t"),
+    )
+
+
+def ttest_two_group_oracle_sql(positive: str = "en",
+                               label_col: str = "lang",
+                               table: str = "documents") -> str:
+    x = "length(text)::BIGINT"
+    pos = f"({label_col} = '{positive}')::BIGINT"
+    d = "(n2::HUGEINT * s1 - n1::HUGEINT * s2)"
+    num = f"(n1::HUGEINT + n2 - 2) * {d} * {d}"
+    den = ("(n1::HUGEINT + n2) * (n2::HUGEINT * (n1::HUGEINT * q1 - s1::HUGEINT * s1)"
+           " + n1::HUGEINT * (n2::HUGEINT * q2 - s2::HUGEINT * s2))")
+    return f"""
+WITH sums AS (
+  SELECT sum({pos})::BIGINT AS n1,
+         sum(1 - {pos})::BIGINT AS n2,
+         sum({pos} * {x})::BIGINT AS s1,
+         sum((1 - {pos}) * {x})::BIGINT AS s2,
+         sum({pos} * {x} * {x})::BIGINT AS q1,
+         sum((1 - {pos}) * {x} * {x})::BIGINT AS q2
+  FROM {table}
+)
+SELECT n1, n2,
+       ({d})::DECIMAL(38,0) AS mean_diff_num,
+       ({num})::DECIMAL(38,0) AS t2_num,
+       ({den})::DECIMAL(38,0) AS t2_den,
+       CASE WHEN ({den}) = 0 THEN 0.0 ELSE
+         sign({d})::DOUBLE * sqrt(({num})::DOUBLE / ({den})::DOUBLE)
+       END AS t
+FROM sums
+"""

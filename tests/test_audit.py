@@ -224,3 +224,17 @@ def test_source_overlap_matrix_manual(spark):
     # quick brown fox, brown fox runs} -> share exactly 1
     assert rows[("a", "b")] == (1, 2, 3, 1 / 4)
     assert ("a", "c") not in rows and ("b", "c") not in rows
+
+
+def test_key_skew_report_manual(spark):
+    from cassandra_ttl_remover_spark.operators.audit import key_skew_report
+
+    rows = ([("a",)] * 10 + [("b",)] * 5 + [("c",)] * 3 + [("d",)] * 1
+            + [("e",)] * 1)
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k", quantiles=(50, 90), top_k=2).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_cnt) == (20, 5, 10)
+    # counts asc = [1,1,3,5,10]; p50 rank = (5-1)*50//100+1 = 3 -> 3
+    # p90 rank = (5-1)*90//100+1 = 4 -> 5
+    assert (r.p50_cnt, r.p90_cnt) == (3, 5)
+    assert r.top_keys == "a:10,b:5"

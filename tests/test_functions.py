@@ -156,3 +156,26 @@ def test_chi2_contingency_manual(spark):
     assert float(rows["pos"].chi2) == 4.0
     assert float(rows["neg"].chi2) == 4.0
     assert float(rows["alpha"].chi2) == 0.0  # present in one of each class
+
+
+def test_ttest_matches_scipy_free_reference(spark, documents):
+    """t from the rational construction equals the classic pooled-t
+    computed in floats from the same data."""
+    import math
+
+    from cassandra_ttl_remover_spark.operators.ml import ttest_two_group
+
+    docs = documents.limit(250)
+    row = ttest_two_group(docs, positive="en").collect()[0]
+    lens = [(len(r.text), r.lang == "en")
+            for r in docs.select("text", "lang").collect()]
+    g1 = [x for x, p in lens if p]
+    g2 = [x for x, p in lens if not p]
+    n1, n2 = len(g1), len(g2)
+    m1, m2 = sum(g1) / n1, sum(g2) / n2
+    ss1 = sum((x - m1) ** 2 for x in g1)
+    ss2 = sum((x - m2) ** 2 for x in g2)
+    sp2 = (ss1 + ss2) / (n1 + n2 - 2)
+    want = (m1 - m2) / math.sqrt(sp2 * (1 / n1 + 1 / n2))
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.t - want) < 1e-9 * max(1.0, abs(want))
