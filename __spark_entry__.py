@@ -718,6 +718,7 @@ _DRIVER_PRIORITY = [
     "q_v8_centroid_similarity",
     "q_ml6_ttest",
     "q_d10_key_skew",
+    "q_sk2_salted_join",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4050,6 +4051,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_sk1_salted_rollup"] = q_sk1
 
+    def q_sk2(spark, sf):
+        # skew-mitigated fact-dim join (plans.salted_join): fact rows
+        # carry a row-hash salt, the dim side replicates n_salts times,
+        # join key becomes (key, salt) -- row-identical to the plain join
+        # (hash-matched against it), hot-key-proof by construction
+        from cassandra_ttl_remover_spark.plans import salted_join
+
+        orders = scan_table(spark, sf, "orders")
+        cust = scan_table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+        )
+        return (
+            salted_join(orders, cust, "o_custkey", n_salts=8)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.expr(
+                    "cast(sum(cast(o_totalprice as decimal(18,2)))"
+                    " as double)"
+                ).alias("sum_price"),
+            )
+            .orderBy("c_nationkey")
+        )
+    q["q_sk2_salted_join"] = q_sk2
+
     def q_n30(spark, sf):
         # asymmetric near-dup: containment catches quoted-excerpt /
         # page-with-boilerplate subsumption that Jaccard dilutes away
@@ -5131,6 +5157,12 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
         key_skew_report_oracle_sql,
     )
     o["q_d10_key_skew"] = key_skew_report_oracle_sql("orders", "o_custkey")
+    o["q_sk2_salted_join"] = """
+SELECT c_nationkey, count(*)::BIGINT AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
 
     from cassandra_ttl_remover_spark.operators.audit import (
         referential_integrity_oracle_sql,

@@ -247,3 +247,31 @@ def two_level_cumsum(df: DataFrame, order_cols: list[str], val_col: str,
         .withColumn(out, F.col("_lc") + F.coalesce(F.col("_off"), F.lit(0)))
         .drop("_pid", "_lc", "_off")
     )
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salts: int = 8) -> DataFrame:
+    """Skew-mitigated equi-join: the FACT side gets a deterministic
+    row-hash salt in [0, n_salts); the DIM side is replicated once per
+    salt value (an ``explode(sequence(...))`` — n_salts copies of the
+    small side, never of the fact); the join key becomes (key, salt), so
+    a hot key's fact rows spread across ``n_salts`` reducers instead of
+    serializing on one. Row-for-row identical to ``left.join(right,
+    key)`` for any 1:N key relationship — replication only multiplies
+    the DIM side, and each fact row meets exactly the one replica
+    carrying its salt.
+
+    This is the manual form of what AQE's skew-join split does at
+    runtime; it exists for the cases AQE can't reach (skew behind an
+    exchange reused by several consumers, or a first-stage join whose
+    partition stats aren't known yet). For uniform keys plain join is
+    strictly cheaper — measure with
+    :func:`~cassandra_ttl_remover_spark.operators.audit.key_skew_report`
+    first."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                  F.lit(n_salts)).cast("int")
+    lf = left.withColumn("_salt", salt)
+    rt = right.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {int(n_salts)} - 1)"))
+    )
+    return lf.join(rt, [key, "_salt"]).drop("_salt")

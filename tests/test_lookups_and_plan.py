@@ -92,3 +92,32 @@ def test_portable_token_filter_partitions_space(spark, events):
     assert lo + hi == events.count()
     wrap = portable_token_filter(events, "event_id", mid + 1, mid).count()
     assert wrap == events.count(), "full wrap-around selects everything"
+
+
+def test_salted_join_identical_to_plain(spark, events):
+    """salted_join == plain join row-for-row (1:N dim), any n_salts."""
+    from cassandra_ttl_remover_spark.plans import salted_join
+
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 3), ("refund", 4)],
+        "event_type string, w long")
+    ev = events.limit(500)
+    plain = ev.join(dim, "event_type")
+    salted = salted_join(ev, dim, "event_type", n_salts=5)
+    assert salted.count() == plain.count()
+    assert salted.select(*sorted(plain.columns)).exceptAll(
+        plain.select(*sorted(plain.columns))).isEmpty()
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The join key actually includes the salt: the dim side carries
+    n_salts replicas per key in the joined plan's build side."""
+    from cassandra_ttl_remover_spark.plans import salted_join
+
+    fact = spark.createDataFrame([(1, "hot")] * 100 + [(2, "cold")],
+                                 "id long, k string")
+    dim = spark.createDataFrame([("hot", 10), ("cold", 20)], "k string, v long")
+    out = salted_join(fact, dim, "k", n_salts=4)
+    assert out.count() == 101
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
