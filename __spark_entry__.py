@@ -719,6 +719,8 @@ _DRIVER_PRIORITY = [
     "q_ml6_ttest",
     "q_d10_key_skew",
     "q_sk2_salted_join",
+    "q_n51_winnowing",
+    "q_x22_rendezvous_shard",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4076,6 +4078,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_sk2_salted_join"] = q_sk2
 
+    def q_n51(spark, sf):
+        # full winnowing fingerprint selection (MOSS): per-window argmin
+        # over gram hashes, distinct positions -- pure per-row HOFs, zero
+        # shuffle; guarantees shared fingerprints for matches >= w+2 tokens
+        return text.winnow_fingerprints(
+            scan_table(spark, sf, "documents"), window=4
+        )
+    q["q_n51_winnowing"] = q_n51
+
+    def q_x22(spark, sf):
+        # rendezvous (HRW) sharding report with measured resharding cost:
+        # per-key argmax over n md5s (zero shuffle), one groupBy(shard);
+        # n_moved bounds the N -> N+1 migration at ~1/(N+1)
+        from cassandra_ttl_remover_spark.operators.curate import (
+            rendezvous_shard_report,
+        )
+
+        return rendezvous_shard_report(
+            scan_table(spark, sf, "documents"), n_shards=8
+        )
+    q["q_x22_rendezvous_shard"] = q_x22
+
     def q_n30(spark, sf):
         # asymmetric near-dup: containment catches quoted-excerpt /
         # page-with-boilerplate subsumption that Jaccard dilutes away
@@ -5163,6 +5187,13 @@ SELECT c_nationkey, count(*)::BIGINT AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
+    o["q_n51_winnowing"] = text.winnow_fingerprints_oracle_sql(window=4)
+    from cassandra_ttl_remover_spark.operators.curate import (
+        rendezvous_shard_report_oracle_sql,
+    )
+    o["q_x22_rendezvous_shard"] = rendezvous_shard_report_oracle_sql(
+        n_shards=8
+    )
 
     from cassandra_ttl_remover_spark.operators.audit import (
         referential_integrity_oracle_sql,

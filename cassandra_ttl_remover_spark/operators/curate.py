@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from cassandra_ttl_remover_spark.operators import dedup, text
+from cassandra_ttl_remover_spark.plans import fan_out
 
 
 def curate_corpus(spark: SparkSession, docs: DataFrame, *,
@@ -1078,4 +1079,70 @@ FROM (
 )
 WHERE n_picks > 0
 ORDER BY {id_col}
+"""
+
+
+def rendezvous_shard_report(docs: DataFrame, n_shards: int = 8,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding report — the
+    consistent-assignment scheme for routing corpus keys to N workers /
+    caches / index shards such that growing to N+1 moves only ~1/(N+1)
+    of the keys (vs ~all keys under mod-N). Per key, the winning shard is
+    ``argmax over s of md5(key || ':' || s)`` (lexicographic max — any
+    fixed total order works). Returns one row per shard:
+    ``(shard, n_keys, n_moved)`` where ``n_moved`` counts keys whose
+    winner CHANGES when one shard is added — the measured resharding
+    cost, which mod-N hashing cannot bound.
+
+    Scale shape: assignment is a per-row HOF argmax over ``n_shards``
+    md5s (zero shuffle, codegen); the report is one groupBy(shard) —
+    shard-count-sized output. The HRW invariant (the only keys that move
+    go TO the new shard) is what the oracle hash-checks."""
+    n = int(n_shards)
+
+    def argmax(upto: int) -> str:
+        return (
+            f"element_at(array_sort(transform(sequence(0, {upto} - 1), "
+            f"s -> struct(md5(concat(cast({id_col} as string), ':', "
+            f"cast(s as string))) as h, s as s))), {upto}).s"
+        )
+
+    return (
+        fan_out(docs.select(id_col), id_col)
+        .select(
+            F.col(id_col),
+            F.expr(argmax(n)).cast("int").alias("shard"),
+            F.expr(argmax(n + 1)).cast("int").alias("shard_next"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(
+                (F.col("shard") != F.col("shard_next")).cast("long")
+            ).alias("n_moved"),
+        )
+        .orderBy("shard")
+    )
+
+
+def rendezvous_shard_report_oracle_sql(n_shards: int = 8,
+                                       table: str = "documents",
+                                       id_col: str = "doc_id") -> str:
+    n = int(n_shards)
+
+    def winner(upto: int) -> str:
+        return (f"(SELECT s FROM UNNEST(generate_series(0, {upto} - 1))"
+                f" AS v(s) ORDER BY md5({id_col}::VARCHAR || ':' ||"
+                f" s::VARCHAR) DESC LIMIT 1)")
+
+    return f"""
+WITH assign AS (
+  SELECT {id_col},
+         {winner(n)} AS shard,
+         {winner(n + 1)} AS shard_next
+  FROM {table}
+)
+SELECT shard::INT AS shard, count(*)::BIGINT AS n_keys,
+       sum((shard <> shard_next)::BIGINT)::BIGINT AS n_moved
+FROM assign GROUP BY shard ORDER BY shard
 """

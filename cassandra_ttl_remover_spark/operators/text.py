@@ -1254,3 +1254,106 @@ FROM bc JOIN uc x ON bc.w1 = x.w JOIN uc y ON bc.w2 = y.w, totals
 ORDER BY lift DESC, w1 ASC, w2 ASC
 LIMIT {k}
 """
+
+
+def winnow_fingerprints(docs: DataFrame, window: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Full WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm — public method): hash every word 3-gram,
+    slide a ``window``-wide window over the hash sequence, select each
+    window's minimum (ties -> leftmost), and keep the DISTINCT selected
+    positions. Guarantees every match of length >= window+2 tokens shares
+    a fingerprint while keeping density ~2/(window+1) — the principled
+    upgrade over :func:`fingerprint`'s single global min. Returns
+    ``(id_col, n_grams, n_selected, fp)`` where ``fp`` is the md5 of the
+    comma-joined selected hashes in position order (hash-checkable
+    without shipping the fingerprint set).
+
+    Short docs: fewer grams than the window -> ONE window over all grams
+    (standard boundary rule); no grams -> (0, 0, md5('')).
+
+    Scale shape: pure per-row higher-order functions — zero shuffle,
+    whole-stage codegen, embarrassingly parallel; cost is O(tokens *
+    window) comparisons per doc, all JVM-side."""
+    ws = WORDS_EXPR.format(col=text_col)
+    # positional gram hashes (NOT distinct — winnowing needs the sequence);
+    # case-guard because Spark's sequence(1, 0) counts DOWN to [1, 0]
+    hs = (f"case when size({ws}) >= 3 then "
+          f"transform(sequence(1, size({ws}) - 2), "
+          f"i -> md5(concat_ws(' ', element_at({ws}, i), "
+          f"element_at({ws}, i + 1), element_at({ws}, i + 2)))) "
+          f"else array() end")
+    w = int(window)
+    body = (
+        f"element_at(transform(array({hs}), hs -> "
+        f"struct(cast(size(hs) as bigint) as n_grams, "
+        # distinct (hash, pos) argmins, one per window; leftmost on ties
+        # via lexicographic struct min over (hash, pos)
+        f"array_distinct(transform("
+        # empty-gram guard: sequence(1, 0) would count DOWN in Spark
+        f" if(size(hs) = 0, array(),"
+        f"    sequence(1, greatest(size(hs) - {w} + 1, 1))),"
+        f" j -> array_min(transform("
+        f"   sequence(j, least(j + {w} - 1, size(hs))),"
+        f"   i -> struct(element_at(hs, i) as h, i as p))))) as sel"
+        f")), 1)"
+    )
+    return (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.expr(body).alias("_x"))
+        .select(
+            id_col,
+            F.col("_x.n_grams").alias("n_grams"),
+            F.expr("cast(size(_x.sel) as bigint)").alias("n_selected"),
+            F.expr(
+                "md5(array_join(transform(array_sort(_x.sel,"
+                " (a, b) -> case when a.p < b.p then -1"
+                " when a.p > b.p then 1 else 0 end), s -> s.h), ','))"
+            ).alias("fp"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def winnow_fingerprints_oracle_sql(window: int = 4,
+                                   table: str = "documents",
+                                   id_col: str = "doc_id") -> str:
+    """Independent recomputation: per-window argmin via list_position on
+    the sliced hash list (a different mechanism than Spark's struct-min),
+    distinct positions, same ordered-concat md5."""
+    w = int(window)
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {ws} AS toks FROM {table}
+), g AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, (len(toks) - 1)::INT),
+             i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         ELSE [] END AS h
+  FROM t
+), wins AS (
+  SELECT id, h, j,
+         h[j:least(j + {w} - 1, len(h))] AS win
+  FROM g, LATERAL UNNEST(generate_series(1,
+           greatest(len(h) - {w} + 1, CASE WHEN len(h) > 0 THEN 1 ELSE 0 END)
+         )) AS u(j)
+), sel AS (
+  SELECT DISTINCT id,
+         j + list_position(win, list_min(win)) - 1 AS p,
+         list_min(win) AS hh
+  FROM wins
+), agg AS (
+  SELECT id, count(*)::BIGINT AS n_selected,
+         md5(string_agg(hh, ',' ORDER BY p)) AS fp
+  FROM sel GROUP BY id
+)
+SELECT g.id AS {id_col},
+       len(g.h)::BIGINT AS n_grams,
+       coalesce(agg.n_selected, 0)::BIGINT AS n_selected,
+       coalesce(agg.fp, md5('')) AS fp
+FROM g LEFT JOIN agg ON g.id = agg.id
+ORDER BY {id_col}
+"""

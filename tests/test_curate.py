@@ -321,3 +321,23 @@ def test_pps_systematic_properties(spark):
     assert got2[2] >= 8          # the heavy doc absorbs most points
     # proportionality: expected picks ~ weight * n / total
     assert got2[2] == 9          # points at 5,15,...,95: doc2 covers (5,95]
+
+
+def test_rendezvous_only_moves_to_new_shard(spark, documents):
+    """HRW invariant: adding shard N, every key either stays put or moves
+    TO shard N -- so sum(n_moved) equals the count won by the new shard."""
+    from cassandra_ttl_remover_spark.operators.curate import (
+        rendezvous_shard_report,
+    )
+
+    docs = documents.limit(200)
+    rep = rendezvous_shard_report(docs, n_shards=8).collect()
+    assert sum(r.n_keys for r in rep) == 200
+    moved = sum(r.n_moved for r in rep)
+    # expected migration ~ n/(N+1); allow generous slack, but it must be
+    # far below a mod-N reshuffle (which would move ~7/8 of keys)
+    assert 0 < moved < 200 * 0.5
+    rep9 = {r.shard: r.n_keys
+            for r in rendezvous_shard_report(docs, n_shards=9).collect()}
+    # keys that moved under 8->9 are exactly the new shard's winners
+    assert rep9.get(8, 0) == moved

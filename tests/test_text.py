@@ -328,3 +328,62 @@ def test_pmi_bigrams_min_count_filters(spark):
         [(1, "a b a b"), (2, "c d")], "doc_id long, text string")
     got = {(r.w1, r.w2) for r in T.pmi_bigrams(df, k=10, min_count=2).collect()}
     assert got == {("a", "b")}
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    """Spark HOF winnowing equals a direct Python implementation,
+    including the short-doc and all-ties boundary rules."""
+    import hashlib
+
+    from cassandra_ttl_remover_spark.operators import text as T
+
+    texts = [(1, "a b c d e f g h i j k"), (2, "x y"), (3, "p q r"),
+             (4, "a b c a b c a b c a b c"),
+             (5, "one two three four five six seven")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_selected, r.fp)
+           for r in T.winnow_fingerprints(df, window=4).collect()}
+
+    def ref(text, w=4):
+        toks = [t for t in text.split(" ") if t]
+        grams = ([" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+                 if len(toks) >= 3 else [])
+        h = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if not h:
+            return (0, 0, hashlib.md5(b"").hexdigest())
+        sel = {}
+        for j in range(max(len(h) - w + 1, 1)):
+            win = h[j:j + w]
+            sel[j + win.index(min(win))] = min(win)
+        joined = ",".join(sel[p] for p in sorted(sel))
+        return (len(h), len(sel), hashlib.md5(joined.encode()).hexdigest())
+
+    for did, text in texts:
+        assert got[did] == ref(text), did
+
+
+def test_winnow_guarantee_shared_fingerprint(spark):
+    """Any shared run of >= window+2 tokens forces a shared fingerprint
+    (the winnowing guarantee)."""
+    from cassandra_ttl_remover_spark.operators import text as T
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= 4+2
+    df = spark.createDataFrame(
+        [(1, "aa bb " + shared + " cc"), (2, shared + " xx yy zz")],
+        "doc_id long, text string")
+    # recompute selected hash SETS via the reference rule to compare
+    import hashlib
+
+    def sel_set(text, w=4):
+        toks = [t for t in text.split(" ") if t]
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        h = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        out = set()
+        for j in range(max(len(h) - w + 1, 1)):
+            win = h[j:j + w]
+            out.add(min(win))
+        return out
+
+    rows = {r.doc_id: r for r in T.winnow_fingerprints(df, window=4).collect()}
+    assert rows[1].n_selected > 0 and rows[2].n_selected > 0
+    assert sel_set("aa bb " + shared + " cc") & sel_set(shared + " xx yy zz")
