@@ -721,6 +721,7 @@ _DRIVER_PRIORITY = [
     "q_sk2_salted_join",
     "q_n51_winnowing",
     "q_x22_rendezvous_shard",
+    "q_w7_incremental_view",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4100,6 +4101,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_x22_rendezvous_shard"] = q_x22
 
+    def q_w7(spark, sf):
+        # incremental materialized-view maintenance: the first 80% of
+        # events is the MATERIALIZED base aggregate; the last 20% merges
+        # in as partials (cost O(delta), base raw rows never re-read);
+        # the oracle is the full recompute -- merged == recompute, exact
+        from cassandra_ttl_remover_spark.plans import incremental_agg_merge
+
+        ev = _events(spark, sf).select(
+            "event_type", "event_id",
+            F.expr("cast(value as decimal(18,6))").alias("val_dec"),
+        )
+        aggs = {
+            "n": ("count", "event_id"),
+            "min_id": ("min", "event_id"),
+            "max_id": ("max", "event_id"),
+            "sum_val": ("sum", "val_dec"),
+        }
+        cut = ev.agg(
+            F.expr("percentile_approx(event_id, 0.8)").alias("c")
+        ).collect()[0].c
+        base = ev.filter(F.col("event_id") <= F.lit(int(cut)))
+        delta = ev.filter(F.col("event_id") > F.lit(int(cut)))
+        base_agg = base.groupBy("event_type").agg(
+            *[getattr(F, fn)(c).alias(out)
+              for out, (fn, c) in aggs.items()]
+        )
+        out = incremental_agg_merge(base_agg, delta, ["event_type"], aggs)
+        return out.select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("min_id").cast("long").alias("min_id"),
+            F.col("max_id").cast("long").alias("max_id"),
+            F.col("sum_val").cast("double").alias("sum_val"),
+        ).orderBy("event_type")
+    q["q_w7_incremental_view"] = q_w7
+
     def q_n30(spark, sf):
         # asymmetric near-dup: containment catches quoted-excerpt /
         # page-with-boilerplate subsumption that Jaccard dilutes away
@@ -5194,6 +5231,12 @@ GROUP BY c_nationkey ORDER BY c_nationkey
     o["q_x22_rendezvous_shard"] = rendezvous_shard_report_oracle_sql(
         n_shards=8
     )
+    o["q_w7_incremental_view"] = """
+SELECT event_type, count(event_id)::BIGINT AS n,
+       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id,
+       sum(value::DECIMAL(18,6))::DOUBLE AS sum_val
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
     from cassandra_ttl_remover_spark.operators.audit import (
         referential_integrity_oracle_sql,

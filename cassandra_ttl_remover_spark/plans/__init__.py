@@ -275,3 +275,40 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
         "_salt", F.explode(F.expr(f"sequence(0, {int(n_salts)} - 1)"))
     )
     return lf.join(rt, [key, "_salt"]).drop("_salt")
+
+
+def incremental_agg_merge(base_agg: DataFrame, delta: DataFrame,
+                          keys: list[str],
+                          aggs: dict[str, tuple[str, str]]) -> DataFrame:
+    """Incremental materialized-view maintenance for algebraic
+    aggregates: given the MATERIALIZED aggregate ``base_agg`` (columns =
+    keys + the agg outputs) and a raw ``delta`` batch, produce the
+    aggregate of base∪delta WITHOUT touching the base's raw rows — the
+    view-refresh path whose cost is O(delta), not O(history). ``aggs``
+    has :func:`salted_agg`'s contract (sum/count/min/max only — the
+    algebraic class whose partials merge exactly; avg/median callers
+    store sum+count and divide at read time).
+
+    Identical-result guarantee (hash-matched in q_w7's oracle): merging
+    the delta's partials into the base equals the full recompute over
+    all rows, because every listed aggregate is associative +
+    commutative and the sums run in DECIMAL when exactness matters.
+
+    Scale shape: the delta aggregates with ONE map-side-combined
+    shuffle at delta size; the merge is a union + one groupBy over
+    (base keys ∪ delta keys) — group-cardinality-sized, orders below
+    the fact table. This is the pattern behind every "update the daily
+    rollup from the last hour's files" job at 100 TB."""
+    for fn, _ in aggs.values():
+        if fn not in _MERGE:
+            raise ValueError(f"non-algebraic aggregate {fn!r}; "
+                             "maintain sum+count instead")
+    delta_partial = delta.groupBy(*keys).agg(
+        *[getattr(F, fn)(col).alias(out) for out, (fn, col) in aggs.items()]
+    )
+    return (
+        base_agg.select(*keys, *aggs.keys())
+        .unionByName(delta_partial.select(*keys, *aggs.keys()))
+        .groupBy(*keys)
+        .agg(*[_MERGE[fn](out).alias(out) for out, (fn, _) in aggs.items()])
+    )

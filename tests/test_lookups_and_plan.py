@@ -121,3 +121,29 @@ def test_salted_join_spreads_hot_key(spark):
     assert out.count() == 101
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_incremental_agg_merge_equals_recompute(spark, events):
+    from cassandra_ttl_remover_spark.plans import incremental_agg_merge
+
+    ev = events.select("event_type", "event_id")
+    aggs = {"n": ("count", "event_id"), "mx": ("max", "event_id")}
+    base = ev.filter("event_id % 5 != 0")
+    delta = ev.filter("event_id % 5 = 0")
+    base_agg = base.groupBy("event_type").agg(
+        F.count("event_id").alias("n"), F.max("event_id").alias("mx"))
+    merged = incremental_agg_merge(base_agg, delta, ["event_type"], aggs)
+    full = ev.groupBy("event_type").agg(
+        F.count("event_id").alias("n"), F.max("event_id").alias("mx"))
+    assert {tuple(r) for r in merged.collect()} == \
+           {tuple(r) for r in full.collect()}
+
+
+def test_incremental_agg_merge_rejects_non_algebraic(spark, events):
+    import pytest
+
+    from cassandra_ttl_remover_spark.plans import incremental_agg_merge
+
+    with pytest.raises(ValueError):
+        incremental_agg_merge(events, events, ["event_type"],
+                              {"a": ("avg", "value")})
