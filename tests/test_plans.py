@@ -342,3 +342,40 @@ def test_pareto_exchange_budget(spark):
         F.col("id"), (F.col("id") % 97).alias("x"), (F.col("id") % 89).alias("y")
     )
     assert exchange_count(pareto_frontier(pts, "x", "y", "id")) == 2
+
+
+def test_round5_operator_exchange_budgets(spark, events, embeddings,
+                                          documents):
+    """Round-5 operators hold their designed shuffle counts."""
+    from cassandra_ttl_remover_spark.operators.audit import (
+        source_overlap_matrix,
+    )
+    from cassandra_ttl_remover_spark.operators.ml import (
+        grouped_fit, linear_fit, ttest_two_group,
+    )
+    from cassandra_ttl_remover_spark.operators.sessions import scd2_build
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        centroid_similarity_matrix,
+    )
+    from cassandra_ttl_remover_spark.operators.text import (
+        pmi_bigrams, winnow_fingerprints,
+    )
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    docs = documents
+    # one-pass sufficient statistics: fan_out + the 1-row combine
+    assert exchange_count(linear_fit(docs)) <= 2
+    assert exchange_count(ttest_two_group(docs)) <= 2
+    # grouped fit: fan_out + ONE keyed aggregation + presentation sort
+    assert exchange_count(grouped_fit(docs)) <= 3
+    # winnowing: pure projection — fan_out + output sort only
+    assert exchange_count(winnow_fingerprints(docs)) <= 2
+    # SCD2: both windows share one key exchange (+ presentation sort)
+    assert exchange_count(scd2_build(events)) <= 2
+    # PMI: two explode-aggs, the totals broadcast, two vocab joins, top-k
+    assert exchange_count(pmi_bigrams(docs)) <= 8
+    # centroid cosines: component agg; the dim self-join broadcasts
+    # (|groups| x d rows), so no join exchange survives
+    assert exchange_count(centroid_similarity_matrix(embeddings)) <= 3
+    # source overlap: incidence distinct + per-src agg + pair agg + sort
+    assert exchange_count(source_overlap_matrix(docs)) <= 5
