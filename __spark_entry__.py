@@ -722,6 +722,9 @@ _DRIVER_PRIORITY = [
     "q_n51_winnowing",
     "q_x22_rendezvous_shard",
     "q_w7_incremental_view",
+    "q_p4_unpivot",
+    "q_x23_quantile_normalize",
+    "q_mm14_decode_quarantine",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3819,6 +3822,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_p3_pivot_counts"] = q_p3
 
+    def q_p4(spark, sf):
+        # UNPIVOT (melt): per-lang wide metric columns back to long
+        # (metric, value) rows via the stack expression -- the inverse of
+        # q_p3's pivot; pure projection over a 1-exchange aggregate
+        docs = scan_table(spark, sf, "documents")
+        wide = docs.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        return (
+            wide.select(
+                "lang",
+                F.expr(
+                    "stack(3, 'n_docs', n_docs, 'n_chars', n_chars,"
+                    " 'max_chars', max_chars) as (metric, value)"
+                ),
+            )
+            .orderBy("lang", "metric")
+        )
+    q["q_p4_unpivot"] = q_p4
+
+    def q_x23(spark, sf):
+        # quantile normalization (per-group rank transform): each order's
+        # price mapped to rank/(n+1) within its priority group -- exact
+        # integer rank + one IEEE division; ONE window over one exchange.
+        # The standard feature-scaling step before cross-domain mixing.
+        from pyspark.sql import Window as W
+
+        orders = scan_table(spark, sf, "orders")
+        w = W.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        )
+        wn = W.partitionBy("o_orderpriority")
+        return (
+            orders.select(
+                "o_orderkey", "o_orderpriority",
+                F.row_number().over(w).cast("long").alias("rnk"),
+                F.count("*").over(wn).cast("long").alias("n"),
+            )
+            .select(
+                "o_orderkey", "o_orderpriority", "rnk",
+                (F.col("rnk").cast("double")
+                 / (F.col("n") + 1).cast("double")).alias("qnorm"),
+            )
+            .orderBy("o_orderkey")
+        )
+    q["q_x23_quantile_normalize"] = q_x23
+
+    def q_mm14(spark, sf):
+        # quarantine policy end-to-end: deterministically torn JPEG blobs
+        # (id % 7: tail strip kills EOI) are counted and contained inside
+        # one Arrow pass -- a bad blob costs an exception, not the job;
+        # survivors' pixel sums stay exact (markSuspect analog, SURVEY §4)
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            _parse_jpeg,
+            corrupt_every_nth,
+            decode_census,
+            documents_as_jpeg,
+        )
+
+        media = corrupt_every_nth(
+            documents_as_jpeg(scan_table(spark, sf, "documents"), width=64),
+            n=7,
+        )
+        return decode_census(media, _parse_jpeg)
+    q["q_mm14_decode_quarantine"] = q_mm14
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4391,6 +4462,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_mm10_pbm_decode"] = multimodal.pbm_decode_oracle_sql(width=16)
     o["q_mm11_png_decode"] = multimodal.png_decode_oracle_sql(width=32)
     o["q_mm13_jpeg_decode"] = multimodal.jpeg_decode_oracle_sql(width=64)
+    o["q_mm14_decode_quarantine"] = multimodal.jpeg_quarantine_oracle_sql(n=7, width=64)
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()
@@ -5236,6 +5308,32 @@ SELECT event_type, count(event_id)::BIGINT AS n,
        min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id,
        sum(value::DECIMAL(18,6))::DOUBLE AS sum_val
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+    o["q_p4_unpivot"] = """
+WITH wide AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(length(text))::BIGINT AS n_chars,
+         max(n_chars)::BIGINT AS max_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, metric, value FROM (
+  SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+  UNION ALL SELECT lang, 'n_chars', n_chars FROM wide
+  UNION ALL SELECT lang, 'max_chars', max_chars FROM wide
+) ORDER BY lang, metric
+"""
+    o["q_x23_quantile_normalize"] = """
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC)
+           ::BIGINT AS rnk,
+         count(*) OVER (PARTITION BY o_orderpriority)::BIGINT AS n
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, rnk,
+       rnk::DOUBLE / (n + 1)::DOUBLE AS qnorm
+FROM r ORDER BY o_orderkey
 """
 
     from cassandra_ttl_remover_spark.operators.audit import (

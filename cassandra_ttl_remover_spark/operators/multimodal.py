@@ -24,6 +24,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from struct import error as struct_error
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -1772,4 +1774,93 @@ SELECT media_id,
           i -> ord(t[i])), 'max'), 0)::INT AS max_px
 FROM c
 ORDER BY media_id
+"""
+
+
+def corrupt_every_nth(media: DataFrame, n: int = 7,
+                      strip_bytes: int = 8) -> DataFrame:
+    """Deterministic corruption injector for quarantine-policy tests and
+    the declared census query: every blob whose ``media_id % n == 0``
+    loses its final ``strip_bytes`` bytes (kills the EOI marker and tail
+    entropy bits — the classic torn-write shape). Pure projection."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            mask = (pdf["media_id"] % n) == 0
+            pdf.loc[mask, "payload"] = pdf.loc[mask, "payload"].map(
+                lambda b: bytes(b)[:max(0, len(b) - strip_bytes)]
+            )
+            yield pdf
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+DECODE_CENSUS_SCHEMA = T.StructType([
+    T.StructField("n_total", T.LongType()),
+    T.StructField("n_decoded", T.LongType()),
+    T.StructField("n_quarantined", T.LongType()),
+    T.StructField("sum_px_decoded", T.LongType()),
+])
+
+
+def decode_census(media: DataFrame, parse) -> DataFrame:
+    """End-to-end QUARANTINE POLICY over a media column: attempt
+    ``parse`` on every blob; malformed payloads are counted, never
+    propagated and never fatal (the markSuspect analog of the reference's
+    corrupt-SSTable handling — SURVEY §4 — applied to media decode).
+    Returns ONE row ``(n_total, n_decoded, n_quarantined,
+    sum_px_decoded)``.
+
+    Scale shape: per-partition try/except inside one Arrow-batched pass
+    emitting 4 longs per batch; the final combine is a 1-row sum. A bad
+    blob costs one exception, not a job failure — at 100 TB with
+    billions of blobs, fail-the-task semantics would make completion
+    probability approach zero."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = quar = 0
+            spx = 0
+            for payload in pdf["payload"]:
+                try:
+                    feats = parse(bytes(payload))
+                    dec += 1
+                    spx += int(feats[3])
+                except (ValueError, IndexError, struct_error):
+                    quar += 1
+            yield pd.DataFrame(
+                {"n_total": [dec + quar], "n_decoded": [dec],
+                 "n_quarantined": [quar], "sum_px_decoded": [spx]}
+            )
+
+    return (
+        media.select("payload")
+        .mapInPandas(run, schema=DECODE_CENSUS_SCHEMA)
+        .agg(
+            F.sum("n_total").alias("n_total"),
+            F.sum("n_decoded").alias("n_decoded"),
+            F.sum("n_quarantined").alias("n_quarantined"),
+            F.sum("sum_px_decoded").alias("sum_px_decoded"),
+        )
+    )
+
+
+def jpeg_quarantine_oracle_sql(n: int = 7, width: int = 64,
+                               table: str = "documents",
+                               id_col: str = "doc_id") -> str:
+    """The census is fully predictable from the corruption rule: id % n
+    blobs always fail (the tail strip removes EOI + entropy bits), the
+    rest decode exactly; sum_px over survivors = 64 * their byte sums."""
+    return f"""
+SELECT count(*)::BIGINT AS n_total,
+       sum(CASE WHEN {id_col} % {n} <> 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_decoded,
+       sum(CASE WHEN {id_col} % {n} = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_quarantined,
+       sum(CASE WHEN {id_col} % {n} <> 0 THEN
+         64 * coalesce(list_aggregate(list_transform(
+           range(1, (length(text) + 1)::INT), i -> ord(text[i])), 'sum'), 0)
+         ELSE 0 END)::BIGINT AS sum_px_decoded
+FROM {table}
 """

@@ -460,3 +460,31 @@ def test_gif_roundtrip_and_rejects(documents):
     src = {r.doc_id: r.text.encode() for r in docs.collect()}
     for k, d in src.items():
         assert out[k].sum_px == sum(d) and out[k].max_px == max(d)
+
+
+def test_decode_census_quarantines_torn_blobs(spark, documents):
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_jpeg, corrupt_every_nth, decode_census, documents_as_jpeg)
+
+    docs = documents.limit(50)
+    media = corrupt_every_nth(documents_as_jpeg(docs, width=32), n=5)
+    row = decode_census(media, _parse_jpeg).collect()[0]
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want_bad = sum(1 for i in ids if i % 5 == 0)
+    assert row.n_total == 50
+    assert row.n_quarantined == want_bad
+    assert row.n_decoded == 50 - want_bad
+    # survivors decode exactly
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    want_sum = sum(64 * sum(texts[i].encode()) for i in ids if i % 5 != 0)
+    assert row.sum_px_decoded == want_sum
+
+
+def test_decode_census_all_clean(spark, documents):
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_jpeg, decode_census, documents_as_jpeg)
+
+    row = decode_census(
+        documents_as_jpeg(documents.limit(20), width=32), _parse_jpeg
+    ).collect()[0]
+    assert (row.n_total, row.n_quarantined) == (20, 0)
