@@ -725,6 +725,7 @@ _DRIVER_PRIORITY = [
     "q_p4_unpivot",
     "q_x23_quantile_normalize",
     "q_mm14_decode_quarantine",
+    "q_mm15_animated_frames",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3890,6 +3891,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_census(media, _parse_jpeg)
     q["q_mm14_decode_quarantine"] = q_mm14
 
+    def q_mm15(spark, sf):
+        # first MULTI-FRAME container: real GIF89a animations (extension
+        # skipping, per-frame independent LZW streams), frame-sampled
+        # every 2nd frame AFTER a real decode -- the "sample frames from
+        # video" step over decoded data, not synthetic frame lists
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            animated_gif_frames,
+            documents_as_animated_gif,
+        )
+
+        media = documents_as_animated_gif(
+            scan_table(spark, sf, "documents"), width=32, frame_rows=4
+        )
+        return animated_gif_frames(media, every_nth=2)
+    q["q_mm15_animated_frames"] = q_mm15
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4463,6 +4480,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_mm11_png_decode"] = multimodal.png_decode_oracle_sql(width=32)
     o["q_mm13_jpeg_decode"] = multimodal.jpeg_decode_oracle_sql(width=64)
     o["q_mm14_decode_quarantine"] = multimodal.jpeg_quarantine_oracle_sql(n=7, width=64)
+    o["q_mm15_animated_frames"] = multimodal.animated_gif_frames_oracle_sql(
+        every_nth=2, width=32, frame_rows=4
+    )
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

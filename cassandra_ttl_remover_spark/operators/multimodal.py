@@ -1864,3 +1864,211 @@ SELECT count(*)::BIGINT AS n_total,
          ELSE 0 END)::BIGINT AS sum_px_decoded
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Animated (multi-frame) GIF — the first genuinely MULTI-FRAME container in
+# the decodable family: several image descriptors in one GIF89a stream, each
+# LZW-compressed independently, with graphic-control extensions between
+# frames. This makes frame-level operators (sample every Nth frame, per-
+# frame statistics) run against REAL decoded frames instead of the
+# documents_as_video synthetic frame list.
+# ---------------------------------------------------------------------------
+
+def _text_to_animated_gif_bytes(data: bytes, width: int,
+                                frame_rows: int = 4) -> bytes:
+    """GIF89a with one frame per ``width * frame_rows`` input bytes (the
+    text plays back as a scrolling raster). Real structure: NETSCAPE2.0
+    loop extension, per-frame graphic-control extension + image
+    descriptor + independent LZW stream."""
+    import struct
+
+    per = width * frame_rows
+    chunks = [data[i:i + per] for i in range(0, max(len(data), 1), per)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, frame_rows, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    # application extension: NETSCAPE2.0 infinite loop
+    out += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for chunk in chunks:
+        px = chunk + b"\x00" * (per - len(chunk))
+        # graphic control extension: 10cs delay, no transparency
+        out += b"\x21\xF9\x04\x00\x0A\x00\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, frame_rows, 0)
+        out.append(8)
+        lzw = _lzw_compress(px, 8)
+        for off in range(0, len(lzw), 255):
+            block = lzw[off:off + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out += b"\x3B"
+    return bytes(out)
+
+
+ANIMATED_FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("sum_px", T.LongType()),
+    T.StructField("max_px", T.IntegerType()),
+])
+
+
+def _parse_animated_gif(b: bytes) -> list:
+    """Strict GIF89a multi-frame decoder: skips extensions (0x21 blocks),
+    decodes EVERY image descriptor's LZW stream, returns per-frame
+    ``(frame_idx, n_pixels, sum_px, max_px)``. Raises on malformed
+    structure (quarantine policy)."""
+    import struct
+
+    if not b.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table")
+    n_colors = 2 << (flags & 0x07)
+    pos = 13 + 3 * n_colors
+    frames = []
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF truncated before trailer")
+        tag = b[pos]
+        pos += 1
+        if tag == 0x3B:  # trailer
+            break
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(b):
+                    raise ValueError("extension sub-blocks truncated")
+                n = b[pos]
+                pos += 1
+                if n == 0:
+                    break
+                pos += n
+            continue
+        if tag != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{tag:02x}")
+        _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", b[pos:pos + 9])
+        if iflags & 0xC0:
+            raise ValueError("unsupported local-palette/interlaced GIF")
+        pos += 9
+        min_code = b[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(b):
+                raise ValueError("GIF sub-blocks truncated")
+            n = b[pos]
+            pos += 1
+            if n == 0:
+                break
+            lzw += b[pos:pos + n]
+            pos += n
+        px = _lzw_decompress(bytes(lzw), min_code)
+        if len(px) != iw * ih:
+            raise ValueError("GIF raster size mismatch")
+        frames.append((len(frames), iw * ih, sum(px),
+                       max(px) if px else 0))
+    if not frames:
+        raise ValueError("GIF with no image descriptors")
+    return frames
+
+
+def documents_as_animated_gif(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", width: int = 32,
+                              frame_rows: int = 4) -> DataFrame:
+    """Media frame of REAL multi-frame GIF89a payloads: one frame per
+    ``width * frame_rows`` text bytes."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per = width * frame_rows
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [
+                        _text_to_animated_gif_bytes(t, width, frame_rows)
+                        for t in texts
+                    ],
+                    "meta": [
+                        {
+                            "kind": "video",
+                            "mime": "image/gif",
+                            "width": width,
+                            "height": frame_rows,
+                            "n_frames": max(1, math.ceil(len(t) / per)),
+                            "sample_rate": None,
+                            "duration_ms": None,
+                        }
+                        for t in texts
+                    ],
+                }
+            )
+
+    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def animated_gif_frames(media: DataFrame, every_nth: int = 1) -> DataFrame:
+    """Decode every frame of every multi-frame GIF blob, keep every
+    ``every_nth``-th frame (frame sampling AFTER a real decode — the
+    training-pipeline "sample frames from video" step, previously only
+    exercised on synthetic frame lists). Blobs decode where they sit;
+    per-frame scalar stats come back."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "n_pixels": [],
+                    "sum_px": [], "max_px": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, npx, spx, mx in _parse_animated_gif(bytes(payload)):
+                    if idx % every_nth:
+                        continue
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["n_pixels"].append(npx)
+                    rows["sum_px"].append(spx)
+                    rows["max_px"].append(mx)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=ANIMATED_FRAMES_SCHEMA
+    )
+
+
+def animated_gif_frames_oracle_sql(every_nth: int = 2, width: int = 32,
+                                   frame_rows: int = 4,
+                                   table: str = "documents",
+                                   id_col: str = "doc_id") -> str:
+    """Per-frame stats recomputed from text: frame f covers bytes
+    [f*per, (f+1)*per), zero-padded; sampling keeps f % every_nth == 0."""
+    per = width * frame_rows
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS media_id, text AS t, length(text)::BIGINT AS n
+  FROM {table}
+), f AS (
+  SELECT media_id, t, n, (fi - 1)::INT AS frame_idx
+  FROM c, LATERAL UNNEST(generate_series(1,
+       greatest((n + {per} - 1) // {per}, 1))) AS u(fi)
+)
+SELECT media_id, frame_idx,
+       {per}::BIGINT AS n_pixels,
+       coalesce(list_aggregate(list_transform(
+         range((frame_idx * {per} + 1)::INT,
+               (least((frame_idx + 1) * {per}, n) + 1)::INT),
+         i -> ord(t[i])), 'sum'), 0)::BIGINT AS sum_px,
+       coalesce(list_aggregate(list_transform(
+         range((frame_idx * {per} + 1)::INT,
+               (least((frame_idx + 1) * {per}, n) + 1)::INT),
+         i -> ord(t[i])), 'max'), 0)::INT AS max_px
+FROM f
+WHERE frame_idx % {every_nth} = 0
+ORDER BY media_id, frame_idx
+"""

@@ -488,3 +488,44 @@ def test_decode_census_all_clean(spark, documents):
         documents_as_jpeg(documents.limit(20), width=32), _parse_jpeg
     ).collect()[0]
     assert (row.n_total, row.n_quarantined) == (20, 0)
+
+
+def test_animated_gif_frames_roundtrip(spark, documents):
+    """Every frame of every blob decodes to the exact text segment's
+    stats; sampling keeps exactly the frames with idx % n == 0."""
+    import math
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        animated_gif_frames, documents_as_animated_gif)
+
+    docs = documents.limit(30)
+    media = documents_as_animated_gif(docs, width=16, frame_rows=2)
+    per = 32
+    texts = {r.doc_id: r.text.encode() for r in docs.collect()}
+    all_frames = animated_gif_frames(media, every_nth=1).collect()
+    by_doc = {}
+    for r in all_frames:
+        by_doc.setdefault(r.media_id, []).append(r)
+    for mid, frames in by_doc.items():
+        t = texts[mid]
+        assert len(frames) == max(1, math.ceil(len(t) / per))
+        for r in frames:
+            seg = t[r.frame_idx * per:(r.frame_idx + 1) * per]
+            assert r.sum_px == sum(seg)
+    sampled = animated_gif_frames(media, every_nth=3).collect()
+    assert {(r.media_id, r.frame_idx) for r in sampled} == \
+           {(r.media_id, r.frame_idx) for r in all_frames
+            if r.frame_idx % 3 == 0}
+
+
+def test_animated_gif_malformed_raises(spark):
+    import pytest
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_animated_gif, _text_to_animated_gif_bytes)
+
+    blob = _text_to_animated_gif_bytes(b"some reasonable text" * 10, 16, 2)
+    with pytest.raises(ValueError):
+        _parse_animated_gif(blob[:-4])  # truncated before trailer
+    with pytest.raises(ValueError):
+        _parse_animated_gif(b"NOTGIF89a")
