@@ -450,3 +450,83 @@ def test_equidepth_two_level_matches_ntile(spark):
                    equidepth_histogram(docs, n_buckets=b,
                                        two_level=True).collect())
         assert a == c, b
+
+
+def test_er_blocking_bounds_boilerplate_corpus(spark, boilerplate_corpus):
+    """Entity resolution on the 4k boilerplate corpus: every doc shares
+    the hot license-header tokens, but those have df=4000 >> the cap, so
+    blocking keys come from the distinguishing rare tokens -- candidate
+    work stays bounded and the run completes quickly with the duplicate
+    cluster fused."""
+    import time
+
+    from cassandra_ttl_remover_spark.operators.er import resolve_entities
+
+    t0 = time.time()
+    out = resolve_entities(boilerplate_corpus, threshold=(4, 5),
+                           max_block_df=500, n_keys=2)
+    clusters = {r.entity_id: r.cluster_size
+                for r in out.filter("is_canon").collect()}
+    wall = time.time() - t0
+    # the 400 exact duplicates share every token; their rare keys match
+    # and Jaccard = 1 -> one 400-member entity
+    assert max(clusters.values()) >= 400
+    assert wall < 120, f"ER took {wall:.0f}s on the boilerplate corpus"
+
+
+def test_salted_join_extreme_hot_key(spark):
+    """90% of a 200k-row fact hits ONE dim key; the salted join returns
+    exactly the plain join's aggregate."""
+    fact = spark.range(200_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+        .alias("k"),
+    )
+    dim = fact.select("k").distinct().withColumn(
+        "w", F.length("k").cast("long"))
+    from cassandra_ttl_remover_spark.plans import salted_join
+
+    salted = salted_join(fact, dim, "k", n_salts=16)
+    got = salted.agg(F.count("*"), F.sum("w")).collect()[0]
+    want = fact.join(dim, "k").agg(F.count("*"), F.sum("w")).collect()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_span_removal_boilerplate_coverage(spark, boilerplate_corpus):
+    """Span removal on the boilerplate corpus: every non-canonical doc
+    loses at least the shared license header's tokens; the single
+    canonical (min-id) doc keeps everything."""
+    from cassandra_ttl_remover_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = boilerplate_corpus.filter("doc_id < 300")
+    out = remove_duplicate_spans(docs, n=8, min_docs=2).collect()
+    by_id = {r.doc_id: r for r in out}
+    min_id = min(by_id)
+    assert by_id[min_id].n_removed == 0
+    others = [r for r in out if r.doc_id != min_id]
+    # every other doc shares the header run (and the duplicate body)
+    assert all(r.n_removed > 0 for r in others)
+
+
+def test_chi2_completes_on_wide_vocab(spark):
+    """chi2 over a 60k-token synthetic vocabulary: one incidence shuffle,
+    one contingency aggregation -- completes fast, ranking sane."""
+    from cassandra_ttl_remover_spark.operators.ml import chi2_top_tokens
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("en")).otherwise(F.lit("de"))
+        .alias("lang"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("englishmarker "))
+            .otherwise(F.lit("germanmarker ")),
+            F.concat(F.lit("tok"), F.col("id").cast("string")),
+            F.lit(" shared filler words here"),
+        ).alias("text"),
+    )
+    top = chi2_top_tokens(docs, positive="en", k=5, min_df=2).collect()
+    names = [r.token for r in top]
+    assert "englishmarker" in names[:2] and "germanmarker" in names[:2]
