@@ -726,6 +726,8 @@ _DRIVER_PRIORITY = [
     "q_x23_quantile_normalize",
     "q_mm14_decode_quarantine",
     "q_mm15_animated_frames",
+    "q_st17_stream_decode_census",
+    "q_d11_join_advisor",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3907,6 +3909,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return animated_gif_frames(media, every_nth=2)
     q["q_mm15_animated_frames"] = q_mm15
 
+    def q_st17(spark, sf):
+        # streaming x multimodal: the decode-quarantine census as a
+        # complete-mode aggregation over ARRIVING document files -- blobs
+        # synthesize, tear (id % 7), decode, and quarantine inside the
+        # per-batch Arrow pass; the drained table equals the batch census
+        import uuid
+
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            _parse_jpeg,
+            corrupt_every_nth,
+            decode_census,
+            documents_as_jpeg,
+        )
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+        )
+
+        st = scan_stream(spark, sf, glob="documents.parquet")
+        media = corrupt_every_nth(documents_as_jpeg(st, width=64), n=7)
+        census = decode_census(media, _parse_jpeg)
+        return drain_to_table(
+            census, f"st17_{uuid.uuid4().hex[:8]}", output_mode="complete"
+        )
+    q["q_st17_stream_decode_census"] = q_st17
+
+    def q_d11(spark, sf):
+        # join pre-flight decision row: fact-key distribution (the same
+        # exchange the real join would pay, count-only width) + dim size
+        # -> broadcast / salt / shuffle by deterministic integer rules.
+        # broadcast_rows=100 makes the lineitem |><| orders case land on
+        # 'shuffle' at every sf (orders >> 100), exercising the rule edge
+        from cassandra_ttl_remover_spark.operators.audit import (
+            join_strategy_advisor,
+        )
+
+        return join_strategy_advisor(
+            scan_table(spark, sf, "lineitem"),
+            scan_table(spark, sf, "orders"),
+            "l_orderkey",
+            broadcast_rows=100,
+            skew_ratio=20,
+        )
+    q["q_d11_join_advisor"] = q_d11
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4482,6 +4529,14 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_mm14_decode_quarantine"] = multimodal.jpeg_quarantine_oracle_sql(n=7, width=64)
     o["q_mm15_animated_frames"] = multimodal.animated_gif_frames_oracle_sql(
         every_nth=2, width=32, frame_rows=4
+    )
+    o["q_st17_stream_decode_census"] = multimodal.jpeg_quarantine_oracle_sql(n=7, width=64)
+    from cassandra_ttl_remover_spark.operators.audit import (
+        join_strategy_advisor_oracle_sql,
+    )
+    o["q_d11_join_advisor"] = join_strategy_advisor_oracle_sql(
+        "lineitem", "orders", "l_orderkey",
+        broadcast_rows=100, skew_ratio=20,
     )
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss

@@ -681,3 +681,63 @@ SELECT (SELECT sum(cnt) FROM counts)::BIGINT AS n_rows,
        top_keys
 FROM top
 """
+
+
+def join_strategy_advisor(fact: DataFrame, dim: DataFrame, fact_key: str, *,
+                          broadcast_rows: int = 1_000_000,
+                          skew_ratio: int = 20) -> DataFrame:
+    """The decision row a 100 TB join planner wants BEFORE shuffling:
+    measure the fact side's key distribution and the dim side's size,
+    then recommend by deterministic integer rules —
+
+    - ``broadcast``  when the dim side fits the broadcast budget
+      (``dim_rows <= broadcast_rows``): no exchange at all;
+    - ``salt``       when the hottest key exceeds ``skew_ratio`` x the
+      mean per-key count (integer cross-multiplied:
+      ``max_cnt * n_keys > skew_ratio * fact_rows``) — feed
+      :func:`~cassandra_ttl_remover_spark.plans.salted_join`;
+    - ``shuffle``    otherwise (plain hash join; AQE handles the rest).
+
+    Returns ONE row ``(fact_rows, n_keys, max_cnt, dim_rows,
+    recommendation)``. Both measurements are single aggregates (the
+    per-key count is the same exchange the real join would pay, at
+    count-only width); nothing is collected."""
+    counts = fact.groupBy(F.col(fact_key)).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    kstats = counts.agg(
+        F.sum("cnt").alias("fact_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    dstats = dim.agg(F.count("*").cast("long").alias("dim_rows"))
+    return kstats.crossJoin(F.broadcast(dstats)).select(
+        "fact_rows", "n_keys", "max_cnt", "dim_rows",
+        F.expr(
+            f"case when dim_rows <= {int(broadcast_rows)} then 'broadcast' "
+            f"when max_cnt * n_keys > {int(skew_ratio)} * fact_rows "
+            f"then 'salt' else 'shuffle' end"
+        ).alias("recommendation"),
+    )
+
+
+def join_strategy_advisor_oracle_sql(fact: str, dim: str, fact_key: str, *,
+                                     broadcast_rows: int = 1_000_000,
+                                     skew_ratio: int = 20) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {fact_key} AS k, count(*)::BIGINT AS cnt
+  FROM {fact} GROUP BY {fact_key}
+), kstats AS (
+  SELECT sum(cnt)::BIGINT AS fact_rows, count(*)::BIGINT AS n_keys,
+         max(cnt)::BIGINT AS max_cnt
+  FROM counts
+), dstats AS (
+  SELECT count(*)::BIGINT AS dim_rows FROM {dim}
+)
+SELECT fact_rows, n_keys, max_cnt, dim_rows,
+       CASE WHEN dim_rows <= {broadcast_rows} THEN 'broadcast'
+            WHEN max_cnt * n_keys > {skew_ratio} * fact_rows THEN 'salt'
+            ELSE 'shuffle' END AS recommendation
+FROM kstats, dstats
+"""

@@ -238,3 +238,30 @@ def test_key_skew_report_manual(spark):
     # p90 rank = (5-1)*90//100+1 = 4 -> 5
     assert (r.p50_cnt, r.p90_cnt) == (3, 5)
     assert r.top_keys == "a:10,b:5"
+
+
+def test_join_advisor_rules(spark):
+    from cassandra_ttl_remover_spark.operators.audit import (
+        join_strategy_advisor,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(1000)],
+        "id long, k string")
+    small_dim = spark.createDataFrame([("hot",), ("k0",)], "k string")
+    # tiny dim -> broadcast regardless of skew
+    r = join_strategy_advisor(fact, small_dim, "k",
+                              broadcast_rows=10).collect()[0]
+    assert r.recommendation == "broadcast"
+    # big dim + hot key -> salt
+    big_dim = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    r = join_strategy_advisor(fact, big_dim, "k", broadcast_rows=10,
+                              skew_ratio=20).collect()[0]
+    # 900 of 1000 rows on 'hot', ~101 keys: max*keys=900*101 > 20*1000
+    assert r.recommendation == "salt"
+    # uniform fact -> shuffle
+    uni = spark.range(1000).select(
+        F.col("id"), F.col("id").cast("string").alias("k"))
+    r = join_strategy_advisor(uni, big_dim, "k", broadcast_rows=10,
+                              skew_ratio=20).collect()[0]
+    assert r.recommendation == "shuffle"
