@@ -728,6 +728,8 @@ _DRIVER_PRIORITY = [
     "q_mm15_animated_frames",
     "q_st17_stream_decode_census",
     "q_d11_join_advisor",
+    "q_x24_json_extract",
+    "q_n52_edit_distance",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3954,6 +3956,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_d11_join_advisor"] = q_d11
 
+    def q_x24(spark, sf):
+        # semi-structured surface: parse the JSON props column (schema-on
+        # -read), extract the numeric field, aggregate per event type --
+        # get_json_object stays JVM-side; the cast is ANSI-explicit
+        ev = _events(spark, sf)
+        return (
+            ev.select(
+                "event_type",
+                F.expr(
+                    "cast(get_json_object(props, '$.k') as bigint)"
+                ).alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("k").alias("n"),
+                F.sum("k").alias("sum_k"),
+                F.sum(
+                    (F.col("k") >= 50).cast("long")
+                ).alias("n_high"),
+            )
+            .orderBy("event_type")
+        )
+    q["q_x24_json_extract"] = q_x24
+
+    def q_n52(spark, sf):
+        # edit-distance near-dup verification: rare-token blocked
+        # candidates (the ER generator), confirmed by LEVENSHTEIN <= 20 --
+        # both engines implement the same DP metric, so the integer
+        # distances hash-match; no all-pairs term anywhere
+        from cassandra_ttl_remover_spark.operators.er import (
+            edit_distance_pairs,
+        )
+
+        return edit_distance_pairs(
+            scan_table(spark, sf, "documents"), max_dist=20
+        )
+    q["q_n52_edit_distance"] = q_n52
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4538,6 +4578,18 @@ FROM events GROUP BY event_type ORDER BY event_type
         "lineitem", "orders", "l_orderkey",
         broadcast_rows=100, skew_ratio=20,
     )
+    o["q_x24_json_extract"] = """
+SELECT event_type,
+       count(json_extract(props, '$.k'))::BIGINT AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       sum((json_extract(props, '$.k')::BIGINT >= 50)::BIGINT)::BIGINT
+         AS n_high
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+    from cassandra_ttl_remover_spark.operators.er import (
+        edit_distance_pairs_oracle_sql,
+    )
+    o["q_n52_edit_distance"] = edit_distance_pairs_oracle_sql(max_dist=20)
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

@@ -56,3 +56,27 @@ def test_resolve_entities_no_cartesian(spark):
         "doc_id long, text string")
     plan = resolve_entities(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_pairs_manual(spark):
+    from cassandra_ttl_remover_spark.operators.er import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "uniqueword alpha beta gamma"),
+         (2, "uniqueword alpha beta gamna"),   # 1 substitution
+         (3, "uniqueword totally different content here entirely")],
+        "doc_id long, text string")
+    rows = {(r.id_a, r.id_b): r.dist
+            for r in edit_distance_pairs(df, max_dist=5).collect()}
+    assert rows == {(1, 2): 1}  # doc3 shares the block but is too far
+
+
+def test_edit_distance_length_band_prefilter(spark):
+    """Pairs outside the length band never reach the DP."""
+    from cassandra_ttl_remover_spark.operators.er import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "rarekey short"),
+         (2, "rarekey " + "verylongpadding " * 20)],
+        "doc_id long, text string")
+    assert edit_distance_pairs(df, max_dist=5).collect() == []
