@@ -310,6 +310,18 @@ def main() -> int:
         from cassandra_ttl_remover_spark.operators.sessions import scd2_build
         scd2_build(events).filter("is_current").count()
 
+    def q_winnow():
+        # MOSS winnowing: per-row HOF argmin windows, zero shuffle
+        from cassandra_ttl_remover_spark.operators import text as text_ops
+        text_ops.winnow_fingerprints(documents, window=4).agg(
+            F.sum("n_selected")).collect()
+
+    def q_span_removal():
+        # substring-dedup rewrite: span pass + coverage-set HOF filter
+        from cassandra_ttl_remover_spark.operators import dedup as dedup_ops
+        dedup_ops.remove_duplicate_spans(documents, n=8, min_docs=2).agg(
+            F.sum("n_removed")).collect()
+
     def q_pmi():
         # collocations: two explode-aggs + vocab joins + TakeOrdered
         from cassandra_ttl_remover_spark.operators import text as text_ops
@@ -349,6 +361,8 @@ def main() -> int:
         "jpeg_decode": q_jpeg_decode,
         "scd2": q_scd2,
         "pmi_bigrams": q_pmi,
+        "winnowing": q_winnow,
+        "span_removal": q_span_removal,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
     }

@@ -179,3 +179,34 @@ def test_ttest_matches_scipy_free_reference(spark, documents):
     want = (m1 - m2) / math.sqrt(sp2 * (1 / n1 + 1 / n2))
     assert (row.n1, row.n2) == (n1, n2)
     assert abs(row.t - want) < 1e-9 * max(1.0, abs(want))
+
+
+def test_chi2_symmetric_under_class_complement(spark, documents):
+    """chi2 of a 2x2 table is invariant under swapping the positive
+    class with its complement (here: en vs the union of the rest
+    expressed through any single other label as positive would differ,
+    but complementing pos<->neg must not)."""
+    from cassandra_ttl_remover_spark.operators.ml import chi2_top_tokens
+
+    docs = documents.limit(200).withColumn(
+        "flipped",
+        F.when(F.col("lang") == "en", F.lit("neg")).otherwise(F.lit("pos")),
+    )
+    a = {r.token: float(r.chi2) for r in chi2_top_tokens(
+        docs, positive="en", k=1000, min_df=2).collect()}
+    b = {r.token: float(r.chi2) for r in chi2_top_tokens(
+        docs, positive="pos", label_col="flipped",
+        k=1000, min_df=2).collect()}
+    assert a == b
+
+
+def test_grouped_fit_permutation_invariant(spark, documents):
+    """The exact fit cannot depend on partitioning or row order."""
+    from cassandra_ttl_remover_spark.operators.ml import grouped_fit
+
+    docs = documents.limit(200)
+    a = {(r.lang): (str(r.det), r.b1) for r in grouped_fit(docs).collect()}
+    shuffled = docs.repartition(7).sortWithinPartitions(F.rand(42))
+    b = {(r.lang): (str(r.det), r.b1)
+         for r in grouped_fit(shuffled).collect()}
+    assert a == b
