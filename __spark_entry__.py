@@ -730,6 +730,7 @@ _DRIVER_PRIORITY = [
     "q_d11_join_advisor",
     "q_x24_json_extract",
     "q_n52_edit_distance",
+    "q_mm16_ulaw_decode",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -3994,6 +3995,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_n52_edit_distance"] = q_n52
 
+    def q_mm16(spark, sf):
+        # first AUDIO CODEC (G.711 mu-law companding): real format-7 WAV
+        # containers, exact integer quantization both directions -- the
+        # lossy-but-deterministic construction again (cf. q_mm13), so the
+        # companded roundtrip lands on the hash-matched oracle surface
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_wav_ulaw,
+            wav_ulaw_decode_features,
+        )
+
+        media = documents_as_wav_ulaw(
+            scan_table(spark, sf, "documents"), sample_rate=8000
+        )
+        return wav_ulaw_decode_features(media)
+    q["q_mm16_ulaw_decode"] = q_mm16
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4590,6 +4607,9 @@ FROM events GROUP BY event_type ORDER BY event_type
         edit_distance_pairs_oracle_sql,
     )
     o["q_n52_edit_distance"] = edit_distance_pairs_oracle_sql(max_dist=20)
+    o["q_mm16_ulaw_decode"] = multimodal.wav_ulaw_oracle_sql(
+        sample_rate=8000
+    )
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

@@ -2072,3 +2072,199 @@ FROM f
 WHERE frame_idx % {every_nth} = 0
 ORDER BY media_id, frame_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law companding — the first AUDIO CODEC in the decodable family
+# (WAV above is raw PCM). mu-law is lossy 2:1 compression whose
+# quantization is fully DETERMINISTIC integer arithmetic (ITU-T G.711,
+# public spec), so the companded roundtrip decode(encode(x)) is an exact
+# function of x that an ANSI-SQL oracle recomputes — the audio analog of
+# the flat-block JPEG construction (real codec machinery, hash-matched).
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32_635
+
+
+def _ulaw_encode(sample: int) -> int:
+    """Encode one int16 PCM sample to a G.711 mu-law byte (sign +
+    3-bit exponent + 4-bit mantissa, ones-complemented)."""
+    sign = 0x80 if sample < 0 else 0
+    s = min(-sample if sample < 0 else sample, _ULAW_CLIP) + _ULAW_BIAS
+    e = s.bit_length() - 8  # s >= 0x84 -> bit 7 set -> e in 0..7
+    mant = (s >> (e + 3)) & 0x0F
+    return ~(sign | (e << 4) | mant) & 0xFF
+
+
+def _ulaw_decode(code: int) -> int:
+    """Exact inverse quantization: mu-law byte -> int16 sample."""
+    c = ~code & 0xFF
+    e = (c >> 4) & 0x07
+    mant = c & 0x0F
+    val = (((mant << 3) + _ULAW_BIAS) << e) - _ULAW_BIAS
+    return -val if c & 0x80 else val
+
+
+def _text_to_wav_ulaw_bytes(data: bytes, sample_rate: int) -> bytes:
+    """Deterministic WAV container with format tag 7 (mu-law): each input
+    byte b becomes the PCM sample (b - 128) * 256, companded to ONE
+    mu-law byte. Hand-built RIFF (the stdlib wave module is PCM-only):
+    fmt chunk with wFormatTag=7, 8-bit samples, then the data chunk."""
+    import struct
+
+    pcm = [(b - 128) * 256 for b in data]
+    body = bytes(_ulaw_encode(s) for s in pcm)
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body
+              + (b"\x00" if len(body) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+ULAW_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_dec", T.LongType()),
+    T.StructField("ssq_dec", T.LongType()),
+    T.StructField("peak_dec", T.IntegerType()),
+])
+
+
+def _parse_wav_ulaw(payload: bytes) -> tuple:
+    """General RIFF chunk walker + G.711 mu-law expander: locates the fmt
+    chunk (must be wFormatTag=7, mono, 8-bit), expands every data byte
+    through the exact inverse quantization, returns
+    ``(sample_rate, n_samples, sum_dec, ssq_dec, peak_dec)``. Strict on
+    structure (quarantine policy)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sr = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        ln = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated RIFF chunk")
+        if tag == b"fmt ":
+            wtag, nch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if wtag != 7 or nch != 1 or bits != 8:
+                raise ValueError("unsupported WAV format (need mono mu-law)")
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln % 2)
+    if sr is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    dec = [_ulaw_decode(b) for b in data]
+    return (int(sr), len(dec), sum(dec), sum(d * d for d in dec),
+            max((abs(d) for d in dec), default=0))
+
+
+def documents_as_wav_ulaw(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          sample_rate: int = 8_000) -> DataFrame:
+    """Media frame of REAL G.711 mu-law WAV payloads (format tag 7)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [
+                        _text_to_wav_ulaw_bytes(t, sample_rate) for t in texts
+                    ],
+                    "meta": [
+                        {
+                            "kind": "audio",
+                            "mime": "audio/basic",
+                            "width": None,
+                            "height": None,
+                            "n_frames": len(t),
+                            "sample_rate": sample_rate,
+                            "duration_ms": len(t) * 1000 // sample_rate,
+                        }
+                        for t in texts
+                    ],
+                }
+            )
+
+    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def wav_ulaw_decode_features(media: DataFrame) -> DataFrame:
+    """End-to-end COMPANDED AUDIO decode: RIFF walk + exact mu-law
+    expansion per blob; integer sample statistics out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_parse_wav_ulaw(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "sum_dec": [f[2] for f in feats],
+                    "ssq_dec": [f[3] for f in feats],
+                    "peak_dec": [f[4] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=ULAW_FEATURES_SCHEMA
+    )
+
+
+def wav_ulaw_oracle_sql(sample_rate: int = 8_000, table: str = "documents",
+                        id_col: str = "doc_id") -> str:
+    """Recomputes the companded roundtrip per text byte in pure integer
+    SQL: sample s = (b-128)*256, mu-law quantization q(s) via the G.711
+    exponent thresholds (s is a multiple of 256 and |s| <= 32512, so the
+    clip never engages), then the decoded statistics. A DIFFERENT
+    mechanism (threshold CASE ladder vs bit_length arithmetic) that must
+    agree byte-for-byte. The clip DOES engage for byte 0 (sample -32768),
+    so the oracle applies it like the encoder."""
+    # exponent e = bit_length(min(|s|, 32635) + 132) - 8, expressed as a
+    # CASE ladder on m in [2^(e+7), 2^(e+8))
+    e_case = ("CASE " + " ".join(
+        f"WHEN m < {1 << (k + 8)} THEN {k}" for k in range(7)
+    ) + " ELSE 7 END")
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS media_id, text AS t, length(text)::BIGINT AS n
+  FROM {table}
+), s AS (
+  SELECT media_id, ((ord(t[i]) - 128) * 256)::BIGINT AS pcm
+  FROM c, LATERAL UNNEST(generate_series(1, n::INT)) AS u(i)
+), q AS (
+  SELECT media_id, pcm,
+         least(CASE WHEN pcm < 0 THEN -pcm ELSE pcm END, 32635) + 132 AS m
+  FROM s
+), e AS (
+  SELECT media_id, pcm, m, ({e_case})::BIGINT AS ex FROM q
+), d AS (
+  -- m >> (e+3) = 16 + mantissa (hidden leading bit), so the G.711
+  -- expansion (8*mant + 132)*2^e - 132 becomes ((m>>(e+3))*8 + 4)*2^e - 132
+  SELECT media_id,
+         (CASE WHEN pcm < 0 THEN -1 ELSE 1 END)
+         * (((m // (2 ** (ex + 3))::BIGINT) * 8 + 4)
+            * (2 ** ex)::BIGINT - 132) AS dec
+  FROM e
+)
+SELECT c.media_id,
+       {sample_rate}::INT AS sample_rate,
+       c.n AS n_samples,
+       coalesce(sum(d.dec), 0)::BIGINT AS sum_dec,
+       coalesce(sum(d.dec * d.dec), 0)::BIGINT AS ssq_dec,
+       coalesce(max(abs(d.dec)), 0)::INT AS peak_dec
+FROM c LEFT JOIN d ON c.media_id = d.media_id
+GROUP BY c.media_id, c.n
+ORDER BY c.media_id
+"""

@@ -184,3 +184,43 @@ def test_jpeg_general_ac_path():
     img = np.clip(np.rint(cm @ coef @ cm.T + 128.0), 0, 255)
     assert (width, height) == (8, 8)
     assert s == int(img.sum()) and mx == int(img.max())
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law companding
+# ---------------------------------------------------------------------------
+
+def test_ulaw_roundtrip_all_int16():
+    """Quantization error bounded by the segment step for EVERY int16
+    sample; decode(encode(x)) is idempotent under re-encoding."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _ulaw_decode, _ulaw_encode)
+
+    for s in range(-32768, 32768, 97):  # dense stride sweep
+        d = _ulaw_decode(_ulaw_encode(s))
+        m = min(abs(s), 32635) + 132
+        step = 1 << (m.bit_length() - 8 + 3)
+        assert abs(d - min(max(s, -32635), 32635)) <= step
+        assert _ulaw_decode(_ulaw_encode(d)) == d  # quantizer fixpoint
+
+
+def test_ulaw_codes_cover_all_bytes():
+    """The encoder reaches a wide code range and 0 maps to 0xFF (G.711)."""
+    from cassandra_ttl_remover_spark.operators.multimodal import _ulaw_encode
+
+    assert _ulaw_encode(0) == 0xFF
+    codes = {_ulaw_encode(s) for s in range(-32768, 32768, 13)}
+    assert len(codes) > 200
+
+
+def test_wav_ulaw_malformed_raises():
+    import pytest
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_wav_ulaw, _text_to_wav_ulaw_bytes)
+
+    blob = _text_to_wav_ulaw_bytes(b"some audio text", 8000)
+    with pytest.raises(ValueError):
+        _parse_wav_ulaw(blob[:20])  # truncated chunk
+    with pytest.raises(ValueError):
+        _parse_wav_ulaw(b"RIFX" + blob[4:])
