@@ -731,6 +731,8 @@ _DRIVER_PRIORITY = [
     "q_x24_json_extract",
     "q_n52_edit_distance",
     "q_mm16_ulaw_decode",
+    "q_x25_moving_average",
+    "q_ml7_autocorr",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4011,6 +4013,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wav_ulaw_decode_features(media)
     q["q_mm16_ulaw_decode"] = q_mm16
 
+    def q_x25(spark, sf):
+        # time-series smoothing: centered 7-day moving average over the
+        # daily event counts -- exact integer window sums + one division;
+        # ROWS frame semantics identical across engines
+        from pyspark.sql import Window as W
+
+        daily = (
+            _events(spark, sf)
+            .groupBy(F.expr("cast(cast(ts as date) as string)").alias("day"))
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        w = W.orderBy("day").rowsBetween(-3, 3)
+        return (
+            daily.select(
+                "day", "n",
+                F.sum("n").over(w).alias("win_sum"),
+                F.count("*").over(w).cast("long").alias("win_n"),
+            )
+            .select(
+                "day", "n", "win_sum", "win_n",
+                (F.col("win_sum").cast("double")
+                 / F.col("win_n").cast("double")).alias("ma7"),
+            )
+            .orderBy("day")
+        )
+    q["q_x25_moving_average"] = q_x25
+
+    def q_ml7(spark, sf):
+        # lag-1 autocorrelation of the daily count series as a RATIONAL:
+        # N^2-scaled numerator/denominator are exact integer sums over
+        # (N*x_t - S) terms; r = one IEEE division. The seasonality probe
+        # run before any windowed model
+        from pyspark.sql import Window as W
+
+        daily = (
+            _events(spark, sf)
+            .groupBy(F.expr("cast(cast(ts as date) as string)").alias("day"))
+            .agg(F.count("*").cast("long").alias("x"))
+        )
+        w = W.orderBy("day")
+        lagged = daily.select(
+            "x", F.lag("x", 1).over(w).alias("xp")
+        )
+        tot = lagged.agg(
+            F.count("*").cast("long").alias("N"),
+            F.sum("x").alias("S"),
+        )
+        dec = "cast({v} as decimal(38,0))"
+        num = (f"sum(case when xp is not null then "
+               f"({dec.format(v='N')} * x - {dec.format(v='S')})"
+               f" * ({dec.format(v='N')} * xp - {dec.format(v='S')})"
+               f" else cast(0 as decimal(38,0)) end)")
+        den = (f"sum(({dec.format(v='N')} * x - {dec.format(v='S')})"
+               f" * ({dec.format(v='N')} * x - {dec.format(v='S')}))")
+        return (
+            lagged.crossJoin(F.broadcast(tot))
+            .agg(
+                F.first("N").alias("n_days"),
+                F.expr(num).alias("acf_num"),
+                F.expr(den).alias("acf_den"),
+            )
+            .select(
+                "n_days", "acf_num", "acf_den",
+                F.expr(
+                    "case when acf_den = 0 then cast(0.0 as double) else "
+                    "cast(acf_num as double) / cast(acf_den as double) end"
+                ).alias("acf1"),
+            )
+        )
+    q["q_ml7_autocorr"] = q_ml7
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4610,6 +4683,41 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_mm16_ulaw_decode"] = multimodal.wav_ulaw_oracle_sql(
         sample_rate=8000
     )
+    o["q_x25_moving_average"] = """
+WITH daily AS (
+  SELECT ts::DATE::VARCHAR AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY ts::DATE
+)
+SELECT day, n,
+       sum(n) OVER w::BIGINT AS win_sum,
+       count(*) OVER w::BIGINT AS win_n,
+       (sum(n) OVER w)::DOUBLE / (count(*) OVER w)::DOUBLE AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+ORDER BY day
+"""
+    o["q_ml7_autocorr"] = """
+WITH daily AS (
+  SELECT ts::DATE::VARCHAR AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY ts::DATE
+), lagged AS (
+  SELECT x, lag(x) OVER (ORDER BY day) AS xp FROM daily
+), tot AS (
+  SELECT count(*)::BIGINT AS N, sum(x)::BIGINT AS S FROM lagged
+), sums AS (
+  SELECT max(N)::BIGINT AS n_days,
+         sum(CASE WHEN xp IS NOT NULL THEN
+           (N::HUGEINT * x - S) * (N::HUGEINT * xp - S)
+           ELSE 0::HUGEINT END)::DECIMAL(38,0) AS acf_num,
+         sum((N::HUGEINT * x - S) * (N::HUGEINT * x - S))::DECIMAL(38,0)
+           AS acf_den
+  FROM lagged, tot
+)
+SELECT n_days, acf_num, acf_den,
+       CASE WHEN acf_den = 0 THEN 0.0
+            ELSE acf_num::DOUBLE / acf_den::DOUBLE END AS acf1
+FROM sums
+"""
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

@@ -210,3 +210,23 @@ def test_grouped_fit_permutation_invariant(spark, documents):
     b = {(r.lang): (str(r.det), r.b1)
          for r in grouped_fit(shuffled).collect()}
     assert a == b
+
+
+def test_autocorr_matches_numpy(spark, events):
+    """acf_num/acf_den equals the float lag-1 ACF computed directly."""
+    import numpy as np
+
+    from __spark_entry__ import queries
+
+    # build the same daily series
+    pdf = (events.groupBy(F.expr("cast(cast(ts as date) as string)")
+                          .alias("day"))
+           .agg(F.count("*").alias("x")).orderBy("day").toPandas())
+    x = pdf["x"].to_numpy(dtype=np.float64)
+    m = x.mean()
+    want = float(((x[:-1] - m) * (x[1:] - m)).sum()
+                 / ((x - m) ** 2).sum())
+    from tests.conftest import SF_DIR
+    got = queries()["q_ml7_autocorr"](events.sparkSession, SF_DIR).collect()[0]
+    assert abs(float(got.acf1) - want) < 1e-9
+    assert got.n_days == len(x)
