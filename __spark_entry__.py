@@ -733,6 +733,8 @@ _DRIVER_PRIORITY = [
     "q_mm16_ulaw_decode",
     "q_x25_moving_average",
     "q_ml7_autocorr",
+    "q_d12_k_anonymity",
+    "q_d13_corpus_card",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4084,6 +4086,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_ml7_autocorr"] = q_ml7
 
+    def q_d12(spark, sf):
+        # k-anonymity release gate over (lang, source): every quasi-id
+        # combination with fewer than k rows is a re-identification risk;
+        # empty result == anonymous at k
+        from cassandra_ttl_remover_spark.operators.audit import (
+            k_anonymity_report,
+        )
+
+        return k_anonymity_report(
+            scan_table(spark, sf, "documents"), ["lang", "source"], k=5
+        )
+    q["q_d12_k_anonymity"] = q_d12
+
+    def q_d13(spark, sf):
+        # the data card: sizes, token counts, language histogram, exact
+        # duplicate rate -- long-format (metric, value), all exact
+        # integers so the published card reproduces bit-for-bit
+        from cassandra_ttl_remover_spark.operators.audit import corpus_card
+
+        return corpus_card(scan_table(spark, sf, "documents"))
+    q["q_d13_corpus_card"] = q_d13
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4718,6 +4742,14 @@ SELECT n_days, acf_num, acf_den,
             ELSE acf_num::DOUBLE / acf_den::DOUBLE END AS acf1
 FROM sums
 """
+    from cassandra_ttl_remover_spark.operators.audit import (
+        corpus_card_oracle_sql,
+        k_anonymity_oracle_sql,
+    )
+    o["q_d12_k_anonymity"] = k_anonymity_oracle_sql(
+        "documents", ["lang", "source"], k=5
+    )
+    o["q_d13_corpus_card"] = corpus_card_oracle_sql()
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

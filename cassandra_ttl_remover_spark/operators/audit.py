@@ -741,3 +741,106 @@ SELECT fact_rows, n_keys, max_cnt, dim_rows,
             ELSE 'shuffle' END AS recommendation
 FROM kstats, dstats
 """
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: every
+    combination of ``quasi_cols`` values shared by FEWER than ``k`` rows
+    is a re-identification risk (the release gate privacy reviews run
+    before publishing any slice). Returns one row per violating
+    combination ``(*quasi_cols, n_rows)`` ordered by (n_rows, *cols) —
+    empty result == the table is k-anonymous at this k.
+
+    Scale: one map-side-combined groupBy over the quasi columns; the
+    violating set is by definition small (each group < k rows), so the
+    result never approaches data size."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+        .orderBy("n_rows", *quasi_cols)
+    )
+
+
+def k_anonymity_oracle_sql(table: str, quasi_cols: list[str],
+                           k: int = 5) -> str:
+    cols = ", ".join(quasi_cols)
+    return f"""
+SELECT {cols}, count(*)::BIGINT AS n_rows
+FROM {table} GROUP BY {cols}
+HAVING count(*) < {k}
+ORDER BY n_rows, {cols}
+"""
+
+
+def corpus_card(docs: DataFrame, text_col: str = "text",
+                lang_col: str = "lang",
+                id_col: str = "doc_id") -> DataFrame:
+    """The data-card summary block ("corpus card"): the one-stop
+    long-format metric table a dataset release publishes — sizes, token
+    counts, language distribution, exact-duplicate rate — all exact
+    integers so the card is reproducible bit-for-bit. Returns
+    ``(metric, value)`` rows ordered by metric.
+
+    Scale: ONE pass computes the scalar metrics (map-side combined);
+    the language histogram and the duplicate count are one groupBy
+    each — three aggregation jobs total, none corpus-sized in output."""
+    from cassandra_ttl_remover_spark.operators.text import WORDS_EXPR
+
+    ws = WORDS_EXPR.format(col=text_col)
+    scal = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        F.expr(f"sum(cast(size({ws}) as bigint))").alias("n_tokens"),
+        F.min(F.length(text_col)).cast("long").alias("min_chars"),
+        F.max(F.length(text_col)).cast("long").alias("max_chars"),
+    )
+    n_scal = 5
+    scal_rows = scal.select(
+        F.expr(
+            "stack({n}, 'n_docs', n_docs, 'n_chars', n_chars,"
+            " 'n_tokens', n_tokens, 'min_chars', min_chars,"
+            " 'max_chars', max_chars) as (metric, value)".format(n=n_scal)
+        )
+    )
+    lang_rows = (
+        docs.groupBy(lang_col)
+        .agg(F.count("*").cast("long").alias("value"))
+        .select(F.concat(F.lit("lang:"), F.col(lang_col)).alias("metric"),
+                "value")
+    )
+    dup_rows = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.count("*").alias("_c"))
+        .agg(
+            F.sum(F.col("_c") - 1).cast("long").alias("value")
+        )
+        .select(F.lit("n_exact_dup_rows").alias("metric"),
+                F.coalesce("value", F.lit(0)).alias("value"))
+    )
+    return scal_rows.unionByName(lang_rows).unionByName(dup_rows).orderBy(
+        "metric"
+    )
+
+
+def corpus_card_oracle_sql(table: str = "documents",
+                           lang_col: str = "lang") -> str:
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM {table}
+  UNION ALL SELECT 'n_chars', sum(length(text))::BIGINT FROM {table}
+  UNION ALL SELECT 'n_tokens', sum(len({ws}))::BIGINT FROM {table}
+  UNION ALL SELECT 'min_chars', min(length(text))::BIGINT FROM {table}
+  UNION ALL SELECT 'max_chars', max(length(text))::BIGINT FROM {table}
+  UNION ALL
+  SELECT 'lang:' || {lang_col}, count(*)::BIGINT
+  FROM {table} GROUP BY {lang_col}
+  UNION ALL
+  SELECT 'n_exact_dup_rows', coalesce(sum(c - 1), 0)::BIGINT FROM (
+    SELECT count(*)::BIGINT AS c FROM {table} GROUP BY md5(text)
+  )
+)
+ORDER BY metric
+"""

@@ -265,3 +265,31 @@ def test_join_advisor_rules(spark):
     r = join_strategy_advisor(uni, big_dim, "k", broadcast_rows=10,
                               skew_ratio=20).collect()[0]
     assert r.recommendation == "shuffle"
+
+
+def test_k_anonymity_report(spark):
+    from cassandra_ttl_remover_spark.operators.audit import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "a")] * 5 + [("en", "b")] * 2 + [("de", "a")] * 1,
+        "lang string, source string")
+    viol = {(r.lang, r.source): r.n_rows
+            for r in k_anonymity_report(df, ["lang", "source"],
+                                        k=5).collect()}
+    assert viol == {("en", "b"): 2, ("de", "a"): 1}
+    assert k_anonymity_report(df, ["lang", "source"], k=1).collect() == []
+
+
+def test_corpus_card_values(spark):
+    from cassandra_ttl_remover_spark.operators.audit import corpus_card
+
+    df = spark.createDataFrame(
+        [(1, "one two", "en"), (2, "one two", "en"), (3, "drei", "de")],
+        "doc_id long, text string, lang string")
+    card = {r.metric: r.value for r in corpus_card(df).collect()}
+    assert card["n_docs"] == 3 and card["n_tokens"] == 5
+    assert card["lang:en"] == 2 and card["lang:de"] == 1
+    assert card["n_exact_dup_rows"] == 1  # one extra copy of "one two"
+    assert card["min_chars"] == 4 and card["max_chars"] == 7
