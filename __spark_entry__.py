@@ -735,6 +735,7 @@ _DRIVER_PRIORITY = [
     "q_ml7_autocorr",
     "q_d12_k_anonymity",
     "q_d13_corpus_card",
+    "q_x26_market_basket",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4108,6 +4109,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus_card(scan_table(spark, sf, "documents"))
     q["q_d13_corpus_card"] = q_d13
 
+    def q_x26(spark, sf):
+        # Apriori 2-itemset market basket over orders x suppliers: the
+        # a-priori prune restricts baskets to frequent singletons BEFORE
+        # any pair materializes; quadratic only within a basket's
+        # frequent-item count, degenerate baskets capped
+        from cassandra_ttl_remover_spark.operators.counts import (
+            frequent_pairs,
+        )
+
+        return frequent_pairs(
+            scan_table(spark, sf, "lineitem"),
+            "l_orderkey", "l_suppkey", min_support=5,
+        )
+    q["q_x26_market_basket"] = q_x26
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4750,6 +4766,12 @@ FROM sums
         "documents", ["lang", "source"], k=5
     )
     o["q_d13_corpus_card"] = corpus_card_oracle_sql()
+    from cassandra_ttl_remover_spark.operators.counts import (
+        frequent_pairs_oracle_sql,
+    )
+    o["q_x26_market_basket"] = frequent_pairs_oracle_sql(
+        "lineitem", "l_orderkey", "l_suppkey", min_support=5
+    )
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

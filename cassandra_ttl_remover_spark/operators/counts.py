@@ -365,3 +365,72 @@ SELECT ex.exact_join_size,
        ((SELECT min(ip) FROM ip) >= ex.exact_join_size) AS is_overestimate
 FROM ex
 """
+
+
+def frequent_pairs(baskets: DataFrame, basket_col: str, item_col: str,
+                   min_support: int = 10,
+                   max_basket: int = 1000) -> DataFrame:
+    """Apriori 2-itemset mining (market basket): item pairs co-occurring
+    in at least ``min_support`` baskets — with the A-PRIORI prune that
+    makes it tractable at scale: a pair can only be frequent if BOTH
+    items are, so baskets are first restricted to frequent singletons
+    before any pair materializes. Returns
+    ``(item_a, item_b, support)`` ordered by (support desc, items asc).
+
+    Scale shape: singleton supports are one map-side-combined groupBy;
+    the frequent-item set joins back as a LEFT SEMI (never collected);
+    pair generation is a within-basket self-join keyed on the basket id,
+    quadratic ONLY in each basket's frequent-item count —
+    ``max_basket`` drops degenerate baskets above that bound (the
+    standard guard; dropped baskets are by definition promiscuous and
+    near-uninformative for pair support). One final pair aggregation."""
+    items = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    freq = (
+        items.groupBy("i")
+        .agg(F.count("*").cast("long").alias("sup1"))
+        .filter(F.col("sup1") >= min_support)
+        .select("i")
+    )
+    pruned = items.join(freq, "i", "left_semi")
+    sizes = (
+        pruned.groupBy("b").agg(F.count("*").cast("long").alias("_bs"))
+        .filter(F.col("_bs") <= max_basket)
+        .select("b")
+    )
+    pruned = pruned.join(sizes, "b", "left_semi")
+    a = pruned.select("b", F.col("i").alias("item_a"))
+    c = pruned.select("b", F.col("i").alias("item_b"))
+    return (
+        a.join(c, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .orderBy(F.col("support").desc(), "item_a", "item_b")
+    )
+
+
+def frequent_pairs_oracle_sql(fact: str, basket_col: str, item_col: str,
+                              min_support: int = 10,
+                              max_basket: int = 1000) -> str:
+    return f"""
+WITH items AS (
+  SELECT DISTINCT {basket_col} AS b, {item_col} AS i FROM {fact}
+), freq AS (
+  SELECT i FROM items GROUP BY i HAVING count(*) >= {min_support}
+), pruned AS (
+  SELECT b, i FROM items WHERE i IN (SELECT i FROM freq)
+), keepb AS (
+  SELECT b FROM pruned GROUP BY b HAVING count(*) <= {max_basket}
+), p2 AS (
+  SELECT x.b, x.i AS item_a, y.i AS item_b
+  FROM pruned x JOIN pruned y ON x.b = y.b AND x.i < y.i
+  WHERE x.b IN (SELECT b FROM keepb)
+)
+SELECT item_a, item_b, count(*)::BIGINT AS support
+FROM p2 GROUP BY item_a, item_b
+HAVING count(*) >= {min_support}
+ORDER BY support DESC, item_a, item_b
+"""

@@ -137,3 +137,41 @@ def test_countmin_join_size_certificate(spark):
     tight = countmin_join_size(a, "k", b, "k", depth=2, width=2).collect()[0]
     assert tight.exact_join_size == exact
     assert tight.is_overestimate               # collisions only inflate
+
+
+def test_frequent_pairs_apriori_prune(spark):
+    """Items below singleton support never reach the pair stage, even if
+    one pair of them co-occurs often enough via a shared basket."""
+    from cassandra_ttl_remover_spark.operators.counts import frequent_pairs
+
+    rows = []
+    for b in range(10):
+        rows += [(b, "milk"), (b, "bread")]       # both frequent
+    rows += [(100, "rare1"), (100, "rare2")]      # infrequent singles
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {(r.item_a, r.item_b): r.support
+           for r in frequent_pairs(df, "b", "i", min_support=5).collect()}
+    assert got == {("bread", "milk"): 10}
+
+
+def test_frequent_pairs_basket_cap(spark):
+    """A degenerate basket above max_basket contributes no pairs, even
+    when its items are individually frequent."""
+    from cassandra_ttl_remover_spark.operators.counts import frequent_pairs
+
+    rows = []
+    # 20 items, each individually frequent (5 singleton baskets apiece)
+    for k in range(20):
+        rows += [(100 + 10 * k + j, f"i{k:02d}") for j in range(5)]
+    # ...and all 20 together in ONE promiscuous basket
+    rows += [(1, f"i{k:02d}") for k in range(20)]
+    # a normal frequent pair for contrast
+    rows += [(b, "a") for b in range(2, 9)] + [(b, "c") for b in range(2, 9)]
+    df = spark.createDataFrame(rows, "b long, i string")
+    capped = {(r.item_a, r.item_b)
+              for r in frequent_pairs(df, "b", "i", min_support=5,
+                                      max_basket=10).collect()}
+    assert capped == {("a", "c")}
+    uncapped = frequent_pairs(df, "b", "i", min_support=1,
+                              max_basket=1000).collect()
+    assert any(r.item_a.startswith("i") for r in uncapped)
