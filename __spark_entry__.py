@@ -736,6 +736,7 @@ _DRIVER_PRIORITY = [
     "q_d12_k_anonymity",
     "q_d13_corpus_card",
     "q_x26_market_basket",
+    "q_se8_scd2_temporal_join",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4124,6 +4125,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_x26_market_basket"] = q_x26
 
+    def q_se8(spark, sf):
+        # temporal dimension join: the SCD2 dimension built from the
+        # 'signup'/'purchase' change stream, then EVERY event joined to
+        # the version in effect at its timestamp (equi user key + validity
+        # range -- one shuffle on the key); the "what tier was the user
+        # in?" as-of query every warehouse runs
+        from cassandra_ttl_remover_spark.operators.sessions import scd2_build
+
+        ev = _events(spark, sf)
+        dim = scd2_build(
+            ev.filter(F.col("event_type").isin("signup", "purchase"))
+        )
+        fact = ev.select(
+            "user_id", "event_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        )
+        joined = fact.join(
+            dim,
+            (fact["user_id"] == dim["user_id"])
+            & (fact["ts_us"] >= dim["valid_from_us"])
+            & (
+                dim["valid_to_us"].isNull()
+                | (fact["ts_us"] < dim["valid_to_us"])
+            ),
+            "left",
+        )
+        return (
+            joined.groupBy(F.coalesce(dim["attr"], F.lit("none"))
+                           .alias("tier"))
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .orderBy("tier")
+        )
+    q["q_se8_scd2_temporal_join"] = q_se8
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4772,6 +4807,26 @@ FROM sums
     o["q_x26_market_basket"] = frequent_pairs_oracle_sql(
         "lineitem", "l_orderkey", "l_suppkey", min_support=5
     )
+    o["q_se8_scd2_temporal_join"] = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), changes AS (
+  SELECT *, lag(event_type) OVER
+      (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM ev WHERE event_type IN ('signup', 'purchase')
+), dim AS (
+  SELECT user_id, event_type AS attr, ts_us AS valid_from_us,
+         lead(ts_us) OVER w AS valid_to_us
+  FROM (SELECT * FROM changes WHERE prev IS NULL OR prev <> event_type)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT coalesce(d.attr, 'none') AS tier, count(*)::BIGINT AS n_events
+FROM ev e LEFT JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts_us >= d.valid_from_us
+ AND (d.valid_to_us IS NULL OR e.ts_us < d.valid_to_us)
+GROUP BY coalesce(d.attr, 'none') ORDER BY tier
+"""
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

@@ -163,3 +163,40 @@ def test_scd2_single_exchange(spark, events):
     # ignore the final presentation orderBy's range exchange
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash == 1, plan
+
+
+def test_scd2_temporal_join_asof_semantics(spark):
+    """Each fact row lands in exactly the version valid at its ts; facts
+    before the first change get the NULL/none bucket."""
+    import datetime as dt
+
+    import __spark_entry__  # noqa: F401  (exercise via operators directly)
+    from cassandra_ttl_remover_spark.operators.sessions import scd2_build
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    ev = spark.createDataFrame(
+        [(1, t(10), 7, "signup", 0.0, ""),
+         (2, t(30), 7, "purchase", 0.0, ""),
+         (3, t(5), 7, "view", 0.0, ""),     # before any change -> none
+         (4, t(20), 7, "view", 0.0, ""),    # inside 'signup' interval
+         (5, t(40), 7, "view", 0.0, "")],   # inside 'purchase' interval
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    dim = scd2_build(
+        ev.filter(F.col("event_type").isin("signup", "purchase")))
+    fact = ev.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"))
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["user_id"])
+        & (fact["ts_us"] >= dim["valid_from_us"])
+        & (dim["valid_to_us"].isNull()
+           | (fact["ts_us"] < dim["valid_to_us"])),
+        "left",
+    ).select(fact["event_id"], dim["attr"])
+    got = {r.event_id: r.attr for r in joined.collect()}
+    assert got == {1: "signup", 2: "purchase", 3: None,
+                   4: "signup", 5: "purchase"}
