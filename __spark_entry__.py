@@ -3839,16 +3839,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (metric, value) rows via the stack expression -- the inverse of
         # q_p3's pivot; pure projection over a 1-exchange aggregate
         docs = scan_table(spark, sf, "documents")
+        # sum alias deliberately NOT named n_chars: the fixture has a real
+        # n_chars column, and max("n_chars") below must bind to the COLUMN
+        # -- an identical alias would depend on binding precedence
         wide = docs.groupBy("lang").agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
             F.max("n_chars").cast("long").alias("max_chars"),
         )
         return (
             wide.select(
                 "lang",
                 F.expr(
-                    "stack(3, 'n_docs', n_docs, 'n_chars', n_chars,"
+                    "stack(3, 'n_docs', n_docs, 'sum_chars', sum_chars,"
                     " 'max_chars', max_chars) as (metric, value)"
                 ),
             )
@@ -5676,13 +5679,13 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_p4_unpivot"] = """
 WITH wide AS (
   SELECT lang, count(*)::BIGINT AS n_docs,
-         sum(length(text))::BIGINT AS n_chars,
+         sum(length(text))::BIGINT AS sum_chars,
          max(n_chars)::BIGINT AS max_chars
   FROM documents GROUP BY lang
 )
 SELECT lang, metric, value FROM (
   SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
-  UNION ALL SELECT lang, 'n_chars', n_chars FROM wide
+  UNION ALL SELECT lang, 'sum_chars', sum_chars FROM wide
   UNION ALL SELECT lang, 'max_chars', max_chars FROM wide
 ) ORDER BY lang, metric
 """

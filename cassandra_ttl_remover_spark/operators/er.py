@@ -40,6 +40,44 @@ from cassandra_ttl_remover_spark.operators.text import WORDS_EXPR
 from cassandra_ttl_remover_spark.plans import fan_out
 
 
+def _rare_token_blocks(docs: DataFrame, max_block_df: int, n_keys: int,
+                       text_col: str, id_col: str):
+    """Shared blocking stage for :func:`resolve_entities` and
+    :func:`edit_distance_pairs`: token sets (with original text carried
+    along), document frequencies, and each record's ``n_keys`` rarest
+    tokens as blocking keys (df <= ``max_block_df``). Returns
+    ``(sets, rarest)`` where sets = (id, t, s, sz) and
+    rarest = (id, block). Single source for the blocking rule — a change
+    here (and in the two mirrored oracles) applies to both operators."""
+    from pyspark.sql import Window
+
+    ws = WORDS_EXPR.format(col=text_col)
+    sets = (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("t"),
+            F.expr(f"array_sort(array_distinct({ws}))").alias("s"),
+        )
+        .withColumn("sz", F.expr("cast(size(s) as bigint)"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = (
+        sets.select(F.explode("s").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy("df", "token")
+    rarest = (
+        sets.select(id_col, F.explode("s").alias("token"))
+        .join(dfreq, "token")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") <= n_keys) & (F.col("df") <= max_block_df))
+        .select(F.col(id_col), F.col("token").alias("block"))
+    )
+    return sets, rarest
+
+
 def resolve_entities(docs: DataFrame, threshold: tuple[int, int] = (1, 2),
                      max_block_df: int = 50, n_keys: int = 2,
                      text_col: str = "text",
@@ -57,31 +95,8 @@ def resolve_entities(docs: DataFrame, threshold: tuple[int, int] = (1, 2),
     would re-block with a composite key). Candidates found under several
     shared keys are de-duplicated before the Jaccard stage."""
     p, q = threshold
-    ws = WORDS_EXPR.format(col=text_col)
-    sets = (
-        fan_out(docs.select(id_col, text_col), id_col)
-        .select(
-            F.col(id_col),
-            F.expr(f"array_sort(array_distinct({ws}))").alias("s"),
-        )
-        .withColumn("sz", F.expr("cast(size(s) as bigint)"))
-        .localCheckpoint(eager=False)
-    )
-    dfreq = (
-        sets.select(F.explode("s").alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").cast("long").alias("df"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy("df", "token")
-    rarest = (
-        sets.select(id_col, F.explode("s").alias("token"))
-        .join(dfreq, "token")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") <= n_keys) & (F.col("df") <= max_block_df))
-        .select(F.col(id_col), F.col("token").alias("block"))
-    )
+    sets, rarest = _rare_token_blocks(docs, max_block_df, n_keys,
+                                      text_col, id_col)
     a = rarest.select(F.col(id_col).alias("a"), "block")
     b = rarest.select(F.col(id_col).alias("b"), "block")
     cand = (
@@ -191,31 +206,8 @@ def edit_distance_pairs(docs: DataFrame, max_dist: int = 20,
     all-pairs); per-pair DP cost is bounded by doc length — at 100 TB
     run it on the truncated prefix (first ~1k chars) or post-Jaccard
     survivors; the fixture form compares full texts."""
-    ws = WORDS_EXPR.format(col=text_col)
-    sets = (
-        fan_out(docs.select(id_col, text_col), id_col)
-        .select(
-            F.col(id_col),
-            F.col(text_col).alias("t"),
-            F.expr(f"array_sort(array_distinct({ws}))").alias("s"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    dfreq = (
-        sets.select(F.explode("s").alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").cast("long").alias("df"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy("df", "token")
-    rarest = (
-        sets.select(id_col, F.explode("s").alias("token"))
-        .join(dfreq, "token")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") <= n_keys) & (F.col("df") <= max_block_df))
-        .select(F.col(id_col), F.col("token").alias("block"))
-    )
+    sets, rarest = _rare_token_blocks(docs, max_block_df, n_keys,
+                                      text_col, id_col)
     a = rarest.select(F.col(id_col).alias("id_a"), "block")
     b = rarest.select(F.col(id_col).alias("id_b"), "block")
     return (

@@ -25,12 +25,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..plans import fan_out
+from .text import WORDS_EXPR
 
 #: shared feature definitions over the documents table: all exact
 #: integers, spelled identically in Spark SQL and DuckDB.
-#:   x1 = character length, x2 = word count, y = occurrences of 'e'
+#:   x1 = character length, x2 = word count (the shared WORDS_EXPR
+#:   tokenizer -- the cross-engine parity anchor), y = occurrences of 'e'
 _X1 = "cast(length({t}) as bigint)"
-_X2 = "cast(size(filter(split({t}, ' '), w -> w <> '')) as bigint)"
+_X2 = "cast(size(" + WORDS_EXPR.format(col="{t}") + ") as bigint)"
 _Y = "cast(length({t}) - length(replace({t}, 'e', '')) as bigint)"
 
 

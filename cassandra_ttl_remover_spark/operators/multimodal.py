@@ -1697,6 +1697,11 @@ def _parse_jpeg(b: bytes) -> tuple:
     if quant is None or dc_tab is None or ac_tab is None or width is None:
         raise ValueError("missing DQT/DHT/SOF0 before SOS")
 
+    if width * height > (1 << 28):
+        # corrupt-SOF guard: a torn header advertising absurd dimensions
+        # must quarantine (ValueError), not drive the coefficient
+        # allocation into a MemoryError that fails the whole task
+        raise ValueError("JPEG dimensions exceed the sanity bound")
     bw, bh = (width + 7) // 8, (height + 7) // 8
     rd = _JpegBitReader(b, pos)
     coefs = np.zeros((bw * bh, 8, 8), dtype=np.int64)
@@ -1739,9 +1744,39 @@ def _parse_jpeg(b: bytes) -> tuple:
 def documents_as_jpeg(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", width: int = 64) -> DataFrame:
     """Media frame whose payloads are REAL baseline JPEGs synthesized from
-    the documents fixture (one byte per flat 8x8 block)."""
-    return _documents_as_raster(docs, _text_to_jpeg_bytes, "image/jpeg",
-                                width, text_col, id_col)
+    the documents fixture. NOT via _documents_as_raster: that helper's
+    one-byte-per-PIXEL height rule would contradict the payload — here a
+    byte is one 8x8 BLOCK, so meta.height = 8 * ceil(len / (width // 8))
+    must match the SOF dimensions the decoder will read."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        bpr = width // 8
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [_text_to_jpeg_bytes(t, width) for t in texts],
+                    "meta": [
+                        {
+                            "kind": "image",
+                            "mime": "image/jpeg",
+                            "width": width,
+                            "height": 8 * max(1, math.ceil(len(t) / bpr)),
+                            "n_frames": 1,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                        }
+                        for t in texts
+                    ],
+                }
+            )
+
+    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def jpeg_decode_features(media: DataFrame) -> DataFrame:
@@ -1827,7 +1862,8 @@ def decode_census(media: DataFrame, parse) -> DataFrame:
                     feats = parse(bytes(payload))
                     dec += 1
                     spx += int(feats[3])
-                except (ValueError, IndexError, struct_error):
+                except (ValueError, IndexError, struct_error,
+                        OverflowError):
                     quar += 1
             yield pd.DataFrame(
                 {"n_total": [dec + quar], "n_decoded": [dec],

@@ -529,3 +529,36 @@ def test_animated_gif_malformed_raises(spark):
         _parse_animated_gif(blob[:-4])  # truncated before trailer
     with pytest.raises(ValueError):
         _parse_animated_gif(b"NOTGIF89a")
+
+
+def test_jpeg_meta_height_matches_decoded_raster(spark, documents):
+    """Regression: meta.height must equal the SOF/decoded height (one
+    byte per 8x8 BLOCK, not per pixel)."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        documents_as_jpeg, jpeg_decode_features)
+
+    docs = documents.limit(20)
+    media = documents_as_jpeg(docs, width=32)
+    metas = {r.media_id: r.meta for r in media.collect()}
+    for r in jpeg_decode_features(media).collect():
+        m = metas[r.media_id]
+        assert (int(m["width"]), int(m["height"])) == (r.width, r.height)
+
+
+def test_jpeg_corrupt_sof_quarantines_not_oom(spark):
+    """A torn HEADER (absurd SOF dimensions) must raise ValueError at the
+    sanity bound -- and the census must count it, not fail the task."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _parse_jpeg, _text_to_jpeg_bytes)
+
+    blob = bytearray(_text_to_jpeg_bytes(b"hello corrupt sof", 16))
+    i = bytes(blob).index(b"\xff\xc0")
+    # SOF body: len(2) prec(1) H(2) W(2) ... -> overwrite H and W
+    struct.pack_into(">HH", blob, i + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="sanity bound"):
+        _parse_jpeg(bytes(blob))
