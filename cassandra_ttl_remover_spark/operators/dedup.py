@@ -1281,8 +1281,12 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
     Models Better" — public method, re-derived): spans detect cross-corpus
     verbatim runs; this produces the CLEANED corpus. Rule (deterministic,
     engine-portable): for every n-token window appearing in >= ``min_docs``
-    documents, the document with the GLOBAL MIN id keeps its occurrences;
-    every other document drops all tokens covered by any such window.
+    documents, every document EXCEPT the one with the GLOBAL MIN id drops
+    all tokens covered by that window. Overlap caveat (property-tested):
+    when overlapping duplicated windows have different canonical owners, a
+    doc can be canon for one window yet lose shared tokens through the
+    other — so only a doc that is canon of (or absent from) every
+    duplicated window it contains is guaranteed untouched.
     Returns ``(id_col, n_tokens, n_removed, cleaned_hash)`` with
     ``cleaned_hash`` = md5 of the space-joined surviving tokens — the
     whole rewrite is hash-checkable without shipping cleaned text.

@@ -530,3 +530,43 @@ def test_chi2_completes_on_wide_vocab(spark):
     top = chi2_top_tokens(docs, positive="en", k=5, min_df=2).collect()
     names = [r.token for r in top]
     assert "englishmarker" in names[:2] and "germanmarker" in names[:2]
+
+
+def test_scd2_temporal_join_1m_rows(spark):
+    """SCD2 build + as-of join over a 1M-row synthetic event stream:
+    completes in bounded wall-clock with one key exchange for the
+    dimension and every fact landing exactly once."""
+    import time
+
+    from cassandra_ttl_remover_spark.operators.sessions import scd2_build
+
+    ev = spark.range(1_000_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5_000).alias("user_id"),
+        F.expr(
+            "timestampadd(SECOND, cast(id % 86400 as int),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("ts"),
+        F.expr(
+            "element_at(array('signup','view','purchase','view','view'),"
+            " cast(id % 5 as int) + 1)"
+        ).alias("event_type"),
+    )
+    t0 = time.time()
+    dim = scd2_build(ev.filter(F.col("event_type").isin("signup",
+                                                        "purchase")))
+    fact = ev.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"))
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["user_id"])
+        & (fact["ts_us"] >= dim["valid_from_us"])
+        & (dim["valid_to_us"].isNull()
+           | (fact["ts_us"] < dim["valid_to_us"])),
+        "left",
+    )
+    n = joined.count()
+    wall = time.time() - t0
+    assert n == 1_000_000  # every fact exactly once
+    assert wall < 180, f"temporal join took {wall:.0f}s at 1M rows"
