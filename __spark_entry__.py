@@ -737,6 +737,7 @@ _DRIVER_PRIORITY = [
     "q_d13_corpus_card",
     "q_x26_market_basket",
     "q_se8_scd2_temporal_join",
+    "q_t6_compact_gc",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4162,6 +4163,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_se8_scd2_temporal_join"] = q_se8
 
+    def q_t6(spark, sf):
+        # full compaction semantics: LWW merge + tombstone gc_grace purge
+        # (tombstones win writetime ties, retained inside the grace
+        # window, purged past it -- the data-resurrection guard) in ONE
+        # map-side-combined arg-max exchange
+        from cassandra_ttl_remover_spark.operators.compact import (
+            compact_with_gc,
+        )
+
+        cells = _events(spark, sf).select(
+            "user_id",
+            F.expr("pmod(event_id, 200)").alias("cell"),
+            F.expr("unix_micros(cast(ts as timestamp))").alias("writetime"),
+            (F.col("event_type") == "error").alias("is_tombstone"),
+        )
+        return compact_with_gc(
+            cells, ["user_id", "cell"],
+            gc_grace_us=864000000000, now_us=1706745600000000,
+        )
+    q["q_t6_compact_gc"] = q_t6
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4830,6 +4852,18 @@ FROM ev e LEFT JOIN dim d
  AND (d.valid_to_us IS NULL OR e.ts_us < d.valid_to_us)
 GROUP BY coalesce(d.attr, 'none') ORDER BY tier
 """
+    from cassandra_ttl_remover_spark.operators.compact import (
+        compact_with_gc_oracle_sql,
+    )
+    o["q_t6_compact_gc"] = compact_with_gc_oracle_sql(
+        """SELECT user_id,
+                  ((event_id % 200) + 200) % 200 AS cell,
+                  epoch_us(ts) AS writetime,
+                  (event_type = 'error') AS is_tombstone
+           FROM events""",
+        ["user_id", "cell"],
+        gc_grace_us=864000000000, now_us=1706745600000000,
+    )
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

@@ -139,3 +139,86 @@ rk AS (
 SELECT {cols_csv} FROM rk WHERE rn = 1 AND {op_col} <> 'D'
 ORDER BY {keys_csv}
 """
+
+
+def compact_with_gc(cells: DataFrame, keys: list[str], *,
+                    writetime_col: str = "writetime",
+                    tombstone_col: str = "is_tombstone",
+                    gc_grace_us: int,
+                    now_us: int) -> DataFrame:
+    """Full compaction semantics: LWW merge PLUS tombstone garbage
+    collection (the gc_grace_seconds rule — Cassandra's compaction
+    subtlety the reference tool operates next to,
+    NoTTLReader.java's generation merge + tombstone retention):
+
+    1. per key, the highest-``writetime`` version wins (LWW);
+    2. a winning LIVE cell survives as ``status='live'``;
+    3. a winning TOMBSTONE deletes the row — but the tombstone itself is
+       RETAINED (``status='tombstone_retained'``) while
+       ``writetime > now - gc_grace`` and PURGED entirely once older.
+       Purging early is the classic data-resurrection bug (a replica
+       that missed the delete would re-spread the old cell), which is
+       why the grace window exists at all — the rule is first-class
+       here, not an afterthought.
+
+    Returns one row per surviving key:
+    ``(*keys, writetime, status)`` ordered by keys.
+
+    Scale shape: identical to :func:`merge_runs_lww` — ONE map-side-
+    combined arg-max exchange on the key; the GC decision is a
+    projection on the 1-row-per-key result. No windows, no second pass."""
+    wt = F.col(writetime_col)
+    win = (
+        cells.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(
+                    wt.alias("wt"),
+                    F.col(tombstone_col).cast("int").alias("tomb"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            *keys,
+            F.col("_w.wt").alias(writetime_col),
+            (F.col("_w.tomb") == 1).alias("_is_tomb"),
+        )
+    )
+    threshold = int(now_us) - int(gc_grace_us)
+    return (
+        win.filter(~F.col("_is_tomb") | (wt > F.lit(threshold)))
+        .select(
+            *keys,
+            wt,
+            F.when(F.col("_is_tomb"), F.lit("tombstone_retained"))
+            .otherwise(F.lit("live"))
+            .alias("status"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def compact_with_gc_oracle_sql(cells_sql: str, keys: list[str], *,
+                               gc_grace_us: int, now_us: int,
+                               writetime_col: str = "writetime") -> str:
+    """DuckDB mirror: arg-max per key via row_number with the same
+    (writetime, tombstone-flag) descending order the struct max implies,
+    then the identical GC filter."""
+    ks = ", ".join(keys)
+    threshold = int(now_us) - int(gc_grace_us)
+    return f"""
+WITH cells AS ({cells_sql}),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {ks}
+    ORDER BY {writetime_col} DESC, is_tombstone::INT DESC
+  ) AS rn
+  FROM cells
+)
+SELECT {ks}, {writetime_col},
+       CASE WHEN is_tombstone THEN 'tombstone_retained'
+            ELSE 'live' END AS status
+FROM rk
+WHERE rn = 1 AND (NOT is_tombstone OR {writetime_col} > {threshold})
+ORDER BY {ks}
+"""

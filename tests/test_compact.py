@@ -91,3 +91,33 @@ def test_apply_changes_delete_semantics(spark):
     got = {(r.k): (r.writetime, r.v)
            for r in apply_changes(snap, changes, ["k"]).collect()}
     assert got == {1: (20, "a2"), 3: (10, "c"), 4: (10, "d")}
+
+
+def test_compact_with_gc_semantics(spark):
+    """LWW + grace rules on a hand-built cell set: tombstones win ties,
+    retained inside grace, purged past it; shadowed live cells gone."""
+    from cassandra_ttl_remover_spark.operators.compact import compact_with_gc
+
+    NOW, GRACE = 1_000_000, 100_000
+    cells = spark.createDataFrame(
+        [
+            (1, 10, 500_000, False),   # live, shadowed by newer live
+            (1, 10, 600_000, False),   # winner -> live
+            (2, 20, 500_000, False),   # shadowed by newer tombstone
+            (2, 20, 950_000, True),    # tombstone inside grace -> retained
+            (3, 30, 500_000, False),   # shadowed by OLD tombstone
+            (3, 30, 800_000, True),    # tombstone past grace -> purged
+            (4, 40, 700_000, False),   # tie: tombstone wins
+            (4, 40, 700_000, True),
+        ],
+        "user_id long, cell long, writetime long, is_tombstone boolean")
+    got = {(r.user_id, r.cell): (r.writetime, r.status)
+           for r in compact_with_gc(cells, ["user_id", "cell"],
+                                    gc_grace_us=GRACE,
+                                    now_us=NOW).collect()}
+    assert got == {
+        (1, 10): (600_000, "live"),
+        (2, 20): (950_000, "tombstone_retained"),
+        # (3, 30) purged entirely: winning tombstone older than grace
+        # (4, 40): tie -> tombstone wins -> 700k < 900k threshold -> purged
+    }
