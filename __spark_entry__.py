@@ -738,6 +738,7 @@ _DRIVER_PRIORITY = [
     "q_x26_market_basket",
     "q_se8_scd2_temporal_join",
     "q_t6_compact_gc",
+    "q_t7_expire_compact",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4184,6 +4185,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_t6_compact_gc"] = q_t6
 
+    def q_t7(spark, sf):
+        # the full cell lifecycle: TTL'd cells whose expiry has passed
+        # CONVERT to tombstones (deletion time = expiration instant, so a
+        # later rewrite shadows correctly), then LWW + gc_grace purge --
+        # the exact lifecycle the reference's TTL strip exists to avoid
+        from cassandra_ttl_remover_spark.operators.compact import (
+            expire_then_compact,
+        )
+        from cassandra_ttl_remover_spark.operators.liveness import (
+            DEFAULT_NOW,
+            annotate_events,
+        )
+
+        cells = annotate_events(_events(spark, sf)).select(
+            "user_id",
+            F.expr("pmod(event_id, 200)").alias("cell"),
+            "writetime", "expires_at",
+        )
+        return expire_then_compact(
+            cells, ["user_id", "cell"],
+            now_s=DEFAULT_NOW, gc_grace_s=5 * 86400,
+        )
+    q["q_t7_expire_compact"] = q_t7
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4863,6 +4888,21 @@ GROUP BY coalesce(d.attr, 'none') ORDER BY tier
            FROM events""",
         ["user_id", "cell"],
         gc_grace_us=864000000000, now_us=1706745600000000,
+    )
+    from cassandra_ttl_remover_spark.operators.compact import (
+        expire_then_compact_oracle_sql,
+    )
+    from cassandra_ttl_remover_spark.operators.liveness import (
+        ANNOTATE_EVENTS_SQL as _ANN_SQL,
+        DEFAULT_NOW as _T7_NOW,
+    )
+    o["q_t7_expire_compact"] = expire_then_compact_oracle_sql(
+        f"""SELECT user_id,
+                  ((event_id % 200) + 200) % 200 AS cell,
+                  writetime, expires_at
+           FROM ({_ANN_SQL}) ann""",
+        ["user_id", "cell"],
+        now_s=_T7_NOW, gc_grace_s=5 * 86400,
     )
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss

@@ -222,3 +222,59 @@ FROM rk
 WHERE rn = 1 AND (NOT is_tombstone OR {writetime_col} > {threshold})
 ORDER BY {ks}
 """
+
+
+def expire_then_compact(cells: DataFrame, keys: list[str], *,
+                        writetime_col: str = "writetime",
+                        expires_at_col: str = "expires_at",
+                        now_s: int, gc_grace_s: int) -> DataFrame:
+    """Cassandra's expired-cell rule composed with GC compaction: a cell
+    whose TTL has lapsed (``expires_at <= now``) BECOMES a tombstone
+    whose deletion time is its expiration instant, then the normal
+    :func:`compact_with_gc` LWW + gc_grace machinery runs. This is the
+    full lifecycle the reference tool operates inside — write ->
+    expire -> tombstone -> grace -> purge (the reference strips the TTL
+    precisely so this conversion never happens to migrated data;
+    NoTTLColumnSerializer.java:24-51 writes the no-TTL cell shape).
+
+    Conversion detail: the synthetic tombstone's writetime is
+    ``expires_at`` (in µs) — the deletion happened when the cell
+    expired, not when it was written — so a later live rewrite of the
+    key correctly shadows the expiry.
+
+    Returns :func:`compact_with_gc`'s ``(*keys, writetime, status)``
+    frame. Same scale shape: one projection + one arg-max exchange."""
+    wt = F.col(writetime_col)
+    exp = F.col(expires_at_col)
+    expired = exp.isNotNull() & (exp <= F.lit(int(now_s)))
+    converted = cells.select(
+        *keys,
+        F.when(expired, exp * F.lit(1_000_000)).otherwise(wt)
+        .cast("long").alias(writetime_col),
+        expired.alias("is_tombstone"),
+    )
+    return compact_with_gc(
+        converted, keys,
+        gc_grace_us=int(gc_grace_s) * 1_000_000,
+        now_us=int(now_s) * 1_000_000,
+    )
+
+
+def expire_then_compact_oracle_sql(cells_sql: str, keys: list[str], *,
+                                   now_s: int, gc_grace_s: int,
+                                   writetime_col: str = "writetime") -> str:
+    converted = f"""
+SELECT {', '.join(keys)},
+       CASE WHEN expires_at IS NOT NULL AND expires_at <= {int(now_s)}
+            THEN expires_at * 1000000 ELSE {writetime_col} END::BIGINT
+         AS {writetime_col},
+       (expires_at IS NOT NULL AND expires_at <= {int(now_s)})
+         AS is_tombstone
+FROM ({cells_sql})
+"""
+    return compact_with_gc_oracle_sql(
+        converted, keys,
+        gc_grace_us=int(gc_grace_s) * 1_000_000,
+        now_us=int(now_s) * 1_000_000,
+        writetime_col=writetime_col,
+    )

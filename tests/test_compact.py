@@ -121,3 +121,34 @@ def test_compact_with_gc_semantics(spark):
         # (3, 30) purged entirely: winning tombstone older than grace
         # (4, 40): tie -> tombstone wins -> 700k < 900k threshold -> purged
     }
+
+
+def test_expire_then_compact_lifecycle(spark):
+    """write -> expire -> tombstone -> grace -> purge, plus the shadowing
+    rule: a live rewrite AFTER the expiry instant wins over the synthetic
+    tombstone."""
+    from cassandra_ttl_remover_spark.operators.compact import (
+        expire_then_compact,
+    )
+
+    NOW = 1_000_000            # seconds
+    cells = spark.createDataFrame(
+        [
+            # key A: expired long ago (expiry 100k << now-grace 900k) -> purged
+            (1, 1, 50_000 * 1_000_000, 100_000),
+            # key B: expired recently (950k > 900k) -> tombstone_retained
+            (2, 2, 940_000 * 1_000_000, 950_000),
+            # key C: expired at 300k BUT rewritten live at 400k -> live
+            (3, 3, 200_000 * 1_000_000, 300_000),
+            (3, 3, 400_000 * 1_000_000, None),
+            # key D: no ttl -> live
+            (4, 4, 500_000 * 1_000_000, None),
+        ],
+        "user_id long, cell long, writetime long, expires_at long")
+    got = {(r.user_id, r.cell): r.status
+           for r in expire_then_compact(
+               cells, ["user_id", "cell"],
+               now_s=NOW, gc_grace_s=100_000).collect()}
+    assert got == {(2, 2): "tombstone_retained",
+                   (3, 3): "live",
+                   (4, 4): "live"}
