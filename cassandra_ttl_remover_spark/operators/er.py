@@ -41,24 +41,28 @@ from cassandra_ttl_remover_spark.plans import fan_out
 
 
 def _rare_token_blocks(docs: DataFrame, max_block_df: int, n_keys: int,
-                       text_col: str, id_col: str):
+                       text_col: str, id_col: str,
+                       include_text: bool = False):
     """Shared blocking stage for :func:`resolve_entities` and
-    :func:`edit_distance_pairs`: token sets (with original text carried
-    along), document frequencies, and each record's ``n_keys`` rarest
-    tokens as blocking keys (df <= ``max_block_df``). Returns
-    ``(sets, rarest)`` where sets = (id, t, s, sz) and
-    rarest = (id, block). Single source for the blocking rule — a change
-    here (and in the two mirrored oracles) applies to both operators."""
+    :func:`edit_distance_pairs`: token sets, document frequencies, and
+    each record's ``n_keys`` rarest tokens as blocking keys
+    (df <= ``max_block_df``). Returns ``(sets, rarest)`` where
+    sets = (id[, t], s, sz) — the original text column rides along ONLY
+    when ``include_text`` (edit distance needs it; carrying it for the
+    Jaccard path would double the checkpoint footprint for nothing) —
+    and rarest = (id, block). Single source for the blocking rule — a
+    change here (and in the two mirrored oracles) applies to both
+    operators."""
     from pyspark.sql import Window
 
     ws = WORDS_EXPR.format(col=text_col)
+    cols = [F.col(id_col)]
+    if include_text:
+        cols.append(F.col(text_col).alias("t"))
+    cols.append(F.expr(f"array_sort(array_distinct({ws}))").alias("s"))
     sets = (
         fan_out(docs.select(id_col, text_col), id_col)
-        .select(
-            F.col(id_col),
-            F.col(text_col).alias("t"),
-            F.expr(f"array_sort(array_distinct({ws}))").alias("s"),
-        )
+        .select(*cols)
         .withColumn("sz", F.expr("cast(size(s) as bigint)"))
         .localCheckpoint(eager=False)
     )
@@ -207,7 +211,7 @@ def edit_distance_pairs(docs: DataFrame, max_dist: int = 20,
     run it on the truncated prefix (first ~1k chars) or post-Jaccard
     survivors; the fixture form compares full texts."""
     sets, rarest = _rare_token_blocks(docs, max_block_df, n_keys,
-                                      text_col, id_col)
+                                      text_col, id_col, include_text=True)
     a = rarest.select(F.col(id_col).alias("id_a"), "block")
     b = rarest.select(F.col(id_col).alias("id_b"), "block")
     return (

@@ -639,15 +639,19 @@ def _text_to_pgm_bytes(data: bytes, width: int) -> bytes:
 
 def _documents_as_raster(docs: DataFrame, encode, mime: str, width: int,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
-    """Shared builder for every one-byte-per-pixel raster family
-    (PGM raw, PNG/DEFLATE, GIF/LZW): synthesize ``encode(text_bytes,
-    width)`` payloads with the common height rule. One scaffolding, many
-    codecs — a MEDIA_SCHEMA/meta change lands once."""
+                         id_col: str = "doc_id",
+                         height_fn=None) -> DataFrame:
+    """Shared builder for the raster families (PGM raw, PNG/DEFLATE,
+    GIF/LZW, JPEG): synthesize ``encode(text_bytes, width)`` payloads.
+    ``height_fn(n_bytes)`` overrides the default one-byte-per-PIXEL
+    height rule for codecs with a different geometry (JPEG: one byte per
+    8x8 BLOCK). One scaffolding, many codecs — a MEDIA_SCHEMA/meta
+    change lands once."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
+        hfn = height_fn or (lambda n: max(1, math.ceil(n / width)))
         for pdf in batches:
             texts = [t.encode("utf-8") for t in pdf[text_col]]
             yield pd.DataFrame(
@@ -659,7 +663,7 @@ def _documents_as_raster(docs: DataFrame, encode, mime: str, width: int,
                             "kind": "image",
                             "mime": mime,
                             "width": width,
-                            "height": max(1, math.ceil(len(t) / width)),
+                            "height": hfn(len(t)),
                             "n_frames": 1,
                             "sample_rate": None,
                             "duration_ms": None,
@@ -1697,10 +1701,12 @@ def _parse_jpeg(b: bytes) -> tuple:
     if quant is None or dc_tab is None or ac_tab is None or width is None:
         raise ValueError("missing DQT/DHT/SOF0 before SOS")
 
-    if width * height > (1 << 28):
+    if width * height > (1 << 24):
         # corrupt-SOF guard: a torn header advertising absurd dimensions
         # must quarantine (ValueError), not drive the coefficient
-        # allocation into a MemoryError that fails the whole task
+        # allocation into a MemoryError that fails the whole task. 2^24
+        # pixels bounds the int64 coefficient buffer at ~128 MB per blob
+        # (the census additionally catches MemoryError as belt-and-braces)
         raise ValueError("JPEG dimensions exceed the sanity bound")
     bw, bh = (width + 7) // 8, (height + 7) // 8
     rd = _JpegBitReader(b, pos)
@@ -1744,38 +1750,16 @@ def _parse_jpeg(b: bytes) -> tuple:
 def documents_as_jpeg(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", width: int = 64) -> DataFrame:
     """Media frame whose payloads are REAL baseline JPEGs synthesized from
-    the documents fixture. NOT via _documents_as_raster: that helper's
-    one-byte-per-PIXEL height rule would contradict the payload — here a
-    byte is one 8x8 BLOCK, so meta.height = 8 * ceil(len / (width // 8))
-    must match the SOF dimensions the decoder will read."""
+    the documents fixture. Shares the raster scaffold with a JPEG-specific
+    height rule: one byte is one 8x8 BLOCK, so meta.height =
+    8 * ceil(len / (width // 8)) — matching the SOF dimensions the
+    decoder will read (regression-tested)."""
+    import math
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
-        bpr = width // 8
-        for pdf in batches:
-            texts = [t.encode("utf-8") for t in pdf[text_col]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col],
-                    "payload": [_text_to_jpeg_bytes(t, width) for t in texts],
-                    "meta": [
-                        {
-                            "kind": "image",
-                            "mime": "image/jpeg",
-                            "width": width,
-                            "height": 8 * max(1, math.ceil(len(t) / bpr)),
-                            "n_frames": 1,
-                            "sample_rate": None,
-                            "duration_ms": None,
-                        }
-                        for t in texts
-                    ],
-                }
-            )
-
-    return fan_out(docs.select(id_col, text_col), id_col).mapInPandas(
-        run, schema=MEDIA_SCHEMA
+    bpr = width // 8
+    return _documents_as_raster(
+        docs, _text_to_jpeg_bytes, "image/jpeg", width, text_col, id_col,
+        height_fn=lambda n: 8 * max(1, math.ceil(n / bpr)),
     )
 
 
@@ -1863,7 +1847,7 @@ def decode_census(media: DataFrame, parse) -> DataFrame:
                     dec += 1
                     spx += int(feats[3])
                 except (ValueError, IndexError, struct_error,
-                        OverflowError):
+                        OverflowError, MemoryError):
                     quar += 1
             yield pd.DataFrame(
                 {"n_total": [dec + quar], "n_decoded": [dec],
