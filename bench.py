@@ -310,6 +310,18 @@ def main() -> int:
         from cassandra_ttl_remover_spark.operators.sessions import scd2_build
         scd2_build(events).filter("is_current").count()
 
+    def q_compact_gc():
+        # LWW + tombstone gc_grace purge: one arg-max exchange
+        from cassandra_ttl_remover_spark.operators.compact import (
+            compact_with_gc)
+        cells = events.select(
+            "user_id", F.expr("pmod(event_id, 200)").alias("cell"),
+            F.expr("unix_micros(cast(ts as timestamp))").alias("writetime"),
+            (F.col("event_type") == "error").alias("is_tombstone"))
+        compact_with_gc(cells, ["user_id", "cell"],
+                        gc_grace_us=10 * 86400 * 1_000_000,
+                        now_us=1706745600 * 1_000_000).count()
+
     def q_winnow():
         # MOSS winnowing: per-row HOF argmin windows, zero shuffle
         from cassandra_ttl_remover_spark.operators import text as text_ops
@@ -361,6 +373,7 @@ def main() -> int:
         "jpeg_decode": q_jpeg_decode,
         "scd2": q_scd2,
         "pmi_bigrams": q_pmi,
+        "compact_gc": q_compact_gc,
         "winnowing": q_winnow,
         "span_removal": q_span_removal,
         "tpch_q3": q_tpch_q3,
