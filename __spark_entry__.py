@@ -739,6 +739,9 @@ _DRIVER_PRIORITY = [
     "q_se8_scd2_temporal_join",
     "q_t6_compact_gc",
     "q_t7_expire_compact",
+    "q_x27_grouping_sets",
+    "q_st18_stream_compact_gc",
+    "q_a12_bloom_fpr",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4209,6 +4212,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_t7_expire_compact"] = q_t7
 
+    def q_x27(spark, sf):
+        # explicit GROUPING SETS (neither q_x5's ROLLUP nor q_p2's CUBE):
+        # two independent slices + grand total in one pass, with
+        # grouping_id disambiguating the NULL-vs-ALL cells
+        li = scan_table(spark, sf, "lineitem")
+        li.createOrReplaceTempView("q_x27_lineitem")
+        return spark.sql(
+            """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls2,
+                   cast(grouping_id(l_returnflag, l_linestatus)
+                        as bigint) AS gid,
+                   count(*) AS n,
+                   cast(sum(cast(l_quantity as decimal(18,2)))
+                        as double) AS sum_qty
+            FROM q_x27_lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY gid, rf, ls2
+            """
+        )
+    q["q_x27_grouping_sets"] = q_x27
+
+    def q_st18(spark, sf):
+        # streaming x reference-native: compaction-with-GC as a
+        # complete-mode arg-max aggregation over arriving event files --
+        # the drained table equals the batch q_t6 result (shared oracle)
+        import uuid
+
+        from cassandra_ttl_remover_spark.operators.compact import (
+            compact_with_gc,
+        )
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+        )
+
+        st = scan_stream(spark, sf, glob="events.parquet")
+        cells = st.select(
+            "user_id",
+            F.expr("pmod(event_id, 200)").alias("cell"),
+            F.expr("unix_micros(cast(ts as timestamp))").alias("writetime"),
+            (F.col("event_type") == "error").alias("is_tombstone"),
+        )
+        compacted = compact_with_gc(
+            cells, ["user_id", "cell"],
+            gc_grace_us=10 * 86400 * 1_000_000,
+            now_us=1706745600 * 1_000_000,
+        )
+        return drain_to_table(
+            compacted, f"st18_{uuid.uuid4().hex[:8]}",
+            output_mode="complete",
+        ).orderBy("user_id", "cell")
+    q["q_st18_stream_compact_gc"] = q_st18
+
+    def q_a12(spark, sf):
+        # portable Bloom filter with a MEASURED false-positive
+        # certificate: md5-derived KM double hashing both engines compute
+        # identically, probes are true negatives by construction, so the
+        # exact FP count hash-matches -- the oracle-checkable counterpart
+        # of decontaminate_bloom's engine-hash filter
+        from cassandra_ttl_remover_spark.operators.counts import (
+            bloom_fpr_certificate,
+        )
+
+        return bloom_fpr_certificate(
+            scan_table(spark, sf, "documents"), num_bits=1 << 16, k=5
+        )
+    q["q_a12_bloom_fpr"] = q_a12
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4903,6 +4975,25 @@ GROUP BY coalesce(d.attr, 'none') ORDER BY tier
            FROM ({_ANN_SQL}) ann""",
         ["user_id", "cell"],
         now_s=_T7_NOW, gc_grace_s=5 * 86400,
+    )
+    o["q_x27_grouping_sets"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls2,
+       (CASE WHEN GROUPING(l_returnflag) = 1 THEN 2 ELSE 0 END
+        + CASE WHEN GROUPING(l_linestatus) = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS gid,
+       count(*)::BIGINT AS n,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, rf, ls2
+"""
+    o["q_st18_stream_compact_gc"] = o["q_t6_compact_gc"]
+    from cassandra_ttl_remover_spark.operators.counts import (
+        bloom_fpr_certificate_oracle_sql,
+    )
+    o["q_a12_bloom_fpr"] = bloom_fpr_certificate_oracle_sql(
+        num_bits=1 << 16, k=5
     )
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss

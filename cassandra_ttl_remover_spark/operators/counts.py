@@ -434,3 +434,122 @@ FROM p2 GROUP BY item_a, item_b
 HAVING count(*) >= {min_support}
 ORDER BY support DESC, item_a, item_b
 """
+
+
+def bloom_fpr_certificate(docs: DataFrame, *, num_bits: int = 1 << 16,
+                          k: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """PORTABLE Bloom filter with a measured false-positive certificate —
+    the oracle-checkable counterpart of the engine-hash bloom inside
+    :func:`~cassandra_ttl_remover_spark.operators.curate.decontaminate_bloom`.
+    Word 3-gram shingles of EVEN documents are inserted; probe shingles
+    are those appearing ONLY in odd documents (true negatives by
+    construction — shingles, not tokens: the fixture vocabulary is ~30
+    words, far too small for disjoint probe sets), so every probe hit is
+    a genuine false positive of the filter. Bit
+    positions use md5-derived Kirsch–Mitzenmacher double hashing
+    (h1, h2 = two 60-bit md5 slices; p_i = (h1 + i*h2) mod m) — pure
+    integer arithmetic both engines compute identically, so the EXACT
+    false-positive count hash-matches. Returns ONE row
+    ``(n_inserted, n_bits_set, n_probes, n_fp, fpr, fpr_ok)`` with
+    ``fpr_ok`` gating fp*10 <= probes (10%).
+
+    Scale shape: the bit set is a distinct-position frame (<= num_bits
+    rows — filter-sized, not corpus-sized); probes check membership via
+    ONE position-keyed join + a per-token count==k confirm. No driver
+    bit array, no UDFs; at real scale the position frame becomes the
+    broadcast bitset exactly as decontaminate_bloom builds it."""
+    h1 = "cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"
+    h2 = "cast(conv(substr(md5(token), 16, 15), 16, 10) as bigint)"
+    from cassandra_ttl_remover_spark.operators.text import (
+        SHINGLES_EXPR, WORDS_EXPR)
+
+    ws = WORDS_EXPR.format(col=text_col)
+    sh = SHINGLES_EXPR.format(ws=ws)
+    toks = docs.select(
+        (F.col(id_col) % 2 == 0).alias("even"),
+        F.explode(F.expr(sh)).alias("token"),
+    )
+    membership = toks.groupBy("token").agg(
+        F.max(F.col("even").cast("int")).alias("in_even"),
+        F.min(F.col("even").cast("int")).alias("all_even"),
+    )
+    inserted = membership.filter("in_even = 1").select("token")
+    probes = membership.filter("in_even = 0").select("token")
+    pos_expr = [f"pmod({h1} + {i} * {h2}, {int(num_bits)})" for i in range(k)]
+    arr = "array(" + ", ".join(pos_expr) + ")"
+    bitset = (
+        inserted.select(F.explode(F.expr(arr)).alias("p")).distinct()
+    )
+    probe_pos = probes.select(
+        "token", F.explode(F.expr(arr)).alias("p")
+    )
+    fp = (
+        probe_pos.join(bitset, "p")
+        .groupBy("token")
+        .agg(F.count("*").alias("nh"))
+        .filter(F.col("nh") == k)
+    )
+    stats = (
+        inserted.agg(F.count("*").cast("long").alias("n_inserted"))
+        .crossJoin(F.broadcast(
+            bitset.agg(F.count("*").cast("long").alias("n_bits_set"))))
+        .crossJoin(F.broadcast(
+            probes.agg(F.count("*").cast("long").alias("n_probes"))))
+        .crossJoin(F.broadcast(
+            fp.agg(F.count("*").cast("long").alias("n_fp"))))
+    )
+    return stats.select(
+        "n_inserted", "n_bits_set", "n_probes", "n_fp",
+        F.expr(
+            "case when n_probes = 0 then cast(0.0 as double) "
+            "else cast(n_fp as double) / cast(n_probes as double) end"
+        ).alias("fpr"),
+        (F.col("n_fp") * 10 <= F.col("n_probes")).alias("fpr_ok"),
+    )
+
+
+def bloom_fpr_certificate_oracle_sql(num_bits: int = 1 << 16, k: int = 5,
+                                     table: str = "documents",
+                                     id_col: str = "doc_id") -> str:
+    h1 = "('0x' || substr(md5(token), 1, 15))::BIGINT"
+    h2 = "('0x' || substr(md5(token), 16, 15))::BIGINT"
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    pos = " UNION ALL ".join(
+        f"SELECT token, (({h1} + {i} * {h2}) % {num_bits}"
+        f" + {num_bits}) % {num_bits} AS p FROM toks_named"
+        for i in range(k)
+    )
+    return f"""
+WITH t0 AS (
+  SELECT ({id_col} % 2 = 0) AS even, {ws} AS toks FROM {table}
+), raw AS (
+  SELECT even, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS token
+  FROM t0, LATERAL UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+), membership AS (
+  SELECT token, max(even::INT) AS in_even FROM raw GROUP BY token
+), inserted AS (
+  SELECT token FROM membership WHERE in_even = 1
+), probes AS (
+  SELECT token FROM membership WHERE in_even = 0
+), ins_pos AS (
+  SELECT DISTINCT p FROM (
+    {pos.replace('toks_named', 'inserted')}
+  )
+), probe_pos AS (
+  {pos.replace('toks_named', 'probes')}
+), fp AS (
+  SELECT token FROM probe_pos JOIN ins_pos USING (p)
+  GROUP BY token HAVING count(*) = {k}
+)
+SELECT (SELECT count(*) FROM inserted)::BIGINT AS n_inserted,
+       (SELECT count(*) FROM ins_pos)::BIGINT AS n_bits_set,
+       (SELECT count(*) FROM probes)::BIGINT AS n_probes,
+       (SELECT count(*) FROM fp)::BIGINT AS n_fp,
+       CASE WHEN (SELECT count(*) FROM probes) = 0 THEN 0.0
+            ELSE (SELECT count(*) FROM fp)::DOUBLE
+                 / (SELECT count(*) FROM probes)::DOUBLE END AS fpr,
+       ((SELECT count(*) FROM fp) * 10 <= (SELECT count(*) FROM probes))
+         AS fpr_ok
+"""

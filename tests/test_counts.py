@@ -175,3 +175,30 @@ def test_frequent_pairs_basket_cap(spark):
     uncapped = frequent_pairs(df, "b", "i", min_support=1,
                               max_basket=1000).collect()
     assert any(r.item_a.startswith("i") for r in uncapped)
+
+
+def test_bloom_fpr_certificate_sane(spark, documents):
+    from cassandra_ttl_remover_spark.operators.counts import (
+        bloom_fpr_certificate,
+    )
+
+    r = bloom_fpr_certificate(documents, num_bits=1 << 16, k=5).collect()[0]
+    assert r.n_inserted > 0 and r.n_probes > 0
+    assert 0 <= r.n_fp <= r.n_probes
+    assert r.n_bits_set <= min(1 << 16, 5 * r.n_inserted)
+    # with m=65536 bits and a few thousand inserts, fpr must be small
+    assert r.fpr_ok
+
+
+def test_bloom_fpr_shrinks_with_more_bits(spark, documents):
+    """More bits -> monotonically no-worse FPR (probabilistic in general,
+    deterministic here since the hash positions are fixed)."""
+    from cassandra_ttl_remover_spark.operators.counts import (
+        bloom_fpr_certificate,
+    )
+
+    small = bloom_fpr_certificate(documents, num_bits=1 << 10,
+                                  k=3).collect()[0]
+    big = bloom_fpr_certificate(documents, num_bits=1 << 18,
+                                k=3).collect()[0]
+    assert big.n_fp <= small.n_fp
