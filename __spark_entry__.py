@@ -742,6 +742,7 @@ _DRIVER_PRIORITY = [
     "q_x27_grouping_sets",
     "q_st18_stream_compact_gc",
     "q_a12_bloom_fpr",
+    "q_v9_cosine_histogram",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4281,6 +4282,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_a12_bloom_fpr"] = q_a12
 
+    def q_v9(spark, sf):
+        # embedding-geometry diagnostic: pairwise-cosine histogram over a
+        # bounded deterministic sample (the quadratic term never touches
+        # the corpus); exact-int cosine sequence + one floor
+        from cassandra_ttl_remover_spark.operators.similarity import (
+            cosine_histogram,
+        )
+
+        return cosine_histogram(
+            scan_table(spark, sf, "embeddings"), sample_ids=100, bins=20
+        )
+    q["q_v9_cosine_histogram"] = q_v9
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -4994,6 +5008,12 @@ ORDER BY gid, rf, ls2
     )
     o["q_a12_bloom_fpr"] = bloom_fpr_certificate_oracle_sql(
         num_bits=1 << 16, k=5
+    )
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        cosine_histogram_oracle_sql,
+    )
+    o["q_v9_cosine_histogram"] = cosine_histogram_oracle_sql(
+        sample_ids=100, bins=20
     )
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss

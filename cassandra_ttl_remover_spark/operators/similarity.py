@@ -1800,3 +1800,83 @@ SELECT label_a, label_b, dot::DECIMAL(38,0) AS dot,
        dot::DOUBLE / sqrt(naa::DOUBLE * nbb::DOUBLE) AS cos
 FROM p ORDER BY label_a, label_b
 """
+
+
+def cosine_histogram(emb: DataFrame, sample_ids: int = 100, bins: int = 20,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Embedding-geometry diagnostic: the distribution of pairwise
+    cosines over a bounded deterministic sample (``id < sample_ids``) —
+    the "is my embedding space collapsing?" histogram (a healthy space
+    concentrates near 0; mass near 1 means near-duplicates or collapse).
+    Returns ``(bin, n_pairs)`` where ``bin = floor((cos+1)/2 * bins)``
+    clamped to ``bins-1``, ordered by bin.
+
+    Exactness: the established quantized-int sequence — exact int64
+    dot/norms, one IEEE multiply + sqrt + divide — then ONE floor on the
+    double; every step identical across engines. Scale: the quadratic
+    term exists ONLY over the fixed ``sample_ids`` sample (the broadcast
+    side), never the corpus — diagnostics sample by design; the full
+    corpus never pairs."""
+    q = emb.filter(F.col(id_col) < sample_ids).select(
+        F.col(id_col).alias("i"),
+        F.expr(QVEC_EXPR.format(v=vec_col)).alias("x"),
+    ).withColumn(
+        "n", F.expr("aggregate(zip_with(x, x, (a, b) -> a * b), 0L,"
+                    " (s, v) -> s + v)")
+    )
+    a = q.select(F.col("i").alias("ia"), F.col("x").alias("xa"),
+                 F.col("n").alias("na"))
+    b = q.select(F.col("i").alias("ib"), F.col("x").alias("xb"),
+                 F.col("n").alias("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(xa, xb, (a, b) -> a * b), 0L,"
+                   " (s, v) -> s + v)"),
+        )
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+        .select(
+            F.expr(
+                f"least(cast(floor((cos + 1.0) / 2.0 * {int(bins)}) as"
+                f" bigint), {int(bins) - 1})"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("bin")
+    )
+
+
+def cosine_histogram_oracle_sql(sample_ids: int = 100, bins: int = 20,
+                                table: str = "embeddings",
+                                id_col: str = "vec_id") -> str:
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS i,
+         list_transform(embedding,
+           e -> round(e::DOUBLE * 1000000)::BIGINT) AS x
+  FROM {table} WHERE {id_col} < {sample_ids}
+), n AS (
+  SELECT i, x,
+         list_aggregate(list_transform(x, v -> v * v), 'sum')::BIGINT AS nn
+  FROM q
+), p AS (
+  SELECT a.i AS ia, b.i AS ib,
+         list_aggregate(
+           list_transform(range(1, len(a.x) + 1),
+             k -> a.x[k] * b.x[k]), 'sum')::BIGINT AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM n a JOIN n b ON a.i < b.i
+), c AS (
+  SELECT least(floor((dot::DOUBLE / sqrt(na::DOUBLE * nb::DOUBLE) + 1.0)
+               / 2.0 * {bins})::BIGINT, {bins} - 1) AS bin
+  FROM p
+)
+SELECT bin, count(*)::BIGINT AS n_pairs FROM c GROUP BY bin ORDER BY bin
+"""

@@ -97,3 +97,29 @@ def test_centroid_similarity_matrix_matches_numpy(spark, embeddings):
         assert abs(cos - want) < 1e-9
     labs = sorted(cents)
     assert len(got) == len(labs) * (len(labs) - 1) // 2
+
+
+def test_cosine_histogram_matches_numpy(spark, embeddings):
+    import math
+
+    import numpy as np
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        cosine_histogram,
+    )
+
+    got = {r.bin: r.n_pairs
+           for r in cosine_histogram(embeddings, sample_ids=60,
+                                     bins=10).collect()}
+    pdf = embeddings.filter("vec_id < 60").orderBy("vec_id").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
+    q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    want = {}
+    for i in range(len(q)):
+        for j in range(i + 1, len(q)):
+            cos = float(q[i] @ q[j]) / math.sqrt(
+                float(q[i] @ q[i]) * float(q[j] @ q[j]))
+            b = min(int(math.floor((cos + 1.0) / 2.0 * 10)), 9)
+            want[b] = want.get(b, 0) + 1
+    assert got == want
+    assert sum(got.values()) == 60 * 59 // 2
