@@ -743,6 +743,8 @@ _DRIVER_PRIORITY = [
     "q_st18_stream_compact_gc",
     "q_a12_bloom_fpr",
     "q_v9_cosine_histogram",
+    "q_f8_warc_ingest",
+    "q_f9_zip_ingest",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4295,6 +4297,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_v9_cosine_histogram"] = q_v9
 
+    def q_f8(spark, sf):
+        # crawl-container ingestion: documents packed into multi-record
+        # WARC/1.0 blobs (the Common Crawl shape), then exploded back
+        # into one row per response record -- strict header/length/
+        # terminator parse, every field recomputable from the source
+        from cassandra_ttl_remover_spark.sources.archives import (
+            documents_as_warc,
+            warc_records,
+        )
+
+        archives = documents_as_warc(
+            scan_table(spark, sf, "documents"), records_per_file=50
+        )
+        return warc_records(archives)
+    q["q_f8_warc_ingest"] = q_f8
+
+    def q_f9(spark, sf):
+        # bulk-drop ingestion: real ZIP archives (local headers + central
+        # directory + EOCD, alternating stored/DEFLATE entries) read via
+        # the central directory with CRC verification
+        from cassandra_ttl_remover_spark.sources.archives import (
+            documents_as_zip,
+            zip_entries,
+        )
+
+        archives = documents_as_zip(
+            scan_table(spark, sf, "documents"), entries_per_file=50
+        )
+        return zip_entries(archives)
+    q["q_f9_zip_ingest"] = q_f9
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -5015,6 +5048,12 @@ ORDER BY gid, rf, ls2
     o["q_v9_cosine_histogram"] = cosine_histogram_oracle_sql(
         sample_ids=100, bins=20
     )
+    from cassandra_ttl_remover_spark.sources.archives import (
+        warc_records_oracle_sql,
+        zip_entries_oracle_sql,
+    )
+    o["q_f8_warc_ingest"] = warc_records_oracle_sql()
+    o["q_f9_zip_ingest"] = zip_entries_oracle_sql(entries_per_file=50)
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()
