@@ -745,6 +745,7 @@ _DRIVER_PRIORITY = [
     "q_v9_cosine_histogram",
     "q_f8_warc_ingest",
     "q_f9_zip_ingest",
+    "q_f10_warc_gz_ingest",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4328,6 +4329,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zip_entries(archives)
     q["q_f9_zip_ingest"] = q_f9
 
+    def q_f10(spark, sf):
+        # the production crawl form: .warc.gz with each record its own
+        # gzip MEMBER (independently seekable, the Common Crawl layout);
+        # CRC-checked member split + the same strict WARC parse -- shares
+        # q_f8's oracle since the record contract is identical
+        from cassandra_ttl_remover_spark.sources.archives import (
+            documents_as_warc_gz,
+            warc_gz_records,
+        )
+
+        archives = documents_as_warc_gz(
+            scan_table(spark, sf, "documents"), records_per_file=50
+        )
+        return warc_gz_records(archives)
+    q["q_f10_warc_gz_ingest"] = q_f10
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -5054,6 +5071,7 @@ ORDER BY gid, rf, ls2
     )
     o["q_f8_warc_ingest"] = warc_records_oracle_sql()
     o["q_f9_zip_ingest"] = zip_entries_oracle_sql(entries_per_file=50)
+    o["q_f10_warc_gz_ingest"] = warc_records_oracle_sql()
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

@@ -339,3 +339,111 @@ SELECT 'doc_' || {id_col} || '.txt' AS name,
 FROM {table}
 ORDER BY name
 """
+
+
+# ---------------------------------------------------------------------------
+# .warc.gz — each record its own gzip MEMBER (the actual Common Crawl
+# on-disk form: per-record members make records independently seekable)
+# ---------------------------------------------------------------------------
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One complete gzip member (RFC 1952): fixed header, raw DEFLATE
+    body, CRC-32 + ISIZE trailer."""
+    import struct
+    import zlib
+
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = comp.compress(data) + comp.flush()
+    return (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff" + body
+            + struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF,
+                          len(data) & 0xFFFFFFFF))
+
+
+def _split_gzip_members(blob: bytes) -> list:
+    """Decompress a concatenation of gzip members into the list of
+    member payloads, CRC-checked; raises on malformed structure."""
+    import struct
+    import zlib
+
+    out = []
+    pos = 0
+    while pos < len(blob):
+        if blob[pos:pos + 3] != b"\x1f\x8b\x08":
+            raise ValueError("gzip member magic/method mismatch")
+        flg = blob[pos + 3]
+        if flg != 0:
+            raise ValueError("gzip FLG bits unsupported in this profile")
+        d = zlib.decompressobj(-15)
+        data = d.decompress(blob[pos + 10:])
+        consumed = len(blob) - (pos + 10) - len(d.unused_data)
+        trailer_at = pos + 10 + consumed
+        if trailer_at + 8 > len(blob):
+            raise ValueError("gzip member trailer truncated")
+        crc, isize = struct.unpack("<II", blob[trailer_at:trailer_at + 8])
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc or \
+                (len(data) & 0xFFFFFFFF) != isize:
+            raise ValueError("gzip member CRC/ISIZE mismatch")
+        out.append(data)
+        pos = trailer_at + 8
+    return out
+
+
+def documents_as_warc_gz(docs: DataFrame, *, records_per_file: int = 50,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The production crawl shape: each WARC record wrapped in its OWN
+    gzip member, members concatenated per archive — records stay
+    independently seekable, which is why Common Crawl ships this form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.sort_values(id_col)
+            groups = pdf.groupby(pdf[id_col] // records_per_file)
+            yield pd.DataFrame(
+                {
+                    "archive_id": [int(g) for g, _ in groups],
+                    "payload": [
+                        b"".join(
+                            _gzip_member(_doc_to_warc_bytes(
+                                int(r[id_col]),
+                                r[text_col].encode("utf-8")))
+                            for _, r in grp.iterrows()
+                        )
+                        for _, grp in groups
+                    ],
+                }
+            )
+
+    return (
+        docs.select(id_col, text_col)
+        .repartition(F.expr(f"{id_col} div {records_per_file}"))
+        .sortWithinPartitions(id_col)
+        .mapInPandas(run, schema=T.StructType([
+            T.StructField("archive_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+    )
+
+
+def warc_gz_records(archives: DataFrame) -> DataFrame:
+    """Explode .warc.gz blobs: split gzip members (CRC-checked), parse
+    each member as a WARC record — same output contract as
+    :func:`warc_records`, so the two forms share one oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"record_id": [], "target_uri": [],
+                    "content_length": [], "payload_sum": []}
+            for payload in pdf["payload"]:
+                for member in _split_gzip_members(bytes(payload)):
+                    for rid, uri, clen, psum in _parse_warc(member):
+                        rows["record_id"].append(rid)
+                        rows["target_uri"].append(uri)
+                        rows["content_length"].append(clen)
+                        rows["payload_sum"].append(psum)
+            yield pd.DataFrame(rows)
+
+    return archives.select("payload").mapInPandas(
+        run, schema=WARC_RECORDS_SCHEMA
+    )

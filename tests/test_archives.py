@@ -56,3 +56,18 @@ def test_archive_parsers_strict():
     # (local header is 30 bytes + 5-byte name, so 40 is inside the data)
     with pytest.raises(ValueError):
         _parse_zip(bytes(bad))
+
+
+def test_warc_gz_spark_roundtrip(spark, documents):
+    import gzip
+
+    from cassandra_ttl_remover_spark.sources.archives import (
+        documents_as_warc_gz, warc_gz_records)
+
+    docs = documents.limit(80)
+    archives = documents_as_warc_gz(docs, records_per_file=40)
+    recs = warc_gz_records(archives).collect()
+    assert len(recs) == 80
+    # stdlib gzip reads any archive we wrote (multi-member concatenation)
+    blob = bytes(archives.limit(1).collect()[0].payload)
+    assert gzip.decompress(blob).startswith(b"WARC/1.0\r\n")
