@@ -24,7 +24,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from cassandra_ttl_remover_spark.plans import fan_out
 
 # ---------------------------------------------------------------------------
 # WARC (ISO 28500) — one response record per document
@@ -97,31 +96,27 @@ def documents_as_warc(docs: DataFrame, *, records_per_file: int = 50,
     docs per archive, grouped by ``doc_id div records_per_file`` — the
     shape crawl dumps actually have). Returns ``(archive_id, payload)``."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.sort_values(id_col)
-            groups = pdf.groupby(pdf[id_col] // records_per_file)
-            yield pd.DataFrame(
-                {
-                    "archive_id": [int(g) for g, _ in groups],
-                    "payload": [
-                        b"".join(
-                            _doc_to_warc_bytes(int(r[id_col]),
-                                               r[text_col].encode("utf-8"))
-                            for _, r in grp.iterrows()
-                        )
-                        for _, grp in groups
-                    ],
-                }
-            )
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        aid = int(pdf[id_col].iloc[0]) // records_per_file
+        return pd.DataFrame(
+            {
+                "archive_id": [aid],
+                "payload": [b"".join(
+                    _doc_to_warc_bytes(int(r[id_col]),
+                                       r[text_col].encode("utf-8"))
+                    for _, r in pdf.iterrows()
+                )],
+            }
+        )
 
-    # repartition BY the archive key so each archive's docs co-locate in
-    # one Arrow batch (mapInPandas sees whole partitions)
+    # applyInPandas keyed on the archive id: Spark GUARANTEES each group
+    # arrives whole in one call (mapInPandas would split a group across
+    # Arrow batches at scale, yielding duplicate partial archives)
     return (
         docs.select(id_col, text_col)
-        .repartition(F.expr(f"{id_col} div {records_per_file}"))
-        .sortWithinPartitions(id_col)
-        .mapInPandas(run, schema=T.StructType([
+        .groupBy(F.expr(f"{id_col} div {records_per_file}"))
+        .applyInPandas(pack, schema=T.StructType([
             T.StructField("archive_id", T.LongType()),
             T.StructField("payload", T.BinaryType()),
         ]))
@@ -272,29 +267,24 @@ def documents_as_zip(docs: DataFrame, *, entries_per_file: int = 50,
     alternating stored/DEFLATE entries — both methods exercised in every
     archive). Returns ``(archive_id, payload)``."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.sort_values(id_col)
-            groups = pdf.groupby(pdf[id_col] // entries_per_file)
-            yield pd.DataFrame(
-                {
-                    "archive_id": [int(g) for g, _ in groups],
-                    "payload": [
-                        _docs_to_zip_bytes([
-                            (f"doc_{int(r[id_col])}.txt".encode("ascii"),
-                             r[text_col].encode("utf-8"))
-                            for _, r in grp.iterrows()
-                        ])
-                        for _, grp in groups
-                    ],
-                }
-            )
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        aid = int(pdf[id_col].iloc[0]) // entries_per_file
+        return pd.DataFrame(
+            {
+                "archive_id": [aid],
+                "payload": [_docs_to_zip_bytes([
+                    (f"doc_{int(r[id_col])}.txt".encode("ascii"),
+                     r[text_col].encode("utf-8"))
+                    for _, r in pdf.iterrows()
+                ])],
+            }
+        )
 
     return (
         docs.select(id_col, text_col)
-        .repartition(F.expr(f"{id_col} div {entries_per_file}"))
-        .sortWithinPartitions(id_col)
-        .mapInPandas(run, schema=T.StructType([
+        .groupBy(F.expr(f"{id_col} div {entries_per_file}"))
+        .applyInPandas(pack, schema=T.StructType([
             T.StructField("archive_id", T.LongType()),
             T.StructField("payload", T.BinaryType()),
         ]))
@@ -396,30 +386,24 @@ def documents_as_warc_gz(docs: DataFrame, *, records_per_file: int = 50,
     gzip member, members concatenated per archive — records stay
     independently seekable, which is why Common Crawl ships this form."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.sort_values(id_col)
-            groups = pdf.groupby(pdf[id_col] // records_per_file)
-            yield pd.DataFrame(
-                {
-                    "archive_id": [int(g) for g, _ in groups],
-                    "payload": [
-                        b"".join(
-                            _gzip_member(_doc_to_warc_bytes(
-                                int(r[id_col]),
-                                r[text_col].encode("utf-8")))
-                            for _, r in grp.iterrows()
-                        )
-                        for _, grp in groups
-                    ],
-                }
-            )
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        aid = int(pdf[id_col].iloc[0]) // records_per_file
+        return pd.DataFrame(
+            {
+                "archive_id": [aid],
+                "payload": [b"".join(
+                    _gzip_member(_doc_to_warc_bytes(
+                        int(r[id_col]), r[text_col].encode("utf-8")))
+                    for _, r in pdf.iterrows()
+                )],
+            }
+        )
 
     return (
         docs.select(id_col, text_col)
-        .repartition(F.expr(f"{id_col} div {records_per_file}"))
-        .sortWithinPartitions(id_col)
-        .mapInPandas(run, schema=T.StructType([
+        .groupBy(F.expr(f"{id_col} div {records_per_file}"))
+        .applyInPandas(pack, schema=T.StructType([
             T.StructField("archive_id", T.LongType()),
             T.StructField("payload", T.BinaryType()),
         ]))
