@@ -746,6 +746,7 @@ _DRIVER_PRIORITY = [
     "q_f8_warc_ingest",
     "q_f9_zip_ingest",
     "q_f10_warc_gz_ingest",
+    "q_x28_percent_rank",
     "q_sql_q2_min_cost_supplier",
     "q_sql_q7_nation_volume",
     "q_sql_q8_market_share",
@@ -4345,6 +4346,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return warc_gz_records(archives)
     q["q_f10_warc_gz_ingest"] = q_f10
 
+    def q_x28(spark, sf):
+        # ranking-function coverage beyond row_number/rank (q_x4):
+        # percent_rank = (rank-1)/(n-1) and cume_dist = n_le/n are exact
+        # integer rationals + one IEEE division each -- identical
+        # definitions in both engines
+        from pyspark.sql import Window as W
+
+        orders = scan_table(spark, sf, "orders")
+        w = W.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        )
+        return (
+            orders.select(
+                "o_orderkey", "o_orderpriority",
+                F.percent_rank().over(w).alias("pr"),
+                F.cume_dist().over(w).alias("cd"),
+            )
+            .filter(F.col("o_orderkey") % 20 == 0)
+            .orderBy("o_orderkey")
+        )
+    q["q_x28_percent_rank"] = q_x28
+
     def q_x6(spark, sf):
         # exact grouped percentiles. Values are scaled to integer cents
         # first, making the (n-1)*q interpolation lands on dyadic fractions
@@ -5072,6 +5095,18 @@ ORDER BY gid, rf, ls2
     o["q_f8_warc_ingest"] = warc_records_oracle_sql()
     o["q_f9_zip_ingest"] = zip_entries_oracle_sql(entries_per_file=50)
     o["q_f10_warc_gz_ingest"] = warc_records_oracle_sql()
+    o["q_x28_percent_rank"] = """
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC)
+)
+SELECT o_orderkey, o_orderpriority, pr, cd
+FROM r WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey
+"""
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()
