@@ -310,6 +310,15 @@ def main() -> int:
         from cassandra_ttl_remover_spark.operators.sessions import scd2_build
         scd2_build(events).filter("is_current").count()
 
+    def q_warc_gz():
+        # crawl-container ingestion end-to-end: pack -> gzip members ->
+        # split -> strict WARC parse
+        from cassandra_ttl_remover_spark.sources.archives import (
+            documents_as_warc_gz, warc_gz_records)
+        warc_gz_records(
+            documents_as_warc_gz(documents, records_per_file=50)
+        ).agg(F.sum("payload_sum")).collect()
+
     def q_compact_gc():
         # LWW + tombstone gc_grace purge: one arg-max exchange
         from cassandra_ttl_remover_spark.operators.compact import (
@@ -373,6 +382,7 @@ def main() -> int:
         "jpeg_decode": q_jpeg_decode,
         "scd2": q_scd2,
         "pmi_bigrams": q_pmi,
+        "warc_gz_ingest": q_warc_gz,
         "compact_gc": q_compact_gc,
         "winnowing": q_winnow,
         "span_removal": q_span_removal,
