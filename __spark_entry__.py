@@ -624,23 +624,97 @@ def entry(spark: SparkSession) -> DataFrame:
 # The external correctness harness grades the FIRST ~50 dict entries per
 # round. Rounds 1-2 graded the S/T/A/M/W + SQL-taxonomy blocks; round 3
 # graded the pipeline/streaming/multimodal/vector/session/dedup families;
-# round 4 graded the repaired LSH slot, all sixteen round-4-early
-# additions, the round-3 operator block, and n16-n17 (CORRECTNESS_r04:
-# 50/50 hash-green). ROUND-5 ROTATION (this list): the 57 remaining
-# never-driver-graded queries lead — the n17b-n33 curation tail, the
-# round-4-late operator block (mm11/mm12, n44-n47, n8g, v7, g3, a9/a10,
-# st16, x19-x21, se6), the misc d/z/w/f/sk/rj/x/p tail, and finally the
-# plain SQL shapes (x3-x5 + five TPC-H patterns) so the ~7 rows that
-# spill past the window are taxonomy already evidenced elsewhere. New
-# round-5 queries are appended right after the never-graded block so
-# they are graded in round 6's window. The r1-r4-graded blocks follow.
-# Do NOT rotate mid-round: the gate runs on end-of-round state.
+# round 4 graded the repaired LSH slot plus the round-3/4 operator
+# blocks (50/50 hash-green); round 5 graded the n17b-n33 curation tail
+# and the round-4-late block (49/50 green; q_n47 red on an oracle typing
+# bug, fixed this round). ROUND-6 ROTATION (this list): the 61 queries
+# that have never had a driver row lead, plus q_n47 for its post-fix
+# re-grade. Reference-semantics flagships (t6/t7) first, then the
+# ML/multimodal/archives/entity-resolution/dedup/audit/streaming tails,
+# with plain TPC-H SQL shapes last so the ~12 rows that spill past the
+# ~50-row window are taxonomy the driver has already evidenced on other
+# TPC-H patterns. New round-6 queries are appended right after this
+# block so they enter round 7's window. Do NOT rotate mid-round: the
+# gate runs on end-of-round state.
 _DRIVER_PRIORITY = [
-    # --- round-5 rotation: the 57 never-driver-graded queries lead.
-    # Operator families first; plain SQL shapes last so the ~7 rows
-    # that spill past the ~50-row window are TPC-H patterns whose
-    # taxonomy the driver has already evidenced elsewhere.
-    # n17b-n33 curation tail (r2-buried, never driver-graded)
+    # --- round-6 rotation: never-driver-graded queries lead ---
+    # reference-semantics flagships (C* compaction lifecycle)
+    "q_t6_compact_gc",
+    "q_t7_expire_compact",
+    # q_n47: red in r5 (oracle HUGEINT->float64 typing bug, fixed) --
+    # re-graded with the corrected oracle + two-level declared plan
+    "q_n47_pps_sample",
+    # ML / statistics (closed-form, never graded)
+    "q_ml1_linear_fit",
+    "q_ml2_ridge_fit",
+    "q_ml3_residual_outliers",
+    "q_ml4_grouped_fit",
+    "q_ml5_chi2_tokens",
+    "q_ml6_ttest",
+    "q_ml7_autocorr",
+    # multimodal decoders (round-5 additions)
+    "q_mm13_jpeg_decode",
+    "q_mm14_decode_quarantine",
+    "q_mm15_animated_frames",
+    "q_mm16_ulaw_decode",
+    # archive ingestion
+    "q_f8_warc_ingest",
+    "q_f9_zip_ingest",
+    "q_f10_warc_gz_ingest",
+    # entity resolution + SCD2
+    "q_pipe_entity_resolution",
+    "q_se7_scd2_build",
+    "q_se8_scd2_temporal_join",
+    # dedup / text round-5 tail
+    "q_n48_prefix_filter_join",
+    "q_n49_span_removal",
+    "q_n50_pmi_bigrams",
+    "q_n51_winnowing",
+    "q_n52_edit_distance",
+    # audit tail
+    "q_d8_cascade_delete",
+    "q_d9_source_overlap",
+    "q_d10_key_skew",
+    "q_d11_join_advisor",
+    "q_d12_k_anonymity",
+    "q_d13_corpus_card",
+    # streaming round-5 tail
+    "q_st17_stream_decode_census",
+    "q_st18_stream_compact_gc",
+    # vectors / misc operators
+    "q_sk2_salted_join",
+    "q_v8_centroid_similarity",
+    "q_v9_cosine_histogram",
+    "q_w7_incremental_view",
+    "q_a12_bloom_fpr",
+    "q_x22_rendezvous_shard",
+    "q_x23_quantile_normalize",
+    "q_x24_json_extract",
+    "q_x25_moving_average",
+    "q_x26_market_basket",
+    "q_x27_grouping_sets",
+    "q_x28_percent_rank",
+    "q_p4_unpivot",
+    # plain SQL shapes: spill-safe tail of the never-graded block
+    "q_x4_window_rank",
+    "q_x5_rollup",
+    "q_sql_q13_custdist",
+    "q_sql_q15_top_supplier",
+    "q_sql_q16_supplier_diversity",
+    "q_sql_q17_small_quantity",
+    "q_sql_q19_disjunctive",
+    "q_sql_q2_min_cost_supplier",
+    "q_sql_q7_nation_volume",
+    "q_sql_q8_market_share",
+    "q_sql_q9_product_profit",
+    "q_sql_q11_important_stock",
+    "q_sql_q12_shipmode_priority",
+    "q_sql_q20_part_promotion",
+    "q_sql_q21_waiting_suppliers",
+    "q_sql_q22_sales_opportunity",
+    # --- new in round 6 (graded with round 7's window) ---
+    # (appended here as operators are built)
+    # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
     "q_n19_sample_fixed",
@@ -658,13 +732,11 @@ _DRIVER_PRIORITY = [
     "q_n31_bigram_quality",
     "q_n32_keyword_search",
     "q_n33_cluster_histogram",
-    # round-4-late additions (never driver-graded)
     "q_mm11_png_decode",
     "q_mm12_gif_decode",
     "q_n44_repetition_runs",
     "q_n45_bpe_train",
     "q_n46_cluster_representatives",
-    "q_n47_pps_sample",
     "q_n8g_ann_ivfpq",
     "q_v7_random_projection",
     "q_g3_kcore",
@@ -675,7 +747,6 @@ _DRIVER_PRIORITY = [
     "q_x20_pareto_frontier",
     "q_x21_python_udtf",
     "q_se6_peak_concurrency",
-    # misc never-graded tail
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
     "q_d3_table_digest",
@@ -692,70 +763,7 @@ _DRIVER_PRIORITY = [
     "q_x2_semi_anti_join",
     "q_x6_group_median",
     "q_p3_pivot_counts",
-    # plain SQL shapes: spill-safe tail of the never-graded block
     "q_x3_scalar_functions",
-    "q_x4_window_rank",
-    "q_x5_rollup",
-    "q_sql_q13_custdist",
-    "q_sql_q15_top_supplier",
-    "q_sql_q16_supplier_diversity",
-    "q_sql_q17_small_quantity",
-    "q_sql_q19_disjunctive",
-    # --- new in round 5 (graded with round 6's window) ---
-    "q_n48_prefix_filter_join",
-    "q_n49_span_removal",
-    "q_ml1_linear_fit",
-    "q_ml2_ridge_fit",
-    "q_ml3_residual_outliers",
-    "q_ml4_grouped_fit",
-    "q_ml5_chi2_tokens",
-    "q_n50_pmi_bigrams",
-    "q_se7_scd2_build",
-    "q_d8_cascade_delete",
-    "q_pipe_entity_resolution",
-    "q_mm13_jpeg_decode",
-    "q_d9_source_overlap",
-    "q_v8_centroid_similarity",
-    "q_ml6_ttest",
-    "q_d10_key_skew",
-    "q_sk2_salted_join",
-    "q_n51_winnowing",
-    "q_x22_rendezvous_shard",
-    "q_w7_incremental_view",
-    "q_p4_unpivot",
-    "q_x23_quantile_normalize",
-    "q_mm14_decode_quarantine",
-    "q_mm15_animated_frames",
-    "q_st17_stream_decode_census",
-    "q_d11_join_advisor",
-    "q_x24_json_extract",
-    "q_n52_edit_distance",
-    "q_mm16_ulaw_decode",
-    "q_x25_moving_average",
-    "q_ml7_autocorr",
-    "q_d12_k_anonymity",
-    "q_d13_corpus_card",
-    "q_x26_market_basket",
-    "q_se8_scd2_temporal_join",
-    "q_t6_compact_gc",
-    "q_t7_expire_compact",
-    "q_x27_grouping_sets",
-    "q_st18_stream_compact_gc",
-    "q_a12_bloom_fpr",
-    "q_v9_cosine_histogram",
-    "q_f8_warc_ingest",
-    "q_f9_zip_ingest",
-    "q_f10_warc_gz_ingest",
-    "q_x28_percent_rank",
-    "q_sql_q2_min_cost_supplier",
-    "q_sql_q7_nation_volume",
-    "q_sql_q8_market_share",
-    "q_sql_q9_product_profit",
-    "q_sql_q11_important_stock",
-    "q_sql_q12_shipmode_priority",
-    "q_sql_q20_part_promotion",
-    "q_sql_q21_waiting_suppliers",
-    "q_sql_q22_sales_opportunity",
     # --- graded r1-r4: keep behind the never-graded block ---
     "q_pipe_curate_lsh",
     "q_mm8_ppm_decode",
