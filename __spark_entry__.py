@@ -2824,13 +2824,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic systematic PPS sampling: 50 selection points on
         # the length-weighted cumulative lattice — expected picks exactly
         # proportional to weight, pure function of the corpus (fixed
-        # half-stride offset, no RNG)
+        # half-stride offset, no RNG). two_level=True declares the scale
+        # path: range-sharded parallel prefix sum (plans.two_level_cumsum)
+        # instead of a single-partition global window — property-tested
+        # equal to the window form, which remains the oracle surface.
         from cassandra_ttl_remover_spark.operators.curate import (
             pps_systematic_sample,
         )
 
         return pps_systematic_sample(
-            scan_table(spark, sf, "documents"), n=50
+            scan_table(spark, sf, "documents"), n=50, two_level=True
         )
     q["q_n47_pps_sample"] = q_n47
 

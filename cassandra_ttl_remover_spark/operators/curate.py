@@ -1057,9 +1057,14 @@ WITH w AS (
   SELECT {id_col}, CAST({weight_expr} AS BIGINT) AS weight FROM {table}
 ),
 c AS (
+  -- CAST: DuckDB's windowed sum(BIGINT) yields HUGEINT, which the
+  -- duckdb->pandas bridge converts to float64 — the driver then hashes
+  -- 1.0 against Spark's int64 1 and misses even though values match
+  -- (CORRECTNESS_r05's only red row). Pin it back to BIGINT.
   SELECT {id_col}, weight,
-         sum(weight) OVER (ORDER BY {id_col}
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(sum(weight) OVER (ORDER BY {id_col}
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
            AS cum_weight
   FROM w
 ),

@@ -379,3 +379,22 @@ def test_round5_operator_exchange_budgets(spark, events, embeddings,
     assert exchange_count(centroid_similarity_matrix(embeddings)) <= 3
     # source overlap: incidence distinct + per-src agg + pair agg + sort
     assert exchange_count(source_overlap_matrix(docs)) <= 5
+
+
+def test_pps_two_level_declared_plan_has_no_single_partition_window(
+        spark, documents):
+    """The DECLARED q_n47 form (two_level=True) must carry NO
+    Exchange SinglePartition — the global running sum runs as the
+    range-sharded parallel prefix (plans.two_level_cumsum), never as
+    one unpartitioned Window. The single-window form survives only as
+    the oracle surface."""
+    from cassandra_ttl_remover_spark.operators.curate import (
+        pps_systematic_sample,
+    )
+    from cassandra_ttl_remover_spark.plans import formatted_plan
+
+    df = pps_systematic_sample(documents, n=50, two_level=True)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, (
+        "declared PPS plan regressed to a single-partition window"
+    )
