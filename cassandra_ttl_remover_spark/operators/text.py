@@ -1212,8 +1212,8 @@ def pmi_bigrams(docs: DataFrame, k: int = 50, min_count: int = 5,
         .crossJoin(totals)
         .select(
             "w1", "w2", "c_xy", "c_x", "c_y",
-            F.expr(num).alias("lift_num"),
-            F.expr(den).alias("lift_den"),
+            F.expr(f"cast({num} as string)").alias("lift_num"),
+            F.expr(f"cast({den} as string)").alias("lift_den"),
             (F.expr(num).cast("double") / F.expr(den).cast("double"))
             .alias("lift"),
         )
@@ -1246,8 +1246,8 @@ WITH t AS (
   FROM t
 )
 SELECT w1, w2, c_xy, x.c AS c_x, y.c AS c_y,
-       (c_xy::HUGEINT * T * T)::DECIMAL(38,0) AS lift_num,
-       (B::HUGEINT * x.c * y.c)::DECIMAL(38,0) AS lift_den,
+       (c_xy::HUGEINT * T * T)::VARCHAR AS lift_num,
+       (B::HUGEINT * x.c * y.c)::VARCHAR AS lift_den,
        (c_xy::HUGEINT * T * T)::DOUBLE
          / (B::HUGEINT * x.c * y.c)::DOUBLE AS lift
 FROM bc JOIN uc x ON bc.w1 = x.w JOIN uc y ON bc.w2 = y.w, totals

@@ -49,11 +49,23 @@ from typing import Iterable, Iterator
 
 DELETION_MASK = 0x01
 EXPIRATION_MASK = 0x02
+#: Cassandra 2.x ColumnSerializer constants (public on-disk contract); the
+#: reference dispatches on exactly these (NoTTLColumnSerializer.java:26-49
+#: counter / counter-update, NoTTLSerializer.java:31 range tombstone).
+COUNTER_MASK = 0x04
+COUNTER_UPDATE_MASK = 0x08
+RANGE_TOMBSTONE_MASK = 0x10
 LIVE_LOCAL_DELETION = 0x7FFFFFFF
 LIVE_MARKED_FOR_DELETE = -(2 ** 63)
 
 #: flat row schema the reader emits (tombstone cells: value NULL, ttl NULL,
-#: expiration = the cell's localDeletionTime)
+#: expiration = the cell's localDeletionTime). Column reuse for the non-TTL
+#: atom kinds (schema-stable across q_s7..q_s11):
+#:   counter          — expiration carries timestampOfLastDelete (the
+#:                      counter's second timestamp; counters cannot expire)
+#:   range_tombstone  — cell = start bound, value = end bound,
+#:                      writetime = markedForDeleteAt,
+#:                      expiration = localDeletionTime
 SSTABLE_SCHEMA = (
     "pk string, cell string, kind string, ttl bigint, expiration bigint, "
     "writetime bigint, value string"
@@ -86,10 +98,27 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str) -> None:
             for name, mask, ttl, expiration, writetime, value in cells:
                 df.write(struct.pack(">H", len(name)) + name)
                 df.write(struct.pack(">B", mask))
-                if mask & EXPIRATION_MASK:
+                if mask & RANGE_TOMBSTONE_MASK:
+                    # name = start bound; body = end bound then DeletionTime
+                    # (i32 localDeletionTime + i64 markedForDeleteAt), the
+                    # C* 2.x RangeTombstone.Serializer body shape. Tuple
+                    # slots: expiration=localDeletionTime,
+                    # writetime=markedForDeleteAt, value=end-bound bytes.
+                    df.write(struct.pack(">H", len(value)) + value)
+                    df.write(struct.pack(">iq", int(expiration),
+                                         int(writetime)))
+                    continue
+                if mask & COUNTER_MASK:
+                    # i64 timestampOfLastDelete (tuple's expiration slot —
+                    # counters cannot expire) + i64 writetime + value
+                    df.write(struct.pack(">qq", int(expiration),
+                                         int(writetime)))
+                elif mask & EXPIRATION_MASK:
                     df.write(struct.pack(">iiq", int(ttl), int(expiration),
                                          int(writetime)))
                 else:
+                    # normal / deleted / counter-update all carry only the
+                    # i64 writetime before the value (reference else-branch)
                     df.write(struct.pack(">q", int(writetime)))
                 df.write(struct.pack(">i", len(value)) + value)
             df.write(struct.pack(">H", 0))
@@ -193,7 +222,37 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                                   "cell name").decode("utf-8")
                 (mask,) = struct.unpack(
                     ">B", _must_read(f, 1, data_path, "cell mask"))
-                if mask & EXPIRATION_MASK:
+                # atom dispatch mirrors the reference's order: range
+                # tombstone first (NoTTLSerializer.java:31), then the cell
+                # masks (NoTTLColumnSerializer.java:26-49)
+                if mask & RANGE_TOMBSTONE_MASK:
+                    (elen,) = struct.unpack(
+                        ">H", _must_read(f, 2, data_path, "RT end length"))
+                    rt_end = _must_read(f, elen, data_path,
+                                        "RT end bound").decode("utf-8")
+                    ldt, mfda = struct.unpack(
+                        ">iq", _must_read(f, 12, data_path, "RT deletion"))
+                    yield (pk, name, "range_tombstone", None, int(ldt),
+                           mfda, rt_end)
+                elif mask & COUNTER_MASK:
+                    tsd, wt = struct.unpack(
+                        ">qq",
+                        _must_read(f, 16, data_path, "counter-cell body"))
+                    (vlen,) = struct.unpack(
+                        ">i", _must_read(f, 4, data_path, "value length"))
+                    value = _must_read(f, vlen, data_path, "cell value")
+                    yield (pk, name, "counter", None, tsd, wt,
+                           value.decode("utf-8"))
+                elif mask & COUNTER_UPDATE_MASK:
+                    (wt,) = struct.unpack(
+                        ">q",
+                        _must_read(f, 8, data_path, "counter-update body"))
+                    (vlen,) = struct.unpack(
+                        ">i", _must_read(f, 4, data_path, "value length"))
+                    value = _must_read(f, vlen, data_path, "cell value")
+                    yield (pk, name, "counter_update", None, None, wt,
+                           value.decode("utf-8"))
+                elif mask & EXPIRATION_MASK:
                     ttl, exp, wt = struct.unpack(
                         ">iiq",
                         _must_read(f, 16, data_path, "expiring-cell body"))
@@ -223,8 +282,8 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                            value.decode("utf-8"))
                 else:
                     raise ValueError(
-                        f"cell mask 0x{mask:02x} (counter/range-tombstone) "
-                        "is outside the simple-cell subset"
+                        f"cell mask 0x{mask:02x} is not a recognized "
+                        "simple/counter/range-tombstone atom"
                     )
 
 
@@ -555,10 +614,22 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4):
                          struct.pack(">i", int(exp)))
                 elif kind == "normal":
                     c = (name, 0, 0, 0, int(wt), str(val).encode())
+                elif kind == "counter":
+                    # expiration slot = timestampOfLastDelete (see
+                    # SSTABLE_SCHEMA column-reuse note)
+                    c = (name, COUNTER_MASK, 0, int(exp), int(wt),
+                         str(val).encode())
+                elif kind == "counter_update":
+                    c = (name, COUNTER_UPDATE_MASK, 0, 0, int(wt),
+                         str(val).encode())
+                elif kind == "range_tombstone":
+                    # cell = start bound, value = end bound,
+                    # expiration = localDeletionTime, wt = markedForDeleteAt
+                    c = (name, RANGE_TOMBSTONE_MASK, 0, int(exp), int(wt),
+                         str(val).encode())
                 else:
                     raise ValueError(
-                        f"cell kind {kind!r} is outside the simple-cell "
-                        "subset"
+                        f"cell kind {kind!r} is not a recognized atom kind"
                     )
                 parts.setdefault(str(pk).encode(), []).append(c)
                 n += 1
@@ -675,8 +746,13 @@ def strip_ttl_cells(cells):
     (Cassandra3TTLRemover.java / NoTTLColumnSerializer: an expiring cell
     re-emits as a normal cell — ttl and expiration dropped, name/
     writetime/value untouched), expressed over the flat cell frame.
-    Tombstones and normal cells pass through unchanged. Pure projection:
-    zero shuffle, whole-stage codegen."""
+    Tombstones and normal cells pass through unchanged — and so do
+    counter, counter-update, and range-tombstone atoms: counters cannot
+    carry TTLs, so the reference preserves them verbatim
+    (NoTTLColumnSerializer.java:26-32 re-emits the counter cell
+    untouched) and range tombstones round-trip through the unmodified
+    rangeTombstoneSerializer (NoTTLSerializer.java:31-33). Pure
+    projection: zero shuffle, whole-stage codegen."""
     import pyspark.sql.functions as F
 
     is_exp = F.col("kind") == "expiring"
@@ -689,3 +765,102 @@ def strip_ttl_cells(cells):
         .otherwise(F.col("expiration")).alias("expiration"),
         "writetime", "value",
     )
+
+
+def events_sstable_fixture_v2(spark, sf_dir: str, out_dir: str) -> None:
+    """Extended fixture exercising the FULL atom surface the reference
+    decodes (NoTTLColumnSerializer.java:26-49 counter / counter-update,
+    NoTTLSerializer.java:31 range tombstone) on top of the v1 cell kinds.
+    Per event, deterministically from the ``events`` parquet:
+
+    - an ``{eid}:etype`` cell with the v1 expiring/normal rule
+      (``event_id % 10 < 7`` expires), so TTL strip interacts with the
+      new atoms in the same file;
+    - ``event_id % 11 == 0``: a COUNTER cell ``{eid}:cnt`` — value =
+      vcents as text, timestampOfLastDelete = writetime - 1_000_000
+      (carried in the schema's ``expiration`` column);
+    - ``event_id % 11 == 1``: a COUNTER-UPDATE cell ``{eid}:cup``;
+    - ``event_id % 13 == 0``: a RANGE TOMBSTONE from ``{eid}:a`` to
+      ``{eid}:z`` with localDeletionTime = epoch s and
+      markedForDeleteAt = writetime.
+
+    Every field is recomputable in ANSI SQL (the q_s11 oracle does), so
+    the counter/RT decode — and their verbatim pass-through under
+    :func:`strip_ttl_cells` — is hash-checkable end to end."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vcents,
+               epoch_us(ts) AS wt,
+               CASE WHEN event_id % 10 < 7
+                    THEN (event_id % 30 + 1) * 86400 END AS ttl,
+               epoch_us(ts) // 1000000 AS ts_s
+        FROM read_parquet('{sf_dir}/events.parquet')
+        ORDER BY user_id, event_id
+        """
+    ).fetchall()
+    parts: dict[bytes, list] = {}
+    for user_id, event_id, etype, vcents, wt, ttl, ts_s in rows:
+        key = str(user_id).encode()
+        cells = parts.setdefault(key, [])
+        base = f"{event_id:012d}:"
+        if ttl is not None:
+            mask, t, exp = EXPIRATION_MASK, int(ttl), int(ts_s + ttl)
+        else:
+            mask, t, exp = 0, 0, 0
+        cells.append((f"{base}etype".encode(), mask, t, exp, wt,
+                      etype.encode()))
+        if event_id % 11 == 0:
+            cells.append((f"{base}cnt".encode(), COUNTER_MASK, 0,
+                          wt - 1_000_000, wt, str(vcents).encode()))
+        elif event_id % 11 == 1:
+            cells.append((f"{base}cup".encode(), COUNTER_UPDATE_MASK, 0, 0,
+                          wt, str(vcents).encode()))
+        if event_id % 13 == 0:
+            cells.append((f"{base}a".encode(), RANGE_TOMBSTONE_MASK, 0,
+                          int(ts_s), wt, f"{base}z".encode()))
+    write_sstable(parts.items(), out_dir)
+
+
+def sstable_v2_oracle_sql(stripped: bool, table: str = "events") -> str:
+    """DuckDB recomputation of every flat row the binary scan of
+    :func:`events_sstable_fixture_v2` must produce — ``stripped=True``
+    gives the post-:func:`strip_ttl_cells` state (etype cells all
+    ``normal`` with NULL ttl/expiration; counter / counter-update /
+    range-tombstone atoms byte-identical in both forms)."""
+    etype_kind = ("'normal'" if stripped else
+                  "CASE WHEN ttl IS NOT NULL THEN 'expiring' "
+                  "ELSE 'normal' END")
+    etype_ttl = "NULL::BIGINT" if stripped else "ttl::BIGINT"
+    etype_exp = "NULL::BIGINT" if stripped else "(ts_s + ttl)::BIGINT"
+    return f"""
+WITH e AS (
+  SELECT user_id::VARCHAR AS pk,
+         printf('%012d', event_id) AS eid,
+         event_id, event_type,
+         CAST(round(value * 100) AS BIGINT)::VARCHAR AS vcents,
+         epoch_us(ts) AS wt,
+         CASE WHEN event_id % 10 < 7
+              THEN (event_id % 30 + 1) * 86400 END AS ttl,
+         epoch_us(ts) // 1000000 AS ts_s
+  FROM {table}
+)
+SELECT pk, eid || ':etype' AS cell, {etype_kind} AS kind,
+       {etype_ttl} AS ttl, {etype_exp} AS expiration,
+       wt AS writetime, event_type AS value
+FROM e
+UNION ALL
+SELECT pk, eid || ':cnt', 'counter', NULL::BIGINT,
+       (wt - 1000000)::BIGINT, wt, vcents
+FROM e WHERE event_id % 11 = 0
+UNION ALL
+SELECT pk, eid || ':cup', 'counter_update', NULL::BIGINT, NULL::BIGINT,
+       wt, vcents
+FROM e WHERE event_id % 11 = 1
+UNION ALL
+SELECT pk, eid || ':a', 'range_tombstone', NULL::BIGINT, ts_s::BIGINT,
+       wt, eid || ':z'
+FROM e WHERE event_id % 13 = 0
+"""

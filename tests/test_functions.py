@@ -87,7 +87,7 @@ def test_linear_fit_matches_numpy(spark, documents):
     assert abs(row.b0 - beta[0]) < 1e-6 * max(1.0, abs(beta[0]))
     assert abs(row.b1 - beta[1]) < 1e-6 * max(1.0, abs(beta[1]))
     assert abs(row.b2 - beta[2]) < 1e-6 * max(1.0, abs(beta[2]))
-    assert row.det != 0
+    assert int(row.det) != 0
 
 
 def test_ridge_shrinks_toward_zero(spark, documents):
@@ -138,8 +138,8 @@ def test_grouped_fit_singular_group_yields_null(spark):
          (5, "a b c d e f g", "y")],
         "doc_id long, text string, lang string")
     rows = {r.lang: r for r in grouped_fit(df).collect()}
-    assert rows["x"].det == 0 and rows["x"].b1 is None
-    assert rows["y"].det != 0 or rows["y"].b1 is None
+    assert int(rows["x"].det) == 0 and rows["x"].b1 is None
+    assert int(rows["y"].det) != 0 or rows["y"].b1 is None
 
 
 def test_chi2_contingency_manual(spark):

@@ -87,3 +87,35 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entry_mod.queries().keys())
     extra = [k for k in entry_mod.oracle_sql() if k not in qs]
     assert not extra, f"oracle_sql() keys without a queries() entry: {extra}"
+
+
+def test_no_pandas_bridge_dtype_divergence(spark):
+    """The driver canonicalizes BOTH sides through pandas, so a column can
+    hash-mismatch on dtype alone even when every value matches: DuckDB's
+    HUGEINT (any sum(BIGINT), plain or windowed) and ALL DECIMALs reach
+    pandas as float64, while Spark's ints stay int64 and DecimalType
+    becomes object — CORRECTNESS_r05's only red row (q_n47) and nine
+    would-be-red round-6 queries (q_ml1–ml7, q_n50, q_v8) were exactly
+    this class. This test runs EVERY oracle through the same duckdb.df()
+    bridge and compares per-column dtype kinds against the Spark result
+    schema (lazily — no Spark execution), so the class can't re-enter."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import __spark_entry__ as entry_mod
+    from oracle_dtype_audit import audit_query
+    from oracle_parity import duck_connection
+
+    from tests.conftest import SF_DIR
+
+    con = duck_connection(SF_DIR)
+    oracles = entry_mod.oracle_sql()
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        if name not in oracles:
+            continue
+        findings = audit_query(fn(spark, SF_DIR), oracles[name], con)
+        if findings:
+            bad[name] = findings
+    assert not bad, f"dtype divergence through the pandas bridge: {bad}"

@@ -75,9 +75,9 @@ def test_splits_snap_to_partition_starts_and_cover_all(spark):
 def test_unsupported_mask_and_partition_deletion_fail_loud(spark):
     out = _tmpdir()
     ss.write_sstable(
-        [(b"k", [(b"c", 0x04, 0, 0, 1, b"v")])], out  # counter mask
+        [(b"k", [(b"c", 0x40, 0, 0, 1, b"v")])], out  # unknown mask bit
     )
-    with pytest.raises(Exception, match="simple-cell subset"):
+    with pytest.raises(Exception, match="not a recognized"):
         list(ss.scan_data_range(os.path.join(out, "Data.db"), 0, 10**9))
     shutil.rmtree(out)
 
@@ -421,3 +421,57 @@ def test_stream_source_applies_key_range_per_shard(spark):
                   for r in ss.scan_data_range(s.data_path, s.start, s.end))
     assert [r[0] for r in rows] == ["k0008", "k0009", "k0010", "k0011"]
     shutil.rmtree(out)
+
+
+def _atom_partitions():
+    """Partitions exercising EVERY atom kind the reference decodes:
+    counter (NoTTLColumnSerializer.java:26-32), counter-update (:47-49),
+    range tombstone (NoTTLSerializer.java:31-33), plus the v1 kinds."""
+    return [
+        (b"u1", [
+            (b"c0", ss.EXPIRATION_MASK, 600, 1_700_000_600,
+             1_700_000_000_000_000, b"exp"),
+            (b"c1", ss.COUNTER_MASK, 0, 1_699_999_999_000_000,
+             1_700_000_000_000_001, b"42"),
+            (b"c2", ss.COUNTER_UPDATE_MASK, 0, 0,
+             1_700_000_000_000_002, b"7"),
+            (b"c3", ss.RANGE_TOMBSTONE_MASK, 0, 1_700_000_000,
+             1_700_000_000_000_003, b"c9"),
+            (b"c4", 0, 0, 0, 1_700_000_000_000_004, b"norm"),
+        ]),
+    ]
+
+
+def test_counter_and_rt_atoms_roundtrip_and_strip_verbatim(spark):
+    """Counter / counter-update / range-tombstone atoms decode, pass
+    through strip_ttl_cells BYTE-VERBATIM (counters can't have TTLs —
+    the reference preserves them untouched), and survive the distributed
+    write -> rescan loop; only the expiring cell is rewritten."""
+    src, dst = _tmpdir(), _tmpdir()
+    ss.write_sstable(_atom_partitions(), src)
+    scanned = ss.scan_sstable(spark, src, num_splits=2)
+    rows = sorted(tuple(r) for r in scanned.collect())
+    assert rows == [
+        ("u1", "c0", "expiring", 600, 1_700_000_600,
+         1_700_000_000_000_000, "exp"),
+        ("u1", "c1", "counter", None, 1_699_999_999_000_000,
+         1_700_000_000_000_001, "42"),
+        ("u1", "c2", "counter_update", None, None,
+         1_700_000_000_000_002, "7"),
+        ("u1", "c3", "range_tombstone", None, 1_700_000_000,
+         1_700_000_000_000_003, "c9"),
+        ("u1", "c4", "normal", None, None, 1_700_000_000_000_004, "norm"),
+    ]
+    stripped = ss.strip_ttl_cells(scanned)
+    got = sorted(tuple(r) for r in stripped.collect())
+    # the expiring cell is rewritten; every other atom is identical
+    assert got[0] == ("u1", "c0", "normal", None, None,
+                      1_700_000_000_000_000, "exp")
+    assert got[1:] == rows[1:]
+    # distributed sink -> rescan: byte-fidelity for the new atom kinds
+    ss.write_sstable_distributed(stripped, dst, shards=2)
+    again = sorted(tuple(r)
+                   for r in ss.scan_sstable(spark, dst, num_splits=2).collect())
+    assert again == got
+    shutil.rmtree(src)
+    shutil.rmtree(dst)
