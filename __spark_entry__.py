@@ -715,6 +715,7 @@ _DRIVER_PRIORITY = [
     # --- new in round 6 (graded with round 7's window) ---
     # (appended here as operators are built)
     "q_s11_sstable_counter_cells",
+    "q_s12_sstable_gen_mc",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -2261,11 +2262,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_n40_hard_negatives"] = q_n40
 
     def q_n41(spark, sf):
-        # equi-DEPTH length histogram: quantile bucket bounds via
-        # SQL-standard ntile over the unique (value, id) order — the mass
-        # report equal-width log2 bins (q_n34) hide under skew
+        # equi-DEPTH length histogram: quantile bucket bounds over the
+        # unique (value, id) order — the mass report equal-width log2
+        # bins (q_n34) hide under skew. two_level=True declares the
+        # scale path: exact global ranks from the range-sharded parallel
+        # prefix sum (plans.two_level_cumsum) + closed-form ntile
+        # arithmetic, no single-partition window; the ntile window form
+        # remains the oracle surface (property-tested identical).
         docs = scan_table(spark, sf, "documents")
-        return text.equidepth_histogram(docs, n_buckets=8)
+        return text.equidepth_histogram(docs, n_buckets=8, two_level=True)
     q["q_n41_equidepth_histogram"] = q_n41
 
     def q_n42(spark, sf):
@@ -3474,6 +3479,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ss.events_sstable_fixture_v2(spark, sf, out)
         return ss.strip_ttl_cells(ss.scan_sstable(spark, out, num_splits=8))
     q["q_s11_sstable_counter_cells"] = q_s11
+
+    def q_s12(spark, sf):
+        # SECOND on-disk format generation behind the same DataSource —
+        # the reference's version dispatch (TTLRemoverCLI.java:131-145
+        # SPI selects one remover per C* format stack; pom.xml ships
+        # four). Generation "mc" swaps the fixed u16/i32 length framing
+        # for unsigned vints (modeling C* 3.x's vint move); Version.txt
+        # in the table dir is the version tag. Identical logical rows,
+        # so this query SHARES q_s7's oracle — the same DuckDB
+        # recomputation certifies both generations byte-decode to the
+        # same cell frame.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstmc_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, out, generation="mc")
+        return ss.scan_sstable(spark, out, num_splits=8)
+    q["q_s12_sstable_gen_mc"] = q_s12
 
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
@@ -5161,6 +5185,8 @@ WHERE pk >= '1' AND pk < '2'
     o["q_st15_stream_sstable_strip"] = o["q_s8_sstable_strip"]
     o["q_s11_sstable_counter_cells"] = _ss.sstable_v2_oracle_sql(
         stripped=True)
+    # one oracle certifies BOTH format generations (identical rows)
+    o["q_s12_sstable_gen_mc"] = o["q_s7_sstable_scan"]
 
     o["q_st11_stream_interval_join"] = """
         SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

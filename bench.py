@@ -390,17 +390,22 @@ def main() -> int:
         "tpch_q5": q_tpch_q5,
     }
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        best = float("inf")
-        # best-of-3: this box shows ±30% wall-clock noise under ambient
-        # load; three samples make the recorded minimum a stable estimate
-        # of the true warm cost
-        for _ in range(3):
+    # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock
+    # noise under ambient load, and a load spike is a contiguous time slice
+    # — running each query's three samples back-to-back lets one spike
+    # poison all three, whereas full-suite sweeps space a query's samples
+    # across the whole run so the per-query MIN is a stable estimate of
+    # the true warm cost. loadavg before/after is recorded so a
+    # loaded-box artifact is self-identifying.
+    load_before = os.getloadavg()
+    best: dict[str, float] = {n: float("inf") for n in queries}
+    for _sweep in range(3):
+        for name, fn in queries.items():
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {n: round(v, 3) for n, v in best.items()}
+    load_after = os.getloadavg()
 
     shutil.rmtree(out_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
@@ -418,6 +423,11 @@ def main() -> int:
         "queries": timings,
         "r1_subset_seconds": round(sum(timings[q] for q in r1_set), 3),
         "sf": sf_dir,
+        "sweeps": 3,
+        "stat": "per_query_min_across_interleaved_sweeps",
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "cpus": os.cpu_count(),
     }))
     return 0
 

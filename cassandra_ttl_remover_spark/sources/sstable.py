@@ -71,32 +71,116 @@ SSTABLE_SCHEMA = (
     "writetime bigint, value string"
 )
 
+#: on-disk format GENERATIONS — the reference ships one remover per
+#: Cassandra format stack and dispatches by version string
+#: (TTLRemoverCLI.java:131-145 SPI; pom.xml's four C* 2.2/3.11/4.0/4.1
+#: modules). Here: "v1" is the original fixed-width framing (u16/i32
+#: lengths); "mc" is a second generation with unsigned-vint length
+#: framing, modeling C* 3.x's move from fixed lengths to vints (a
+#: DEMONSTRATION of the generation dispatch over the same logical atoms,
+#: not the actual C* wire format). A table directory declares its
+#: generation in ``Version.txt`` (the analog of the version tag Cassandra
+#: carries in its file names, e.g. ``mc-1-big-Data.db``); absent file =
+#: "v1", so every pre-existing fixture reads unchanged. Cell masks,
+#: timestamps, and atom semantics are identical across generations.
+SSTABLE_GENERATIONS = ("v1", "mc")
+
+
+def _uvint_bytes(n: int) -> bytes:
+    """Unsigned LEB128 vint (7 data bits per byte, high bit = continue)."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvint(f, path: str, what: str) -> int:
+    val = shift = 0
+    while True:
+        c = _must_read(f, 1, path, what)[0]
+        val |= (c & 0x7F) << shift
+        if not (c & 0x80):
+            return val
+        shift += 7
+        if shift > 63:
+            raise CorruptSSTableError(f"{path}: runaway vint in {what}")
+
+
+def _read_uvint_buf(buf: bytes, pos: int) -> tuple[int, int]:
+    val = shift = 0
+    while True:
+        c = buf[pos]
+        pos += 1
+        val |= (c & 0x7F) << shift
+        if not (c & 0x80):
+            return val, pos
+        shift += 7
+
+
+def _table_generation(table_dir: str) -> str:
+    """Resolve a table directory's format generation from Version.txt
+    (missing = the original fixed-width layout)."""
+    vp = os.path.join(table_dir, "Version.txt")
+    if not os.path.exists(vp):
+        return "v1"
+    with open(vp) as f:
+        gen = f.read().strip()
+    if gen not in SSTABLE_GENERATIONS:
+        raise ValueError(
+            f"unknown sstable format generation {gen!r} in {vp}; "
+            f"registered: {SSTABLE_GENERATIONS}"
+        )
+    return gen
+
 
 # ---------------------------------------------------------------------------
 # writer (fixture generator)
 # ---------------------------------------------------------------------------
 
-def write_sstable(partitions: Iterable[tuple], out_dir: str) -> None:
+def write_sstable(partitions: Iterable[tuple], out_dir: str,
+                  generation: str = "v1") -> None:
     """Write ``Data.db`` + ``Index.db`` for ``partitions`` — an iterable of
     ``(key_bytes, cells)`` where each cell is
     ``(name_bytes, mask, ttl, expiration, writetime, value_bytes)``
     (ttl/expiration ignored unless EXPIRATION_MASK; value_bytes holds the
     4-byte localDeletionTime for DELETION_MASK). Partitions are sorted by
     key BYTES before writing — the sorted-table invariant every SSTable
-    carries."""
+    carries. ``generation`` selects the length framing ("v1" fixed-width,
+    "mc" unsigned-vint — see :data:`SSTABLE_GENERATIONS`); the cell
+    bodies and atom semantics are identical."""
+    if generation not in SSTABLE_GENERATIONS:
+        raise ValueError(f"unknown generation {generation!r}")
     os.makedirs(out_dir, exist_ok=True)
+    if generation != "v1":
+        with open(os.path.join(out_dir, "Version.txt"), "w") as vf:
+            vf.write(generation)
+    if generation == "mc":
+        def wlen(n):  # key/name/end-bound AND value lengths: one vint form
+            return _uvint_bytes(n)
+        wval = wlen
+    else:
+        def wlen(n):
+            return struct.pack(">H", n)
+
+        def wval(n):
+            return struct.pack(">i", n)
     data_path = os.path.join(out_dir, "Data.db")
     index_path = os.path.join(out_dir, "Index.db")
     with open(data_path, "wb") as df, open(index_path, "wb") as ix:
         for key, cells in sorted(partitions, key=lambda p: p[0]):
             offset = df.tell()
-            ix.write(struct.pack(">H", len(key)) + key)
+            ix.write(wlen(len(key)) + key)
             ix.write(struct.pack(">q", offset))
-            df.write(struct.pack(">H", len(key)) + key)
+            df.write(wlen(len(key)) + key)
             df.write(struct.pack(">iq", LIVE_LOCAL_DELETION,
                                  LIVE_MARKED_FOR_DELETE))
             for name, mask, ttl, expiration, writetime, value in cells:
-                df.write(struct.pack(">H", len(name)) + name)
+                df.write(wlen(len(name)) + name)
                 df.write(struct.pack(">B", mask))
                 if mask & RANGE_TOMBSTONE_MASK:
                     # name = start bound; body = end bound then DeletionTime
@@ -104,7 +188,7 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str) -> None:
                     # C* 2.x RangeTombstone.Serializer body shape. Tuple
                     # slots: expiration=localDeletionTime,
                     # writetime=markedForDeleteAt, value=end-bound bytes.
-                    df.write(struct.pack(">H", len(value)) + value)
+                    df.write(wlen(len(value)) + value)
                     df.write(struct.pack(">iq", int(expiration),
                                          int(writetime)))
                     continue
@@ -120,8 +204,8 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str) -> None:
                     # normal / deleted / counter-update all carry only the
                     # i64 writetime before the value (reference else-branch)
                     df.write(struct.pack(">q", int(writetime)))
-                df.write(struct.pack(">i", len(value)) + value)
-            df.write(struct.pack(">H", 0))
+                df.write(wval(len(value)) + value)
+            df.write(wlen(0))
 
 
 # ---------------------------------------------------------------------------
@@ -173,14 +257,19 @@ def select_index_range(
 
 def read_index(index_path: str) -> list[tuple[bytes, int]]:
     """The planner's only I/O: ``[(key, Data.db offset), …]`` in file
-    order (== key-byte order, by the writer invariant)."""
+    order (== key-byte order, by the writer invariant). Framing follows
+    the table's generation (Version.txt dispatch)."""
+    gen = _table_generation(os.path.dirname(index_path))
     out = []
     with open(index_path, "rb") as f:
         buf = f.read()
     pos = 0
     while pos < len(buf):
-        (klen,) = struct.unpack_from(">H", buf, pos)
-        pos += 2
+        if gen == "mc":
+            klen, pos = _read_uvint_buf(buf, pos)
+        else:
+            (klen,) = struct.unpack_from(">H", buf, pos)
+            pos += 2
         key = buf[pos:pos + klen]
         pos += klen
         (off,) = struct.unpack_from(">q", buf, pos)
@@ -197,13 +286,42 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
     mid-record fails with a descriptive CorruptSSTableError (quarantine
     the file, don't emit partial partitions) rather than a bare struct
     error."""
+    gen = _table_generation(os.path.dirname(data_path))
     with open(data_path, "rb") as f:
+        if gen == "mc":
+            def rlen(what):
+                return _read_uvint(f, data_path, what)
+            rval = rlen
+
+            def rlen_or_eof():
+                b0 = f.read(1)
+                if not b0:
+                    return None
+                val, shift, c = b0[0] & 0x7F, 7, b0[0]
+                while c & 0x80:
+                    c = _must_read(f, 1, data_path, "partition-key vint")[0]
+                    val |= (c & 0x7F) << shift
+                    shift += 7
+                return val
+        else:
+            def rlen(what):
+                return struct.unpack(
+                    ">H", _must_read(f, 2, data_path, what))[0]
+
+            def rval(what):
+                return struct.unpack(
+                    ">i", _must_read(f, 4, data_path, what))[0]
+
+            def rlen_or_eof():
+                hdr = f.read(2)
+                if len(hdr) < 2:
+                    return None
+                return struct.unpack(">H", hdr)[0]
         f.seek(start)
         while f.tell() < end:
-            hdr = f.read(2)
-            if len(hdr) < 2:
+            klen = rlen_or_eof()
+            if klen is None:
                 return
-            (klen,) = struct.unpack(">H", hdr)
             key = _must_read(f, klen, data_path, "partition key")
             ldt, mfda = struct.unpack(
                 ">iq", _must_read(f, 12, data_path, "partition header"))
@@ -214,8 +332,7 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                 )
             pk = key.decode("utf-8")
             while True:
-                (nlen,) = struct.unpack(
-                    ">H", _must_read(f, 2, data_path, "cell-name length"))
+                nlen = rlen("cell-name length")
                 if nlen == 0:
                     break
                 name = _must_read(f, nlen, data_path,
@@ -226,8 +343,7 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                 # tombstone first (NoTTLSerializer.java:31), then the cell
                 # masks (NoTTLColumnSerializer.java:26-49)
                 if mask & RANGE_TOMBSTONE_MASK:
-                    (elen,) = struct.unpack(
-                        ">H", _must_read(f, 2, data_path, "RT end length"))
+                    elen = rlen("RT end length")
                     rt_end = _must_read(f, elen, data_path,
                                         "RT end bound").decode("utf-8")
                     ldt, mfda = struct.unpack(
@@ -238,8 +354,7 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                     tsd, wt = struct.unpack(
                         ">qq",
                         _must_read(f, 16, data_path, "counter-cell body"))
-                    (vlen,) = struct.unpack(
-                        ">i", _must_read(f, 4, data_path, "value length"))
+                    vlen = rval("value length")
                     value = _must_read(f, vlen, data_path, "cell value")
                     yield (pk, name, "counter", None, tsd, wt,
                            value.decode("utf-8"))
@@ -247,8 +362,7 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                     (wt,) = struct.unpack(
                         ">q",
                         _must_read(f, 8, data_path, "counter-update body"))
-                    (vlen,) = struct.unpack(
-                        ">i", _must_read(f, 4, data_path, "value length"))
+                    vlen = rval("value length")
                     value = _must_read(f, vlen, data_path, "cell value")
                     yield (pk, name, "counter_update", None, None, wt,
                            value.decode("utf-8"))
@@ -256,8 +370,7 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                     ttl, exp, wt = struct.unpack(
                         ">iiq",
                         _must_read(f, 16, data_path, "expiring-cell body"))
-                    (vlen,) = struct.unpack(
-                        ">i", _must_read(f, 4, data_path, "value length"))
+                    vlen = rval("value length")
                     value = _must_read(f, vlen, data_path, "cell value")
                     yield (pk, name, "expiring", ttl, exp, wt,
                            value.decode("utf-8"))
@@ -265,8 +378,7 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                     (wt,) = struct.unpack(
                         ">q",
                         _must_read(f, 8, data_path, "tombstone writetime"))
-                    (vlen,) = struct.unpack(
-                        ">i", _must_read(f, 4, data_path, "value length"))
+                    vlen = rval("value length")
                     (cell_ldt,) = struct.unpack(
                         ">i",
                         _must_read(f, vlen, data_path, "tombstone body"))
@@ -275,8 +387,7 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                 elif mask == 0:
                     (wt,) = struct.unpack(
                         ">q", _must_read(f, 8, data_path, "cell writetime"))
-                    (vlen,) = struct.unpack(
-                        ">i", _must_read(f, 4, data_path, "value length"))
+                    vlen = rval("value length")
                     value = _must_read(f, vlen, data_path, "cell value")
                     yield (pk, name, "normal", None, None, wt,
                            value.decode("utf-8"))
@@ -574,7 +685,8 @@ def lookup_partition(spark, path: str, key: str):
 # distributed sink: cell frame -> sharded SSTables
 # ---------------------------------------------------------------------------
 
-def write_sstable_distributed(cells, out_dir: str, shards: int = 4):
+def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
+                              generation: str = "v1"):
     """Distributed SSTable SINK — the reference job's OUTPUT side
     (Cassandra3TTLRemover writes stripped SSTables back to disk;
     NoTTLWriter in the patched stack). A cell frame in
@@ -635,7 +747,8 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4):
                 n += 1
         if parts:
             shard = f"shard={pid:05d}"
-            write_sstable(parts.items(), os.path.join(out_dir, shard))
+            write_sstable(parts.items(), os.path.join(out_dir, shard),
+                          generation=generation)
             yield pd.DataFrame(
                 {"shard": [shard], "n_partitions": [len(parts)],
                  "n_cells": [n]}
@@ -656,7 +769,8 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4):
 # fixture: events table -> SSTable (mirrors FIXTURES.md cell conventions)
 # ---------------------------------------------------------------------------
 
-def events_sstable_fixture(spark, sf_dir: str, out_dir: str) -> None:
+def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
+                           generation: str = "v1") -> None:
     """Deterministic SSTable fixture over the ``events`` parquet: one
     partition per ``user_id`` (key = ascii of the id), three cells per
     event clustered by zero-padded event_id —
@@ -700,7 +814,7 @@ def events_sstable_fixture(spark, sf_dir: str, out_dir: str) -> None:
                           str(vcents).encode()))
         cells.append((f"{base}props".encode(), mask, t, exp, wt,
                       props.encode()))
-    write_sstable(parts.items(), out_dir)
+    write_sstable(parts.items(), out_dir, generation=generation)
 
 
 def sstable_scan_oracle_sql(table: str = "events") -> str:

@@ -224,3 +224,52 @@ def test_wav_ulaw_malformed_raises():
         _parse_wav_ulaw(blob[:20])  # truncated chunk
     with pytest.raises(ValueError):
         _parse_wav_ulaw(b"RIFX" + blob[4:])
+
+
+def _find_reset_position(data: bytes, mcs: int = 8) -> int | None:
+    """Shadow of _lzw_compress's dictionary bookkeeping: returns the index
+    i such that processing data[:i] leaves the encoder JUST past a
+    mid-stream CLEAR (next_code reset), or None if no reset occurs."""
+    clear = 1 << mcs
+    table = {bytes([c]): c for c in range(clear)}
+    next_code = clear + 2
+    cur = b""
+    for i, b in enumerate(data):
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        if next_code == 4096:
+            return i + 1  # reset fired while consuming data[i]
+        table[nxt] = next_code
+        next_code += 1
+        cur = bytes([b])
+    return None
+
+
+def test_lzw_eoi_width_boundary_after_midstream_reset():
+    """The ADVICE-named regression guard: a segment with exactly 254 adds
+    AFTER a mid-stream dictionary reset (next_code hits 4096 -> CLEAR)
+    puts next_code at 512 == 2^9 when EOI is emitted, so the decoder
+    grows width before reading EOI and the encoder must mirror it — the
+    same parity as the initial-segment case, but on the reset path. The
+    prefix is deterministic pseudo-random data long enough to burn
+    through the first 4096-entry dictionary; the suffix is 254
+    never-repeating two-byte sequences (one add each)."""
+    import random
+
+    rng = random.Random(20260815)
+    prefix = bytes(rng.randrange(256) for _ in range(12000))
+    cut = _find_reset_position(prefix)
+    assert cut is not None, "prefix too short to trigger a dict reset"
+    # after the reset, alternate a two-symbol pattern never seen as pairs
+    # in a FRESH table: each byte is one add, so 254 bytes = 254 adds
+    suffix = bytes((i % 2) for i in range(254))
+    for extra in (0, -1, 1):  # the exact edge and both neighbors
+        data = prefix[:cut] + suffix[: 254 + extra]
+        assert _lzw_decompress(_lzw_compress(data, 8), 8) == data
+    # and the same edge at every small min_code_size (reset arrives
+    # faster nowhere — 4096 is absolute — but width parity differs)
+    for mcs in (2, 4):
+        raw = bytes(rng.randrange(1 << mcs) for _ in range(14000))
+        assert _lzw_decompress(_lzw_compress(raw, mcs), mcs) == raw

@@ -398,3 +398,19 @@ def test_pps_two_level_declared_plan_has_no_single_partition_window(
     assert "SinglePartition" not in plan, (
         "declared PPS plan regressed to a single-partition window"
     )
+
+
+def test_equidepth_two_level_declared_plan_has_no_single_partition_window(
+        spark, documents):
+    """Same contract for the declared q_n41 form: exact ranks come from
+    the range-sharded parallel prefix sum, never a global ntile window."""
+    from cassandra_ttl_remover_spark.operators.text import (
+        equidepth_histogram,
+    )
+    from cassandra_ttl_remover_spark.plans import formatted_plan
+
+    df = equidepth_histogram(documents, n_buckets=8, two_level=True)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, (
+        "declared equidepth plan regressed to a single-partition window"
+    )

@@ -475,3 +475,37 @@ def test_counter_and_rt_atoms_roundtrip_and_strip_verbatim(spark):
     assert again == got
     shutil.rmtree(src)
     shutil.rmtree(dst)
+
+
+def test_generation_mc_scan_prune_and_distributed_roundtrip(spark):
+    """Generation dispatch (reference SPI analog): the SAME DataSource
+    scans both framings to identical rows; index pruning and the
+    distributed sink work on the vint generation; Version.txt is the
+    version tag and an unknown tag fails loud."""
+    v1, mc, dst = _tmpdir(), _tmpdir(), _tmpdir()
+    parts = _atom_partitions() + [
+        (b"k" * 200, [(b"n" * 300, 0, 0, 0, 5, b"x" * 400)]),  # multi-byte vints
+    ]
+    ss.write_sstable(parts, v1, generation="v1")
+    ss.write_sstable(parts, mc, generation="mc")
+    rows_v1 = sorted(tuple(r)
+                     for r in ss.scan_sstable(spark, v1, num_splits=3).collect())
+    rows_mc = sorted(tuple(r)
+                     for r in ss.scan_sstable(spark, mc, num_splits=3).collect())
+    assert rows_v1 == rows_mc and len(rows_mc) == 6
+    # key-range pruning consults the vint index identically
+    pruned = ss.scan_sstable(spark, mc, num_splits=2,
+                             key_start="u1", key_stop="u2").collect()
+    assert sorted(r.pk for r in pruned) == ["u1"] * 5
+    # distributed sink in the mc generation -> rescan
+    ss.write_sstable_distributed(ss.scan_sstable(spark, mc), dst,
+                                 shards=2, generation="mc")
+    again = sorted(tuple(r) for r in ss.scan_sstable(spark, dst).collect())
+    assert again == rows_mc
+    # unknown version tag fails loud
+    with open(os.path.join(mc, "Version.txt"), "w") as f:
+        f.write("zz")
+    with pytest.raises(Exception, match="unknown sstable format generation"):
+        ss.read_index(os.path.join(mc, "Index.db"))
+    for d in (v1, mc, dst):
+        shutil.rmtree(d)
