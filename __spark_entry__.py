@@ -716,6 +716,7 @@ _DRIVER_PRIORITY = [
     # (appended here as operators are built)
     "q_s11_sstable_counter_cells",
     "q_s12_sstable_gen_mc",
+    "q_v10_int8_quantization",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4358,6 +4359,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_v9_cosine_histogram"] = q_v9
 
+    def q_v10(spark, sf):
+        # per-dimension affine INT8 quantization report (the 4x embedding
+        # storage compression): exact int64 bounds + the reconstruction
+        # error of the 8-bit round trip. Elements never shuffle: one
+        # map-side-combined min/max agg (d rows, broadcast back), one
+        # zero-shuffle error pass, one map-side-combined error agg.
+        from cassandra_ttl_remover_spark.operators.similarity import (
+            int8_quantization_report,
+        )
+
+        return int8_quantization_report(scan_table(spark, sf, "embeddings"))
+    q["q_v10_int8_quantization"] = q_v10
+
     def q_f8(spark, sf):
         # crawl-container ingestion: documents packed into multi-record
         # WARC/1.0 blobs (the Common Crawl shape), then exploded back
@@ -5988,6 +6002,11 @@ FROM ({_mix_sql}) GROUP BY source ORDER BY source
         centroid_similarity_matrix_oracle_sql,
     )
     o["q_v8_centroid_similarity"] = centroid_similarity_matrix_oracle_sql()
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        int8_quantization_report_oracle_sql,
+    )
+
+    o["q_v10_int8_quantization"] = int8_quantization_report_oracle_sql()
     from cassandra_ttl_remover_spark.operators.ml import (
         ttest_two_group_oracle_sql,
     )

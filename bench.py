@@ -348,6 +348,13 @@ def main() -> int:
         from cassandra_ttl_remover_spark.operators import text as text_ops
         text_ops.pmi_bigrams(documents, k=50, min_count=5).collect()
 
+    def q_int8_quant():
+        # per-dim int8 quantization report: two map-side-combined d-row
+        # aggs + a broadcast join; the n*d element frame never shuffles
+        from cassandra_ttl_remover_spark.operators.similarity import (
+            int8_quantization_report)
+        int8_quantization_report(embeddings).collect()
+
     queries = {
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
@@ -382,6 +389,7 @@ def main() -> int:
         "jpeg_decode": q_jpeg_decode,
         "scd2": q_scd2,
         "pmi_bigrams": q_pmi,
+        "int8_quantize": q_int8_quant,
         "warc_gz_ingest": q_warc_gz,
         "compact_gc": q_compact_gc,
         "winnowing": q_winnow,

@@ -1883,3 +1883,85 @@ WITH q AS (
 )
 SELECT bin, count(*)::BIGINT AS n_pairs FROM c GROUP BY bin ORDER BY bin
 """
+
+
+def int8_quantization_report(emb: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension affine INT8 quantization report — the 4x storage
+    compression every large-scale embedding store runs before serving
+    (float32 -> uint8 with per-dimension scale/zero-point), evaluated
+    here as exact integer statistics: for each dimension, the quantized
+    range and the reconstruction error a round-trip through the 8-bit
+    code incurs. Returns one row per dimension:
+    ``(dim, mn_q, mx_q, n, sum_abs_err, max_abs_err)`` where mn_q/mx_q
+    are the 1e-6-quantized int64 component bounds, ``q8 = round((x-mn) *
+    255 / range)`` is the 8-bit code, and err = |x - dequant(q8)| in the
+    same int64 units. Exactness: int64 operands, ONE IEEE multiply +
+    divide + half-away-from-zero round per element — identical in both
+    engines, so the report hash-matches the oracle.
+
+    Scale shape: posexplode -> ONE map-side-combined min/max agg keyed
+    by dim (d rows, broadcast back) -> a second zero-shuffle pass over
+    the re-projected elements -> ONE map-side-combined error agg (d
+    rows). Elements never shuffle; recomputing the projection on pass 2
+    beats materializing n*d rows at 100 TB."""
+    ex = (
+        fan_out(emb.select(id_col, vec_col), id_col)
+        .select(
+            F.posexplode(F.expr(QVEC_EXPR.format(v=vec_col)))
+            .alias("_p", "xq")
+        )
+        .select((F.col("_p") + 1).cast("int").alias("dim"), "xq")
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("xq").alias("mn_q"), F.max("xq").alias("mx_q")
+    )
+    q8 = ("case when mx_q = mn_q then 0L else cast(round("
+          "(cast(xq - mn_q as double) * 255.0d) / "
+          "cast(mx_q - mn_q as double)) as bigint) end")
+    deq = ("case when mx_q = mn_q then mn_q else mn_q + cast(round("
+           f"(cast({q8} as double) * cast(mx_q - mn_q as double)) / 255.0d"
+           ") as bigint) end")
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select("dim", "mn_q", "mx_q",
+                F.expr(f"abs(xq - ({deq}))").alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.first("mn_q").alias("mn_q"),
+            F.first("mx_q").alias("mx_q"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("err").cast("long").alias("sum_abs_err"),
+            F.max("err").cast("long").alias("max_abs_err"),
+        )
+        .orderBy("dim")
+    )
+
+
+def int8_quantization_report_oracle_sql(table: str = "embeddings") -> str:
+    """DuckDB mirror: identical quantized-int operands and the identical
+    multiply/divide/round sequence; aggregate sums cast to BIGINT (a
+    windowed/plain sum(BIGINT) is HUGEINT and would reach pandas as
+    float64 — see tests/oracle_dtype_audit.py)."""
+    q8 = ("CASE WHEN mx_q = mn_q THEN 0 ELSE round("
+          "((xq - mn_q)::DOUBLE * 255.0) / (mx_q - mn_q)::DOUBLE"
+          ")::BIGINT END")
+    deq = (f"CASE WHEN mx_q = mn_q THEN mn_q ELSE mn_q + round("
+           f"(({q8})::DOUBLE * (mx_q - mn_q)::DOUBLE) / 255.0)::BIGINT END")
+    return f"""
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1)::INT AS dim,
+         round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS xq
+  FROM {table}
+), s AS (
+  SELECT dim, min(xq)::BIGINT AS mn_q, max(xq)::BIGINT AS mx_q
+  FROM x GROUP BY dim
+), e AS (
+  SELECT x.dim, mn_q, mx_q, abs(xq - ({deq}))::BIGINT AS err
+  FROM x JOIN s ON x.dim = s.dim
+)
+SELECT dim, min(mn_q)::BIGINT AS mn_q, max(mx_q)::BIGINT AS mx_q,
+       count(*)::BIGINT AS n,
+       sum(err)::BIGINT AS sum_abs_err, max(err)::BIGINT AS max_abs_err
+FROM e GROUP BY dim ORDER BY dim
+"""

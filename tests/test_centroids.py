@@ -123,3 +123,39 @@ def test_cosine_histogram_matches_numpy(spark, embeddings):
             want[b] = want.get(b, 0) + 1
     assert got == want
     assert sum(got.values()) == 60 * 59 // 2
+
+
+def test_int8_quantization_report_matches_numpy(spark, embeddings):
+    """Per-dim bounds and 8-bit round-trip error equal a direct numpy
+    recomputation with the same half-away-from-zero rounding."""
+    import numpy as np
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        int8_quantization_report,
+    )
+
+    emb = embeddings.limit(200)
+    pdf = emb.toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
+    xq = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    mn, mx = xq.min(axis=0), xq.max(axis=0)
+    rng = (mx - mn).astype(np.float64)
+    safe = np.where(rng == 0, 1.0, rng)
+
+    def half_away(v):
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+    q8 = np.where(rng == 0, 0.0,
+                  half_away((xq - mn).astype(np.float64) * 255.0 / safe))
+    deq = np.where(rng == 0, mn,
+                   mn + half_away(q8 * rng / 255.0)).astype(np.int64)
+    err = np.abs(xq - deq)
+    got = {r.dim: r for r in int8_quantization_report(emb).collect()}
+    assert len(got) == x.shape[1]
+    for d in range(x.shape[1]):
+        r = got[d + 1]
+        assert (r.mn_q, r.mx_q, r.n) == (mn[d], mx[d], x.shape[0]), d
+        assert r.sum_abs_err == int(err[:, d].sum()), d
+        assert r.max_abs_err == int(err[:, d].max()), d
+        # and the codes genuinely fit in uint8
+        assert 0 <= q8[:, d].max() <= 255

@@ -414,3 +414,20 @@ def test_equidepth_two_level_declared_plan_has_no_single_partition_window(
     assert "SinglePartition" not in plan, (
         "declared equidepth plan regressed to a single-partition window"
     )
+
+
+def test_int8_quantization_exchange_budget(spark, embeddings):
+    """The min/max agg and the error agg are both keyed on dim (map-side
+    combined — only d rows cross the wire); the stats frame joins back as
+    a BROADCAST. Budget 5 = two fan_out parallelism floors (one per
+    lineage pass; no-ops on real multi-split inputs) + the two d-row
+    aggs + the presentation sort. The n*d element frame itself never
+    hash-shuffles."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        int8_quantization_report,
+    )
+    from cassandra_ttl_remover_spark.plans import exchange_count, has_broadcast_join
+
+    df = int8_quantization_report(embeddings)
+    assert exchange_count(df) <= 5
+    assert has_broadcast_join(df), "stats frame must broadcast back"
