@@ -717,6 +717,7 @@ _DRIVER_PRIORITY = [
     "q_s11_sstable_counter_cells",
     "q_s12_sstable_gen_mc",
     "q_v10_int8_quantization",
+    "q_x29_token_budget",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4372,6 +4373,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return int8_quantization_report(scan_table(spark, sf, "embeddings"))
     q["q_v10_int8_quantization"] = q_v10
 
+    def q_x29(spark, sf):
+        # weighted token-budget waterfilling — the data-mixing allocation
+        # step of a pretraining recipe: each source gets
+        # min(cap, floor(w * level)), small sources saturate, the surplus
+        # flows on in weight proportion. Sorted-prefix closed form; the
+        # saturation predicate is an exact integer cross-multiplication
+        # in DECIMAL(38,0); one map-side-combined groupBy(source) reduces
+        # the corpus, the waterfilling runs on the |sources|-row frame.
+        from cassandra_ttl_remover_spark.operators.curate import (
+            budget_allocation,
+        )
+
+        return budget_allocation(
+            scan_table(spark, sf, "documents"), budget=500_000,
+            weights={"src0": 3, "src1": 2},
+        )
+    q["q_x29_token_budget"] = q_x29
+
     def q_f8(spark, sf):
         # crawl-container ingestion: documents packed into multi-record
         # WARC/1.0 blobs (the Common Crawl shape), then exploded back
@@ -5179,6 +5198,12 @@ WITH r AS (
 SELECT o_orderkey, o_orderpriority, pr, cd
 FROM r WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey
 """
+    from cassandra_ttl_remover_spark.operators.curate import (
+        budget_allocation_oracle_sql,
+    )
+
+    o["q_x29_token_budget"] = budget_allocation_oracle_sql(
+        budget=500_000, weights={"src0": 3, "src1": 2})
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

@@ -1151,3 +1151,173 @@ SELECT shard::INT AS shard, count(*)::BIGINT AS n_keys,
        sum((shard <> shard_next)::BIGINT)::BIGINT AS n_moved
 FROM assign GROUP BY shard ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation (weighted waterfilling across sources)
+# ---------------------------------------------------------------------------
+
+def budget_allocation(docs: DataFrame, budget: int,
+                      weights: dict[str, int] | None = None,
+                      source_col: str = "source",
+                      token_expr: str = "greatest(n_chars, 1)") -> DataFrame:
+    """Allocate a total token ``budget`` across sources by WEIGHTED
+    WATERFILLING — the data-mixing step every pretraining recipe runs:
+    each source i with capacity ``cap_i`` (its available tokens) and
+    integer weight ``w_i`` receives ``a_i = min(cap_i, floor(w_i * t))``
+    where the water level ``t`` is the largest value the budget affords.
+    Small sources saturate (take everything they have); the surplus
+    flows to the rest in weight proportion — the closed-form solution of
+    "sample source i at rate proportional to w_i, but never upsample".
+
+    Exactness: the classic sorted-prefix closed form. Sources sort by
+    ``cap/w`` (one IEEE division, identical in both engines; ties by
+    source name); whether a source saturates is decided by the INTEGER
+    cross-multiplication ``cap_k * SW_k <= (B - PC_k) * w_k`` (PC_k =
+    total capacity of sources before k, SW_k = total weight from k on)
+    — saturated sources form a prefix of the sort order, so one pass of
+    prefix sums decides everything. Unsaturated sources get
+    ``(w_i * B_rem) div W_unc`` — integer division of exact integers.
+    Products run in DECIMAL(38,0) (cap ~ 1e15 tokens at 100 TB times
+    weights times budget exceeds int64); every OUTPUT column is plain
+    BIGINT. Returns one row per source:
+    ``(source, cap, w, saturated, allocation)`` with
+    ``sum(allocation) <= budget`` (floor remainders are reported, not
+    silently redistributed).
+
+    Scale shape: ONE map-side-combined groupBy(source) reduces the
+    corpus to |sources| rows; the waterfilling itself is two windows
+    over that tiny frame. Apply the result with
+    :func:`apply_budget_sample` (broadcast join + zero-shuffle
+    deterministic per-doc threshold)."""
+    weights = weights or {}
+    w_expr = ("CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {int(w)}L"
+        for s, w in sorted(weights.items())
+    ) + " ELSE 1L END") if weights else "1L"
+    caps = (
+        docs.groupBy(source_col)
+        .agg(F.expr(f"sum(cast({token_expr} as bigint))").alias("cap"))
+        .select(F.col(source_col).alias("source"), "cap")
+        .withColumn("w", F.expr(w_expr))
+    )
+    dec = "cast({v} as decimal(38,0))"
+    order = Window.orderBy(
+        F.expr("cast(cap as double) / cast(w as double)"), F.col("source")
+    )
+    run_before = order.rowsBetween(Window.unboundedPreceding, -1)
+    run_from = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    staged = (
+        caps
+        .withColumn("_pc", F.coalesce(F.sum("cap").over(run_before),
+                                      F.lit(0).cast("long")))
+        .withColumn("_sw", F.sum("w").over(run_from))
+        .withColumn(
+            "saturated",
+            F.expr(
+                f"{dec.format(v='cap')} * {dec.format(v='_sw')} <= "
+                f"({dec.format(v=str(budget) + 'L')} - {dec.format(v='_pc')})"
+                f" * {dec.format(v='w')}"
+            ),
+        )
+    )
+    totals = F.broadcast(
+        staged.agg(
+            F.sum(F.when(F.col("saturated"), F.col("cap"))
+                  .otherwise(F.lit(0))).cast("long").alias("_sat_cap"),
+            F.sum(F.when(~F.col("saturated"), F.col("w"))
+                  .otherwise(F.lit(0))).cast("long").alias("_unc_w"),
+        )
+    )
+    alloc = (
+        f"case when saturated then cap else cast("
+        f"({dec.format(v='w')} * ({dec.format(v=str(budget) + 'L')}"
+        f" - {dec.format(v='_sat_cap')})) div {dec.format(v='_unc_w')}"
+        f" as bigint) end"
+    )
+    return (
+        staged.crossJoin(totals)
+        .select("source", "cap", "w", "saturated",
+                F.expr(alloc).alias("allocation"))
+        .orderBy("source")
+    )
+
+
+def budget_allocation_oracle_sql(budget: int,
+                                 weights: dict[str, int] | None = None,
+                                 source_col: str = "source",
+                                 token_expr: str = "greatest(n_chars, 1)",
+                                 table: str = "documents") -> str:
+    """DuckDB mirror: identical sort key (one IEEE division), identical
+    HUGEINT cross-multiplication predicate, identical integer division;
+    BIGINT at every output boundary."""
+    weights = weights or {}
+    w_expr = ("CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {int(w)}"
+        for s, w in sorted(weights.items())
+    ) + " ELSE 1 END") if weights else "1"
+    return f"""
+WITH caps AS (
+  SELECT {source_col} AS source,
+         sum(CAST({token_expr} AS BIGINT))::BIGINT AS cap,
+         ({w_expr})::BIGINT AS w
+  FROM {table} GROUP BY {source_col}
+), staged AS (
+  SELECT source, cap, w,
+         coalesce(sum(cap) OVER (ORDER BY cap::DOUBLE / w::DOUBLE, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS pc,
+         CAST(sum(w) OVER (ORDER BY cap::DOUBLE / w::DOUBLE, source
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS sw
+  FROM caps
+), flagged AS (
+  SELECT source, cap, w,
+         cap::HUGEINT * sw <= ({budget}::HUGEINT - pc) * w AS saturated
+  FROM staged
+), totals AS (
+  SELECT coalesce(sum(CASE WHEN saturated THEN cap END), 0)::BIGINT
+           AS sat_cap,
+         coalesce(sum(CASE WHEN NOT saturated THEN w END), 0)::BIGINT
+           AS unc_w
+  FROM flagged
+)
+SELECT source, cap, w, saturated,
+       CASE WHEN saturated THEN cap
+            ELSE ((w::HUGEINT * ({budget}::HUGEINT - sat_cap))
+                  // unc_w)::BIGINT END AS allocation
+FROM flagged, totals
+ORDER BY source
+"""
+
+
+def apply_budget_sample(docs: DataFrame, alloc: DataFrame,
+                        source_col: str = "source",
+                        token_expr: str = "greatest(n_chars, 1)",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Apply a :func:`budget_allocation` result to the corpus: keep each
+    document with probability ``allocation / cap`` of its source, decided
+    by a deterministic per-doc hash threshold (integer cross-multiply —
+    ``pmod(xxhash64(id), 2^20) * cap < allocation * 2^20`` — no RNG, no
+    floats), so reruns keep exactly the same documents. Saturated sources
+    keep everything. Expected kept tokens per source = allocation.
+
+    Scale: the allocation frame is |sources| rows — broadcast; the
+    decision is a zero-shuffle projection."""
+    dec = "cast({v} as decimal(38,0))"
+    keep = (
+        f"saturated or "
+        f"{dec.format(v=f'pmod(xxhash64(cast({id_col} as string)), 1048576L)')}"
+        f" * {dec.format(v='cap')}"
+        f" < {dec.format(v='allocation')} * cast(1048576 as decimal(38,0))"
+    )
+    a = alloc.select(
+        F.col("source").alias("_alloc_source"), "cap", "saturated",
+        "allocation",
+    )
+    return (
+        docs.join(F.broadcast(a),
+                  docs[source_col] == a["_alloc_source"], "left")
+        .withColumn("is_sampled", F.expr(keep))
+        .drop("_alloc_source")
+    )

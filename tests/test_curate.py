@@ -341,3 +341,52 @@ def test_rendezvous_only_moves_to_new_shard(spark, documents):
             for r in rendezvous_shard_report(docs, n_shards=9).collect()}
     # keys that moved under 8->9 are exactly the new shard's winners
     assert rep9.get(8, 0) == moved
+
+
+def test_budget_allocation_waterfilling_invariants(spark, documents):
+    from cassandra_ttl_remover_spark.operators.curate import (
+        budget_allocation,
+    )
+
+    docs = documents
+    total_cap = sum(
+        r.cap for r in budget_allocation(docs, budget=10**12).collect()
+    )
+    # budget >= total capacity: everything saturates, allocation == cap
+    rows = budget_allocation(docs, budget=total_cap).collect()
+    assert all(r.saturated and r.allocation == r.cap for r in rows)
+    # tight budget: never exceeds it, never upsamples, weights respected
+    rows = budget_allocation(docs, budget=50_000,
+                             weights={"src0": 3}).collect()
+    assert sum(r.allocation for r in rows) <= 50_000
+    assert all(0 <= r.allocation <= r.cap for r in rows)
+    unc = [r for r in rows if not r.saturated]
+    if len(unc) >= 2:
+        lvls = {round(r.allocation / r.w) for r in unc}
+        assert max(lvls) - min(lvls) <= 1, "unsaturated level must be shared"
+    # degenerate: budget larger than everything but weights tiny — total
+    # allocated still <= budget and saturated set is a sort prefix
+    rows = budget_allocation(docs, budget=60_000).collect()
+    by_ratio = sorted(rows, key=lambda r: (r.cap / r.w, r.source))
+    flags = [r.saturated for r in by_ratio]
+    assert flags == sorted(flags, reverse=True), "saturated must be a prefix"
+
+
+def test_apply_budget_sample_is_deterministic_and_tracks_alloc(
+        spark, documents):
+    from cassandra_ttl_remover_spark.operators.curate import (
+        apply_budget_sample,
+        budget_allocation,
+    )
+
+    al = budget_allocation(documents, budget=50_000)
+    a = apply_budget_sample(documents, al).filter("is_sampled")
+    b = apply_budget_sample(documents, al).filter("is_sampled")
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+    assert a.count() == b.count() > 0
+    # saturated sources keep every document
+    sat = {r.source for r in al.collect() if r.saturated}
+    if sat:
+        src = sorted(sat)[0]
+        assert (a.filter(f"source = '{src}'").count()
+                == documents.filter(f"source = '{src}'").count())
