@@ -718,6 +718,7 @@ _DRIVER_PRIORITY = [
     "q_s12_sstable_gen_mc",
     "q_v10_int8_quantization",
     "q_x29_token_budget",
+    "q_s13_sstable_compressed",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3501,6 +3502,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.scan_sstable(spark, out, num_splits=8)
     q["q_s12_sstable_gen_mc"] = q_s12
 
+    def q_s13(spark, sf):
+        # COMPRESSED binary reads: Data.db stored as zlib chunks behind a
+        # CompressionInfo.db offsets map (the reference reads exactly this
+        # component — NoTTLReader.java:342-345 builds a
+        # CompressedRandomAccessReader whenever it exists). Index offsets
+        # stay in uncompressed coordinates, so index-planned splits are
+        # unchanged and each task inflates ONLY the chunks overlapping its
+        # byte range. Same fixture rules, so q_s7's oracle certifies the
+        # compressed path too.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstz_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, out, compressed=True)
+        return ss.scan_sstable(spark, out, num_splits=8)
+    q["q_s13_sstable_compressed"] = q_s13
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -5226,6 +5245,8 @@ WHERE pk >= '1' AND pk < '2'
         stripped=True)
     # one oracle certifies BOTH format generations (identical rows)
     o["q_s12_sstable_gen_mc"] = o["q_s7_sstable_scan"]
+    # ... and the chunk-compressed read path
+    o["q_s13_sstable_compressed"] = o["q_s7_sstable_scan"]
 
     o["q_st11_stream_interval_join"] = """
         SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

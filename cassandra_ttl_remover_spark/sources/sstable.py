@@ -23,9 +23,15 @@ format plus a Spark Python DataSource that scans it in parallel:
     normal:    i64 writetime, i32 len, value
 ``Index.db`` — per partition: u16 key length, key bytes, i64 Data.db
 offset (the summary/primary-index role: split planning + seek targets).
-All integers big-endian (Java ``DataOutput`` convention). Counter cells
-and range tombstones are OUT of the subset (documented boundary, as the
-native-codec stubs are for media).
+All integers big-endian (Java ``DataOutput`` convention). The full atom
+surface is covered: counter / counter-update cells
+(NoTTLColumnSerializer.java:26-32,47-49) and range tombstones
+(NoTTLSerializer.java:31-33) decode alongside the simple kinds; a second
+length-framing GENERATION ("mc", unsigned vints) dispatches via
+Version.txt (:data:`SSTABLE_GENERATIONS`); and chunk-compressed data
+files read through a CompressionInfo.db offsets map
+(NoTTLReader.java:342-345's CompressedRandomAccessReader analog).
+Partition-level deletions remain out of scope (fail loud).
 
 Scale design: the PLANNER reads only ``Index.db`` (one small sequential
 pass) and cuts the key space into contiguous ``Data.db`` byte ranges; each
@@ -139,11 +145,133 @@ def _table_generation(table_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# chunked compression (CompressionInfo.db — the Cassandra convention)
+# ---------------------------------------------------------------------------
+
+#: chunk size for compressed Data.db files (Cassandra's default is 64 KiB
+#: chunks addressed by an offsets map in CompressionInfo.db; the reference
+#: reads through that map — NoTTLReader.java:342-345,622-623 builds a
+#: CompressedRandomAccessReader whenever the component exists)
+COMPRESSION_CHUNK = 65536
+
+#: CompressionInfo.db layout (simplified mirror of the C* component):
+#:   u32 chunk_size, u64 uncompressed_total, u32 n_chunks,
+#:   n_chunks x u64 compressed_offset (into Data.db, in chunk order;
+#:   chunk i's compressed length = offset[i+1] - offset[i], last runs to
+#:   file end). Index.db offsets stay in UNCOMPRESSED coordinates, so the
+#:   planner's key-range arithmetic is identical for plain and compressed
+#:   tables; a task maps its uncompressed range to the overlapping chunks
+#:   and inflates only those (the object-store ranged-GET story holds).
+
+
+def _compress_data_file(table_dir: str,
+                        chunk_size: int = COMPRESSION_CHUNK) -> None:
+    """Rewrite a plain Data.db as zlib-compressed chunks + the
+    CompressionInfo.db offsets map."""
+    import zlib
+
+    data_path = os.path.join(table_dir, "Data.db")
+    with open(data_path, "rb") as f:
+        raw = f.read()
+    offsets = []
+    out = bytearray()
+    for i in range(0, len(raw), chunk_size):
+        offsets.append(len(out))
+        out += zlib.compress(raw[i:i + chunk_size], 6)
+    with open(data_path, "wb") as f:
+        f.write(bytes(out))
+    with open(os.path.join(table_dir, "CompressionInfo.db"), "wb") as f:
+        f.write(struct.pack(">IQI", chunk_size, len(raw), len(offsets)))
+        for off in offsets:
+            f.write(struct.pack(">Q", off))
+
+
+class _CompressedDataReader:
+    """Random-access file-like view over a chunk-compressed Data.db:
+    ``seek``/``tell``/``read`` operate in UNCOMPRESSED coordinates, so the
+    decode loop is byte-for-byte the plain-file code path. Inflates only
+    the chunks a read touches and caches the last chunk (decode reads are
+    sequential within a split, so the cache hit rate is ~chunk_size /
+    field_size)."""
+
+    def __init__(self, data_path: str, info_path: str):
+        self._f = open(data_path, "rb")
+        with open(info_path, "rb") as inf:
+            self.chunk_size, self.total, n = struct.unpack(
+                ">IQI", inf.read(16))
+            self._offsets = list(struct.unpack(f">{n}Q", inf.read(8 * n)))
+        self._csize = os.path.getsize(data_path)
+        self._pos = 0
+        self._cached = (-1, b"")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._f.close()
+        return False
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, pos: int) -> None:
+        self._pos = pos
+
+    def _chunk(self, i: int) -> bytes:
+        import zlib
+
+        if self._cached[0] == i:
+            return self._cached[1]
+        start = self._offsets[i]
+        end = (self._offsets[i + 1] if i + 1 < len(self._offsets)
+               else self._csize)
+        self._f.seek(start)
+        raw = zlib.decompress(self._f.read(end - start))
+        self._cached = (i, raw)
+        return raw
+
+    def read(self, n: int) -> bytes:
+        if n <= 0 or self._pos >= self.total:
+            return b""
+        n = min(n, self.total - self._pos)
+        parts = []
+        while n > 0:
+            ci, co = divmod(self._pos, self.chunk_size)
+            chunk = self._chunk(ci)
+            take = min(n, len(chunk) - co)
+            parts.append(chunk[co:co + take])
+            self._pos += take
+            n -= take
+        return b"".join(parts)
+
+
+def _open_data(data_path: str):
+    """Open Data.db for decoding: a plain file, or — when the table has a
+    CompressionInfo.db component (Cassandra's convention for 'this data
+    file is chunk-compressed') — the uncompressed-coordinate view."""
+    info = os.path.join(os.path.dirname(data_path), "CompressionInfo.db")
+    if os.path.exists(info):
+        return _CompressedDataReader(data_path, info)
+    return open(data_path, "rb")
+
+
+def _data_size(table_dir: str) -> int:
+    """Uncompressed Data.db size — the coordinate space Index.db offsets
+    and split byte ranges live in."""
+    info = os.path.join(table_dir, "CompressionInfo.db")
+    if os.path.exists(info):
+        with open(info, "rb") as f:
+            _, total, _ = struct.unpack(">IQI", f.read(16))
+        return total
+    return os.path.getsize(os.path.join(table_dir, "Data.db"))
+
+
+# ---------------------------------------------------------------------------
 # writer (fixture generator)
 # ---------------------------------------------------------------------------
 
 def write_sstable(partitions: Iterable[tuple], out_dir: str,
-                  generation: str = "v1") -> None:
+                  generation: str = "v1", compressed: bool = False) -> None:
     """Write ``Data.db`` + ``Index.db`` for ``partitions`` — an iterable of
     ``(key_bytes, cells)`` where each cell is
     ``(name_bytes, mask, ttl, expiration, writetime, value_bytes)``
@@ -152,7 +280,11 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
     key BYTES before writing — the sorted-table invariant every SSTable
     carries. ``generation`` selects the length framing ("v1" fixed-width,
     "mc" unsigned-vint — see :data:`SSTABLE_GENERATIONS`); the cell
-    bodies and atom semantics are identical."""
+    bodies and atom semantics are identical. ``compressed=True``
+    rewrites Data.db as zlib chunks behind a CompressionInfo.db offsets
+    map (the reference reads exactly this component —
+    NoTTLReader.java:342-345); Index.db offsets stay in uncompressed
+    coordinates, so planning is unchanged."""
     if generation not in SSTABLE_GENERATIONS:
         raise ValueError(f"unknown generation {generation!r}")
     os.makedirs(out_dir, exist_ok=True)
@@ -206,6 +338,8 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
                     df.write(struct.pack(">q", int(writetime)))
                 df.write(wval(len(value)) + value)
             df.write(wlen(0))
+    if compressed:
+        _compress_data_file(out_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +421,7 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
     the file, don't emit partial partitions) rather than a bare struct
     error."""
     gen = _table_generation(os.path.dirname(data_path))
-    with open(data_path, "rb") as f:
+    with _open_data(data_path) as f:
         if gen == "mc":
             def rlen(what):
                 return _read_uvint(f, data_path, what)
@@ -410,7 +544,7 @@ def _plan_table_splits(table_dir: str, num_splits: int,
     both the batch reader and the per-shard streaming micro-batches."""
     data_path = os.path.join(table_dir, "Data.db")
     entries = read_index(os.path.join(table_dir, "Index.db"))
-    size = os.path.getsize(data_path)
+    size = _data_size(table_dir)
     lo, byte_start, byte_end = select_index_range(
         entries, size, key_start, key_stop
     )
@@ -686,7 +820,8 @@ def lookup_partition(spark, path: str, key: str):
 # ---------------------------------------------------------------------------
 
 def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
-                              generation: str = "v1"):
+                              generation: str = "v1",
+                              compressed: bool = False):
     """Distributed SSTable SINK — the reference job's OUTPUT side
     (Cassandra3TTLRemover writes stripped SSTables back to disk;
     NoTTLWriter in the patched stack). A cell frame in
@@ -748,7 +883,7 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
         if parts:
             shard = f"shard={pid:05d}"
             write_sstable(parts.items(), os.path.join(out_dir, shard),
-                          generation=generation)
+                          generation=generation, compressed=compressed)
             yield pd.DataFrame(
                 {"shard": [shard], "n_partitions": [len(parts)],
                  "n_cells": [n]}
@@ -770,7 +905,8 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
 # ---------------------------------------------------------------------------
 
 def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
-                           generation: str = "v1") -> None:
+                           generation: str = "v1",
+                           compressed: bool = False) -> None:
     """Deterministic SSTable fixture over the ``events`` parquet: one
     partition per ``user_id`` (key = ascii of the id), three cells per
     event clustered by zero-padded event_id —
@@ -814,7 +950,8 @@ def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
                           str(vcents).encode()))
         cells.append((f"{base}props".encode(), mask, t, exp, wt,
                       props.encode()))
-    write_sstable(parts.items(), out_dir, generation=generation)
+    write_sstable(parts.items(), out_dir, generation=generation,
+                  compressed=compressed)
 
 
 def sstable_scan_oracle_sql(table: str = "events") -> str:

@@ -509,3 +509,38 @@ def test_generation_mc_scan_prune_and_distributed_roundtrip(spark):
         ss.read_index(os.path.join(mc, "Index.db"))
     for d in (v1, mc, dst):
         shutil.rmtree(d)
+
+
+def test_compressed_data_file_scan_prune_and_sink_roundtrip(spark):
+    """Chunk-compressed Data.db (CompressionInfo.db offsets map, the
+    reference's CompressedRandomAccessReader surface): identical rows to
+    the plain file, index-planned key-range pruning unchanged (offsets
+    are uncompressed coordinates), multi-chunk payloads inflate across
+    chunk boundaries, compression composes with the mc generation, and
+    the distributed sink round-trips."""
+    plain, comp, dst = _tmpdir(), _tmpdir(), _tmpdir()
+    # > 64 KiB of data so multiple chunks exist and values span chunks
+    parts = [(f"k{i:04d}".encode(),
+              [(b"c", 0, 0, 0, i, (f"{i}:" * 400).encode())])
+             for i in range(120)] + _atom_partitions()
+    ss.write_sstable(parts, plain)
+    ss.write_sstable(parts, comp, compressed=True)
+    assert os.path.exists(os.path.join(comp, "CompressionInfo.db"))
+    assert (os.path.getsize(os.path.join(comp, "Data.db"))
+            < os.path.getsize(os.path.join(plain, "Data.db")))
+    a = sorted(tuple(r)
+               for r in ss.scan_sstable(spark, plain, num_splits=5).collect())
+    b = sorted(tuple(r)
+               for r in ss.scan_sstable(spark, comp, num_splits=5).collect())
+    assert a == b
+    pr = ss.scan_sstable(spark, comp, num_splits=3,
+                         key_start="k0050", key_stop="k0060").collect()
+    assert sorted({r.pk for r in pr}) == [f"k{i:04d}" for i in range(50, 60)]
+    # mc + compressed distributed sink -> rescan
+    ss.write_sstable_distributed(
+        ss.scan_sstable(spark, comp), dst, shards=2,
+        generation="mc", compressed=True)
+    again = sorted(tuple(r) for r in ss.scan_sstable(spark, dst).collect())
+    assert again == a
+    for d in (plain, comp, dst):
+        shutil.rmtree(d)
