@@ -719,6 +719,7 @@ _DRIVER_PRIORITY = [
     "q_v10_int8_quantization",
     "q_x29_token_budget",
     "q_s13_sstable_compressed",
+    "q_s14_sstable_partition_delete",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3520,6 +3521,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.scan_sstable(spark, out, num_splits=8)
     q["q_s13_sstable_compressed"] = q_s13
 
+    def q_s14(spark, sf):
+        # PARTITION-LEVEL deletions: a deleted partition's header
+        # (localDeletionTime + markedForDeleteAt) decodes as its own
+        # 'partition_tombstone' row while its cells still stream out
+        # (Cassandra semantics — cells newer than the deletion stay
+        # live); TTL strip preserves the deletion verbatim, as the
+        # reference does — purging is the compactor's job.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstpd_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture_v2(spark, sf, out,
+                                     with_partition_deletes=True)
+        return ss.strip_ttl_cells(ss.scan_sstable(spark, out, num_splits=8))
+    q["q_s14_sstable_partition_delete"] = q_s14
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -5243,6 +5261,8 @@ WHERE pk >= '1' AND pk < '2'
     o["q_st15_stream_sstable_strip"] = o["q_s8_sstable_strip"]
     o["q_s11_sstable_counter_cells"] = _ss.sstable_v2_oracle_sql(
         stripped=True)
+    o["q_s14_sstable_partition_delete"] = _ss.sstable_v2_oracle_sql(
+        stripped=True, with_partition_deletes=True)
     # one oracle certifies BOTH format generations (identical rows)
     o["q_s12_sstable_gen_mc"] = o["q_s7_sstable_scan"]
     # ... and the chunk-compressed read path

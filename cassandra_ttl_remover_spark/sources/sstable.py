@@ -31,7 +31,8 @@ length-framing GENERATION ("mc", unsigned vints) dispatches via
 Version.txt (:data:`SSTABLE_GENERATIONS`); and chunk-compressed data
 files read through a CompressionInfo.db offsets map
 (NoTTLReader.java:342-345's CompressedRandomAccessReader analog).
-Partition-level deletions remain out of scope (fail loud).
+Partition-level deletions decode as their own row kind and are preserved
+verbatim through strip and the sink.
 
 Scale design: the PLANNER reads only ``Index.db`` (one small sequential
 pass) and cuts the key space into contiguous ``Data.db`` byte ranges; each
@@ -72,6 +73,11 @@ LIVE_MARKED_FOR_DELETE = -(2 ** 63)
 #:   range_tombstone  — cell = start bound, value = end bound,
 #:                      writetime = markedForDeleteAt,
 #:                      expiration = localDeletionTime
+#:   partition_tombstone — cell NULL, value NULL,
+#:                      writetime = markedForDeleteAt,
+#:                      expiration = localDeletionTime (one row per
+#:                      partition whose header carries a deletion; its
+#:                      cells still follow, per Cassandra semantics)
 SSTABLE_SCHEMA = (
     "pk string, cell string, kind string, ttl bigint, expiration bigint, "
     "writetime bigint, value string"
@@ -304,13 +310,19 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
     data_path = os.path.join(out_dir, "Data.db")
     index_path = os.path.join(out_dir, "Index.db")
     with open(data_path, "wb") as df, open(index_path, "wb") as ix:
-        for key, cells in sorted(partitions, key=lambda p: p[0]):
+        for part in sorted(partitions, key=lambda p: p[0]):
+            # (key, cells) = live partition; (key, cells, (ldt, mfda)) =
+            # partition-level deletion in the header (cells still follow,
+            # per Cassandra semantics)
+            key, cells = part[0], part[1]
+            ldt, mfda = (part[2] if len(part) > 2
+                         else (LIVE_LOCAL_DELETION,
+                               LIVE_MARKED_FOR_DELETE))
             offset = df.tell()
             ix.write(wlen(len(key)) + key)
             ix.write(struct.pack(">q", offset))
             df.write(wlen(len(key)) + key)
-            df.write(struct.pack(">iq", LIVE_LOCAL_DELETION,
-                                 LIVE_MARKED_FOR_DELETE))
+            df.write(struct.pack(">iq", int(ldt), int(mfda)))
             for name, mask, ttl, expiration, writetime, value in cells:
                 df.write(wlen(len(name)) + name)
                 df.write(struct.pack(">B", mask))
@@ -459,12 +471,15 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
             key = _must_read(f, klen, data_path, "partition key")
             ldt, mfda = struct.unpack(
                 ">iq", _must_read(f, 12, data_path, "partition header"))
-            if ldt != LIVE_LOCAL_DELETION or mfda != LIVE_MARKED_FOR_DELETE:
-                raise ValueError(
-                    "partition-level deletion is outside the simple-cell "
-                    "subset this reader implements"
-                )
             pk = key.decode("utf-8")
+            if ldt != LIVE_LOCAL_DELETION or mfda != LIVE_MARKED_FOR_DELETE:
+                # partition-level deletion: surface it as its own row and
+                # keep decoding the partition's cells — Cassandra keeps
+                # both (cells newer than markedForDeleteAt stay live); the
+                # TTL remover PRESERVES deletions verbatim, purging is the
+                # compactor's job (operators/compact.py)
+                yield (pk, None, "partition_tombstone", None, int(ldt),
+                       mfda, None)
             while True:
                 nlen = rlen("cell-name length")
                 if nlen == 0:
@@ -846,12 +861,18 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
 
         pid = TaskContext.get().partitionId()
         parts: dict[bytes, list] = {}
+        deletions: dict[bytes, tuple] = {}
         n = 0
         for pdf in batches:
             for pk, cell, kind, ttl, exp, wt, val in pdf[
                 ["pk", "cell", "kind", "ttl", "expiration",
                  "writetime", "value"]
             ].itertuples(index=False):
+                if kind == "partition_tombstone":
+                    deletions[str(pk).encode()] = (int(exp), int(wt))
+                    parts.setdefault(str(pk).encode(), [])
+                    n += 1
+                    continue
                 name = str(cell).encode()
                 if kind == "expiring":
                     c = (name, EXPIRATION_MASK, int(ttl), int(exp),
@@ -882,8 +903,11 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
                 n += 1
         if parts:
             shard = f"shard={pid:05d}"
-            write_sstable(parts.items(), os.path.join(out_dir, shard),
-                          generation=generation, compressed=compressed)
+            write_sstable(
+                [(k, cs, deletions[k]) if k in deletions else (k, cs)
+                 for k, cs in parts.items()],
+                os.path.join(out_dir, shard),
+                generation=generation, compressed=compressed)
             yield pd.DataFrame(
                 {"shard": [shard], "n_partitions": [len(parts)],
                  "n_cells": [n]}
@@ -1018,7 +1042,8 @@ def strip_ttl_cells(cells):
     )
 
 
-def events_sstable_fixture_v2(spark, sf_dir: str, out_dir: str) -> None:
+def events_sstable_fixture_v2(spark, sf_dir: str, out_dir: str,
+                              with_partition_deletes: bool = False) -> None:
     """Extended fixture exercising the FULL atom surface the reference
     decodes (NoTTLColumnSerializer.java:26-49 counter / counter-update,
     NoTTLSerializer.java:31 range tombstone) on top of the v1 cell kinds.
@@ -1037,7 +1062,13 @@ def events_sstable_fixture_v2(spark, sf_dir: str, out_dir: str) -> None:
 
     Every field is recomputable in ANSI SQL (the q_s11 oracle does), so
     the counter/RT decode — and their verbatim pass-through under
-    :func:`strip_ttl_cells` — is hash-checkable end to end."""
+    :func:`strip_ttl_cells` — is hash-checkable end to end.
+
+    ``with_partition_deletes=True`` additionally marks every
+    ``user_id % 17 == 0`` partition's HEADER with a deletion
+    (localDeletionTime = the partition's min epoch-s, markedForDeleteAt =
+    its min writetime - 1), exercising the partition-tombstone decode
+    (q_s14)."""
     import duckdb
 
     rows = duckdb.sql(
@@ -1072,15 +1103,34 @@ def events_sstable_fixture_v2(spark, sf_dir: str, out_dir: str) -> None:
         if event_id % 13 == 0:
             cells.append((f"{base}a".encode(), RANGE_TOMBSTONE_MASK, 0,
                           int(ts_s), wt, f"{base}z".encode()))
-    write_sstable(parts.items(), out_dir)
+    if with_partition_deletes:
+        bounds: dict[bytes, tuple] = {}
+        for user_id, event_id, etype, vcents, wt, ttl, ts_s in rows:
+            if int(user_id) % 17 == 0:
+                key = str(user_id).encode()
+                lo = bounds.get(key)
+                bounds[key] = (min(lo[0], int(ts_s)) if lo else int(ts_s),
+                               min(lo[1], wt - 1) if lo else wt - 1)
+        out = [(k, cs, bounds[k]) if k in bounds else (k, cs)
+               for k, cs in parts.items()]
+        write_sstable(out, out_dir)
+    else:
+        write_sstable(parts.items(), out_dir)
 
 
-def sstable_v2_oracle_sql(stripped: bool, table: str = "events") -> str:
+def sstable_v2_oracle_sql(stripped: bool, table: str = "events",
+                          with_partition_deletes: bool = False) -> str:
     """DuckDB recomputation of every flat row the binary scan of
     :func:`events_sstable_fixture_v2` must produce — ``stripped=True``
     gives the post-:func:`strip_ttl_cells` state (etype cells all
     ``normal`` with NULL ttl/expiration; counter / counter-update /
     range-tombstone atoms byte-identical in both forms)."""
+    pd_branch = (
+        """UNION ALL
+SELECT pk, NULL, 'partition_tombstone', NULL::BIGINT,
+       min(ts_s)::BIGINT, min(wt) - 1, NULL
+FROM e WHERE pk::BIGINT % 17 = 0 GROUP BY pk"""
+        if with_partition_deletes else "")
     etype_kind = ("'normal'" if stripped else
                   "CASE WHEN ttl IS NOT NULL THEN 'expiring' "
                   "ELSE 'normal' END")
@@ -1114,4 +1164,5 @@ UNION ALL
 SELECT pk, eid || ':a', 'range_tombstone', NULL::BIGINT, ts_s::BIGINT,
        wt, eid || ':z'
 FROM e WHERE event_id % 13 = 0
+{pd_branch}
 """

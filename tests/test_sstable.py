@@ -544,3 +544,40 @@ def test_compressed_data_file_scan_prune_and_sink_roundtrip(spark):
     assert again == a
     for d in (plain, comp, dst):
         shutil.rmtree(d)
+
+
+def test_partition_deletion_decodes_preserves_and_roundtrips(spark):
+    """A partition-deletion header decodes as its own row kind, its cells
+    still stream out, strip preserves it verbatim, and the distributed
+    sink re-encodes it back into the header (write -> rescan fixpoint)."""
+    src, dst = _tmpdir(), _tmpdir()
+    parts = [
+        (b"u1", [(b"c1", 0, 0, 0, 100, b"v1")],
+         (1_700_000_000, 99)),                     # deleted, one live cell
+        (b"u2", [(b"c1", ss.EXPIRATION_MASK, 60, 1_700_000_060, 200,
+                  b"v2")]),                        # live partition
+        (b"u3", [], (1_600_000_000, 50)),          # deleted, empty
+    ]
+    ss.write_sstable(parts, src)
+
+    def key(t):
+        return (t[0], t[1] or "", t[2])
+
+    rows = sorted((tuple(r) for r in
+                   ss.scan_sstable(spark, src, num_splits=2).collect()),
+                  key=key)
+    assert rows == [
+        ("u1", None, "partition_tombstone", None, 1_700_000_000, 99, None),
+        ("u1", "c1", "normal", None, None, 100, "v1"),
+        ("u2", "c1", "expiring", 60, 1_700_000_060, 200, "v2"),
+        ("u3", None, "partition_tombstone", None, 1_600_000_000, 50, None),
+    ]
+    stripped = ss.strip_ttl_cells(ss.scan_sstable(spark, src))
+    got = sorted((tuple(r) for r in stripped.collect()), key=key)
+    assert got[0] == rows[0] and got[3] == rows[3], "deletions must survive"
+    ss.write_sstable_distributed(stripped, dst, shards=2)
+    again = sorted((tuple(r) for r in
+                    ss.scan_sstable(spark, dst).collect()), key=key)
+    assert again == got
+    shutil.rmtree(src)
+    shutil.rmtree(dst)
