@@ -720,6 +720,7 @@ _DRIVER_PRIORITY = [
     "q_x29_token_budget",
     "q_s13_sstable_compressed",
     "q_s14_sstable_partition_delete",
+    "q_t8_sstable_compact_e2e",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3538,6 +3539,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.strip_ttl_cells(ss.scan_sstable(spark, out, num_splits=8))
     q["q_s14_sstable_partition_delete"] = q_s14
 
+    def q_t8(spark, sf):
+        # the reference's REAL lifecycle on its NATIVE format, e2e: two
+        # overlapping SSTable generations (base + later updates/deletes)
+        # scanned in ONE pass (the directory-of-generations layout
+        # _table_dirs handles — exactly what a compactor reads), merged
+        # LWW per (pk, cell) with gc_grace tombstone retention. One
+        # map-side-combined arg-max exchange resolves the whole overlap;
+        # generations never pairwise-join.
+        from cassandra_ttl_remover_spark.operators.compact import (
+            compact_with_gc,
+        )
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstc_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(out, "gen1"))
+        ss.events_sstable_update_fixture(spark, sf,
+                                         os.path.join(out, "gen2"))
+        cells = ss.scan_sstable(spark, out, num_splits=8)
+        frame = cells.select(
+            "pk", "cell", "writetime",
+            (F.col("kind") == "tombstone").alias("is_tombstone"),
+        )
+        return compact_with_gc(
+            frame, ["pk", "cell"],
+            gc_grace_us=10 * 86400 * 1_000_000,
+            now_us=1706745600 * 1_000_000,
+        )
+    q["q_t8_sstable_compact_e2e"] = q_t8
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -5263,6 +5295,14 @@ WHERE pk >= '1' AND pk < '2'
         stripped=True)
     o["q_s14_sstable_partition_delete"] = _ss.sstable_v2_oracle_sql(
         stripped=True, with_partition_deletes=True)
+    from cassandra_ttl_remover_spark.operators.compact import (
+        compact_with_gc_oracle_sql as _cgc_sql,
+    )
+
+    o["q_t8_sstable_compact_e2e"] = _cgc_sql(
+        _ss.sstable_compact_cells_oracle_sql(), ["pk", "cell"],
+        gc_grace_us=10 * 86400 * 1_000_000,
+        now_us=1706745600 * 1_000_000)
     # one oracle certifies BOTH format generations (identical rows)
     o["q_s12_sstable_gen_mc"] = o["q_s7_sstable_scan"]
     # ... and the chunk-compressed read path

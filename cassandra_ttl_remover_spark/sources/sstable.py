@@ -1166,3 +1166,56 @@ SELECT pk, eid || ':a', 'range_tombstone', NULL::BIGINT, ts_s::BIGINT,
 FROM e WHERE event_id % 13 = 0
 {pd_branch}
 """
+
+
+def events_sstable_update_fixture(spark, sf_dir: str, out_dir: str) -> None:
+    """A SECOND SSTable generation over the same events — the overlap
+    compaction exists to resolve (q_t8): every ``event_id % 5 == 0``
+    event's etype cell is REWRITTEN one second later (normal cell — the
+    post-migration write carries no TTL) with value ``U:<etype>``, and
+    every ``event_id % 19 == 0`` event's props cell is DELETED two
+    seconds later. Deterministic, so the merged LWW state is ANSI-SQL
+    recomputable."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS wt,
+               epoch_us(ts) // 1000000 AS ts_s
+        FROM read_parquet('{sf_dir}/events.parquet')
+        WHERE event_id % 5 = 0 OR event_id % 19 = 0
+        ORDER BY user_id, event_id
+        """
+    ).fetchall()
+    parts: dict[bytes, list] = {}
+    for user_id, event_id, etype, wt, ts_s in rows:
+        key = str(user_id).encode()
+        cells = parts.setdefault(key, [])
+        base = f"{event_id:012d}:"
+        if event_id % 5 == 0:
+            cells.append((f"{base}etype".encode(), 0, 0, 0,
+                          wt + 1_000_000, f"U:{etype}".encode()))
+        if event_id % 19 == 0:
+            cells.append((f"{base}props".encode(), DELETION_MASK, 0, 0,
+                          wt + 2_000_000, struct.pack(">i", int(ts_s) + 2)))
+    write_sstable(parts.items(), out_dir)
+
+
+def sstable_compact_cells_oracle_sql(table: str = "events") -> str:
+    """The UNION of both generations' cells as the compaction input frame
+    ``(pk, cell, writetime, is_tombstone)`` — base generation from
+    :func:`sstable_scan_oracle_sql`'s rules, update generation from
+    :func:`events_sstable_update_fixture`'s."""
+    return f"""
+SELECT pk, cell, writetime, kind = 'tombstone' AS is_tombstone
+FROM ({sstable_scan_oracle_sql(table)})
+UNION ALL
+SELECT user_id::VARCHAR, printf('%012d', event_id) || ':etype',
+       epoch_us(ts) + 1000000, FALSE
+FROM {table} WHERE event_id % 5 = 0
+UNION ALL
+SELECT user_id::VARCHAR, printf('%012d', event_id) || ':props',
+       epoch_us(ts) + 2000000, TRUE
+FROM {table} WHERE event_id % 19 = 0
+"""

@@ -152,3 +152,43 @@ def test_expire_then_compact_lifecycle(spark):
     assert got == {(2, 2): "tombstone_retained",
                    (3, 3): "live",
                    (4, 4): "live"}
+
+
+def test_sstable_two_generation_compaction_e2e(spark):
+    """Two binary generations in one directory scan as one cell frame;
+    LWW resolves overlaps (update wins, delete shadows), gc_grace
+    retains-or-purges the winning tombstones."""
+    import os
+    import shutil
+    import struct
+    import tempfile
+    import uuid
+
+    from cassandra_ttl_remover_spark.operators.compact import compact_with_gc
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    out = os.path.join(tempfile.gettempdir(), f"cge2e_{uuid.uuid4().hex[:8]}")
+    ss.write_sstable(
+        [(b"u1", [(b"a", 0, 0, 0, 100, b"old"),
+                  (b"b", 0, 0, 0, 100, b"keep")])],
+        os.path.join(out, "gen1"))
+    ss.write_sstable(
+        [(b"u1", [(b"a", 0, 0, 0, 200, b"new"),           # update wins
+                  (b"c", ss.DELETION_MASK, 0, 0, 250,     # fresh tombstone
+                   struct.pack(">i", 1)),
+                  (b"d", ss.DELETION_MASK, 0, 0, 50,      # ancient tombstone
+                   struct.pack(">i", 1))])],
+        os.path.join(out, "gen2"))
+    import pyspark.sql.functions as F
+    cells = ss.scan_sstable(spark, out).select(
+        "pk", "cell", "writetime",
+        (F.col("kind") == "tombstone").alias("is_tombstone"))
+    got = {(r.pk, r.cell): (r.writetime, r.status)
+           for r in compact_with_gc(cells, ["pk", "cell"],
+                                    gc_grace_us=100, now_us=300).collect()}
+    assert got == {
+        ("u1", "a"): (200, "live"),                 # LWW: update wins
+        ("u1", "b"): (100, "live"),                 # untouched survives
+        ("u1", "c"): (250, "tombstone_retained"),   # 250 > 300-100
+    }                                               # d purged: 50 <= 200
+    shutil.rmtree(out)
