@@ -1302,6 +1302,10 @@ def apply_budget_sample(docs: DataFrame, alloc: DataFrame,
     floats), so reruns keep exactly the same documents. Saturated sources
     keep everything. Expected kept tokens per source = allocation.
 
+    Documents whose source has NO allocation row (a corpus drifted since
+    the allocation was computed) are kept OUT (``is_sampled = false``,
+    never NULL) — an unbudgeted source has no budget.
+
     Scale: the allocation frame is |sources| rows — broadcast; the
     decision is a zero-shuffle projection."""
     dec = "cast({v} as decimal(38,0))"
@@ -1318,6 +1322,7 @@ def apply_budget_sample(docs: DataFrame, alloc: DataFrame,
     return (
         docs.join(F.broadcast(a),
                   docs[source_col] == a["_alloc_source"], "left")
-        .withColumn("is_sampled", F.expr(keep))
+        .withColumn("is_sampled",
+                    F.coalesce(F.expr(keep), F.lit(False)))
         .drop("_alloc_source")
     )

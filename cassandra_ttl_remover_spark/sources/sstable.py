@@ -126,12 +126,17 @@ def _read_uvint(f, path: str, what: str) -> int:
 def _read_uvint_buf(buf: bytes, pos: int) -> tuple[int, int]:
     val = shift = 0
     while True:
+        if pos >= len(buf):
+            raise CorruptSSTableError(
+                f"index truncated mid-vint at offset {pos}")
         c = buf[pos]
         pos += 1
         val |= (c & 0x7F) << shift
         if not (c & 0x80):
             return val, pos
         shift += 7
+        if shift > 63:
+            raise CorruptSSTableError(f"runaway vint at offset {pos}")
 
 
 def _table_generation(table_dir: str) -> str:
@@ -448,6 +453,9 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                     c = _must_read(f, 1, data_path, "partition-key vint")[0]
                     val |= (c & 0x7F) << shift
                     shift += 7
+                    if shift > 63:
+                        raise CorruptSSTableError(
+                            f"{data_path}: runaway partition-key vint")
                 return val
         else:
             def rlen(what):
@@ -1084,6 +1092,7 @@ def events_sstable_fixture_v2(spark, sf_dir: str, out_dir: str,
         """
     ).fetchall()
     parts: dict[bytes, list] = {}
+    bounds: dict[bytes, tuple] = {}
     for user_id, event_id, etype, vcents, wt, ttl, ts_s in rows:
         key = str(user_id).encode()
         cells = parts.setdefault(key, [])
@@ -1103,14 +1112,11 @@ def events_sstable_fixture_v2(spark, sf_dir: str, out_dir: str,
         if event_id % 13 == 0:
             cells.append((f"{base}a".encode(), RANGE_TOMBSTONE_MASK, 0,
                           int(ts_s), wt, f"{base}z".encode()))
+        if with_partition_deletes and int(user_id) % 17 == 0:
+            lo = bounds.get(key)
+            bounds[key] = (min(lo[0], int(ts_s)) if lo else int(ts_s),
+                           min(lo[1], wt - 1) if lo else wt - 1)
     if with_partition_deletes:
-        bounds: dict[bytes, tuple] = {}
-        for user_id, event_id, etype, vcents, wt, ttl, ts_s in rows:
-            if int(user_id) % 17 == 0:
-                key = str(user_id).encode()
-                lo = bounds.get(key)
-                bounds[key] = (min(lo[0], int(ts_s)) if lo else int(ts_s),
-                               min(lo[1], wt - 1) if lo else wt - 1)
         out = [(k, cs, bounds[k]) if k in bounds else (k, cs)
                for k, cs in parts.items()]
         write_sstable(out, out_dir)

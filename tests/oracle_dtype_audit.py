@@ -70,7 +70,7 @@ def audit_query(df, duck_sql: str, con) -> list[str]:
         if sk == "DECIMAL":
             findings.append(
                 f"{col}: Spark emits DecimalType (pandas object) — cast the "
-                "Spark side to long/double; duck dtype is {dk}"
+                f"Spark side to long/double; duck dtype is {dk}"
             )
         elif sk == "i" and dk == "f":
             if pdf[col].isna().any():

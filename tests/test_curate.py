@@ -390,3 +390,8 @@ def test_apply_budget_sample_is_deterministic_and_tracks_alloc(
         src = sorted(sat)[0]
         assert (a.filter(f"source = '{src}'").count()
                 == documents.filter(f"source = '{src}'").count())
+    # a source ABSENT from the allocation is excluded, never NULL
+    partial = al.filter("source <> 'src0'")
+    out = apply_budget_sample(documents, partial)
+    assert out.filter("is_sampled IS NULL").count() == 0
+    assert out.filter("source = 'src0' AND is_sampled").count() == 0

@@ -98,7 +98,10 @@ def test_no_pandas_bridge_dtype_divergence(spark):
     would-be-red round-6 queries (q_ml1–ml7, q_n50, q_v8) were exactly
     this class. This test runs EVERY oracle through the same duckdb.df()
     bridge and compares per-column dtype kinds against the Spark result
-    schema (lazily — no Spark execution), so the class can't re-enter."""
+    schema. Building the Spark side is mostly lazy, but a few queries
+    execute jobs at construction (two-level prefix sums, ANN index
+    builds) and the sstable/archive queries write temp fixtures — those
+    are swept up afterwards; expect this test to take minutes."""
     import sys
     from pathlib import Path
 
@@ -109,13 +112,24 @@ def test_no_pandas_bridge_dtype_divergence(spark):
 
     from tests.conftest import SF_DIR
 
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "ctrs_*")))
     con = duck_connection(SF_DIR)
     oracles = entry_mod.oracle_sql()
     bad = {}
-    for name, fn in entry_mod.queries().items():
-        if name not in oracles:
-            continue
-        findings = audit_query(fn(spark, SF_DIR), oracles[name], con)
-        if findings:
-            bad[name] = findings
+    try:
+        for name, fn in entry_mod.queries().items():
+            if name not in oracles:
+                continue
+            findings = audit_query(fn(spark, SF_DIR), oracles[name], con)
+            if findings:
+                bad[name] = findings
+    finally:
+        for d in set(glob.glob(os.path.join(tempfile.gettempdir(),
+                                            "ctrs_*"))) - before:
+            shutil.rmtree(d, ignore_errors=True)
     assert not bad, f"dtype divergence through the pandas bridge: {bad}"
