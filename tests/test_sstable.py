@@ -581,3 +581,23 @@ def test_partition_deletion_decodes_preserves_and_roundtrips(spark):
     assert again == got
     shutil.rmtree(src)
     shutil.rmtree(dst)
+
+
+def test_mixed_generation_directory_scans_as_one_table(spark):
+    """A directory whose shard sstables use DIFFERENT framings (v1 + mc,
+    one of them compressed) scans as one frame — the rolling-upgrade
+    state a real cluster's data directory is in, and exactly the
+    per-table dispatch the reference's SPI models."""
+    out = _tmpdir()
+    p1 = [(b"a1", [(b"c", 0, 0, 0, 1, b"x")])]
+    p2 = [(b"b1", [(b"c", ss.EXPIRATION_MASK, 60, 100, 2, b"y")])]
+    p3 = [(b"c1", [(b"c", 0, 0, 0, 3, b"z" * 500)])]
+    ss.write_sstable(p1, os.path.join(out, "g1"))
+    ss.write_sstable(p2, os.path.join(out, "g2"), generation="mc")
+    ss.write_sstable(p3, os.path.join(out, "g3"), generation="mc",
+                     compressed=True)
+    rows = sorted((r.pk, r.kind, r.value)
+                  for r in ss.scan_sstable(spark, out, num_splits=3).collect())
+    assert rows == [("a1", "normal", "x"), ("b1", "expiring", "y"),
+                    ("c1", "normal", "z" * 500)]
+    shutil.rmtree(out)
