@@ -570,3 +570,55 @@ def test_scd2_temporal_join_1m_rows(spark):
     wall = time.time() - t0
     assert n == 1_000_000  # every fact exactly once
     assert wall < 180, f"temporal join took {wall:.0f}s at 1M rows"
+
+
+def test_budget_allocation_many_sources_and_extreme_budgets(spark):
+    """Waterfilling over 5,000 sources (a realistic per-domain mixing
+    table) with capacities spanning six orders of magnitude: the
+    per-source frame stays tiny, the DECIMAL(38,0) cross-multiplication
+    never overflows even with 1e15-token capacities, and the invariants
+    hold at budget extremes."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.curate import (
+        budget_allocation,
+    )
+
+    docs = spark.range(5_000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("source"),
+        # capacities 10 .. ~1e15, heavily skewed
+        F.expr("cast(pow(10.0, 1 + (id % 15)) as bigint)").alias("n_chars"),
+        F.lit(1).alias("doc_id"),
+    )
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    for budget in (10**6, total // 3, total * 2):
+        rows = budget_allocation(docs, budget=budget,
+                                 token_expr="n_chars").collect()
+        assert len(rows) == 5_000
+        assert sum(r.allocation for r in rows) <= budget
+        assert all(0 <= r.allocation <= r.cap for r in rows)
+    # budget >= total: everything saturates
+    assert all(r.saturated for r in
+               budget_allocation(docs, budget=total * 2,
+                                 token_expr="n_chars").collect())
+
+
+def test_int8_quantization_constant_and_extreme_dims(spark):
+    """Degenerate dimensions (constant value -> zero range) and extreme
+    magnitudes must quantize without division errors or overflow."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        int8_quantization_report,
+    )
+
+    emb = spark.range(1_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(1.5, cast(id as double) / 1000.0,"
+               " cast(id as double) * 1000.0)").alias("embedding"),
+    )
+    rows = {r.dim: r for r in int8_quantization_report(emb).collect()}
+    assert rows[1].mn_q == rows[1].mx_q == 1_500_000   # constant dim
+    assert rows[1].sum_abs_err == 0 and rows[1].max_abs_err == 0
+    assert rows[3].mx_q == 999 * 10**9                 # 1e12-scale ints
+    assert all(r.n == 1_000 for r in rows.values())
