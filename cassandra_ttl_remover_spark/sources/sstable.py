@@ -237,7 +237,14 @@ class _CompressedDataReader:
         end = (self._offsets[i + 1] if i + 1 < len(self._offsets)
                else self._csize)
         self._f.seek(start)
-        raw = zlib.decompress(self._f.read(end - start))
+        try:
+            raw = zlib.decompress(self._f.read(end - start))
+        except zlib.error as e:
+            # same quarantine contract as a truncated plain file: name the
+            # chunk, don't surface a bare zlib traceback
+            raise CorruptSSTableError(
+                f"corrupt compressed chunk {i} "
+                f"(bytes {start}:{end}): {e}") from e
         self._cached = (i, raw)
         return raw
 

@@ -601,3 +601,18 @@ def test_mixed_generation_directory_scans_as_one_table(spark):
     assert rows == [("a1", "normal", "x"), ("b1", "expiring", "y"),
                     ("c1", "normal", "z" * 500)]
     shutil.rmtree(out)
+
+
+def test_corrupt_compressed_chunk_fails_loud():
+    """A flipped byte inside a compressed chunk surfaces as the module's
+    CorruptSSTableError naming the chunk, not a bare zlib traceback."""
+    out = _tmpdir()
+    parts = [(b"k", [(b"c", 0, 0, 0, 1, b"v" * 100)])]
+    ss.write_sstable(parts, out, compressed=True)
+    dp = os.path.join(out, "Data.db")
+    blob = bytearray(open(dp, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(dp, "wb").write(bytes(blob))
+    with pytest.raises(ss.CorruptSSTableError, match="compressed chunk"):
+        list(ss.scan_data_range(dp, 0, 10**9))
+    shutil.rmtree(out)
