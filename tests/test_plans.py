@@ -431,3 +431,25 @@ def test_int8_quantization_exchange_budget(spark, embeddings):
     df = int8_quantization_report(embeddings)
     assert exchange_count(df) <= 5
     assert has_broadcast_join(df), "stats frame must broadcast back"
+
+
+def test_two_generation_compaction_exchange_budget(spark, tmp_path):
+    """q_t8's shape: the union of N generations compacts through ONE
+    map-side-combined arg-max exchange (+ the presentation sort) —
+    generations never pairwise-join, so adding a generation adds scan
+    tasks, not shuffles."""
+    from cassandra_ttl_remover_spark.operators.compact import compact_with_gc
+    from cassandra_ttl_remover_spark.plans import exchange_count
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    root = str(tmp_path / "gens")
+    ss.write_sstable([(b"u1", [(b"c", 0, 0, 0, 1, b"a")])], root + "/g1")
+    ss.write_sstable([(b"u1", [(b"c", 0, 0, 0, 2, b"b")])], root + "/g2")
+    cells = ss.scan_sstable(spark, root).select(
+        "pk", "cell", "writetime",
+        (F.col("kind") == "tombstone").alias("is_tombstone"))
+    merged = compact_with_gc(cells, ["pk", "cell"],
+                             gc_grace_us=1, now_us=10)
+    assert exchange_count(merged) <= 2, (
+        "generation merge must be one arg-max exchange + sort"
+    )
