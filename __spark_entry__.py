@@ -721,6 +721,7 @@ _DRIVER_PRIORITY = [
     "q_s13_sstable_compressed",
     "q_s14_sstable_partition_delete",
     "q_t8_sstable_compact_e2e",
+    "q_ml8_cusum_drift",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4231,6 +4232,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_ml7_autocorr"] = q_ml7
 
+    def q_ml8(spark, sf):
+        # one-sided CUSUM change-point detection over the daily count
+        # series: the sequential max(0, S+d) recurrence in its exact
+        # prefix-sum / running-min closed form — two windows over the
+        # |days|-row aggregate, all int64. k = global daily mean
+        # (integer div — deterministic), h = 5 * k as a coarse threshold.
+        from cassandra_ttl_remover_spark.operators.ml import cusum_drift
+
+        daily = (
+            _events(spark, sf)
+            .groupBy(F.expr("cast(cast(ts as date) as string)").alias("day"))
+            .agg(F.count("*").cast("long").alias("x"))
+        )
+        tot, n = daily.agg(F.sum("x"), F.count("*")).collect()[0]
+        k = int(tot) // int(n)
+        return cusum_drift(daily, k=k, h=5 * k)
+    q["q_ml8_cusum_drift"] = q_ml8
+
     def q_d12(spark, sf):
         # k-anonymity release gate over (lang, source): every quasi-id
         # combination with fewer than k rows is a re-identification risk;
@@ -5161,6 +5180,32 @@ SELECT n_days, acf_num::VARCHAR AS acf_num, acf_den::VARCHAR AS acf_den,
        CASE WHEN acf_den = 0 THEN 0.0
             ELSE acf_num::DOUBLE / acf_den::DOUBLE END AS acf1
 FROM sums
+"""
+
+    # k/h are data-dependent (global daily mean via integer division);
+    # the oracle derives the identical constants inline, so the SQL is
+    # self-contained for any sf
+    o["q_ml8_cusum_drift"] = """
+WITH daily AS (
+  SELECT ts::DATE::VARCHAR AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY ts::DATE
+),
+kv AS (
+  SELECT (sum(x) // count(*))::BIGINT AS k FROM daily
+),
+p AS (
+  SELECT day, x, CAST(sum(x - k) OVER w AS BIGINT) AS pp, k
+  FROM daily, kv
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, x,
+       CAST(pp - least(0, min(pp) OVER w2) AS BIGINT) AS cusum,
+       (pp - least(0, min(pp) OVER w2)) > 5 * k AS alarm
+FROM p
+WINDOW w2 AS (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY day
 """
     from cassandra_ttl_remover_spark.operators.audit import (
         corpus_card_oracle_sql,

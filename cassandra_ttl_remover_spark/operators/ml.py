@@ -22,7 +22,7 @@ algebra rides on top of the one aggregation those operators also use.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..plans import fan_out
 from .text import WORDS_EXPR
@@ -568,4 +568,68 @@ SELECT n1, n2,
          sign({d})::DOUBLE * sqrt(({num})::DOUBLE / ({den})::DOUBLE)
        END AS t
 FROM sums
+"""
+
+
+def cusum_drift(daily: DataFrame, k: int, h: int,
+                day_col: str = "day", value_col: str = "x") -> DataFrame:
+    """One-sided CUSUM change-point detection over an ordered integer
+    series — the classic pipeline-monitoring primitive ("did the daily
+    ingest volume shift upward?"). The textbook recurrence
+    ``S_t = max(0, S_{t-1} + (x_t - k))`` is sequential, but it has the
+    exact closed form ``S_t = P_t - min(0, min_{i<=t} P_i)`` with ``P``
+    the prefix sum of the drift ``x - k`` — two window passes, no
+    iteration, all int64. Rows with ``S_t > h`` raise the alarm flag.
+    Returns ``(day, x, cusum, alarm)`` ordered by day.
+
+    ``k`` is the reference (allowance) level and ``h`` the decision
+    threshold — both caller-chosen integers (classically k = target mean
+    + allowance, h = several sigma), kept explicit so the operator stays
+    a pure function.
+
+    Scale: the input is ALREADY the per-day aggregate (the corpus-sized
+    reduction happens upstream in a map-side-combined groupBy), so the
+    window runs over |days| rows — thousands at a decade of daily grain;
+    the single-partition window on that frame is the right plan, exactly
+    like the waterfilling source frame."""
+    run = Window.orderBy(day_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = F.sum(F.col(value_col) - F.lit(int(k))).over(run)
+    return (
+        daily.withColumn("_p", p.cast("long"))
+        .withColumn(
+            "cusum",
+            (F.col("_p")
+             - F.least(F.lit(0).cast("long"), F.min("_p").over(run))),
+        )
+        .select(
+            day_col, value_col, "cusum",
+            (F.col("cusum") > F.lit(int(h))).alias("alarm"),
+        )
+        .orderBy(day_col)
+    )
+
+
+def cusum_drift_oracle_sql(k: int, h: int, daily_sql: str,
+                           day_col: str = "day",
+                           value_col: str = "x") -> str:
+    """DuckDB mirror: identical prefix-sum / running-min closed form;
+    window sums cast to BIGINT (HUGEINT would reach pandas as float64)."""
+    return f"""
+WITH daily AS ({daily_sql}),
+p AS (
+  SELECT {day_col}, {value_col},
+         CAST(sum({value_col} - {k}) OVER w AS BIGINT) AS pp
+  FROM daily
+  WINDOW w AS (ORDER BY {day_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT {day_col}, {value_col},
+       CAST(pp - least(0, min(pp) OVER w2) AS BIGINT) AS cusum,
+       (pp - least(0, min(pp) OVER w2)) > {h} AS alarm
+FROM p
+WINDOW w2 AS (ORDER BY {day_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY {day_col}
 """

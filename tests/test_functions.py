@@ -230,3 +230,22 @@ def test_autocorr_matches_numpy(spark, events):
     got = queries()["q_ml7_autocorr"](events.sparkSession, SF_DIR).collect()[0]
     assert abs(float(got.acf1) - want) < 1e-9
     assert got.n_days == len(x)
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """The prefix-sum / running-min closed form must equal the textbook
+    sequential recurrence max(0, S + (x - k)) on a hand series with a
+    genuine upward shift."""
+    from cassandra_ttl_remover_spark.operators.ml import cusum_drift
+
+    xs = [10, 9, 11, 10, 30, 35, 8, 40, 41, 42]
+    k, h = 12, 20
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", x) for i, x in enumerate(xs)], "day string, x long")
+    got = [(r.cusum, r.alarm)
+           for r in cusum_drift(df, k=k, h=h).orderBy("day").collect()]
+    s, want = 0, []
+    for x in xs:
+        s = max(0, s + (x - k))
+        want.append((s, s > h))
+    assert got == want
