@@ -722,6 +722,7 @@ _DRIVER_PRIORITY = [
     "q_s14_sstable_partition_delete",
     "q_t8_sstable_compact_e2e",
     "q_ml8_cusum_drift",
+    "q_se9_attribution",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4250,6 +4251,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cusum_drift(daily, k=k, h=5 * k)
     q["q_ml8_cusum_drift"] = q_ml8
 
+    def q_se9(spark, sf):
+        # last-touch conversion attribution: each purchase credits the
+        # user's most recent preceding click via ONE carry-forward
+        # window (as-of semantics, no self-join); unattributed purchases
+        # surface with NULL touch ids instead of disappearing
+        from cassandra_ttl_remover_spark.operators.sessions import (
+            last_touch_attribution,
+        )
+
+        return last_touch_attribution(_events(spark, sf))
+    q["q_se9_attribution"] = q_se9
+
     def q_d12(spark, sf):
         # k-anonymity release gate over (lang, source): every quasi-id
         # combination with fewer than k rows is a re-identification risk;
@@ -5185,6 +5198,11 @@ FROM sums
     # k/h are data-dependent (global daily mean via integer division);
     # the oracle derives the identical constants inline, so the SQL is
     # self-contained for any sf
+    from cassandra_ttl_remover_spark.operators.sessions import (
+        last_touch_attribution_oracle_sql,
+    )
+
+    o["q_se9_attribution"] = last_touch_attribution_oracle_sql()
     o["q_ml8_cusum_drift"] = """
 WITH daily AS (
   SELECT ts::DATE::VARCHAR AS day, count(*)::BIGINT AS x

@@ -407,3 +407,95 @@ FROM changes
 WINDOW w AS (PARTITION BY {key_col} ORDER BY ts_us, tie)
 ORDER BY {key_col}, version
 """
+
+
+def last_touch_attribution(events: DataFrame,
+                           touch_kind: str = "click",
+                           convert_kind: str = "purchase",
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           id_col: str = "event_id") -> DataFrame:
+    """Last-touch conversion attribution: each ``convert_kind`` event is
+    credited to the user's most recent PRECEDING ``touch_kind`` event
+    (ties at the same microsecond order the touch first — a click at the
+    purchase instant still gets credit; same-instant events break ties
+    by id). Conversions with no prior touch keep a NULL touch id — the
+    unattributed remainder every attribution report must surface, not
+    drop. Returns ``(user_id, convert_id, convert_ts_us, touch_id,
+    lag_us)`` ordered by convert_id.
+
+    Implementation: one carry-forward window (``last(..., ignorenulls)``
+    over rows-unbounded-preceding) — the as-of-join semantics without
+    materializing a join. Scale: ONE key exchange on ``user_col``; both
+    carried columns share the single window; no self-join, no skew
+    beyond the user key itself."""
+    ts_us = f"unix_micros(cast({ts_col} as timestamp))"
+    base = (
+        events.filter(
+            F.col("event_type").isin([touch_kind, convert_kind]))
+        .select(
+            F.col(user_col), F.col(id_col), F.col("event_type"),
+            F.expr(ts_us).cast("long").alias("_ts_us"),
+        )
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(
+            F.col("_ts_us"),
+            (F.col("event_type") == convert_kind).cast("int"),
+            F.col(id_col),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type") == touch_kind
+    carried = base.select(
+        user_col, id_col, "event_type", "_ts_us",
+        F.last(F.when(is_touch, F.col(id_col)), ignorenulls=True)
+        .over(w).alias("touch_id"),
+        F.last(F.when(is_touch, F.col("_ts_us")), ignorenulls=True)
+        .over(w).alias("_touch_ts"),
+    )
+    return (
+        carried.filter(F.col("event_type") == convert_kind)
+        .select(
+            user_col,
+            F.col(id_col).alias("convert_id"),
+            F.col("_ts_us").alias("convert_ts_us"),
+            "touch_id",
+            (F.col("_ts_us") - F.col("_touch_ts")).alias("lag_us"),
+        )
+        .orderBy("convert_id")
+    )
+
+
+def last_touch_attribution_oracle_sql(touch_kind: str = "click",
+                                      convert_kind: str = "purchase",
+                                      table: str = "events") -> str:
+    """DuckDB mirror: identical tie-breaking order and carry-forward
+    frame via last_value IGNORE NULLS."""
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts)::BIGINT AS ts_us
+  FROM {table}
+  WHERE event_type IN ('{touch_kind}', '{convert_kind}')
+),
+carried AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         last_value(CASE WHEN event_type = '{touch_kind}'
+                         THEN event_id END IGNORE NULLS) OVER w AS touch_id,
+         last_value(CASE WHEN event_type = '{touch_kind}'
+                         THEN ts_us END IGNORE NULLS) OVER w AS touch_ts
+  FROM base
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts_us,
+                        (event_type = '{convert_kind}')::INT,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS convert_id, ts_us AS convert_ts_us,
+       touch_id, (ts_us - touch_ts)::BIGINT AS lag_us
+FROM carried
+WHERE event_type = '{convert_kind}'
+ORDER BY convert_id
+"""

@@ -200,3 +200,50 @@ def test_scd2_temporal_join_asof_semantics(spark):
     got = {r.event_id: r.attr for r in joined.collect()}
     assert got == {1: "signup", 2: "purchase", 3: None,
                    4: "signup", 5: "purchase"}
+
+
+def test_last_touch_attribution_semantics(spark):
+    """Hand-built timeline: credit goes to the most recent PRECEDING
+    click (same-instant click still wins), later clicks never credit
+    earlier purchases, and a purchase before any click stays
+    unattributed with NULL touch id."""
+    from cassandra_ttl_remover_spark.operators.sessions import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        # user 1: p10 before any click -> NULL; c11 then p12 -> c11;
+        # c13 at the SAME instant as p14 -> c13 wins the tie
+        (1, 10, "purchase", "2024-01-01 00:00:00"),
+        (1, 11, "click",    "2024-01-01 00:01:00"),
+        (1, 12, "purchase", "2024-01-01 00:05:00"),
+        (1, 13, "click",    "2024-01-01 00:06:00"),
+        (1, 14, "purchase", "2024-01-01 00:06:00"),
+        # user 2: click AFTER the purchase must not credit it
+        (2, 20, "purchase", "2024-01-01 01:00:00"),
+        (2, 21, "click",    "2024-01-01 02:00:00"),
+        # noise kinds are ignored entirely
+        (1, 15, "view",     "2024-01-01 00:04:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, k, t) for u, e, k, t in rows],
+        "user_id long, event_id long, event_type string, ts string",
+    ).withColumn("ts", F.expr("cast(ts as timestamp)"))
+    got = {r.convert_id: (r.touch_id, r.lag_us)
+           for r in last_touch_attribution(df).collect()}
+    assert got == {
+        10: (None, None),
+        12: (11, 4 * 60 * 1_000_000),
+        14: (13, 0),
+        20: (None, None),
+    }
+
+
+def test_last_touch_attribution_single_exchange(spark, events):
+    from cassandra_ttl_remover_spark.operators.sessions import (
+        last_touch_attribution,
+    )
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    # one key exchange (the user window) + the presentation sort
+    assert exchange_count(last_touch_attribution(events)) <= 2
