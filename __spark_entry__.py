@@ -723,6 +723,7 @@ _DRIVER_PRIORITY = [
     "q_t8_sstable_compact_e2e",
     "q_ml8_cusum_drift",
     "q_se9_attribution",
+    "q_x30_budget_sample_apply",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4492,6 +4493,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_x29_token_budget"] = q_x29
 
+    def q_x30(spark, sf):
+        # the waterfilling allocation APPLIED to the corpus: broadcast
+        # join + zero-shuffle deterministic murmur3 threshold — the same
+        # bit-exact hash oracle as the token-range scan, so the kept-set
+        # itself hash-checks, not just the per-source allocation
+        from cassandra_ttl_remover_spark.operators.curate import (
+            apply_budget_sample,
+            budget_allocation,
+        )
+
+        docs = scan_table(spark, sf, "documents")
+        al = budget_allocation(docs, budget=500_000,
+                               weights={"src0": 3, "src1": 2})
+        return apply_budget_sample(docs, al).select(
+            "doc_id", "source", "is_sampled"
+        ).orderBy("doc_id")
+    q["q_x30_budget_sample_apply"] = q_x30
+
     def q_f8(spark, sf):
         # crawl-container ingestion: documents packed into multi-record
         # WARC/1.0 blobs (the Common Crawl shape), then exploded back
@@ -5335,6 +5354,12 @@ FROM r WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey
     )
 
     o["q_x29_token_budget"] = budget_allocation_oracle_sql(
+        budget=500_000, weights={"src0": 3, "src1": 2})
+    from cassandra_ttl_remover_spark.operators.curate import (
+        apply_budget_sample_oracle_sql,
+    )
+
+    o["q_x30_budget_sample_apply"] = apply_budget_sample_oracle_sql(
         budget=500_000, weights={"src0": 3, "src1": 2})
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss

@@ -1298,9 +1298,14 @@ def apply_budget_sample(docs: DataFrame, alloc: DataFrame,
     """Apply a :func:`budget_allocation` result to the corpus: keep each
     document with probability ``allocation / cap`` of its source, decided
     by a deterministic per-doc hash threshold (integer cross-multiply —
-    ``pmod(xxhash64(id), 2^20) * cap < allocation * 2^20`` — no RNG, no
-    floats), so reruns keep exactly the same documents. Saturated sources
-    keep everything. Expected kept tokens per source = allocation.
+    ``pmod(murmur3(id), 2^31) * cap < allocation * 2^31`` in
+    DECIMAL(38,0); no RNG, no floats), so reruns keep exactly the same
+    documents, and the decision is ENGINE-PORTABLE: the same
+    bit-exact Murmur3 oracle that checks the token-range scan
+    (lookups.murmur3_hash_oracle_expr) recomputes it in DuckDB, so the
+    applied sample is hash-checkable end to end (q_x30). Saturated
+    sources keep everything. Expected kept tokens per source =
+    allocation.
 
     Documents whose source has NO allocation row (a corpus drifted since
     the allocation was computed) are kept OUT (``is_sampled = false``,
@@ -1311,9 +1316,10 @@ def apply_budget_sample(docs: DataFrame, alloc: DataFrame,
     dec = "cast({v} as decimal(38,0))"
     keep = (
         f"saturated or "
-        f"{dec.format(v=f'pmod(xxhash64(cast({id_col} as string)), 1048576L)')}"
+        f"{dec.format(v=f'pmod(hash({id_col}), 2147483648L)')}"
         f" * {dec.format(v='cap')}"
-        f" < {dec.format(v='allocation')} * cast(1048576 as decimal(38,0))"
+        f" < {dec.format(v='allocation')}"
+        f" * cast(2147483648 as decimal(38,0))"
     )
     a = alloc.select(
         F.col("source").alias("_alloc_source"), "cap", "saturated",
@@ -1326,3 +1332,35 @@ def apply_budget_sample(docs: DataFrame, alloc: DataFrame,
                     F.coalesce(F.expr(keep), F.lit(False)))
         .drop("_alloc_source")
     )
+
+
+def apply_budget_sample_oracle_sql(budget: int,
+                                   weights: dict[str, int] | None = None,
+                                   source_col: str = "source",
+                                   token_expr: str = "greatest(n_chars, 1)",
+                                   table: str = "documents",
+                                   id_col: str = "doc_id") -> str:
+    """DuckDB mirror of budget_allocation + apply_budget_sample composed:
+    the allocation CTE is :func:`budget_allocation_oracle_sql` verbatim,
+    and the keep decision reproduces Spark's ``pmod(hash(id), 2^31)``
+    bit-exactly via lookups.murmur3_hash_oracle_expr (unsigned
+    ``& 0x7fffffff`` == pmod of the signed hash). Emits the compact
+    ``(id, source, is_sampled)`` projection."""
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+
+    alloc_sql = budget_allocation_oracle_sql(
+        budget, weights, source_col=source_col, token_expr=token_expr,
+        table=table)
+    bucket = f"({murmur3_hash_oracle_expr(id_col)} & 2147483647)"
+    return f"""
+WITH alloc AS ({alloc_sql})
+SELECT d.{id_col}, d.{source_col} AS source,
+       coalesce(a.saturated OR
+                {bucket}::HUGEINT * a.cap
+                  < a.allocation::HUGEINT * 2147483648,
+                FALSE) AS is_sampled
+FROM {table} d LEFT JOIN alloc a ON d.{source_col} = a.source
+ORDER BY d.{id_col}
+"""
