@@ -724,6 +724,7 @@ _DRIVER_PRIORITY = [
     "q_ml8_cusum_drift",
     "q_se9_attribution",
     "q_x30_budget_sample_apply",
+    "q_s15_sstable_bloom_lookup",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3542,6 +3543,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.strip_ttl_cells(ss.scan_sstable(spark, out, num_splits=8))
     q["q_s14_sstable_partition_delete"] = q_s14
 
+    def q_s15(spark, sf):
+        # bloom-pruned POINT LOOKUP over a directory of generations —
+        # the reference's full read path order: per-SSTable Filter.db
+        # bloom check FIRST (NoTTLReader.java:1521-1529, load 607-613),
+        # index binary search only on surviving tables, one seek. Two
+        # disjoint generations (even/odd user ids); the looked-up key
+        # lives in gen1 only, so gen2 is dropped by its bloom before its
+        # Index.db is opened (~0.8% FP rate at 10 bits/key just means a
+        # wasted index probe, never a wrong row). Result is
+        # pruning-independent: the oracle is the point-lookup slice of
+        # the full-scan recomputation.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstb_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen1"),
+                                  where="user_id % 2 = 0")
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen2"),
+                                  where="user_id % 2 = 1")
+        key = (
+            scan_table(spark, sf, "events")
+            .filter("user_id % 2 = 0")
+            .agg(F.min("user_id").alias("k"))
+            .collect()[0][0]
+        )
+        return ss.lookup_partition(spark, base, str(key))
+    q["q_s15_sstable_bloom_lookup"] = q_s15
+
     def q_t8(spark, sf):
         # the reference's REAL lifecycle on its NATIVE format, e2e: two
         # overlapping SSTable generations (base + later updates/deletes)
@@ -5395,6 +5425,7 @@ WHERE pk >= '1' AND pk < '2'
     o["q_s12_sstable_gen_mc"] = o["q_s7_sstable_scan"]
     # ... and the chunk-compressed read path
     o["q_s13_sstable_compressed"] = o["q_s7_sstable_scan"]
+    o["q_s15_sstable_bloom_lookup"] = _ss.sstable_bloom_lookup_oracle_sql()
 
     o["q_st11_stream_interval_join"] = """
         SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

@@ -285,6 +285,88 @@ def _data_size(table_dir: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Filter.db — bloom-over-partition-keys sidecar
+# ---------------------------------------------------------------------------
+
+#: Cassandra's read path consults a per-SSTable bloom filter BEFORE any
+#: index probe (the reference's point lookup: bloom check at
+#: NoTTLReader.java:1521-1529, filter load at 607-613, component file
+#: ``Filter.db``). This mirrors that component for the simple format:
+#: ~10 bits per partition key, k=7 Kirsch–Mitzenmacher probes derived
+#: from one md5 (the same engine-portable double-hash construction the
+#: decontamination bloom uses, curate.py). Layout: u64 m_bits, u8 k,
+#: then ceil(m/8) bitset bytes (big-endian header like every other
+#: component here).
+#:
+#: Scale note (100 TB): a data directory accumulates many generations;
+#: a point lookup without blooms costs one Index.db read per generation.
+#: With Filter.db the planner drops definitely-absent tables after k
+#: bit probes on a sidecar that is ~0.01% of the data size — the same
+#: reason Cassandra fronts every SSTable with one. False positives just
+#: degenerate to the index probe; false negatives cannot happen.
+BLOOM_K = 7
+BLOOM_BITS_PER_KEY = 10
+
+
+def _bloom_positions(key: bytes, m_bits: int, k: int) -> list[int]:
+    """k bit positions for a partition key: md5(key) split into two u64
+    halves h1, h2; pos_i = (h1 + i*h2) mod m (Kirsch–Mitzenmacher)."""
+    import hashlib
+
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big")
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def _write_filter(out_dir: str, keys: list[bytes]) -> None:
+    m = max(64, ((BLOOM_BITS_PER_KEY * len(keys) + 63) // 64) * 64)
+    bits = bytearray(m // 8)
+    for key in keys:
+        for p in _bloom_positions(key, m, BLOOM_K):
+            bits[p >> 3] |= 1 << (p & 7)
+    with open(os.path.join(out_dir, "Filter.db"), "wb") as f:
+        f.write(struct.pack(">QB", m, BLOOM_K))
+        f.write(bytes(bits))
+
+
+def bloom_might_contain(table_dir: str, key: bytes) -> bool:
+    """Filter.db probe for one partition key. ``True`` means "maybe
+    present — probe the index"; ``False`` is definitive absence. A table
+    without a Filter.db (pre-sidecar fixtures) always answers ``True``
+    (no pruning, never wrong). A malformed Filter.db raises
+    :class:`CorruptSSTableError` — the quarantine convention every other
+    component uses — rather than silently skipping data."""
+    path = os.path.join(table_dir, "Filter.db")
+    try:
+        with open(path, "rb") as f:
+            header = f.read(9)
+            if len(header) != 9:
+                raise CorruptSSTableError(
+                    f"{path}: truncated Filter.db header "
+                    f"(wanted 9 bytes, got {len(header)})"
+                )
+            m, k = struct.unpack(">QB", header)
+            if m == 0 or m % 64 != 0 or k == 0:
+                raise CorruptSSTableError(
+                    f"{path}: implausible Filter.db header "
+                    f"(m_bits={m}, k={k})"
+                )
+            bits = f.read(m // 8)
+            if len(bits) != m // 8:
+                raise CorruptSSTableError(
+                    f"{path}: truncated Filter.db bitset "
+                    f"(wanted {m // 8} bytes, got {len(bits)})"
+                )
+    except FileNotFoundError:
+        return True
+    return all(
+        (bits[p >> 3] >> (p & 7)) & 1
+        for p in _bloom_positions(key, m, k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # writer (fixture generator)
 # ---------------------------------------------------------------------------
 
@@ -321,6 +403,7 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
             return struct.pack(">i", n)
     data_path = os.path.join(out_dir, "Data.db")
     index_path = os.path.join(out_dir, "Index.db")
+    written_keys: list[bytes] = []
     with open(data_path, "wb") as df, open(index_path, "wb") as ix:
         for part in sorted(partitions, key=lambda p: p[0]):
             # (key, cells) = live partition; (key, cells, (ldt, mfda)) =
@@ -331,6 +414,7 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
                          else (LIVE_LOCAL_DELETION,
                                LIVE_MARKED_FOR_DELETE))
             offset = df.tell()
+            written_keys.append(key)
             ix.write(wlen(len(key)) + key)
             ix.write(struct.pack(">q", offset))
             df.write(wlen(len(key)) + key)
@@ -362,6 +446,7 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
                     df.write(struct.pack(">q", int(writetime)))
                 df.write(wval(len(value)) + value)
             df.write(wlen(0))
+    _write_filter(out_dir, written_keys)
     if compressed:
         _compress_data_file(out_dir)
 
@@ -566,6 +651,18 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
 # Spark Python DataSource
 # ---------------------------------------------------------------------------
 
+def _exact_key(key_start: bytes | None,
+               key_stop: bytes | None) -> bytes | None:
+    """The half-open range ``[b, b + b"\\x00")`` contains exactly the key
+    ``b`` (any strict extension of ``b`` sorts >= the stop bound), so a
+    range narrowed to that shape IS a point lookup — the only case where
+    a bloom answer about one key can prune a whole table."""
+    if (key_start is not None and key_stop is not None
+            and key_stop == key_start + b"\x00"):
+        return key_start
+    return None
+
+
 def _plan_table_splits(table_dir: str, num_splits: int,
                        key_start: bytes | None = None,
                        key_stop: bytes | None = None) -> list[tuple]:
@@ -696,10 +793,19 @@ def _make_datasource_cls():
             # a one-partition run), THEN parallelized — tasks
             # collectively read only the selected partitions' bytes, and
             # split boundaries snap to real partition starts so no
-            # decode ever begins mid-record
+            # decode ever begins mid-record. A POINT lookup (the range
+            # narrowed to exactly one key) consults each table's
+            # Filter.db bloom FIRST — the reference's probe order
+            # (NoTTLReader.java:1521-1529: bloom, then index) — so
+            # definitely-absent generations are dropped before their
+            # Index.db is ever opened.
+            tables = self._table_dirs()
+            key = _exact_key(self.key_start, self.key_stop)
+            if key is not None:
+                tables = [t for t in tables if bloom_might_contain(t, key)]
             splits = [
                 _Split(*t)
-                for table in self._table_dirs()
+                for table in tables
                 for t in _plan_table_splits(table, self.num_splits,
                                             self.key_start, self.key_stop)
             ]
@@ -746,10 +852,14 @@ def _make_datasource_cls():
 
         def partitions(self, start, end):
             # same index key pruning as the batch planner, per new shard
+            # (including the bloom gate on an exact-key subscription)
             new = sorted(set(end["shards"]) - set(start["shards"]))
+            key = _exact_key(self.key_start, self.key_stop)
             return [
                 _Split(*t)
                 for shard in new
+                if key is None
+                or bloom_might_contain(os.path.join(self.path, shard), key)
                 for t in _plan_table_splits(
                     os.path.join(self.path, shard), self.num_splits,
                     self.key_start, self.key_stop
@@ -945,7 +1055,8 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
 
 def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
                            generation: str = "v1",
-                           compressed: bool = False) -> None:
+                           compressed: bool = False,
+                           where: str = "TRUE") -> None:
     """Deterministic SSTable fixture over the ``events`` parquet: one
     partition per ``user_id`` (key = ascii of the id), three cells per
     event clustered by zero-padded event_id —
@@ -955,7 +1066,10 @@ def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
     and expiration = epoch s + ttl), except every 97th event's value cell
     is a TOMBSTONE (deleted at epoch s) so the deletion decode path is
     exercised. Every field is recomputable in ANSI SQL — the q_s7 oracle
-    does — so the binary scan is hash-checkable end to end."""
+    does — so the binary scan is hash-checkable end to end. ``where``
+    (a deterministic SQL predicate over the events columns) restricts
+    the fixture to a key subset — how tests and q_s15 build DISJOINT
+    generations of one logical table."""
     import duckdb
 
     rows = duckdb.sql(
@@ -967,6 +1081,7 @@ def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
                     THEN (event_id % 30 + 1) * 86400 END AS ttl,
                epoch_us(ts) // 1000000 AS ts_s
         FROM read_parquet('{sf_dir}/events.parquet')
+        WHERE {where}
         ORDER BY user_id, event_id
         """
     ).fetchall()
@@ -1028,6 +1143,21 @@ SELECT pk, eid || ':props',
        CASE WHEN ttl IS NOT NULL THEN 'expiring' ELSE 'normal' END,
        ttl::BIGINT, (ts_s + ttl)::BIGINT, wt, props
 FROM e
+"""
+
+
+def sstable_bloom_lookup_oracle_sql(table: str = "events") -> str:
+    """Oracle for q_s15: the full-scan recomputation restricted to the
+    looked-up partition — the smallest even ``user_id`` (the key the
+    Spark side resolves identically). The bloom sidecar changes WHICH
+    files get probed, never the rows that come back, so the oracle is
+    exactly the point-lookup slice of :func:`sstable_scan_oracle_sql`."""
+    return f"""
+WITH full_scan AS ({sstable_scan_oracle_sql(table)})
+SELECT * FROM full_scan
+WHERE pk = (SELECT min(user_id) FROM {table}
+            WHERE user_id % 2 = 0)::VARCHAR
+ORDER BY pk, cell
 """
 
 

@@ -616,3 +616,70 @@ def test_corrupt_compressed_chunk_fails_loud():
     with pytest.raises(ss.CorruptSSTableError, match="compressed chunk"):
         list(ss.scan_data_range(dp, 0, 10**9))
     shutil.rmtree(out)
+
+
+def test_bloom_sidecar_no_false_negatives_and_prunes_absent():
+    """Filter.db: every written key answers might_contain=True (false
+    negatives are impossible by construction — the test pins it anyway),
+    and keys from a DISJOINT table are overwhelmingly rejected (at 10
+    bits/key, k=7 the expected FP rate is ~0.8%; 200 disjoint probes
+    make a fully-permissive regression certain to fail)."""
+    out = _tmpdir()
+    keys = [f"k{i:05d}".encode() for i in range(300)]
+    ss.write_sstable(
+        [(k, [(b"c", 0, 0, 0, 1, b"v")]) for k in keys], out
+    )
+    assert all(ss.bloom_might_contain(out, k) for k in keys)
+    other = [f"absent{i:05d}".encode() for i in range(200)]
+    fp = sum(ss.bloom_might_contain(out, k) for k in other)
+    assert fp <= 20  # ~0.8% expected; 10% is a generous determinism bound
+    shutil.rmtree(out)
+
+
+def test_bloom_prunes_generations_at_plan_time(spark):
+    """A point lookup over a directory of generations consults each
+    table's Filter.db BEFORE its index (the reference's probe order,
+    NoTTLReader.java:1521-1529): the planner emits splits only for
+    tables whose bloom passes, and the result rows are identical with
+    the sidecar deleted (pruning is invisible to correctness)."""
+    out = _tmpdir()
+    ss.write_sstable([(b"even0", [(b"c", 0, 0, 0, 1, b"a")]),
+                      (b"even2", [(b"c", 0, 0, 0, 2, b"b")])],
+                     os.path.join(out, "g1"))
+    ss.write_sstable([(b"odd1", [(b"c", 0, 0, 0, 3, b"c")]),
+                      (b"odd3", [(b"c", 0, 0, 0, 4, b"d")])],
+                     os.path.join(out, "g2"))
+
+    cls = ss._make_datasource_cls()
+    reader = cls({"path": out, "key_start": "even2",
+                  "key_stop": "even2\x00"}).reader(None)
+    list(reader.pushFilters([]))
+    dirs = {os.path.basename(os.path.dirname(p.data_path))
+            for p in reader.partitions()}
+    assert dirs == {"g1"}  # g2 dropped by bloom, its index never planned
+
+    rows = [(r.pk, r.value)
+            for r in ss.lookup_partition(spark, out, "even2").collect()]
+    assert rows == [("even2", "b")]
+    # sidecar absent (pre-bloom table) -> no pruning, same answer
+    os.remove(os.path.join(out, "g2", "Filter.db"))
+    rows2 = [(r.pk, r.value)
+             for r in ss.lookup_partition(spark, out, "even2").collect()]
+    assert rows2 == rows
+    # range scans never consult the bloom (it answers point questions)
+    allrows = ss.scan_sstable(spark, out, num_splits=2).count()
+    assert allrows == 4
+    shutil.rmtree(out)
+
+
+def test_corrupt_filter_sidecar_fails_loud():
+    out = _tmpdir()
+    ss.write_sstable([(b"k1", [(b"c", 0, 0, 0, 1, b"v")])], out)
+    fp = os.path.join(out, "Filter.db")
+    open(fp, "wb").write(b"\x00\x01")  # truncated header
+    with pytest.raises(ss.CorruptSSTableError, match="Filter.db header"):
+        ss.bloom_might_contain(out, b"k1")
+    open(fp, "wb").write(struct.pack(">QB", 128, 7) + b"\x00" * 3)
+    with pytest.raises(ss.CorruptSSTableError, match="bitset"):
+        ss.bloom_might_contain(out, b"k1")
+    shutil.rmtree(out)
