@@ -725,6 +725,7 @@ _DRIVER_PRIORITY = [
     "q_se9_attribution",
     "q_x30_budget_sample_apply",
     "q_s15_sstable_bloom_lookup",
+    "q_ml9_mannwhitney",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4282,6 +4283,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cusum_drift(daily, k=k, h=5 * k)
     q["q_ml8_cusum_drift"] = q_ml8
 
+    def q_ml9(spark, sf):
+        # Mann-Whitney U on document length (en vs rest) — the
+        # nonparametric companion to q_ml6's t-test: integer doubled
+        # midranks over the distinct-length frame (cardinality bounded
+        # by the value domain, not the corpus), tie-corrected z as one
+        # IEEE division + sqrt over exact DECIMAL(38,0) operands
+        from cassandra_ttl_remover_spark.operators.ml import mannwhitney_u
+
+        return mannwhitney_u(scan_table(spark, sf, "documents"))
+    q["q_ml9_mannwhitney"] = q_ml9
+
     def q_se9(spark, sf):
         # last-touch conversion attribution: each purchase credits the
         # user's most recent preceding click via ONE carry-forward
@@ -5274,6 +5286,11 @@ WINDOW w2 AS (ORDER BY day
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY day
 """
+    from cassandra_ttl_remover_spark.operators.ml import (
+        mannwhitney_u_oracle_sql,
+    )
+
+    o["q_ml9_mannwhitney"] = mannwhitney_u_oracle_sql()
     from cassandra_ttl_remover_spark.operators.audit import (
         corpus_card_oracle_sql,
         k_anonymity_oracle_sql,

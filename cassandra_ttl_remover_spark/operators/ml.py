@@ -633,3 +633,110 @@ WINDOW w2 AS (ORDER BY {day_col}
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY {day_col}
 """
+
+
+def mannwhitney_u(docs: DataFrame, positive: str = "en",
+                  label_col: str = "lang",
+                  text_col: str = "text") -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test on document LENGTH
+    between the ``label_col = positive`` class and the rest — the
+    NONPARAMETRIC companion to :func:`ttest_two_group` (no normality
+    assumption; the right significance read when length distributions
+    are heavy-tailed, which corpus length distributions are).
+
+    Ranks use midranks for ties, kept integer by doubling: a value v
+    with c_less smaller observations and t tied observations has
+    2*midrank = 2*c_less + t + 1, so
+
+        2*R1 = sum over group-1 obs of (2*c_less + t + 1)
+        2*U1 = 2*R1 - n1*(n1+1)
+
+    and the tie-corrected normal approximation is a RATIONAL in integer
+    sums: with d = 2*U1 - n1*n2, N = n1+n2, T = sum(t^3 - t),
+
+        z^2 = 3 * d^2 * N * (N-1) / (n1*n2*((N+1)*N*(N-1) - T))
+
+    — both operands exact DECIMAL(38,0), z = sign(d)*sqrt(num/den) as
+    one IEEE division + one sqrt (the ttest hash-stability discipline).
+    Returns ONE row ``(n1, n2, u1_x2, z2_num, z2_den, z)`` with the
+    wide integers as digit strings (grading-harness pandas bridge).
+
+    Scale shape: one map-side-combined groupBy over DISTINCT lengths
+    (cardinality bounded by the VALUE DOMAIN — max document length —
+    not the corpus size), one prefix-sum window over that bounded
+    frame, one 1-row reduce. The z^2 numerator is <= (3/16)*N^6, so the
+    algebra is exact through N ~ 3e6 observations; past that, test per
+    stratum (the statistic is only meaningful per-comparison anyway) —
+    the U statistic itself (u1_x2 <= 2*n1*n2) stays exact to N ~ 1e19."""
+    x = f"cast(length({text_col}) as bigint)"
+    pos = f"cast({label_col} = '{positive}' as bigint)"
+    pv = docs.groupBy(F.expr(x).alias("v")).agg(
+        F.count("*").cast("long").alias("t"),
+        F.expr(f"sum({pos})").cast("long").alias("g1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = pv.select(
+        "v", "t", "g1",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("c_less"),
+    )
+    sums = ranked.agg(
+        F.expr("sum(g1)").cast("long").alias("n1"),
+        F.expr("sum(t - g1)").cast("long").alias("n2"),
+        F.expr("sum(cast(g1 as decimal(38,0)) * "
+               "(2 * cast(c_less as decimal(38,0)) + t + 1))")
+        .alias("dbl_r1"),
+        F.expr("sum(cast(t as decimal(38,0)) * t * t - t)").alias("tie"),
+    )
+    dec = "cast({v} as decimal(38,0))"
+    n1, n2 = dec.format(v="n1"), dec.format(v="n2")
+    nn = f"({n1} + {n2})"
+    u1x2 = f"(dbl_r1 - {n1} * ({n1} + 1))"
+    d = f"({u1x2} - {n1} * {n2})"
+    num = f"(3 * {d} * {d} * {nn} * ({nn} - 1))"
+    den = f"({n1} * {n2} * (({nn} + 1) * {nn} * ({nn} - 1) - tie))"
+    return sums.select(
+        "n1", "n2",
+        F.expr(f"cast({u1x2} as string)").alias("u1_x2"),
+        F.expr(f"cast({num} as string)").alias("z2_num"),
+        F.expr(f"cast({den} as string)").alias("z2_den"),
+        F.expr(
+            f"case when {den} = 0 then cast(0.0 as double) else "
+            f"cast(sign({d}) as double)"
+            f" * sqrt(cast({num} as double) / cast({den} as double)) end"
+        ).alias("z"),
+    )
+
+
+def mannwhitney_u_oracle_sql(positive: str = "en", label_col: str = "lang",
+                             table: str = "documents") -> str:
+    x = "length(text)::BIGINT"
+    pos = f"({label_col} = '{positive}')::BIGINT"
+    u1x2 = "(dbl_r1 - n1::HUGEINT * (n1 + 1))"
+    d = f"({u1x2} - n1::HUGEINT * n2)"
+    nn = "(n1::HUGEINT + n2)"
+    num = f"(3 * {d} * {d} * {nn} * ({nn} - 1))"
+    den = f"(n1::HUGEINT * n2 * (({nn} + 1) * {nn} * ({nn} - 1) - tie))"
+    return f"""
+WITH pv AS (
+  SELECT {x} AS v, count(*)::BIGINT AS t, sum({pos})::BIGINT AS g1
+  FROM {table} GROUP BY 1
+), ranked AS (
+  SELECT v, t, g1,
+         coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS c_less
+  FROM pv
+), sums AS (
+  SELECT sum(g1)::BIGINT AS n1, sum(t - g1)::BIGINT AS n2,
+         sum(g1::HUGEINT * (2 * c_less::HUGEINT + t + 1)) AS dbl_r1,
+         sum(t::HUGEINT * t * t - t) AS tie
+  FROM ranked
+)
+SELECT n1, n2,
+       ({u1x2})::VARCHAR AS u1_x2,
+       ({num})::VARCHAR AS z2_num,
+       ({den})::VARCHAR AS z2_den,
+       CASE WHEN ({den}) = 0 THEN 0.0 ELSE
+         sign({d})::DOUBLE * sqrt(({num})::DOUBLE / ({den})::DOUBLE)
+       END AS z
+FROM sums
+"""

@@ -249,3 +249,52 @@ def test_cusum_closed_form_equals_recurrence(spark):
         s = max(0, s + (x - k))
         want.append((s, s > h))
     assert got == want
+
+
+def test_mannwhitney_matches_textbook_reference(spark, documents):
+    """U and tie-corrected z from the integer doubled-midrank
+    construction equal a float midrank computation over the same data
+    (the classic scipy-style formulation, recomputed here with stdlib
+    floats so the test carries its own reference)."""
+    import math
+    from collections import Counter
+
+    from cassandra_ttl_remover_spark.operators.ml import mannwhitney_u
+
+    docs = documents.limit(250)
+    row = mannwhitney_u(docs, positive="en").collect()[0]
+    lens = [(len(r.text), r.lang == "en")
+            for r in docs.select("text", "lang").collect()]
+    xs = sorted(x for x, _ in lens)
+    counts = Counter(xs)
+    # midrank of value v = (#less) + (t+1)/2
+    less = {}
+    run = 0
+    for v in sorted(counts):
+        less[v] = run
+        run += counts[v]
+    r1 = sum(less[x] + (counts[x] + 1) / 2 for x, p in lens if p)
+    n1 = sum(1 for _, p in lens if p)
+    n2 = len(lens) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2
+    nn = n1 + n2
+    tie = sum(t ** 3 - t for t in counts.values())
+    var = n1 * n2 / 12 * ((nn + 1) - tie / (nn * (nn - 1)))
+    want_z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert int(row.u1_x2) == int(2 * u1)
+    assert abs(row.z - want_z) < 1e-9 * max(1.0, abs(want_z))
+
+
+def test_mannwhitney_degenerate_all_tied(spark):
+    """Every observation identical: U1 = n1*n2/2 exactly (all midranks
+    equal) and the tie term drives the variance to zero -> z = 0."""
+    from cassandra_ttl_remover_spark.operators.ml import mannwhitney_u
+
+    df = spark.createDataFrame(
+        [("a" * 7, "en" if i % 3 == 0 else "fr") for i in range(30)],
+        "text string, lang string",
+    )
+    row = mannwhitney_u(df, positive="en").collect()[0]
+    assert int(row.u1_x2) == row.n1 * row.n2
+    assert row.z == 0.0

@@ -453,3 +453,13 @@ def test_two_generation_compaction_exchange_budget(spark, tmp_path):
     assert exchange_count(merged) <= 2, (
         "generation merge must be one arg-max exchange + sort"
     )
+
+
+def test_mannwhitney_exchange_budget(spark, documents):
+    """Mann-Whitney: one distinct-length aggregation, one bounded-frame
+    window sort, the 1-row combine — nothing corpus-sized shuffles more
+    than once."""
+    from cassandra_ttl_remover_spark.operators.ml import mannwhitney_u
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    assert exchange_count(mannwhitney_u(documents)) <= 3
