@@ -726,6 +726,7 @@ _DRIVER_PRIORITY = [
     "q_x30_budget_sample_apply",
     "q_s15_sstable_bloom_lookup",
     "q_ml9_mannwhitney",
+    "q_s16_sstable_summary_range",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3573,6 +3574,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.lookup_partition(spark, base, str(key))
     q["q_s15_sstable_bloom_lookup"] = q_s15
 
+    def q_s16(spark, sf):
+        # summary-assisted range plan: the fixture writes a Summary.db
+        # (every 64th index entry — Cassandra's IndexSummary, the
+        # reference's probe order at NoTTLReader.java:766-814), so the
+        # planner binary-searches the SAMPLE and parses only the
+        # covering Index.db window instead of the whole index — at
+        # billions of partitions the difference between a sub-second
+        # plan and gigabytes of planner I/O. A small summary_interval
+        # makes the window genuinely partial even at sf0.001. Rows are
+        # plan-independent: the oracle is the range slice of the
+        # full-scan recomputation.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_ssts_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, out, summary_interval=8)
+        return ss.scan_sstable(spark, out, num_splits=4,
+                               key_start="2", key_stop="3")
+    q["q_s16_sstable_summary_range"] = q_s16
+
     def q_t8(spark, sf):
         # the reference's REAL lifecycle on its NATIVE format, e2e: two
         # overlapping SSTable generations (base + later updates/deletes)
@@ -5443,6 +5465,10 @@ WHERE pk >= '1' AND pk < '2'
     # ... and the chunk-compressed read path
     o["q_s13_sstable_compressed"] = o["q_s7_sstable_scan"]
     o["q_s15_sstable_bloom_lookup"] = _ss.sstable_bloom_lookup_oracle_sql()
+    o["q_s16_sstable_summary_range"] = f"""
+SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
+WHERE pk >= '2' AND pk < '3'
+"""
 
     o["q_st11_stream_interval_join"] = """
         SELECT v.user_id, v.event_id AS v_id, c.event_id AS c_id,

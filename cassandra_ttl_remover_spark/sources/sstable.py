@@ -32,7 +32,12 @@ Version.txt (:data:`SSTABLE_GENERATIONS`); and chunk-compressed data
 files read through a CompressionInfo.db offsets map
 (NoTTLReader.java:342-345's CompressedRandomAccessReader analog).
 Partition-level deletions decode as their own row kind and are preserved
-verbatim through strip and the sink.
+verbatim through strip and the sink. Two read-path sidecars mirror the
+reference's probe order (bloom -> summary -> index -> data,
+NoTTLReader.java:1502-1665): ``Filter.db`` (bloom over partition keys;
+point lookups drop definitely-absent tables before any index I/O) and
+``Summary.db`` (every Kth index entry; keyed plans parse only the
+covering Index.db window instead of the whole index).
 
 Scale design: the PLANNER reads only ``Index.db`` (one small sequential
 pass) and cuts the key space into contiguous ``Data.db`` byte ranges; each
@@ -367,11 +372,129 @@ def bloom_might_contain(table_dir: str, key: bytes) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Summary.db — sampled index (every Kth entry)
+# ---------------------------------------------------------------------------
+
+#: Cassandra fronts its primary index with an IndexSummary — every Kth
+#: index entry held in memory — so a lookup binary-searches the sample,
+#: then reads only one index PAGE instead of the whole Index.db (the
+#: reference's path: summary search at NoTTLReader.java:766-814, then
+#: the bounded index scan at 1571-1659). Mirrored here as ``Summary.db``:
+#: u32 interval, u32 n_samples, then per sample u16 keylen + key +
+#: i64 Index.db offset + i64 Data.db offset. The planner binary-searches
+#: the samples and parses only the covering Index.db byte window.
+#:
+#: Scale note (100 TB): Index.db holds one entry per partition — at
+#: billions of partitions that is gigabytes the PLANNER would otherwise
+#: read per table per query. The summary is 1/K of it; a key-range plan
+#: touches O(summary) + O(matching index pages) bytes, which is what
+#: lets point/range planning stay sub-second no matter the table count.
+SUMMARY_INTERVAL = 64
+
+
+def _write_summary(out_dir: str, interval: int,
+                   samples: list[tuple[bytes, int, int]]) -> None:
+    with open(os.path.join(out_dir, "Summary.db"), "wb") as f:
+        f.write(struct.pack(">II", interval, len(samples)))
+        for key, ix_off, data_off in samples:
+            f.write(struct.pack(">H", len(key)) + key)
+            f.write(struct.pack(">qq", ix_off, data_off))
+
+
+def _read_summary(table_dir: str) -> list[tuple[bytes, int, int]] | None:
+    """``[(key, Index.db offset, Data.db offset), …]`` or ``None`` when
+    the table has no Summary.db (pre-summary fixtures read the full
+    index — never wrong, just unpruned). Malformed summaries raise
+    :class:`CorruptSSTableError` (quarantine convention)."""
+    path = os.path.join(table_dir, "Summary.db")
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+    except FileNotFoundError:
+        return None
+    try:
+        interval, n = struct.unpack_from(">II", buf, 0)
+        pos = 8
+        out = []
+        for _ in range(n):
+            (klen,) = struct.unpack_from(">H", buf, pos)
+            pos += 2
+            key = buf[pos:pos + klen]
+            if len(key) != klen:
+                raise struct.error("truncated key")
+            pos += klen
+            ix_off, data_off = struct.unpack_from(">qq", buf, pos)
+            pos += 16
+            out.append((key, ix_off, data_off))
+    except struct.error as e:
+        raise CorruptSSTableError(
+            f"{path}: malformed Summary.db ({e})"
+        ) from None
+    return out
+
+
+def _read_index_window(table_dir: str,
+                       samples: list[tuple[bytes, int, int]],
+                       key_start: bytes | None,
+                       key_stop: bytes | None) -> tuple[list, int]:
+    """Summary-bounded index read: parse only the Index.db byte window
+    that can contain ``[key_start, key_stop)`` plus one sample block
+    beyond (so the first entry PAST the run is present and the caller's
+    byte_end never falls back to file-end prematurely). Returns
+    ``(entries, end_data_offset)`` where ``end_data_offset`` plays the
+    ``data_size`` role for :func:`select_index_range` — the Data.db
+    coordinate of the first entry after the window (file size when the
+    window reaches index EOF)."""
+    import bisect
+
+    index_path = os.path.join(table_dir, "Index.db")
+    sample_keys = [k for k, _, _ in samples]
+    lo_i = (0 if key_start is None
+            else max(0, bisect.bisect_right(sample_keys, key_start) - 1))
+    hi_i = (len(samples) if key_stop is None
+            else min(len(samples), bisect.bisect_left(sample_keys,
+                                                      key_stop) + 1))
+    ix_start = samples[lo_i][1] if samples else 0
+    with open(index_path, "rb") as f:
+        f.seek(ix_start)
+        if hi_i < len(samples):
+            buf = f.read(samples[hi_i][1] - ix_start)
+            end_data = samples[hi_i][2]
+        else:
+            buf = f.read()
+            end_data = _data_size(table_dir)
+    gen = _table_generation(table_dir)
+    entries = []
+    pos = 0
+    try:
+        while pos < len(buf):
+            if gen == "mc":
+                klen, pos = _read_uvint_buf(buf, pos)
+            else:
+                (klen,) = struct.unpack_from(">H", buf, pos)
+                pos += 2
+            key = buf[pos:pos + klen]
+            if len(key) != klen:
+                raise struct.error("truncated key")
+            pos += klen
+            (off,) = struct.unpack_from(">q", buf, pos)
+            pos += 8
+            entries.append((key, off))
+    except struct.error as e:
+        raise CorruptSSTableError(
+            f"{index_path}: malformed index window [{ix_start}, "
+            f"{ix_start + len(buf)}) ({e})"
+        ) from None
+    return entries, end_data
+
+
+# ---------------------------------------------------------------------------
 # writer (fixture generator)
 # ---------------------------------------------------------------------------
 
 def write_sstable(partitions: Iterable[tuple], out_dir: str,
-                  generation: str = "v1", compressed: bool = False) -> None:
+                  generation: str = "v1", compressed: bool = False,
+                  summary_interval: int = SUMMARY_INTERVAL) -> None:
     """Write ``Data.db`` + ``Index.db`` for ``partitions`` — an iterable of
     ``(key_bytes, cells)`` where each cell is
     ``(name_bytes, mask, ttl, expiration, writetime, value_bytes)``
@@ -404,6 +527,7 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
     data_path = os.path.join(out_dir, "Data.db")
     index_path = os.path.join(out_dir, "Index.db")
     written_keys: list[bytes] = []
+    summary: list[tuple[bytes, int, int]] = []
     with open(data_path, "wb") as df, open(index_path, "wb") as ix:
         for part in sorted(partitions, key=lambda p: p[0]):
             # (key, cells) = live partition; (key, cells, (ldt, mfda)) =
@@ -414,6 +538,8 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
                          else (LIVE_LOCAL_DELETION,
                                LIVE_MARKED_FOR_DELETE))
             offset = df.tell()
+            if len(written_keys) % summary_interval == 0:
+                summary.append((key, ix.tell(), offset))
             written_keys.append(key)
             ix.write(wlen(len(key)) + key)
             ix.write(struct.pack(">q", offset))
@@ -447,6 +573,7 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
                 df.write(wval(len(value)) + value)
             df.write(wlen(0))
     _write_filter(out_dir, written_keys)
+    _write_summary(out_dir, summary_interval, summary)
     if compressed:
         _compress_data_file(out_dir)
 
@@ -668,10 +795,19 @@ def _plan_table_splits(table_dir: str, num_splits: int,
                        key_stop: bytes | None = None) -> list[tuple]:
     """Shared split planner: contiguous index-snapped byte ranges of one
     sstable directory as ``(data_path, start, end)`` triples — used by
-    both the batch reader and the per-shard streaming micro-batches."""
+    both the batch reader and the per-shard streaming micro-batches.
+    A KEYED plan on a table with a Summary.db parses only the covering
+    index window (the reference's summary-then-index probe order); full
+    scans and summary-less tables read the whole index."""
     data_path = os.path.join(table_dir, "Data.db")
-    entries = read_index(os.path.join(table_dir, "Index.db"))
-    size = _data_size(table_dir)
+    samples = (_read_summary(table_dir)
+               if key_start is not None or key_stop is not None else None)
+    if samples:
+        entries, size = _read_index_window(table_dir, samples,
+                                           key_start, key_stop)
+    else:
+        entries = read_index(os.path.join(table_dir, "Index.db"))
+        size = _data_size(table_dir)
     lo, byte_start, byte_end = select_index_range(
         entries, size, key_start, key_stop
     )
@@ -1056,7 +1192,8 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
 def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
                            generation: str = "v1",
                            compressed: bool = False,
-                           where: str = "TRUE") -> None:
+                           where: str = "TRUE",
+                           summary_interval: int = SUMMARY_INTERVAL) -> None:
     """Deterministic SSTable fixture over the ``events`` parquet: one
     partition per ``user_id`` (key = ascii of the id), three cells per
     event clustered by zero-padded event_id —
@@ -1105,7 +1242,7 @@ def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
         cells.append((f"{base}props".encode(), mask, t, exp, wt,
                       props.encode()))
     write_sstable(parts.items(), out_dir, generation=generation,
-                  compressed=compressed)
+                  compressed=compressed, summary_interval=summary_interval)
 
 
 def sstable_scan_oracle_sql(table: str = "events") -> str:

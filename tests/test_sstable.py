@@ -683,3 +683,59 @@ def test_corrupt_filter_sidecar_fails_loud():
     with pytest.raises(ss.CorruptSSTableError, match="bitset"):
         ss.bloom_might_contain(out, b"k1")
     shutil.rmtree(out)
+
+
+def test_summary_windowed_index_read_matches_full(spark):
+    """Summary-assisted planning: for every probed range the windowed
+    index read yields exactly the splits (and rows) the full index read
+    yields, while parsing a strictly smaller index window for narrow
+    ranges — both framings, including ranges straddling sample
+    boundaries, before the first key, and past the last."""
+    for gen in ("v1", "mc"):
+        out = _tmpdir()
+        parts = [(f"k{i:04d}".encode(),
+                  [(b"c", 0, 0, 0, i, str(i).encode())])
+                 for i in range(300)]
+        ss.write_sstable(parts, out, generation=gen, summary_interval=8)
+        samples = ss._read_summary(out)
+        assert samples is not None and len(samples) == (300 + 7) // 8
+        full = ss.read_index(os.path.join(out, "Index.db"))
+        size = ss._data_size(out)
+        probes = [(b"k0000", b"k0000\x00"), (b"k0007", b"k0009"),
+                  (b"k0125", b"k0130\x00"), (b"a", b"k0003"),
+                  (b"k0290", b"zzz"), (None, b"k0004"), (b"k0299", None),
+                  (b"nope", b"nope\x00")]
+        for ks, kp in probes:
+            win, wsize = ss._read_index_window(out, samples, ks, kp)
+            got = ss.select_index_range(win, wsize, ks, kp)
+            want = ss.select_index_range(full, size, ks, kp)
+            # same byte run (entry index differs by the window offset)
+            assert got[1:] == want[1:], (gen, ks, kp)
+            if ks is not None and kp is not None and kp != b"zzz":
+                assert len(win) < len(full), (gen, ks, kp)
+        # end-to-end: a pushed range scan returns identical rows with
+        # and without the summary sidecar
+        rows = sorted(
+            (r.pk, r.value) for r in
+            ss.scan_sstable(spark, out, num_splits=4,
+                            key_start="k0100", key_stop="k0200").collect()
+        )
+        os.remove(os.path.join(out, "Summary.db"))
+        rows2 = sorted(
+            (r.pk, r.value) for r in
+            ss.scan_sstable(spark, out, num_splits=4,
+                            key_start="k0100", key_stop="k0200").collect()
+        )
+        assert rows == rows2
+        assert len(rows) == 100
+        shutil.rmtree(out)
+
+
+def test_corrupt_summary_fails_loud():
+    out = _tmpdir()
+    ss.write_sstable([(b"k1", [(b"c", 0, 0, 0, 1, b"v")])], out)
+    sp = os.path.join(out, "Summary.db")
+    open(sp, "wb").write(struct.pack(">II", 64, 5) + b"\x00\x02")
+    with pytest.raises(ss.CorruptSSTableError, match="Summary.db"):
+        ss._read_summary(out)
+    shutil.rmtree(out)
