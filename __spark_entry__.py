@@ -727,6 +727,7 @@ _DRIVER_PRIORITY = [
     "q_s15_sstable_bloom_lookup",
     "q_ml9_mannwhitney",
     "q_s16_sstable_summary_range",
+    "q_s17_sstable_stats_census",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3595,6 +3596,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                key_start="2", key_stop="3")
     q["q_s16_sstable_summary_range"] = q_s16
 
+    def q_s17(spark, sf):
+        # metadata-only TTL census across generations — the reference
+        # tool's operational question ("which SSTables still carry
+        # TTLs?") answered from Statistics.db sidecars alone: the dir
+        # listing fans out over executors, each task reads a fixed-size
+        # sidecar, ZERO Data.db bytes move. The same stats drive
+        # plan-time min/max-writetime table skip
+        # (NoTTLReader.java:1544-1569's analog). The oracle recomputes
+        # every aggregate from the events table the fixture derives
+        # from — so the sidecar's contents, not just its plumbing, are
+        # hash-checked.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstst_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen1"),
+                                  where="user_id % 2 = 0")
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen2"),
+                                  where="user_id % 2 = 1")
+        return ss.stats_census(spark, base).orderBy("generation")
+    q["q_s17_sstable_stats_census"] = q_s17
+
     def q_t8(spark, sf):
         # the reference's REAL lifecycle on its NATIVE format, e2e: two
         # overlapping SSTable generations (base + later updates/deletes)
@@ -5468,6 +5492,22 @@ WHERE pk >= '1' AND pk < '2'
     o["q_s16_sstable_summary_range"] = f"""
 SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
 WHERE pk >= '2' AND pk < '3'
+"""
+    o["q_s17_sstable_stats_census"] = """
+SELECT ('gen' || (CASE WHEN user_id % 2 = 0 THEN '1' ELSE '2' END))
+         AS generation,
+       count(DISTINCT user_id)::BIGINT AS n_partitions,
+       (3 * count(*))::BIGINT AS n_cells,
+       sum(CASE WHEN event_id % 10 < 7
+                THEN 3 - (event_id % 97 = 0)::INT ELSE 0 END)::BIGINT
+         AS n_expiring,
+       min(epoch_us(ts))::BIGINT AS min_writetime,
+       max(epoch_us(ts))::BIGINT AS max_writetime,
+       min(CASE WHEN event_id % 10 < 7
+                THEN (event_id % 30 + 1) * 86400 END)::BIGINT AS min_ttl,
+       max(CASE WHEN event_id % 10 < 7
+                THEN (event_id % 30 + 1) * 86400 END)::BIGINT AS max_ttl
+FROM events GROUP BY 1 ORDER BY 1
 """
 
     o["q_st11_stream_interval_join"] = """

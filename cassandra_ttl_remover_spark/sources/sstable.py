@@ -372,6 +372,76 @@ def bloom_might_contain(table_dir: str, key: bytes) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Statistics.db — per-table metadata sidecar
+# ---------------------------------------------------------------------------
+
+#: Cassandra's Statistics.db carries per-SSTable aggregates (min/max
+#: timestamps, TTL presence, row counts) that the read path uses to SKIP
+#: whole tables whose range cannot match (the reference's min/max check
+#: at NoTTLReader.java:1544-1569) and that operators (repair, compaction,
+#: this TTL remover) read to decide which files need work at all.
+#: Mirrored layout: ``>IQQqqQqq`` = version, n_partitions, n_cells,
+#: min_writetime, max_writetime, n_expiring, min_ttl, max_ttl (writetime
+#: bounds 0 when the table has no cells; ttl bounds 0 when no expiring
+#: cells). The writetime slot counted is whatever the atom carries there
+#: (markedForDeleteAt for tombstone atoms) — the same slot the scan
+#: emits.
+#:
+#: Scale note (100 TB): "which generations still carry TTLs" — the
+#: reference tool's operational question — becomes a metadata-only
+#: census: one tiny sidecar read per generation, zero Data.db bytes.
+#: And a pushed ``writetime`` predicate prunes non-intersecting
+#: generations at PLAN time, the way min/max parquet footers prune row
+#: groups.
+STATS_VERSION = 1
+_STATS_FMT = ">IQQqqQqq"
+
+
+def _write_stats(out_dir: str, n_partitions: int, n_cells: int,
+                 min_wt: int | None, max_wt: int | None,
+                 n_expiring: int, min_ttl: int | None,
+                 max_ttl: int | None) -> None:
+    # a table that emits no timestamped rows writes INVERTED writetime
+    # bounds (1 > 0) — unambiguous, since real bounds always satisfy
+    # min <= max; (0, 0) would collide with a genuine writetime of 0
+    with open(os.path.join(out_dir, "Statistics.db"), "wb") as f:
+        f.write(struct.pack(
+            _STATS_FMT, STATS_VERSION, n_partitions, n_cells,
+            1 if min_wt is None else min_wt,
+            0 if max_wt is None else max_wt,
+            n_expiring, min_ttl or 0, max_ttl or 0,
+        ))
+
+
+def read_stats(table_dir: str) -> dict | None:
+    """Decode a table's Statistics.db into a dict (``None`` when the
+    sidecar is absent — pre-stats tables are never skipped and censuses
+    report them as unknown). Malformed sidecars raise
+    :class:`CorruptSSTableError`."""
+    path = os.path.join(table_dir, "Statistics.db")
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+    except FileNotFoundError:
+        return None
+    if len(buf) != struct.calcsize(_STATS_FMT):
+        raise CorruptSSTableError(
+            f"{path}: Statistics.db is {len(buf)} bytes, expected "
+            f"{struct.calcsize(_STATS_FMT)}"
+        )
+    v, np_, nc, mnw, mxw, ne, mnt, mxt = struct.unpack(_STATS_FMT, buf)
+    if v != STATS_VERSION:
+        raise CorruptSSTableError(
+            f"{path}: unknown Statistics.db version {v}"
+        )
+    return {
+        "n_partitions": np_, "n_cells": nc,
+        "min_writetime": mnw, "max_writetime": mxw,
+        "n_expiring": ne, "min_ttl": mnt, "max_ttl": mxt,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Summary.db — sampled index (every Kth entry)
 # ---------------------------------------------------------------------------
 
@@ -528,6 +598,8 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
     index_path = os.path.join(out_dir, "Index.db")
     written_keys: list[bytes] = []
     summary: list[tuple[bytes, int, int]] = []
+    n_cells = n_expiring = 0
+    min_wt = max_wt = min_ttl = max_ttl = None
     with open(data_path, "wb") as df, open(index_path, "wb") as ix:
         for part in sorted(partitions, key=lambda p: p[0]):
             # (key, cells) = live partition; (key, cells, (ldt, mfda)) =
@@ -541,11 +613,28 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
             if len(written_keys) % summary_interval == 0:
                 summary.append((key, ix.tell(), offset))
             written_keys.append(key)
+            if (int(ldt) != LIVE_LOCAL_DELETION
+                    or int(mfda) != LIVE_MARKED_FOR_DELETE):
+                # partition-level deletion emits a row carrying mfda in
+                # the writetime slot — fold it into the stats bounds so
+                # timestamp skip can never drop a deletion row
+                m = int(mfda)
+                min_wt = m if min_wt is None else min(min_wt, m)
+                max_wt = m if max_wt is None else max(max_wt, m)
             ix.write(wlen(len(key)) + key)
             ix.write(struct.pack(">q", offset))
             df.write(wlen(len(key)) + key)
             df.write(struct.pack(">iq", int(ldt), int(mfda)))
             for name, mask, ttl, expiration, writetime, value in cells:
+                n_cells += 1
+                wt = int(writetime)
+                min_wt = wt if min_wt is None else min(min_wt, wt)
+                max_wt = wt if max_wt is None else max(max_wt, wt)
+                if mask & EXPIRATION_MASK:
+                    n_expiring += 1
+                    t = int(ttl)
+                    min_ttl = t if min_ttl is None else min(min_ttl, t)
+                    max_ttl = t if max_ttl is None else max(max_ttl, t)
                 df.write(wlen(len(name)) + name)
                 df.write(struct.pack(">B", mask))
                 if mask & RANGE_TOMBSTONE_MASK:
@@ -574,6 +663,8 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
             df.write(wlen(0))
     _write_filter(out_dir, written_keys)
     _write_summary(out_dir, summary_interval, summary)
+    _write_stats(out_dir, len(written_keys), n_cells, min_wt, max_wt,
+                 n_expiring, min_ttl, max_ttl)
     if compressed:
         _compress_data_file(out_dir)
 
@@ -778,6 +869,24 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
 # Spark Python DataSource
 # ---------------------------------------------------------------------------
 
+def _stats_may_match(table_dir: str, lo: int | None,
+                     hi: int | None) -> bool:
+    """Plan-time min/max-timestamp skip (the reference's range check,
+    NoTTLReader.java:1544-1569; parquet row-group pruning's analog):
+    ``False`` only when the table's Statistics.db PROVES no row can
+    satisfy ``lo <= writetime <= hi`` — absent sidecar means probe."""
+    st = read_stats(table_dir)
+    if st is None:
+        return True
+    if st["min_writetime"] > st["max_writetime"]:
+        return False  # inverted sentinel: the table emits no rows
+    if lo is not None and st["max_writetime"] < lo:
+        return False
+    if hi is not None and st["min_writetime"] > hi:
+        return False
+    return True
+
+
 def _exact_key(key_start: bytes | None,
                key_stop: bytes | None) -> bytes | None:
     """The half-open range ``[b, b + b"\\x00")`` contains exactly the key
@@ -854,6 +963,11 @@ def _make_datasource_cls():
             kp = options.get("key_stop")
             self.key_start = ks.encode("utf-8") if ks is not None else None
             self.key_stop = kp.encode("utf-8") if kp is not None else None
+            # inclusive writetime bounds INSPECTED from pushed filters
+            # for Statistics.db table skip; the filters themselves stay
+            # with Spark (yielded back), so granularity is free
+            self.wt_min_req: int | None = None
+            self.wt_max_req: int | None = None
 
         def _narrow(self, lo: bytes | None, hi: bytes | None) -> None:
             if lo is not None and (self.key_start is None
@@ -862,6 +976,14 @@ def _make_datasource_cls():
             if hi is not None and (self.key_stop is None
                                    or hi < self.key_stop):
                 self.key_stop = hi
+
+        def _wt_narrow(self, lo: int | None, hi: int | None) -> None:
+            if lo is not None and (self.wt_min_req is None
+                                   or lo > self.wt_min_req):
+                self.wt_min_req = lo
+            if hi is not None and (self.wt_max_req is None
+                                   or hi < self.wt_max_req):
+                self.wt_max_req = hi
 
         def pushFilters(self, filters):
             # Catalyst filter pushdown (Spark 4.1 Python DataSource API):
@@ -883,6 +1005,24 @@ def _make_datasource_cls():
 
             for f in filters:
                 val = getattr(f, "value", None)
+                if (getattr(f, "attribute", None) == ("writetime",)
+                        and isinstance(val, int)
+                        and not isinstance(val, bool)):
+                    # inspect-only: tighten the plan-time stats bounds,
+                    # then hand the filter back for exact evaluation
+                    v = int(val)
+                    if isinstance(f, EqualTo):
+                        self._wt_narrow(v, v)
+                    elif isinstance(f, GreaterThan):
+                        self._wt_narrow(v + 1, None)
+                    elif isinstance(f, GreaterThanOrEqual):
+                        self._wt_narrow(v, None)
+                    elif isinstance(f, LessThan):
+                        self._wt_narrow(None, v - 1)
+                    elif isinstance(f, LessThanOrEqual):
+                        self._wt_narrow(None, v)
+                    yield f
+                    continue
                 if (getattr(f, "attribute", None) != ("pk",)
                         or not isinstance(val, str)):
                     yield f
@@ -939,6 +1079,10 @@ def _make_datasource_cls():
             key = _exact_key(self.key_start, self.key_stop)
             if key is not None:
                 tables = [t for t in tables if bloom_might_contain(t, key)]
+            if self.wt_min_req is not None or self.wt_max_req is not None:
+                tables = [t for t in tables
+                          if _stats_may_match(t, self.wt_min_req,
+                                              self.wt_max_req)]
             splits = [
                 _Split(*t)
                 for table in tables
@@ -1089,6 +1233,68 @@ def lookup_partition(spark, path: str, key: str):
     path). Implemented as the degenerate one-key range."""
     return scan_sstable(spark, path, num_splits=1,
                         key_start=key, key_stop=key + "\x00")
+
+
+def stats_census(spark, path: str):
+    """Metadata-only census of a directory of generations: one row per
+    table from its ``Statistics.db`` alone — zero Data.db bytes read.
+    This is the reference tool's operational question ("which SSTables
+    still carry TTLs?") answered the way an operator would at fleet
+    scale: the dir listing parallelizes across executors and each task
+    reads a fixed-size sidecar per table. Inverted writetime bounds
+    (empty table) and zero-expiring ttl bounds surface as NULLs. Tables
+    without the sidecar raise — censusing unstated tables would
+    silently under-report TTL debt (quarantine convention)."""
+    import pandas as pd
+
+    if os.path.exists(os.path.join(path, "Data.db")):
+        dirs = [path]
+    else:
+        dirs = sorted(
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if os.path.exists(os.path.join(path, d, "Data.db"))
+        )
+    if not dirs:
+        raise ValueError(f"no Data.db under {path} or its subdirectories")
+
+    def _read(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["dir"]:
+                st = read_stats(d)
+                if st is None:
+                    raise CorruptSSTableError(
+                        f"{d}: no Statistics.db — cannot census"
+                    )
+                empty = st["min_writetime"] > st["max_writetime"]
+                rows.append({
+                    "generation": os.path.basename(d),
+                    "n_partitions": st["n_partitions"],
+                    "n_cells": st["n_cells"],
+                    "n_expiring": st["n_expiring"],
+                    "min_writetime":
+                        None if empty else st["min_writetime"],
+                    "max_writetime":
+                        None if empty else st["max_writetime"],
+                    "min_ttl": (st["min_ttl"]
+                                if st["n_expiring"] else None),
+                    "max_ttl": (st["max_ttl"]
+                                if st["n_expiring"] else None),
+                })
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        .repartition(min(len(dirs), 32))
+        .mapInPandas(
+            _read,
+            schema=("generation string, n_partitions bigint, "
+                    "n_cells bigint, n_expiring bigint, "
+                    "min_writetime bigint, max_writetime bigint, "
+                    "min_ttl bigint, max_ttl bigint"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

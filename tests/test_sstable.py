@@ -739,3 +739,109 @@ def test_corrupt_summary_fails_loud():
     with pytest.raises(ss.CorruptSSTableError, match="Summary.db"):
         ss._read_summary(out)
     shutil.rmtree(out)
+
+
+def test_stats_sidecar_counts_and_bounds():
+    """Statistics.db mirrors exactly what the scan emits: cell counts,
+    expiring counts, writetime bounds (including tombstone and
+    partition-deletion timestamps), ttl bounds; empty tables write the
+    inverted no-rows sentinel."""
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), out)
+    st = ss.read_stats(out)
+    assert st == {
+        "n_partitions": 3, "n_cells": 3, "n_expiring": 1,
+        "min_writetime": 1_700_000_000_000_000,
+        "max_writetime": 1_700_000_000_000_002,
+        "min_ttl": 600, "max_ttl": 600,
+    }
+    shutil.rmtree(out)
+    ss.write_sstable([], out)
+    st = ss.read_stats(out)
+    assert st["min_writetime"] > st["max_writetime"]  # no-rows sentinel
+    shutil.rmtree(out)
+    # a partition-deletion's markedForDeleteAt widens the bounds
+    ss.write_sstable(
+        [(b"k", [(b"c", 0, 0, 0, 500, b"v")], (1_600_000_000, 99))], out
+    )
+    st = ss.read_stats(out)
+    assert (st["min_writetime"], st["max_writetime"]) == (99, 500)
+    shutil.rmtree(out)
+
+
+def test_stats_census_reports_ttl_debt_and_strip_clears_it(spark):
+    """The census answers the reference tool's question from sidecars
+    alone, and after the distributed strip the output generations
+    report n_expiring = 0 — the operational 'TTL debt paid' check,
+    without scanning a byte of data."""
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), os.path.join(out, "g1"))
+    ss.write_sstable(
+        [(b"z1", [(b"c", ss.EXPIRATION_MASK, 60, 100, 7, b"v")])],
+        os.path.join(out, "g2"))
+    rows = {r.generation: r for r in ss.stats_census(spark, out).collect()}
+    assert rows["g1"].n_expiring == 1 and rows["g2"].n_expiring == 1
+    assert rows["g2"].min_ttl == 60
+    stripped = ss.strip_ttl_cells(ss.scan_sstable(spark, out))
+    dst = _tmpdir()
+    ss.write_sstable_distributed(stripped, dst, shards=2)
+    after = ss.stats_census(spark, dst).collect()
+    assert after and all(r.n_expiring == 0 for r in after)
+    assert sum(r.n_cells for r in after) == 4
+    shutil.rmtree(out)
+    shutil.rmtree(dst)
+
+
+def test_stats_census_missing_sidecar_fails_loud(spark):
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), os.path.join(out, "g1"))
+    os.remove(os.path.join(out, "g1", "Statistics.db"))
+    with pytest.raises(Exception, match="no Statistics.db"):
+        ss.stats_census(spark, out).collect()
+    shutil.rmtree(out)
+
+
+def test_writetime_filter_skips_disjoint_generations(spark):
+    """A pushed writetime predicate prunes non-intersecting generations
+    at PLAN time via Statistics.db (min/max skip) while Spark still
+    applies the filter exactly; without the sidecar, no pruning, same
+    rows. All comparison shapes."""
+    out = _tmpdir()
+    old = [(f"a{i}".encode(), [(b"c", 0, 0, 0, 1000 + i, b"old")])
+           for i in range(5)]
+    new = [(f"b{i}".encode(), [(b"c", 0, 0, 0, 3000 + i, b"new")])
+           for i in range(5)]
+    ss.write_sstable(old, os.path.join(out, "g_old"))
+    ss.write_sstable(new, os.path.join(out, "g_new"))
+
+    cls = ss._make_datasource_cls()
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    reader = cls({"path": out}).reader(None)
+    leftover = list(reader.pushFilters([GreaterThan(("writetime",), 2000)]))
+    assert len(leftover) == 1  # inspect-only: Spark keeps the filter
+    dirs = {os.path.basename(os.path.dirname(p.data_path))
+            for p in reader.partitions()}
+    assert dirs == {"g_new"}
+
+    reader = cls({"path": out}).reader(None)
+    list(reader.pushFilters([LessThanOrEqual(("writetime",), 1004)]))
+    dirs = {os.path.basename(os.path.dirname(p.data_path))
+            for p in reader.partitions()}
+    assert dirs == {"g_old"}
+
+    # e2e through Catalyst: rows equal the post-hoc filter, with and
+    # without the sidecars
+    want = sorted((r.pk, r.writetime) for r in
+                  ss.scan_sstable(spark, out).collect()
+                  if r.writetime > 2000)
+    got = sorted((r.pk, r.writetime) for r in
+                 ss.scan_sstable(spark, out)
+                 .filter("writetime > 2000").collect())
+    assert got == want and len(got) == 5
+    os.remove(os.path.join(out, "g_old", "Statistics.db"))
+    got2 = sorted((r.pk, r.writetime) for r in
+                  ss.scan_sstable(spark, out)
+                  .filter("writetime > 2000").collect())
+    assert got2 == want
+    shutil.rmtree(out)
