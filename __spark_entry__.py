@@ -728,6 +728,7 @@ _DRIVER_PRIORITY = [
     "q_ml9_mannwhitney",
     "q_s16_sstable_summary_range",
     "q_s17_sstable_stats_census",
+    "q_ml10_theil_sen",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4329,6 +4330,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cusum_drift(daily, k=k, h=5 * k)
     q["q_ml8_cusum_drift"] = q_ml8
 
+    def q_ml10(spark, sf):
+        # robust trend over the daily ingest series: Theil-Sen median
+        # slope (outlier-immune, unlike the OLS fit) + Kendall tau-b
+        # (Mann-Kendall trend significance) — exact integer pair
+        # statistics over the bounded daily frame, engine-deterministic
+        # median selection, unreduced-fraction emission
+        from cassandra_ttl_remover_spark.operators.ml import (
+            theil_sen_kendall,
+        )
+
+        daily = (
+            _events(spark, sf)
+            .groupBy(F.expr("cast(cast(ts as date) as string)").alias("day"))
+            .agg(F.count("*").cast("long").alias("x"))
+        )
+        return theil_sen_kendall(daily)
+    q["q_ml10_theil_sen"] = q_ml10
+
     def q_ml9(spark, sf):
         # Mann-Whitney U on document length (en vs rest) — the
         # nonparametric companion to q_ml6's t-test: integer doubled
@@ -5337,6 +5356,14 @@ ORDER BY day
     )
 
     o["q_ml9_mannwhitney"] = mannwhitney_u_oracle_sql()
+    from cassandra_ttl_remover_spark.operators.ml import (
+        theil_sen_kendall_oracle_sql,
+    )
+
+    o["q_ml10_theil_sen"] = theil_sen_kendall_oracle_sql(
+        "SELECT ts::DATE::VARCHAR AS day, count(*)::BIGINT AS x "
+        "FROM events GROUP BY ts::DATE"
+    )
     from cassandra_ttl_remover_spark.operators.audit import (
         corpus_card_oracle_sql,
         k_anonymity_oracle_sql,

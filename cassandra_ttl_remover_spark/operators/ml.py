@@ -740,3 +740,137 @@ SELECT n1, n2,
        END AS z
 FROM sums
 """
+
+
+def theil_sen_kendall(daily: DataFrame, day_col: str = "day",
+                      value_col: str = "x") -> DataFrame:
+    """Robust trend read on an ordered integer series, one row out:
+    Theil–Sen slope (median of all pairwise slopes — up to ~29% outlier
+    days cannot move it, unlike OLS) and Kendall tau-b (the rank
+    trend-significance companion, Mann–Kendall's statistic).
+
+    Exactness: every pair contributes integers ``(dx, dt)``; the
+    concordance sum S = sum(sign(dx)) and the x-tie pair count n2 are
+    exact, and tau = S / sqrt(n0*(n0 - n2)) is one IEEE division +
+    sqrt over exact operands (time has no ties, so the tau-b n1 term
+    vanishes). The median slope is selected by ordering pairs on
+    (dx/dt as ONE IEEE division, dt, dx) — both engines compute
+    identical doubles from identical ints, and the integer tie-breaks
+    pin a unique row choice, so the selection is engine-deterministic
+    — then emitted UNREDUCED from the middle row(s):
+    num = dx_a*dt_b + dx_b*dt_a, den = 2*dt_a*dt_b (for an odd pair
+    count the two middles coincide and the formula degenerates to
+    2*dx*dt / 2*dt^2 == dx/dt). No gcd needed: both engines emit the
+    same formula of the same rows.
+
+    Scale: the input is already the per-day aggregate; pairs are
+    O(|days|^2) — ~6.6M at a DECADE of daily grain, a bounded
+    broadcast self-join over the tiny frame, never corpus-sized."""
+    idx = daily.select(
+        F.col(day_col).alias("day"), F.col(value_col).alias("x"),
+        F.row_number().over(Window.orderBy(day_col)).alias("t"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("b.t") > F.col("a.t"))
+        .select(
+            (F.col("b.x") - F.col("a.x")).alias("dx"),
+            (F.col("b.t") - F.col("a.t")).alias("dt"),
+        )
+    )
+    w = Window.orderBy(
+        F.expr("cast(dx as double) / cast(dt as double)"), "dt", "dx"
+    )
+    cnt = Window.partitionBy()
+    ranked = pairs.select(
+        "dx", "dt",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("m"),
+        F.expr("case when dx > 0 then 1L when dx < 0 then -1L "
+               "else 0L end").alias("sgn"),
+    )
+    mid = ranked.filter(
+        "rn = cast((m + 1) / 2 as bigint) or rn = cast((m + 2) / 2 as bigint)"
+    ).agg(
+        F.expr("min_by(dx, rn)").alias("dx_a"),
+        F.expr("max_by(dx, rn)").alias("dx_b"),
+        F.expr("min_by(dt, rn)").alias("dt_a"),
+        F.expr("max_by(dt, rn)").alias("dt_b"),
+    )
+    tot = ranked.agg(
+        F.max("m").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("kendall_s"),
+        F.expr("sum(cast(dx = 0 as bigint))").cast("long").alias("n2"),
+    )
+    n_days = daily.select(F.count("*").cast("long").alias("n_days"))
+    num = "cast(dx_a as decimal(38,0)) * dt_b + cast(dx_b as decimal(38,0)) * dt_a"
+    den = "2 * cast(dt_a as decimal(38,0)) * dt_b"
+    tau_den = ("cast(n_pairs as decimal(38,0)) * "
+               "(cast(n_pairs as decimal(38,0)) - n2)")
+    return (
+        n_days.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(mid))
+        .select(
+            "n_days", "n_pairs",
+            F.expr(f"cast({num} as string)").alias("ts_num"),
+            F.expr(f"cast({den} as string)").alias("ts_den"),
+            F.expr(
+                f"cast({num} as double) / cast({den} as double)"
+            ).alias("theil_sen"),
+            "kendall_s",
+            F.expr(
+                f"case when {tau_den} = 0 then cast(0.0 as double) else "
+                f"cast(kendall_s as double) / sqrt(cast({tau_den} as double)) end"
+            ).alias("kendall_tau"),
+        )
+    )
+
+
+def theil_sen_kendall_oracle_sql(daily_sql: str, day_col: str = "day",
+                                 value_col: str = "x") -> str:
+    """DuckDB mirror: same pair frame, same (dx/dt, dt, dx) ordering,
+    same unreduced middle-row formula; integral outputs ::BIGINT or
+    ::VARCHAR past the pandas bridge."""
+    return f"""
+WITH daily AS ({daily_sql}),
+idx AS (
+  SELECT {day_col} AS day, {value_col} AS x,
+         row_number() OVER (ORDER BY {day_col}) AS t
+  FROM daily
+),
+pairs AS (
+  SELECT (b.x - a.x)::BIGINT AS dx, (b.t - a.t)::BIGINT AS dt
+  FROM idx a JOIN idx b ON b.t > a.t
+),
+ranked AS (
+  SELECT dx, dt,
+         row_number() OVER (ORDER BY dx::DOUBLE / dt::DOUBLE, dt, dx)
+           AS rn,
+         count(*) OVER () AS m
+  FROM pairs
+),
+mid AS (
+  SELECT min_by(dx, rn)::HUGEINT AS dx_a, max_by(dx, rn)::HUGEINT AS dx_b,
+         min_by(dt, rn)::HUGEINT AS dt_a, max_by(dt, rn)::HUGEINT AS dt_b
+  FROM ranked
+  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+),
+tot AS (
+  SELECT max(m)::BIGINT AS n_pairs,
+         sum(CASE WHEN dx > 0 THEN 1 WHEN dx < 0 THEN -1
+                  ELSE 0 END)::BIGINT AS kendall_s,
+         sum((dx = 0)::BIGINT)::BIGINT AS n2
+  FROM ranked
+),
+nd AS (SELECT count(*)::BIGINT AS n_days FROM idx)
+SELECT n_days, n_pairs,
+       (dx_a * dt_b + dx_b * dt_a)::VARCHAR AS ts_num,
+       (2 * dt_a * dt_b)::VARCHAR AS ts_den,
+       (dx_a * dt_b + dx_b * dt_a)::DOUBLE / (2 * dt_a * dt_b)::DOUBLE
+         AS theil_sen,
+       kendall_s,
+       CASE WHEN n_pairs::HUGEINT * (n_pairs::HUGEINT - n2) = 0 THEN 0.0
+            ELSE kendall_s::DOUBLE
+                 / sqrt((n_pairs::HUGEINT * (n_pairs::HUGEINT - n2))::DOUBLE)
+       END AS kendall_tau
+FROM nd, tot, mid
+"""

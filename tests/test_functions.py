@@ -298,3 +298,61 @@ def test_mannwhitney_degenerate_all_tied(spark):
     row = mannwhitney_u(df, positive="en").collect()[0]
     assert int(row.u1_x2) == row.n1 * row.n2
     assert row.z == 0.0
+
+
+def test_theil_sen_kendall_textbook_reference(spark):
+    """Median pairwise slope and tau-b recomputed with stdlib floats on
+    a small series with one wild outlier day: Theil-Sen must shrug the
+    outlier off (stay near the true slope 3) while the OLS slope
+    doesn't; tau matches the pair-count formula."""
+    import math
+    from statistics import median
+
+    from cassandra_ttl_remover_spark.operators.ml import theil_sen_kendall
+
+    xs = [3 * t + (1000 if t == 7 else 0) for t in range(1, 13)]
+    df = spark.createDataFrame(
+        [(f"2026-01-{t:02d}", x) for t, x in zip(range(1, 13), xs)],
+        "day string, x long",
+    )
+    row = theil_sen_kendall(df).collect()[0]
+    n = len(xs)
+    slopes = sorted(
+        (xs[j] - xs[i]) / (j - i)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    want_ts = median(slopes)
+    got_ts = int(row.ts_num) / int(row.ts_den)
+    assert abs(got_ts - want_ts) < 1e-12
+    assert abs(row.theil_sen - want_ts) < 1e-12
+    assert abs(got_ts - 3.0) < 1.0  # outlier-immune
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    n0 = n * (n - 1) // 2
+    n2 = sum(
+        xs[i] == xs[j] for i in range(n) for j in range(i + 1, n)
+    )
+    assert row.kendall_s == s and row.n_pairs == n0
+    assert abs(row.kendall_tau - s / math.sqrt(n0 * (n0 - n2))) < 1e-12
+
+
+def test_theil_sen_even_pair_count_averages_middles(spark):
+    """4 points -> 6 pairs (even): the emitted unreduced fraction is the
+    exact average of the two middle slopes."""
+    from statistics import median
+
+    from cassandra_ttl_remover_spark.operators.ml import theil_sen_kendall
+
+    xs = [1, 5, 2, 9]
+    df = spark.createDataFrame(
+        [(f"2026-02-{t:02d}", x) for t, x in zip(range(1, 5), xs)],
+        "day string, x long",
+    )
+    row = theil_sen_kendall(df).collect()[0]
+    slopes = sorted(
+        (xs[j] - xs[i]) / (j - i)
+        for i in range(4) for j in range(i + 1, 4)
+    )
+    assert abs(int(row.ts_num) / int(row.ts_den) - median(slopes)) < 1e-12
