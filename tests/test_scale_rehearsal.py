@@ -622,3 +622,50 @@ def test_int8_quantization_constant_and_extreme_dims(spark):
     assert rows[1].sum_abs_err == 0 and rows[1].max_abs_err == 0
     assert rows[3].mx_q == 999 * 10**9                 # 1e12-scale ints
     assert all(r.n == 1_000 for r in rows.values())
+
+
+def test_sidecar_planning_bytes_at_60k_partitions(tmp_path):
+    """Sidecar scale rehearsal at 60k partitions: the summary-assisted
+    planner parses an index WINDOW ~1/interval of the full index for a
+    point probe (planner I/O scales with selectivity, not partition
+    count); the bloom answers point-absence from a ~10-bits/key sidecar
+    without touching the index at all; and the stats census answers the
+    TTL question from a fixed-size record."""
+    import os
+
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    out = str(tmp_path / "big")
+    n = 60_000
+    ss.write_sstable(
+        ((f"p{i:06d}".encode(),
+          [(b"c", 0, 0, 0, i, str(i).encode()),
+           (b"d", ss.EXPIRATION_MASK, 60, 100 + i, i, b"x")])
+         for i in range(n)),
+        out,
+    )
+    ix_size = os.path.getsize(os.path.join(out, "Index.db"))
+    sm_size = os.path.getsize(os.path.join(out, "Summary.db"))
+    assert sm_size < ix_size // 30  # ~1/64 plus per-sample overhead
+
+    samples = ss._read_summary(out)
+    win, wsize = ss._read_index_window(
+        out, samples, b"p031415", b"p031415\x00")
+    assert 0 < len(win) <= 2 * ss.SUMMARY_INTERVAL
+    full = ss.read_index(os.path.join(out, "Index.db"))
+    got = ss.select_index_range(win, wsize, b"p031415", b"p031415\x00")
+    want = ss.select_index_range(
+        full, ss._data_size(out), b"p031415", b"p031415\x00")
+    assert got[1:] == want[1:]
+
+    # bloom: every present key passes; absent keys overwhelmingly pruned
+    assert ss.bloom_might_contain(out, b"p031415")
+    fp = sum(ss.bloom_might_contain(out, f"absent{i}".encode())
+             for i in range(500))
+    assert fp <= 25  # ~0.8% expected at 10 bits/key
+    flt_size = os.path.getsize(os.path.join(out, "Filter.db"))
+    assert flt_size < n * 2  # ~10 bits/key
+
+    st = ss.read_stats(out)
+    assert st["n_partitions"] == n and st["n_expiring"] == n
+    assert st["min_writetime"] == 0 and st["max_writetime"] == n - 1
