@@ -1314,12 +1314,17 @@ def apply_budget_sample(docs: DataFrame, alloc: DataFrame,
     Scale: the allocation frame is |sources| rows — broadcast; the
     decision is a zero-shuffle projection."""
     dec = "cast({v} as decimal(38,0))"
+    # the hash-threshold term is guarded on a non-NULL id: Spark's
+    # hash(NULL) returns the seed (a REAL decision) while the oracle's
+    # murmur3 expression propagates NULL — guarding both sides to the
+    # same "no id, no threshold keep" semantics (a saturated source
+    # still keeps the row; saturation needs no hash)
     keep = (
-        f"saturated or "
+        f"saturated or ({id_col} is not null and "
         f"{dec.format(v=f'pmod(hash({id_col}), 2147483648L)')}"
         f" * {dec.format(v='cap')}"
         f" < {dec.format(v='allocation')}"
-        f" * cast(2147483648 as decimal(38,0))"
+        f" * cast(2147483648 as decimal(38,0)))"
     )
     a = alloc.select(
         F.col("source").alias("_alloc_source"), "cap", "saturated",

@@ -670,6 +670,10 @@ def mannwhitney_u(docs: DataFrame, positive: str = "en",
     the U statistic itself (u1_x2 <= 2*n1*n2) stays exact to N ~ 1e19."""
     x = f"cast(length({text_col}) as bigint)"
     pos = f"cast({label_col} = '{positive}' as bigint)"
+    # NULL texts carry no length to rank — excluded on BOTH engines
+    # (otherwise Spark's NULLS FIRST window order and DuckDB's NULLS
+    # LAST default would shift every c_less prefix sum)
+    docs = docs.where(f"{text_col} IS NOT NULL")
     pv = docs.groupBy(F.expr(x).alias("v")).agg(
         F.count("*").cast("long").alias("t"),
         F.expr(f"sum({pos})").cast("long").alias("g1"),
@@ -719,7 +723,7 @@ def mannwhitney_u_oracle_sql(positive: str = "en", label_col: str = "lang",
     return f"""
 WITH pv AS (
   SELECT {x} AS v, count(*)::BIGINT AS t, sum({pos})::BIGINT AS g1
-  FROM {table} GROUP BY 1
+  FROM {table} WHERE text IS NOT NULL GROUP BY 1
 ), ranked AS (
   SELECT v, t, g1,
          coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED

@@ -352,10 +352,15 @@ def bloom_might_contain(table_dir: str, key: bytes) -> bool:
                     f"(wanted 9 bytes, got {len(header)})"
                 )
             m, k = struct.unpack(">QB", header)
-            if m == 0 or m % 64 != 0 or k == 0:
+            # validate m against the ACTUAL file size before reading —
+            # a corrupt header encoding an absurd m must hit the
+            # quarantine path, not a multi-petabyte read attempt
+            if (m == 0 or m % 64 != 0 or k == 0
+                    or os.path.getsize(path) != 9 + m // 8):
                 raise CorruptSSTableError(
                     f"{path}: implausible Filter.db header "
-                    f"(m_bits={m}, k={k})"
+                    f"(m_bits={m}, k={k}, "
+                    f"file={os.path.getsize(path)} bytes)"
                 )
             bits = f.read(m // 8)
             if len(bits) != m // 8:
@@ -415,8 +420,9 @@ def _write_stats(out_dir: str, n_partitions: int, n_cells: int,
 
 def read_stats(table_dir: str) -> dict | None:
     """Decode a table's Statistics.db into a dict (``None`` when the
-    sidecar is absent — pre-stats tables are never skipped and censuses
-    report them as unknown). Malformed sidecars raise
+    sidecar is absent — PLANNING never skips such a table, and
+    :func:`stats_census` fails loudly on it, since silently reporting
+    nothing would under-count TTL debt). Malformed sidecars raise
     :class:`CorruptSSTableError`."""
     path = os.path.join(table_dir, "Statistics.db")
     try:
@@ -533,28 +539,9 @@ def _read_index_window(table_dir: str,
         else:
             buf = f.read()
             end_data = _data_size(table_dir)
-    gen = _table_generation(table_dir)
-    entries = []
-    pos = 0
-    try:
-        while pos < len(buf):
-            if gen == "mc":
-                klen, pos = _read_uvint_buf(buf, pos)
-            else:
-                (klen,) = struct.unpack_from(">H", buf, pos)
-                pos += 2
-            key = buf[pos:pos + klen]
-            if len(key) != klen:
-                raise struct.error("truncated key")
-            pos += klen
-            (off,) = struct.unpack_from(">q", buf, pos)
-            pos += 8
-            entries.append((key, off))
-    except struct.error as e:
-        raise CorruptSSTableError(
-            f"{index_path}: malformed index window [{ix_start}, "
-            f"{ix_start + len(buf)}) ({e})"
-        ) from None
+    entries = _parse_index_entries(
+        buf, _table_generation(table_dir), index_path, base_off=ix_start
+    )
     return entries, end_data
 
 
@@ -716,27 +703,44 @@ def select_index_range(
     return (lo, byte_start, byte_end)
 
 
+def _parse_index_entries(buf: bytes, gen: str, path: str,
+                         base_off: int = 0) -> list[tuple[bytes, int]]:
+    """The ONE index-record parser (generation-dispatched framing),
+    shared by the full read and the summary-bounded window read so the
+    two planners can never disagree on the same bytes. Truncated
+    records raise :class:`CorruptSSTableError` naming the byte span."""
+    entries: list[tuple[bytes, int]] = []
+    pos = 0
+    try:
+        while pos < len(buf):
+            if gen == "mc":
+                klen, pos = _read_uvint_buf(buf, pos)
+            else:
+                (klen,) = struct.unpack_from(">H", buf, pos)
+                pos += 2
+            key = buf[pos:pos + klen]
+            if len(key) != klen:
+                raise struct.error("truncated key")
+            pos += klen
+            (off,) = struct.unpack_from(">q", buf, pos)
+            pos += 8
+            entries.append((key, off))
+    except struct.error as e:
+        raise CorruptSSTableError(
+            f"{path}: malformed index bytes [{base_off}, "
+            f"{base_off + len(buf)}) ({e})"
+        ) from None
+    return entries
+
+
 def read_index(index_path: str) -> list[tuple[bytes, int]]:
     """The planner's only I/O: ``[(key, Data.db offset), …]`` in file
     order (== key-byte order, by the writer invariant). Framing follows
     the table's generation (Version.txt dispatch)."""
     gen = _table_generation(os.path.dirname(index_path))
-    out = []
     with open(index_path, "rb") as f:
         buf = f.read()
-    pos = 0
-    while pos < len(buf):
-        if gen == "mc":
-            klen, pos = _read_uvint_buf(buf, pos)
-        else:
-            (klen,) = struct.unpack_from(">H", buf, pos)
-            pos += 2
-        key = buf[pos:pos + klen]
-        pos += klen
-        (off,) = struct.unpack_from(">q", buf, pos)
-        pos += 8
-        out.append((key, off))
-    return out
+    return _parse_index_entries(buf, gen, index_path)
 
 
 def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
@@ -868,6 +872,27 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
 # ---------------------------------------------------------------------------
 # Spark Python DataSource
 # ---------------------------------------------------------------------------
+
+def _resolve_table_dirs(path: str) -> list[str]:
+    """The ONE layout convention: ``path`` is either a single sstable
+    (``Data.db`` directly inside) or a directory of shard/generation
+    sstables (the distributed writer's layout == a Cassandra data
+    directory). Shared by the batch reader and the stats census so a
+    future layout change cannot make them disagree on what a directory
+    contains."""
+    if os.path.exists(os.path.join(path, "Data.db")):
+        return [path]
+    subs = sorted(
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if os.path.exists(os.path.join(path, d, "Data.db"))
+    )
+    if not subs:
+        raise ValueError(
+            f"no Data.db under {path} or its subdirectories"
+        )
+    return subs
+
 
 def _stats_may_match(table_dir: str, lo: int | None,
                      hi: int | None) -> bool:
@@ -1047,21 +1072,7 @@ def _make_datasource_cls():
                     yield f
 
         def _table_dirs(self):
-            # a path is either ONE sstable (Data.db directly inside) or a
-            # directory of shard sstables (the distributed writer's
-            # layout, == a Cassandra data directory of generations)
-            if os.path.exists(os.path.join(self.path, "Data.db")):
-                return [self.path]
-            subs = sorted(
-                os.path.join(self.path, d)
-                for d in os.listdir(self.path)
-                if os.path.exists(os.path.join(self.path, d, "Data.db"))
-            )
-            if not subs:
-                raise ValueError(
-                    f"no Data.db under {self.path} or its subdirectories"
-                )
-            return subs
+            return _resolve_table_dirs(self.path)
 
         def partitions(self):
             # key-range pushdown happens in the planner: each table is
@@ -1247,16 +1258,7 @@ def stats_census(spark, path: str):
     silently under-report TTL debt (quarantine convention)."""
     import pandas as pd
 
-    if os.path.exists(os.path.join(path, "Data.db")):
-        dirs = [path]
-    else:
-        dirs = sorted(
-            os.path.join(path, d)
-            for d in os.listdir(path)
-            if os.path.exists(os.path.join(path, d, "Data.db"))
-        )
-    if not dirs:
-        raise ValueError(f"no Data.db under {path} or its subdirectories")
+    dirs = _resolve_table_dirs(path)
 
     def _read(batches):
         for pdf in batches:

@@ -395,3 +395,28 @@ def test_apply_budget_sample_is_deterministic_and_tracks_alloc(
     out = apply_budget_sample(documents, partial)
     assert out.filter("is_sampled IS NULL").count() == 0
     assert out.filter("source = 'src0' AND is_sampled").count() == 0
+
+
+def test_budget_sample_null_id_kept_out_unless_saturated(spark):
+    """A NULL doc id has no deterministic hash: unsaturated sources drop
+    it (matching the oracle's NULL-propagating murmur3), saturated
+    sources keep everything — saturation needs no hash."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.curate import (
+        apply_budget_sample, budget_allocation,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s1", 100), (None, "s1", 100), (2, "s2", 100),
+         (None, "s2", 100)],
+        "doc_id long, source string, n_chars long",
+    )
+    # s1 saturated (huge budget via weights), s2 scarce
+    al = budget_allocation(docs, budget=250, weights={"s1": 1000})
+    sat = {r.source: r.saturated for r in al.collect()}
+    assert sat["s1"] and not sat["s2"]
+    out = {(r.source, r.doc_id is None): r.is_sampled
+           for r in apply_budget_sample(docs, al).collect()}
+    assert out[("s1", True)] is True      # saturated keeps NULL id
+    assert out[("s2", True)] is False     # unsaturated drops NULL id

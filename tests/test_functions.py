@@ -356,3 +356,18 @@ def test_theil_sen_even_pair_count_averages_middles(spark):
         for i in range(4) for j in range(i + 1, 4)
     )
     assert abs(int(row.ts_num) / int(row.ts_den) - median(slopes)) < 1e-12
+
+
+def test_mannwhitney_ignores_null_text(spark):
+    """NULL texts are excluded on both engines (Spark windows sort
+    NULLS FIRST, DuckDB NULLS LAST — ranking them would shift every
+    prefix sum differently per engine)."""
+    from cassandra_ttl_remover_spark.operators.ml import mannwhitney_u
+
+    base = [("aaa", "en"), ("bbbb", "fr"), ("cc", "en"), ("ddddd", "fr")]
+    df = spark.createDataFrame(base, "text string, lang string")
+    with_null = spark.createDataFrame(
+        base + [(None, "en"), (None, "fr")], "text string, lang string"
+    )
+    assert (mannwhitney_u(df).collect()[0]
+            == mannwhitney_u(with_null).collect()[0])

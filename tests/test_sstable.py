@@ -680,7 +680,12 @@ def test_corrupt_filter_sidecar_fails_loud():
     with pytest.raises(ss.CorruptSSTableError, match="Filter.db header"):
         ss.bloom_might_contain(out, b"k1")
     open(fp, "wb").write(struct.pack(">QB", 128, 7) + b"\x00" * 3)
-    with pytest.raises(ss.CorruptSSTableError, match="bitset"):
+    with pytest.raises(ss.CorruptSSTableError, match="Filter.db"):
+        ss.bloom_might_contain(out, b"k1")
+    # an absurd m (multiple of 64) must hit the quarantine path BEFORE
+    # any read attempt sized by it
+    open(fp, "wb").write(struct.pack(">QB", 1 << 60, 7) + b"\x00" * 8)
+    with pytest.raises(ss.CorruptSSTableError, match="implausible"):
         ss.bloom_might_contain(out, b"k1")
     shutil.rmtree(out)
 
