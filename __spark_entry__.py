@@ -729,6 +729,7 @@ _DRIVER_PRIORITY = [
     "q_s16_sstable_summary_range",
     "q_s17_sstable_stats_census",
     "q_ml10_theil_sen",
+    "q_n53_distinct_ngrams",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4330,6 +4331,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cusum_drift(daily, k=k, h=5 * k)
     q["q_ml8_cusum_drift"] = q_ml8
 
+    def q_n53(spark, sf):
+        # distinct-n diversity per source (Li et al. 2016): collapsing
+        # distinct-ratio flags templated/duplicated slices dedup should
+        # have caught — exact BIGINT counts, one IEEE division, nothing
+        # wider than the n-gram dictionary shuffles
+        from cassandra_ttl_remover_spark.operators.text import (
+            distinct_ngram_diversity,
+        )
+
+        return distinct_ngram_diversity(scan_table(spark, sf, "documents"))
+    q["q_n53_distinct_ngrams"] = q_n53
+
     def q_ml10(spark, sf):
         # robust trend over the daily ingest series: Theil-Sen median
         # slope (outlier-immune, unlike the OLS fit) + Kendall tau-b
@@ -5364,6 +5377,11 @@ ORDER BY day
         "SELECT ts::DATE::VARCHAR AS day, count(*)::BIGINT AS x "
         "FROM events GROUP BY ts::DATE"
     )
+    from cassandra_ttl_remover_spark.operators.text import (
+        distinct_ngram_diversity_oracle_sql,
+    )
+
+    o["q_n53_distinct_ngrams"] = distinct_ngram_diversity_oracle_sql()
     from cassandra_ttl_remover_spark.operators.audit import (
         corpus_card_oracle_sql,
         k_anonymity_oracle_sql,

@@ -1357,3 +1357,90 @@ SELECT g.id AS {id_col},
 FROM g LEFT JOIN agg ON g.id = agg.id
 ORDER BY {id_col}
 """
+
+
+def distinct_ngram_diversity(docs: DataFrame, ns: tuple = (1, 2, 3),
+                             by: str = "source", text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Distinct-n diversity per corpus slice (Li et al. 2016's
+    distinct-1/distinct-2, the standard repetitiveness read before
+    training): for each ``by`` group and each n, the total and DISTINCT
+    adjacent n-gram counts and their ratio — a collapsing ratio flags a
+    slice full of templated or duplicated text that dedup should have
+    caught. Exact: two BIGINT counts per row; the ratio is ONE IEEE
+    division (hash-stable). Output
+    ``(group, n, total_ngrams, distinct_ngrams, distinct_ratio)``
+    ordered by (group, n).
+
+    Scale shape: per n, one explode into (group, gram) followed by a
+    two-level aggregation — groupBy(group, gram) count (map-side
+    combined; this IS the distinct) then groupBy(group) count+sum.
+    Nothing wider than the n-gram dictionary ever shuffles, and the
+    n's union independent plans (no cross-n barrier)."""
+    ws = WORDS_EXPR.format(col=text_col)
+    frames = []
+    for n in ns:
+        grams = fan_out(docs, id_col).select(
+            F.col(by).alias("grp"),
+            F.explode(F.expr(
+                f"case when size({ws}) >= {n} then "
+                f"transform(sequence(1, size({ws}) - {n} + 1), "
+                f"i -> array_join(slice({ws}, i, {n}), ' ')) "
+                "else array() end"
+            )).alias("gram"),
+        )
+        per_gram = grams.groupBy("grp", "gram").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        frames.append(
+            per_gram.groupBy("grp").agg(
+                F.sum("c").cast("long").alias("total_ngrams"),
+                F.count("*").cast("long").alias("distinct_ngrams"),
+            ).select(
+                F.col("grp").alias(by), F.lit(n).cast("long").alias("n"),
+                "total_ngrams", "distinct_ngrams",
+                (F.col("distinct_ngrams").cast("double")
+                 / F.col("total_ngrams").cast("double"))
+                .alias("distinct_ratio"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy(by, "n")
+
+
+def distinct_ngram_diversity_oracle_sql(ns: tuple = (1, 2, 3),
+                                        by: str = "source",
+                                        table: str = "documents") -> str:
+    """DuckDB mirror: same tokenizer, same slice/join n-gram form, same
+    two-level aggregation; counts ::BIGINT past the pandas bridge."""
+    ctes = []
+    for n in ns:
+        ctes.append(f"""
+g{n} AS (
+  SELECT {by} AS grp,
+         unnest(CASE WHEN len(ws) >= {n} THEN
+                  list_transform(generate_series(1, len(ws) - {n} + 1),
+                                 i -> array_to_string(ws[i:i + {n} - 1], ' '))
+                ELSE [] END) AS gram
+  FROM toks
+),
+x{n} AS (
+  SELECT grp, gram, count(*)::BIGINT AS c FROM g{n} GROUP BY grp, gram
+)""")
+    selects = [f"""
+SELECT grp AS {by}, {n}::BIGINT AS n,
+       sum(c)::BIGINT AS total_ngrams,
+       count(*)::BIGINT AS distinct_ngrams,
+       count(*)::DOUBLE / sum(c)::DOUBLE AS distinct_ratio
+FROM x{n} GROUP BY grp
+""" for n in ns]
+    return (
+        "WITH toks AS (SELECT " + by + ", "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS ws "
+        f"FROM {table}),\n"
+        + ",\n".join(ctes)
+        + "\n" + "\nUNION ALL\n".join(selects)
+        + f"\nORDER BY {by}, n"
+    )

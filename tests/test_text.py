@@ -387,3 +387,30 @@ def test_winnow_guarantee_shared_fingerprint(spark):
     rows = {r.doc_id: r for r in T.winnow_fingerprints(df, window=4).collect()}
     assert rows[1].n_selected > 0 and rows[2].n_selected > 0
     assert sel_set("aa bb " + shared + " cc") & sel_set(shared + " xx yy zz")
+
+
+def test_distinct_ngram_diversity_hand_counts(spark):
+    """Hand-checkable corpus: repeated text collapses the distinct
+    ratio; unique text keeps it at 1.0; short docs contribute zero
+    n-grams for n > their token count."""
+    from cassandra_ttl_remover_spark.operators.text import (
+        distinct_ngram_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "rep"), (2, "a b a b", "rep"),
+         (3, "x y z", "uniq"), (4, "w", "uniq")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.source, r.n): r
+            for r in distinct_ngram_diversity(docs, ns=(1, 2)).collect()}
+    # rep unigrams: 8 total, {a, b} distinct
+    assert rows[("rep", 1)].total_ngrams == 8
+    assert rows[("rep", 1)].distinct_ngrams == 2
+    # rep bigrams: 2 docs x 3 = 6 total, {'a b', 'b a'} distinct
+    assert rows[("rep", 2)].total_ngrams == 6
+    assert rows[("rep", 2)].distinct_ngrams == 2
+    # uniq unigrams 4/4; bigrams: only doc 3 contributes (2), 'w' none
+    assert rows[("uniq", 1)].distinct_ratio == 1.0
+    assert rows[("uniq", 2)].total_ngrams == 2
+    assert rows[("uniq", 2)].distinct_ngrams == 2
