@@ -730,6 +730,7 @@ _DRIVER_PRIORITY = [
     "q_s17_sstable_stats_census",
     "q_ml10_theil_sen",
     "q_n53_distinct_ngrams",
+    "q_st19_stream_ttl_debt",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4331,6 +4332,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cusum_drift(daily, k=k, h=5 * k)
     q["q_ml8_cusum_drift"] = q_ml8
 
+    def q_st19(spark, sf):
+        # streaming TTL-debt monitor over the NATIVE format: as SSTable
+        # shards arrive, a complete-mode aggregation maintains the
+        # per-kind cell census (count + writetime bounds) — the
+        # operational dashboard behind "how much TTL debt is left" while
+        # a migration drains. Per-batch increments merge into exactly
+        # the table a batch census computes, which IS the oracle.
+        import uuid as _uuid
+
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+        )
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sst_{_uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, base + "_src")
+        cells = ss.scan_sstable(spark, base + "_src")
+        ss.write_sstable_distributed(cells, base + "_shards", shards=4)
+        census = (
+            ss.stream_sstable(spark, base + "_shards")
+            .groupBy("kind")
+            .agg(
+                F.count("*").cast("long").alias("n_cells"),
+                F.min("writetime").alias("min_wt"),
+                F.max("writetime").alias("max_wt"),
+            )
+        )
+        return drain_to_table(
+            census, f"st19_{_uuid.uuid4().hex[:8]}", "complete"
+        )
+    q["q_st19_stream_ttl_debt"] = q_st19
+
     def q_n53(spark, sf):
         # distinct-n diversity per source (Li et al. 2016): collapsing
         # distinct-ratio flags templated/duplicated slices dedup should
@@ -5382,6 +5417,31 @@ ORDER BY day
     )
 
     o["q_n53_distinct_ngrams"] = distinct_ngram_diversity_oracle_sql()
+    o["q_st19_stream_ttl_debt"] = """
+WITH e AS (
+  SELECT epoch_us(ts) AS wt,
+         (event_id % 10 < 7) AS has_ttl,
+         (event_id % 97 = 0) AS is97
+  FROM events
+)
+SELECT 'expiring' AS kind,
+       sum(CASE WHEN has_ttl THEN 3 - is97::INT ELSE 0 END)::BIGINT
+         AS n_cells,
+       min(CASE WHEN has_ttl THEN wt END)::BIGINT AS min_wt,
+       max(CASE WHEN has_ttl THEN wt END)::BIGINT AS max_wt
+FROM e
+UNION ALL
+SELECT 'normal',
+       sum(CASE WHEN NOT has_ttl THEN 3 - is97::INT ELSE 0 END)::BIGINT,
+       min(CASE WHEN NOT has_ttl THEN wt END)::BIGINT,
+       max(CASE WHEN NOT has_ttl THEN wt END)::BIGINT
+FROM e
+UNION ALL
+SELECT 'tombstone', sum(is97::INT)::BIGINT,
+       min(CASE WHEN is97 THEN wt END)::BIGINT,
+       max(CASE WHEN is97 THEN wt END)::BIGINT
+FROM e
+"""
     from cassandra_ttl_remover_spark.operators.audit import (
         corpus_card_oracle_sql,
         k_anonymity_oracle_sql,

@@ -442,3 +442,45 @@ def test_stream_enrich_matches_batch_join(spark):
     )
     assert {(r.c_nationkey, r["count"]) for r in got} == \
            {(r.c_nationkey, r["count"]) for r in want}
+
+
+def test_stream_ttl_debt_census_equals_batch(spark, tmp_path):
+    """Complete-mode kind census over arriving SSTable shards lands on
+    exactly the batch census of the same directory."""
+    import uuid
+
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        drain_to_table,
+    )
+
+    import struct
+
+    src = str(tmp_path / "src")
+    ss.write_sstable(
+        [(b"u1", [(b"c1", ss.EXPIRATION_MASK, 60, 100, 5, b"v"),
+                  (b"c2", 0, 0, 0, 6, b"w")]),
+         (b"u2", [(b"c1", ss.DELETION_MASK, 0, 0, 7,
+                   struct.pack(">i", 50))])],
+        src)
+    shards = str(tmp_path / "shards")
+    ss.write_sstable_distributed(ss.scan_sstable(spark, src), shards,
+                                 shards=2)
+    census = (
+        ss.stream_sstable(spark, shards)
+        .groupBy("kind")
+        .agg(F.count("*").cast("long").alias("n_cells"))
+    )
+    got = sorted(
+        (r.kind, r.n_cells)
+        for r in drain_to_table(
+            census, f"dbg_{uuid.uuid4().hex[:8]}", "complete"
+        ).collect()
+    )
+    want = sorted(
+        (r.kind, r.n_cells)
+        for r in ss.scan_sstable(spark, shards).groupBy("kind")
+        .agg(F.count("*").cast("long").alias("n_cells")).collect()
+    )
+    assert got == want == [("expiring", 1), ("normal", 1),
+                           ("tombstone", 1)]
