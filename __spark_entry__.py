@@ -731,6 +731,7 @@ _DRIVER_PRIORITY = [
     "q_ml10_theil_sen",
     "q_n53_distinct_ngrams",
     "q_st19_stream_ttl_debt",
+    "q_mm17_image_dhash",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4239,6 +4240,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wav_ulaw_decode_features(media)
     q["q_mm16_ulaw_decode"] = q_mm16
 
+    def q_mm17(spark, sf):
+        # perceptual near-dup detection over REAL decoded rasters: each
+        # PGM decodes in place (Arrow pass) into its row-gradient dHash
+        # (the classic difference-hash fingerprint), then one
+        # hash-keyed count flags perceptual duplicates — the image-side
+        # companion to the MinHash/SimHash text family; pixels never
+        # leave their scan tasks
+        docs = scan_table(spark, sf, "documents")
+        return multimodal.pgm_dhash(multimodal.documents_as_pgm(docs))
+    q["q_mm17_image_dhash"] = q_mm17
+
     def q_x25(spark, sf):
         # time-series smoothing: centered 7-day moving average over the
         # daily event counts -- exact integer window sums + one division;
@@ -5331,6 +5343,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         edit_distance_pairs_oracle_sql,
     )
     o["q_n52_edit_distance"] = edit_distance_pairs_oracle_sql(max_dist=20)
+    o["q_mm17_image_dhash"] = multimodal.pgm_dhash_oracle_sql(width=32)
     o["q_mm16_ulaw_decode"] = multimodal.wav_ulaw_oracle_sql(
         sample_rate=8000
     )

@@ -2288,3 +2288,102 @@ FROM c LEFT JOIN d ON c.media_id = d.media_id
 GROUP BY c.media_id, c.n
 ORDER BY c.media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash: row-gradient dHash over decoded rasters
+# ---------------------------------------------------------------------------
+
+def _pgm_row_dhash(b: bytes) -> tuple:
+    """Difference hash (dHash), row direction, over a parsed P5 raster:
+    per-row pixel sums, then one bit per adjacent row pair —
+    ``'1' if sum(row r) > sum(row r+1) else '0'`` — the classic
+    gradient fingerprint (the column-direction 8x8 form is the common
+    photo variant; rows are the natural axis for this fixture's
+    one-byte-per-pixel rasters). Height-1 images hash to the empty
+    string. Returns ``(height, dhash)``."""
+    if not b.startswith(b"P5"):
+        raise ValueError("not a P5 PGM payload")
+    parts = b.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PGM header")
+    w, h = (int(x) for x in parts[1].split())
+    px = parts[3]
+    if len(px) != w * h:
+        raise ValueError("truncated PGM raster")
+    sums = [sum(px[r * w:(r + 1) * w]) for r in range(h)]
+    return h, "".join(
+        "1" if sums[r] > sums[r + 1] else "0" for r in range(h - 1)
+    )
+
+
+def pgm_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual near-duplicate detection over REAL decoded rasters:
+    each PGM payload decodes where it sits (Arrow pass, no pixel ever
+    shuffles) into its row-gradient dHash, then one map-side-combined
+    count per hash flags perceptual duplicates — the image-side
+    companion to the text MinHash/SimHash family (two images whose
+    row-brightness gradients agree collide even when absolute levels
+    shift). Output ``(media_id, height, dhash, n_same)``.
+
+    Scale: the only shuffle is the hash-keyed count (dictionary-sized);
+    the broadcast-back join is hash-keyed too. At 100 TB of imagery the
+    pixels never leave their scan tasks."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_pgm_row_dhash(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": [f[0] for f in feats],
+                    "dhash": [f[1] for f in feats],
+                }
+            )
+
+    hashed = media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id bigint, height int, dhash string"
+    )
+    counts = hashed.groupBy("dhash").agg(
+        F.count("*").cast("long").alias("n_same")
+    )
+    return hashed.join(counts, "dhash").select(
+        "media_id", "height", "dhash", "n_same"
+    )
+
+
+def pgm_dhash_oracle_sql(width: int = 32, table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    """Recomputes each row-gradient hash from the source text (one byte
+    per pixel, zero-padded final row — padding zeros DO lower the last
+    row's sum, exactly as the raster does) and the per-hash counts."""
+    w = width
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS media_id, text AS t, length(text)::BIGINT AS n,
+         greatest(1, (length(text) + {w} - 1) // {w})::INT AS h
+  FROM {table}
+),
+rs AS (
+  SELECT media_id, h,
+         list_transform(range(0, h),
+           r -> coalesce(list_aggregate(
+                  list_transform(range(r * {w} + 1,
+                                       (least((r + 1) * {w}, n) + 1)::INT),
+                                 i -> ascii(t[i])::BIGINT),
+                  'sum'), 0)) AS sums
+  FROM c
+),
+hashed AS (
+  SELECT media_id, h AS height,
+         array_to_string(
+           list_transform(range(1, h),
+             r -> CASE WHEN sums[r] > sums[r + 1]
+                       THEN '1' ELSE '0' END), '') AS dhash
+  FROM rs
+)
+SELECT media_id, height, dhash,
+       count(*) OVER (PARTITION BY dhash)::BIGINT AS n_same
+FROM hashed ORDER BY media_id
+"""

@@ -562,3 +562,33 @@ def test_jpeg_corrupt_sof_quarantines_not_oom(spark):
     struct.pack_into(">HH", blob, i + 5, 65500, 65500)
     with pytest.raises(ValueError, match="sanity bound"):
         _parse_jpeg(bytes(blob))
+
+
+def test_pgm_dhash_gradient_and_duplicates(spark):
+    """dHash bits follow row-sum gradients exactly; byte-identical
+    texts collide (n_same counts them), brightness-shifted-but-
+    gradient-equal rasters collide too (the perceptual property),
+    different gradients do not."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _pgm_row_dhash, _text_to_pgm_bytes, documents_as_pgm, pgm_dhash,
+    )
+
+    # 4-wide: rows 'aaaa'(388) 'bbbb'(392) 'aaaa'(388) -> bits '01'... wait
+    h, bits = _pgm_row_dhash(_text_to_pgm_bytes(b"aaaabbbbaaaa", 4))
+    assert (h, bits) == (3, "01")  # 388<392 -> '0', 392>388 -> '1'
+    # brightness shift preserves the gradient -> same hash
+    _, bits2 = _pgm_row_dhash(_text_to_pgm_bytes(b"ccccddddcccc", 4))
+    assert bits2 == bits
+    # single-row image -> empty hash
+    assert _pgm_row_dhash(_text_to_pgm_bytes(b"xy", 4))[1] == ""
+
+    docs = spark.createDataFrame(
+        [(1, "aaaabbbbaaaa"), (2, "aaaabbbbaaaa"), (3, "ccccddddcccc"),
+         (4, "zzzzaaaazzzz")],
+        "doc_id long, text string",
+    )
+    rows = {r.media_id: r for r in
+            pgm_dhash(documents_as_pgm(docs, width=4)).collect()}
+    assert rows[1].dhash == rows[2].dhash == rows[3].dhash == "01"
+    assert rows[1].n_same == 3
+    assert rows[4].dhash == "10" and rows[4].n_same == 1
