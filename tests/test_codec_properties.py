@@ -273,3 +273,59 @@ def test_lzw_eoi_width_boundary_after_midstream_reset():
     for mcs in (2, 4):
         raw = bytes(rng.randrange(1 << mcs) for _ in range(14000))
         assert _lzw_decompress(_lzw_compress(raw, mcs), mcs) == raw
+
+
+# ---------------------------------------------------------------------------
+# SSTable sidecar properties (Filter.db / Summary.db / Statistics.db)
+# ---------------------------------------------------------------------------
+
+_keysets = st.lists(
+    st.binary(min_size=1, max_size=12).filter(lambda b: b"\x00" not in b),
+    min_size=1, max_size=120, unique=True,
+)
+
+
+@given(_keysets, st.data())
+@settings(max_examples=25, deadline=None)
+def test_sidecar_properties_roundtrip(keys, data):
+    """For ANY key set and ANY probe: (1) the bloom never false-negates
+    a written key; (2) the summary-windowed index read selects exactly
+    the byte run the full read selects; (3) Statistics.db bounds equal
+    the true min/max of the written writetimes."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    out = os.path.join(tempfile.gettempdir(),
+                       f"sstp_{uuid.uuid4().hex[:8]}")
+    wts = {k: i * 7 + 3 for i, k in enumerate(keys)}
+    interval = data.draw(st.sampled_from([1, 2, 8, 64]))
+    ss.write_sstable(
+        [(k, [(b"c", 0, 0, 0, wts[k], b"v")]) for k in keys],
+        out, summary_interval=interval,
+    )
+    try:
+        assert all(ss.bloom_might_contain(out, k) for k in keys)
+
+        full = ss.read_index(os.path.join(out, "Index.db"))
+        size = ss._data_size(out)
+        samples = ss._read_summary(out)
+        probe = data.draw(st.sampled_from(sorted(keys)))
+        lo_choices = [None, probe, probe + b"\x00", probe[:1]]
+        hi_choices = [None, probe, probe + b"\x00", probe[:1] + b"\xff"]
+        ks = data.draw(st.sampled_from(lo_choices))
+        kp = data.draw(st.sampled_from(hi_choices))
+        win, wsize = ss._read_index_window(out, samples, ks, kp)
+        got = ss.select_index_range(win, wsize, ks, kp)
+        want = ss.select_index_range(full, size, ks, kp)
+        assert got[1:] == want[1:], (interval, ks, kp)
+
+        stc = ss.read_stats(out)
+        assert stc["n_partitions"] == len(keys)
+        assert stc["min_writetime"] == min(wts.values())
+        assert stc["max_writetime"] == max(wts.values())
+    finally:
+        shutil.rmtree(out)

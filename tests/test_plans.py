@@ -463,3 +463,17 @@ def test_mannwhitney_exchange_budget(spark, documents):
     from cassandra_ttl_remover_spark.plans import exchange_count
 
     assert exchange_count(mannwhitney_u(documents)) <= 3
+
+
+def test_distinct_ngram_exchange_budget(spark, documents):
+    """Distinct-n: per n, one explode + two-level agg (two keyed
+    exchanges); the n's union independent plans plus one presentation
+    sort — nothing cross-n barriers."""
+    from cassandra_ttl_remover_spark.operators.text import (
+        distinct_ngram_diversity,
+    )
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    assert exchange_count(
+        distinct_ngram_diversity(documents, ns=(1, 2))
+    ) <= 7
