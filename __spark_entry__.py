@@ -732,6 +732,7 @@ _DRIVER_PRIORITY = [
     "q_n53_distinct_ngrams",
     "q_st19_stream_ttl_debt",
     "q_mm17_image_dhash",
+    "q_se10_hazard_table",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4344,6 +4345,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cusum_drift(daily, k=k, h=5 * k)
     q["q_ml8_cusum_drift"] = q_ml8
 
+    def q_se10(spark, sf):
+        # discrete-time hazard table (Kaplan-Meier life-table core):
+        # per day-since-first-event, exact integer risk set and
+        # conversion count, hazard as one IEEE division — survival
+        # products stay caller-side because float chains aren't
+        # hash-stable; the integers are
+        from cassandra_ttl_remover_spark.operators.sessions import (
+            hazard_table,
+        )
+
+        return hazard_table(_events(spark, sf))
+    q["q_se10_hazard_table"] = q_se10
+
     def q_st19(spark, sf):
         # streaming TTL-debt monitor over the NATIVE format: as SSTable
         # shards arrive, a complete-mode aggregation maintains the
@@ -5430,6 +5444,11 @@ ORDER BY day
     )
 
     o["q_n53_distinct_ngrams"] = distinct_ngram_diversity_oracle_sql()
+    from cassandra_ttl_remover_spark.operators.sessions import (
+        hazard_table_oracle_sql,
+    )
+
+    o["q_se10_hazard_table"] = hazard_table_oracle_sql()
     o["q_st19_stream_ttl_debt"] = """
 WITH e AS (
   SELECT epoch_us(ts) AS wt,

@@ -499,3 +499,104 @@ FROM carried
 WHERE event_type = '{convert_kind}'
 ORDER BY convert_id
 """
+
+
+def hazard_table(events: DataFrame, conv_type: str = "purchase", *,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Discrete-time hazard table (the Kaplan–Meier life table's exact
+    integer core): for each day k since a user's FIRST event, how many
+    users were still at risk (observed through day k, not yet
+    converted) and how many converted exactly then. The survival curve
+    is the running product of (1 - hazard) — left to the caller because
+    a float product chain is not hash-stable; the (n_at_risk,
+    n_converted) integers ARE, and hazard is ONE IEEE division.
+
+    Semantics: t0 = first event date per user; conversion day =
+    datediff(first ``conv_type`` date, t0); administrative censoring at
+    the global max event date (every user is observed through it). A
+    user is at risk on days 0..conv_k (inclusive — they convert ON a
+    day they were at risk) or 0..followup when never converting.
+
+    Scale shape: one groupBy(user) aggregation reduces the corpus to a
+    per-user pair; the day explode is bounded by the OBSERVATION WINDOW
+    (days, not rows — 365 rows/user at a year of grain); two small
+    keyed counts and a day-keyed join finish. Returns
+    ``(k, n_at_risk, n_converted, hazard)`` ordered by k."""
+    d = f"cast({ts_col} as date)"
+    per_user = events.groupBy(user_col).agg(
+        F.expr(f"min({d})").alias("t0"),
+        F.expr(
+            f"min(case when {type_col} = '{conv_type}' then {d} end)"
+        ).alias("cd"),
+    )
+    cutoff = F.broadcast(events.agg(F.expr(f"max({d})").alias("cmax")))
+    u = per_user.crossJoin(cutoff).select(
+        F.expr("datediff(cmax, t0)").cast("long").alias("followup"),
+        F.expr("datediff(cd, t0)").cast("long").alias("conv_k"),
+    )
+    risk = (
+        u.select(
+            F.explode(
+                F.expr("sequence(0, coalesce(conv_k, followup))")
+            ).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_at_risk"))
+    )
+    conv = (
+        u.filter("conv_k IS NOT NULL")
+        .groupBy(F.col("conv_k").alias("k"))
+        .agg(F.count("*").cast("long").alias("n_converted"))
+    )
+    return (
+        risk.join(conv, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_at_risk",
+            F.coalesce("n_converted", F.lit(0)).cast("long")
+            .alias("n_converted"),
+            F.expr(
+                "case when n_at_risk = 0 then cast(0.0 as double) else "
+                "cast(coalesce(n_converted, 0) as double)"
+                " / cast(n_at_risk as double) end"
+            ).alias("hazard"),
+        )
+        .orderBy("k")
+    )
+
+
+def hazard_table_oracle_sql(conv_type: str = "purchase", *,
+                            table: str = "events",
+                            user_col: str = "user_id") -> str:
+    """DuckDB mirror: same per-user reduction, same bounded day
+    unnest, counts ::BIGINT past the pandas bridge."""
+    return f"""
+WITH per_user AS (
+  SELECT {user_col},
+         min(ts::DATE) AS t0,
+         min(CASE WHEN event_type = '{conv_type}' THEN ts::DATE END) AS cd
+  FROM {table} GROUP BY {user_col}
+),
+c AS (SELECT max(ts::DATE) AS cmax FROM {table}),
+u AS (
+  SELECT datediff('day', t0, cmax)::BIGINT AS followup,
+         datediff('day', t0, cd)::BIGINT AS conv_k
+  FROM per_user, c
+),
+risk AS (
+  SELECT unnest(range(0, coalesce(conv_k, followup) + 1)) AS k
+  FROM u
+),
+r AS (SELECT k::BIGINT AS k, count(*)::BIGINT AS n_at_risk
+      FROM risk GROUP BY 1),
+cv AS (SELECT conv_k AS k, count(*)::BIGINT AS n_converted
+       FROM u WHERE conv_k IS NOT NULL GROUP BY 1)
+SELECT r.k, r.n_at_risk,
+       coalesce(cv.n_converted, 0)::BIGINT AS n_converted,
+       CASE WHEN r.n_at_risk = 0 THEN 0.0
+            ELSE coalesce(cv.n_converted, 0)::DOUBLE / r.n_at_risk::DOUBLE
+       END AS hazard
+FROM r LEFT JOIN cv ON r.k = cv.k
+ORDER BY r.k
+"""

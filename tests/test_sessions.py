@@ -247,3 +247,32 @@ def test_last_touch_attribution_single_exchange(spark, events):
 
     # one key exchange (the user window) + the presentation sort
     assert exchange_count(last_touch_attribution(events)) <= 2
+
+
+def test_hazard_table_hand_cohort(spark):
+    """Hand-checkable cohort: conversions shrink the risk set the day
+    AFTER they convert (at risk ON the conversion day); never-converts
+    stay at risk through the global cutoff; hazards are d/n."""
+    from cassandra_ttl_remover_spark.operators.sessions import hazard_table
+
+    rows = [
+        # u1: first event day0, converts day1
+        (1, "2024-01-01 08:00:00", "signup"),
+        (1, "2024-01-02 09:00:00", "purchase"),
+        # u2: first event day0, never converts (observed through day3)
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-04 10:00:00", "click"),
+        # u3: first event day1 (t0 shifts), converts same day (k=0)
+        (3, "2024-01-02 11:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string") \
+        .selectExpr("user_id", "cast(ts as timestamp) as ts", "event_type")
+    got = {r.k: (r.n_at_risk, r.n_converted, r.hazard)
+           for r in hazard_table(df).collect()}
+    # cutoff = 2024-01-04. followups: u1=3, u2=3, u3=2. conv_k: u1=1, u3=0.
+    # at-risk spans: u1 0..1, u2 0..3, u3 0..0
+    assert got[0] == (3, 1, 1 / 3)   # u3 converts at k=0
+    assert got[1] == (2, 1, 1 / 2)   # u1 converts at k=1
+    assert got[2] == (1, 0, 0.0)     # only u2 left
+    assert got[3] == (1, 0, 0.0)
+    assert set(got) == {0, 1, 2, 3}
