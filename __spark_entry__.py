@@ -733,6 +733,7 @@ _DRIVER_PRIORITY = [
     "q_st19_stream_ttl_debt",
     "q_mm17_image_dhash",
     "q_se10_hazard_table",
+    "q_s18_digest_verify",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3624,6 +3625,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.stats_census(spark, base).orderBy("generation")
     q["q_s17_sstable_stats_census"] = q_s17
 
+    def q_s18(spark, sf):
+        # integrity sweep over Digest.crc32/TOC.txt sidecars — the
+        # reference's writer re-emits both for every stripped table
+        # (Cassandra quarantines an SSTable whose stored digest
+        # mismatches at scrub/compaction time), so a rewrite engine
+        # must prove its outputs digest-clean. Two generations; one
+        # byte of gen2's Data.db is flipped AFTER writing, so the
+        # sweep must pass gen1 and fail exactly gen2's CRC while both
+        # TOCs (untouched) stay complete. One task per table, one
+        # streamed read, constant memory — the 100 TB shape.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstdg_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen1"),
+                                  where="user_id % 2 = 0")
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen2"),
+                                  where="user_id % 2 = 1")
+        p = os.path.join(base, "gen2", "Data.db")
+        with open(p, "r+b") as f:
+            b = f.read(1)
+            f.seek(0)
+            f.write(bytes([b[0] ^ 0xFF]))
+        return (
+            ss.verify_digests(spark, base)
+            .select("generation", "digest_ok", "toc_ok")
+            .orderBy("generation")
+        )
+    q["q_s18_digest_verify"] = q_s18
+
     def q_t8(spark, sf):
         # the reference's REAL lifecycle on its NATIVE format, e2e: two
         # overlapping SSTable generations (base + later updates/deletes)
@@ -5626,6 +5658,16 @@ WHERE pk >= '1' AND pk < '2'
     # ... and the chunk-compressed read path
     o["q_s13_sstable_compressed"] = o["q_s7_sstable_scan"]
     o["q_s15_sstable_bloom_lookup"] = _ss.sstable_bloom_lookup_oracle_sql()
+    # the fixture is deterministic and the corruption is injected by the
+    # query itself, so the expected verdict table is a constant: the
+    # healthy generation verifies, the byte-flipped one fails its CRC
+    # while its TOC (untouched) still matches. The CRC math itself is
+    # hash-checked by the Spark side recomputing it from the bytes.
+    o["q_s18_digest_verify"] = """
+SELECT * FROM (VALUES ('gen1', true, true), ('gen2', false, true))
+  AS t(generation, digest_ok, toc_ok)
+ORDER BY generation
+"""
     o["q_s16_sstable_summary_range"] = f"""
 SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
 WHERE pk >= '2' AND pk < '3'

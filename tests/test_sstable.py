@@ -850,3 +850,96 @@ def test_writetime_filter_skips_disjoint_generations(spark):
                   .filter("writetime > 2000").collect())
     assert got2 == want
     shutil.rmtree(out)
+
+
+def test_digest_and_toc_sidecars_written_and_exact():
+    """Every write emits Digest.crc32 (= zlib CRC of Data.db as stored,
+    ASCII decimal) and TOC.txt naming exactly the component files."""
+    import zlib
+
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), out)
+    with open(os.path.join(out, "Data.db"), "rb") as f:
+        want = zlib.crc32(f.read()) & 0xFFFFFFFF
+    with open(os.path.join(out, "Digest.crc32")) as f:
+        assert int(f.read().strip()) == want
+    with open(os.path.join(out, "TOC.txt")) as f:
+        named = sorted(ln.strip() for ln in f if ln.strip())
+    assert named == sorted(os.listdir(out))
+    assert "TOC.txt" in named and "Digest.crc32" in named
+    shutil.rmtree(out)
+
+
+def test_digest_covers_stored_bytes_for_compressed_tables():
+    out = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), out, compressed=True)
+    import zlib
+
+    with open(os.path.join(out, "Data.db"), "rb") as f:
+        want = zlib.crc32(f.read()) & 0xFFFFFFFF
+    with open(os.path.join(out, "Digest.crc32")) as f:
+        assert int(f.read().strip()) == want
+    shutil.rmtree(out)
+
+
+def test_verify_digests_detects_any_single_byte_flip(spark):
+    """Healthy dir verifies clean; flipping one byte at several offsets
+    (first, mid, last) fails digest_ok for exactly that generation; a
+    file missing from / extra beyond TOC fails toc_ok."""
+    base = _tmpdir()
+    for gen, where_mod in (("gen1", 0), ("gen2", 1)):
+        ss.write_sstable(
+            [(f"u{i}".encode(),
+              [(b"c", 0, 0, 0, 1_700_000_000_000_000 + i,
+                str(i).encode())])
+             for i in range(20) if i % 2 == where_mod],
+            os.path.join(base, gen),
+        )
+    healthy = {r.generation: (r.digest_ok, r.toc_ok, r.data_length)
+               for r in ss.verify_digests(spark, base).collect()}
+    assert healthy["gen1"][:2] == (True, True)
+    assert healthy["gen2"][:2] == (True, True)
+    data_path = os.path.join(base, "gen2", "Data.db")
+    assert healthy["gen2"][2] == os.path.getsize(data_path)
+
+    size = os.path.getsize(data_path)
+    for off in (0, size // 2, size - 1):
+        with open(data_path, "r+b") as f:
+            f.seek(off)
+            b = f.read(1)
+            f.seek(off)
+            f.write(bytes([b[0] ^ 0x5A]))
+        got = {r.generation: r.digest_ok
+               for r in ss.verify_digests(spark, base).collect()}
+        assert got == {"gen1": True, "gen2": False}
+        with open(data_path, "r+b") as f:  # restore
+            f.seek(off)
+            f.write(b)
+    # restored file verifies again
+    got = {r.generation: r.digest_ok
+           for r in ss.verify_digests(spark, base).collect()}
+    assert got == {"gen1": True, "gen2": True}
+
+    # TOC divergence: extra untracked file
+    extra = os.path.join(base, "gen1", "Stray.db")
+    with open(extra, "w") as f:
+        f.write("x")
+    got = {r.generation: r.toc_ok
+          for r in ss.verify_digests(spark, base).collect()}
+    assert got == {"gen1": False, "gen2": True}
+    os.remove(extra)
+    # missing component named by TOC
+    os.remove(os.path.join(base, "gen2", "Summary.db"))
+    got = {r.generation: r.toc_ok
+           for r in ss.verify_digests(spark, base).collect()}
+    assert got == {"gen1": True, "gen2": False}
+    shutil.rmtree(base)
+
+
+def test_verify_digests_missing_sidecar_fails_not_skips(spark):
+    base = _tmpdir()
+    ss.write_sstable(_mixed_partitions(), os.path.join(base, "g1"))
+    os.remove(os.path.join(base, "g1", "Digest.crc32"))
+    [r] = ss.verify_digests(spark, base).collect()
+    assert r.digest_ok is False and r.toc_ok is False
+    shutil.rmtree(base)
