@@ -734,6 +734,7 @@ _DRIVER_PRIORITY = [
     "q_mm17_image_dhash",
     "q_se10_hazard_table",
     "q_s18_digest_verify",
+    "q_n54_dsir_weights",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4724,6 +4725,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["q_x30_budget_sample_apply"] = q_x30
 
+    def q_n54(spark, sf):
+        # DSIR importance scores (Xie et al. 2023): select raw data that
+        # looks like a target domain (here src0+src1) via hashed
+        # unigram+bigram bucket distributions — exact integer rational
+        # surrogate of the paper's log-ratio (docstring documents the
+        # deviation). One doc-id shuffle; dictionaries broadcast.
+        from cassandra_ttl_remover_spark.operators.curate import (
+            dsir_importance,
+        )
+
+        docs = scan_table(spark, sf, "documents")
+        return dsir_importance(
+            docs, docs.filter("source IN ('src0', 'src1')")
+        ).orderBy("doc_id")
+    q["q_n54_dsir_weights"] = q_n54
+
     def q_f8(spark, sf):
         # crawl-container ingestion: documents packed into multi-record
         # WARC/1.0 blobs (the Common Crawl shape), then exploded back
@@ -5623,6 +5640,12 @@ FROM r WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey
 
     o["q_x30_budget_sample_apply"] = apply_budget_sample_oracle_sql(
         budget=500_000, weights={"src0": 3, "src1": 2})
+    from cassandra_ttl_remover_spark.operators.curate import (
+        dsir_importance_oracle_sql,
+    )
+
+    o["q_n54_dsir_weights"] = dsir_importance_oracle_sql(
+        target_where="source IN ('src0', 'src1')")
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

@@ -1369,3 +1369,179 @@ SELECT d.{id_col}, d.{source_col} AS source,
 FROM {table} d LEFT JOIN alloc a ON d.{source_col} = a.source
 ORDER BY d.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR — hashed n-gram importance scoring for data selection
+# ---------------------------------------------------------------------------
+
+#: 12-bit bucket of a feature string from its md5's first three nibbles —
+#: the same engine-portable md5-nibble trick SimHash uses (dedup.py:622),
+#: so Spark and DuckDB agree bit-for-bit. `instr`/`strpos` are both
+#: 1-based; the arithmetic yields a value in [0, 4096) before the modulo.
+_DSIR_NIBBLES = "0123456789abcdef"
+
+
+def _dsir_bucket_spark(s: str, buckets: int) -> str:
+    n = [f"(instr('{_DSIR_NIBBLES}', substr(md5({s}), {i}, 1)) - 1)"
+         for i in (1, 2, 3)]
+    return f"pmod({n[0]} * 256 + {n[1]} * 16 + {n[2]}, {buckets})"
+
+
+def _dsir_bucket_duck(s: str, buckets: int) -> str:
+    n = [f"(strpos('{_DSIR_NIBBLES}', substr(md5({s}), {i}, 1)) - 1)"
+         for i in (1, 2, 3)]
+    return f"(({n[0]} * 256 + {n[1]} * 16 + {n[2]}) % {buckets})"
+
+
+def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
+                   buckets: int) -> DataFrame:
+    """``(id, bucket)`` — one row per unigram+bigram occurrence, hashed
+    into ``buckets``. A pure projection + explode: the 8-byte bucket ints
+    shuffle, the text never does."""
+    ws = f"filter(split({text_col}, ' '), w -> w <> '')"
+    bigrams = (
+        f"CASE WHEN size({ws}) >= 2 THEN "
+        f"transform(sequence(1, size({ws}) - 1), "
+        f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1))) "
+        f"ELSE array() END"
+    )
+    feats = f"concat({ws}, {bigrams})"
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"transform({feats}, "
+                   f"s -> {_dsir_bucket_spark('s', buckets)})")
+        ).alias("bucket"),
+    )
+
+
+def dsir_importance(raw: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    buckets: int = 4096) -> DataFrame:
+    """DSIR-style importance scores for selecting raw data that looks like
+    a target domain (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling" — public method): featurize every document
+    into hashed unigram+bigram buckets, estimate add-1-smoothed bucket
+    distributions over the TARGET and the RAW corpus, and score each raw
+    document by how much more target-like than raw-like its features are.
+
+    Deviation from the paper, by design: the paper scores
+    ``log w = sum_f c_f (log t_f - log r_f)``; transcendental logs are not
+    bit-stable across engines, so this emits the RATIONAL surrogate
+    ``w = (sum_f c_f t'_f / sum_f c_f r'_f) * (R/T)`` (arithmetic rather
+    than geometric mean of the per-feature likelihood ratios;
+    ``t'_f = t_f + 1`` add-1 smoothed, ``T = |target features| + B``) in
+    exact integer arithmetic — hash-checkable, and ranking-equivalent for
+    the common single-feature-regime tail it is used to cut. Output:
+    ``(id, n_features, target_mass, raw_mass, importance_permille)``,
+    total over the raw frame (featureless docs score 0).
+
+    Scale: two map-side-combined histogram aggs of <= ``buckets`` rows
+    each, materialized ONCE (localCheckpoint — their subtrees must not
+    recompute for the totals), one explode carrying (id, bucket int) —
+    text never shuffles — and ONE hash shuffle on the doc id. The bucket
+    dictionary broadcasts; the only driver collect is the 1-row totals
+    scalar off the <= ``buckets``-row dictionary (bounded-collect
+    convention). At 100 TB the explode dominates and is embarrassingly
+    parallel; skew is impossible because the reduce key is the doc id."""
+    rf = _dsir_features(raw, text_col, id_col, buckets)
+    tf = _dsir_features(target, text_col, id_col, buckets)
+    t_hist = tf.groupBy("bucket").agg(F.count("*").alias("t_n"))
+    r_hist = rf.groupBy("bucket").agg(F.count("*").alias("r_n"))
+    dim = (
+        t_hist.join(r_hist, "bucket", "full")
+        .select(
+            "bucket",
+            (F.coalesce("t_n", F.lit(0)) + 1).alias("t_sm"),
+            (F.coalesce("r_n", F.lit(0)) + 1).alias("r_sm"),
+        )
+        .localCheckpoint()
+    )
+    # add-1 over ALL `buckets` cells: total = sum over occupied buckets
+    # plus one for each empty bucket
+    [tot] = dim.agg(
+        F.sum("t_sm").alias("t_occ"), F.sum("r_sm").alias("r_occ"),
+        F.count("*").alias("n_occ"),
+    ).collect()
+    t_total = int(tot.t_occ or 0) + buckets - int(tot.n_occ)
+    r_total = int(tot.r_occ or 0) + buckets - int(tot.n_occ)
+    per = (
+        rf.join(F.broadcast(dim), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum("t_sm").cast("long").alias("target_mass"),
+            F.sum("r_sm").cast("long").alias("raw_mass"),
+        )
+    )
+    return (
+        raw.select(id_col).join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            F.coalesce("target_mass", F.lit(0)).alias("target_mass"),
+            F.coalesce("raw_mass", F.lit(0)).alias("raw_mass"),
+            F.expr(
+                "CASE WHEN coalesce(raw_mass, 0) > 0 THEN CAST("
+                f"(CAST(target_mass AS DECIMAL(38,0)) * {r_total} * 1000) "
+                f"div (CAST(raw_mass AS DECIMAL(38,0)) * {t_total}) "
+                "AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("importance_permille"),
+        )
+    )
+
+
+def dsir_importance_oracle_sql(target_where: str,
+                               raw_where: str = "TRUE",
+                               table: str = "documents",
+                               id_col: str = "doc_id",
+                               buckets: int = 4096) -> str:
+    """DuckDB recomputation of :func:`dsir_importance` over ``table``
+    split into raw/target by the two WHERE predicates."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    feats = (
+        f"({ws} || (CASE WHEN len({ws}) >= 2 THEN "
+        f"list_transform(range(1, len({ws})), "
+        f"i -> {ws}[i] || ' ' || {ws}[i+1]) ELSE [] END))"
+    )
+    bucket = _dsir_bucket_duck("s", buckets)
+    return f"""
+WITH rf AS (
+  SELECT {id_col}, {bucket} AS bucket
+  FROM (SELECT {id_col}, unnest({feats}) AS s
+        FROM {table} WHERE {raw_where})
+),
+tf AS (
+  SELECT {bucket} AS bucket
+  FROM (SELECT unnest({feats}) AS s FROM {table} WHERE {target_where})
+),
+th AS (SELECT bucket, count(*) AS t_n FROM tf GROUP BY bucket),
+rh AS (SELECT bucket, count(*) AS r_n FROM rf GROUP BY bucket),
+totals AS (
+  SELECT (SELECT count(*) FROM tf) + {buckets} AS t_total,
+         (SELECT count(*) FROM rf) + {buckets} AS r_total
+),
+dim AS (
+  SELECT coalesce(th.bucket, rh.bucket) AS bucket,
+         coalesce(t_n, 0) + 1 AS t_sm, coalesce(r_n, 0) + 1 AS r_sm
+  FROM th FULL JOIN rh ON th.bucket = rh.bucket
+),
+per AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_features,
+         sum(t_sm)::BIGINT AS target_mass,
+         sum(r_sm)::BIGINT AS raw_mass
+  FROM rf JOIN dim USING (bucket) GROUP BY {id_col}
+)
+SELECT d.{id_col}, coalesce(n_features, 0)::BIGINT AS n_features,
+       coalesce(target_mass, 0)::BIGINT AS target_mass,
+       coalesce(raw_mass, 0)::BIGINT AS raw_mass,
+       (CASE WHEN coalesce(raw_mass, 0) > 0 THEN
+          ((target_mass::HUGEINT * r_total * 1000) //
+           (raw_mass::HUGEINT * t_total))
+        ELSE 0 END)::BIGINT AS importance_permille
+FROM (SELECT {id_col} FROM {table} WHERE {raw_where}) d
+LEFT JOIN per USING ({id_col})
+CROSS JOIN totals
+ORDER BY d.{id_col}
+"""

@@ -420,3 +420,42 @@ def test_budget_sample_null_id_kept_out_unless_saturated(spark):
            for r in apply_budget_sample(docs, al).collect()}
     assert out[("s1", True)] is True      # saturated keeps NULL id
     assert out[("s2", True)] is False     # unsaturated drops NULL id
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """Docs sharing the target's vocabulary must outscore docs that share
+    none of it; featureless docs score 0; the frame is total over raw."""
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps high") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),          # pure target vocab
+            (2, "zzz qqq vvv kkk"),              # disjoint vocab
+            (3, "the quick zzz qqq"),            # mixed
+            (4, ""),                             # featureless
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            curate.dsir_importance(raw, target).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].importance_permille > rows[3].importance_permille
+    assert rows[3].importance_permille > rows[2].importance_permille
+    assert rows[4].importance_permille == 0 and rows[4].n_features == 0
+    # masses are exact integer sufficient statistics
+    assert rows[1].n_features == 7  # 4 unigrams + 3 bigrams
+    assert rows[1].target_mass > rows[1].raw_mass  # target-aligned doc
+
+
+def test_dsir_importance_partitioning_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma w{i % 3}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    tgt = docs.filter("doc_id % 5 = 0")
+    a = sorted(map(tuple, curate.dsir_importance(docs, tgt).collect()))
+    b = sorted(map(tuple, curate.dsir_importance(
+        docs.repartition(13), tgt.repartition(3)).collect()))
+    assert a == b

@@ -477,3 +477,24 @@ def test_distinct_ngram_exchange_budget(spark, documents):
     assert exchange_count(
         distinct_ngram_diversity(documents, ns=(1, 2))
     ) <= 7
+
+
+def test_dsir_exchange_budget_and_broadcasts(spark, documents):
+    """DSIR: the two <=B-row histograms may each shuffle once and the
+    per-doc reduce once; the bucket dictionary and totals must reach the
+    corpus-sized side as broadcasts, never as hash exchanges of the
+    exploded feature stream."""
+    from cassandra_ttl_remover_spark.operators.curate import dsir_importance
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    df = dsir_importance(
+        documents, documents.filter("source IN ('src0', 'src1')")
+    )
+    # dim is checkpointed (its 2 histogram exchanges run once, outside
+    # this plan); here: groupBy(doc_id) + the presentation outer join =
+    # the whole budget, and the dictionary reaches the feature stream
+    # as a broadcast
+    assert exchange_count(df) <= 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
