@@ -735,6 +735,7 @@ _DRIVER_PRIORITY = [
     "q_se10_hazard_table",
     "q_s18_digest_verify",
     "q_n54_dsir_weights",
+    "q_mm18_pcm_decimate",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3293,6 +3294,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wav_decode_features(media)
     q["q_mm6_wav_decode"] = q_mm6
 
+    def q_mm18(spark, sf):
+        # audio RESAMPLE plumbing: decode -> boxcar-sum decimate by 4 ->
+        # decimated-stream statistics, all exact integers (the divide-free
+        # decimator form; gain folds into downstream normalization). The
+        # oracle recomputes the block sums from the source text, so a
+        # block-boundary or trailing-partial bug hash-mismatches.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_wav,
+            wav_decimate_features,
+        )
+
+        media = documents_as_wav(scan_table(spark, sf, "documents"))
+        return wav_decimate_features(media, factor=4)
+    q["q_mm18_pcm_decimate"] = q_mm18
+
     def q_mm7(spark, sf):
         # REAL image decode end-to-end: documents -> genuine P5 PGM bytes
         # (header + raw raster, no native codec needed) -> strict parser
@@ -5375,6 +5391,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         ORDER BY doc_id"""
 
     o["q_mm6_wav_decode"] = multimodal.wav_decode_oracle_sql()
+    o["q_mm18_pcm_decimate"] = multimodal.wav_decimate_oracle_sql(factor=4)
 
     o["q_mm7_pgm_decode"] = multimodal.pgm_decode_oracle_sql(width=32)
     o["q_mm8_ppm_decode"] = multimodal.ppm_decode_oracle_sql(width=16)

@@ -587,6 +587,99 @@ FROM frames
 """
 
 
+WAV_DECIMATE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_rate", T.IntegerType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("ssq", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def wav_decimate_features(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Sample-rate reduction over decoded PCM — the resample step every
+    audio training pipeline runs before feature extraction, in its
+    divide-free boxcar form: decode each WAV payload, sum every block of
+    ``factor`` consecutive samples (a boxcar low-pass whose 1/factor gain
+    is folded into downstream normalization — keeping the path in EXACT
+    integer arithmetic, since integer division rounds differently across
+    engines on negatives), drop the trailing partial block, and emit the
+    decimated stream's statistics:
+    ``(media_id, out_rate, n_blocks, ssq, peak)`` with ``ssq``/``peak``
+    over the block sums. Mono 16-bit only (the fixture's shape); block
+    sums fit int64 for any realistic factor.
+
+    Scale: mapInPandas, blobs decoded and reduced where they sit — no
+    shuffle, a few scalars out per blob (the reduce-at-the-source shape
+    that makes 100 TB audio scans feasible)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, nbs, ssqs, peaks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, nch, _, samples = _wav_pcm(payload)
+                if nch != 1:
+                    raise NotImplementedError(
+                        f"media_id={mid}: decimation is mono-only, "
+                        f"got {nch} channels"
+                    )
+                arr = np.asarray(samples, dtype=np.int64)
+                nb = len(arr) // factor
+                blocks = arr[: nb * factor].reshape(nb, factor).sum(axis=1)
+                ids.append(mid)
+                rates.append(sr // factor)
+                nbs.append(nb)
+                ssqs.append(int((blocks * blocks).sum()))
+                peaks.append(int(np.abs(blocks).max()) if nb else 0)
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "out_rate": pd.Series(rates, dtype="int32"),
+                 "n_blocks": pd.Series(nbs, dtype="int64"),
+                 "ssq": pd.Series(ssqs, dtype="int64"),
+                 "peak": pd.Series(peaks, dtype="int64")}
+            )
+
+    return fan_out(media, "media_id").mapInPandas(
+        run, schema=WAV_DECIMATE_SCHEMA
+    )
+
+
+def wav_decimate_oracle_sql(factor: int = 4, sample_rate: int = 16_000,
+                            table: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB oracle for documents_as_wav -> wav_decimate_features: block
+    sums recomputed straight from the source text under the generator's
+    sample mapping s_i = (byte_i - 128) * 256 (block b covers 1-indexed
+    chars b*factor+1 .. b*factor+factor)."""
+    s = f"((ascii(t[(b * {factor} + j)::INT]) - 128) * 256)"
+    blk = (f"list_aggregate(list_transform(range(1, {factor + 1}), "
+           f"j -> {s}::BIGINT), 'sum')")
+    return f"""
+WITH chars AS (
+  SELECT {id_col} AS media_id, text AS t, length(text)::BIGINT AS n
+  FROM {table}
+),
+blocks AS (
+  SELECT media_id, t, n, unnest(range(0, n // {factor})) AS b
+  FROM chars
+),
+sums AS (SELECT media_id, {blk} AS bs FROM blocks)
+SELECT c.media_id,
+       ({sample_rate} // {factor})::INT AS out_rate,
+       (c.n // {factor})::BIGINT AS n_blocks,
+       coalesce(sum(s.bs * s.bs), 0)::BIGINT AS ssq,
+       coalesce(max(abs(s.bs)), 0)::BIGINT AS peak
+FROM chars c LEFT JOIN sums s USING (media_id)
+GROUP BY c.media_id, c.n
+ORDER BY c.media_id
+"""
+
+
 def patch_grid_plan(media: DataFrame, patch: int = 16) -> DataFrame:
     """Patch-grid *plan* for image payloads: one row per ``patch``×``patch``
     tile — ``(media_id, px, py, x0, y0)`` — the ViT-style tokenization

@@ -592,3 +592,39 @@ def test_pgm_dhash_gradient_and_duplicates(spark):
     assert rows[1].dhash == rows[2].dhash == rows[3].dhash == "01"
     assert rows[1].n_same == 3
     assert rows[4].dhash == "10" and rows[4].n_same == 1
+
+
+def test_wav_decimate_block_math_and_edges(spark):
+    """Boxcar decimation: block sums, trailing-partial drop, and the
+    shorter-than-one-block edge — verified against a hand computation."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        _text_to_wav_bytes,
+        documents_as_wav,
+        wav_decimate_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ABCDE"), (2, "xy"), (3, "abc")],
+        "doc_id long, text string",
+    )
+    media = documents_as_wav(docs)
+    rows = {r.media_id: r for r in
+            wav_decimate_features(media, factor=3).collect()}
+    # doc 1: samples (b-128)*256 for A..E; blocks of 3 -> one block,
+    # trailing 2 dropped
+    s = [(b - 128) * 256 for b in b"ABCDE"]
+    b0 = sum(s[:3])
+    assert rows[1].n_blocks == 1 and rows[1].ssq == b0 * b0
+    assert rows[1].peak == abs(b0)
+    assert rows[1].out_rate == 16_000 // 3
+    # doc 2: 2 chars < one block -> zero blocks, zero stats
+    assert rows[2].n_blocks == 0 and rows[2].ssq == 0 and rows[2].peak == 0
+    # factor=1 is the identity decimator: ssq equals the plain decode ssq
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        wav_decode_features,
+    )
+    ident = {r.media_id: r.ssq for r in
+             wav_decimate_features(media, factor=1).collect()}
+    full = {r.media_id: r.ssq for r in
+            wav_decode_features(media).collect()}
+    assert ident == full
