@@ -736,6 +736,7 @@ _DRIVER_PRIORITY = [
     "q_s18_digest_verify",
     "q_n54_dsir_weights",
     "q_mm18_pcm_decimate",
+    "q_s19_clustering_slice",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3673,6 +3674,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_s18_digest_verify"] = q_s18
 
+    def q_s19(spark, sf):
+        # clustering-range slice through the PROMOTED COLUMN INDEX —
+        # the reference's wide-row read path (IndexedSliceReader over
+        # IndexHelper's column-index blocks): bloom -> index -> covering
+        # CELL block, so the task decodes O(slice) bytes instead of the
+        # whole partition. Two generations; dense blocks (every 8 cells)
+        # make the prune real even at small SF. Rows are plan-
+        # independent: the oracle is the slice of the full-scan
+        # recomputation.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstci_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen1"),
+                                  where="user_id % 2 = 0",
+                                  colindex_every=8)
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen2"),
+                                  where="user_id % 2 = 1",
+                                  colindex_every=8)
+        key = (
+            scan_table(spark, sf, "events")
+            .agg(F.min("user_id").alias("k"))
+            .collect()[0][0]
+        )
+        return ss.scan_partition_slice(
+            spark, base, str(key),
+            "000000000010:", "000000000200:",
+        ).orderBy("cell")
+    q["q_s19_clustering_slice"] = q_s19
+
     def q_t8(spark, sf):
         # the reference's REAL lifecycle on its NATIVE format, e2e: two
         # overlapping SSTable generations (base + later updates/deletes)
@@ -5708,6 +5740,8 @@ SELECT * FROM (VALUES ('gen1', true, true), ('gen2', false, true))
   AS t(generation, digest_ok, toc_ok)
 ORDER BY generation
 """
+    o["q_s19_clustering_slice"] = _ss.sstable_slice_oracle_sql(
+        "000000000010:", "000000000200:")
     o["q_s16_sstable_summary_range"] = f"""
 SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
 WHERE pk >= '2' AND pk < '3'

@@ -546,6 +546,194 @@ def _read_index_window(table_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# ColumnIndex.db — promoted per-partition cell index
+# ---------------------------------------------------------------------------
+
+#: Cassandra promotes a CELL-level index into the primary index for wide
+#: partitions (IndexHelper's column-index blocks; the reference's readers
+#: seek within a partition through exactly these — the IndexedSliceReader
+#: path) so a clustering-range read touches only the covering blocks, not
+#: the whole partition. Modeled here as its own sidecar: per partition,
+#: one entry per ``COLINDEX_EVERY`` cells — (first cell name, absolute
+#: Data.db offset of that cell, in uncompressed coordinates like
+#: Index.db). A slice plan binary-searches the entries and starts
+#: decoding at the covering block instead of the partition head.
+#:
+#: Scale note (100 TB): time-series tables routinely grow 10⁵–10⁷ cells
+#: per partition; without the promoted index every point-in-time slice
+#: decodes the full partition (GBs), with it O(block) bytes. This is the
+#: in-partition analog of what Summary.db does across partitions.
+COLINDEX_EVERY = 64
+
+
+def _write_column_index(
+        out_dir: str,
+        entries: list[tuple[bytes, list[tuple[bytes, int]]]]) -> None:
+    with open(os.path.join(out_dir, "ColumnIndex.db"), "wb") as f:
+        for key, blocks in entries:
+            f.write(struct.pack(">H", len(key)) + key)
+            f.write(struct.pack(">I", len(blocks)))
+            for name, off in blocks:
+                f.write(struct.pack(">H", len(name)) + name)
+                f.write(struct.pack(">q", off))
+
+
+def _read_column_index(
+        table_dir: str) -> dict[bytes, list[tuple[bytes, int]]] | None:
+    """``{partition key: [(block-start cell name, Data.db offset), …]}``
+    or ``None`` when the table predates the sidecar (slices fall back to
+    decoding from the partition head — never wrong, just unpruned).
+    Malformed sidecars raise (quarantine convention)."""
+    path = os.path.join(table_dir, "ColumnIndex.db")
+    try:
+        with open(path, "rb") as f:
+            buf = f.read()
+    except FileNotFoundError:
+        return None
+    out: dict[bytes, list[tuple[bytes, int]]] = {}
+    pos = 0
+    try:
+        while pos < len(buf):
+            (klen,) = struct.unpack_from(">H", buf, pos)
+            pos += 2
+            key = buf[pos:pos + klen]
+            if len(key) != klen:
+                raise struct.error("truncated key")
+            pos += klen
+            (nblocks,) = struct.unpack_from(">I", buf, pos)
+            pos += 4
+            blocks = []
+            for _ in range(nblocks):
+                (nlen,) = struct.unpack_from(">H", buf, pos)
+                pos += 2
+                name = buf[pos:pos + nlen]
+                if len(name) != nlen:
+                    raise struct.error("truncated block name")
+                pos += nlen
+                (off,) = struct.unpack_from(">q", buf, pos)
+                pos += 8
+                blocks.append((name, off))
+            out[key] = blocks
+    except struct.error as e:
+        raise CorruptSSTableError(
+            f"{path}: malformed ColumnIndex.db ({e})"
+        ) from None
+    return out
+
+
+def plan_partition_slice(table_dir: str, key: bytes,
+                         cell_start: bytes) -> tuple[int, bool] | None:
+    """Plan a clustering slice of one partition: returns
+    ``(seek offset, starts_at_cell)`` — the covering column-index block
+    when the sidecar has one (``starts_at_cell=True``: the offset points
+    at a cell record), else the partition head
+    (``starts_at_cell=False``: key + deletion header precede the cells).
+    ``None`` when the table's bloom filter or index excludes the key —
+    the probe order is the reference's (filter -> summary/index ->
+    data; NoTTLReader.java:1502-1665)."""
+    import bisect
+
+    if not bloom_might_contain(table_dir, key):
+        return None
+    samples = _read_summary(table_dir)
+    if samples:
+        entries, _ = _read_index_window(table_dir, samples, key,
+                                        key + b"\x00")
+    else:
+        entries = read_index(os.path.join(table_dir, "Index.db"))
+    offs = [off for k, off in entries if k == key]
+    if not offs:
+        return None
+    ci = _read_column_index(table_dir)
+    blocks = (ci or {}).get(key)
+    if blocks:
+        names = [n for n, _ in blocks]
+        i = bisect.bisect_right(names, cell_start) - 1
+        if i >= 0:
+            return blocks[i][1], True
+    return offs[0], False
+
+
+def scan_partition_slice(spark, path: str, key: str, cell_start: str,
+                         cell_stop: str):
+    """Clustering-range slice of ONE partition across a directory of
+    generations — the reference's wide-row read path: bloom check, index
+    probe, then the PROMOTED COLUMN INDEX picks the covering cell block
+    so the task decodes O(slice) bytes, not O(partition). Emits
+    SSTABLE_SCHEMA rows with ``cell_start <= cell < cell_stop``.
+
+    Decode starts at the covering block (which may precede the slice —
+    those cells are filtered) and stops at the first cell ``>=
+    cell_stop``; this requires the cell stream to be non-decreasing at
+    the slice-boundary granularity (the clustering-prefix convention the
+    fixtures follow). Range tombstones that OPEN before the covering
+    block are not re-emitted — Cassandra solves this by storing open-RT
+    markers per block; recorded as the next increment, and the full scan
+    (which slices from the partition head) never hits it.
+
+    Scale: one tiny task per surviving generation (bloom-dropped tables
+    never open their index); each task seeks once and reads O(blocks
+    covering the slice) bytes. At 10⁶ cells/partition this is the
+    difference between KBs and GBs per slice."""
+    import pandas as pd
+
+    kb = key.encode()
+    start_b, stop_b = cell_start.encode(), cell_stop.encode()
+    specs = []
+    for d in _resolve_table_dirs(path):
+        plan = plan_partition_slice(d, kb, start_b)
+        if plan is not None:
+            specs.append((d, plan[0], plan[1]))
+    if not specs:
+        return spark.createDataFrame([], SSTABLE_SCHEMA)
+
+    def _read(batches):
+        for pdf in batches:
+            rows = []
+            for d, off, at_cell in zip(pdf["dir"], pdf["off"],
+                                       pdf["at_cell"]):
+                data_path = os.path.join(d, "Data.db")
+                gen = _table_generation(d)
+                with _open_data(data_path) as f:
+                    rlen, rval, _ = _framing(f, gen, data_path)
+                    f.seek(int(off))
+                    if not at_cell:
+                        klen = rlen("partition-key length")
+                        k = _must_read(f, klen, data_path, "partition key")
+                        if k != kb:
+                            raise CorruptSSTableError(
+                                f"{data_path}: index offset {off} does "
+                                f"not start partition {key!r}")
+                        _must_read(f, 12, data_path, "partition header")
+                    while True:
+                        nlen = rlen("cell-name length")
+                        if nlen == 0:
+                            break
+                        name = _must_read(
+                            f, nlen, data_path, "cell name"
+                        ).decode("utf-8")
+                        row = _decode_cell_body(f, rlen, rval, key, name,
+                                                data_path)
+                        if name >= cell_stop:
+                            break
+                        if name >= cell_start:
+                            rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["pk", "cell", "kind", "ttl", "expiration",
+                               "writetime", "value"],
+            )
+
+    return (
+        spark.createDataFrame(
+            [(d, o, a) for d, o, a in specs],
+            "dir string, off long, at_cell boolean",
+        )
+        .repartition(min(len(specs), 32))
+        .mapInPandas(_read, schema=SSTABLE_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Digest.crc32 + TOC.txt — integrity sidecars
 # ---------------------------------------------------------------------------
 
@@ -661,7 +849,8 @@ def verify_digests(spark, path: str):
 
 def write_sstable(partitions: Iterable[tuple], out_dir: str,
                   generation: str = "v1", compressed: bool = False,
-                  summary_interval: int = SUMMARY_INTERVAL) -> None:
+                  summary_interval: int = SUMMARY_INTERVAL,
+                  colindex_every: int = COLINDEX_EVERY) -> None:
     """Write ``Data.db`` + ``Index.db`` for ``partitions`` — an iterable of
     ``(key_bytes, cells)`` where each cell is
     ``(name_bytes, mask, ttl, expiration, writetime, value_bytes)``
@@ -695,6 +884,7 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
     index_path = os.path.join(out_dir, "Index.db")
     written_keys: list[bytes] = []
     summary: list[tuple[bytes, int, int]] = []
+    colindex: list[tuple[bytes, list[tuple[bytes, int]]]] = []
     n_cells = n_expiring = 0
     min_wt = max_wt = min_ttl = max_ttl = None
     with open(data_path, "wb") as df, open(index_path, "wb") as ix:
@@ -722,7 +912,11 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
             ix.write(struct.pack(">q", offset))
             df.write(wlen(len(key)) + key)
             df.write(struct.pack(">iq", int(ldt), int(mfda)))
-            for name, mask, ttl, expiration, writetime, value in cells:
+            blocks: list[tuple[bytes, int]] = []
+            for i_cell, (name, mask, ttl, expiration, writetime,
+                         value) in enumerate(cells):
+                if colindex_every and i_cell % colindex_every == 0:
+                    blocks.append((name, df.tell()))
                 n_cells += 1
                 wt = int(writetime)
                 min_wt = wt if min_wt is None else min(min_wt, wt)
@@ -758,6 +952,10 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
                     df.write(struct.pack(">q", int(writetime)))
                 df.write(wval(len(value)) + value)
             df.write(wlen(0))
+            if blocks:
+                colindex.append((key, blocks))
+    if colindex_every:
+        _write_column_index(out_dir, colindex)
     _write_filter(out_dir, written_keys)
     _write_summary(out_dir, summary_interval, summary)
     _write_stats(out_dir, len(written_keys), n_cells, min_wt, max_wt,
@@ -854,6 +1052,45 @@ def read_index(index_path: str) -> list[tuple[bytes, int]]:
     return _parse_index_entries(buf, gen, index_path)
 
 
+def _framing(f, gen: str, data_path: str):
+    """Per-generation length/value readers over an open data stream —
+    ``(rlen, rval, rlen_or_eof)`` — shared by the full-range scan and the
+    column-index slice reader so the two decode paths cannot drift."""
+    if gen == "mc":
+        def rlen(what):
+            return _read_uvint(f, data_path, what)
+        rval = rlen
+
+        def rlen_or_eof():
+            b0 = f.read(1)
+            if not b0:
+                return None
+            val, shift, c = b0[0] & 0x7F, 7, b0[0]
+            while c & 0x80:
+                c = _must_read(f, 1, data_path, "partition-key vint")[0]
+                val |= (c & 0x7F) << shift
+                shift += 7
+                if shift > 63:
+                    raise CorruptSSTableError(
+                        f"{data_path}: runaway partition-key vint")
+            return val
+    else:
+        def rlen(what):
+            return struct.unpack(
+                ">H", _must_read(f, 2, data_path, what))[0]
+
+        def rval(what):
+            return struct.unpack(
+                ">i", _must_read(f, 4, data_path, what))[0]
+
+        def rlen_or_eof():
+            hdr = f.read(2)
+            if len(hdr) < 2:
+                return None
+            return struct.unpack(">H", hdr)[0]
+    return rlen, rval, rlen_or_eof
+
+
 def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
     """Decode every partition whose record starts in ``[start, end)`` and
     yield flat cell rows (the SSTABLE_SCHEMA tuple shape). Seeks once,
@@ -864,38 +1101,7 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
     error."""
     gen = _table_generation(os.path.dirname(data_path))
     with _open_data(data_path) as f:
-        if gen == "mc":
-            def rlen(what):
-                return _read_uvint(f, data_path, what)
-            rval = rlen
-
-            def rlen_or_eof():
-                b0 = f.read(1)
-                if not b0:
-                    return None
-                val, shift, c = b0[0] & 0x7F, 7, b0[0]
-                while c & 0x80:
-                    c = _must_read(f, 1, data_path, "partition-key vint")[0]
-                    val |= (c & 0x7F) << shift
-                    shift += 7
-                    if shift > 63:
-                        raise CorruptSSTableError(
-                            f"{data_path}: runaway partition-key vint")
-                return val
-        else:
-            def rlen(what):
-                return struct.unpack(
-                    ">H", _must_read(f, 2, data_path, what))[0]
-
-            def rval(what):
-                return struct.unpack(
-                    ">i", _must_read(f, 4, data_path, what))[0]
-
-            def rlen_or_eof():
-                hdr = f.read(2)
-                if len(hdr) < 2:
-                    return None
-                return struct.unpack(">H", hdr)[0]
+        rlen, rval, rlen_or_eof = _framing(f, gen, data_path)
         f.seek(start)
         while f.tell() < end:
             klen = rlen_or_eof()
@@ -919,65 +1125,62 @@ def scan_data_range(data_path: str, start: int, end: int) -> Iterator[tuple]:
                     break
                 name = _must_read(f, nlen, data_path,
                                   "cell name").decode("utf-8")
-                (mask,) = struct.unpack(
-                    ">B", _must_read(f, 1, data_path, "cell mask"))
-                # atom dispatch mirrors the reference's order: range
-                # tombstone first (NoTTLSerializer.java:31), then the cell
-                # masks (NoTTLColumnSerializer.java:26-49)
-                if mask & RANGE_TOMBSTONE_MASK:
-                    elen = rlen("RT end length")
-                    rt_end = _must_read(f, elen, data_path,
-                                        "RT end bound").decode("utf-8")
-                    ldt, mfda = struct.unpack(
-                        ">iq", _must_read(f, 12, data_path, "RT deletion"))
-                    yield (pk, name, "range_tombstone", None, int(ldt),
-                           mfda, rt_end)
-                elif mask & COUNTER_MASK:
-                    tsd, wt = struct.unpack(
-                        ">qq",
-                        _must_read(f, 16, data_path, "counter-cell body"))
-                    vlen = rval("value length")
-                    value = _must_read(f, vlen, data_path, "cell value")
-                    yield (pk, name, "counter", None, tsd, wt,
-                           value.decode("utf-8"))
-                elif mask & COUNTER_UPDATE_MASK:
-                    (wt,) = struct.unpack(
-                        ">q",
-                        _must_read(f, 8, data_path, "counter-update body"))
-                    vlen = rval("value length")
-                    value = _must_read(f, vlen, data_path, "cell value")
-                    yield (pk, name, "counter_update", None, None, wt,
-                           value.decode("utf-8"))
-                elif mask & EXPIRATION_MASK:
-                    ttl, exp, wt = struct.unpack(
-                        ">iiq",
-                        _must_read(f, 16, data_path, "expiring-cell body"))
-                    vlen = rval("value length")
-                    value = _must_read(f, vlen, data_path, "cell value")
-                    yield (pk, name, "expiring", ttl, exp, wt,
-                           value.decode("utf-8"))
-                elif mask & DELETION_MASK:
-                    (wt,) = struct.unpack(
-                        ">q",
-                        _must_read(f, 8, data_path, "tombstone writetime"))
-                    vlen = rval("value length")
-                    (cell_ldt,) = struct.unpack(
-                        ">i",
-                        _must_read(f, vlen, data_path, "tombstone body"))
-                    yield (pk, name, "tombstone", None, int(cell_ldt), wt,
-                           None)
-                elif mask == 0:
-                    (wt,) = struct.unpack(
-                        ">q", _must_read(f, 8, data_path, "cell writetime"))
-                    vlen = rval("value length")
-                    value = _must_read(f, vlen, data_path, "cell value")
-                    yield (pk, name, "normal", None, None, wt,
-                           value.decode("utf-8"))
-                else:
-                    raise ValueError(
-                        f"cell mask 0x{mask:02x} is not a recognized "
-                        "simple/counter/range-tombstone atom"
-                    )
+                yield _decode_cell_body(f, rlen, rval, pk, name, data_path)
+
+
+def _decode_cell_body(f, rlen, rval, pk: str, name: str,
+                      data_path: str) -> tuple:
+    """Decode one cell body (mask byte onward) into its SSTABLE_SCHEMA
+    row. Atom dispatch mirrors the reference's order: range tombstone
+    first (NoTTLSerializer.java:31), then the cell masks
+    (NoTTLColumnSerializer.java:26-49). Shared by the full scan and the
+    column-index slice reader."""
+    (mask,) = struct.unpack(
+        ">B", _must_read(f, 1, data_path, "cell mask"))
+    if mask & RANGE_TOMBSTONE_MASK:
+        elen = rlen("RT end length")
+        rt_end = _must_read(f, elen, data_path,
+                            "RT end bound").decode("utf-8")
+        ldt, mfda = struct.unpack(
+            ">iq", _must_read(f, 12, data_path, "RT deletion"))
+        return (pk, name, "range_tombstone", None, int(ldt), mfda, rt_end)
+    elif mask & COUNTER_MASK:
+        tsd, wt = struct.unpack(
+            ">qq", _must_read(f, 16, data_path, "counter-cell body"))
+        vlen = rval("value length")
+        value = _must_read(f, vlen, data_path, "cell value")
+        return (pk, name, "counter", None, tsd, wt, value.decode("utf-8"))
+    elif mask & COUNTER_UPDATE_MASK:
+        (wt,) = struct.unpack(
+            ">q", _must_read(f, 8, data_path, "counter-update body"))
+        vlen = rval("value length")
+        value = _must_read(f, vlen, data_path, "cell value")
+        return (pk, name, "counter_update", None, None, wt,
+                value.decode("utf-8"))
+    elif mask & EXPIRATION_MASK:
+        ttl, exp, wt = struct.unpack(
+            ">iiq", _must_read(f, 16, data_path, "expiring-cell body"))
+        vlen = rval("value length")
+        value = _must_read(f, vlen, data_path, "cell value")
+        return (pk, name, "expiring", ttl, exp, wt, value.decode("utf-8"))
+    elif mask & DELETION_MASK:
+        (wt,) = struct.unpack(
+            ">q", _must_read(f, 8, data_path, "tombstone writetime"))
+        vlen = rval("value length")
+        (cell_ldt,) = struct.unpack(
+            ">i", _must_read(f, vlen, data_path, "tombstone body"))
+        return (pk, name, "tombstone", None, int(cell_ldt), wt, None)
+    elif mask == 0:
+        (wt,) = struct.unpack(
+            ">q", _must_read(f, 8, data_path, "cell writetime"))
+        vlen = rval("value length")
+        value = _must_read(f, vlen, data_path, "cell value")
+        return (pk, name, "normal", None, None, wt, value.decode("utf-8"))
+    else:
+        raise ValueError(
+            f"cell mask 0x{mask:02x} is not a recognized "
+            "simple/counter/range-tombstone atom"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -1512,7 +1715,8 @@ def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
                            generation: str = "v1",
                            compressed: bool = False,
                            where: str = "TRUE",
-                           summary_interval: int = SUMMARY_INTERVAL) -> None:
+                           summary_interval: int = SUMMARY_INTERVAL,
+                           colindex_every: int = COLINDEX_EVERY) -> None:
     """Deterministic SSTable fixture over the ``events`` parquet: one
     partition per ``user_id`` (key = ascii of the id), three cells per
     event clustered by zero-padded event_id —
@@ -1561,7 +1765,8 @@ def events_sstable_fixture(spark, sf_dir: str, out_dir: str,
         cells.append((f"{base}props".encode(), mask, t, exp, wt,
                       props.encode()))
     write_sstable(parts.items(), out_dir, generation=generation,
-                  compressed=compressed, summary_interval=summary_interval)
+                  compressed=compressed, summary_interval=summary_interval,
+                  colindex_every=colindex_every)
 
 
 def sstable_scan_oracle_sql(table: str = "events") -> str:
@@ -1599,6 +1804,23 @@ SELECT pk, eid || ':props',
        CASE WHEN ttl IS NOT NULL THEN 'expiring' ELSE 'normal' END,
        ttl::BIGINT, (ts_s + ttl)::BIGINT, wt, props
 FROM e
+"""
+
+
+def sstable_slice_oracle_sql(cell_start: str, cell_stop: str,
+                             table: str = "events") -> str:
+    """Oracle for q_s19: the full-scan recomputation restricted to the
+    sliced partition (smallest ``user_id`` — resolved identically by the
+    Spark side) and the clustering range. The promoted column index
+    changes which BYTES the task decodes, never the rows that come
+    back, so the oracle is exactly the slice of
+    :func:`sstable_scan_oracle_sql`."""
+    return f"""
+WITH full_scan AS ({sstable_scan_oracle_sql(table)})
+SELECT * FROM full_scan
+WHERE pk = (SELECT min(user_id)::VARCHAR FROM {table})
+  AND cell >= '{cell_start}' AND cell < '{cell_stop}'
+ORDER BY cell
 """
 
 

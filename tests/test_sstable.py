@@ -943,3 +943,85 @@ def test_verify_digests_missing_sidecar_fails_not_skips(spark):
     [r] = ss.verify_digests(spark, base).collect()
     assert r.digest_ok is False and r.toc_ok is False
     shutil.rmtree(base)
+
+
+def _wide_partitions(n_cells=40):
+    cells = []
+    for i in range(n_cells):
+        name = f"{i:06d}:c".encode()
+        if i % 7 == 0:
+            cells.append((name, ss.DELETION_MASK, 0, 0,
+                          1_700_000_000_000_000 + i,
+                          struct.pack(">i", 1_700_000_000)))
+        elif i % 3 == 0:
+            cells.append((name, ss.EXPIRATION_MASK, 600,
+                          1_700_000_600, 1_700_000_000_000_000 + i,
+                          f"v{i}".encode()))
+        else:
+            cells.append((name, 0, 0, 0,
+                          1_700_000_000_000_000 + i, f"v{i}".encode()))
+    return [(b"wide", cells), (b"narrow", cells[:2])]
+
+
+def test_column_index_slice_equals_filtered_scan(spark):
+    """Slice through the promoted column index == the full-scan filter,
+    across all cell kinds and both generations, with and without
+    compression."""
+    for gen in ("v1", "mc"):
+        for comp in (False, True):
+            out = _tmpdir()
+            ss.write_sstable(_wide_partitions(), out, generation=gen,
+                             compressed=comp, colindex_every=8)
+            full = ss.scan_sstable(spark, out)
+            want = sorted(
+                tuple(r) for r in full.collect()
+                if r.pk == "wide" and "000005:" <= r.cell < "000030:"
+            )
+            got = sorted(tuple(r) for r in ss.scan_partition_slice(
+                spark, out, "wide", "000005:", "000030:").collect())
+            assert got == want and len(got) == 25, (gen, comp, len(got))
+            shutil.rmtree(out)
+
+
+def test_column_index_plan_prunes_blocks():
+    """A late slice must seek past the early blocks (the O(slice) claim);
+    the no-sidecar fallback plans from the partition head; a bloom-
+    excluded key plans to None."""
+    out = _tmpdir()
+    ss.write_sstable(_wide_partitions(), out, colindex_every=8)
+    # a start BEFORE the first block name plans from the partition head
+    # (equivalent bytes; the first block begins at the first cell)
+    pre = ss.plan_partition_slice(out, b"wide", b"000000:")
+    assert pre is not None and pre[1] is False
+    early = ss.plan_partition_slice(out, b"wide", b"000001:")
+    late = ss.plan_partition_slice(out, b"wide", b"000035:")
+    assert early is not None and late is not None
+    assert late[1] and early[1] and late[0] > early[0]
+    assert ss.plan_partition_slice(out, b"absent-key", b"x") is None
+    os.remove(os.path.join(out, "ColumnIndex.db"))
+    head = ss.plan_partition_slice(out, b"wide", b"000035:")
+    assert head is not None and head[1] is False
+    shutil.rmtree(out)
+
+
+def test_column_index_fallback_without_sidecar_still_correct(spark):
+    out = _tmpdir()
+    ss.write_sstable(_wide_partitions(), out, colindex_every=8)
+    want = sorted(tuple(r) for r in ss.scan_partition_slice(
+        spark, out, "wide", "000010:", "000020:").collect())
+    os.remove(os.path.join(out, "ColumnIndex.db"))
+    got = sorted(tuple(r) for r in ss.scan_partition_slice(
+        spark, out, "wide", "000010:", "000020:").collect())
+    assert got == want and len(got) == 10
+    shutil.rmtree(out)
+
+
+def test_corrupt_column_index_fails_loud():
+    out = _tmpdir()
+    ss.write_sstable(_wide_partitions(), out, colindex_every=8)
+    p = os.path.join(out, "ColumnIndex.db")
+    with open(p, "r+b") as f:
+        f.truncate(os.path.getsize(p) - 3)
+    with pytest.raises(ss.CorruptSSTableError, match="ColumnIndex"):
+        ss._read_column_index(out)
+    shutil.rmtree(out)
