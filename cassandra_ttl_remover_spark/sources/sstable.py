@@ -568,51 +568,68 @@ COLINDEX_EVERY = 64
 
 def _write_column_index(
         out_dir: str,
-        entries: list[tuple[bytes, list[tuple[bytes, int]]]]) -> None:
+        entries: list[tuple[bytes, list[tuple]]]) -> None:
+    # per block: name, offset, then the OPEN-RT markers (range
+    # tombstones from earlier blocks still covering this block's first
+    # cell — Cassandra 3.x stores the same as IndexInfo.endOpenMarker)
     with open(os.path.join(out_dir, "ColumnIndex.db"), "wb") as f:
         for key, blocks in entries:
             f.write(struct.pack(">H", len(key)) + key)
             f.write(struct.pack(">I", len(blocks)))
-            for name, off in blocks:
+            for name, off, open_rts in blocks:
                 f.write(struct.pack(">H", len(name)) + name)
                 f.write(struct.pack(">q", off))
+                f.write(struct.pack(">H", len(open_rts)))
+                for s, e, ldt, mfda in open_rts:
+                    f.write(struct.pack(">H", len(s)) + s)
+                    f.write(struct.pack(">H", len(e)) + e)
+                    f.write(struct.pack(">iq", ldt, mfda))
 
 
-def _read_column_index(
-        table_dir: str) -> dict[bytes, list[tuple[bytes, int]]] | None:
-    """``{partition key: [(block-start cell name, Data.db offset), …]}``
-    or ``None`` when the table predates the sidecar (slices fall back to
-    decoding from the partition head — never wrong, just unpruned).
-    Malformed sidecars raise (quarantine convention)."""
+def _read_column_index(table_dir: str) -> dict[bytes, list[tuple]] | None:
+    """``{partition key: [(block-start cell name, Data.db offset,
+    [(rt start, rt end, ldt, mfda), …]), …]}`` or ``None`` when the
+    table predates the sidecar (slices fall back to decoding from the
+    partition head — never wrong, just unpruned). Malformed sidecars
+    raise (quarantine convention)."""
     path = os.path.join(table_dir, "ColumnIndex.db")
     try:
         with open(path, "rb") as f:
             buf = f.read()
     except FileNotFoundError:
         return None
-    out: dict[bytes, list[tuple[bytes, int]]] = {}
+    out: dict[bytes, list[tuple]] = {}
     pos = 0
+
+    def take(n: int, what: str) -> bytes:
+        nonlocal pos
+        b = buf[pos:pos + n]
+        if len(b) != n:
+            raise struct.error(f"truncated {what}")
+        pos += n
+        return b
+
     try:
         while pos < len(buf):
-            (klen,) = struct.unpack_from(">H", buf, pos)
-            pos += 2
-            key = buf[pos:pos + klen]
-            if len(key) != klen:
-                raise struct.error("truncated key")
-            pos += klen
-            (nblocks,) = struct.unpack_from(">I", buf, pos)
-            pos += 4
+            (klen,) = struct.unpack(">H", take(2, "key length"))
+            key = take(klen, "key")
+            (nblocks,) = struct.unpack(">I", take(4, "block count"))
             blocks = []
             for _ in range(nblocks):
-                (nlen,) = struct.unpack_from(">H", buf, pos)
-                pos += 2
-                name = buf[pos:pos + nlen]
-                if len(name) != nlen:
-                    raise struct.error("truncated block name")
-                pos += nlen
-                (off,) = struct.unpack_from(">q", buf, pos)
-                pos += 8
-                blocks.append((name, off))
+                (nlen,) = struct.unpack(">H", take(2, "name length"))
+                name = take(nlen, "block name")
+                (off,) = struct.unpack(">q", take(8, "block offset"))
+                (nrt,) = struct.unpack(">H", take(2, "open-RT count"))
+                rts = []
+                for _ in range(nrt):
+                    (slen,) = struct.unpack(">H", take(2, "RT start len"))
+                    s = take(slen, "RT start")
+                    (elen,) = struct.unpack(">H", take(2, "RT end len"))
+                    e = take(elen, "RT end")
+                    ldt, mfda = struct.unpack(
+                        ">iq", take(12, "RT deletion"))
+                    rts.append((s, e, ldt, mfda))
+                blocks.append((name, off, rts))
             out[key] = blocks
     except struct.error as e:
         raise CorruptSSTableError(
@@ -621,16 +638,18 @@ def _read_column_index(
     return out
 
 
-def plan_partition_slice(table_dir: str, key: bytes,
-                         cell_start: bytes) -> tuple[int, bool] | None:
+def plan_partition_slice(
+        table_dir: str, key: bytes,
+        cell_start: bytes) -> tuple[int, bool, list[tuple]] | None:
     """Plan a clustering slice of one partition: returns
-    ``(seek offset, starts_at_cell)`` — the covering column-index block
-    when the sidecar has one (``starts_at_cell=True``: the offset points
-    at a cell record), else the partition head
-    (``starts_at_cell=False``: key + deletion header precede the cells).
-    ``None`` when the table's bloom filter or index excludes the key —
-    the probe order is the reference's (filter -> summary/index ->
-    data; NoTTLReader.java:1502-1665)."""
+    ``(seek offset, starts_at_cell, open_rts)`` — the covering
+    column-index block when the sidecar has one (``starts_at_cell=True``:
+    the offset points at a cell record; ``open_rts`` are the block's
+    open range-tombstone markers), else the partition head
+    (``starts_at_cell=False``, no markers needed — every RT is in the
+    decoded stream). ``None`` when the table's bloom filter or index
+    excludes the key — the probe order is the reference's (filter ->
+    summary/index -> data; NoTTLReader.java:1502-1665)."""
     import bisect
 
     if not bloom_might_contain(table_dir, key):
@@ -647,11 +666,11 @@ def plan_partition_slice(table_dir: str, key: bytes,
     ci = _read_column_index(table_dir)
     blocks = (ci or {}).get(key)
     if blocks:
-        names = [n for n, _ in blocks]
+        names = [b[0] for b in blocks]
         i = bisect.bisect_right(names, cell_start) - 1
         if i >= 0:
-            return blocks[i][1], True
-    return offs[0], False
+            return blocks[i][1], True, blocks[i][2]
+    return offs[0], False, []
 
 
 def scan_partition_slice(spark, path: str, key: str, cell_start: str,
@@ -663,35 +682,49 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
     SSTABLE_SCHEMA rows with ``cell_start <= cell < cell_stop``.
 
     Decode starts at the covering block (which may precede the slice —
-    those cells are filtered) and stops at the first cell ``>=
+    those cells are filtered) and stops at the first atom ``>=
     cell_stop``; this requires the cell stream to be non-decreasing at
     the slice-boundary granularity (the clustering-prefix convention the
-    fixtures follow). Range tombstones that OPEN before the covering
-    block are not re-emitted — Cassandra solves this by storing open-RT
-    markers per block; recorded as the next increment, and the full scan
-    (which slices from the partition head) never hits it.
+    fixtures follow). Deletion-correctness for range tombstones: the
+    covering block's OPEN-RT markers (tombstones from earlier blocks
+    still covering it — Cassandra's IndexInfo.endOpenMarker) are
+    re-emitted, and in-stream tombstones are kept whenever their range
+    intersects the slice — so the result carries every RT a consumer
+    needs to resolve liveness inside ``[cell_start, cell_stop)``.
 
     Scale: one tiny task per surviving generation (bloom-dropped tables
     never open their index); each task seeks once and reads O(blocks
     covering the slice) bytes. At 10⁶ cells/partition this is the
     difference between KBs and GBs per slice."""
+    import json
+
     import pandas as pd
 
     kb = key.encode()
-    start_b, stop_b = cell_start.encode(), cell_stop.encode()
+    start_b = cell_start.encode()
     specs = []
     for d in _resolve_table_dirs(path):
         plan = plan_partition_slice(d, kb, start_b)
         if plan is not None:
-            specs.append((d, plan[0], plan[1]))
+            off, at_cell, open_rts = plan
+            markers = json.dumps([
+                [s.decode("utf-8"), e.decode("utf-8"), ldt, mfda]
+                for s, e, ldt, mfda in open_rts
+            ])
+            specs.append((d, off, at_cell, markers))
     if not specs:
         return spark.createDataFrame([], SSTABLE_SCHEMA)
 
     def _read(batches):
         for pdf in batches:
             rows = []
-            for d, off, at_cell in zip(pdf["dir"], pdf["off"],
-                                       pdf["at_cell"]):
+            for d, off, at_cell, markers in zip(
+                    pdf["dir"], pdf["off"], pdf["at_cell"],
+                    pdf["markers"]):
+                for s, e, ldt, mfda in json.loads(markers):
+                    if e >= cell_start and s < cell_stop:
+                        rows.append((key, s, "range_tombstone", None,
+                                     int(ldt), int(mfda), e))
                 data_path = os.path.join(d, "Data.db")
                 gen = _table_generation(d)
                 with _open_data(data_path) as f:
@@ -718,6 +751,11 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
                             break
                         if name >= cell_start:
                             rows.append(row)
+                        elif (row[2] == "range_tombstone"
+                              and row[6] >= cell_start):
+                            # RT opening inside the covering block but
+                            # before the slice, still covering it
+                            rows.append(row)
             yield pd.DataFrame(
                 rows, columns=["pk", "cell", "kind", "ttl", "expiration",
                                "writetime", "value"],
@@ -725,8 +763,7 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
 
     return (
         spark.createDataFrame(
-            [(d, o, a) for d, o, a in specs],
-            "dir string, off long, at_cell boolean",
+            specs, "dir string, off long, at_cell boolean, markers string",
         )
         .repartition(min(len(specs), 32))
         .mapInPandas(_read, schema=SSTABLE_SCHEMA)
@@ -912,11 +949,21 @@ def write_sstable(partitions: Iterable[tuple], out_dir: str,
             ix.write(struct.pack(">q", offset))
             df.write(wlen(len(key)) + key)
             df.write(struct.pack(">iq", int(ldt), int(mfda)))
-            blocks: list[tuple[bytes, int]] = []
+            blocks: list[tuple] = []
+            open_rts: list[tuple[bytes, bytes, int, int]] = []
             for i_cell, (name, mask, ttl, expiration, writetime,
                          value) in enumerate(cells):
                 if colindex_every and i_cell % colindex_every == 0:
-                    blocks.append((name, df.tell()))
+                    # open-RT markers: every range tombstone written
+                    # earlier in this partition still covering this
+                    # block's first cell (Cassandra's endOpenMarker
+                    # analog) — a slice landing here must re-emit them
+                    # or deletions silently vanish from the slice
+                    open_rts = [rt for rt in open_rts if rt[1] >= name]
+                    blocks.append((name, df.tell(), list(open_rts)))
+                if mask & RANGE_TOMBSTONE_MASK:
+                    open_rts.append(
+                        (name, value, int(expiration), int(writetime)))
                 n_cells += 1
                 wt = int(writetime)
                 min_wt = wt if min_wt is None else min(min_wt, wt)

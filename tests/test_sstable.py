@@ -1025,3 +1025,41 @@ def test_corrupt_column_index_fails_loud():
     with pytest.raises(ss.CorruptSSTableError, match="ColumnIndex"):
         ss._read_column_index(out)
     shutil.rmtree(out)
+
+
+def test_slice_reemits_open_range_tombstones(spark):
+    """An RT opened in an earlier block must reach a slice that starts
+    past it (via the block's open-RT marker); RTs opening inside the
+    covering block before the slice are kept too; RTs whose range ends
+    before the slice are not re-emitted."""
+    cells = []
+    # RT covering 000005..000025, written early (block 0)
+    cells.append((b"000002:", ss.RANGE_TOMBSTONE_MASK, 0,
+                  1_700_000_000, 1_700_000_000_000_500, b"000025:"))
+    # RT fully before the slice window
+    cells.append((b"000003:", ss.RANGE_TOMBSTONE_MASK, 0,
+                  1_700_000_000, 1_700_000_000_000_501, b"000004:"))
+    for i in range(40):
+        cells.append((f"{i:06d}:c".encode(), 0, 0, 0,
+                      1_700_000_000_000_000 + i, f"v{i}".encode()))
+    # writer sorts partitions, not cells — order cells ourselves
+    cells.sort(key=lambda c: c[0])
+    out = _tmpdir()
+    ss.write_sstable([(b"wide", cells)], out, colindex_every=8)
+    got = sorted(
+        (r.cell, r.kind, r.value)
+        for r in ss.scan_partition_slice(
+            spark, out, "wide", "000020:", "000030:").collect()
+    )
+    kinds = [k for _, k, _ in got]
+    # the open RT from block 0 is re-emitted; the dead one is not
+    assert ("000002:", "range_tombstone", "000025:") in got
+    assert not any(c == "000003:" for c, _, _ in got)
+    assert kinds.count("range_tombstone") == 1
+    # plain cells of the slice all present
+    plain = [c for c, k, _ in got if k == "normal"]
+    assert plain == [f"{i:06d}:c" for i in range(20, 30)]
+    # the plan really started past block 0 (marker path, not full decode)
+    plan = ss.plan_partition_slice(out, b"wide", b"000020:")
+    assert plan[1] is True and plan[2], "expected open-RT marker in plan"
+    shutil.rmtree(out)
