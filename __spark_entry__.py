@@ -737,6 +737,7 @@ _DRIVER_PRIORITY = [
     "q_n54_dsir_weights",
     "q_mm18_pcm_decimate",
     "q_s19_clustering_slice",
+    "q_n56_gopher_rules",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4789,6 +4790,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["q_n54_dsir_weights"] = q_n54
 
+    def q_n56(spark, sf):
+        # the Gopher hard-threshold filter battery (Rae et al. 2021),
+        # word-level subset in exact permille integers — the KEEP/DROP
+        # gate in front of a pretraining mix (bounds fit the fixture's
+        # short docs; the thresholds are the paper's). Zero shuffle.
+        from cassandra_ttl_remover_spark.operators.text import (
+            gopher_rules,
+        )
+
+        return gopher_rules(
+            scan_table(spark, sf, "documents"), min_words=10
+        ).orderBy("doc_id")
+    q["q_n56_gopher_rules"] = q_n56
+
     def q_f8(spark, sf):
         # crawl-container ingestion: documents packed into multi-record
         # WARC/1.0 blobs (the Common Crawl shape), then exploded back
@@ -5695,6 +5710,11 @@ FROM r WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey
 
     o["q_n54_dsir_weights"] = dsir_importance_oracle_sql(
         target_where="source IN ('src0', 'src1')")
+    from cassandra_ttl_remover_spark.operators.text import (
+        gopher_rules_oracle_sql,
+    )
+
+    o["q_n56_gopher_rules"] = gopher_rules_oracle_sql(min_words=10)
     o["q_mm12_gif_decode"] = multimodal.gif_decode_oracle_sql(width=32)
     from cassandra_ttl_remover_spark.sources import sstable as _ss
     o["q_s7_sstable_scan"] = _ss.sstable_scan_oracle_sql()

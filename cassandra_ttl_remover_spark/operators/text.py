@@ -1444,3 +1444,101 @@ FROM x{n} GROUP BY grp
         + "\n" + "\nUNION ALL\n".join(selects)
         + f"\nORDER BY {by}, n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+#: the canonical Gopher "must contain >= 2 of these" stopword gate
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021 appendix A1.1 —
+    the public filter battery most pretraining pipelines start from), the
+    word-level subset, in EXACT integer arithmetic (milli/permille units,
+    no floats) so the gate hash-checks bit-for-bit:
+
+    - word count within ``[min_words, max_words]``;
+    - mean word length in [3, 10] characters (``mean_wl_milli``);
+    - >= 80% of words contain an alphabetic character
+      (``alpha_permille``);
+    - >= 2 of the 8 canonical stopwords present (``stop_hits``);
+    plus the duplicate-word fraction (``dupe_permille``, the word-level
+    member of Gopher's repetition family — reported, not gated, matching
+    the paper's separate repetition thresholds handled by
+    repetition_ratio/repetition_runs).
+
+    ``passes_gopher`` ANDs the four gates. Distinct from
+    :func:`quality_score` (a float scoring signal): this is the
+    hard-threshold KEEP/DROP battery.
+
+    Scale: ZERO shuffle — one higher-order-function projection per row,
+    whole-stage codegen'd; the filter composes in front of any curation
+    pipeline at scan cost."""
+    stop_lit = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+    ws = WORDS_EXPR.format(col=text_col)
+    docs = fan_out(docs, id_col)
+    return docs.select(
+        id_col,
+        F.expr(f"cast(size({ws}) as bigint)").alias("n_words"),
+        F.expr(
+            f"cast(case when size({ws}) > 0 then "
+            f"aggregate({ws}, 0L, (a, w) -> a + length(w)) * 1000 "
+            f"div size({ws}) else 0 end as bigint)"
+        ).alias("mean_wl_milli"),
+        F.expr(
+            f"cast(case when size({ws}) > 0 then "
+            f"aggregate({ws}, 0L, (a, w) -> a + if(w rlike '[a-z]', 1, 0))"
+            f" * 1000 div size({ws}) else 0 end as bigint)"
+        ).alias("alpha_permille"),
+        F.expr(
+            f"cast(case when size({ws}) > 0 then "
+            f"(size({ws}) - size(array_distinct({ws}))) * 1000 "
+            f"div size({ws}) else 0 end as bigint)"
+        ).alias("dupe_permille"),
+        F.expr(
+            f"cast(size(filter({stop_lit}, s -> array_contains({ws}, s)))"
+            f" as bigint)"
+        ).alias("stop_hits"),
+    ).withColumn(
+        "passes_gopher",
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_wl_milli") >= 3000)
+        & (F.col("mean_wl_milli") <= 10_000)
+        & (F.col("alpha_permille") >= 800)
+        & (F.col("stop_hits") >= 2),
+    )
+
+
+def gopher_rules_oracle_sql(min_words: int = 50, max_words: int = 100_000,
+                            table: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    stop_lit = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    return f"""
+WITH g AS (
+  SELECT {id_col},
+         len({ws})::BIGINT AS n_words,
+         (CASE WHEN len({ws}) > 0 THEN
+            list_sum(list_transform({ws}, w -> length(w))) * 1000
+              // len({ws}) ELSE 0 END)::BIGINT AS mean_wl_milli,
+         (CASE WHEN len({ws}) > 0 THEN
+            len(list_filter({ws}, w -> regexp_matches(w, '[a-z]'))) * 1000
+              // len({ws}) ELSE 0 END)::BIGINT AS alpha_permille,
+         (CASE WHEN len({ws}) > 0 THEN
+            (len({ws}) - len(list_distinct({ws}))) * 1000
+              // len({ws}) ELSE 0 END)::BIGINT AS dupe_permille,
+         len(list_filter({stop_lit},
+             s -> list_contains({ws}, s)))::BIGINT AS stop_hits
+  FROM {table}
+)
+SELECT *,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_wl_milli >= 3000 AND mean_wl_milli <= 10000
+        AND alpha_permille >= 800 AND stop_hits >= 2) AS passes_gopher
+FROM g ORDER BY {id_col}
+"""

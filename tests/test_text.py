@@ -414,3 +414,40 @@ def test_distinct_ngram_diversity_hand_counts(spark):
     assert rows[("uniq", 1)].distinct_ratio == 1.0
     assert rows[("uniq", 2)].total_ngrams == 2
     assert rows[("uniq", 2)].distinct_ngrams == 2
+
+
+def test_gopher_rules_gates_and_edges(spark):
+    """Each gate flips on its own threshold; empty doc fails totally;
+    integer units are exact."""
+    from cassandra_ttl_remover_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat of and that have with extra words here now"),
+            (2, "a b"),                              # too few words
+            (3, "the of " + "x " * 20),              # mean wl < 3
+            (4, "### !!! ??? " + "the of and " * 4), # alpha < 800? check
+            (5, ""),                                 # empty
+            (6, "supercalifragilistic expialidocious "
+                "antidisestablishmentarianism " * 4),  # wl > 10, no stops
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            gopher_rules(docs, min_words=5, max_words=100).collect()}
+    assert rows[1].passes_gopher is True
+    assert rows[1].stop_hits >= 2 and rows[1].alpha_permille == 1000
+    assert rows[2].passes_gopher is False  # n_words gate
+    assert rows[3].passes_gopher is False  # word-length gate
+    assert rows[3].mean_wl_milli < 3000
+    assert rows[5].passes_gopher is False and rows[5].n_words == 0
+    assert rows[6].passes_gopher is False  # stopword + word-length gates
+    assert rows[6].stop_hits == 0 and rows[6].mean_wl_milli > 10_000
+    # doc 4: symbols lower alpha share; exact permille arithmetic
+    n4 = rows[4].n_words
+    n_alpha = sum(1 for w in
+                  "### !!! ??? the of and the of and the of and the of and"
+                  .split() if any(c.isalpha() for c in w))
+    assert rows[4].alpha_permille == n_alpha * 1000 // n4
+    # duplicate-word fraction is reported exactly
+    assert rows[4].dupe_permille == (n4 - 6) * 1000 // n4  # 6 distinct
