@@ -673,6 +673,54 @@ def plan_partition_slice(
     return offs[0], False, []
 
 
+def _slice_one_dir(d: str, off: int, at_cell: bool, markers: list,
+                   key: str, cell_start: str,
+                   cell_stop: str) -> list[tuple]:
+    """Per-table slice decode — the executor body of
+    :func:`scan_partition_slice`, factored pure so the slice==filter
+    invariant is property-testable without a Spark session. ``markers``
+    is the planned block's open-RT list as
+    ``[start, end, ldt, mfda]`` items."""
+    rows: list[tuple] = []
+    for s, e, ldt, mfda in markers:
+        s = s.decode("utf-8") if isinstance(s, bytes) else s
+        e = e.decode("utf-8") if isinstance(e, bytes) else e
+        if e >= cell_start and s < cell_stop:
+            rows.append((key, s, "range_tombstone", None,
+                         int(ldt), int(mfda), e))
+    kb = key.encode()
+    data_path = os.path.join(d, "Data.db")
+    gen = _table_generation(d)
+    with _open_data(data_path) as f:
+        rlen, rval, _ = _framing(f, gen, data_path)
+        f.seek(off)
+        if not at_cell:
+            klen = rlen("partition-key length")
+            k = _must_read(f, klen, data_path, "partition key")
+            if k != kb:
+                raise CorruptSSTableError(
+                    f"{data_path}: index offset {off} does not start "
+                    f"partition {key!r}")
+            _must_read(f, 12, data_path, "partition header")
+        while True:
+            nlen = rlen("cell-name length")
+            if nlen == 0:
+                break
+            name = _must_read(
+                f, nlen, data_path, "cell name").decode("utf-8")
+            row = _decode_cell_body(f, rlen, rval, key, name, data_path)
+            if name >= cell_stop:
+                break
+            if name >= cell_start:
+                rows.append(row)
+            elif (row[2] == "range_tombstone"
+                  and row[6] >= cell_start):
+                # RT opening inside the covering block but before the
+                # slice, still covering it
+                rows.append(row)
+    return rows
+
+
 def scan_partition_slice(spark, path: str, key: str, cell_start: str,
                          cell_stop: str):
     """Clustering-range slice of ONE partition across a directory of
@@ -721,41 +769,9 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
             for d, off, at_cell, markers in zip(
                     pdf["dir"], pdf["off"], pdf["at_cell"],
                     pdf["markers"]):
-                for s, e, ldt, mfda in json.loads(markers):
-                    if e >= cell_start and s < cell_stop:
-                        rows.append((key, s, "range_tombstone", None,
-                                     int(ldt), int(mfda), e))
-                data_path = os.path.join(d, "Data.db")
-                gen = _table_generation(d)
-                with _open_data(data_path) as f:
-                    rlen, rval, _ = _framing(f, gen, data_path)
-                    f.seek(int(off))
-                    if not at_cell:
-                        klen = rlen("partition-key length")
-                        k = _must_read(f, klen, data_path, "partition key")
-                        if k != kb:
-                            raise CorruptSSTableError(
-                                f"{data_path}: index offset {off} does "
-                                f"not start partition {key!r}")
-                        _must_read(f, 12, data_path, "partition header")
-                    while True:
-                        nlen = rlen("cell-name length")
-                        if nlen == 0:
-                            break
-                        name = _must_read(
-                            f, nlen, data_path, "cell name"
-                        ).decode("utf-8")
-                        row = _decode_cell_body(f, rlen, rval, key, name,
-                                                data_path)
-                        if name >= cell_stop:
-                            break
-                        if name >= cell_start:
-                            rows.append(row)
-                        elif (row[2] == "range_tombstone"
-                              and row[6] >= cell_start):
-                            # RT opening inside the covering block but
-                            # before the slice, still covering it
-                            rows.append(row)
+                rows.extend(_slice_one_dir(
+                    d, int(off), bool(at_cell), json.loads(markers),
+                    key, cell_start, cell_stop))
             yield pd.DataFrame(
                 rows, columns=["pk", "cell", "kind", "ttl", "expiration",
                                "writetime", "value"],

@@ -329,3 +329,62 @@ def test_sidecar_properties_roundtrip(keys, data):
         assert stc["max_writetime"] == max(wts.values())
     finally:
         shutil.rmtree(out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_column_index_slice_equals_filter_property(data):
+    """Slice == filter for ARBITRARY partitions, cell kinds, range
+    tombstones, block densities, and slice bounds — pure-Python path
+    (plan_partition_slice + _slice_one_dir), no Spark session. Expected
+    set: cell atoms in [a, b) plus every RT whose range intersects
+    [a, b)."""
+    import os
+    import shutil
+    import struct as _struct
+    import tempfile
+    import uuid
+
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    n = data.draw(st.integers(5, 60))
+    every = data.draw(st.sampled_from([1, 2, 3, 8, 64]))
+    cells = []
+    for i in range(n):
+        name = f"{i:04d}:c".encode()
+        kind = data.draw(st.sampled_from(
+            ["normal", "expiring", "tombstone", "rt"]))
+        wt = 1_700_000_000_000_000 + i
+        if kind == "rt":
+            end = data.draw(st.integers(i, n + 3))
+            cells.append((name, ss.RANGE_TOMBSTONE_MASK, 0,
+                          1_700_000_000, wt, f"{end:04d}:c".encode()))
+        elif kind == "expiring":
+            cells.append((name, ss.EXPIRATION_MASK, 600,
+                          1_700_000_600, wt, f"v{i}".encode()))
+        elif kind == "tombstone":
+            cells.append((name, ss.DELETION_MASK, 0, 0, wt,
+                          _struct.pack(">i", 1_700_000_000)))
+        else:
+            cells.append((name, 0, 0, 0, wt, f"v{i}".encode()))
+    out = os.path.join(tempfile.gettempdir(),
+                       f"prop_ci_{uuid.uuid4().hex[:8]}")
+    try:
+        ss.write_sstable([(b"p", cells)], out, colindex_every=every)
+        full = list(ss.scan_data_range(
+            os.path.join(out, "Data.db"), 0, 10 ** 12))
+        lo = data.draw(st.integers(0, n))
+        hi = data.draw(st.integers(lo, n + 1))
+        a, b = f"{lo:04d}:", f"{hi:04d}:z"
+        want = sorted(
+            r for r in full
+            if (r[2] != "range_tombstone" and a <= r[1] < b)
+            or (r[2] == "range_tombstone" and r[1] < b and r[6] >= a)
+        )
+        plan = ss.plan_partition_slice(out, b"p", a.encode())
+        assert plan is not None
+        got = sorted(ss._slice_one_dir(
+            out, plan[0], plan[1], plan[2], "p", a, b))
+        assert got == want, (every, lo, hi)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
