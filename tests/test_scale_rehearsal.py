@@ -669,3 +669,39 @@ def test_sidecar_planning_bytes_at_60k_partitions(tmp_path):
     st = ss.read_stats(out)
     assert st["n_partitions"] == n and st["n_expiring"] == n
     assert st["min_writetime"] == 0 and st["max_writetime"] == n - 1
+
+
+def test_column_index_slice_at_200k_cell_partition(tmp_path):
+    """Wide-partition rehearsal: one partition with 200k cells (the
+    time-series shape that motivates Cassandra's promoted index). A
+    narrow slice's planned seek must land within one block of the slice
+    start — decoded bytes scale with the SLICE, not the partition — and
+    the decode returns exactly the window. Pure-Python path (no Spark):
+    this is planner + decoder arithmetic."""
+    import os
+
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    out = str(tmp_path / "wide")
+    n = 200_000
+    every = 64
+    ss.write_sstable(
+        [(b"hot", [(f"{i:07d}:c".encode(), 0, 0, 0, i, b"v")
+                   for i in range(n)])],
+        out, colindex_every=every,
+    )
+    size = os.path.getsize(os.path.join(out, "Data.db"))
+    # slice of 100 cells deep in the partition
+    lo, hi = 150_000, 150_100
+    plan = ss.plan_partition_slice(out, b"hot", f"{lo:07d}:".encode())
+    assert plan is not None and plan[1] is True
+    # the seek offset is ~3/4 into the file — blocks really skipped
+    assert plan[0] > size // 2
+    rows = ss._slice_one_dir(out, plan[0], plan[1], plan[2], "hot",
+                             f"{lo:07d}:", f"{hi:07d}:")
+    assert len(rows) == 100
+    assert rows[0][1] == f"{lo:07d}:c" and rows[-1][1] == f"{hi - 1:07d}:c"
+    # decoded byte span: from the covering block to the stop cell is
+    # O(slice + one block), a tiny fraction of the partition
+    nxt = ss.plan_partition_slice(out, b"hot", f"{hi:07d}:".encode())
+    assert (nxt[0] - plan[0]) < size // 500
