@@ -355,6 +355,17 @@ def main() -> int:
             int8_quantization_report)
         int8_quantization_report(embeddings).collect()
 
+    def q_dsir():
+        # DSIR importance scores: two histogram aggs (checkpointed dim),
+        # broadcast dictionary, one doc-id shuffle
+        curate.dsir_importance(
+            documents, documents.filter("source IN ('src0', 'src1')")
+        ).collect()
+
+    def q_gopher():
+        # Gopher rule battery: zero-shuffle HOF projection
+        text.gopher_rules(documents, min_words=10).collect()
+
     queries = {
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
@@ -396,6 +407,8 @@ def main() -> int:
         "span_removal": q_span_removal,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "dsir_importance": q_dsir,
+        "gopher_rules": q_gopher,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock
