@@ -30,6 +30,8 @@ class JobSpec:
     now: int | None
     pk: str
     clustering: list[str]
+    input_format: str = "parquet"
+    output_format: str = "parquet"
 
 
 class TTLRemovalError(RuntimeError):
@@ -51,12 +53,23 @@ def parse_args(argv: list[str]) -> JobSpec:
                    help="deterministic 'now' epoch-seconds (SURVEY.md §2.3.1)")
     p.add_argument("--pk", default="user_id")
     p.add_argument("--clustering", default="")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "sstable"],
+                   help="sstable = the reference's NATIVE on-disk format "
+                        "(Data.db/Index.db directories)")
+    p.add_argument("--output-format", default="parquet",
+                   choices=["parquet", "sstable"],
+                   help="sstable = re-encode stripped cells through the "
+                        "distributed sharded SSTable sink (the "
+                        "reference's output side)")
     a = p.parse_args(argv)
 
     # option matrix (TTLRemoverCLI.java:165-197): cql required iff the format
     # needs a declared schema (the reference requires it for C3/4/4.1 and
-    # loads from disk for C2).
-    if a.format_version != "2" and not a.cql:
+    # loads from disk for C2). The native sstable source carries its own
+    # fixed cell schema — like the reference's C2 path, no DDL needed.
+    if (a.input_format != "sstable" and a.format_version != "2"
+            and not a.cql):
         p.error(f"--cql is required for format-version {a.format_version}")
     return JobSpec(
         version=a.format_version,
@@ -66,6 +79,8 @@ def parse_args(argv: list[str]) -> JobSpec:
         now=a.now,
         pk=a.pk,
         clustering=[c for c in a.clustering.split(",") if c],
+        input_format=a.input_format,
+        output_format=a.output_format,
     )
 
 
@@ -75,6 +90,29 @@ def run(spec: JobSpec) -> int:
 
     spark = get_spark("ttl-remover-cli")
     try:
+        if spec.input_format == "sstable":
+            # the reference's job verbatim on its NATIVE format: binary
+            # scan -> strip -> (sharded binary sink | sorted parquet).
+            # Sidecars (Filter/Summary/Statistics/Digest/TOC) are
+            # re-emitted by the sink, so outputs pass verify_digests.
+            from cassandra_ttl_remover_spark.sources.sstable import (
+                scan_sstable,
+                strip_ttl_cells,
+                write_sstable_distributed,
+            )
+
+            stripped = strip_ttl_cells(
+                scan_sstable(spark, spec.input_path))
+            if spec.output_format == "sstable":
+                write_sstable_distributed(stripped, spec.output_path)
+            else:
+                write_sorted(stripped, spec.output_path, pk="pk",
+                             clustering=["cell"])
+            return 0
+        if spec.output_format == "sstable":
+            raise TTLRemovalError(
+                "--output-format sstable requires --input-format sstable "
+                "(the binary sink consumes the native cell schema)")
         schema = None
         pk, clustering = spec.pk, spec.clustering
         if spec.cql:
@@ -85,6 +123,8 @@ def run(spec: JobSpec) -> int:
         stripped = get_strategy(spec.version).strip(df)
         write_sorted(stripped, spec.output_path, pk=pk, clustering=clustering)
         return 0
+    except TTLRemovalError:
+        raise
     except Exception as e:  # noqa: BLE001 — CLI boundary
         raise TTLRemovalError(str(e)) from e
 

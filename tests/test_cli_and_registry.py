@@ -44,3 +44,50 @@ def test_cli_end_to_end(spark, events):
         assert back.filter("ttl is not null").count() == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_cli_sstable_to_sstable_is_the_reference_job(spark):
+    """--input-format sstable --output-format sstable == the reference
+    tool end to end on its native format: scan -> strip -> sharded
+    binary sink. The output scans back as the stripped input, no
+    expiring cell survives, and every output shard passes the digest
+    sweep."""
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    work = Path(tempfile.mkdtemp(prefix="ctrs_clis_"))
+    try:
+        src, out = work / "src", work / "out"
+        ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
+                                  str(src))
+        rc = main(["--input", str(src), "--output-path", str(out),
+                   "--input-format", "sstable",
+                   "--output-format", "sstable"])
+        assert rc == 0
+        back = ss.scan_sstable(spark, str(out))
+        want = sorted(
+            tuple(r) for r in
+            ss.strip_ttl_cells(ss.scan_sstable(spark, str(src))).collect()
+        )
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == want and len(got) > 0
+        assert back.filter("kind = 'expiring'").count() == 0
+        checks = ss.verify_digests(spark, str(out)).collect()
+        assert checks and all(r.digest_ok and r.toc_ok for r in checks)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_cli_sstable_option_matrix():
+    # native input needs no --cql (schema is the format's, like the
+    # reference's C2 path)
+    spec = parse_args(["--input", "/in", "--output-path", "/out",
+                       "--input-format", "sstable"])
+    assert spec.input_format == "sstable" and spec.cql is None
+    # binary sink without binary source is rejected at run() time
+    from cassandra_ttl_remover_spark.cli import TTLRemovalError, run
+
+    bad = parse_args(["--format-version", "2", "--input", "/in",
+                      "--output-path", "/out",
+                      "--output-format", "sstable"])
+    with pytest.raises(TTLRemovalError, match="requires --input-format"):
+        run(bad)
