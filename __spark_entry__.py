@@ -738,6 +738,7 @@ _DRIVER_PRIORITY = [
     "q_mm18_pcm_decimate",
     "q_s19_clustering_slice",
     "q_n56_gopher_rules",
+    "q_m8_cli_native_job",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -1383,6 +1384,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   "now long, n_clustering int"
         )
     q["q_m7_cli_option_matrix"] = q_m7
+
+    def q_m8(spark, sf):
+        # the CLI running the reference's ENTIRE native job end to end
+        # (M7's execution half): binary SSTable scan -> strip -> sharded
+        # binary sink, then scan the OUTPUT back — rows must equal the
+        # strip oracle (q_s8's), proving the full read+transform+write
+        # loop through the public command surface, sidecars included.
+        from cassandra_ttl_remover_spark.cli import main as cli_main
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_clie_{uuid.uuid4().hex[:8]}"
+        )
+        src_dir, out_dir = os.path.join(base, "src"), os.path.join(base, "out")
+        ss.events_sstable_fixture(spark, sf, src_dir)
+        rc = cli_main(["--input", src_dir, "--output-path", out_dir,
+                       "--input-format", "sstable",
+                       "--output-format", "sstable"])
+        if rc != 0:
+            raise RuntimeError(f"cli exited {rc}")
+        return ss.scan_sstable(spark, out_dir)
+    q["q_m8_cli_native_job"] = q_m8
 
     def q_m3(spark, sf):
         # M3 strategy registry: the four reference format generations
@@ -5732,6 +5755,7 @@ SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
 WHERE pk >= '1' AND pk < '2'
 """
     o["q_s10_sstable_write_roundtrip"] = o["q_s8_sstable_strip"]
+    o["q_m8_cli_native_job"] = o["q_s8_sstable_strip"]
     o["q_st15_stream_sstable_strip"] = o["q_s8_sstable_strip"]
     o["q_s11_sstable_counter_cells"] = _ss.sstable_v2_oracle_sql(
         stripped=True)
