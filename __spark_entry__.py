@@ -739,6 +739,7 @@ _DRIVER_PRIORITY = [
     "q_s19_clustering_slice",
     "q_n56_gopher_rules",
     "q_m8_cli_native_job",
+    "q_s20_scrub_report",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3729,6 +3730,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("cell")
     q["q_s19_clustering_slice"] = q_s19
 
+    def q_s20(spark, sf):
+        # fleet SCRUB (the sstablescrub analog): independent per-table
+        # verdicts over every sidecar plus a DEEP decode pass whose cell
+        # count must match Statistics.db. gen2's Summary.db is corrupted
+        # (one sample offset shifted) after writing -- exactly the
+        # summary check fails for it while digest/TOC/index/bloom/stats
+        # stay green, and the oracle recomputes the partition/cell
+        # counts from the events table the fixture derives from.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_scrub_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen1"),
+                                  where="user_id % 2 = 0")
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen2"),
+                                  where="user_id % 2 = 1")
+        p = os.path.join(base, "gen2", "Summary.db")
+        with open(p, "r+b") as f:
+            buf = bytearray(f.read())
+            buf[-1] ^= 0x01  # shift the last sample's data offset
+            f.seek(0)
+            f.write(buf)
+        return ss.scrub_tables(spark, base, deep=True).orderBy("generation")
+    q["q_s20_scrub_report"] = q_s20
+
     def q_t8(spark, sf):
         # the reference's REAL lifecycle on its NATIVE format, e2e: two
         # overlapping SSTable generations (base + later updates/deletes)
@@ -5786,6 +5813,16 @@ ORDER BY generation
 """
     o["q_s19_clustering_slice"] = _ss.sstable_slice_oracle_sql(
         "000000000010:", "000000000200:")
+    o["q_s20_scrub_report"] = """
+SELECT ('gen' || (CASE WHEN user_id % 2 = 0 THEN '1' ELSE '2' END))
+         AS generation,
+       true AS digest_ok, true AS toc_ok, true AS index_ok,
+       (user_id % 2 = 0) AS summary_ok, true AS bloom_ok,
+       true AS stats_ok,
+       count(DISTINCT user_id)::BIGINT AS n_partitions,
+       (3 * count(*))::BIGINT AS n_cells
+FROM events GROUP BY 1, user_id % 2 = 0 ORDER BY 1
+"""
     o["q_s16_sstable_summary_range"] = f"""
 SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
 WHERE pk >= '2' AND pk < '3'

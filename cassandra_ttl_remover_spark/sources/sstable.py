@@ -896,6 +896,124 @@ def verify_digests(spark, path: str):
     )
 
 
+def _scrub_one_dir(d: str, deep: bool) -> dict:
+    """Scrub one table: every check independent, exceptions demote the
+    check to False instead of failing the sweep (scrub REPORTS, the
+    quarantine decision is the caller's)."""
+    import zlib  # noqa: F401 — via _crc32_file
+
+    crc, n_bytes = _crc32_file(os.path.join(d, "Data.db"))
+    digest_ok = toc_ok = False
+    try:
+        with open(os.path.join(d, "Digest.crc32")) as f:
+            digest_ok = int(f.read().strip()) == crc
+    except (OSError, ValueError):
+        pass
+    try:
+        with open(os.path.join(d, "TOC.txt")) as f:
+            named = sorted(ln.strip() for ln in f if ln.strip())
+        present = sorted(
+            nm for nm in os.listdir(d)
+            if os.path.isfile(os.path.join(d, nm)))
+        toc_ok = named == present
+    except OSError:
+        pass
+    index_ok = summary_ok = bloom_ok = stats_ok = False
+    entries: list[tuple[bytes, int]] = []
+    try:
+        entries = read_index(os.path.join(d, "Index.db"))
+        keys = [k for k, _ in entries]
+        offs = [o for _, o in entries]
+        index_ok = (keys == sorted(set(keys))
+                    and offs == sorted(set(offs))
+                    and (not offs or offs[0] == 0))
+    except (OSError, CorruptSSTableError):
+        pass
+    try:
+        samples = _read_summary(d)
+        if samples is None:
+            summary_ok = False
+        else:
+            # every sample must name a real index entry at its recorded
+            # Data.db offset — a drifted sample silently misplans reads
+            by_off = dict(
+                zip((o for _, o in entries), (k for k, _ in entries)))
+            summary_ok = all(
+                by_off.get(data_off) == k for k, _, data_off in samples)
+    except (OSError, CorruptSSTableError):
+        pass
+    try:
+        bloom_ok = all(bloom_might_contain(d, k) for k, _ in entries)
+    except (OSError, CorruptSSTableError):
+        pass
+    st = None
+    try:
+        st = read_stats(d)
+        stats_ok = st is not None and st["n_partitions"] == len(entries)
+    except CorruptSSTableError:
+        pass
+    n_parts = len(entries)
+    n_cells = st["n_cells"] if st else None
+    if deep:
+        try:
+            rows = list(scan_data_range(
+                os.path.join(d, "Data.db"), 0, n_bytes))
+            decoded_parts = {r[0] for r in rows}
+            decoded_cells = sum(
+                1 for r in rows if r[2] != "partition_tombstone")
+            stats_ok = (stats_ok and st is not None
+                        and st["n_cells"] == decoded_cells)
+            index_ok = index_ok and len(decoded_parts) <= len(entries)
+            n_cells = decoded_cells
+        except (OSError, CorruptSSTableError, ValueError):
+            stats_ok = False
+    return {
+        "generation": os.path.basename(d),
+        "digest_ok": digest_ok, "toc_ok": toc_ok,
+        "index_ok": index_ok, "summary_ok": summary_ok,
+        "bloom_ok": bloom_ok, "stats_ok": stats_ok,
+        "n_partitions": n_parts, "n_cells": n_cells,
+    }
+
+
+def scrub_tables(spark, path: str, deep: bool = False):
+    """Fleet-scale SCRUB over a directory of generations — the
+    ``sstablescrub`` analog for this engine's native format, one row of
+    independent verdicts per table: Data.db CRC vs ``Digest.crc32``,
+    ``TOC.txt`` completeness, index key/offset monotonicity,
+    summary-sample/index agreement, bloom no-false-negatives over every
+    indexed key, and Statistics.db consistency. ``deep=True`` adds a
+    full decode pass and checks the stats cell count against the bytes
+    (the slow path an operator runs on tables the shallow sweep
+    flagged). Every check degrades to False on its own exception — a
+    scrub REPORTS, it never aborts the sweep mid-fleet.
+
+    Scale: one task per table (dir fan-out as in :func:`stats_census`);
+    shallow scrub reads sidecars + one streamed CRC pass, deep scrub one
+    decode pass — both constant-memory, embarrassingly parallel."""
+    import pandas as pd
+
+    dirs = _resolve_table_dirs(path)
+
+    def _run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_scrub_one_dir(d, deep) for d in pdf["dir"]])
+
+    return (
+        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        .repartition(min(len(dirs), 32))
+        .mapInPandas(
+            _run,
+            schema=("generation string, digest_ok boolean, "
+                    "toc_ok boolean, index_ok boolean, "
+                    "summary_ok boolean, bloom_ok boolean, "
+                    "stats_ok boolean, n_partitions bigint, "
+                    "n_cells bigint"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # writer (fixture generator)
 # ---------------------------------------------------------------------------

@@ -1063,3 +1063,51 @@ def test_slice_reemits_open_range_tombstones(spark):
     plan = ss.plan_partition_slice(out, b"wide", b"000020:")
     assert plan[1] is True and plan[2], "expected open-RT marker in plan"
     shutil.rmtree(out)
+
+
+def test_scrub_healthy_and_each_corruption_isolated(spark):
+    """A healthy table is all-green (shallow and deep); each corruption
+    flips ONLY its own verdict: data byte -> digest, stray file -> toc,
+    summary drift -> summary, stats count -> stats(deep)."""
+    base = _tmpdir()
+    d = os.path.join(base, "g1")
+    ss.write_sstable(
+        [(f"k{i:03d}".encode(),
+          [(b"c", 0, 0, 0, 1_700_000_000_000_000 + i, str(i).encode())])
+         for i in range(20)],
+        d,
+    )
+    def scrub(deep=False):
+        [r] = ss.scrub_tables(spark, base, deep=deep).collect()
+        return r
+    r = scrub(deep=True)
+    assert all([r.digest_ok, r.toc_ok, r.index_ok, r.summary_ok,
+                r.bloom_ok, r.stats_ok])
+    assert r.n_partitions == 20 and r.n_cells == 20
+
+    # summary drift
+    p = os.path.join(d, "Summary.db")
+    orig = open(p, "rb").read()
+    buf = bytearray(orig); buf[-1] ^= 1
+    open(p, "wb").write(bytes(buf))
+    r = scrub()
+    assert r.summary_ok is False and r.digest_ok and r.index_ok
+    open(p, "wb").write(orig)
+
+    # data corruption -> digest only (shallow)
+    dp = os.path.join(d, "Data.db")
+    db = bytearray(open(dp, "rb").read()); db[5] ^= 0xFF
+    open(dp, "wb").write(bytes(db))
+    r = scrub()
+    assert r.digest_ok is False and r.toc_ok and r.summary_ok
+    db[5] ^= 0xFF
+    open(dp, "wb").write(bytes(db))
+
+    # stats count lie -> stats_ok False only under deep
+    sp = os.path.join(d, "Statistics.db")
+    st = bytearray(open(sp, "rb").read())
+    st[12:20] = (21).to_bytes(8, "big")  # n_cells field
+    open(sp, "wb").write(bytes(st))
+    assert scrub().stats_ok is True  # shallow checks partitions only
+    assert scrub(deep=True).stats_ok is False
+    shutil.rmtree(base)
