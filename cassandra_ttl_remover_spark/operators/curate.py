@@ -1398,21 +1398,26 @@ def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
                    buckets: int) -> DataFrame:
     """``(id, bucket)`` — one row per unigram+bigram occurrence, hashed
     into ``buckets``. A pure projection + explode: the 8-byte bucket ints
-    shuffle, the text never does."""
+    shuffle, the text never does. The word array is HOISTED into its own
+    projection first — inlining the split into the bigram lambda would
+    re-split the whole text per element (O(words²) splits per doc; the
+    same hoisting rule text.py's simhash pass documents)."""
     ws = f"filter(split({text_col}, ' '), w -> w <> '')"
     bigrams = (
-        f"CASE WHEN size({ws}) >= 2 THEN "
-        f"transform(sequence(1, size({ws}) - 1), "
-        f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1))) "
-        f"ELSE array() END"
+        "CASE WHEN size(_ws) >= 2 THEN "
+        "transform(sequence(1, size(_ws) - 1), "
+        "i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1))) "
+        "ELSE array() END"
     )
-    feats = f"concat({ws}, {bigrams})"
-    return docs.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(f"transform({feats}, "
-                   f"s -> {_dsir_bucket_spark('s', buckets)})")
-        ).alias("bucket"),
+    return (
+        docs.select(F.col(id_col), F.expr(ws).alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"transform(concat(_ws, {bigrams}), "
+                       f"s -> {_dsir_bucket_spark('s', buckets)})")
+            ).alias("bucket"),
+        )
     )
 
 
