@@ -529,10 +529,11 @@ def source_overlap_matrix(docs: DataFrame, *, source_col: str = "source",
         SHINGLES_EXPR, WORDS_EXPR)
 
     ws = WORDS_EXPR.format(col=text_col)
-    sh = SHINGLES_EXPR.format(ws=ws)
+    sh = SHINGLES_EXPR.format(ws="_ws")  # hoisted, no per-element re-split
     incidence = (
         docs.select(F.col(source_col).alias("src"),
-                    F.explode(F.expr(sh)).alias("g"))
+                    F.expr(ws).alias("_ws"))
+        .select("src", F.explode(F.expr(sh)).alias("g"))
         .distinct()
         .localCheckpoint(eager=False)
     )

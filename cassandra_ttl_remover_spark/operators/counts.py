@@ -465,11 +465,11 @@ def bloom_fpr_certificate(docs: DataFrame, *, num_bits: int = 1 << 16,
         SHINGLES_EXPR, WORDS_EXPR)
 
     ws = WORDS_EXPR.format(col=text_col)
-    sh = SHINGLES_EXPR.format(ws=ws)
+    sh = SHINGLES_EXPR.format(ws="_ws")  # hoisted, no per-element re-split
     toks = docs.select(
         (F.col(id_col) % 2 == 0).alias("even"),
-        F.explode(F.expr(sh)).alias("token"),
-    )
+        F.expr(ws).alias("_ws"),
+    ).select("even", F.explode(F.expr(sh)).alias("token"))
     membership = toks.groupBy("token").agg(
         F.max(F.col("even").cast("int")).alias("in_even"),
         F.min(F.col("even").cast("int")).alias("all_even"),

@@ -66,14 +66,19 @@ def exact_dedup_last_writer(df: DataFrame, keys: list[str],
 
 def shingle_frame(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) exploded distinct 3-word shingles."""
+    """(id, shingle) exploded distinct 3-word shingles. The word array
+    is hoisted into its own projection first — inlining the split into
+    the shingle lambda's element_at calls would re-split the text per
+    element (O(words²) splits per doc)."""
     ws = WORDS_EXPR.format(col=text_col)
-    sh = SHINGLES_EXPR.format(ws=ws)
+    sh = SHINGLES_EXPR.format(ws="_ws")
     # shingling + downstream hashing is CPU-bound: guarantee full parallelism
     # even when the source arrives as a single file split (plans.fan_out is a
     # no-op on well-partitioned inputs)
-    return fan_out(docs.select(id_col, text_col), id_col).select(
-        id_col, F.explode(F.expr(sh)).alias("sh")
+    return (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(id_col, F.expr(ws).alias("_ws"))
+        .select(id_col, F.explode(F.expr(sh)).alias("sh"))
     )
 
 

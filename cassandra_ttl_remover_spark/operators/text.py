@@ -259,9 +259,11 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     3-word shingles (a 1-permutation MinHash — robust to local edits), with
     md5(text) fallback for short docs. Per-row projection."""
     ws = WORDS_EXPR.format(col=text_col)
-    sh = SHINGLES_EXPR.format(ws=ws)
+    sh = SHINGLES_EXPR.format(ws="_ws")  # hoisted: no per-element re-split
     docs = fan_out(docs, id_col)
     return docs.select(
+        id_col, F.col(text_col), F.expr(ws).alias("_ws")
+    ).select(
         id_col,
         F.expr(
             f"coalesce(array_min(transform({sh}, s -> md5(s))), md5({text_col}))"
@@ -331,17 +333,19 @@ def repetition_ratio(docs: DataFrame, text_col: str = "text",
     crawler traps). Exact integer counts -> one IEEE division each, so the
     DuckDB oracle hash-matches. Per-row projection, no shuffle."""
     ws = WORDS_EXPR.format(col=text_col)
-    total_sh = f"greatest(size({ws}) - 2, 0)"
-    distinct_sh = SHINGLES_EXPR.format(ws=ws)
+    total_sh = "greatest(size(_ws) - 2, 0)"
+    distinct_sh = SHINGLES_EXPR.format(ws="_ws")  # hoisted, no re-split
     docs = fan_out(docs, id_col)
     return docs.select(
+        id_col, F.expr(ws).alias("_ws")
+    ).select(
         id_col,
         F.expr(
             f"1.0d - cast(size({distinct_sh}) as double) / nullif({total_sh}, 0)"
         ).alias("dup_shingle_ratio"),
         F.expr(
-            f"1.0d - cast(size(array_distinct({ws})) as double)"
-            f" / nullif(size({ws}), 0)"
+            "1.0d - cast(size(array_distinct(_ws)) as double)"
+            " / nullif(size(_ws), 0)"
         ).alias("dup_word_ratio"),
     )
 
@@ -528,9 +532,11 @@ def bigram_freq_quality(docs: DataFrame, text_col: str = "text",
     token volume), one map-side-combined bigram count, one shuffle join
     (AQE covers hot-bigram skew), one re-agg by doc."""
     ws = WORDS_EXPR.format(col=text_col)
-    bg = BIGRAMS_EXPR.format(ws=ws)
-    toks = fan_out(docs.select(id_col, text_col), id_col).select(
-        id_col, F.explode(F.expr(bg)).alias("bigram")
+    bg = BIGRAMS_EXPR.format(ws="_ws")  # hoisted, no per-element re-split
+    toks = (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(id_col, F.expr(ws).alias("_ws"))
+        .select(id_col, F.explode(F.expr(bg)).alias("bigram"))
     )
     counts = toks.groupBy("bigram").agg(F.count("*").alias("freq"))
     return (
@@ -931,17 +937,22 @@ def repetition_runs(docs: DataFrame, text_col: str = "text",
         f"   greatest(a.best, if(w = a.prev, a.run + 1, 1)) as best),"
         f" a -> a.best)"
     )
+    # hoist the word array first: element_at over an inlined split would
+    # re-split the text per bigram element (O(words²) splits per doc)
+    max_run = max_run.replace(ws, "_ws")
     base = fan_out(docs, id_col).select(
+        F.col(id_col), F.expr(ws).alias("_ws")
+    ).select(
         F.col(id_col),
-        F.expr(f"size({ws})").cast("long").alias("n_tokens"),
+        F.expr("size(_ws)").cast("long").alias("n_tokens"),
         F.expr(max_run).cast("long").alias("max_run"),
         # sequence(1, 0) would DESCEND to [1, 0] in Spark, so docs with
         # fewer than two tokens must short-circuit to an empty bigram list
         F.expr(
-            f"if(size({ws}) < 2, array(),"
-            f" transform(sequence(1, size({ws}) - 1),"
-            f"  i -> concat(element_at({ws}, i), ' ',"
-            f"              element_at({ws}, i + 1))))"
+            "if(size(_ws) < 2, array(),"
+            " transform(sequence(1, size(_ws) - 1),"
+            "  i -> concat(element_at(_ws, i), ' ',"
+            "              element_at(_ws, i + 1))))"
         ).alias("_bgs"),
     )
     exploded = base.select(
@@ -1278,12 +1289,14 @@ def winnow_fingerprints(docs: DataFrame, window: int = 4,
     window) comparisons per doc, all JVM-side."""
     ws = WORDS_EXPR.format(col=text_col)
     # positional gram hashes (NOT distinct — winnowing needs the sequence);
-    # case-guard because Spark's sequence(1, 0) counts DOWN to [1, 0]
-    hs = (f"case when size({ws}) >= 3 then "
-          f"transform(sequence(1, size({ws}) - 2), "
-          f"i -> md5(concat_ws(' ', element_at({ws}, i), "
-          f"element_at({ws}, i + 1), element_at({ws}, i + 2)))) "
-          f"else array() end")
+    # case-guard because Spark's sequence(1, 0) counts DOWN to [1, 0].
+    # Built over the HOISTED _ws column — an inlined split would
+    # re-split the text per gram element (O(words²) splits per doc)
+    hs = ("case when size(_ws) >= 3 then "
+          "transform(sequence(1, size(_ws) - 2), "
+          "i -> md5(concat_ws(' ', element_at(_ws, i), "
+          "element_at(_ws, i + 1), element_at(_ws, i + 2)))) "
+          "else array() end")
     w = int(window)
     body = (
         f"element_at(transform(array({hs}), hs -> "
@@ -1301,6 +1314,7 @@ def winnow_fingerprints(docs: DataFrame, window: int = 4,
     )
     return (
         fan_out(docs.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.expr(ws).alias("_ws"))
         .select(F.col(id_col), F.expr(body).alias("_x"))
         .select(
             id_col,
