@@ -927,16 +927,19 @@ def repeated_ngram_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
     swap md5 for xxhash64 (8-byte shuffle keys; ~1e-9 collisions at 1e9
     distinct windows) — md5 keeps this form oracle-exact."""
     ws = WORDS_EXPR.format(col=text_col)
+    # hoisted word array: slice over an inlined split would re-split the
+    # text per window (O(words²) splits per doc)
     spans = (
         fan_out(docs.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.expr(ws).alias("_ws"))
         .select(
             F.col(id_col),
             F.explode(
                 F.expr(
-                    f"case when size({ws}) >= {n} then "
-                    f"transform(sequence(1, size({ws}) - {n} + 1), "
+                    f"case when size(_ws) >= {n} then "
+                    f"transform(sequence(1, size(_ws) - {n} + 1), "
                     f"i -> struct(i as pos, "
-                    f"md5(array_join(slice({ws}, i, {n}), ' ')) as wh)) "
+                    f"md5(array_join(slice(_ws, i, {n}), ' ')) as wh)) "
                     f"else array() end"
                 )
             ).alias("s"),
