@@ -1394,12 +1394,16 @@ def distinct_ngram_diversity(docs: DataFrame, ns: tuple = (1, 2, 3),
     ws = WORDS_EXPR.format(col=text_col)
     frames = []
     for n in ns:
+        # hoisted word array: slice over an inlined split would
+        # re-split the text per gram (O(words²) splits per doc)
         grams = fan_out(docs, id_col).select(
-            F.col(by).alias("grp"),
+            F.col(by).alias("grp"), F.expr(ws).alias("_ws")
+        ).select(
+            "grp",
             F.explode(F.expr(
-                f"case when size({ws}) >= {n} then "
-                f"transform(sequence(1, size({ws}) - {n} + 1), "
-                f"i -> array_join(slice({ws}, i, {n}), ' ')) "
+                f"case when size(_ws) >= {n} then "
+                f"transform(sequence(1, size(_ws) - {n} + 1), "
+                f"i -> array_join(slice(_ws, i, {n}), ' ')) "
                 "else array() end"
             )).alias("gram"),
         )
