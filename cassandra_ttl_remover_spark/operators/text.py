@@ -163,18 +163,25 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     ws = WORDS_EXPR.format(col=text_col)
     keep = [c for c in (keep_cols or []) if c != id_col]
     docs = fan_out(docs, id_col)
+    # hoisted word array: five inline copies would split the text five
+    # times per row
     return docs.select(
         id_col,
         *[F.col(c) for c in keep],
+        F.col(text_col),
+        F.expr(ws).alias("_ws"),
+    ).select(
+        id_col,
+        *[F.col(c) for c in keep],
         F.length(text_col).cast("long").alias("n_chars"),
-        F.expr(f"cast(size({ws}) as bigint)").alias("n_words"),
+        F.expr("cast(size(_ws) as bigint)").alias("n_words"),
         F.expr(
-            f"cast(aggregate({ws}, 0L, (a, w) -> a + length(w)) as double)"
-            f" / nullif(size({ws}), 0)"
+            "cast(aggregate(_ws, 0L, (a, w) -> a + length(w)) as double)"
+            " / nullif(size(_ws), 0)"
         ).alias("avg_word_len"),
         F.expr(
-            f"cast(aggregate({ws}, 0L, (a, w) -> a + if(array_contains({stop_lit}, w), 1, 0)) as double)"
-            f" / nullif(size({ws}), 0)"
+            f"cast(aggregate(_ws, 0L, (a, w) -> a + if(array_contains({stop_lit}, w), 1, 0)) as double)"
+            f" / nullif(size(_ws), 0)"
         ).alias("stopword_ratio"),
         F.expr(
             f"cast(length(regexp_replace({text_col}, '[a-z0-9 ]', '')) as double)"
@@ -1500,26 +1507,30 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     stop_lit = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
     ws = WORDS_EXPR.format(col=text_col)
     docs = fan_out(docs, id_col)
+    # the word array is hoisted once — five inline copies would split
+    # the text five times per row
     return docs.select(
+        id_col, F.expr(ws).alias("_ws")
+    ).select(
         id_col,
-        F.expr(f"cast(size({ws}) as bigint)").alias("n_words"),
+        F.expr("cast(size(_ws) as bigint)").alias("n_words"),
         F.expr(
-            f"cast(case when size({ws}) > 0 then "
-            f"aggregate({ws}, 0L, (a, w) -> a + length(w)) * 1000 "
-            f"div size({ws}) else 0 end as bigint)"
+            "cast(case when size(_ws) > 0 then "
+            "aggregate(_ws, 0L, (a, w) -> a + length(w)) * 1000 "
+            "div size(_ws) else 0 end as bigint)"
         ).alias("mean_wl_milli"),
         F.expr(
-            f"cast(case when size({ws}) > 0 then "
-            f"aggregate({ws}, 0L, (a, w) -> a + if(w rlike '[a-z]', 1, 0))"
-            f" * 1000 div size({ws}) else 0 end as bigint)"
+            "cast(case when size(_ws) > 0 then "
+            "aggregate(_ws, 0L, (a, w) -> a + if(w rlike '[a-z]', 1, 0))"
+            " * 1000 div size(_ws) else 0 end as bigint)"
         ).alias("alpha_permille"),
         F.expr(
-            f"cast(case when size({ws}) > 0 then "
-            f"(size({ws}) - size(array_distinct({ws}))) * 1000 "
-            f"div size({ws}) else 0 end as bigint)"
+            "cast(case when size(_ws) > 0 then "
+            "(size(_ws) - size(array_distinct(_ws))) * 1000 "
+            "div size(_ws) else 0 end as bigint)"
         ).alias("dupe_permille"),
         F.expr(
-            f"cast(size(filter({stop_lit}, s -> array_contains({ws}, s)))"
+            f"cast(size(filter({stop_lit}, s -> array_contains(_ws, s)))"
             f" as bigint)"
         ).alias("stop_hits"),
     ).withColumn(
