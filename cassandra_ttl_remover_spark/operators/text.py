@@ -91,10 +91,12 @@ def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text",
     ``keep_cols`` passes input columns through, letting pipelines chain
     scorers as stacked projections instead of re-joining on the id."""
     ws = WORDS_EXPR.format(col=text_col)
+    # built over the HOISTED _ws column: the candidate list repeats the
+    # word array once per language, and the argmax expression is used
+    # twice — inline splits would run ~2N splits per row
     cands = ", ".join(
-        "struct(-cast(size(filter({ws}, w -> array_contains({lit}, w))) as bigint)"
+        "struct(-cast(size(filter(_ws, w -> array_contains({lit}, w))) as bigint)"
         " as nh, {prio} as prio, '{lang}' as lang)".format(
-            ws=ws,
             lit="array(" + ", ".join(f"'{w}'" for w in words) + ")",
             prio=prio,
             lang=lang,
@@ -109,8 +111,16 @@ def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text",
     return fan_out(docs.select(id_col, text_col, *[c for c in keep if c != text_col]),
                    id_col).select(
         F.col(id_col),
-        F.expr(f"coalesce({best}.lang, 'und')").alias("pred_lang"),
-        F.expr(f"cast(coalesce(-{best}.nh, 0) as bigint)").alias("hits"),
+        F.expr(ws).alias("_ws"),
+        *[F.col(c) for c in keep],
+    ).select(
+        F.col(id_col),
+        F.expr(best).alias("_best"),
+        *[F.col(c) for c in keep],
+    ).select(
+        F.col(id_col),
+        F.expr("coalesce(_best.lang, 'und')").alias("pred_lang"),
+        F.expr("cast(coalesce(-_best.nh, 0) as bigint)").alias("hits"),
         *[F.col(c) for c in keep],
     )
 
