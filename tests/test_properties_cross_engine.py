@@ -121,3 +121,77 @@ def test_shuffle_deterministic_matches_python_replica(spark, ids, seed, n_shards
            for r in shuffle_deterministic(df, n_shards=n_shards,
                                           seed=seed).collect()}
     assert got == want
+
+
+_WORDS = st.lists(
+    st.text(alphabet="abcdef#!?", min_size=1, max_size=8),
+    min_size=0, max_size=30,
+)
+
+
+@given(st.lists(_WORDS, min_size=1, max_size=8))
+@_SETTINGS
+def test_gopher_rules_match_duckdb_on_random_docs(spark, docs_words):
+    """The Gopher battery must agree with its DuckDB oracle on RANDOM
+    word soups (multi-space gaps, symbol-only tokens, empty docs) — not
+    just the fixture's clean prose."""
+    from cassandra_ttl_remover_spark.operators.text import (
+        gopher_rules,
+        gopher_rules_oracle_sql,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.mean_wl_milli, r.alpha_permille,
+                   r.dupe_permille, r.stop_hits, r.passes_gopher)
+        for r in gopher_rules(sdf, min_words=2, max_words=20).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join("(?, ?)" for _ in rows)
+                + ") t(doc_id, text)",
+                [x for row in rows for x in row])
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(
+            gopher_rules_oracle_sql(min_words=2, max_words=20)
+        ).fetchall()
+    }
+    assert got == want
+
+
+@given(st.lists(_WORDS, min_size=2, max_size=8), st.integers(0, 7))
+@_SETTINGS
+def test_dsir_matches_duckdb_on_random_docs(spark, docs_words, tgt_mod):
+    """DSIR's bucket hashing, smoothing, and integer rational must agree
+    with DuckDB on random corpora and an arbitrary target split."""
+    from cassandra_ttl_remover_spark.operators.curate import (
+        dsir_importance,
+        dsir_importance_oracle_sql,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = sdf.filter(f"doc_id % 8 = {tgt_mod}")
+    if tgt.count() == 0:
+        tgt = sdf  # degenerate split: target = raw
+        tgt_where = "TRUE"
+    else:
+        tgt_where = f"doc_id % 8 = {tgt_mod}"
+    got = {
+        r.doc_id: (r.n_features, r.target_mass, r.raw_mass,
+                   r.importance_permille)
+        for r in dsir_importance(sdf, tgt, buckets=64).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join("(?, ?)" for _ in rows)
+                + ") t(doc_id, text)",
+                [x for row in rows for x in row])
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(dsir_importance_oracle_sql(
+            target_where=tgt_where, buckets=64)).fetchall()
+    }
+    assert got == want
