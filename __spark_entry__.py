@@ -740,6 +740,7 @@ _DRIVER_PRIORITY = [
     "q_n56_gopher_rules",
     "q_m8_cli_native_job",
     "q_s20_scrub_report",
+    "q_st20_stream_digest_monitor",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4524,6 +4525,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_st19_stream_ttl_debt"] = q_st19
 
+    def q_st20(spark, sf):
+        # streaming INTEGRITY monitor: one digest verdict per arriving
+        # shard (append mode) -- the streamed form of q_s18's sweep, so
+        # a corrupt shard surfaces the micro-batch it lands. One shard
+        # is byte-flipped AFTER its digest was written; the drained
+        # table must show exactly that shard red. data_length is
+        # encoding-dependent, so the declared rows project it away and
+        # the oracle is the per-shard verdict table.
+        import uuid as _uuid
+
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+        )
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sdg_{_uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, base + "_src")
+        cells = ss.scan_sstable(spark, base + "_src")
+        ss.write_sstable_distributed(cells, base + "_shards", shards=4)
+        victim = os.path.join(base + "_shards", "shard=00001", "Data.db")
+        with open(victim, "r+b") as f:
+            b = f.read(1)
+            f.seek(0)
+            f.write(bytes([b[0] ^ 0xFF]))
+        verdicts = ss.stream_digests(spark, base + "_shards").select(
+            "generation", "digest_ok"
+        )
+        return drain_to_table(
+            verdicts, f"st20_{_uuid.uuid4().hex[:8]}", "append"
+        ).orderBy("generation")
+    q["q_st20_stream_digest_monitor"] = q_st20
+
     def q_n53(spark, sf):
         # distinct-n diversity per source (Li et al. 2016): collapsing
         # distinct-ratio flags templated/duplicated slices dedup should
@@ -5813,6 +5848,13 @@ ORDER BY generation
 """
     o["q_s19_clustering_slice"] = _ss.sstable_slice_oracle_sql(
         "000000000010:", "000000000200:")
+    o["q_st20_stream_digest_monitor"] = """
+SELECT * FROM (VALUES
+  ('shard=00000', true), ('shard=00001', false),
+  ('shard=00002', true), ('shard=00003', true))
+  AS t(generation, digest_ok)
+ORDER BY generation
+"""
     o["q_s20_scrub_report"] = """
 SELECT ('gen' || (CASE WHEN user_id % 2 = 0 THEN '1' ELSE '2' END))
          AS generation,

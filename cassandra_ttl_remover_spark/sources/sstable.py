@@ -1679,7 +1679,69 @@ def _make_datasource_cls():
         def streamReader(self, schema):
             return SSTableStreamReader(self.options)
 
-    return SimpleSSTableDataSource
+    class _DigestShard(InputPartition):
+        def __init__(self, shard_dir: str):
+            self.shard_dir = shard_dir
+
+    class DigestStreamReader(DataSourceStreamReader):
+        """Continuous INTEGRITY monitor during a migration: one verdict
+        row per newly-landed shard (append mode) — the streamed form of
+        :func:`verify_digests`, so an operator watches corruption appear
+        the moment a bad shard lands instead of at the next batch sweep.
+        Offsets are consumed shard names, like the cell stream source;
+        the CRC pass runs on the EXECUTOR that owns the shard's task."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("sstable_digest requires option 'path'")
+
+        def _shards(self) -> list[str]:
+            return sorted(
+                d for d in os.listdir(self.path)
+                if os.path.exists(os.path.join(self.path, d, "Data.db"))
+            )
+
+        def initialOffset(self):
+            return {"shards": []}
+
+        def latestOffset(self):
+            return {"shards": self._shards()}
+
+        def partitions(self, start, end):
+            new = sorted(set(end["shards"]) - set(start["shards"]))
+            return [_DigestShard(os.path.join(self.path, s)) for s in new]
+
+        def read(self, partition):
+            d = partition.shard_dir
+            crc, n = _crc32_file(os.path.join(d, "Data.db"))
+            ok = False
+            try:
+                with open(os.path.join(d, "Digest.crc32")) as f:
+                    ok = int(f.read().strip()) == crc
+            except (OSError, ValueError):
+                ok = False
+            yield (os.path.basename(d), n, ok)
+
+        def commit(self, end):
+            pass
+
+    class SSTableDigestDataSource(DataSource):
+        """``spark.readStream.format("sstable_digest").option("path", d)``
+        — one (generation, data_length, digest_ok) row per newly-arrived
+        shard."""
+
+        @classmethod
+        def name(cls):
+            return "sstable_digest"
+
+        def schema(self):
+            return "generation string, data_length bigint, digest_ok boolean"
+
+        def streamReader(self, schema):
+            return DigestStreamReader(self.options)
+
+    return SimpleSSTableDataSource, SSTableDigestDataSource
 
 
 _DS_CLS = None
@@ -1697,7 +1759,8 @@ def register_sstable_source(spark) -> None:
     if _DS_CLS is None:
         _DS_CLS = _make_datasource_cls()
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(_DS_CLS)
+    for cls in _DS_CLS:
+        spark.dataSource.register(cls)
 
 
 def scan_sstable(spark, path: str, num_splits: int = 8,
@@ -1729,6 +1792,19 @@ def stream_sstable(spark, path: str, num_splits: int = 4):
         spark.readStream.format("sstable_simple")
         .option("path", path)
         .option("num_splits", str(num_splits))
+        .load()
+    )
+
+
+def stream_digests(spark, path: str):
+    """Streaming integrity monitor: one ``(generation, data_length,
+    digest_ok)`` row per newly-arrived shard (see ``DigestStreamReader``) —
+    corruption surfaces the micro-batch its shard lands, not at the next
+    batch sweep."""
+    register_sstable_source(spark)
+    return (
+        spark.readStream.format("sstable_digest")
+        .option("path", path)
         .load()
     )
 

@@ -169,3 +169,40 @@ def test_versioned_table_single_writer_enforced(spark, tmp_path):
     claim_table_writer(d2, "stream")
     with _pytest.raises(ValueError, match="owned by a 'stream' writer"):
         write_table_version(spark.range(3), d2)
+
+
+def test_stream_digest_monitor_flags_corrupt_shard_on_arrival(spark):
+    """The streamed digest monitor: healthy shards verdict true, a
+    byte-flipped shard false, one row per shard, and a SECOND drain after
+    a new shard lands processes only the new shard (incremental)."""
+    import os
+    import struct as _struct
+    import tempfile
+    import uuid
+
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        drain_to_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(),
+                        f"stdg_{uuid.uuid4().hex[:8]}")
+    os.makedirs(base)
+    for i in range(3):
+        ss.write_sstable(
+            [(f"k{i}".encode(),
+              [(b"c", 0, 0, 0, 1_700_000_000_000_000 + i,
+                str(i).encode())])],
+            os.path.join(base, f"shard={i:05d}"),
+        )
+    victim = os.path.join(base, "shard=00001", "Data.db")
+    with open(victim, "r+b") as f:
+        b = f.read(1)
+        f.seek(0)
+        f.write(bytes([b[0] ^ 0x5A]))
+    v = ss.stream_digests(spark, base).select("generation", "digest_ok")
+    got = {r.generation: r.digest_ok
+           for r in drain_to_table(
+               v, f"dg_{uuid.uuid4().hex[:6]}", "append").collect()}
+    assert got == {"shard=00000": True, "shard=00001": False,
+                   "shard=00002": True}
