@@ -1741,7 +1741,11 @@ def _make_datasource_cls():
         def streamReader(self, schema):
             return DigestStreamReader(self.options)
 
-    return SimpleSSTableDataSource, SSTableDigestDataSource
+    # contract: return the PRIMARY source class (tests construct it
+    # directly); the digest stream source rides along as an attribute
+    # and register_sstable_source registers both
+    SimpleSSTableDataSource.companion_sources = (SSTableDigestDataSource,)
+    return SimpleSSTableDataSource
 
 
 _DS_CLS = None
@@ -1759,7 +1763,8 @@ def register_sstable_source(spark) -> None:
     if _DS_CLS is None:
         _DS_CLS = _make_datasource_cls()
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    for cls in _DS_CLS:
+    spark.dataSource.register(_DS_CLS)
+    for cls in _DS_CLS.companion_sources:
         spark.dataSource.register(cls)
 
 
