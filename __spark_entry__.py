@@ -741,6 +741,7 @@ _DRIVER_PRIORITY = [
     "q_m8_cli_native_job",
     "q_s20_scrub_report",
     "q_st20_stream_digest_monitor",
+    "q_t9_sstable_merge_compact",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3788,6 +3789,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_t8_sstable_compact_e2e"] = q_t8
 
+    def q_t9(spark, sf):
+        # compaction the way Cassandra actually runs it: a k-way merge
+        # of SORTED runs with ZERO shuffle of cell data -- aligned
+        # key-range tasks seek every generation's index-resolved byte
+        # window and merge locally (LWW + gc_grace). Same inputs and
+        # same oracle as q_t8's arg-max-exchange form: two plans, one
+        # semantics, and this is the one whose network cost is zero.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstm_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(out, "gen1"))
+        ss.events_sstable_update_fixture(spark, sf,
+                                         os.path.join(out, "gen2"))
+        return ss.merge_compact_sorted(
+            spark, out,
+            gc_grace_us=10 * 86400 * 1_000_000,
+            now_us=1706745600 * 1_000_000,
+        ).orderBy("pk", "cell")
+    q["q_t9_sstable_merge_compact"] = q_t9
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -5827,6 +5850,10 @@ WHERE pk >= '1' AND pk < '2'
         compact_with_gc_oracle_sql as _cgc_sql,
     )
 
+    o["q_t9_sstable_merge_compact"] = _cgc_sql(
+        _ss.sstable_compact_cells_oracle_sql(), ["pk", "cell"],
+        gc_grace_us=10 * 86400 * 1_000_000,
+        now_us=1706745600 * 1_000_000)
     o["q_t8_sstable_compact_e2e"] = _cgc_sql(
         _ss.sstable_compact_cells_oracle_sql(), ["pk", "cell"],
         gc_grace_us=10 * 86400 * 1_000_000,

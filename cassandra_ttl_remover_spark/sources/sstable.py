@@ -1801,6 +1801,102 @@ def stream_sstable(spark, path: str, num_splits: int = 4):
     )
 
 
+def merge_compact_sorted(spark, path: str, *, gc_grace_us: int,
+                         now_us: int, num_splits: int = 8):
+    """Compaction the way Cassandra ACTUALLY runs it — a k-way merge of
+    sorted runs with NO shuffle: every generation is sorted by partition
+    key (writer invariant), so the planner cuts ONE set of key ranges
+    from the merged summaries and each task seeks its range in EVERY
+    generation, merging (pk, cell) versions in-memory with the exact
+    :func:`~..operators.compact.compact_with_gc` semantics (LWW,
+    tombstones win writetime ties, purge past gc_grace). The cell data
+    never crosses the network — the alternative (q_t8's arg-max
+    exchange) shuffles every cell once; this plan moves ZERO cell bytes
+    between tasks, which at 100 TB is the whole cost of compaction.
+
+    Emits ``(pk, cell, writetime, status)`` like ``compact_with_gc``
+    keyed on (pk, cell) — one row per surviving cell.
+
+    Correctness: a (pk, cell) lives in exactly one task because tasks
+    partition the KEY space and every generation's byte window is the
+    index-resolved run for that key range (partition-granular; decoded
+    rows are post-filtered to the range). Range tombstones and
+    partition deletions are out of scope here (the parquet-side
+    T3/T4 operators own them); cell atoms of any kind merge, with
+    ``kind == 'tombstone'`` as the deletion marker."""
+    dirs = _resolve_table_dirs(path)
+    # planner: merged summary keys -> num_splits-1 evenly spaced cuts
+    all_keys: list[bytes] = []
+    for d in dirs:
+        samples = _read_summary(d)
+        if samples is None:
+            samples = [(k, 0, 0) for k, _ in
+                       read_index(os.path.join(d, "Index.db"))]
+        all_keys.extend(k for k, _, _ in samples)
+    all_keys = sorted(set(all_keys))
+    step = max(1, len(all_keys) // max(1, num_splits))
+    cuts = all_keys[step::step][: max(0, num_splits - 1)]
+    bounds = [None, *cuts, None]
+    ranges = [
+        ((bounds[i].decode() if bounds[i] is not None else None),
+         (bounds[i + 1].decode() if bounds[i + 1] is not None else None))
+        for i in range(len(bounds) - 1)
+    ]
+    threshold = int(now_us) - int(gc_grace_us)
+
+    def _merge(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for ks, kp in zip(pdf["ks"], pdf["kp"]):
+                start = ks.encode() if ks is not None else None
+                stop = kp.encode() if kp is not None else None
+                best: dict[tuple, tuple] = {}
+                for d in dirs:
+                    samples = _read_summary(d)
+                    if samples:
+                        entries, end_data = _read_index_window(
+                            d, samples, start, stop)
+                    else:
+                        entries = read_index(
+                            os.path.join(d, "Index.db"))
+                        end_data = _data_size(d)
+                    _, bs, be = select_index_range(
+                        entries, end_data, start, stop)
+                    if bs >= be:
+                        continue
+                    for r in scan_data_range(
+                            os.path.join(d, "Data.db"), bs, be):
+                        pk_b = r[0].encode()
+                        if start is not None and pk_b < start:
+                            continue
+                        if stop is not None and pk_b >= stop:
+                            continue
+                        if r[1] is None:
+                            continue  # partition_tombstone: out of scope
+                        key = (r[0], r[1])
+                        cand = (int(r[5]), 1 if r[2] == "tombstone" else 0)
+                        if key not in best or cand > best[key]:
+                            best[key] = cand
+                for (pk, cell), (wt, tomb) in best.items():
+                    if tomb and wt <= threshold:
+                        continue
+                    rows.append((pk, cell, wt,
+                                 "tombstone_retained" if tomb else "live"))
+            yield pd.DataFrame(
+                rows, columns=["pk", "cell", "writetime", "status"])
+
+    return (
+        spark.createDataFrame(ranges, "ks string, kp string")
+        .repartition(len(ranges))
+        .mapInPandas(
+            _merge,
+            schema="pk string, cell string, writetime bigint, status string",
+        )
+    )
+
+
 def stream_digests(spark, path: str):
     """Streaming integrity monitor: one ``(generation, data_length,
     digest_ok)`` row per newly-arrived shard (see ``DigestStreamReader``) —

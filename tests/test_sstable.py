@@ -1111,3 +1111,48 @@ def test_scrub_healthy_and_each_corruption_isolated(spark):
     assert scrub().stats_ok is True  # shallow checks partitions only
     assert scrub(deep=True).stats_ok is False
     shutil.rmtree(base)
+
+
+def test_merge_compact_sorted_equals_argmax_form(spark):
+    """Cross-plan equivalence: the zero-shuffle k-way sorted merge must
+    produce exactly compact_with_gc's rows on the same generations, for
+    any split count (1, 3, 8 — boundary cells must not drop/duplicate)."""
+    import pyspark.sql.functions as F
+
+    from cassandra_ttl_remover_spark.operators.compact import (
+        compact_with_gc,
+    )
+
+    base = _tmpdir()
+    ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
+                              os.path.join(base, "gen1"))
+    ss.events_sstable_update_fixture(spark, "/root/testdata/sf0.001",
+                                     os.path.join(base, "gen2"))
+    cells = ss.scan_sstable(spark, base, num_splits=8)
+    frame = cells.select(
+        "pk", "cell", "writetime",
+        (F.col("kind") == "tombstone").alias("is_tombstone"),
+    )
+    kw = dict(gc_grace_us=10 * 86400 * 1_000_000,
+              now_us=1706745600 * 1_000_000)
+    want = sorted(tuple(r) for r in
+                  compact_with_gc(frame, ["pk", "cell"], **kw).collect())
+    for n in (1, 3, 8):
+        got = sorted(tuple(r) for r in ss.merge_compact_sorted(
+            spark, base, num_splits=n, **kw).collect())
+        assert got == want, n
+    shutil.rmtree(base)
+
+
+def test_merge_compact_sorted_moves_no_cell_bytes(spark):
+    """The merge plan's only exchange is the tiny key-range table — the
+    cell stream itself never shuffles (the 100 TB claim)."""
+    from cassandra_ttl_remover_spark.plans import exchange_count
+
+    base = _tmpdir()
+    ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
+                              os.path.join(base, "gen1"))
+    df = ss.merge_compact_sorted(
+        spark, base, gc_grace_us=0, now_us=0, num_splits=4)
+    assert exchange_count(df) <= 1  # the n-row range-table repartition
+    shutil.rmtree(base)
