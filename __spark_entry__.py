@@ -742,6 +742,7 @@ _DRIVER_PRIORITY = [
     "q_s20_scrub_report",
     "q_st20_stream_digest_monitor",
     "q_t9_sstable_merge_compact",
+    "q_s21_strip_rewrite_zeroshuffle",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3811,6 +3812,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("pk", "cell")
     q["q_t9_sstable_merge_compact"] = q_t9
 
+    def q_s21(spark, sf):
+        # the reference's ENTIRE job with ZERO shuffle: per-split
+        # strip-rewrite of a sorted generation (decode -> expiring ->
+        # normal -> re-encode, sidecars re-emitted) -- no repartition,
+        # no sort, no network; scanning the rewritten output must equal
+        # the strip oracle exactly.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstrw_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "src"))
+        ss.rewrite_stripped(spark, os.path.join(base, "src"),
+                            os.path.join(base, "out"), num_splits=8)
+        return ss.scan_sstable(spark, os.path.join(base, "out"))
+    q["q_s21_strip_rewrite_zeroshuffle"] = q_s21
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -5841,6 +5859,7 @@ WHERE pk >= '1' AND pk < '2'
 """
     o["q_s10_sstable_write_roundtrip"] = o["q_s8_sstable_strip"]
     o["q_m8_cli_native_job"] = o["q_s8_sstable_strip"]
+    o["q_s21_strip_rewrite_zeroshuffle"] = o["q_s8_sstable_strip"]
     o["q_st15_stream_sstable_strip"] = o["q_s8_sstable_strip"]
     o["q_s11_sstable_counter_cells"] = _ss.sstable_v2_oracle_sql(
         stripped=True)

@@ -1801,6 +1801,80 @@ def stream_sstable(spark, path: str, num_splits: int = 4):
     )
 
 
+def rewrite_stripped(spark, path: str, out_dir: str,
+                     num_splits: int = 8) -> list:
+    """The reference's ENTIRE job with ZERO shuffle: every generation is
+    already sorted, and TTL strip is per-cell (expiring -> normal,
+    everything else verbatim — NoTTLColumnSerializer's exact rule), so
+    each index-snapped byte split decodes, strips, and re-encodes ITS
+    OWN output sstable in place: no repartition, no sort, no network.
+    The distributed sink (:func:`write_sstable_distributed`) is the
+    re-sharding variant (one range exchange); this is the 1:1 rewrite —
+    at 100 TB the difference is shuffling the entire corpus once versus
+    not at all, which is why the reference's per-file loop is the right
+    dataflow and only its single-threadedness needed replacing.
+
+    Output layout: ``out_dir/<generation>_shard=<split>`` — each split's
+    partitions re-encoded through the shared row->cell mapping
+    (:func:`_row_to_cell`), partition-level deletions preserved, every
+    sidecar re-emitted (outputs pass :func:`verify_digests`). Returns
+    the per-shard report rows ``(shard, n_partitions, n_cells)``."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    specs = []
+    for d in _resolve_table_dirs(path):
+        gen_name = os.path.basename(d.rstrip("/"))
+        for i, (data_path, start, end) in enumerate(
+                _plan_table_splits(d, num_splits)):
+            specs.append((gen_name, i, data_path, start, end))
+
+    def _rewrite(batches):
+        for pdf in batches:
+            out_rows = []
+            for gen_name, i, data_path, start, end in pdf[
+                ["gen", "idx", "data_path", "start", "end"]
+            ].itertuples(index=False):
+                parts: dict[bytes, list] = {}
+                deletions: dict[bytes, tuple] = {}
+                n = 0
+                for r in scan_data_range(data_path, int(start), int(end)):
+                    pk, cell, kind, ttl, exp, wt, val = r
+                    if kind == "partition_tombstone":
+                        deletions[pk.encode()] = (int(exp), int(wt))
+                        parts.setdefault(pk.encode(), [])
+                        n += 1
+                        continue
+                    if kind == "expiring":
+                        kind, ttl, exp = "normal", None, None
+                    parts.setdefault(pk.encode(), []).append(
+                        _row_to_cell(cell, kind, ttl, exp, wt, val))
+                    n += 1
+                if not parts:
+                    continue
+                shard = f"{gen_name}_shard={int(i):05d}"
+                write_sstable(
+                    [(k, cs, deletions[k]) if k in deletions else (k, cs)
+                     for k, cs in parts.items()],
+                    os.path.join(out_dir, shard),
+                )
+                out_rows.append((shard, len(parts), n))
+            yield pd.DataFrame(
+                out_rows, columns=["shard", "n_partitions", "n_cells"])
+
+    report = (
+        spark.createDataFrame(
+            specs, "gen string, idx int, data_path string, "
+                   "start long, end long")
+        .repartition(min(len(specs), 32))
+        .mapInPandas(
+            _rewrite,
+            schema="shard string, n_partitions bigint, n_cells bigint",
+        )
+    )
+    return report.collect()
+
+
 def merge_compact_sorted(spark, path: str, *, gc_grace_us: int,
                          now_us: int, num_splits: int = 8):
     """Compaction the way Cassandra ACTUALLY runs it — a k-way merge of
@@ -1975,6 +2049,35 @@ def stats_census(spark, path: str):
 # distributed sink: cell frame -> sharded SSTables
 # ---------------------------------------------------------------------------
 
+def _row_to_cell(cell, kind, ttl, exp, wt, val) -> tuple:
+    """Inverse of the scan's row decode: one SSTABLE_SCHEMA row back to
+    its writer cell tuple (shared by the distributed sink and the
+    zero-shuffle strip rewrite so the two write paths cannot drift)."""
+    name = str(cell).encode()
+    if kind == "expiring":
+        return (name, EXPIRATION_MASK, int(ttl), int(exp), int(wt),
+                str(val).encode())
+    if kind == "tombstone":
+        return (name, DELETION_MASK, 0, 0, int(wt),
+                struct.pack(">i", int(exp)))
+    if kind == "normal":
+        return (name, 0, 0, 0, int(wt), str(val).encode())
+    if kind == "counter":
+        # expiration slot = timestampOfLastDelete (see SSTABLE_SCHEMA
+        # column-reuse note)
+        return (name, COUNTER_MASK, 0, int(exp), int(wt),
+                str(val).encode())
+    if kind == "counter_update":
+        return (name, COUNTER_UPDATE_MASK, 0, 0, int(wt),
+                str(val).encode())
+    if kind == "range_tombstone":
+        # cell = start bound, value = end bound,
+        # expiration = localDeletionTime, wt = markedForDeleteAt
+        return (name, RANGE_TOMBSTONE_MASK, 0, int(exp), int(wt),
+                str(val).encode())
+    raise ValueError(f"cell kind {kind!r} is not a recognized atom kind")
+
+
 def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
                               generation: str = "v1",
                               compressed: bool = False):
@@ -2014,32 +2117,7 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
                     parts.setdefault(str(pk).encode(), [])
                     n += 1
                     continue
-                name = str(cell).encode()
-                if kind == "expiring":
-                    c = (name, EXPIRATION_MASK, int(ttl), int(exp),
-                         int(wt), str(val).encode())
-                elif kind == "tombstone":
-                    c = (name, DELETION_MASK, 0, 0, int(wt),
-                         struct.pack(">i", int(exp)))
-                elif kind == "normal":
-                    c = (name, 0, 0, 0, int(wt), str(val).encode())
-                elif kind == "counter":
-                    # expiration slot = timestampOfLastDelete (see
-                    # SSTABLE_SCHEMA column-reuse note)
-                    c = (name, COUNTER_MASK, 0, int(exp), int(wt),
-                         str(val).encode())
-                elif kind == "counter_update":
-                    c = (name, COUNTER_UPDATE_MASK, 0, 0, int(wt),
-                         str(val).encode())
-                elif kind == "range_tombstone":
-                    # cell = start bound, value = end bound,
-                    # expiration = localDeletionTime, wt = markedForDeleteAt
-                    c = (name, RANGE_TOMBSTONE_MASK, 0, int(exp), int(wt),
-                         str(val).encode())
-                else:
-                    raise ValueError(
-                        f"cell kind {kind!r} is not a recognized atom kind"
-                    )
+                c = _row_to_cell(cell, kind, ttl, exp, wt, val)
                 parts.setdefault(str(pk).encode(), []).append(c)
                 n += 1
         if parts:

@@ -1156,3 +1156,51 @@ def test_merge_compact_sorted_moves_no_cell_bytes(spark):
         spark, base, gc_grace_us=0, now_us=0, num_splits=4)
     assert exchange_count(df) <= 1  # the n-row range-table repartition
     shutil.rmtree(base)
+
+
+def test_rewrite_stripped_zero_shuffle_and_digest_clean(spark):
+    """The 1:1 strip rewrite: output scan == strip_ttl_cells of the
+    source, every output shard passes the digest sweep, partition-level
+    deletions and all atom kinds survive, and the job plan contains no
+    corpus exchange (the report frame's tiny spec repartition only)."""
+    import struct as _struct
+
+    base = _tmpdir()
+    src = os.path.join(base, "src")
+    cells = []
+    cells.append((b"000001:rt", ss.RANGE_TOMBSTONE_MASK, 0,
+                  1_700_000_000, 1_700_000_000_000_400, b"000005:"))
+    for i in range(30):
+        name = f"{i:06d}:c".encode()
+        if i % 5 == 0:
+            cells.append((name, ss.EXPIRATION_MASK, 600, 1_700_000_600,
+                          1_700_000_000_000_000 + i, f"v{i}".encode()))
+        elif i % 7 == 0:
+            cells.append((name, ss.DELETION_MASK, 0, 0,
+                          1_700_000_000_000_000 + i,
+                          _struct.pack(">i", 1_700_000_000)))
+        else:
+            cells.append((name, 0, 0, 0, 1_700_000_000_000_000 + i,
+                          f"v{i}".encode()))
+    cells.sort(key=lambda c: c[0])
+    ss.write_sstable(
+        [(b"alive", cells),
+         (b"gone", [(b"c", 0, 0, 0, 5, b"x")],
+          (1_700_000_000, 1_700_000_000_000_999))],
+        src,
+    )
+    out = os.path.join(base, "out")
+    report = ss.rewrite_stripped(spark, src, out, num_splits=4)
+    assert sum(r.n_cells for r in report) == 33  # 31 cells + RT + pt-del
+    want = sorted((tuple(r) for r in
+                   ss.strip_ttl_cells(
+                       ss.scan_sstable(spark, src)).collect()), key=repr)
+    got = sorted((tuple(r) for r in
+                  ss.scan_sstable(spark, out).collect()), key=repr)
+    assert got == want
+    assert not any(r[2] == "expiring" for r in got)
+    assert any(r[2] == "partition_tombstone" for r in got)
+    assert any(r[2] == "range_tombstone" for r in got)
+    checks = ss.verify_digests(spark, out).collect()
+    assert checks and all(r.digest_ok and r.toc_ok for r in checks)
+    shutil.rmtree(base)
