@@ -32,6 +32,7 @@ class JobSpec:
     clustering: list[str]
     input_format: str = "parquet"
     output_format: str = "parquet"
+    rewrite_mode: str = "reshard"
 
 
 class TTLRemovalError(RuntimeError):
@@ -62,6 +63,12 @@ def parse_args(argv: list[str]) -> JobSpec:
                    help="sstable = re-encode stripped cells through the "
                         "distributed sharded SSTable sink (the "
                         "reference's output side)")
+    p.add_argument("--rewrite-mode", default="reshard",
+                   choices=["reshard", "inplace"],
+                   help="sstable->sstable only: 'reshard' range-"
+                        "partitions into new shards (one exchange); "
+                        "'inplace' is the zero-shuffle per-split 1:1 "
+                        "rewrite (the reference's own dataflow)")
     a = p.parse_args(argv)
 
     # option matrix (TTLRemoverCLI.java:165-197): cql required iff the format
@@ -81,6 +88,7 @@ def parse_args(argv: list[str]) -> JobSpec:
         clustering=[c for c in a.clustering.split(",") if c],
         input_format=a.input_format,
         output_format=a.output_format,
+        rewrite_mode=a.rewrite_mode,
     )
 
 
@@ -96,11 +104,17 @@ def run(spec: JobSpec) -> int:
             # Sidecars (Filter/Summary/Statistics/Digest/TOC) are
             # re-emitted by the sink, so outputs pass verify_digests.
             from cassandra_ttl_remover_spark.sources.sstable import (
+                rewrite_stripped,
                 scan_sstable,
                 strip_ttl_cells,
                 write_sstable_distributed,
             )
 
+            if (spec.output_format == "sstable"
+                    and spec.rewrite_mode == "inplace"):
+                rewrite_stripped(spark, spec.input_path,
+                                 spec.output_path)
+                return 0
             stripped = strip_ttl_cells(
                 scan_sstable(spark, spec.input_path))
             if spec.output_format == "sstable":

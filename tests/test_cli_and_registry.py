@@ -91,3 +91,31 @@ def test_cli_sstable_option_matrix():
                       "--output-format", "sstable"])
     with pytest.raises(TTLRemovalError, match="requires --input-format"):
         run(bad)
+
+
+def test_cli_inplace_rewrite_matches_reshard(spark):
+    """--rewrite-mode inplace (zero shuffle) and reshard (one range
+    exchange) must produce scan-identical stripped outputs."""
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    work = Path(tempfile.mkdtemp(prefix="ctrs_clir_"))
+    try:
+        src = work / "src"
+        ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
+                                  str(src))
+        for mode in ("inplace", "reshard"):
+            rc = main(["--input", str(src),
+                       "--output-path", str(work / mode),
+                       "--input-format", "sstable",
+                       "--output-format", "sstable",
+                       "--rewrite-mode", mode])
+            assert rc == 0
+        a = sorted((tuple(r) for r in
+                    ss.scan_sstable(spark, str(work / "inplace"))
+                    .collect()), key=repr)
+        b = sorted((tuple(r) for r in
+                    ss.scan_sstable(spark, str(work / "reshard"))
+                    .collect()), key=repr)
+        assert a == b and len(a) > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
