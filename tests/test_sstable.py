@@ -1204,3 +1204,49 @@ def test_rewrite_stripped_zero_shuffle_and_digest_clean(spark):
     checks = ss.verify_digests(spark, out).collect()
     assert checks and all(r.digest_ok and r.toc_ok for r in checks)
     shutil.rmtree(base)
+
+
+def test_merge_compact_random_generations_match_ground_truth(spark):
+    """Randomized (seeded) generations with overlapping keys, writetime
+    TIES between live and tombstone versions, and uneven key coverage:
+    the zero-shuffle merge must equal a direct dict ground truth (LWW,
+    tombstone wins ties, purge past grace) for several split counts."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        base = _tmpdir()
+        truth: dict[tuple, tuple] = {}
+        for g in range(3):
+            parts: dict[bytes, list] = {}
+            for _ in range(rng.randint(30, 60)):
+                pk = f"k{rng.randint(0, 19):03d}"
+                cell = f"c{rng.randint(0, 4)}"
+                wt = 1_000_000 + rng.randint(0, 9) * 100  # forced ties
+                tomb = rng.random() < 0.3
+                if tomb:
+                    c = (cell.encode(), ss.DELETION_MASK, 0, 0, wt,
+                         struct.pack(">i", 1))
+                else:
+                    c = (cell.encode(), 0, 0, 0, wt, b"v")
+                parts.setdefault(pk.encode(), []).append(c)
+                key = (pk, cell)
+                cand = (wt, 1 if tomb else 0)
+                if key not in truth or cand > truth[key]:
+                    truth[key] = cand
+            ss.write_sstable(parts.items(), os.path.join(base, f"g{g}"),
+                             summary_interval=4)
+        grace, now = 500, 1_001_000  # threshold between tie groups
+        want = sorted(
+            (pk, cell, wt, "tombstone_retained" if tomb else "live")
+            for (pk, cell), (wt, tomb) in truth.items()
+            if not tomb or wt > now - grace
+        )
+        for n in (1, 5):
+            got = sorted(
+                tuple(r) for r in ss.merge_compact_sorted(
+                    spark, base, gc_grace_us=grace, now_us=now,
+                    num_splits=n).collect()
+            )
+            assert got == want, (seed, n)
+        shutil.rmtree(base)
