@@ -743,6 +743,7 @@ _DRIVER_PRIORITY = [
     "q_st20_stream_digest_monitor",
     "q_t9_sstable_merge_compact",
     "q_s21_strip_rewrite_zeroshuffle",
+    "q_g4_trade_components",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -5172,6 +5173,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph.kcore(edges, k=12, rounds=2)
     q["q_g3_kcore"] = q_g3
 
+    def q_g4(spark, sf):
+        # connected components on the trade graph (the graph-family
+        # quartet's missing member beside pagerank/triangles/k-core):
+        # HashMin min-label propagation with the documented driver-UF
+        # cutover for small graphs; node universe = ids incident to an
+        # edge; recursive-CTE oracle computes min-reachable-id.
+        orders = scan_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey")
+        li = scan_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_suppkey")
+        edges = (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                (F.col("o_custkey") * 2).alias("a"),
+                (F.col("l_suppkey") * 2 + 1).alias("b"),
+            )
+            .distinct()
+        )
+        nodes = (
+            edges.select(F.col("a").alias("node"))
+            .union(edges.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        return (
+            dedup.connected_components(edges, nodes, "node")
+            .orderBy("node")
+        )
+    q["q_g4_trade_components"] = q_g4
+
     def q_x14(spark, sf):
         # UDAF taxonomy slot: Arrow-vectorized grouped-agg pandas UDF,
         # exact by integer-cents discipline (one final IEEE division) so
@@ -6623,6 +6653,21 @@ SELECT c AS src, s AS dst FROM cs UNION ALL SELECT s AS src, c AS dst FROM cs"""
         f"({dedup.ngram_jaccard_oracle_sql(threshold=0.5, max_df=1000)})"
     )
 
+    o["q_g4_trade_components"] = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.node
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT node, component FROM cc ORDER BY node
+"""
     o["q_n14_neardup_components"] = dedup.connected_components_oracle_sql(
         "SELECT a, b FROM "
         f"({dedup.ngram_jaccard_oracle_sql(threshold=0.5, max_df=1000)})"

@@ -499,10 +499,13 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         from pyspark.sql import types as T
 
         id_type = edges.schema["a"].dataType
+        # reserved key name: a caller whose id_col is literally "node"
+        # (e.g. a generic graph frame) must not collide with the label
+        # frame's join key
         lab = spark.createDataFrame(
             list(labels.items()),
             schema=T.StructType([
-                T.StructField("node", id_type),
+                T.StructField("_cc_node", id_type),
                 T.StructField("component", id_type),
             ]),
         )
@@ -510,7 +513,7 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         # corpus-sized ids frame never shuffles for the stitch-back
         return (
             ids.select(F.col(id_col))
-            .join(F.broadcast(lab), ids[id_col] == lab["node"], "left")
+            .join(F.broadcast(lab), ids[id_col] == lab["_cc_node"], "left")
             .select(
                 F.col(id_col),
                 F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
