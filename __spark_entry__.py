@@ -744,6 +744,7 @@ _DRIVER_PRIORITY = [
     "q_t9_sstable_merge_compact",
     "q_s21_strip_rewrite_zeroshuffle",
     "q_g4_trade_components",
+    "q_f11_tar_ingest",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -4962,6 +4963,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zip_entries(archives)
     q["q_f9_zip_ingest"] = q_f9
 
+    def q_f11(spark, sf):
+        # bulk-drop tar ingestion (the Pile-style container): documents
+        # packed into ustar archives (whole-group applyInPandas), then
+        # exploded back via a header-checksum-verified walker -- the
+        # fourth archive format sharing the same record contract.
+        from cassandra_ttl_remover_spark.sources.archives import (
+            documents_as_tar,
+            tar_entries,
+        )
+
+        docs = scan_table(spark, sf, "documents")
+        return tar_entries(documents_as_tar(docs)).orderBy("name")
+    q["q_f11_tar_ingest"] = q_f11
+
     def q_f10(spark, sf):
         # the production crawl form: .warc.gz with each record its own
         # gzip MEMBER (independently seekable, the Common Crawl layout);
@@ -5836,6 +5851,11 @@ ORDER BY gid, rf, ls2
     o["q_f8_warc_ingest"] = warc_records_oracle_sql()
     o["q_f9_zip_ingest"] = zip_entries_oracle_sql(entries_per_file=50)
     o["q_f10_warc_gz_ingest"] = warc_records_oracle_sql()
+    from cassandra_ttl_remover_spark.sources.archives import (
+        tar_entries_oracle_sql,
+    )
+
+    o["q_f11_tar_ingest"] = tar_entries_oracle_sql()
     o["q_x28_percent_rank"] = """
 WITH r AS (
   SELECT o_orderkey, o_orderpriority,

@@ -431,3 +431,141 @@ def warc_gz_records(archives: DataFrame) -> DataFrame:
     return archives.select("payload").mapInPandas(
         run, schema=WARC_RECORDS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# tar (ustar) — the Pile-style bulk-drop container
+# ---------------------------------------------------------------------------
+
+def _tar_header(name: bytes, size: int) -> bytes:
+    """One POSIX ustar header block (512 bytes): real checksum, octal
+    size, fixed mode/uid/gid/mtime so archives are byte-deterministic."""
+    h = bytearray(512)
+    h[0:len(name)] = name                      # name (<=100)
+    h[100:108] = b"0000644\x00"                # mode
+    h[108:116] = b"0000000\x00"                # uid
+    h[116:124] = b"0000000\x00"                # gid
+    h[124:136] = f"{size:011o}".encode() + b"\x00"
+    h[136:148] = b"00000000000\x00"            # mtime
+    h[148:156] = b" " * 8                      # chksum placeholder
+    h[156:157] = b"0"                          # typeflag: regular file
+    h[257:263] = b"ustar\x00"                  # magic
+    h[263:265] = b"00"                         # version
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}".encode() + b"\x00 "
+    return bytes(h)
+
+
+def _docs_to_tar_bytes(entries: list) -> bytes:
+    """Deterministic ustar archive: entries = [(name_bytes, data_bytes)],
+    512-padded payloads, two zero end-blocks — stdlib ``tarfile`` opens
+    it (interop-tested)."""
+    out = []
+    for name, data in entries:
+        out.append(_tar_header(name, len(data)))
+        out.append(data)
+        pad = (-len(data)) % 512
+        out.append(b"\x00" * pad)
+    out.append(b"\x00" * 1024)
+    return b"".join(out)
+
+
+def _parse_tar(blob: bytes) -> list:
+    """Strict ustar walker: magic + checksum verified per header, octal
+    size, 512-block advance, terminating zero block. Returns per-entry
+    ``(name, n_bytes, payload_sum)``; raises on any structural
+    mismatch."""
+    out = []
+    pos = 0
+    while pos + 512 <= len(blob):
+        h = blob[pos:pos + 512]
+        if h == b"\x00" * 512:
+            break
+        if h[257:263] != b"ustar\x00":
+            raise ValueError(f"tar magic missing at offset {pos}")
+        stored = int(h[148:156].rstrip(b"\x00 ").decode() or "0", 8)
+        calc = sum(h[:148]) + 8 * 0x20 + sum(h[156:])
+        if stored != calc:
+            raise ValueError(f"tar header checksum mismatch at {pos}")
+        name = h[0:100].rstrip(b"\x00").decode("utf-8")
+        size = int(h[124:136].rstrip(b"\x00 ").decode() or "0", 8)
+        data = blob[pos + 512:pos + 512 + size]
+        if len(data) != size:
+            raise ValueError(f"tar entry {name!r} payload truncated")
+        out.append((name, size, sum(data)))
+        pos += 512 + size + ((-size) % 512)
+    else:
+        raise ValueError("tar terminator block missing")
+    return out
+
+
+TAR_ENTRIES_SCHEMA = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("payload_sum", T.LongType()),
+])
+
+
+def documents_as_tar(docs: DataFrame, *, entries_per_file: int = 50,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Pack documents into ustar archives (``entries_per_file`` docs
+    each) — the whole-group applyInPandas guarantee as the other archive
+    writers. Returns ``(archive_id, payload)``."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        aid = int(pdf[id_col].iloc[0]) // entries_per_file
+        return pd.DataFrame(
+            {
+                "archive_id": [aid],
+                "payload": [_docs_to_tar_bytes([
+                    (f"doc_{int(r[id_col])}.txt".encode("ascii"),
+                     r[text_col].encode("utf-8"))
+                    for _, r in pdf.iterrows()
+                ])],
+            }
+        )
+
+    return (
+        docs.select(id_col, text_col)
+        .groupBy(F.expr(f"{id_col} div {entries_per_file}"))
+        .applyInPandas(pack, schema=T.StructType([
+            T.StructField("archive_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+    )
+
+
+def tar_entries(archives: DataFrame) -> DataFrame:
+    """Explode every tar archive into its entries, header-checksum
+    verified — the bulk-drop ingestion scan (mapInPandas record walker,
+    blobs parsed where they sit)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"name": [], "n_bytes": [], "payload_sum": []}
+            for payload in pdf["payload"]:
+                for name, size, psum in _parse_tar(bytes(payload)):
+                    rows["name"].append(name)
+                    rows["n_bytes"].append(size)
+                    rows["payload_sum"].append(psum)
+            yield pd.DataFrame(rows)
+
+    return archives.select("payload").mapInPandas(
+        run, schema=TAR_ENTRIES_SCHEMA
+    )
+
+
+def tar_entries_oracle_sql(table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    """Per-entry fields recomputed straight from the source rows."""
+    return f"""
+SELECT 'doc_' || {id_col} || '.txt' AS name,
+       length(text)::BIGINT AS n_bytes,
+       coalesce(list_aggregate(list_transform(
+         range(1, (length(text) + 1)::INT), i -> ord(text[i])), 'sum'),
+         0)::BIGINT AS payload_sum
+FROM {table}
+ORDER BY name
+"""

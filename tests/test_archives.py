@@ -71,3 +71,44 @@ def test_warc_gz_spark_roundtrip(spark, documents):
     # stdlib gzip reads any archive we wrote (multi-member concatenation)
     blob = bytes(archives.limit(1).collect()[0].payload)
     assert gzip.decompress(blob).startswith(b"WARC/1.0\r\n")
+
+
+def test_tar_roundtrip_interop_and_corruption(spark, documents):
+    """Spark pack -> stdlib tarfile reads it; stdlib write -> our walker
+    reads it; checksum/magic/truncation corruption all fail loud; the
+    Spark explode equals the per-doc recomputation."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from cassandra_ttl_remover_spark.sources.archives import (
+        _docs_to_tar_bytes,
+        _parse_tar,
+        documents_as_tar,
+        tar_entries,
+    )
+
+    arcs = documents_as_tar(documents, entries_per_file=20)
+    [blob] = [bytes(r.payload) for r in arcs.limit(1).collect()]
+    names = [m.name for m in tarfile.open(fileobj=io.BytesIO(blob)).getmembers()]
+    assert len(names) == 20 and all(n.startswith("doc_") for n in names)
+
+    got = {(r.name, r.n_bytes, r.payload_sum)
+           for r in tar_entries(arcs).collect()}
+    want = {(f"doc_{r.doc_id}.txt", len(r.text.encode()),
+             sum(r.text.encode()))
+            for r in documents.collect()}
+    assert got == want
+
+    # corruption: flipped checksum digit, wrong magic, truncated payload,
+    # missing terminator
+    good = _docs_to_tar_bytes([(b"a.txt", b"hello")])
+    bad = bytearray(good); bad[150] ^= 0x01
+    with _pytest.raises(ValueError, match="checksum"):
+        _parse_tar(bytes(bad))
+    bad = bytearray(good); bad[257] ^= 0x01
+    with _pytest.raises(ValueError, match="magic"):
+        _parse_tar(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated|terminator"):
+        _parse_tar(good[:512 + 2])
