@@ -745,6 +745,7 @@ _DRIVER_PRIORITY = [
     "q_s21_strip_rewrite_zeroshuffle",
     "q_g4_trade_components",
     "q_f11_tar_ingest",
+    "q_mm19_image_resize",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
@@ -3340,6 +3341,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wav_decimate_features(media, factor=4)
     q["q_mm18_pcm_decimate"] = q_mm18
 
+    def q_mm19(spark, sf):
+        # REAL image resize: nearest-neighbor integer downscale over
+        # decoded PGM rasters (12x7 from 32-wide sources) -- every
+        # output pixel an exact function of the source bytes, so the
+        # resized statistics hash-match. Retires the resize stub for
+        # the decodable raster family.
+        from cassandra_ttl_remover_spark.operators.multimodal import (
+            documents_as_pgm,
+            pgm_resize_features,
+        )
+
+        media = documents_as_pgm(scan_table(spark, sf, "documents"))
+        return pgm_resize_features(media, out_w=12, out_h=7)
+    q["q_mm19_image_resize"] = q_mm19
+
     def q_mm7(spark, sf):
         # REAL image decode end-to-end: documents -> genuine P5 PGM bytes
         # (header + raw raster, no native codec needed) -> strict parser
@@ -5610,6 +5626,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 
     o["q_mm6_wav_decode"] = multimodal.wav_decode_oracle_sql()
     o["q_mm18_pcm_decimate"] = multimodal.wav_decimate_oracle_sql(factor=4)
+    o["q_mm19_image_resize"] = multimodal.pgm_resize_oracle_sql(
+        out_w=12, out_h=7)
 
     o["q_mm7_pgm_decode"] = multimodal.pgm_decode_oracle_sql(width=32)
     o["q_mm8_ppm_decode"] = multimodal.ppm_decode_oracle_sql(width=16)

@@ -842,6 +842,87 @@ def pgm_decode_features(media: DataFrame) -> DataFrame:
     return _raster_decode_features(media, _parse_pgm)
 
 
+PGM_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def pgm_resize_features(media: DataFrame, out_w: int,
+                        out_h: int) -> DataFrame:
+    """REAL image resize over decoded rasters — nearest-neighbor integer
+    downscale/upscale (src index = ``out*in_dim div out_dim``, the
+    standard NN convention; pure integer arithmetic, so every output
+    pixel is an exact function of the source bytes and the DuckDB oracle
+    recomputes the resized statistics bit-for-bit). This retires the
+    stub boundary for the decodable raster family; :func:`resize` stays
+    the documented stub for native-codec formats only.
+
+    Scale: mapInPandas — rasters decoded, resampled (two numpy index
+    gathers), and reduced where they sit; only (id, 4 scalars) leave the
+    task."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad target dims {out_w}x{out_h}")
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums, maxs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b.startswith(b"P5"):
+                    raise ValueError("not a P5 PGM payload")
+                parts = b.split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                raster = np.frombuffer(
+                    parts[3], dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = raster[np.ix_(ys, xs)].astype(np.int64)
+                ids.append(mid)
+                sums.append(int(out.sum()))
+                maxs.append(int(out.max()))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "out_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                 "out_h": pd.Series([out_h] * len(ids), dtype="int32"),
+                 "px_sum": pd.Series(sums, dtype="int64"),
+                 "px_max": pd.Series(maxs, dtype="int32")}
+            )
+
+    return fan_out(media, "media_id").mapInPandas(
+        run, schema=PGM_RESIZE_SCHEMA
+    )
+
+
+def pgm_resize_oracle_sql(out_w: int, out_h: int, width: int = 32,
+                          table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """Recomputes the resized statistics straight from the source text:
+    pixel (y, x) = byte y*width+x (zero-padded tail), nearest-neighbor
+    source index = (k div out_w)*h_in div out_h rows and
+    (k mod out_w)*width div out_w columns."""
+    hin = f"greatest(1, (length(text) + {width} - 1) // {width})"
+    src = (f"((((k // {out_w}) * {hin}) // {out_h}) * {width}"
+           f" + (((k % {out_w}) * {width}) // {out_w}))")
+    val = (f"(CASE WHEN {src} < length(text)"
+           f" THEN ord(text[({src} + 1)::INT]) ELSE 0 END)")
+    return f"""
+SELECT {id_col} AS media_id,
+       {out_w}::INT AS out_w, {out_h}::INT AS out_h,
+       list_aggregate(list_transform(range(0, {out_w * out_h}),
+         k -> {val}::BIGINT), 'sum')::BIGINT AS px_sum,
+       list_aggregate(list_transform(range(0, {out_w * out_h}),
+         k -> {val}), 'max')::INT AS px_max
+FROM {table} ORDER BY media_id
+"""
+
+
 def pgm_decode_oracle_sql(width: int = 32, table: str = "documents",
                           id_col: str = "doc_id") -> str:
     """Recomputes every decoded statistic from the source text: one byte

@@ -628,3 +628,37 @@ def test_wav_decimate_block_math_and_edges(spark):
     full = {r.media_id: r.ssq for r in
             wav_decode_features(media).collect()}
     assert ident == full
+
+
+def test_pgm_resize_nearest_neighbor_exact(spark):
+    """NN resize: identity dims reproduce the decode stats; a 2x
+    downscale picks exactly the even rows/cols; upscale replicates
+    pixels; degenerate 1x1 output = top-left source pixel."""
+    from cassandra_ttl_remover_spark.operators.multimodal import (
+        documents_as_pgm,
+        pgm_decode_features,
+        pgm_resize_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ABCDEFGHIJKLMNOP"), (2, "xy")],
+        "doc_id long, text string",
+    )
+    media = documents_as_pgm(docs, width=4)  # doc1: 4x4, doc2: 4x1
+    dec = {r.media_id: r for r in pgm_decode_features(media).collect()}
+    ident = {r.media_id: r for r in
+             pgm_resize_features(media, 4, dec[1].height).collect()}
+    assert ident[1].px_sum == dec[1].sum_px
+    half = {r.media_id: r for r in
+            pgm_resize_features(media, 2, 2).collect()}
+    # doc1 4x4 raster rows 'ABCD','EFGH','IJKL','MNOP'; NN(2,2) picks
+    # (0,0),(0,2),(2,0),(2,2) = A,C,I,K
+    assert half[1].px_sum == sum(b"ACIK")
+    assert half[1].px_max == max(b"ACIK")
+    one = {r.media_id: r for r in
+           pgm_resize_features(media, 1, 1).collect()}
+    assert one[1].px_sum == ord("A") and one[2].px_sum == ord("x")
+    up = {r.media_id: r for r in
+          pgm_resize_features(media, 8, 2).collect()}
+    # upscale replicates: each of A..D twice on row0, I..L twice on row1
+    assert up[1].px_sum == 2 * (sum(b"ABCD") + sum(b"IJKL"))
