@@ -626,25 +626,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # graded the pipeline/streaming/multimodal/vector/session/dedup families;
 # round 4 graded the repaired LSH slot plus the round-3/4 operator
 # blocks (50/50 hash-green); round 5 graded the n17b-n33 curation tail
-# and the round-4-late block (49/50 green; q_n47 red on an oracle typing
-# bug, fixed this round). ROUND-6 ROTATION (this list): the 61 queries
-# that have never had a driver row lead, plus q_n47 for its post-fix
-# re-grade. Reference-semantics flagships (t6/t7) first, then the
-# ML/multimodal/archives/entity-resolution/dedup/audit/streaming tails,
-# with plain TPC-H SQL shapes last so the ~12 rows that spill past the
-# ~50-row window are taxonomy the driver has already evidenced on other
-# TPC-H patterns. New round-6 queries are appended right after this
-# block so they enter round 7's window. Do NOT rotate mid-round: the
-# gate runs on end-of-round state.
+# and the round-4-late block (49/50 green); round 6 graded its 51-query
+# rotation window 51/51 hash-green (q_n47's re-grade included), leaving
+# exactly 44 queries with no driver row — ROTATION_r7_plan.md's list.
+# ROUND-7 ROTATION (this list): those 44 lead. The native SSTable binary
+# surface goes first (the reference's own read path —
+# NoTTLReader.java:607-613,766-814,1521-1529 analogs — and its full job,
+# TTLRemoverCLI.java:90-105), then the ML/multimodal/text/session/
+# streaming/graph/archive tails, then new round-7 queries, with plain
+# TPC-H SQL shapes last so any rows that spill past the ~50-row window
+# are taxonomy the driver has already evidenced on other TPC-H patterns.
+# Do NOT rotate mid-round: the gate runs on end-of-round state.
 _DRIVER_PRIORITY = [
-    # --- round-6 rotation: never-driver-graded queries lead ---
-    # reference-semantics flagships (C* compaction lifecycle)
+    # --- round-7 rotation: the 44 never-driver-graded queries lead ---
+    # native SSTable binary surface (round-6 build, never graded)
+    "q_s11_sstable_counter_cells",
+    "q_s12_sstable_gen_mc",
+    "q_s13_sstable_compressed",
+    "q_s14_sstable_partition_delete",
+    "q_s15_sstable_bloom_lookup",
+    "q_s16_sstable_summary_range",
+    "q_s17_sstable_stats_census",
+    "q_s18_digest_verify",
+    "q_s19_clustering_slice",
+    "q_s20_scrub_report",
+    "q_s21_strip_rewrite_zeroshuffle",
+    # native-format compaction pair + the CLI's full native job
+    "q_t8_sstable_compact_e2e",
+    "q_t9_sstable_merge_compact",
+    "q_m8_cli_native_job",
+    # ML / statistics round-6 tail
+    "q_ml8_cusum_drift",
+    "q_ml9_mannwhitney",
+    "q_ml10_theil_sen",
+    # multimodal round-6 tail
+    "q_mm17_image_dhash",
+    "q_mm18_pcm_decimate",
+    "q_mm19_image_resize",
+    # text / curation round-6 tail
+    "q_n53_distinct_ngrams",
+    "q_n54_dsir_weights",
+    "q_n56_gopher_rules",
+    "q_x29_token_budget",
+    "q_x30_budget_sample_apply",
+    "q_v10_int8_quantization",
+    # sessions / streaming / graph / archives round-6 tail
+    "q_se9_attribution",
+    "q_se10_hazard_table",
+    "q_st19_stream_ttl_debt",
+    "q_st20_stream_digest_monitor",
+    "q_g4_trade_components",
+    "q_f11_tar_ingest",
+    # --- new in round 7 (fill the graded window; never graded) ---
+    # (appended here as operators are built)
+    # --- TPC-H batch 3: spill-safe tail of the never-graded block ---
+    "q_sql_q2_min_cost_supplier",
+    "q_sql_q7_nation_volume",
+    "q_sql_q8_market_share",
+    "q_sql_q9_product_profit",
+    "q_sql_q11_important_stock",
+    "q_sql_q12_shipmode_priority",
+    "q_sql_q16_supplier_diversity",
+    "q_sql_q17_small_quantity",
+    "q_sql_q19_disjunctive",
+    "q_sql_q20_part_promotion",
+    "q_sql_q21_waiting_suppliers",
+    "q_sql_q22_sales_opportunity",
+    # --- graded r6 (51/51 hash-green): behind the never-graded block ---
     "q_t6_compact_gc",
     "q_t7_expire_compact",
-    # q_n47: red in r5 (oracle HUGEINT->float64 typing bug, fixed) --
-    # re-graded with the corrected oracle + two-level declared plan
     "q_n47_pps_sample",
-    # ML / statistics (closed-form, never graded)
     "q_ml1_linear_fit",
     "q_ml2_ridge_fit",
     "q_ml3_residual_outliers",
@@ -652,36 +703,29 @@ _DRIVER_PRIORITY = [
     "q_ml5_chi2_tokens",
     "q_ml6_ttest",
     "q_ml7_autocorr",
-    # multimodal decoders (round-5 additions)
     "q_mm13_jpeg_decode",
     "q_mm14_decode_quarantine",
     "q_mm15_animated_frames",
     "q_mm16_ulaw_decode",
-    # archive ingestion
     "q_f8_warc_ingest",
     "q_f9_zip_ingest",
     "q_f10_warc_gz_ingest",
-    # entity resolution + SCD2
     "q_pipe_entity_resolution",
     "q_se7_scd2_build",
     "q_se8_scd2_temporal_join",
-    # dedup / text round-5 tail
     "q_n48_prefix_filter_join",
     "q_n49_span_removal",
     "q_n50_pmi_bigrams",
     "q_n51_winnowing",
     "q_n52_edit_distance",
-    # audit tail
     "q_d8_cascade_delete",
     "q_d9_source_overlap",
     "q_d10_key_skew",
     "q_d11_join_advisor",
     "q_d12_k_anonymity",
     "q_d13_corpus_card",
-    # streaming round-5 tail
     "q_st17_stream_decode_census",
     "q_st18_stream_compact_gc",
-    # vectors / misc operators
     "q_sk2_salted_join",
     "q_v8_centroid_similarity",
     "q_v9_cosine_histogram",
@@ -695,57 +739,10 @@ _DRIVER_PRIORITY = [
     "q_x27_grouping_sets",
     "q_x28_percent_rank",
     "q_p4_unpivot",
-    # plain SQL shapes: spill-safe tail of the never-graded block
     "q_x4_window_rank",
     "q_x5_rollup",
     "q_sql_q13_custdist",
     "q_sql_q15_top_supplier",
-    "q_sql_q16_supplier_diversity",
-    "q_sql_q17_small_quantity",
-    "q_sql_q19_disjunctive",
-    "q_sql_q2_min_cost_supplier",
-    "q_sql_q7_nation_volume",
-    "q_sql_q8_market_share",
-    "q_sql_q9_product_profit",
-    "q_sql_q11_important_stock",
-    "q_sql_q12_shipmode_priority",
-    "q_sql_q20_part_promotion",
-    "q_sql_q21_waiting_suppliers",
-    "q_sql_q22_sales_opportunity",
-    # --- new in round 6 (graded with round 7's window) ---
-    # (appended here as operators are built)
-    "q_s11_sstable_counter_cells",
-    "q_s12_sstable_gen_mc",
-    "q_v10_int8_quantization",
-    "q_x29_token_budget",
-    "q_s13_sstable_compressed",
-    "q_s14_sstable_partition_delete",
-    "q_t8_sstable_compact_e2e",
-    "q_ml8_cusum_drift",
-    "q_se9_attribution",
-    "q_x30_budget_sample_apply",
-    "q_s15_sstable_bloom_lookup",
-    "q_ml9_mannwhitney",
-    "q_s16_sstable_summary_range",
-    "q_s17_sstable_stats_census",
-    "q_ml10_theil_sen",
-    "q_n53_distinct_ngrams",
-    "q_st19_stream_ttl_debt",
-    "q_mm17_image_dhash",
-    "q_se10_hazard_table",
-    "q_s18_digest_verify",
-    "q_n54_dsir_weights",
-    "q_mm18_pcm_decimate",
-    "q_s19_clustering_slice",
-    "q_n56_gopher_rules",
-    "q_m8_cli_native_job",
-    "q_s20_scrub_report",
-    "q_st20_stream_digest_monitor",
-    "q_t9_sstable_merge_compact",
-    "q_s21_strip_rewrite_zeroshuffle",
-    "q_g4_trade_components",
-    "q_f11_tar_ingest",
-    "q_mm19_image_resize",
     # --- graded r5: behind the never-graded block ---
     "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
