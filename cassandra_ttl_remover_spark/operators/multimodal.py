@@ -805,11 +805,12 @@ def documents_as_pgm(docs: DataFrame, text_col: str = "text",
                                 text_col, id_col)
 
 
-def _parse_pgm(b: bytes) -> tuple:
-    """Strict P5 parser: magic, dimensions, maxval from the header; exact
-    integer pixel statistics from the raster. Raises on malformed input
-    rather than guessing (corrupt media should hit the quarantine policy,
-    not produce silent numbers)."""
+def _parse_pgm_header(b: bytes) -> tuple:
+    """Strict P5 header parse shared by every PGM consumer (decode AND
+    resize — one parser, one quarantine behavior): magic, dimensions,
+    maxval checks, raster length check. Returns ``(w, h, raster_bytes)``;
+    raises on malformed input rather than guessing (corrupt media should
+    hit the quarantine policy, not produce silent numbers)."""
     if not b.startswith(b"P5"):
         raise ValueError("not a P5 PGM payload")
     parts = b.split(b"\n", 3)
@@ -820,6 +821,13 @@ def _parse_pgm(b: bytes) -> tuple:
     px = parts[3]
     if maxval != 255 or len(px) != w * h:
         raise ValueError("unsupported or truncated PGM raster")
+    return w, h, px
+
+
+def _parse_pgm(b: bytes) -> tuple:
+    """Strict P5 parser: header via :func:`_parse_pgm_header`, exact
+    integer pixel statistics from the raster."""
+    w, h, px = _parse_pgm_header(b)
     return w, h, w * h, sum(px), max(px) if px else 0
 
 
@@ -874,13 +882,8 @@ def pgm_resize_features(media: DataFrame, out_w: int,
         for pdf in batches:
             ids, sums, maxs = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
-                if not b.startswith(b"P5"):
-                    raise ValueError("not a P5 PGM payload")
-                parts = b.split(b"\n", 3)
-                w, h = (int(x) for x in parts[1].split())
-                raster = np.frombuffer(
-                    parts[3], dtype=np.uint8).reshape(h, w)
+                w, h, px = _parse_pgm_header(bytes(payload))
+                raster = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w
                 out = raster[np.ix_(ys, xs)].astype(np.int64)

@@ -440,6 +440,10 @@ def warc_gz_records(archives: DataFrame) -> DataFrame:
 def _tar_header(name: bytes, size: int) -> bytes:
     """One POSIX ustar header block (512 bytes): real checksum, octal
     size, fixed mode/uid/gid/mtime so archives are byte-deterministic."""
+    if len(name) > 100:
+        raise ValueError(
+            f"tar member name exceeds the 100-byte ustar name field: "
+            f"{name!r} ({len(name)} bytes)")
     h = bytearray(512)
     h[0:len(name)] = name                      # name (<=100)
     h[100:108] = b"0000644\x00"                # mode
@@ -559,12 +563,26 @@ def tar_entries(archives: DataFrame) -> DataFrame:
 
 def tar_entries_oracle_sql(table: str = "documents",
                            id_col: str = "doc_id") -> str:
-    """Per-entry fields recomputed straight from the source rows."""
+    """Per-entry fields recomputed straight from the source rows, in
+    UTF-8 BYTE semantics to match the tar writer exactly: ``n_bytes`` is
+    ``strlen`` (DuckDB's byte length, not character length) and
+    ``payload_sum`` expands each code point to its UTF-8 byte values
+    (1–4 bytes) before summing — so non-ASCII document text hashes
+    identically on both sides."""
+    u = f"unicode({table}.text[i])"
+    utf8_sum = (
+        f"CASE WHEN {u} < 128 THEN {u} "
+        f"WHEN {u} < 2048 THEN 320 + {u} // 64 + {u} % 64 "
+        f"WHEN {u} < 65536 THEN "
+        f"480 + {u} // 4096 + ({u} // 64) % 64 + {u} % 64 "
+        f"ELSE 624 + {u} // 262144 + ({u} // 4096) % 64 "
+        f"+ ({u} // 64) % 64 + {u} % 64 END"
+    )
     return f"""
 SELECT 'doc_' || {id_col} || '.txt' AS name,
-       length(text)::BIGINT AS n_bytes,
+       strlen(text)::BIGINT AS n_bytes,
        coalesce(list_aggregate(list_transform(
-         range(1, (length(text) + 1)::INT), i -> ord(text[i])), 'sum'),
+         range(1, (length(text) + 1)::INT), i -> ({utf8_sum})), 'sum'),
          0)::BIGINT AS payload_sum
 FROM {table}
 ORDER BY name

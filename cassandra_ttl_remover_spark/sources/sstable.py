@@ -957,13 +957,17 @@ def _scrub_one_dir(d: str, deep: bool) -> dict:
     if deep:
         try:
             rows = list(scan_data_range(
-                os.path.join(d, "Data.db"), 0, n_bytes))
+                os.path.join(d, "Data.db"), 0, _data_size(d)))
             decoded_parts = {r[0] for r in rows}
             decoded_cells = sum(
                 1 for r in rows if r[2] != "partition_tombstone")
             stats_ok = (stats_ok and st is not None
                         and st["n_cells"] == decoded_cells)
-            index_ok = index_ok and len(decoded_parts) <= len(entries)
+            # the deep decode covers the WHOLE Data.db, so the cross-check
+            # is set equality: an Index.db with phantom extra entries (or
+            # a Data.db with unindexed partitions) must flip index_ok
+            index_ok = (index_ok and decoded_parts
+                        == {k.decode("utf-8") for k, _ in entries})
             n_cells = decoded_cells
         except (OSError, CorruptSSTableError, ValueError):
             stats_ok = False
