@@ -902,7 +902,8 @@ def _scrub_one_dir(d: str, deep: bool) -> dict:
     quarantine decision is the caller's)."""
     import zlib  # noqa: F401 — via _crc32_file
 
-    crc, n_bytes = _crc32_file(os.path.join(d, "Data.db"))
+    crc, _ = _crc32_file(os.path.join(d, "Data.db"))  # only the CRC
+    # is consumed here; the deep pass sizes the file via _data_size
     digest_ok = toc_ok = False
     try:
         with open(os.path.join(d, "Digest.crc32")) as f:
@@ -966,11 +967,15 @@ def _scrub_one_dir(d: str, deep: bool) -> dict:
             # the deep decode covers the WHOLE Data.db, so the cross-check
             # is set equality: an Index.db with phantom extra entries (or
             # a Data.db with unindexed partitions) must flip index_ok
-            index_ok = (index_ok and decoded_parts
-                        == {k.decode("utf-8") for k, _ in entries})
+            index_ok = index_ok and (
+                decoded_parts == {k.decode("utf-8") for k, _ in entries})
             n_cells = decoded_cells
         except (OSError, CorruptSSTableError, ValueError):
+            # a deep pass that DIES mid-decode proved neither count nor
+            # index/data agreement — demote both verdicts so a failed
+            # deep pass is never mistaken for a passed one
             stats_ok = False
+            index_ok = False
     return {
         "generation": os.path.basename(d),
         "digest_ok": digest_ok, "toc_ok": toc_ok,
