@@ -51,34 +51,89 @@ def test_driver_priority_names_all_resolve():
     assert not missing, f"_DRIVER_PRIORITY names not declared: {missing}"
 
 
-def test_ungraded_families_lead_the_dict():
-    # the driver grades the first ~50 entries per round, so the rotation
-    # contract is data-driven: no query that already has a driver-green
-    # row in ANY recorded CORRECTNESS_r*.json may occupy the graded
-    # window — every slot must buy new evidence. (When a new round's
-    # correctness file lands, this test fails until the next rotation
-    # commit — by design: rotation IS the first task of a round.)
+def _last_green_rounds() -> dict[str, int]:
+    """Per-query latest round with a driver-green row. Green = hash-proven,
+    or a rows-only check (no hash recorded) that passed cleanly. An
+    explicit hash_match=False is RED even when rows/schema matched."""
     import glob
     import json
+    import re
 
-    import __spark_entry__ as entry_mod
-
-    graded_green = set()
+    last: dict[str, int] = {}
     for path in glob.glob(str(Path(__file__).resolve().parent.parent
                               / "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", Path(path).name).group(1))
         for k, v in json.load(open(path)).items():
-            # green = hash-proven, or a rows-only check (no hash recorded)
-            # that passed cleanly. An explicit hash_match=False is RED even
-            # when rows/schema matched (r5's q_n47) — red rows must re-enter
-            # the graded window after their fix, not be treated as done.
             if v.get("hash_match") or (v.get("hash_match") is None
                                        and v.get("rows_match")
                                        and v.get("err") is None):
-                graded_green.add(k)
-    assert graded_green, "no correctness files found"
-    first50 = list(entry_mod.queries().keys())[:50]
-    wasted = [k for k in first50 if k in graded_green]
-    assert not wasted, f"already-green queries burn graded slots: {wasted}"
+                last[k] = max(last.get(k, 0), rnd)
+    assert last, "no correctness files found"
+    return last
+
+
+def test_stale_regrade_window():
+    # ROUND-8 ROTATION CONTRACT. As of r7 all 291 declared queries have a
+    # driver-green row, so the old "never-graded queries lead" contract is
+    # exhausted (any window would contain greens). The successor contract
+    # keeps driver rows honest against code drift: the graded window (the
+    # first ~50 dict entries) must lead with
+    #   (a) _REGRADE_FIRST — queries whose implementation/fixture/oracle
+    #       changed since their last green row (their old rows no longer
+    #       certify HEAD), in list order at the very front; then
+    #   (b) stalest-evidence-first — never-graded (new this round) and
+    #       oldest-green queries before fresher ones: no window slot may
+    #       hold a query strictly FRESHER than a query left outside.
+    # (When a new round's correctness file lands, (b) fails until the next
+    # rotation commit — by design: rotation IS the first task of a round.)
+    import __spark_entry__ as entry_mod
+
+    last = _last_green_rounds()
+    ordered = list(entry_mod.queries().keys())
+    regrade = list(entry_mod._REGRADE_FIRST)
+    assert len(set(regrade)) == len(regrade), "duplicate _REGRADE_FIRST"
+    missing = [k for k in regrade if k not in ordered]
+    assert not missing, f"_REGRADE_FIRST names not declared: {missing}"
+    assert ordered[: len(regrade)] == regrade, (
+        "changed-implementation queries must open the graded window"
+    )
+    window = [k for k in ordered[:50] if k not in regrade]
+    outside = [k for k in ordered[50:] if k not in regrade]
+    if not window or not outside:
+        return
+    freshest_in = max(last.get(k, 0) for k in window)
+    stalest_out = min(last.get(k, 0) for k in outside)
+    assert freshest_in <= stalest_out, (
+        f"window holds a round-{freshest_in} green while a round-"
+        f"{stalest_out} green (staler evidence) waits outside — reorder "
+        "_DRIVER_PRIORITY oldest-green-first"
+    )
+
+
+def test_red_rows_reenter_the_window():
+    # a query whose LATEST driver row is red must sit in the graded window
+    # (after its fix) — red rows re-certify, they are never "done"
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(str(Path(__file__).resolve().parent.parent
+                              / "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", Path(path).name).group(1))
+        for k, v in json.load(open(path)).items():
+            green = bool(
+                v.get("hash_match") or (v.get("hash_match") is None
+                                        and v.get("rows_match")
+                                        and v.get("err") is None))
+            if k not in latest or rnd > latest[k][0]:
+                latest[k] = (rnd, green)
+    red = {k for k, (_, green) in latest.items() if not green}
+    first50 = set(list(entry_mod.queries().keys())[:50])
+    stranded = sorted(red - first50)
+    assert not stranded, f"red rows outside the graded window: {stranded}"
 
 
 def test_oracle_keys_subset_of_queries():
