@@ -278,3 +278,256 @@ FROM ({cells_sql})
         now_us=int(now_s) * 1_000_000,
         writetime_col=writetime_col,
     )
+
+
+def compact_atoms(atoms: DataFrame, *, gc_grace_us: int,
+                  now_us: int) -> DataFrame:
+    """Full-surface compaction over the native atom frame (the
+    ``SSTABLE_SCHEMA`` shape ``pk, cell, kind, ttl, expiration,
+    writetime, value``) — extends :func:`compact_with_gc`'s per-cell LWW
+    with the THREE deletion granularities the reference carries through
+    its merge ("deletes are data", SURVEY §1.2; the patched reader stack
+    preserves partition deletions, range tombstones, and cell tombstones
+    alike — Cassandra3TTLRemover.java:124-136) plus an explicit counter
+    stance:
+
+    **The one shadowing rule.** Every deletion atom shadows the atoms it
+    covers whose ``writetime <= the deletion's writetime`` (ties go to
+    the delete). Coverage: a partition tombstone covers its whole
+    partition (every cell atom AND every range tombstone); a range
+    tombstone covers cells named in ``[start, end]`` (bounds inclusive);
+    a cell tombstone covers its own ``(pk, cell)`` — expressed there as
+    the usual tombstones-win-ties arg-max. A deletion atom itself
+    survives while ``writetime > now - gc_grace`` (data-resurrection
+    guard) and is PURGED once older, exactly
+    :func:`compact_with_gc`'s rule applied uniformly to all three
+    granularities.
+
+    **Counter stance (declared).** Cassandra counters merge ADDITIVELY at
+    compaction — each generation's cell is a partial sum, not a version.
+    The reference never merges them (it only rewrites cells one sstable
+    at a time — NoTTLColumnSerializer.java:26-32 preserves counter bytes
+    verbatim), so it never had to choose; a compactor must. Here a
+    ``(pk, cell)`` holding counter shards sums every UNSHADOWED shard
+    (``kind='counter'`` and ``'counter_update'`` both contribute — an
+    update is an increment that never got contextualized), emitted as
+    ``status='counter_live'`` with ``writetime = max(shard writetimes)``
+    and ``value = str(sum)``. A cell tombstone on a counter key shadows
+    shards with ``writetime <= tombstone`` (the counter-delete rule;
+    deleted counters must not resurrect, hence ties die); if no shard
+    survives, the tombstone is the winner and the normal retain/purge
+    rule applies. Non-counter atoms on a counter key are a schema
+    violation and are ignored (Cassandra forbids mixing counter and
+    regular columns in one table).
+
+    Output: one row per surviving atom —
+    ``(pk, cell, writetime, value, status)`` with status in ``live`` /
+    ``counter_live`` / ``tombstone_retained`` /
+    ``range_tombstone_retained`` (cell = start bound, value = end bound)
+    / ``partition_tombstone_retained`` (cell and value NULL).
+
+    Scale shape: deletion atoms are assumed SMALL relative to cells
+    (deletes are rare events; a corpus where they are not has bigger
+    problems), so the partition-delete and range-tombstone frames are
+    broadcast — the cell stream takes exactly ONE shuffle (the
+    ``(pk, cell)`` arg-max/sum aggregate, map-side combined; the
+    ``collect_list`` of counter shards is bounded by the generation
+    count per key). The RT shadow is a broadcast LEFT ANTI range join;
+    if deletion metadata ever outgrew broadcast, dropping the hint
+    degrades both joins to pk-co-partitioned shuffles without touching
+    semantics. Counter math runs in JVM higher-order functions — no
+    Python in the hot path."""
+    threshold = int(now_us) - int(gc_grace_us)
+    kind = F.col("kind")
+
+    pd_df = (
+        atoms.filter(kind == "partition_tombstone")
+        .groupBy("pk").agg(F.max("writetime").alias("pd_wt"))
+    )
+    rt_df = (
+        atoms.filter(kind == "range_tombstone")
+        .groupBy(
+            "pk",
+            F.col("cell").alias("rt_start"),
+            F.col("value").alias("rt_end"),
+        )
+        .agg(F.max("writetime").alias("mfda"))
+    )
+    cells = atoms.filter(
+        ~kind.isin("partition_tombstone", "range_tombstone"))
+
+    # partition-delete shadow, then range-tombstone shadow (per-atom:
+    # required for counter sums, equivalent for LWW since shadowing is
+    # monotone in writetime)
+    c1 = (
+        cells.join(F.broadcast(pd_df), "pk", "left")
+        .filter(F.col("pd_wt").isNull()
+                | (F.col("writetime") > F.col("pd_wt")))
+        .drop("pd_wt")
+        .alias("c")
+    )
+    r = rt_df.alias("r")
+    c2 = c1.join(
+        F.broadcast(r),
+        (F.col("c.pk") == F.col("r.pk"))
+        & (F.col("c.cell") >= F.col("r.rt_start"))
+        & (F.col("c.cell") <= F.col("r.rt_end"))
+        & (F.col("c.writetime") <= F.col("r.mfda")),
+        "left_anti",
+    )
+
+    is_shard = F.col("kind").isin("counter", "counter_update")
+    g = c2.groupBy("pk", "cell").agg(
+        F.max(
+            F.struct(
+                F.col("writetime").alias("wt"),
+                (F.col("kind") == "tombstone").cast("int").alias("tomb"),
+                F.col("value").alias("val"),
+            )
+        ).alias("_w"),
+        F.max(F.when(F.col("kind") == "tombstone",
+                     F.col("writetime"))).alias("_tomb_wt"),
+        F.collect_list(
+            F.when(
+                is_shard,
+                F.struct(
+                    F.col("writetime").alias("wt"),
+                    F.col("value").cast("long").alias("val"),
+                ),
+            )
+        ).alias("_shards"),
+    ).withColumn(
+        "_live_shards",
+        F.filter(
+            "_shards",
+            lambda s: F.col("_tomb_wt").isNull()
+            | (s["wt"] > F.col("_tomb_wt")),
+        ),
+    )
+
+    is_counter = F.size("_shards") > 0
+    has_live = F.size("_live_shards") > 0
+    cnt_sum = F.aggregate(
+        "_live_shards", F.lit(0).cast("long"), lambda a, s: a + s["val"])
+    cnt_wt = F.array_max(F.transform("_live_shards", lambda s: s["wt"]))
+    null_s = F.lit(None).cast("string")
+    merged = g.select(
+        "pk", "cell",
+        F.when(is_counter & has_live, cnt_wt)
+        .when(is_counter, F.col("_tomb_wt"))
+        .otherwise(F.col("_w.wt")).alias("writetime"),
+        F.when(is_counter & has_live, cnt_sum.cast("string"))
+        .when(is_counter, null_s)
+        .when(F.col("_w.tomb") == 1, null_s)
+        .otherwise(F.col("_w.val")).alias("value"),
+        F.when(is_counter & has_live, F.lit("counter_live"))
+        .when(is_counter, F.lit("tombstone_retained"))
+        .when(F.col("_w.tomb") == 1, F.lit("tombstone_retained"))
+        .otherwise(F.lit("live")).alias("status"),
+    ).filter(
+        (F.col("status") != "tombstone_retained")
+        | (F.col("writetime") > F.lit(threshold))
+    )
+
+    rt_out = (
+        rt_df.alias("r")
+        .join(F.broadcast(pd_df).alias("p"),
+              F.col("r.pk") == F.col("p.pk"), "left")
+        .filter(
+            (F.col("pd_wt").isNull() | (F.col("mfda") > F.col("pd_wt")))
+            & (F.col("mfda") > F.lit(threshold))
+        )
+        .select(
+            F.col("r.pk").alias("pk"),
+            F.col("rt_start").alias("cell"),
+            F.col("mfda").alias("writetime"),
+            F.col("rt_end").alias("value"),
+            F.lit("range_tombstone_retained").alias("status"),
+        )
+    )
+    pd_out = (
+        pd_df.filter(F.col("pd_wt") > F.lit(threshold))
+        .select(
+            "pk",
+            F.lit(None).cast("string").alias("cell"),
+            F.col("pd_wt").alias("writetime"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit("partition_tombstone_retained").alias("status"),
+        )
+    )
+    return merged.unionByName(rt_out).unionByName(pd_out)
+
+
+def compact_atoms_oracle_sql(atoms_sql: str, *, gc_grace_us: int,
+                             now_us: int) -> str:
+    """DuckDB mirror of :func:`compact_atoms` over any SQL producing the
+    SSTABLE_SCHEMA atom shape — the same shadowing rule, counter sums,
+    arg-max order (writetime DESC, tombstone DESC, value DESC NULLS
+    LAST), and uniform retain/purge threshold."""
+    threshold = int(now_us) - int(gc_grace_us)
+    return f"""
+WITH atoms AS ({atoms_sql}),
+pd AS (
+  SELECT pk, max(writetime) AS pd_wt FROM atoms
+  WHERE kind = 'partition_tombstone' GROUP BY pk
+),
+rts AS (
+  SELECT pk, cell AS rt_start, value AS rt_end, max(writetime) AS mfda
+  FROM atoms WHERE kind = 'range_tombstone' GROUP BY pk, cell, value
+),
+cells AS (
+  SELECT a.pk, a.cell, a.kind, a.writetime, a.value
+  FROM atoms a LEFT JOIN pd ON pd.pk = a.pk
+  WHERE a.kind NOT IN ('partition_tombstone', 'range_tombstone')
+    AND (pd.pd_wt IS NULL OR a.writetime > pd.pd_wt)
+    AND NOT EXISTS (
+      SELECT 1 FROM rts r
+      WHERE r.pk = a.pk AND a.cell BETWEEN r.rt_start AND r.rt_end
+        AND a.writetime <= r.mfda)
+),
+keys AS (
+  SELECT pk, cell,
+         max(CASE WHEN kind = 'tombstone' THEN writetime END) AS tomb_wt,
+         bool_or(kind IN ('counter', 'counter_update')) AS is_counter
+  FROM cells GROUP BY pk, cell
+),
+counter_keys AS (
+  SELECT c.pk, c.cell,
+         sum(CASE WHEN c.kind IN ('counter', 'counter_update')
+                   AND (k.tomb_wt IS NULL OR c.writetime > k.tomb_wt)
+             THEN c.value::BIGINT END)::BIGINT AS cnt_sum,
+         max(CASE WHEN c.kind IN ('counter', 'counter_update')
+                   AND (k.tomb_wt IS NULL OR c.writetime > k.tomb_wt)
+             THEN c.writetime END) AS cnt_wt,
+         max(k.tomb_wt) AS tomb_wt
+  FROM cells c JOIN keys k USING (pk, cell)
+  WHERE k.is_counter GROUP BY c.pk, c.cell
+),
+noncounter AS (
+  SELECT c.pk, c.cell, c.writetime, c.value,
+         (c.kind = 'tombstone') AS is_tomb,
+         row_number() OVER (
+           PARTITION BY c.pk, c.cell
+           ORDER BY c.writetime DESC, (c.kind = 'tombstone')::INT DESC,
+                    c.value DESC NULLS LAST) AS rn
+  FROM cells c JOIN keys k USING (pk, cell) WHERE NOT k.is_counter
+)
+SELECT pk, cell, writetime,
+       CASE WHEN is_tomb THEN NULL ELSE value END AS value,
+       CASE WHEN is_tomb THEN 'tombstone_retained' ELSE 'live' END AS status
+FROM noncounter
+WHERE rn = 1 AND (NOT is_tomb OR writetime > {threshold})
+UNION ALL
+SELECT pk, cell, cnt_wt, cnt_sum::VARCHAR, 'counter_live'
+FROM counter_keys WHERE cnt_sum IS NOT NULL
+UNION ALL
+SELECT pk, cell, tomb_wt, NULL, 'tombstone_retained'
+FROM counter_keys WHERE cnt_sum IS NULL AND tomb_wt > {threshold}
+UNION ALL
+SELECT r.pk, r.rt_start, r.mfda, r.rt_end, 'range_tombstone_retained'
+FROM rts r LEFT JOIN pd ON pd.pk = r.pk
+WHERE (pd.pd_wt IS NULL OR r.mfda > pd.pd_wt) AND r.mfda > {threshold}
+UNION ALL
+SELECT pk, NULL, pd_wt, NULL, 'partition_tombstone_retained'
+FROM pd WHERE pd_wt > {threshold}
+"""

@@ -192,3 +192,77 @@ def test_sstable_two_generation_compaction_e2e(spark):
         ("u1", "c"): (250, "tombstone_retained"),   # 250 > 300-100
     }                                               # d purged: 50 <= 200
     shutil.rmtree(out)
+
+
+_ATOM_CASES = [
+    # pk, cell, kind, ttl, expiration, writetime, value — one row per rule
+    ("p1", "c1", "normal", None, None, 100, "a"),
+    ("p1", "c1", "normal", None, None, 200, "b"),          # LWW
+    ("p1", "c2", "normal", None, None, 100, "x"),
+    ("p1", "c2", "tombstone", None, 90, 100, None),        # tie -> tombstone
+    ("p1", "c3", "normal", None, None, 300, "y"),
+    ("p1", "c3", "tombstone", None, 90, 200, None),        # newer live wins
+    ("p1", "c4", "range_tombstone", None, 90, 250, "c6"),
+    ("p1", "c5", "normal", None, None, 250, "s"),          # RT tie -> dead
+    ("p1", "c55", "normal", None, None, 260, "alive"),     # above RT
+    ("p1", "c7", "tombstone", None, 5, 10, None),          # purged by grace
+    ("p1", "c8", "normal", None, None, 100, "x"),
+    ("p1", "c8", "normal", None, None, 100, "y"),          # value tiebreak
+    ("p2", None, "partition_tombstone", None, 4, 500, None),
+    ("p2", "c1", "normal", None, None, 400, "dead"),       # <= pd
+    ("p2", "c2", "normal", None, None, 600, "alive"),      # > pd
+    ("p2", "a", "range_tombstone", None, 4, 450, "b"),     # RT <= pd: dead
+    ("p2", "c", "range_tombstone", None, 6, 700, "d"),     # RT > pd: kept
+    ("p3", "k1", "counter", None, 99, 100, "5"),
+    ("p3", "k1", "counter", None, 199, 200, "7"),
+    ("p3", "k1", "counter_update", None, None, 150, "2"),  # sum = 14
+    ("p3", "k2", "counter", None, 99, 100, "5"),
+    ("p3", "k2", "tombstone", None, 1, 150, None),         # partial delete
+    ("p3", "k2", "counter", None, 199, 200, "7"),          # sum = 7
+    ("p3", "k3", "counter", None, 99, 100, "5"),
+    ("p3", "k3", "tombstone", None, 1, 100, None),         # full delete
+]
+
+_ATOM_WANT = {
+    ("p1", "c1"): (200, "b", "live"),
+    ("p1", "c2"): (100, None, "tombstone_retained"),
+    ("p1", "c3"): (300, "y", "live"),
+    ("p1", "c4"): (250, "c6", "range_tombstone_retained"),
+    ("p1", "c55"): (260, "alive", "live"),
+    ("p1", "c8"): (100, "y", "live"),
+    ("p2", None): (500, None, "partition_tombstone_retained"),
+    ("p2", "c"): (700, "d", "range_tombstone_retained"),
+    ("p3", "k1"): (200, "14", "counter_live"),
+    ("p3", "k2"): (200, "7", "counter_live"),
+    ("p3", "k3"): (100, None, "tombstone_retained"),
+}
+
+
+def test_compact_atoms_every_rule(spark):
+    """One hand-built atom per semantic rule — the one shadowing rule
+    (ties die), LWW with tombstones-win-ties and value tiebreak,
+    partition deletes shadowing cells AND range tombstones, additive
+    counter shards with partial/full counter deletes, and the uniform
+    retain/purge threshold — checked against a closed-form expectation
+    AND the DuckDB oracle string."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        _ATOM_CASES,
+        "pk string, cell string, kind string, ttl bigint, "
+        "expiration bigint, writetime bigint, value string",
+    )
+    out = compact.compact_atoms(df, gc_grace_us=0, now_us=50)
+    got = {(r.pk, r.cell): (r.writetime, r.value, r.status)
+           for r in out.collect()}
+    assert got == _ATOM_WANT
+
+    atoms_sql = "SELECT * FROM (VALUES " + ",".join(
+        "(" + ",".join(
+            "NULL" if v is None else repr(v) if isinstance(v, str) else str(v)
+            for v in r) + ")"
+        for r in _ATOM_CASES
+    ) + ") AS t(pk, cell, kind, ttl, expiration, writetime, value)"
+    rows = duckdb.sql(compact.compact_atoms_oracle_sql(
+        atoms_sql, gc_grace_us=0, now_us=50)).fetchall()
+    assert {(r[0], r[1]): (r[2], r[3], r[4]) for r in rows} == _ATOM_WANT

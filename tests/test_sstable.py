@@ -1114,33 +1114,37 @@ def test_scrub_healthy_and_each_corruption_isolated(spark):
 
 
 def test_merge_compact_sorted_equals_argmax_form(spark):
-    """Cross-plan equivalence: the zero-shuffle k-way sorted merge must
-    produce exactly compact_with_gc's rows on the same generations, for
-    any split count (1, 3, 8 — boundary cells must not drop/duplicate)."""
-    import pyspark.sql.functions as F
-
+    """Cross-plan equivalence on the FULL atom surface (counters, range
+    tombstones, partition deletes across three generations): the
+    zero-shuffle k-way sorted merge must produce exactly compact_atoms'
+    rows, for any split count (1, 3, 8 — boundary partitions must not
+    drop/duplicate, and deletion atoms must travel with their pk)."""
     from cassandra_ttl_remover_spark.operators.compact import (
-        compact_with_gc,
+        compact_atoms,
     )
 
     base = _tmpdir()
-    ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
-                              os.path.join(base, "gen1"))
-    ss.events_sstable_update_fixture(spark, "/root/testdata/sf0.001",
-                                     os.path.join(base, "gen2"))
-    cells = ss.scan_sstable(spark, base, num_splits=8)
-    frame = cells.select(
-        "pk", "cell", "writetime",
-        (F.col("kind") == "tombstone").alias("is_tombstone"),
-    )
+    ss.events_sstable_fixture_v2(spark, "/root/testdata/sf0.001",
+                                 os.path.join(base, "gen1"),
+                                 with_partition_deletes=True)
+    ss.events_sstable_update_fixture_v2(spark, "/root/testdata/sf0.001",
+                                        os.path.join(base, "gen2"))
+    ss.events_sstable_delete_fixture_v2(spark, "/root/testdata/sf0.001",
+                                        os.path.join(base, "gen3"))
     kw = dict(gc_grace_us=10 * 86400 * 1_000_000,
               now_us=1706745600 * 1_000_000)
-    want = sorted(tuple(r) for r in
-                  compact_with_gc(frame, ["pk", "cell"], **kw).collect())
+    want = sorted(tuple(r) for r in compact_atoms(
+        ss.scan_sstable(spark, base, num_splits=8), **kw).collect())
+    assert {r[4] for r in want} >= {"live", "counter_live",
+                                    "range_tombstone_retained"}
     for n in (1, 3, 8):
         got = sorted(tuple(r) for r in ss.merge_compact_sorted(
             spark, base, num_splits=n, **kw).collect())
         assert got == want, n
+    # bounded planner: a tiny decimation cap must not change the rows
+    got = sorted(tuple(r) for r in ss.merge_compact_sorted(
+        spark, base, num_splits=5, max_planner_keys=2, **kw).collect())
+    assert got == want
     shutil.rmtree(base)
 
 
@@ -1238,7 +1242,8 @@ def test_merge_compact_random_generations_match_ground_truth(spark):
                              summary_interval=4)
         grace, now = 500, 1_001_000  # threshold between tie groups
         want = sorted(
-            (pk, cell, wt, "tombstone_retained" if tomb else "live")
+            (pk, cell, wt, None if tomb else "v",
+             "tombstone_retained" if tomb else "live")
             for (pk, cell), (wt, tomb) in truth.items()
             if not tomb or wt > now - grace
         )
