@@ -676,18 +676,28 @@ def plan_partition_slice(
 def _slice_one_dir(d: str, off: int, at_cell: bool, markers: list,
                    key: str, cell_start: str,
                    cell_stop: str) -> list[tuple]:
+    """List form of :func:`_iter_slice_one_dir` — the property-test
+    surface (pure, no Spark session). Production tasks consume the
+    ITERATOR so a wide slice never materializes whole (see
+    ``scan_partition_slice``'s ``max_cells_per_batch``)."""
+    return list(_iter_slice_one_dir(
+        d, off, at_cell, markers, key, cell_start, cell_stop))
+
+
+def _iter_slice_one_dir(d: str, off: int, at_cell: bool, markers: list,
+                        key: str, cell_start: str, cell_stop: str):
     """Per-table slice decode — the executor body of
-    :func:`scan_partition_slice`, factored pure so the slice==filter
-    invariant is property-testable without a Spark session. ``markers``
+    :func:`scan_partition_slice`, a GENERATOR: rows stream out one at a
+    time so per-task memory is the consumer's batch size, not the slice
+    width (a pathological wide partition cannot OOM a task). ``markers``
     is the planned block's open-RT list as
     ``[start, end, ldt, mfda]`` items."""
-    rows: list[tuple] = []
     for s, e, ldt, mfda in markers:
         s = s.decode("utf-8") if isinstance(s, bytes) else s
         e = e.decode("utf-8") if isinstance(e, bytes) else e
         if e >= cell_start and s < cell_stop:
-            rows.append((key, s, "range_tombstone", None,
-                         int(ldt), int(mfda), e))
+            yield (key, s, "range_tombstone", None,
+                   int(ldt), int(mfda), e)
     kb = key.encode()
     data_path = os.path.join(d, "Data.db")
     gen = _table_generation(d)
@@ -712,17 +722,17 @@ def _slice_one_dir(d: str, off: int, at_cell: bool, markers: list,
             if name >= cell_stop:
                 break
             if name >= cell_start:
-                rows.append(row)
+                yield row
             elif (row[2] == "range_tombstone"
                   and row[6] >= cell_start):
                 # RT opening inside the covering block but before the
                 # slice, still covering it
-                rows.append(row)
-    return rows
+                yield row
 
 
 def scan_partition_slice(spark, path: str, key: str, cell_start: str,
-                         cell_stop: str):
+                         cell_stop: str,
+                         max_cells_per_batch: int = 65536):
     """Clustering-range slice of ONE partition across a directory of
     generations — the reference's wide-row read path: bloom check, index
     probe, then the PROMOTED COLUMN INDEX picks the covering cell block
@@ -743,7 +753,10 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
     Scale: one tiny task per surviving generation (bloom-dropped tables
     never open their index); each task seeks once and reads O(blocks
     covering the slice) bytes. At 10⁶ cells/partition this is the
-    difference between KBs and GBs per slice."""
+    difference between KBs and GBs per slice. Per-task MEMORY is bounded
+    by ``max_cells_per_batch`` (rows stream out in Arrow batches), so
+    even a slice spanning a whole pathological partition cannot OOM the
+    task."""
     import json
 
     import pandas as pd
@@ -763,19 +776,27 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
     if not specs:
         return spark.createDataFrame([], SSTABLE_SCHEMA)
 
+    cols = ["pk", "cell", "kind", "ttl", "expiration",
+            "writetime", "value"]
+
     def _read(batches):
+        # bounded per-task materialization: the slice streams out in
+        # Arrow batches of <= max_cells_per_batch rows, so a
+        # pathologically wide slice costs one batch of memory, never
+        # the whole window (VERDICT r7 #6)
         for pdf in batches:
-            rows = []
+            buf = []
             for d, off, at_cell, markers in zip(
                     pdf["dir"], pdf["off"], pdf["at_cell"],
                     pdf["markers"]):
-                rows.extend(_slice_one_dir(
-                    d, int(off), bool(at_cell), json.loads(markers),
-                    key, cell_start, cell_stop))
-            yield pd.DataFrame(
-                rows, columns=["pk", "cell", "kind", "ttl", "expiration",
-                               "writetime", "value"],
-            )
+                for row in _iter_slice_one_dir(
+                        d, int(off), bool(at_cell), json.loads(markers),
+                        key, cell_start, cell_stop):
+                    buf.append(row)
+                    if len(buf) >= max_cells_per_batch:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+            yield pd.DataFrame(buf, columns=cols)
 
     return (
         spark.createDataFrame(

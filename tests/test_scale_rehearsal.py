@@ -742,3 +742,34 @@ def test_merge_planner_memory_bounded_at_1m_summary_entries(tmp_path):
     # decimation buffer (<= 2*4096 keys * ~30 B) + iterator state; the
     # materialized 1.2M-key list would be ~120 MB of bytes objects
     assert peak < 8 * 1024 * 1024, f"planner peaked at {peak} bytes"
+
+
+def test_slice_decode_streams_constant_memory(tmp_path):
+    """VERDICT r7 #6: a slice spanning a WHOLE 200k-cell partition must
+    stream, not materialize — peak allocations while consuming the
+    iterator stay far below the ~30 MB the full row list costs (the
+    task-side guarantee behind scan_partition_slice's
+    max_cells_per_batch)."""
+    import tracemalloc
+
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    out = str(tmp_path / "wide")
+    n = 200_000
+    ss.write_sstable(
+        [(b"hot", [(f"{i:07d}:c".encode(), 0, 0, 0, i, b"v")
+                   for i in range(n)])],
+        out, colindex_every=64,
+    )
+    plan = ss.plan_partition_slice(out, b"hot", b"0000000:")
+    tracemalloc.start()
+    count = 0
+    last = None
+    for row in ss._iter_slice_one_dir(out, plan[0], plan[1], plan[2],
+                                      "hot", "0000000:", "9999999:"):
+        count += 1
+        last = row
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == n and last[1] == f"{n - 1:07d}:c"
+    assert peak < 2 * 1024 * 1024, f"slice decode peaked at {peak} bytes"
