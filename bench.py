@@ -222,6 +222,46 @@ def main() -> int:
         ss.write_sstable_distributed(stripped, dst, shards=8)
         shutil.rmtree(dst, ignore_errors=True)
 
+    merge_src: list[str] = []
+
+    def q_sstable_merge():
+        # zero-shuffle k-way compaction over the FULL atom surface
+        # (counters, range tombstones, partition deletes across three
+        # generations): index-planned key-range tasks merge locally,
+        # no cell bytes cross the network. Fixtures = input corpus,
+        # built once outside the timing.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+        if not merge_src:
+            src = str(Path(tempfile.gettempdir()) / "ctrs_bench_sst_merge")
+            shutil.rmtree(src, ignore_errors=True)
+            ss.events_sstable_fixture_v2(spark, sf_dir, f"{src}/gen1",
+                                         with_partition_deletes=True)
+            ss.events_sstable_update_fixture_v2(spark, sf_dir,
+                                                f"{src}/gen2")
+            ss.events_sstable_delete_fixture_v2(spark, sf_dir,
+                                                f"{src}/gen3")
+            merge_src.append(src)
+        ss.merge_compact_sorted(
+            spark, merge_src[0], gc_grace_us=10 * 86400 * 1_000_000,
+            now_us=1706745600 * 1_000_000, num_splits=32,
+        ).groupBy("status").count().collect()
+
+    def q_sstable_scrub():
+        # fleet deep scrub: per-table sidecar verdicts + full decode
+        # cross-checks (CRC, TOC, index/data set equality, bloom, stats)
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+        if not merge_src:
+            q_sstable_merge()
+        ss.scrub_tables(spark, merge_src[0], deep=True).collect()
+
+    def q_tar_ingest():
+        # bulk-drop tar ingestion: pack documents into ustar archives,
+        # then the header-checksum-verified walk back out
+        from cassandra_ttl_remover_spark.sources.archives import (
+            documents_as_tar, tar_entries)
+        tar_entries(documents_as_tar(documents)).agg(
+            F.count("*"), F.sum("payload_sum")).collect()
+
     def q_pq_ann():
         # PQ train (one Lloyd pass) + zero-shuffle IP-ADC scan + exact
         # rerank — the full memory-bound ANN pipeline per query
@@ -409,6 +449,9 @@ def main() -> int:
         "tpch_q5": q_tpch_q5,
         "dsir_importance": q_dsir,
         "gopher_rules": q_gopher,
+        "sstable_merge_compact": q_sstable_merge,
+        "sstable_scrub_deep": q_sstable_scrub,
+        "tar_ingest": q_tar_ingest,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock
