@@ -652,6 +652,9 @@ _REGRADE_FIRST = [
 
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
+    # --- new in round 8 (never graded) ---
+    "q_t10_major_compact_rewrite",
+    "q_s22_merge_retains_deletions",
     # --- last green: round 2 ---
     "q_s1_source_count",
     "q_s2_full_scan",
@@ -3908,6 +3911,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.scan_sstable(spark, os.path.join(base, "out"))
     q["q_s21_strip_rewrite_zeroshuffle"] = q_s21
 
+    def q_t10(spark, sf):
+        # MAJOR COMPACTION end to end: three overlapping generations ->
+        # zero-shuffle k-way merge (full deletion-atom semantics) ->
+        # surviving atoms re-encoded -> range-sharded binary sink ->
+        # scan the OUTPUT back. The operation a reference user runs
+        # after the TTL strip: N sorted runs in, one non-overlapping
+        # generation set out, deletes preserved until gc_grace. The
+        # oracle maps the merged-state oracle through the same
+        # deterministic atom reconstruction.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstmj_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture_v2(spark, sf, os.path.join(base, "gen1"),
+                                     with_partition_deletes=True)
+        ss.events_sstable_update_fixture_v2(spark, sf,
+                                            os.path.join(base, "gen2"))
+        ss.events_sstable_delete_fixture_v2(spark, sf,
+                                            os.path.join(base, "gen3"))
+        ss.compact_rewrite(spark, base, os.path.join(base, "out"),
+                           gc_grace_us=10 * 86400 * 1_000_000,
+                           now_us=1706745600 * 1_000_000)
+        return ss.scan_sstable(spark, os.path.join(base, "out"))
+    q["q_t10_major_compact_rewrite"] = q_t10
+
+    def q_s22(spark, sf):
+        # the RETAIN side of deletion-atom gc: same three generations
+        # merged with a grace window wide enough that every tombstone,
+        # range tombstone, and partition delete survives (the
+        # data-resurrection guard the reference's ecosystem depends
+        # on — purging early re-spreads deleted data). Complements
+        # q_t9, whose now/grace purges the old deletes.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        out = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstrt_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture_v2(spark, sf, os.path.join(out, "gen1"),
+                                     with_partition_deletes=True)
+        ss.events_sstable_update_fixture_v2(spark, sf,
+                                            os.path.join(out, "gen2"))
+        ss.events_sstable_delete_fixture_v2(spark, sf,
+                                            os.path.join(out, "gen3"))
+        return ss.merge_compact_sorted(
+            spark, out,
+            gc_grace_us=100 * 365 * 86400 * 1_000_000,
+            now_us=1706745600 * 1_000_000,
+        ).orderBy("pk", "cell", "status")
+    q["q_s22_merge_retains_deletions"] = q_s22
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -6010,6 +6064,14 @@ WHERE pk >= '1' AND pk < '2'
         now_us=1706745600 * 1_000_000)
     o["q_t9_sstable_merge_compact"] = _full_compact_sql
     o["q_t8_sstable_compact_e2e"] = _full_compact_sql
+    o["q_s22_merge_retains_deletions"] = _ca_sql(
+        _ss.sstable_compact_v2_atoms_sql(),
+        gc_grace_us=100 * 365 * 86400 * 1_000_000,
+        now_us=1706745600 * 1_000_000)
+    o["q_t10_major_compact_rewrite"] = _ss.compact_rewrite_oracle_sql(
+        _ss.sstable_compact_v2_atoms_sql(),
+        gc_grace_us=10 * 86400 * 1_000_000,
+        now_us=1706745600 * 1_000_000)
     # one oracle certifies BOTH format generations (identical rows)
     o["q_s12_sstable_gen_mc"] = o["q_s7_sstable_scan"]
     # ... and the chunk-compressed read path

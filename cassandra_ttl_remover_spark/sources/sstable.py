@@ -2821,3 +2821,85 @@ SELECT pk, NULL, 'partition_tombstone', NULL::BIGINT,
        (min(ts_s) + 1)::BIGINT, min(wt) + 1, NULL
 FROM e WHERE user_id % 23 = 0 GROUP BY pk
 """
+
+
+def compact_rewrite(spark, path: str, out_dir: str, *, gc_grace_us: int,
+                    now_us: int, num_splits: int = 8,
+                    shards: int = 4) -> list:
+    """MAJOR COMPACTION, end to end on the native format: k-way
+    zero-shuffle merge (:func:`merge_compact_sorted` — full deletion-atom
+    semantics) -> surviving atoms re-encoded -> range-sharded binary sink
+    (:func:`write_sstable_distributed`, sidecars included). This is the
+    operation a user of the reference eventually runs AFTER the TTL
+    strip: N overlapping generations in, one sorted non-overlapping
+    generation set out, deletes preserved until gc_grace ("deletes are
+    data", SURVEY §1.2).
+
+    Atom reconstruction from the merge's ``(pk, cell, writetime, value,
+    status)`` rows is deterministic and LOSSY EXACTLY WHERE COMPACTION IS
+    (documented contract): surviving live cells re-encode as ``normal``
+    (this engine compacts post-strip corpora — the reference exists to
+    make expiring cells normal), counters re-encode with
+    ``timestampOfLastDelete = 0`` (shard history is consumed by the
+    additive merge), and retained deletion atoms re-derive their
+    localDeletionTime second from their own writetime
+    (``writetime div 1e6``).
+
+    Scale: merge moves zero cell bytes; the sink is the ONE range
+    exchange any re-sharding write needs. Returns the sink's per-shard
+    report rows (bounded: one per shard)."""
+    from pyspark.sql import functions as F
+
+    merged = merge_compact_sorted(
+        spark, path, gc_grace_us=gc_grace_us, now_us=now_us,
+        num_splits=num_splits)
+    st = F.col("status")
+    sec = (F.col("writetime") / F.lit(1_000_000)).cast("long")
+    atoms = merged.select(
+        "pk", "cell",
+        F.when(st == "live", F.lit("normal"))
+        .when(st == "counter_live", F.lit("counter"))
+        .when(st == "tombstone_retained", F.lit("tombstone"))
+        .when(st == "range_tombstone_retained", F.lit("range_tombstone"))
+        .otherwise(F.lit("partition_tombstone")).alias("kind"),
+        F.lit(None).cast("bigint").alias("ttl"),
+        F.when(st == "counter_live", F.lit(0).cast("bigint"))
+        .when(st.isin("tombstone_retained", "range_tombstone_retained",
+                      "partition_tombstone_retained"), sec)
+        .otherwise(F.lit(None).cast("bigint")).alias("expiration"),
+        F.col("writetime"),
+        "value",
+    )
+    return write_sstable_distributed(atoms, out_dir, shards=shards)
+
+
+def compact_rewrite_oracle_sql(atoms_sql: str, *, gc_grace_us: int,
+                               now_us: int) -> str:
+    """DuckDB mirror of scanning :func:`compact_rewrite`'s output: the
+    :func:`~..operators.compact.compact_atoms_oracle_sql` state mapped
+    through the same deterministic atom reconstruction."""
+    from cassandra_ttl_remover_spark.operators.compact import (
+        compact_atoms_oracle_sql,
+    )
+
+    inner = compact_atoms_oracle_sql(
+        atoms_sql, gc_grace_us=gc_grace_us, now_us=now_us)
+    return f"""
+WITH merged AS ({inner})
+SELECT pk, cell,
+       CASE status
+         WHEN 'live' THEN 'normal'
+         WHEN 'counter_live' THEN 'counter'
+         WHEN 'tombstone_retained' THEN 'tombstone'
+         WHEN 'range_tombstone_retained' THEN 'range_tombstone'
+         ELSE 'partition_tombstone' END AS kind,
+       NULL::BIGINT AS ttl,
+       CASE
+         WHEN status = 'counter_live' THEN 0
+         WHEN status IN ('tombstone_retained', 'range_tombstone_retained',
+                         'partition_tombstone_retained')
+           THEN writetime // 1000000
+         ELSE NULL END::BIGINT AS expiration,
+       writetime, value
+FROM merged
+"""
