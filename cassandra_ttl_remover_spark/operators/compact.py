@@ -332,27 +332,38 @@ def compact_atoms(atoms: DataFrame, *, gc_grace_us: int,
     broadcast — the cell stream takes exactly ONE shuffle (the
     ``(pk, cell)`` arg-max/sum aggregate, map-side combined; the
     ``collect_list`` of counter shards is bounded by the generation
-    count per key). The RT shadow is a broadcast LEFT ANTI range join;
-    if deletion metadata ever outgrew broadcast, dropping the hint
-    degrades both joins to pk-co-partitioned shuffles without touching
-    semantics. Counter math runs in JVM higher-order functions — no
-    Python in the hot path."""
+    count per key), and the corpus is scanned exactly TWICE (cells +
+    one deletion-extraction pass whose small result persists for all
+    five deletion consumers — plan-asserted in tests/test_plans.py).
+    The RT shadow is a broadcast LEFT ANTI range join; if deletion
+    metadata ever outgrew broadcast, dropping the hint degrades both
+    joins to pk-co-partitioned shuffles without touching semantics.
+    Counter math runs in JVM higher-order functions — no Python in the
+    hot path."""
     threshold = int(now_us) - int(gc_grace_us)
     kind = F.col("kind")
 
-    pd_df = (
-        atoms.filter(kind == "partition_tombstone")
-        .groupBy("pk").agg(F.max("writetime").alias("pd_wt"))
-    )
-    rt_df = (
-        atoms.filter(kind == "range_tombstone")
+    # ONE pass extracts every deletion atom; the result (one row per
+    # distinct deletion, small by the rare-deletes assumption) is
+    # persisted so its five consumers (both shadow joins + the three
+    # retained-atom emissions) never rescan the corpus — without this
+    # the planner recomputes the full atom scan per consumer.
+    dels = (
+        atoms.filter(kind.isin("partition_tombstone", "range_tombstone"))
         .groupBy(
-            "pk",
+            "pk", "kind",
             F.col("cell").alias("rt_start"),
             F.col("value").alias("rt_end"),
         )
-        .agg(F.max("writetime").alias("mfda"))
+        .agg(F.max("writetime").alias("wt"))
+        .persist()
     )
+    pd_df = (
+        dels.filter(kind == "partition_tombstone")
+        .groupBy("pk").agg(F.max("wt").alias("pd_wt"))
+    )
+    rt_df = dels.filter(kind == "range_tombstone").select(
+        "pk", "rt_start", "rt_end", F.col("wt").alias("mfda"))
     cells = atoms.filter(
         ~kind.isin("partition_tombstone", "range_tombstone"))
 

@@ -498,3 +498,39 @@ def test_dsir_exchange_budget_and_broadcasts(spark, documents):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compact_atoms_plan_shape(spark):
+    """The 100 TB claims, plan-asserted: the corpus feeds exactly TWO
+    scans (the cell stream + one deletion-extraction pass; the small
+    deletion frame persists for its other consumers), the cell stream
+    shuffles exactly ONCE (the (pk, cell) arg-max aggregate), and both
+    deletion shadows are broadcast joins."""
+    import re
+
+    from cassandra_ttl_remover_spark.operators.compact import (
+        compact_atoms,
+    )
+
+    rows = [
+        ("p1", "c1", "normal", None, None, 100, "a"),
+        ("p2", None, "partition_tombstone", None, 4, 500, None),
+        ("p1", "c4", "range_tombstone", None, 90, 250, "c6"),
+        ("p3", "k1", "counter", None, 99, 100, "5"),
+    ]
+    df = spark.createDataFrame(
+        rows, "pk string, cell string, kind string, ttl bigint, "
+              "expiration bigint, writetime bigint, value string")
+    out = compact_atoms(df, gc_grace_us=0, now_us=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one (pk, cell) shuffle: the arg-max exchange
+    assert len(re.findall(
+        r"Exchange hashpartitioning\(pk#\d+, cell#\d+", plan)) == 1
+    # the RT shadow is a broadcast LEFT ANTI join (and no shuffle join
+    # anywhere: every join in the plan is broadcast)
+    assert len(re.findall(r"BroadcastHashJoin .* LeftAnti", plan)) == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the deletion consumers read the persisted small frame, not the
+    # corpus: >= 4 InMemoryTableScans (pd shadow, rt shadow via pd_df/
+    # rt_df, rt_out, pd_out)
+    assert plan.count("InMemoryTableScan") >= 4
