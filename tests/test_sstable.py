@@ -1304,3 +1304,139 @@ def test_compact_rewrite_roundtrip_and_digests(spark):
             r.writetime, r.value)
     assert back == merged
     shutil.rmtree(base)
+
+
+def _model_compact(gens, *, grace, now):
+    """Independent straight-line resolution of the one shadowing rule
+    (written from compact_atoms' spec, not its code): gens is a list of
+    {pk: (cells, deletion|None)} where cells are writer tuples. Returns
+    the expected (pk, cell, writetime, value, status) set."""
+    thr = now - grace
+    pd_wt: dict = {}
+    rts: dict = {}
+    cell_atoms: dict = {}
+    for parts in gens:
+        for pk, (cells, deletion) in parts.items():
+            if deletion is not None:
+                _, mfda = deletion
+                pd_wt[pk] = max(pd_wt.get(pk, mfda), mfda)
+            for name, mask, ttl, exp, wt, val in cells:
+                if mask & ss.RANGE_TOMBSTONE_MASK:
+                    span = (name.decode(), val.decode())
+                    d = rts.setdefault(pk, {})
+                    d[span] = max(d.get(span, wt), wt)
+                else:
+                    kind = ("tombstone" if mask & ss.DELETION_MASK
+                            else "counter" if mask & ss.COUNTER_MASK
+                            else "counter_update"
+                            if mask & ss.COUNTER_UPDATE_MASK else "live")
+                    v = None if kind == "tombstone" else val.decode()
+                    cell_atoms.setdefault((pk, name), []).append(
+                        (wt, kind, v))
+    want = set()
+    for (pk, name), versions in cell_atoms.items():
+        pw = pd_wt.get(pk)
+        cover = [m for (s, e), m in rts.get(pk, {}).items()
+                 if s <= name.decode() <= e]
+        surv = [(wt, k, v) for wt, k, v in versions
+                if (pw is None or wt > pw)
+                and all(wt > m for m in cover)]
+        if not surv:
+            continue
+        shards = [(wt, int(v)) for wt, k, v in surv
+                  if k in ("counter", "counter_update")]
+        tomb = [wt for wt, k, _ in surv if k == "tombstone"]
+        if shards:
+            live = [(wt, v) for wt, v in shards
+                    if not tomb or wt > max(tomb)]
+            if live:
+                want.add((pk.decode(), name.decode(),
+                          max(w for w, _ in live),
+                          str(sum(v for _, v in live)), "counter_live"))
+            elif max(tomb) > thr:
+                want.add((pk.decode(), name.decode(), max(tomb), None,
+                          "tombstone_retained"))
+            continue
+        wt, k, v = max(surv, key=lambda a: (a[0], a[1] == "tombstone",
+                                            a[2] or ""))
+        if k == "tombstone":
+            if wt > thr:
+                want.add((pk.decode(), name.decode(), wt, None,
+                          "tombstone_retained"))
+        else:
+            want.add((pk.decode(), name.decode(), wt, v, "live"))
+    for pk, spans in rts.items():
+        pw = pd_wt.get(pk)
+        for (s, e), m in spans.items():
+            if (pw is None or m > pw) and m > thr:
+                want.add((pk.decode(), s, m, e,
+                          "range_tombstone_retained"))
+    for pk, pwt in pd_wt.items():
+        if pwt > thr:
+            want.add((pk.decode(), None, pwt, None,
+                      "partition_tombstone_retained"))
+    return want
+
+
+def test_full_atom_merge_random_generations_match_model(spark):
+    """Randomized (seeded) generations over the FULL atom surface —
+    normal/tombstone cells with forced writetime ties, counter shards
+    and counter deletes, range tombstones with random bounds, partition
+    deletions — must equal an independently-written straight-line model
+    of the one shadowing rule, through BOTH plans and across split
+    counts (encode -> plan -> distribute -> merge all exercised)."""
+    import random
+
+    from cassandra_ttl_remover_spark.operators.compact import (
+        compact_atoms,
+    )
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        base = _tmpdir()
+        gens = []
+        for g in range(3):
+            parts: dict = {}
+            for _ in range(rng.randint(25, 45)):
+                pk = f"k{rng.randint(0, 11):03d}".encode()
+                cells, _ = parts.setdefault(pk, ({}, None))
+                wt = 1_000_000 + rng.randint(0, 9) * 100
+                r = rng.random()
+                if r < 0.15:  # counter shard on a dedicated cnt cell
+                    name = f"n{rng.randint(0, 2)}".encode()
+                    cells[name] = (name, ss.COUNTER_MASK, 0, wt - 10, wt,
+                                   str(rng.randint(1, 9)).encode())
+                elif r < 0.25:  # range tombstone over random bounds
+                    lo, hi = sorted((rng.randint(0, 5), rng.randint(0, 5)))
+                    name = f"c{lo}".encode()
+                    cells[name] = (name, ss.RANGE_TOMBSTONE_MASK, 0, 1,
+                                   wt, f"c{hi}".encode())
+                elif r < 0.45:  # cell tombstone
+                    name = f"c{rng.randint(0, 5)}".encode()
+                    cells[name] = (name, ss.DELETION_MASK, 0, 0, wt,
+                                   struct.pack(">i", 1))
+                else:  # live cell
+                    name = f"c{rng.randint(0, 5)}".encode()
+                    cells[name] = (name, 0, 0, 0, wt,
+                                   f"v{rng.randint(0, 3)}".encode())
+            out_parts = {}
+            for pk, (cells, _) in parts.items():
+                deletion = ((1, 1_000_000 + rng.randint(0, 9) * 100)
+                            if rng.random() < 0.1 else None)
+                out_parts[pk] = (sorted(cells.values()), deletion)
+            gens.append(out_parts)
+            ss.write_sstable(
+                [(pk, cells, deletion) if deletion else (pk, cells)
+                 for pk, (cells, deletion) in out_parts.items()],
+                os.path.join(base, f"g{g}"), summary_interval=4)
+        grace, now = 500, 1_001_000  # threshold inside the tie groups
+        want = _model_compact(gens, grace=grace, now=now)
+        kw = dict(gc_grace_us=grace, now_us=now)
+        got_a = {tuple(r) for r in compact_atoms(
+            ss.scan_sstable(spark, base, num_splits=4), **kw).collect()}
+        assert got_a == want, f"compact_atoms diverged (seed {seed})"
+        for n in (1, 5):
+            got_b = {tuple(r) for r in ss.merge_compact_sorted(
+                spark, base, num_splits=n, **kw).collect()}
+            assert got_b == want, f"merge diverged (seed {seed}, {n})"
+        shutil.rmtree(base)
