@@ -648,6 +648,9 @@ _REGRADE_FIRST = [
     "q_m8_cli_native_job",
     "q_s20_scrub_report",
     "q_s19_clustering_slice",
+    # span-removal rewrite dropped its two localCheckpoints (same rows,
+    # different executed plan) — its r6 green row predates the change
+    "q_n49_span_removal",
 ]
 
 _DRIVER_PRIORITY = [

@@ -224,12 +224,9 @@ def main() -> int:
 
     merge_src: list[str] = []
 
-    def q_sstable_merge():
-        # zero-shuffle k-way compaction over the FULL atom surface
-        # (counters, range tombstones, partition deletes across three
-        # generations): index-planned key-range tasks merge locally,
-        # no cell bytes cross the network. Fixtures = input corpus,
-        # built once outside the timing.
+    def _ensure_merge_fixture() -> str:
+        # fixture = input corpus, not the job: built once, shared by the
+        # merge and scrub entries, never runs a query itself
         from cassandra_ttl_remover_spark.sources import sstable as ss
         if not merge_src:
             src = str(Path(tempfile.gettempdir()) / "ctrs_bench_sst_merge")
@@ -241,8 +238,17 @@ def main() -> int:
             ss.events_sstable_delete_fixture_v2(spark, sf_dir,
                                                 f"{src}/gen3")
             merge_src.append(src)
+        return merge_src[0]
+
+    def q_sstable_merge():
+        # zero-shuffle k-way compaction over the FULL atom surface
+        # (counters, range tombstones, partition deletes across three
+        # generations): index-planned key-range tasks merge locally,
+        # no cell bytes cross the network.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+        src = _ensure_merge_fixture()
         ss.merge_compact_sorted(
-            spark, merge_src[0], gc_grace_us=10 * 86400 * 1_000_000,
+            spark, src, gc_grace_us=10 * 86400 * 1_000_000,
             now_us=1706745600 * 1_000_000, num_splits=32,
         ).groupBy("status").count().collect()
 
@@ -250,9 +256,8 @@ def main() -> int:
         # fleet deep scrub: per-table sidecar verdicts + full decode
         # cross-checks (CRC, TOC, index/data set equality, bloom, stats)
         from cassandra_ttl_remover_spark.sources import sstable as ss
-        if not merge_src:
-            q_sstable_merge()
-        ss.scrub_tables(spark, merge_src[0], deep=True).collect()
+        ss.scrub_tables(spark, _ensure_merge_fixture(),
+                        deep=True).collect()
 
     def q_tar_ingest():
         # bulk-drop tar ingestion: pack documents into ustar archives,

@@ -477,36 +477,74 @@ def _write_summary(out_dir: str, interval: int,
             f.write(struct.pack(">qq", ix_off, data_off))
 
 
+def _iter_summary(table_dir: str):
+    """Streaming Summary.db parse — the ONE place the sidecar's byte
+    layout is decoded (``_read_summary``, the merge planner, and the
+    executor window reads all consume this iterator, so the format
+    cannot drift between them). Yields ``(key, Index.db offset,
+    Data.db offset)`` one entry at a time in O(1) memory; raises
+    FileNotFoundError when the table has no Summary.db and
+    :class:`CorruptSSTableError` on malformation (quarantine
+    convention)."""
+    path = os.path.join(table_dir, "Summary.db")
+    with open(path, "rb") as f:
+        try:
+            hdr = f.read(8)
+            _, n = struct.unpack(">II", hdr)
+            for _ in range(n):
+                (klen,) = struct.unpack(">H", f.read(2))
+                key = f.read(klen)
+                if len(key) != klen:
+                    raise struct.error("truncated key")
+                ix_off, data_off = struct.unpack(">qq", f.read(16))
+                yield key, ix_off, data_off
+        except struct.error as e:
+            raise CorruptSSTableError(
+                f"{path}: malformed Summary.db ({e})"
+            ) from None
+
+
 def _read_summary(table_dir: str) -> list[tuple[bytes, int, int]] | None:
     """``[(key, Index.db offset, Data.db offset), …]`` or ``None`` when
     the table has no Summary.db (pre-summary fixtures read the full
-    index — never wrong, just unpruned). Malformed summaries raise
-    :class:`CorruptSSTableError` (quarantine convention)."""
-    path = os.path.join(table_dir, "Summary.db")
+    index — never wrong, just unpruned). List form of
+    :func:`_iter_summary` for callers that binary-search."""
     try:
-        with open(path, "rb") as f:
-            buf = f.read()
+        return list(_iter_summary(table_dir))
     except FileNotFoundError:
         return None
+
+
+def _summary_window(table_dir: str, key_start: bytes | None,
+                    key_stop: bytes | None) -> tuple[int, int | None,
+                                                     int | None] | None:
+    """Streaming equivalent of the :func:`_read_index_window` bisect —
+    ONE O(1)-memory pass over Summary.db resolving the Index.db byte
+    window covering ``[key_start, key_stop)`` plus one sample block
+    beyond. Returns ``(ix_start, ix_end | None, end_data | None)``
+    (``None`` ends = read to EOF / use file size), or ``None`` when the
+    table has no Summary.db. This is what executor tasks use: a k-way
+    merge task's summary cost is the window boundaries, never the whole
+    sample list (the planner's decimation fix, applied executor-side)."""
+    ix_start = 0
+    stop_seen = False
+    ix_end = end_data = None
+    any_row = False
     try:
-        interval, n = struct.unpack_from(">II", buf, 0)
-        pos = 8
-        out = []
-        for _ in range(n):
-            (klen,) = struct.unpack_from(">H", buf, pos)
-            pos += 2
-            key = buf[pos:pos + klen]
-            if len(key) != klen:
-                raise struct.error("truncated key")
-            pos += klen
-            ix_off, data_off = struct.unpack_from(">qq", buf, pos)
-            pos += 16
-            out.append((key, ix_off, data_off))
-    except struct.error as e:
-        raise CorruptSSTableError(
-            f"{path}: malformed Summary.db ({e})"
-        ) from None
-    return out
+        for key, ix_off, data_off in _iter_summary(table_dir):
+            any_row = True
+            if key_start is not None and key <= key_start:
+                ix_start = ix_off
+            if stop_seen:
+                ix_end, end_data = ix_off, data_off
+                break
+            if key_stop is not None and key >= key_stop:
+                stop_seen = True  # include one sample block beyond
+    except FileNotFoundError:
+        return None
+    if not any_row:
+        return None
+    return ix_start, ix_end, end_data
 
 
 def _read_index_window(table_dir: str,
@@ -796,7 +834,8 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
                     if len(buf) >= max_cells_per_batch:
                         yield pd.DataFrame(buf, columns=cols)
                         buf = []
-            yield pd.DataFrame(buf, columns=cols)
+            if buf:  # zero yields from mapInPandas is valid
+                yield pd.DataFrame(buf, columns=cols)
 
     return (
         spark.createDataFrame(
@@ -1913,28 +1952,12 @@ def _iter_planner_keys(d: str):
     list: its memory is the decimation buffer, not the key count. The
     index fallback only exists for pre-summary fixtures (small by
     construction) and may materialize."""
-    path = os.path.join(d, "Summary.db")
     try:
-        f = open(path, "rb")
+        for k, _, _ in _iter_summary(d):
+            yield k
     except FileNotFoundError:
         for k, _ in read_index(os.path.join(d, "Index.db")):
             yield k
-        return
-    with f:
-        try:
-            hdr = f.read(8)
-            _, n = struct.unpack(">II", hdr)
-            for _ in range(n):
-                (klen,) = struct.unpack(">H", f.read(2))
-                key = f.read(klen)
-                if len(key) != klen:
-                    raise struct.error("truncated key")
-                f.seek(16, 1)  # skip the two i64 offsets
-                yield key
-        except struct.error as e:
-            raise CorruptSSTableError(
-                f"{path}: malformed Summary.db ({e})"
-            ) from None
 
 
 def _plan_merge_cuts(dirs: list[str], num_splits: int,
@@ -1996,8 +2019,10 @@ def merge_compact_sorted(spark, path: str, *, gc_grace_us: int,
     same partition records the task already reads, so task-local
     shadowing sees the complete deletion picture. Planner memory is
     bounded by ``max_planner_keys`` (see :func:`_plan_merge_cuts`);
-    per-task working state is one key range's atoms, controlled by
-    ``num_splits``."""
+    per-task working state is one key range's atoms (``num_splits``
+    controls it) plus ONE O(1)-memory summary-window boundary pass per
+    generation (:func:`_summary_window` — tasks never materialize a
+    generation's sample list)."""
     dirs = _resolve_table_dirs(path)
     cuts = _plan_merge_cuts(dirs, num_splits, max_planner_keys)
     bounds = [None, *cuts, None]
@@ -2020,10 +2045,19 @@ def merge_compact_sorted(spark, path: str, *, gc_grace_us: int,
                 rts: dict[str, dict[tuple, int]] = {}
                 atoms: dict[tuple, list] = {}
                 for d in dirs:
-                    samples = _read_summary(d)
-                    if samples:
-                        entries, end_data = _read_index_window(
-                            d, samples, start, stop)
+                    win = _summary_window(d, start, stop)
+                    if win is not None:
+                        ix_start, ix_end, win_end = win
+                        index_path = os.path.join(d, "Index.db")
+                        with open(index_path, "rb") as ixf:
+                            ixf.seek(ix_start)
+                            buf = (ixf.read(ix_end - ix_start)
+                                   if ix_end is not None else ixf.read())
+                        entries = _parse_index_entries(
+                            buf, _table_generation(d), index_path,
+                            base_off=ix_start)
+                        end_data = (win_end if win_end is not None
+                                    else _data_size(d))
                     else:
                         entries = read_index(
                             os.path.join(d, "Index.db"))
