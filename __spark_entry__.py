@@ -658,6 +658,8 @@ _DRIVER_PRIORITY = [
     # --- new in round 8 (never graded) ---
     "q_t10_major_compact_rewrite",
     "q_s22_merge_retains_deletions",
+    "q_t11_stcs_plan",
+    "q_t12_twcs_plan",
     # --- last green: round 2 ---
     "q_s1_source_count",
     "q_s2_full_scan",
@@ -3965,6 +3967,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("pk", "cell", "status")
     q["q_s22_merge_retains_deletions"] = q_s22
 
+    def q_t11(spark, sf):
+        # size-tiered compaction PLANNING (STCS, Cassandra's default):
+        # four generations -- two ~half-corpus, two ~1/16 -- class by
+        # exact bit-length size classes from Statistics.db alone (zero
+        # data bytes); classes holding >= 2 tables nominate for merge.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_stcs_{uuid.uuid4().hex[:8]}"
+        )
+        for name, pred in (("b1", "user_id % 2 = 0"),
+                           ("b2", "user_id % 2 = 1"),
+                           ("s1", "user_id % 16 = 0"),
+                           ("s2", "user_id % 16 = 1")):
+            ss.events_sstable_fixture(spark, sf, os.path.join(base, name),
+                                      where=pred)
+        return ss.plan_compaction_stcs(spark, base, min_threshold=2)
+    q["q_t11_stcs_plan"] = q_t11
+
+    def q_t12(spark, sf):
+        # time-window compaction PLANNING (TWCS -- THE strategy for
+        # TTL'd time series, the reference's exact workload): bucket
+        # generations by the 7-day window of their max writetime; only
+        # same-window groups nominate (past windows stay immutable, the
+        # property that makes TTL'd data cheap to expire by
+        # whole-sstable drop).
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_twcs_{uuid.uuid4().hex[:8]}"
+        )
+        c1, c2 = 1704931200 * 1_000_000, 1705795200 * 1_000_000
+        for name, pred in (
+                ("g1", f"epoch_us(ts) < {c1}"),
+                ("g2", f"epoch_us(ts) >= {c1} AND epoch_us(ts) < {c2}"),
+                ("g3", f"epoch_us(ts) >= {c2} AND user_id % 2 = 0"),
+                ("g4", f"epoch_us(ts) >= {c2} AND user_id % 2 = 1")):
+            ss.events_sstable_fixture(spark, sf, os.path.join(base, name),
+                                      where=pred)
+        return ss.plan_compaction_twcs(
+            spark, base, window_us=7 * 86400 * 1_000_000,
+            min_threshold=2)
+    q["q_t12_twcs_plan"] = q_t12
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -6067,6 +6113,51 @@ WHERE pk >= '1' AND pk < '2'
         now_us=1706745600 * 1_000_000)
     o["q_t9_sstable_merge_compact"] = _full_compact_sql
     o["q_t8_sstable_compact_e2e"] = _full_compact_sql
+    o["q_t11_stcs_plan"] = """
+WITH g AS (
+  SELECT 'b1' AS generation, 3 * count(*) AS n FROM events
+  WHERE user_id % 2 = 0
+  UNION ALL
+  SELECT 'b2', 3 * count(*) FROM events WHERE user_id % 2 = 1
+  UNION ALL
+  SELECT 's1', 3 * count(*) FROM events WHERE user_id % 16 = 0
+  UNION ALL
+  SELECT 's2', 3 * count(*) FROM events WHERE user_id % 16 = 1
+), c AS (
+  SELECT generation, n::BIGINT AS n_cells,
+         (length(bin(greatest(n, 1))) - 1)::BIGINT AS size_class
+  FROM g
+)
+SELECT generation, n_cells, size_class,
+       (count(*) OVER (PARTITION BY size_class))::BIGINT AS group_n,
+       (count(*) OVER (PARTITION BY size_class)) >= 2 AS compact
+FROM c ORDER BY generation
+"""
+    _c1, _c2 = 1704931200 * 1_000_000, 1705795200 * 1_000_000
+    _w = 7 * 86400 * 1_000_000
+    o["q_t12_twcs_plan"] = f"""
+WITH g AS (
+  SELECT 'g1' AS generation, max(epoch_us(ts)) AS mw FROM events
+  WHERE epoch_us(ts) < {_c1}
+  UNION ALL
+  SELECT 'g2', max(epoch_us(ts)) FROM events
+  WHERE epoch_us(ts) >= {_c1} AND epoch_us(ts) < {_c2}
+  UNION ALL
+  SELECT 'g3', max(epoch_us(ts)) FROM events
+  WHERE epoch_us(ts) >= {_c2} AND user_id % 2 = 0
+  UNION ALL
+  SELECT 'g4', max(epoch_us(ts)) FROM events
+  WHERE epoch_us(ts) >= {_c2} AND user_id % 2 = 1
+), c AS (
+  SELECT generation, mw::BIGINT AS max_writetime,
+         (mw // {_w})::BIGINT AS time_window
+  FROM g
+)
+SELECT generation, max_writetime, time_window,
+       (count(*) OVER (PARTITION BY time_window))::BIGINT AS group_n,
+       (count(*) OVER (PARTITION BY time_window)) >= 2 AS compact
+FROM c ORDER BY generation
+"""
     o["q_s22_merge_retains_deletions"] = _ca_sql(
         _ss.sstable_compact_v2_atoms_sql(),
         gc_grace_us=100 * 365 * 86400 * 1_000_000,

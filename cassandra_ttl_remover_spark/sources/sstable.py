@@ -2937,3 +2937,72 @@ SELECT pk, cell,
        writetime, value
 FROM merged
 """
+
+
+def plan_compaction_stcs(spark, path: str, *,
+                         min_threshold: int = 2) -> "DataFrame":
+    """Size-tiered compaction PLANNING (Cassandra's STCS, the default
+    strategy the reference's tables compact under): group generations
+    into size classes and nominate every class holding at least
+    ``min_threshold`` tables as a merge group — the operator's "what
+    should compact next" question. Size measure here is the
+    Statistics.db CELL COUNT (deterministic and oracle-recomputable;
+    at byte scale the same rule runs on file sizes), classed by
+    floor(log2(n_cells)) computed EXACTLY as the bit length of the
+    count (``length(bin(n)) - 1`` — identical integer arithmetic in
+    Spark and DuckDB, no float edge at powers of two): Cassandra's
+    bucketing clusters tables within ~2x of each other, which log2
+    classes express exactly and portably.
+
+    Metadata-only: one fixed-size sidecar read per table, zero Data.db
+    bytes — at a million-sstable fleet this is a listing plus one small
+    parallel pass (the stats_census shape). Emits one row per table:
+    ``(generation, n_cells, size_class, group_n, compact)`` where
+    ``compact`` marks members of merge-eligible classes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    census = stats_census(spark, path).select("generation", "n_cells")
+    cls = F.expr("length(bin(greatest(n_cells, 1))) - 1")
+    w = Window.partitionBy("size_class")
+    return (
+        census.withColumn("size_class", cls.cast("bigint"))
+        .withColumn("group_n", F.count("*").over(w).cast("bigint"))
+        .withColumn("compact", F.col("group_n") >= F.lit(min_threshold))
+        .orderBy("generation")
+    )
+
+
+def plan_compaction_twcs(spark, path: str, *, window_us: int,
+                         min_threshold: int = 2) -> "DataFrame":
+    """Time-window compaction PLANNING (Cassandra's TWCS — THE strategy
+    for TTL'd time-series workloads, i.e. exactly the tables the
+    reference tool migrates): bucket generations by the time window of
+    their MAX writetime (Statistics.db, zero data bytes) and nominate
+    windows holding >= ``min_threshold`` tables. Past windows compact
+    once and then stay immutable — the property that makes TTL'd data
+    cheap to expire by whole-sstable drop, which is why the
+    strip-then-compact migration this engine implements preserves
+    writetimes bit-exactly (SURVEY §2.3).
+
+    Emits ``(generation, max_writetime, time_window, group_n,
+    compact)``; empty tables (NULL max) land in window NULL and never
+    nominate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    census = stats_census(spark, path).select(
+        "generation", "max_writetime")
+    win = F.expr(f"max_writetime div {int(window_us)}")  # exact int div
+    w = Window.partitionBy("time_window")
+    return (
+        census.withColumn("time_window", win)
+        .withColumn(
+            "group_n",
+            F.when(
+                F.col("time_window").isNotNull(),
+                F.count("time_window").over(w),
+            ).otherwise(F.lit(0)).cast("bigint"))
+        .withColumn("compact", F.col("group_n") >= F.lit(min_threshold))
+        .orderBy("generation")
+    )

@@ -1440,3 +1440,37 @@ def test_full_atom_merge_random_generations_match_model(spark):
                 spark, base, num_splits=n, **kw).collect()}
             assert got_b == want, f"merge diverged (seed {seed}, {n})"
         shutil.rmtree(base)
+
+
+def test_compaction_strategy_planners(spark):
+    """STCS/TWCS planning over Statistics.db alone: exact bit-length
+    size classes, integer-div time windows, min_threshold nomination,
+    and the empty-table NULL-window path."""
+    base = _tmpdir()
+    mk = lambda name, parts: ss.write_sstable(parts, os.path.join(base, name))  # noqa: E731
+    cell = lambda i, wt: (f"c{i:04d}".encode(), 0, 0, 0, wt, b"v")  # noqa: E731
+    # two ~32-cell tables (class 5), two 7-cell tables (class 2), one empty
+    mk("a1", [(b"k1", [cell(i, 1_700_000_000_000_000 + i)
+                       for i in range(32)])])
+    mk("a2", [(b"k1", [cell(i, 1_700_000_000_000_000 + i)
+                       for i in range(33)])])
+    mk("b1", [(b"k1", [cell(i, 1_705_000_000_000_000 + i)
+                       for i in range(7)])])
+    mk("b2", [(b"k1", [cell(i, 1_705_000_000_000_000 + i)
+                       for i in range(7)])])
+    mk("e0", [])
+    got = {r.generation: (r.size_class, r.group_n, r.compact)
+           for r in ss.plan_compaction_stcs(spark, base,
+                                            min_threshold=2).collect()}
+    assert got["a1"] == (5, 2, True) and got["a2"] == (5, 2, True)
+    assert got["b1"] == (2, 2, True) and got["b2"] == (2, 2, True)
+    assert got["e0"][0] == 0 and got["e0"][2] is False
+
+    w = 1_000_000_000_000  # ~11.6 days in µs
+    tw = {r.generation: (r.time_window, r.group_n, r.compact)
+          for r in ss.plan_compaction_twcs(spark, base, window_us=w,
+                                           min_threshold=2).collect()}
+    assert tw["a1"] == (1700, 2, True) and tw["a2"] == (1700, 2, True)
+    assert tw["b1"] == (1705, 2, True) and tw["b2"] == (1705, 2, True)
+    assert tw["e0"] == (None, 0, False)
+    shutil.rmtree(base)
