@@ -660,6 +660,7 @@ _DRIVER_PRIORITY = [
     "q_s22_merge_retains_deletions",
     "q_t11_stcs_plan",
     "q_t12_twcs_plan",
+    "q_s23_replica_repair",
     # --- last green: round 2 ---
     "q_s1_source_count",
     "q_s2_full_scan",
@@ -4011,6 +4012,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_threshold=2)
     q["q_t12_twcs_plan"] = q_t12
 
+    def q_s23(spark, sf):
+        # anti-entropy REPAIR between two replicas of the native table
+        # (Cassandra's Merkle walk, single-level): replica B is missing
+        # every user_id % 97 == 0 partition; only the buckets holding
+        # those keys mismatch, localizing divergence without either
+        # side shipping a cell.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_rep_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "ra"))
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "rb"),
+                                  where="user_id % 97 <> 0")
+        return ss.diff_replicas(spark, os.path.join(base, "ra"),
+                                os.path.join(base, "rb"), n_buckets=16)
+    q["q_s23_replica_repair"] = q_s23
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -6158,6 +6177,8 @@ SELECT generation, max_writetime, time_window,
        (count(*) OVER (PARTITION BY time_window)) >= 2 AS compact
 FROM c ORDER BY generation
 """
+    o["q_s23_replica_repair"] = _ss.replica_diff_oracle_sql(
+        "user_id % 97 <> 0", n_buckets=16)
     o["q_s22_merge_retains_deletions"] = _ca_sql(
         _ss.sstable_compact_v2_atoms_sql(),
         gc_grace_us=100 * 365 * 86400 * 1_000_000,

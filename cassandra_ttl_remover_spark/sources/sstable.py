@@ -3006,3 +3006,98 @@ def plan_compaction_twcs(spark, path: str, *, window_us: int,
         .withColumn("compact", F.col("group_n") >= F.lit(min_threshold))
         .orderBy("generation")
     )
+
+
+def diff_replicas(spark, path_a: str, path_b: str, *,
+                  n_buckets: int = 16) -> "DataFrame":
+    """Anti-entropy REPAIR comparison between two replicas of a native
+    table — Cassandra's repair Merkle walk, single-level: each side
+    reduces to one order-independent digest per key bucket
+    (:func:`~..operators.audit.table_digest`'s construction), the
+    buckets full-outer join, and only mismatched buckets ever need data
+    movement. At fleet scale each side is ONE scan + a map-side-combined
+    bucket aggregate; the join carries ``n_buckets`` rows — replicas
+    never ship cells to compare, which is the entire point of repair
+    digests. Buckets key on a portable md5-derived hash of the partition
+    key (the token-range analog), and every nullable column coalesces to
+    ``''`` inside the canonical string so the DuckDB oracle's ``||``
+    concatenation cannot diverge on NULLs.
+
+    Emits one row per bucket:
+    ``(bucket, n_rows_a, digest_a, n_rows_b, digest_b, match)``."""
+    from pyspark.sql import functions as F
+
+    from cassandra_ttl_remover_spark.operators.audit import table_digest
+
+    cols = ["pk", "cell", "kind", "ttl", "expiration", "writetime",
+            "value"]
+
+    def side(p):
+        cells = scan_sstable(spark, p).select(
+            *[F.expr(f"coalesce(cast(`{c}` as string), '')").alias(c)
+              for c in cols],
+            F.expr("cast(conv(substr(md5(pk), 1, 15), 16, 10) "
+                   "as bigint)").alias("_bk"),
+        )
+        return table_digest(cells, cols, "_bk", n_buckets)
+
+    a = side(path_a).alias("a")
+    b = side(path_b).alias("b")
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.bucket"), F.col("b.bucket"))
+            .alias("bucket"),
+            F.col("a.n_rows").alias("n_rows_a"),
+            F.col("a.digest").alias("digest_a"),
+            F.col("b.n_rows").alias("n_rows_b"),
+            F.col("b.digest").alias("digest_b"),
+            (F.col("a.n_rows").eqNullSafe(F.col("b.n_rows"))
+             & F.col("a.digest").eqNullSafe(F.col("b.digest")))
+            .alias("match"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def replica_diff_oracle_sql(where_b: str, *, n_buckets: int = 16,
+                            table: str = "events") -> str:
+    """DuckDB mirror of :func:`diff_replicas` over two
+    :func:`events_sstable_fixture` replicas — replica A unrestricted,
+    replica B built with ``where_b`` — recomputing both sides' bucket
+    digests from the events table (same canonical string, same
+    md5-derived buckets, same pmod convention as the q_d3 oracle)."""
+    from cassandra_ttl_remover_spark.operators.audit import _DIGEST_MOD
+
+    scan = sstable_scan_oracle_sql(table)
+    scan_b = sstable_scan_oracle_sql(
+        f"(SELECT * FROM {table} WHERE {where_b})")
+    canon = " || '|' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '')"
+        for c in ["pk", "cell", "kind", "ttl", "expiration", "writetime",
+                  "value"])
+    leaf = f"('0x' || substr(md5({canon}), 1, 15))::BIGINT"
+    # the bucket hashes the pk ALONE (the token-range analog); pmod
+    # mirror as in the q_d3 oracle
+    pk_leaf = "('0x' || substr(md5(pk), 1, 15))::BIGINT"
+    bk = f"((({pk_leaf} % {n_buckets}) + {n_buckets}) % {n_buckets})"
+    return f"""
+WITH a_rows AS ({scan}), b_rows AS ({scan_b}),
+a AS (
+  SELECT {bk}::INT AS bucket, count(*)::BIGINT AS n_rows,
+         CAST(sum({leaf}::HUGEINT) % {_DIGEST_MOD} AS BIGINT) AS digest
+  FROM a_rows GROUP BY 1
+),
+b AS (
+  SELECT {bk}::INT AS bucket, count(*)::BIGINT AS n_rows,
+         CAST(sum({leaf}::HUGEINT) % {_DIGEST_MOD} AS BIGINT) AS digest
+  FROM b_rows GROUP BY 1
+)
+SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+       a.n_rows AS n_rows_a, a.digest AS digest_a,
+       b.n_rows AS n_rows_b, b.digest AS digest_b,
+       (a.n_rows IS NOT DISTINCT FROM b.n_rows
+        AND a.digest IS NOT DISTINCT FROM b.digest) AS match
+FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+ORDER BY bucket
+"""
