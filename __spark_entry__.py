@@ -661,6 +661,7 @@ _DRIVER_PRIORITY = [
     "q_t11_stcs_plan",
     "q_t12_twcs_plan",
     "q_s23_replica_repair",
+    "q_s24_droppable_census",
     # --- last green: round 2 ---
     "q_s1_source_count",
     "q_s2_full_scan",
@@ -4030,6 +4031,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 os.path.join(base, "rb"), n_buckets=16)
     q["q_s23_replica_repair"] = q_s23
 
+    def q_s24(spark, sf):
+        # droppable-tombstone census (the sstablemetadata estimate made
+        # exact): per generation, how many deletion atoms are already
+        # past gc_grace and how many expiring cells would convert to
+        # droppable tombstones at the next compaction -- the metric the
+        # STCS/TWCS planners act on. One task per table, zero shuffle.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_drop_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture_v2(spark, sf, os.path.join(base, "gen1"),
+                                     with_partition_deletes=True)
+        ss.events_sstable_update_fixture_v2(spark, sf,
+                                            os.path.join(base, "gen2"))
+        ss.events_sstable_delete_fixture_v2(spark, sf,
+                                            os.path.join(base, "gen3"))
+        return ss.droppable_census(
+            spark, base,
+            gc_grace_us=10 * 86400 * 1_000_000,
+            now_us=1706745600 * 1_000_000)
+    q["q_s24_droppable_census"] = q_s24
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -6177,6 +6201,9 @@ SELECT generation, max_writetime, time_window,
        (count(*) OVER (PARTITION BY time_window)) >= 2 AS compact
 FROM c ORDER BY generation
 """
+    o["q_s24_droppable_census"] = _ss.droppable_census_oracle_sql(
+        gc_grace_us=10 * 86400 * 1_000_000,
+        now_us=1706745600 * 1_000_000)
     o["q_s23_replica_repair"] = _ss.replica_diff_oracle_sql(
         "user_id % 97 <> 0", n_buckets=16)
     o["q_s22_merge_retains_deletions"] = _ca_sql(

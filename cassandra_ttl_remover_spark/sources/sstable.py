@@ -3101,3 +3101,134 @@ SELECT COALESCE(a.bucket, b.bucket) AS bucket,
 FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
 ORDER BY bucket
 """
+
+
+def droppable_census(spark, path: str, *, gc_grace_us: int,
+                     now_us: int) -> "DataFrame":
+    """Droppable-tombstone census per generation — the
+    ``sstablemetadata`` estimate operators feed into compaction
+    candidate selection (a table whose deletes are past gc_grace is
+    pure reclaimable space; Cassandra picks single-table GC targets by
+    exactly this ratio). Exact counts, not estimates, since this
+    engine's scan decodes the real atoms:
+
+    - ``n_atoms``: every decoded atom (cells + deletion atoms);
+    - ``n_deletes``: deletion atoms of all three granularities;
+    - ``n_droppable_deletes``: deletion atoms with
+      ``writetime <= now - gc_grace`` (purgeable NOW by
+      :func:`~..operators.compact.compact_atoms`'s rule);
+    - ``n_expired``: expiring cells whose ``expiration`` second has
+      passed ``now - gc_grace`` — the cells that would convert to
+      already-droppable tombstones at the next compaction.
+
+    One task per table (the scrub/census fan-out), zero shuffle, one
+    result row per generation."""
+    import pandas as pd
+
+    dirs = _resolve_table_dirs(path)
+    thr_us = int(now_us) - int(gc_grace_us)
+    thr_s = thr_us // 1_000_000
+
+    def _count(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["dir"]:
+                n = dels = drop = exp = 0
+                for r in scan_data_range(
+                        os.path.join(d, "Data.db"), 0, _data_size(d)):
+                    n += 1
+                    kind, expiration, wt = r[2], r[4], r[5]
+                    if kind in ("tombstone", "range_tombstone",
+                                "partition_tombstone"):
+                        dels += 1
+                        if int(wt) <= thr_us:
+                            drop += 1
+                    elif kind == "expiring" and int(expiration) <= thr_s:
+                        exp += 1
+                rows.append((os.path.basename(d), n, dels, drop, exp))
+            yield pd.DataFrame(
+                rows, columns=["generation", "n_atoms", "n_deletes",
+                               "n_droppable_deletes", "n_expired"])
+
+    return (
+        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        .repartition(min(len(dirs), 32))
+        .mapInPandas(
+            _count,
+            schema=("generation string, n_atoms bigint, n_deletes bigint,"
+                    " n_droppable_deletes bigint, n_expired bigint"),
+        )
+        .orderBy("generation")
+    )
+
+
+def droppable_census_oracle_sql(*, gc_grace_us: int, now_us: int,
+                                table: str = "events") -> str:
+    """DuckDB recomputation of :func:`droppable_census` over the
+    three-generation compaction fixture
+    (:func:`sstable_compact_v2_atoms_sql`'s per-generation rules)."""
+    thr_us = int(now_us) - int(gc_grace_us)
+    thr_s = thr_us // 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS wt,
+         CASE WHEN event_id % 10 < 7
+              THEN (event_id % 30 + 1) * 86400 END AS ttl,
+         epoch_us(ts) // 1000000 AS ts_s
+  FROM {table}
+),
+atoms AS (
+  -- gen1: etype (expiring rule) + cnt/cup + RT(%13=0) + PD(user%17=0)
+  SELECT 'gen1' AS generation,
+         CASE WHEN ttl IS NOT NULL THEN 'expiring' ELSE 'normal' END
+           AS kind,
+         (ts_s + ttl)::BIGINT AS expiration, wt FROM e
+  UNION ALL
+  SELECT 'gen1', 'counter', NULL, wt FROM e WHERE event_id % 11 = 0
+  UNION ALL
+  SELECT 'gen1', 'counter_update', NULL, wt FROM e
+  WHERE event_id % 11 = 1
+  UNION ALL
+  SELECT 'gen1', 'range_tombstone', NULL, wt FROM e
+  WHERE event_id % 13 = 0
+  UNION ALL
+  SELECT 'gen1', 'partition_tombstone', NULL, min(wt) - 1 FROM e
+  WHERE user_id % 17 = 0 GROUP BY user_id
+  -- gen2: rewrites + counter shards + RT(%13=9) + PD(user%23=0)
+  UNION ALL
+  SELECT 'gen2', 'normal', NULL, wt + 1000000 FROM e
+  WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT 'gen2', 'counter', NULL, wt + 3000000 FROM e
+  WHERE event_id % 11 = 0
+  UNION ALL
+  SELECT 'gen2', 'range_tombstone', NULL, wt + 4000000 FROM e
+  WHERE event_id % 13 = 9
+  UNION ALL
+  SELECT 'gen2', 'partition_tombstone', NULL, min(wt) + 1 FROM e
+  WHERE user_id % 23 = 0 GROUP BY user_id
+  -- gen3: cell + counter deletes
+  UNION ALL
+  SELECT 'gen3', 'tombstone', NULL, wt + 2000000 FROM e
+  WHERE event_id % 19 = 0
+  UNION ALL
+  SELECT 'gen3', 'tombstone', NULL, wt + 2500000 FROM e
+  WHERE event_id % 33 = 0 AND event_id % 44 <> 0
+  UNION ALL
+  SELECT 'gen3', 'tombstone', NULL, wt + 9000000 FROM e
+  WHERE event_id % 44 = 0
+)
+SELECT generation,
+       count(*)::BIGINT AS n_atoms,
+       sum(CASE WHEN kind IN ('tombstone', 'range_tombstone',
+                              'partition_tombstone')
+                THEN 1 ELSE 0 END)::BIGINT AS n_deletes,
+       sum(CASE WHEN kind IN ('tombstone', 'range_tombstone',
+                              'partition_tombstone')
+                 AND wt <= {thr_us} THEN 1 ELSE 0 END)::BIGINT
+         AS n_droppable_deletes,
+       sum(CASE WHEN kind = 'expiring' AND expiration <= {thr_s}
+                THEN 1 ELSE 0 END)::BIGINT AS n_expired
+FROM atoms GROUP BY generation ORDER BY generation
+"""
