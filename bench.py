@@ -10,6 +10,18 @@ analysis. Each query runs twice and reports the best run (standard warm
 convention: at the 100 TB design point codegen/JIT compilation amortizes to
 zero, so cold-start compile time at sf0.1 would only measure the JVM);
 timings are end-to-end (plan + execute + collect/write).
+
+Known measurement behavior (named in round 8): queries whose plans
+generate unusually LARGE whole-stage-codegen functions (span_removal,
+semdedup, minhash_lsh — HOF lambdas over arrays, wide hash exprs) show a
+1.5-3x first-execution-vs-warm spread (codegen compile + JIT). The
+interleaved sweeps (r6+) re-pay part of that warmup each sweep because
+~40 other plans churn the JVM code cache in between, so their recorded
+minima sit BETWEEN cold and warm and wander round-to-round with ambient
+churn (measured 2026-08-15: semdedup 7.0 -> 4.6 -> 2.2 -> 2.0 s back-to-
+back in one session; span_removal 2.2 -> 1.5 -> 1.4 s). Cross-round
+deltas on exactly these entries are measurement, not plan regressions,
+unless their implementation actually changed.
 """
 
 from __future__ import annotations
