@@ -1474,3 +1474,51 @@ def test_compaction_strategy_planners(spark):
     assert tw["b1"] == (1705, 2, True) and tw["b2"] == (1705, 2, True)
     assert tw["e0"] == (None, 0, False)
     shutil.rmtree(base)
+
+
+def test_diff_replicas_identical_and_divergent(spark):
+    """Repair digests: identical replicas match on every bucket;
+    removing one partition from replica B flips exactly the buckets
+    holding the removed keys, and row counts localize the loss."""
+    base = _tmpdir()
+    ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
+                              os.path.join(base, "ra"))
+    ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
+                              os.path.join(base, "rb"))
+    same = ss.diff_replicas(spark, os.path.join(base, "ra"),
+                            os.path.join(base, "rb")).collect()
+    assert same and all(r.match for r in same)
+    ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
+                              os.path.join(base, "rc"),
+                              where="user_id % 97 <> 0")
+    diff = ss.diff_replicas(spark, os.path.join(base, "ra"),
+                            os.path.join(base, "rc")).collect()
+    bad = [r for r in diff if not r.match]
+    assert bad and len(bad) < len(diff)
+    assert all(r.n_rows_a > (r.n_rows_b or 0) for r in bad)
+    shutil.rmtree(base)
+
+
+def test_droppable_census_grace_window(spark):
+    """Droppable counts respect the grace window: with now far in the
+    future everything deleted/expired is droppable; with a 100-year
+    grace nothing is."""
+    base = _tmpdir()
+    ss.events_sstable_fixture_v2(spark, "/root/testdata/sf0.001",
+                                 os.path.join(base, "gen1"),
+                                 with_partition_deletes=True)
+    ss.events_sstable_delete_fixture_v2(spark, "/root/testdata/sf0.001",
+                                        os.path.join(base, "gen3"))
+    far = 4_000_000_000 * 1_000_000  # ~2096
+    all_drop = {r.generation: r for r in ss.droppable_census(
+        spark, base, gc_grace_us=0, now_us=far).collect()}
+    assert all(r.n_droppable_deletes == r.n_deletes
+               for r in all_drop.values())
+    assert all_drop["gen1"].n_expired > 0  # every TTL has lapsed by 2096
+    none_drop = {r.generation: r for r in ss.droppable_census(
+        spark, base, gc_grace_us=100 * 365 * 86400 * 1_000_000,
+        now_us=1706745600 * 1_000_000).collect()}
+    assert all(r.n_droppable_deletes == 0 and r.n_expired == 0
+               for r in none_drop.values())
+    assert none_drop["gen3"].n_deletes > 0  # deletes exist, just retained
+    shutil.rmtree(base)
