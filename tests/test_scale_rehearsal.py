@@ -773,3 +773,32 @@ def test_slice_decode_streams_constant_memory(tmp_path):
     tracemalloc.stop()
     assert count == n and last[1] == f"{n - 1:07d}:c"
     assert peak < 2 * 1024 * 1024, f"slice decode peaked at {peak} bytes"
+
+
+def test_merge_compact_rehearsal_60k_partitions(spark, tmp_path):
+    """k-way merge at 60x the driver fixture scale: two 40k-partition
+    generations overlapping on a 20k-key band (gen2 rewrites the band
+    one second later), split-planned through the decimating sampler.
+    Exact expectations: every key survives once, band winners are
+    gen2's values, disjoint keys keep their own generation's value."""
+    from cassandra_ttl_remover_spark.sources import sstable as ss
+
+    def gen(lo, hi, wt, tag, out):
+        ss.write_sstable(
+            ((f"k{i:07d}".encode(),
+              [(b"c", 0, 0, 0, wt, f"{tag}{i}".encode())])
+             for i in range(lo, hi)),
+            str(tmp_path / out), summary_interval=64)
+
+    gen(0, 40_000, 1_000_000, "a", "g1")
+    gen(20_000, 60_000, 2_000_000, "b", "g2")
+    rows = ss.merge_compact_sorted(
+        spark, str(tmp_path), gc_grace_us=0, now_us=10_000_000,
+        num_splits=8, max_planner_keys=512).collect()
+    assert len(rows) == 60_000
+    by_key = {r.pk: (r.writetime, r.value, r.status) for r in rows}
+    assert by_key["k0000000"] == (1_000_000, "a0", "live")
+    assert by_key["k0030000"] == (2_000_000, "b30000", "live")  # LWW band
+    assert by_key["k0059999"] == (2_000_000, "b59999", "live")
+    n_band_wins = sum(1 for r in rows if r.value.startswith("b"))
+    assert n_band_wins == 40_000  # the whole band + gen2-only keys
