@@ -1522,3 +1522,73 @@ def test_droppable_census_grace_window(spark):
                for r in none_drop.values())
     assert none_drop["gen3"].n_deletes > 0  # deletes exist, just retained
     shutil.rmtree(base)
+
+
+def test_summary_window_equals_bisect_window(spark):
+    """The streaming O(1)-memory summary-window pass (the executor-side
+    review fix) must resolve exactly the same Index.db byte window as
+    the list-based bisect (_read_index_window) for random layouts and
+    probes — including open ends, probes before the first / after the
+    last key, and exact sample-boundary hits."""
+    import random
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        base = _tmpdir()
+        n = rng.randint(40, 120)
+        keys = sorted({f"k{rng.randint(0, 500):04d}".encode()
+                       for _ in range(n)})
+        ss.write_sstable(
+            [(k, [(b"c", 0, 0, 0, 1, b"v")]) for k in keys],
+            base, summary_interval=rng.choice((2, 4, 7)))
+        samples = ss._read_summary(base)
+        probes = [(None, None), (None, keys[0]), (keys[-1], None),
+                  (b"k0000", b"zzzz")]
+        for _ in range(25):
+            a = f"k{rng.randint(0, 500):04d}".encode()
+            b = f"k{rng.randint(0, 500):04d}".encode()
+            probes.append((min(a, b), max(a, b)))
+        # exact sample-boundary probes
+        for k, _, _ in samples[:3]:
+            probes.append((k, k))
+            probes.append((k, keys[-1]))
+        for start, stop in probes:
+            want, want_end = ss._read_index_window(
+                base, samples, start, stop)
+            win = ss._summary_window(base, start, stop)
+            assert win is not None
+            ix_start, ix_end, win_end = win
+            index_path = os.path.join(base, "Index.db")
+            with open(index_path, "rb") as f:
+                f.seek(ix_start)
+                buf = (f.read(ix_end - ix_start)
+                       if ix_end is not None else f.read())
+            got = ss._parse_index_entries(
+                buf, "v1", index_path, base_off=ix_start)
+            got_end = (win_end if win_end is not None
+                       else ss._data_size(base))
+            assert got == want and got_end == want_end, (seed, start,
+                                                         stop)
+        shutil.rmtree(base)
+
+
+def test_merge_raises_on_truncated_generation(spark):
+    """Quarantine convention under the k-way merge: a generation whose
+    Data.db is truncated mid-record must fail the job with a descriptive
+    CorruptSSTableError — never emit a silently partial merge."""
+    import pytest
+
+    base = _tmpdir()
+    ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
+                              os.path.join(base, "gen1"),
+                              where="user_id % 2 = 0")
+    ss.events_sstable_fixture(spark, "/root/testdata/sf0.001",
+                              os.path.join(base, "gen2"),
+                              where="user_id % 2 = 1")
+    p = os.path.join(base, "gen2", "Data.db")
+    with open(p, "r+b") as f:
+        f.truncate(os.path.getsize(p) - 7)
+    with pytest.raises(Exception, match="truncated|Corrupt"):
+        ss.merge_compact_sorted(
+            spark, base, gc_grace_us=0, now_us=0, num_splits=2).collect()
+    shutil.rmtree(base)
