@@ -388,3 +388,98 @@ def test_column_index_slice_equals_filter_property(data):
         assert got == want, (every, lo, hi)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# compact_atoms oracle vs the independent spec model (no Spark: pure
+# DuckDB vs straight-line Python, hundreds of examples)
+# ---------------------------------------------------------------------------
+
+_atom = st.one_of(
+    st.tuples(st.just("normal"), st.sampled_from("pq"),
+              st.sampled_from("cdef"), st.integers(0, 9),
+              st.sampled_from("xyz")),
+    st.tuples(st.just("tombstone"), st.sampled_from("pq"),
+              st.sampled_from("cdef"), st.integers(0, 9), st.none()),
+    st.tuples(st.just("counter"), st.sampled_from("pq"),
+              st.sampled_from("nm"), st.integers(0, 9),
+              st.integers(1, 9).map(str)),
+    st.tuples(st.just("range_tombstone"), st.sampled_from("pq"),
+              st.sampled_from("cd"), st.integers(0, 9),
+              st.sampled_from("ef")),
+    st.tuples(st.just("partition_tombstone"), st.sampled_from("pq"),
+              st.none(), st.integers(0, 9), st.none()),
+)
+
+
+def _spec_model(atoms, thr):
+    """compact_atoms' documented semantics, written straight-line from
+    the spec (the one shadowing rule; ties die; additive counters;
+    uniform retain/purge) — independent of both engines."""
+    pd_wt, rts, cells = {}, {}, {}
+    for kind, pk, cell, wt, val in atoms:
+        if kind == "partition_tombstone":
+            pd_wt[pk] = max(pd_wt.get(pk, wt), wt)
+        elif kind == "range_tombstone":
+            d = rts.setdefault(pk, {})
+            d[(cell, val)] = max(d.get((cell, val), wt), wt)
+        else:
+            cells.setdefault((pk, cell), []).append((wt, kind, val))
+    out = set()
+    for (pk, cell), vs in cells.items():
+        pw = pd_wt.get(pk)
+        cover = [m for (s, e), m in rts.get(pk, {}).items()
+                 if s <= cell <= e]
+        surv = [(wt, k, v) for wt, k, v in vs
+                if (pw is None or wt > pw) and all(wt > m for m in cover)]
+        if not surv:
+            continue
+        shards = [(wt, int(v)) for wt, k, v in surv if k == "counter"]
+        tomb = [wt for wt, k, _ in surv if k == "tombstone"]
+        if shards:
+            live = [(wt, v) for wt, v in shards
+                    if not tomb or wt > max(tomb)]
+            if live:
+                out.add((pk, cell, max(w for w, _ in live),
+                         str(sum(v for _, v in live)), "counter_live"))
+            elif max(tomb) > thr:
+                out.add((pk, cell, max(tomb), None, "tombstone_retained"))
+            continue
+        wt, k, v = max(surv, key=lambda a: (a[0], a[1] == "tombstone",
+                                            a[2] or ""))
+        if k == "tombstone":
+            if wt > thr:
+                out.add((pk, cell, wt, None, "tombstone_retained"))
+        else:
+            out.add((pk, cell, wt, v, "live"))
+    for pk, spans in rts.items():
+        pw = pd_wt.get(pk)
+        for (s, e), m in spans.items():
+            if (pw is None or m > pw) and m > thr:
+                out.add((pk, s, m, e, "range_tombstone_retained"))
+    for pk, w in pd_wt.items():
+        if w > thr:
+            out.add((pk, None, w, None, "partition_tombstone_retained"))
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_atom, min_size=1, max_size=25), st.integers(0, 10))
+def test_compact_atoms_oracle_matches_spec_model(atoms, thr):
+    import duckdb
+
+    from cassandra_ttl_remover_spark.operators.compact import (
+        compact_atoms_oracle_sql,
+    )
+
+    vals = ",".join(
+        "(" + ",".join(
+            "NULL" if v is None else f"'{v}'" if isinstance(v, str) else str(v)
+            for v in (pk, cell, kind, None, None, wt, val)) + ")"
+        for kind, pk, cell, wt, val in atoms)
+    atoms_sql = (f"SELECT * FROM (VALUES {vals}) AS "
+                 "t(pk, cell, kind, ttl, expiration, writetime, value)")
+    rows = duckdb.sql(compact_atoms_oracle_sql(
+        atoms_sql, gc_grace_us=0, now_us=thr)).fetchall()
+    got = {tuple(r) for r in rows}
+    assert got == _spec_model(atoms, thr)
