@@ -662,6 +662,7 @@ _DRIVER_PRIORITY = [
     "q_t12_twcs_plan",
     "q_s23_replica_repair",
     "q_s24_droppable_census",
+    "q_s25_gc_single_table",
     # --- last green: round 2 ---
     "q_s1_source_count",
     "q_s2_full_scan",
@@ -4054,6 +4055,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             now_us=1706745600 * 1_000_000)
     q["q_s24_droppable_census"] = q_s24
 
+    def q_s25(spark, sf):
+        # single-table GARBAGE COLLECTION (sstablegarbagecollect): apply
+        # the one shadowing rule WITHIN one generation, zero shuffle --
+        # each index-snapped split resolves and re-encodes its own
+        # partitions (deletion atoms are task-local to the partitions
+        # they shadow). Same _resolve_atoms implementation as the k-way
+        # merge: one semantics, three dataflows; scanning the rewritten
+        # output must equal the single-generation compaction oracle.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_gcs_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture_v2(spark, sf, os.path.join(base, "gen1"),
+                                     with_partition_deletes=True)
+        ss.gc_rewrite_single(spark, os.path.join(base, "gen1"),
+                             os.path.join(base, "out"),
+                             gc_grace_us=10 * 86400 * 1_000_000,
+                             now_us=1706745600 * 1_000_000)
+        return ss.scan_sstable(spark, os.path.join(base, "out"))
+    q["q_s25_gc_single_table"] = q_s25
+
     def q_st15(spark, sf):
         # incremental-migration shape on the NATIVE format: SSTable
         # shards arrive -> the streaming source batches each new-shard
@@ -6201,6 +6224,10 @@ SELECT generation, max_writetime, time_window,
        (count(*) OVER (PARTITION BY time_window)) >= 2 AS compact
 FROM c ORDER BY generation
 """
+    o["q_s25_gc_single_table"] = _ss.compact_rewrite_oracle_sql(
+        _ss.sstable_v2_gen1_atoms_sql(),
+        gc_grace_us=10 * 86400 * 1_000_000,
+        now_us=1706745600 * 1_000_000)
     o["q_s24_droppable_census"] = _ss.droppable_census_oracle_sql(
         gc_grace_us=10 * 86400 * 1_000_000,
         now_us=1706745600 * 1_000_000)

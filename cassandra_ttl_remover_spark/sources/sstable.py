@@ -1944,6 +1944,76 @@ def rewrite_stripped(spark, path: str, out_dir: str,
     return report.collect()
 
 
+def _resolve_atoms(pd_wt: dict, rts: dict, atoms: dict,
+                   threshold: int) -> list[tuple]:
+    """Task-local application of compact_atoms' ONE shadowing rule —
+    the single Python implementation shared by the k-way merge and the
+    single-table GC rewrite so the two cannot drift from each other (or
+    from the DataFrame plan: cross-plan equality is pinned in
+    tests/test_sstable.py and the spec-model property tests).
+
+    Inputs: ``pd_wt[pk] -> max partition-delete writetime``;
+    ``rts[pk][(start, end)] -> max range-tombstone writetime``;
+    ``atoms[(pk, cell)] -> [(writetime, kind, value), …]``. Returns
+    resolved ``(pk, cell, writetime, value, status)`` rows."""
+    rows: list[tuple] = []
+    for (pk, cell), versions in atoms.items():
+        pw = pd_wt.get(pk)
+        covering = [
+            m for (s, e), m in rts.get(pk, {}).items()
+            if s <= cell <= e
+        ]
+        surv = [
+            (wt, kind, val) for wt, kind, val in versions
+            if (pw is None or wt > pw)
+            and not any(wt <= m for m in covering)
+        ]
+        if not surv:
+            continue
+        shards = [
+            (wt, int(val)) for wt, kind, val in surv
+            if kind in ("counter", "counter_update")
+        ]
+        tomb_wt = max(
+            (wt for wt, kind, _ in surv
+             if kind == "tombstone"), default=None)
+        if shards:
+            live = [
+                (wt, v) for wt, v in shards
+                if tomb_wt is None or wt > tomb_wt
+            ]
+            if live:
+                rows.append((
+                    pk, cell, max(wt for wt, _ in live),
+                    str(sum(v for _, v in live)),
+                    "counter_live"))
+            elif tomb_wt > threshold:
+                rows.append((pk, cell, tomb_wt, None,
+                             "tombstone_retained"))
+            continue
+        wt, kind, val = max(
+            surv,
+            key=lambda a: (a[0], a[1] == "tombstone",
+                           a[2] if a[2] is not None else ""))
+        if kind == "tombstone":
+            if wt > threshold:
+                rows.append((pk, cell, wt, None,
+                             "tombstone_retained"))
+        else:
+            rows.append((pk, cell, wt, val, "live"))
+    for pk, spans in rts.items():
+        pw = pd_wt.get(pk)
+        for (s, e), m in spans.items():
+            if (pw is None or m > pw) and m > threshold:
+                rows.append((pk, s, m, e,
+                             "range_tombstone_retained"))
+    for pk, pwt in pd_wt.items():
+        if pwt > threshold:
+            rows.append((pk, None, pwt, None,
+                         "partition_tombstone_retained"))
+    return rows
+
+
 def _iter_planner_keys(d: str):
     """Sorted partition-key stream for the merge PLANNER — Summary.db when
     present (one sampled key per interval), else the full Index.db. The
@@ -2084,61 +2154,8 @@ def merge_compact_sorted(spark, path: str, *, gc_grace_us: int,
                         else:
                             atoms.setdefault((pk, cell), []).append(
                                 (wt, kind, val))
-                # resolve with compact_atoms' one shadowing rule
-                for (pk, cell), versions in atoms.items():
-                    pw = pd_wt.get(pk)
-                    covering = [
-                        m for (s, e), m in rts.get(pk, {}).items()
-                        if s <= cell <= e
-                    ]
-                    surv = [
-                        (wt, kind, val) for wt, kind, val in versions
-                        if (pw is None or wt > pw)
-                        and not any(wt <= m for m in covering)
-                    ]
-                    if not surv:
-                        continue
-                    shards = [
-                        (wt, int(val)) for wt, kind, val in surv
-                        if kind in ("counter", "counter_update")
-                    ]
-                    tomb_wt = max(
-                        (wt for wt, kind, _ in surv
-                         if kind == "tombstone"), default=None)
-                    if shards:
-                        live = [
-                            (wt, v) for wt, v in shards
-                            if tomb_wt is None or wt > tomb_wt
-                        ]
-                        if live:
-                            rows.append((
-                                pk, cell, max(wt for wt, _ in live),
-                                str(sum(v for _, v in live)),
-                                "counter_live"))
-                        elif tomb_wt > threshold:
-                            rows.append((pk, cell, tomb_wt, None,
-                                         "tombstone_retained"))
-                        continue
-                    wt, kind, val = max(
-                        surv,
-                        key=lambda a: (a[0], a[1] == "tombstone",
-                                       a[2] if a[2] is not None else ""))
-                    if kind == "tombstone":
-                        if wt > threshold:
-                            rows.append((pk, cell, wt, None,
-                                         "tombstone_retained"))
-                    else:
-                        rows.append((pk, cell, wt, val, "live"))
-                for pk, spans in rts.items():
-                    pw = pd_wt.get(pk)
-                    for (s, e), m in spans.items():
-                        if (pw is None or m > pw) and m > threshold:
-                            rows.append((pk, s, m, e,
-                                         "range_tombstone_retained"))
-                for pk, pwt in pd_wt.items():
-                    if pwt > threshold:
-                        rows.append((pk, None, pwt, None,
-                                     "partition_tombstone_retained"))
+                rows.extend(
+                    _resolve_atoms(pd_wt, rts, atoms, threshold))
             yield pd.DataFrame(
                 rows, columns=["pk", "cell", "writetime", "value",
                                "status"])
@@ -3231,4 +3248,160 @@ SELECT generation,
        sum(CASE WHEN kind = 'expiring' AND expiration <= {thr_s}
                 THEN 1 ELSE 0 END)::BIGINT AS n_expired
 FROM atoms GROUP BY generation ORDER BY generation
+"""
+
+
+def _status_to_cell(cell, wt, val, status) -> tuple:
+    """Writer cell tuple for one resolved merge row — the Python twin of
+    :func:`compact_rewrite`'s SQL reconstruction (same documented lossy
+    mapping; equality of the two pinned in tests)."""
+    name = str(cell).encode()
+    sec = int(wt) // 1_000_000
+    if status == "live":
+        return (name, 0, 0, 0, int(wt), str(val).encode())
+    if status == "counter_live":
+        return (name, COUNTER_MASK, 0, 0, int(wt), str(val).encode())
+    if status == "tombstone_retained":
+        return (name, DELETION_MASK, 0, 0, int(wt),
+                struct.pack(">i", sec))
+    if status == "range_tombstone_retained":
+        return (name, RANGE_TOMBSTONE_MASK, 0, sec, int(wt),
+                str(val).encode())
+    raise ValueError(f"unexpected resolved status {status!r}")
+
+
+def gc_rewrite_single(spark, path: str, out_dir: str, *,
+                      gc_grace_us: int, now_us: int,
+                      num_splits: int = 8) -> list:
+    """Single-table garbage collection — the ``sstablegarbagecollect``
+    analog: apply compact_atoms' shadowing rule WITHIN each generation
+    independently (no cross-generation merge), dropping data its own
+    deletes shadow and purging deletes past gc_grace. The everyday ops
+    move when one table is bloated with expired deletes but a full
+    cross-generation compaction is too expensive — and the dataflow
+    shows why it is cheap: like :func:`rewrite_stripped` it is
+    ZERO-shuffle (each index-snapped split resolves and re-encodes its
+    own partitions in place; splits are partition-granular, so every
+    deletion atom is task-local to the partitions it shadows), whereas
+    :func:`merge_compact_sorted` must at least align key ranges across
+    generations. Uses the SAME :func:`_resolve_atoms` implementation as
+    the k-way merge — one semantics, three dataflows.
+
+    Output layout mirrors rewrite_stripped
+    (``out_dir/<generation>_shard=<split>``, all sidecars, digest-clean).
+    Returns the per-shard report rows ``(shard, n_partitions,
+    n_atoms_in, n_atoms_out)``."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    threshold = int(now_us) - int(gc_grace_us)
+    specs = []
+    for d in _resolve_table_dirs(path):
+        gen_name = os.path.basename(d.rstrip("/"))
+        for i, (data_path, start, end) in enumerate(
+                _plan_table_splits(d, num_splits)):
+            specs.append((gen_name, i, data_path, start, end))
+
+    def _rewrite(batches):
+        for pdf in batches:
+            out_rows = []
+            for gen_name, i, data_path, start, end in pdf[
+                ["gen", "idx", "data_path", "start", "end"]
+            ].itertuples(index=False):
+                pd_wt: dict = {}
+                rts: dict = {}
+                atoms: dict = {}
+                n_in = 0
+                for r in scan_data_range(data_path, int(start), int(end)):
+                    pk, cell, kind, wt, val = (
+                        r[0], r[1], r[2], int(r[5]), r[6])
+                    n_in += 1
+                    if kind == "partition_tombstone":
+                        pd_wt[pk] = max(pd_wt.get(pk, wt), wt)
+                    elif kind == "range_tombstone":
+                        d_rt = rts.setdefault(pk, {})
+                        span = (cell, val)
+                        d_rt[span] = max(d_rt.get(span, wt), wt)
+                    else:
+                        atoms.setdefault((pk, cell), []).append(
+                            (wt, kind, val))
+                resolved = _resolve_atoms(pd_wt, rts, atoms, threshold)
+                parts: dict[bytes, list] = {}
+                deletions: dict[bytes, tuple] = {}
+                for pk, cell, wt, val, status in resolved:
+                    kb = pk.encode()
+                    if status == "partition_tombstone_retained":
+                        deletions[kb] = (int(wt) // 1_000_000, int(wt))
+                        parts.setdefault(kb, [])
+                        continue
+                    parts.setdefault(kb, []).append(
+                        _status_to_cell(cell, wt, val, status))
+                if not parts:
+                    continue
+                shard = f"{gen_name}_shard={int(i):05d}"
+                write_sstable(
+                    [(k, sorted(cs, key=lambda c: c[0]), deletions[k])
+                     if k in deletions
+                     else (k, sorted(cs, key=lambda c: c[0]))
+                     for k, cs in parts.items()],
+                    os.path.join(out_dir, shard),
+                )
+                out_rows.append((shard, len(parts), n_in, len(resolved)))
+            yield pd.DataFrame(
+                out_rows, columns=["shard", "n_partitions", "n_atoms_in",
+                                   "n_atoms_out"])
+
+    report = (
+        spark.createDataFrame(
+            specs, "gen string, idx int, data_path string, "
+                   "start long, end long")
+        .repartition(min(len(specs), 32))
+        .mapInPandas(
+            _rewrite,
+            schema=("shard string, n_partitions bigint, "
+                    "n_atoms_in bigint, n_atoms_out bigint"),
+        )
+    )
+    return report.collect()
+
+
+def sstable_v2_gen1_atoms_sql(table: str = "events") -> str:
+    """Generation-1 atoms ALONE (the
+    :func:`events_sstable_fixture_v2` ``with_partition_deletes=True``
+    rules — the gen-1 subset of :func:`sstable_compact_v2_atoms_sql`,
+    kept textually in sync with it) — the input the single-table GC
+    oracle compacts."""
+    return f"""
+WITH e AS (
+  SELECT user_id::VARCHAR AS pk, user_id,
+         printf('%012d', event_id) AS eid,
+         event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vcents,
+         epoch_us(ts) AS wt,
+         CASE WHEN event_id % 10 < 7
+              THEN (event_id % 30 + 1) * 86400 END AS ttl,
+         epoch_us(ts) // 1000000 AS ts_s
+  FROM {table}
+)
+SELECT pk, eid || ':etype' AS cell,
+       CASE WHEN ttl IS NOT NULL THEN 'expiring' ELSE 'normal' END AS kind,
+       ttl::BIGINT AS ttl, (ts_s + ttl)::BIGINT AS expiration,
+       wt AS writetime, event_type AS value
+FROM e
+UNION ALL
+SELECT pk, eid || ':cnt', 'counter', NULL::BIGINT,
+       (wt - 1000000)::BIGINT, wt, vcents::VARCHAR
+FROM e WHERE event_id % 11 = 0
+UNION ALL
+SELECT pk, eid || ':cup', 'counter_update', NULL::BIGINT, NULL::BIGINT,
+       wt, vcents::VARCHAR
+FROM e WHERE event_id % 11 = 1
+UNION ALL
+SELECT pk, eid || ':a', 'range_tombstone', NULL::BIGINT, ts_s::BIGINT,
+       wt, eid || ':z'
+FROM e WHERE event_id % 13 = 0
+UNION ALL
+SELECT pk, NULL, 'partition_tombstone', NULL::BIGINT,
+       min(ts_s)::BIGINT, min(wt) - 1, NULL
+FROM e WHERE user_id % 17 = 0 GROUP BY pk
 """

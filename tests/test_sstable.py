@@ -1592,3 +1592,28 @@ def test_merge_raises_on_truncated_generation(spark):
         ss.merge_compact_sorted(
             spark, base, gc_grace_us=0, now_us=0, num_splits=2).collect()
     shutil.rmtree(base)
+
+
+def test_gc_single_table_equals_compact_rewrite_on_one_generation(spark):
+    """Cross-dataflow equality on a single generation: the zero-shuffle
+    within-table GC rewrite and the full compaction rewrite must produce
+    byte-identical scan-back rows (same _resolve_atoms semantics, same
+    reconstruction mapping), and the GC output is digest-clean."""
+    base = _tmpdir()
+    ss.events_sstable_fixture_v2(spark, "/root/testdata/sf0.001",
+                                 os.path.join(base, "gen1"),
+                                 with_partition_deletes=True)
+    kw = dict(gc_grace_us=10 * 86400 * 1_000_000,
+              now_us=1706745600 * 1_000_000)
+    ss.gc_rewrite_single(spark, os.path.join(base, "gen1"),
+                         os.path.join(base, "gc"), **kw)
+    ss.compact_rewrite(spark, os.path.join(base, "gen1"),
+                       os.path.join(base, "cr"), **kw)
+    a = sorted(tuple(r) for r in
+               ss.scan_sstable(spark, os.path.join(base, "gc")).collect())
+    b = sorted(tuple(r) for r in
+               ss.scan_sstable(spark, os.path.join(base, "cr")).collect())
+    assert a and a == b
+    checks = ss.verify_digests(spark, os.path.join(base, "gc")).collect()
+    assert checks and all(r.digest_ok and r.toc_ok for r in checks)
+    shutil.rmtree(base)
