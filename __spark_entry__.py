@@ -6220,8 +6220,15 @@ WITH g AS (
   FROM g
 )
 SELECT generation, max_writetime, time_window,
-       (count(*) OVER (PARTITION BY time_window))::BIGINT AS group_n,
-       (count(*) OVER (PARTITION BY time_window)) >= 2 AS compact
+       -- NULL windows (empty generations) never group: mirror
+       -- plan_compaction_twcs' count(time_window) OVER semantics,
+       -- where a NULL-window row pins group_n = 0
+       (CASE WHEN time_window IS NULL THEN 0
+             ELSE count(*) OVER (PARTITION BY time_window) END)::BIGINT
+         AS group_n,
+       (CASE WHEN time_window IS NULL THEN 0
+             ELSE count(*) OVER (PARTITION BY time_window) END) >= 2
+         AS compact
 FROM c ORDER BY generation
 """
     o["q_s25_gc_single_table"] = _ss.compact_rewrite_oracle_sql(

@@ -95,6 +95,22 @@ def profile_table_oracle_sql(table: str, cols: list[str]) -> str:
 _DIGEST_MOD = 9_223_372_036_854_775_783
 
 
+def duck_digest_leaf_sql(canon_sql: str) -> str:
+    """DuckDB leaf expression of the anti-entropy digest: first 15 hex
+    digits of md5(canonical string) as a 60-bit BIGINT — the ONE place
+    the oracle-side leaf construction lives (table_digest_oracle_sql and
+    the replica-repair oracle both build on it; widening the leaf means
+    changing exactly this function and its Spark twin in
+    :func:`table_digest`)."""
+    return f"('0x' || substr(md5({canon_sql}), 1, 15))::BIGINT"
+
+
+def duck_pmod_sql(expr: str, n: int) -> str:
+    """DuckDB mirror of Spark's pmod: ((x % n) + n) % n (DuckDB's %
+    follows the dividend's sign)."""
+    return f"((({expr}) % {n}) + {n}) % {n}"
+
+
 def table_digest(df: DataFrame, cols: list[str],
                  bucket_col: str, n_buckets: int = 16) -> DataFrame:
     """Anti-entropy digest: one order-independent content checksum per key
@@ -142,12 +158,10 @@ def table_digest_oracle_sql(cols: list[str], bucket_col: str,
     canon = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
     return f"""
 WITH leaves AS (
-  -- ((x % n) + n) % n mirrors Spark's pmod: DuckDB's % follows the
-  -- dividend's sign, so a negative bucket key would otherwise land the
-  -- two engines in different buckets and diverge the digests
-  SELECT ((({bucket_col} % {n_buckets}) + {n_buckets}) % {n_buckets})::INT
-           AS bucket,
-         ('0x' || substr(md5({canon}), 1, 15))::BIGINT::HUGEINT AS leaf
+  -- pmod mirror: a negative bucket key would otherwise land the two
+  -- engines in different buckets and diverge the digests
+  SELECT ({duck_pmod_sql(bucket_col, n_buckets)})::INT AS bucket,
+         {duck_digest_leaf_sql(canon)}::HUGEINT AS leaf
   FROM {table}
 )
 SELECT bucket, count(*)::BIGINT AS n_rows,

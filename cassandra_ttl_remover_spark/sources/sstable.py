@@ -1944,6 +1944,22 @@ def rewrite_stripped(spark, path: str, out_dir: str,
     return report.collect()
 
 
+def _classify_atom(pd_wt: dict, rts: dict, atoms: dict,
+                   pk: str, cell, kind: str, wt: int, val) -> None:
+    """Route one decoded atom into the task-local resolution state — the
+    build half that pairs with :func:`_resolve_atoms` (shared by the
+    k-way merge and the single-table GC rewrite so neither half of the
+    semantics can drift between dataflows)."""
+    if kind == "partition_tombstone":
+        pd_wt[pk] = max(pd_wt.get(pk, wt), wt)
+    elif kind == "range_tombstone":
+        d_rt = rts.setdefault(pk, {})
+        span = (cell, val)
+        d_rt[span] = max(d_rt.get(span, wt), wt)
+    else:
+        atoms.setdefault((pk, cell), []).append((wt, kind, val))
+
+
 def _resolve_atoms(pd_wt: dict, rts: dict, atoms: dict,
                    threshold: int) -> list[tuple]:
     """Task-local application of compact_atoms' ONE shadowing rule —
@@ -2143,17 +2159,8 @@ def merge_compact_sorted(spark, path: str, *, gc_grace_us: int,
                             continue
                         if stop is not None and pk_b >= stop:
                             continue
-                        pk, cell, kind, wt, val = (
-                            r[0], r[1], r[2], int(r[5]), r[6])
-                        if kind == "partition_tombstone":
-                            pd_wt[pk] = max(pd_wt.get(pk, wt), wt)
-                        elif kind == "range_tombstone":
-                            d_rt = rts.setdefault(pk, {})
-                            span = (cell, val)
-                            d_rt[span] = max(d_rt.get(span, wt), wt)
-                        else:
-                            atoms.setdefault((pk, cell), []).append(
-                                (wt, kind, val))
+                        _classify_atom(pd_wt, rts, atoms, r[0], r[1],
+                                       r[2], int(r[5]), r[6])
                 rows.extend(
                     _resolve_atoms(pd_wt, rts, atoms, threshold))
             yield pd.DataFrame(
@@ -3084,7 +3091,11 @@ def replica_diff_oracle_sql(where_b: str, *, n_buckets: int = 16,
     replica B built with ``where_b`` — recomputing both sides' bucket
     digests from the events table (same canonical string, same
     md5-derived buckets, same pmod convention as the q_d3 oracle)."""
-    from cassandra_ttl_remover_spark.operators.audit import _DIGEST_MOD
+    from cassandra_ttl_remover_spark.operators.audit import (
+        _DIGEST_MOD,
+        duck_digest_leaf_sql,
+        duck_pmod_sql,
+    )
 
     scan = sstable_scan_oracle_sql(table)
     scan_b = sstable_scan_oracle_sql(
@@ -3093,11 +3104,10 @@ def replica_diff_oracle_sql(where_b: str, *, n_buckets: int = 16,
         f"COALESCE(CAST({c} AS VARCHAR), '')"
         for c in ["pk", "cell", "kind", "ttl", "expiration", "writetime",
                   "value"])
-    leaf = f"('0x' || substr(md5({canon}), 1, 15))::BIGINT"
-    # the bucket hashes the pk ALONE (the token-range analog); pmod
-    # mirror as in the q_d3 oracle
-    pk_leaf = "('0x' || substr(md5(pk), 1, 15))::BIGINT"
-    bk = f"((({pk_leaf} % {n_buckets}) + {n_buckets}) % {n_buckets})"
+    leaf = duck_digest_leaf_sql(canon)
+    # the bucket hashes the pk ALONE (the token-range analog); one
+    # shared leaf/pmod construction with the q_d3 oracle (audit.py)
+    bk = duck_pmod_sql(duck_digest_leaf_sql("pk"), n_buckets)
     return f"""
 WITH a_rows AS ({scan}), b_rows AS ({scan_b}),
 a AS (
@@ -3301,6 +3311,8 @@ def gc_rewrite_single(spark, path: str, out_dir: str, *,
         for i, (data_path, start, end) in enumerate(
                 _plan_table_splits(d, num_splits)):
             specs.append((gen_name, i, data_path, start, end))
+    if not specs:
+        return []  # every generation empty: nothing to GC, empty report
 
     def _rewrite(batches):
         for pdf in batches:
@@ -3313,18 +3325,9 @@ def gc_rewrite_single(spark, path: str, out_dir: str, *,
                 atoms: dict = {}
                 n_in = 0
                 for r in scan_data_range(data_path, int(start), int(end)):
-                    pk, cell, kind, wt, val = (
-                        r[0], r[1], r[2], int(r[5]), r[6])
                     n_in += 1
-                    if kind == "partition_tombstone":
-                        pd_wt[pk] = max(pd_wt.get(pk, wt), wt)
-                    elif kind == "range_tombstone":
-                        d_rt = rts.setdefault(pk, {})
-                        span = (cell, val)
-                        d_rt[span] = max(d_rt.get(span, wt), wt)
-                    else:
-                        atoms.setdefault((pk, cell), []).append(
-                            (wt, kind, val))
+                    _classify_atom(pd_wt, rts, atoms, r[0], r[1],
+                                   r[2], int(r[5]), r[6])
                 resolved = _resolve_atoms(pd_wt, rts, atoms, threshold)
                 parts: dict[bytes, list] = {}
                 deletions: dict[bytes, tuple] = {}
@@ -3336,8 +3339,10 @@ def gc_rewrite_single(spark, path: str, out_dir: str, *,
                         continue
                     parts.setdefault(kb, []).append(
                         _status_to_cell(cell, wt, val, status))
-                if not parts:
-                    continue
+                # a fully-purged split still writes its (empty) sstable —
+                # the PRIME gc target is a table whose deletes all lapsed,
+                # and its output must stay scannable and digest-clean —
+                # and still reports, so n_atoms_in is never silently lost
                 shard = f"{gen_name}_shard={int(i):05d}"
                 write_sstable(
                     [(k, sorted(cs, key=lambda c: c[0]), deletions[k])

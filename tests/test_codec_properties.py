@@ -395,13 +395,19 @@ def test_column_index_slice_equals_filter_property(data):
 # DuckDB vs straight-line Python, hundreds of examples)
 # ---------------------------------------------------------------------------
 
+# cell-name alphabets OVERLAP deliberately: tombstones land on counter
+# cells ('n') so the counter-delete shadowing branch is exercised, and
+# counter_update shards mix with counter shards on the same keys
 _atom = st.one_of(
     st.tuples(st.just("normal"), st.sampled_from("pq"),
               st.sampled_from("cdef"), st.integers(0, 9),
               st.sampled_from("xyz")),
     st.tuples(st.just("tombstone"), st.sampled_from("pq"),
-              st.sampled_from("cdef"), st.integers(0, 9), st.none()),
+              st.sampled_from("cdefn"), st.integers(0, 9), st.none()),
     st.tuples(st.just("counter"), st.sampled_from("pq"),
+              st.sampled_from("nm"), st.integers(0, 9),
+              st.integers(1, 9).map(str)),
+    st.tuples(st.just("counter_update"), st.sampled_from("pq"),
               st.sampled_from("nm"), st.integers(0, 9),
               st.integers(1, 9).map(str)),
     st.tuples(st.just("range_tombstone"), st.sampled_from("pq"),
@@ -434,7 +440,8 @@ def _spec_model(atoms, thr):
                 if (pw is None or wt > pw) and all(wt > m for m in cover)]
         if not surv:
             continue
-        shards = [(wt, int(v)) for wt, k, v in surv if k == "counter"]
+        shards = [(wt, int(v)) for wt, k, v in surv
+                  if k in ("counter", "counter_update")]
         tomb = [wt for wt, k, _ in surv if k == "tombstone"]
         if shards:
             live = [(wt, v) for wt, v in shards
