@@ -637,69 +637,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS row — maintained by hand with each code change; the
 #: contract test pins these to the front of the graded window.
 _REGRADE_FIRST = [
-    # round 8: merge_compact_sorted grows deletion atoms (RT + partition
-    # deletes) + the counter stance; q_t8 moves to the same compact_atoms
-    # semantics; q_s21/q_m8 fixtures extend to the full atom surface;
-    # scrub deep-pass demotion (ADVICE r7); slice reader gains the
-    # max-cells bound.
-    "q_t9_sstable_merge_compact",
-    "q_t8_sstable_compact_e2e",
-    "q_s21_strip_rewrite_zeroshuffle",
-    "q_m8_cli_native_job",
-    "q_s20_scrub_report",
-    "q_s19_clustering_slice",
-    # span-removal rewrite dropped its two localCheckpoints (same rows,
-    # different executed plan) — its r6 green row predates the change
-    "q_n49_span_removal",
+    # round 9: maintained as round-9 changes land (kcore checkpoint,
+    # bpe_train batched merges, compact.py deletion-frame scoping,
+    # sstable.py ADVICE fixes) — changed queries are prepended here
+    # AND to the front of _DRIVER_PRIORITY.
 ]
 
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
-    # --- new in round 8 (never graded) ---
-    "q_t10_major_compact_rewrite",
-    "q_s22_merge_retains_deletions",
-    "q_t11_stcs_plan",
-    "q_t12_twcs_plan",
-    "q_s23_replica_repair",
-    "q_s24_droppable_census",
-    "q_s25_gc_single_table",
+    # --- round-9 rotation: stalest-green-first, regenerated from
+    # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
+    # commit; same green rule as tests/test_harness_contract.py) ---
     # --- last green: round 2 ---
-    "q_s1_source_count",
-    "q_s2_full_scan",
-    "q_s3_range_scan",
-    "q_s3b_token_range",
-    "q_s3c_portable_token_range",
-    "q_s4_point_lookup",
-    "q_s5_successor",
-    "q_s6_named_columns",
-    "q_s6b_projection",
-    "q_t1_strip_ttl",
-    "q_t1b_live_roundtrip",
-    "q_t1c_strip_nested_cells",
-    "q_t2_cell_kind",
-    "q_t3_interval_pairing",
-    "q_t4_empty_partition_routing",
-    "q_rt_range_tombstone_apply",
-    "q_t5_sort_within_partition",
-    "q_t6_liveness_census",
-    "q_a1_exact_key_count",
-    "q_a2_approx_distinct",
-    "q_a4_sketch_union_distinct",
-    "q_a3_merge_gain",
-    "q_a3b_multi_source_merge_gain",
-    "q_m1_ddl_schema",
-    "q_m2_registry_lookup",
-    "q_m7_cli_option_matrix",
-    "q_m3_strategy_registry",
-    "q_w1_sorted_write_roundtrip",
-    "q_p2_cube_rollup",
-    "q_p1_pricing_rollup",
-    "q_sql_parity",
-    "q_sql_q3_shipping_priority",
-    "q_sql_q5_local_supplier_volume",
-    "q_sql_q6_forecast_revenue",
-    "q_sql_q10_returned_items",
-    "q_x7_window_analytics",
     "q_x8_json_extract",
     "q_x9_correlated_subquery",
     "q_x10_unpivot",
@@ -880,7 +829,6 @@ _DRIVER_PRIORITY = [
     "q_se7_scd2_build",
     "q_se8_scd2_temporal_join",
     "q_n48_prefix_filter_join",
-    "q_n49_span_removal",
     "q_n50_pmi_bigrams",
     "q_n51_winnowing",
     "q_n52_edit_distance",
@@ -954,6 +902,57 @@ _DRIVER_PRIORITY = [
     "q_ml1_linear_fit",
     "q_ml2_ridge_fit",
     "q_ml3_residual_outliers",
+    # --- last green: round 8 ---
+    "q_t9_sstable_merge_compact",
+    "q_t8_sstable_compact_e2e",
+    "q_s21_strip_rewrite_zeroshuffle",
+    "q_m8_cli_native_job",
+    "q_s20_scrub_report",
+    "q_s19_clustering_slice",
+    "q_n49_span_removal",
+    "q_t10_major_compact_rewrite",
+    "q_s22_merge_retains_deletions",
+    "q_t11_stcs_plan",
+    "q_t12_twcs_plan",
+    "q_s23_replica_repair",
+    "q_s24_droppable_census",
+    "q_s25_gc_single_table",
+    "q_s1_source_count",
+    "q_s2_full_scan",
+    "q_s3_range_scan",
+    "q_s3b_token_range",
+    "q_s3c_portable_token_range",
+    "q_s4_point_lookup",
+    "q_s5_successor",
+    "q_s6_named_columns",
+    "q_s6b_projection",
+    "q_t1_strip_ttl",
+    "q_t1b_live_roundtrip",
+    "q_t1c_strip_nested_cells",
+    "q_t2_cell_kind",
+    "q_t3_interval_pairing",
+    "q_t4_empty_partition_routing",
+    "q_rt_range_tombstone_apply",
+    "q_t5_sort_within_partition",
+    "q_t6_liveness_census",
+    "q_a1_exact_key_count",
+    "q_a2_approx_distinct",
+    "q_a4_sketch_union_distinct",
+    "q_a3_merge_gain",
+    "q_a3b_multi_source_merge_gain",
+    "q_m1_ddl_schema",
+    "q_m2_registry_lookup",
+    "q_m7_cli_option_matrix",
+    "q_m3_strategy_registry",
+    "q_w1_sorted_write_roundtrip",
+    "q_p2_cube_rollup",
+    "q_p1_pricing_rollup",
+    "q_sql_parity",
+    "q_sql_q3_shipping_priority",
+    "q_sql_q5_local_supplier_volume",
+    "q_sql_q6_forecast_revenue",
+    "q_sql_q10_returned_items",
+    "q_x7_window_analytics",
 ]
 
 
