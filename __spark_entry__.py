@@ -645,6 +645,8 @@ _REGRADE_FIRST = [
 
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
+    # --- new in round 9 (never graded) ---
+    "q_s26_successor_native",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -3726,6 +3728,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                key_start="2", key_stop="3")
     q["q_s16_sstable_summary_range"] = q_s16
 
+    def q_s26(spark, sf):
+        # NATIVE successor lookup (S5 on the binary source) — the
+        # reference's firstKeyBeyond (NoTTLReader.java:1680-1715):
+        # smallest partition key strictly greater than the probe,
+        # resolved per generation from Summary.db + one covering
+        # Index.db window, zero Data.db bytes. Two disjoint
+        # generations (even/odd user ids) prove the per-table contract
+        # including the multi-generation shape; a small
+        # summary_interval makes the parsed window genuinely partial
+        # (tests/test_sstable.py asserts parsed < total). The result
+        # is plan-independent: each generation's successor is the
+        # lexicographic min key above the probe in that key subset.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstfk_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen1"),
+                                  where="user_id % 2 = 0",
+                                  summary_interval=8)
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen2"),
+                                  where="user_id % 2 = 1",
+                                  summary_interval=8)
+        return (
+            ss.first_key_beyond(spark, base, "2")
+            .select("generation", "next_key")
+            .orderBy("generation")
+        )
+    q["q_s26_successor_native"] = q_s26
+
     def q_s17(spark, sf):
         # metadata-only TTL census across generations — the reference
         # tool's operational question ("which SSTables still carry
@@ -6284,6 +6316,18 @@ FROM events GROUP BY 1, user_id % 2 = 0 ORDER BY 1
     o["q_s16_sstable_summary_range"] = f"""
 SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
 WHERE pk >= '2' AND pk < '3'
+"""
+    # firstKeyBeyond is plan-independent: per generation (even/odd key
+    # subset) the successor is the lexicographic min key above the probe
+    o["q_s26_successor_native"] = """
+SELECT 'gen1' AS generation,
+       (SELECT min(user_id::VARCHAR) FROM events
+        WHERE user_id % 2 = 0 AND user_id::VARCHAR > '2') AS next_key
+UNION ALL
+SELECT 'gen2',
+       (SELECT min(user_id::VARCHAR) FROM events
+        WHERE user_id % 2 = 1 AND user_id::VARCHAR > '2')
+ORDER BY generation
 """
     o["q_s17_sstable_stats_census"] = """
 SELECT ('gen' || (CASE WHEN user_id % 2 = 0 THEN '1' ELSE '2' END))

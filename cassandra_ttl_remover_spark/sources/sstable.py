@@ -2199,6 +2199,82 @@ def lookup_partition(spark, path: str, key: str):
                         key_start=key, key_stop=key + "\x00")
 
 
+def _successor_in_dir(d: str, probe: bytes) -> tuple:
+    """First partition key strictly greater than ``probe`` in ONE table —
+    the reference's successor lookup (firstKeyBeyond,
+    NoTTLReader.java:1680-1715) — plus ``(index_bytes_parsed,
+    index_bytes_total)`` diagnostics proving the bounded read. Probe
+    order mirrors the range planner (q_s16 path): Summary.db resolves
+    the covering Index.db byte window (last sample <= probe through one
+    sample block past the first sample >= probe — the successor entry
+    can never sit beyond it), and ONLY that window is parsed; Data.db
+    is never opened. Tables without Summary.db parse the full index
+    (pre-summary convention — never wrong, just unpruned). Returns
+    ``(key bytes | None, bytes_parsed, bytes_total)``."""
+    import bisect
+
+    index_path = os.path.join(d, "Index.db")
+    total = os.path.getsize(index_path)
+    win = _summary_window(d, probe, probe)
+    if win is None:
+        entries = read_index(index_path)
+        parsed = total
+    else:
+        ix_start, ix_end, _ = win
+        with open(index_path, "rb") as f:
+            f.seek(ix_start)
+            buf = (f.read() if ix_end is None
+                   else f.read(ix_end - ix_start))
+        parsed = len(buf)
+        entries = _parse_index_entries(
+            buf, _table_generation(d), index_path, base_off=ix_start
+        )
+    keys = [k for k, _ in entries]
+    i = bisect.bisect_right(keys, probe)
+    return (keys[i] if i < len(keys) else None), parsed, total
+
+
+def first_key_beyond(spark, path: str, key: str):
+    """S5 on the native source: per-generation successor lookup — one
+    ``(generation, next_key, index_bytes_parsed, index_bytes_total)``
+    row per table, ``next_key`` NULL when the probe is at or past the
+    table's last key (exactly the reference's null contract,
+    NoTTLReader.java:1680-1715). One executor task per table; each
+    task's I/O is one Summary.db streaming pass plus one covering
+    Index.db window — at a billion partitions per table the window is
+    KBs while the index is GBs, which is the entire point of the
+    summary probe order. The directory-level successor is
+    ``min(next_key)`` over the rows (the multi-generation read path's
+    merge step, done declaratively)."""
+    import pandas as pd
+
+    probe = key.encode()
+    dirs = _resolve_table_dirs(path)
+
+    def _read(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["dir"]:
+                nxt, parsed, total = _successor_in_dir(d, probe)
+                rows.append({
+                    "generation": os.path.basename(d),
+                    "next_key": None if nxt is None else nxt.decode(),
+                    "index_bytes_parsed": parsed,
+                    "index_bytes_total": total,
+                })
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        .repartition(min(len(dirs), 32))
+        .mapInPandas(
+            _read,
+            schema=("generation string, next_key string, "
+                    "index_bytes_parsed bigint, index_bytes_total bigint"),
+        )
+    )
+
+
 def stats_census(spark, path: str):
     """Metadata-only census of a directory of generations: one row per
     table from its ``Statistics.db`` alone — zero Data.db bytes read.

@@ -736,6 +736,50 @@ def test_summary_windowed_index_read_matches_full(spark):
         shutil.rmtree(out)
 
 
+def test_first_key_beyond_successor_and_bounded_window(spark):
+    """Native S5 (firstKeyBeyond, NoTTLReader.java:1680-1715): for every
+    probe position — before the first key, at a key, between keys, at a
+    sample boundary, at/past the last key — the successor equals the
+    exhaustive index answer, the probe parses ONLY the covering
+    Summary.db-resolved Index.db window (strictly fewer bytes than the
+    full index), and a table with no Summary.db falls back to the full
+    parse with the same answer. Directory-level min over the
+    per-generation frame resolves the multi-table successor."""
+    for gen in ("v1", "mc"):
+        out = _tmpdir()
+        parts = [(f"k{i:04d}".encode(),
+                  [(b"c", 0, 0, 0, i, str(i).encode())])
+                 for i in range(300)]
+        ss.write_sstable(parts, out, generation=gen, summary_interval=8)
+        keys = [k for k, _ in ss.read_index(os.path.join(out, "Index.db"))]
+        import bisect
+        probes = [b"a", b"k0000", b"k0007", b"k0007\x00", b"k0125",
+                  b"k0128", b"k0240", b"k0298", b"k0299", b"zzz"]
+        for p in probes:
+            nxt, parsed, total = ss._successor_in_dir(out, p)
+            i = bisect.bisect_right(keys, p)
+            want = keys[i] if i < len(keys) else None
+            assert nxt == want, (gen, p)
+            assert parsed < total, (gen, p, parsed, total)
+        # no-Summary fallback: full parse, same successor
+        os.remove(os.path.join(out, "Summary.db"))
+        nxt, parsed, total = ss._successor_in_dir(out, b"k0125")
+        assert nxt == b"k0126" and parsed == total
+        shutil.rmtree(out)
+
+    # distributed directory shape: per-generation rows + NULL contract
+    base = _tmpdir()
+    ss.write_sstable([(b"a1", [(b"c", 0, 0, 0, 1, b"v")]),
+                      (b"a3", [(b"c", 0, 0, 0, 1, b"v")])],
+                     os.path.join(base, "gen1"))
+    ss.write_sstable([(b"a2", [(b"c", 0, 0, 0, 1, b"v")])],
+                     os.path.join(base, "gen2"))
+    rows = {r.generation: r.next_key
+            for r in ss.first_key_beyond(spark, base, "a2").collect()}
+    assert rows == {"gen1": "a3", "gen2": None}
+    shutil.rmtree(base)
+
+
 def test_corrupt_summary_fails_loud():
     out = _tmpdir()
     ss.write_sstable([(b"k1", [(b"c", 0, 0, 0, 1, b"v")])], out)
