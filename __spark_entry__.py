@@ -647,6 +647,7 @@ _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
     # --- new in round 9 (never graded) ---
     "q_s26_successor_native",
+    "q_m9_index_table_lookup",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -1418,6 +1419,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "qualified string, found boolean, n_fields int"
         )
     q["q_m2_registry_lookup"] = q_m2
+
+    def q_m9(spark, sf):
+        # M2 secondary-index table resolution: Cassandra names an index
+        # SSTable '<parent>.<index>' and resolves its metadata THROUGH
+        # the parent (NoTTLReader.java:266-284 newIndexMetadata;
+        # Cassandra2TTLRemover.java:42-52). Here the index is a DERIVED
+        # catalog view (idx_key = indexed value, parent_key = parent
+        # partition key) registered from the parent, and an index point
+        # lookup is a pushed filter on that projection — two pruned
+        # columns, zero shuffle. Undeclared indexes and unknown parents
+        # follow the same warn+skip contract as unknown tables.
+        from cassandra_ttl_remover_spark import catalog
+
+        catalog.register_tables(spark, sf, keyspace="ks",
+                                tables=["events", "nation"])
+        name = catalog.register_index(spark, "ks", "events",
+                                      "event_type", "user_id")
+        idx = catalog.lookup(spark, name)
+        hit = idx.filter(F.col("idx_key") == "click").agg(
+            F.count("*").cast("long").alias("n_entries"),
+            F.countDistinct("parent_key").cast("long").alias("n_parents"),
+            F.min("parent_key").alias("min_parent"),
+            F.max("parent_key").alias("max_parent"),
+        ).select(F.lit("click").alias("probe"), "*")
+        misses = []
+        if catalog.lookup(spark, "ks.events.idx_props") is None:
+            misses.append(("undeclared_index",))
+        if catalog.register_index(spark, "ks", "nope",
+                                  "event_type", "user_id") is None:
+            misses.append(("unknown_parent",))
+        miss_df = (
+            spark.createDataFrame(misses, "probe string")
+            .select("probe",
+                    F.lit(0).cast("long").alias("n_entries"),
+                    F.lit(0).cast("long").alias("n_parents"),
+                    F.lit(None).cast("long").alias("min_parent"),
+                    F.lit(None).cast("long").alias("max_parent"))
+        )
+        return hit.unionByName(miss_df).orderBy("probe")
+    q["q_m9_index_table_lookup"] = q_m9
 
     def q_m7(spark, sf):
         # M7 CLI option matrix (TTLRemoverCLI.java:165-197): accepted specs
@@ -6625,6 +6666,19 @@ FROM cells GROUP BY i, cell ORDER BY i, cell
           ('ks.nation', TRUE, 3),
           ('ks.missing_table', FALSE, 0)
         ) AS t(qualified, found, n_fields) ORDER BY qualified"""
+
+    o["q_m9_index_table_lookup"] = """
+        SELECT 'click' AS probe,
+               count(*)::BIGINT AS n_entries,
+               count(DISTINCT user_id)::BIGINT AS n_parents,
+               min(user_id)::BIGINT AS min_parent,
+               max(user_id)::BIGINT AS max_parent
+        FROM events WHERE event_type = 'click'
+        UNION ALL SELECT 'undeclared_index', 0, 0,
+                         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        UNION ALL SELECT 'unknown_parent', 0, 0,
+                         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        ORDER BY probe"""
 
     o["q_m7_cli_option_matrix"] = """
         SELECT * FROM (VALUES
