@@ -641,6 +641,9 @@ _REGRADE_FIRST = [
     # bpe_train batched merges, compact.py deletion-frame scoping,
     # sstable.py ADVICE fixes) — changed queries are prepended here
     # AND to the front of _DRIVER_PRIORITY.
+    # kcore gained the per-round localCheckpoint (same rows, different
+    # executed plan) — its r5 green row predates the change
+    "q_g3_kcore",
 ]
 
 _DRIVER_PRIORITY = [
@@ -791,7 +794,6 @@ _DRIVER_PRIORITY = [
     "q_n46_cluster_representatives",
     "q_n8g_ann_ivfpq",
     "q_v7_random_projection",
-    "q_g3_kcore",
     "q_a9_countmin",
     "q_a10_join_size_estimate",
     "q_st16_stream_countmin",

@@ -245,7 +245,8 @@ GROUP BY node ORDER BY node
 # ---------------------------------------------------------------------------
 
 def kcore(edges: DataFrame, k: int = 12, rounds: int = 2, *,
-          src: str = "src", dst: str = "dst") -> DataFrame:
+          src: str = "src", dst: str = "dst",
+          checkpoint: bool = True) -> DataFrame:
     """Fixed-round k-core peeling over a SYMMETRIC edge list (both
     directions present, as pagerank expects): each round computes degrees
     over the remaining edges and drops every node below ``k`` together
@@ -260,7 +261,12 @@ def kcore(edges: DataFrame, k: int = 12, rounds: int = 2, *,
     loop to convergence with an emptiness check on the peeled frontier
     (each round is one partial-aggregated degree count + two semi-joins;
     all shuffles key on the node id, and AQE picks broadcast sides when
-    the survivor set collapses).
+    the survivor set collapses). Each round ends with a
+    ``localCheckpoint(eager=False)`` — exactly pagerank's lineage stance
+    above — so the plan stays O(1) deep however many rounds run, instead
+    of nesting the whole previous peel under two fresh semi-joins per
+    round (``checkpoint=False`` keeps the nested plan visible for plan
+    inspection/tests only).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     for _ in range(rounds):
@@ -275,6 +281,8 @@ def kcore(edges: DataFrame, k: int = 12, rounds: int = 2, *,
             .join(keep.withColumnRenamed("src", "_b"),
                   F.col("dst") == F.col("_b"), "left_semi")
         )
+        if checkpoint:
+            e = e.localCheckpoint(eager=False)
     return (
         e.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
         .select(F.col("src").cast("long").alias("node"), "degree")

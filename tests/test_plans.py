@@ -500,6 +500,31 @@ def test_dsir_exchange_budget_and_broadcasts(spark, documents):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_kcore_peel_loop_has_constant_plan_depth(spark):
+    """kcore's convergence claim, plan-asserted: with the default
+    per-round localCheckpoint the optimized plan is the SAME size at 2
+    and at 10 rounds (each round's lineage collapses to an ExistingRDD
+    scan — pagerank's stance), while checkpoint=False provably nests —
+    the unbounded-growth failure mode the checkpoint exists to prevent."""
+    from cassandra_ttl_remover_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "src long, dst long")
+
+    def depth(df):
+        return len(df._jdf.queryExecution().optimizedPlan()
+                   .numberedTreeString().splitlines())
+
+    d2 = depth(kcore(e, k=2, rounds=2))
+    d10 = depth(kcore(e, k=2, rounds=10))
+    assert d2 == d10, (d2, d10)
+    nested2 = depth(kcore(e, k=2, rounds=2, checkpoint=False))
+    nested4 = depth(kcore(e, k=2, rounds=4, checkpoint=False))
+    assert nested2 < nested4  # the growth the checkpoint removes
+    assert d10 < nested2
+
+
 def test_compact_atoms_plan_shape(spark):
     """The 100 TB claims, plan-asserted: the corpus feeds exactly TWO
     scans (the cell stream + one deletion-extraction pass; the small

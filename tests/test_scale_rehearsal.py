@@ -190,6 +190,40 @@ def test_pagerank_100k_edge_hub_broadcasts_ranks_not_edges(spark):
     assert wall < 120, f"pagerank hub rehearsal took {wall:.0f}s"
 
 
+def test_kcore_20_round_convergence_rehearsal(spark):
+    """The docstring's '100 TB: run the same loop to convergence' form,
+    rehearsed for real: 20 peel rounds on a graph built to cascade one
+    layer per round (a 50-edge path peels one node from each end every
+    round) plus a triangle (a true 2-core) that must survive every
+    round. Exact expected survivor set and degrees; the per-round
+    localCheckpoint keeps lineage O(1) so round 20 is as cheap as round
+    1 — without it this test is minutes of plan re-execution, not
+    seconds."""
+    import time
+
+    from cassandra_ttl_remover_spark.operators.graph import kcore
+
+    m = 50  # path 0-1-...-50
+    path = [(i, i + 1) for i in range(m)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    sym = [(a, b) for a, b in path + tri] + [(b, a) for a, b in path + tri]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    t0 = time.monotonic()
+    rounds = 20
+    got = {r.node: r.degree for r in kcore(e, k=2, rounds=rounds).collect()}
+    wall = time.monotonic() - t0
+    # after r rounds the path r..m-r remains; its endpoints have degree 1
+    lo, hi = rounds, m - rounds
+    want = {n: (1 if n in (lo, hi) else 2) for n in range(lo, hi + 1)}
+    want.update({100: 2, 101: 2, 102: 2})  # the triangle never peels
+    assert got == want
+    # convergence: enough rounds leave exactly the true 2-core
+    final = {r.node: r.degree
+             for r in kcore(e, k=2, rounds=m // 2 + 2).collect()}
+    assert final == {100: 2, 101: 2, 102: 2}
+    assert wall < 120, f"20-round peel took {wall:.0f}s"
+
+
 def test_gram_power_driver_survives_n_much_greater_1e4(spark):
     """The q_v6 reshape's reason to exist: the all-distributed integer
     form overflows int64 near n=1e4 rows; the collect-Gram +
