@@ -1040,7 +1040,7 @@ FROM b ORDER BY b.{id_col}
 # ---------------------------------------------------------------------------
 
 def bpe_train(docs: DataFrame, n_merges: int = 3, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id", batch: int = 1) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules from the corpus — the
     OFFLINE half of the tokenizer whose online half is bpe_segment. Each
     round counts adjacent symbol pairs over the distinct-word table
@@ -1059,9 +1059,35 @@ def bpe_train(docs: DataFrame, n_merges: int = 3, text_col: str = "text",
     ONCE (one shuffle on word; at 100 TB this is the classic vocab count,
     ~10M rows regardless of corpus size), localCheckpointed so the merge
     loop never rescans the corpus. Each round is then one map-side-
-    combined aggregation over a small symbol-pair key space plus a 1-row
-    collect — the same bounded-driver-action pattern as kmeans/IVF. The
-    per-round frontier (the argmax) is a scalar, never a broadcast table.
+    combined aggregation over a small symbol-pair key space plus a
+    bounded collect — the same bounded-driver-action pattern as
+    kmeans/IVF. The per-round frontier is O(batch) rows, never a
+    broadcast table.
+
+    SCALE BOUNDARY — the loop is DRIVER-SEQUENCED: one Spark job per
+    round. At the declared small ``n_merges`` that's cheap; at a real
+    32k-merge vocabulary it is 32k sequential jobs whose scheduling
+    latency, not data volume, dominates. ``batch > 1`` is the standard
+    remedy: each round collects the top ``batch`` pairs (with lookahead)
+    and applies the longest PROVABLY-INDEPENDENT prefix in one pass,
+    cutting the job count by up to ``batch``x with OUTPUT IDENTICAL to
+    the sequential loop. The acceptance rule that makes identity exact:
+
+    - accept candidates in (count DESC, pair ASC) rank order with NO
+      skips, while each pair's two symbols AND its fused form are
+      disjoint from every symbol/fused form already accepted this round
+      (disjoint merges can't change each other's counts, and the fused-
+      form check stops a merge from minting a symbol another accepted
+      pair reads);
+    - stop at the first conflict, then keep only accepted pairs whose
+      count is STRICTLY above the stopping pair's count (every pair a
+      batch merge can create or shrink shares a symbol with an accepted
+      pair, so its count is bounded by some non-accepted pair's count —
+      strictness closes the equal-count lexicographic tie-break hole);
+    - the rank-1 pair is always kept (it is the round's true argmax).
+
+    tests/test_text.py proves batch==sequential merge-for-merge on the
+    fixture corpus and on an adversarial overlapping-pair corpus.
     """
     ws = WORDS_EXPR.format(col=text_col)
     words = (
@@ -1082,42 +1108,65 @@ def bpe_train(docs: DataFrame, n_merges: int = 3, text_col: str = "text",
         "              element_at(split(seq, ' '), i + 1)))))"
     )
     learned = []
-    for r in range(n_merges):
+    while len(learned) < n_merges:
+        want = min(batch, n_merges - len(learned))
+        # lookahead past `want` so the stop-pair that bounds created/
+        # shrunk counts is visible even when the whole batch accepts
+        look = want + max(want, 4) if want > 1 else 1
         top = (
             words.select(F.expr(pair_expr).alias("pair"), "cnt")
             .groupBy("pair")
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.col("c").desc(), F.col("pair").asc())
-            .limit(1)
+            .limit(look)
             .collect()
         )
         if not top:
             break
-        pair, c = top[0].pair, top[0].c
-        learned.append((r, pair, int(c)))
-        # Whole-symbol fusion via the doubled-delimiter form: wrap seq in
-        # double spaces, double the inter-symbol spaces, replace the
-        # fully-delimited pair pattern (consuming one space per side so
-        # adjacent occurrences still match), then collapse back to the
-        # single-spaced canonical seq. Column-arg replace with the pair
-        # as ONE literal, never an interpolated SQL literal: corpus
-        # tokens can contain quotes/backslashes, and literal escaping
-        # would either throw (PARSE_SYNTAX_ERROR on a trailing backslash)
-        # or silently unescape sequences the oracle's subquery-based
-        # replace treats verbatim
-        wrapped = F.concat(
-            F.lit("  "),
-            F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
-            F.lit("  "),
-        )
-        fused = F.replace(
-            wrapped,
-            F.lit(" " + pair.replace(" ", "  ") + " "),
-            F.lit(" " + pair.replace(" ", "") + " "),
-        )
-        words = words.withColumn(
-            "seq", F.regexp_replace(F.trim(fused), " +", " ")
-        )
+        # longest no-skip symbol-disjoint prefix (see docstring rule)
+        accepted = []
+        used: set[str] = set()
+        cutoff = None
+        for row in top[:want]:
+            a, b = row.pair.split(" ")
+            if accepted and ({a, b, a + b} & used):
+                cutoff = row.c
+                break
+            accepted.append((row.pair, int(row.c)))
+            used |= {a, b, a + b}
+        else:
+            if len(top) > len(accepted):  # lookahead row bounds the rest
+                cutoff = top[len(accepted)].c
+        if cutoff is not None:
+            accepted = [accepted[0]] + [
+                pc for pc in accepted[1:] if pc[1] > cutoff
+            ]
+        for pair, c in accepted:
+            learned.append((len(learned), pair, c))
+            # Whole-symbol fusion via the doubled-delimiter form: wrap
+            # seq in double spaces, double the inter-symbol spaces,
+            # replace the fully-delimited pair pattern (consuming one
+            # space per side so adjacent occurrences still match), then
+            # collapse back to the single-spaced canonical seq. Column-
+            # arg replace with the pair as ONE literal, never an
+            # interpolated SQL literal: corpus tokens can contain
+            # quotes/backslashes, and literal escaping would either
+            # throw (PARSE_SYNTAX_ERROR on a trailing backslash) or
+            # silently unescape sequences the oracle's subquery-based
+            # replace treats verbatim
+            wrapped = F.concat(
+                F.lit("  "),
+                F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                F.lit("  "),
+            )
+            fused = F.replace(
+                wrapped,
+                F.lit(" " + pair.replace(" ", "  ") + " "),
+                F.lit(" " + pair.replace(" ", "") + " "),
+            )
+            words = words.withColumn(
+                "seq", F.regexp_replace(F.trim(fused), " +", " ")
+            )
     spark = docs.sparkSession
     return spark.createDataFrame(
         learned, "merge_round bigint, pair string, pair_count bigint"

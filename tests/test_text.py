@@ -217,6 +217,44 @@ def test_bpe_segment_matches_python_reference(spark):
         assert got[i] == want, (t, got[i], want)
 
 
+def test_bpe_train_batched_equals_sequential(spark):
+    """The batch>1 mode's whole contract: merge-for-merge identity with
+    the sequential loop (same pairs, same order, same recorded counts) —
+    on the fixture corpus AND on corpora built to trip every clause of
+    the acceptance rule: overlapping top pairs (must stop, not skip),
+    equal-count ties at the cutoff (must truncate), a merge whose fused
+    form collides with a later candidate's symbol (fused-form guard),
+    and a tiny exhausted pair table (no-lookahead path)."""
+    from cassandra_ttl_remover_spark.operators.text import bpe_train
+    from tests.conftest import SF_DIR
+
+    corpora = {
+        # conflict chain: (x,y) dominates, (y,z)/(w,x) overlap it
+        "overlap": ["x y z w x", "x y z", "w x y", "u v u v u v"],
+        # fused-form collision: merging (a,b) mints 'ab' while a real
+        # 'ab' symbol pair (ab,c) is also near the top
+        "fused": ["a b c ab c ab c", "a b ab c", "q r q r q r q r"],
+        # ties everywhere: four disjoint pairs at the same count
+        "ties": ["a b", "c d", "e f", "g h", "a b", "c d", "e f", "g h"],
+        # tiny: pair table exhausts below the lookahead
+        "tiny": ["m n m n", "m n"],
+    }
+    for name, texts in corpora.items():
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        seq = [tuple(r) for r in bpe_train(df, n_merges=6).collect()]
+        for b in (2, 4, 8):
+            got = [tuple(r)
+                   for r in bpe_train(df, n_merges=6, batch=b).collect()]
+            assert got == seq, (name, b, got, seq)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=8).collect()]
+    got = [tuple(r) for r in bpe_train(docs, n_merges=8, batch=4).collect()]
+    assert got == seq
+
+
 def test_repetition_runs_hand_examples(spark):
     from cassandra_ttl_remover_spark.operators.text import repetition_runs
 
