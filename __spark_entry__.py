@@ -647,6 +647,18 @@ _REGRADE_FIRST = [
     # bpe_train's merge loop was restructured for the batch>1 mode
     # (batch=1 default keeps the same plan, but the loop code changed)
     "q_n45_bpe_train",
+    # ADVICE r8 fixes: compact_atoms' deletion frame is now plan-scoped
+    # (no module slot); merge cut keys ship as hex bytes; Summary.db
+    # window pass closes its generator; int32 deletion-seconds saturate.
+    # Every query over the touched paths re-certifies:
+    "q_t9_sstable_merge_compact",
+    "q_t8_sstable_compact_e2e",
+    "q_s22_merge_retains_deletions",
+    "q_t10_major_compact_rewrite",
+    "q_s25_gc_single_table",
+    "q_s10_sstable_write_roundtrip",
+    "q_s21_strip_rewrite_zeroshuffle",
+    "q_s16_sstable_summary_range",
 ]
 
 _DRIVER_PRIORITY = [
@@ -727,7 +739,6 @@ _DRIVER_PRIORITY = [
     "q_s7_sstable_scan",
     "q_s8_sstable_strip",
     "q_s9_sstable_range_lookup",
-    "q_s10_sstable_write_roundtrip",
     "q_mm9_frame_energy",
     "q_d7_ks_drift",
     "q_st15_stream_sstable_strip",
@@ -870,7 +881,6 @@ _DRIVER_PRIORITY = [
     "q_s13_sstable_compressed",
     "q_s14_sstable_partition_delete",
     "q_s15_sstable_bloom_lookup",
-    "q_s16_sstable_summary_range",
     "q_s17_sstable_stats_census",
     "q_s18_digest_verify",
     "q_ml8_cusum_drift",
@@ -910,20 +920,14 @@ _DRIVER_PRIORITY = [
     "q_ml2_ridge_fit",
     "q_ml3_residual_outliers",
     # --- last green: round 8 ---
-    "q_t9_sstable_merge_compact",
-    "q_t8_sstable_compact_e2e",
-    "q_s21_strip_rewrite_zeroshuffle",
     "q_m8_cli_native_job",
     "q_s20_scrub_report",
     "q_s19_clustering_slice",
     "q_n49_span_removal",
-    "q_t10_major_compact_rewrite",
-    "q_s22_merge_retains_deletions",
     "q_t11_stcs_plan",
     "q_t12_twcs_plan",
     "q_s23_replica_repair",
     "q_s24_droppable_census",
-    "q_s25_gc_single_table",
     "q_s1_source_count",
     "q_s2_full_scan",
     "q_s3_range_scan",

@@ -280,10 +280,6 @@ FROM ({cells_sql})
     )
 
 
-#: LRU-1 slot for compact_atoms' persisted deletion frame (see below)
-_LAST_DELS: DataFrame | None = None
-
-
 def compact_atoms(atoms: DataFrame, *, gc_grace_us: int,
                   now_us: int) -> DataFrame:
     """Full-surface compaction over the native atom frame (the
@@ -352,9 +348,12 @@ def compact_atoms(atoms: DataFrame, *, gc_grace_us: int,
     # persisted so its five consumers (both shadow joins + the three
     # retained-atom emissions) never rescan the corpus — without this
     # the planner recomputes the full atom scan per consumer. The
-    # PREVIOUS invocation's frame is unpersisted here (LRU-1): repeated
-    # calls in one session (the bench's interleaved sweeps) pin at most
-    # one bounded deletion frame, never an accumulating set.
+    # frame's lifecycle is the RETURNED PLAN's lifecycle: the plan holds
+    # the only reference, and Spark's ContextCleaner unpersists the
+    # cached blocks when the plan is garbage-collected — so interleaved
+    # or concurrent compactions each keep exactly their own bounded
+    # deletion frame alive, with no shared slot to race on or to
+    # invalidate a not-yet-evaluated sibling's two-scan guarantee.
     dels = (
         atoms.filter(kind.isin("partition_tombstone", "range_tombstone"))
         .groupBy(
@@ -365,13 +364,6 @@ def compact_atoms(atoms: DataFrame, *, gc_grace_us: int,
         .agg(F.max("writetime").alias("wt"))
         .persist()
     )
-    global _LAST_DELS
-    if _LAST_DELS is not None:
-        try:
-            _LAST_DELS.unpersist(blocking=False)
-        except Exception:  # session gone / already unpersisted
-            pass
-    _LAST_DELS = dels
     pd_df = (
         dels.filter(kind == "partition_tombstone")
         .groupBy("pk").agg(F.max("wt").alias("pd_wt"))

@@ -70,6 +70,19 @@ RANGE_TOMBSTONE_MASK = 0x10
 LIVE_LOCAL_DELETION = 0x7FFFFFFF
 LIVE_MARKED_FOR_DELETE = -(2 ** 63)
 
+#: localDeletionTime is an on-disk int32 of SECONDS; Cassandra caps it at
+#: Integer.MAX_VALUE (its own no-expiry sentinel — LIVE_LOCAL_DELETION
+#: above is the same constant). A deletion second derived from a
+#: post-2038 writetime saturates here instead of raising struct.error
+#: mid-task and crashing the rewrite (ADVICE r8).
+INT32_MAX = (1 << 31) - 1
+
+
+def _ldt_s(sec) -> int:
+    """Clamp a localDeletionTime-seconds value to the int32 ceiling."""
+    sec = int(sec)
+    return INT32_MAX if sec > INT32_MAX else sec
+
 #: flat row schema the reader emits (tombstone cells: value NULL, ttl NULL,
 #: expiration = the cell's localDeletionTime). Column reuse for the non-TTL
 #: atom kinds (schema-stable across q_s7..q_s11):
@@ -526,20 +539,27 @@ def _summary_window(table_dir: str, key_start: bytes | None,
     table has no Summary.db. This is what executor tasks use: a k-way
     merge task's summary cost is the window boundaries, never the whole
     sample list (the planner's decimation fix, applied executor-side)."""
+    import contextlib
+
     ix_start = 0
     stop_seen = False
     ix_end = end_data = None
     any_row = False
     try:
-        for key, ix_off, data_off in _iter_summary(table_dir):
-            any_row = True
-            if key_start is not None and key <= key_start:
-                ix_start = ix_off
-            if stop_seen:
-                ix_end, end_data = ix_off, data_off
-                break
-            if key_stop is not None and key >= key_stop:
-                stop_seen = True  # include one sample block beyond
+        # the early `break` abandons the generator mid-file: closing()
+        # guarantees the Summary.db handle is released deterministically
+        # (long-lived executors / non-refcounting runtimes would otherwise
+        # accumulate open descriptors — ADVICE r8)
+        with contextlib.closing(_iter_summary(table_dir)) as entries:
+            for key, ix_off, data_off in entries:
+                any_row = True
+                if key_start is not None and key <= key_start:
+                    ix_start = ix_off
+                if stop_seen:
+                    ix_end, end_data = ix_off, data_off
+                    break
+                if key_stop is not None and key >= key_stop:
+                    stop_seen = True  # include one sample block beyond
     except FileNotFoundError:
         return None
     if not any_row:
@@ -2112,9 +2132,13 @@ def merge_compact_sorted(spark, path: str, *, gc_grace_us: int,
     dirs = _resolve_table_dirs(path)
     cuts = _plan_merge_cuts(dirs, num_splits, max_planner_keys)
     bounds = [None, *cuts, None]
+    # cut points ship as HEX so partition keys stay opaque bytes end to
+    # end — a strict-UTF-8 decode here crashed the planner on corpora
+    # with non-UTF-8 keys even though the on-disk format and every
+    # comparison treat keys as bytes (ADVICE r8)
     ranges = [
-        ((bounds[i].decode() if bounds[i] is not None else None),
-         (bounds[i + 1].decode() if bounds[i + 1] is not None else None))
+        ((bounds[i].hex() if bounds[i] is not None else None),
+         (bounds[i + 1].hex() if bounds[i + 1] is not None else None))
         for i in range(len(bounds) - 1)
     ]
     threshold = int(now_us) - int(gc_grace_us)
@@ -2125,8 +2149,8 @@ def merge_compact_sorted(spark, path: str, *, gc_grace_us: int,
         for pdf in batches:
             rows = []
             for ks, kp in zip(pdf["ks"], pdf["kp"]):
-                start = ks.encode() if ks is not None else None
-                stop = kp.encode() if kp is not None else None
+                start = bytes.fromhex(ks) if ks is not None else None
+                stop = bytes.fromhex(kp) if kp is not None else None
                 pd_wt: dict[str, int] = {}
                 rts: dict[str, dict[tuple, int]] = {}
                 atoms: dict[tuple, list] = {}
@@ -2338,11 +2362,13 @@ def _row_to_cell(cell, kind, ttl, exp, wt, val) -> tuple:
     zero-shuffle strip rewrite so the two write paths cannot drift)."""
     name = str(cell).encode()
     if kind == "expiring":
-        return (name, EXPIRATION_MASK, int(ttl), int(exp), int(wt),
+        # expiration is an on-disk int32 of seconds — saturate like the
+        # deletion branches (Cassandra's overflow-policy CAP stance)
+        return (name, EXPIRATION_MASK, int(ttl), _ldt_s(exp), int(wt),
                 str(val).encode())
     if kind == "tombstone":
         return (name, DELETION_MASK, 0, 0, int(wt),
-                struct.pack(">i", int(exp)))
+                struct.pack(">i", _ldt_s(exp)))
     if kind == "normal":
         return (name, 0, 0, 0, int(wt), str(val).encode())
     if kind == "counter":
@@ -2356,7 +2382,7 @@ def _row_to_cell(cell, kind, ttl, exp, wt, val) -> tuple:
     if kind == "range_tombstone":
         # cell = start bound, value = end bound,
         # expiration = localDeletionTime, wt = markedForDeleteAt
-        return (name, RANGE_TOMBSTONE_MASK, 0, int(exp), int(wt),
+        return (name, RANGE_TOMBSTONE_MASK, 0, _ldt_s(exp), int(wt),
                 str(val).encode())
     raise ValueError(f"cell kind {kind!r} is not a recognized atom kind")
 
@@ -3342,7 +3368,7 @@ def _status_to_cell(cell, wt, val, status) -> tuple:
     :func:`compact_rewrite`'s SQL reconstruction (same documented lossy
     mapping; equality of the two pinned in tests)."""
     name = str(cell).encode()
-    sec = int(wt) // 1_000_000
+    sec = _ldt_s(int(wt) // 1_000_000)
     if status == "live":
         return (name, 0, 0, 0, int(wt), str(val).encode())
     if status == "counter_live":

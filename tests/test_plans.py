@@ -500,6 +500,34 @@ def test_dsir_exchange_budget_and_broadcasts(spark, documents):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_compact_atoms_interleaved_frames_keep_their_persisted_dels(spark):
+    """ADVICE r8 regression: constructing a SECOND compaction must not
+    invalidate the FIRST's not-yet-evaluated persisted deletion frame
+    (the old module-level LRU-1 slot unpersisted it, silently degrading
+    the two-scan guarantee to five corpus rescans). Both interleaved
+    plans must still read their deletion consumers from InMemoryTableScan
+    and produce the right rows."""
+    from cassandra_ttl_remover_spark.operators.compact import compact_atoms
+
+    rows = [
+        ("p1", "c1", "normal", None, None, 100, "a"),
+        ("p2", None, "partition_tombstone", None, 4, 500, None),
+        ("p1", "c4", "range_tombstone", None, 90, 250, "c6"),
+    ]
+    schema = ("pk string, cell string, kind string, ttl bigint, "
+              "expiration bigint, writetime bigint, value string")
+    out1 = compact_atoms(spark.createDataFrame(rows, schema),
+                         gc_grace_us=0, now_us=50)
+    out2 = compact_atoms(spark.createDataFrame(rows[:1], schema),
+                         gc_grace_us=0, now_us=50)
+    # evaluate out1 AFTER out2 was constructed
+    assert {r.status for r in out1.collect()} == {
+        "live", "partition_tombstone_retained", "range_tombstone_retained"}
+    plan1 = out1._jdf.queryExecution().executedPlan().toString()
+    assert plan1.count("InMemoryTableScan") >= 4
+    assert [r.status for r in out2.collect()] == ["live"]
+
+
 def test_kcore_peel_loop_has_constant_plan_depth(spark):
     """kcore's convergence claim, plan-asserted: with the default
     per-round localCheckpoint the optimized plan is the SAME size at 2

@@ -736,6 +736,67 @@ def test_summary_windowed_index_read_matches_full(spark):
         shutil.rmtree(out)
 
 
+def test_post_2038_deletion_seconds_saturate_not_crash(spark):
+    """ADVICE r8: localDeletionTime is an on-disk int32 of seconds;
+    atoms with writetime >= 2^31 seconds (year 2038+) must saturate at
+    INT32_MAX — Cassandra's own no-expiry sentinel — instead of raising
+    struct.error mid-task. Unit-pins both cell constructors, then runs
+    the gc rewrite end-to-end on a future-dated tombstone."""
+    wt_2100 = 4_102_444_800 * 1_000_000  # year 2100, epoch µs
+    name, mask, ttl, exp, wt, val = ss._status_to_cell(
+        "c1", wt_2100, None, "tombstone_retained")
+    assert struct.unpack(">i", val)[0] == ss.INT32_MAX
+    _, _, _, exp_rt, _, _ = ss._status_to_cell(
+        "c1", wt_2100, "c9", "range_tombstone_retained")
+    assert exp_rt == ss.INT32_MAX
+    cell = ss._row_to_cell("c1", "tombstone", None, wt_2100 // 1_000_000,
+                           wt_2100, None)
+    assert struct.unpack(">i", cell[5])[0] == ss.INT32_MAX
+    cell = ss._row_to_cell("c1", "expiring", 60,
+                           wt_2100 // 1_000_000 + 60, wt_2100, "v")
+    assert cell[3] == ss.INT32_MAX
+
+    src, dst = _tmpdir(), _tmpdir()
+    ss.write_sstable(
+        [(b"k1", [
+            (b"c1", ss.DELETION_MASK, 0, 0, wt_2100,
+             struct.pack(">i", ss.INT32_MAX)),
+            (b"c2", 0, 0, 0, wt_2100 + 1, b"v"),
+        ])], src)
+    # retained (inside grace): rewrite re-encodes the tombstone — the
+    # crash site before the clamp
+    reports = ss.gc_rewrite_single(spark, src, dst, gc_grace_us=10**15,
+                                   now_us=wt_2100 + 2)
+    assert reports
+    got = sorted(tuple(r) for r in ss.scan_sstable(spark, dst).collect())
+    kinds = [(r[1], r[2]) for r in got]
+    assert ("c1", "tombstone") in kinds and ("c2", "normal") in kinds
+    shutil.rmtree(src), shutil.rmtree(dst)
+
+
+def test_merge_planner_ships_cut_keys_as_opaque_bytes(spark):
+    """ADVICE r8: non-UTF-8 partition keys must not crash the merge
+    PLANNER (cut points now travel as hex, compared as bytes). The data
+    format's row decode is string-typed by declared convention, so this
+    pins exactly the planner boundary: plan construction over binary
+    keys succeeds without a UnicodeDecodeError."""
+    base = _tmpdir()
+    keys = [bytes([b, 0xFF, 0xFE]) for b in range(64)]  # invalid UTF-8
+    for gen, sl in (("gen1", keys[0::2]), ("gen2", keys[1::2])):
+        ss.write_sstable(
+            [(k, [(b"c", 0, 0, 0, 1, b"v")]) for k in sl],
+            os.path.join(base, gen), summary_interval=4)
+    dirs = ss._resolve_table_dirs(base)
+    cuts = ss._plan_merge_cuts(dirs, num_splits=4)
+    assert cuts and all(isinstance(c, bytes) for c in cuts)
+    # planner construction (driver side) must not UnicodeDecodeError
+    df = ss.merge_compact_sorted(spark, base, gc_grace_us=0,
+                                 now_us=10, num_splits=4)
+    assert df.schema.fieldNames() == [
+        "pk", "cell", "writetime", "value", "status"]
+    shutil.rmtree(base)
+
+
 def test_first_key_beyond_successor_and_bounded_window(spark):
     """Native S5 (firstKeyBeyond, NoTTLReader.java:1680-1715): for every
     probe position — before the first key, at a key, between keys, at a
