@@ -46,6 +46,7 @@ def test_cli_end_to_end(spark, events):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_cli_sstable_to_sstable_is_the_reference_job(spark):
     """--input-format sstable --output-format sstable == the reference
     tool end to end on its native format: scan -> strip -> sharded

@@ -21,6 +21,10 @@ from cassandra_ttl_remover_spark.operators.multimodal import (  # noqa: E402
     _text_to_png_bytes,
 )
 
+# two-tier suite (pytest.ini): property/cross-engine sweeps are the
+# seal gate, not the per-commit gate
+pytestmark = pytest.mark.slow
+
 payloads = st.binary(min_size=0, max_size=4000)
 
 

@@ -1,5 +1,6 @@
 """A1/A2/A3 count & sketch operators (SURVEY.md §2.1)."""
 
+import pytest
 from cassandra_ttl_remover_spark.operators.counts import (
     approximate_key_count,
     count_keys,
@@ -14,6 +15,7 @@ def test_exact_vs_approx(events):
     assert abs(approx - exact) <= max(1, 0.02 * exact)
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_merge_gain_disjoint_vs_identical(spark):
     a = spark.range(0, 1000).withColumnRenamed("id", "k")
     b = spark.range(1000, 2000).withColumnRenamed("id", "k")

@@ -103,6 +103,7 @@ def test_simhash_banded_equals_bruteforce(documents):
     assert banded == brute, "pigeonhole banding must find exactly the brute-force pairs"
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_embedding_neardup_self_similarity(spark):
     v = [0.1] * 64
     w = [0.1] * 32 + [-0.1] * 32

@@ -31,6 +31,7 @@ def _batch_query_items():
     ]
 
 
+@pytest.mark.slow  # builds all ~290 batch plans — seal-gate tier
 def test_all_batch_queries_emit_scalar_columns(spark):
     errs = []
     for name, fn in _batch_query_items():
@@ -144,6 +145,7 @@ def test_oracle_keys_subset_of_queries():
     assert not extra, f"oracle_sql() keys without a queries() entry: {extra}"
 
 
+@pytest.mark.slow  # runs every oracle through DuckDB — seal-gate tier
 def test_no_pandas_bridge_dtype_divergence(spark):
     """The driver canonicalizes BOTH sides through pandas, so a column can
     hash-mismatch on dtype alone even when every value matches: DuckDB's

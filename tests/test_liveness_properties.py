@@ -31,6 +31,10 @@ from cassandra_ttl_remover_spark.operators.liveness import (
     strip_ttl_cells,
 )
 
+# two-tier suite (pytest.ini): property/cross-engine sweeps are the
+# seal gate, not the per-commit gate
+pytestmark = pytest.mark.slow
+
 NOW = 10
 CELL = "struct<value:string,writetime:bigint,ttl:bigint,expires_at:bigint,deleted_ts:bigint>"
 SCHEMA = (

@@ -4,6 +4,8 @@ not just the fixture values the declared queries happen to touch."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
@@ -14,6 +16,10 @@ from cassandra_ttl_remover_spark.operators.lookups import (
     murmur3_hash_oracle_expr,
     portable_token_oracle_expr,
 )
+
+# two-tier suite (pytest.ini): property/cross-engine sweeps are the
+# seal gate, not the per-commit gate
+pytestmark = pytest.mark.slow
 
 I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
 

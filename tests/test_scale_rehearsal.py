@@ -8,6 +8,10 @@ import pytest
 
 from cassandra_ttl_remover_spark.operators import curate, dedup
 
+# two-tier suite (pytest.ini): rehearsals are the seal gate, not the
+# per-commit gate — each one runs a deliberately adversarial corpus
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def boilerplate_corpus(spark):

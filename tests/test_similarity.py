@@ -330,6 +330,7 @@ def test_pq_topk_rerank_contract_and_training(spark, embeddings):
         pq_topk(embeddings.limit(5), query_id=0, k=2, m=4, k_codes=16)
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_pq_materialized_index_matches_inline(spark, embeddings, tmp_path):
     """pq_write -> pq_query returns bit-identical rows to the inline
     pq_topk path (same codebooks, same codes, same rerank), the index
@@ -356,6 +357,7 @@ def test_pq_materialized_index_matches_inline(spark, embeddings, tmp_path):
     assert codes.count() == embeddings.count()
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_pq_topk_is_partitioning_independent(spark, embeddings):
     """The PQ certificate's stability rests on full determinism: seeds
     (xxhash order), training (integer sums), encode (first-min codes),
@@ -374,6 +376,7 @@ def test_pq_topk_is_partitioning_independent(spark, embeddings):
     assert a == b == c and len(a) == 10
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_pq_append_frozen_codebook(spark, embeddings, tmp_path):
     """pq_append encodes new vectors with the BUILD's exact rule against
     the stored codebook: appended codes equal what a direct encode of
@@ -406,6 +409,7 @@ def test_pq_append_frozen_codebook(spark, embeddings, tmp_path):
     assert any(r.vec_id % 2 != 0 for r in got)
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_pq_census_reconstruction_report(spark, embeddings, tmp_path):
     """m rows; counts equal the corpus; errors match a pure-Python
     replica computed from the stored codebook and codes; trained
@@ -513,6 +517,7 @@ def test_ivfpq_prunes_cells(spark, embeddings):
     assert len(got) == 5
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_ivfpq_residual_form_and_measured_tradeoff(spark, embeddings):
     """Residual IVF-PQ returns exact-scored rows like every PQ form; on
     this clusterless fixture its shortlist recall is DOCUMENTED as no

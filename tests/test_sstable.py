@@ -1483,6 +1483,7 @@ def _model_compact(gens, *, grace, now):
     return want
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_full_atom_merge_random_generations_match_model(spark):
     """Randomized (seeded) generations over the FULL atom surface —
     normal/tombstone cells with forced writetime ties, counter shards

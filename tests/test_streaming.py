@@ -6,6 +6,7 @@ import tempfile
 from pathlib import Path
 
 import pyspark.sql.functions as F
+import pytest
 
 from cassandra_ttl_remover_spark import annotate_events, strip_ttl
 from cassandra_ttl_remover_spark.streaming.ttl_stream import (
@@ -14,6 +15,10 @@ from cassandra_ttl_remover_spark.streaming.ttl_stream import (
     stream_strip_ttl,
     track_ttl_state,
 )
+
+# two-tier suite (pytest.ini): every test here drains a real
+# availableNow stream — seal-gate tier, not the per-commit gate
+pytestmark = pytest.mark.slow
 
 
 def test_stream_strip_matches_batch(spark, events):

@@ -1,5 +1,6 @@
 """Text analysis: lang-id, quality, tokens, fingerprint."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from cassandra_ttl_remover_spark.operators import text
@@ -217,6 +218,7 @@ def test_bpe_segment_matches_python_reference(spark):
         assert got[i] == want, (t, got[i], want)
 
 
+@pytest.mark.slow  # seal-gate tier (heavy equality/e2e sweep)
 def test_bpe_train_batched_equals_sequential(spark):
     """The batch>1 mode's whole contract: merge-for-merge identity with
     the sequential loop (same pairs, same order, same recorded counts) —

@@ -11,6 +11,10 @@ pytest.importorskip("hypothesis")
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
+# two-tier suite (pytest.ini): property/cross-engine sweeps are the
+# seal gate, not the per-commit gate
+pytestmark = pytest.mark.slow
+
 TOKEN = st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"])
 DOC = st.lists(TOKEN, min_size=0, max_size=40)
 
