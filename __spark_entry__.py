@@ -666,6 +666,7 @@ _DRIVER_PRIORITY = [
     # --- new in round 9 (never graded) ---
     "q_s26_successor_native",
     "q_m9_index_table_lookup",
+    "q_s27_summary_resample",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -3807,6 +3808,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_s26_successor_native"] = q_s26
 
+    def q_s27(spark, sf):
+        # adaptive index-summary resample — the reference's
+        # cloneWithNewSummarySamplingLevel (NoTTLReader.java:1062-1115):
+        # a too-DENSE summary downsamples from its existing entries
+        # (zero Index.db bytes), a too-SPARSE one rebuilds from the
+        # index at the max interval. Two generations on opposite sides
+        # of the [8, 32] band exercise both paths; entry counts are
+        # pure ceil arithmetic over the per-parity partition counts, so
+        # the whole report is hash-checkable.
+        from cassandra_ttl_remover_spark.sources import sstable as ss
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"ctrs_sstrs_{uuid.uuid4().hex[:8]}"
+        )
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen1"),
+                                  where="user_id % 2 = 0",
+                                  summary_interval=2)
+        ss.events_sstable_fixture(spark, sf, os.path.join(base, "gen2"),
+                                  where="user_id % 2 = 1",
+                                  summary_interval=64)
+        # the resample mutates sidecars in place, so the lazy report is
+        # not re-evaluation-stable (second run reports noop): pin the
+        # FIRST run's report eagerly — the harness may evaluate the
+        # returned frame several times (rows, schema, hash)
+        return (
+            ss.resample_summaries(spark, base, min_index_interval=8,
+                                  max_index_interval=32)
+            .localCheckpoint(eager=True)
+            .orderBy("generation")
+        )
+    q["q_s27_summary_resample"] = q_s27
+
     def q_s17(spark, sf):
         # metadata-only TTL census across generations — the reference
         # tool's operational question ("which SSTables still carry
@@ -6366,6 +6399,26 @@ FROM events GROUP BY 1, user_id % 2 = 0 ORDER BY 1
 SELECT * FROM ({_ss.sstable_scan_oracle_sql()})
 WHERE pk >= '2' AND pk < '3'
 """
+    # summary resample report: entry counts are ceil arithmetic over the
+    # per-parity partition counts (writer samples every Kth key from 0,
+    # so entries = ceil(n/K); downsample keeps every fth -> ceil again)
+    o["q_s27_summary_resample"] = """
+WITH c AS (
+  SELECT count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n1,
+         count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS n2
+  FROM events
+)
+SELECT 'gen1' AS generation, 'downsample' AS action,
+       2::BIGINT AS interval_before,
+       ((n1 + 1) // 2)::BIGINT AS entries_before,
+       8::BIGINT AS interval_after,
+       ((((n1 + 1) // 2) + 3) // 4)::BIGINT AS entries_after
+FROM c
+UNION ALL
+SELECT 'gen2', 'rebuild', 64, (n2 + 63) // 64, 32, (n2 + 31) // 32 FROM c
+ORDER BY generation
+"""
+
     # firstKeyBeyond is plan-independent: per generation (even/odd key
     # subset) the successor is the lexicographic min key above the probe
     o["q_s26_successor_native"] = """

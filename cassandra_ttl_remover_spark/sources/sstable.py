@@ -567,6 +567,164 @@ def _summary_window(table_dir: str, key_start: bytes | None,
     return ix_start, ix_end, end_data
 
 
+def _summary_meta(table_dir: str) -> tuple[int, int] | None:
+    """``(interval, n_entries)`` from the Summary.db header, or ``None``
+    when the table has no summary."""
+    path = os.path.join(table_dir, "Summary.db")
+    try:
+        with open(path, "rb") as f:
+            hdr = f.read(8)
+    except FileNotFoundError:
+        return None
+    try:
+        interval, n = struct.unpack(">II", hdr)
+    except struct.error as e:
+        raise CorruptSSTableError(
+            f"{path}: malformed Summary.db ({e})") from None
+    return interval, n
+
+
+def _iter_index_with_offsets(table_dir: str):
+    """Streaming Index.db walk yielding ``(key, index byte offset,
+    Data.db offset)`` — exactly the triple a Summary.db entry stores.
+    This is the REBUILD path's input (the reference walks the whole
+    primary index the same way — buildSummaryAtLevel,
+    NoTTLReader.java:1117-1140)."""
+    index_path = os.path.join(table_dir, "Index.db")
+    gen = _table_generation(table_dir)
+    with open(index_path, "rb") as f:
+        while True:
+            ix_off = f.tell()
+            if gen == "mc":
+                head = f.read(1)
+                if not head:
+                    return
+                # re-read the uvint from its first byte
+                f.seek(ix_off)
+                klen = _read_uvint(f, index_path, "index key length")
+            else:
+                head = f.read(2)
+                if not head:
+                    return
+                if len(head) != 2:
+                    raise CorruptSSTableError(
+                        f"{index_path}: truncated index entry at {ix_off}")
+                (klen,) = struct.unpack(">H", head)
+            key = _must_read(f, klen, index_path, "index key")
+            (data_off,) = struct.unpack(
+                ">q", _must_read(f, 8, index_path, "index offset"))
+            yield key, ix_off, data_off
+
+
+def resample_summary_dir(table_dir: str, *, min_index_interval: int,
+                         max_index_interval: int,
+                         summary_budget_bytes: int | None = None) -> dict:
+    """Adaptive index-summary resample for ONE table — the reference's
+    ``cloneWithNewSummarySamplingLevel`` (NoTTLReader.java:1062-1115)
+    with the same two execution paths and trigger rules:
+
+    - summary too DENSE (interval < effective min): downsample FROM THE
+      EXISTING summary — keep every f-th sample (f = smallest integer
+      lifting the interval past the floor), zero Index.db bytes read
+      (``IndexSummaryBuilder.downsample``'s cheap path). Because the
+      writer samples every interval-th written key starting at 0, the
+      kept samples are exactly a rebuild at ``interval * f`` — the two
+      paths produce byte-identical files (pinned in tests).
+    - summary too SPARSE (interval > max): REBUILD from Index.db at
+      ``max_index_interval`` (``buildSummaryAtLevel`` — the only case
+      that must touch the index); a table with no Summary.db rebuilds
+      at ``min_index_interval``.
+    - otherwise: noop.
+
+    ``summary_budget_bytes`` is the memory-adaptivity analog of the
+    reference's IndexSummaryManager pool, applied per table: when the
+    current summary exceeds the budget, the effective min interval is
+    raised so the downsampled entry count fits (entries scale 1/f; the
+    pool-wide redistribution is a fleet-level loop over these reports).
+    Returns the report dict for this table."""
+    name = os.path.basename(table_dir)
+    meta = _summary_meta(table_dir)
+    if meta is None:
+        samples = []
+        for i, ent in enumerate(_iter_index_with_offsets(table_dir)):
+            if i % min_index_interval == 0:
+                samples.append(ent)
+        _write_summary(table_dir, min_index_interval, samples)
+        return {"generation": name, "action": "rebuild",
+                "interval_before": None, "entries_before": None,
+                "interval_after": min_index_interval,
+                "entries_after": len(samples)}
+    interval, n = meta
+    eff_min = min_index_interval
+    if summary_budget_bytes is not None and n:
+        size = os.path.getsize(os.path.join(table_dir, "Summary.db"))
+        if size > summary_budget_bytes:
+            per_entry = (size - 8) / n
+            budget_entries = max(1, int(summary_budget_bytes // per_entry))
+            f_budget = -(-n // budget_entries)  # ceil
+            eff_min = max(eff_min, interval * f_budget)
+    if interval < eff_min:
+        f = -(-eff_min // interval)  # smallest integer factor
+        kept = [ent for i, ent in enumerate(_iter_summary(table_dir))
+                if i % f == 0]
+        _write_summary(table_dir, interval * f, kept)
+        return {"generation": name, "action": "downsample",
+                "interval_before": interval, "entries_before": n,
+                "interval_after": interval * f,
+                "entries_after": len(kept)}
+    if interval > max_index_interval:
+        samples = []
+        for i, ent in enumerate(_iter_index_with_offsets(table_dir)):
+            if i % max_index_interval == 0:
+                samples.append(ent)
+        _write_summary(table_dir, max_index_interval, samples)
+        return {"generation": name, "action": "rebuild",
+                "interval_before": interval, "entries_before": n,
+                "interval_after": max_index_interval,
+                "entries_after": len(samples)}
+    return {"generation": name, "action": "noop",
+            "interval_before": interval, "entries_before": n,
+            "interval_after": interval, "entries_after": n}
+
+
+def resample_summaries(spark, path: str, *, min_index_interval: int,
+                       max_index_interval: int,
+                       summary_budget_bytes: int | None = None):
+    """Fleet-wide adaptive summary maintenance: one executor task per
+    table applies :func:`resample_summary_dir` and reports
+    ``(generation, action, interval_before, entries_before,
+    interval_after, entries_after)``. The 100 TB shape matches every
+    other sidecar sweep here (stats census, digest verify): the dir
+    listing fans out, each task touches one bounded sidecar (plus the
+    index ONLY on the rebuild path, exactly like the reference), and
+    zero Data.db bytes move. Range-scan results are
+    interval-independent by construction (q_s16's contract), so
+    resampling is always safe to run online."""
+    import pandas as pd
+
+    dirs = _resolve_table_dirs(path)
+
+    def _run(batches):
+        for pdf in batches:
+            rows = [resample_summary_dir(
+                        d, min_index_interval=min_index_interval,
+                        max_index_interval=max_index_interval,
+                        summary_budget_bytes=summary_budget_bytes)
+                    for d in pdf["dir"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        .repartition(min(len(dirs), 32))
+        .mapInPandas(
+            _run,
+            schema=("generation string, action string, "
+                    "interval_before bigint, entries_before bigint, "
+                    "interval_after bigint, entries_after bigint"),
+        )
+    )
+
+
 def _read_index_window(table_dir: str,
                        samples: list[tuple[bytes, int, int]],
                        key_start: bytes | None,

@@ -841,6 +841,73 @@ def test_first_key_beyond_successor_and_bounded_window(spark):
     shutil.rmtree(base)
 
 
+def test_resample_summary_both_paths_and_invariance(spark):
+    """Adaptive summary resample (NoTTLReader.java:1062-1140 analog):
+    (a) the DOWNSAMPLE path (dense -> keep every f-th existing sample)
+    produces a Summary.db BYTE-IDENTICAL to a fresh write at the lifted
+    interval — the phase-alignment property the docstring claims; (b)
+    the REBUILD path (sparse -> walk Index.db) likewise; (c) in-band
+    intervals are a noop; (d) a table with no Summary.db rebuilds at
+    the min; (e) the per-table byte budget lifts the interval until the
+    summary fits; (f) pushed range scans return identical rows before
+    and after every resample. Both generations exercise the index walk
+    framing."""
+    def _summary_bytes(d):
+        return open(os.path.join(d, "Summary.db"), "rb").read()
+
+    parts = [(f"k{i:04d}".encode(), [(b"c", 0, 0, 0, i, str(i).encode())])
+             for i in range(300)]
+    for gen in ("v1", "mc"):
+        # (a) downsample: interval 2 -> min 8 (f=4)
+        dn, ref = _tmpdir(), _tmpdir()
+        ss.write_sstable(parts, dn, generation=gen, summary_interval=2)
+        before = sorted(
+            (r.pk, r.value) for r in ss.scan_sstable(
+                spark, dn, key_start="k0050", key_stop="k0150").collect())
+        rep = ss.resample_summary_dir(dn, min_index_interval=8,
+                                      max_index_interval=64)
+        assert (rep["action"], rep["interval_after"]) == ("downsample", 8)
+        assert rep["entries_before"] == 150 and rep["entries_after"] == 38
+        ss.write_sstable(parts, ref, generation=gen, summary_interval=8)
+        assert _summary_bytes(dn) == _summary_bytes(ref)
+        # (b) rebuild: interval 8 -> max 4
+        rep = ss.resample_summary_dir(dn, min_index_interval=2,
+                                      max_index_interval=4)
+        assert (rep["action"], rep["interval_after"]) == ("rebuild", 4)
+        ref4 = _tmpdir()
+        ss.write_sstable(parts, ref4, generation=gen, summary_interval=4)
+        assert _summary_bytes(dn) == _summary_bytes(ref4)
+        # (c) noop in band
+        rep = ss.resample_summary_dir(dn, min_index_interval=2,
+                                      max_index_interval=64)
+        assert rep["action"] == "noop" and rep["entries_after"] == 75
+        # (f) scans unchanged through all of it
+        after = sorted(
+            (r.pk, r.value) for r in ss.scan_sstable(
+                spark, dn, key_start="k0050", key_stop="k0150").collect())
+        assert after == before and len(after) == 100
+        shutil.rmtree(dn), shutil.rmtree(ref), shutil.rmtree(ref4)
+
+    # (d) no summary -> rebuild at min
+    d = _tmpdir()
+    ss.write_sstable(parts, d, summary_interval=8)
+    os.remove(os.path.join(d, "Summary.db"))
+    rep = ss.resample_summary_dir(d, min_index_interval=16,
+                                  max_index_interval=64)
+    assert (rep["action"], rep["interval_before"],
+            rep["interval_after"]) == ("rebuild", None, 16)
+    assert rep["entries_after"] == (300 + 15) // 16
+    # (e) budget: current summary is ~19 entries; cap to fit ~5
+    size = os.path.getsize(os.path.join(d, "Summary.db"))
+    per_entry = (size - 8) / rep["entries_after"]
+    rep = ss.resample_summary_dir(
+        d, min_index_interval=16, max_index_interval=1024,
+        summary_budget_bytes=int(8 + 5 * per_entry))
+    assert rep["action"] == "downsample" and rep["entries_after"] <= 5
+    assert os.path.getsize(os.path.join(d, "Summary.db")) <= 8 + 5 * per_entry
+    shutil.rmtree(d)
+
+
 def test_corrupt_summary_fails_loud():
     out = _tmpdir()
     ss.write_sstable([(b"k1", [(b"c", 0, 0, 0, 1, b"v")])], out)
