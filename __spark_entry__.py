@@ -667,6 +667,7 @@ _DRIVER_PRIORITY = [
     "q_s26_successor_native",
     "q_m9_index_table_lookup",
     "q_s27_summary_resample",
+    "q_n57_bm25_topk",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -4537,6 +4538,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.keyword_search(docs, ["hash", "join", "scan"])
     q["q_n32_keyword_search"] = q_n32
 
+    def q_n57(spark, sf):
+        # BM25 ranked retrieval — the scoring half of the search engine
+        # whose boolean half is q_n32: Robertson tf saturation + length
+        # normalization over exact integer rationals (one IEEE quotient
+        # per term, fixed-order sum — hash-stable; see
+        # text._bm25_exprs), TakeOrdered top-k, id tie-break total.
+        docs = scan_table(spark, sf, "documents")
+        return text.bm25_topk(docs, ["scan", "merge", "vector"], k=25)
+    q["q_n57_bm25_topk"] = q_n57
+
     def q_d3(spark, sf):
         # anti-entropy digest: per-bucket order-independent checksums —
         # two runs agree iff every row matches, divergence localizes to a
@@ -5893,6 +5904,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_n31_bigram_quality"] = text.bigram_freq_quality_oracle_sql()
     o["q_n32_keyword_search"] = text.keyword_search_oracle_sql(
         ["hash", "join", "scan"]
+    )
+    o["q_n57_bm25_topk"] = text.bm25_topk_oracle_sql(
+        ["scan", "merge", "vector"], k=25
     )
     o["q_n25_unigram_quality"] = text.unigram_freq_quality_oracle_sql()
     o["q_n26_tfidf_topk"] = text.tfidf_topk_oracle_sql(k=3)

@@ -700,6 +700,145 @@ ORDER BY {id_col}
 """
 
 
+def _bm25_exprs(terms: list[str]) -> tuple[list[str], str, str, str]:
+    """Shared BM25 arithmetic for the Spark plan and the DuckDB oracle —
+    ONE derivation so the two engines cannot drift. With k1 = 6/5 and
+    b = 3/4, clearing denominators by 20·A (A = total corpus tokens,
+    N = docs, dl = doc length, avgdl = A/N):
+
+        tf_norm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+                = 44·A·tf / (20·A·tf + 6·A + 18·N·dl)
+        idf     = (N − df + ½) / (df + ½) = (2N − 2df + 1) / (2df + 1)
+
+    so score_t's numerator and denominator are EXACT integers and the
+    only IEEE ops are one division per term plus a fixed-order sum —
+    the PMI/DSIR rational-surrogate convention (the standard ln(idf) is
+    monotone in this ratio; the per-term weighting is a declared
+    variant). Returns (tf exprs, num template, den template, score
+    expr over the per-term quotients)."""
+    tfs = [f"size(filter(_ws, w -> w = '{t}'))" for t in terms]
+    num = "(2 * {N} - 2 * {df} + 1) * 44 * {A} * {tf}"
+    den = "(2 * {df} + 1) * (20 * {A} * {tf} + 6 * {A} + 18 * {N} * {dl})"
+    score = " + ".join(f"_q{i}" for i in range(len(terms)))
+    return tfs, num, den, score
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents for a bag-of-terms
+    query, scored with the Robertson tf saturation (k1 = 1.2) and
+    length normalization (b = 0.75) over exact integer rationals — see
+    :func:`_bm25_exprs`. Returns ``(id_col, n_matched, score)`` ordered
+    by score desc with the id as the total tie-break, so the ranking is
+    hash-stable across engines (every float is one IEEE quotient of two
+    exact DECIMAL(38,0) operands plus a fixed-order sum — the PMI
+    convention). Overflow bound: num ≤ 2N·44·A·tf — at N = 2e9 docs,
+    A = 1e12 tokens, tf = 1e4 that is ~9e26, inside DECIMAL(38,0)
+    (loud ANSI overflow beyond, never silent).
+
+    Scale shape: per-term tf and dl are ONE zero-shuffle HOF projection
+    over the corpus (no explode — the query's terms are columns, not
+    rows); N, A, and per-term df ride along as a broadcast 1-row
+    aggregate; the final top-k is a TakeOrdered (per-partition heads,
+    no global sort). Query cost at 100 TB is one corpus scan — the
+    serving-path alternative is the bucketed inverted index
+    (:func:`build_term_index` + ``write_bucketed``), whose posting
+    intersection :func:`keyword_search` already implements; this is the
+    scoring half of that engine."""
+    terms = list(dict.fromkeys(terms))  # de-dup, keep order
+    if not terms:
+        raise ValueError("bm25_topk needs at least one term")
+    for t in terms:
+        if not t.isalnum():
+            raise ValueError(f"query term {t!r} must be alphanumeric")
+    ws = WORDS_EXPR.format(col=text_col)
+    tfs, num_t, den_t, score_e = _bm25_exprs(terms)
+    base = (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(id_col, F.expr(ws).alias("_ws"))
+        .select(
+            id_col,
+            F.expr("size(_ws)").cast("long").alias("_dl"),
+            *[F.expr(e).cast("long").alias(f"_tf{i}")
+              for i, e in enumerate(tfs)],
+        )
+        .localCheckpoint(eager=False)  # stats + scoring read it once each
+    )
+    stats = F.broadcast(base.agg(
+        F.count("*").cast("long").alias("_N"),
+        F.sum("_dl").cast("long").alias("_A"),
+        *[F.count_if(F.col(f"_tf{i}") > 0).cast("long").alias(f"_df{i}")
+          for i in range(len(terms))],
+    ))
+    dec = "cast({v} as decimal(38,0))"
+    qcols = []
+    for i in range(len(terms)):
+        fmt = dict(N=dec.format(v="_N"), A=dec.format(v="_A"),
+                   df=dec.format(v=f"_df{i}"), tf=dec.format(v=f"_tf{i}"),
+                   dl=dec.format(v="_dl"))
+        qcols.append(F.expr(
+            f"if(_tf{i} = 0, cast(0.0 as double), "
+            f"cast({num_t.format(**fmt)} as double)"
+            f" / cast({den_t.format(**fmt)} as double))"
+        ).alias(f"_q{i}"))
+    matched = " + ".join(f"if(_tf{i} > 0, 1, 0)" for i in range(len(terms)))
+    return (
+        base.crossJoin(stats)
+        .select(id_col, F.expr(f"cast({matched} as bigint)").alias("n_matched"),
+                *qcols)
+        .filter(F.col("n_matched") > 0)
+        .select(id_col, "n_matched", F.expr(score_e).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle_sql(terms: list[str], k: int = 20,
+                         table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB recomputation of :func:`bm25_topk` from the SAME
+    :func:`_bm25_exprs` derivation: exact HUGEINT rationals, one IEEE
+    quotient per term, the identical fixed-order sum."""
+    terms = list(dict.fromkeys(terms))
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    tf_cols = ", ".join(
+        f"len(list_filter({ws}, w -> w = '{t}'))::BIGINT AS _tf{i}"
+        for i, t in enumerate(terms))
+    _, num_t, den_t, score_e = _bm25_exprs(terms)
+    dec = "({v}::HUGEINT)"
+    qs = []
+    for i in range(len(terms)):
+        fmt = dict(N=dec.format(v="_N"), A=dec.format(v="_A"),
+                   df=dec.format(v=f"_df{i}"), tf=dec.format(v=f"_tf{i}"),
+                   dl=dec.format(v="_dl"))
+        qs.append(
+            f"CASE WHEN _tf{i} = 0 THEN 0.0 ELSE "
+            f"({num_t.format(**fmt)})::DOUBLE"
+            f" / ({den_t.format(**fmt)})::DOUBLE END AS _q{i}")
+    matched = " + ".join(
+        f"CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(terms)))
+    df_cols = ", ".join(
+        f"count(*) FILTER (_tf{i} > 0)::BIGINT AS _df{i}"
+        for i in range(len(terms)))
+    return f"""
+WITH base AS (
+  SELECT {id_col}, len({ws})::BIGINT AS _dl, {tf_cols} FROM {table}
+),
+stats AS (
+  SELECT count(*)::BIGINT AS _N, sum(_dl)::BIGINT AS _A, {df_cols}
+  FROM base
+),
+scored AS (
+  SELECT {id_col}, ({matched})::BIGINT AS n_matched, {", ".join(qs)}
+  FROM base, stats
+)
+SELECT {id_col}, n_matched, {score_e} AS score
+FROM scored WHERE n_matched > 0
+ORDER BY score DESC, {id_col} ASC LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window document chunking
 # ---------------------------------------------------------------------------

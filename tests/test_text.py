@@ -136,6 +136,67 @@ def test_keyword_search_conjunctive(spark):
     assert {r.doc_id for r in keyword_search(docs, ["cherry"]).collect()} == {1}
 
 
+def test_bm25_topk_hand_model_and_invariants(spark):
+    """BM25 against a direct Python evaluation of the SAME rational
+    formula (_bm25_exprs' derivation), plus the classic invariants:
+    more occurrences of a term score higher at equal length, a longer
+    document is penalized at equal tf, and a rarer term outweighs a
+    common one."""
+    from fractions import Fraction
+
+    from cassandra_ttl_remover_spark.operators.text import bm25_topk
+
+    corpus = [
+        (0, "apple banana apple cherry"),
+        (1, "apple banana cherry date"),
+        (2, "banana banana banana banana"),
+        (3, "apple cherry"),
+        (4, "date date date date date date date date"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    terms = ["apple", "cherry"]
+    got = {r.doc_id: (r.n_matched, r.score)
+           for r in bm25_topk(docs, terms, k=10).collect()}
+
+    words = {i: t.split() for i, t in corpus}
+    N = len(corpus)
+    A = sum(len(w) for w in words.values())
+    df = {t: sum(t in w for w in words.values()) for t in terms}
+
+    def score(i):
+        s = 0.0
+        for t in terms:
+            tf = words[i].count(t)
+            if not tf:
+                continue
+            num = Fraction((2 * N - 2 * df[t] + 1) * 44 * A * tf)
+            den = Fraction((2 * df[t] + 1)
+                           * (20 * A * tf + 6 * A + 18 * N * len(words[i])))
+            s += float(num) / float(den)
+        return s
+
+    want = {i: (sum(t in words[i] for t in terms), score(i))
+            for i in words if any(t in words[i] for t in terms)}
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-15, (i, got[i], want[i])
+    # invariants: doc0 (tf_apple=2) beats doc1 (tf=1, same dl); doc3
+    # (dl=2) beats doc1 (dl=4, same tfs); all matched docs beat nothing
+    assert got[0][1] > got[1][1]
+    assert got[3][1] > got[1][1]
+    # rarer term outweighs a common one: 'date' (df=2, best doc scores
+    # ~2.48) vs 'banana' (df=3, best doc ~1.23) on single-term queries
+    d = {r.doc_id: r.score for r in bm25_topk(docs, ["date"], k=10).collect()}
+    b = {r.doc_id: r.score for r in bm25_topk(docs, ["banana"], k=10).collect()}
+    assert d[4] > b[2]
+
+    # top-k cut is deterministic: k=2 returns the two best by (score, id)
+    top2 = [r.doc_id for r in bm25_topk(docs, terms, k=2).collect()]
+    full = sorted(want, key=lambda i: (-want[i][1], i))[:2]
+    assert top2 == full
+
+
 def test_equidepth_histogram_properties(spark, documents):
     """Buckets are near-equal depth (SQL ntile remainder rule), ranges are
     ordered and non-overlapping, and counts sum to the corpus."""
