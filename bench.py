@@ -423,6 +423,11 @@ def main() -> int:
         # Gopher rule battery: zero-shuffle HOF projection
         text.gopher_rules(documents, min_words=10).collect()
 
+    def q_bm25():
+        # ranked retrieval: zero-shuffle tf/dl projection + broadcast
+        # stats + TakeOrdered top-k (one corpus scan per query)
+        text.bm25_topk(documents, ["scan", "merge", "vector"], k=25).collect()
+
     queries = {
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
@@ -469,6 +474,7 @@ def main() -> int:
         "sstable_merge_compact": q_sstable_merge,
         "sstable_scrub_deep": q_sstable_scrub,
         "tar_ingest": q_tar_ingest,
+        "bm25_topk": q_bm25,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock

@@ -500,6 +500,24 @@ def test_dsir_exchange_budget_and_broadcasts(spark, documents):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bm25_plan_is_takeordered_over_broadcast_stats(spark, documents):
+    """bm25_topk's 100 TB claims, plan-asserted: top-k is a TakeOrdered
+    (per-partition heads, no global sort), the 1-row stats frame joins
+    by broadcast (never a shuffle join), and the only exchanges are the
+    stats aggregate's own — the corpus-side tf/dl projection never
+    shuffles."""
+    from cassandra_ttl_remover_spark.operators.text import bm25_topk
+
+    plan = (bm25_topk(documents, ["scan", "merge"], k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats, build right
+    # corpus side: no hashpartitioning exchange anywhere (the single
+    # SinglePartition exchange belongs to the 1-row stats aggregate)
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_compact_atoms_interleaved_frames_keep_their_persisted_dels(spark):
     """ADVICE r8 regression: constructing a SECOND compaction must not
     invalidate the FIRST's not-yet-evaluated persisted deletion frame
