@@ -1,0 +1,611 @@
+"""Model-based curation: hashed text featurization, nearest-neighbor
+retrieval over text, centroid (Rocchio) classification, trained linear
+(logistic-regression) quality classification, and scorer evaluation
+(ROC-AUC) — the classifier stage of a 100 TB training-data pipeline
+(FineWeb-Edu / DCLM-style model-based filtering, public methods).
+
+The reference has no scalar/ML surface at all (values are opaque
+ByteBuffers — NoTTLColumnSerializer.java:30,38,44); this module is pure
+Spark-first north-star surface (SURVEY.md §2.2).
+
+Determinism-by-construction (the BM25/PMI/DSIR convention): every path is
+exact INTEGER arithmetic end-to-end — quantized tf-idf weights, integer
+dot products, integer gradient sums — with floats appearing only as
+final correctly-rounded int64->double conversions, ``sqrt`` (IEEE-754
+requires correct rounding), one multiply and one divide. No
+transcendental ops anywhere, so the DuckDB oracles hash-match
+bit-for-bit. Logistic regression uses the RATIONAL fast sigmoid
+``s(m) = 1/2 + m / (2*(1+|m|))`` instead of ``1/(1+exp(-m))`` — exact in
+integer arithmetic, same sign/monotonicity/asymptotes (a declared
+surrogate link, like DSIR's arithmetic-mean likelihood ratio).
+
+Integer-range discipline (int64-safe by constants, NOT by luck): every
+sum in the hash-checked paths is bounded under 2**63 at the declared
+quantization scales, and every int->double conversion stays a SINGLE
+int64 conversion (both engines round those correctly; 128-bit HUGEINT
+->double is NOT trusted). At 10**10-document corpora the tf-idf weight
+and the gradient sums must be promoted to decimal(38,0)/HUGEINT
+accumulators with a rescaled quantum — flagged per function.
+
+Scale shape: featurization is explode + one map-side-combined
+groupBy(doc, bucket) — text never shuffles, the 8-byte bucket ints do.
+All model state (df dictionary <= dim rows, class sums <= classes*dim,
+weights <= dim+1) broadcasts; no join in this module ever shuffles its
+corpus side on anything but the doc id. Training iterations follow
+graph.pagerank's integer-loop pattern: tiny state frame, localCheckpoint
+per round, O(1) lineage.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from cassandra_ttl_remover_spark.operators.curate import (
+    _dsir_bucket_duck,
+    _dsir_bucket_spark,
+)
+from cassandra_ttl_remover_spark.plans import fan_out
+
+#: tf-idf weight quantum (2**14). w = ((tf*Q div dl) * (N+1)) div (df+1)
+#: keeps w <= Q*(N+1)/2 (df >= 1 whenever the bucket exists), so dot
+#: products and norms stay int64 for corpora up to ~10**7 docs; beyond
+#: that rescale the idf numerator (w grows linearly with N).
+TFIDF_Q = 1 << 14
+
+#: Rocchio class-sum shift: class sums are re-quantized ``s div 2**14``
+#: before squaring so the class norm stays under 2**53 (exact in double).
+ROCCHIO_SHIFT = 14
+
+#: logistic-regression fixed-point quanta: weights are ``W/2**16``,
+#: features ``x = (tf*2**16) div dl``, residuals quantized to 2**-16.
+LR_S = 1 << 16
+LR_Q = 1 << 16
+LR_R = 1 << 16
+#: integer learning rate (eta = 4 full-batch steps are stable for
+#: fractional features and |w| <= eta*t).
+LR_ETA = 4
+
+
+# ---------------------------------------------------------------------------
+# hashed tf / tf-idf featurization
+# ---------------------------------------------------------------------------
+
+def hashed_tf(docs: DataFrame, dim: int = 1024, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """``(id, dl, bucket, tf)`` — one row per (document, hashed term
+    bucket): tokens md5-hashed into ``dim`` buckets (the DSIR bucket
+    construction, 3 hex nibbles -> pmod), tf = occurrences, dl = doc
+    token length riding along the grouping key (constant per id — no
+    second aggregate). Empty docs drop out (no tokens -> no rows).
+
+    Scale: one explode (token volume) + one map-side-combined
+    groupBy(id, bucket); the shuffled rows are four ints — the text
+    column never leaves the scan projection."""
+    ws = f"filter(split({text_col}, ' '), w -> w <> '')"
+    return (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.expr(ws).alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.expr("size(_ws)").cast("long").alias("dl"),
+            F.explode(
+                F.expr(f"transform(_ws, s -> {_dsir_bucket_spark('s', dim)})")
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "dl", "bucket")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def hashed_tfidf(docs: DataFrame, dim: int = 1024, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """``(id, bucket, tf, dl, df, w)`` — quantized tf-idf over hashed
+    buckets, all-integer (the module-docstring convention):
+
+        w = ((tf * Q) div dl) * (N + 1) div (df + 1),   Q = 2**14
+
+    (two-step integer quantization of ``tf/dl * (N+1)/(df+1)``, the
+    rational idf surrogate — monotone in ln-idf, no transcendentals).
+    ``df`` counts documents per bucket; N counts featurized documents.
+    Rows with w = 0 (token rarer than the quantum) are kept — df/tf stay
+    exact evidence even when the weight underflows.
+
+    Scale: the df dictionary is <= ``dim`` rows and broadcasts; N rides
+    the same dictionary as a 1-row broadcast aggregate — the corpus-side
+    frame is touched exactly once after featurization. 10**10-doc
+    corpora: promote ``x*(N+1)`` to decimal(38,0) (int64 holds to
+    ~10**7 docs at Q=2**14)."""
+    # three consumers (df dictionary, N, weight join) — featurize once
+    feats = hashed_tf(docs, dim, text_col, id_col).localCheckpoint(
+        eager=False)
+    df_dim = feats.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("df"))
+    n1 = F.broadcast(
+        feats.select(id_col).distinct().agg(
+            (F.count("*") + 1).cast("long").alias("n1")))
+    return (
+        feats.join(F.broadcast(df_dim), "bucket")
+        .crossJoin(n1)
+        .select(
+            F.col(id_col), "bucket", "tf", "dl", "df",
+            F.expr(f"((tf * {TFIDF_Q}) div dl) * n1 div (df + 1)")
+            .cast("long").alias("w"),
+        )
+    )
+
+
+def _tfidf_duck_cte(dim: int, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB CTE chain ending in ``tfidf(id, bucket, tf, dl, df, w)`` —
+    the SAME derivation as :func:`hashed_tfidf` (shared constants; the
+    bucket expression comes from the one DSIR helper pair)."""
+    ws = f"[w for w in string_split({text_col}, ' ') if w <> '']"
+    bucket = _dsir_bucket_duck("s", dim)
+    return f"""
+base AS (SELECT {id_col}, {ws} AS ws FROM {table}),
+tok AS (
+  SELECT {id_col}, len(ws)::BIGINT AS dl,
+         unnest(list_transform(ws, s -> {bucket})) AS bucket
+  FROM base
+),
+feats AS (
+  SELECT {id_col}, dl, bucket, count(*)::BIGINT AS tf
+  FROM tok GROUP BY {id_col}, dl, bucket
+),
+dfreq AS (SELECT bucket, count(*)::BIGINT AS df FROM feats GROUP BY bucket),
+nn AS (SELECT (count(DISTINCT {id_col}) + 1)::BIGINT AS n1 FROM feats),
+tfidf AS (
+  SELECT {id_col}, f.bucket, tf, dl, df,
+         (((tf * {TFIDF_Q}) // dl) * n1 // (df + 1))::BIGINT AS w
+  FROM feats f JOIN dfreq USING (bucket) CROSS JOIN nn
+)"""
+
+
+def hashed_tfidf_oracle_sql(dim: int = 1024, max_id: int = 32,
+                            table: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    """Oracle for the declared bounded projection of :func:`hashed_tfidf`
+    (full-corpus df/N statistics, output sliced to ``id < max_id`` so the
+    graded result stays small)."""
+    return f"""
+WITH {_tfidf_duck_cte(dim, table, id_col)}
+SELECT {id_col}, bucket, tf, dl, df, w FROM tfidf
+WHERE {id_col} < {max_id}
+ORDER BY {id_col}, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# text kNN over hashed tf-idf vectors
+# ---------------------------------------------------------------------------
+
+def text_knn(docs: DataFrame, query_id, k: int = 20, dim: int = 1024,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` cosine neighbors of document ``query_id`` over the
+    hashed tf-idf vectors — text-native similarity search with NO
+    embedding model: the featurizer IS the encoder, so the whole ANN
+    stack (exact here; similarity.py's IVF/LSH/PQ for the indexed path)
+    applies to raw-text corpora. Returns ``(id, dot, cosine)`` ordered
+    cosine desc with the id as total tie-break (the query doc itself
+    ranks first at cosine ~1 — sanity row, filter upstream if unwanted).
+
+    Exactness: dot and the squared norms are exact int64 sums; cosine is
+    ``double(dot) / (sqrt(n2_d) * sqrt(n2_q))`` — three correctly-rounded
+    ops on exactly-converted int64s, bit-stable across engines.
+
+    Scale: the query vector (<= dim rows) broadcasts into a bucket join
+    against the corpus weights; one groupBy(id) re-agg; TakeOrdered
+    top-k (per-partition heads, no global sort). One corpus featurize +
+    one doc-id-keyed shuffle total — the inverted-bucket join only ever
+    moves (id, bucket, w) ints."""
+    w = hashed_tfidf(docs, dim, text_col, id_col).select(
+        id_col, "bucket", "w").filter(F.col("w") > 0)
+    w = w.localCheckpoint(eager=False)  # feeds query, norms and dot once each
+    qv = F.broadcast(
+        w.filter(F.col(id_col) == F.lit(query_id))
+        .select(F.col("bucket"), F.col("w").alias("_qw"))
+    )
+    qn = F.broadcast(
+        w.filter(F.col(id_col) == F.lit(query_id))
+        .agg(F.sum(F.expr("w * w")).cast("long").alias("_qn2"))
+    )
+    dots = (
+        w.join(qv, "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("w * _qw")).cast("long").alias("dot"))
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.expr("w * w")).cast("long").alias("_n2"))
+    return (
+        dots.join(norms, id_col)
+        .crossJoin(qn)
+        .select(
+            F.col(id_col), "dot",
+            F.expr("cast(dot as double) / (sqrt(cast(_n2 as double)) *"
+                   " sqrt(cast(_qn2 as double)))").alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def text_knn_oracle_sql(query_id, k: int = 20, dim: int = 1024,
+                        table: str = "documents",
+                        id_col: str = "doc_id") -> str:
+    return f"""
+WITH {_tfidf_duck_cte(dim, table, id_col)},
+wv AS (SELECT {id_col}, bucket, w FROM tfidf WHERE w > 0),
+qv AS (SELECT bucket, w AS qw FROM wv WHERE {id_col} = {query_id}),
+dots AS (
+  SELECT {id_col}, sum(w * qw)::BIGINT AS dot
+  FROM wv JOIN qv USING (bucket) GROUP BY {id_col}
+),
+norms AS (SELECT {id_col}, sum(w * w)::BIGINT AS n2 FROM wv GROUP BY {id_col})
+SELECT {id_col}, dot,
+       dot::DOUBLE / (sqrt(n2::DOUBLE)
+         * sqrt((SELECT sum(qw * qw)::BIGINT FROM qv)::DOUBLE)) AS cosine
+FROM dots JOIN norms USING ({id_col})
+ORDER BY cosine DESC, {id_col} ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rocchio (nearest-class-centroid) classifier
+# ---------------------------------------------------------------------------
+
+def rocchio_confusion(docs: DataFrame, label_col: str = "lang",
+                      dim: int = 1024, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Centroid text classification, resubstitution-evaluated: per-class
+    sum vectors over hashed tf-idf (a class centroid scaled by its doc
+    count — the 1/n_c factor cancels inside cosine, so the SUM vector is
+    the centroid for ranking purposes), every featurized doc assigned to
+    ``argmax_c dot(w_d, S_c) / sqrt(||S_c||^2)`` (the per-doc norm is
+    constant across classes and drops out), and the confusion matrix
+    ``(label, pred, n)`` returned. Ties break on the class name asc —
+    fully deterministic.
+
+    Exactness: class sums are int64; before squaring they are quantized
+    ``s div 2**ROCCHIO_SHIFT`` so the class norm stays < 2**53 (exact in
+    double; the same declared-quantization convention as the tf-idf
+    weights). Scores compare a correctly-rounded int64 quotient pair.
+
+    Scale: the class-model frame is <= classes*dim rows — broadcasts
+    into the scoring join; scoring is one bucket join + one
+    groupBy(id, label) partial agg + one argmax window over <= classes
+    rows per doc. Text shuffles never; the corpus featurization is the
+    only big move."""
+    from pyspark.sql import Window
+
+    # two consumers (class-sum model, per-doc scoring) — featurize once
+    w = hashed_tfidf(docs, dim, text_col, id_col).select(
+        id_col, "bucket", "w").filter(F.col("w") > 0).localCheckpoint(
+        eager=False)
+    labels = docs.select(id_col, F.col(label_col).alias("label"))
+    wl = w.join(labels, id_col)
+    model = (
+        wl.groupBy("label", "bucket")
+        .agg(F.sum("w").cast("long").alias("s"))
+        .withColumn("sq", F.expr(f"s div {1 << ROCCHIO_SHIFT}"))
+    ).localCheckpoint(eager=False)  # feeds norms and the scoring join
+    nc2 = model.groupBy("label").agg(
+        F.sum(F.expr("sq * sq")).cast("long").alias("nc2"))
+    cls = F.broadcast(
+        model.join(nc2, "label")
+        .select("label", "bucket", "sq", "nc2")
+        .filter(F.col("sq") != 0)
+    )
+    scored = (
+        w.join(cls, "bucket")
+        .groupBy(id_col, "label", "nc2")
+        .agg(F.sum(F.expr("w * sq")).cast("long").alias("dot"))
+        .select(
+            F.col(id_col), F.col("label").alias("pred"),
+            F.expr("cast(dot as double) / sqrt(cast(nc2 as double))")
+            .alias("score"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("pred").asc())
+    pred = (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "pred")
+    )
+    return (
+        pred.join(labels, id_col)
+        .groupBy("label", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+def rocchio_confusion_oracle_sql(label_col: str = "lang", dim: int = 1024,
+                                 table: str = "documents",
+                                 id_col: str = "doc_id") -> str:
+    sh = 1 << ROCCHIO_SHIFT
+    return f"""
+WITH {_tfidf_duck_cte(dim, table, id_col)},
+wv AS (SELECT {id_col}, bucket, w FROM tfidf WHERE w > 0),
+labels AS (SELECT {id_col}, {label_col} AS label FROM {table}),
+model AS (
+  SELECT label, bucket, (sum(w)::BIGINT // {sh})::BIGINT AS sq
+  FROM wv JOIN labels USING ({id_col}) GROUP BY label, bucket
+),
+nc2 AS (SELECT label, sum(sq * sq)::BIGINT AS nc2 FROM model GROUP BY label),
+cls AS (
+  SELECT label, bucket, sq, nc2 FROM model JOIN nc2 USING (label)
+  WHERE sq <> 0
+),
+scored AS (
+  SELECT {id_col}, label AS pred, nc2, sum(w * sq)::BIGINT AS dot
+  FROM wv JOIN cls USING (bucket) GROUP BY {id_col}, label, nc2
+),
+ranked AS (
+  SELECT {id_col}, pred,
+         row_number() OVER (
+           PARTITION BY {id_col}
+           ORDER BY dot::DOUBLE / sqrt(nc2::DOUBLE) DESC, pred ASC
+         ) AS rn
+  FROM scored
+)
+SELECT label, pred, count(*)::BIGINT AS n
+FROM ranked JOIN labels USING ({id_col})
+WHERE rn = 1
+GROUP BY label, pred ORDER BY label, pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# logistic regression (quantized full-batch GD, rational fast sigmoid)
+# ---------------------------------------------------------------------------
+
+def _lr_feats(docs: DataFrame, dim: int, text_col: str,
+              id_col: str) -> DataFrame:
+    """``(id, bucket, xq)`` — quantized frequencies ``(tf*Q) div dl``
+    plus the bias pseudo-bucket -1 with xq = Q for every featurized doc."""
+    tf = hashed_tf(docs, dim, text_col, id_col)
+    x = tf.select(
+        F.col(id_col), "bucket",
+        F.expr(f"(tf * {LR_Q}) div dl").cast("long").alias("xq"),
+    )
+    bias = tf.select(id_col).distinct().select(
+        F.col(id_col), F.lit(-1).alias("bucket"),
+        F.lit(LR_Q).cast("long").alias("xq"),
+    )
+    return x.unionByName(bias)
+
+
+def logreg_train(docs: DataFrame, label_expr: str = "lang = 'en'",
+                 dim: int = 64, iters: int = 2, text_col: str = "text",
+                 id_col: str = "doc_id", *,
+                 checkpoint: bool = True) -> DataFrame:
+    """Binary logistic-regression training ON Spark: full-batch gradient
+    descent over hashed token-frequency features, entirely in quantized
+    integer arithmetic (module docstring), so the learned weights
+    hash-match the unrolled SQL oracle bit-for-bit. Returns
+    ``(bucket, weight)`` — bucket -1 is the bias — ordered by bucket;
+    real-valued weights are ``weight / 2**16``.
+
+    Per iteration t (all integers; S=Q=R=2**16, D=S*Q, eta=LR_ETA):
+
+        M_d   = sum_b W_b * xq_db                  (margin m = M/D)
+        p_d   = (D + |M| + M) / (2*(D + |M|))      (fast sigmoid, exact)
+        rq_d  = ((2y - 1)*(D + |M|) - M) * R div (2*(D + |M|))
+                                                   (residual y - p, quantized)
+        G_b   = sum_d rq_d * xq_db                 (gradient, exact int)
+        W_b  += (eta * S * G_b) div (N * R * Q)
+
+    (int64-safe at these quanta to ~10**5 docs x dim 64 x few iters;
+    promote the G accumulation to decimal(38,0) for larger corpora —
+    truncating div on negatives agrees between engines: both round
+    toward zero.)
+
+    Scale: the weight frame is <= dim+1 rows — broadcasts into the
+    margin join each iteration; each iteration is 2 broadcast joins +
+    2 map-side-combined aggs over the feature frame, which is
+    featurized ONCE and localCheckpointed. Iteration state follows
+    graph.pagerank's integer-loop pattern (O(1) lineage via
+    localCheckpoint; driver-sequenced fixed small ``iters`` is the
+    declared regime — this is a FILTER model, not a foundation model)."""
+    feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
+        eager=False)  # one featurize feeds every iteration twice
+    labels = docs.select(
+        F.col(id_col),
+        F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    dict_df = feats.select("bucket").distinct()
+    nrow = F.broadcast(
+        feats.select(id_col).distinct().agg(
+            F.count("*").cast("long").alias("_n")))
+    weights = dict_df.select(
+        "bucket", F.lit(0).cast("long").alias("w"))
+    D = LR_S * LR_Q
+    for _ in range(iters):
+        margins = (
+            feats.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
+        )
+        resid = (
+            margins.join(labels, id_col)
+            .select(
+                F.col(id_col),
+                F.expr(
+                    f"(((2 * y - 1) * ({D} + abs(m)) - m) * {LR_R})"
+                    f" div (2 * ({D} + abs(m)))"
+                ).cast("long").alias("rq"),
+            )
+        )
+        grad = (
+            feats.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.expr("rq * xq")).cast("long").alias("g"))
+        )
+        weights = (
+            weights.join(grad, "bucket", "left")
+            .crossJoin(nrow)
+            .select(
+                "bucket",
+                F.expr(
+                    f"w + ({LR_ETA} * {LR_S} * coalesce(g, 0L))"
+                    f" div (_n * {LR_R} * {LR_Q})"
+                ).cast("long").alias("w"),
+            )
+        )
+        if checkpoint:
+            # O(1) lineage across iterations (pagerank's stance);
+            # checkpoint=False keeps the nested plan visible for
+            # inspection/tests only
+            weights = weights.localCheckpoint(eager=False)
+    return weights.select(
+        "bucket", F.col("w").alias("weight")).orderBy("bucket")
+
+
+def _lr_duck_ctes(label_expr: str, dim: int, iters: int,
+                  table: str, id_col: str) -> tuple[list[str], str]:
+    """Shared CTE chain for the logreg oracles: returns (ctes, final
+    weights CTE name). Same constants, same integer ops, unrolled like
+    graph.pagerank_oracle_sql."""
+    D = LR_S * LR_Q
+    # reuse the featurizer chain up to (and excluding) its df dictionary —
+    # logreg needs only base/tok/feats
+    ctes = [_tfidf_duck_cte(dim, table, id_col)
+            .split("dfreq AS")[0].strip().rstrip(",")]
+    ctes.append(f"""x AS (
+  SELECT {id_col}, bucket, ((tf * {LR_Q}) // dl)::BIGINT AS xq FROM feats
+  UNION ALL
+  SELECT DISTINCT {id_col}, -1 AS bucket, {LR_Q}::BIGINT AS xq FROM feats
+)""")
+    ctes.append(f"""labels AS (
+  SELECT {id_col}, (CASE WHEN {label_expr} THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM {table}
+)""")
+    ctes.append("dict AS (SELECT DISTINCT bucket FROM x)")
+    ctes.append(
+        f"nn AS (SELECT count(DISTINCT {id_col})::BIGINT AS n FROM x)")
+    ctes.append("w0 AS (SELECT bucket, 0::BIGINT AS w FROM dict)")
+    for i in range(iters):
+        prev, cur = f"w{i}", f"w{i + 1}"
+        ctes.append(f"""m{i} AS (
+  SELECT {id_col}, sum(w * xq)::BIGINT AS m
+  FROM x JOIN {prev} USING (bucket) GROUP BY {id_col}
+)""")
+        ctes.append(f"""r{i} AS (
+  SELECT {id_col},
+         ((((2 * y - 1) * ({D} + abs(m)) - m) * {LR_R})
+          // (2 * ({D} + abs(m))))::BIGINT AS rq
+  FROM m{i} JOIN labels USING ({id_col})
+)""")
+        ctes.append(f"""g{i} AS (
+  SELECT bucket, sum(rq * xq)::BIGINT AS g
+  FROM x JOIN r{i} USING ({id_col}) GROUP BY bucket
+)""")
+        ctes.append(f"""{cur} AS (
+  SELECT d.bucket,
+         (w + ({LR_ETA} * {LR_S} * COALESCE(g, 0))
+          // (n * {LR_R} * {LR_Q}))::BIGINT AS w
+  FROM {prev} d LEFT JOIN g{i} USING (bucket) CROSS JOIN nn
+)""")
+    return ctes, f"w{iters}"
+
+
+def logreg_train_oracle_sql(label_expr: str = "lang = 'en'", dim: int = 64,
+                            iters: int = 2, table: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT bucket, w AS weight FROM {final} ORDER BY bucket")
+
+
+# ---------------------------------------------------------------------------
+# scorer evaluation: exact ROC-AUC via histogram ranks
+# ---------------------------------------------------------------------------
+
+def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
+               dim: int = 64, iters: int = 2, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Train :func:`logreg_train` and evaluate it where it was trained
+    (resubstitution, declared): exact ROC-AUC of the integer margin
+    against the label, via the tie-aware Mann-Whitney statistic computed
+    on the SCORE HISTOGRAM — no global row ranking:
+
+        group by margin -> (cnt, pos);  cum = ranks before the group;
+        U2 = sum_groups pos*(2*cum + cnt + 1) - P*(P+1);
+        AUC = U2 / (2*P*N)
+
+    (every term integer; AUC is one final int64 division). Returns one
+    row ``(n_pos, n_neg, u2, auc)``.
+
+    Scale: scoring reuses the training feature frame (one corpus pass
+    total); the histogram groupBy collapses the corpus to <= distinct
+    margins before the only window — a window over the histogram, not
+    the corpus, so no single-partition corpus sort exists in the plan
+    (the window's input is bounded by the margin-value cardinality;
+    at 100 TB bucket the margins first if they are near-unique)."""
+    from pyspark.sql import Window
+
+    weights = logreg_train(docs, label_expr, dim, iters, text_col, id_col)
+    feats = _lr_feats(docs, dim, text_col, id_col)
+    labels = docs.select(
+        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    margins = (
+        feats.join(F.broadcast(
+            weights.select("bucket", F.col("weight").alias("w"))), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
+        .join(labels, id_col)
+    )
+    hist = margins.groupBy("m").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    win = (Window.orderBy("m")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn(
+        "cum", (F.sum("cnt").over(win) - F.col("cnt")).cast("long"))
+    return (
+        cum.agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+            F.sum(F.expr("pos * (2 * cum + cnt + 1)")).cast("long")
+            .alias("_sum2r"),
+        )
+        .select(
+            "n_pos", "n_neg",
+            F.expr("_sum2r - n_pos * (n_pos + 1)").cast("long").alias("u2"),
+            F.expr(
+                "cast(_sum2r - n_pos * (n_pos + 1) as double)"
+                " / cast(2 * n_pos * n_neg as double)"
+            ).alias("auc"),
+        )
+    )
+
+
+def logreg_auc_oracle_sql(label_expr: str = "lang = 'en'", dim: int = 64,
+                          iters: int = 2, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
+    ctes.append(f"""mf AS (
+  SELECT {id_col}, sum(w * xq)::BIGINT AS m
+  FROM x JOIN {final} USING (bucket) GROUP BY {id_col}
+)""")
+    ctes.append(f"""hist AS (
+  SELECT m, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+  FROM mf JOIN labels USING ({id_col}) GROUP BY m
+)""")
+    ctes.append("""cum AS (
+  SELECT m, cnt, pos,
+         (sum(cnt) OVER (ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - cnt)::BIGINT AS cum
+  FROM hist
+)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT sum(pos)::BIGINT AS n_pos,
+       (sum(cnt) - sum(pos))::BIGINT AS n_neg,
+       (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::BIGINT
+         AS u2,
+       (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::DOUBLE
+         / (2 * sum(pos) * (sum(cnt) - sum(pos)))::DOUBLE AS auc
+FROM cum""")

@@ -1,0 +1,202 @@
+"""Model-based curation operators (operators/classify.py): semantic
+correctness on constructed corpora + the plan-budget properties the
+100 TB story depends on (broadcast model state, bounded exchanges, no
+corpus-side text shuffle)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cassandra_ttl_remover_spark.operators import classify as C
+from cassandra_ttl_remover_spark.plans import (
+    exchange_count,
+    formatted_plan,
+    has_broadcast_join,
+)
+
+
+def _toy_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------------------
+# featurization
+# ---------------------------------------------------------------------------
+
+def test_hashed_tf_counts_and_lengths(spark):
+    docs = _toy_docs(spark, [(1, "a b a", "en"), (2, "", "en"),
+                             (3, "c", "fr")])
+    rows = {(r.doc_id, r.bucket): (r.dl, r.tf)
+            for r in C.hashed_tf(docs, dim=4096).collect()}
+    # doc 2 (empty) contributes nothing; doc 1 has dl=3 with tf 2+1
+    assert all(dl == 3 for (d, _), (dl, _) in rows.items() if d == 1)
+    assert sorted(tf for (d, _), (_, tf) in rows.items() if d == 1) == [1, 2]
+    assert not any(d == 2 for (d, _) in rows)
+    assert [(dl, tf) for (d, _), (dl, tf) in rows.items() if d == 3] == [(1, 1)]
+
+
+def test_hashed_tfidf_weight_formula(spark):
+    # two docs, one shared token: df=2 for it, df=1 for the singleton
+    docs = _toy_docs(spark, [(1, "x y", "en"), (2, "x", "en")])
+    out = {(r.doc_id, r.bucket): r for r in
+           C.hashed_tfidf(docs, dim=4096).collect()}
+    n1 = 3  # N=2 featurized docs + 1
+    for (_, _), r in out.items():
+        assert r.w == ((r.tf * C.TFIDF_Q) // r.dl) * n1 // (r.df + 1)
+    assert {r.df for r in out.values()} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# text kNN
+# ---------------------------------------------------------------------------
+
+def test_text_knn_self_is_rank_one_and_duplicates_tie(spark):
+    docs = _toy_docs(spark, [
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha beta gamma", "en"),     # exact duplicate of 1
+        (3, "alpha beta delta", "en"),     # 2/3 overlap
+        (4, "omega psi chi", "en"),        # disjoint
+    ])
+    rows = C.text_knn(docs, 1, k=4, dim=4096).collect()
+    assert [r.doc_id for r in rows[:2]] == [1, 2]   # self, then its dup
+    assert abs(rows[0].cosine - 1.0) < 1e-12
+    assert abs(rows[1].cosine - rows[0].cosine) < 1e-12
+    assert rows[2].doc_id == 3 and rows[2].cosine < 1.0
+    assert all(r.doc_id != 4 for r in rows)  # no shared bucket -> no row
+
+
+def test_text_knn_plan_broadcasts_query_and_stats(spark, documents):
+    df = C.text_knn(documents, 0, k=10, dim=512)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), "query vector / df dictionary must broadcast"
+    assert "TakeOrdered" in plan, "top-k must be TakeOrdered, not a global sort"
+
+
+# ---------------------------------------------------------------------------
+# Rocchio
+# ---------------------------------------------------------------------------
+
+def test_rocchio_separable_classes_sit_on_the_diagonal(spark):
+    docs = _toy_docs(spark, [
+        (1, "hund katze maus hund", "de"), (2, "katze maus hund", "de"),
+        (3, "dog cat mouse dog", "en"), (4, "cat mouse dog cat", "en"),
+        (5, "chien chat souris", "fr"), (6, "chat souris chien chat", "fr"),
+    ])
+    conf = {(r.label, r.pred): r.n
+            for r in C.rocchio_confusion(docs, "lang", dim=4096).collect()}
+    assert conf == {("de", "de"): 2, ("en", "en"): 2, ("fr", "fr"): 2}
+
+
+def test_rocchio_class_model_broadcasts(spark, documents):
+    df = C.rocchio_confusion(documents, "lang", dim=512)
+    assert has_broadcast_join(df), "class-sum model frame must broadcast"
+
+
+# ---------------------------------------------------------------------------
+# logistic regression
+# ---------------------------------------------------------------------------
+
+def test_spark_div_truncates_toward_zero_like_duckdb(spark):
+    # the quantization contract: both engines' integer division must
+    # truncate toward zero (DuckDB -7//2 = -3, asserted in CI via the
+    # oracle hash; this pins the Spark side)
+    r = spark.sql("select -7 div 2 a, 7 div 2 b, -1 div 2 c").collect()[0]
+    assert (r.a, r.b, r.c) == (-3, 3, 0)
+
+
+def test_logreg_learns_a_separable_vocabulary(spark):
+    # 'en' docs say good/fine, others say mauvais/schlecht — after two
+    # quantized GD steps the en-token weights must be positive and the
+    # non-en token weights negative
+    docs = _toy_docs(spark, [
+        (i, "good fine good", "en") for i in range(6)
+    ] + [
+        (10 + i, "mauvais schlecht mauvais", "fr") for i in range(6)
+    ])
+    w = C.logreg_train(docs, "lang = 'en'", dim=256, iters=2)
+    weights = {r.bucket: r.weight for r in w.collect()}
+    assert -1 in weights  # bias pseudo-bucket
+    pos = [v for b, v in weights.items() if b != -1 and v > 0]
+    neg = [v for b, v in weights.items() if b != -1 and v < 0]
+    assert pos and neg, f"separable corpus must split weight signs: {weights}"
+    # scoring separates the classes
+    auc_row = C.logreg_auc(docs, "lang = 'en'", dim=256, iters=2).collect()[0]
+    assert auc_row.n_pos == 6 and auc_row.n_neg == 6
+    assert auc_row.auc == 1.0, "perfectly separable corpus must reach AUC 1"
+
+
+def test_logreg_weight_update_matches_hand_computation(spark):
+    # one doc, one token: margin 0 -> p = 1/2 -> rq = +-R/2; the bias and
+    # token share xq = Q (tf=dl=1), so after one step
+    # w = (eta*S*(R/2)*Q) div (1*R*Q) = eta*S/2 for y=1
+    docs = _toy_docs(spark, [(1, "tok", "en")])
+    w = {r.bucket: r.weight
+         for r in C.logreg_train(docs, "lang = 'en'", dim=8,
+                                 iters=1).collect()}
+    assert set(w.values()) == {C.LR_ETA * C.LR_S // 2}
+    # and the mirror-image negative class
+    w2 = {r.bucket: r.weight
+          for r in C.logreg_train(docs, "lang = 'fr'", dim=8,
+                                  iters=1).collect()}
+    assert set(w2.values()) == {-(C.LR_ETA * C.LR_S // 2)}
+
+
+def test_logreg_iteration_keeps_weights_broadcast_and_plan_flat(spark,
+                                                                documents):
+    # checkpoint=False exposes the nested iteration plan for inspection
+    df = C.logreg_train(documents, dim=64, iters=2, checkpoint=False)
+    assert has_broadcast_join(df), "the <=dim+1-row weight frame must broadcast"
+    # with checkpointing on (the default), the final plan must be CUT at
+    # the last iteration boundary instead of nesting every round
+    plan = formatted_plan(C.logreg_train(documents, dim=64, iters=2))
+    assert plan.count("Scan ExistingRDD") >= 1, (
+        "expected a localCheckpoint boundary in the final iteration plan"
+    )
+    nested = formatted_plan(df)
+    assert len(plan) < len(nested), (
+        "checkpointed plan should be strictly smaller than the nested one"
+    )
+
+
+# ---------------------------------------------------------------------------
+# AUC
+# ---------------------------------------------------------------------------
+
+def test_auc_histogram_formula_on_known_rankings(spark):
+    # AUC via the operator vs hand values: use single-token docs whose
+    # margins order deterministically after training on themselves is
+    # overkill — instead pin the tie-aware histogram math through a
+    # random-scorer corpus: all docs identical => every margin ties =>
+    # AUC must be exactly 0.5
+    docs = _toy_docs(spark, [
+        (i, "same text here", "en" if i % 2 == 0 else "fr")
+        for i in range(10)
+    ])
+    r = C.logreg_auc(docs, "lang = 'en'", dim=64, iters=2).collect()[0]
+    assert (r.n_pos, r.n_neg) == (5, 5)
+    assert r.auc == 0.5, "all-tied scores must give exactly 1/2"
+    assert r.u2 == 2 * r.n_pos * r.n_neg // 2  # u2 = PN at AUC 1/2
+
+
+def test_auc_window_runs_over_histogram_not_corpus(spark, documents):
+    # the only window in the plan must consume the margin histogram
+    # (grouped frame), never the raw corpus: assert the plan aggregates
+    # BEFORE the window (Window above HashAggregate in the tree)
+    plan = formatted_plan(C.logreg_auc(documents, dim=64, iters=2))
+    assert "Window" in plan
+    head = plan.split("Window")[0]
+    assert "HashAggregate" in head or "SortAggregate" in head, (
+        "margin histogram aggregation must feed the rank window"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exchange budgets
+# ---------------------------------------------------------------------------
+
+def test_classify_exchange_budgets(spark, documents):
+    # featurize: fan_out floor + groupBy(id,bucket) = <=2 exchanges;
+    # downstream model joins are broadcast so add only their own aggs
+    assert exchange_count(C.hashed_tf(documents, 512)) <= 2
+    assert exchange_count(C.hashed_tfidf(documents, 512)) <= 4
+    assert exchange_count(C.text_knn(documents, 0, 10, 512)) <= 6
+    assert exchange_count(C.rocchio_confusion(documents, "lang", 512)) <= 8
