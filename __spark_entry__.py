@@ -42,7 +42,13 @@ from cassandra_ttl_remover_spark import (
     strip_ttl,
     write_sorted,
 )
-from cassandra_ttl_remover_spark.operators import curate, dedup, similarity, text
+from cassandra_ttl_remover_spark.operators import (
+    classify,
+    curate,
+    dedup,
+    similarity,
+    text,
+)
 from cassandra_ttl_remover_spark.operators.asof import asof_join
 from cassandra_ttl_remover_spark.operators.liveness import (
     ANNOTATE_EVENTS_SQL,
@@ -668,6 +674,11 @@ _DRIVER_PRIORITY = [
     "q_m9_index_table_lookup",
     "q_s27_summary_resample",
     "q_n57_bm25_topk",
+    "q_n58_hashed_tfidf",
+    "q_n59_text_knn",
+    "q_n60_rocchio_confusion",
+    "q_n61_logreg_train",
+    "q_n62_classifier_auc",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -4548,6 +4559,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.bm25_topk(docs, ["scan", "merge", "vector"], k=25)
     q["q_n57_bm25_topk"] = q_n57
 
+    # ---- model-based curation (operators/classify.py): featurize ->
+    # retrieve -> classify -> evaluate, all exact-integer (hash-stable) ----
+
+    def q_n58(spark, sf):
+        # hashed tf-idf featurization — the model-free text encoder the
+        # rest of the classifier stack (and the ANN stack, via q_n59)
+        # runs on. Full-corpus df/N statistics; the graded projection is
+        # sliced to doc_id < 32 to keep the result bounded.
+        docs = scan_table(spark, sf, "documents")
+        return (
+            classify.hashed_tfidf(docs, dim=1024)
+            .filter(F.col("doc_id") < 32)
+            .orderBy("doc_id", "bucket")
+        )
+    q["q_n58_hashed_tfidf"] = q_n58
+
+    def q_n59(spark, sf):
+        # text-native similarity search with NO embedding model: exact
+        # cosine top-k over the hashed tf-idf vectors (broadcast query
+        # vector, integer dot/norms, TakeOrdered)
+        docs = scan_table(spark, sf, "documents")
+        return classify.text_knn(docs, 0, k=20, dim=1024)
+    q["q_n59_text_knn"] = q_n59
+
+    def q_n60(spark, sf):
+        # Rocchio nearest-class-centroid classifier, resubstitution
+        # confusion matrix over the lang label — class-sum model
+        # broadcasts, scores are int64 quotients (bit-stable argmax)
+        docs = scan_table(spark, sf, "documents")
+        return classify.rocchio_confusion(docs, "lang", dim=1024)
+    q["q_n60_rocchio_confusion"] = q_n60
+
+    def q_n61(spark, sf):
+        # logistic-regression TRAINING on Spark: 2 full-batch quantized
+        # GD steps with the rational fast-sigmoid link; the learned
+        # weights hash-match the unrolled SQL oracle exactly
+        docs = scan_table(spark, sf, "documents")
+        return classify.logreg_train(docs, "lang = 'en'", dim=64, iters=2)
+    q["q_n61_logreg_train"] = q_n61
+
+    def q_n62(spark, sf):
+        # scorer evaluation: exact tie-aware ROC-AUC of the trained
+        # margin via histogram ranks (no corpus-wide row ranking)
+        docs = scan_table(spark, sf, "documents")
+        return classify.logreg_auc(docs, "lang = 'en'", dim=64, iters=2)
+    q["q_n62_classifier_auc"] = q_n62
+
     def q_d3(spark, sf):
         # anti-entropy digest: per-bucket order-independent checksums —
         # two runs agree iff every row matches, divergence localizes to a
@@ -5907,6 +5965,17 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_n57_bm25_topk"] = text.bm25_topk_oracle_sql(
         ["scan", "merge", "vector"], k=25
+    )
+    o["q_n58_hashed_tfidf"] = classify.hashed_tfidf_oracle_sql(1024, 32)
+    o["q_n59_text_knn"] = classify.text_knn_oracle_sql(0, k=20, dim=1024)
+    o["q_n60_rocchio_confusion"] = classify.rocchio_confusion_oracle_sql(
+        "lang", dim=1024
+    )
+    o["q_n61_logreg_train"] = classify.logreg_train_oracle_sql(
+        "lang = 'en'", dim=64, iters=2
+    )
+    o["q_n62_classifier_auc"] = classify.logreg_auc_oracle_sql(
+        "lang = 'en'", dim=64, iters=2
     )
     o["q_n25_unigram_quality"] = text.unigram_freq_quality_oracle_sql()
     o["q_n26_tfidf_topk"] = text.tfidf_topk_oracle_sql(k=3)

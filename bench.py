@@ -428,6 +428,19 @@ def main() -> int:
         # stats + TakeOrdered top-k (one corpus scan per query)
         text.bm25_topk(documents, ["scan", "merge", "vector"], k=25).collect()
 
+    def q_text_knn():
+        # text-native cosine top-k over hashed tf-idf: one featurize
+        # (checkpointed), broadcast query vector, TakeOrdered
+        from cassandra_ttl_remover_spark.operators import classify
+        classify.text_knn(documents, 0, k=20, dim=1024).collect()
+
+    def q_logreg_train():
+        # classifier training: 2 quantized GD steps, broadcast weights,
+        # featurize-once localCheckpoint — then exact AUC on the margin
+        from cassandra_ttl_remover_spark.operators import classify
+        classify.logreg_auc(documents, "lang = 'en'", dim=64,
+                            iters=2).collect()
+
     queries = {
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
@@ -475,6 +488,8 @@ def main() -> int:
         "sstable_scrub_deep": q_sstable_scrub,
         "tar_ingest": q_tar_ingest,
         "bm25_topk": q_bm25,
+        "text_knn": q_text_knn,
+        "logreg_train": q_logreg_train,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock

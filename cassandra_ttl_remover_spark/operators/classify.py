@@ -414,6 +414,15 @@ def logreg_train(docs: DataFrame, label_expr: str = "lang = 'en'",
     labels = docs.select(
         F.col(id_col),
         F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    return _logreg_fit(feats, labels, iters, id_col,
+                       checkpoint=checkpoint)
+
+
+def _logreg_fit(feats: DataFrame, labels: DataFrame, iters: int,
+                id_col: str, *, checkpoint: bool = True) -> DataFrame:
+    """GD loop over a prebuilt (and ideally checkpointed) feature frame —
+    shared by :func:`logreg_train` and :func:`logreg_auc` so evaluation
+    never featurizes the corpus a second time."""
     dict_df = feats.select("bucket").distinct()
     nrow = F.broadcast(
         feats.select(id_col).distinct().agg(
@@ -545,10 +554,11 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
     at 100 TB bucket the margins first if they are near-unique)."""
     from pyspark.sql import Window
 
-    weights = logreg_train(docs, label_expr, dim, iters, text_col, id_col)
-    feats = _lr_feats(docs, dim, text_col, id_col)
+    feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
+        eager=False)  # ONE featurize feeds training and scoring
     labels = docs.select(
         F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    weights = _logreg_fit(feats, labels, iters, id_col)
     margins = (
         feats.join(F.broadcast(
             weights.select("bucket", F.col("weight").alias("w"))), "bucket")
