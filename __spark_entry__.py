@@ -679,6 +679,9 @@ _DRIVER_PRIORITY = [
     "q_n60_rocchio_confusion",
     "q_n61_logreg_train",
     "q_n62_classifier_auc",
+    "q_n63_holdout_auc",
+    "q_n64_margin_cutoff",
+    "q_st12_stream_model_gate",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -4542,6 +4545,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_st8_stream_upsert"] = q_st8
 
+    def q_st12(spark, sf):
+        # model-based quality gate ON THE STREAM: train batch-side,
+        # calibrate the keep-half cut margin, then score arriving docs
+        # with a stateless HOF projection (the model inlined as a map
+        # literal — no stream-static join, no state store) and keep
+        # margin >= threshold; batch-oracle-identical survivor set
+        import uuid
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            drain_to_table,
+            scan_stream,
+            stream_model_gate,
+        )
+
+        docs = scan_table(spark, sf, "documents")
+        w = classify.collect_weights(classify.logreg_train(docs))
+        thr = classify.margin_threshold(docs, w, 0.5)
+        st = scan_stream(spark, sf, glob="documents.parquet")
+        return drain_to_table(
+            stream_model_gate(st, w, 64, threshold=thr),
+            f"st12_{uuid.uuid4().hex[:8]}", "append",
+        ).orderBy("doc_id")
+    q["q_st12_stream_model_gate"] = q_st12
+
     def q_n32(spark, sf):
         # conjunctive keyword search by posting-list intersection — the
         # query path that never rescans the documents
@@ -4605,6 +4632,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = scan_table(spark, sf, "documents")
         return classify.logreg_auc(docs, "lang = 'en'", dim=64, iters=2)
     q["q_n62_classifier_auc"] = q_n62
+
+    def q_n63(spark, sf):
+        # HONEST evaluation: train on the stable murmur3 hash-split
+        # train fold (curate.hash_split semantics), exact ROC-AUC on the
+        # held-out complement — features are per-document only, so the
+        # folds are fully independent
+        docs = scan_table(spark, sf, "documents")
+        return classify.logreg_holdout_auc(
+            docs, "pmod(hash(doc_id), 2147483648) % 100 < 80"
+        )
+    q["q_n63_holdout_auc"] = q_n63
+
+    def q_n64(spark, sf):
+        # the deployed selection rule: keep the best half by trained
+        # margin (exact oracle surface; the default approx_percentile
+        # path is the 100 TB shape — see classify.margin_cutoff)
+        docs = scan_table(spark, sf, "documents")
+        w = classify.collect_weights(classify.logreg_train(docs))
+        return classify.margin_cutoff(docs, w, 0.5, exact=True).orderBy(
+            "doc_id")
+    q["q_n64_margin_cutoff"] = q_n64
 
     def q_d3(spark, sf):
         # anti-entropy digest: per-bucket order-independent checksums —
@@ -5976,6 +6024,16 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_n62_classifier_auc"] = classify.logreg_auc_oracle_sql(
         "lang = 'en'", dim=64, iters=2
+    )
+    _split80 = (
+        f"(({murmur3_hash_oracle_expr('doc_id')} & 2147483647) % 100) < 80"
+    )
+    o["q_n63_holdout_auc"] = classify.logreg_holdout_auc_oracle_sql(_split80)
+    o["q_n64_margin_cutoff"] = classify.margin_cutoff_oracle_sql(
+        keep_frac=0.5
+    )
+    o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
+        keep_frac=0.5
     )
     o["q_n25_unigram_quality"] = text.unigram_freq_quality_oracle_sql()
     o["q_n26_tfidf_topk"] = text.tfidf_topk_oracle_sql(k=3)

@@ -136,29 +136,37 @@ def hashed_tfidf(docs: DataFrame, dim: int = 1024, text_col: str = "text",
 
 
 def _tfidf_duck_cte(dim: int, table: str = "documents",
-                    id_col: str = "doc_id", text_col: str = "text") -> str:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    suffix: str = "") -> str:
     """DuckDB CTE chain ending in ``tfidf(id, bucket, tf, dl, df, w)`` —
     the SAME derivation as :func:`hashed_tfidf` (shared constants; the
-    bucket expression comes from the one DSIR helper pair)."""
+    bucket expression comes from the one DSIR helper pair). ``suffix``
+    renames every CTE (base_e, feats_e, ...) so two featurizations —
+    e.g. a train and a holdout frame — can coexist in one WITH chain."""
     ws = f"[w for w in string_split({text_col}, ' ') if w <> '']"
     bucket = _dsir_bucket_duck("s", dim)
+    s = suffix
     return f"""
-base AS (SELECT {id_col}, {ws} AS ws FROM {table}),
-tok AS (
+base{s} AS (SELECT {id_col}, {ws} AS ws FROM {table}),
+tok{s} AS (
   SELECT {id_col}, len(ws)::BIGINT AS dl,
          unnest(list_transform(ws, s -> {bucket})) AS bucket
-  FROM base
+  FROM base{s}
 ),
-feats AS (
+feats{s} AS (
   SELECT {id_col}, dl, bucket, count(*)::BIGINT AS tf
-  FROM tok GROUP BY {id_col}, dl, bucket
+  FROM tok{s} GROUP BY {id_col}, dl, bucket
 ),
-dfreq AS (SELECT bucket, count(*)::BIGINT AS df FROM feats GROUP BY bucket),
-nn AS (SELECT (count(DISTINCT {id_col}) + 1)::BIGINT AS n1 FROM feats),
-tfidf AS (
+dfreq{s} AS (
+  SELECT bucket, count(*)::BIGINT AS df FROM feats{s} GROUP BY bucket
+),
+nn{s} AS (
+  SELECT (count(DISTINCT {id_col}) + 1)::BIGINT AS n1 FROM feats{s}
+),
+tfidf{s} AS (
   SELECT {id_col}, f.bucket, tf, dl, df,
          (((tf * {TFIDF_Q}) // dl) * n1 // (df + 1))::BIGINT AS w
-  FROM feats f JOIN dfreq USING (bucket) CROSS JOIN nn
+  FROM feats{s} f JOIN dfreq{s} USING (bucket) CROSS JOIN nn{s}
 )"""
 
 
@@ -566,6 +574,15 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
         .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
         .join(labels, id_col)
     )
+    return _auc_from_margins(margins)
+
+
+def _auc_from_margins(margins: DataFrame) -> DataFrame:
+    """Tie-aware ROC-AUC from an ``(m, y)`` frame via histogram ranks —
+    shared by the resubstitution and holdout evaluations (see
+    :func:`logreg_auc` for the derivation)."""
+    from pyspark.sql import Window
+
     hist = margins.groupBy("m").agg(
         F.count("*").cast("long").alias("cnt"),
         F.sum("y").cast("long").alias("pos"),
@@ -590,6 +607,284 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
             ).alias("auc"),
         )
     )
+
+
+def logreg_holdout_auc(docs: DataFrame, train_where: str,
+                       label_expr: str = "lang = 'en'", dim: int = 64,
+                       iters: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Honest (held-out) evaluation: train :func:`logreg_train` on the
+    ``train_where`` subset, score the COMPLEMENT, report its exact
+    ROC-AUC. Features are per-document only (tf, dl — no corpus
+    statistics), so the two frames are fully independent and the split
+    leaks nothing. Use curate.hash_split's stable murmur3 predicate as
+    ``train_where`` for the reproducible-split form (declared query).
+
+    Scale: two featurizations (train + holdout, each one explode + one
+    map-side agg), model state broadcast — same shape as
+    :func:`logreg_auc`, one extra corpus pass for the second frame."""
+    train = docs.filter(train_where)
+    held = docs.filter(f"NOT ({train_where})")
+    feats_tr = _lr_feats(train, dim, text_col, id_col).localCheckpoint(
+        eager=False)
+    labels_tr = train.select(
+        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    weights = _logreg_fit(feats_tr, labels_tr, iters, id_col)
+    feats_ev = _lr_feats(held, dim, text_col, id_col)
+    labels_ev = held.select(
+        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    margins = (
+        feats_ev.join(F.broadcast(
+            weights.select("bucket", F.col("weight").alias("w"))), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
+        .join(labels_ev, id_col)
+    )
+    return _auc_from_margins(margins)
+
+
+def _auc_duck_tail(x_cte: str, labels_cte: str, id_col: str) -> str:
+    """The histogram-rank AUC tail over margin CTEs — the oracle twin of
+    :func:`_auc_from_margins` (margins come from ``mf``)."""
+    return f"""hist AS (
+  SELECT m, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+  FROM mf JOIN {labels_cte} USING ({id_col}) GROUP BY m
+),
+cum AS (
+  SELECT m, cnt, pos,
+         (sum(cnt) OVER (ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - cnt)::BIGINT AS cum
+  FROM hist
+)
+SELECT sum(pos)::BIGINT AS n_pos,
+       (sum(cnt) - sum(pos))::BIGINT AS n_neg,
+       (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::BIGINT
+         AS u2,
+       (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::DOUBLE
+         / (2 * sum(pos) * (sum(cnt) - sum(pos)))::DOUBLE AS auc
+FROM cum"""
+
+
+def logreg_holdout_auc_oracle_sql(train_where_duck: str,
+                                  label_expr: str = "lang = 'en'",
+                                  dim: int = 64, iters: int = 2,
+                                  table: str = "documents",
+                                  id_col: str = "doc_id") -> str:
+    """Oracle: unrolled training over the train subset, margin scoring +
+    AUC over the complement. ``train_where_duck`` must be the DuckDB
+    twin of the Spark predicate (e.g. the murmur3 split expression from
+    curate.hash_split_oracle_sql)."""
+    train_tbl = f"(SELECT * FROM {table} WHERE {train_where_duck})"
+    held_tbl = f"(SELECT * FROM {table} WHERE NOT ({train_where_duck}))"
+    ctes, final = _lr_duck_ctes(label_expr, dim, iters, train_tbl, id_col)
+    # holdout featurization under the _e suffix (no CTE-name collision)
+    ctes.append(_tfidf_duck_cte(dim, held_tbl, id_col, suffix="_e")
+                .split("dfreq_e AS")[0].strip().rstrip(","))
+    ctes.append(f"""x_e AS (
+  SELECT {id_col}, bucket, ((tf * {LR_Q}) // dl)::BIGINT AS xq FROM feats_e
+  UNION ALL
+  SELECT DISTINCT {id_col}, -1 AS bucket, {LR_Q}::BIGINT AS xq FROM feats_e
+)""")
+    ctes.append(f"""labels_e AS (
+  SELECT {id_col}, (CASE WHEN {label_expr} THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM {held_tbl}
+)""")
+    ctes.append(f"""mf AS (
+  SELECT {id_col}, sum(w * xq)::BIGINT AS m
+  FROM x_e JOIN {final} USING (bucket) GROUP BY {id_col}
+)""")
+    ctes.append(_auc_duck_tail("x_e", "labels_e", id_col))
+    body = ",\n".join(ctes[:-1])
+    return f"WITH {body},\n{ctes[-1]}"
+
+
+# ---------------------------------------------------------------------------
+# model serving: zero-shuffle margin scoring (batch + streaming)
+# ---------------------------------------------------------------------------
+
+def margin_score_expr(weights: dict[int, int], dim: int,
+                      text_col: str = "text") -> str:
+    """SQL expression computing the trained margin for one document as a
+    pure per-row projection — the SERVING form of the classifier: the
+    <= dim+1 learned weights inline as a map literal, tf re-derived per
+    distinct bucket with higher-order functions, NO explode, NO shuffle,
+    NO state. Bit-identical to the training margin (same per-bucket
+    ``(tf*Q) div dl`` quantization); unseen buckets score 0. Stateless,
+    so it lifts to Structured Streaming unchanged."""
+    if not weights:
+        raise ValueError("empty weight map")
+    entries = ", ".join(f"{b}, {w}L" for b, w in sorted(weights.items()))
+    bias = weights.get(-1, 0)
+    bucket = _dsir_bucket_spark("s", dim)
+    return (
+        f"(case when size(_ws) = 0 then null else "
+        f"{bias}L * {LR_Q} + aggregate("
+        f"array_distinct(transform(_ws, s -> {bucket})), 0L, "
+        f"(acc, b) -> acc + coalesce(element_at(map({entries}), b), 0L)"
+        f" * ((size(filter(transform(_ws, s -> {bucket}), x -> x = b))"
+        f" * {LR_Q}) div size(_ws)) ) end)"
+    )
+
+
+def score_documents(docs: DataFrame, weights: dict[int, int],
+                    dim: int = 64, *, threshold: int | None = None,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained weight map to a document frame as a zero-shuffle
+    projection: ``(id, margin)``; with ``threshold`` keep only documents
+    whose integer margin is >= it (the model-based quality GATE —
+    FineWeb-Edu's serving step). Unfeaturizable (empty) docs drop.
+
+    Scale: pure per-row HOF work fused into the scan — the model rides
+    inside the expression (weights are <= dim+1 ints), so this runs at
+    scan speed on any number of executors and, being stateless, on a
+    stream (streaming.stream_model_gate)."""
+    ws = f"filter(split({text_col}, ' '), w -> w <> '')"
+    out = (
+        docs.select(F.col(id_col), F.expr(ws).alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.expr(margin_score_expr(weights, dim)).cast("long")
+            .alias("margin"),
+        )
+        .filter(F.col("margin").isNotNull())
+    )
+    if threshold is not None:
+        out = out.filter(F.col("margin") >= threshold)
+    return out
+
+
+def collect_weights(weights_df: DataFrame) -> dict[int, int]:
+    """Driver-side weight map off a :func:`logreg_train` result — the
+    bounded-collect convention (<= dim+1 rows by construction)."""
+    return {int(r.bucket): int(r.weight) for r in weights_df.collect()}
+
+
+def margin_cutoff(docs: DataFrame, weights: dict[int, int],
+                  keep_frac: float = 0.5, dim: int = 64, *,
+                  exact: bool = False, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keep the top ``keep_frac`` of documents by trained margin — the
+    budgeted form of the model gate ("best half by classifier score",
+    FineWeb-Edu's actual selection rule), mirroring
+    curate.quality_cutoff's two surfaces: the default path finds the
+    cut margin with a map-side ``approx_percentile`` sketch and
+    broadcast-filters (two scan passes, no global order — the 100 TB
+    shape); ``exact=True`` is the deterministic oracle surface
+    (row_number over (margin desc, id asc), top ceil(frac*n))."""
+    import math
+
+    from pyspark.sql import Window
+
+    scored = score_documents(docs, weights, dim,
+                             text_col=text_col, id_col=id_col)
+    if exact:
+        n = scored.count()
+        k = max(1, math.ceil(keep_frac * n))
+        w = Window.orderBy(F.desc("margin"), F.asc(id_col))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "margin")
+        )
+    thr = scored.agg(F.percentile_approx(
+        "margin", 1.0 - keep_frac, 10000).alias("thr"))
+    return (
+        scored.join(F.broadcast(thr), F.col("margin") >= F.col("thr"))
+        .select(id_col, "margin")
+    )
+
+
+def margin_cutoff_oracle_sql(label_expr: str = "lang = 'en'",
+                             keep_frac: float = 0.5, dim: int = 64,
+                             iters: int = 2, table: str = "documents",
+                             id_col: str = "doc_id") -> str:
+    """Oracle for the EXACT path of :func:`margin_cutoff` over weights
+    trained on the same corpus — unrolled training CTEs + the same
+    row_number cut."""
+    ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
+    ctes.append(f"""mf AS (
+  SELECT {id_col}, sum(w * xq)::BIGINT AS m
+  FROM x JOIN {final} USING (bucket) GROUP BY {id_col}
+)""")
+    ctes.append(f"""rk AS (
+  SELECT {id_col}, m,
+         row_number() OVER (ORDER BY m DESC, {id_col}) AS rn
+  FROM mf
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT {id_col}, m AS margin FROM rk
+WHERE rn <= greatest(1, CAST(ceil({keep_frac} * (SELECT count(*) FROM mf))
+                             AS BIGINT))
+ORDER BY {id_col}""")
+
+
+def margin_threshold(docs: DataFrame, weights: dict[int, int],
+                     keep_frac: float = 0.5, dim: int = 64, *,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> int:
+    """The exact cut margin for a ``keep_frac`` gate: the k-th largest
+    margin (k = ceil(frac*n), ordered margin desc then id asc) — the
+    CALIBRATION scalar a deployed streaming gate is configured with
+    (gate rule: ``margin >= threshold``, so value-ties at the cut are
+    all kept). One TakeOrdered + a 1-row collect (bounded-collect
+    convention)."""
+    import math
+
+    scored = score_documents(docs, weights, dim,
+                             text_col=text_col, id_col=id_col)
+    n = scored.count()
+    k = max(1, math.ceil(keep_frac * n))
+    rows = (scored.orderBy(F.desc("margin"), F.asc(id_col))
+            .limit(k).agg(F.min("margin").alias("thr")).collect())
+    if not rows or rows[0].thr is None:
+        raise ValueError("margin_threshold over an empty corpus")
+    return int(rows[0].thr)
+
+
+def gated_margins_oracle_sql(label_expr: str = "lang = 'en'",
+                             keep_frac: float = 0.5, dim: int = 64,
+                             iters: int = 2, table: str = "documents",
+                             id_col: str = "doc_id") -> str:
+    """Oracle for train -> calibrate (:func:`margin_threshold`) ->
+    gate (:func:`score_documents` / streaming.stream_model_gate): keeps
+    every document with margin >= the k-th largest margin — ties at the
+    cut INCLUDED, exactly the deployed gate's rule."""
+    ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
+    ctes.append(f"""mf AS (
+  SELECT {id_col}, sum(w * xq)::BIGINT AS m
+  FROM x JOIN {final} USING (bucket) GROUP BY {id_col}
+)""")
+    ctes.append(f"""thr AS (
+  SELECT min(m) AS t FROM (
+    SELECT m FROM mf ORDER BY m DESC, {id_col} ASC
+    LIMIT greatest(1, CAST(ceil({keep_frac} *
+                                (SELECT count(*) FROM mf)) AS BIGINT))
+  )
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT {id_col}, m AS margin FROM mf
+WHERE m >= (SELECT t FROM thr) ORDER BY {id_col}""")
+
+
+def score_documents_oracle_sql(label_expr: str = "lang = 'en'",
+                               dim: int = 64, iters: int = 2,
+                               threshold: int = 0,
+                               table: str = "documents",
+                               id_col: str = "doc_id") -> str:
+    """Oracle for train-then-gate: the unrolled training CTEs feed an
+    explode-form margin over the same corpus (the explode form equals
+    the serving HOF form — identical per-bucket quantization), filtered
+    at ``threshold``."""
+    ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
+    ctes.append(f"""mf AS (
+  SELECT {id_col}, sum(w * xq)::BIGINT AS m
+  FROM x JOIN {final} USING (bucket) GROUP BY {id_col}
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT {id_col}, m AS margin FROM mf"
+            f" WHERE m >= {threshold} ORDER BY {id_col}")
 
 
 def logreg_auc_oracle_sql(label_expr: str = "lang = 'en'", dim: int = 64,

@@ -275,6 +275,30 @@ def stream_curate_gate(docs: DataFrame, *, min_quality: float = 0.5,
     ).select(id_col, "pred_lang", "quality")
 
 
+def stream_model_gate(docs_stream: DataFrame, weights: dict[int, int],
+                      dim: int = 64, *, threshold: int = 0,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality gate on a STREAM: score arriving documents
+    with a batch-trained logistic-regression weight map
+    (classify.logreg_train -> collect_weights) and keep those at or
+    above the margin threshold — the FineWeb-Edu-style classifier
+    filter running continuously at ingest. The model rides INSIDE the
+    projection (classify.margin_score_expr inlines the <= dim+1 weights
+    as a map literal), so the scorer is a stateless per-row HOF — no
+    stream-static join, no state store, no watermark; identical margins
+    to the batch/training computation by construction.
+
+    Scale: scan-speed stateless projection per micro-batch; model
+    updates are a query restart with a new literal (weights are a
+    training artifact, not per-record state)."""
+    from cassandra_ttl_remover_spark.operators import classify
+
+    return classify.score_documents(
+        docs_stream, weights, dim, threshold=threshold,
+        text_col=text_col, id_col=id_col)
+
+
 def stream_dedup_against_corpus(docs_stream: DataFrame, corpus: DataFrame,
                                 text_col: str = "text",
                                 id_col: str = "doc_id") -> DataFrame:

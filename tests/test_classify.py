@@ -177,6 +177,55 @@ def test_auc_histogram_formula_on_known_rankings(spark):
     assert r.u2 == 2 * r.n_pos * r.n_neg // 2  # u2 = PN at AUC 1/2
 
 
+def test_serving_margin_equals_training_margin(spark):
+    # the HOF serving form (score_documents) must be bit-identical to
+    # the explode-form training margin: same per-bucket (tf*Q) div dl
+    # quantization, bias included
+    docs = _toy_docs(spark, [
+        (1, "aa bb aa cc", "en"), (2, "bb bb", "fr"), (3, "", "en"),
+        (4, "zz", "fr"),
+    ])
+    wdf = C.logreg_train(docs, "lang = 'en'", dim=32, iters=2)
+    w = C.collect_weights(wdf)
+    served = {r.doc_id: r.margin
+              for r in C.score_documents(docs, w, 32).collect()}
+    feats = C._lr_feats(docs, 32, "text", "doc_id")
+    trained = {
+        r.doc_id: r.m
+        for r in feats.join(
+            wdf.withColumnRenamed("weight", "w"), "bucket")
+        .groupBy("doc_id").agg(F.sum(F.expr("w * xq")).alias("m"))
+        .collect()
+    }
+    assert served == trained
+    assert 3 not in served  # empty doc unfeaturizable in both forms
+
+
+def test_margin_cutoff_exact_and_threshold_rules(spark):
+    docs = _toy_docs(spark, [
+        (i, t, "en") for i, t in enumerate(
+            ["good fine", "good good", "bad awful", "bad bad", "fine fine"])
+    ])
+    w = C.collect_weights(C.logreg_train(docs, "doc_id < 2", dim=64))
+    kept = C.margin_cutoff(docs, w, 0.4, dim=64, exact=True).collect()
+    assert len(kept) == 2  # ceil(0.4 * 5)
+    thr = C.margin_threshold(docs, w, 0.4, dim=64)
+    # gate rule margin >= thr keeps at least the exact-k set (ties widen)
+    gated = C.score_documents(docs, w, 64, threshold=thr).collect()
+    assert {r.doc_id for r in kept} <= {r.doc_id for r in gated}
+    assert min(r.margin for r in gated) == thr
+
+
+def test_holdout_auc_counts_only_heldout_docs(spark):
+    docs = _toy_docs(spark, [
+        (i, f"tok{i % 3} filler", "en" if i % 2 == 0 else "fr")
+        for i in range(20)
+    ])
+    r = C.logreg_holdout_auc(docs, "doc_id < 15").collect()[0]
+    assert r.n_pos + r.n_neg == 5  # only the held-out fold is scored
+    assert 0.0 <= r.auc <= 1.0
+
+
 def test_auc_window_runs_over_histogram_not_corpus(spark, documents):
     # the only window in the plan must consume the margin histogram
     # (grouped frame), never the raw corpus: assert the plan aggregates
