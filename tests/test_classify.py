@@ -242,6 +242,23 @@ def test_auc_window_runs_over_histogram_not_corpus(spark, documents):
 # exchange budgets
 # ---------------------------------------------------------------------------
 
+def test_featurizer_prunes_scan_to_id_and_text(spark):
+    # the featurizer must push column pruning into the parquet scan:
+    # ReadSchema carries doc_id+text only — n_chars/source/lang never read
+    from cassandra_ttl_remover_spark import scan_table
+
+    # sf0.01, NOT the conftest fixture's sf0.001: the fixture caches the
+    # table, and Spark's CacheManager would swap this scan for the
+    # InMemoryRelation (hiding the parquet ReadSchema we assert on)
+    docs = scan_table(spark, "/root/testdata/sf0.01", "documents")
+    plan = formatted_plan(C.hashed_tf(docs, 512))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, "no parquet ReadSchema in plan"
+    line = read[0]
+    assert "doc_id" in line and "text" in line
+    assert "n_chars" not in line and "source" not in line
+
+
 def test_classify_exchange_budgets(spark, documents):
     # featurize: fan_out floor + groupBy(id,bucket) = <=2 exchanges;
     # downstream model joins are broadcast so add only their own aggs

@@ -840,3 +840,28 @@ def test_merge_compact_rehearsal_60k_partitions(spark, tmp_path):
     assert by_key["k0059999"] == (2_000_000, "b59999", "live")
     n_band_wins = sum(1 for r in rows if r.value.startswith("b"))
     assert n_band_wins == 40_000  # the whole band + gen2-only keys
+
+
+def test_logreg_50k_doc_rehearsal_bounds_and_separation(spark):
+    # 50k docs, dim 256, 3 GD rounds: (a) the driver-loop plan stays O(1)
+    # via per-round localCheckpoint (wall-clock sanity is the test
+    # itself), (b) the int64 discipline holds by construction —
+    # |W| <= eta*iters*S — and (c) a separable vocabulary separates.
+    from cassandra_ttl_remover_spark.operators import classify as C
+
+    rows = []
+    for i in range(50_000):
+        if i % 2 == 0:
+            rows.append((i, f"quality prose sample {i % 97} well formed", "en"))
+        else:
+            rows.append((i, f"spamword junktoken noise {i % 89} garbled", "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = C.logreg_train(docs, "lang = 'en'", dim=256, iters=3)
+    weights = {r.bucket: r.weight for r in w.collect()}
+    bound = C.LR_ETA * 3 * C.LR_S
+    assert all(abs(v) <= bound for v in weights.values()), (
+        "weight bound |W| <= eta*iters*S violated"
+    )
+    auc = C.logreg_auc(docs, "lang = 'en'", dim=256, iters=3).collect()[0]
+    assert auc.n_pos == 25_000 and auc.n_neg == 25_000
+    assert auc.auc > 0.99, f"separable 50k corpus must separate: {auc.auc}"
