@@ -135,14 +135,15 @@ def hashed_tfidf(docs: DataFrame, dim: int = 1024, text_col: str = "text",
     )
 
 
-def _tfidf_duck_cte(dim: int, table: str = "documents",
+def _feats_duck_cte(dim: int, table: str = "documents",
                     id_col: str = "doc_id", text_col: str = "text",
                     suffix: str = "") -> str:
-    """DuckDB CTE chain ending in ``tfidf(id, bucket, tf, dl, df, w)`` —
-    the SAME derivation as :func:`hashed_tfidf` (shared constants; the
-    bucket expression comes from the one DSIR helper pair). ``suffix``
-    renames every CTE (base_e, feats_e, ...) so two featurizations —
-    e.g. a train and a holdout frame — can coexist in one WITH chain."""
+    """DuckDB CTE chain ending in ``feats(id, dl, bucket, tf)`` — the
+    oracle twin of :func:`hashed_tf`. ``suffix`` renames every CTE
+    (base_e, feats_e, ...) so two featurizations — e.g. a train and a
+    holdout frame — can coexist in one WITH chain. The tf-idf and
+    logreg oracles both COMPOSE this (no string surgery on generated
+    SQL)."""
     ws = f"[w for w in string_split({text_col}, ' ') if w <> '']"
     bucket = _dsir_bucket_duck("s", dim)
     s = suffix
@@ -156,7 +157,18 @@ tok{s} AS (
 feats{s} AS (
   SELECT {id_col}, dl, bucket, count(*)::BIGINT AS tf
   FROM tok{s} GROUP BY {id_col}, dl, bucket
-),
+)"""
+
+
+def _tfidf_duck_cte(dim: int, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    suffix: str = "") -> str:
+    """DuckDB CTE chain ending in ``tfidf(id, bucket, tf, dl, df, w)`` —
+    the SAME derivation as :func:`hashed_tfidf` (shared constants; the
+    bucket expression comes from the one DSIR helper pair), composed on
+    :func:`_feats_duck_cte`."""
+    s = suffix
+    return f"""{_feats_duck_cte(dim, table, id_col, text_col, suffix)},
 dfreq{s} AS (
   SELECT bucket, count(*)::BIGINT AS df FROM feats{s} GROUP BY bucket
 ),
@@ -372,8 +384,10 @@ GROUP BY label, pred ORDER BY label, pred
 def _lr_feats(docs: DataFrame, dim: int, text_col: str,
               id_col: str) -> DataFrame:
     """``(id, bucket, xq)`` — quantized frequencies ``(tf*Q) div dl``
-    plus the bias pseudo-bucket -1 with xq = Q for every featurized doc."""
-    tf = hashed_tf(docs, dim, text_col, id_col)
+    plus the bias pseudo-bucket -1 with xq = Q for every featurized doc.
+    The tf frame is checkpointed: both union branches consume it, and
+    without the cut the corpus featurization would execute twice."""
+    tf = hashed_tf(docs, dim, text_col, id_col).localCheckpoint(eager=False)
     x = tf.select(
         F.col(id_col), "bucket",
         F.expr(f"(tf * {LR_Q}) div dl").cast("long").alias("xq"),
@@ -485,10 +499,7 @@ def _lr_duck_ctes(label_expr: str, dim: int, iters: int,
     weights CTE name). Same constants, same integer ops, unrolled like
     graph.pagerank_oracle_sql."""
     D = LR_S * LR_Q
-    # reuse the featurizer chain up to (and excluding) its df dictionary —
-    # logreg needs only base/tok/feats
-    ctes = [_tfidf_duck_cte(dim, table, id_col)
-            .split("dfreq AS")[0].strip().rstrip(",")]
+    ctes = [_feats_duck_cte(dim, table, id_col).strip()]
     ctes.append(f"""x AS (
   SELECT {id_col}, bucket, ((tf * {LR_Q}) // dl)::BIGINT AS xq FROM feats
   UNION ALL
@@ -560,8 +571,6 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
     the corpus, so no single-partition corpus sort exists in the plan
     (the window's input is bounded by the margin-value cardinality;
     at 100 TB bucket the margins first if they are near-unique)."""
-    from pyspark.sql import Window
-
     feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
         eager=False)  # ONE featurize feeds training and scoring
     labels = docs.select(
@@ -580,7 +589,9 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
 def _auc_from_margins(margins: DataFrame) -> DataFrame:
     """Tie-aware ROC-AUC from an ``(m, y)`` frame via histogram ranks —
     shared by the resubstitution and holdout evaluations (see
-    :func:`logreg_auc` for the derivation)."""
+    :func:`logreg_auc` for the derivation). A single-class input
+    (n_pos = 0 or n_neg = 0) has no defined AUC: the row is returned
+    with ``auc`` NULL rather than a silent Infinity/NaN."""
     from pyspark.sql import Window
 
     hist = margins.groupBy("m").agg(
@@ -602,8 +613,9 @@ def _auc_from_margins(margins: DataFrame) -> DataFrame:
             "n_pos", "n_neg",
             F.expr("_sum2r - n_pos * (n_pos + 1)").cast("long").alias("u2"),
             F.expr(
+                "if(n_pos = 0 or n_neg = 0, cast(null as double), "
                 "cast(_sum2r - n_pos * (n_pos + 1) as double)"
-                " / cast(2 * n_pos * n_neg as double)"
+                " / cast(2 * n_pos * n_neg as double))"
             ).alias("auc"),
         )
     )
@@ -643,9 +655,20 @@ def logreg_holdout_auc(docs: DataFrame, train_where: str,
     return _auc_from_margins(margins)
 
 
-def _auc_duck_tail(x_cte: str, labels_cte: str, id_col: str) -> str:
-    """The histogram-rank AUC tail over margin CTEs — the oracle twin of
-    :func:`_auc_from_margins` (margins come from ``mf``)."""
+def _mf_duck_cte(weights_cte: str, id_col: str, x_cte: str = "x") -> str:
+    """Margin CTE ``mf(id, m)`` over a feature CTE and a weights CTE —
+    the ONE place the oracle-side margin join lives (four oracles
+    compose it)."""
+    return f"""mf AS (
+  SELECT {id_col}, sum(w * xq)::BIGINT AS m
+  FROM {x_cte} JOIN {weights_cte} USING (bucket) GROUP BY {id_col}
+)"""
+
+
+def _auc_duck_tail(labels_cte: str, id_col: str) -> str:
+    """The histogram-rank AUC tail over the ``mf`` margins CTE — the
+    oracle twin of :func:`_auc_from_margins`, single-class NULL guard
+    included."""
     return f"""hist AS (
   SELECT m, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
   FROM mf JOIN {labels_cte} USING ({id_col}) GROUP BY m
@@ -661,8 +684,11 @@ SELECT sum(pos)::BIGINT AS n_pos,
        (sum(cnt) - sum(pos))::BIGINT AS n_neg,
        (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::BIGINT
          AS u2,
-       (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::DOUBLE
-         / (2 * sum(pos) * (sum(cnt) - sum(pos)))::DOUBLE AS auc
+       CASE WHEN sum(pos) = 0 OR sum(cnt) = sum(pos) THEN NULL
+            ELSE (sum(pos * (2 * cum + cnt + 1))
+                  - sum(pos) * (sum(pos) + 1))::DOUBLE
+                 / (2 * sum(pos) * (sum(cnt) - sum(pos)))::DOUBLE
+       END AS auc
 FROM cum"""
 
 
@@ -679,8 +705,7 @@ def logreg_holdout_auc_oracle_sql(train_where_duck: str,
     held_tbl = f"(SELECT * FROM {table} WHERE NOT ({train_where_duck}))"
     ctes, final = _lr_duck_ctes(label_expr, dim, iters, train_tbl, id_col)
     # holdout featurization under the _e suffix (no CTE-name collision)
-    ctes.append(_tfidf_duck_cte(dim, held_tbl, id_col, suffix="_e")
-                .split("dfreq_e AS")[0].strip().rstrip(","))
+    ctes.append(_feats_duck_cte(dim, held_tbl, id_col, suffix="_e").strip())
     ctes.append(f"""x_e AS (
   SELECT {id_col}, bucket, ((tf * {LR_Q}) // dl)::BIGINT AS xq FROM feats_e
   UNION ALL
@@ -690,11 +715,8 @@ def logreg_holdout_auc_oracle_sql(train_where_duck: str,
   SELECT {id_col}, (CASE WHEN {label_expr} THEN 1 ELSE 0 END)::BIGINT AS y
   FROM {held_tbl}
 )""")
-    ctes.append(f"""mf AS (
-  SELECT {id_col}, sum(w * xq)::BIGINT AS m
-  FROM x_e JOIN {final} USING (bucket) GROUP BY {id_col}
-)""")
-    ctes.append(_auc_duck_tail("x_e", "labels_e", id_col))
+    ctes.append(_mf_duck_cte(final, id_col, x_cte="x_e"))
+    ctes.append(_auc_duck_tail("labels_e", id_col))
     body = ",\n".join(ctes[:-1])
     return f"WITH {body},\n{ctes[-1]}"
 
@@ -703,27 +725,37 @@ def logreg_holdout_auc_oracle_sql(train_where_duck: str,
 # model serving: zero-shuffle margin scoring (batch + streaming)
 # ---------------------------------------------------------------------------
 
-def margin_score_expr(weights: dict[int, int], dim: int,
-                      text_col: str = "text") -> str:
+def margin_score_expr(weights: dict[int, int], dim: int) -> str:
     """SQL expression computing the trained margin for one document as a
     pure per-row projection — the SERVING form of the classifier: the
     <= dim+1 learned weights inline as a map literal, tf re-derived per
     distinct bucket with higher-order functions, NO explode, NO shuffle,
     NO state. Bit-identical to the training margin (same per-bucket
     ``(tf*Q) div dl`` quantization); unseen buckets score 0. Stateless,
-    so it lifts to Structured Streaming unchanged."""
+    so it lifts to Structured Streaming unchanged.
+
+    Contract: the input row must carry a ``_ws`` array column — the
+    split-and-empty-filtered token array (``filter(split(text, ' '),
+    w -> w <> '')``), as :func:`score_documents` builds it. Each token
+    is md5-hashed exactly ONCE: the bucket array is bound via a 1-element
+    transform wrapper, so per-doc cost is O(tokens + distinct_buckets *
+    tokens) integer comparisons, not O(distinct_buckets * tokens) md5
+    evaluations."""
     if not weights:
         raise ValueError("empty weight map")
     entries = ", ".join(f"{b}, {w}L" for b, w in sorted(weights.items()))
     bias = weights.get(-1, 0)
     bucket = _dsir_bucket_spark("s", dim)
+    per_bucket = (
+        f"acc + coalesce(element_at(map({entries}), b), 0L)"
+        f" * ((size(filter(bs, x -> x = b)) * {LR_Q}) div size(bs))"
+    )
     return (
         f"(case when size(_ws) = 0 then null else "
-        f"{bias}L * {LR_Q} + aggregate("
-        f"array_distinct(transform(_ws, s -> {bucket})), 0L, "
-        f"(acc, b) -> acc + coalesce(element_at(map({entries}), b), 0L)"
-        f" * ((size(filter(transform(_ws, s -> {bucket}), x -> x = b))"
-        f" * {LR_Q}) div size(_ws)) ) end)"
+        # bind the hashed bucket array ONCE (1-element transform wrapper)
+        f"element_at(transform(array(transform(_ws, s -> {bucket})), bs -> "
+        f"{bias}L * {LR_Q} + aggregate(array_distinct(bs), 0L, "
+        f"(acc, b) -> {per_bucket})), 1) end)"
     )
 
 
@@ -804,10 +836,7 @@ def margin_cutoff_oracle_sql(label_expr: str = "lang = 'en'",
     trained on the same corpus — unrolled training CTEs + the same
     row_number cut."""
     ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
-    ctes.append(f"""mf AS (
-  SELECT {id_col}, sum(w * xq)::BIGINT AS m
-  FROM x JOIN {final} USING (bucket) GROUP BY {id_col}
-)""")
+    ctes.append(_mf_duck_cte(final, id_col))
     ctes.append(f"""rk AS (
   SELECT {id_col}, m,
          row_number() OVER (ORDER BY m DESC, {id_col}) AS rn
@@ -852,10 +881,7 @@ def gated_margins_oracle_sql(label_expr: str = "lang = 'en'",
     every document with margin >= the k-th largest margin — ties at the
     cut INCLUDED, exactly the deployed gate's rule."""
     ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
-    ctes.append(f"""mf AS (
-  SELECT {id_col}, sum(w * xq)::BIGINT AS m
-  FROM x JOIN {final} USING (bucket) GROUP BY {id_col}
-)""")
+    ctes.append(_mf_duck_cte(final, id_col))
     ctes.append(f"""thr AS (
   SELECT min(m) AS t FROM (
     SELECT m FROM mf ORDER BY m DESC, {id_col} ASC
@@ -878,10 +904,7 @@ def score_documents_oracle_sql(label_expr: str = "lang = 'en'",
     the serving HOF form — identical per-bucket quantization), filtered
     at ``threshold``."""
     ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
-    ctes.append(f"""mf AS (
-  SELECT {id_col}, sum(w * xq)::BIGINT AS m
-  FROM x JOIN {final} USING (bucket) GROUP BY {id_col}
-)""")
+    ctes.append(_mf_duck_cte(final, id_col))
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT {id_col}, m AS margin FROM mf"
             f" WHERE m >= {threshold} ORDER BY {id_col}")
@@ -891,10 +914,7 @@ def logreg_auc_oracle_sql(label_expr: str = "lang = 'en'", dim: int = 64,
                           iters: int = 2, table: str = "documents",
                           id_col: str = "doc_id") -> str:
     ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
-    ctes.append(f"""mf AS (
-  SELECT {id_col}, sum(w * xq)::BIGINT AS m
-  FROM x JOIN {final} USING (bucket) GROUP BY {id_col}
-)""")
+    ctes.append(_mf_duck_cte(final, id_col))
     ctes.append(f"""hist AS (
   SELECT m, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
   FROM mf JOIN labels USING ({id_col}) GROUP BY m

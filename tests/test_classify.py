@@ -226,6 +226,16 @@ def test_holdout_auc_counts_only_heldout_docs(spark):
     assert 0.0 <= r.auc <= 1.0
 
 
+def test_auc_single_class_is_null_not_infinity(spark):
+    # a corpus where the label never (or always) fires has no defined
+    # AUC — the guard must emit NULL, not a silent Infinity/NaN
+    docs = _toy_docs(spark, [(i, f"w{i} text", "en") for i in range(6)])
+    r = C.logreg_auc(docs, "lang = 'en'").collect()[0]  # all positive
+    assert r.n_neg == 0 and r.auc is None
+    r2 = C.logreg_auc(docs, "lang = 'zz'").collect()[0]  # none positive
+    assert r2.n_pos == 0 and r2.auc is None
+
+
 def test_auc_window_runs_over_histogram_not_corpus(spark, documents):
     # the only window in the plan must consume the margin histogram
     # (grouped frame), never the raw corpus: assert the plan aggregates
