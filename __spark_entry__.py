@@ -682,6 +682,7 @@ _DRIVER_PRIORITY = [
     "q_n63_holdout_auc",
     "q_n64_margin_cutoff",
     "q_st12_stream_model_gate",
+    "q_n8h_ann_ivf_delete",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -2624,6 +2625,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         return ivf_query(spark, path, qv, k=10, nprobe=8)
     q["q_n8d_ann_ivf_append"] = q_n8d
+
+    def q_n8h(spark, sf):
+        # DELETES in the materialized index — the reference's deletion
+        # stance applied to a vector store: ivf_delete appends id
+        # tombstones to the _tombstones sidecar (deletion-vector
+        # pattern; index files untouched), queries anti-join them at
+        # read, ivf_compact is the gc. Build on the full corpus, delete
+        # the odd ids, full-probe query -> degenerates to exact search
+        # over the SURVIVORS, so the result hash-matches the exact
+        # oracle over even ids — and a pytest pins compaction equality.
+        import tempfile
+
+        from cassandra_ttl_remover_spark.operators.similarity import (
+            ivf_delete,
+            ivf_query,
+            ivf_write,
+        )
+
+        emb = scan_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="ctrs_ivf_del_") + "/ivf"
+        ivf_write(emb, path, n_cells=8)
+        dead = [int(r.vec_id) for r in
+                emb.filter(F.col("vec_id") % 2 != 0).select("vec_id").collect()]
+        ivf_delete(spark, path, dead)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return ivf_query(spark, path, qv, k=10, nprobe=8)
+    q["q_n8h_ann_ivf_delete"] = q_n8h
 
     def q_n9(spark, sf):
         # MinHash-LSH validated by recall against exact Jaccard pairs (margin
@@ -7245,6 +7273,14 @@ GROUP BY event_type ORDER BY event_type
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id, {_n8d_qdot} AS dot
         FROM embeddings e CROSS JOIN q
+        ORDER BY dot DESC, e.vec_id ASC LIMIT 10"""
+    # q_n8h: full-probe over the tombstoned index == exact search over
+    # the SURVIVING (even-id) vectors
+    o["q_n8h_ann_ivf_delete"] = f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {_n8d_qdot} AS dot
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id % 2 = 0
         ORDER BY dot DESC, e.vec_id ASC LIMIT 10"""
 
     from cassandra_ttl_remover_spark.operators import graph as _graph

@@ -335,15 +335,82 @@ def ivf_census(spark, path: str) -> DataFrame:
     )
 
 
+def _ivf_tombstones(spark, path: str):
+    """The index's deletion-vector sidecar (``<path>/_tombstones``,
+    hidden from index scans by the underscore convention), or None when
+    no delete has ever landed."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/_tombstones")
+    except AnalysisException:
+        return None
+
+
+def ivf_delete(spark, path: str, ids: list, *,
+               id_col: str = "vec_id") -> None:
+    """Delete vectors from a materialized IVF index WITHOUT touching the
+    inverted lists: append ``(id, deleted_at)`` rows to the
+    ``_tombstones`` sidecar — the deletion-vector pattern (and the
+    storage stance of the reference's domain: a delete is DATA, written
+    beside the values it shadows, reconciled at read and purged at
+    compaction — SURVEY §1.2). Queries anti-join the sidecar
+    (:func:`ivf_query` ``honor_tombstones``); :func:`ivf_compact` is
+    the gc that rewrites only the affected cells and empties the
+    sidecar. O(len(ids)) write, index files untouched."""
+    if not ids:
+        return
+    import time
+
+    now = int(time.time() * 1_000_000)
+    spark.createDataFrame(
+        [(i, now) for i in ids], f"{id_col} bigint, deleted_at bigint"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+
+
+def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
+    """Garbage-collect a materialized IVF index: rewrite ONLY the cell
+    partitions that contain tombstoned ids (dynamic partition overwrite
+    — untouched inverted lists keep their files, the Cassandra
+    single-table-GC stance applied to a vector index), then empty the
+    ``_tombstones`` sidecar. Returns the number of cells rewritten.
+
+    Scale: finding affected cells reads the (id, cell) columns only;
+    the rewrite reads and writes just those cells. A delete-heavy day
+    compacts at the cost of the touched lists, never the corpus."""
+    tombs = _ivf_tombstones(spark, path)
+    if tombs is None or tombs.isEmpty():
+        return 0
+    dead = F.broadcast(tombs.select(id_col).distinct())
+    idx = spark.read.parquet(path)
+    affected = [int(r.cell) for r in
+                idx.join(dead, id_col).select("cell").distinct().collect()]
+    if affected:
+        survivors = (
+            idx.filter(F.col("cell").isin(affected))
+            .join(dead, id_col, "left_anti")
+        )
+        (survivors.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("cell").parquet(path))
+    # empty sidecar: overwrite with a 0-row frame of the same schema
+    tombs.limit(0).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_tombstones")
+    return len(affected)
+
+
 def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
               nprobe: int = 4, vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id", *,
+              honor_tombstones: bool = True) -> DataFrame:
     """Query a materialized IVF index: read the O(n_cells) centroid table,
     pick the ``nprobe`` nearest cells driver-side, and scan ONLY those cell
     partitions (`cell IN (...)` prunes at the directory level — the plan's
     PartitionFilters prove the other inverted lists are never read). Exact
     quantized scoring on the probed candidates, same ordering contract as
-    topk_dot."""
+    topk_dot. Deleted vectors (:func:`ivf_delete`) are filtered via a
+    broadcast anti-join against the tombstone sidecar — reconcile-at-read
+    until :func:`ivf_compact` purges them."""
     cent = spark.read.parquet(f"{path}/_centroids").collect()
     by_dist = sorted(
         cent,
@@ -351,9 +418,15 @@ def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
     )
     probes = [int(r["cell"]) for r in by_dist[:nprobe]]
     qdf = spark.createDataFrame([(query_vec,)], f"_qv array<float>")
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    if honor_tombstones:
+        tombs = _ivf_tombstones(spark, path)
+        if tombs is not None:
+            scan = scan.join(
+                F.broadcast(tombs.select(id_col).distinct()),
+                id_col, "left_anti")
     return (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin(probes))
+        scan
         .join(F.broadcast(qdf))
         .withColumn("dot", F.expr(QDOT_EXPR.format(a=vec_col, b="_qv")))
         .select(id_col, "dot")

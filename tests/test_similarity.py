@@ -545,3 +545,83 @@ def test_ivfpq_residual_form_and_measured_tradeoff(spark, embeddings):
     for r in rows:
         if r.vec_id in ex:
             assert r.dot == ex[r.vec_id]   # rerank scores stay exact
+
+
+def test_ivf_delete_query_compact_lifecycle(spark, embeddings, tmp_path):
+    """The deletion lifecycle on the materialized index: tombstones are
+    honored at read immediately; compaction rewrites ONLY the affected
+    cells, empties the sidecar, and leaves query results unchanged."""
+    import pyarrow.parquet  # noqa: F401  (env sanity for file checks)
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_compact,
+        ivf_delete,
+        ivf_query,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=4)
+    n_total = embeddings.count()
+    dead = [int(r.vec_id) for r in
+            embeddings.filter("vec_id % 2 != 0").select("vec_id").collect()]
+    ivf_delete(spark, path, dead)
+
+    # read-side reconciliation: full probe == exact over survivors
+    qv = [float(x) for x in embeddings.filter("vec_id = 0").first()["embedding"]]
+    before = [(r.vec_id, r.dot)
+              for r in ivf_query(spark, path, qv, k=10, nprobe=4).collect()]
+    assert all(v % 2 == 0 for v, _ in before)
+    # index files untouched by the delete (tombstones are SIDE data)
+    assert spark.read.parquet(path).count() == n_total
+
+    # honor_tombstones=False shows the pre-delete view (audit path)
+    raw = ivf_query(spark, path, qv, k=10, nprobe=4, honor_tombstones=False)
+    assert any(r.vec_id % 2 != 0 for r in raw.collect())
+
+    # gc: only affected cells rewritten, sidecar emptied, results stable
+    n_cells_rewritten = ivf_compact(spark, path)
+    assert n_cells_rewritten >= 1
+    assert spark.read.parquet(path).count() == n_total - len(dead)
+    assert spark.read.parquet(path + "/_tombstones").count() == 0
+    after = [(r.vec_id, r.dot)
+             for r in ivf_query(spark, path, qv, k=10, nprobe=4).collect()]
+    assert after == before
+    # idempotent: a second compact with no tombstones is a no-op
+    assert ivf_compact(spark, path) == 0
+
+
+def test_ivf_compact_rewrites_only_affected_cells(spark, embeddings, tmp_path):
+    """Partition-pruned gc: deleting ids from ONE cell must leave every
+    other cell directory's files byte-identical (mtime/name check)."""
+    import os
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_compact,
+        ivf_delete,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=4)
+    idx = spark.read.parquet(path)
+    one_cell = int(idx.select("cell").first().cell)
+    victims = [int(r.vec_id) for r in
+               idx.filter(idx["cell"] == one_cell)
+               .select("vec_id").limit(3).collect()]
+
+    def files_by_cell():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cell="):
+                out[d] = sorted(os.listdir(os.path.join(path, d)))
+        return out
+
+    before = files_by_cell()
+    ivf_delete(spark, path, victims)
+    assert ivf_compact(spark, path) == 1
+    after = files_by_cell()
+    unchanged = [c for c in before if c != f"cell={one_cell}"]
+    for c in unchanged:
+        assert before[c] == after[c], f"{c} was rewritten needlessly"
+    assert before[f"cell={one_cell}"] != after[f"cell={one_cell}"]
