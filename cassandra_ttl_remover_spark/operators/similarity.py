@@ -321,17 +321,33 @@ def ivf_append(spark, path: str, new_emb: DataFrame,
         .write.mode("append").partitionBy("cell").parquet(path)
 
 
-def ivf_census(spark, path: str) -> DataFrame:
+def ivf_census(spark, path: str, *, id_col: str = "vec_id") -> DataFrame:
     """Inverted-list balance report for a materialized IVF index:
-    ``(cell, n_vectors)`` per cell — the retrain signal ivf_append's
-    frozen-centroid contract defers to (drifted ingest shows up as a few
-    cells absorbing everything; rebuild with ivf_write when the skew
-    hurts probe cost). Reads partition-pruned footers only — no vector
-    data is touched beyond the cell column."""
+    ``(cell, n_vectors, n_dead)`` per cell — the retrain signal
+    ivf_append's frozen-centroid contract defers to (drifted ingest
+    shows up as a few cells absorbing everything; rebuild with
+    ivf_write when the skew hurts probe cost) plus the GC signal
+    (``n_dead`` tombstoned rows per cell — the droppable census;
+    :func:`ivf_compact` when the dead fraction hurts probe cost).
+    Reads the id/cell columns only — vector data is never touched."""
+    idx = spark.read.parquet(path)
+    tombs = _ivf_tombstones(spark, path)
+    if tombs is None:
+        dead = F.lit(False)
+        joined = idx
+    else:
+        joined = idx.join(
+            F.broadcast(tombs.select(id_col).distinct()
+                        .withColumn("_dead", F.lit(True))),
+            id_col, "left")
+        dead = F.coalesce(F.col("_dead"), F.lit(False))
     return (
-        spark.read.parquet(path)
+        joined
         .groupBy("cell")
-        .agg(F.count("*").alias("n_vectors"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count_if(dead).alias("n_dead"),
+        )
     )
 
 

@@ -296,6 +296,28 @@ def test_ivf_census_counts_cells(spark, embeddings, tmp_path):
     assert all(after[c] >= before.get(c, 0) for c in after)
 
 
+def test_ivf_census_reports_dead_rows(spark, embeddings, tmp_path):
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_census,
+        ivf_compact,
+        ivf_delete,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=4)
+    assert all(r.n_dead == 0 for r in ivf_census(spark, path).collect())
+    dead = [int(r.vec_id) for r in
+            embeddings.select("vec_id").limit(5).collect()]
+    ivf_delete(spark, path, dead)
+    c = ivf_census(spark, path).collect()
+    assert sum(r.n_dead for r in c) == len(dead)
+    ivf_compact(spark, path)
+    c2 = ivf_census(spark, path).collect()
+    assert sum(r.n_dead for r in c2) == 0
+    assert sum(r.n_vectors for r in c2) == embeddings.count() - len(dead)
+
+
 def test_pq_topk_rerank_contract_and_training(spark, embeddings):
     """PQ + exact rerank: returned scores are EXACT dots (subset of the
     exact ranking's scores), the query itself is excluded, k rows come
