@@ -4589,7 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = scan_table(spark, sf, "documents")
         w = classify.collect_weights(classify.logreg_train(docs))
-        thr = classify.margin_threshold(docs, w, 0.5)
+        thr = classify.margin_threshold(docs, w, 0.5, exact=True)
         st = scan_stream(spark, sf, glob="documents.parquet")
         return drain_to_table(
             stream_model_gate(st, w, 64, threshold=thr),

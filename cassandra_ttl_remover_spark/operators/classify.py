@@ -851,22 +851,32 @@ ORDER BY {id_col}""")
 
 def margin_threshold(docs: DataFrame, weights: dict[int, int],
                      keep_frac: float = 0.5, dim: int = 64, *,
-                     text_col: str = "text",
+                     exact: bool = False, text_col: str = "text",
                      id_col: str = "doc_id") -> int:
-    """The exact cut margin for a ``keep_frac`` gate: the k-th largest
-    margin (k = ceil(frac*n), ordered margin desc then id asc) — the
-    CALIBRATION scalar a deployed streaming gate is configured with
-    (gate rule: ``margin >= threshold``, so value-ties at the cut are
-    all kept). One TakeOrdered + a 1-row collect (bounded-collect
-    convention)."""
+    """The cut margin for a ``keep_frac`` gate — the CALIBRATION scalar
+    a deployed streaming gate is configured with (gate rule:
+    ``margin >= threshold``, so value-ties at the cut are all kept).
+
+    Default path (the 100 TB shape): ``approx_percentile`` over the
+    integer margins — one map-side-combined sketch, 1-row collect;
+    sketch error moves the cut point by ~1/accuracy of the mass, never
+    misorders documents. ``exact=True`` is the oracle surface: the k-th
+    largest margin (k = ceil(frac*n), margin desc then id asc) via
+    TakeOrdered — k grows with the corpus (k = n/2 at frac 0.5), so
+    this form is for verification and small corpora only, exactly
+    margin_cutoff's two-surface convention."""
     import math
 
     scored = score_documents(docs, weights, dim,
                              text_col=text_col, id_col=id_col)
-    n = scored.count()
-    k = max(1, math.ceil(keep_frac * n))
-    rows = (scored.orderBy(F.desc("margin"), F.asc(id_col))
-            .limit(k).agg(F.min("margin").alias("thr")).collect())
+    if exact:
+        n = scored.count()
+        k = max(1, math.ceil(keep_frac * n))
+        rows = (scored.orderBy(F.desc("margin"), F.asc(id_col))
+                .limit(k).agg(F.min("margin").alias("thr")).collect())
+    else:
+        rows = scored.agg(F.percentile_approx(
+            "margin", 1.0 - keep_frac, 10000).alias("thr")).collect()
     if not rows or rows[0].thr is None:
         raise ValueError("margin_threshold over an empty corpus")
     return int(rows[0].thr)

@@ -209,7 +209,7 @@ def test_margin_cutoff_exact_and_threshold_rules(spark):
     w = C.collect_weights(C.logreg_train(docs, "doc_id < 2", dim=64))
     kept = C.margin_cutoff(docs, w, 0.4, dim=64, exact=True).collect()
     assert len(kept) == 2  # ceil(0.4 * 5)
-    thr = C.margin_threshold(docs, w, 0.4, dim=64)
+    thr = C.margin_threshold(docs, w, 0.4, dim=64, exact=True)
     # gate rule margin >= thr keeps at least the exact-k set (ties widen)
     gated = C.score_documents(docs, w, 64, threshold=thr).collect()
     assert {r.doc_id for r in kept} <= {r.doc_id for r in gated}
