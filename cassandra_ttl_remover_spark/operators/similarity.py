@@ -331,7 +331,7 @@ def ivf_census(spark, path: str, *, id_col: str = "vec_id") -> DataFrame:
     :func:`ivf_compact` when the dead fraction hurts probe cost).
     Reads the id/cell columns only — vector data is never touched."""
     idx = spark.read.parquet(path)
-    tombs = _ivf_tombstones(spark, path)
+    tombs = _index_tombstones(spark, path)
     if tombs is None:
         dead = F.lit(False)
         joined = idx
@@ -351,10 +351,11 @@ def ivf_census(spark, path: str, *, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-def _ivf_tombstones(spark, path: str):
-    """The index's deletion-vector sidecar (``<path>/_tombstones``,
-    hidden from index scans by the underscore convention), or None when
-    no delete has ever landed."""
+def _index_tombstones(spark, path: str):
+    """A materialized index's deletion-vector sidecar
+    (``<path>/_tombstones``, hidden from index scans by the underscore
+    convention), or None when no delete has ever landed — shared by the
+    IVF and PQ indexes."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -394,7 +395,7 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
     Scale: finding affected cells reads the (id, cell) columns only;
     the rewrite reads and writes just those cells. A delete-heavy day
     compacts at the cost of the touched lists, never the corpus."""
-    tombs = _ivf_tombstones(spark, path)
+    tombs = _index_tombstones(spark, path)
     if tombs is None or tombs.isEmpty():
         return 0
     dead = F.broadcast(tombs.select(id_col).distinct())
@@ -436,7 +437,7 @@ def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
     qdf = spark.createDataFrame([(query_vec,)], f"_qv array<float>")
     scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     if honor_tombstones:
-        tombs = _ivf_tombstones(spark, path)
+        tombs = _index_tombstones(spark, path)
         if tombs is not None:
             scan = scan.join(
                 F.broadcast(tombs.select(id_col).distinct()),
@@ -1436,6 +1437,56 @@ def pq_append(spark, path: str, new_emb: DataFrame,
         "append").parquet(path)
 
 
+def pq_delete(spark, path: str, ids: list, *,
+              id_col: str = "vec_id") -> None:
+    """Delete vectors from a materialized PQ index: same deletion-vector
+    sidecar as :func:`ivf_delete` (``_tombstones`` under the index
+    path, reconcile-at-read, purge at :func:`pq_compact`). O(len(ids))
+    write, codes frame untouched."""
+    if not ids:
+        return
+    import time
+
+    now = int(time.time() * 1_000_000)
+    spark.createDataFrame(
+        [(i, now) for i in ids], f"{id_col} bigint, deleted_at bigint"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+
+
+def pq_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
+    """Garbage-collect a materialized PQ index: rewrite the codes frame
+    without the tombstoned ids and empty the sidecar. Unlike the IVF
+    index there are no cell partitions to prune — but the codes frame
+    IS the index (m small ints per vector, never the vectors), so the
+    rewrite is proportional to the code bytes, not the corpus. Returns
+    the number of rows purged."""
+    tombs = _index_tombstones(spark, path)
+    if tombs is None or tombs.isEmpty():
+        return 0
+    dead = F.broadcast(tombs.select(id_col).distinct())
+    idx = spark.read.parquet(path)
+    n_dead = idx.join(dead, id_col, "left_semi").count()
+    if n_dead:
+        # hold the tiny codebook (m*k_codes rows) across the rewrite: a
+        # full-directory overwrite removes the underscore sidecars too
+        codebook = spark.read.parquet(f"{path}/_codebook").collect()
+        survivors = idx.join(dead, id_col, "left_anti")
+        # stage through a temp dir — the scan reads the very files an
+        # in-place overwrite would be deleting
+        tmp = f"{path}__compact_tmp"
+        survivors.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        spark.createDataFrame(
+            codebook, "block int, code int, comps array<bigint>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # local-FS temp cleanup
+    tombs.limit(0).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_tombstones")
+    return int(n_dead)
+
+
 def pq_census(spark, path: str, emb: DataFrame,
               vec_col: str = "embedding",
               id_col: str = "vec_id") -> DataFrame:
@@ -1520,9 +1571,17 @@ def pq_query(spark, path: str, emb: DataFrame, query_id, k: int = 10,
         )
         for b in range(m)
     )
+    codes_scan = spark.read.parquet(path).filter(
+        F.col(id_col) != F.lit(query_id))
+    tombs = _index_tombstones(spark, path)
+    if tombs is not None:
+        # deleted vectors never reach the shortlist (reconcile-at-read,
+        # same contract as ivf_query's honor_tombstones)
+        codes_scan = codes_scan.join(
+            F.broadcast(tombs.select(id_col).distinct()),
+            id_col, "left_anti")
     shortlist = (
-        spark.read.parquet(path)
-        .filter(F.col(id_col) != F.lit(query_id))
+        codes_scan
         .withColumn("approx_dot", F.expr(adc))
         .select(id_col, "approx_dot")
         .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())

@@ -647,3 +647,43 @@ def test_ivf_compact_rewrites_only_affected_cells(spark, embeddings, tmp_path):
     for c in unchanged:
         assert before[c] == after[c], f"{c} was rewritten needlessly"
     assert before[f"cell={one_cell}"] != after[f"cell={one_cell}"]
+
+
+def test_pq_delete_query_compact_lifecycle(spark, embeddings, tmp_path):
+    """PQ edition of the deletion lifecycle: tombstones hide rows from
+    the shortlist immediately; compaction rewrites the codes frame,
+    preserves the codebook sidecar, and leaves results unchanged."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        pq_compact,
+        pq_delete,
+        pq_query,
+        pq_write,
+    )
+
+    path = str(tmp_path / "pq")
+    pq_write(embeddings, path, m=4, k_codes=16)
+    n_total = embeddings.count()
+    dead = [int(r.vec_id) for r in
+            embeddings.filter("vec_id % 2 != 0").select("vec_id").collect()]
+    pq_delete(spark, path, dead)
+
+    before = [(r.vec_id, r.dot) for r in
+              pq_query(spark, path, embeddings, 0, k=10).collect()]
+    assert all(v % 2 == 0 for v, _ in before)
+    assert spark.read.parquet(path).count() == n_total  # codes untouched
+
+    cb_before = sorted(
+        (r.block, r.code, tuple(r.comps))
+        for r in spark.read.parquet(path + "/_codebook").collect())
+    purged = pq_compact(spark, path)
+    assert purged == len(dead)
+    assert spark.read.parquet(path).count() == n_total - len(dead)
+    assert spark.read.parquet(path + "/_tombstones").count() == 0
+    cb_after = sorted(
+        (r.block, r.code, tuple(r.comps))
+        for r in spark.read.parquet(path + "/_codebook").collect())
+    assert cb_before == cb_after, "compaction must preserve the codebook"
+    after = [(r.vec_id, r.dot) for r in
+             pq_query(spark, path, embeddings, 0, k=10).collect()]
+    assert after == before
+    assert pq_compact(spark, path) == 0  # idempotent
