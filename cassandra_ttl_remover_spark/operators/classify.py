@@ -925,22 +925,6 @@ def logreg_auc_oracle_sql(label_expr: str = "lang = 'en'", dim: int = 64,
                           id_col: str = "doc_id") -> str:
     ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
     ctes.append(_mf_duck_cte(final, id_col))
-    ctes.append(f"""hist AS (
-  SELECT m, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
-  FROM mf JOIN labels USING ({id_col}) GROUP BY m
-)""")
-    ctes.append("""cum AS (
-  SELECT m, cnt, pos,
-         (sum(cnt) OVER (ORDER BY m
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          - cnt)::BIGINT AS cum
-  FROM hist
-)""")
-    return ("WITH " + ",\n".join(ctes) + """
-SELECT sum(pos)::BIGINT AS n_pos,
-       (sum(cnt) - sum(pos))::BIGINT AS n_neg,
-       (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::BIGINT
-         AS u2,
-       (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::DOUBLE
-         / (2 * sum(pos) * (sum(cnt) - sum(pos)))::DOUBLE AS auc
-FROM cum""")
+    ctes.append(_auc_duck_tail("labels", id_col))
+    body = ",\n".join(ctes[:-1])
+    return f"WITH {body},\n{ctes[-1]}"

@@ -364,6 +364,21 @@ def _index_tombstones(spark, path: str):
         return None
 
 
+def _index_delete(spark, path: str, ids: list, id_col: str) -> None:
+    """Append ``(id, deleted_at)`` rows to an index's ``_tombstones``
+    sidecar — the ONE place the sidecar schema and write convention
+    live (ivf_delete and pq_delete share it, as _index_tombstones is
+    the shared reader)."""
+    if not ids:
+        return
+    import time
+
+    now = int(time.time() * 1_000_000)
+    spark.createDataFrame(
+        [(i, now) for i in ids], f"{id_col} bigint, deleted_at bigint"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+
+
 def ivf_delete(spark, path: str, ids: list, *,
                id_col: str = "vec_id") -> None:
     """Delete vectors from a materialized IVF index WITHOUT touching the
@@ -375,14 +390,7 @@ def ivf_delete(spark, path: str, ids: list, *,
     (:func:`ivf_query` ``honor_tombstones``); :func:`ivf_compact` is
     the gc that rewrites only the affected cells and empties the
     sidecar. O(len(ids)) write, index files untouched."""
-    if not ids:
-        return
-    import time
-
-    now = int(time.time() * 1_000_000)
-    spark.createDataFrame(
-        [(i, now) for i in ids], f"{id_col} bigint, deleted_at bigint"
-    ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+    _index_delete(spark, path, ids, id_col)
 
 
 def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
@@ -1443,14 +1451,7 @@ def pq_delete(spark, path: str, ids: list, *,
     sidecar as :func:`ivf_delete` (``_tombstones`` under the index
     path, reconcile-at-read, purge at :func:`pq_compact`). O(len(ids))
     write, codes frame untouched."""
-    if not ids:
-        return
-    import time
-
-    now = int(time.time() * 1_000_000)
-    spark.createDataFrame(
-        [(i, now) for i in ids], f"{id_col} bigint, deleted_at bigint"
-    ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+    _index_delete(spark, path, ids, id_col)
 
 
 def pq_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
@@ -1467,24 +1468,35 @@ def pq_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
     idx = spark.read.parquet(path)
     n_dead = idx.join(dead, id_col, "left_semi").count()
     if n_dead:
-        # hold the tiny codebook (m*k_codes rows) across the rewrite: a
-        # full-directory overwrite removes the underscore sidecars too
-        codebook = spark.read.parquet(f"{path}/_codebook").collect()
-        survivors = idx.join(dead, id_col, "left_anti")
-        # stage through a temp dir — the scan reads the very files an
-        # in-place overwrite would be deleting
+        # stage BOTH the survivor codes and the codebook through the
+        # temp dir BEFORE the destructive overwrite: the scan reads the
+        # very files an in-place overwrite deletes, and the overwrite of
+        # `path` removes the underscore sidecars — a crash after it must
+        # leave the codebook recoverable on disk (at <tmp>/_codebook),
+        # never only in driver memory
         tmp = f"{path}__compact_tmp"
+        survivors = idx.join(dead, id_col, "left_anti")
         survivors.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(f"{path}/_codebook").coalesce(1).write.mode(
+            "overwrite").parquet(f"{tmp}/_codebook")
         spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-        spark.createDataFrame(
-            codebook, "block int, code int, comps array<bigint>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)  # local-FS temp cleanup
+        spark.read.parquet(f"{tmp}/_codebook").coalesce(1).write.mode(
+            "overwrite").parquet(f"{path}/_codebook")
+        _fs_delete(spark, tmp)
     tombs.limit(0).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_tombstones")
     return int(n_dead)
+
+
+def _fs_delete(spark, dir_path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API, so staged
+    temp dirs are removed on EVERY storage the session can write
+    (HDFS/S3A/local), not just the driver's local disk."""
+    jvm = spark._jvm  # noqa: SLF001 — same access plans.formatted_plan uses
+    jsc = spark._jsc  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(p, True)
 
 
 def pq_census(spark, path: str, emb: DataFrame,
@@ -1536,7 +1548,8 @@ def pq_census(spark, path: str, emb: DataFrame,
 
 def pq_query(spark, path: str, emb: DataFrame, query_id, k: int = 10,
              rerank: int = 8, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
+             id_col: str = "vec_id", *,
+             honor_tombstones: bool = True) -> DataFrame:
     """Query a materialized PQ index: read the O(m·k_codes) codebook
     sidecar, build the per-(block, code) inner-product DISTANCE TABLE
     against the query (computed in Spark SQL over quantized ints — the
@@ -1573,13 +1586,15 @@ def pq_query(spark, path: str, emb: DataFrame, query_id, k: int = 10,
     )
     codes_scan = spark.read.parquet(path).filter(
         F.col(id_col) != F.lit(query_id))
-    tombs = _index_tombstones(spark, path)
-    if tombs is not None:
-        # deleted vectors never reach the shortlist (reconcile-at-read,
-        # same contract as ivf_query's honor_tombstones)
-        codes_scan = codes_scan.join(
-            F.broadcast(tombs.select(id_col).distinct()),
-            id_col, "left_anti")
+    if honor_tombstones:
+        tombs = _index_tombstones(spark, path)
+        if tombs is not None:
+            # deleted vectors never reach the shortlist
+            # (reconcile-at-read, ivf_query's exact contract — False is
+            # the pre-delete audit view, same as the IVF path)
+            codes_scan = codes_scan.join(
+                F.broadcast(tombs.select(id_col).distinct()),
+                id_col, "left_anti")
     shortlist = (
         codes_scan
         .withColumn("approx_dot", F.expr(adc))

@@ -672,6 +672,11 @@ def test_pq_delete_query_compact_lifecycle(spark, embeddings, tmp_path):
     assert all(v % 2 == 0 for v, _ in before)
     assert spark.read.parquet(path).count() == n_total  # codes untouched
 
+    # the pre-delete audit view (ivf_query's same flag)
+    raw = pq_query(spark, path, embeddings, 0, k=10,
+                   honor_tombstones=False)
+    assert any(r.vec_id % 2 != 0 for r in raw.collect())
+
     cb_before = sorted(
         (r.block, r.code, tuple(r.comps))
         for r in spark.read.parquet(path + "/_codebook").collect())
