@@ -683,6 +683,7 @@ _DRIVER_PRIORITY = [
     "q_n64_margin_cutoff",
     "q_st12_stream_model_gate",
     "q_n8h_ann_ivf_delete",
+    "q_st21_stream_ivf_ingest",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -4597,6 +4598,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
     q["q_st12_stream_model_gate"] = q_st12
 
+    def q_st21(spark, sf):
+        # STREAMING ingest into the materialized vector index: build on
+        # the even ids, stream-append the odd ids against the frozen
+        # centroids (foreachBatch -> ivf_append), then a full-probe
+        # query — degenerates to exact search over the WHOLE corpus, so
+        # the appended vectors hash-prove they landed (q_n8d's
+        # invariant, continuous-ingest edition)
+        import tempfile
+
+        from cassandra_ttl_remover_spark.operators.similarity import (
+            ivf_query,
+            ivf_write,
+        )
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            scan_stream,
+            stream_ivf_ingest,
+        )
+
+        emb = scan_table(spark, sf, "embeddings")
+        base = tempfile.mkdtemp(prefix="ctrs_ivf_st_")
+        path = base + "/ivf"
+        ivf_write(emb.filter(F.col("vec_id") % 2 == 0), path, n_cells=8)
+        st = scan_stream(spark, sf, glob="embeddings.parquet").filter(
+            F.col("vec_id") % 2 != 0)
+        stream_ivf_ingest(st, path, base + "/ckpt")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return ivf_query(spark, path, qv, k=10, nprobe=8)
+    q["q_st21_stream_ivf_ingest"] = q_st21
+
     def q_n32(spark, sf):
         # conjunctive keyword search by posting-list intersection — the
         # query path that never rescans the documents
@@ -7270,6 +7301,13 @@ GROUP BY event_type ORDER BY event_type
         " * round(CAST(q.embedding[i] AS DOUBLE) * 1000000.0)::BIGINT))::BIGINT"
     )
     o["q_n8d_ann_ivf_append"] = f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {_n8d_qdot} AS dot
+        FROM embeddings e CROSS JOIN q
+        ORDER BY dot DESC, e.vec_id ASC LIMIT 10"""
+    # q_st21: stream-appended vectors land in the index — full probe ==
+    # exact search over the whole corpus (q_n8d's oracle)
+    o["q_st21_stream_ivf_ingest"] = f"""
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id, {_n8d_qdot} AS dot
         FROM embeddings e CROSS JOIN q

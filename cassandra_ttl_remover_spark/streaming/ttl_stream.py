@@ -299,6 +299,46 @@ def stream_model_gate(docs_stream: DataFrame, weights: dict[int, int],
         text_col=text_col, id_col=id_col)
 
 
+def stream_ivf_ingest(emb_stream: DataFrame, path: str,
+                      checkpoint_dir: str, *,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> None:
+    """Continuous vector-index ingest: every micro-batch of embeddings
+    is assigned against the index's FROZEN centroids and appended to
+    its cell partitions (similarity.ivf_append per batch via
+    foreachBatch) — the streaming leg of the index lifecycle whose
+    other legs are ivf_delete (tombstones), ivf_compact (gc) and
+    ivf_query (pruned probes). The index must already exist
+    (ivf_write); availableNow drains bounded backfills, the same call
+    without the trigger change runs forever.
+
+    Exactly-once stance: ivf_append is an idempotent-per-content
+    parquet append only under Spark's checkpointed micro-batch replay —
+    a REPLAYED batch appends duplicate rows. For at-least-once sources
+    route ids through ivf_delete-style reconciliation or dedupe at
+    query time; the checkpoint makes replays rare, not impossible
+    (documented, not hidden).
+
+    Scale: each batch shuffles only itself (centroids broadcast);
+    the 100 TB index absorbs a continuous feed at the cost of the feed.
+    """
+    from cassandra_ttl_remover_spark.operators.similarity import ivf_append
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_append(batch_df.sparkSession, path, batch_df,
+                   vec_col=vec_col, id_col=id_col)
+
+    (
+        emb_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_dedup_against_corpus(docs_stream: DataFrame, corpus: DataFrame,
                                 text_col: str = "text",
                                 id_col: str = "doc_id") -> DataFrame:

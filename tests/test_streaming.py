@@ -489,3 +489,40 @@ def test_stream_ttl_debt_census_equals_batch(spark, tmp_path):
     )
     assert got == want == [("expiring", 1), ("normal", 1),
                            ("tombstone", 1)]
+
+
+def test_stream_ivf_ingest_lands_and_composes_with_deletes(spark, tmp_path):
+    """Streaming index ingest: stream-appended vectors are queryable
+    (full probe == the whole corpus), and the lifecycle composes —
+    delete a streamed-in id, query hides it, compact purges it."""
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_compact,
+        ivf_delete,
+        ivf_query,
+        ivf_write,
+    )
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        scan_stream,
+        stream_ivf_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = scan_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_write(emb.filter("vec_id % 2 = 0"), path, n_cells=4)
+    st = scan_stream(spark, SF_DIR, glob="embeddings.parquet").filter(
+        F.col("vec_id") % 2 != 0)
+    stream_ivf_ingest(st, path, str(tmp_path / "ckpt"))
+    assert spark.read.parquet(path).count() == emb.count()
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    full = ivf_query(spark, path, qv, k=10, nprobe=4).collect()
+    # a streamed-in (odd) id that ranked: delete it, the query hides it
+    odd = next((r.vec_id for r in full if r.vec_id % 2 != 0), None)
+    if odd is not None:
+        ivf_delete(spark, path, [int(odd)])
+        got = ivf_query(spark, path, qv, k=10, nprobe=4).collect()
+        assert all(r.vec_id != odd for r in got)
+        ivf_compact(spark, path)
+        assert spark.read.parquet(path).count() == emb.count() - 1
