@@ -684,6 +684,8 @@ _DRIVER_PRIORITY = [
     "q_st12_stream_model_gate",
     "q_n8h_ann_ivf_delete",
     "q_st21_stream_ivf_ingest",
+    "q_n65_sliced_auc",
+    "q_n66_temperature_mix",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -4713,6 +4715,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id")
     q["q_n64_margin_cutoff"] = q_n64
 
+    def q_n65(spark, sf):
+        # model governance: the per-slice (per-source) disaggregated
+        # ROC-AUC — a classifier fine in aggregate cannot hide a
+        # collapsed slice; the rank window is PARTITIONED by slice, so
+        # no single-partition stage exists at any scale
+        docs = scan_table(spark, sf, "documents")
+        return classify.logreg_sliced_auc(docs, "source")
+    q["q_n65_sliced_auc"] = q_n65
+
+    def q_n66(spark, sf):
+        # UniMax-style temperature-smoothed multilingual mixing with
+        # DERIVED rates: keep fraction (n_min/n_lang)^(1-1/T), T=2 —
+        # dyadic exponents from sqrt alone keep the thresholds (and the
+        # kept-set) hash-exact; corpus read once, decision per-row
+        docs = scan_table(spark, sf, "documents")
+        return curate.temperature_mix_report(docs, 2, domain_col="lang")
+    q["q_n66_temperature_mix"] = q_n66
+
     def q_d3(spark, sf):
         # anti-entropy digest: per-bucket order-independent checksums —
         # two runs agree iff every row matches, divergence localizes to a
@@ -6090,6 +6110,10 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_n63_holdout_auc"] = classify.logreg_holdout_auc_oracle_sql(_split80)
     o["q_n64_margin_cutoff"] = classify.margin_cutoff_oracle_sql(
         keep_frac=0.5
+    )
+    o["q_n65_sliced_auc"] = classify.logreg_sliced_auc_oracle_sql("source")
+    o["q_n66_temperature_mix"] = curate.temperature_mix_oracle_sql(
+        2, domain_col="lang"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

@@ -920,6 +920,102 @@ def score_documents_oracle_sql(label_expr: str = "lang = 'en'",
             f" WHERE m >= {threshold} ORDER BY {id_col}")
 
 
+def logreg_sliced_auc(docs: DataFrame, slice_col: str = "source",
+                      label_expr: str = "lang = 'en'", dim: int = 64,
+                      iters: int = 2, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-slice scorer evaluation — the model-governance report: train
+    once on the whole corpus, then compute the exact tie-aware ROC-AUC
+    WITHIN each ``slice_col`` group (per source, per language, ...) so
+    a classifier that looks fine in aggregate cannot hide a collapsed
+    slice (the standard disaggregated-evaluation practice). Returns one
+    row per slice ``(slice, n_pos, n_neg, u2, auc)``, auc NULL for
+    single-class slices, ordered by slice.
+
+    Scale: same histogram-rank construction as :func:`logreg_auc`, but
+    the rank window is PARTITIONED BY the slice — per-slice histograms
+    rank in parallel, so unlike the global AUC there is not even a
+    bounded single-partition stage."""
+    from pyspark.sql import Window
+
+    feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
+        eager=False)
+    labels = docs.select(
+        F.col(id_col), F.col(slice_col).alias("slice"),
+        F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    weights = _logreg_fit(feats, labels.select(id_col, "y"), iters, id_col)
+    margins = (
+        feats.join(F.broadcast(
+            weights.select("bucket", F.col("weight").alias("w"))), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
+        .join(labels, id_col)
+    )
+    hist = margins.groupBy("slice", "m").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    win = (Window.partitionBy("slice").orderBy("m")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn(
+        "cum", (F.sum("cnt").over(win) - F.col("cnt")).cast("long"))
+    return (
+        cum.groupBy("slice")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+            F.sum(F.expr("pos * (2 * cum + cnt + 1)")).cast("long")
+            .alias("_sum2r"),
+        )
+        .select(
+            "slice", "n_pos", "n_neg",
+            F.expr("_sum2r - n_pos * (n_pos + 1)").cast("long").alias("u2"),
+            F.expr(
+                "if(n_pos = 0 or n_neg = 0, cast(null as double), "
+                "cast(_sum2r - n_pos * (n_pos + 1) as double)"
+                " / cast(2 * n_pos * n_neg as double))"
+            ).alias("auc"),
+        )
+        .orderBy("slice")
+    )
+
+
+def logreg_sliced_auc_oracle_sql(slice_col: str = "source",
+                                 label_expr: str = "lang = 'en'",
+                                 dim: int = 64, iters: int = 2,
+                                 table: str = "documents",
+                                 id_col: str = "doc_id") -> str:
+    ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
+    ctes.append(_mf_duck_cte(final, id_col))
+    ctes.append(f"""sl AS (
+  SELECT {id_col}, {slice_col} AS slice FROM {table}
+)""")
+    ctes.append(f"""hist AS (
+  SELECT slice, m, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+  FROM mf JOIN labels USING ({id_col}) JOIN sl USING ({id_col})
+  GROUP BY slice, m
+)""")
+    ctes.append("""cum AS (
+  SELECT slice, m, cnt, pos,
+         (sum(cnt) OVER (PARTITION BY slice ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - cnt)::BIGINT AS cum
+  FROM hist
+)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT slice,
+       sum(pos)::BIGINT AS n_pos,
+       (sum(cnt) - sum(pos))::BIGINT AS n_neg,
+       (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::BIGINT
+         AS u2,
+       CASE WHEN sum(pos) = 0 OR sum(cnt) = sum(pos) THEN NULL
+            ELSE (sum(pos * (2 * cum + cnt + 1))
+                  - sum(pos) * (sum(pos) + 1))::DOUBLE
+                 / (2 * sum(pos) * (sum(cnt) - sum(pos)))::DOUBLE
+       END AS auc
+FROM cum GROUP BY slice ORDER BY slice""")
+
+
 def logreg_auc_oracle_sql(label_expr: str = "lang = 'en'", dim: int = 64,
                           iters: int = 2, table: str = "documents",
                           id_col: str = "doc_id") -> str:

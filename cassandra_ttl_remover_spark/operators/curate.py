@@ -489,6 +489,99 @@ def mix_decisions(docs: DataFrame, weights: dict[str, float], *,
     )
 
 
+def temperature_mix_report(docs: DataFrame, temperature: int = 2, *,
+                           domain_col: str = "lang",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Temperature-smoothed mixing with DERIVED rates (UniMax /
+    multilingual-sampling practice, public method): sampling probability
+    per domain follows ``p_d^(1/T)`` — T > 1 upweights small domains —
+    which relative to each domain's natural share means keeping a
+    fraction ``(n_min / n_d)^(1 - 1/T)`` (the smallest domain is kept
+    in full). Supported temperatures are the DYADIC set {1, 2, 4}, so
+    the exponent {0, 1/2, 3/4} is computed from sqrt alone — every
+    float op (int64/int64 divide, sqrt, multiply, floor) is correctly
+    rounded in both engines, keeping the derived integer thresholds and
+    therefore the kept-set itself hash-exact (the mix_decisions
+    convention with computed rather than configured rates).
+    Keeps doc iff ``pmod(murmur3(id), 2^31) < floor(rate_d * 2^31)``.
+    Returns the audit report ``(domain, n_total, threshold, n_sampled)``.
+
+    Scale: one tiny groupBy(domain) count + a broadcast of the <=
+    |domains| threshold table back onto the scan — the corpus is read
+    once and never shuffled; the decision is a per-row projection."""
+    if temperature not in (1, 2, 4):
+        raise ValueError("supported dyadic temperatures: 1, 2, 4")
+    counts = docs.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").cast("long").alias("_n"))
+    nmin = F.broadcast(counts.agg(F.min("_n").alias("_nmin")))
+    if temperature == 1:
+        rate = "cast(1.0 as double)"
+    elif temperature == 2:
+        rate = "sqrt(cast(_nmin as double) / cast(_n as double))"
+    else:  # T = 4 -> exponent 3/4 = 1/2 + 1/4
+        rate = ("sqrt(cast(_nmin as double) / cast(_n as double))"
+                " * sqrt(sqrt(cast(_nmin as double) / cast(_n as double)))")
+    thr = F.broadcast(
+        counts.crossJoin(nmin).select(
+            "_dom", "_n",
+            F.expr(f"cast(floor(({rate}) * {_MIX_BUCKETS}) as long)")
+            .alias("_thr"),
+        )
+    )
+    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(_MIX_BUCKETS))
+    return (
+        docs.select(F.col(id_col), F.col(domain_col).alias("_dom"),
+                    bucket.alias("_b"))
+        .join(thr, "_dom")
+        .groupBy("_dom", "_n", "_thr")
+        .agg(F.count_if(F.col("_b") < F.col("_thr")).cast("long")
+             .alias("n_sampled"))
+        .select(
+            F.col("_dom").alias("domain"),
+            F.col("_n").alias("n_total"),
+            F.col("_thr").alias("threshold"),
+            "n_sampled",
+        )
+        .orderBy("domain")
+    )
+
+
+def temperature_mix_oracle_sql(temperature: int = 2, *,
+                               domain_col: str = "lang",
+                               table: str = "documents",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB recomputation of :func:`temperature_mix_report` — same
+    dyadic-sqrt rate derivation, same murmur3 bucket."""
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+
+    if temperature == 1:
+        rate = "1.0"
+    elif temperature == 2:
+        rate = "sqrt(_nmin::DOUBLE / _n::DOUBLE)"
+    else:
+        rate = ("sqrt(_nmin::DOUBLE / _n::DOUBLE)"
+                " * sqrt(sqrt(_nmin::DOUBLE / _n::DOUBLE))")
+    bucket = f"({murmur3_hash_oracle_expr(id_col)} & 2147483647)"
+    return f"""
+WITH counts AS (
+  SELECT {domain_col} AS dom, count(*)::BIGINT AS _n
+  FROM {table} GROUP BY {domain_col}
+),
+nmin AS (SELECT min(_n)::BIGINT AS _nmin FROM counts),
+thr AS (
+  SELECT dom, _n,
+         CAST(floor(({rate}) * {_MIX_BUCKETS}) AS BIGINT) AS _thr
+  FROM counts CROSS JOIN nmin
+)
+SELECT dom AS domain, _n AS n_total, _thr AS threshold,
+       count(*) FILTER ({bucket} < _thr)::BIGINT AS n_sampled
+FROM {table} d JOIN thr ON thr.dom = d.{domain_col}
+GROUP BY dom, _n, _thr ORDER BY domain
+"""
+
+
 def mix_corpus(docs: DataFrame, weights: dict[str, float], *,
                default_rate: float = 0.0, domain_col: str = "source",
                id_col: str = "doc_id") -> DataFrame:

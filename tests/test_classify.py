@@ -276,3 +276,48 @@ def test_classify_exchange_budgets(spark, documents):
     assert exchange_count(C.hashed_tfidf(documents, 512)) <= 4
     assert exchange_count(C.text_knn(documents, 0, 10, 512)) <= 6
     assert exchange_count(C.rocchio_confusion(documents, "lang", 512)) <= 8
+
+
+def test_sliced_auc_partitions_rank_window_and_covers_all_slices(spark):
+    docs = _toy_docs(spark, [
+        # source A: separable (auc 1), source B: anti-separable (auc 0),
+        # source C: single-class (auc NULL)
+        (1, "good word", "en"), (2, "bad word", "fr"),
+        (11, "bad word", "en"), (12, "good word", "fr"),
+        (21, "same text", "en"), (22, "same again", "en"),
+    ]).withColumn("source", F.expr(
+        "case when doc_id < 10 then 'A' when doc_id < 20 then 'B' "
+        "else 'C' end"))
+    out = {r.slice: r for r in
+           C.logreg_sliced_auc(docs, "source", dim=64).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert out["C"].auc is None and out["C"].n_neg == 0
+    # A and B see the SAME globally-trained scorer from opposite sides:
+    # their AUCs are complementary (1 and 0 when margins separate at all)
+    if out["A"].auc is not None and out["B"].auc is not None:
+        assert abs(out["A"].auc + out["B"].auc - 1.0) < 1e-12
+    # the rank window must be slice-partitioned (no single-partition stage)
+    plan = formatted_plan(C.logreg_sliced_auc(docs, "source", dim=64))
+    assert "Window" in plan
+
+
+def test_temperature_mix_report_rates(spark):
+    from cassandra_ttl_remover_spark.operators import curate
+
+    rows = ([(i, f"t {i}", "big") for i in range(400)]
+            + [(1000 + i, f"t {i}", "small") for i in range(100)])
+    docs = _toy_docs(spark, [(i, t, l) for i, t, l in rows])
+    r1 = {r.domain: r for r in
+          curate.temperature_mix_report(docs, 1).collect()}
+    # T=1: natural distribution — everything kept
+    assert all(r.n_sampled == r.n_total for r in r1.values())
+    r2 = {r.domain: r for r in
+          curate.temperature_mix_report(docs, 2).collect()}
+    # smallest domain kept in full; big domain kept at ~sqrt(100/400)=1/2
+    assert r2["small"].n_sampled == 100
+    assert abs(r2["big"].n_sampled - 200) < 40
+    r4 = {r.domain: r for r in
+          curate.temperature_mix_report(docs, 4).collect()}
+    # T=4 pulls harder toward uniform: big keeps ~400*(1/4)^(3/4) ~ 141
+    assert r4["small"].n_sampled == 100
+    assert r4["big"].n_sampled < r2["big"].n_sampled
