@@ -686,6 +686,7 @@ _DRIVER_PRIORITY = [
     "q_st21_stream_ivf_ingest",
     "q_n65_sliced_auc",
     "q_n66_temperature_mix",
+    "q_n67_calibration",
     # --- round-9 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
     # commit; same green rule as tests/test_harness_contract.py) ---
@@ -4733,6 +4734,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.temperature_mix_report(docs, 2, domain_col="lang")
     q["q_n66_temperature_mix"] = q_n66
 
+    def q_n67(spark, sf):
+        # calibration half of evaluation: per-bin reliability + Brier
+        # components over the quantized fast-sigmoid probability,
+        # equal-width bins over the OBSERVED score range (integer-exact
+        # edges; nothing sums floats)
+        docs = scan_table(spark, sf, "documents")
+        return classify.logreg_calibration(docs, n_bins=10)
+    q["q_n67_calibration"] = q_n67
+
     def q_d3(spark, sf):
         # anti-entropy digest: per-bucket order-independent checksums —
         # two runs agree iff every row matches, divergence localizes to a
@@ -6114,6 +6124,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_n65_sliced_auc"] = classify.logreg_sliced_auc_oracle_sql("source")
     o["q_n66_temperature_mix"] = curate.temperature_mix_oracle_sql(
         2, domain_col="lang"
+    )
+    o["q_n67_calibration"] = classify.logreg_calibration_oracle_sql(
+        n_bins=10
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

@@ -1016,6 +1016,106 @@ SELECT slice,
 FROM cum GROUP BY slice ORDER BY slice""")
 
 
+#: calibration probability quantum: p is floored to multiples of 2**-20
+#: before binning/summing, so every per-bin statistic is an exact int64
+#: sum (the module's no-float-sums discipline).
+CAL_Q = 1 << 20
+
+
+def logreg_calibration(docs: DataFrame, n_bins: int = 10,
+                       label_expr: str = "lang = 'en'", dim: int = 64,
+                       iters: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Reliability report for the trained classifier — the calibration
+    half of evaluation (AUC ranks, calibration trusts the probability):
+    per predicted-probability bin, the doc count, the positive count,
+    the exact sum of quantized predicted probabilities, and the exact
+    Brier numerator. ECE and the Brier score are one division away for
+    the consumer; nothing here sums floats.
+
+    Probability: the rational fast sigmoid of the margin,
+    ``p = (D + |M| + M) / (2*(D + |M|))``, quantized
+    ``pq = floor(p * 2**20)`` (division and multiply are single
+    correctly-rounded ops — deterministic in both engines). Bins are
+    equal-width over the OBSERVED pq range (min/max are exact ints, so
+    the edges are deterministic): a filter model's probabilities
+    cluster in a narrow band, and fixed [0,1] deciles would put the
+    whole corpus in one bin — range bins keep the diagram
+    discriminating; the per-bin ``sum_pq`` still reports where in [0,1]
+    each bin actually sits. Brier term = ``(pq - y*2**20)^2``
+    (int64: <= 2**40 per doc).
+
+    Scale: margins are the usual broadcast-weights join + doc-id agg;
+    the pq extrema are a 1-row broadcast aggregate; the report is one
+    map-side-combined groupBy over <= n_bins keys."""
+    feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
+        eager=False)
+    labels = docs.select(
+        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    weights = _logreg_fit(feats, labels, iters, id_col)
+    D = LR_S * LR_Q
+    scored = (
+        feats.join(F.broadcast(
+            weights.select("bucket", F.col("weight").alias("w"))), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
+        .join(labels, id_col)
+        .select(
+            "y",
+            F.expr(
+                f"cast(floor((cast(({D} + abs(m) + m) as double)"
+                f" / cast(2 * ({D} + abs(m)) as double)) * {CAL_Q})"
+                " as long)"
+            ).alias("pq"),
+        )
+    )
+    scored = scored.localCheckpoint(eager=False)  # extrema + binning
+    ext = F.broadcast(scored.agg(
+        F.min("pq").alias("_lo"),
+        (F.max("pq") - F.min("pq") + 1).alias("_span")))
+    return (
+        scored.crossJoin(ext)
+        .groupBy(F.expr(f"((pq - _lo) * {n_bins}) div _span").cast("long")
+                 .alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("pq").cast("long").alias("sum_pq"),
+            F.sum(F.expr(f"(pq - y * {CAL_Q}) * (pq - y * {CAL_Q})"))
+            .cast("long").alias("brier_num"),
+        )
+        .orderBy("bin")
+    )
+
+
+def logreg_calibration_oracle_sql(n_bins: int = 10,
+                                  label_expr: str = "lang = 'en'",
+                                  dim: int = 64, iters: int = 2,
+                                  table: str = "documents",
+                                  id_col: str = "doc_id") -> str:
+    D = LR_S * LR_Q
+    ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
+    ctes.append(_mf_duck_cte(final, id_col))
+    ctes.append(f"""scored AS (
+  SELECT y,
+         CAST(floor((({D} + abs(m) + m)::DOUBLE
+                     / (2 * ({D} + abs(m)))::DOUBLE) * {CAL_Q}) AS BIGINT)
+           AS pq
+  FROM mf JOIN labels USING ({id_col})
+)""")
+    ctes.append("""ext AS (
+  SELECT min(pq)::BIGINT AS lo, (max(pq) - min(pq) + 1)::BIGINT AS span
+  FROM scored
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT (((pq - lo) * {n_bins}) // span)::BIGINT AS bin,
+       count(*)::BIGINT AS n,
+       sum(y)::BIGINT AS n_pos,
+       sum(pq)::BIGINT AS sum_pq,
+       sum((pq - y * {CAL_Q}) * (pq - y * {CAL_Q}))::BIGINT AS brier_num
+FROM scored CROSS JOIN ext GROUP BY bin ORDER BY bin""")
+
+
 def logreg_auc_oracle_sql(label_expr: str = "lang = 'en'", dim: int = 64,
                           iters: int = 2, table: str = "documents",
                           id_col: str = "doc_id") -> str:

@@ -321,3 +321,26 @@ def test_temperature_mix_report_rates(spark):
     # T=4 pulls harder toward uniform: big keeps ~400*(1/4)^(3/4) ~ 141
     assert r4["small"].n_sampled == 100
     assert r4["big"].n_sampled < r2["big"].n_sampled
+
+
+def test_calibration_bins_partition_the_corpus_and_brier_is_exact(spark):
+    docs = _toy_docs(spark, [
+        (i, "good sample" if i % 2 == 0 else "junk noise",
+         "en" if i % 2 == 0 else "fr")
+        for i in range(40)
+    ])
+    rows = C.logreg_calibration(docs, n_bins=4, dim=64).collect()
+    assert sum(r.n for r in rows) == 40
+    assert sum(r.n_pos for r in rows) == 20
+    assert all(0 <= r.bin <= 3 for r in rows)
+    # separable corpus: positives concentrate in the TOP bin
+    top = max(rows, key=lambda r: r.bin)
+    bot = min(rows, key=lambda r: r.bin)
+    assert top.n_pos == top.n and bot.n_pos == 0
+    # Brier numerator is exact: recompute from per-bin members on this
+    # two-margin corpus (each bin is score-homogeneous here)
+    for r in rows:
+        mean_pq = r.sum_pq // r.n  # homogeneous -> exact
+        want = (r.n_pos * (mean_pq - C.CAL_Q) ** 2
+                + (r.n - r.n_pos) * mean_pq ** 2)
+        assert r.brier_num == want
