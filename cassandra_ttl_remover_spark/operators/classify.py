@@ -576,41 +576,56 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
     labels = docs.select(
         F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
     weights = _logreg_fit(feats, labels, iters, id_col)
-    margins = (
+    return _auc_from_margins(_margins(feats, weights, labels, id_col))
+
+
+def _margins(feats: DataFrame, weights: DataFrame, labels: DataFrame,
+             id_col: str) -> DataFrame:
+    """Per-doc integer margin joined with the label frame — the ONE
+    place the broadcast-weights scoring join lives (resubstitution,
+    holdout, sliced and calibration evaluation all compose it; the
+    labels frame may carry extra columns such as the slice)."""
+    return (
         feats.join(F.broadcast(
             weights.select("bucket", F.col("weight").alias("w"))), "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
         .join(labels, id_col)
     )
-    return _auc_from_margins(margins)
 
 
-def _auc_from_margins(margins: DataFrame) -> DataFrame:
+def _auc_from_margins(margins: DataFrame,
+                      group_col: str | None = None) -> DataFrame:
     """Tie-aware ROC-AUC from an ``(m, y)`` frame via histogram ranks —
-    shared by the resubstitution and holdout evaluations (see
-    :func:`logreg_auc` for the derivation). A single-class input
-    (n_pos = 0 or n_neg = 0) has no defined AUC: the row is returned
-    with ``auc`` NULL rather than a silent Infinity/NaN."""
+    shared by the resubstitution, holdout and per-slice evaluations
+    (see :func:`logreg_auc` for the derivation). With ``group_col`` the
+    histogram, the rank window and the final aggregate are all
+    partitioned by that column (one row per group, ordered). A
+    single-class input (n_pos = 0 or n_neg = 0) has no defined AUC: the
+    row is returned with ``auc`` NULL rather than a silent
+    Infinity/NaN."""
     from pyspark.sql import Window
 
-    hist = margins.groupBy("m").agg(
+    keys = [group_col] if group_col else []
+    hist = margins.groupBy(*keys, "m").agg(
         F.count("*").cast("long").alias("cnt"),
         F.sum("y").cast("long").alias("pos"),
     )
-    win = (Window.orderBy("m")
+    win = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    win = (win.orderBy("m")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = hist.withColumn(
         "cum", (F.sum("cnt").over(win) - F.col("cnt")).cast("long"))
-    return (
-        cum.agg(
+    out = (
+        cum.groupBy(*keys)
+        .agg(
             F.sum("pos").cast("long").alias("n_pos"),
             (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
             F.sum(F.expr("pos * (2 * cum + cnt + 1)")).cast("long")
             .alias("_sum2r"),
         )
         .select(
-            "n_pos", "n_neg",
+            *keys, "n_pos", "n_neg",
             F.expr("_sum2r - n_pos * (n_pos + 1)").cast("long").alias("u2"),
             F.expr(
                 "if(n_pos = 0 or n_neg = 0, cast(null as double), "
@@ -619,6 +634,7 @@ def _auc_from_margins(margins: DataFrame) -> DataFrame:
             ).alias("auc"),
         )
     )
+    return out.orderBy(group_col) if group_col else out
 
 
 def logreg_holdout_auc(docs: DataFrame, train_where: str,
@@ -645,14 +661,7 @@ def logreg_holdout_auc(docs: DataFrame, train_where: str,
     feats_ev = _lr_feats(held, dim, text_col, id_col)
     labels_ev = held.select(
         F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
-    margins = (
-        feats_ev.join(F.broadcast(
-            weights.select("bucket", F.col("weight").alias("w"))), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
-        .join(labels_ev, id_col)
-    )
-    return _auc_from_margins(margins)
+    return _auc_from_margins(_margins(feats_ev, weights, labels_ev, id_col))
 
 
 def _mf_duck_cte(weights_cte: str, id_col: str, x_cte: str = "x") -> str:
@@ -665,22 +674,28 @@ def _mf_duck_cte(weights_cte: str, id_col: str, x_cte: str = "x") -> str:
 )"""
 
 
-def _auc_duck_tail(labels_cte: str, id_col: str) -> str:
+def _auc_duck_tail(labels_cte: str, id_col: str,
+                   group: bool = False) -> str:
     """The histogram-rank AUC tail over the ``mf`` margins CTE — the
     oracle twin of :func:`_auc_from_margins`, single-class NULL guard
-    included."""
+    included. With ``group=True`` everything partitions/groups by a
+    ``slice`` column the labels CTE must carry (the per-slice form)."""
+    gsel = "slice, " if group else ""
+    hist_gby = "GROUP BY slice, m" if group else "GROUP BY m"
+    part = "PARTITION BY slice " if group else ""
+    tail_gby = "GROUP BY slice ORDER BY slice" if group else ""
     return f"""hist AS (
-  SELECT m, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
-  FROM mf JOIN {labels_cte} USING ({id_col}) GROUP BY m
+  SELECT {gsel}m, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+  FROM mf JOIN {labels_cte} USING ({id_col}) {hist_gby}
 ),
 cum AS (
-  SELECT m, cnt, pos,
-         (sum(cnt) OVER (ORDER BY m
+  SELECT {gsel}m, cnt, pos,
+         (sum(cnt) OVER ({part}ORDER BY m
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           - cnt)::BIGINT AS cum
   FROM hist
 )
-SELECT sum(pos)::BIGINT AS n_pos,
+SELECT {gsel}sum(pos)::BIGINT AS n_pos,
        (sum(cnt) - sum(pos))::BIGINT AS n_neg,
        (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::BIGINT
          AS u2,
@@ -689,7 +704,7 @@ SELECT sum(pos)::BIGINT AS n_pos,
                   - sum(pos) * (sum(pos) + 1))::DOUBLE
                  / (2 * sum(pos) * (sum(cnt) - sum(pos)))::DOUBLE
        END AS auc
-FROM cum"""
+FROM cum {tail_gby}"""
 
 
 def logreg_holdout_auc_oracle_sql(train_where_duck: str,
@@ -936,48 +951,14 @@ def logreg_sliced_auc(docs: DataFrame, slice_col: str = "source",
     the rank window is PARTITIONED BY the slice — per-slice histograms
     rank in parallel, so unlike the global AUC there is not even a
     bounded single-partition stage."""
-    from pyspark.sql import Window
-
     feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
         eager=False)
     labels = docs.select(
         F.col(id_col), F.col(slice_col).alias("slice"),
         F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
     weights = _logreg_fit(feats, labels.select(id_col, "y"), iters, id_col)
-    margins = (
-        feats.join(F.broadcast(
-            weights.select("bucket", F.col("weight").alias("w"))), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
-        .join(labels, id_col)
-    )
-    hist = margins.groupBy("slice", "m").agg(
-        F.count("*").cast("long").alias("cnt"),
-        F.sum("y").cast("long").alias("pos"),
-    )
-    win = (Window.partitionBy("slice").orderBy("m")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = hist.withColumn(
-        "cum", (F.sum("cnt").over(win) - F.col("cnt")).cast("long"))
-    return (
-        cum.groupBy("slice")
-        .agg(
-            F.sum("pos").cast("long").alias("n_pos"),
-            (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
-            F.sum(F.expr("pos * (2 * cum + cnt + 1)")).cast("long")
-            .alias("_sum2r"),
-        )
-        .select(
-            "slice", "n_pos", "n_neg",
-            F.expr("_sum2r - n_pos * (n_pos + 1)").cast("long").alias("u2"),
-            F.expr(
-                "if(n_pos = 0 or n_neg = 0, cast(null as double), "
-                "cast(_sum2r - n_pos * (n_pos + 1) as double)"
-                " / cast(2 * n_pos * n_neg as double))"
-            ).alias("auc"),
-        )
-        .orderBy("slice")
-    )
+    return _auc_from_margins(
+        _margins(feats, weights, labels, id_col), group_col="slice")
 
 
 def logreg_sliced_auc_oracle_sql(slice_col: str = "source",
@@ -987,33 +968,14 @@ def logreg_sliced_auc_oracle_sql(slice_col: str = "source",
                                  id_col: str = "doc_id") -> str:
     ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
     ctes.append(_mf_duck_cte(final, id_col))
-    ctes.append(f"""sl AS (
-  SELECT {id_col}, {slice_col} AS slice FROM {table}
+    ctes.append(f"""labels_sl AS (
+  SELECT {id_col}, {slice_col} AS slice, y
+  FROM labels JOIN (SELECT {id_col}, {slice_col} FROM {table})
+       USING ({id_col})
 )""")
-    ctes.append(f"""hist AS (
-  SELECT slice, m, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
-  FROM mf JOIN labels USING ({id_col}) JOIN sl USING ({id_col})
-  GROUP BY slice, m
-)""")
-    ctes.append("""cum AS (
-  SELECT slice, m, cnt, pos,
-         (sum(cnt) OVER (PARTITION BY slice ORDER BY m
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          - cnt)::BIGINT AS cum
-  FROM hist
-)""")
-    return ("WITH " + ",\n".join(ctes) + """
-SELECT slice,
-       sum(pos)::BIGINT AS n_pos,
-       (sum(cnt) - sum(pos))::BIGINT AS n_neg,
-       (sum(pos * (2 * cum + cnt + 1)) - sum(pos) * (sum(pos) + 1))::BIGINT
-         AS u2,
-       CASE WHEN sum(pos) = 0 OR sum(cnt) = sum(pos) THEN NULL
-            ELSE (sum(pos * (2 * cum + cnt + 1))
-                  - sum(pos) * (sum(pos) + 1))::DOUBLE
-                 / (2 * sum(pos) * (sum(cnt) - sum(pos)))::DOUBLE
-       END AS auc
-FROM cum GROUP BY slice ORDER BY slice""")
+    ctes.append(_auc_duck_tail("labels_sl", id_col, group=True))
+    body = ",\n".join(ctes[:-1])
+    return f"WITH {body},\n{ctes[-1]}"
 
 
 #: calibration probability quantum: p is floored to multiples of 2**-20
@@ -1054,20 +1016,13 @@ def logreg_calibration(docs: DataFrame, n_bins: int = 10,
         F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
     weights = _logreg_fit(feats, labels, iters, id_col)
     D = LR_S * LR_Q
-    scored = (
-        feats.join(F.broadcast(
-            weights.select("bucket", F.col("weight").alias("w"))), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
-        .join(labels, id_col)
-        .select(
-            "y",
-            F.expr(
-                f"cast(floor((cast(({D} + abs(m) + m) as double)"
-                f" / cast(2 * ({D} + abs(m)) as double)) * {CAL_Q})"
-                " as long)"
-            ).alias("pq"),
-        )
+    scored = _margins(feats, weights, labels, id_col).select(
+        "y",
+        F.expr(
+            f"cast(floor((cast(({D} + abs(m) + m) as double)"
+            f" / cast(2 * ({D} + abs(m)) as double)) * {CAL_Q})"
+            " as long)"
+        ).alias("pq"),
     )
     scored = scored.localCheckpoint(eager=False)  # extrema + binning
     ext = F.broadcast(scored.agg(

@@ -364,6 +364,13 @@ def _index_tombstones(spark, path: str):
         return None
 
 
+def _empty_tombstones(spark, id_col: str):
+    """A 0-row frame of the sidecar schema — written (not limit(0) of
+    the old sidecar, whose files a compaction overwrite may have just
+    deleted; that form only worked via the OptimizeLimitZero rule)."""
+    return spark.createDataFrame([], f"{id_col} bigint, deleted_at bigint")
+
+
 def _index_delete(spark, path: str, ids: list, id_col: str) -> None:
     """Append ``(id, deleted_at)`` rows to an index's ``_tombstones``
     sidecar — the ONE place the sidecar schema and write convention
@@ -419,8 +426,8 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cell").parquet(path))
     # empty sidecar: overwrite with a 0-row frame of the same schema
-    tombs.limit(0).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_tombstones")
+    _empty_tombstones(spark, id_col).coalesce(1).write.mode(
+        "overwrite").parquet(f"{path}/_tombstones")
     return len(affected)
 
 
@@ -1483,8 +1490,8 @@ def pq_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
         spark.read.parquet(f"{tmp}/_codebook").coalesce(1).write.mode(
             "overwrite").parquet(f"{path}/_codebook")
         _fs_delete(spark, tmp)
-    tombs.limit(0).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_tombstones")
+    _empty_tombstones(spark, id_col).coalesce(1).write.mode(
+        "overwrite").parquet(f"{path}/_tombstones")
     return int(n_dead)
 
 

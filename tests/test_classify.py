@@ -296,9 +296,16 @@ def test_sliced_auc_partitions_rank_window_and_covers_all_slices(spark):
     # their AUCs are complementary (1 and 0 when margins separate at all)
     if out["A"].auc is not None and out["B"].auc is not None:
         assert abs(out["A"].auc + out["B"].auc - 1.0) < 1e-12
-    # the rank window must be slice-partitioned (no single-partition stage)
+    # the rank window must be slice-PARTITIONED (dropping the partition
+    # spec would reintroduce a global single-partition rank — the exact
+    # scale hazard this guards): the Window node's spec must name slice
     plan = formatted_plan(C.logreg_sliced_auc(docs, "source", dim=64))
-    assert "Window" in plan
+    win_lines = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition" in ln.lower()]
+    assert win_lines, "no window spec in plan"
+    assert any("slice" in ln for ln in win_lines), (
+        "rank window lost its slice partitioning"
+    )
 
 
 def test_temperature_mix_report_rates(spark):
