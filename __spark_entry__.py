@@ -643,78 +643,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS row — maintained by hand with each code change; the
 #: contract test pins these to the front of the graded window.
 _REGRADE_FIRST = [
-    # round 9: maintained as round-9 changes land (kcore checkpoint,
-    # bpe_train batched merges, compact.py deletion-frame scoping,
-    # sstable.py ADVICE fixes) — changed queries are prepended here
-    # AND to the front of _DRIVER_PRIORITY.
-    # kcore gained the per-round localCheckpoint (same rows, different
-    # executed plan) — its r5 green row predates the change
-    "q_g3_kcore",
-    # bpe_train's merge loop was restructured for the batch>1 mode
-    # (batch=1 default keeps the same plan, but the loop code changed)
-    "q_n45_bpe_train",
-    # ADVICE r8 fixes: compact_atoms' deletion frame is now plan-scoped
-    # (no module slot); merge cut keys ship as hex bytes; Summary.db
-    # window pass closes its generator; int32 deletion-seconds saturate.
-    # Every query over the touched paths re-certifies:
-    "q_t9_sstable_merge_compact",
-    "q_t8_sstable_compact_e2e",
-    "q_s22_merge_retains_deletions",
-    "q_t10_major_compact_rewrite",
-    "q_s25_gc_single_table",
-    "q_s10_sstable_write_roundtrip",
-    "q_s21_strip_rewrite_zeroshuffle",
-    "q_s16_sstable_summary_range",
+    # round 10: maintained as round-10 changes land (global-AUC histogram
+    # window fix, IVF dead-cell compaction fix, logreg feature-frame
+    # pre-partitioning) — changed queries are prepended here AND to the
+    # front of _DRIVER_PRIORITY.
 ]
 
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
-    # --- new in round 9 (never graded) ---
-    "q_s26_successor_native",
-    "q_m9_index_table_lookup",
-    "q_s27_summary_resample",
-    "q_n57_bm25_topk",
-    "q_n58_hashed_tfidf",
-    "q_n59_text_knn",
-    "q_n60_rocchio_confusion",
-    "q_n61_logreg_train",
-    "q_n62_classifier_auc",
-    "q_n63_holdout_auc",
-    "q_n64_margin_cutoff",
-    "q_st12_stream_model_gate",
-    "q_n8h_ann_ivf_delete",
-    "q_st21_stream_ivf_ingest",
-    "q_n65_sliced_auc",
-    "q_n66_temperature_mix",
-    "q_n67_calibration",
-    # --- round-9 rotation: stalest-green-first, regenerated from
-    # CORRECTNESS_r01..r08 (script pattern in the round-8 rotation
-    # commit; same green rule as tests/test_harness_contract.py) ---
-    # --- last green: round 2 ---
-    "q_x8_json_extract",
-    "q_x9_correlated_subquery",
-    "q_x10_unpivot",
-    "q_p4_grouping_sets",
-    "q_a5_frequent_items",
-    "q_x11_set_intersect",
-    "q_x12_calendar_rollup",
-    "q_n34_length_histogram",
-    "q_n35_source_dup_census",
-    "q_n36_cluster_safe_split",
-    "q_j1_broadcast_join_rollup",
-    "q_j2_shuffle_join_rollup",
-    "q_aj_asof_join",
+    # --- round-10 rotation: stalest-green-first, regenerated from
+    # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
+    # green rule as tests/test_harness_contract.py). After r09 graded the
+    # round-9 window, the stalest evidence is the tail of the round-3
+    # block (q_st9 onward), then round 4, etc. ---
     # --- last green: round 3 ---
-    "q_x13_array_functions",
-    "q_pipe_curate",
-    "q_st1_stream_strip",
-    "q_st2_stream_dedup",
-    "q_st3_stream_expiring_window",
-    "q_st4_stream_sessions",
-    "q_st5_stream_curate_gate",
-    "q_st6_stream_dedup_vs_corpus",
-    "q_st7_stream_file_sink",
-    "q_st8_stream_upsert",
     "q_st9_stream_apply_changes",
     "q_st10_stream_liveness_census",
     "q_st11_stream_interval_join",
@@ -985,6 +927,57 @@ _DRIVER_PRIORITY = [
     "q_sql_q6_forecast_revenue",
     "q_sql_q10_returned_items",
     "q_x7_window_analytics",
+    # --- last green: round 9 ---
+    "q_g3_kcore",
+    "q_n45_bpe_train",
+    "q_t9_sstable_merge_compact",
+    "q_t8_sstable_compact_e2e",
+    "q_s22_merge_retains_deletions",
+    "q_t10_major_compact_rewrite",
+    "q_s25_gc_single_table",
+    "q_s10_sstable_write_roundtrip",
+    "q_s21_strip_rewrite_zeroshuffle",
+    "q_s16_sstable_summary_range",
+    "q_s26_successor_native",
+    "q_m9_index_table_lookup",
+    "q_s27_summary_resample",
+    "q_n57_bm25_topk",
+    "q_n58_hashed_tfidf",
+    "q_n59_text_knn",
+    "q_n60_rocchio_confusion",
+    "q_n61_logreg_train",
+    "q_n62_classifier_auc",
+    "q_n63_holdout_auc",
+    "q_n64_margin_cutoff",
+    "q_st12_stream_model_gate",
+    "q_n8h_ann_ivf_delete",
+    "q_st21_stream_ivf_ingest",
+    "q_n65_sliced_auc",
+    "q_n66_temperature_mix",
+    "q_n67_calibration",
+    "q_x8_json_extract",
+    "q_x9_correlated_subquery",
+    "q_x10_unpivot",
+    "q_p4_grouping_sets",
+    "q_a5_frequent_items",
+    "q_x11_set_intersect",
+    "q_x12_calendar_rollup",
+    "q_n34_length_histogram",
+    "q_n35_source_dup_census",
+    "q_n36_cluster_safe_split",
+    "q_j1_broadcast_join_rollup",
+    "q_j2_shuffle_join_rollup",
+    "q_aj_asof_join",
+    "q_x13_array_functions",
+    "q_pipe_curate",
+    "q_st1_stream_strip",
+    "q_st2_stream_dedup",
+    "q_st3_stream_expiring_window",
+    "q_st4_stream_sessions",
+    "q_st5_stream_curate_gate",
+    "q_st6_stream_dedup_vs_corpus",
+    "q_st7_stream_file_sink",
+    "q_st8_stream_upsert",
 ]
 
 
