@@ -647,6 +647,10 @@ _REGRADE_FIRST = [
     # window fix, IVF dead-cell compaction fix, logreg feature-frame
     # pre-partitioning) — changed queries are prepended here AND to the
     # front of _DRIVER_PRIORITY.
+    # ivf_delete/_index_delete now stamp deterministic deleted_at and
+    # ivf_compact splits fully-dead cells out of the dynamic overwrite —
+    # q_n8h drives both:
+    "q_n8h_ann_ivf_delete",
 ]
 
 _DRIVER_PRIORITY = [

@@ -371,23 +371,26 @@ def _empty_tombstones(spark, id_col: str):
     return spark.createDataFrame([], f"{id_col} bigint, deleted_at bigint")
 
 
-def _index_delete(spark, path: str, ids: list, id_col: str) -> None:
+def _index_delete(spark, path: str, ids: list, id_col: str,
+                  deleted_at: int = 0) -> None:
     """Append ``(id, deleted_at)`` rows to an index's ``_tombstones``
     sidecar — the ONE place the sidecar schema and write convention
     live (ivf_delete and pq_delete share it, as _index_tombstones is
-    the shared reader)."""
+    the shared reader). ``deleted_at`` is caller-supplied (µs since
+    epoch by convention) and defaults to 0 so sidecar bytes stay
+    deterministic across runs; pass a real timestamp only when a
+    grace-period reader (TTL-style tombstone gc) will consume it —
+    stamping wall-clock time here unconditionally made the sidecar
+    nondeterministic for no reader's benefit."""
     if not ids:
         return
-    import time
-
-    now = int(time.time() * 1_000_000)
     spark.createDataFrame(
-        [(i, now) for i in ids], f"{id_col} bigint, deleted_at bigint"
+        [(i, deleted_at) for i in ids], f"{id_col} bigint, deleted_at bigint"
     ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
 
 
 def ivf_delete(spark, path: str, ids: list, *,
-               id_col: str = "vec_id") -> None:
+               id_col: str = "vec_id", deleted_at: int = 0) -> None:
     """Delete vectors from a materialized IVF index WITHOUT touching the
     inverted lists: append ``(id, deleted_at)`` rows to the
     ``_tombstones`` sidecar — the deletion-vector pattern (and the
@@ -397,7 +400,7 @@ def ivf_delete(spark, path: str, ids: list, *,
     (:func:`ivf_query` ``honor_tombstones``); :func:`ivf_compact` is
     the gc that rewrites only the affected cells and empties the
     sidecar. O(len(ids)) write, index files untouched."""
-    _index_delete(spark, path, ids, id_col)
+    _index_delete(spark, path, ids, id_col, deleted_at)
 
 
 def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
@@ -409,22 +412,42 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
 
     Scale: finding affected cells reads the (id, cell) columns only;
     the rewrite reads and writes just those cells. A delete-heavy day
-    compacts at the cost of the touched lists, never the corpus."""
+    compacts at the cost of the touched lists, never the corpus.
+
+    A cell whose every vector is tombstoned has NO survivor rows, so
+    dynamic partition overwrite (which only replaces partitions present
+    in the written data) would leave its old files in place while the
+    sidecar below is emptied — resurrecting the deleted vectors. The
+    per-cell census therefore splits affected cells into rewrites
+    (survivors remain) and directory deletes (fully dead)."""
     tombs = _index_tombstones(spark, path)
     if tombs is None or tombs.isEmpty():
         return 0
     dead = F.broadcast(tombs.select(id_col).distinct())
     idx = spark.read.parquet(path)
-    affected = [int(r.cell) for r in
-                idx.join(dead, id_col).select("cell").distinct().collect()]
-    if affected:
+    census = (
+        idx.join(dead.withColumn("_dead", F.lit(True)), id_col, "left")
+        .groupBy("cell")
+        .agg(
+            F.count_if(F.coalesce(F.col("_dead"), F.lit(False))).alias("n_dead"),
+            F.count_if(F.col("_dead").isNull()).alias("n_live"),
+        )
+        .filter(F.col("n_dead") > 0)
+        .collect()
+    )
+    affected = [int(r.cell) for r in census]
+    fully_dead = [int(r.cell) for r in census if r.n_live == 0]
+    rewrite = [c for c in affected if c not in set(fully_dead)]
+    if rewrite:
         survivors = (
-            idx.filter(F.col("cell").isin(affected))
+            idx.filter(F.col("cell").isin(rewrite))
             .join(dead, id_col, "left_anti")
         )
         (survivors.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cell").parquet(path))
+    for c in fully_dead:
+        _fs_delete(spark, f"{path}/cell={c}")
     # empty sidecar: overwrite with a 0-row frame of the same schema
     _empty_tombstones(spark, id_col).coalesce(1).write.mode(
         "overwrite").parquet(f"{path}/_tombstones")
@@ -1453,12 +1476,12 @@ def pq_append(spark, path: str, new_emb: DataFrame,
 
 
 def pq_delete(spark, path: str, ids: list, *,
-              id_col: str = "vec_id") -> None:
+              id_col: str = "vec_id", deleted_at: int = 0) -> None:
     """Delete vectors from a materialized PQ index: same deletion-vector
     sidecar as :func:`ivf_delete` (``_tombstones`` under the index
     path, reconcile-at-read, purge at :func:`pq_compact`). O(len(ids))
     write, codes frame untouched."""
-    _index_delete(spark, path, ids, id_col)
+    _index_delete(spark, path, ids, id_col, deleted_at)
 
 
 def pq_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
@@ -1475,35 +1498,79 @@ def pq_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
     idx = spark.read.parquet(path)
     n_dead = idx.join(dead, id_col, "left_semi").count()
     if n_dead:
-        # stage BOTH the survivor codes and the codebook through the
-        # temp dir BEFORE the destructive overwrite: the scan reads the
-        # very files an in-place overwrite deletes, and the overwrite of
-        # `path` removes the underscore sidecars — a crash after it must
-        # leave the codebook recoverable on disk (at <tmp>/_codebook),
-        # never only in driver memory
+        # Stage the COMPLETE replacement index (survivor codes + the
+        # codebook sidecar) in a temp dir, then swap directories with
+        # two renames. Every crash window leaves a complete index on
+        # disk — at `path` (before the swap), at `tmp` (mid-swap), or
+        # at both `path` and `old` (before cleanup) — and
+        # :func:`pq_compact_repair` can finish the swap mechanically
+        # from whichever dirs are present. The previous in-place
+        # overwrite had a window where `path` held survivor codes but
+        # no `_codebook`.
         tmp = f"{path}__compact_tmp"
+        old = f"{path}__compact_old"
         survivors = idx.join(dead, id_col, "left_anti")
         survivors.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(f"{path}/_codebook").coalesce(1).write.mode(
             "overwrite").parquet(f"{tmp}/_codebook")
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-        spark.read.parquet(f"{tmp}/_codebook").coalesce(1).write.mode(
-            "overwrite").parquet(f"{path}/_codebook")
-        _fs_delete(spark, tmp)
+        _fs_delete(spark, old)          # stale leftover from a crash
+        _fs_rename(spark, path, old)    # old view (incl. _tombstones) aside
+        _fs_rename(spark, tmp, path)    # new view in place
+        _fs_delete(spark, old)
     _empty_tombstones(spark, id_col).coalesce(1).write.mode(
         "overwrite").parquet(f"{path}/_tombstones")
     return int(n_dead)
 
 
-def _fs_delete(spark, dir_path: str) -> None:
-    """Recursive delete through the Hadoop FileSystem API, so staged
-    temp dirs are removed on EVERY storage the session can write
-    (HDFS/S3A/local), not just the driver's local disk."""
+def pq_compact_repair(spark, path: str) -> bool:
+    """Finish an interrupted :func:`pq_compact` directory swap. Safe to
+    call at any time (no-op on a healthy index). Rules, derived from the
+    swap's crash windows: if ``path`` is missing but the staged temp dir
+    holds a complete index (its ``_codebook`` exists), rename it into
+    place; once ``path`` exists, any leftover temp/old dirs are garbage.
+    Returns True when anything was changed."""
+    tmp = f"{path}__compact_tmp"
+    old = f"{path}__compact_old"
+    changed = False
+    if not _fs_exists(spark, path) and _fs_exists(spark, f"{tmp}/_codebook"):
+        _fs_rename(spark, tmp, path)
+        changed = True
+    if _fs_exists(spark, path):
+        for d in (tmp, old):
+            if _fs_exists(spark, d):
+                _fs_delete(spark, d)
+                changed = True
+    return changed
+
+
+def _fs(spark, dir_path: str):
+    """(FileSystem, Path) through the Hadoop API, so filesystem ops work
+    on EVERY storage the session can write (HDFS/S3A/local), not just
+    the driver's local disk."""
     jvm = spark._jvm  # noqa: SLF001 — same access plans.formatted_plan uses
     jsc = spark._jsc  # noqa: SLF001
     p = jvm.org.apache.hadoop.fs.Path(dir_path)
-    fs = p.getFileSystem(jsc.hadoopConfiguration())
+    return p.getFileSystem(jsc.hadoopConfiguration()), p
+
+
+def _fs_delete(spark, dir_path: str) -> None:
+    """Recursive delete (no-op on a missing path)."""
+    fs, p = _fs(spark, dir_path)
     fs.delete(p, True)
+
+
+def _fs_exists(spark, dir_path: str) -> bool:
+    fs, p = _fs(spark, dir_path)
+    return bool(fs.exists(p))
+
+
+def _fs_rename(spark, src: str, dst: str) -> None:
+    """Directory move; raises instead of Hadoop's silent False so a
+    failed swap step can't be mistaken for a completed one."""
+    fs, p_src = _fs(spark, src)
+    _, p_dst = _fs(spark, dst)
+    if not fs.rename(p_src, p_dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
 
 
 def pq_census(spark, path: str, emb: DataFrame,

@@ -613,6 +613,131 @@ def test_ivf_delete_query_compact_lifecycle(spark, embeddings, tmp_path):
     assert ivf_compact(spark, path) == 0
 
 
+def test_ivf_compact_fully_dead_cell(spark, embeddings, tmp_path):
+    """Dynamic partition overwrite only replaces partitions PRESENT in
+    the written data, so a cell whose every vector is tombstoned has no
+    survivor rows to carry the overwrite — the old files would survive
+    while the sidecar is emptied, resurrecting the deleted vectors.
+    ivf_compact must delete such cell directories explicitly."""
+    import os
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_compact,
+        ivf_delete,
+        ivf_query,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=4)
+    idx = spark.read.parquet(path)
+    one_cell = int(idx.select("cell").first().cell)
+    victims = [int(r.vec_id) for r in
+               idx.filter(idx["cell"] == one_cell)
+               .select("vec_id").collect()]          # the WHOLE cell
+    n_total = idx.count()
+    ivf_delete(spark, path, victims)
+    assert ivf_compact(spark, path) == 1
+    # the cell directory is gone, not silently kept
+    assert f"cell={one_cell}" not in os.listdir(path)
+    after = spark.read.parquet(path)
+    assert after.count() == n_total - len(victims)
+    assert after.filter(after["cell"] == one_cell).count() == 0
+    # and no deleted id reappears in query results post-compaction
+    qv = [float(x) for x in
+          embeddings.filter("vec_id = 0").first()["embedding"]]
+    got = {r.vec_id for r in
+           ivf_query(spark, path, qv, k=50, nprobe=4).collect()}
+    assert not (got & set(victims))
+
+
+def test_ivf_compact_mixed_dead_and_live_cells(spark, embeddings, tmp_path):
+    """One cell fully tombstoned, another partially: the full one's
+    directory is removed, the partial one is rewritten with survivors,
+    untouched cells keep their files."""
+    import os
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_compact,
+        ivf_delete,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=4)
+    idx = spark.read.parquet(path).select("vec_id", "cell").collect()
+    by_cell = {}
+    for r in idx:
+        by_cell.setdefault(int(r.cell), []).append(int(r.vec_id))
+    cells = sorted(by_cell, key=lambda c: len(by_cell[c]))
+    full, partial = cells[0], cells[-1]
+    victims = by_cell[full] + by_cell[partial][:2]
+    ivf_delete(spark, path, victims)
+    assert ivf_compact(spark, path) == 2
+    dirs = {d for d in os.listdir(path) if d.startswith("cell=")}
+    assert f"cell={full}" not in dirs
+    assert f"cell={partial}" in dirs
+    survivors = spark.read.parquet(path)
+    assert survivors.count() == len(idx) - len(victims)
+    assert spark.read.parquet(path + "/_tombstones").count() == 0
+
+
+def test_index_delete_sidecar_deterministic(spark, embeddings, tmp_path):
+    """Tombstone sidecar contents are deterministic: deleted_at defaults
+    to 0 (no wall-clock stamping) and is caller-suppliable for readers
+    that will need grace-period semantics."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_delete,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=4)
+    ivf_delete(spark, path, [1, 3])
+    ivf_delete(spark, path, [5], deleted_at=42)
+    rows = sorted(
+        (r.vec_id, r.deleted_at)
+        for r in spark.read.parquet(path + "/_tombstones").collect())
+    assert rows == [(1, 0), (3, 0), (5, 42)]
+
+
+def test_pq_compact_repair_completes_interrupted_swap(spark, embeddings,
+                                                      tmp_path):
+    """Crash-window recovery: simulate a pq_compact interrupted after the
+    old index moved aside but before the staged replacement renamed into
+    place — pq_compact_repair must finish the swap; on a healthy index
+    it is a no-op."""
+    import shutil
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        pq_compact_repair,
+        pq_query,
+        pq_write,
+    )
+
+    path = str(tmp_path / "pq")
+    pq_write(embeddings, path, m=4, k_codes=16)
+    before = [(r.vec_id, r.dot) for r in
+              pq_query(spark, path, embeddings, 0, k=10).collect()]
+
+    # healthy index: repair changes nothing
+    assert pq_compact_repair(spark, path) is False
+
+    # mid-swap crash: path gone, complete replacement staged at tmp
+    shutil.move(path, path + "__compact_tmp")
+    assert pq_compact_repair(spark, path) is True
+    after = [(r.vec_id, r.dot) for r in
+             pq_query(spark, path, embeddings, 0, k=10).collect()]
+    assert after == before
+
+    # pre-cleanup crash: path healthy, stale old dir left behind
+    shutil.copytree(path, path + "__compact_old")
+    assert pq_compact_repair(spark, path) is True
+    import os
+    assert not os.path.exists(path + "__compact_old")
+    assert pq_compact_repair(spark, path) is False
+
+
 def test_ivf_compact_rewrites_only_affected_cells(spark, embeddings, tmp_path):
     """Partition-pruned gc: deleting ids from ONE cell must leave every
     other cell directory's files byte-identical (mtime/name check)."""
