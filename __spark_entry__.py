@@ -651,6 +651,18 @@ _REGRADE_FIRST = [
     # ivf_compact splits fully-dead cells out of the dynamic overwrite —
     # q_n8h drives both:
     "q_n8h_ann_ivf_delete",
+    # classifier stack plan changes: the ungrouped AUC prefix sum now
+    # routes through plans.two_level_cumsum (no empty-partitionBy
+    # window) and _lr_feats pre-partitions on the doc id through a
+    # partitioning-preserving checkpoint (2 fewer corpus exchanges per
+    # GD iteration) — every query over those paths re-certifies:
+    "q_n61_logreg_train",
+    "q_n62_classifier_auc",
+    "q_n63_holdout_auc",
+    "q_n64_margin_cutoff",
+    "q_n65_sliced_auc",
+    "q_n67_calibration",
+    "q_st12_stream_model_gate",
 ]
 
 _DRIVER_PRIORITY = [

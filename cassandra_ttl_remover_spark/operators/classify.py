@@ -45,7 +45,7 @@ from cassandra_ttl_remover_spark.operators.curate import (
     _dsir_bucket_duck,
     _dsir_bucket_spark,
 )
-from cassandra_ttl_remover_spark.plans import fan_out
+from cassandra_ttl_remover_spark.plans import checkpoint_partitioned, fan_out
 
 #: tf-idf weight quantum (2**14). w = ((tf*Q div dl) * (N+1)) div (df+1)
 #: keeps w <= Q*(N+1)/2 (df >= 1 whenever the bucket exists), so dot
@@ -386,7 +386,14 @@ def _lr_feats(docs: DataFrame, dim: int, text_col: str,
     """``(id, bucket, xq)`` — quantized frequencies ``(tf*Q) div dl``
     plus the bias pseudo-bucket -1 with xq = Q for every featurized doc.
     The tf frame is checkpointed: both union branches consume it, and
-    without the cut the corpus featurization would execute twice."""
+    without the cut the corpus featurization would execute twice.
+
+    The result is hash-partitioned on the doc id BEFORE the caller's
+    checkpoint: every GD iteration aggregates margins by id and joins
+    residuals back on id, so pre-partitioning once lets both reuse the
+    partitioning instead of re-exchanging the (narrow, integer) feature
+    frame twice per iteration — one exchange paid at featurize time,
+    2 x iters exchanges saved (plan-pinned in test_classify)."""
     tf = hashed_tf(docs, dim, text_col, id_col).localCheckpoint(eager=False)
     x = tf.select(
         F.col(id_col), "bucket",
@@ -396,7 +403,7 @@ def _lr_feats(docs: DataFrame, dim: int, text_col: str,
         F.col(id_col), F.lit(-1).alias("bucket"),
         F.lit(LR_Q).cast("long").alias("xq"),
     )
-    return x.unionByName(bias)
+    return x.unionByName(bias).repartition(F.col(id_col))
 
 
 def logreg_train(docs: DataFrame, label_expr: str = "lang = 'en'",
@@ -431,8 +438,8 @@ def logreg_train(docs: DataFrame, label_expr: str = "lang = 'en'",
     graph.pagerank's integer-loop pattern (O(1) lineage via
     localCheckpoint; driver-sequenced fixed small ``iters`` is the
     declared regime — this is a FILTER model, not a foundation model)."""
-    feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
-        eager=False)  # one featurize feeds every iteration twice
+    feats = checkpoint_partitioned(
+        _lr_feats(docs, dim, text_col, id_col))  # one featurize feeds every iteration twice
     labels = docs.select(
         F.col(id_col),
         F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
@@ -571,8 +578,8 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
     the corpus, so no single-partition corpus sort exists in the plan
     (the window's input is bounded by the margin-value cardinality;
     at 100 TB bucket the margins first if they are near-unique)."""
-    feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
-        eager=False)  # ONE featurize feeds training and scoring
+    feats = checkpoint_partitioned(
+        _lr_feats(docs, dim, text_col, id_col))  # ONE featurize feeds training and scoring
     labels = docs.select(
         F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
     weights = _logreg_fit(feats, labels, iters, id_col)
@@ -603,19 +610,35 @@ def _auc_from_margins(margins: DataFrame,
     partitioned by that column (one row per group, ordered). A
     single-class input (n_pos = 0 or n_neg = 0) has no defined AUC: the
     row is returned with ``auc`` NULL rather than a silent
-    Infinity/NaN."""
+    Infinity/NaN.
+
+    Scale: the grouped form's window partitions by ``group_col`` (fully
+    parallel). The UNGROUPED form must rank the whole histogram in one
+    global order — with int64 margins the distinct-margin count is
+    corpus-cardinality in the worst case, so an empty-partitionBy window
+    would serialize the corpus onto one task. It instead runs the prefix
+    sum through :func:`~cassandra_ttl_remover_spark.plans.two_level_cumsum`
+    (range-partition on m, per-shard scan, driver-prefixed shard offsets
+    broadcast back): identical integers — m is unique in the histogram,
+    so there are no ties for the range order to split — at
+    shard-parallel cost."""
     from pyspark.sql import Window
+
+    from ..plans import two_level_cumsum
 
     keys = [group_col] if group_col else []
     hist = margins.groupBy(*keys, "m").agg(
         F.count("*").cast("long").alias("cnt"),
         F.sum("y").cast("long").alias("pos"),
     )
-    win = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    win = (win.orderBy("m")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = hist.withColumn(
-        "cum", (F.sum("cnt").over(win) - F.col("cnt")).cast("long"))
+    if keys:
+        win = (Window.partitionBy(*keys).orderBy("m")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = hist.withColumn(
+            "cum", (F.sum("cnt").over(win) - F.col("cnt")).cast("long"))
+    else:
+        cum = two_level_cumsum(hist, ["m"], "cnt", out="_run").withColumn(
+            "cum", (F.col("_run") - F.col("cnt")).cast("long")).drop("_run")
     out = (
         cum.groupBy(*keys)
         .agg(
@@ -653,8 +676,8 @@ def logreg_holdout_auc(docs: DataFrame, train_where: str,
     :func:`logreg_auc`, one extra corpus pass for the second frame."""
     train = docs.filter(train_where)
     held = docs.filter(f"NOT ({train_where})")
-    feats_tr = _lr_feats(train, dim, text_col, id_col).localCheckpoint(
-        eager=False)
+    feats_tr = checkpoint_partitioned(
+        _lr_feats(train, dim, text_col, id_col))
     labels_tr = train.select(
         F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
     weights = _logreg_fit(feats_tr, labels_tr, iters, id_col)
@@ -951,8 +974,8 @@ def logreg_sliced_auc(docs: DataFrame, slice_col: str = "source",
     the rank window is PARTITIONED BY the slice — per-slice histograms
     rank in parallel, so unlike the global AUC there is not even a
     bounded single-partition stage."""
-    feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
-        eager=False)
+    feats = checkpoint_partitioned(
+        _lr_feats(docs, dim, text_col, id_col))
     labels = docs.select(
         F.col(id_col), F.col(slice_col).alias("slice"),
         F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
@@ -1010,8 +1033,8 @@ def logreg_calibration(docs: DataFrame, n_bins: int = 10,
     Scale: margins are the usual broadcast-weights join + doc-id agg;
     the pq extrema are a 1-row broadcast aggregate; the report is one
     map-side-combined groupBy over <= n_bins keys."""
-    feats = _lr_feats(docs, dim, text_col, id_col).localCheckpoint(
-        eager=False)
+    feats = checkpoint_partitioned(
+        _lr_feats(docs, dim, text_col, id_col))
     labels = docs.select(
         F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
     weights = _logreg_fit(feats, labels, iters, id_col)

@@ -198,6 +198,29 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
 
 
+def checkpoint_partitioned(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` that PRESERVES the frame's output
+    partitioning in the checkpointed scan's metadata. Under AQE the
+    adaptive plan reports ``UnknownPartitioning`` until executed, so a
+    plain localCheckpoint of a repartitioned frame produces a LogicalRDD
+    whose partitioning Catalyst can't see — every downstream groupBy/join
+    on the partition key re-exchanges data that is already correctly
+    placed. Toggling AQE off just for the checkpoint call captures the
+    real ``hashpartitioning`` into the LogicalRDD (the RDD DAG is built
+    at call time; re-enabling AQE afterwards does not alter it), so
+    iterative consumers (logreg's GD loop) reuse the partitioning with
+    ZERO exchanges per pass. Cost: this one exchange forgoes AQE's
+    runtime coalescing — size ``spark.sql.shuffle.partitions`` for the
+    target scale as usual."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def two_level_cumsum(df: DataFrame, order_cols: list[str], val_col: str,
                      out: str = "cum", shards: int = 32) -> DataFrame:
     """Distributed running sum over a global order WITHOUT a

@@ -237,15 +237,37 @@ def test_auc_single_class_is_null_not_infinity(spark):
 
 
 def test_auc_window_runs_over_histogram_not_corpus(spark, documents):
-    # the only window in the plan must consume the margin histogram
-    # (grouped frame), never the raw corpus: assert the plan aggregates
-    # BEFORE the window (Window above HashAggregate in the tree)
-    plan = formatted_plan(C.logreg_auc(documents, dim=64, iters=2))
-    assert "Window" in plan
-    head = plan.split("Window")[0]
-    assert "HashAggregate" in head or "SortAggregate" in head, (
-        "margin histogram aggregation must feed the rank window"
-    )
+    # the ungrouped AUC prefix sum must never serialize onto one task:
+    # with int64 margins the histogram's cardinality is corpus-size in
+    # the worst case, so an empty-partitionBy window (Exchange
+    # SinglePartition feeding Window) is a 100 TB bottleneck. The path
+    # routes through plans.two_level_cumsum instead — every window spec
+    # in the plan must carry a partition column (the shard id _pid)
+    import re
+
+    for df in (
+        C.logreg_auc(documents, dim=64, iters=2),
+        C.logreg_holdout_auc(
+            documents, "pmod(hash(doc_id), 5) != 0", dim=64, iters=2),
+    ):
+        plan = formatted_plan(df)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, "expected the shard-local rank window in the plan"
+        # an UNpartitioned spec starts directly with the order column
+        # ("m ASC ..."); the partitioned one leads with _pid
+        unpart = [s for s in specs if s.lstrip().startswith("m ")]
+        assert not unpart, f"empty-partitionBy window over margins: {unpart}"
+
+
+def test_logreg_feats_partitioning_survives_checkpoint(spark, documents):
+    # the GD loop's margin agg and residual join both key on the doc id;
+    # _lr_feats pre-partitions on id and checkpoint_partitioned keeps
+    # that partitioning VISIBLE through the checkpoint, so each
+    # iteration reuses it instead of re-exchanging the feature frame —
+    # plan-pinned: 2 iterations went 17 -> 11 exchanges with the fix
+    assert exchange_count(
+        C.logreg_train(documents, dim=64, iters=2, checkpoint=False)
+    ) <= 11
 
 
 # ---------------------------------------------------------------------------

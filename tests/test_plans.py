@@ -605,3 +605,30 @@ def test_compact_atoms_plan_shape(spark):
     # corpus: >= 4 InMemoryTableScans (pd shadow, rt shadow via pd_df/
     # rt_df, rt_out, pd_out)
     assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_checkpoint_partitioned_preserves_hash_partitioning(spark):
+    # a plain localCheckpoint under AQE reports UnknownPartitioning on
+    # the checkpointed scan, so downstream key ops re-exchange data that
+    # is already correctly placed; checkpoint_partitioned captures the
+    # real hashpartitioning into the LogicalRDD — groupBy AND join on
+    # the key run with ZERO exchanges
+    from cassandra_ttl_remover_spark.plans import checkpoint_partitioned
+
+    df = spark.range(1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+
+    plain = df.repartition(F.col("k")).localCheckpoint(eager=False)
+    assert exchange_count(plain.groupBy("k").agg(F.sum("v"))) == 1
+
+    cp = checkpoint_partitioned(df.repartition(F.col("k")))
+    agg = cp.groupBy("k").agg(F.sum("v").alias("s"))
+    assert exchange_count(agg) == 0
+    assert exchange_count(cp.join(agg, "k")) == 0
+    # the toggle restores the session's AQE setting
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # and the numbers are the plain groupBy's
+    got = {(r.k, r.s) for r in agg.collect()}
+    want = {(r.k, r.s) for r in
+            df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert got == want
