@@ -41,7 +41,14 @@ class TTLRemovalError(RuntimeError):
 
 
 def parse_args(argv: list[str]) -> JobSpec:
+    from cassandra_ttl_remover_spark import __version__
+
     p = argparse.ArgumentParser(prog="ttl-remover-spark")
+    # tool version from package metadata — the reference surfaces it from
+    # the jar manifest (JarManifestVersionProvider.java:1-20, wired by
+    # TTLRemoverCLI.java:26's mixinStandardHelpOptions)
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("--format-version", default="3", choices=registered_versions(),
                    help="source format generation (reference: cassandra 2/3/4/4.1)")
     g = p.add_mutually_exclusive_group(required=True)

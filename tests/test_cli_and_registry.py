@@ -29,6 +29,17 @@ def test_cli_option_matrix():
     assert spec.version == "2" and spec.input_path == "/in"
 
 
+def test_cli_version_flag(capsys):
+    # --version prints the package version and exits 0 — the reference's
+    # jar-manifest version provider (JarManifestVersionProvider.java:1-20)
+    from cassandra_ttl_remover_spark import __version__
+
+    with pytest.raises(SystemExit) as ex:
+        parse_args(["--version"])
+    assert ex.value.code == 0
+    assert __version__ in capsys.readouterr().out
+
+
 def test_cli_end_to_end(spark, events):
     work = Path(tempfile.mkdtemp(prefix="ctrs_cli_"))
     try:
