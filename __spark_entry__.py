@@ -667,6 +667,8 @@ _REGRADE_FIRST = [
 
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
+    # --- new in round 10 (never graded) ---
+    "q_n68_lm_perplexity",
     # --- round-10 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
     # green rule as tests/test_harness_contract.py). After r09 graded the
@@ -4752,6 +4754,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify.logreg_calibration(docs, n_bins=10)
     q["q_n67_calibration"] = q_n67
 
+    def q_n68(spark, sf):
+        # CCNet-style n-gram LM fluency scoring (Wenzek et al. 2020):
+        # train an add-1-smoothed hashed-bigram LM on the clean subset
+        # (en docs) and score every doc by the exact integer-rational
+        # surrogate of perplexity (mean scaled inverse conditional
+        # probability) — the generative complement to q_n61's
+        # discriminative filter. Text never shuffles; the context
+        # marginal derives from the pair histogram (one training pass)
+        docs = scan_table(spark, sf, "documents")
+        return curate.lm_perplexity(docs, "lang = 'en'").orderBy("doc_id")
+    q["q_n68_lm_perplexity"] = q_n68
+
     def q_d3(spark, sf):
         # anti-entropy digest: per-bucket order-independent checksums —
         # two runs agree iff every row matches, divergence localizes to a
@@ -6136,6 +6150,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_n67_calibration"] = classify.logreg_calibration_oracle_sql(
         n_bins=10
+    )
+    o["q_n68_lm_perplexity"] = curate.lm_perplexity_oracle_sql(
+        train_where="lang = 'en'"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

@@ -441,6 +441,12 @@ def main() -> int:
         classify.logreg_auc(documents, "lang = 'en'", dim=64,
                             iters=2).collect()
 
+    def q_lm_perplexity():
+        # CCNet bigram-LM fluency scores: one training featurize into a
+        # checkpointed pair histogram, derived broadcast context
+        # marginal, int-pair join + doc-id reduce over the corpus
+        curate.lm_perplexity(documents, "lang = 'en'").collect()
+
     queries = {
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
@@ -490,6 +496,7 @@ def main() -> int:
         "bm25_topk": q_bm25,
         "text_knn": q_text_knn,
         "logreg_train": q_logreg_train,
+        "lm_perplexity": q_lm_perplexity,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock
@@ -516,7 +523,8 @@ def main() -> int:
     # sweeps measure the true warm cost; reported alongside the sweep
     # min so a cross-round delta on these entries is attributable to
     # the plan only when the FLOOR moves, not when the churn does.
-    warm_floor_queries = ("semdedup", "span_removal", "minhash_lsh")
+    warm_floor_queries = ("semdedup", "span_removal", "minhash_lsh",
+                          "pagerank", "kcore", "curate_pipeline")
     warm_floors: dict[str, float] = {}
     for name in warm_floor_queries:
         floor = best[name]

@@ -1643,3 +1643,163 @@ LEFT JOIN per USING ({id_col})
 CROSS JOIN totals
 ORDER BY d.{id_col}
 """
+
+# ---------------------------------------------------------------------------
+# CCNet-style n-gram LM fluency scoring (Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+def _lm_bigrams(docs: DataFrame, text_col: str, id_col: str,
+                buckets: int) -> DataFrame:
+    """``(id, u, v)`` — one row per consecutive-token bigram, each token
+    hashed into ``buckets`` independently (``u`` the context bucket,
+    ``v`` the next-token bucket). The word array is hoisted, then hashed
+    ONCE per token (``_bs``) before pairing — inlining the bucket hash
+    into the pair lambda would md5 every token twice. Pure projection +
+    explode: only 8-byte bucket ints ever reach an exchange, the text
+    never does (the _dsir_features stance)."""
+    ws = f"filter(split({text_col}, ' '), w -> w <> '')"
+    return (
+        docs.select(F.col(id_col), F.expr(ws).alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.expr(f"transform(_ws, w -> {_dsir_bucket_spark('w', buckets)})"
+                   ).alias("_bs"),
+        )
+        .filter(F.expr("size(_bs) >= 2"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(
+                "transform(sequence(1, size(_bs) - 1), "
+                "i -> struct(element_at(_bs, i) AS u, "
+                "element_at(_bs, i + 1) AS v))")).alias("_bg"),
+        )
+        .select(F.col(id_col), F.col("_bg.u").alias("u"),
+                F.col("_bg.v").alias("v"))
+    )
+
+
+def lm_perplexity(docs: DataFrame, train_where: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  buckets: int = 4096, scale: int = 1000) -> DataFrame:
+    """CCNet-style n-gram language-model fluency scoring (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" — public method): train an add-1-smoothed hashed-bigram
+    LM on the ``train_where`` subset (the paper's clean reference
+    corpus), then score EVERY document by how surprising its bigrams are
+    under that model — the classic generative complement to the
+    discriminative logreg filter (classify.logreg_train).
+
+    Deviation from the paper, by design (the dsir_importance stance):
+    the paper scores KenLM log-perplexity; transcendental logs are not
+    bit-stable across engines, so the score is the RATIONAL surrogate
+
+        ppl_permille = (1/n) * sum_i ((c(u_i) + B) * scale)
+                                     div (c(u_i, v_i) + 1)
+
+    — the arithmetic mean of the per-bigram scaled INVERSE conditional
+    probabilities ``1/p(v|u)`` under the add-1 model
+    ``p(v|u) = (c(u,v)+1)/(c(u)+B)``. The arithmetic mean of inverse
+    probabilities upper-bounds their geometric mean (= true perplexity)
+    and ranks the high-surprise tail the same way; every term is one
+    truncating integer division (Spark ``div`` == DuckDB ``//``), so
+    the output hash-matches the oracle. Output one row per input doc:
+    ``(id, n_bigrams, sum_invp, ppl_permille)`` — NULL ppl for docs
+    with < 2 tokens (unscorable; CCNet drops them).
+
+    Scale: training is ONE bigram featurize (explode of int pairs) into
+    a map-side-combined (u, v) histogram, checkpointed once; the context
+    marginal c(u) derives from that histogram (<= ``buckets`` rows,
+    broadcast — never a second corpus pass). Scoring joins the corpus
+    bigram frame against the pair histogram on two int keys (AQE picks
+    broadcast when the occupied-pair count is small; worst case it is a
+    shuffle of 8-byte ints bounded by buckets^2 dictionary rows) and
+    reduces by doc id — text never shuffles. int64 discipline: terms
+    are <= (train_bigrams + B) * scale; the per-doc sum stays under
+    2^63 to ~10^15 term-mass — past that, drop ``scale`` or promote the
+    sum to decimal(38,0) like logreg_train documents."""
+    bg_all = _lm_bigrams(docs, text_col, id_col, buckets)
+    bg_tr = _lm_bigrams(docs.filter(train_where), text_col, id_col, buckets)
+    pair_hist = (
+        bg_tr.groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("c_uv"))
+        .localCheckpoint(eager=False)  # feeds the join AND the marginal
+    )
+    ctx_hist = pair_hist.groupBy("u").agg(
+        F.sum("c_uv").cast("long").alias("c_u"))
+    per = (
+        bg_all
+        .join(pair_hist, ["u", "v"], "left")
+        .join(F.broadcast(ctx_hist), ["u"], "left")
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"((coalesce(c_u, 0L) + {buckets}) * {scale})"
+                " div (coalesce(c_uv, 0L) + 1)"
+            ).alias("_invp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("_invp").cast("long").alias("sum_invp"),
+        )
+    )
+    return (
+        docs.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_invp", F.lit(0)).cast("long").alias("sum_invp"),
+        )
+        .withColumn(
+            "ppl_permille",
+            F.expr("CASE WHEN n_bigrams > 0 THEN sum_invp div n_bigrams "
+                   "ELSE CAST(NULL AS BIGINT) END"),
+        )
+    )
+
+
+def lm_perplexity_oracle_sql(train_where: str, table: str = "documents",
+                             id_col: str = "doc_id",
+                             buckets: int = 4096,
+                             scale: int = 1000) -> str:
+    """DuckDB recomputation of :func:`lm_perplexity` over ``table``."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    bucket = _dsir_bucket_duck("w", buckets)
+    return f"""
+WITH b_all AS (
+  SELECT {id_col}, list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {id_col}, {ws} AS ws FROM {table})
+  WHERE len(ws) >= 2
+),
+bg_all AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
+  FROM b_all
+),
+b_tr AS (
+  SELECT list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {ws} AS ws FROM {table} WHERE {train_where})
+  WHERE len(ws) >= 2
+),
+bg_tr AS (
+  SELECT unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
+  FROM b_tr
+),
+ph AS (SELECT u, v, count(*)::BIGINT AS c_uv FROM bg_tr GROUP BY u, v),
+ch AS (SELECT u, sum(c_uv)::BIGINT AS c_u FROM ph GROUP BY u),
+per AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_bigrams,
+         sum(((coalesce(c_u, 0) + {buckets}) * {scale})
+             // (coalesce(c_uv, 0) + 1))::BIGINT AS sum_invp
+  FROM bg_all LEFT JOIN ph USING (u, v) LEFT JOIN ch USING (u)
+  GROUP BY {id_col}
+)
+SELECT d.{id_col}, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sum_invp, 0)::BIGINT AS sum_invp,
+       (CASE WHEN coalesce(n_bigrams, 0) > 0
+             THEN sum_invp // n_bigrams END)::BIGINT AS ppl_permille
+FROM {table} d LEFT JOIN per USING ({id_col})
+ORDER BY d.{id_col}
+"""

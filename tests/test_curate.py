@@ -459,3 +459,59 @@ def test_dsir_importance_partitioning_independent(spark):
     b = sorted(map(tuple, curate.dsir_importance(
         docs.repartition(13), tgt.repartition(3)).collect()))
     assert a == b
+
+
+def test_lm_perplexity_flags_unfluent_text(spark):
+    """CCNet stance: docs whose bigrams the reference LM has seen score
+    LOW surprise; gibberish bigrams score high; repeated training docs
+    score lowest; < 2-token docs are unscorable (NULL, n_bigrams 0)."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(20)]          # the clean reference corpus
+    rows += [
+        (100, "the quick brown fox"),     # seen bigrams only
+        (101, "zzz qqq vvv kkk www"),     # no seen bigram
+        (102, "the quick zzz qqq"),       # mixed
+        (103, "single"),                  # unscorable
+        (104, ""),                        # unscorable
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           curate.lm_perplexity(docs, "doc_id < 100").collect()}
+    assert len(out) == 25  # total over the input frame
+    assert out[100].ppl_permille < out[102].ppl_permille
+    assert out[102].ppl_permille < out[101].ppl_permille
+    for d in (103, 104):
+        assert out[d].n_bigrams == 0 and out[d].sum_invp == 0
+        assert out[d].ppl_permille is None
+    # hand check: train = 20 copies of 8 bigrams, every seen pair has
+    # c(u,v)=20; context "the" appears twice per copy (the-quick,
+    # the-lazy) -> c=40, contexts "quick"/"brown" once -> c=20. Doc
+    # 100's terms: ((40+4096)*1000)//21 + 2*((20+4096)*1000)//21
+    assert out[100].n_bigrams == 3
+    want = ((40 + 4096) * 1000) // 21 + 2 * (((20 + 4096) * 1000) // 21)
+    assert out[100].sum_invp == want
+
+
+def test_lm_perplexity_partitioning_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma w{i % 3}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple,
+                   curate.lm_perplexity(docs, "doc_id % 5 = 0").collect()))
+    b = sorted(map(tuple, curate.lm_perplexity(
+        docs.repartition(13), "doc_id % 5 = 0").collect()))
+    assert a == b
+
+
+def test_lm_perplexity_text_never_shuffles(spark, documents):
+    """The corpus text must be consumed by the projection stage: no
+    exchange in the plan may carry the text column — only the 8-byte
+    bucket ints and the doc id shuffle."""
+    from cassandra_ttl_remover_spark.plans import formatted_plan
+
+    plan = formatted_plan(curate.lm_perplexity(documents, "lang = 'en'"))
+    import re
+    for m in re.finditer(r"^\(\d+\) Exchange\n((?:.+\n)+?)\n",
+                         plan, re.MULTILINE):
+        assert "text#" not in m.group(1), "text column crossed an exchange"
