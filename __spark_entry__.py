@@ -663,12 +663,18 @@ _REGRADE_FIRST = [
     "q_n65_sliced_auc",
     "q_n67_calibration",
     "q_st12_stream_model_gate",
+    # gopher_rules gained keep_cols + a parameterized stopword gate
+    # (default output unchanged) and temperature_mix_report now derives
+    # its thresholds through the factored-out temperature_mix_thresholds:
+    "q_n56_gopher_rules",
+    "q_n66_temperature_mix",
 ]
 
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
     # --- new in round 10 (never graded) ---
     "q_n68_lm_perplexity",
+    "q_pipe_model_curate",
     # --- round-10 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
     # green rule as tests/test_harness_contract.py). After r09 graded the
@@ -4766,6 +4772,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.lm_perplexity(docs, "lang = 'en'").orderBy("doc_id")
     q["q_n68_lm_perplexity"] = q_n68
 
+    def q_pipe_model(spark, sf):
+        # the end-to-end MODEL-BASED curation pipeline (FineWeb's shape)
+        # as ONE composed lazy plan: gopher rules -> train logreg on the
+        # survivors -> budgeted margin gate (exact histogram threshold,
+        # broadcast — no driver round-trip) -> temperature mix with
+        # rates derived over the gate's survivors -> exact min-id dedup.
+        # Gates tuned to the synthetic fixture (no canonical stopwords,
+        # short docs): min_words=25 drops the short tail, stop gate off
+        docs = scan_table(spark, sf, "documents")
+        return classify.model_curate_corpus(
+            docs, min_words=25, min_stop_hits=0)
+    q["q_pipe_model_curate"] = q_pipe_model
+
     def q_d3(spark, sf):
         # anti-entropy digest: per-bucket order-independent checksums —
         # two runs agree iff every row matches, divergence localizes to a
@@ -6153,6 +6172,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_n68_lm_perplexity"] = curate.lm_perplexity_oracle_sql(
         train_where="lang = 'en'"
+    )
+    o["q_pipe_model_curate"] = classify.model_curate_oracle_sql(
+        min_words=25, min_stop_hits=0
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

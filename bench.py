@@ -447,6 +447,14 @@ def main() -> int:
         # marginal, int-pair join + doc-id reduce over the corpus
         curate.lm_perplexity(documents, "lang = 'en'").collect()
 
+    def q_model_curate():
+        # the composed model-based pipeline: gopher -> train -> exact
+        # broadcast margin gate -> temperature mix -> exact dedup, one
+        # lazy plan (thresholds stay frames; no corpus driver round-trip)
+        from cassandra_ttl_remover_spark.operators import classify
+        classify.model_curate_corpus(
+            documents, min_words=25, min_stop_hits=0).collect()
+
     queries = {
         "strip_write": q_strip_write,
         "pricing_rollup": q_pricing,
@@ -497,6 +505,7 @@ def main() -> int:
         "text_knn": q_text_knn,
         "logreg_train": q_logreg_train,
         "lm_perplexity": q_lm_perplexity,
+        "model_curate": q_model_curate,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock

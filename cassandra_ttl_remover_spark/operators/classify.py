@@ -958,6 +958,175 @@ def score_documents_oracle_sql(label_expr: str = "lang = 'en'",
             f" WHERE m >= {threshold} ORDER BY {id_col}")
 
 
+def margin_threshold_frame(scored: DataFrame, keep_frac: float,
+                           margin_col: str = "m") -> DataFrame:
+    """1-row ``(thr)`` frame: the k-th largest margin (k =
+    ``ceil(keep_frac * n)``; ties at the cut are kept by the ``>=``
+    gate), computed EXACTLY from the margin HISTOGRAM through the
+    two-level prefix scan — :func:`margin_threshold`'s exact semantics
+    at the 100 TB shape: no corpus TakeOrdered (whose k grows with the
+    corpus), no single-partition window, and no driver round-trip — the
+    threshold stays a broadcastable frame inside a composed plan.
+
+    Derivation: with ``c(m)`` = docs scoring >= m (top-down cumulative
+    histogram count), the k-th largest margin is ``max{m : c(m) >= k}``
+    — the same value as ``min(m)`` over the (margin desc, id asc)
+    top-k, which is what the oracle computes."""
+    from ..plans import two_level_cumsum
+
+    hist = (
+        scored.groupBy(margin_col)
+        .agg(F.count("*").cast("long").alias("_cnt"))
+        .withColumn("_negm", -F.col(margin_col))
+    )
+    cum = two_level_cumsum(hist, ["_negm"], "_cnt", out="_c")
+    tot = F.broadcast(cum.agg(F.max("_c").alias("_n")))
+    return (
+        cum.crossJoin(tot)
+        .filter(F.expr(
+            f"_c >= greatest(1L, cast(ceil({keep_frac} * _n) as bigint))"))
+        .agg(F.max(margin_col).alias("thr"))
+    )
+
+
+def model_curate_corpus(docs: DataFrame, label_expr: str = "lang = 'en'",
+                        keep_frac: float = 0.5, temperature: int = 2,
+                        dim: int = 64, iters: int = 2,
+                        min_words: int = 10, min_stop_hits: int = 2,
+                        domain_col: str = "lang", text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The end-to-end MODEL-BASED curation pipeline — FineWeb's actual
+    shape — composed as ONE lazy plan with no corpus data ever routed
+    through the driver:
+
+        gopher_rules  ->  train logreg on survivors  ->  budgeted
+        margin gate (top ``keep_frac``, ties kept)  ->  temperature-
+        smoothed domain mix (UniMax, derived rates over the gate's
+        survivors)  ->  exact content dedup (min-id per md5 digest)
+
+    Returns the surviving ``(id, domain, margin)`` rows ordered by id.
+
+    Scale, stage by stage: gopher is a zero-shuffle projection fused
+    into both downstream corpus reads (featurize + label/digest — two
+    text scans total, the holdout-AUC shape); training broadcasts
+    weights per iteration over the id-partitioned checkpointed feature
+    frame; the gate threshold is :func:`margin_threshold_frame` (exact,
+    histogram-parallel, broadcast); the mix thresholds are a <=
+    |domains|-row broadcast; dedup shuffles only (digest, id) pairs.
+    No stage triggers a driver collect bigger than the two-level scan's
+    <= shards offsets."""
+    from cassandra_ttl_remover_spark.operators.curate import (
+        _MIX_BUCKETS,
+        temperature_mix_thresholds,
+    )
+    from cassandra_ttl_remover_spark.operators.text import gopher_rules
+
+    kept = (
+        gopher_rules(docs, text_col, id_col, min_words,
+                     keep_cols=(text_col, domain_col),
+                     min_stop_hits=min_stop_hits)
+        .filter("passes_gopher")
+    )
+    feats = checkpoint_partitioned(_lr_feats(kept, dim, text_col, id_col))
+    labels = kept.select(
+        F.col(id_col),
+        F.expr(f"if({label_expr}, 1L, 0L)").alias("y"),
+        F.col(domain_col).alias("_dom0"),
+        F.md5(F.col(text_col)).alias("_dg"),
+    )
+    weights = _logreg_fit(feats, labels.select(id_col, "y"), iters, id_col)
+    scored = _margins(feats, weights, labels, id_col)
+    thr = F.broadcast(margin_threshold_frame(scored, keep_frac, "m"))
+    gate = scored.join(thr, F.col("m") >= F.col("thr")).drop("thr")
+    mthr = F.broadcast(
+        temperature_mix_thresholds(gate, temperature, domain_col="_dom0"))
+    mix = (
+        gate.join(mthr, gate["_dom0"] == mthr["_dom"])
+        .filter(F.pmod(F.hash(F.col(id_col)), F.lit(_MIX_BUCKETS))
+                < F.col("_thr"))
+    )
+    reps = mix.groupBy("_dg").agg(F.min(id_col).alias(id_col))
+    return (
+        mix.join(reps.select(id_col), id_col, "left_semi")
+        .select(F.col(id_col), F.col("_dom0").alias("domain"),
+                F.col("m").alias("margin"))
+        .orderBy(id_col)
+    )
+
+
+def model_curate_oracle_sql(label_expr: str = "lang = 'en'",
+                            keep_frac: float = 0.5, temperature: int = 2,
+                            dim: int = 64, iters: int = 2,
+                            min_words: int = 10, min_stop_hits: int = 2,
+                            domain_col: str = "lang",
+                            table: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    """Composed oracle for :func:`model_curate_corpus` — the gopher
+    oracle embedded as the training-source subquery, the unrolled
+    training CTEs over it, the top-k-min threshold (equal by derivation
+    to the Spark side's histogram max — see margin_threshold_frame),
+    the derived mix thresholds, and the min-id dedup."""
+    from cassandra_ttl_remover_spark.operators.curate import _MIX_BUCKETS
+    from cassandra_ttl_remover_spark.operators.lookups import (
+        murmur3_hash_oracle_expr,
+    )
+    from cassandra_ttl_remover_spark.operators.text import (
+        gopher_rules_oracle_sql,
+    )
+
+    if temperature == 1:
+        rate = "1.0"
+    elif temperature == 2:
+        rate = "sqrt(_nmin::DOUBLE / _n::DOUBLE)"
+    elif temperature == 4:
+        rate = ("sqrt(_nmin::DOUBLE / _n::DOUBLE)"
+                " * sqrt(sqrt(_nmin::DOUBLE / _n::DOUBLE))")
+    else:
+        raise ValueError("supported dyadic temperatures: 1, 2, 4")
+    gopher = gopher_rules_oracle_sql(min_words=min_words, table=table,
+                                     id_col=id_col,
+                                     min_stop_hits=min_stop_hits)
+    ctes = [f"""gsrc AS (
+  SELECT d.* FROM {table} d
+  WHERE d.{id_col} IN (SELECT {id_col} FROM ({gopher})
+                       WHERE passes_gopher)
+)"""]
+    lr_ctes, final = _lr_duck_ctes(label_expr, dim, iters, "gsrc", id_col)
+    ctes += lr_ctes
+    ctes.append(_mf_duck_cte(final, id_col))
+    bucket = f"({murmur3_hash_oracle_expr(id_col)} & 2147483647)"
+    ctes.append(f"""gate0 AS (
+  SELECT mf.{id_col}, mf.m, g.{domain_col} AS dom, md5(g.text) AS dg
+  FROM mf JOIN gsrc g USING ({id_col})
+)""")
+    ctes.append(f"""thr AS (
+  SELECT min(m) AS t FROM (
+    SELECT m FROM mf ORDER BY m DESC, {id_col} ASC
+    LIMIT greatest(1, CAST(ceil({keep_frac} *
+                                (SELECT count(*) FROM mf)) AS BIGINT))
+  )
+)""")
+    ctes.append("gate AS (SELECT * FROM gate0 "
+                "WHERE m >= (SELECT t FROM thr))")
+    ctes.append("cnts AS (SELECT dom, count(*)::BIGINT AS _n "
+                "FROM gate GROUP BY dom)")
+    ctes.append("nmin AS (SELECT min(_n)::BIGINT AS _nmin FROM cnts)")
+    ctes.append(f"""mthr AS (
+  SELECT dom, CAST(floor(({rate}) * {_MIX_BUCKETS}) AS BIGINT) AS _thr
+  FROM cnts CROSS JOIN nmin
+)""")
+    ctes.append(f"""mix AS (
+  SELECT g.* FROM gate g JOIN mthr USING (dom)
+  WHERE {bucket} < _thr
+)""")
+    ctes.append(f"reps AS (SELECT dg, min({id_col}) AS {id_col} "
+                "FROM mix GROUP BY dg)")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT m2.{id_col}, m2.dom AS domain, m2.m AS margin
+FROM mix m2 JOIN reps USING (dg, {id_col})
+ORDER BY m2.{id_col}""")
+
+
 def logreg_sliced_auc(docs: DataFrame, slice_col: str = "source",
                       label_expr: str = "lang = 'en'", dim: int = 64,
                       iters: int = 2, text_col: str = "text",

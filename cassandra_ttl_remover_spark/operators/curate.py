@@ -489,6 +489,33 @@ def mix_decisions(docs: DataFrame, weights: dict[str, float], *,
     )
 
 
+def temperature_mix_thresholds(docs: DataFrame, temperature: int = 2, *,
+                               domain_col: str = "lang") -> DataFrame:
+    """``(_dom, _n, _thr)`` — the per-domain murmur3-bucket keep
+    thresholds derived from the corpus's own domain counts (the rate
+    derivation of :func:`temperature_mix_report`, factored out so
+    composed pipelines can apply the mix as a FILTER: keep a row iff
+    ``pmod(murmur3(id), 2**31) < _thr``). <= |domains| rows, always
+    broadcastable."""
+    if temperature not in (1, 2, 4):
+        raise ValueError("supported dyadic temperatures: 1, 2, 4")
+    counts = docs.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").cast("long").alias("_n"))
+    nmin = F.broadcast(counts.agg(F.min("_n").alias("_nmin")))
+    if temperature == 1:
+        rate = "cast(1.0 as double)"
+    elif temperature == 2:
+        rate = "sqrt(cast(_nmin as double) / cast(_n as double))"
+    else:  # T = 4 -> exponent 3/4 = 1/2 + 1/4
+        rate = ("sqrt(cast(_nmin as double) / cast(_n as double))"
+                " * sqrt(sqrt(cast(_nmin as double) / cast(_n as double)))")
+    return counts.crossJoin(nmin).select(
+        "_dom", "_n",
+        F.expr(f"cast(floor(({rate}) * {_MIX_BUCKETS}) as long)")
+        .alias("_thr"),
+    )
+
+
 def temperature_mix_report(docs: DataFrame, temperature: int = 2, *,
                            domain_col: str = "lang",
                            id_col: str = "doc_id") -> DataFrame:
@@ -509,24 +536,8 @@ def temperature_mix_report(docs: DataFrame, temperature: int = 2, *,
     Scale: one tiny groupBy(domain) count + a broadcast of the <=
     |domains| threshold table back onto the scan — the corpus is read
     once and never shuffled; the decision is a per-row projection."""
-    if temperature not in (1, 2, 4):
-        raise ValueError("supported dyadic temperatures: 1, 2, 4")
-    counts = docs.groupBy(F.col(domain_col).alias("_dom")).agg(
-        F.count("*").cast("long").alias("_n"))
-    nmin = F.broadcast(counts.agg(F.min("_n").alias("_nmin")))
-    if temperature == 1:
-        rate = "cast(1.0 as double)"
-    elif temperature == 2:
-        rate = "sqrt(cast(_nmin as double) / cast(_n as double))"
-    else:  # T = 4 -> exponent 3/4 = 1/2 + 1/4
-        rate = ("sqrt(cast(_nmin as double) / cast(_n as double))"
-                " * sqrt(sqrt(cast(_nmin as double) / cast(_n as double)))")
     thr = F.broadcast(
-        counts.crossJoin(nmin).select(
-            "_dom", "_n",
-            F.expr(f"cast(floor(({rate}) * {_MIX_BUCKETS}) as long)")
-            .alias("_thr"),
-        )
+        temperature_mix_thresholds(docs, temperature, domain_col=domain_col)
     )
     bucket = F.pmod(F.hash(F.col(id_col)), F.lit(_MIX_BUCKETS))
     return (

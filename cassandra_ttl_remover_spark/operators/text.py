@@ -1679,7 +1679,9 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 def gopher_rules(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", min_words: int = 50,
-                 max_words: int = 100_000) -> DataFrame:
+                 max_words: int = 100_000,
+                 keep_cols: tuple[str, ...] = (),
+                 min_stop_hits: int = 2) -> DataFrame:
     """The Gopher document-quality rules (Rae et al. 2021 appendix A1.1 —
     the public filter battery most pretraining pipelines start from), the
     word-level subset, in EXACT integer arithmetic (milli/permille units,
@@ -1697,7 +1699,12 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
 
     ``passes_gopher`` ANDs the four gates. Distinct from
     :func:`quality_score` (a float scoring signal): this is the
-    hard-threshold KEEP/DROP battery.
+    hard-threshold KEEP/DROP battery. ``keep_cols`` carries extra input
+    columns through to the output (still one projection) so composed
+    pipelines can filter on ``passes_gopher`` without a join back to
+    the corpus; ``min_stop_hits`` parameterizes the stopword gate (the
+    paper's 2 is the default — non-English or synthetic corpora tune or
+    disable it, CCNet-style, with 0).
 
     Scale: ZERO shuffle — one higher-order-function projection per row,
     whole-stage codegen'd; the filter composes in front of any curation
@@ -1708,9 +1715,10 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     # the word array is hoisted once — five inline copies would split
     # the text five times per row
     return docs.select(
-        id_col, F.expr(ws).alias("_ws")
+        id_col, *keep_cols, F.expr(ws).alias("_ws")
     ).select(
         id_col,
+        *keep_cols,
         F.expr("cast(size(_ws) as bigint)").alias("n_words"),
         F.expr(
             "cast(case when size(_ws) > 0 then "
@@ -1737,13 +1745,14 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
         & (F.col("mean_wl_milli") >= 3000)
         & (F.col("mean_wl_milli") <= 10_000)
         & (F.col("alpha_permille") >= 800)
-        & (F.col("stop_hits") >= 2),
+        & (F.col("stop_hits") >= min_stop_hits),
     )
 
 
 def gopher_rules_oracle_sql(min_words: int = 50, max_words: int = 100_000,
                             table: str = "documents",
-                            id_col: str = "doc_id") -> str:
+                            id_col: str = "doc_id",
+                            min_stop_hits: int = 2) -> str:
     stop_lit = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
     ws = "[w for w in string_split(text, ' ') if w <> '']"
     return f"""
@@ -1766,6 +1775,7 @@ WITH g AS (
 SELECT *,
        (n_words >= {min_words} AND n_words <= {max_words}
         AND mean_wl_milli >= 3000 AND mean_wl_milli <= 10000
-        AND alpha_permille >= 800 AND stop_hits >= 2) AS passes_gopher
+        AND alpha_permille >= 800
+        AND stop_hits >= {min_stop_hits}) AS passes_gopher
 FROM g ORDER BY {id_col}
 """

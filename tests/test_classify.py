@@ -373,3 +373,47 @@ def test_calibration_bins_partition_the_corpus_and_brier_is_exact(spark):
         want = (r.n_pos * (mean_pq - C.CAL_Q) ** 2
                 + (r.n - r.n_pos) * mean_pq ** 2)
         assert r.brier_num == want
+
+
+def test_model_curate_pipeline_stages_and_plan(spark, documents):
+    """The composed FineWeb-shape pipeline: every stage must bite on the
+    fixture (gopher drops the short tail, the gate keeps ~half, the mix
+    subsamples the larger domains) and the composed plan must stay free
+    of the two scale hazards: no empty-partitionBy window (the exact
+    threshold runs through the histogram two-level scan) and every
+    window spec carries a partition column."""
+    import re
+
+    from cassandra_ttl_remover_spark.operators.text import gopher_rules
+
+    out = C.model_curate_corpus(documents, min_words=25, min_stop_hits=0)
+    n_total = documents.count()
+    n_gopher = (gopher_rules(documents, min_words=25, min_stop_hits=0)
+                .filter("passes_gopher").count())
+    rows = out.collect()
+    assert 0 < n_gopher < n_total          # gopher bites
+    assert 0 < len(rows) < n_gopher        # gate + mix + dedup bite
+    ids = [r.doc_id for r in rows]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    # the gate rule: every survivor's margin clears the threshold that
+    # ceil(keep_frac * n) of the gated population cleared
+    assert all(r.margin is not None for r in rows)
+
+    plan = formatted_plan(out)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    unpart = [s for s in specs
+              if not s.lstrip().startswith("_pid")]
+    assert not unpart, f"unpartitioned window in composed plan: {unpart}"
+
+
+def test_margin_threshold_frame_matches_exact_takeordered(spark, documents):
+    """The histogram two-level threshold must equal margin_threshold's
+    exact TakeOrdered value for every keep fraction."""
+    w = C.collect_weights(C.logreg_train(documents))
+    scored = C.score_documents(documents, w).withColumnRenamed(
+        "margin", "m")
+    for frac in (0.1, 0.5, 0.9):
+        thr_frame = C.margin_threshold_frame(scored, frac, "m").collect()
+        assert len(thr_frame) == 1
+        exact = C.margin_threshold(documents, w, frac, exact=True)
+        assert int(thr_frame[0].thr) == exact, f"frac={frac}"

@@ -552,3 +552,18 @@ def test_gopher_rules_gates_and_edges(spark):
     assert rows[4].alpha_permille == n_alpha * 1000 // n4
     # duplicate-word fraction is reported exactly
     assert rows[4].dupe_permille == (n4 - 6) * 1000 // n4  # 6 distinct
+
+    # keep_cols carries inputs through the one projection; min_stop_hits
+    # parameterizes the stopword gate (0 = disabled, CCNet-style)
+    kept = {r.doc_id: r for r in
+            gopher_rules(docs, min_words=5, max_words=100,
+                         keep_cols=("text",), min_stop_hits=0).collect()}
+    assert kept[1].text.startswith("the cat")
+    assert kept[6].passes_gopher is False   # still fails word-length
+    assert kept[3].passes_gopher is False   # unrelated gates unaffected
+    no_stop_doc = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    r7 = gopher_rules(no_stop_doc, min_words=5, max_words=100,
+                      min_stop_hits=0).collect()[0]
+    assert r7.passes_gopher is True and r7.stop_hits == 0
