@@ -675,6 +675,8 @@ _DRIVER_PRIORITY = [
     # --- new in round 10 (never graded) ---
     "q_n68_lm_perplexity",
     "q_pipe_model_curate",
+    "q_n69_lm_ppl_buckets",
+    "q_n70_lm_domain_report",
     # --- round-10 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
     # green rule as tests/test_harness_contract.py). After r09 graded the
@@ -4772,6 +4774,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.lm_perplexity(docs, "lang = 'en'").orderBy("doc_id")
     q["q_n68_lm_perplexity"] = q_n68
 
+    def q_n69(spark, sf):
+        # CCNet's selection rule: head/middle/tail perplexity TERTILES
+        # of the scored population — exact order-statistic cuts off the
+        # ppl histogram via the two-level scan, broadcast back; the
+        # paper keeps head+middle
+        docs = scan_table(spark, sf, "documents")
+        return curate.lm_perplexity_buckets(
+            docs, "lang = 'en'").orderBy("doc_id")
+    q["q_n69_lm_ppl_buckets"] = q_n69
+
+    def q_n70(spark, sf):
+        # Paloma-style disaggregated LM evaluation: per-domain doc
+        # counts + exact integer mean perplexity, so aggregate fluency
+        # cannot hide a badly-modeled domain
+        docs = scan_table(spark, sf, "documents")
+        return curate.lm_domain_report(docs, "lang = 'en'",
+                                       domain_col="source")
+    q["q_n70_lm_domain_report"] = q_n70
+
     def q_pipe_model(spark, sf):
         # the end-to-end MODEL-BASED curation pipeline (FineWeb's shape)
         # as ONE composed lazy plan: gopher rules -> train logreg on the
@@ -6175,6 +6196,12 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_pipe_model_curate"] = classify.model_curate_oracle_sql(
         min_words=25, min_stop_hits=0
+    )
+    o["q_n69_lm_ppl_buckets"] = curate.lm_perplexity_buckets_oracle_sql(
+        train_where="lang = 'en'"
+    )
+    o["q_n70_lm_domain_report"] = curate.lm_domain_report_oracle_sql(
+        "lang = 'en'", domain_col="source"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

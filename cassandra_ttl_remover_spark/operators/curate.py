@@ -1769,48 +1769,189 @@ def lm_perplexity(docs: DataFrame, train_where: str,
     )
 
 
-def lm_perplexity_oracle_sql(train_where: str, table: str = "documents",
-                             id_col: str = "doc_id",
-                             buckets: int = 4096,
-                             scale: int = 1000) -> str:
-    """DuckDB recomputation of :func:`lm_perplexity` over ``table``."""
+def _lm_duck_ctes(train_where: str, table: str, id_col: str,
+                  buckets: int, scale: int) -> list[str]:
+    """Shared CTE chain for the LM oracles, ending in
+    ``scores({id}, n_bigrams, sum_invp, ppl_permille)`` total over
+    ``table`` — :func:`lm_perplexity_oracle_sql` and the bucket/report
+    oracles compose it (the _lr_duck_ctes convention)."""
     ws = "[w for w in string_split(text, ' ') if w <> '']"
     bucket = _dsir_bucket_duck("w", buckets)
-    return f"""
-WITH b_all AS (
+    return [f"""b_all AS (
   SELECT {id_col}, list_transform(ws, w -> {bucket}) AS bs
   FROM (SELECT {id_col}, {ws} AS ws FROM {table})
   WHERE len(ws) >= 2
-),
-bg_all AS (
+)""", f"""bg_all AS (
   SELECT {id_col},
          unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
          unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
   FROM b_all
-),
-b_tr AS (
+)""", f"""b_tr AS (
   SELECT list_transform(ws, w -> {bucket}) AS bs
   FROM (SELECT {ws} AS ws FROM {table} WHERE {train_where})
   WHERE len(ws) >= 2
-),
-bg_tr AS (
+)""", f"""bg_tr AS (
   SELECT unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
          unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
   FROM b_tr
-),
-ph AS (SELECT u, v, count(*)::BIGINT AS c_uv FROM bg_tr GROUP BY u, v),
-ch AS (SELECT u, sum(c_uv)::BIGINT AS c_u FROM ph GROUP BY u),
-per AS (
+)""", "ph AS (SELECT u, v, count(*)::BIGINT AS c_uv FROM bg_tr "
+      "GROUP BY u, v)",
+      "ch AS (SELECT u, sum(c_uv)::BIGINT AS c_u FROM ph GROUP BY u)",
+      f"""per AS (
   SELECT {id_col}, count(*)::BIGINT AS n_bigrams,
          sum(((coalesce(c_u, 0) + {buckets}) * {scale})
              // (coalesce(c_uv, 0) + 1))::BIGINT AS sum_invp
   FROM bg_all LEFT JOIN ph USING (u, v) LEFT JOIN ch USING (u)
   GROUP BY {id_col}
-)
-SELECT d.{id_col}, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
-       coalesce(sum_invp, 0)::BIGINT AS sum_invp,
-       (CASE WHEN coalesce(n_bigrams, 0) > 0
-             THEN sum_invp // n_bigrams END)::BIGINT AS ppl_permille
-FROM {table} d LEFT JOIN per USING ({id_col})
-ORDER BY d.{id_col}
-"""
+)""", f"""scores AS (
+  SELECT d.{id_col}, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+         coalesce(sum_invp, 0)::BIGINT AS sum_invp,
+         (CASE WHEN coalesce(n_bigrams, 0) > 0
+               THEN sum_invp // n_bigrams END)::BIGINT AS ppl_permille
+  FROM {table} d LEFT JOIN per USING ({id_col})
+)"""]
+
+
+def lm_perplexity_oracle_sql(train_where: str, table: str = "documents",
+                             id_col: str = "doc_id",
+                             buckets: int = 4096,
+                             scale: int = 1000) -> str:
+    """DuckDB recomputation of :func:`lm_perplexity` over ``table``."""
+    ctes = _lm_duck_ctes(train_where, table, id_col, buckets, scale)
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT * FROM scores ORDER BY {id_col}")
+
+
+def lm_perplexity_buckets(docs: DataFrame, train_where: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          buckets: int = 4096,
+                          scale: int = 1000) -> DataFrame:
+    """CCNet's actual selection rule: split the corpus into
+    ``head`` / ``middle`` / ``tail`` by LM-perplexity TERTILES of the
+    scored population (Wenzek et al. 2020 §4.3 keep head+middle, the
+    tail is the noisy third). Cuts are EXACT order statistics — t_k is
+    the smallest ppl whose <=-cumulative count reaches ceil(k*n/3) —
+    computed from the ppl histogram via the two-level prefix scan (no
+    global sort, no single-partition window; the
+    classify.margin_threshold_frame construction, ascending form).
+    Unscorable docs (< 2 tokens) land in ``unscored``. Output one row
+    per input doc: ``(id, ppl_permille, ppl_bucket)``.
+
+    Scale: scoring is :func:`lm_perplexity`; the cut derivation adds
+    one <= distinct-ppl-cardinality histogram agg + the shard-parallel
+    scan; the cuts broadcast back as a 1-row frame."""
+    from cassandra_ttl_remover_spark.plans import two_level_cumsum
+
+    scores = lm_perplexity(docs, train_where, text_col, id_col,
+                           buckets, scale).localCheckpoint(eager=False)
+    hist = (
+        scores.filter(F.col("ppl_permille").isNotNull())
+        .groupBy("ppl_permille")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+    )
+    cum = two_level_cumsum(hist, ["ppl_permille"], "_cnt", out="_c")
+    tot = F.broadcast(cum.agg(F.max("_c").alias("_n")))
+    cuts = F.broadcast(
+        cum.crossJoin(tot).agg(
+            F.min(F.when(
+                F.expr("_c >= greatest(1L, cast(ceil(_n / 3.0d) as bigint))"),
+                F.col("ppl_permille"))).alias("t1"),
+            F.min(F.when(
+                F.expr("_c >= greatest(1L, "
+                       "cast(ceil(2.0d * _n / 3.0d) as bigint))"),
+                F.col("ppl_permille"))).alias("t2"),
+        )
+    )
+    return (
+        scores.crossJoin(cuts)
+        .select(
+            F.col(id_col), "ppl_permille",
+            F.expr(
+                "CASE WHEN ppl_permille IS NULL THEN 'unscored' "
+                "WHEN ppl_permille <= t1 THEN 'head' "
+                "WHEN ppl_permille <= t2 THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("ppl_bucket"),
+        )
+    )
+
+
+def lm_perplexity_buckets_oracle_sql(train_where: str,
+                                     table: str = "documents",
+                                     id_col: str = "doc_id",
+                                     buckets: int = 4096,
+                                     scale: int = 1000) -> str:
+    """DuckDB recomputation of :func:`lm_perplexity_buckets` — the shared
+    LM CTEs + window-cumulative tertile cuts (the window is fine oracle-
+    side; the Spark side proves the scan-parallel form)."""
+    ctes = _lm_duck_ctes(train_where, table, id_col, buckets, scale)
+    ctes.append("""h AS (
+  SELECT ppl_permille AS p, count(*)::BIGINT AS cnt
+  FROM scores WHERE ppl_permille IS NOT NULL GROUP BY ppl_permille
+)""")
+    ctes.append("""cum AS (
+  SELECT p, sum(cnt) OVER (ORDER BY p)::BIGINT AS c FROM h
+)""")
+    ctes.append("""cuts AS (
+  SELECT min(CASE WHEN c >= greatest(1, CAST(ceil(_n / 3.0) AS BIGINT))
+                  THEN p END) AS t1,
+         min(CASE WHEN c >= greatest(1, CAST(ceil(2.0 * _n / 3.0)
+                                             AS BIGINT)) THEN p END) AS t2
+  FROM cum CROSS JOIN (SELECT max(c) AS _n FROM cum)
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT {id_col}, ppl_permille,
+       (CASE WHEN ppl_permille IS NULL THEN 'unscored'
+             WHEN ppl_permille <= t1 THEN 'head'
+             WHEN ppl_permille <= t2 THEN 'middle'
+             ELSE 'tail' END) AS ppl_bucket
+FROM scores CROSS JOIN cuts
+ORDER BY {id_col}""")
+
+
+def lm_domain_report(docs: DataFrame, train_where: str, *,
+                     domain_col: str = "lang", text_col: str = "text",
+                     id_col: str = "doc_id", buckets: int = 4096,
+                     scale: int = 1000) -> DataFrame:
+    """Per-domain LM evaluation report (the Paloma practice: perplexity
+    disaggregated over sources/domains, so a model fluent in aggregate
+    cannot hide a domain it models badly): one row per domain with the
+    doc count, scored count, exact total ppl mass and its integer mean.
+    One corpus-side join of the (id, ppl) score frame back to the
+    (id, domain) projection, then a <= |domains| map-side agg."""
+    scores = lm_perplexity(docs, train_where, text_col, id_col,
+                           buckets, scale)
+    return (
+        scores.join(docs.select(id_col, domain_col), id_col)
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("ppl_permille").cast("long").alias("n_scored"),
+            F.coalesce(F.sum("ppl_permille"), F.lit(0)).cast("long")
+            .alias("sum_ppl"),
+        )
+        .withColumn(
+            "mean_ppl_permille",
+            F.expr("CASE WHEN n_scored > 0 THEN sum_ppl div n_scored "
+                   "ELSE CAST(NULL AS BIGINT) END"),
+        )
+        .orderBy("domain")
+    )
+
+
+def lm_domain_report_oracle_sql(train_where: str, *,
+                                domain_col: str = "lang",
+                                table: str = "documents",
+                                id_col: str = "doc_id",
+                                buckets: int = 4096,
+                                scale: int = 1000) -> str:
+    ctes = _lm_duck_ctes(train_where, table, id_col, buckets, scale)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT d.{domain_col} AS domain, count(*)::BIGINT AS n_docs,
+       count(ppl_permille)::BIGINT AS n_scored,
+       coalesce(sum(ppl_permille), 0)::BIGINT AS sum_ppl,
+       (CASE WHEN count(ppl_permille) > 0
+             THEN sum(ppl_permille) // count(ppl_permille)
+        END)::BIGINT AS mean_ppl_permille
+FROM scores s JOIN {table} d USING ({id_col})
+GROUP BY d.{domain_col} ORDER BY domain""")

@@ -515,3 +515,60 @@ def test_lm_perplexity_text_never_shuffles(spark, documents):
     for m in re.finditer(r"^\(\d+\) Exchange\n((?:.+\n)+?)\n",
                          plan, re.MULTILINE):
         assert "text#" not in m.group(1), "text column crossed an exchange"
+
+
+def test_lm_perplexity_buckets_tertiles_and_unscored(spark):
+    """Exact tertile cuts: 9 scored docs split 3/3/3 by ppl order; the
+    unscorable doc lands in 'unscored'; cut values are the exact order
+    statistics (smallest ppl reaching ceil(k*n/3) cumulative docs)."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(20)]                      # reference corpus
+    # three fluency levels x 3 docs each
+    rows += [(100 + i, "the quick brown fox") for i in range(3)]
+    rows += [(200 + i, "the quick zzz qqq") for i in range(3)]
+    rows += [(300 + i, "zzz qqq vvv kkk") for i in range(3)]
+    rows += [(400, "word")]                          # unscorable
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {r.doc_id: r for r in
+            curate.lm_perplexity_buckets(docs, "doc_id < 100").collect()}
+    assert full[400].ppl_bucket == "unscored"
+    assert full[400].ppl_permille is None
+    # the training docs (lowest ppl) are all head
+    assert all(full[i].ppl_bucket == "head" for i in range(20))
+    # bucket order follows ppl order across the three fluency levels
+    order = {"head": 0, "middle": 1, "tail": 2}
+    assert (order[full[100].ppl_bucket] <= order[full[200].ppl_bucket]
+            <= order[full[300].ppl_bucket])
+    assert full[300].ppl_bucket == "tail"  # the noisiest level
+    # the exact cut rule, recomputed first-principles: scored n=29;
+    # cumulative at the training ppl is 20 >= ceil(29/3)=10 AND
+    # >= ceil(58/3)=20, so BOTH tertile cuts land on the training ppl —
+    # every non-training level is 'tail' and 'middle' is empty
+    assert all(full[100 + i].ppl_bucket == "tail" for i in range(3))
+    assert all(full[200 + i].ppl_bucket == "tail" for i in range(3))
+    from collections import Counter
+    c = Counter(r.ppl_bucket for r in full.values())
+    assert c == {"head": 20, "tail": 9, "unscored": 1}
+
+
+def test_lm_buckets_plan_has_no_unpartitioned_window(spark, documents):
+    from cassandra_ttl_remover_spark.plans import formatted_plan
+    import re
+
+    plan = formatted_plan(
+        curate.lm_perplexity_buckets(documents, "lang = 'en'"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert all(s.lstrip().startswith("_pid") for s in specs), specs
+
+
+def test_lm_domain_report_counts_and_means(spark):
+    rows = [(i, "the quick brown fox jumps", "a") for i in range(4)]
+    rows += [(10, "the quick brown fox", "b"), (11, "x", "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.domain: r for r in
+           curate.lm_domain_report(docs, "lang = 'a'").collect()}
+    assert out["a"].n_docs == 4 and out["a"].n_scored == 4
+    assert out["b"].n_docs == 2 and out["b"].n_scored == 1
+    assert out["b"].mean_ppl_permille == out["b"].sum_ppl
+    # domain a: 4 identical docs -> mean == each doc's ppl
+    assert out["a"].mean_ppl_permille * 4 == out["a"].sum_ppl
