@@ -677,6 +677,7 @@ _DRIVER_PRIORITY = [
     "q_pipe_model_curate",
     "q_n69_lm_ppl_buckets",
     "q_n70_lm_domain_report",
+    "q_st22_stream_lm_gate",
     # --- round-10 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
     # green rule as tests/test_harness_contract.py). After r09 graded the
@@ -4650,6 +4651,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_query(spark, path, qv, k=10, nprobe=8)
     q["q_st21_stream_ivf_ingest"] = q_st21
 
+    def q_st22(spark, sf):
+        # CCNet's LM gate running continuously at ingest: train the
+        # bigram LM batch-side, calibrate the keep threshold as the
+        # exact middle/tail tertile cut (CCNet keeps head+middle),
+        # then stream the corpus through the foreachBatch gate — the
+        # survivor set is batch-oracle-identical because lm_score is
+        # per-doc independent
+        import tempfile
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            scan_stream,
+            stream_lm_gate,
+        )
+
+        docs = scan_table(spark, sf, "documents")
+        model = curate.lm_model(docs.filter("lang = 'en'"))
+        cuts = curate.lm_tertile_cuts(
+            curate.lm_score(docs, model)).collect()[0]
+        base = tempfile.mkdtemp(prefix="ctrs_lm_st_")
+        st = scan_stream(spark, sf, glob="documents.parquet")
+        stream_lm_gate(st, model, base + "/out", base + "/ckpt",
+                       threshold=int(cuts.t2))
+        return spark.read.parquet(base + "/out").orderBy("doc_id")
+    q["q_st22_stream_lm_gate"] = q_st22
+
     def q_n32(spark, sf):
         # conjunctive keyword search by posting-list intersection — the
         # query path that never rescans the documents
@@ -6202,6 +6228,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_n70_lm_domain_report"] = curate.lm_domain_report_oracle_sql(
         "lang = 'en'", domain_col="source"
+    )
+    o["q_st22_stream_lm_gate"] = curate.lm_gate_oracle_sql(
+        train_where="lang = 'en'"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

@@ -1728,18 +1728,39 @@ def lm_perplexity(docs: DataFrame, train_where: str,
     are <= (train_bigrams + B) * scale; the per-doc sum stays under
     2^63 to ~10^15 term-mass — past that, drop ``scale`` or promote the
     sum to decimal(38,0) like logreg_train documents."""
-    bg_all = _lm_bigrams(docs, text_col, id_col, buckets)
-    bg_tr = _lm_bigrams(docs.filter(train_where), text_col, id_col, buckets)
-    pair_hist = (
-        bg_tr.groupBy("u", "v")
+    model = lm_model(docs.filter(train_where), text_col, id_col, buckets)
+    return lm_score(docs, model, text_col=text_col, id_col=id_col,
+                    buckets=buckets, scale=scale)
+
+
+def lm_model(train_docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", buckets: int = 4096) -> DataFrame:
+    """THE trained LM artifact: the ``(u, v, c_uv)`` bigram pair
+    histogram over the clean reference corpus, checkpointed once (it
+    feeds both the scoring join and the derived context marginal).
+    Train batch-side, score anywhere — :func:`lm_score` for batch,
+    streaming.stream_lm_gate per micro-batch."""
+    return (
+        _lm_bigrams(train_docs, text_col, id_col, buckets)
+        .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("c_uv"))
-        .localCheckpoint(eager=False)  # feeds the join AND the marginal
+        .localCheckpoint(eager=False)
     )
-    ctx_hist = pair_hist.groupBy("u").agg(
+
+
+def lm_score(docs: DataFrame, model: DataFrame, *,
+             text_col: str = "text", id_col: str = "doc_id",
+             buckets: int = 4096, scale: int = 1000) -> DataFrame:
+    """Score ``docs`` against a trained :func:`lm_model` — the serving
+    half of :func:`lm_perplexity` (same output contract: one row per
+    input doc, NULL ppl for the unscorable). Per-doc independent, so
+    scoring a micro-batch equals scoring the same rows in one batch."""
+    bg_all = _lm_bigrams(docs, text_col, id_col, buckets)
+    ctx_hist = model.groupBy("u").agg(
         F.sum("c_uv").cast("long").alias("c_u"))
     per = (
         bg_all
-        .join(pair_hist, ["u", "v"], "left")
+        .join(model, ["u", "v"], "left")
         .join(F.broadcast(ctx_hist), ["u"], "left")
         .select(
             F.col(id_col),
@@ -1840,28 +1861,9 @@ def lm_perplexity_buckets(docs: DataFrame, train_where: str,
     Scale: scoring is :func:`lm_perplexity`; the cut derivation adds
     one <= distinct-ppl-cardinality histogram agg + the shard-parallel
     scan; the cuts broadcast back as a 1-row frame."""
-    from cassandra_ttl_remover_spark.plans import two_level_cumsum
-
     scores = lm_perplexity(docs, train_where, text_col, id_col,
                            buckets, scale).localCheckpoint(eager=False)
-    hist = (
-        scores.filter(F.col("ppl_permille").isNotNull())
-        .groupBy("ppl_permille")
-        .agg(F.count("*").cast("long").alias("_cnt"))
-    )
-    cum = two_level_cumsum(hist, ["ppl_permille"], "_cnt", out="_c")
-    tot = F.broadcast(cum.agg(F.max("_c").alias("_n")))
-    cuts = F.broadcast(
-        cum.crossJoin(tot).agg(
-            F.min(F.when(
-                F.expr("_c >= greatest(1L, cast(ceil(_n / 3.0d) as bigint))"),
-                F.col("ppl_permille"))).alias("t1"),
-            F.min(F.when(
-                F.expr("_c >= greatest(1L, "
-                       "cast(ceil(2.0d * _n / 3.0d) as bigint))"),
-                F.col("ppl_permille"))).alias("t2"),
-        )
-    )
+    cuts = F.broadcast(lm_tertile_cuts(scores))
     return (
         scores.crossJoin(cuts)
         .select(
@@ -1872,6 +1874,36 @@ def lm_perplexity_buckets(docs: DataFrame, train_where: str,
                 "WHEN ppl_permille <= t2 THEN 'middle' "
                 "ELSE 'tail' END"
             ).alias("ppl_bucket"),
+        )
+    )
+
+
+def lm_tertile_cuts(scores: DataFrame) -> DataFrame:
+    """1-row ``(t1, t2)`` frame — the exact perplexity tertile cuts of a
+    :func:`lm_perplexity`/:func:`lm_score` result (t_k = the smallest
+    ppl whose <=-cumulative scored count reaches ceil(k*n/3)), computed
+    from the ppl histogram via the two-level prefix scan. CCNet keeps
+    ``ppl <= t2`` (head+middle); streaming gates collect the scalar
+    once at calibration (bounded 1-row collect, the margin_threshold
+    convention)."""
+    from cassandra_ttl_remover_spark.plans import two_level_cumsum
+
+    hist = (
+        scores.filter(F.col("ppl_permille").isNotNull())
+        .groupBy("ppl_permille")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+    )
+    cum = two_level_cumsum(hist, ["ppl_permille"], "_cnt", out="_c")
+    tot = F.broadcast(cum.agg(F.max("_c").alias("_n")))
+    return (
+        cum.crossJoin(tot).agg(
+            F.min(F.when(
+                F.expr("_c >= greatest(1L, cast(ceil(_n / 3.0d) as bigint))"),
+                F.col("ppl_permille"))).alias("t1"),
+            F.min(F.when(
+                F.expr("_c >= greatest(1L, "
+                       "cast(ceil(2.0d * _n / 3.0d) as bigint))"),
+                F.col("ppl_permille"))).alias("t2"),
         )
     )
 
@@ -1907,6 +1939,32 @@ SELECT {id_col}, ppl_permille,
              ELSE 'tail' END) AS ppl_bucket
 FROM scores CROSS JOIN cuts
 ORDER BY {id_col}""")
+
+
+def lm_gate_oracle_sql(train_where: str, table: str = "documents",
+                       id_col: str = "doc_id", buckets: int = 4096,
+                       scale: int = 1000) -> str:
+    """Oracle for the CCNet keep rule (batch or streamed —
+    streaming.stream_lm_gate's survivor set is identical by per-doc
+    independence): every scored doc with ``ppl <= t2``, the exact
+    middle/tail tertile cut."""
+    ctes = _lm_duck_ctes(train_where, table, id_col, buckets, scale)
+    ctes.append("""h AS (
+  SELECT ppl_permille AS p, count(*)::BIGINT AS cnt
+  FROM scores WHERE ppl_permille IS NOT NULL GROUP BY ppl_permille
+)""")
+    ctes.append("""cum AS (
+  SELECT p, sum(cnt) OVER (ORDER BY p)::BIGINT AS c FROM h
+)""")
+    ctes.append("""cuts AS (
+  SELECT min(CASE WHEN c >= greatest(1, CAST(ceil(2.0 * _n / 3.0)
+                                             AS BIGINT)) THEN p END) AS t2
+  FROM cum CROSS JOIN (SELECT max(c) AS _n FROM cum)
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT {id_col}, n_bigrams, sum_invp, ppl_permille
+FROM scores CROSS JOIN cuts
+WHERE ppl_permille <= t2 ORDER BY {id_col}""")
 
 
 def lm_domain_report(docs: DataFrame, train_where: str, *,

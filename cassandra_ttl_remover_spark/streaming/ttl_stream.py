@@ -339,6 +339,53 @@ def stream_ivf_ingest(emb_stream: DataFrame, path: str,
     )
 
 
+def stream_lm_gate(docs_stream: DataFrame, model: DataFrame,
+                   out_path: str, checkpoint_dir: str, *,
+                   threshold: int, buckets: int = 4096,
+                   scale: int = 1000, text_col: str = "text",
+                   id_col: str = "doc_id") -> None:
+    """CCNet's LM fluency gate on a STREAM: score each arriving
+    micro-batch against a batch-trained bigram LM (curate.lm_model) and
+    append the documents at or under the perplexity ``threshold``
+    (CCNet keeps head+middle: threshold = t2 from curate.lm_tertile_cuts,
+    calibrated batch-side like stream_model_gate's margin) to a parquet
+    sink. Unscorable docs (< 2 tokens) are dropped, as the paper drops
+    them.
+
+    Unlike the logreg gate (whose <= dim+1 weights inline as a map
+    literal), the LM artifact is a pair HISTOGRAM — up to buckets^2
+    rows, too wide for an expression literal — so the gate runs through
+    foreachBatch: each micro-batch is scored by the exact batch scorer
+    (curate.lm_score, per-doc independent, so batch/stream results are
+    identical by construction) against the static checkpointed model.
+
+    Scale: per batch, one bigram explode + a join against the static
+    model (AQE broadcasts the occupied pairs when small) + a batch-local
+    doc-id reduce; no state store, no watermark — the model is a
+    training artifact, refreshed by query restart. Exactly-once stance
+    matches stream_ivf_ingest: parquet appends replay-safe only under
+    the streaming checkpoint."""
+    from cassandra_ttl_remover_spark.operators.curate import lm_score
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            lm_score(batch_df, model, text_col=text_col, id_col=id_col,
+                     buckets=buckets, scale=scale)
+            .filter(F.col("ppl_permille") <= threshold)
+            .write.mode("append").parquet(out_path)
+        )
+
+    (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_dedup_against_corpus(docs_stream: DataFrame, corpus: DataFrame,
                                 text_col: str = "text",
                                 id_col: str = "doc_id") -> DataFrame:

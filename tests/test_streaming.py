@@ -526,3 +526,37 @@ def test_stream_ivf_ingest_lands_and_composes_with_deletes(spark, tmp_path):
         assert all(r.vec_id != odd for r in got)
         ivf_compact(spark, path)
         assert spark.read.parquet(path).count() == emb.count() - 1
+
+
+def test_stream_lm_gate_matches_batch_keep_set(spark, tmp_path):
+    """The streamed LM gate's survivor set must equal the batch rule
+    (ppl <= t2) exactly — lm_score is per-doc independent, so micro-
+    batching cannot change any score; unscorable docs are dropped."""
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.operators.curate import (
+        lm_model,
+        lm_score,
+        lm_tertile_cuts,
+    )
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        scan_stream,
+        stream_lm_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = scan_table(spark, sf, "documents")
+    model = lm_model(docs.filter("lang = 'en'"))
+    scores = lm_score(docs, model)
+    t2 = int(lm_tertile_cuts(scores).collect()[0].t2)
+
+    out = str(tmp_path / "kept")
+    stream_lm_gate(
+        scan_stream(spark, sf, glob="documents.parquet"), model,
+        out, str(tmp_path / "ckpt"), threshold=t2)
+    got = sorted(
+        (r.doc_id, r.n_bigrams, r.sum_invp, r.ppl_permille)
+        for r in spark.read.parquet(out).collect())
+    want = sorted(
+        (r.doc_id, r.n_bigrams, r.sum_invp, r.ppl_permille)
+        for r in scores.filter(F.col("ppl_permille") <= t2).collect())
+    assert got == want and 0 < len(got) < docs.count()
