@@ -574,10 +574,10 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
 
     Scale: scoring reuses the training feature frame (one corpus pass
     total); the histogram groupBy collapses the corpus to <= distinct
-    margins before the only window — a window over the histogram, not
-    the corpus, so no single-partition corpus sort exists in the plan
-    (the window's input is bounded by the margin-value cardinality;
-    at 100 TB bucket the margins first if they are near-unique)."""
+    margins, and the prefix sum over that histogram runs through the
+    two-level distributed scan (see :func:`_auc_from_margins`) — no
+    single-partition stage exists in the plan even when int64 margins
+    are near-unique and the histogram is corpus-sized."""
     feats = checkpoint_partitioned(
         _lr_feats(docs, dim, text_col, id_col))  # ONE featurize feeds training and scoring
     labels = docs.select(
