@@ -120,4 +120,4 @@ __all__ = [
     "unigram_freq_quality",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.9.0"
