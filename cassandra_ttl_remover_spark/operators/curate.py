@@ -1727,7 +1727,12 @@ def lm_perplexity(docs: DataFrame, train_where: str,
     reduces by doc id — text never shuffles. int64 discipline: terms
     are <= (train_bigrams + B) * scale; the per-doc sum stays under
     2^63 to ~10^15 term-mass — past that, drop ``scale`` or promote the
-    sum to decimal(38,0) like logreg_train documents."""
+    sum to decimal(38,0) like logreg_train documents. Hot-bigram skew
+    ("of the" in every document makes one (u, v) join key carry ~1% of
+    a 100 TB corpus): the pair-histogram join is a plain shuffle join
+    when the model outgrows broadcast, which is exactly the shape AQE's
+    skew-join split re-plans at runtime — rehearsed in
+    tests/test_scale_rehearsal.py."""
     model = lm_model(docs.filter(train_where), text_col, id_col, buckets)
     return lm_score(docs, model, text_col=text_col, id_col=id_col,
                     buckets=buckets, scale=scale)

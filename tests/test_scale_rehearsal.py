@@ -865,3 +865,33 @@ def test_logreg_50k_doc_rehearsal_bounds_and_separation(spark):
     auc = C.logreg_auc(docs, "lang = 'en'", dim=256, iters=3).collect()[0]
     assert auc.n_pos == 25_000 and auc.n_neg == 25_000
     assert auc.auc > 0.99, f"separable 50k corpus must separate: {auc.auc}"
+
+
+def test_lm_score_hot_bigram_flood(spark):
+    """Every document repeats ONE bigram (the 'of the' hazard: a single
+    (u, v) join key carrying the whole corpus) — the scoring join must
+    complete under AQE's skew handling and produce the exact closed-form
+    scores. 20k docs x 32 tokens = ~620k bigram occurrences on one key."""
+    n, reps = 20_000, 32
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(f"array_join(transform(sequence(1, {reps}), "
+               "i -> if(i % 2 = 1, 'hot', 'word')), ' ')").alias("text"),
+    )
+    from cassandra_ttl_remover_spark.operators.curate import (
+        lm_model,
+        lm_score,
+    )
+
+    model = lm_model(docs.filter("doc_id < 100"))
+    out = lm_score(docs, model)
+    rows = out.collect()
+    assert len(rows) == n
+    # closed form: per doc, 16x (hot,word) + 15x (word,hot); training =
+    # 100 docs of the same -> c(hot,word)=1600, c(word,hot)=1500,
+    # c_u(hot)=1600, c_u(word)=1500; B=4096, scale=1000
+    t_hw = ((1600 + 4096) * 1000) // (1600 + 1)
+    t_wh = ((1500 + 4096) * 1000) // (1500 + 1)
+    want_sum = 16 * t_hw + 15 * t_wh
+    assert all(r.n_bigrams == reps - 1 for r in rows)
+    assert all(r.sum_invp == want_sum for r in rows)
