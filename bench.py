@@ -553,12 +553,18 @@ def main() -> int:
         "shuffle_join exact_dedup minhash_lsh simhash_neardup "
         "topk_similarity text_quality curate_pipeline"
     ).split()
+    # like-for-like vs the PREVIOUS round's suite: the cross-round signal
+    # is the common-query subtotal, never the full total (entry count
+    # grows every round; see the module docstring on ambient variance)
+    new_in_r10 = ("lm_perplexity", "model_curate")
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "r1_subset_seconds": round(sum(timings[q] for q in r1_set), 3),
+        "r9_common_subset_seconds": round(
+            sum(v for q, v in timings.items() if q not in new_in_r10), 3),
         "warm_floors": warm_floors,
         "sf": sf_dir,
         "sweeps": 3,

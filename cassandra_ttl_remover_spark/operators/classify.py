@@ -1035,7 +1035,12 @@ def model_curate_corpus(docs: DataFrame, label_expr: str = "lang = 'en'",
         F.md5(F.col(text_col)).alias("_dg"),
     )
     weights = _logreg_fit(feats, labels.select(id_col, "y"), iters, id_col)
-    scored = _margins(feats, weights, labels, id_col)
+    # the scored frame feeds FOUR consumers (the threshold histogram,
+    # the mix-threshold counts, the mix filter, and — through mix — the
+    # dedup representatives): checkpoint it once so the final job does
+    # not re-evaluate the whole training+margins chain per branch
+    scored = _margins(feats, weights, labels, id_col).localCheckpoint(
+        eager=False)
     thr = F.broadcast(margin_threshold_frame(scored, keep_frac, "m"))
     gate = scored.join(thr, F.col("m") >= F.col("thr")).drop("thr")
     mthr = F.broadcast(
