@@ -419,7 +419,10 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
     in the written data) would leave its old files in place while the
     sidecar below is emptied — resurrecting the deleted vectors. The
     per-cell census therefore splits affected cells into rewrites
-    (survivors remain) and directory deletes (fully dead)."""
+    (survivors remain) and directory deletes (fully dead). Edge:
+    deleting EVERY vector leaves an index with no list files at all —
+    readers then raise on schema inference; reset such an index with a
+    fresh ivf_write rather than querying it."""
     tombs = _index_tombstones(spark, path)
     if tombs is None or tombs.isEmpty():
         return 0
