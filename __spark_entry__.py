@@ -678,6 +678,7 @@ _DRIVER_PRIORITY = [
     "q_n69_lm_ppl_buckets",
     "q_n70_lm_domain_report",
     "q_st22_stream_lm_gate",
+    "q_n71_sbo_perplexity",
     # --- round-10 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
     # green rule as tests/test_harness_contract.py). After r09 graded the
@@ -4819,6 +4820,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        domain_col="source")
     q["q_n70_lm_domain_report"] = q_n70
 
+    def q_n71(spark, sf):
+        # trigram LM with STUPID BACKOFF (Brants et al. 2007 — the
+        # web-scale smoothing built for distributed counting): deepest
+        # evidence level wins, alpha = 2/5 per backoff step keeps every
+        # term exact integer; per-level hit counts expose the backoff
+        # structure itself to the hash check
+        docs = scan_table(spark, sf, "documents")
+        return curate.sbo_perplexity(docs, "lang = 'en'").orderBy("doc_id")
+    q["q_n71_sbo_perplexity"] = q_n71
+
     def q_pipe_model(spark, sf):
         # the end-to-end MODEL-BASED curation pipeline (FineWeb's shape)
         # as ONE composed lazy plan: gopher rules -> train logreg on the
@@ -6230,6 +6241,9 @@ FROM events GROUP BY event_type ORDER BY event_type
         "lang = 'en'", domain_col="source"
     )
     o["q_st22_stream_lm_gate"] = curate.lm_gate_oracle_sql(
+        train_where="lang = 'en'"
+    )
+    o["q_n71_sbo_perplexity"] = curate.sbo_perplexity_oracle_sql(
         train_where="lang = 'en'"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(

@@ -447,6 +447,12 @@ def main() -> int:
         # marginal, int-pair join + doc-id reduce over the corpus
         curate.lm_perplexity(documents, "lang = 'en'").collect()
 
+    def q_sbo_perplexity():
+        # trigram stupid-backoff LM: one trigram featurize into the
+        # checkpointed histogram, all four backoff marginals derived
+        # from it, 5-way lookup join + doc-id reduce
+        curate.sbo_perplexity(documents, "lang = 'en'").collect()
+
     def q_model_curate():
         # the composed model-based pipeline: gopher -> train -> exact
         # broadcast margin gate -> temperature mix -> exact dedup, one
@@ -505,6 +511,7 @@ def main() -> int:
         "text_knn": q_text_knn,
         "logreg_train": q_logreg_train,
         "lm_perplexity": q_lm_perplexity,
+        "sbo_perplexity": q_sbo_perplexity,
         "model_curate": q_model_curate,
     }
 
@@ -556,7 +563,7 @@ def main() -> int:
     # like-for-like vs the PREVIOUS round's suite: the cross-round signal
     # is the common-query subtotal, never the full total (entry count
     # grows every round; see the module docstring on ambient variance)
-    new_in_r10 = ("lm_perplexity", "model_curate")
+    new_in_r10 = ("lm_perplexity", "sbo_perplexity", "model_curate")
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,

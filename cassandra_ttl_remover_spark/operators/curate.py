@@ -2018,3 +2018,219 @@ SELECT d.{domain_col} AS domain, count(*)::BIGINT AS n_docs,
         END)::BIGINT AS mean_ppl_permille
 FROM scores s JOIN {table} d USING ({id_col})
 GROUP BY d.{domain_col} ORDER BY domain""")
+
+
+# ---------------------------------------------------------------------------
+# trigram LM with stupid backoff (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+def _lm_trigrams(docs: DataFrame, text_col: str, id_col: str,
+                 buckets: int) -> DataFrame:
+    """``(id, u, v, w)`` — one row per consecutive-token trigram, each
+    token hashed once (the _lm_bigrams construction, order-3 form)."""
+    ws = f"filter(split({text_col}, ' '), w -> w <> '')"
+    return (
+        docs.select(F.col(id_col), F.expr(ws).alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.expr(f"transform(_ws, w -> {_dsir_bucket_spark('w', buckets)})"
+                   ).alias("_bs"),
+        )
+        .filter(F.expr("size(_bs) >= 3"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(
+                "transform(sequence(1, size(_bs) - 2), "
+                "i -> struct(element_at(_bs, i) AS u, "
+                "element_at(_bs, i + 1) AS v, "
+                "element_at(_bs, i + 2) AS w))")).alias("_tg"),
+        )
+        .select(F.col(id_col), F.col("_tg.u").alias("u"),
+                F.col("_tg.v").alias("v"), F.col("_tg.w").alias("w"))
+    )
+
+
+def sbo_model(train_docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", buckets: int = 4096) -> DataFrame:
+    """The trigram LM artifact: the ``(u, v, w, c3)`` trigram histogram
+    over the reference corpus, checkpointed once. EVERY backoff marginal
+    (bigram context A(u,v), backoff gram B2(v,w), backoff context C1(v),
+    unigram D(w), total T) DERIVES from this one frame — one training
+    pass over the corpus, the lm_model stance at order 3."""
+    return (
+        _lm_trigrams(train_docs, text_col, id_col, buckets)
+        .groupBy("u", "v", "w")
+        .agg(F.count("*").cast("long").alias("c3"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def sbo_perplexity(docs: DataFrame, train_where: str,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   buckets: int = 4096, scale: int = 1000) -> DataFrame:
+    """Trigram LM fluency with STUPID BACKOFF (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale smoothing
+    that replaced Kneser-Ney at MapReduce scale, built for exactly this
+    distributed setting): score each document's trigrams at the deepest
+    level with evidence, backing off with factor alpha = 0.4 per level:
+
+        S(w | u,v) = N3(u,v,w) / A(u,v)              if N3 > 0
+                   = 0.4 * B2(v,w) / C1(v)           elif B2 > 0
+                   = 0.16 * (D(w) + 1) / (T + B)     otherwise (add-1)
+
+    where every marginal derives from the trigram histogram (A = sum
+    over w, B2 = sum over u, C1 = sum over u,w, D = sum over u,v, T =
+    total — a DECLARED surrogate: true bigram counts differ at document
+    edges, but the derived marginals keep the model one training pass
+    and the hierarchy consistent). alpha = 2/5 is RATIONAL, so the
+    per-trigram scaled inverse score is exact integer arithmetic at
+    every level (the lm_perplexity stance):
+
+        term = scale * A div N3                          (level 3)
+             = (5 * scale * C1) div (2 * B2)             (level 2)
+             = (25 * scale * (T + B)) div (4 * (D + 1))  (level 1)
+
+    Output one row per input doc: ``(id, n_trigrams, n_hits3, n_hits2,
+    sum_invp, sbo_permille)`` — the per-level hit counts make the
+    backoff structure itself checkable; NULL sbo for docs with < 3
+    tokens.
+
+    Scale: one training featurize into the checkpointed trigram
+    histogram; A and B2 are <= occupied-pair tables joined on two int
+    keys (AQE broadcast-or-skew-split, the lm_score stance), C1/D/T
+    broadcast (<= buckets rows / 1 row); the corpus side is the
+    (id, u, v, w) int frame reduced by doc id — text never shuffles."""
+    model = sbo_model(docs.filter(train_where), text_col, id_col, buckets)
+    return sbo_score(docs, model, text_col=text_col, id_col=id_col,
+                     buckets=buckets, scale=scale)
+
+
+def sbo_score(docs: DataFrame, model: DataFrame, *,
+              text_col: str = "text", id_col: str = "doc_id",
+              buckets: int = 4096, scale: int = 1000) -> DataFrame:
+    """Serving half of :func:`sbo_perplexity` (per-doc independent —
+    streamable through the stream_lm_gate pattern)."""
+    tg = _lm_trigrams(docs, text_col, id_col, buckets)
+    a_ctx = model.groupBy("u", "v").agg(
+        F.sum("c3").cast("long").alias("a_uv"))
+    b2 = model.groupBy("v", "w").agg(
+        F.sum("c3").cast("long").alias("b_vw"))
+    c1 = model.groupBy("v").agg(F.sum("c3").cast("long").alias("c_v"))
+    d1 = model.groupBy("w").agg(F.sum("c3").cast("long").alias("d_w"))
+    tot = model.agg(F.sum("c3").cast("long").alias("t_all"))
+    per = (
+        tg
+        .join(model, ["u", "v", "w"], "left")
+        .join(a_ctx, ["u", "v"], "left")
+        .join(b2, ["v", "w"], "left")
+        .join(F.broadcast(c1), ["v"], "left")
+        .join(F.broadcast(d1), ["w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.expr("if(coalesce(c3, 0L) > 0, 1L, 0L)").alias("_h3"),
+            F.expr("if(coalesce(c3, 0L) = 0 and coalesce(b_vw, 0L) > 0,"
+                   " 1L, 0L)").alias("_h2"),
+            F.expr(
+                f"CASE WHEN coalesce(c3, 0L) > 0"
+                f" THEN ({scale} * a_uv) div c3"
+                f" WHEN coalesce(b_vw, 0L) > 0"
+                f" THEN (5 * {scale} * c_v) div (2 * b_vw)"
+                f" ELSE (25 * {scale} * (t_all + {buckets}))"
+                f" div (4 * (coalesce(d_w, 0L) + 1)) END"
+            ).alias("_invp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum("_h3").cast("long").alias("n_hits3"),
+            F.sum("_h2").cast("long").alias("n_hits2"),
+            F.sum("_invp").cast("long").alias("sum_invp"),
+        )
+    )
+    return (
+        docs.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).cast("long")
+            .alias("n_trigrams"),
+            F.coalesce("n_hits3", F.lit(0)).cast("long").alias("n_hits3"),
+            F.coalesce("n_hits2", F.lit(0)).cast("long").alias("n_hits2"),
+            F.coalesce("sum_invp", F.lit(0)).cast("long").alias("sum_invp"),
+        )
+        .withColumn(
+            "sbo_permille",
+            F.expr("CASE WHEN n_trigrams > 0 THEN sum_invp div n_trigrams "
+                   "ELSE CAST(NULL AS BIGINT) END"),
+        )
+    )
+
+
+def sbo_perplexity_oracle_sql(train_where: str, table: str = "documents",
+                              id_col: str = "doc_id",
+                              buckets: int = 4096,
+                              scale: int = 1000) -> str:
+    """DuckDB recomputation of :func:`sbo_perplexity`."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    bucket = _dsir_bucket_duck("w", buckets)
+    return f"""
+WITH t_all_docs AS (
+  SELECT {id_col}, list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {id_col}, {ws} AS ws FROM {table})
+  WHERE len(ws) >= 3
+),
+tg_all AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(bs) - 1), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs) - 1), i -> bs[i + 1])) AS v,
+         unnest(list_transform(range(1, len(bs) - 1), i -> bs[i + 2])) AS w
+  FROM t_all_docs
+),
+t_tr_docs AS (
+  SELECT list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {ws} AS ws FROM {table} WHERE {train_where})
+  WHERE len(ws) >= 3
+),
+tg_tr AS (
+  SELECT unnest(list_transform(range(1, len(bs) - 1), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs) - 1), i -> bs[i + 1])) AS v,
+         unnest(list_transform(range(1, len(bs) - 1), i -> bs[i + 2])) AS w
+  FROM t_tr_docs
+),
+n3 AS (SELECT u, v, w, count(*)::BIGINT AS c3 FROM tg_tr GROUP BY u, v, w),
+actx AS (SELECT u, v, sum(c3)::BIGINT AS a_uv FROM n3 GROUP BY u, v),
+b2 AS (SELECT v, w, sum(c3)::BIGINT AS b_vw FROM n3 GROUP BY v, w),
+c1 AS (SELECT v, sum(c3)::BIGINT AS c_v FROM n3 GROUP BY v),
+d1 AS (SELECT w, sum(c3)::BIGINT AS d_w FROM n3 GROUP BY w),
+tt AS (SELECT sum(c3)::BIGINT AS t_all FROM n3),
+per AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_trigrams,
+         sum(CASE WHEN coalesce(c3, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_hits3,
+         sum(CASE WHEN coalesce(c3, 0) = 0 AND coalesce(b_vw, 0) > 0
+                  THEN 1 ELSE 0 END)::BIGINT AS n_hits2,
+         sum(CASE WHEN coalesce(c3, 0) > 0
+                  THEN ({scale} * a_uv) // c3
+                  WHEN coalesce(b_vw, 0) > 0
+                  THEN (5 * {scale} * c_v) // (2 * b_vw)
+                  ELSE (25 * {scale} * (t_all + {buckets}))
+                       // (4 * (coalesce(d_w, 0) + 1)) END)::BIGINT
+           AS sum_invp
+  FROM tg_all
+  LEFT JOIN n3 USING (u, v, w)
+  LEFT JOIN actx USING (u, v)
+  LEFT JOIN b2 USING (v, w)
+  LEFT JOIN c1 USING (v)
+  LEFT JOIN d1 USING (w)
+  CROSS JOIN tt
+  GROUP BY {id_col}
+)
+SELECT d.{id_col}, coalesce(n_trigrams, 0)::BIGINT AS n_trigrams,
+       coalesce(n_hits3, 0)::BIGINT AS n_hits3,
+       coalesce(n_hits2, 0)::BIGINT AS n_hits2,
+       coalesce(sum_invp, 0)::BIGINT AS sum_invp,
+       (CASE WHEN coalesce(n_trigrams, 0) > 0
+             THEN sum_invp // n_trigrams END)::BIGINT AS sbo_permille
+FROM {table} d LEFT JOIN per USING ({id_col})
+ORDER BY d.{id_col}
+"""

@@ -572,3 +572,54 @@ def test_lm_domain_report_counts_and_means(spark):
     assert out["b"].mean_ppl_permille == out["b"].sum_ppl
     # domain a: 4 identical docs -> mean == each doc's ppl
     assert out["a"].mean_ppl_permille * 4 == out["a"].sum_ppl
+
+
+def test_sbo_backoff_levels_fire_in_order(spark):
+    """Each backoff level must fire exactly when its evidence exists,
+    with the 2/5-per-level penalty applied as exact integers."""
+    train = [(i, "a b c d") for i in range(10)]   # trigrams: abc, bcd
+    probes = [
+        (100, "a b c"),    # seen trigram -> level 3
+        (101, "x b c"),    # unseen trigram, seen bigram (b,c) -> level 2
+        (102, "x y c"),    # unseen bigram (y,c), seen unigram c -> level 1
+        (103, "x y z"),    # nothing seen -> level 1 with D=0
+    ]
+    docs = spark.createDataFrame(train + probes,
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           curate.sbo_perplexity(docs, "doc_id < 100").collect()}
+    B, S = 4096, 1000
+    # model: N3(abc)=N3(bcd)=10; A(ab)=A(bc)=10; B2(bc)=B2(cd)=10;
+    # C1(b)=C1(c)=10; D(c)=D(d)=10; T=20
+    assert (out[100].n_hits3, out[100].n_hits2) == (1, 0)
+    assert out[100].sum_invp == (S * 10) // 10
+    assert (out[101].n_hits3, out[101].n_hits2) == (0, 1)
+    assert out[101].sum_invp == (5 * S * 10) // (2 * 10)
+    assert (out[102].n_hits3, out[102].n_hits2) == (0, 0)
+    assert out[102].sum_invp == (25 * S * (20 + B)) // (4 * (10 + 1))
+    assert out[103].sum_invp == (25 * S * (20 + B)) // (4 * (0 + 1))
+    # monotone: deeper evidence scores lower surprise
+    assert (out[100].sum_invp < out[101].sum_invp
+            < out[102].sum_invp < out[103].sum_invp)
+    # training docs: every trigram hits level 3
+    assert all(out.get(i) is None or True for i in range(10))
+    full = {r.doc_id: r for r in
+            curate.sbo_perplexity(docs, "doc_id < 100").collect()}
+    assert all(full[i].n_hits3 == full[i].n_trigrams for i in range(10))
+
+
+def test_sbo_unscorable_and_partitioning(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma w{i % 3}") for i in range(40)]
+        + [(100, "two words"), (101, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           curate.sbo_perplexity(docs, "doc_id % 5 = 0").collect()}
+    assert out[100].sbo_permille is None and out[100].n_trigrams == 0
+    assert out[101].sbo_permille is None
+    a = sorted(map(tuple, curate.sbo_perplexity(
+        docs, "doc_id % 5 = 0").collect()))
+    b = sorted(map(tuple, curate.sbo_perplexity(
+        docs.repartition(13), "doc_id % 5 = 0").collect()))
+    assert a == b
