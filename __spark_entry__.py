@@ -679,6 +679,7 @@ _DRIVER_PRIORITY = [
     "q_n70_lm_domain_report",
     "q_st22_stream_lm_gate",
     "q_n71_sbo_perplexity",
+    "q_n72_quality_signals",
     # --- round-10 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
     # green rule as tests/test_harness_contract.py). After r09 graded the
@@ -4830,6 +4831,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.sbo_perplexity(docs, "lang = 'en'").orderBy("doc_id")
     q["q_n71_sbo_perplexity"] = q_n71
 
+    def q_n72(spark, sf):
+        # the per-doc multi-signal quality MATRIX: Gopher rule verdict,
+        # trained discriminative margin, and generative LM surprise side
+        # by side — the frame a curation team picks gate thresholds
+        # from; signal disagreement is directly queryable
+        docs = scan_table(spark, sf, "documents")
+        return classify.quality_signals(docs, min_words=25,
+                                        min_stop_hits=0)
+    q["q_n72_quality_signals"] = q_n72
+
     def q_pipe_model(spark, sf):
         # the end-to-end MODEL-BASED curation pipeline (FineWeb's shape)
         # as ONE composed lazy plan: gopher rules -> train logreg on the
@@ -6245,6 +6256,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_n71_sbo_perplexity"] = curate.sbo_perplexity_oracle_sql(
         train_where="lang = 'en'"
+    )
+    o["q_n72_quality_signals"] = classify.quality_signals_oracle_sql(
+        min_words=25, min_stop_hits=0
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

@@ -1276,3 +1276,79 @@ def logreg_auc_oracle_sql(label_expr: str = "lang = 'en'", dim: int = 64,
     ctes.append(_auc_duck_tail("labels", id_col))
     body = ",\n".join(ctes[:-1])
     return f"WITH {body},\n{ctes[-1]}"
+
+
+def quality_signals(docs: DataFrame, label_expr: str = "lang = 'en'",
+                    lm_train_where: str = "lang = 'en'",
+                    dim: int = 64, iters: int = 2,
+                    min_words: int = 50, min_stop_hits: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The per-document multi-signal quality MATRIX — what a curation
+    team inspects before choosing gates (the standard practice behind
+    FineWeb/RedPajama ablations): every document with its rule-battery
+    verdict (Gopher), its trained discriminative margin (logreg), and
+    its generative LM surprise (CCNet bigram perplexity surrogate) side
+    by side, so gate thresholds can be chosen from ONE frame and signal
+    disagreement (rules pass / model rejects, and vice versa) is
+    directly queryable.
+
+    Scale: three independent signal pipelines over the same scan —
+    each with its own documented shape (zero-shuffle projection;
+    broadcast-weights margins over the id-partitioned checkpointed
+    feature frame; histogram-model join) — combined by two doc-id
+    joins of narrow integer frames. Nothing here is new machinery;
+    the value is the composition."""
+    from cassandra_ttl_remover_spark.operators.curate import lm_perplexity
+    from cassandra_ttl_remover_spark.operators.text import gopher_rules
+
+    rules = gopher_rules(docs, text_col, id_col, min_words,
+                         min_stop_hits=min_stop_hits).select(
+        F.col(id_col), F.col("passes_gopher"))
+    feats = checkpoint_partitioned(_lr_feats(docs, dim, text_col, id_col))
+    labels = docs.select(
+        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    weights = _logreg_fit(feats, labels, iters, id_col)
+    margins = _margins(feats, weights, labels, id_col).select(
+        F.col(id_col), F.col("m").alias("margin"))
+    ppl = lm_perplexity(docs, lm_train_where, text_col, id_col).select(
+        F.col(id_col), F.col("ppl_permille"))
+    return (
+        rules.join(margins, id_col, "left")
+        .join(ppl, id_col, "left")
+        .orderBy(id_col)
+    )
+
+
+def quality_signals_oracle_sql(label_expr: str = "lang = 'en'",
+                               lm_train_where: str = "lang = 'en'",
+                               dim: int = 64, iters: int = 2,
+                               min_words: int = 50,
+                               min_stop_hits: int = 2,
+                               table: str = "documents",
+                               id_col: str = "doc_id") -> str:
+    """Composed oracle: the three signal oracles as parenthesized
+    WITH-subqueries joined on the doc id (the model_curate embedding
+    convention — no CTE-name collisions between the three chains)."""
+    from cassandra_ttl_remover_spark.operators.curate import (
+        lm_perplexity_oracle_sql,
+    )
+    from cassandra_ttl_remover_spark.operators.text import (
+        gopher_rules_oracle_sql,
+    )
+
+    gopher = gopher_rules_oracle_sql(min_words=min_words, table=table,
+                                     id_col=id_col,
+                                     min_stop_hits=min_stop_hits)
+    lr_ctes, final = _lr_duck_ctes(label_expr, dim, iters, table, id_col)
+    lr_ctes.append(_mf_duck_cte(final, id_col))
+    margins = ("WITH " + ",\n".join(lr_ctes)
+               + f"\nSELECT {id_col}, m FROM mf")
+    lm = lm_perplexity_oracle_sql(lm_train_where, table, id_col)
+    return f"""
+SELECT gq.{id_col}, gq.passes_gopher, mg.m AS margin, sc.ppl_permille
+FROM ({gopher}) gq
+LEFT JOIN ({margins}) mg USING ({id_col})
+LEFT JOIN ({lm}) sc USING ({id_col})
+ORDER BY gq.{id_col}
+"""

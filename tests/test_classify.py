@@ -417,3 +417,18 @@ def test_margin_threshold_frame_matches_exact_takeordered(spark, documents):
         assert len(thr_frame) == 1
         exact = C.margin_threshold(documents, w, frac, exact=True)
         assert int(thr_frame[0].thr) == exact, f"frac={frac}"
+
+
+def test_quality_signals_totality_and_agreement(spark, documents):
+    """The matrix is total over the corpus (one row per doc, left joins
+    never drop), and each signal column matches its own operator."""
+    out = C.quality_signals(documents, min_words=25, min_stop_hits=0)
+    rows = out.collect()
+    assert len(rows) == documents.count()
+    ids = [r.doc_id for r in rows]
+    assert ids == sorted(ids)
+    # margins agree with the standalone training pipeline
+    w = C.collect_weights(C.logreg_train(documents))
+    standalone = {r.doc_id: r.margin
+                  for r in C.score_documents(documents, w).collect()}
+    assert all(standalone[r.doc_id] == r.margin for r in rows)
