@@ -680,6 +680,7 @@ _DRIVER_PRIORITY = [
     "q_st22_stream_lm_gate",
     "q_n71_sbo_perplexity",
     "q_n72_quality_signals",
+    "q_st23_stream_sbo_gate",
     # --- round-10 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
     # green rule as tests/test_harness_contract.py). After r09 graded the
@@ -4678,6 +4679,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(base + "/out").orderBy("doc_id")
     q["q_st22_stream_lm_gate"] = q_st22
 
+    def q_st23(spark, sf):
+        # the trigram stupid-backoff gate at ingest: same foreachBatch
+        # machinery as q_st22 at order 3 — model + tertile threshold
+        # calibrated batch-side, survivor set batch-oracle-identical
+        import tempfile
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            scan_stream,
+            stream_lm_gate,
+        )
+
+        docs = scan_table(spark, sf, "documents")
+        model = curate.sbo_model(docs.filter("lang = 'en'"))
+        cuts = curate.lm_tertile_cuts(
+            curate.sbo_score(docs, model), "sbo_permille").collect()[0]
+        base = tempfile.mkdtemp(prefix="ctrs_sbo_st_")
+        st = scan_stream(spark, sf, glob="documents.parquet")
+        stream_lm_gate(st, model, base + "/out", base + "/ckpt",
+                       threshold=int(cuts.t2), order=3)
+        return spark.read.parquet(base + "/out").orderBy("doc_id")
+    q["q_st23_stream_sbo_gate"] = q_st23
+
     def q_n32(spark, sf):
         # conjunctive keyword search by posting-list intersection — the
         # query path that never rescans the documents
@@ -6259,6 +6282,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_n72_quality_signals"] = classify.quality_signals_oracle_sql(
         min_words=25, min_stop_hits=0
+    )
+    o["q_st23_stream_sbo_gate"] = curate.sbo_gate_oracle_sql(
+        train_where="lang = 'en'"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

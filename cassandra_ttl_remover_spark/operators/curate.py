@@ -1883,32 +1883,34 @@ def lm_perplexity_buckets(docs: DataFrame, train_where: str,
     )
 
 
-def lm_tertile_cuts(scores: DataFrame) -> DataFrame:
+def lm_tertile_cuts(scores: DataFrame,
+                    col: str = "ppl_permille") -> DataFrame:
     """1-row ``(t1, t2)`` frame — the exact perplexity tertile cuts of a
     :func:`lm_perplexity`/:func:`lm_score` result (t_k = the smallest
     ppl whose <=-cumulative scored count reaches ceil(k*n/3)), computed
     from the ppl histogram via the two-level prefix scan. CCNet keeps
     ``ppl <= t2`` (head+middle); streaming gates collect the scalar
     once at calibration (bounded 1-row collect, the margin_threshold
-    convention)."""
+    convention). ``col`` selects the score column, so the trigram
+    scorer's ``sbo_permille`` cuts through the same machinery."""
     from cassandra_ttl_remover_spark.plans import two_level_cumsum
 
     hist = (
-        scores.filter(F.col("ppl_permille").isNotNull())
-        .groupBy("ppl_permille")
+        scores.filter(F.col(col).isNotNull())
+        .groupBy(col)
         .agg(F.count("*").cast("long").alias("_cnt"))
     )
-    cum = two_level_cumsum(hist, ["ppl_permille"], "_cnt", out="_c")
+    cum = two_level_cumsum(hist, [col], "_cnt", out="_c")
     tot = F.broadcast(cum.agg(F.max("_c").alias("_n")))
     return (
         cum.crossJoin(tot).agg(
             F.min(F.when(
                 F.expr("_c >= greatest(1L, cast(ceil(_n / 3.0d) as bigint))"),
-                F.col("ppl_permille"))).alias("t1"),
+                F.col(col))).alias("t1"),
             F.min(F.when(
                 F.expr("_c >= greatest(1L, "
                        "cast(ceil(2.0d * _n / 3.0d) as bigint))"),
-                F.col("ppl_permille"))).alias("t2"),
+                F.col(col))).alias("t2"),
         )
     )
 
@@ -2164,6 +2166,32 @@ def sbo_score(docs: DataFrame, model: DataFrame, *,
                    "ELSE CAST(NULL AS BIGINT) END"),
         )
     )
+
+
+def sbo_gate_oracle_sql(train_where: str, table: str = "documents",
+                        id_col: str = "doc_id", buckets: int = 4096,
+                        scale: int = 1000) -> str:
+    """Oracle for the trigram-LM keep rule (batch or streamed through
+    stream_lm_gate(order=3)): every scored doc with ``sbo <= t2``, the
+    exact middle/tail tertile cut — the lm_gate oracle at order 3, with
+    the full sbo oracle embedded as the scores subquery."""
+    inner = sbo_perplexity_oracle_sql(train_where, table, id_col,
+                                      buckets, scale)
+    return f"""
+WITH s AS (SELECT * FROM ({inner})),
+h AS (
+  SELECT sbo_permille AS p, count(*)::BIGINT AS cnt
+  FROM s WHERE sbo_permille IS NOT NULL GROUP BY sbo_permille
+),
+cum AS (SELECT p, sum(cnt) OVER (ORDER BY p)::BIGINT AS c FROM h),
+cuts AS (
+  SELECT min(CASE WHEN c >= greatest(1, CAST(ceil(2.0 * _n / 3.0)
+                                             AS BIGINT)) THEN p END) AS t2
+  FROM cum CROSS JOIN (SELECT max(c) AS _n FROM cum)
+)
+SELECT {id_col}, n_trigrams, n_hits3, n_hits2, sum_invp, sbo_permille
+FROM s CROSS JOIN cuts
+WHERE sbo_permille <= t2 ORDER BY {id_col}"""
 
 
 def sbo_perplexity_oracle_sql(train_where: str, table: str = "documents",

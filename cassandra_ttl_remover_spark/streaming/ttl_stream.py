@@ -341,7 +341,8 @@ def stream_ivf_ingest(emb_stream: DataFrame, path: str,
 
 def stream_lm_gate(docs_stream: DataFrame, model: DataFrame,
                    out_path: str, checkpoint_dir: str, *,
-                   threshold: int, buckets: int = 4096,
+                   threshold: int, order: int = 2,
+                   buckets: int = 4096,
                    scale: int = 1000, text_col: str = "text",
                    id_col: str = "doc_id") -> None:
     """CCNet's LM fluency gate on a STREAM: score each arriving
@@ -364,16 +365,30 @@ def stream_lm_gate(docs_stream: DataFrame, model: DataFrame,
     doc-id reduce; no state store, no watermark — the model is a
     training artifact, refreshed by query restart. Exactly-once stance
     matches stream_ivf_ingest: parquet appends replay-safe only under
-    the streaming checkpoint."""
-    from cassandra_ttl_remover_spark.operators.curate import lm_score
+    the streaming checkpoint.
+
+    ``order`` selects the LM: 2 scores with curate.lm_score against a
+    curate.lm_model bigram histogram (column ``ppl_permille``); 3
+    scores with curate.sbo_score (stupid backoff) against a
+    curate.sbo_model trigram histogram (column ``sbo_permille``) — the
+    model frame must match the order."""
+    from cassandra_ttl_remover_spark.operators.curate import (
+        lm_score,
+        sbo_score,
+    )
+
+    scorer, score_col = ((lm_score, "ppl_permille") if order == 2
+                         else (sbo_score, "sbo_permille"))
+    if order not in (2, 3):
+        raise ValueError("supported LM orders: 2 (bigram), 3 (trigram)")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         (
-            lm_score(batch_df, model, text_col=text_col, id_col=id_col,
-                     buckets=buckets, scale=scale)
-            .filter(F.col("ppl_permille") <= threshold)
+            scorer(batch_df, model, text_col=text_col, id_col=id_col,
+                   buckets=buckets, scale=scale)
+            .filter(F.col(score_col) <= threshold)
             .write.mode("append").parquet(out_path)
         )
 

@@ -560,3 +560,35 @@ def test_stream_lm_gate_matches_batch_keep_set(spark, tmp_path):
         (r.doc_id, r.n_bigrams, r.sum_invp, r.ppl_permille)
         for r in scores.filter(F.col("ppl_permille") <= t2).collect())
     assert got == want and 0 < len(got) < docs.count()
+
+
+def test_stream_lm_gate_order3_matches_batch(spark, tmp_path):
+    """The trigram (stupid-backoff) edition of the streaming gate: same
+    per-doc-independence argument, order=3 path."""
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.operators.curate import (
+        lm_tertile_cuts,
+        sbo_model,
+        sbo_score,
+    )
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        scan_stream,
+        stream_lm_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = scan_table(spark, sf, "documents")
+    model = sbo_model(docs.filter("lang = 'en'"))
+    scores = sbo_score(docs, model)
+    t2 = int(lm_tertile_cuts(scores, "sbo_permille").collect()[0].t2)
+
+    out = str(tmp_path / "kept")
+    stream_lm_gate(
+        scan_stream(spark, sf, glob="documents.parquet"), model,
+        out, str(tmp_path / "ckpt"), threshold=t2, order=3)
+    got = sorted((r.doc_id, r.sum_invp, r.sbo_permille)
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r.doc_id, r.sum_invp, r.sbo_permille)
+                  for r in scores.filter(
+                      F.col("sbo_permille") <= t2).collect())
+    assert got == want and 0 < len(got) < docs.count()
