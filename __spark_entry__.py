@@ -681,6 +681,7 @@ _DRIVER_PRIORITY = [
     "q_n71_sbo_perplexity",
     "q_n72_quality_signals",
     "q_st23_stream_sbo_gate",
+    "q_n73_lm_domain_matrix",
     # --- round-10 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
     # green rule as tests/test_harness_contract.py). After r09 graded the
@@ -4854,6 +4855,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.sbo_perplexity(docs, "lang = 'en'").orderBy("doc_id")
     q["q_n71_sbo_perplexity"] = q_n71
 
+    def q_n73(spark, sf):
+        # domain-affinity matrix: cross-perplexity of every domain's
+        # data under every domain's bigram LM (DoReMi-style mixture
+        # diagnostic) — ONE corpus featurize into per-domain pair
+        # histograms, then a dictionary x dictionary join; the corpus
+        # is read once and the matrix is |domains|^2 rows
+        docs = scan_table(spark, sf, "documents")
+        return curate.lm_domain_matrix(docs, domain_col="lang")
+    q["q_n73_lm_domain_matrix"] = q_n73
+
     def q_n72(spark, sf):
         # the per-doc multi-signal quality MATRIX: Gopher rule verdict,
         # trained discriminative margin, and generative LM surprise side
@@ -6285,6 +6296,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_st23_stream_sbo_gate"] = curate.sbo_gate_oracle_sql(
         train_where="lang = 'en'"
+    )
+    o["q_n73_lm_domain_matrix"] = curate.lm_domain_matrix_oracle_sql(
+        domain_col="lang"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

@@ -2262,3 +2262,113 @@ SELECT d.{id_col}, coalesce(n_trigrams, 0)::BIGINT AS n_trigrams,
 FROM {table} d LEFT JOIN per USING ({id_col})
 ORDER BY d.{id_col}
 """
+
+
+def lm_domain_matrix(docs: DataFrame, *, domain_col: str = "lang",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     buckets: int = 4096, scale: int = 1000) -> DataFrame:
+    """Domain-affinity matrix: for every ordered domain pair, how
+    surprising domain DATA is under domain MODEL — the cross-perplexity
+    diagnostic behind DoReMi-style mixture weighting and transfer
+    studies (public practice: score each domain's text under each
+    domain's n-gram LM; low surprise = close domains). One row per
+    ``(model_domain, data_domain)`` with the exact integer mean of the
+    lm_perplexity inverse-probability surrogate:
+
+        cross_permille = (1/n_data) * sum_bigrams cnt_data *
+                         ((c_u^model + B) * scale div (c_uv^model + 1))
+
+    The diagonal is each domain's self-perplexity (always the row
+    minimum for well-separated domains — pinned in pytest).
+
+    Scale: ONE bigram featurize of the whole corpus into a per-domain
+    pair histogram (``(dom, u, v, cnt)`` — map-side combined, text
+    never shuffles), checkpointed once; the matrix is a histogram ×
+    histogram join on the two int bucket keys (each side bounded by
+    |domains| * occupied-pairs — dictionary-sized, NEVER the corpus)
+    followed by a <= |domains|^2 aggregate. The corpus is read once."""
+    bg = _lm_bigrams(docs.select(F.col(domain_col).alias("_dom"),
+                                 F.col(text_col), F.lit(0).alias(id_col)),
+                     text_col, "_dom", buckets)
+    # one histogram per domain: (dom, u, v, cnt)
+    hist = (
+        bg.groupBy(F.col("_dom"), "u", "v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)   # feeds model AND data sides
+    )
+    model_ctx = hist.groupBy(F.col("_dom").alias("_m"), "u").agg(
+        F.sum("cnt").cast("long").alias("c_u"))
+    model_pair = hist.select(
+        F.col("_dom").alias("_m"), "u", "v",
+        F.col("cnt").alias("c_uv"))
+    data = hist.select(F.col("_dom").alias("_d"), "u", "v", "cnt")
+    # the matrix is TOTAL over domain pairs: replicate the data
+    # histogram once per model domain (a <= |domains|-row broadcast),
+    # then LEFT join the model tables — a data bucket the model never
+    # saw scores the add-1 floor, it must not drop the pair
+    doms = F.broadcast(hist.select(F.col("_dom").alias("_m")).distinct())
+    return (
+        data
+        .crossJoin(doms)
+        .join(model_ctx, ["_m", "u"], "left")
+        .join(model_pair, ["_m", "u", "v"], "left")
+        .select(
+            "_m", "_d",
+            F.col("cnt"),
+            F.expr(
+                f"cnt * (((coalesce(c_u, 0L) + {buckets}) * {scale})"
+                " div (coalesce(c_uv, 0L) + 1))"
+            ).alias("_mass"),
+        )
+        .groupBy(F.col("_m").alias("model_domain"),
+                 F.col("_d").alias("data_domain"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum("_mass").cast("long").alias("sum_invp"),
+        )
+        .withColumn(
+            "cross_permille",
+            F.expr("sum_invp div n_bigrams"))
+        .orderBy("model_domain", "data_domain")
+    )
+
+
+def lm_domain_matrix_oracle_sql(*, domain_col: str = "lang",
+                                table: str = "documents",
+                                buckets: int = 4096,
+                                scale: int = 1000) -> str:
+    """DuckDB recomputation of :func:`lm_domain_matrix`."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    bucket = _dsir_bucket_duck("w", buckets)
+    return f"""
+WITH b AS (
+  SELECT dom, list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {domain_col} AS dom, {ws} AS ws FROM {table})
+  WHERE len(ws) >= 2
+),
+bg AS (
+  SELECT dom,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
+  FROM b
+),
+hist AS (SELECT dom, u, v, count(*)::BIGINT AS cnt
+         FROM bg GROUP BY dom, u, v),
+mctx AS (SELECT dom AS m, u, sum(cnt)::BIGINT AS c_u
+         FROM hist GROUP BY dom, u),
+mpair AS (SELECT dom AS m, u, v, cnt AS c_uv FROM hist),
+doms AS (SELECT DISTINCT dom AS m FROM hist)
+SELECT m AS model_domain, d.dom AS data_domain,
+       sum(d.cnt)::BIGINT AS n_bigrams,
+       sum(d.cnt * (((coalesce(c_u, 0) + {buckets}) * {scale})
+                    // (coalesce(c_uv, 0) + 1)))::BIGINT AS sum_invp,
+       (sum(d.cnt * (((coalesce(c_u, 0) + {buckets}) * {scale})
+                     // (coalesce(c_uv, 0) + 1)))
+        // sum(d.cnt))::BIGINT AS cross_permille
+FROM hist d
+CROSS JOIN doms
+LEFT JOIN mctx USING (m, u)
+LEFT JOIN mpair USING (m, u, v)
+GROUP BY m, d.dom
+ORDER BY model_domain, data_domain
+"""

@@ -623,3 +623,36 @@ def test_sbo_unscorable_and_partitioning(spark):
     b = sorted(map(tuple, curate.sbo_perplexity(
         docs.repartition(13), "doc_id % 5 = 0").collect()))
     assert a == b
+
+
+def test_lm_domain_matrix_diagonal_is_row_minimum(spark):
+    """Each domain's own data must be least surprising under its own
+    model; disjoint-vocabulary domains are maximally surprising under
+    each other (every bigram unseen -> the add-1 floor term)."""
+    rows = [(i, "aa bb cc dd aa bb", "x") for i in range(10)]
+    rows += [(100 + i, "pp qq rr ss pp qq", "y") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.model_domain, r.data_domain): r
+           for r in curate.lm_domain_matrix(docs).collect()}
+    assert set(out) == {("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")}
+    for m in ("x", "y"):
+        others = [v.cross_permille for (mm, d), v in out.items()
+                  if mm == m and d != m]
+        assert all(out[(m, m)].cross_permille < o for o in others)
+    # disjoint vocab: every cross bigram backs off to the add-1 floor
+    # (c_u present for NO u of the other domain -> (0+B)*scale div 1)
+    assert out[("x", "y")].cross_permille == 4096 * 1000
+    # n_bigrams = per-domain bigram volume (10 docs x 5 bigrams)
+    assert out[("x", "x")].n_bigrams == 50
+
+
+def test_lm_domain_matrix_corpus_read_once(spark, documents):
+    """The matrix must be built from ONE corpus featurize: the final
+    plan reads the checkpointed per-domain histogram (dictionary-sized),
+    never the documents scan twice."""
+    from cassandra_ttl_remover_spark.plans import formatted_plan
+
+    plan = formatted_plan(curate.lm_domain_matrix(documents))
+    # the corpus scan is cut off by the histogram checkpoint: only
+    # ExistingRDD scans (the checkpoint) appear, no parquet re-scan
+    assert "Scan parquet" not in plan
