@@ -643,82 +643,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS row — maintained by hand with each code change; the
 #: contract test pins these to the front of the graded window.
 _REGRADE_FIRST = [
-    # round 10: maintained as round-10 changes land (global-AUC histogram
-    # window fix, IVF dead-cell compaction fix, logreg feature-frame
-    # pre-partitioning) — changed queries are prepended here AND to the
-    # front of _DRIVER_PRIORITY.
-    # ivf_delete/_index_delete now stamp deterministic deleted_at and
-    # ivf_compact splits fully-dead cells out of the dynamic overwrite —
-    # q_n8h drives both:
-    "q_n8h_ann_ivf_delete",
-    # classifier stack plan changes: the ungrouped AUC prefix sum now
-    # routes through plans.two_level_cumsum (no empty-partitionBy
-    # window) and _lr_feats pre-partitions on the doc id through a
-    # partitioning-preserving checkpoint (2 fewer corpus exchanges per
-    # GD iteration) — every query over those paths re-certifies:
-    "q_n61_logreg_train",
-    "q_n62_classifier_auc",
-    "q_n63_holdout_auc",
-    "q_n64_margin_cutoff",
-    "q_n65_sliced_auc",
-    "q_n67_calibration",
-    "q_st12_stream_model_gate",
-    # gopher_rules gained keep_cols + a parameterized stopword gate
-    # (default output unchanged) and temperature_mix_report now derives
-    # its thresholds through the factored-out temperature_mix_thresholds:
-    "q_n56_gopher_rules",
-    "q_n66_temperature_mix",
+    # round 11: maintained as round-11 changes land (emptied IVF/PQ index
+    # readability after compaction, Theil-Sen two-level pair ranking,
+    # stream_lm_gate idempotent sink) — changed queries are prepended
+    # here AND to the front of _DRIVER_PRIORITY.
 ]
 
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
-    # --- new in round 10 (never graded) ---
-    "q_n68_lm_perplexity",
-    "q_pipe_model_curate",
-    "q_n69_lm_ppl_buckets",
-    "q_n70_lm_domain_report",
-    "q_st22_stream_lm_gate",
-    "q_n71_sbo_perplexity",
-    "q_n72_quality_signals",
-    "q_st23_stream_sbo_gate",
-    "q_n73_lm_domain_matrix",
-    # --- round-10 rotation: stalest-green-first, regenerated from
-    # CORRECTNESS_r01..r09 (script pattern in ROTATION_r10_plan.md; same
-    # green rule as tests/test_harness_contract.py). After r09 graded the
-    # round-9 window, the stalest evidence is the tail of the round-3
-    # block (q_st9 onward), then round 4, etc. ---
+    # --- new in round 11 (never graded) ---
+    # (q_n74_doremi_weights, q_n75_tokenizer_fertility land here)
+    # --- round-11 rotation: stalest-green-first, regenerated from
+    # CORRECTNESS_r01..r10 (script pattern in ROTATION_r11_plan.md; same
+    # green rule as tests/test_harness_contract.py). After r10 graded its
+    # window, the stalest evidence is the eight leftover round-3 greens
+    # (q_n10..q_n15b), then the round-4 block. The list is the FULL
+    # declared surface, deduplicated — regenerating it each round also
+    # kills the duplicate-slot drift the r10 ADVICE flagged. ---
     # --- last green: round 3 ---
-    "q_st9_stream_apply_changes",
-    "q_st10_stream_liveness_census",
-    "q_st11_stream_interval_join",
-    "q_mm1_media_metadata",
-    "q_mm2_media_features",
-    "q_mm3_audio_chunks",
-    "q_mm4_frame_sample",
-    "q_mm5_patch_grid",
-    "q_mm6_wav_decode",
-    "q_v1_group_centroids",
-    "q_v2_nearest_centroid",
-    "q_v3_kmeans_2iter",
-    "q_v4_embedding_norms",
-    "q_se1_sessionize",
-    "q_se2_session_stats",
-    "q_se3_funnel",
-    "q_se4_retention_cohorts",
-    "q_c1_compact_runs",
-    "q_c2_apply_changes",
-    "q_n1_dedup_last_writer",
-    "q_n2_dedup_exact_docs",
-    "q_n3_ngram_jaccard_pairs",
-    "q_n4_simhash",
-    "q_n5_simhash_neardup",
-    "q_n6_embedding_neardup",
-    "q_n6b_embedding_neardup_lsh",
-    "q_n7_topk_similarity",
-    "q_n8_ann_lsh",
-    "q_n8b_ann_ivf",
-    "q_n8c_ann_ivf_materialized",
-    "q_n9_minhash_recall",
     "q_n10_lang_id",
     "q_n11_quality_score",
     "q_n12_token_counts",
@@ -885,7 +827,6 @@ _DRIVER_PRIORITY = [
     "q_mm19_image_resize",
     "q_n53_distinct_ngrams",
     "q_n54_dsir_weights",
-    "q_n56_gopher_rules",
     "q_x29_token_budget",
     "q_x30_budget_sample_apply",
     "q_v10_int8_quantization",
@@ -976,16 +917,7 @@ _DRIVER_PRIORITY = [
     "q_n58_hashed_tfidf",
     "q_n59_text_knn",
     "q_n60_rocchio_confusion",
-    "q_n61_logreg_train",
-    "q_n62_classifier_auc",
-    "q_n63_holdout_auc",
-    "q_n64_margin_cutoff",
-    "q_st12_stream_model_gate",
-    "q_n8h_ann_ivf_delete",
     "q_st21_stream_ivf_ingest",
-    "q_n65_sliced_auc",
-    "q_n66_temperature_mix",
-    "q_n67_calibration",
     "q_x8_json_extract",
     "q_x9_correlated_subquery",
     "q_x10_unpivot",
@@ -1009,6 +941,57 @@ _DRIVER_PRIORITY = [
     "q_st6_stream_dedup_vs_corpus",
     "q_st7_stream_file_sink",
     "q_st8_stream_upsert",
+    # --- last green: round 10 ---
+    "q_n8h_ann_ivf_delete",
+    "q_n61_logreg_train",
+    "q_n62_classifier_auc",
+    "q_n63_holdout_auc",
+    "q_n64_margin_cutoff",
+    "q_n65_sliced_auc",
+    "q_n67_calibration",
+    "q_st12_stream_model_gate",
+    "q_n56_gopher_rules",
+    "q_n66_temperature_mix",
+    "q_n68_lm_perplexity",
+    "q_pipe_model_curate",
+    "q_n69_lm_ppl_buckets",
+    "q_n70_lm_domain_report",
+    "q_st22_stream_lm_gate",
+    "q_n71_sbo_perplexity",
+    "q_n72_quality_signals",
+    "q_st23_stream_sbo_gate",
+    "q_n73_lm_domain_matrix",
+    "q_st9_stream_apply_changes",
+    "q_st10_stream_liveness_census",
+    "q_st11_stream_interval_join",
+    "q_mm1_media_metadata",
+    "q_mm2_media_features",
+    "q_mm3_audio_chunks",
+    "q_mm4_frame_sample",
+    "q_mm5_patch_grid",
+    "q_mm6_wav_decode",
+    "q_v1_group_centroids",
+    "q_v2_nearest_centroid",
+    "q_v3_kmeans_2iter",
+    "q_v4_embedding_norms",
+    "q_se1_sessionize",
+    "q_se2_session_stats",
+    "q_se3_funnel",
+    "q_se4_retention_cohorts",
+    "q_c1_compact_runs",
+    "q_c2_apply_changes",
+    "q_n1_dedup_last_writer",
+    "q_n2_dedup_exact_docs",
+    "q_n3_ngram_jaccard_pairs",
+    "q_n4_simhash",
+    "q_n5_simhash_neardup",
+    "q_n6_embedding_neardup",
+    "q_n6b_embedding_neardup_lsh",
+    "q_n7_topk_similarity",
+    "q_n8_ann_lsh",
+    "q_n8b_ann_ivf",
+    "q_n8c_ann_ivf_materialized",
+    "q_n9_minhash_recall",
 ]
 
 

@@ -50,6 +50,12 @@ def test_driver_priority_names_all_resolve():
     declared = set(entry_mod.queries().keys())
     missing = [k for k in entry_mod._DRIVER_PRIORITY if k not in declared]
     assert not missing, f"_DRIVER_PRIORITY names not declared: {missing}"
+    # duplicate slots are silent no-ops under _driver_order's dict
+    # comprehension (dedupes on first occurrence) and mislead rotation
+    # edits about window composition — r10 ADVICE finding
+    dupes = [k for k in set(entry_mod._DRIVER_PRIORITY)
+             if entry_mod._DRIVER_PRIORITY.count(k) > 1]
+    assert not dupes, f"duplicate _DRIVER_PRIORITY slots: {sorted(dupes)}"
 
 
 def _last_green_rounds() -> dict[str, int]:
