@@ -643,10 +643,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS row — maintained by hand with each code change; the
 #: contract test pins these to the front of the graded window.
 _REGRADE_FIRST = [
-    # round 11: maintained as round-11 changes land (emptied IVF/PQ index
-    # readability after compaction, Theil-Sen two-level pair ranking,
-    # stream_lm_gate idempotent sink) — changed queries are prepended
-    # here AND to the front of _DRIVER_PRIORITY.
+    # round 11: maintained as round-11 changes land — changed queries
+    # are prepended here AND to the front of _DRIVER_PRIORITY.
+    # ivf_query gained the emptied-index guard (schema-inference
+    # fallback to an empty frame) and ivf_compact's census/keeper
+    # changed — every declared query through ivf_query re-certifies:
+    "q_n8h_ann_ivf_delete",
+    "q_n8c_ann_ivf_materialized",
+    "q_n8d_ann_ivf_append",
+    "q_st21_stream_ivf_ingest",
 ]
 
 _DRIVER_PRIORITY = [
@@ -700,7 +705,6 @@ _DRIVER_PRIORITY = [
     "q_x16_exact_correlation",
     "q_a6_sketch_intersection",
     "q_n41_equidepth_histogram",
-    "q_n8d_ann_ivf_append",
     "q_st14_stream_sliding_window",
     "q_f5_text_lines_roundtrip",
     "q_j3_shuffle_hash_join_rollup",
@@ -917,7 +921,6 @@ _DRIVER_PRIORITY = [
     "q_n58_hashed_tfidf",
     "q_n59_text_knn",
     "q_n60_rocchio_confusion",
-    "q_st21_stream_ivf_ingest",
     "q_x8_json_extract",
     "q_x9_correlated_subquery",
     "q_x10_unpivot",
@@ -942,7 +945,6 @@ _DRIVER_PRIORITY = [
     "q_st7_stream_file_sink",
     "q_st8_stream_upsert",
     # --- last green: round 10 ---
-    "q_n8h_ann_ivf_delete",
     "q_n61_logreg_train",
     "q_n62_classifier_auc",
     "q_n63_holdout_auc",
@@ -990,7 +992,6 @@ _DRIVER_PRIORITY = [
     "q_n7_topk_similarity",
     "q_n8_ann_lsh",
     "q_n8b_ann_ivf",
-    "q_n8c_ann_ivf_materialized",
     "q_n9_minhash_recall",
 ]
 

@@ -420,9 +420,13 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
     sidecar below is emptied — resurrecting the deleted vectors. The
     per-cell census therefore splits affected cells into rewrites
     (survivors remain) and directory deletes (fully dead). Edge:
-    deleting EVERY vector leaves an index with no list files at all —
-    readers then raise on schema inference; reset such an index with a
-    fresh ivf_write rather than querying it."""
+    deleting EVERY vector would leave an index with no list files at
+    all (readers would raise on schema inference), so when no cell
+    survives the compaction writes a zero-row SCHEMA-KEEPER list at
+    ``cell=-1`` — a synthetic cell no centroid maps to, invisible to
+    queries and censuses (0 rows) but carrying the data-file schema, so
+    the emptied index stays readable and :func:`ivf_query` returns an
+    empty top-k frame instead of raising."""
     tombs = _index_tombstones(spark, path)
     if tombs is None or tombs.isEmpty():
         return 0
@@ -435,11 +439,10 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
             F.count_if(F.coalesce(F.col("_dead"), F.lit(False))).alias("n_dead"),
             F.count_if(F.col("_dead").isNull()).alias("n_live"),
         )
-        .filter(F.col("n_dead") > 0)
         .collect()
     )
-    affected = [int(r.cell) for r in census]
-    fully_dead = [int(r.cell) for r in census if r.n_live == 0]
+    affected = [int(r.cell) for r in census if r.n_dead > 0]
+    fully_dead = [int(r.cell) for r in census if r.n_dead > 0 and r.n_live == 0]
     rewrite = [c for c in affected if c not in set(fully_dead)]
     if rewrite:
         survivors = (
@@ -451,6 +454,16 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
          .partitionBy("cell").parquet(path))
     for c in fully_dead:
         _fs_delete(spark, f"{path}/cell={c}")
+    if not any(r.n_live > 0 for r in census):
+        # every inverted list is gone — keep the index readable with a
+        # zero-row keeper carrying the data-file schema (idx's schema
+        # minus the `cell` partition directory column)
+        from pyspark.sql.types import StructType
+
+        data_schema = StructType(
+            [f for f in idx.schema.fields if f.name != "cell"])
+        (spark.createDataFrame([], data_schema).repartition(1)
+         .write.mode("overwrite").parquet(f"{path}/cell=-1"))
     # empty sidecar: overwrite with a 0-row frame of the same schema
     _empty_tombstones(spark, id_col).coalesce(1).write.mode(
         "overwrite").parquet(f"{path}/_tombstones")
@@ -468,7 +481,16 @@ def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
     quantized scoring on the probed candidates, same ordering contract as
     topk_dot. Deleted vectors (:func:`ivf_delete`) are filtered via a
     broadcast anti-join against the tombstone sidecar — reconcile-at-read
-    until :func:`ivf_compact` purges them."""
+    until :func:`ivf_compact` purges them.
+
+    An index emptied by delete-all + compact stays readable via the
+    zero-row schema keeper :func:`ivf_compact` leaves, and this query
+    returns an empty frame through the normal plan. Indexes emptied by
+    an OLDER compaction (no keeper, no list files) are caught at schema
+    inference and answered with the same empty ``(id, dot)`` frame —
+    a legal API sequence never ends in a reader crash."""
+    from pyspark.errors import AnalysisException
+
     cent = spark.read.parquet(f"{path}/_centroids").collect()
     by_dist = sorted(
         cent,
@@ -476,7 +498,11 @@ def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
     )
     probes = [int(r["cell"]) for r in by_dist[:nprobe]]
     qdf = spark.createDataFrame([(query_vec,)], f"_qv array<float>")
-    scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    try:
+        scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    except AnalysisException:
+        # no list files at all (pre-keeper emptied index) — empty top-k
+        return spark.createDataFrame([], f"{id_col} bigint, dot bigint")
     if honor_tombstones:
         tombs = _index_tombstones(spark, path)
         if tombs is not None:
@@ -1499,27 +1525,40 @@ def pq_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
         return 0
     dead = F.broadcast(tombs.select(id_col).distinct())
     idx = spark.read.parquet(path)
+    n_total = idx.count()
     n_dead = idx.join(dead, id_col, "left_semi").count()
     if n_dead:
         # Stage the COMPLETE replacement index (survivor codes + the
-        # codebook sidecar) in a temp dir, then swap directories with
-        # two renames. Every crash window leaves a complete index on
-        # disk — at `path` (before the swap), at `tmp` (mid-swap), or
-        # at both `path` and `old` (before cleanup) — and
-        # :func:`pq_compact_repair` can finish the swap mechanically
-        # from whichever dirs are present. The previous in-place
-        # overwrite had a window where `path` held survivor codes but
-        # no `_codebook`.
+        # codebook sidecar + a terminal _COMMITTED marker) in a temp
+        # dir, then swap directories with two renames. Every crash
+        # window leaves a complete index on disk — at `path` (before
+        # the swap), at `tmp` (mid-swap), or at both `path` and `old`
+        # (before cleanup) — and :func:`pq_compact_repair` can finish
+        # the swap mechanically from whichever dirs are present,
+        # promoting `tmp` only when its marker proves the staging
+        # writes all finished. The directory renames themselves assume
+        # atomic-rename semantics (HDFS/local); object stores that
+        # emulate rename as copy+delete should front this with their
+        # committer instead.
         tmp = f"{path}__compact_tmp"
         old = f"{path}__compact_old"
-        survivors = idx.join(dead, id_col, "left_anti")
+        if n_dead == n_total:
+            # every code is tombstoned — stage a zero-row codes frame
+            # (repartition(1) forces one part file so the schema
+            # footer survives and the emptied index stays readable;
+            # pq_query then returns an empty top-k frame)
+            survivors = spark.createDataFrame([], idx.schema).repartition(1)
+        else:
+            survivors = idx.join(dead, id_col, "left_anti")
         survivors.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(f"{path}/_codebook").coalesce(1).write.mode(
             "overwrite").parquet(f"{tmp}/_codebook")
+        _fs_touch(spark, f"{tmp}/_COMMITTED")  # staging is complete
         _fs_delete(spark, old)          # stale leftover from a crash
         _fs_rename(spark, path, old)    # old view (incl. _tombstones) aside
         _fs_rename(spark, tmp, path)    # new view in place
         _fs_delete(spark, old)
+        _fs_delete(spark, f"{path}/_COMMITTED")  # marker served its purpose
     _empty_tombstones(spark, id_col).coalesce(1).write.mode(
         "overwrite").parquet(f"{path}/_tombstones")
     return int(n_dead)
@@ -1529,14 +1568,21 @@ def pq_compact_repair(spark, path: str) -> bool:
     """Finish an interrupted :func:`pq_compact` directory swap. Safe to
     call at any time (no-op on a healthy index). Rules, derived from the
     swap's crash windows: if ``path`` is missing but the staged temp dir
-    holds a complete index (its ``_codebook`` exists), rename it into
-    place; once ``path`` exists, any leftover temp/old dirs are garbage.
-    Returns True when anything was changed."""
+    holds a complete index (its terminal ``_COMMITTED`` marker exists —
+    written AFTER the codes and codebook, so a crash mid-staging can
+    never be mistaken for a finished stage; ``_codebook`` presence
+    alone is accepted only for temp dirs staged by the pre-marker
+    version), rename it into place; once ``path`` exists, any leftover
+    temp/old dirs are garbage. Returns True when anything was
+    changed."""
     tmp = f"{path}__compact_tmp"
     old = f"{path}__compact_old"
     changed = False
-    if not _fs_exists(spark, path) and _fs_exists(spark, f"{tmp}/_codebook"):
+    if not _fs_exists(spark, path) and (
+            _fs_exists(spark, f"{tmp}/_COMMITTED")
+            or _fs_exists(spark, f"{tmp}/_codebook")):
         _fs_rename(spark, tmp, path)
+        _fs_delete(spark, f"{path}/_COMMITTED")
         changed = True
     if _fs_exists(spark, path):
         for d in (tmp, old):
@@ -1574,6 +1620,14 @@ def _fs_rename(spark, src: str, dst: str) -> None:
     _, p_dst = _fs(spark, dst)
     if not fs.rename(p_src, p_dst):
         raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _fs_touch(spark, file_path: str) -> None:
+    """Create an empty marker file (the terminal commit record of a
+    staged directory — written LAST, so its presence proves every
+    earlier staging write finished)."""
+    fs, p = _fs(spark, file_path)
+    fs.create(p, True).close()
 
 
 def pq_census(spark, path: str, emb: DataFrame,

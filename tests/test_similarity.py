@@ -817,3 +817,144 @@ def test_pq_delete_query_compact_lifecycle(spark, embeddings, tmp_path):
              pq_query(spark, path, embeddings, 0, k=10).collect()]
     assert after == before
     assert pq_compact(spark, path) == 0  # idempotent
+
+
+def test_ivf_delete_all_compact_leaves_readable_index(spark, embeddings,
+                                                      tmp_path):
+    """Delete EVERY vector, compact, query: a legal API sequence must
+    end in an empty top-k frame, never a schema-inference crash — the
+    compaction leaves a zero-row schema-keeper list (cell=-1) when no
+    inverted list survives."""
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_census,
+        ivf_compact,
+        ivf_delete,
+        ivf_query,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=4)
+    everyone = [int(r.vec_id) for r in
+                embeddings.select("vec_id").collect()]
+    qv = [float(x) for x in
+          embeddings.filter("vec_id = 0").first()["embedding"]]
+    ivf_delete(spark, path, everyone)
+    assert ivf_compact(spark, path) == 4          # every cell affected
+    # index root still readable: 0 rows, data schema intact
+    left = spark.read.parquet(path)
+    assert left.count() == 0
+    assert "embedding" in left.columns and "vec_id" in left.columns
+    # queries and censuses answer empty instead of raising
+    assert ivf_query(spark, path, qv, k=10, nprobe=4).count() == 0
+    assert ivf_census(spark, path).count() == 0
+    assert spark.read.parquet(path + "/_tombstones").count() == 0
+    assert ivf_compact(spark, path) == 0          # idempotent
+    # the index is still APPENDABLE (frozen centroids survive) — the
+    # emptied state is a valid point in the lifecycle, not a tombstone
+    from cassandra_ttl_remover_spark.operators.similarity import ivf_append
+    ivf_append(spark, path, embeddings.filter("vec_id % 7 = 0"))
+    got = {r.vec_id for r in
+           ivf_query(spark, path, qv, k=50, nprobe=4).collect()}
+    assert got and all(v % 7 == 0 for v in got)
+
+
+def test_ivf_query_empty_index_without_keeper_returns_empty(spark,
+                                                            embeddings,
+                                                            tmp_path):
+    """An index emptied by an OLDER (pre-keeper) compaction has no list
+    files at all — ivf_query must answer with an empty (id, dot) frame
+    at schema-inference failure instead of raising."""
+    import os
+    import shutil
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        ivf_query,
+        ivf_write,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write(embeddings, path, n_cells=4)
+    for d in os.listdir(path):
+        if d.startswith("cell="):
+            shutil.rmtree(os.path.join(path, d))
+    qv = [float(x) for x in
+          embeddings.filter("vec_id = 0").first()["embedding"]]
+    out = ivf_query(spark, path, qv, k=10, nprobe=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "dot"]
+
+
+def test_pq_delete_all_compact_leaves_readable_index(spark, embeddings,
+                                                     tmp_path):
+    """PQ edition of the delete-ALL lifecycle: compaction stages a
+    zero-row codes frame (one part file, schema footer intact), the
+    codebook survives, and pq_query returns an empty top-k frame."""
+    import os
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        pq_append,
+        pq_compact,
+        pq_delete,
+        pq_query,
+        pq_write,
+    )
+
+    path = str(tmp_path / "pq")
+    pq_write(embeddings, path, m=4, k_codes=16)
+    everyone = [int(r.vec_id) for r in
+                embeddings.select("vec_id").collect()]
+    pq_delete(spark, path, everyone)
+    assert pq_compact(spark, path) == len(everyone)
+    left = spark.read.parquet(path)
+    assert left.count() == 0
+    assert set(left.columns) == {"vec_id", "codes"}
+    assert spark.read.parquet(path + "/_codebook").count() == 64
+    assert pq_query(spark, path, embeddings, 0, k=10).count() == 0
+    # no marker survives a completed swap
+    assert not os.path.exists(os.path.join(path, "_COMMITTED"))
+    assert pq_compact(spark, path) == 0          # idempotent
+    # frozen-codebook append still works on the emptied index
+    pq_append(spark, path, embeddings.filter("vec_id % 7 = 0"))
+    got = {r.vec_id for r in
+           pq_query(spark, path, embeddings, 0, k=10).collect()}
+    assert got and all(v % 7 == 0 for v in got)
+
+
+def test_pq_compact_repair_requires_complete_stage(spark, embeddings,
+                                                   tmp_path):
+    """The _COMMITTED marker gates promotion: a temp dir that crashed
+    mid-staging (codes written, no codebook, no marker) must NOT be
+    renamed into place; a marker-carrying stage is promoted and the
+    marker removed."""
+    import os
+    import shutil
+
+    from cassandra_ttl_remover_spark.operators.similarity import (
+        pq_compact_repair,
+        pq_query,
+        pq_write,
+    )
+
+    path = str(tmp_path / "pq")
+    tmp = path + "__compact_tmp"
+    pq_write(embeddings, path, m=4, k_codes=16)
+    before = [(r.vec_id, r.dot) for r in
+              pq_query(spark, path, embeddings, 0, k=10).collect()]
+
+    # crash mid-staging: incomplete tmp (no _codebook, no _COMMITTED)
+    shutil.move(path, tmp)
+    shutil.rmtree(os.path.join(tmp, "_codebook"))
+    assert pq_compact_repair(spark, path) is False
+    assert not os.path.exists(path), "incomplete stage must not promote"
+
+    # complete stage WITH marker: promoted, marker cleaned up
+    shutil.move(tmp, path)
+    pq_write(embeddings, path, m=4, k_codes=16)  # restore codebook
+    shutil.move(path, tmp)
+    open(os.path.join(tmp, "_COMMITTED"), "w").close()
+    assert pq_compact_repair(spark, path) is True
+    assert not os.path.exists(os.path.join(path, "_COMMITTED"))
+    after = [(r.vec_id, r.dot) for r in
+             pq_query(spark, path, embeddings, 0, k=10).collect()]
+    assert after == before
