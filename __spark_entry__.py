@@ -652,6 +652,9 @@ _REGRADE_FIRST = [
     "q_n8c_ann_ivf_materialized",
     "q_n8d_ann_ivf_append",
     "q_st21_stream_ivf_ingest",
+    # theil_sen_kendall's median-pair selection moved off the
+    # empty-partitionBy window onto plans.two_level_row_number:
+    "q_ml10_theil_sen",
 ]
 
 _DRIVER_PRIORITY = [
@@ -825,7 +828,6 @@ _DRIVER_PRIORITY = [
     "q_s18_digest_verify",
     "q_ml8_cusum_drift",
     "q_ml9_mannwhitney",
-    "q_ml10_theil_sen",
     "q_mm17_image_dhash",
     "q_mm18_pcm_decimate",
     "q_mm19_image_resize",

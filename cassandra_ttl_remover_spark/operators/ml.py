@@ -769,7 +769,17 @@ def theil_sen_kendall(daily: DataFrame, day_col: str = "day",
 
     Scale: the input is already the per-day aggregate; pairs are
     O(|days|^2) — ~6.6M at a DECADE of daily grain, a bounded
-    broadcast self-join over the tiny frame, never corpus-sized."""
+    broadcast self-join over the tiny frame, never corpus-sized. The
+    median-pair selection ranks that frame through
+    :func:`~cassandra_ttl_remover_spark.plans.two_level_row_number`
+    (shard-parallel sort + broadcast shard offsets) — no
+    empty-partitionBy window funnels the pairs through one task, the
+    same plan discipline the AUC prefix sum follows. Tied (slope, dt,
+    dx) rows may be numbered either way, which cannot move the output:
+    rank-adjacent ties carry the exact (dx, dt) values the selection
+    consumes."""
+    from cassandra_ttl_remover_spark.plans import two_level_row_number
+
     idx = daily.select(
         F.col(day_col).alias("day"), F.col(value_col).alias("x"),
         F.row_number().over(Window.orderBy(day_col)).alias("t"),
@@ -781,19 +791,16 @@ def theil_sen_kendall(daily: DataFrame, day_col: str = "day",
             (F.col("b.x") - F.col("a.x")).alias("dx"),
             (F.col("b.t") - F.col("a.t")).alias("dt"),
         )
+        .withColumn("_slope", F.expr("cast(dx as double) / cast(dt as double)"))
     )
-    w = Window.orderBy(
-        F.expr("cast(dx as double) / cast(dt as double)"), "dt", "dx"
+    ranked = two_level_row_number(pairs, ["_slope", "dt", "dx"], out="rn")
+    m_frame = ranked.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.expr("case when dx > 0 then 1L when dx < 0 then -1L "
+                     "else 0L end")).cast("long").alias("kendall_s"),
+        F.expr("sum(cast(dx = 0 as bigint))").cast("long").alias("n2"),
     )
-    cnt = Window.partitionBy()
-    ranked = pairs.select(
-        "dx", "dt",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(cnt).alias("m"),
-        F.expr("case when dx > 0 then 1L when dx < 0 then -1L "
-               "else 0L end").alias("sgn"),
-    )
-    mid = ranked.filter(
+    mid = ranked.join(F.broadcast(m_frame.select("m"))).filter(
         "rn = cast((m + 1) / 2 as bigint) or rn = cast((m + 2) / 2 as bigint)"
     ).agg(
         F.expr("min_by(dx, rn)").alias("dx_a"),
@@ -801,10 +808,8 @@ def theil_sen_kendall(daily: DataFrame, day_col: str = "day",
         F.expr("min_by(dt, rn)").alias("dt_a"),
         F.expr("max_by(dt, rn)").alias("dt_b"),
     )
-    tot = ranked.agg(
-        F.max("m").alias("n_pairs"),
-        F.sum("sgn").cast("long").alias("kendall_s"),
-        F.expr("sum(cast(dx = 0 as bigint))").cast("long").alias("n2"),
+    tot = m_frame.select(
+        F.col("m").alias("n_pairs"), "kendall_s", "n2",
     )
     n_days = daily.select(F.count("*").cast("long").alias("n_days"))
     num = "cast(dx_a as decimal(38,0)) * dt_b + cast(dx_b as decimal(38,0)) * dt_a"

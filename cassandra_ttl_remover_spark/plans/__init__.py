@@ -272,6 +272,81 @@ def two_level_cumsum(df: DataFrame, order_cols: list[str], val_col: str,
     )
 
 
+def two_level_row_number(df: DataFrame, order_cols: list[str],
+                         out: str = "rn", shards: int = 32) -> DataFrame:
+    """Global ``row_number()`` over a total order WITHOUT a
+    single-partition window — :func:`two_level_cumsum`'s construction
+    applied to ranking: range-partition on the order columns, number
+    rows per shard in parallel, collect the ≤``shards`` shard COUNTS to
+    the driver, prefix them, and broadcast each shard's offset back.
+    Global rank = local rank + shard offset.
+
+    Determinism contract (same as ``Window.orderBy``'s): rows that tie
+    on ALL ``order_cols`` may be numbered in either order — callers
+    that consume rank-selected VALUES must ensure tied rows carry equal
+    values for the consumed columns (true wherever a single-partition
+    ``row_number`` was previously correct). Range partitioning places
+    equal keys in one shard, so tie groups never straddle an offset
+    boundary's correctness.
+
+    This is the order-statistic primitive for exact medians/k-th
+    elements over bounded-but-large frames (Theil–Sen's O(|days|²)
+    pair ranking): shard-parallel sort instead of one task holding the
+    whole frame. Driver state is one count per shard."""
+    from pyspark.sql import Window
+
+    # localCheckpoint pins ONE materialization of the range partitioning
+    # (repartitionByRange samples boundaries per job — see
+    # two_level_cumsum) so the counts job and the output job agree on
+    # shard membership
+    d = df.repartitionByRange(shards, *[F.col(c) for c in order_cols]) \
+        .withColumn("_pid", F.spark_partition_id()) \
+        .localCheckpoint(eager=False)
+    lw = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    local = d.withColumn("_lrn", F.row_number().over(lw))
+    counts = {
+        r._pid: r._n
+        for r in d.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }
+    run, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = run
+        run += int(counts[pid])
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(out, (F.col("_lrn") + F.coalesce(F.col("_off"),
+                                                     F.lit(0))).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def empty_partition_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the OPTIMIZED logical plan whose partition spec
+    is empty — each such window funnels the whole frame through ONE
+    task, the plan shape that breaks first at 100 TB. Returns one
+    descriptive string per offending node (empty list = clean). Tests
+    sweep declared queries with this; operators that genuinely need a
+    global order route through :func:`two_level_cumsum` /
+    :func:`two_level_row_number` instead."""
+    import json
+
+    plan = json.loads(
+        df._jdf.queryExecution().optimizedPlan().toJSON())  # noqa: SLF001
+    bad = []
+    for node in plan:
+        cls = node.get("class", "")
+        if cls.endswith(".Window") and not node.get("partitionSpec"):
+            bad.append(
+                f"{cls.rsplit('.', 1)[-1]} windowExpressions="
+                f"{str(node.get('windowExpressions'))[:200]}"
+            )
+    return bad
+
+
 def salted_join(left: DataFrame, right: DataFrame, key: str,
                 n_salts: int = 8) -> DataFrame:
     """Skew-mitigated equi-join: the FACT side gets a deterministic

@@ -7,6 +7,7 @@ one of these, the 100 TB story breaks long before correctness does.
 """
 
 import pyspark.sql.functions as F
+import pytest
 
 from cassandra_ttl_remover_spark import annotate_events, scan_table, strip_ttl
 from cassandra_ttl_remover_spark.operators import dedup, text
@@ -632,3 +633,76 @@ def test_checkpoint_partitioned_preserves_hash_partitioning(spark):
     want = {(r.k, r.s) for r in
             df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
     assert got == want
+
+
+def test_two_level_row_number_matches_global_window(spark):
+    # the order-statistic primitive: shard-parallel ranking must equal
+    # the single-partition Window.orderBy row_number exactly, including
+    # with duplicate order keys (ties tie-broken by id here so the
+    # expected mapping is unique)
+    from pyspark.sql import Window
+
+    from cassandra_ttl_remover_spark.plans import two_level_row_number
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 13).alias("v"))
+    want = {(r.id, r.rn) for r in df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id"))).collect()}
+    got = {(r.id, r.rn) for r in
+           two_level_row_number(df, ["v", "id"], shards=8).collect()}
+    assert got == want
+    # empty input: no rows, no crash
+    assert two_level_row_number(
+        df.filter("id < 0"), ["v", "id"], shards=8).count() == 0
+
+
+def test_theil_sen_has_no_empty_partition_window(spark, events):
+    # the r10 verdict's residual single-task window (ml.py Theil-Sen
+    # pair ranking) is gone: the pair frame ranks through
+    # two_level_row_number, and the optimized plan holds NO window with
+    # an empty partition spec
+    from cassandra_ttl_remover_spark.operators.ml import theil_sen_kendall
+    from cassandra_ttl_remover_spark.plans import empty_partition_windows
+
+    daily = events.groupBy(
+        F.to_date("ts").alias("day")).agg(F.count("*").alias("x"))
+    out = theil_sen_kendall(daily, "day", "x")
+    offenders = empty_partition_windows(out)
+    # idx's day->t numbering IS a bounded global window over |days| rows
+    # (the per-day aggregate, not the corpus) — the PAIR frame (|days|^2)
+    # must not be: no offender may rank/aggregate over dx/dt pair columns
+    assert not [o for o in offenders if "dx" in o or "dt" in o or
+                "_slope" in o], offenders
+
+
+@pytest.mark.slow  # builds every batch plan — seal-gate tier
+def test_no_corpus_scale_empty_partition_windows_anywhere(spark):
+    # sweep the DECLARED SURFACE: no query's optimized plan may funnel
+    # a corpus-scale frame through an empty-partitionBy window. Bounded
+    # exceptions (documented O(|days|)/O(groups) frames) are listed with
+    # the reason they are safe at 100 TB.
+    import __spark_entry__ as entry_mod
+    from cassandra_ttl_remover_spark.plans import empty_partition_windows
+
+    from tests.conftest import SF_DIR
+
+    # column names that only occur in documented BOUNDED frames (per-day
+    # aggregates, per-group report rows, <=k centroid/threshold frames)
+    bounded_markers = (
+        "day", "_t#", "bucket", "cell", "block", "grp", "slice",
+        "cohort", "step", "code",
+    )
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        if name.startswith("q_st"):
+            continue  # streaming drains — covered by their own tests
+        try:
+            bad = empty_partition_windows(fn(spark, SF_DIR))
+        except Exception:
+            continue  # plan-build side effects (tempdir fixtures) — the
+            #           scalar-output sweep covers build failures
+        real = [o for o in bad
+                if not any(m in o for m in bounded_markers)]
+        if real:
+            offenders[name] = real
+    assert not offenders, offenders
