@@ -660,7 +660,7 @@ _REGRADE_FIRST = [
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
     # --- new in round 11 (never graded) ---
-    # (q_n74_doremi_weights, q_n75_tokenizer_fertility land here)
+    "q_n74_doremi_weights",
     # --- round-11 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r10 (script pattern in ROTATION_r11_plan.md; same
     # green rule as tests/test_harness_contract.py). After r10 graded its
@@ -4851,6 +4851,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.lm_domain_matrix(docs, domain_col="lang")
     q["q_n73_lm_domain_matrix"] = q_n73
 
+    def q_n74(spark, sf):
+        # DoReMi mixture weights: the optimizer step q_n73's matrix is
+        # the diagnostic for — rational multiplicative-weights over
+        # per-domain excess cross-perplexity (integer iterates, oracle
+        # unrolls the loop as chained CTEs). ONE corpus read (the
+        # matrix featurize); everything after is a <= |domains|^2
+        # bounded frame, iterated driver-side like k-means centroids
+        docs = scan_table(spark, sf, "documents")
+        return curate.doremi_weights(docs, domain_col="lang")
+    q["q_n74_doremi_weights"] = q_n74
+
     def q_n72(spark, sf):
         # the per-doc multi-signal quality MATRIX: Gopher rule verdict,
         # trained discriminative margin, and generative LM surprise side
@@ -6284,6 +6295,9 @@ FROM events GROUP BY event_type ORDER BY event_type
         train_where="lang = 'en'"
     )
     o["q_n73_lm_domain_matrix"] = curate.lm_domain_matrix_oracle_sql(
+        domain_col="lang"
+    )
+    o["q_n74_doremi_weights"] = curate.doremi_weights_oracle_sql(
         domain_col="lang"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(

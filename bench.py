@@ -453,6 +453,13 @@ def main() -> int:
         # from it, 5-way lookup join + doc-id reduce
         curate.sbo_perplexity(documents, "lang = 'en'").collect()
 
+    def q_doremi_weights():
+        # DoReMi mixture weights: one corpus featurize into per-domain
+        # bigram histograms (the q_n73 matrix), then a bounded
+        # <= |domains|^2 driver iteration — prices the whole
+        # matrix-plus-optimizer path
+        curate.doremi_weights(documents, domain_col="lang").collect()
+
     def q_model_curate():
         # the composed model-based pipeline: gopher -> train -> exact
         # broadcast margin gate -> temperature mix -> exact dedup, one
@@ -513,6 +520,7 @@ def main() -> int:
         "lm_perplexity": q_lm_perplexity,
         "sbo_perplexity": q_sbo_perplexity,
         "model_curate": q_model_curate,
+        "doremi_weights": q_doremi_weights,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock
@@ -564,6 +572,7 @@ def main() -> int:
     # is the common-query subtotal, never the full total (entry count
     # grows every round; see the module docstring on ambient variance)
     new_in_r10 = ("lm_perplexity", "sbo_perplexity", "model_curate")
+    new_in_r11 = ("doremi_weights",)
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
@@ -571,7 +580,10 @@ def main() -> int:
         "queries": timings,
         "r1_subset_seconds": round(sum(timings[q] for q in r1_set), 3),
         "r9_common_subset_seconds": round(
-            sum(v for q, v in timings.items() if q not in new_in_r10), 3),
+            sum(v for q, v in timings.items()
+                if q not in new_in_r10 and q not in new_in_r11), 3),
+        "r10_common_subset_seconds": round(
+            sum(v for q, v in timings.items() if q not in new_in_r11), 3),
         "warm_floors": warm_floors,
         "sf": sf_dir,
         "sweeps": 3,

@@ -2372,3 +2372,175 @@ LEFT JOIN mpair USING (m, u, v)
 GROUP BY m, d.dom
 ORDER BY model_domain, data_domain
 """
+
+
+def doremi_weights(docs: DataFrame, *, domain_col: str = "lang",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   buckets: int = 4096, scale: int = 1000,
+                   iters: int = 5, weight_scale: int = 1_000_000,
+                   step_k: int = 2000,
+                   smooth_num: int = 1, smooth_den: int = 5) -> DataFrame:
+    """Learned domain mixture weights — the optimizer step the
+    :func:`lm_domain_matrix` diagnostic feeds (DoReMi, Xie et al. 2023):
+    domains whose data stays SURPRISING under the other domains' models
+    (high excess cross-perplexity) earn weight; easy/redundant domains
+    shrink. The published Group-DRO inner step is exponentiated-gradient
+    ascent; this uses the rational ``w * (1 + eta * excess)``
+    multiplicative-weights variant (same regret family, Arora-Hazan-Kale
+    survey) so every iterate is an EXACT integer and the result
+    hash-matches the DuckDB oracle — the engine's standing no-
+    transcendentals rule.
+
+    Construction, all integers:
+
+    1. excess_d = max(0, mean_{m != d}(cross_permille[m, d])
+                         - cross_permille[d, d])   (truncating mean)
+    2. e_d = (excess_d * 1000) div max_excess      (data-independent step)
+    3. iterate ``iters`` times from uniform w_d = weight_scale div n:
+         u_d = w_d * (step_k + e_d)
+         w_d = (u_d * weight_scale) div sum(u)     (renormalize)
+         w_d = ((smooth_den - smooth_num) * w_d
+                + smooth_num * (weight_scale div n)) div smooth_den
+       (the paper's uniform-smoothing with c = smooth_num/smooth_den)
+    4. report the last iterate and the across-iterate mean (DoReMi
+       returns the AVERAGE of the iterates).
+
+    Scale: the corpus is read once, by lm_domain_matrix (text never
+    shuffles — bigram histograms do); everything after is a bounded
+    <= |domains|^2 frame, collected to the driver for the iteration —
+    the power-iteration/k-means precedent: driver state is O(|domains|),
+    never corpus-sized. Magnitudes: w <= weight_scale (1e6), step
+    factor <= step_k + 1000, so u <= ~3e9 and u * weight_scale
+    <= ~3e15 — far under 2^63 in both engines."""
+    mat = lm_domain_matrix(
+        docs, domain_col=domain_col, text_col=text_col, id_col=id_col,
+        buckets=buckets, scale=scale,
+    ).collect()                      # bounded: <= |domains|^2 rows
+    doms = sorted({r.model_domain for r in mat})
+    n = len(doms)
+    cross = {(r.model_domain, r.data_domain): int(r.cross_permille)
+             for r in mat}
+    excess = {}
+    for d in doms:
+        if n == 1:
+            excess[d] = 0
+            continue
+        off = sum(cross[(m, d)] for m in doms if m != d) // (n - 1)
+        excess[d] = max(0, off - cross[(d, d)])
+    mx = max(excess.values()) if excess else 0
+    e = {d: (excess[d] * 1000) // mx if mx > 0 else 0 for d in doms}
+
+    w = {d: weight_scale // n for d in doms}
+    acc = {d: 0 for d in doms}
+    for _ in range(iters):
+        u = {d: w[d] * (step_k + e[d]) for d in doms}
+        tot = sum(u.values())
+        w = {d: (u[d] * weight_scale) // tot for d in doms}
+        w = {d: ((smooth_den - smooth_num) * w[d]
+                 + smooth_num * (weight_scale // n)) // smooth_den
+             for d in doms}
+        for d in doms:
+            acc[d] += w[d]
+    spark = docs.sparkSession
+    rows = [(d, excess[d], e[d], w[d], acc[d] // iters) for d in doms]
+    return spark.createDataFrame(
+        rows,
+        f"{domain_col} string, excess_permille long, excess_step long, "
+        "weight_final long, weight_avg long",
+    ).orderBy(domain_col)
+
+
+def doremi_weights_oracle_sql(*, domain_col: str = "lang",
+                              table: str = "documents",
+                              buckets: int = 4096, scale: int = 1000,
+                              iters: int = 5,
+                              weight_scale: int = 1_000_000,
+                              step_k: int = 2000,
+                              smooth_num: int = 1,
+                              smooth_den: int = 5) -> str:
+    """DuckDB recomputation of :func:`doremi_weights` — the matrix CTEs
+    of lm_domain_matrix_oracle_sql followed by the multiplicative-
+    weights iteration UNROLLED as chained CTEs (the pagerank/k-means
+    oracle construction). All arithmetic is non-negative integers, so
+    DuckDB's truncating ``//`` equals Python's floor ``//`` on the
+    Spark side."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    bucket = _dsir_bucket_duck("w", buckets)
+    smooth_b = smooth_den - smooth_num
+    unrolled = []
+    prev = "w0"
+    for t in range(1, iters + 1):
+        unrolled.append(f"""
+u{t} AS (SELECT dom, e, w * (({step_k})::HUGEINT + e) AS u FROM {prev}),
+t{t} AS (SELECT sum(u) AS tot FROM u{t}),
+w{t} AS (
+  SELECT dom, e,
+         ({smooth_b} * ((u * {weight_scale}) // (SELECT tot FROM t{t}))
+          + {smooth_num} * ({weight_scale} // (SELECT n FROM nd)))
+         // {smooth_den} AS w
+  FROM u{t}
+)""")
+        prev = f"w{t}"
+    avg = " + ".join(f"(SELECT w FROM w{t} WHERE w{t}.dom = ex.dom)"
+                     for t in range(1, iters + 1))
+    return f"""
+WITH b AS (
+  SELECT dom, list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {domain_col} AS dom, {ws} AS ws FROM {table})
+  WHERE len(ws) >= 2
+),
+bg AS (
+  SELECT dom,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
+  FROM b
+),
+hist AS (SELECT dom, u, v, count(*)::BIGINT AS cnt
+         FROM bg GROUP BY dom, u, v),
+mctx AS (SELECT dom AS m, u, sum(cnt)::BIGINT AS c_u
+         FROM hist GROUP BY dom, u),
+mpair AS (SELECT dom AS m, u, v, cnt AS c_uv FROM hist),
+doms AS (SELECT DISTINCT dom AS m FROM hist),
+mat AS (
+  SELECT m, d.dom AS dd,
+         (sum(d.cnt * (((coalesce(c_u, 0) + {buckets}) * {scale})
+                       // (coalesce(c_uv, 0) + 1)))
+          // sum(d.cnt))::BIGINT AS cp
+  FROM hist d
+  CROSS JOIN doms
+  LEFT JOIN mctx USING (m, u)
+  LEFT JOIN mpair USING (m, u, v)
+  GROUP BY m, d.dom
+),
+nd AS (SELECT count(*)::BIGINT AS n FROM doms),
+ex AS (
+  SELECT dd AS dom,
+         CASE WHEN (SELECT n FROM nd) = 1 THEN 0
+              ELSE greatest(0::HUGEINT,
+                   (sum(CASE WHEN m <> dd THEN cp ELSE 0 END)
+                    // greatest(1, (SELECT n FROM nd) - 1))
+                   - max(CASE WHEN m = dd THEN cp END))
+         END::BIGINT AS excess
+  FROM mat GROUP BY dd
+),
+mxx AS (SELECT max(excess) AS mx FROM ex),
+es AS (
+  SELECT dom, excess,
+         CASE WHEN (SELECT mx FROM mxx) > 0
+              THEN (excess * 1000) // (SELECT mx FROM mxx)
+              ELSE 0 END::BIGINT AS e
+  FROM ex
+),
+w0 AS (SELECT dom, e,
+              ({weight_scale} // (SELECT n FROM nd))::HUGEINT AS w
+       FROM es),
+{", ".join(s.strip() for s in unrolled)}
+SELECT ex.dom AS {domain_col},
+       ex.excess::BIGINT AS excess_permille,
+       es.e::BIGINT AS excess_step,
+       (SELECT w FROM w{iters} WHERE w{iters}.dom = ex.dom)::BIGINT
+         AS weight_final,
+       (({avg}) // {iters})::BIGINT AS weight_avg
+FROM ex JOIN es USING (dom)
+ORDER BY {domain_col}
+"""

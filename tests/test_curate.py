@@ -656,3 +656,59 @@ def test_lm_domain_matrix_corpus_read_once(spark, documents):
     # the corpus scan is cut off by the histogram checkpoint: only
     # ExistingRDD scans (the checkpoint) appear, no parquet re-scan
     assert "Scan parquet" not in plan
+
+
+def test_doremi_weights_hard_domain_earns_weight(spark):
+    """The MW update's direction: a domain whose data stays surprising
+    under the OTHER domains' models (disjoint vocabulary) must earn
+    more than its uniform share; iterates stay integer and bounded."""
+    rows = [(i, "aa bb cc dd aa bb cc", "x") for i in range(20)]
+    rows += [(100 + i, "aa bb cc dd aa bb cc", "y") for i in range(20)]
+    rows += [(200 + i, "pp qq rr ss tt pp qq", "z") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in curate.doremi_weights(docs).collect()}
+    assert set(out) == {"x", "y", "z"}
+    # z's vocabulary is disjoint from x/y -> maximal excess, max weight
+    assert out["z"].excess_step == 1000
+    assert out["z"].weight_final > 1_000_000 // 3
+    assert out["z"].weight_final == max(r.weight_final for r in out.values())
+    # x and y are mutual twins: identical excess, identical weights
+    assert out["x"].weight_final == out["y"].weight_final
+    # weights renormalize each round: the final iterate sums to ~scale
+    # (exact up to |domains| units of div truncation)
+    s = sum(r.weight_final for r in out.values())
+    assert 1_000_000 - 3 * 5 <= s <= 1_000_000
+    # smoothing floor: no domain collapses below c * uniform
+    floor = (1 * (1_000_000 // 3)) // 5
+    assert all(r.weight_final >= floor for r in out.values())
+    # weight_avg is the across-iterate mean, between uniform and final
+    assert out["z"].weight_avg <= out["z"].weight_final
+
+
+def test_doremi_weights_single_domain_is_uniform(spark):
+    """|domains| = 1: zero excess by definition, weight = the whole
+    scale — no div-by-zero on the (n - 1) mean or the max-excess step."""
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc dd", "only") for i in range(5)],
+        "doc_id long, text string, lang string")
+    rows = curate.doremi_weights(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].excess_permille == 0 and rows[0].excess_step == 0
+    assert rows[0].weight_final == 1_000_000
+    assert rows[0].weight_avg == 1_000_000
+
+
+def test_doremi_weights_oracle_parity_inline(spark, documents):
+    """Spark vs DuckDB on the REAL fixture table — the driver's exact
+    comparison, inline (the unrolled-CTE oracle must reproduce the
+    driver-loop iterates bit for bit)."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from tests.oracle_parity import duck_connection, compare
+
+    con = duck_connection(SF_DIR)
+    ok, msg = compare(curate.doremi_weights(documents, domain_col="lang"),
+                      curate.doremi_weights_oracle_sql(domain_col="lang"),
+                      con)
+    assert ok, msg
