@@ -661,6 +661,7 @@ _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
     # --- new in round 11 (never graded) ---
     "q_n74_doremi_weights",
+    "q_n75_tokenizer_fertility",
     # --- round-11 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r10 (script pattern in ROTATION_r11_plan.md; same
     # green rule as tests/test_harness_contract.py). After r10 graded its
@@ -4862,6 +4863,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.doremi_weights(docs, domain_col="lang")
     q["q_n74_doremi_weights"] = q_n74
 
+    def q_n75(spark, sf):
+        # tokenizer-aware corpus cost: per-domain BPE token counts,
+        # fertility (subwords per word) and chars-per-token — the
+        # data-card block that prices a corpus in tokens before
+        # training (Gopher/Chinchilla data-card practice). Long-format
+        # (metric, value) rows, unions onto q_d13's corpus card; the
+        # segmentation is bpe_segment's zero-shuffle JVM projection,
+        # so the whole report is one map-side agg keyed by domain
+        docs = scan_table(spark, sf, "documents")
+        return text.tokenizer_fertility(docs, domain_col="lang")
+    q["q_n75_tokenizer_fertility"] = q_n75
+
     def q_n72(spark, sf):
         # the per-doc multi-signal quality MATRIX: Gopher rule verdict,
         # trained discriminative margin, and generative LM surprise side
@@ -6298,6 +6311,9 @@ FROM events GROUP BY event_type ORDER BY event_type
         domain_col="lang"
     )
     o["q_n74_doremi_weights"] = curate.doremi_weights_oracle_sql(
+        domain_col="lang"
+    )
+    o["q_n75_tokenizer_fertility"] = text.tokenizer_fertility_oracle_sql(
         domain_col="lang"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(

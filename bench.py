@@ -460,6 +460,12 @@ def main() -> int:
         # matrix-plus-optimizer path
         curate.doremi_weights(documents, domain_col="lang").collect()
 
+    def q_tokenizer_fertility():
+        # per-domain tokenizer cost card: bpe_segment's zero-shuffle
+        # merge-chain projection + ONE map-side agg keyed by domain
+        from cassandra_ttl_remover_spark.operators import text as _text
+        _text.tokenizer_fertility(documents, domain_col="lang").collect()
+
     def q_model_curate():
         # the composed model-based pipeline: gopher -> train -> exact
         # broadcast margin gate -> temperature mix -> exact dedup, one
@@ -521,6 +527,7 @@ def main() -> int:
         "sbo_perplexity": q_sbo_perplexity,
         "model_curate": q_model_curate,
         "doremi_weights": q_doremi_weights,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock
@@ -572,7 +579,7 @@ def main() -> int:
     # is the common-query subtotal, never the full total (entry count
     # grows every round; see the module docstring on ambient variance)
     new_in_r10 = ("lm_perplexity", "sbo_perplexity", "model_curate")
-    new_in_r11 = ("doremi_weights",)
+    new_in_r11 = ("doremi_weights", "tokenizer_fertility")
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,

@@ -1779,3 +1779,133 @@ SELECT *,
         AND stop_hits >= {min_stop_hits}) AS passes_gopher
 FROM g ORDER BY {id_col}
 """
+
+
+def tokenizer_fertility(docs: DataFrame,
+                        merges: list[tuple[str, str]] | None = None,
+                        domain_col: str = "lang", text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-aware corpus cost report — the data-card block that
+    prices a corpus in TOKENS before training (public practice: the
+    Gopher/Chinchilla data cards report per-subset token counts and
+    tokens-per-word fertility; MT literature calls subwords-per-word
+    "fertility"). Long-format ``(metric, value)`` rows, six per domain,
+    so the block unions directly onto :func:`~cassandra_ttl_remover_
+    spark.operators.audit.corpus_card`'s card:
+
+        docs:<d>                    document count
+        chars:<d>                   exact char volume
+        ws_words:<d>                whitespace words
+        bpe_tokens:<d>              subwords under the merge table
+        fertility_permille:<d>      bpe_tokens * 1000 div ws_words
+        chars_per_token_permille:<d> chars * 1000 div bpe_tokens
+
+    High fertility = the tokenizer fragments that domain (expensive per
+    word); low chars-per-token = poor compression (expensive per byte).
+    All integers — one truncating div per ratio, reproducible
+    bit-for-bit across engines like the rest of the card.
+
+    Scale: the BPE segmentation is :func:`bpe_segment`'s per-row JVM
+    projection (doubled-delimiter merge chain — no shuffle, no Python),
+    so the whole report is ONE map-side-combined aggregate keyed by
+    domain (<= |domains| rows out) plus a 6-way per-row stack of the
+    bounded result. The corpus is read once, text never shuffles."""
+    merges = DEFAULT_BPE_MERGES if merges is None else merges
+    ws = WORDS_EXPR.format(col=text_col)
+
+    def _subwords(w):
+        # bpe_segment's exact doubled-delimiter chain (see its docstring
+        # for why plain single-space replace would fuse across symbols)
+        seg = F.concat(F.lit("  "), F.regexp_replace(w, "(.)", "$1  "))
+        for a, b in merges:
+            seg = F.replace(seg, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        return F.size(F.split(F.trim(seg), " +"))
+
+    n_sub = F.aggregate(F.expr(ws), F.lit(0), lambda s, w: s + _subwords(w))
+    per_dom = (
+        fan_out(docs, id_col)
+        .select(
+            F.col(domain_col).alias("_dom"),
+            F.length(text_col).cast("long").alias("_chars"),
+            F.expr(f"cast(size({ws}) as bigint)").alias("_words"),
+            n_sub.cast("long").alias("_sub"),
+        )
+        .groupBy("_dom")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+            F.sum("_words").cast("long").alias("n_words"),
+            F.sum("_sub").cast("long").alias("n_sub"),
+        )
+    )
+    return (
+        per_dom.select(F.explode(F.expr(
+            "array("
+            " struct(concat('docs:', _dom) as metric, n_docs as value),"
+            " struct(concat('chars:', _dom) as metric, n_chars as value),"
+            " struct(concat('ws_words:', _dom) as metric,"
+            "        n_words as value),"
+            " struct(concat('bpe_tokens:', _dom) as metric,"
+            "        n_sub as value),"
+            " struct(concat('fertility_permille:', _dom) as metric,"
+            "        if(n_words > 0, (n_sub * 1000L) div n_words, 0L)"
+            "        as value),"
+            " struct(concat('chars_per_token_permille:', _dom) as metric,"
+            "        if(n_sub > 0, (n_chars * 1000L) div n_sub, 0L)"
+            "        as value))"
+        )).alias("kv"))
+        .select(F.col("kv.metric").alias("metric"),
+                F.col("kv.value").cast("long").alias("value"))
+        .orderBy("metric")
+    )
+
+
+def tokenizer_fertility_oracle_sql(
+        merges: list[tuple[str, str]] | None = None,
+        domain_col: str = "lang", table: str = "documents") -> str:
+    """DuckDB recomputation of :func:`tokenizer_fertility` — the same
+    doubled-delimiter merge chain as bpe_segment_oracle_sql, aggregated
+    per domain and unpivoted to the card's long format."""
+    merges = DEFAULT_BPE_MERGES if merges is None else merges
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    seg = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
+    for a, b in merges:
+        seg = (f"replace({seg}, ' {_q(a)}  {_q(b)} ',"
+               f" ' {_q(a)}{_q(b)} ')")
+    return f"""
+WITH per_doc AS (
+  SELECT {domain_col} AS dom,
+         length(text)::BIGINT AS chars,
+         len({ws})::BIGINT AS words,
+         coalesce(list_sum(list_transform({ws},
+           w -> len(string_split_regex(trim({seg}), ' +')))), 0)::BIGINT
+           AS sub
+  FROM {table}
+),
+per_dom AS (
+  SELECT dom, count(*)::BIGINT AS n_docs, sum(chars)::BIGINT AS n_chars,
+         sum(words)::BIGINT AS n_words, sum(sub)::BIGINT AS n_sub
+  FROM per_doc GROUP BY dom
+)
+SELECT metric, value FROM (
+  SELECT 'docs:' || dom AS metric, n_docs AS value FROM per_dom
+  UNION ALL
+  SELECT 'chars:' || dom, n_chars FROM per_dom
+  UNION ALL
+  SELECT 'ws_words:' || dom, n_words FROM per_dom
+  UNION ALL
+  SELECT 'bpe_tokens:' || dom, n_sub FROM per_dom
+  UNION ALL
+  SELECT 'fertility_permille:' || dom,
+         CASE WHEN n_words > 0 THEN (n_sub * 1000) // n_words ELSE 0 END
+  FROM per_dom
+  UNION ALL
+  SELECT 'chars_per_token_permille:' || dom,
+         CASE WHEN n_sub > 0 THEN (n_chars * 1000) // n_sub ELSE 0 END
+  FROM per_dom
+) ORDER BY metric
+"""

@@ -567,3 +567,66 @@ def test_gopher_rules_gates_and_edges(spark):
     r7 = gopher_rules(no_stop_doc, min_words=5, max_words=100,
                       min_stop_hits=0).collect()[0]
     assert r7.passes_gopher is True and r7.stop_hits == 0
+
+
+def test_tokenizer_fertility_matches_bpe_segment_sums(spark, documents):
+    """The card's per-domain totals must be EXACTLY the sums of
+    bpe_segment's per-doc counts — same merge chain, one aggregation."""
+    from cassandra_ttl_remover_spark.operators.text import (
+        bpe_segment,
+        tokenizer_fertility,
+    )
+
+    seg = {r.doc_id: r for r in bpe_segment(documents).collect()}
+    langs = {r.doc_id: r.lang
+             for r in documents.select("doc_id", "lang").collect()}
+    card = {r.metric: r.value
+            for r in tokenizer_fertility(documents).collect()}
+    for dom in sorted(set(langs.values())):
+        ids = [i for i, l in langs.items() if l == dom]
+        n_words = sum(seg[i].n_words for i in ids)
+        n_sub = sum(seg[i].n_subwords for i in ids)
+        assert card[f"docs:{dom}"] == len(ids)
+        assert card[f"ws_words:{dom}"] == n_words
+        assert card[f"bpe_tokens:{dom}"] == n_sub
+        assert card[f"fertility_permille:{dom}"] == (n_sub * 1000) // n_words
+        # a merge table can only FUSE: tokens per word >= 1, and never
+        # more than chars per word
+        assert card[f"fertility_permille:{dom}"] >= 1000
+
+
+def test_tokenizer_fertility_unions_onto_corpus_card(spark, documents):
+    """The block slots into q_d13's card: same (metric, value) schema,
+    disjoint metric names — the union is a valid long-format card."""
+    from cassandra_ttl_remover_spark.operators.audit import corpus_card
+    from cassandra_ttl_remover_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    card = corpus_card(documents)
+    fert = tokenizer_fertility(documents)
+    assert card.schema == fert.schema
+    merged = card.unionByName(fert)
+    names = [r.metric for r in merged.collect()]
+    assert len(names) == len(set(names)), "metric names must stay disjoint"
+
+
+def test_tokenizer_fertility_zero_shuffle_segmentation(spark, documents):
+    """The segmentation must stay a per-row JVM projection: one exchange
+    total (the per-domain aggregation), no Python boundary."""
+    from cassandra_ttl_remover_spark.operators.text import (
+        tokenizer_fertility,
+    )
+    from cassandra_ttl_remover_spark.plans import (
+        exchange_count,
+        formatted_plan,
+    )
+
+    out = tokenizer_fertility(documents)
+    plan = formatted_plan(out)
+    # fan_out's parallelism floor may add one repartition on the tiny
+    # fixture; the per-domain aggregate adds one; the final orderBy adds
+    # a range exchange over the <= 6*|domains|-row RESULT — never more,
+    # and none of them move text
+    assert exchange_count(out) <= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
