@@ -655,6 +655,11 @@ _REGRADE_FIRST = [
     # theil_sen_kendall's median-pair selection moved off the
     # empty-partitionBy window onto plans.two_level_row_number:
     "q_ml10_theil_sen",
+    # stream_lm_gate's sink became idempotent b=<batch_id> overwrite
+    # directories (exactly-once under replay) and the readers drop the
+    # layout column:
+    "q_st22_stream_lm_gate",
+    "q_st23_stream_sbo_gate",
 ]
 
 _DRIVER_PRIORITY = [
@@ -961,10 +966,8 @@ _DRIVER_PRIORITY = [
     "q_pipe_model_curate",
     "q_n69_lm_ppl_buckets",
     "q_n70_lm_domain_report",
-    "q_st22_stream_lm_gate",
     "q_n71_sbo_perplexity",
     "q_n72_quality_signals",
-    "q_st23_stream_sbo_gate",
     "q_n73_lm_domain_matrix",
     "q_st9_stream_apply_changes",
     "q_st10_stream_liveness_census",
@@ -4664,7 +4667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         st = scan_stream(spark, sf, glob="documents.parquet")
         stream_lm_gate(st, model, base + "/out", base + "/ckpt",
                        threshold=int(cuts.t2))
-        return spark.read.parquet(base + "/out").orderBy("doc_id")
+        # drop the b=<batch_id> idempotence-layout column (see
+        # stream_lm_gate: per-batch overwrite directories)
+        return (spark.read.parquet(base + "/out").drop("b")
+                .orderBy("doc_id"))
     q["q_st22_stream_lm_gate"] = q_st22
 
     def q_st23(spark, sf):
@@ -4686,7 +4692,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         st = scan_stream(spark, sf, glob="documents.parquet")
         stream_lm_gate(st, model, base + "/out", base + "/ckpt",
                        threshold=int(cuts.t2), order=3)
-        return spark.read.parquet(base + "/out").orderBy("doc_id")
+        # drop the b=<batch_id> idempotence-layout column (see
+        # stream_lm_gate: per-batch overwrite directories)
+        return (spark.read.parquet(base + "/out").drop("b")
+                .orderBy("doc_id"))
     q["q_st23_stream_sbo_gate"] = q_st23
 
     def q_n32(spark, sf):

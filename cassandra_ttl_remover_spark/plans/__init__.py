@@ -198,6 +198,12 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
 
 
+import threading as _threading
+
+#: serializes checkpoint_partitioned's session-conf toggle against itself
+_CHECKPOINT_LOCK = _threading.Lock()
+
+
 def checkpoint_partitioned(df: DataFrame) -> DataFrame:
     """``localCheckpoint(eager=False)`` that PRESERVES the frame's output
     partitioning in the checkpointed scan's metadata. Under AQE the
@@ -211,14 +217,24 @@ def checkpoint_partitioned(df: DataFrame) -> DataFrame:
     iterative consumers (logreg's GD loop) reuse the partitioning with
     ZERO exchanges per pass. Cost: this one exchange forgoes AQE's
     runtime coalescing — size ``spark.sql.shuffle.partitions`` for the
-    target scale as usual."""
+    target scale as usual.
+
+    CONCURRENCY: the AQE flag is SESSION-global, so the toggle is held
+    under a process lock — concurrent checkpoint_partitioned calls
+    serialize instead of racing the flag. A plan compiled on an
+    UNRELATED thread during the (brief, plan-build-only) window still
+    sees AQE off; callers that compile plans concurrently with
+    checkpoint construction (e.g. a foreachBatch loop driving its own
+    session) should toggle on a separate ``spark.newSession()`` whose
+    SQLConf is isolated."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.localCheckpoint(eager=False)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _CHECKPOINT_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint(eager=False)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def two_level_cumsum(df: DataFrame, order_cols: list[str], val_col: str,

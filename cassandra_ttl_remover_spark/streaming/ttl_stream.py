@@ -363,9 +363,17 @@ def stream_lm_gate(docs_stream: DataFrame, model: DataFrame,
     Scale: per batch, one bigram explode + a join against the static
     model (AQE broadcasts the occupied pairs when small) + a batch-local
     doc-id reduce; no state store, no watermark — the model is a
-    training artifact, refreshed by query restart. Exactly-once stance
-    matches stream_ivf_ingest: parquet appends replay-safe only under
-    the streaming checkpoint.
+    training artifact, refreshed by query restart.
+
+    Exactly-once stance — STRONGER than stream_ivf_ingest's: each
+    micro-batch lands as its own ``b=<batch_id>`` partition directory
+    written with OVERWRITE, so a batch replayed after a crash between
+    the write and the checkpoint commit rewrites its own directory
+    instead of appending duplicates (Structured Streaming replays the
+    same content under the same batch_id, making the overwrite
+    idempotent). Readers of ``out_path`` see the layout as a ``b``
+    partition column — drop or ignore it; it is the idempotence key,
+    not data.
 
     ``order`` selects the LM: 2 scores with curate.lm_score against a
     curate.lm_model bigram histogram (column ``ppl_permille``); 3
@@ -389,7 +397,7 @@ def stream_lm_gate(docs_stream: DataFrame, model: DataFrame,
             scorer(batch_df, model, text_col=text_col, id_col=id_col,
                    buckets=buckets, scale=scale)
             .filter(F.col(score_col) <= threshold)
-            .write.mode("append").parquet(out_path)
+            .write.mode("overwrite").parquet(f"{out_path}/b={batch_id}")
         )
 
     (

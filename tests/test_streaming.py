@@ -592,3 +592,39 @@ def test_stream_lm_gate_order3_matches_batch(spark, tmp_path):
                   for r in scores.filter(
                       F.col("sbo_permille") <= t2).collect())
     assert got == want and 0 < len(got) < docs.count()
+
+
+def test_stream_lm_gate_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch must not duplicate survivor rows: each
+    batch lands as its own b=<batch_id> directory written with
+    OVERWRITE, so re-running the whole drain against a FRESH checkpoint
+    (every batch replays) leaves the survivor set identical — the crash
+    -between-write-and-commit window rewrites, never appends."""
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.operators.curate import (
+        lm_model,
+        lm_score,
+        lm_tertile_cuts,
+    )
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        scan_stream,
+        stream_lm_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = scan_table(spark, sf, "documents")
+    model = lm_model(docs.filter("lang = 'en'"))
+    t2 = int(lm_tertile_cuts(lm_score(docs, model)).collect()[0].t2)
+
+    out = str(tmp_path / "kept")
+    stream_lm_gate(
+        scan_stream(spark, sf, glob="documents.parquet"), model,
+        out, str(tmp_path / "ckpt1"), threshold=t2)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # full replay: same sink, fresh checkpoint -> every batch re-fires
+    stream_lm_gate(
+        scan_stream(spark, sf, glob="documents.parquet"), model,
+        out, str(tmp_path / "ckpt2"), threshold=t2)
+    second = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert second == first, "replay duplicated survivor rows"
+    assert len(set(first)) == len(first)
