@@ -660,6 +660,18 @@ _REGRADE_FIRST = [
     # layout column:
     "q_st22_stream_lm_gate",
     "q_st23_stream_sbo_gate",
+    # the declared-surface window sweep: every remaining global-order
+    # window re-routed through the two_level primitives (ks_drift's
+    # paired CDFs, key_skew's rank stats + TakeOrdered top-k,
+    # mannwhitney's c_less prefix, the exact quality/margin cutoffs,
+    # peak_concurrency's sweep now two-level by DEFAULT):
+    "q_d7_ks_drift",
+    "q_d10_key_skew",
+    "q_ml9_mannwhitney",
+    "q_n17_quality_cutoff",
+    "q_n17b_quality_cutoff_approx",
+    "q_n64_margin_cutoff",
+    "q_se6_peak_concurrency",
 ]
 
 _DRIVER_PRIORITY = [
@@ -690,7 +702,6 @@ _DRIVER_PRIORITY = [
     "q_s8_sstable_strip",
     "q_s9_sstable_range_lookup",
     "q_mm9_frame_energy",
-    "q_d7_ks_drift",
     "q_st15_stream_sstable_strip",
     "q_mm10_pbm_decode",
     "q_a8_sketch_difference",
@@ -731,9 +742,7 @@ _DRIVER_PRIORITY = [
     "q_v6_power_iteration",
     "q_n16_mix_decisions",
     "q_n16b_mix_report",
-    "q_n17_quality_cutoff",
     # --- last green: round 5 ---
-    "q_n17b_quality_cutoff_approx",
     "q_n18_normalize_text",
     "q_n19_sample_fixed",
     "q_n20_pack_sequences",
@@ -762,7 +771,6 @@ _DRIVER_PRIORITY = [
     "q_x19_recursive_cte",
     "q_x20_pareto_frontier",
     "q_x21_python_udtf",
-    "q_se6_peak_concurrency",
     "q_d1_snapshot_diff",
     "q_d2_profile_table",
     "q_d3_table_digest",
@@ -801,7 +809,6 @@ _DRIVER_PRIORITY = [
     "q_n52_edit_distance",
     "q_d8_cascade_delete",
     "q_d9_source_overlap",
-    "q_d10_key_skew",
     "q_d11_join_advisor",
     "q_d12_k_anonymity",
     "q_d13_corpus_card",
@@ -833,7 +840,6 @@ _DRIVER_PRIORITY = [
     "q_s17_sstable_stats_census",
     "q_s18_digest_verify",
     "q_ml8_cusum_drift",
-    "q_ml9_mannwhitney",
     "q_mm17_image_dhash",
     "q_mm18_pcm_decimate",
     "q_mm19_image_resize",
@@ -956,7 +962,6 @@ _DRIVER_PRIORITY = [
     "q_n61_logreg_train",
     "q_n62_classifier_auc",
     "q_n63_holdout_auc",
-    "q_n64_margin_cutoff",
     "q_n65_sliced_auc",
     "q_n67_calibration",
     "q_st12_stream_model_gate",

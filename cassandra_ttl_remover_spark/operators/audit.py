@@ -371,13 +371,14 @@ def ks_drift(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
     information and are dropped on both sides.
 
     Scale: one tagged union + one map-side-combined count per distinct
-    value, then ONE ordered window over the |distinct| aggregate — the
-    cumulative pass runs on the post-aggregation frame, not the rows, so
-    a 100 TB column with bounded cardinality is fine; for genuinely
-    unbounded continuous columns, pre-bin (the standard KS-on-histogram
-    approximation) before calling. Products stay under 2^63 through
-    ~3·10^9 rows per side."""
-    from pyspark.sql import Window
+    value; BOTH empirical CDFs then accumulate through ONE
+    :func:`~cassandra_ttl_remover_spark.plans.two_level_cumsums` pass
+    over the |distinct| aggregate (range-sharded parallel prefix sums —
+    no single-partition window even when a continuous column makes the
+    distinct frame corpus-sized; the distinct values are unique keys,
+    so the sharded sums equal the global window bit for bit). Products
+    stay under 2^63 through ~3·10^9 rows per side."""
+    from cassandra_ttl_remover_spark.plans import two_level_cumsums
 
     tagged = a.filter(F.col(col).isNotNull()).select(
         F.col(col).alias("v"), F.lit(1).alias("_ca"), F.lit(0).alias("_cb")
@@ -389,21 +390,12 @@ def ks_drift(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
     )
     per = tagged.groupBy("v").agg(
         F.sum("_ca").alias("ca"), F.sum("_cb").alias("cb")
-    )
-    # cumulative AND total counts from ONE Sort+Window pass (the totals
-    # are the unbounded-frame sums over the same ordering), so the
-    # per-value aggregate is scanned once, not rebuilt per branch
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
-                                            Window.currentRow)
-    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
-                                            Window.unboundedFollowing)
-    cum = per.select(
-        F.sum("ca").over(w_cum).alias("cum_a"),
-        F.sum("cb").over(w_cum).alias("cum_b"),
-        F.sum("ca").over(w_all).alias("n_a"),
-        F.sum("cb").over(w_all).alias("n_b"),
-    )
-    return cum.groupBy("n_a", "n_b").agg(
+    ).localCheckpoint(eager=False)    # feeds the cum pass AND the totals
+    cum = two_level_cumsums(per, ["v"], {"cum_a": "ca", "cum_b": "cb"})
+    tot = F.broadcast(per.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    ))
+    return cum.crossJoin(tot).groupBy("n_a", "n_b").agg(
         F.max(
             F.abs(F.col("cum_a") * F.col("n_b")
                   - F.col("cum_b") * F.col("n_a"))
@@ -620,29 +612,38 @@ def key_skew_report(df: DataFrame, key_col: str, *,
     ``key:cnt`` list of the ``top_k`` heaviest keys (count desc, key asc).
 
     Scale shape: one groupBy(key) (the same shuffle the real join would
-    do, at count-only width), then ALL statistics ride a single ordered
-    window pass over the per-key frame (vocab-sized, orders below the
-    data) plus one 1-row aggregate. No collect, no sort of the raw data."""
-    from pyspark.sql import Window
+    do, at count-only width); the rank statistics ride a
+    :func:`~cassandra_ttl_remover_spark.plans.two_level_row_number`
+    pass over the per-key frame (range-sharded — at 100 TB the key
+    frame itself can be billions of rows, so no single-partition
+    window even here), the top-k heaviest keys come from a distributed
+    TakeOrdered (orderBy + limit), and the scalars from one 1-row
+    aggregate. No collect of the key frame, no sort of the raw data."""
+    from cassandra_ttl_remover_spark.plans import two_level_row_number
 
     counts = (
         df.groupBy(F.col(key_col).alias("k"))
         .agg(F.count("*").cast("long").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    w = Window.orderBy(F.col("cnt").asc(), F.col("k").asc())
-    ranked = counts.withColumn("rn", F.row_number().over(w))
-    wtop = Window.orderBy(F.col("cnt").desc(), F.col("k").asc())
+    # (cnt, k) is unique per row, so the sharded global rank equals the
+    # single-window row_number exactly
+    ranked = two_level_row_number(counts, ["cnt", "k"], out="rn")
     top = (
-        counts.withColumn("rt", F.row_number().over(wtop))
-        .filter(F.col("rt") <= top_k)
+        counts.orderBy(F.col("cnt").desc(), F.col("k").asc()).limit(top_k)
         .agg(
             F.expr(
-                "array_join(transform(array_sort(collect_list(struct(rt, k,"
-                " cnt))), x -> concat(x.k, ':', x.cnt)), ',')"
+                "array_join(transform(array_sort(collect_list("
+                "struct(-cnt as s, k, cnt))),"
+                " x -> concat(x.k, ':', x.cnt)), ',')"
             ).alias("top_keys")
         )
     )
+    base = F.broadcast(counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    ))
     qcols = [
         F.max(
             F.when(
@@ -655,15 +656,11 @@ def key_skew_report(df: DataFrame, key_col: str, *,
         ).alias(f"p{qq}_cnt")
         for qq in quantiles
     ]
-    stats = (
-        ranked.withColumn("n_keys", F.count("*").over(
-            Window.partitionBy(F.lit(1))))
-        .agg(
-            F.sum("cnt").alias("n_rows"),
-            F.max("rn").cast("long").alias("n_keys"),
-            F.max("cnt").alias("max_cnt"),
-            *qcols,
-        )
+    stats = ranked.crossJoin(base).agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_keys").alias("n_keys"),
+        F.max("max_cnt").alias("max_cnt"),
+        *qcols,
     )
     return stats.crossJoin(F.broadcast(top))
 

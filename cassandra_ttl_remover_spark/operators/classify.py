@@ -841,21 +841,27 @@ def margin_cutoff(docs: DataFrame, weights: dict[int, int],
     curate.quality_cutoff's two surfaces: the default path finds the
     cut margin with a map-side ``approx_percentile`` sketch and
     broadcast-filters (two scan passes, no global order — the 100 TB
-    shape); ``exact=True`` is the deterministic oracle surface
-    (row_number over (margin desc, id asc), top ceil(frac*n))."""
+    shape); ``exact=True`` is the deterministic surface (top
+    ceil(frac*n) by (margin desc, id asc) through
+    plans.two_level_row_number — range-sharded ranking on the unique
+    (margin, id) key, equal to the single-window row_number exactly,
+    so even the exact path never funnels the corpus through one
+    task)."""
     import math
 
-    from pyspark.sql import Window
+    from cassandra_ttl_remover_spark.plans import two_level_row_number
 
     scored = score_documents(docs, weights, dim,
                              text_col=text_col, id_col=id_col)
     if exact:
         n = scored.count()
         k = max(1, math.ceil(keep_frac * n))
-        w = Window.orderBy(F.desc("margin"), F.asc(id_col))
+        ranked = two_level_row_number(
+            scored.withColumn("_negm", -F.col("margin")),
+            ["_negm", id_col], out="rn",
+        )
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
+            ranked.filter(F.col("rn") <= k)
             .select(id_col, "margin")
         )
     thr = scored.agg(F.percentile_approx(

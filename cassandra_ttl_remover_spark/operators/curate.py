@@ -406,19 +406,24 @@ def quality_cutoff(docs: DataFrame, keep_frac: float = 0.5, *,
     the comparison. Sketch error moves the CUT POINT by ~1/accuracy of the
     mass; it never misorders documents.
 
-    ``exact=True`` is the deterministic oracle surface: global
-    top-``ceil(keep_frac*n)`` by (quality desc, id asc) via a row_number
-    window with no partitioning — a total order that serializes onto ONE
-    task, correct at any size but only sensible for verification and small
-    corpora."""
+    ``exact=True`` is the deterministic surface: global
+    top-``ceil(keep_frac*n)`` by (quality desc, id asc), ranked through
+    :func:`~cassandra_ttl_remover_spark.plans.two_level_row_number`
+    (range-sharded parallel ranking — (quality, id) is unique, so the
+    result equals the single-window row_number exactly) — the exact
+    path is distributed too, not just the sketch path."""
     scored = text.quality_score(docs, text_col, id_col).select(id_col, "quality")
     if exact:
+        from cassandra_ttl_remover_spark.plans import two_level_row_number
+
         n = scored.count()
         k = max(1, math.ceil(keep_frac * n))
-        w = Window.orderBy(F.desc("quality"), F.asc(id_col))
+        ranked = two_level_row_number(
+            scored.withColumn("_negq", -F.col("quality")),
+            ["_negq", id_col], out="rn",
+        )
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
+            ranked.filter(F.col("rn") <= k)
             .select(id_col, "quality")
         )
     thr = scored.agg(

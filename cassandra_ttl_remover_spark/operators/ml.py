@@ -678,10 +678,16 @@ def mannwhitney_u(docs: DataFrame, positive: str = "en",
         F.count("*").cast("long").alias("t"),
         F.expr(f"sum({pos})").cast("long").alias("g1"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = pv.select(
+    # c_less = running count STRICTLY below v — cum(t) - t through the
+    # two-level scan (v is unique post-groupBy, so the sharded prefix
+    # equals the single-partition window bit for bit; the value frame
+    # is bounded by the value DOMAIN, but at 100 TB even that deserves
+    # shard parallelism)
+    from cassandra_ttl_remover_spark.plans import two_level_cumsum
+
+    ranked = two_level_cumsum(pv, ["v"], "t", out="_cum_t").select(
         "v", "t", "g1",
-        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("c_less"),
+        (F.col("_cum_t") - F.col("t")).alias("c_less"),
     )
     sums = ranked.agg(
         F.expr("sum(g1)").cast("long").alias("n1"),

@@ -246,7 +246,7 @@ GROUP BY prev_type, next_type ORDER BY prev_type, next_type
 def peak_concurrency(events: DataFrame, gap_seconds: int, *,
                      user_col: str = "user_id", ts_col: str = "ts",
                      id_col: str = "event_id",
-                     two_level: bool = False) -> DataFrame:
+                     two_level: bool = True) -> DataFrame:
     """Sweep-line maximum concurrency over the gap-split sessions: how
     many sessions are simultaneously open at the busiest instant (the
     capacity-planning number), with the first time it is reached.
@@ -258,12 +258,11 @@ def peak_concurrency(events: DataFrame, gap_seconds: int, *,
     Returns one row: ``(n_sessions, peak_concurrency, first_peak_ts_us)``.
 
     Scale: the sweep runs over SESSION endpoints (2 per session — far
-    smaller than the event stream that produced them). The default form
-    is one ordered running sum (single-partition — the honest cost of a
-    global instant at fixture scale); ``two_level=True`` runs the REAL
-    100 TB path via :func:`plans.two_level_cumsum` — range-sharded
-    parallel scans seeded by a driver prefix over shard totals — and is
-    property-tested equal to the window form."""
+    smaller than the event stream that produced them). The DEFAULT form
+    is the 100 TB path via :func:`plans.two_level_cumsum` —
+    range-sharded parallel scans seeded by a driver prefix over shard
+    totals; ``two_level=False`` keeps the single-partition window form
+    as the verification surface the property test compares against."""
     s = sessionize(events, gap_seconds, user_col=user_col, ts_col=ts_col,
                    id_col=id_col)
     spans = s.groupBy(user_col, "session_seq").agg(

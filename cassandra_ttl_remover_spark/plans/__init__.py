@@ -251,6 +251,17 @@ def two_level_cumsum(df: DataFrame, order_cols: list[str], val_col: str,
 
     Driver state is one number per shard. Result columns: the input's
     plus ``out``."""
+    return two_level_cumsums(df, order_cols, {out: val_col}, shards=shards)
+
+
+def two_level_cumsums(df: DataFrame, order_cols: list[str],
+                      val_cols: dict[str, str],
+                      shards: int = 32) -> DataFrame:
+    """:func:`two_level_cumsum` over SEVERAL value columns in ONE pass:
+    ``val_cols`` maps output name -> input column; every running sum
+    shares the single range partitioning, shard-local window and
+    shard-totals job (an N-column cumulative needs one scan, not N).
+    KS-style paired CDFs are the canonical consumer."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -264,28 +275,39 @@ def two_level_cumsum(df: DataFrame, order_cols: list[str], val_col: str,
     lw = Window.partitionBy("_pid").orderBy(
         *[F.col(c) for c in order_cols]
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = d.withColumn("_lc", F.sum(val_col).over(lw))
+    local = d
+    for i, (_, val) in enumerate(val_cols.items()):
+        local = local.withColumn(f"_lc{i}", F.sum(val).over(lw))
     # shard total = SUM of values, never max of the running sum — with
     # negative values (sweep-line deltas) the running max is not the
     # shard's net contribution
     totals = {
-        r._pid: r._t
-        for r in d.groupBy("_pid").agg(F.sum(val_col).alias("_t")).collect()
+        r._pid: tuple(r[f"_t{i}"] for i in range(len(val_cols)))
+        for r in d.groupBy("_pid").agg(*[
+            F.sum(val).alias(f"_t{i}")
+            for i, (_, val) in enumerate(val_cols.items())
+        ]).collect()
     }
-    run, offsets = 0, {}
+    runs = [0] * len(val_cols)
+    offsets = {}
     for pid in sorted(totals):
-        offsets[pid] = run
-        run += int(totals[pid] or 0)
+        offsets[pid] = tuple(runs)
+        runs = [r + int(t or 0) for r, t in zip(runs, totals[pid])]
     spark = df.sparkSession
+    off_schema = "_pid int, " + ", ".join(
+        f"_off{i} long" for i in range(len(val_cols)))
     off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-        "_pid int, _off long",
+        [(pid, *off) for pid, off in offsets.items()]
+        or [(0, *([0] * len(val_cols)))],
+        off_schema,
     )
-    return (
-        local.join(F.broadcast(off_df), "_pid", "left")
-        .withColumn(out, F.col("_lc") + F.coalesce(F.col("_off"), F.lit(0)))
-        .drop("_pid", "_lc", "_off")
-    )
+    outd = local.join(F.broadcast(off_df), "_pid", "left")
+    drops = ["_pid"]
+    for i, (out, _) in enumerate(val_cols.items()):
+        outd = outd.withColumn(
+            out, F.col(f"_lc{i}") + F.coalesce(F.col(f"_off{i}"), F.lit(0)))
+        drops += [f"_lc{i}", f"_off{i}"]
+    return outd.drop(*drops)
 
 
 def two_level_row_number(df: DataFrame, order_cols: list[str],
@@ -347,7 +369,13 @@ def empty_partition_windows(df: DataFrame) -> list[str]:
     descriptive string per offending node (empty list = clean). Tests
     sweep declared queries with this; operators that genuinely need a
     global order route through :func:`two_level_cumsum` /
-    :func:`two_level_row_number` instead."""
+    :func:`two_level_row_number` instead.
+
+    Known blind spot: a ``localCheckpoint`` severs the logical plan, so
+    windows UPSTREAM of a checkpoint (including the partitioned shard
+    windows inside the two_level primitives — which are the desired
+    shape) are not visible to this audit; it inspects the final
+    reachable plan."""
     import json
 
     plan = json.loads(
