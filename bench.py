@@ -22,6 +22,14 @@ churn (measured 2026-08-15: semdedup 7.0 -> 4.6 -> 2.2 -> 2.0 s back-to-
 back in one session; span_removal 2.2 -> 1.5 -> 1.4 s). Cross-round
 deltas on exactly these entries are measurement, not plan regressions,
 unless their implementation actually changed.
+
+Round-11 floor re-pin: BENCH_r10's semdedup warm floor (4.31 s) was
+ambient load, not a plan change — that artifact's own metadata records
+loadavg 10.2 at sweep start. Two round-11 runs started at loadavg
+0.4-1.2 measured floors of 2.69 and 2.22 s (r9 level, unchanged plan),
+and the 48-query r9-common subset min summed 71.0 s vs r9's 72.0 —
+like-for-like flat. ks_drift 1.46 s after its two-level CDF rework
+(extra shard-totals job at toy scale, the logreg_train trade).
 """
 
 from __future__ import annotations
