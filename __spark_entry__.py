@@ -679,6 +679,7 @@ _DRIVER_PRIORITY = [
     # --- new in round 11 (never graded) ---
     "q_n74_doremi_weights",
     "q_n75_tokenizer_fertility",
+    "q_pipe_doremi_mix",
     # --- round-11 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r10 (script pattern in ROTATION_r11_plan.md; same
     # green rule as tests/test_harness_contract.py). After r10 graded its
@@ -4889,6 +4890,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.tokenizer_fertility(docs, domain_col="lang")
     q["q_n75_tokenizer_fertility"] = q_n75
 
+    def q_pipe_doremi(spark, sf):
+        # the full DoReMi loop composed: affinity matrix (diagnostic)
+        # -> multiplicative-weights iteration (optimizer) -> no-repeat
+        # resample to the learned mixture (data step). The audit row
+        # hash-proves the exact per-domain SELECTION (sum of kept ids),
+        # not just the counts; selection is the deterministic
+        # (md5(id), id) rank per domain against a broadcast target
+        docs = scan_table(spark, sf, "documents")
+        return curate.doremi_resample(docs, domain_col="lang")
+    q["q_pipe_doremi_mix"] = q_pipe_doremi
+
     def q_n72(spark, sf):
         # the per-doc multi-signal quality MATRIX: Gopher rule verdict,
         # trained discriminative margin, and generative LM surprise side
@@ -6328,6 +6340,9 @@ FROM events GROUP BY event_type ORDER BY event_type
         domain_col="lang"
     )
     o["q_n75_tokenizer_fertility"] = text.tokenizer_fertility_oracle_sql(
+        domain_col="lang"
+    )
+    o["q_pipe_doremi_mix"] = curate.doremi_resample_oracle_sql(
         domain_col="lang"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(

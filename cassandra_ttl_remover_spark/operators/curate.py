@@ -2475,10 +2475,16 @@ def doremi_weights_oracle_sql(*, domain_col: str = "lang",
     unrolled = []
     prev = "w0"
     for t in range(1, iters + 1):
+        # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+        # reference, and the correlated scalar subqueries below would
+        # otherwise re-evaluate the whole upstream chain per row —
+        # exponential in the iteration depth (measured: ~200 s at
+        # sf0.001 un-materialized, sub-second materialized)
         unrolled.append(f"""
-u{t} AS (SELECT dom, e, w * (({step_k})::HUGEINT + e) AS u FROM {prev}),
-t{t} AS (SELECT sum(u) AS tot FROM u{t}),
-w{t} AS (
+u{t} AS MATERIALIZED (
+  SELECT dom, e, w * (({step_k})::HUGEINT + e) AS u FROM {prev}),
+t{t} AS MATERIALIZED (SELECT sum(u) AS tot FROM u{t}),
+w{t} AS MATERIALIZED (
   SELECT dom, e,
          ({smooth_b} * ((u * {weight_scale}) // (SELECT tot FROM t{t}))
           + {smooth_num} * ({weight_scale} // (SELECT n FROM nd)))
@@ -2500,13 +2506,13 @@ bg AS (
          unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
   FROM b
 ),
-hist AS (SELECT dom, u, v, count(*)::BIGINT AS cnt
+hist AS MATERIALIZED (SELECT dom, u, v, count(*)::BIGINT AS cnt
          FROM bg GROUP BY dom, u, v),
-mctx AS (SELECT dom AS m, u, sum(cnt)::BIGINT AS c_u
+mctx AS MATERIALIZED (SELECT dom AS m, u, sum(cnt)::BIGINT AS c_u
          FROM hist GROUP BY dom, u),
-mpair AS (SELECT dom AS m, u, v, cnt AS c_uv FROM hist),
-doms AS (SELECT DISTINCT dom AS m FROM hist),
-mat AS (
+mpair AS MATERIALIZED (SELECT dom AS m, u, v, cnt AS c_uv FROM hist),
+doms AS MATERIALIZED (SELECT DISTINCT dom AS m FROM hist),
+mat AS MATERIALIZED (
   SELECT m, d.dom AS dd,
          (sum(d.cnt * (((coalesce(c_u, 0) + {buckets}) * {scale})
                        // (coalesce(c_uv, 0) + 1)))
@@ -2517,8 +2523,8 @@ mat AS (
   LEFT JOIN mpair USING (m, u, v)
   GROUP BY m, d.dom
 ),
-nd AS (SELECT count(*)::BIGINT AS n FROM doms),
-ex AS (
+nd AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM doms),
+ex AS MATERIALIZED (
   SELECT dd AS dom,
          CASE WHEN (SELECT n FROM nd) = 1 THEN 0
               ELSE greatest(0::HUGEINT,
@@ -2528,15 +2534,15 @@ ex AS (
          END::BIGINT AS excess
   FROM mat GROUP BY dd
 ),
-mxx AS (SELECT max(excess) AS mx FROM ex),
-es AS (
+mxx AS MATERIALIZED (SELECT max(excess) AS mx FROM ex),
+es AS MATERIALIZED (
   SELECT dom, excess,
          CASE WHEN (SELECT mx FROM mxx) > 0
               THEN (excess * 1000) // (SELECT mx FROM mxx)
               ELSE 0 END::BIGINT AS e
   FROM ex
 ),
-w0 AS (SELECT dom, e,
+w0 AS MATERIALIZED (SELECT dom, e,
               ({weight_scale} // (SELECT n FROM nd))::HUGEINT AS w
        FROM es),
 {", ".join(s.strip() for s in unrolled)}
@@ -2548,4 +2554,133 @@ SELECT ex.dom AS {domain_col},
        (({avg}) // {iters})::BIGINT AS weight_avg
 FROM ex JOIN es USING (dom)
 ORDER BY {domain_col}
+"""
+
+
+def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    buckets: int = 4096, scale: int = 1000,
+                    iters: int = 5, weight_scale: int = 1_000_000,
+                    step_k: int = 2000,
+                    smooth_num: int = 1, smooth_den: int = 5) -> DataFrame:
+    """APPLY the learned DoReMi mixture: resample the corpus so domain
+    ``d`` forms fraction ``weight_avg_d / weight_scale`` of the output,
+    with NO upsampling — the standard no-repeat application of learned
+    mixture weights (the matrix is the diagnostic, :func:`doremi_weights`
+    the optimizer, this the data step; together they are the full
+    public DoReMi loop). Construction, all integers:
+
+    1. T = min_d (n_d * weight_scale) div w_d — the largest output size
+       the BINDING domain (scarcest relative to its weight) affords;
+    2. k_d = least(n_d, (w_d * T) div weight_scale) docs per domain
+       (k_d <= n_d by T's construction; truncation both engines');
+    3. keep the k_d docs with the smallest (md5(id), id) per domain —
+       the engine's deterministic-sampling convention (q_n19/q_n24),
+       reproducible across runs, engines and executors.
+
+    Returns the per-domain audit row the data card wants:
+    ``(domain, n_avail, weight_avg, k_target, n_kept, sum_kept_ids)``
+    — ``sum_kept_ids`` hash-proves the exact SELECTION, not just the
+    counts. Callers wanting the documents themselves join the same
+    rank rule; this surface keeps the output scalar and bounded.
+
+    Scale: the weights come from one corpus featurize (doremi_weights);
+    the selection is a PARTITIONED rank per domain over (md5, id) —
+    hash-exchange on domain, no global window — against a broadcast
+    <= |domains| target table; the audit is one map-side agg."""
+    w = doremi_weights(
+        docs, domain_col=domain_col, text_col=text_col, id_col=id_col,
+        buckets=buckets, scale=scale, iters=iters,
+        weight_scale=weight_scale, step_k=step_k,
+        smooth_num=smooth_num, smooth_den=smooth_den,
+    ).select(domain_col, "weight_avg").collect()   # bounded: |domains|
+    weights = {r[domain_col]: int(r.weight_avg) for r in w}
+    navail = {r[domain_col]: int(r.n)
+              for r in docs.groupBy(domain_col)
+              .agg(F.count("*").cast("long").alias("n")).collect()
+              if r[domain_col] in weights}
+    t = min((navail[d] * weight_scale) // weights[d] for d in weights)
+    targets = {d: min(navail[d], (weights[d] * t) // weight_scale)
+               for d in weights}
+    spark = docs.sparkSession
+    tgt = F.broadcast(spark.createDataFrame(
+        [(d, navail[d], weights[d], targets[d]) for d in sorted(weights)],
+        f"{domain_col} string, n_avail long, weight_avg long, k_target long",
+    ))
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    kept = (
+        docs.select(domain_col, id_col)
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .join(tgt, domain_col)
+        .filter(F.col("_rn") <= F.col("k_target"))
+        .groupBy(domain_col)
+        .agg(F.count("*").cast("long").alias("n_kept"),
+             F.sum(id_col).cast("long").alias("sum_kept_ids"))
+    )
+    return (
+        tgt.join(kept, domain_col, "left")
+        .select(
+            domain_col, "n_avail", "weight_avg", "k_target",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("sum_kept_ids", F.lit(0)).cast("long")
+            .alias("sum_kept_ids"),
+        )
+        .orderBy(domain_col)
+    )
+
+
+def doremi_resample_oracle_sql(*, domain_col: str = "lang",
+                               table: str = "documents",
+                               buckets: int = 4096, scale: int = 1000,
+                               iters: int = 5,
+                               weight_scale: int = 1_000_000,
+                               step_k: int = 2000,
+                               smooth_num: int = 1,
+                               smooth_den: int = 5) -> str:
+    """DuckDB recomputation of :func:`doremi_resample`: the full
+    doremi_weights oracle nested as a CTE, then the same integer
+    waterline / per-domain (md5, id) rank selection."""
+    dw = doremi_weights_oracle_sql(
+        domain_col=domain_col, table=table, buckets=buckets, scale=scale,
+        iters=iters, weight_scale=weight_scale, step_k=step_k,
+        smooth_num=smooth_num, smooth_den=smooth_den,
+    )
+    return f"""
+WITH dw AS MATERIALIZED ({dw}),
+navail AS MATERIALIZED (
+  SELECT {domain_col}, count(*)::BIGINT AS n_avail
+  FROM {table} GROUP BY {domain_col}
+),
+tc AS MATERIALIZED (
+  SELECT min((n_avail::HUGEINT * {weight_scale}) // weight_avg) AS t
+  FROM dw JOIN navail USING ({domain_col})
+),
+tgt AS MATERIALIZED (
+  SELECT {domain_col}, n_avail, weight_avg,
+         least(n_avail,
+               ((weight_avg::HUGEINT * (SELECT t FROM tc))
+                // {weight_scale}))::BIGINT AS k_target
+  FROM dw JOIN navail USING ({domain_col})
+),
+sel AS MATERIALIZED (
+  SELECT {domain_col}, doc_id,
+         row_number() OVER (PARTITION BY {domain_col}
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM {table}
+),
+kept AS (
+  SELECT s.{domain_col}, count(*)::BIGINT AS n_kept,
+         sum(doc_id)::BIGINT AS sum_kept_ids
+  FROM sel s JOIN tgt USING ({domain_col})
+  WHERE s.rn <= k_target
+  GROUP BY s.{domain_col}
+)
+SELECT t.{domain_col}, n_avail, weight_avg, k_target,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(sum_kept_ids, 0)::BIGINT AS sum_kept_ids
+FROM tgt t LEFT JOIN kept USING ({domain_col})
+ORDER BY t.{domain_col}
 """

@@ -712,3 +712,42 @@ def test_doremi_weights_oracle_parity_inline(spark, documents):
                       curate.doremi_weights_oracle_sql(domain_col="lang"),
                       con)
     assert ok, msg
+
+
+def test_doremi_resample_applies_learned_mixture(spark):
+    """The data step of the DoReMi loop: output domain sizes are the
+    exact integer waterline application of the learned weights, with
+    no upsampling, and the audit row proves the selection."""
+    rows = [(i, "aa bb cc dd aa bb cc", "x") for i in range(30)]
+    rows += [(100 + i, "aa bb cc dd aa bb cc", "y") for i in range(30)]
+    rows += [(200 + i, "pp qq rr ss tt pp qq", "z") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {r.lang: r.weight_avg for r in curate.doremi_weights(docs).collect()}
+    out = {r.lang: r for r in curate.doremi_resample(docs).collect()}
+    n = {"x": 30, "y": 30, "z": 12}
+    t = min((n[d] * 1_000_000) // w[d] for d in w)
+    for d in out:
+        want_k = min(n[d], (w[d] * t) // 1_000_000)
+        assert out[d].k_target == want_k
+        assert out[d].n_kept == want_k          # selection fills the target
+        assert out[d].n_kept <= out[d].n_avail  # never upsample
+        assert out[d].weight_avg == w[d]
+    # the binding domain (z: scarce AND heavily weighted) pins the
+    # waterline — it keeps all-but-truncation of its docs
+    assert out["z"].n_kept >= n["z"] - 1
+    # deterministic end to end: a second run selects the same ids
+    again = {r.lang: r.sum_kept_ids
+             for r in curate.doremi_resample(docs).collect()}
+    assert again == {d: out[d].sum_kept_ids for d in out}
+
+
+def test_doremi_resample_oracle_parity_inline(spark, documents):
+    """Driver-exact comparison on the real fixture — the nested
+    materialized-CTE oracle must reproduce weights AND selection."""
+    from tests.conftest import SF_DIR
+    from tests.oracle_parity import duck_connection, compare
+
+    ok, msg = compare(curate.doremi_resample(documents, domain_col="lang"),
+                      curate.doremi_resample_oracle_sql(domain_col="lang"),
+                      duck_connection(SF_DIR))
+    assert ok, msg
