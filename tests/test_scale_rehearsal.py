@@ -895,3 +895,54 @@ def test_lm_score_hot_bigram_flood(spark):
     want_sum = 16 * t_hw + 15 * t_wh
     assert all(r.n_bigrams == reps - 1 for r in rows)
     assert all(r.sum_invp == want_sum for r in rows)
+
+
+def test_two_level_row_number_1m_rows_with_heavy_ties(spark):
+    # the order-statistic primitive at volume: 1M rows, only 1000
+    # distinct primary keys (every shard boundary lands inside a tie
+    # group), full-key uniqueness via id — ranks must be a permutation
+    # of 1..N and agree with the global window on a sampled slice
+    from pyspark.sql import Window
+
+    from cassandra_ttl_remover_spark.plans import two_level_row_number
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 1000).alias("v"))
+    ranked = two_level_row_number(df, ["v", "id"], out="rn", shards=32)
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.min("rn").alias("lo"), F.max("rn").alias("hi"),
+        F.countDistinct("rn").alias("nd"),
+        F.sum("rn").alias("s"),
+    ).first()
+    assert (agg.n, agg.lo, agg.hi, agg.nd) == (n, 1, n, n)
+    assert agg.s == n * (n + 1) // 2         # exact permutation of 1..N
+    # rank order is the key order: sampled adjacent pairs monotone
+    sample = ranked.filter(F.col("rn") % 99_991 == 0).orderBy("rn").collect()
+    keys = [(r.v, r.id) for r in sample]
+    assert keys == sorted(keys)
+    # spot-agreement with the single-window form on a small slice
+    small = df.filter("id < 5000")
+    want = {(r.id, r.rn) for r in small.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id"))).collect()}
+    got = {(r.id, r.rn) for r in
+           two_level_row_number(small, ["v", "id"], shards=32).collect()}
+    assert got == want
+
+
+def test_ks_drift_wide_value_domain_rehearsal(spark):
+    # 200k distinct values per side — the "continuous column" shape the
+    # old single-window CDF would funnel through one task. The two-level
+    # form must agree with a hand-computed exact D on a known mixture.
+    from cassandra_ttl_remover_spark.operators.audit import ks_drift
+
+    a = spark.range(200_000).select((F.col("id") * 2).alias("x"))
+    b = spark.range(200_000).select((F.col("id") * 2 + 1).alias("x"))
+    row = ks_drift(a, b, "x").first()
+    # interleaved combs: CDFs alternate by exactly one observation
+    assert (row.n_a, row.n_b) == (200_000, 200_000)
+    assert row.d_num == 200_000      # max |cum_a*n_b - cum_b*n_a| = n
+    # identical samples: D = 0
+    same = ks_drift(a, a, "x").first()
+    assert same.d_num == 0
