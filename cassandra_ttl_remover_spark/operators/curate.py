@@ -2421,7 +2421,11 @@ def doremi_weights(docs: DataFrame, *, domain_col: str = "lang",
         docs, domain_col=domain_col, text_col=text_col, id_col=id_col,
         buckets=buckets, scale=scale,
     ).collect()                      # bounded: <= |domains|^2 rows
-    doms = sorted({r.model_domain for r in mat})
+    # NULL domains are legal data (the matrix emits a NULL-domain row
+    # for them, as the oracle does) — sort with an explicit None-first
+    # key, since Python's < does not order None against str
+    doms = sorted({r.model_domain for r in mat},
+                  key=lambda d: (d is not None, d or ""))
     n = len(doms)
     cross = {(r.model_domain, r.data_domain): int(r.cross_permille)
              for r in mat}
@@ -2595,6 +2599,15 @@ def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
         smooth_num=smooth_num, smooth_den=smooth_den,
     ).select(domain_col, "weight_avg").collect()   # bounded: |domains|
     weights = {r[domain_col]: int(r.weight_avg) for r in w}
+    spark = docs.sparkSession
+    tgt_schema = (f"{domain_col} string, n_avail long, weight_avg long, "
+                  "k_target long")
+    if not weights:
+        # no scorable domain (e.g. every doc under 2 words) — the
+        # oracle's dw CTE is empty too, so the audit frame is empty,
+        # never a min()-of-empty crash
+        return spark.createDataFrame(
+            [], tgt_schema + ", n_kept long, sum_kept_ids long")
     navail = {r[domain_col]: int(r.n)
               for r in docs.groupBy(domain_col)
               .agg(F.count("*").cast("long").alias("n")).collect()
@@ -2602,10 +2615,10 @@ def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
     t = min((navail[d] * weight_scale) // weights[d] for d in weights)
     targets = {d: min(navail[d], (weights[d] * t) // weight_scale)
                for d in weights}
-    spark = docs.sparkSession
     tgt = F.broadcast(spark.createDataFrame(
-        [(d, navail[d], weights[d], targets[d]) for d in sorted(weights)],
-        f"{domain_col} string, n_avail long, weight_avg long, k_target long",
+        [(d, navail[d], weights[d], targets[d])
+         for d in sorted(weights, key=lambda d: (d is not None, d or ""))],
+        tgt_schema,
     ))
     from pyspark.sql import Window
 

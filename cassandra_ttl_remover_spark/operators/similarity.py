@@ -432,17 +432,25 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
         return 0
     dead = F.broadcast(tombs.select(id_col).distinct())
     idx = spark.read.parquet(path)
-    census = (
+    # one census pass, two bounded consumers: the AFFECTED rows collect
+    # to the driver (touched-cells-sized, never O(n_cells) — a
+    # single-id delete on a million-cell index must not pull a million
+    # census rows), and a 1-row aggregate answers "does any live row
+    # survive anywhere" for the keeper decision
+    census_df = (
         idx.join(dead.withColumn("_dead", F.lit(True)), id_col, "left")
         .groupBy("cell")
         .agg(
             F.count_if(F.coalesce(F.col("_dead"), F.lit(False))).alias("n_dead"),
             F.count_if(F.col("_dead").isNull()).alias("n_live"),
         )
-        .collect()
+        .localCheckpoint(eager=False)
     )
-    affected = [int(r.cell) for r in census if r.n_dead > 0]
-    fully_dead = [int(r.cell) for r in census if r.n_dead > 0 and r.n_live == 0]
+    census = census_df.filter(F.col("n_dead") > 0).collect()
+    any_live = bool(
+        census_df.agg(F.sum("n_live").alias("t")).first().t or 0)
+    affected = [int(r.cell) for r in census]
+    fully_dead = [int(r.cell) for r in census if r.n_live == 0]
     rewrite = [c for c in affected if c not in set(fully_dead)]
     if rewrite:
         survivors = (
@@ -454,7 +462,7 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
          .partitionBy("cell").parquet(path))
     for c in fully_dead:
         _fs_delete(spark, f"{path}/cell={c}")
-    if not any(r.n_live > 0 for r in census):
+    if not any_live:
         # every inverted list is gone — keep the index readable with a
         # zero-row keeper carrying the data-file schema (idx's schema
         # minus the `cell` partition directory column)
@@ -499,10 +507,14 @@ def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
     probes = [int(r["cell"]) for r in by_dist[:nprobe]]
     qdf = spark.createDataFrame([(query_vec,)], f"_qv array<float>")
     try:
-        scan = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+        # the guard wraps ONLY schema inference: any other analysis
+        # failure (unresolvable columns, schema-merge conflicts) is
+        # index corruption and must raise, not read as "no matches"
+        idx_scan = spark.read.parquet(path)
     except AnalysisException:
         # no list files at all (pre-keeper emptied index) — empty top-k
         return spark.createDataFrame([], f"{id_col} bigint, dot bigint")
+    scan = idx_scan.filter(F.col("cell").isin(probes))
     if honor_tombstones:
         tombs = _index_tombstones(spark, path)
         if tombs is not None:
@@ -1525,9 +1537,11 @@ def pq_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
         return 0
     dead = F.broadcast(tombs.select(id_col).distinct())
     idx = spark.read.parquet(path)
-    n_total = idx.count()
     n_dead = idx.join(dead, id_col, "left_semi").count()
     if n_dead:
+        # only the rewrite path needs the total (all-dead test) — the
+        # no-op path (sidecar ids absent from the index) pays no scan
+        n_total = idx.count()
         # Stage the COMPLETE replacement index (survivor codes + the
         # codebook sidecar + a terminal _COMMITTED marker) in a temp
         # dir, then swap directories with two renames. Every crash

@@ -988,6 +988,39 @@ DEFAULT_BPE_MERGES = [
 ]
 
 
+def _bpe_subword_count_col(w, merges):
+    """Subword count of ONE word under the doubled-delimiter merge
+    chain — THE single Spark-side definition of the canonical
+    whole-symbol non-overlapping fusion (see bpe_segment's docstring
+    for why a single-spaced replace would fuse across symbols).
+    bpe_segment and tokenizer_fertility both call this; the SQL twin
+    is :func:`_bpe_seg_sql`."""
+    seg = F.concat(F.lit("  "), F.regexp_replace(w, "(.)", "$1  "))
+    for a, b in merges:
+        # merge symbols are passed as ONE literal each (F.lit), never
+        # interpolated into SQL text — quotes/backslashes in learned
+        # merges cannot break or alter the expression
+        seg = F.replace(seg, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return F.size(F.split(F.trim(seg), " +"))
+
+
+def _bpe_seg_sql(merges) -> str:
+    """The DuckDB twin of :func:`_bpe_subword_count_col`'s seg chain
+    over a word bound as ``w`` — shared by bpe_segment_oracle_sql and
+    tokenizer_fertility_oracle_sql so the two oracles can never
+    diverge on the fusion convention."""
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    seg = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
+    for a, b in merges:
+        seg = (f"replace({seg}, ' {_q(a)}  {_q(b)} ',"
+               f" ' {_q(a)}{_q(b)} ')")
+    return seg
+
+
+
 def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Byte-pair-encoding segmentation with a FIXED, ordered merge table —
@@ -1016,19 +1049,9 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]] | None = None,
     """
     merges = DEFAULT_BPE_MERGES if merges is None else merges
     ws = WORDS_EXPR.format(col=text_col)
-
-    def _subwords(w):
-        # '  t  h  e  ': every symbol fully delimited by double spaces
-        seg = F.concat(F.lit("  "), F.regexp_replace(w, "(.)", "$1  "))
-        for a, b in merges:
-            # merge symbols are passed as ONE literal each (F.lit), never
-            # interpolated into SQL text — quotes/backslashes in learned
-            # merges cannot break or alter the expression
-            seg = F.replace(seg, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-        return F.size(F.split(F.trim(seg), " +"))
-
     n_sub = F.aggregate(
-        F.expr(ws), F.lit(0), lambda s, w: s + _subwords(w)
+        F.expr(ws), F.lit(0),
+        lambda s, w: s + _bpe_subword_count_col(w, merges)
     )
     return fan_out(docs, id_col).select(
         id_col,
@@ -1042,15 +1065,8 @@ def bpe_segment_oracle_sql(merges: list[tuple[str, str]] | None = None,
                            id_col: str = "doc_id") -> str:
     merges = DEFAULT_BPE_MERGES if merges is None else merges
     ws = "[w for w in string_split(text, ' ') if w <> '']"
-
-    def _q(s: str) -> str:
-        return s.replace("'", "''")
-
     # the same doubled-delimiter whole-symbol fusion as the Spark side
-    seg = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
-    for a, b in merges:
-        seg = (f"replace({seg}, ' {_q(a)}  {_q(b)} ',"
-               f" ' {_q(a)}{_q(b)} ')")
+    seg = _bpe_seg_sql(merges)
     return f"""
 SELECT {id_col},
        len({ws})::BIGINT AS n_words,
@@ -1812,16 +1828,9 @@ def tokenizer_fertility(docs: DataFrame,
     bounded result. The corpus is read once, text never shuffles."""
     merges = DEFAULT_BPE_MERGES if merges is None else merges
     ws = WORDS_EXPR.format(col=text_col)
-
-    def _subwords(w):
-        # bpe_segment's exact doubled-delimiter chain (see its docstring
-        # for why plain single-space replace would fuse across symbols)
-        seg = F.concat(F.lit("  "), F.regexp_replace(w, "(.)", "$1  "))
-        for a, b in merges:
-            seg = F.replace(seg, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-        return F.size(F.split(F.trim(seg), " +"))
-
-    n_sub = F.aggregate(F.expr(ws), F.lit(0), lambda s, w: s + _subwords(w))
+    n_sub = F.aggregate(
+        F.expr(ws), F.lit(0),
+        lambda s, w: s + _bpe_subword_count_col(w, merges))
     per_dom = (
         fan_out(docs, id_col)
         .select(
@@ -1868,14 +1877,7 @@ def tokenizer_fertility_oracle_sql(
     per domain and unpivoted to the card's long format."""
     merges = DEFAULT_BPE_MERGES if merges is None else merges
     ws = "[w for w in string_split(text, ' ') if w <> '']"
-
-    def _q(s: str) -> str:
-        return s.replace("'", "''")
-
-    seg = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
-    for a, b in merges:
-        seg = (f"replace({seg}, ' {_q(a)}  {_q(b)} ',"
-               f" ' {_q(a)}{_q(b)} ')")
+    seg = _bpe_seg_sql(merges)
     return f"""
 WITH per_doc AS (
   SELECT {domain_col} AS dom,

@@ -751,3 +751,23 @@ def test_doremi_resample_oracle_parity_inline(spark, documents):
                       curate.doremi_resample_oracle_sql(domain_col="lang"),
                       duck_connection(SF_DIR))
     assert ok, msg
+
+
+def test_doremi_edges_empty_weights_and_null_domain(spark):
+    """Review-found edges: a corpus with no scorable domain (every doc
+    under 2 words) yields an EMPTY audit frame like the oracle, never a
+    min()-of-empty crash; a NULL domain (legal data — the matrix emits
+    a NULL-domain row) flows through the weight loop instead of
+    crashing Python's None-vs-str sort."""
+    tiny = spark.createDataFrame([(1, "one", "x"), (2, "two", "y")],
+                                 "doc_id long, text string, lang string")
+    assert curate.doremi_resample(tiny).count() == 0
+    assert curate.doremi_weights(tiny).count() == 0
+
+    withnull = spark.createDataFrame(
+        [(i, "aa bb cc dd aa", "x") for i in range(6)]
+        + [(10 + i, "pp qq rr ss pp", None) for i in range(6)],
+        "doc_id long, text string, lang string")
+    w = curate.doremi_weights(withnull).collect()
+    assert {r.lang for r in w} == {"x", None}
+    assert all(r.weight_final > 0 for r in w)
