@@ -725,3 +725,43 @@ def test_no_corpus_scale_empty_partition_windows_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, sorted(offenders)
+
+
+def test_global_window_source_sites_are_pinned():
+    # source-level companion to the plan sweep (which cannot see
+    # windows severed behind a localCheckpoint): every construction of
+    # a no-partition Window in the engine is accounted for here. A new
+    # site must either route through the two_level primitives or be
+    # added BELOW with its boundedness argument.
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent \
+        / "cassandra_ttl_remover_spark"
+    allowed = {
+        # file -> (count, why each site is safe at 100 TB)
+        "operators/ml.py": (2, "cusum recursion + theil-sen day "
+                               "numbering, both over the per-day "
+                               "aggregate — O(|days|)"),
+        "operators/sessions.py": (1, "peak_concurrency two_level=False "
+                                     "verification branch (default is "
+                                     "the two-level path)"),
+        "operators/text.py": (1, "equidepth two_level=False "
+                                 "verification branch (declared query "
+                                 "passes two_level=True)"),
+        "operators/curate.py": (3, "pareto global pass over the union "
+                                   "of per-partition frontiers; pps "
+                                   "two_level=False verification "
+                                   "branch; budget_allocation's "
+                                   "|sources| dictionary frame"),
+        "plans/__init__.py": (1, "docstring mention only (two_level_"
+                                 "cumsum's equivalence contract)"),
+    }
+    found = {}
+    for p in root.rglob("*.py"):
+        n = p.read_text().count("Window.orderBy(")
+        if n:
+            found[str(p.relative_to(root))] = n
+    assert found == {k: v[0] for k, v in allowed.items()}, (
+        f"global-window sites changed: {found} — route new sites "
+        "through plans.two_level_* or document them in `allowed`"
+    )
