@@ -680,6 +680,7 @@ _DRIVER_PRIORITY = [
     "q_n74_doremi_weights",
     "q_n75_tokenizer_fertility",
     "q_pipe_doremi_mix",
+    "q_n76_kn_perplexity",
     # --- round-11 rotation: stalest-green-first, regenerated from
     # CORRECTNESS_r01..r10 (script pattern in ROTATION_r11_plan.md; same
     # green rule as tests/test_harness_contract.py). After r10 graded its
@@ -4901,6 +4902,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.doremi_resample(docs, domain_col="lang")
     q["q_pipe_doremi_mix"] = q_pipe_doremi
 
+    def q_n76(spark, sf):
+        # interpolated Kneser-Ney fluency (Chen & Goodman 1999 — the
+        # KenLM smoothing) completing the canon next to add-1 (q_n68)
+        # and stupid backoff (q_n71): rational absolute discounting
+        # D=3/4 + the continuation-count backoff, all marginals derived
+        # from the ONE checkpointed bigram histogram, capped integer
+        # inverse-probability surrogate — hash-exact
+        docs = scan_table(spark, sf, "documents")
+        return curate.kn_perplexity(docs, "lang = 'en'").orderBy("doc_id")
+    q["q_n76_kn_perplexity"] = q_n76
+
     def q_n72(spark, sf):
         # the per-doc multi-signal quality MATRIX: Gopher rule verdict,
         # trained discriminative margin, and generative LM surprise side
@@ -6344,6 +6356,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_pipe_doremi_mix"] = curate.doremi_resample_oracle_sql(
         domain_col="lang"
+    )
+    o["q_n76_kn_perplexity"] = curate.kn_perplexity_oracle_sql(
+        train_where="lang = 'en'"
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

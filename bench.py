@@ -474,6 +474,12 @@ def main() -> int:
         from cassandra_ttl_remover_spark.operators import text as _text
         _text.tokenizer_fertility(documents, domain_col="lang").collect()
 
+    def q_kn_perplexity():
+        # Kneser-Ney fluency: one training featurize, continuation
+        # marginals derived from the checkpointed histogram, capped
+        # integer inverse-prob join + doc-id reduce
+        curate.kn_perplexity(documents, "lang = 'en'").collect()
+
     def q_model_curate():
         # the composed model-based pipeline: gopher -> train -> exact
         # broadcast margin gate -> temperature mix -> exact dedup, one
@@ -536,6 +542,7 @@ def main() -> int:
         "model_curate": q_model_curate,
         "doremi_weights": q_doremi_weights,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "kn_perplexity": q_kn_perplexity,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock
@@ -587,7 +594,8 @@ def main() -> int:
     # is the common-query subtotal, never the full total (entry count
     # grows every round; see the module docstring on ambient variance)
     new_in_r10 = ("lm_perplexity", "sbo_perplexity", "model_curate")
-    new_in_r11 = ("doremi_weights", "tokenizer_fertility")
+    new_in_r11 = ("doremi_weights", "tokenizer_fertility",
+                  "kn_perplexity")
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,

@@ -2697,3 +2697,171 @@ SELECT t.{domain_col}, n_avail, weight_avg, k_target,
 FROM tgt t LEFT JOIN kept USING ({domain_col})
 ORDER BY t.{domain_col}
 """
+
+
+def kn_perplexity(docs: DataFrame, train_where: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  buckets: int = 4096, scale: int = 1000) -> DataFrame:
+    """Interpolated Kneser-Ney fluency scoring (Chen & Goodman 1999 —
+    the empirically-best classical n-gram smoothing, and the one KenLM
+    serves; public method): train on the ``train_where`` subset, score
+    every document. Completes the engine's smoothing canon: add-1
+    (lm_perplexity, CCNet's shape), stupid backoff (sbo_perplexity,
+    Brants et al.), and now KN — the three named baselines of the
+    n-gram LM literature, all over the SAME checkpointed histogram
+    artifact and all integer-exact.
+
+    KN's two ideas survive the integer-rational translation intact
+    because absolute discounting is RATIONAL: with discount D = 3/4,
+
+        p(v|u) = max(c(u,v) - 3/4, 0)/c(u)
+                 + (3/4) * N1+(u.)/c(u) * N1+(.v)/T
+
+    over common denominator 4*c(u)*T (T = distinct bigram types,
+    N1+(u.) = distinct continuations of u, N1+(.v) = distinct contexts
+    of v — the continuation count, KN's signature). The score is the
+    engine's standard inverse-probability surrogate: per bigram,
+
+        inv = least( (4*c(u)*T*scale) div max(num, 1), cap )
+        num = T*max(4*c(u,v) - 3, 0) + 3*N1+(u.)*N1+(.v)
+
+    with an unseen CONTEXT falling back to the pure continuation
+    distribution ``inv = (T*scale) div max(N1+(.v), 1)`` and
+    ``cap = 4*(T + buckets)*scale`` bounding the never-seen-anywhere
+    token at the uniform-over-types floor (one unknown word cannot
+    dominate a document mean). Every operation is +,*,max,min and ONE
+    truncating division on non-negative ints — Spark ``div`` == DuckDB
+    ``//``, hash-exact. Output: ``(id, n_bigrams, sum_invp,
+    kn_permille)``, NULL kn for docs with < 2 tokens.
+
+    Scale: same plan as lm_score — one training featurize into the
+    checkpointed pair histogram, ALL of ctx/continuation/type-count
+    marginals derived from it (never a second corpus pass), one
+    two-int-key join + doc-id reduce over the corpus; text never
+    shuffles. int64 discipline: 4*c(u)*T*scale must stay under 2^63 —
+    c(u) <= 1.4e8 at the default buckets/scale; past that drop
+    ``scale`` or promote to decimal(38,0) (lm_score's documented
+    boundary, one term earlier)."""
+    model = lm_model(docs.filter(train_where), text_col, id_col, buckets)
+    return kn_score(docs, model, text_col=text_col, id_col=id_col,
+                    buckets=buckets, scale=scale)
+
+
+def kn_score(docs: DataFrame, model: DataFrame, *,
+             text_col: str = "text", id_col: str = "doc_id",
+             buckets: int = 4096, scale: int = 1000) -> DataFrame:
+    """Score ``docs`` against a trained :func:`lm_model` histogram with
+    interpolated Kneser-Ney — the serving half of
+    :func:`kn_perplexity` (lm_score's contract: one row per input doc,
+    per-doc independent, NULL for the unscorable)."""
+    bg_all = _lm_bigrams(docs, text_col, id_col, buckets)
+    ctx = model.groupBy("u").agg(
+        F.sum("c_uv").cast("long").alias("c_u"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    bwd = model.groupBy("v").agg(F.count("*").cast("long").alias("n1b"))
+    tt = model.agg(F.count("*").cast("long").alias("t_types"))
+    inv = (
+        "least("
+        " CASE WHEN c_u IS NOT NULL THEN"
+        f"  (4L * c_u * t_types * {scale}) div greatest("
+        "    t_types * greatest(4L * coalesce(c_uv, 0L) - 3L, 0L)"
+        "    + 3L * n1f * coalesce(n1b, 0L), 1L)"
+        f" ELSE (t_types * {scale}) div greatest(coalesce(n1b, 0L), 1L)"
+        " END,"
+        f" 4L * (t_types + {buckets}) * {scale})"
+    )
+    per = (
+        bg_all
+        .join(model, ["u", "v"], "left")
+        .join(F.broadcast(ctx), ["u"], "left")
+        .join(F.broadcast(bwd), ["v"], "left")
+        .join(F.broadcast(tt))
+        .select(F.col(id_col), F.expr(inv).alias("_invp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("_invp").cast("long").alias("sum_invp"),
+        )
+    )
+    return (
+        docs.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_invp", F.lit(0)).cast("long").alias("sum_invp"),
+        )
+        .withColumn(
+            "kn_permille",
+            F.expr("CASE WHEN n_bigrams > 0 THEN sum_invp div n_bigrams "
+                   "ELSE CAST(NULL AS BIGINT) END"),
+        )
+    )
+
+
+def kn_perplexity_oracle_sql(train_where: str, table: str = "documents",
+                             id_col: str = "doc_id",
+                             buckets: int = 4096,
+                             scale: int = 1000) -> str:
+    """DuckDB recomputation of :func:`kn_perplexity` — the lm oracle's
+    CTE chain with KN's derived marginals (continuation counts + type
+    total) and the same capped inverse-probability expression."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    bucket = _dsir_bucket_duck("w", buckets)
+    inv = (
+        "least("
+        " CASE WHEN c_u IS NOT NULL THEN"
+        f"  (4 * c_u::HUGEINT * t_types * {scale}) // greatest("
+        "    t_types::HUGEINT * greatest(4 * coalesce(c_uv, 0) - 3, 0)"
+        "    + 3 * n1f::HUGEINT * coalesce(n1b, 0), 1)"
+        f" ELSE (t_types::HUGEINT * {scale})"
+        "  // greatest(coalesce(n1b, 0), 1)"
+        " END,"
+        f" 4 * (t_types::HUGEINT + {buckets}) * {scale})"
+    )
+    return f"""
+WITH b_all AS MATERIALIZED (
+  SELECT {id_col}, list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {id_col}, {ws} AS ws FROM {table})
+  WHERE len(ws) >= 2
+),
+bg_all AS MATERIALIZED (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
+  FROM b_all
+),
+b_tr AS MATERIALIZED (
+  SELECT list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {ws} AS ws FROM {table} WHERE {train_where})
+  WHERE len(ws) >= 2
+),
+bg_tr AS MATERIALIZED (
+  SELECT unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
+  FROM b_tr
+),
+ph AS MATERIALIZED (SELECT u, v, count(*)::BIGINT AS c_uv
+                    FROM bg_tr GROUP BY u, v),
+ch AS MATERIALIZED (SELECT u, sum(c_uv)::BIGINT AS c_u,
+                           count(*)::BIGINT AS n1f
+                    FROM ph GROUP BY u),
+bh AS MATERIALIZED (SELECT v, count(*)::BIGINT AS n1b FROM ph GROUP BY v),
+tt AS MATERIALIZED (SELECT count(*)::BIGINT AS t_types FROM ph),
+per AS MATERIALIZED (
+  SELECT {id_col}, count(*)::BIGINT AS n_bigrams,
+         sum({inv})::BIGINT AS sum_invp
+  FROM bg_all
+  LEFT JOIN ph USING (u, v)
+  LEFT JOIN ch USING (u)
+  LEFT JOIN bh USING (v)
+  CROSS JOIN tt
+  GROUP BY {id_col}
+)
+SELECT d.{id_col}, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sum_invp, 0)::BIGINT AS sum_invp,
+       (CASE WHEN coalesce(n_bigrams, 0) > 0
+             THEN sum_invp // n_bigrams END)::BIGINT AS kn_permille
+FROM {table} d LEFT JOIN per USING ({id_col})
+ORDER BY d.{id_col}
+"""

@@ -771,3 +771,107 @@ def test_doremi_edges_empty_weights_and_null_domain(spark):
     w = curate.doremi_weights(withnull).collect()
     assert {r.lang for r in w} == {"x", None}
     assert all(r.weight_final > 0 for r in w)
+
+
+def test_kn_score_hand_computed_tiny_corpus(spark):
+    """Every term of the KN surrogate recomputed by hand in Python on a
+    corpus small enough to enumerate — pins the discount, the
+    continuation backoff, the unseen-context branch and the cap."""
+    import hashlib
+
+    buckets, scale = 4096, 1000
+
+    def bk(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:3], 16) % buckets
+
+    train = ["aa bb cc", "aa bb dd"]
+    probe = "aa bb zz qq"     # seen pair, seen ctx/unseen pair, unseen ctx
+    docs = spark.createDataFrame(
+        [(0, train[0], "t"), (1, train[1], "t"), (2, probe, "p")],
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in
+           curate.kn_perplexity(docs, "lang = 't'").collect()}
+
+    # model: bigrams of the two training docs
+    ph = {}
+    for t in train:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            ph[(bk(a), bk(b))] = ph.get((bk(a), bk(b)), 0) + 1
+    cu, n1f, n1b = {}, {}, {}
+    for (u, v), c in ph.items():
+        cu[u] = cu.get(u, 0) + c
+        n1f[u] = n1f.get(u, 0) + 1
+        n1b[v] = n1b.get(v, 0) + 1
+    T = len(ph)
+    cap = 4 * (T + buckets) * scale
+
+    def inv(u, v):
+        if u in cu:
+            num = (T * max(4 * ph.get((u, v), 0) - 3, 0)
+                   + 3 * n1f[u] * n1b.get(v, 0))
+            return min((4 * cu[u] * T * scale) // max(num, 1), cap)
+        return min((T * scale) // max(n1b.get(v, 0), 1), cap)
+
+    ws = probe.split()
+    want = [inv(bk(a), bk(b)) for a, b in zip(ws, ws[1:])]
+    assert out[2].n_bigrams == 3
+    assert out[2].sum_invp == sum(want)
+    assert out[2].kn_permille == sum(want) // 3
+    # the unseen-CONTEXT bigram (zz -> qq) scores the pure continuation
+    # distribution's floor: T * scale (uniform over the T types — the
+    # model has no context evidence, so surprise is bounded by the
+    # type inventory, not the cap, which only binds seen contexts)
+    assert want[2] == T * scale
+    # training docs score far lower than the probe
+    assert out[0].kn_permille < out[2].kn_permille
+
+
+def test_kn_continuation_count_signature(spark):
+    """KN's defining property vs raw-frequency smoothing: a word that
+    is FREQUENT but only ever follows one context ("Francisco") gets a
+    LOW continuation weight — novel-context use of it must score more
+    surprising than a same-frequency word seen in many contexts."""
+    rows = []
+    # "francisco" appears 12 times, always after "san"
+    for i in range(12):
+        rows.append((i, "san francisco is a city", "t"))
+    # "road" appears 12 times after 12 DIFFERENT contexts
+    ctx = "long old new wide open dusty main broad quiet busy north south"
+    for j, c in enumerate(ctx.split()):
+        rows.append((100 + j, f"the {c} road is a path", "t"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = curate.lm_model(docs.filter("lang = 't'"))
+    probe = spark.createDataFrame(
+        [(900, "valley francisco"), (901, "valley road")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.kn_permille
+           for r in curate.kn_score(probe, model).collect()}
+    # same raw frequency, but road's continuation count is 12x higher
+    assert got[900] > got[901]
+
+
+def test_kn_unscorable_docs_and_empty_model(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd", "t"), (1, "solo", "p"), (2, None, "p")],
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in
+           curate.kn_perplexity(docs, "lang = 't'").collect()}
+    assert out[1].n_bigrams == 0 and out[1].kn_permille is None
+    assert out[2].n_bigrams == 0 and out[2].kn_permille is None
+    # empty training subset: T = 0, every score collapses to 0 — no
+    # div-by-zero on either engine
+    out2 = {r.doc_id: r for r in
+            curate.kn_perplexity(docs, "lang = 'none'").collect()}
+    assert out2[0].sum_invp == 0
+
+
+def test_kn_oracle_parity_inline(spark, documents):
+    from tests.conftest import SF_DIR
+    from tests.oracle_parity import duck_connection, compare
+
+    ok, msg = compare(
+        curate.kn_perplexity(documents, "lang = 'en'").orderBy("doc_id"),
+        curate.kn_perplexity_oracle_sql(train_where="lang = 'en'"),
+        duck_connection(SF_DIR))
+    assert ok, msg
