@@ -643,85 +643,37 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS row — maintained by hand with each code change; the
 #: contract test pins these to the front of the graded window.
 _REGRADE_FIRST = [
-    # round 11: maintained as round-11 changes land — changed queries
+    # round 12: maintained as round-12 changes land — changed queries
     # are prepended here AND to the front of _DRIVER_PRIORITY.
-    # ivf_query gained the emptied-index guard (schema-inference
-    # fallback to an empty frame) and ivf_compact's census/keeper
-    # changed — every declared query through ivf_query re-certifies:
+    # doremi NULL-domain symmetry (r11 ADVICE) + the per-domain rank
+    # moved off the low-cardinality partitionBy window onto
+    # plans.two_level_row_number(partition_cols=...) (r11 verdict weak):
+    "q_pipe_doremi_mix",
+    "q_n74_doremi_weights",
+    # sample_per_group's rank re-routed through the same partitioned
+    # two-level primitive (the verdict's "same rule" re-examination):
+    "q_n24_sample_per_group",
+    # tokenizer_fertility's domain label now coalesces NULL -> '<null>'
+    # on both engines (r11 ADVICE low):
+    "q_n75_tokenizer_fertility",
+    # ivf_query's emptied-index guard narrowed to UNABLE_TO_INFER_SCHEMA
+    # (r11 ADVICE low) — every declared query through ivf_query:
     "q_n8h_ann_ivf_delete",
     "q_n8c_ann_ivf_materialized",
     "q_n8d_ann_ivf_append",
     "q_st21_stream_ivf_ingest",
-    # theil_sen_kendall's median-pair selection moved off the
-    # empty-partitionBy window onto plans.two_level_row_number:
-    "q_ml10_theil_sen",
-    # stream_lm_gate's sink became idempotent b=<batch_id> overwrite
-    # directories (exactly-once under replay) and the readers drop the
-    # layout column:
-    "q_st22_stream_lm_gate",
-    "q_st23_stream_sbo_gate",
-    # the declared-surface window sweep: every remaining global-order
-    # window re-routed through the two_level primitives (ks_drift's
-    # paired CDFs, key_skew's rank stats + TakeOrdered top-k,
-    # mannwhitney's c_less prefix, the exact quality/margin cutoffs,
-    # peak_concurrency's sweep now two-level by DEFAULT):
-    "q_d7_ks_drift",
-    "q_d10_key_skew",
-    "q_ml9_mannwhitney",
-    "q_n17_quality_cutoff",
-    "q_n17b_quality_cutoff_approx",
-    "q_n64_margin_cutoff",
-    "q_se6_peak_concurrency",
 ]
 
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
-    # --- new in round 11 (never graded) ---
-    "q_n74_doremi_weights",
-    "q_n75_tokenizer_fertility",
-    "q_pipe_doremi_mix",
-    "q_n76_kn_perplexity",
-    # --- round-11 rotation: stalest-green-first, regenerated from
-    # CORRECTNESS_r01..r10 (script pattern in ROTATION_r11_plan.md; same
-    # green rule as tests/test_harness_contract.py). After r10 graded its
-    # window, the stalest evidence is the eight leftover round-3 greens
-    # (q_n10..q_n15b), then the round-4 block. The list is the FULL
-    # declared surface, deduplicated — regenerating it each round also
-    # kills the duplicate-slot drift the r10 ADVICE flagged. ---
-    # --- last green: round 3 ---
-    "q_n10_lang_id",
-    "q_n11_quality_score",
-    "q_n12_token_counts",
-    "q_n13_fingerprint",
-    "q_n14_neardup_components",
-    "q_n37_substring_dup_census",
-    "q_n15_decontaminate",
-    "q_n15b_decontaminate_bloom",
+    # --- round-12 rotation: stalest-green-first, regenerated from
+    # CORRECTNESS_r01..r11 (script pattern in ROTATION_r12_plan.md; same
+    # green rule as tests/test_harness_contract.py). After r11 graded its
+    # window, the stalest evidence is the round-4 tail (22 queries), then
+    # round 5. The list is the FULL declared surface, deduplicated. New
+    # round-12 queries are inserted just below this comment as they land
+    # (never-graded leads the stale pool). ---
     # --- last green: round 4 ---
-    "q_pipe_curate_lsh",
-    "q_mm8_ppm_decode",
-    "q_s7_sstable_scan",
-    "q_s8_sstable_strip",
-    "q_s9_sstable_range_lookup",
-    "q_mm9_frame_energy",
-    "q_st15_stream_sstable_strip",
-    "q_mm10_pbm_decode",
-    "q_a8_sketch_difference",
-    "q_n43_ngram_novelty",
-    "q_sql_q4_priority_exists",
-    "q_sql_q14_promo_revenue",
-    "q_x18_approx_percentile",
-    "q_n8e_ann_pq",
-    "q_n8f_ann_pq_materialized",
-    "q_n38_semdedup",
-    "q_w4_bucketed_colocated_join",
-    "q_st12_stream_enrich",
-    "q_n39_deterministic_shuffle",
-    "q_f4_schema_evolution",
-    "q_g1_pagerank",
-    "q_st13_stream_custom_state",
-    "q_x14_pandas_udaf",
-    "q_g2_triangles",
     "q_n40_hard_negatives",
     "q_x15_hopping_window",
     "q_x16_exact_correlation",
@@ -751,7 +703,6 @@ _DRIVER_PRIORITY = [
     "q_n21_repetition_ratio",
     "q_n22_scrub_pii",
     "q_n23_vocab_topk",
-    "q_n24_sample_per_group",
     "q_n25_unigram_quality",
     "q_n26_tfidf_topk",
     "q_n27_chunk_sliding",
@@ -1006,6 +957,50 @@ _DRIVER_PRIORITY = [
     "q_n8_ann_lsh",
     "q_n8b_ann_ivf",
     "q_n9_minhash_recall",
+    # --- last green: round 11 ---
+    "q_ml10_theil_sen",
+    "q_st22_stream_lm_gate",
+    "q_st23_stream_sbo_gate",
+    "q_d7_ks_drift",
+    "q_d10_key_skew",
+    "q_ml9_mannwhitney",
+    "q_n17_quality_cutoff",
+    "q_n17b_quality_cutoff_approx",
+    "q_n64_margin_cutoff",
+    "q_se6_peak_concurrency",
+    "q_n76_kn_perplexity",
+    "q_n10_lang_id",
+    "q_n11_quality_score",
+    "q_n12_token_counts",
+    "q_n13_fingerprint",
+    "q_n14_neardup_components",
+    "q_n37_substring_dup_census",
+    "q_n15_decontaminate",
+    "q_n15b_decontaminate_bloom",
+    "q_pipe_curate_lsh",
+    "q_mm8_ppm_decode",
+    "q_s7_sstable_scan",
+    "q_s8_sstable_strip",
+    "q_s9_sstable_range_lookup",
+    "q_mm9_frame_energy",
+    "q_st15_stream_sstable_strip",
+    "q_mm10_pbm_decode",
+    "q_a8_sketch_difference",
+    "q_n43_ngram_novelty",
+    "q_sql_q4_priority_exists",
+    "q_sql_q14_promo_revenue",
+    "q_x18_approx_percentile",
+    "q_n8e_ann_pq",
+    "q_n8f_ann_pq_materialized",
+    "q_n38_semdedup",
+    "q_w4_bucketed_colocated_join",
+    "q_st12_stream_enrich",
+    "q_n39_deterministic_shuffle",
+    "q_f4_schema_evolution",
+    "q_g1_pagerank",
+    "q_st13_stream_custom_state",
+    "q_x14_pandas_udaf",
+    "q_g2_triangles",
 ]
 
 

@@ -695,22 +695,39 @@ FROM {table} ORDER BY sample_key, {id_col} LIMIT {k}
 
 
 def sample_per_group(docs: DataFrame, k: int, *, group_col: str = "source",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     two_level: bool = True) -> DataFrame:
     """Per-group fixed-size sample: the ``k`` docs with the smallest
     ``pmod(murmur3(id), 2^31)`` within each group (ties by id) — "at most k
     documents per domain", the balanced-subset selection a curation recipe
     uses when domains are wildly uneven. Deterministic and engine-portable.
 
-    Scale: one window partitioned by the group key — each group ranks
-    independently in parallel; no global sort, no driver state. A group's
-    rows land in one task (same per-key caveat as sessionize); for k ≪
-    group size, pre-filter with mix_decisions at a few×k/|group| first so
-    the window sees a bounded candidate set."""
+    Scale: the group key is typically LOW-cardinality (|sources| ~ tens)
+    over a corpus-sized frame, so a plain ``Window.partitionBy(group)``
+    would sort each group's full rows through ONE task. The default
+    routes the rank through
+    :func:`~cassandra_ttl_remover_spark.plans.two_level_row_number` with
+    ``partition_cols=[group_col]`` — range-partitioned on (group, key,
+    id) so one group spans many parallel shards (doremi_resample's
+    construction). ``two_level=False`` keeps the single-window shape as
+    the small-frame verification branch. Either way, for k ≪ group size
+    a mix_decisions pre-filter at a few×k/|group| first keeps the ranked
+    candidate set bounded."""
     bucket = F.pmod(F.hash(F.col(id_col)), F.lit(_MIX_BUCKETS))
-    w = Window.partitionBy(group_col).orderBy("sample_key", id_col)
+    base = docs.select(F.col(id_col), F.col(group_col),
+                       bucket.alias("sample_key"))
+    if two_level:
+        from .. import plans
+
+        ranked = plans.two_level_row_number(
+            base, order_cols=["sample_key", id_col], out="rn",
+            partition_cols=[group_col],
+        )
+    else:
+        w = Window.partitionBy(group_col).orderBy("sample_key", id_col)
+        ranked = base.withColumn("rn", F.row_number().over(w))
     return (
-        docs.select(F.col(id_col), F.col(group_col), bucket.alias("sample_key"))
-        .withColumn("rn", F.row_number().over(w))
+        ranked
         .filter(F.col("rn") <= k)
         .select(id_col, group_col, "sample_key")
     )
@@ -2421,11 +2438,16 @@ def doremi_weights(docs: DataFrame, *, domain_col: str = "lang",
         docs, domain_col=domain_col, text_col=text_col, id_col=id_col,
         buckets=buckets, scale=scale,
     ).collect()                      # bounded: <= |domains|^2 rows
-    # NULL domains are legal data (the matrix emits a NULL-domain row
-    # for them, as the oracle does) — sort with an explicit None-first
-    # key, since Python's < does not order None against str
-    doms = sorted({r.model_domain for r in mat},
-                  key=lambda d: (d is not None, d or ""))
+    # NULL domains are legal data and the DIAGNOSTIC matrix emits their
+    # rows, but the MIXTURE excludes them on both engines: a NULL
+    # "model" row is a join-floor artifact (its context/pair lookups
+    # never match, so every cross-perplexity is the add-1 ceiling), and
+    # unlabeled data cannot be weight-targeted. Symmetric with the
+    # oracle's `WHERE dom IS NOT NULL` doms/ex filters — previously the
+    # Python side included the NULL model in the excess mean while the
+    # oracle's `m <> dd` silently dropped it (r11 ADVICE finding).
+    doms = sorted({r.model_domain for r in mat
+                   if r.model_domain is not None})
     n = len(doms)
     cross = {(r.model_domain, r.data_domain): int(r.cross_permille)
              for r in mat}
@@ -2515,7 +2537,11 @@ hist AS MATERIALIZED (SELECT dom, u, v, count(*)::BIGINT AS cnt
 mctx AS MATERIALIZED (SELECT dom AS m, u, sum(cnt)::BIGINT AS c_u
          FROM hist GROUP BY dom, u),
 mpair AS MATERIALIZED (SELECT dom AS m, u, v, cnt AS c_uv FROM hist),
-doms AS MATERIALIZED (SELECT DISTINCT dom AS m FROM hist),
+-- the MIXTURE excludes NULL domains on both engines (unlabeled data
+-- cannot be weight-targeted; the NULL model row is a join-floor
+-- artifact) — mirrors the Python side's `if r.model_domain is not None`
+doms AS MATERIALIZED (SELECT DISTINCT dom AS m FROM hist
+                      WHERE dom IS NOT NULL),
 mat AS MATERIALIZED (
   SELECT m, d.dom AS dd,
          (sum(d.cnt * (((coalesce(c_u, 0) + {buckets}) * {scale})
@@ -2536,7 +2562,7 @@ ex AS MATERIALIZED (
                     // greatest(1, (SELECT n FROM nd) - 1))
                    - max(CASE WHEN m = dd THEN cp END))
          END::BIGINT AS excess
-  FROM mat GROUP BY dd
+  FROM mat WHERE dd IS NOT NULL GROUP BY dd
 ),
 mxx AS MATERIALIZED (SELECT max(excess) AS mx FROM ex),
 es AS MATERIALIZED (
@@ -2588,10 +2614,23 @@ def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
     counts. Callers wanting the documents themselves join the same
     rank rule; this surface keeps the output scalar and bounded.
 
+    NULL domains: excluded from the mixture on BOTH engines (see
+    :func:`doremi_weights` — the weights frame carries no NULL row, so
+    the waterline, k_targets and the selection all ignore unlabeled
+    docs consistently; the audit emits no NULL row rather than a
+    self-contradicting ``k_target > 0, n_kept = 0`` one).
+
     Scale: the weights come from one corpus featurize (doremi_weights);
-    the selection is a PARTITIONED rank per domain over (md5, id) —
-    hash-exchange on domain, no global window — against a broadcast
-    <= |domains| target table; the audit is one map-side agg."""
+    the per-domain (md5, id) rank runs through
+    :func:`~cassandra_ttl_remover_spark.plans.two_level_row_number`
+    with ``partition_cols=[domain]`` — the domain key is LOW-cardinality
+    (~|langs|) over a corpus-sized frame, so a plain
+    ``Window.partitionBy(domain)`` would sort each domain's whole
+    (domain, id) projection through ONE task (tens of GB per reducer at
+    10^10 docs); the two-level form range-partitions on (domain, md5,
+    id) so one domain spans many shards sorted in parallel, with
+    per-(shard, domain) offsets (r11 verdict's weak). The target table
+    is a broadcast <= |domains| frame; the audit is one map-side agg."""
     w = doremi_weights(
         docs, domain_col=domain_col, text_col=text_col, id_col=id_col,
         buckets=buckets, scale=scale, iters=iters,
@@ -2616,18 +2655,20 @@ def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
     targets = {d: min(navail[d], (weights[d] * t) // weight_scale)
                for d in weights}
     tgt = F.broadcast(spark.createDataFrame(
-        [(d, navail[d], weights[d], targets[d])
-         for d in sorted(weights, key=lambda d: (d is not None, d or ""))],
+        [(d, navail[d], weights[d], targets[d]) for d in sorted(weights)],
         tgt_schema,
     ))
-    from pyspark.sql import Window
+    from .. import plans
 
-    rank_w = Window.partitionBy(domain_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    kept = (
+    ranked = plans.two_level_row_number(
         docs.select(domain_col, id_col)
-        .withColumn("_rn", F.row_number().over(rank_w))
-        .join(tgt, domain_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string"))),
+        order_cols=["_h", id_col], out="_rn",
+        partition_cols=[domain_col],
+    )
+    kept = (
+        ranked
+        .join(tgt, domain_col)   # inner: NULL-domain docs are not mixed
         .filter(F.col("_rn") <= F.col("k_target"))
         .groupBy(domain_col)
         .agg(F.count("*").cast("long").alias("n_kept"),

@@ -507,11 +507,19 @@ def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
     probes = [int(r["cell"]) for r in by_dist[:nprobe]]
     qdf = spark.createDataFrame([(query_vec,)], f"_qv array<float>")
     try:
-        # the guard wraps ONLY schema inference: any other analysis
-        # failure (unresolvable columns, schema-merge conflicts) is
-        # index corruption and must raise, not read as "no matches"
+        # the guard translates ONLY schema-inference failure on an
+        # emptied index into an empty result; every other
+        # AnalysisException (a typo'd/nonexistent path raises
+        # PATH_NOT_FOUND — a caller bug; unresolvable columns or
+        # schema-merge conflicts — index corruption) must raise, not
+        # read as "no matches" (r11 ADVICE: the broad handler masked
+        # caller bugs)
         idx_scan = spark.read.parquet(path)
-    except AnalysisException:
+    except AnalysisException as e:
+        cond = (e.getCondition() if hasattr(e, "getCondition")
+                else e.getErrorClass())
+        if cond != "UNABLE_TO_INFER_SCHEMA":
+            raise
         # no list files at all (pre-keeper emptied index) — empty top-k
         return spark.createDataFrame([], f"{id_col} bigint, dot bigint")
     scan = idx_scan.filter(F.col("cell").isin(probes))

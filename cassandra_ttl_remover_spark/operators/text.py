@@ -1834,7 +1834,12 @@ def tokenizer_fertility(docs: DataFrame,
     per_dom = (
         fan_out(docs, id_col)
         .select(
-            F.col(domain_col).alias("_dom"),
+            # NULL domains get an explicit '<null>' label: concat with a
+            # NULL domain would otherwise NULL the metric for all six
+            # rows (indistinguishable) and the final ORDER BY metric
+            # would diverge (Spark ASC = NULLS FIRST, DuckDB NULLS LAST)
+            F.coalesce(F.col(domain_col).cast("string"),
+                       F.lit("<null>")).alias("_dom"),
             F.length(text_col).cast("long").alias("_chars"),
             F.expr(f"cast(size({ws}) as bigint)").alias("_words"),
             n_sub.cast("long").alias("_sub"),
@@ -1863,7 +1868,11 @@ def tokenizer_fertility(docs: DataFrame,
             "        if(n_sub > 0, (n_chars * 1000L) div n_sub, 0L)"
             "        as value))"
         )).alias("kv"))
-        .select(F.col("kv.metric").alias("metric"),
+        # nullif keeps `metric` NULLABLE (never fires — labels are
+        # prefixed, hence non-empty): the '<null>' coalesce above made
+        # the concat non-nullable, and the card contract is schema
+        # EQUALITY with corpus_card's nullable metric column
+        .select(F.expr("nullif(kv.metric, '')").alias("metric"),
                 F.col("kv.value").cast("long").alias("value"))
         .orderBy("metric")
     )
@@ -1880,7 +1889,7 @@ def tokenizer_fertility_oracle_sql(
     seg = _bpe_seg_sql(merges)
     return f"""
 WITH per_doc AS (
-  SELECT {domain_col} AS dom,
+  SELECT coalesce({domain_col}, '<null>') AS dom,
          length(text)::BIGINT AS chars,
          len({ws})::BIGINT AS words,
          coalesce(list_sum(list_transform({ws},

@@ -200,8 +200,24 @@ def exchange_count(df: DataFrame) -> int:
 
 import threading as _threading
 
-#: serializes checkpoint_partitioned's session-conf toggle against itself
+#: one AQE-off child session per parent session, created under a lock —
+#: keyed by the JVM session object's hash (stable for a session's life)
+_CHECKPOINT_SESSIONS: dict = {}
 _CHECKPOINT_LOCK = _threading.Lock()
+
+
+def _aqe_off_session(spark):
+    """A cached ``spark.newSession()`` whose SQLConf has AQE disabled —
+    an ISOLATED conf over the shared SparkContext, so building a plan in
+    it never perturbs plans compiling concurrently on the parent."""
+    key = spark._jsparkSession.hashCode()  # noqa: SLF001
+    with _CHECKPOINT_LOCK:
+        child = _CHECKPOINT_SESSIONS.get(key)
+        if child is None:
+            child = spark.newSession()
+            child.conf.set("spark.sql.adaptive.enabled", "false")
+            _CHECKPOINT_SESSIONS[key] = child
+        return child
 
 
 def checkpoint_partitioned(df: DataFrame) -> DataFrame:
@@ -211,30 +227,38 @@ def checkpoint_partitioned(df: DataFrame) -> DataFrame:
     plain localCheckpoint of a repartitioned frame produces a LogicalRDD
     whose partitioning Catalyst can't see — every downstream groupBy/join
     on the partition key re-exchanges data that is already correctly
-    placed. Toggling AQE off just for the checkpoint call captures the
-    real ``hashpartitioning`` into the LogicalRDD (the RDD DAG is built
-    at call time; re-enabling AQE afterwards does not alter it), so
-    iterative consumers (logreg's GD loop) reuse the partitioning with
-    ZERO exchanges per pass. Cost: this one exchange forgoes AQE's
-    runtime coalescing — size ``spark.sql.shuffle.partitions`` for the
-    target scale as usual.
+    placed. Building the checkpoint with AQE off captures the real
+    ``hashpartitioning`` into the LogicalRDD, so iterative consumers
+    (logreg's GD loop) reuse the partitioning with ZERO exchanges per
+    pass. Cost: this one exchange forgoes AQE's runtime coalescing —
+    size ``spark.sql.shuffle.partitions`` for the target scale as usual.
 
-    CONCURRENCY: the AQE flag is SESSION-global, so the toggle is held
-    under a process lock — concurrent checkpoint_partitioned calls
-    serialize instead of racing the flag. A plan compiled on an
-    UNRELATED thread during the (brief, plan-build-only) window still
-    sees AQE off; callers that compile plans concurrently with
-    checkpoint construction (e.g. a foreachBatch loop driving its own
-    session) should toggle on a separate ``spark.newSession()`` whose
-    SQLConf is isolated."""
+    The AQE-off build runs in a cached CHILD session
+    (``spark.newSession()`` — isolated SQLConf, shared SparkContext):
+    the frame's logical plan is rebound into the child, checkpointed
+    there, and the resulting LogicalRDD rebound back to the caller's
+    session. No session-global flag is ever toggled, so plans compiling
+    on unrelated threads are untouched (this replaces the r10 lock,
+    which serialized callers but still exposed concurrent compiles to
+    the flipped flag)."""
+    from pyspark.sql import DataFrame as _PyDataFrame
+
     spark = df.sparkSession
-    with _CHECKPOINT_LOCK:
-        prev = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            return df.localCheckpoint(eager=False)
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev)
+    child = _aqe_off_session(spark)
+    of_rows = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows  # noqa: SLF001
+    # rebind the ANALYZED plan (temp-view references already inlined —
+    # the child session's catalog is isolated and must not re-resolve)
+    in_child = _PyDataFrame(
+        of_rows(child._jsparkSession,  # noqa: SLF001
+                df._jdf.queryExecution().analyzed()),  # noqa: SLF001
+        child,
+    )
+    cp = in_child.localCheckpoint(eager=False)
+    return _PyDataFrame(
+        of_rows(spark._jsparkSession,  # noqa: SLF001
+                cp._jdf.queryExecution().analyzed()),  # noqa: SLF001
+        spark,
+    )
 
 
 def two_level_cumsum(df: DataFrame, order_cols: list[str], val_col: str,
@@ -311,13 +335,27 @@ def two_level_cumsums(df: DataFrame, order_cols: list[str],
 
 
 def two_level_row_number(df: DataFrame, order_cols: list[str],
-                         out: str = "rn", shards: int = 32) -> DataFrame:
+                         out: str = "rn", shards: int = 32,
+                         partition_cols: list[str] | None = None
+                         ) -> DataFrame:
     """Global ``row_number()`` over a total order WITHOUT a
     single-partition window — :func:`two_level_cumsum`'s construction
     applied to ranking: range-partition on the order columns, number
     rows per shard in parallel, collect the ≤``shards`` shard COUNTS to
     the driver, prefix them, and broadcast each shard's offset back.
     Global rank = local rank + shard offset.
+
+    With ``partition_cols`` the same construction yields a PARTITIONED
+    ``row_number() OVER (PARTITION BY pc ORDER BY ...)`` whose partition
+    key may be LOW-cardinality over a corpus-sized frame — the shape a
+    plain ``Window.partitionBy(pc)`` gets wrong at scale (|pc| reducers
+    each sorting a whole partition's rows through one task). Here the
+    range partitioning is on ``(pc, order_cols)``, so one pc value spans
+    MANY shards sorted in parallel; counts are collected per
+    ``(shard, pc)`` — at most ``shards + |pc| - 1`` rows, since each
+    shard holds a contiguous key range — prefixed per pc value on the
+    driver, and joined back null-safely (NULL partition values are legal
+    rows, not dropped).
 
     Determinism contract (same as ``Window.orderBy``'s): rows that tie
     on ALL ``order_cols`` may be numbered in either order — callers
@@ -329,29 +367,68 @@ def two_level_row_number(df: DataFrame, order_cols: list[str],
 
     This is the order-statistic primitive for exact medians/k-th
     elements over bounded-but-large frames (Theil–Sen's O(|days|²)
-    pair ranking): shard-parallel sort instead of one task holding the
-    whole frame. Driver state is one count per shard."""
+    pair ranking) and for per-group rank selection where the group key
+    is low-cardinality (doremi_resample's per-domain keep-k): shard-
+    parallel sort instead of one task holding a whole frame/group.
+    Driver state is one count per (shard, group-slice)."""
     from pyspark.sql import Window
 
+    pc = list(partition_cols or [])
     # localCheckpoint pins ONE materialization of the range partitioning
     # (repartitionByRange samples boundaries per job — see
     # two_level_cumsum) so the counts job and the output job agree on
     # shard membership
-    d = df.repartitionByRange(shards, *[F.col(c) for c in order_cols]) \
+    d = df.repartitionByRange(shards,
+                              *[F.col(c) for c in pc + order_cols]) \
         .withColumn("_pid", F.spark_partition_id()) \
         .localCheckpoint(eager=False)
-    lw = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    lw = Window.partitionBy("_pid", *pc).orderBy(
+        *[F.col(c) for c in order_cols])
     local = d.withColumn("_lrn", F.row_number().over(lw))
     counts = {
-        r._pid: r._n
-        for r in d.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+        tuple(r[c] for c in ["_pid", *pc]): r["_n"]
+        for r in d.groupBy("_pid", *pc)
+        .agg(F.count("*").alias("_n")).collect()
     }
-    run, offsets = 0, {}
-    for pid in sorted(counts):
-        offsets[pid] = run
-        run += int(counts[pid])
+    # prefix the shard counts WITHIN each partition-key value (plain
+    # global prefix when pc is empty); (None,) keys sort first via the
+    # explicit None-aware sort key
+    runs: dict[tuple, int] = {}
+    offsets = {}
+    for key in sorted(counts, key=lambda k: k[0]):
+        grp = key[1:]
+        offsets[key] = runs.get(grp, 0)
+        runs[grp] = runs.get(grp, 0) + int(counts[key])
+    if pc:
+        from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                       StructType)
+
+        off_schema = StructType(
+            [StructField("_pid", IntegerType())]
+            + [StructField(f"_k{i}", df.schema[c].dataType)
+               for i, c in enumerate(pc)]
+            + [StructField("_off", LongType())]
+        )
+        off_df = df.sparkSession.createDataFrame(
+            [(key[0], *key[1:], off) for key, off in offsets.items()]
+            or [(0, *([None] * len(pc)), 0)],
+            off_schema,
+        )
+        cond = local["_pid"] == off_df["_pid"]
+        for i, c in enumerate(pc):
+            # eqNullSafe: a NULL group value must still find its offset
+            cond = cond & local[c].eqNullSafe(off_df[f"_k{i}"])
+        return (
+            local.join(F.broadcast(off_df), cond, "left")
+            .drop(off_df["_pid"])
+            .drop(*[f"_k{i}" for i in range(len(pc))])
+            .withColumn(out, (F.col("_lrn")
+                              + F.coalesce(F.col("_off"),
+                                           F.lit(0))).cast("long"))
+            .drop("_pid", "_lrn", "_off")
+        )
     off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        [(key[0], off) for key, off in offsets.items()] or [(0, 0)],
         "_pid int, _off long",
     )
     return (

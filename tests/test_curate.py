@@ -756,9 +756,12 @@ def test_doremi_resample_oracle_parity_inline(spark, documents):
 def test_doremi_edges_empty_weights_and_null_domain(spark):
     """Review-found edges: a corpus with no scorable domain (every doc
     under 2 words) yields an EMPTY audit frame like the oracle, never a
-    min()-of-empty crash; a NULL domain (legal data — the matrix emits
-    a NULL-domain row) flows through the weight loop instead of
-    crashing Python's None-vs-str sort."""
+    min()-of-empty crash; NULL domains (legal data — the matrix emits
+    NULL-domain rows) are EXCLUDED from the mixture on both engines
+    (r11 ADVICE: the Python excess mean previously counted the NULL
+    model while the oracle's `m <> dd` dropped it, and the resample's
+    equi-joins gave the NULL domain a self-contradicting audit row
+    k_target > 0 / n_kept = 0)."""
     tiny = spark.createDataFrame([(1, "one", "x"), (2, "two", "y")],
                                  "doc_id long, text string, lang string")
     assert curate.doremi_resample(tiny).count() == 0
@@ -766,11 +769,46 @@ def test_doremi_edges_empty_weights_and_null_domain(spark):
 
     withnull = spark.createDataFrame(
         [(i, "aa bb cc dd aa", "x") for i in range(6)]
-        + [(10 + i, "pp qq rr ss pp", None) for i in range(6)],
+        + [(10 + i, "pp qq rr ss pp", None) for i in range(6)]
+        + [(20 + i, "kk ll mm nn kk", "y") for i in range(6)],
         "doc_id long, text string, lang string")
     w = curate.doremi_weights(withnull).collect()
-    assert {r.lang for r in w} == {"x", None}
+    assert {r.lang for r in w} == {"x", "y"}
     assert all(r.weight_final > 0 for r in w)
+    # the resample audit carries no NULL row and every row is
+    # self-consistent: the selection actually kept what it targeted
+    out = curate.doremi_resample(withnull).collect()
+    assert {r.lang for r in out} == {"x", "y"}
+    assert all(r.n_kept == r.k_target for r in out)
+    assert all(r.sum_kept_ids > 0 for r in out if r.k_target > 0)
+
+
+def test_doremi_null_domain_oracle_parity(spark, tmp_path):
+    """ADVICE-mandated: weights AND resample hash-match DuckDB on a
+    fixture WITH a NULL domain — the divergence was latent only because
+    the shipped fixture has no NULL lang."""
+    import duckdb
+
+    from tests.oracle_parity import compare
+
+    rows = (
+        [(i, "aa bb cc dd aa bb", "x") for i in range(8)]
+        + [(10 + i, "pp qq rr ss pp qq", None) for i in range(5)]
+        + [(20 + i, "kk ll mm nn kk ll", "y") for i in range(7)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    ok, msg = compare(curate.doremi_weights(docs, domain_col="lang"),
+                      curate.doremi_weights_oracle_sql(domain_col="lang"),
+                      con)
+    assert ok, f"weights: {msg}"
+    ok, msg = compare(curate.doremi_resample(docs, domain_col="lang"),
+                      curate.doremi_resample_oracle_sql(domain_col="lang"),
+                      con)
+    assert ok, f"resample: {msg}"
 
 
 def test_kn_score_hand_computed_tiny_corpus(spark):
