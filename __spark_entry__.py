@@ -673,6 +673,8 @@ _DRIVER_PRIORITY = [
     # round 5. The list is the FULL declared surface, deduplicated. New
     # round-12 queries are inserted just below this comment as they land
     # (never-graded leads the stale pool). ---
+    # --- new in round 12 (never graded) ---
+    "q_n77_line_dedup",
     # --- last green: round 4 ---
     "q_n40_hard_negatives",
     "q_x15_hopping_window",
@@ -4908,6 +4910,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.kn_perplexity(docs, "lang = 'en'").orderBy("doc_id")
     q["q_n76_kn_perplexity"] = q_n76
 
+    def q_n77(spark, sf):
+        # C4's line-dedup preprocessing rule (Raffel et al. 2020) /
+        # CCNet paragraph-hash dedup: corpus-global keep-first on
+        # identical >=3-word lines (8-token blocks on the
+        # delimiter-free fixture), per-doc kept-line census +
+        # md5-of-cleaned-text — the boilerplate killer document-level
+        # signatures can't see; only (id, pos, 16-byte hash) shuffles
+        docs = scan_table(spark, sf, "documents")
+        return dedup.line_dedup(docs)
+    q["q_n77_line_dedup"] = q_n77
+
     def q_n72(spark, sf):
         # the per-doc multi-signal quality MATRIX: Gopher rule verdict,
         # trained discriminative margin, and generative LM surprise side
@@ -6355,6 +6368,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_n76_kn_perplexity"] = curate.kn_perplexity_oracle_sql(
         train_where="lang = 'en'"
     )
+    o["q_n77_line_dedup"] = dedup.line_dedup_oracle_sql()
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5
     )

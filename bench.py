@@ -480,6 +480,13 @@ def main() -> int:
         # integer inverse-prob join + doc-id reduce
         curate.kn_perplexity(documents, "lang = 'en'").collect()
 
+    def q_line_dedup():
+        # C4 line-dedup: in-row block lines, (id, pos, md5) census +
+        # keep-first join, HOF rebuild — text never shuffles
+        from cassandra_ttl_remover_spark.operators import dedup as dedup_ops
+        dedup_ops.line_dedup(documents).agg(
+            F.sum("n_removed")).collect()
+
     def q_model_curate():
         # the composed model-based pipeline: gopher -> train -> exact
         # broadcast margin gate -> temperature mix -> exact dedup, one
@@ -543,6 +550,7 @@ def main() -> int:
         "doremi_weights": q_doremi_weights,
         "tokenizer_fertility": q_tokenizer_fertility,
         "kn_perplexity": q_kn_perplexity,
+        "line_dedup": q_line_dedup,
     }
 
     # best-of-3 across INTERLEAVED sweeps: this box shows ±50% wall-clock
@@ -596,6 +604,7 @@ def main() -> int:
     new_in_r10 = ("lm_perplexity", "sbo_perplexity", "model_curate")
     new_in_r11 = ("doremi_weights", "tokenizer_fertility",
                   "kn_perplexity")
+    new_in_r12 = ("line_dedup",)
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
@@ -604,9 +613,13 @@ def main() -> int:
         "r1_subset_seconds": round(sum(timings[q] for q in r1_set), 3),
         "r9_common_subset_seconds": round(
             sum(v for q, v in timings.items()
-                if q not in new_in_r10 and q not in new_in_r11), 3),
+                if q not in new_in_r10 and q not in new_in_r11
+                and q not in new_in_r12), 3),
         "r10_common_subset_seconds": round(
-            sum(v for q, v in timings.items() if q not in new_in_r11), 3),
+            sum(v for q, v in timings.items()
+                if q not in new_in_r11 and q not in new_in_r12), 3),
+        "r11_common_subset_seconds": round(
+            sum(v for q, v in timings.items() if q not in new_in_r12), 3),
         "warm_floors": warm_floors,
         "sf": sf_dir,
         "sweeps": 3,

@@ -1426,3 +1426,171 @@ SELECT t.id AS {id_col},
 FROM t LEFT JOIN covset c ON t.id = c.id
 ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Line / paragraph dedup (C4 rule)
+# ---------------------------------------------------------------------------
+
+def _lines_exprs(text_col: str, delim: str | None,
+                 block_tokens: int) -> str:
+    """The ``array<string>`` of a document's LINES, in both modes:
+    ``delim`` splits on a real separator (newline corpora; each line
+    trimmed, empties dropped); ``delim=None`` falls back to
+    NON-OVERLAPPING ``block_tokens``-token segments — the paragraph
+    unit for delimiter-free text (the shipped fixtures), and distinct
+    from repeated_ngram_spans' OVERLAPPING windows."""
+    if delim is not None:
+        d = delim.replace("\\", "\\\\").replace("'", "\\'")
+        return (f"filter(transform(split({text_col}, '{d}'), "
+                "l -> trim(l)), l -> l <> '')")
+    toks = WORDS_EXPR.format(col=text_col)
+    b = block_tokens
+    return (
+        f"case when size({toks}) = 0 then array() "
+        f"else transform(sequence(0, (size({toks}) - 1) div {b}), "
+        f"i -> array_join(slice({toks}, i * {b} + 1, {b}), ' ')) end"
+    )
+
+
+def line_dedup(docs: DataFrame, *, block_tokens: int = 8,
+               min_words: int = 3, min_count: int = 2,
+               delim: str | None = None, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus-global line-level dedup — C4's preprocessing rule (Raffel
+    et al. 2020: discard any line occurring more than once in the
+    corpus; kept here as keep-FIRST-occurrence) and CCNet's
+    paragraph-hash dedup (Wenzek et al. 2020), the step that removes
+    boilerplate (headers, cookie banners, nav bars) that DOCUMENT-level
+    signatures (q_n1-9) cannot see. Completes the dedup canon's
+    granularity ladder: document -> near-dup -> overlapping n-gram span
+    (remove_duplicate_spans) -> line/paragraph (this).
+
+    Rule, deterministic and engine-portable: a line participates when
+    it has >= ``min_words`` words (C4's substance threshold — short
+    list items never dedup); among the occurrences of an identical
+    participating line (md5 equality), the one at the globally smallest
+    ``(doc_id, line_pos)`` is canonical and survives; every other
+    occurrence is dropped when the line occurs >= ``min_count`` times
+    corpus-wide. Returns one row per doc:
+    ``(id, n_lines, n_removed, cleaned_hash)`` with ``cleaned_hash`` =
+    md5 of the space-joined surviving lines — the whole rewrite is
+    hash-checkable without shipping cleaned text (q_n49's convention).
+
+    Scale shape (the span-removal plan at line granularity): one pruned
+    scan computes lines in-row; ONLY ``(id, lpos, 16-byte md5)`` rows
+    ever shuffle — text never does. The census is one
+    map-side-combined aggregate per line hash; its output is
+    HAVING-bounded to hashes with >= min_count occurrences (orders
+    below corpus size — boilerplate is repetitive, that is the point);
+    per-doc removed-position lists are line-count bounded. The rebuild
+    is a left join + one HOF filter over the in-row line array; docs
+    with nothing removed take the coalesce path untouched. No window
+    functions anywhere, so no single-task sort at any cardinality."""
+    lines = _lines_exprs(text_col, delim, block_tokens)
+    base = (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.expr(lines).alias("lines"))
+    )
+    wc = "size(filter(split(line, ' '), w -> w <> ''))"
+    occ = (
+        base.select(F.col(id_col),
+                    F.posexplode("lines").alias("pos", "line"))
+        .select(
+            F.col(id_col),
+            (F.col("pos") + 1).cast("long").alias("lpos"),
+            F.expr("md5(line)").alias("lh"),
+            F.expr(f"{wc} >= {min_words}").alias("part"),
+        )
+    )
+    census = (
+        occ.filter("part")
+        .groupBy("lh")
+        .agg(F.count("*").alias("n_occ"),
+             F.min(F.struct(F.col(id_col).alias("cid"),
+                            F.col("lpos").alias("cpos"))).alias("m"))
+        .filter(F.col("n_occ") >= min_count)
+    )
+    removed = (
+        occ.filter("part")
+        .join(census, "lh")
+        .filter(~((F.col(id_col) == F.col("m.cid"))
+                  & (F.col("lpos") == F.col("m.cpos"))))
+        .groupBy(id_col)
+        .agg(F.expr("sort_array(collect_set(lpos))").alias("rm"))
+    )
+    return (
+        base.join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.expr("cast(size(lines) as bigint)").alias("n_lines"),
+            F.expr(
+                "filter(transform(lines, (l, i) -> case when "
+                "array_contains(coalesce(rm, array()), "
+                "cast(i + 1 as bigint)) then cast(null as string) "
+                "else l end), x -> x is not null)"
+            ).alias("kept"),
+        )
+        .select(
+            id_col, "n_lines",
+            F.expr("n_lines - cast(size(kept) as bigint)")
+            .alias("n_removed"),
+            F.expr("md5(array_join(kept, ' '))").alias("cleaned_hash"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def line_dedup_oracle_sql(block_tokens: int = 8, min_words: int = 3,
+                          min_count: int = 2, delim: str | None = None,
+                          table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """Independent DuckDB recomputation of :func:`line_dedup` — census
+    via a two-step (min-id, then min-pos-within-min-id) canonical pick
+    instead of Spark's struct-min, rebuild by index comprehension
+    instead of the HOF filter; must agree hash-for-hash."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    if delim is not None:
+        d = delim.replace("''", "''''")
+        lines = (f"[l for l in list_transform(string_split(text, '{d}'), "
+                 "l -> trim(l)) if l <> '']")
+    else:
+        b = block_tokens
+        lines = (
+            f"CASE WHEN len({ws}) = 0 THEN [] ELSE "
+            f"list_transform(generate_series(0, (len({ws}) - 1) // {b}), "
+            f"i -> array_to_string(({ws})[i * {b} + 1 : i * {b} + {b}], "
+            "' ')) END"
+        )
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {lines} AS lines FROM {table}
+), occ AS (
+  SELECT id, i::BIGINT AS lpos, md5(lines[i]) AS lh,
+         len([w for w in string_split(lines[i], ' ')
+              if w <> '']) >= {min_words} AS part
+  FROM t, LATERAL UNNEST(generate_series(1, len(lines))) AS u(i)
+), c1 AS (
+  SELECT lh, count(*) AS n_occ, min(id) AS cid
+  FROM occ WHERE part GROUP BY lh HAVING count(*) >= {min_count}
+), canon AS (
+  SELECT o.lh, c1.cid, min(o.lpos) AS cpos
+  FROM occ o JOIN c1 ON o.lh = c1.lh AND o.id = c1.cid
+  WHERE o.part GROUP BY o.lh, c1.cid
+), rmset AS (
+  SELECT o.id, list(DISTINCT o.lpos) AS rm
+  FROM occ o JOIN canon c ON o.lh = c.lh
+  WHERE o.part AND NOT (o.id = c.cid AND o.lpos = c.cpos)
+  GROUP BY o.id
+)
+SELECT t.id AS {id_col}, len(t.lines)::BIGINT AS n_lines,
+       (len(t.lines) - len([x for x in generate_series(1, len(t.lines))
+         IF NOT list_contains(coalesce(r.rm, []), x)]))::BIGINT
+         AS n_removed,
+       md5(coalesce(array_to_string(
+         [t.lines[x] for x in generate_series(1, len(t.lines))
+          IF NOT list_contains(coalesce(r.rm, []), x)], ' '), ''))
+         AS cleaned_hash
+FROM t LEFT JOIN rmset r ON t.id = r.id
+ORDER BY {id_col}
+"""

@@ -304,3 +304,71 @@ def test_remove_duplicate_spans_cleaned_hash_matches_manual(spark):
             for r in dedup.remove_duplicate_spans(df, n=8, min_docs=2).collect()}
     assert rows[2] == hashlib.md5(b"x1 x2 x3").hexdigest()
     assert rows[1] == hashlib.md5(boiler.encode()).hexdigest()
+
+
+def test_line_dedup_keep_first_and_substance_threshold(spark):
+    """C4 rule on block-lines: the globally-first occurrence (min
+    (doc_id, pos)) of a duplicated line survives everywhere — including
+    WITHIN one doc — while lines under min_words never participate."""
+    import hashlib
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, boiler + " " + boiler),            # in-doc repeat: 2nd block drops
+         (2, "h1 h2 h3 h4 h5 h6 h7 h8 " + boiler),  # cross-doc: drops
+         (3, "u1 u2"),                          # 2-word line: below min_words
+         (4, "u1 u2")],                         # ...so its twin never dedups
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_lines, r.n_removed, r.cleaned_hash)
+           for r in dedup.line_dedup(df).collect()}
+    assert out[1][:2] == (2, 1)
+    assert out[2][:2] == (2, 1)
+    assert out[3][:2] == (1, 0) and out[4][:2] == (1, 0)
+    assert out[1][2] == hashlib.md5(boiler.encode()).hexdigest()
+    assert out[2][2] == hashlib.md5(b"h1 h2 h3 h4 h5 h6 h7 h8").hexdigest()
+
+
+def test_line_dedup_delim_mode_matches_oracle(spark, tmp_path):
+    """Real newline corpora: split on the delimiter, trim, drop empties
+    — and the delim-mode oracle agrees hash-for-hash."""
+    import duckdb
+
+    from tests.oracle_parity import compare
+
+    rows = [
+        (1, "the cookie banner text here\nreal content alpha beta gamma"),
+        (2, "the cookie banner text here\nother content delta eps zeta"),
+        (3, "  the cookie banner text here  \nunique tail words only"),
+        (4, "short\nalso short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    out = {r.doc_id: (r.n_lines, r.n_removed)
+           for r in dedup.line_dedup(df, delim="\n").collect()}
+    # doc 1 owns the banner; docs 2 and 3 (trimmed-equal) lose it;
+    # doc 4's short lines never participate
+    assert out[1] == (2, 0)
+    assert out[2] == (2, 1)
+    assert out[3] == (2, 1)
+    assert out[4] == (2, 0)
+    ok, msg = compare(dedup.line_dedup(df, delim="\n"),
+                      dedup.line_dedup_oracle_sql(delim="\n"), con)
+    assert ok, msg
+
+
+def test_line_dedup_oracle_parity_fixture(spark, documents):
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from tests.oracle_parity import compare
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    ok, msg = compare(dedup.line_dedup(documents),
+                      dedup.line_dedup_oracle_sql(), con)
+    assert ok, msg
