@@ -675,6 +675,7 @@ _DRIVER_PRIORITY = [
     # (never-graded leads the stale pool). ---
     # --- new in round 12 (never graded) ---
     "q_n77_line_dedup",
+    "q_n78_mkn_perplexity",
     # --- last green: round 4 ---
     "q_n40_hard_negatives",
     "q_x15_hopping_window",
@@ -4921,6 +4922,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.line_dedup(docs)
     q["q_n77_line_dedup"] = q_n77
 
+    def q_n78(spark, sf):
+        # MODIFIED Kneser-Ney (Chen & Goodman 1999 §3 — KenLM's actual
+        # default): three data-derived discounts D1/D2/D3+ from the
+        # model's count-of-count statistics, quantized once onto a
+        # /1024 integer grid; same checkpointed histogram, one extra
+        # 1-row broadcast — the smoothing canon's production variant
+        docs = scan_table(spark, sf, "documents")
+        return curate.mkn_perplexity(docs, "lang = 'en'").orderBy("doc_id")
+    q["q_n78_mkn_perplexity"] = q_n78
+
     def q_n72(spark, sf):
         # the per-doc multi-signal quality MATRIX: Gopher rule verdict,
         # trained discriminative margin, and generative LM surprise side
@@ -6369,6 +6380,9 @@ FROM events GROUP BY event_type ORDER BY event_type
         train_where="lang = 'en'"
     )
     o["q_n77_line_dedup"] = dedup.line_dedup_oracle_sql()
+    o["q_n78_mkn_perplexity"] = curate.mkn_perplexity_oracle_sql(
+        train_where="lang = 'en'"
+    )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5
     )

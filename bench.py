@@ -480,6 +480,10 @@ def main() -> int:
         # integer inverse-prob join + doc-id reduce
         curate.kn_perplexity(documents, "lang = 'en'").collect()
 
+    def q_mkn_perplexity():
+        # modified KN: kn's plan + one count-of-counts 1-row broadcast
+        curate.mkn_perplexity(documents, "lang = 'en'").collect()
+
     def q_line_dedup():
         # C4 line-dedup: in-row block lines, (id, pos, md5) census +
         # keep-first join, HOF rebuild — text never shuffles
@@ -550,6 +554,7 @@ def main() -> int:
         "doremi_weights": q_doremi_weights,
         "tokenizer_fertility": q_tokenizer_fertility,
         "kn_perplexity": q_kn_perplexity,
+        "mkn_perplexity": q_mkn_perplexity,
         "line_dedup": q_line_dedup,
     }
 
@@ -604,7 +609,7 @@ def main() -> int:
     new_in_r10 = ("lm_perplexity", "sbo_perplexity", "model_curate")
     new_in_r11 = ("doremi_weights", "tokenizer_fertility",
                   "kn_perplexity")
-    new_in_r12 = ("line_dedup",)
+    new_in_r12 = ("line_dedup", "mkn_perplexity")
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,

@@ -2906,3 +2906,222 @@ SELECT d.{id_col}, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
 FROM {table} d LEFT JOIN per USING ({id_col})
 ORDER BY d.{id_col}
 """
+
+
+def mkn_perplexity(docs: DataFrame, train_where: str,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   buckets: int = 4096, scale: int = 1000) -> DataFrame:
+    """MODIFIED Kneser-Ney fluency scoring (Chen & Goodman 1999 §3;
+    public method) — the literature's production variant and KenLM's
+    actual default: instead of :func:`kn_perplexity`'s single fixed
+    discount, three DATA-DERIVED discounts D1/D2/D3+ apply to bigrams
+    seen once / twice / three-plus times, each estimated from the
+    model's count-of-count statistics n1..n4 (number of bigram types
+    with count exactly 1..4):
+
+        Y  = n1 / (n1 + 2 n2)
+        D1 = 1 - 2 Y n2 / n1 = Y          D2 = 2 - 3 Y n3 / n2
+        D3 = 3 - 4 Y n4 / n3              (each clamped at >= 0)
+
+    The discounts are RATIONAL in integer count-of-counts, but their
+    exact common denominator (n2 n3 (n1 + 2 n2)) overflows int64 when
+    multiplied through the score, so they are QUANTIZED once onto a
+    fixed /1024 grid with the engine's truncating division (Spark
+    ``div`` == DuckDB ``//``, hash-exact both sides):
+
+        d1 = (1024 n1) div (n1 + 2 n2)          [= 1024 Y]
+        d2 = max(0, 2048 - (3072 n1 n3) div (n2 (n1 + 2 n2)))
+        d3 = max(0, 3072 - (4096 n1 n4) div (n3 (n1 + 2 n2)))
+
+    — the same integer-surrogate discipline as the rest of the scoring
+    canon (scores are already /1000 permilles); the discounts stay
+    data-derived, only their last two bits are grid noise. With
+    per-context continuation-type counts N1(u)/N2(u)/N3+(u) (number of
+    v with c(u,v) = 1 / = 2 / >= 3), the interpolation weight is
+    gamma(u) = (d1 N1 + d2 N2 + d3 N3+)/(1024 c(u)) — mKN's
+    leave-one-out mass — and per bigram
+
+        num = T (1024 c(u,v) - d(c(u,v)))_+ + (d1 N1 + d2 N2 + d3 N3+) N1+(.v)
+        inv = least( (1024 c(u) T scale) div max(num, 1), cap )
+
+    with the unseen-context fallback and cap exactly as KN
+    (``cap = 1024 (T + buckets) scale``). Output
+    ``(id, n_bigrams, sum_invp, mkn_permille)``; NULL for < 2 tokens.
+
+    Scale: identical plan to kn_score — the count-of-counts and
+    discounts are ONE extra 1-row aggregate over the same checkpointed
+    histogram (broadcast with the type total), the context aggregate
+    gains two integer columns; still one two-int-key join + doc-id
+    reduce, text never shuffles. int64 discipline: 1024 c(u) T scale
+    must stay under 2^63 — c(u) T <= 9e12 at scale=1000, e.g. c(u) <=
+    1e6 against T <= 9e6 types; past that drop ``scale`` (kn_score's
+    documented boundary, 8 bits earlier)."""
+    model = lm_model(docs.filter(train_where), text_col, id_col, buckets)
+    return mkn_score(docs, model, text_col=text_col, id_col=id_col,
+                     buckets=buckets, scale=scale)
+
+
+def mkn_score(docs: DataFrame, model: DataFrame, *,
+              text_col: str = "text", id_col: str = "doc_id",
+              buckets: int = 4096, scale: int = 1000) -> DataFrame:
+    """Score ``docs`` against a trained :func:`lm_model` histogram with
+    modified Kneser-Ney — the serving half of :func:`mkn_perplexity`
+    (lm_score's contract: one row per input doc, NULL when unscorable)."""
+    bg_all = _lm_bigrams(docs, text_col, id_col, buckets)
+    ctx = model.groupBy("u").agg(
+        F.sum("c_uv").cast("long").alias("c_u"),
+        F.sum(F.when(F.col("c_uv") == 1, 1).otherwise(0))
+        .cast("long").alias("n1u"),
+        F.sum(F.when(F.col("c_uv") == 2, 1).otherwise(0))
+        .cast("long").alias("n2u"),
+        F.sum(F.when(F.col("c_uv") >= 3, 1).otherwise(0))
+        .cast("long").alias("n3u"),
+    )
+    bwd = model.groupBy("v").agg(F.count("*").cast("long").alias("n1b"))
+    # count-of-counts n1..n4 + type total, then the three quantized
+    # discounts — ONE 1-row frame broadcast into the scoring join
+    disc = (
+        model.agg(
+            F.count("*").cast("long").alias("t_types"),
+            *[F.sum(F.when(F.col("c_uv") == i, 1).otherwise(0))
+              .cast("long").alias(f"n{i}") for i in (1, 2, 3, 4)],
+        )
+        .select(
+            "t_types",
+            F.expr("(1024L * n1) div greatest(n1 + 2L * n2, 1L)")
+            .alias("d1"),
+            F.expr("greatest(0L, 2048L - (3072L * n1 * n3) div "
+                   "greatest(n2 * (n1 + 2L * n2), 1L))").alias("d2"),
+            F.expr("greatest(0L, 3072L - (4096L * n1 * n4) div "
+                   "greatest(n3 * (n1 + 2L * n2), 1L))").alias("d3"),
+        )
+    )
+    inv = (
+        "least("
+        " CASE WHEN c_u IS NOT NULL THEN"
+        f"  (1024L * c_u * t_types * {scale}) div greatest("
+        "    t_types * greatest(1024L * coalesce(c_uv, 0L)"
+        "      - CASE WHEN coalesce(c_uv, 0L) = 1 THEN d1"
+        "             WHEN c_uv = 2 THEN d2"
+        "             WHEN c_uv >= 3 THEN d3 ELSE 0L END, 0L)"
+        "    + (d1 * n1u + d2 * n2u + d3 * n3u) * coalesce(n1b, 0L), 1L)"
+        f" ELSE (t_types * {scale}) div greatest(coalesce(n1b, 0L), 1L)"
+        " END,"
+        f" 1024L * (t_types + {buckets}) * {scale})"
+    )
+    per = (
+        bg_all
+        .join(model, ["u", "v"], "left")
+        .join(F.broadcast(ctx), ["u"], "left")
+        .join(F.broadcast(bwd), ["v"], "left")
+        .join(F.broadcast(disc))
+        .select(F.col(id_col), F.expr(inv).alias("_invp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("_invp").cast("long").alias("sum_invp"),
+        )
+    )
+    return (
+        docs.select(id_col).join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_invp", F.lit(0)).cast("long").alias("sum_invp"),
+        )
+        .withColumn(
+            "mkn_permille",
+            F.expr("CASE WHEN n_bigrams > 0 THEN sum_invp div n_bigrams "
+                   "ELSE CAST(NULL AS BIGINT) END"),
+        )
+    )
+
+
+def mkn_perplexity_oracle_sql(train_where: str, table: str = "documents",
+                              id_col: str = "doc_id",
+                              buckets: int = 4096,
+                              scale: int = 1000) -> str:
+    """DuckDB recomputation of :func:`mkn_perplexity` — the KN oracle's
+    CTE chain with the count-of-count discount derivation and the
+    per-count discount dispatch."""
+    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    bucket = _dsir_bucket_duck("w", buckets)
+    inv = (
+        "least("
+        " CASE WHEN c_u IS NOT NULL THEN"
+        f"  (1024 * c_u::HUGEINT * t_types * {scale}) // greatest("
+        "    t_types::HUGEINT * greatest(1024 * coalesce(c_uv, 0)"
+        "      - CASE WHEN coalesce(c_uv, 0) = 1 THEN d1"
+        "             WHEN c_uv = 2 THEN d2"
+        "             WHEN c_uv >= 3 THEN d3 ELSE 0 END, 0)"
+        "    + (d1::HUGEINT * n1u + d2 * n2u + d3 * n3u)"
+        "      * coalesce(n1b, 0), 1)"
+        f" ELSE (t_types::HUGEINT * {scale})"
+        "  // greatest(coalesce(n1b, 0), 1)"
+        " END,"
+        f" 1024 * (t_types::HUGEINT + {buckets}) * {scale})"
+    )
+    return f"""
+WITH b_all AS MATERIALIZED (
+  SELECT {id_col}, list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {id_col}, {ws} AS ws FROM {table})
+  WHERE len(ws) >= 2
+),
+bg_all AS MATERIALIZED (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
+  FROM b_all
+),
+b_tr AS MATERIALIZED (
+  SELECT list_transform(ws, w -> {bucket}) AS bs
+  FROM (SELECT {ws} AS ws FROM {table} WHERE {train_where})
+  WHERE len(ws) >= 2
+),
+bg_tr AS MATERIALIZED (
+  SELECT unnest(list_transform(range(1, len(bs)), i -> bs[i])) AS u,
+         unnest(list_transform(range(1, len(bs)), i -> bs[i + 1])) AS v
+  FROM b_tr
+),
+ph AS MATERIALIZED (SELECT u, v, count(*)::BIGINT AS c_uv
+                    FROM bg_tr GROUP BY u, v),
+ch AS MATERIALIZED (
+  SELECT u, sum(c_uv)::BIGINT AS c_u,
+         sum(CASE WHEN c_uv = 1 THEN 1 ELSE 0 END)::BIGINT AS n1u,
+         sum(CASE WHEN c_uv = 2 THEN 1 ELSE 0 END)::BIGINT AS n2u,
+         sum(CASE WHEN c_uv >= 3 THEN 1 ELSE 0 END)::BIGINT AS n3u
+  FROM ph GROUP BY u),
+bh AS MATERIALIZED (SELECT v, count(*)::BIGINT AS n1b FROM ph GROUP BY v),
+dsc AS MATERIALIZED (
+  SELECT t_types,
+         ((1024 * n1) // greatest(n1 + 2 * n2, 1))::BIGINT AS d1,
+         greatest(0, 2048 - (3072 * n1::HUGEINT * n3)
+                  // greatest(n2::HUGEINT * (n1 + 2 * n2), 1))::BIGINT
+           AS d2,
+         greatest(0, 3072 - (4096 * n1::HUGEINT * n4)
+                  // greatest(n3::HUGEINT * (n1 + 2 * n2), 1))::BIGINT
+           AS d3
+  FROM (SELECT count(*)::BIGINT AS t_types,
+               sum(CASE WHEN c_uv = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN c_uv = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+               sum(CASE WHEN c_uv = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+               sum(CASE WHEN c_uv = 4 THEN 1 ELSE 0 END)::BIGINT AS n4
+        FROM ph)
+),
+per AS MATERIALIZED (
+  SELECT {id_col}, count(*)::BIGINT AS n_bigrams,
+         sum({inv})::BIGINT AS sum_invp
+  FROM bg_all
+  LEFT JOIN ph USING (u, v)
+  LEFT JOIN ch USING (u)
+  LEFT JOIN bh USING (v)
+  CROSS JOIN dsc
+  GROUP BY {id_col}
+)
+SELECT d.{id_col}, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sum_invp, 0)::BIGINT AS sum_invp,
+       (CASE WHEN coalesce(n_bigrams, 0) > 0
+             THEN sum_invp // n_bigrams END)::BIGINT AS mkn_permille
+FROM {table} d LEFT JOIN per USING ({id_col})
+ORDER BY d.{id_col}
+"""

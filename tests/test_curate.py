@@ -913,3 +913,114 @@ def test_kn_oracle_parity_inline(spark, documents):
         curate.kn_perplexity_oracle_sql(train_where="lang = 'en'"),
         duck_connection(SF_DIR))
     assert ok, msg
+
+
+def test_mkn_score_hand_computed_tiny_corpus(spark):
+    """Every term of the modified-KN surrogate recomputed by hand on a
+    corpus engineered to populate counts 1..4 — pins the count-of-count
+    discount derivation (d1/d2/d3 on the /1024 grid, including d2's >=0
+    clamp), the per-count discount dispatch, the three-class
+    interpolation mass, the unseen-context branch and the cap."""
+    import hashlib
+
+    buckets, scale = 4096, 1000
+
+    def bk(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:3], 16) % buckets
+
+    train = ["aa bb cc aa bb cc aa bb", "aa cc dd ee dd ee dd ee dd ff",
+             "gg hh gg hh gg hh gg hh"]
+    probe = "aa bb zz qq dd ee"
+    docs = spark.createDataFrame(
+        [(i, t, "t") for i, t in enumerate(train)] + [(9, probe, "p")],
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in
+           curate.mkn_perplexity(docs, "lang = 't'").collect()}
+
+    ph = {}
+    for t in train:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            ph[(bk(a), bk(b))] = ph.get((bk(a), bk(b)), 0) + 1
+    cu, n1u, n2u, n3u, n1b = {}, {}, {}, {}, {}
+    for (u, v), c in ph.items():
+        cu[u] = cu.get(u, 0) + c
+        n1u[u] = n1u.get(u, 0) + (c == 1)
+        n2u[u] = n2u.get(u, 0) + (c == 2)
+        n3u[u] = n3u.get(u, 0) + (c >= 3)
+        n1b[v] = n1b.get(v, 0) + 1
+    T = len(ph)
+    coc = [0] * 5
+    for c in ph.values():
+        if c <= 4:
+            coc[c] += 1
+    n1, n2, n3, n4 = coc[1], coc[2], coc[3], coc[4]
+    # the fixture must actually exercise all four count classes
+    assert min(n1, n2, n3, n4) >= 1
+    Z = n1 + 2 * n2
+    d1 = (1024 * n1) // Z
+    d2 = max(0, 2048 - (3072 * n1 * n3) // (n2 * Z))
+    d3 = max(0, 3072 - (4096 * n1 * n4) // (n3 * Z))
+    cap = 1024 * (T + buckets) * scale
+
+    def inv(u, v):
+        if u in cu:
+            c = ph.get((u, v), 0)
+            d = d1 if c == 1 else d2 if c == 2 else d3 if c >= 3 else 0
+            num = (T * max(1024 * c - d, 0)
+                   + (d1 * n1u[u] + d2 * n2u[u] + d3 * n3u[u])
+                   * n1b.get(v, 0))
+            return min((1024 * cu[u] * T * scale) // max(num, 1), cap)
+        return min((T * scale) // max(n1b.get(v, 0), 1), cap)
+
+    ws = probe.split()
+    want = [inv(bk(a), bk(b)) for a, b in zip(ws, ws[1:])]
+    assert out[9].n_bigrams == 5
+    assert out[9].sum_invp == sum(want)
+    assert out[9].mkn_permille == sum(want) // 5
+
+
+def test_mkn_continuation_count_signature(spark):
+    """The 'Francisco' property survives the three-discount form: a
+    frequent word bound to ONE context still scores more surprising in
+    a novel context than a same-frequency many-context word."""
+    rows = []
+    for i in range(12):
+        rows.append((i, "san francisco is a city", "t"))
+    ctx = "long old new wide open dusty main broad quiet busy north south"
+    for j, c in enumerate(ctx.split()):
+        rows.append((100 + j, f"the {c} road is a path", "t"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = curate.lm_model(docs.filter("lang = 't'"))
+    probe = spark.createDataFrame(
+        [(900, "valley francisco"), (901, "valley road")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.mkn_permille
+           for r in curate.mkn_score(probe, model).collect()}
+    assert got[900] > got[901]
+
+
+def test_mkn_unscorable_docs_and_empty_model(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd", "t"), (1, "solo", "p"), (2, None, "p")],
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in
+           curate.mkn_perplexity(docs, "lang = 't'").collect()}
+    assert out[1].n_bigrams == 0 and out[1].mkn_permille is None
+    assert out[2].n_bigrams == 0 and out[2].mkn_permille is None
+    # empty model: T = 0 and every count-of-count is 0 — the discount
+    # derivation's greatest(...) guards keep both engines at 0
+    out2 = {r.doc_id: r for r in
+            curate.mkn_perplexity(docs, "lang = 'none'").collect()}
+    assert out2[0].sum_invp == 0
+
+
+def test_mkn_oracle_parity_inline(spark, documents):
+    from tests.conftest import SF_DIR
+    from tests.oracle_parity import compare, duck_connection
+
+    ok, msg = compare(
+        curate.mkn_perplexity(documents, "lang = 'en'").orderBy("doc_id"),
+        curate.mkn_perplexity_oracle_sql(train_where="lang = 'en'"),
+        duck_connection(SF_DIR))
+    assert ok, msg
