@@ -676,6 +676,7 @@ _DRIVER_PRIORITY = [
     # --- new in round 12 (never graded) ---
     "q_n77_line_dedup",
     "q_n78_mkn_perplexity",
+    "q_pipe_anneal_mix",
     # --- last green: round 4 ---
     "q_n40_hard_negatives",
     "q_x15_hopping_window",
@@ -4932,6 +4933,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.mkn_perplexity(docs, "lang = 'en'").orderBy("doc_id")
     q["q_n78_mkn_perplexity"] = q_n78
 
+    #: the two-phase annealing schedule (public practice per Llama 3 /
+    #: OLMo 2 midtraining): warmup near the corpus mix, then a smaller
+    #: high-quality-domain phase. Chosen so phase 1 is BUDGET-bound and
+    #: phase 2 WATERLINE-bound (en is the scarce domain at weight 850)
+    #: — both arithmetic branches graded.
+    _ANNEAL_PHASES = [
+        ("p1_warmup",
+         {"de": 140, "en": 390, "es": 160, "fr": 160, "zh": 150}, 600),
+        ("p2_anneal",
+         {"de": 30, "en": 850, "es": 40, "fr": 45, "zh": 35}, 500),
+    ]
+
+    def q_pipe_anneal(spark, sf):
+        # deterministic N-phase data schedule on doremi_resample's
+        # waterline arithmetic + the shared per-domain (md5, id) rank
+        # (computed once through the partitioned two-level primitive);
+        # audit rows hash-prove each phase's exact kept set
+        docs = scan_table(spark, sf, "documents")
+        return curate.anneal_mix(docs, _ANNEAL_PHASES, domain_col="lang")
+    q["q_pipe_anneal_mix"] = q_pipe_anneal
+
     def q_n72(spark, sf):
         # the per-doc multi-signal quality MATRIX: Gopher rule verdict,
         # trained discriminative margin, and generative LM surprise side
@@ -6382,6 +6404,13 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_n77_line_dedup"] = dedup.line_dedup_oracle_sql()
     o["q_n78_mkn_perplexity"] = curate.mkn_perplexity_oracle_sql(
         train_where="lang = 'en'"
+    )
+    o["q_pipe_anneal_mix"] = curate.anneal_mix_oracle_sql(
+        [("p1_warmup",
+          {"de": 140, "en": 390, "es": 160, "fr": 160, "zh": 150}, 600),
+         ("p2_anneal",
+          {"de": 30, "en": 850, "es": 40, "fr": 45, "zh": 35}, 500)],
+        domain_col="lang",
     )
     o["q_st12_stream_model_gate"] = classify.gated_margins_oracle_sql(
         keep_frac=0.5

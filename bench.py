@@ -484,6 +484,16 @@ def main() -> int:
         # modified KN: kn's plan + one count-of-counts 1-row broadcast
         curate.mkn_perplexity(documents, "lang = 'en'").collect()
 
+    def q_anneal_mix():
+        # two-phase schedule: one count agg + one shared partitioned
+        # two-level rank + broadcast target join + map-side audit agg
+        curate.anneal_mix(documents, [
+            ("p1_warmup",
+             {"de": 140, "en": 390, "es": 160, "fr": 160, "zh": 150}, 600),
+            ("p2_anneal",
+             {"de": 30, "en": 850, "es": 40, "fr": 45, "zh": 35}, 500),
+        ], domain_col="lang").collect()
+
     def q_line_dedup():
         # C4 line-dedup: in-row block lines, (id, pos, md5) census +
         # keep-first join, HOF rebuild — text never shuffles
@@ -555,6 +565,7 @@ def main() -> int:
         "tokenizer_fertility": q_tokenizer_fertility,
         "kn_perplexity": q_kn_perplexity,
         "mkn_perplexity": q_mkn_perplexity,
+        "anneal_mix": q_anneal_mix,
         "line_dedup": q_line_dedup,
     }
 
@@ -609,7 +620,7 @@ def main() -> int:
     new_in_r10 = ("lm_perplexity", "sbo_perplexity", "model_curate")
     new_in_r11 = ("doremi_weights", "tokenizer_fertility",
                   "kn_perplexity")
-    new_in_r12 = ("line_dedup", "mkn_perplexity")
+    new_in_r12 = ("line_dedup", "mkn_perplexity", "anneal_mix")
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,

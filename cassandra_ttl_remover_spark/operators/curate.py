@@ -3125,3 +3125,156 @@ SELECT d.{id_col}, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
 FROM {table} d LEFT JOIN per USING ({id_col})
 ORDER BY d.{id_col}
 """
+
+
+def anneal_mix(docs: DataFrame,
+               phases: list[tuple[str, dict[str, int], int]], *,
+               weight_scale: int = 1000,
+               domain_col: str = "lang",
+               id_col: str = "doc_id") -> DataFrame:
+    """Two-phase (or N-phase) data SCHEDULE — the midtraining/annealing
+    mix of public practice (Llama 3 and OLMo 2 both report a final
+    phase that re-weights toward high-quality domains; public method,
+    re-derived): given per-phase per-domain mixture weights and a
+    per-phase document budget, emit each phase's per-domain allocation
+    and the hash-provable kept-set audit. ``phases`` is a list of
+    ``(phase_name, {domain: weight}, budget_permille)`` where weights
+    are ``/weight_scale`` integers and the budget is a permille of the
+    participating corpus (scale-free across fixture sizes).
+
+    Allocation reuses :func:`doremi_resample`'s waterline arithmetic,
+    all integers: per phase, ``T_cap = min_d (n_d * weight_scale) div
+    w_d`` is the largest exactly-proportioned output the scarcest
+    domain affords; the phase's size is ``T = min(T_cap, budget)``;
+    ``k_d = least(n_d, (w_d * T) div weight_scale)``. Selection is the
+    engine's deterministic (md5(id), id) rank per domain — computed
+    ONCE and shared by every phase (phases differ only in how deep
+    into the same deterministic order they reach, so phase kept-sets
+    are nested prefixes per domain; an epoch-disjoint schedule is a
+    caller-side variant, not this contract). Domains absent from a
+    phase's weight dict (and NULL domains) take no docs in that phase.
+
+    Output: one row per (phase, domain) —
+    ``(phase, domain, n_avail, weight, k_target, n_kept,
+    sum_kept_ids)`` ordered by (phase, domain); ``sum_kept_ids``
+    hash-proves the exact selection (doremi_resample's convention).
+
+    Scale: one count aggregate (<= |domains| rows to the driver — the
+    declared bounded-collect precedent), ONE corpus rank through
+    :func:`~cassandra_ttl_remover_spark.plans.two_level_row_number`
+    with ``partition_cols=[domain]`` (no low-cardinality partitionBy
+    window), one broadcast join against the <= |phases|*|domains|
+    target table, one map-side audit agg. The corpus is scanned twice
+    (count + rank), never collected."""
+    spark = docs.sparkSession
+    out_schema = (f"phase string, {domain_col} string, n_avail long, "
+                  "weight long, k_target long, n_kept long, "
+                  "sum_kept_ids long")
+    alldoms = sorted({d for _, ws, _ in phases for d in ws})
+    if not alldoms:
+        return spark.createDataFrame([], out_schema)
+    navail = {r[domain_col]: int(r.n)
+              for r in docs.filter(F.col(domain_col).isin(alldoms))
+              .groupBy(domain_col)
+              .agg(F.count("*").cast("long").alias("n")).collect()}
+    tot = sum(navail.values())
+    rows = []
+    for phase, ws, budget_permille in phases:
+        doms = [d for d in sorted(ws) if navail.get(d)]
+        if not doms:
+            continue
+        t_cap = min((navail[d] * weight_scale) // ws[d] for d in doms)
+        t = min(t_cap, (tot * budget_permille) // 1000)
+        for d in doms:
+            k = min(navail[d], (ws[d] * t) // weight_scale)
+            rows.append((phase, d, navail[d], ws[d], k))
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    tgt = F.broadcast(spark.createDataFrame(
+        rows, (f"phase string, {domain_col} string, n_avail long, "
+               "weight long, k_target long")))
+    from .. import plans
+
+    ranked = plans.two_level_row_number(
+        docs.select(domain_col, id_col)
+        .filter(F.col(domain_col).isin(alldoms))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string"))),
+        order_cols=["_h", id_col], out="_rn",
+        partition_cols=[domain_col],
+    )
+    kept = (
+        ranked.join(tgt.select("phase", domain_col, "k_target"),
+                    domain_col)
+        .filter(F.col("_rn") <= F.col("k_target"))
+        .groupBy("phase", domain_col)
+        .agg(F.count("*").cast("long").alias("n_kept"),
+             F.sum(id_col).cast("long").alias("sum_kept_ids"))
+    )
+    return (
+        tgt.join(kept, ["phase", domain_col], "left")
+        .select(
+            "phase", domain_col, "n_avail", "weight", "k_target",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("sum_kept_ids", F.lit(0)).cast("long")
+            .alias("sum_kept_ids"),
+        )
+        .orderBy("phase", domain_col)
+    )
+
+
+def anneal_mix_oracle_sql(phases: list[tuple[str, dict[str, int], int]],
+                          *, weight_scale: int = 1000,
+                          domain_col: str = "lang",
+                          table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB recomputation of :func:`anneal_mix`: the weight schedule
+    as a VALUES table, waterline/budget arithmetic in SQL (not
+    pre-resolved — the oracle re-derives T from the same counts), the
+    shared per-domain (md5, id) rank, per-phase prefix selection."""
+    vals = ", ".join(
+        f"('{p}', '{d}', {w}, {bp})"
+        for p, ws, bp in phases for d, w in sorted(ws.items())
+    )
+    alldoms = sorted({d for _, ws, _ in phases for d in ws})
+    inlist = ", ".join(f"'{d}'" for d in alldoms)
+    return f"""
+WITH wts(phase, dom, w, budget_permille) AS (VALUES {vals}),
+navail AS MATERIALIZED (
+  SELECT {domain_col} AS dom, count(*)::BIGINT AS n_avail
+  FROM {table} WHERE {domain_col} IN ({inlist}) GROUP BY {domain_col}
+),
+tot AS (SELECT sum(n_avail)::BIGINT AS t FROM navail),
+tc AS MATERIALIZED (
+  SELECT phase,
+         least(min((n_avail::HUGEINT * {weight_scale}) // w),
+               ((SELECT t FROM tot)::HUGEINT
+                * any_value(budget_permille)) // 1000)::BIGINT AS t
+  FROM wts JOIN navail USING (dom) GROUP BY phase
+),
+tgt AS MATERIALIZED (
+  SELECT phase, dom, n_avail, w,
+         least(n_avail,
+               (w::HUGEINT * tc.t) // {weight_scale})::BIGINT AS k_target
+  FROM wts JOIN navail USING (dom) JOIN tc USING (phase)
+),
+sel AS MATERIALIZED (
+  SELECT {domain_col} AS dom, {id_col},
+         row_number() OVER (PARTITION BY {domain_col}
+                            ORDER BY md5({id_col}::VARCHAR), {id_col})
+           AS rn
+  FROM {table} WHERE {domain_col} IN ({inlist})
+),
+kept AS (
+  SELECT g.phase, s.dom, count(*)::BIGINT AS n_kept,
+         sum({id_col})::BIGINT AS sum_kept_ids
+  FROM sel s JOIN tgt g USING (dom)
+  WHERE s.rn <= g.k_target
+  GROUP BY g.phase, s.dom
+)
+SELECT g.phase, g.dom AS {domain_col}, g.n_avail, g.w AS weight,
+       g.k_target,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.sum_kept_ids, 0)::BIGINT AS sum_kept_ids
+FROM tgt g LEFT JOIN kept k ON g.phase = k.phase AND g.dom = k.dom
+ORDER BY g.phase, g.dom
+"""

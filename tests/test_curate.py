@@ -1024,3 +1024,69 @@ def test_mkn_oracle_parity_inline(spark, documents):
         curate.mkn_perplexity_oracle_sql(train_where="lang = 'en'"),
         duck_connection(SF_DIR))
     assert ok, msg
+
+
+def test_anneal_mix_arithmetic_both_branches(spark):
+    """Hand-checkable schedule: phase A is budget-bound (the permille
+    cap undercuts the waterline), phase B waterline-bound (the scarce
+    domain binds before the budget); kept sets are nested prefixes of
+    the shared deterministic rank."""
+    rows = ([(i, "x") for i in range(40)]
+            + [(100 + i, "y") for i in range(10)]
+            + [(200 + i, None) for i in range(5)])     # never mixed
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    phases = [
+        ("a", {"x": 500, "y": 500}, 200),   # budget: 50*200//1000 = 10
+        ("b", {"x": 500, "y": 500}, 900),   # waterline: min(80, 20) = 20
+    ]
+    out = {(r.phase, r.lang): r
+           for r in curate.anneal_mix(
+               docs, phases, domain_col="lang", id_col="doc_id").collect()}
+    # phase a: T = min(waterline 20, budget 10) = 10 -> k = 5 each
+    assert out[("a", "x")].k_target == 5 and out[("a", "y")].k_target == 5
+    # phase b: T = min(20, 45) = 20 -> k = 10 each (y fully consumed)
+    assert out[("b", "x")].k_target == 10 and out[("b", "y")].k_target == 10
+    assert all(r.n_kept == r.k_target for r in out.values())
+    # nested prefixes: phase a's kept ids are a subset of phase b's --
+    # provable from the audit because the rank is shared: sum over a
+    # prefix grows monotonically with k and the selection is the same
+    # order, so spot-check via the full kept-id sets
+    import hashlib
+
+    def kept_ids(dom, k):
+        ids = [i for i, d in [(r[0], r[1]) for r in rows] if d == dom]
+        return set(sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                i))[:k])
+
+    assert out[("a", "x")].sum_kept_ids == sum(kept_ids("x", 5))
+    assert out[("b", "x")].sum_kept_ids == sum(kept_ids("x", 10))
+    assert kept_ids("x", 5) <= kept_ids("x", 10)
+
+
+def test_anneal_mix_absent_domain_and_empty(spark):
+    docs = spark.createDataFrame([(1, "x"), (2, "x")],
+                                 "doc_id long, lang string")
+    # a phase naming only a domain with no docs contributes no rows
+    out = curate.anneal_mix(
+        docs, [("a", {"zz": 1000}, 500), ("b", {"x": 1000}, 1000)],
+        domain_col="lang").collect()
+    assert {(r.phase, r.lang) for r in out} == {("b", "x")}
+    assert curate.anneal_mix(docs, [], domain_col="lang").count() == 0
+
+
+def test_anneal_mix_oracle_parity_inline(spark, documents):
+    from tests.conftest import SF_DIR
+    from tests.oracle_parity import compare, duck_connection
+
+    phases = [
+        ("p1_warmup",
+         {"de": 140, "en": 390, "es": 160, "fr": 160, "zh": 150}, 600),
+        ("p2_anneal",
+         {"de": 30, "en": 850, "es": 40, "fr": 45, "zh": 35}, 500),
+    ]
+    ok, msg = compare(
+        curate.anneal_mix(documents, phases, domain_col="lang"),
+        curate.anneal_mix_oracle_sql(phases, domain_col="lang"),
+        duck_connection(SF_DIR))
+    assert ok, msg
