@@ -677,6 +677,7 @@ _DRIVER_PRIORITY = [
     "q_n77_line_dedup",
     "q_n78_mkn_perplexity",
     "q_pipe_anneal_mix",
+    "q_st24_stream_mkn_gate",
     # --- last green: round 4 ---
     "q_n40_hard_negatives",
     "q_x15_hopping_window",
@@ -4704,6 +4705,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["q_st23_stream_sbo_gate"] = q_st23
 
+    def q_st24(spark, sf):
+        # the modified-KN gate at ingest: same foreachBatch machinery
+        # as q_st22 with smoothing="mkn" over the SAME lm_model
+        # histogram — the smoothing canon's production variant running
+        # continuously; threshold calibrated batch-side, survivor set
+        # batch-oracle-identical by per-doc independence
+        import tempfile
+
+        from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+            scan_stream,
+            stream_lm_gate,
+        )
+
+        docs = scan_table(spark, sf, "documents")
+        model = curate.lm_model(docs.filter("lang = 'en'"))
+        cuts = curate.lm_tertile_cuts(
+            curate.mkn_score(docs, model), "mkn_permille").collect()[0]
+        base = tempfile.mkdtemp(prefix="ctrs_mkn_st_")
+        st = scan_stream(spark, sf, glob="documents.parquet")
+        stream_lm_gate(st, model, base + "/out", base + "/ckpt",
+                       threshold=int(cuts.t2), smoothing="mkn")
+        # drop the b=<batch_id> idempotence-layout column (see
+        # stream_lm_gate: per-batch overwrite directories)
+        return (spark.read.parquet(base + "/out").drop("b")
+                .orderBy("doc_id"))
+    q["q_st24_stream_mkn_gate"] = q_st24
+
     def q_n32(spark, sf):
         # conjunctive keyword search by posting-list intersection — the
         # query path that never rescans the documents
@@ -6403,6 +6431,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     )
     o["q_n77_line_dedup"] = dedup.line_dedup_oracle_sql()
     o["q_n78_mkn_perplexity"] = curate.mkn_perplexity_oracle_sql(
+        train_where="lang = 'en'"
+    )
+    o["q_st24_stream_mkn_gate"] = curate.mkn_gate_oracle_sql(
         train_where="lang = 'en'"
     )
     o["q_pipe_anneal_mix"] = curate.anneal_mix_oracle_sql(

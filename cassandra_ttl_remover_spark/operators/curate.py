@@ -3278,3 +3278,35 @@ SELECT g.phase, g.dom AS {domain_col}, g.n_avail, g.w AS weight,
 FROM tgt g LEFT JOIN kept k ON g.phase = k.phase AND g.dom = k.dom
 ORDER BY g.phase, g.dom
 """
+
+
+def mkn_gate_oracle_sql(train_where: str, table: str = "documents",
+                        id_col: str = "doc_id", buckets: int = 4096,
+                        scale: int = 1000) -> str:
+    """Oracle for the modified-KN keep rule (batch or streamed —
+    streaming.stream_lm_gate's ``smoothing="mkn"`` survivor set is
+    identical by per-doc independence): every scored doc with
+    ``mkn_permille <= t2``, the exact middle/tail tertile cut —
+    :func:`lm_gate_oracle_sql`'s shape over the mKN score chain."""
+    inner = mkn_perplexity_oracle_sql(train_where, table, id_col,
+                                      buckets, scale)
+    return f"""
+WITH scores AS MATERIALIZED (
+{inner}
+),
+h AS (
+  SELECT mkn_permille AS p, count(*)::BIGINT AS cnt
+  FROM scores WHERE mkn_permille IS NOT NULL GROUP BY mkn_permille
+),
+cum AS (
+  SELECT p, sum(cnt) OVER (ORDER BY p)::BIGINT AS c FROM h
+),
+cuts AS (
+  SELECT min(CASE WHEN c >= greatest(1, CAST(ceil(2.0 * _n / 3.0)
+                                             AS BIGINT)) THEN p END) AS t2
+  FROM cum CROSS JOIN (SELECT max(c) AS _n FROM cum)
+)
+SELECT {id_col}, n_bigrams, sum_invp, mkn_permille
+FROM scores CROSS JOIN cuts
+WHERE mkn_permille <= t2 ORDER BY {id_col}
+"""

@@ -342,6 +342,7 @@ def stream_ivf_ingest(emb_stream: DataFrame, path: str,
 def stream_lm_gate(docs_stream: DataFrame, model: DataFrame,
                    out_path: str, checkpoint_dir: str, *,
                    threshold: int, order: int = 2,
+                   smoothing: str | None = None,
                    buckets: int = 4096,
                    scale: int = 1000, text_col: str = "text",
                    id_col: str = "doc_id") -> None:
@@ -375,20 +376,35 @@ def stream_lm_gate(docs_stream: DataFrame, model: DataFrame,
     partition column — drop or ignore it; it is the idempotence key,
     not data.
 
-    ``order`` selects the LM: 2 scores with curate.lm_score against a
-    curate.lm_model bigram histogram (column ``ppl_permille``); 3
-    scores with curate.sbo_score (stupid backoff) against a
-    curate.sbo_model trigram histogram (column ``sbo_permille``) — the
-    model frame must match the order."""
+    ``order``/``smoothing`` select the LM. Defaults preserve the
+    original dispatch: order 2 scores with curate.lm_score (add-1,
+    column ``ppl_permille``) and order 3 with curate.sbo_score (stupid
+    backoff, ``sbo_permille``). ``smoothing`` overrides the bigram
+    scorer within order 2 — ``"kn"`` (curate.kn_score,
+    ``kn_permille``) or ``"mkn"`` (curate.mkn_score,
+    ``mkn_permille``) — completing the smoothing canon's batch/stream
+    symmetry over the SAME curate.lm_model histogram artifact; the
+    model frame must match the order either way."""
     from cassandra_ttl_remover_spark.operators.curate import (
+        kn_score,
         lm_score,
+        mkn_score,
         sbo_score,
     )
 
-    scorer, score_col = ((lm_score, "ppl_permille") if order == 2
-                         else (sbo_score, "sbo_permille"))
-    if order not in (2, 3):
-        raise ValueError("supported LM orders: 2 (bigram), 3 (trigram)")
+    if smoothing is None:
+        smoothing = "add1" if order == 2 else "sbo"
+    dispatch = {
+        (2, "add1"): (lm_score, "ppl_permille"),
+        (2, "kn"): (kn_score, "kn_permille"),
+        (2, "mkn"): (mkn_score, "mkn_permille"),
+        (3, "sbo"): (sbo_score, "sbo_permille"),
+    }
+    if (order, smoothing) not in dispatch:
+        raise ValueError(
+            f"unsupported (order, smoothing) = ({order}, {smoothing!r}); "
+            f"supported: {sorted(dispatch)}")
+    scorer, score_col = dispatch[(order, smoothing)]
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

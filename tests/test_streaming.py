@@ -628,3 +628,50 @@ def test_stream_lm_gate_replay_is_idempotent(spark, tmp_path):
     second = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert second == first, "replay duplicated survivor rows"
     assert len(set(first)) == len(first)
+
+
+def test_stream_lm_gate_mkn_matches_batch(spark, tmp_path):
+    """The modified-KN edition of the streaming gate: smoothing="mkn"
+    over the same bigram lm_model artifact; per-doc independence makes
+    the streamed survivor set equal the batch rule exactly."""
+    from cassandra_ttl_remover_spark import scan_table
+    from cassandra_ttl_remover_spark.operators.curate import (
+        lm_model,
+        lm_tertile_cuts,
+        mkn_score,
+    )
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        scan_stream,
+        stream_lm_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = scan_table(spark, sf, "documents")
+    model = lm_model(docs.filter("lang = 'en'"))
+    scores = mkn_score(docs, model)
+    t2 = int(lm_tertile_cuts(scores, "mkn_permille").collect()[0].t2)
+
+    out = str(tmp_path / "kept")
+    stream_lm_gate(
+        scan_stream(spark, sf, glob="documents.parquet"), model,
+        out, str(tmp_path / "ckpt"), threshold=t2, smoothing="mkn")
+    got = sorted((r.doc_id, r.sum_invp, r.mkn_permille)
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r.doc_id, r.sum_invp, r.mkn_permille)
+                  for r in scores.filter(
+                      F.col("mkn_permille") <= t2).collect())
+    assert got == want and 0 < len(got) < docs.count()
+
+
+def test_stream_lm_gate_rejects_bad_dispatch(spark):
+    import pytest as _pytest
+
+    from cassandra_ttl_remover_spark.streaming.ttl_stream import (
+        stream_lm_gate,
+    )
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        stream_lm_gate(None, None, "x", "y", threshold=0,
+                       order=3, smoothing="mkn")
+    with _pytest.raises(ValueError, match="unsupported"):
+        stream_lm_gate(None, None, "x", "y", threshold=0, order=4)
