@@ -678,6 +678,7 @@ _DRIVER_PRIORITY = [
     "q_n78_mkn_perplexity",
     "q_pipe_anneal_mix",
     "q_st24_stream_mkn_gate",
+    "q_n79_epoch_mix",
     # --- last green: round 4 ---
     "q_n40_hard_negatives",
     "q_x15_hopping_window",
@@ -4973,6 +4974,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          {"de": 30, "en": 850, "es": 40, "fr": 45, "zh": 35}, 500),
     ]
 
+    def q_n79(spark, sf):
+        # data-constrained mixture WITH repetition (Muennighoff et al.
+        # 2023): epoch-capped upsampling so a scarce domain repeats up
+        # to 4 full passes to honor its weight; the audit reports the
+        # cap binding instead of renormalizing, and hash-proves the
+        # deterministic partial-epoch prefix. Weights chosen so the
+        # fixture exercises cap-bound, partial-only, and
+        # full+partial domains at both graded scales
+        docs = scan_table(spark, sf, "documents")
+        return curate.epoch_mix(
+            docs, {"de": 500, "en": 200, "es": 100, "fr": 100, "zh": 100},
+            budget_permille=1500, epochs_cap=4, domain_col="lang")
+    q["q_n79_epoch_mix"] = q_n79
+
     def q_pipe_anneal(spark, sf):
         # deterministic N-phase data schedule on doremi_resample's
         # waterline arithmetic + the shared per-domain (md5, id) rank
@@ -6432,6 +6447,10 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["q_n77_line_dedup"] = dedup.line_dedup_oracle_sql()
     o["q_n78_mkn_perplexity"] = curate.mkn_perplexity_oracle_sql(
         train_where="lang = 'en'"
+    )
+    o["q_n79_epoch_mix"] = curate.epoch_mix_oracle_sql(
+        {"de": 500, "en": 200, "es": 100, "fr": 100, "zh": 100},
+        budget_permille=1500, epochs_cap=4, domain_col="lang",
     )
     o["q_st24_stream_mkn_gate"] = curate.mkn_gate_oracle_sql(
         train_where="lang = 'en'"

@@ -3310,3 +3310,141 @@ SELECT {id_col}, n_bigrams, sum_invp, mkn_permille
 FROM scores CROSS JOIN cuts
 WHERE mkn_permille <= t2 ORDER BY {id_col}
 """
+
+
+def epoch_mix(docs: DataFrame, weights: dict[str, int], *,
+              budget_permille: int, epochs_cap: int = 4,
+              weight_scale: int = 1000,
+              domain_col: str = "lang",
+              id_col: str = "doc_id") -> DataFrame:
+    """Data-constrained mixture WITH REPETITION — the epoch-capped
+    upsampling recipe of Muennighoff et al. 2023 ("Scaling
+    Data-Constrained Language Models": repeating data up to ~4 epochs
+    costs little vs fresh data; beyond that returns decay; public
+    method): where :func:`doremi_resample` and :func:`anneal_mix`
+    never upsample (waterline-capped by the scarcest domain), this
+    operator lets a scarce domain REPEAT up to ``epochs_cap`` full
+    passes to honor its mixture weight.
+
+    All integers: the requested output size is ``T = (sum_d n_d *
+    budget_permille) div 1000``; per domain ``k_d = least(epochs_cap *
+    n_d, (w_d * T) div weight_scale)`` — when the epoch cap binds, the
+    realized total undershoots T and the audit SHOWS it (reported, not
+    silently renormalized: re-spreading the shortfall would change
+    other domains' epoch counts and hide the bind). The kept multiset
+    is ``n_full = k_d div n_d`` full copies of the domain plus its
+    deterministic (md5(id), id)-rank prefix of length ``k_d mod n_d``
+    — the engine's q_n19/q_n24 sampling convention, so the partial
+    epoch is reproducible and hash-provable.
+
+    Output: one row per weighted domain —
+    ``(domain, n_avail, weight, k_target, n_full_epochs, n_partial,
+    sum_partial_ids)``; ``sum_partial_ids`` hash-proves the partial
+    epoch's exact selection (full epochs are the whole domain — their
+    membership needs no proof). NULL domains and domains absent from
+    ``weights`` are not mixed (the doremi convention).
+
+    Scale: one count aggregate (<= |domains| rows to the driver — the
+    declared bounded-collect precedent), ONE corpus rank through
+    :func:`~cassandra_ttl_remover_spark.plans.two_level_row_number`
+    with ``partition_cols=[domain]``, one broadcast target join and a
+    map-side audit agg; the corpus is never materialized k-fold — the
+    audit row carries the multiplicity."""
+    spark = docs.sparkSession
+    out_schema = (f"{domain_col} string, n_avail long, weight long, "
+                  "k_target long, n_full_epochs long, n_partial long, "
+                  "sum_partial_ids long")
+    doms = sorted(weights)
+    if not doms:
+        return spark.createDataFrame([], out_schema)
+    navail = {r[domain_col]: int(r.n)
+              for r in docs.filter(F.col(domain_col).isin(doms))
+              .groupBy(domain_col)
+              .agg(F.count("*").cast("long").alias("n")).collect()}
+    doms = [d for d in doms if navail.get(d)]
+    if not doms:
+        return spark.createDataFrame([], out_schema)
+    tot = sum(navail[d] for d in doms)
+    t = (tot * budget_permille) // 1000
+    rows = []
+    for d in doms:
+        k = min(epochs_cap * navail[d],
+                (weights[d] * t) // weight_scale)
+        rows.append((d, navail[d], weights[d], k,
+                     k // navail[d], k % navail[d]))
+    tgt = F.broadcast(spark.createDataFrame(
+        rows, (f"{domain_col} string, n_avail long, weight long, "
+               "k_target long, n_full_epochs long, n_partial long")))
+    from .. import plans
+
+    ranked = plans.two_level_row_number(
+        docs.select(domain_col, id_col)
+        .filter(F.col(domain_col).isin(doms))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string"))),
+        order_cols=["_h", id_col], out="_rn",
+        partition_cols=[domain_col],
+    )
+    part = (
+        ranked.join(tgt.select(domain_col, "n_partial"), domain_col)
+        .filter(F.col("_rn") <= F.col("n_partial"))
+        .groupBy(domain_col)
+        .agg(F.sum(id_col).cast("long").alias("sum_partial_ids"))
+    )
+    return (
+        tgt.join(part, domain_col, "left")
+        .select(
+            domain_col, "n_avail", "weight", "k_target",
+            "n_full_epochs", "n_partial",
+            F.coalesce("sum_partial_ids", F.lit(0)).cast("long")
+            .alias("sum_partial_ids"),
+        )
+        .orderBy(domain_col)
+    )
+
+
+def epoch_mix_oracle_sql(weights: dict[str, int], *,
+                         budget_permille: int, epochs_cap: int = 4,
+                         weight_scale: int = 1000,
+                         domain_col: str = "lang",
+                         table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB recomputation of :func:`epoch_mix`: weights as VALUES,
+    budget/cap arithmetic re-derived in SQL, the shared per-domain
+    (md5, id) rank prefix for the partial epoch."""
+    vals = ", ".join(f"('{d}', {w})" for d, w in sorted(weights.items()))
+    inlist = ", ".join(f"'{d}'" for d in sorted(weights))
+    return f"""
+WITH wts(dom, w) AS (VALUES {vals}),
+navail AS MATERIALIZED (
+  SELECT {domain_col} AS dom, count(*)::BIGINT AS n_avail
+  FROM {table} WHERE {domain_col} IN ({inlist}) GROUP BY {domain_col}
+),
+tc AS (SELECT (sum(n_avail)::HUGEINT * {budget_permille}) // 1000 AS t
+       FROM navail),
+tgt AS MATERIALIZED (
+  SELECT dom, n_avail, w,
+         least({epochs_cap}::HUGEINT * n_avail,
+               (w::HUGEINT * (SELECT t FROM tc))
+                 // {weight_scale})::BIGINT AS k_target
+  FROM wts JOIN navail USING (dom)
+),
+sel AS MATERIALIZED (
+  SELECT {domain_col} AS dom, {id_col},
+         row_number() OVER (PARTITION BY {domain_col}
+                            ORDER BY md5({id_col}::VARCHAR), {id_col})
+           AS rn
+  FROM {table} WHERE {domain_col} IN ({inlist})
+),
+part AS (
+  SELECT s.dom, sum({id_col})::BIGINT AS sum_partial_ids
+  FROM sel s JOIN tgt g USING (dom)
+  WHERE s.rn <= g.k_target % g.n_avail
+  GROUP BY s.dom
+)
+SELECT g.dom AS {domain_col}, g.n_avail, g.w AS weight, g.k_target,
+       (g.k_target // g.n_avail)::BIGINT AS n_full_epochs,
+       (g.k_target % g.n_avail)::BIGINT AS n_partial,
+       coalesce(p.sum_partial_ids, 0)::BIGINT AS sum_partial_ids
+FROM tgt g LEFT JOIN part p ON g.dom = p.dom
+ORDER BY g.dom
+"""

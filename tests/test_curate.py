@@ -1090,3 +1090,56 @@ def test_anneal_mix_oracle_parity_inline(spark, documents):
         curate.anneal_mix_oracle_sql(phases, domain_col="lang"),
         duck_connection(SF_DIR))
     assert ok, msg
+
+
+def test_epoch_mix_cap_full_and_partial_branches(spark):
+    """Hand-checkable: one domain hits the epoch cap (reported, not
+    renormalized), one takes full+partial epochs, one partial-only;
+    the partial prefix is the deterministic (md5, id) rank."""
+    import hashlib
+
+    rows = ([(i, "scarce") for i in range(10)]
+            + [(100 + i, "mid") for i in range(20)]
+            + [(200 + i, "big") for i in range(70)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    # tot=100, budget 2000 permille -> T=200
+    # scarce w=500: min(4*10, 100) = 40 -> cap binds: 4 full, 0 partial
+    # mid    w=300: min(80, 60) = 60  -> 3 full + 0?  60//20=3, 60%20=0
+    # big    w=200: min(280, 40) = 40 -> 0 full, 40 partial
+    out = {r.lang: r for r in curate.epoch_mix(
+        docs, {"scarce": 500, "mid": 300, "big": 200},
+        budget_permille=2000, epochs_cap=4, domain_col="lang").collect()}
+    assert (out["scarce"].k_target, out["scarce"].n_full_epochs,
+            out["scarce"].n_partial) == (40, 4, 0)
+    assert (out["mid"].k_target, out["mid"].n_full_epochs,
+            out["mid"].n_partial) == (60, 3, 0)
+    assert (out["big"].k_target, out["big"].n_full_epochs,
+            out["big"].n_partial) == (40, 0, 40)
+
+    def prefix_sum(dom, k):
+        ids = [i for i, d in rows if d == dom]
+        return sum(sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                i))[:k])
+
+    assert out["scarce"].sum_partial_ids == 0
+    assert out["big"].sum_partial_ids == prefix_sum("big", 40)
+    # empty weights / unknown domain
+    assert curate.epoch_mix(docs, {}, budget_permille=500).count() == 0
+    assert curate.epoch_mix(
+        docs, {"zz": 1000}, budget_permille=500,
+        domain_col="lang").count() == 0
+
+
+def test_epoch_mix_oracle_parity_inline(spark, documents):
+    from tests.conftest import SF_DIR
+    from tests.oracle_parity import compare, duck_connection
+
+    w = {"de": 500, "en": 200, "es": 100, "fr": 100, "zh": 100}
+    ok, msg = compare(
+        curate.epoch_mix(documents, w, budget_permille=1500,
+                         epochs_cap=4, domain_col="lang"),
+        curate.epoch_mix_oracle_sql(w, budget_permille=1500,
+                                    epochs_cap=4, domain_col="lang"),
+        duck_connection(SF_DIR))
+    assert ok, msg
