@@ -30,6 +30,18 @@ loadavg 10.2 at sweep start. Two round-11 runs started at loadavg
 and the 48-query r9-common subset min summed 71.0 s vs r9's 72.0 —
 like-for-like flat. ks_drift 1.46 s after its two-level CDF rework
 (extra shard-totals job at toy scale, the logreg_train trade).
+
+Round-12 idle protocol (two runs starting at loadavg 2.2 / 4.3,
+2026-08-17, min of 2): r1_subset 13.93 s (vs BENCH_r01's 15.01),
+r10-common subset 92.9 s (vs BENCH_r11's 101.8 at loadavg 9.6 —
+the r11 gap was ambient, as predicted), r9-common 78.7 s. The
+pagerank floor REVERTED to 3.78 s (r11's 4.10 was ambient — closing
+that watch item; r9-r10 floor was 3.37, residual delta within the
+large-codegen wander above). ks_drift 1.60 s. New entries:
+line_dedup 2.09, mkn_perplexity 2.53 (between its add-1 and KN
+siblings), anneal_mix 1.82; the doremi-path regrades (two-level
+partitioned rank) left doremi_weights/logreg_train at r11 levels
+(2.69 / 4.71).
 """
 
 from __future__ import annotations
