@@ -2654,10 +2654,14 @@ def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
     t = min((navail[d] * weight_scale) // weights[d] for d in weights)
     targets = {d: min(navail[d], (weights[d] * t) // weight_scale)
                for d in weights}
-    tgt = F.broadcast(spark.createDataFrame(
+    # the broadcast hint lives at the INNER selection join only: on the
+    # audit's left-outer join below, tgt is the PRESERVED side, where a
+    # broadcast hint is unsupported and would just log a dropped-hint
+    # warning (both frames there are <= |domains| rows anyway)
+    tgt = spark.createDataFrame(
         [(d, navail[d], weights[d], targets[d]) for d in sorted(weights)],
         tgt_schema,
-    ))
+    )
     from .. import plans
 
     ranked = plans.two_level_row_number(
@@ -2668,7 +2672,8 @@ def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
     )
     kept = (
         ranked
-        .join(tgt, domain_col)   # inner: NULL-domain docs are not mixed
+        .join(F.broadcast(tgt), domain_col)   # inner: NULL-domain docs
+        #                                         are not mixed
         .filter(F.col("_rn") <= F.col("k_target"))
         .groupBy(domain_col)
         .agg(F.count("*").cast("long").alias("n_kept"),
@@ -3190,9 +3195,12 @@ def anneal_mix(docs: DataFrame,
             rows.append((phase, d, navail[d], ws[d], k))
     if not rows:
         return spark.createDataFrame([], out_schema)
-    tgt = F.broadcast(spark.createDataFrame(
+    # broadcast hint only at the inner selection join (see
+    # doremi_resample: on the audit's left-outer join tgt is the
+    # preserved side, where the hint is unsupported)
+    tgt = spark.createDataFrame(
         rows, (f"phase string, {domain_col} string, n_avail long, "
-               "weight long, k_target long")))
+               "weight long, k_target long"))
     from .. import plans
 
     ranked = plans.two_level_row_number(
@@ -3203,8 +3211,8 @@ def anneal_mix(docs: DataFrame,
         partition_cols=[domain_col],
     )
     kept = (
-        ranked.join(tgt.select("phase", domain_col, "k_target"),
-                    domain_col)
+        ranked.join(F.broadcast(tgt.select("phase", domain_col,
+                                           "k_target")), domain_col)
         .filter(F.col("_rn") <= F.col("k_target"))
         .groupBy("phase", domain_col)
         .agg(F.count("*").cast("long").alias("n_kept"),
@@ -3372,9 +3380,11 @@ def epoch_mix(docs: DataFrame, weights: dict[str, int], *,
                 (weights[d] * t) // weight_scale)
         rows.append((d, navail[d], weights[d], k,
                      k // navail[d], k % navail[d]))
-    tgt = F.broadcast(spark.createDataFrame(
+    # broadcast hint only at the inner selection join (see
+    # doremi_resample)
+    tgt = spark.createDataFrame(
         rows, (f"{domain_col} string, n_avail long, weight long, "
-               "k_target long, n_full_epochs long, n_partial long")))
+               "k_target long, n_full_epochs long, n_partial long"))
     from .. import plans
 
     ranked = plans.two_level_row_number(
@@ -3385,7 +3395,8 @@ def epoch_mix(docs: DataFrame, weights: dict[str, int], *,
         partition_cols=[domain_col],
     )
     part = (
-        ranked.join(tgt.select(domain_col, "n_partial"), domain_col)
+        ranked.join(F.broadcast(tgt.select(domain_col, "n_partial")),
+                    domain_col)
         .filter(F.col("_rn") <= F.col("n_partial"))
         .groupBy(domain_col)
         .agg(F.sum(id_col).cast("long").alias("sum_partial_ids"))
