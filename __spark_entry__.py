@@ -679,6 +679,7 @@ _DRIVER_PRIORITY = [
     "q_pipe_anneal_mix",
     "q_st24_stream_mkn_gate",
     "q_n79_epoch_mix",
+    "q_n80_boilerplate_report",
     # --- last green: round 4 ---
     "q_n40_hard_negatives",
     "q_x15_hopping_window",
@@ -4952,6 +4953,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.line_dedup(docs)
     q["q_n77_line_dedup"] = q_n77
 
+    def q_n80(spark, sf):
+        # per-source boilerplate census over q_n77's rewrite (CCNet's
+        # per-shard dedup-rate report): which sources are
+        # template-heavy; narrow int frame join + <= |sources| agg
+        docs = scan_table(spark, sf, "documents")
+        return dedup.line_dedup_report(docs, domain_col="source")
+    q["q_n80_boilerplate_report"] = q_n80
+
     def q_n78(spark, sf):
         # MODIFIED Kneser-Ney (Chen & Goodman 1999 §3 — KenLM's actual
         # default): three data-derived discounts D1/D2/D3+ from the
@@ -6445,6 +6454,9 @@ FROM events GROUP BY event_type ORDER BY event_type
         train_where="lang = 'en'"
     )
     o["q_n77_line_dedup"] = dedup.line_dedup_oracle_sql()
+    o["q_n80_boilerplate_report"] = dedup.line_dedup_report_oracle_sql(
+        domain_col="source"
+    )
     o["q_n78_mkn_perplexity"] = curate.mkn_perplexity_oracle_sql(
         train_where="lang = 'en'"
     )

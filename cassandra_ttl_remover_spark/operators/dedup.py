@@ -1594,3 +1594,65 @@ SELECT t.id AS {id_col}, len(t.lines)::BIGINT AS n_lines,
 FROM t LEFT JOIN rmset r ON t.id = r.id
 ORDER BY {id_col}
 """
+
+
+def line_dedup_report(docs: DataFrame, *, block_tokens: int = 8,
+                      min_words: int = 3, min_count: int = 2,
+                      delim: str | None = None,
+                      domain_col: str = "source",
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-domain boilerplate census — the data-card row a curation
+    team reads after :func:`line_dedup`: how much of each source is
+    repeated lines (CCNet reports exactly this per-shard dedup rate;
+    a source whose removal fraction spikes is template-heavy — nav
+    bars, cookie banners, licence footers). One row per domain:
+    ``(domain, n_docs, n_lines, n_removed, removed_permille)`` with
+    the permille an exact integer over the domain's line count.
+
+    Scale: the line_dedup frame is (id, 3 ints, hash) — joining the
+    (id, domain) projection back and one <= |domains| map-side agg
+    adds nothing corpus-shaped to line_dedup's own profile."""
+    per_doc = line_dedup(docs, block_tokens=block_tokens,
+                         min_words=min_words, min_count=min_count,
+                         delim=delim, text_col=text_col, id_col=id_col)
+    return (
+        per_doc.join(docs.select(id_col, domain_col), id_col)
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("n_removed").cast("long").alias("n_removed"),
+        )
+        .withColumn(
+            "removed_permille",
+            F.expr("CASE WHEN n_lines > 0 THEN (n_removed * 1000L) "
+                   "div n_lines ELSE 0L END"),
+        )
+        .orderBy("domain")
+    )
+
+
+def line_dedup_report_oracle_sql(block_tokens: int = 8,
+                                 min_words: int = 3, min_count: int = 2,
+                                 delim: str | None = None,
+                                 domain_col: str = "source",
+                                 table: str = "documents",
+                                 id_col: str = "doc_id") -> str:
+    """DuckDB recomputation: the full line_dedup oracle nested as a
+    CTE, joined back to the domain projection and aggregated."""
+    inner = line_dedup_oracle_sql(block_tokens, min_words, min_count,
+                                  delim, table, id_col)
+    return f"""
+WITH per_doc AS MATERIALIZED (
+{inner}
+)
+SELECT d.{domain_col} AS domain, count(*)::BIGINT AS n_docs,
+       sum(p.n_lines)::BIGINT AS n_lines,
+       sum(p.n_removed)::BIGINT AS n_removed,
+       (CASE WHEN sum(p.n_lines) > 0
+             THEN (sum(p.n_removed) * 1000) // sum(p.n_lines)
+             ELSE 0 END)::BIGINT AS removed_permille
+FROM per_doc p JOIN {table} d USING ({id_col})
+GROUP BY d.{domain_col} ORDER BY domain
+"""

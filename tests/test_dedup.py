@@ -372,3 +372,34 @@ def test_line_dedup_oracle_parity_fixture(spark, documents):
     ok, msg = compare(dedup.line_dedup(documents),
                       dedup.line_dedup_oracle_sql(), con)
     assert ok, msg
+
+
+def test_line_dedup_report_aggregates_per_domain(spark):
+    boiler = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, boiler, "clean"),
+         (2, boiler, "spammy"),
+         (3, boiler + " " + boiler, "spammy")],
+        "doc_id long, text string, source string")
+    out = {r.domain: r for r in
+           dedup.line_dedup_report(df, domain_col="source").collect()}
+    # doc 1 owns the boilerplate; spammy's three other occurrences drop
+    assert (out["clean"].n_lines, out["clean"].n_removed) == (1, 0)
+    assert (out["spammy"].n_lines, out["spammy"].n_removed) == (3, 3)
+    assert out["spammy"].removed_permille == 1000
+    assert out["clean"].removed_permille == 0
+
+
+def test_line_dedup_report_oracle_parity_fixture(spark, documents):
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from tests.oracle_parity import compare
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    ok, msg = compare(
+        dedup.line_dedup_report(documents, domain_col="source"),
+        dedup.line_dedup_report_oracle_sql(domain_col="source"), con)
+    assert ok, msg
