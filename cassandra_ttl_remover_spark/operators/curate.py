@@ -2587,6 +2587,26 @@ ORDER BY {domain_col}
 """
 
 
+def _domain_rank(docs: DataFrame, domains, *,
+                 domain_col: str, id_col: str) -> DataFrame:
+    """The deterministic per-domain (md5(id), id) rank shared by every
+    mixture operator (doremi_resample / anneal_mix / epoch_mix):
+    restrict to the WEIGHTED domains BEFORE ranking (NULL-domain and
+    unweighted rows must not pay the range-partition + sort — they
+    would only be dropped by the selection join after), then rank
+    through the partitioned two-level primitive — no low-cardinality
+    ``Window.partitionBy`` at any corpus size."""
+    from .. import plans
+
+    return plans.two_level_row_number(
+        docs.select(domain_col, id_col)
+        .filter(F.col(domain_col).isin(list(domains)))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string"))),
+        order_cols=["_h", id_col], out="_rn",
+        partition_cols=[domain_col],
+    )
+
+
 def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
                     text_col: str = "text", id_col: str = "doc_id",
                     buckets: int = 4096, scale: int = 1000,
@@ -2662,18 +2682,12 @@ def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
         [(d, navail[d], weights[d], targets[d]) for d in sorted(weights)],
         tgt_schema,
     )
-    from .. import plans
-
-    ranked = plans.two_level_row_number(
-        docs.select(domain_col, id_col)
-        .withColumn("_h", F.md5(F.col(id_col).cast("string"))),
-        order_cols=["_h", id_col], out="_rn",
-        partition_cols=[domain_col],
-    )
+    ranked = _domain_rank(docs, weights, domain_col=domain_col,
+                          id_col=id_col)
     kept = (
         ranked
-        .join(F.broadcast(tgt), domain_col)   # inner: NULL-domain docs
-        #                                         are not mixed
+        .join(F.broadcast(tgt), domain_col)   # inner on the weighted
+        #                             domains the rank was built over
         .filter(F.col("_rn") <= F.col("k_target"))
         .groupBy(domain_col)
         .agg(F.count("*").cast("long").alias("n_kept"),
@@ -3176,6 +3190,12 @@ def anneal_mix(docs: DataFrame,
                   "weight long, k_target long, n_kept long, "
                   "sum_kept_ids long")
     alldoms = sorted({d for _, ws, _ in phases for d in ws})
+    if any(w <= 0 for _, ws, _ in phases for w in ws.values()):
+        # a zero weight would divide the waterline by zero here and
+        # yield a NULL-skipping min on DuckDB — two different wrong
+        # answers; the contract is "omit the domain from the phase"
+        raise ValueError("anneal_mix weights must be positive; omit "
+                         "the domain from the phase instead")
     if not alldoms:
         return spark.createDataFrame([], out_schema)
     navail = {r[domain_col]: int(r.n)
@@ -3201,15 +3221,8 @@ def anneal_mix(docs: DataFrame,
     tgt = spark.createDataFrame(
         rows, (f"phase string, {domain_col} string, n_avail long, "
                "weight long, k_target long"))
-    from .. import plans
-
-    ranked = plans.two_level_row_number(
-        docs.select(domain_col, id_col)
-        .filter(F.col(domain_col).isin(alldoms))
-        .withColumn("_h", F.md5(F.col(id_col).cast("string"))),
-        order_cols=["_h", id_col], out="_rn",
-        partition_cols=[domain_col],
-    )
+    ranked = _domain_rank(docs, alldoms, domain_col=domain_col,
+                          id_col=id_col)
     kept = (
         ranked.join(F.broadcast(tgt.select("phase", domain_col,
                                            "k_target")), domain_col)
@@ -3239,6 +3252,9 @@ def anneal_mix_oracle_sql(phases: list[tuple[str, dict[str, int], int]],
     as a VALUES table, waterline/budget arithmetic in SQL (not
     pre-resolved — the oracle re-derives T from the same counts), the
     shared per-domain (md5, id) rank, per-phase prefix selection."""
+    if any(w <= 0 for _, ws, _ in phases for w in ws.values()):
+        raise ValueError("anneal_mix weights must be positive; omit "
+                         "the domain from the phase instead")
     vals = ", ".join(
         f"('{p}', '{d}', {w}, {bp})"
         for p, ws, bp in phases for d, w in sorted(ws.items())
@@ -3363,6 +3379,9 @@ def epoch_mix(docs: DataFrame, weights: dict[str, int], *,
                   "k_target long, n_full_epochs long, n_partial long, "
                   "sum_partial_ids long")
     doms = sorted(weights)
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("epoch_mix weights must be positive; omit "
+                         "the domain instead")
     if not doms:
         return spark.createDataFrame([], out_schema)
     navail = {r[domain_col]: int(r.n)
@@ -3385,15 +3404,8 @@ def epoch_mix(docs: DataFrame, weights: dict[str, int], *,
     tgt = spark.createDataFrame(
         rows, (f"{domain_col} string, n_avail long, weight long, "
                "k_target long, n_full_epochs long, n_partial long"))
-    from .. import plans
-
-    ranked = plans.two_level_row_number(
-        docs.select(domain_col, id_col)
-        .filter(F.col(domain_col).isin(doms))
-        .withColumn("_h", F.md5(F.col(id_col).cast("string"))),
-        order_cols=["_h", id_col], out="_rn",
-        partition_cols=[domain_col],
-    )
+    ranked = _domain_rank(docs, doms, domain_col=domain_col,
+                          id_col=id_col)
     part = (
         ranked.join(F.broadcast(tgt.select(domain_col, "n_partial")),
                     domain_col)
@@ -3422,6 +3434,9 @@ def epoch_mix_oracle_sql(weights: dict[str, int], *,
     """DuckDB recomputation of :func:`epoch_mix`: weights as VALUES,
     budget/cap arithmetic re-derived in SQL, the shared per-domain
     (md5, id) rank prefix for the partial epoch."""
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("epoch_mix weights must be positive; omit "
+                         "the domain instead")
     vals = ", ".join(f"('{d}', {w})" for d, w in sorted(weights.items()))
     inlist = ", ".join(f"'{d}'" for d in sorted(weights))
     return f"""

@@ -1439,9 +1439,23 @@ def _lines_exprs(text_col: str, delim: str | None,
     trimmed, empties dropped); ``delim=None`` falls back to
     NON-OVERLAPPING ``block_tokens``-token segments — the paragraph
     unit for delimiter-free text (the shipped fixtures), and distinct
-    from repeated_ngram_spans' OVERLAPPING windows."""
+    from repeated_ngram_spans' OVERLAPPING windows.
+
+    NULL text reads as '' (0 lines, md5('') cleaned hash) — matching
+    the oracle's coalesce, review-found asymmetry. The delimiter is a
+    LITERAL: Spark ``split()``'s pattern argument is a Java regex, so
+    every char is regex-escaped before the SQL-literal escaping (a '.'
+    or '|' delimiter must not split everywhere, and '(' must not throw
+    PatternSyntaxException); DuckDB's string_split is literal-only, so
+    the two sides agree by construction."""
+    text_col = f"coalesce({text_col}, '')"
     if delim is not None:
-        d = delim.replace("\\", "\\\\").replace("'", "\\'")
+        import re as _re
+
+        # re.escape backslash-escapes every non-alphanumeric — a form
+        # Java regex accepts for all of them — and never alphanumerics
+        d = (_re.escape(delim)
+             .replace("\\", "\\\\").replace("'", "\\'"))
         return (f"filter(transform(split({text_col}, '{d}'), "
                 "l -> trim(l)), l -> l <> '')")
     toks = WORDS_EXPR.format(col=text_col)
@@ -1548,12 +1562,15 @@ def line_dedup_oracle_sql(block_tokens: int = 8, min_words: int = 3,
     """Independent DuckDB recomputation of :func:`line_dedup` — census
     via a two-step (min-id, then min-pos-within-min-id) canonical pick
     instead of Spark's struct-min, rebuild by index comprehension
-    instead of the HOF filter; must agree hash-for-hash."""
-    ws = "[w for w in string_split(text, ' ') if w <> '']"
+    instead of the HOF filter; must agree hash-for-hash. NULL text
+    reads as '' (matching the Spark side's coalesce); the delimiter is
+    literal on both engines (string_split here, regex-quoted there)."""
+    txt = "coalesce(text, '')"
+    ws = f"[w for w in string_split({txt}, ' ') if w <> '']"
     if delim is not None:
-        d = delim.replace("''", "''''")
-        lines = (f"[l for l in list_transform(string_split(text, '{d}'), "
-                 "l -> trim(l)) if l <> '']")
+        d = delim.replace("'", "''")
+        lines = (f"[l for l in list_transform(string_split({txt}, "
+                 f"'{d}'), l -> trim(l)) if l <> '']")
     else:
         b = block_tokens
         lines = (
@@ -1618,7 +1635,12 @@ def line_dedup_report(docs: DataFrame, *, block_tokens: int = 8,
                          delim=delim, text_col=text_col, id_col=id_col)
     return (
         per_doc.join(docs.select(id_col, domain_col), id_col)
-        .groupBy(F.col(domain_col).alias("domain"))
+        # NULL domains are legal rows: label them '<null>' on BOTH
+        # engines (tokenizer_fertility's convention) — a raw NULL group
+        # would also diverge in the final ordering (Spark ASC = NULLS
+        # FIRST, DuckDB NULLS LAST)
+        .groupBy(F.coalesce(F.col(domain_col).cast("string"),
+                            F.lit("<null>")).alias("domain"))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_lines").cast("long").alias("n_lines"),
@@ -1647,12 +1669,13 @@ def line_dedup_report_oracle_sql(block_tokens: int = 8,
 WITH per_doc AS MATERIALIZED (
 {inner}
 )
-SELECT d.{domain_col} AS domain, count(*)::BIGINT AS n_docs,
+SELECT coalesce(d.{domain_col}, '<null>') AS domain,
+       count(*)::BIGINT AS n_docs,
        sum(p.n_lines)::BIGINT AS n_lines,
        sum(p.n_removed)::BIGINT AS n_removed,
        (CASE WHEN sum(p.n_lines) > 0
              THEN (sum(p.n_removed) * 1000) // sum(p.n_lines)
              ELSE 0 END)::BIGINT AS removed_permille
 FROM per_doc p JOIN {table} d USING ({id_col})
-GROUP BY d.{domain_col} ORDER BY domain
+GROUP BY coalesce(d.{domain_col}, '<null>') ORDER BY domain
 """

@@ -200,9 +200,17 @@ def exchange_count(df: DataFrame) -> int:
 
 import threading as _threading
 
-#: one AQE-off child session per parent session, created under a lock —
-#: keyed by the JVM session object's hash (stable for a session's life)
-_CHECKPOINT_SESSIONS: dict = {}
+import weakref as _weakref
+
+#: one AQE-off child session per parent session, created under a lock.
+#: Keyed WEAKLY by the parent Python session object: entries vanish
+#: with their parent (no leak across session restarts in long-lived
+#: processes), and unlike a JVM identity-hashCode key, two live
+#: sessions can never collide (review-found hazard: identity hashes
+#: can be reused after GC, handing a new session a child bound to a
+#: stopped predecessor's conf)
+_CHECKPOINT_SESSIONS: "_weakref.WeakKeyDictionary" = \
+    _weakref.WeakKeyDictionary()
 _CHECKPOINT_LOCK = _threading.Lock()
 
 
@@ -210,13 +218,12 @@ def _aqe_off_session(spark):
     """A cached ``spark.newSession()`` whose SQLConf has AQE disabled —
     an ISOLATED conf over the shared SparkContext, so building a plan in
     it never perturbs plans compiling concurrently on the parent."""
-    key = spark._jsparkSession.hashCode()  # noqa: SLF001
     with _CHECKPOINT_LOCK:
-        child = _CHECKPOINT_SESSIONS.get(key)
+        child = _CHECKPOINT_SESSIONS.get(spark)
         if child is None:
             child = spark.newSession()
             child.conf.set("spark.sql.adaptive.enabled", "false")
-            _CHECKPOINT_SESSIONS[key] = child
+            _CHECKPOINT_SESSIONS[spark] = child
         return child
 
 
@@ -391,8 +398,10 @@ def two_level_row_number(df: DataFrame, order_cols: list[str],
         .agg(F.count("*").alias("_n")).collect()
     }
     # prefix the shard counts WITHIN each partition-key value (plain
-    # global prefix when pc is empty); (None,) keys sort first via the
-    # explicit None-aware sort key
+    # global prefix when pc is empty). Only the _pid order matters —
+    # shards hold contiguous key ranges, so a group's slices appear in
+    # ascending-pid order; group order among equal pids is irrelevant
+    # because offsets accumulate per group independently
     runs: dict[tuple, int] = {}
     offsets = {}
     for key in sorted(counts, key=lambda k: k[0]):

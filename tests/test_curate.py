@@ -1143,3 +1143,24 @@ def test_epoch_mix_oracle_parity_inline(spark, documents):
                                     epochs_cap=4, domain_col="lang"),
         duck_connection(SF_DIR))
     assert ok, msg
+
+
+def test_mixture_weight_validation_raises(spark):
+    """Review-found: a zero weight would divide anneal's waterline by
+    zero (Python) vs NULL-skip in DuckDB's min — two different wrong
+    answers. Both engine and oracle builders reject non-positive
+    weights loudly; the contract is 'omit the domain'."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="positive"):
+        curate.anneal_mix(docs, [("a", {"x": 0}, 500)], domain_col="lang")
+    with _pytest.raises(ValueError, match="positive"):
+        curate.anneal_mix_oracle_sql([("a", {"x": 0}, 500)],
+                                     domain_col="lang")
+    with _pytest.raises(ValueError, match="positive"):
+        curate.epoch_mix(docs, {"x": -1}, budget_permille=500,
+                         domain_col="lang")
+    with _pytest.raises(ValueError, match="positive"):
+        curate.epoch_mix_oracle_sql({"x": 0}, budget_permille=500,
+                                    domain_col="lang")

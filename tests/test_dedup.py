@@ -403,3 +403,69 @@ def test_line_dedup_report_oracle_parity_fixture(spark, documents):
         dedup.line_dedup_report(documents, domain_col="source"),
         dedup.line_dedup_report_oracle_sql(domain_col="source"), con)
     assert ok, msg
+
+
+def test_line_dedup_null_text_and_literal_delims(spark, tmp_path):
+    """Review-found asymmetries: NULL text must read as '' on BOTH
+    engines (0 lines, md5('') hash), and the delimiter is LITERAL —
+    regex metachars like '.' and '|' must split only at the delimiter
+    (Spark split() is a Java regex under the hood) and quote-bearing
+    delimiters must not break the oracle's SQL literal."""
+    import hashlib
+
+    import duckdb
+
+    from tests.oracle_parity import compare
+
+    rows = [
+        (1, None),
+        (2, "one two three four.five six seven eight.short"),
+        (3, "one two three four.nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(df, delim=".").collect()}
+    assert (out[1].n_lines, out[1].n_removed) == (0, 0)
+    assert out[1].cleaned_hash == hashlib.md5(b"").hexdigest()
+    # '.' split literally: doc 2 has 3 lines, doc 3 has 2, and the
+    # shared first line dedups to doc 2 (min id)
+    assert (out[2].n_lines, out[2].n_removed) == (3, 0)
+    assert (out[3].n_lines, out[3].n_removed) == (2, 1)
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{p}/*.parquet')")
+    for delim in (".", "|", "'", "("):
+        d2 = df.withColumn("text", F.regexp_replace(
+            F.coalesce("text", F.lit("")), "\\.", delim.replace("\\", "\\\\")))
+        p2 = str(tmp_path / "d2.parquet")
+        d2.coalesce(1).write.mode("overwrite").parquet(p2)
+        con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{p2}/*.parquet')")
+        ok, msg = compare(dedup.line_dedup(d2, delim=delim),
+                          dedup.line_dedup_oracle_sql(delim=delim), con)
+        assert ok, f"delim {delim!r}: {msg}"
+
+
+def test_line_dedup_report_null_domain_label(spark, tmp_path):
+    import duckdb
+
+    from tests.oracle_parity import compare
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, boiler, "s1"), (2, boiler, None), (3, boiler, None)],
+        "doc_id long, text string, source string")
+    out = {r.domain: r for r in
+           dedup.line_dedup_report(df, domain_col="source").collect()}
+    assert set(out) == {"s1", "<null>"}
+    assert out["<null>"].n_removed == 2
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{p}/*.parquet')")
+    ok, msg = compare(dedup.line_dedup_report(df, domain_col="source"),
+                      dedup.line_dedup_report_oracle_sql(
+                          domain_col="source"), con)
+    assert ok, msg
