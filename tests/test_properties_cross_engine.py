@@ -201,3 +201,54 @@ def test_dsir_matches_duckdb_on_random_docs(spark, docs_words, tgt_mod):
             target_where=tgt_where, buckets=64)).fetchall()
     }
     assert got == want
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=0, max_size=30),
+    min_size=1, max_size=6))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_line_dedup_matches_python_replica(spark, docs_words):
+    """r12: the C4 line-dedup rule against an independent pure-Python
+    replica on RANDOM corpora — unlike span removal, lines never
+    overlap, so the STRONG claim holds and is asserted: the canonical
+    (globally first) occurrence of every repeated line survives,
+    every other participating occurrence of a >= min_count line is
+    removed, and nothing else ever is."""
+    import hashlib
+    import math
+
+    B, MW, MC = 3, 2, 2
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_removed, r.cleaned_hash)
+           for r in __import__(
+               "cassandra_ttl_remover_spark.operators.dedup",
+               fromlist=["dedup"]).line_dedup(
+               df, block_tokens=B, min_words=MW, min_count=MC).collect()}
+
+    # pure-Python replica
+    lines = {}          # doc -> [line str]
+    for i, ws in enumerate(docs_words):
+        lines[i] = [" ".join(ws[j * B:(j + 1) * B])
+                    for j in range(math.ceil(len(ws) / B))]
+    occs = {}           # line -> [(doc, pos)] participating only
+    for i, ls in lines.items():
+        for p, l in enumerate(ls):
+            if len([w for w in l.split(" ") if w]) >= MW:
+                occs.setdefault(l, []).append((i, p))
+    removed = {}
+    for l, os_ in occs.items():
+        if len(os_) >= MC:
+            canon = min(os_)
+            for o in os_:
+                if o != canon:
+                    removed.setdefault(o[0], set()).add(o[1])
+    for i, ls in lines.items():
+        kept = [l for p, l in enumerate(ls)
+                if p not in removed.get(i, set())]
+        want = (len(ls), len(removed.get(i, set())),
+                hashlib.md5(" ".join(kept).encode()).hexdigest())
+        assert got[i] == want, (i, got[i], want)
