@@ -406,6 +406,20 @@ def _lr_feats(docs: DataFrame, dim: int, text_col: str,
     return x.unionByName(bias).repartition(F.col(id_col))
 
 
+def _labels_checkpoint(labels: DataFrame, id_col: str) -> DataFrame:
+    """Materialize a label projection ONCE, pre-partitioned on the doc
+    id. The label frame is narrow (id + y, sometimes a slice/domain/
+    digest) but its LINEAGE is a full corpus scan — and ``_logreg_fit``
+    consumes it once per GD iteration plus once more for scoring, each
+    consumption inside its own (broadcast-build) job. Un-checkpointed,
+    every one of those jobs re-ran the corpus scan (measured r12:
+    model_curate evaluated its gopher+md5 label lineage 3x — once per
+    iteration and once for the margin join, ~2 s of the 6.6 s entry).
+    The id partitioning mirrors _lr_feats': the per-iteration residual
+    join and the scoring join are then exchange-free on both sides."""
+    return checkpoint_partitioned(labels.repartition(F.col(id_col)))
+
+
 def logreg_train(docs: DataFrame, label_expr: str = "lang = 'en'",
                  dim: int = 64, iters: int = 2, text_col: str = "text",
                  id_col: str = "doc_id", *,
@@ -440,9 +454,9 @@ def logreg_train(docs: DataFrame, label_expr: str = "lang = 'en'",
     declared regime — this is a FILTER model, not a foundation model)."""
     feats = checkpoint_partitioned(
         _lr_feats(docs, dim, text_col, id_col))  # one featurize feeds every iteration twice
-    labels = docs.select(
+    labels = _labels_checkpoint(docs.select(
         F.col(id_col),
-        F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+        F.expr(f"if({label_expr}, 1L, 0L)").alias("y")), id_col)
     return _logreg_fit(feats, labels, iters, id_col,
                        checkpoint=checkpoint)
 
@@ -580,8 +594,9 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
     are near-unique and the histogram is corpus-sized."""
     feats = checkpoint_partitioned(
         _lr_feats(docs, dim, text_col, id_col))  # ONE featurize feeds training and scoring
-    labels = docs.select(
-        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    labels = _labels_checkpoint(docs.select(
+        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y")),
+        id_col)
     weights = _logreg_fit(feats, labels, iters, id_col)
     return _auc_from_margins(_margins(feats, weights, labels, id_col))
 
@@ -678,8 +693,9 @@ def logreg_holdout_auc(docs: DataFrame, train_where: str,
     held = docs.filter(f"NOT ({train_where})")
     feats_tr = checkpoint_partitioned(
         _lr_feats(train, dim, text_col, id_col))
-    labels_tr = train.select(
-        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    labels_tr = _labels_checkpoint(train.select(
+        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y")),
+        id_col)
     weights = _logreg_fit(feats_tr, labels_tr, iters, id_col)
     feats_ev = _lr_feats(held, dim, text_col, id_col)
     labels_ev = held.select(
@@ -1034,12 +1050,12 @@ def model_curate_corpus(docs: DataFrame, label_expr: str = "lang = 'en'",
         .filter("passes_gopher")
     )
     feats = checkpoint_partitioned(_lr_feats(kept, dim, text_col, id_col))
-    labels = kept.select(
+    labels = _labels_checkpoint(kept.select(
         F.col(id_col),
         F.expr(f"if({label_expr}, 1L, 0L)").alias("y"),
         F.col(domain_col).alias("_dom0"),
         F.md5(F.col(text_col)).alias("_dg"),
-    )
+    ), id_col)
     weights = _logreg_fit(feats, labels.select(id_col, "y"), iters, id_col)
     # the scored frame feeds FOUR consumers (the threshold histogram,
     # the mix-threshold counts, the mix filter, and — through mix — the
@@ -1156,9 +1172,9 @@ def logreg_sliced_auc(docs: DataFrame, slice_col: str = "source",
     bounded single-partition stage."""
     feats = checkpoint_partitioned(
         _lr_feats(docs, dim, text_col, id_col))
-    labels = docs.select(
+    labels = _labels_checkpoint(docs.select(
         F.col(id_col), F.col(slice_col).alias("slice"),
-        F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+        F.expr(f"if({label_expr}, 1L, 0L)").alias("y")), id_col)
     weights = _logreg_fit(feats, labels.select(id_col, "y"), iters, id_col)
     return _auc_from_margins(
         _margins(feats, weights, labels, id_col), group_col="slice")
@@ -1215,8 +1231,9 @@ def logreg_calibration(docs: DataFrame, n_bins: int = 10,
     map-side-combined groupBy over <= n_bins keys."""
     feats = checkpoint_partitioned(
         _lr_feats(docs, dim, text_col, id_col))
-    labels = docs.select(
-        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    labels = _labels_checkpoint(docs.select(
+        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y")),
+        id_col)
     weights = _logreg_fit(feats, labels, iters, id_col)
     D = LR_S * LR_Q
     scored = _margins(feats, weights, labels, id_col).select(
@@ -1312,8 +1329,9 @@ def quality_signals(docs: DataFrame, label_expr: str = "lang = 'en'",
                          min_stop_hits=min_stop_hits).select(
         F.col(id_col), F.col("passes_gopher"))
     feats = checkpoint_partitioned(_lr_feats(docs, dim, text_col, id_col))
-    labels = docs.select(
-        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
+    labels = _labels_checkpoint(docs.select(
+        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y")),
+        id_col)
     weights = _logreg_fit(feats, labels, iters, id_col)
     margins = _margins(feats, weights, labels, id_col).select(
         F.col(id_col), F.col("m").alias("margin"))

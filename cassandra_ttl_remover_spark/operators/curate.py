@@ -1527,7 +1527,11 @@ def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
     shuffle, the text never does. The word array is HOISTED into its own
     projection first — inlining the split into the bigram lambda would
     re-split the whole text per element (O(words²) splits per doc; the
-    same hoisting rule text.py's simhash pass documents)."""
+    same hoisting rule text.py's simhash pass documents). Fanned out
+    before the projection and exploded in the OUTER form (filter on the
+    generated column) so neither a parallelism floor of 1 nor an
+    inferred size()>0 filter pushed below the exchange serializes the
+    md5 chain onto the scan task — the _lm_bigrams discipline."""
     ws = f"filter(split({text_col}, ' '), w -> w <> '')"
     bigrams = (
         "CASE WHEN size(_ws) >= 2 THEN "
@@ -1536,14 +1540,16 @@ def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
         "ELSE array() END"
     )
     return (
-        docs.select(F.col(id_col), F.expr(ws).alias("_ws"))
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.expr(ws).alias("_ws"))
         .select(
             F.col(id_col),
-            F.explode(
+            F.explode_outer(
                 F.expr(f"transform(concat(_ws, {bigrams}), "
                        f"s -> {_dsir_bucket_spark('s', buckets)})")
             ).alias("bucket"),
         )
+        .filter(F.col("bucket").isNotNull())
     )
 
 
@@ -1689,23 +1695,42 @@ def _lm_bigrams(docs: DataFrame, text_col: str, id_col: str,
     ONCE per token (``_bs``) before pairing — inlining the bucket hash
     into the pair lambda would md5 every token twice. Pure projection +
     explode: only 8-byte bucket ints ever reach an exchange, the text
-    never does (the _dsir_features stance)."""
+    never does (the _dsir_features stance).
+
+    Parallelism floor (guide §2.5 input skew / plans.fan_out): the
+    tokenize+md5 projection is the CPU cost of every LM operator, so the
+    scan is fanned out across the cluster BEFORE it — a single-file
+    local source otherwise serializes the whole featurize onto one task
+    (measured r12: 1.0-1.1 s single-task at sf0.1). Keyless round-robin
+    because one caller (lm_domain_matrix) keys by a ~|domains|-value
+    column — hashing on that would recreate the skew. Filter-pushdown
+    discipline: the short-doc guard lives INSIDE the projection (CASE ->
+    empty array) and the explode is the OUTER form, because an explicit
+    ``filter(size(_bs) >= 2)`` / non-outer explode yields an inferred
+    size()>0 filter that Catalyst pushes below the fan-out exchange,
+    re-evaluating the whole md5 chain single-task on the scan side (the
+    line_dedup r12 finding); a filter on the GENERATED column cannot
+    sink past the Generate."""
     ws = f"filter(split({text_col}, ' '), w -> w <> '')"
     return (
-        docs.select(F.col(id_col), F.expr(ws).alias("_ws"))
+        fan_out(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.expr(ws).alias("_ws"))
         .select(
             F.col(id_col),
             F.expr(f"transform(_ws, w -> {_dsir_bucket_spark('w', buckets)})"
                    ).alias("_bs"),
         )
-        .filter(F.expr("size(_bs) >= 2"))
         .select(
             F.col(id_col),
-            F.explode(F.expr(
+            F.expr(
+                "CASE WHEN size(_bs) >= 2 THEN "
                 "transform(sequence(1, size(_bs) - 1), "
                 "i -> struct(element_at(_bs, i) AS u, "
-                "element_at(_bs, i + 1) AS v))")).alias("_bg"),
+                "element_at(_bs, i + 1) AS v)) "
+                "ELSE array() END").alias("_bga"),
         )
+        .select(F.col(id_col), F.explode_outer("_bga").alias("_bg"))
+        .filter(F.col("_bg").isNotNull())
         .select(F.col(id_col), F.col("_bg.u").alias("u"),
                 F.col("_bg.v").alias("v"))
     )
@@ -2051,24 +2076,30 @@ GROUP BY d.{domain_col} ORDER BY domain""")
 def _lm_trigrams(docs: DataFrame, text_col: str, id_col: str,
                  buckets: int) -> DataFrame:
     """``(id, u, v, w)`` — one row per consecutive-token trigram, each
-    token hashed once (the _lm_bigrams construction, order-3 form)."""
+    token hashed once (the _lm_bigrams construction, order-3 form —
+    including its fan-out floor and the CASE-guard + outer-explode
+    filter-pushdown discipline; see that docstring)."""
     ws = f"filter(split({text_col}, ' '), w -> w <> '')"
     return (
-        docs.select(F.col(id_col), F.expr(ws).alias("_ws"))
+        fan_out(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.expr(ws).alias("_ws"))
         .select(
             F.col(id_col),
             F.expr(f"transform(_ws, w -> {_dsir_bucket_spark('w', buckets)})"
                    ).alias("_bs"),
         )
-        .filter(F.expr("size(_bs) >= 3"))
         .select(
             F.col(id_col),
-            F.explode(F.expr(
+            F.expr(
+                "CASE WHEN size(_bs) >= 3 THEN "
                 "transform(sequence(1, size(_bs) - 2), "
                 "i -> struct(element_at(_bs, i) AS u, "
                 "element_at(_bs, i + 1) AS v, "
-                "element_at(_bs, i + 2) AS w))")).alias("_tg"),
+                "element_at(_bs, i + 2) AS w)) "
+                "ELSE array() END").alias("_tga"),
         )
+        .select(F.col(id_col), F.explode_outer("_tga").alias("_tg"))
+        .filter(F.col("_tg").isNotNull())
         .select(F.col(id_col), F.col("_tg.u").alias("u"),
                 F.col("_tg.v").alias("v"), F.col("_tg.w").alias("w"))
     )

@@ -836,17 +836,38 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
         f" (shiftright(simhash, b * {width}) & {(1 << width) - 1}) as bh))"
     )
 
-    digests = corpus.select(F.md5(F.col(text_col)).alias("_digest")).distinct()
-    fresh = (
-        batch.withColumn("_digest", F.md5(F.col(text_col)))
-        .join(digests, "_digest", "left_anti")
-        .drop("_digest")
-    )
+    # ONE signature scan per side (r12): each side's md5 digest AND
+    # 60-bit simhash come from a single fanned-out projection that is
+    # checkpointed. Before, digests and bands were separate lineages —
+    # the corpus text was scanned twice, and the band join's inferred
+    # isnotnull(bh) filter was pushed below the fan_out exchange,
+    # re-evaluating the ENTIRE simhash chain single-task on the scan
+    # side (two 1.9 s one-task stages at sf0.1). The checkpoints sever
+    # the plan, so the expensive signatures compute exactly once,
+    # post-fan-out, and only (id, 16-byte digest, 8-byte simhash) rows
+    # are materialized — text still never shuffles.
+    ws = WORDS_EXPR.format(col=text_col)
+    hashes = _WORD_HASHES_EXPR.format(ws=ws)
 
-    def _bands(df: DataFrame, side: str) -> DataFrame:
+    def _sig(df: DataFrame) -> DataFrame:
         return (
-            simhash(df, text_col, id_col)
+            fan_out(df.select(id_col, text_col), id_col)
             .select(
+                F.col(id_col),
+                F.md5(F.col(text_col)).alias("_digest"),
+                F.expr(SIMHASH_EXPR.format(hashes=hashes)).alias("simhash"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    sig_b = _sig(batch)
+    sig_c = _sig(corpus)
+    digests = sig_c.select("_digest").distinct()
+    fresh_sig = sig_b.join(digests, "_digest", "left_anti")
+
+    def _bands(sig: DataFrame, side: str) -> DataFrame:
+        return (
+            sig.select(
                 F.col(id_col).alias(side),
                 F.col("simhash").alias(f"sh_{side}"),
                 F.explode(F.expr(band_expr)).alias("bb"),
@@ -864,8 +885,8 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
     # user-specified counts) and co-partitions both sides.
     n_par = batch.sparkSession.sparkContext.defaultParallelism
     near_hit = (
-        _bands(fresh, "nb_id").repartition(n_par, "band", "bh")
-        .join(_bands(corpus, "cp_id").repartition(n_par, "band", "bh"),
+        _bands(fresh_sig, "nb_id").repartition(n_par, "band", "bh")
+        .join(_bands(sig_c, "cp_id").repartition(n_par, "band", "bh"),
               ["band", "bh"])
         .filter(
             F.bit_count(F.col("sh_nb_id").bitwiseXOR(F.col("sh_cp_id")))
@@ -873,6 +894,14 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
         )
         .select(F.col("nb_id").alias(id_col))
         .distinct()
+    )
+    # output pass stays ROW-level on the digest (the oracle's `fresh` CTE
+    # is row-level; an id-level semi-join would diverge on duplicate-id
+    # batches) — one md5 per row on the final batch scan, no simhash
+    fresh = (
+        batch.withColumn("_digest", F.md5(F.col(text_col)))
+        .join(digests, "_digest", "left_anti")
+        .drop("_digest")
     )
     return fresh.join(near_hit, id_col, "left_anti")
 
@@ -1502,9 +1531,19 @@ def line_dedup(docs: DataFrame, *, block_tokens: int = 8,
     with nothing removed take the coalesce path untouched. No window
     functions anywhere, so no single-task sort at any cardinality."""
     lines = _lines_exprs(text_col, delim, block_tokens)
+    # Materialize the (id, lines) projection ONCE: it feeds the census
+    # branch, the removed branch and the final rebuild join — without the
+    # cut each branch re-ran the scan + line-split, and posexplode's
+    # inferred size()>0 filter was pushed below the fan_out exchange,
+    # re-evaluating the whole split chain single-task on the scan side
+    # (measured r12: two 0.8 s one-task stages). The checkpoint severs
+    # the plan, so the split runs exactly once, post-fan-out. At 100 TB
+    # this is the stage boundary gated_exact_dedup already documents:
+    # one write of the line arrays vs three scans + three splits.
     base = (
         fan_out(docs.select(id_col, text_col), id_col)
         .select(F.col(id_col), F.expr(lines).alias("lines"))
+        .localCheckpoint(eager=False)
     )
     wc = "size(filter(split(line, ' '), w -> w <> ''))"
     occ = (

@@ -872,18 +872,19 @@ def semdedup(emb: DataFrame, threshold: float = 0.9,
     compared through their exact double images), over the hash-matchable
     nearest-centroid assignment — so the full pipeline is oracle-exact.
     """
-    assigned = assign_nearest_centroid(emb, group_col, vec_col, id_col).select(
-        id_col, F.col("assigned").alias("cluster")
-    )
-    # Quantize ONCE and materialize the (id, cluster, xq, nrm) frame: both
-    # pair-join branches and the final stitch read these blocks instead of
-    # re-running the centroid-assignment pipeline per branch, and the
-    # per-pair dot becomes a pure int64 zip_with (no per-element
-    # round/cast inside the quadratic stage).
-    q = (
+    # Quantize ONCE (r12): a single fanned-out scan materializes the
+    # (id, group, xq, nrm) frame, and the centroid table, the
+    # nearest-centroid assignment AND the pair stage all derive from it.
+    # Before, assign_nearest_centroid and the pair path each re-read and
+    # re-quantized the embedding table (3 scans, 3 QVEC passes — one of
+    # them the 2.8 s single-task centroid-scoring stage at sf0.1). The
+    # derivations below are the exact group_centroids /
+    # assign_nearest_centroid integer arithmetic over the same quantized
+    # values, so the assignment — and the declared output — is unchanged.
+    q0 = (
         fan_out(emb, id_col)
         .select(
-            F.col(id_col),
+            F.col(id_col), F.col(group_col),
             F.expr(QVEC_EXPR.format(v=vec_col)).alias("xq"),
         )
         .withColumn(
@@ -891,9 +892,38 @@ def semdedup(emb: DataFrame, threshold: float = 0.9,
             F.expr("aggregate(zip_with(xq, xq, (x, y) -> x * y), 0L,"
                    " (s, v) -> s + v)"),
         )
-        .join(assigned, id_col)
         .localCheckpoint(eager=False)
     )
+    cent = (
+        q0.select(F.col(group_col), F.posexplode("xq").alias("_p", "_c"))
+        .groupBy(group_col, "_p")
+        .agg(F.sum("_c").alias("_s"), F.count("*").alias("_n"))
+        .groupBy(group_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_p, _s))), x -> x._s)"
+            ).alias("_cvec"),
+            F.first("_n").alias("_n"),
+        )
+        .select(F.col(group_col).alias("_cg"), "_cvec", "_n")
+    )
+    assigned = (
+        q0.select(id_col, F.col("xq").alias("_xq"))
+        .join(F.broadcast(cent))
+        .withColumn(
+            "_dot",
+            F.expr("aggregate(zip_with(_xq, _cvec, (a, b) -> a * b), 0L,"
+                   " (s, v) -> s + v)"),
+        )
+        .withColumn("_score", F.col("_dot").cast("double") / F.col("_n"))
+        .groupBy(id_col)
+        .agg(F.min(
+            F.struct((-F.col("_score")).alias("ns"), F.col("_cg").alias("g"))
+        ).alias("_b"))
+        .select(id_col, F.col("_b.g").alias("cluster"))
+    )
+    q = q0.select(id_col, "xq", "nrm").join(assigned, id_col) \
+        .localCheckpoint(eager=False)
     # Explicit NUMBERED repartition pins the pair stage's parallelism:
     # the exchange feeding a tiny-map-output join is exactly where AQE
     # coalesces to one task and then serializes the quadratic dot-product
