@@ -59,6 +59,14 @@ def write_sorted(
     """
     clustering = clustering or []
     parts = [F.col(pk)] + [F.col(c) for c in clustering]
+    # repartitionByRange's bounds-sampling job executes the whole upstream
+    # pipeline once BEFORE the shuffle executes it again; the lazy
+    # checkpoint pins a single materialization that both passes read
+    # (measured r12 on the strip pipeline: two full scan+strip stages ->
+    # one + cheap block reads). At 100 TB this is the transform->sink
+    # stage boundary: one materialization of the stripped rows instead
+    # of two strip passes over the source.
+    df = df.localCheckpoint(eager=False)
     if num_files:
         ranged = df.repartitionByRange(num_files, F.col(pk))
     else:

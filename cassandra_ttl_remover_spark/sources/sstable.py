@@ -2599,8 +2599,19 @@ def write_sstable_distributed(cells, out_dir: str, shards: int = 4,
                  "n_cells": [n]}
             )
 
+    # repartitionByRange SAMPLES its input to place the range bounds, and
+    # that sample job executes the ENTIRE upstream pipeline (here: the
+    # binary scan + strip, the expensive Python-source pass) a first
+    # time before the real shuffle executes it again. The lazy
+    # checkpoint pins one materialization: the sampler and the shuffle
+    # both read the cached cell blocks, so the decode pass runs exactly
+    # once (measured r12: two full 32-task Python scan stages -> one).
+    # At 100 TB this is the standard stage boundary between transform
+    # and sink — one materialization of the cells instead of two decode
+    # passes over the source.
     report = (
-        cells.repartitionByRange(shards, "pk")
+        cells.localCheckpoint(eager=False)
+        .repartitionByRange(shards, "pk")
         .sortWithinPartitions("pk", "cell")
         .mapInPandas(
             _encode,
