@@ -1043,11 +1043,18 @@ def model_curate_corpus(docs: DataFrame, label_expr: str = "lang = 'en'",
     )
     from cassandra_ttl_remover_spark.operators.text import gopher_rules
 
+    # Materialize the gopher-gated corpus ONCE: featurize (hashed_tf) and
+    # the label/digest projection are BOTH full text scans of `kept`, and
+    # un-cut each re-runs the parquet scan plus the whole gopher HOF
+    # battery (measured r12: two text scans + two gopher evaluations for
+    # one gate). At 100 TB this is the gate->train stage boundary — one
+    # write of the surviving docs, two cheap columnar reads.
     kept = (
         gopher_rules(docs, text_col, id_col, min_words,
                      keep_cols=(text_col, domain_col),
                      min_stop_hits=min_stop_hits)
         .filter("passes_gopher")
+        .localCheckpoint(eager=False)
     )
     feats = checkpoint_partitioned(_lr_feats(kept, dim, text_col, id_col))
     labels = _labels_checkpoint(kept.select(
