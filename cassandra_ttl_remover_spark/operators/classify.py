@@ -385,8 +385,16 @@ def _lr_feats(docs: DataFrame, dim: int, text_col: str,
               id_col: str) -> DataFrame:
     """``(id, bucket, xq)`` — quantized frequencies ``(tf*Q) div dl``
     plus the bias pseudo-bucket -1 with xq = Q for every featurized doc.
-    The tf frame is checkpointed: both union branches consume it, and
-    without the cut the corpus featurization would execute twice.
+
+    The bias row is injected INTO the featurize explode (a literal -1
+    prepended to each non-empty doc's bucket array) instead of being a
+    second ``distinct``-then-union branch over a checkpointed tf frame:
+    one explode + one map-side-combined aggregation produce the whole
+    frame, saving the tf materialization, the distinct exchange and the
+    union (r12: row-identical output at sf0.1, logreg_auc end-to-end
+    3.62 -> 3.33 s best-of-4). Empty docs still drop out — the array
+    stays empty when the doc has no tokens, matching hashed_tf's
+    no-tokens-no-rows convention, so N and the oracle are unchanged.
 
     The result is hash-partitioned on the doc id BEFORE the caller's
     checkpoint: every GD iteration aggregates margins by id and joins
@@ -394,16 +402,26 @@ def _lr_feats(docs: DataFrame, dim: int, text_col: str,
     partitioning instead of re-exchanging the (narrow, integer) feature
     frame twice per iteration — one exchange paid at featurize time,
     2 x iters exchanges saved (plan-pinned in test_classify)."""
-    tf = hashed_tf(docs, dim, text_col, id_col).localCheckpoint(eager=False)
-    x = tf.select(
-        F.col(id_col), "bucket",
-        F.expr(f"(tf * {LR_Q}) div dl").cast("long").alias("xq"),
+    ws = f"filter(split({text_col}, ' '), w -> w <> '')"
+    buckets = (f"if(size(_ws) = 0, array(), concat(array(-1L), "
+               f"transform(_ws, s -> {_dsir_bucket_spark('s', dim)})))")
+    return (
+        fan_out(docs.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.expr(ws).alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.expr("size(_ws)").cast("long").alias("dl"),
+            F.explode(F.expr(buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "dl", "bucket")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select(
+            F.col(id_col), "bucket",
+            F.expr(f"if(bucket = -1, {LR_Q}L, (tf * {LR_Q}) div dl)")
+            .cast("long").alias("xq"),
+        )
+        .repartition(F.col(id_col))
     )
-    bias = tf.select(id_col).distinct().select(
-        F.col(id_col), F.lit(-1).alias("bucket"),
-        F.lit(LR_Q).cast("long").alias("xq"),
-    )
-    return x.unionByName(bias).repartition(F.col(id_col))
 
 
 def _labels_checkpoint(labels: DataFrame, id_col: str) -> DataFrame:
@@ -467,8 +485,11 @@ def _logreg_fit(feats: DataFrame, labels: DataFrame, iters: int,
     shared by :func:`logreg_train` and :func:`logreg_auc` so evaluation
     never featurizes the corpus a second time."""
     dict_df = feats.select("bucket").distinct()
+    # every featurized doc carries exactly one bias row (bucket -1, by
+    # _lr_feats construction), so N is a plain filtered count — no
+    # distinct-over-ids pass over the feature frame
     nrow = F.broadcast(
-        feats.select(id_col).distinct().agg(
+        feats.filter(F.col("bucket") == -1).agg(
             F.count("*").cast("long").alias("_n")))
     weights = dict_df.select(
         "bucket", F.lit(0).cast("long").alias("w"))

@@ -34,6 +34,32 @@ def test_hashed_tf_counts_and_lengths(spark):
     assert [(dl, tf) for (d, _), (dl, tf) in rows.items() if d == 3] == [(1, 1)]
 
 
+def test_lr_feats_fused_bias_matches_reference_construction(spark):
+    # r12: the bias pseudo-bucket is injected into the featurize explode
+    # (one aggregation) instead of a distinct+union second branch. Pin
+    # row-identity against the reference two-branch construction over
+    # hashed_tf — including the empty doc, which must stay unfeaturized
+    # (no bias row) so the GD N and the oracle are unchanged.
+    docs = _toy_docs(spark, [
+        (1, "aa bb aa cc", "en"), (2, "bb bb", "fr"), (3, "", "en"),
+        (4, "zz", "fr"),
+    ])
+    ref = (
+        C.hashed_tf(docs, 32)
+        .select(F.col("doc_id"), "bucket",
+                F.expr(f"(tf * {C.LR_Q}) div dl").cast("long").alias("xq"))
+        .unionByName(
+            C.hashed_tf(docs, 32).select("doc_id").distinct().select(
+                F.col("doc_id"), F.lit(-1).alias("bucket"),
+                F.lit(C.LR_Q).cast("long").alias("xq")))
+    )
+    got = C._lr_feats(docs, 32, "text", "doc_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    assert got.filter("doc_id = 3").count() == 0  # empty doc: no bias row
+    # single-aggregation shape: the two-branch union is gone from the plan
+    assert "Union" not in formatted_plan(got)
+
+
 def test_hashed_tfidf_weight_formula(spark):
     # two docs, one shared token: df=2 for it, df=1 for the singleton
     docs = _toy_docs(spark, [(1, "x y", "en"), (2, "x", "en")])
