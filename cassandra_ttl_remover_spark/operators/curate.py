@@ -1509,9 +1509,13 @@ _DSIR_NIBBLES = "0123456789abcdef"
 
 
 def _dsir_bucket_spark(s: str, buckets: int) -> str:
-    n = [f"(instr('{_DSIR_NIBBLES}', substr(md5({s}), {i}, 1)) - 1)"
-         for i in (1, 2, 3)]
-    return f"pmod({n[0]} * 256 + {n[1]} * 16 + {n[2]}, {buckets})"
+    # value-identical to the three-nibble instr form (the md5 hex prefix
+    # read as a base-16 number), but ONE md5 call instead of three: this
+    # expression runs inside transform() lambdas, which Spark evaluates
+    # interpreted (no whole-stage codegen, no common-subexpression
+    # elimination), so each instr(md5(..)) repeated the digest per nibble.
+    # Equivalence is pinned by test_dsir_bucket_conv_equivalence.
+    return f"pmod(cast(conv(substr(md5({s}), 1, 3), 16, 10) as int), {buckets})"
 
 
 def _dsir_bucket_duck(s: str, buckets: int) -> str:

@@ -634,11 +634,14 @@ FROM cc ORDER BY {id_col}
 #: (b div 4) of md5(word); per-doc bit b = sign of sum over words of ±1.
 #: Evaluated in three hoisted passes so md5 runs ONCE per word:
 #:   words -> md5 hex -> 60-bit int word-hash -> per-bit sign sums -> simhash.
+#: Value-identical fast form: hex digit j of the md5 carries weight
+#: 16^(j-1) (the FIRST hex char is the LOWEST nibble), which is exactly
+#: conv(reverse(prefix), 16, 10) — one md5 + one conv per word instead of
+#: md5 + 15 interpreted instr/substring/shift steps (transform() lambdas
+#: never reach codegen). Equivalence pinned in test_dedup.
 _WORD_HASHES_EXPR = (
-    "transform(transform({ws}, w -> md5(w)), m -> "
-    " aggregate(sequence(1, 15), 0L, (a, j) -> a + shiftleft("
-    "  cast(instr('0123456789abcdef', substring(m, j, 1)) - 1 as bigint),"
-    "  (j - 1) * 4)))"
+    "transform({ws}, w -> "
+    "cast(conv(reverse(substr(md5(w), 1, 15)), 16, 10) as bigint))"
 )
 
 #: `element_at(transform(array(<hashes>), hs -> body), 1)` binds the word-hash

@@ -449,6 +449,32 @@ def test_dsir_importance_ranks_target_like_docs(spark):
     assert rows[1].target_mass > rows[1].raw_mass  # target-aligned doc
 
 
+def test_dsir_bucket_conv_equivalence(spark):
+    """The conv-based fast bucket hash (one md5 per token) must equal the
+    original three-nibble instr form for every input — the two read the
+    same md5 hex prefix as a base-16 number. Guards the r12 optimization
+    that removed the per-nibble md5 recomputation inside transform()
+    lambdas (interpreted, no common-subexpression elimination)."""
+    from cassandra_ttl_remover_spark.operators.curate import (
+        _DSIR_NIBBLES, _dsir_bucket_spark)
+
+    ref = ("pmod("
+           + " + ".join(
+               f"(instr('{_DSIR_NIBBLES}', substr(md5(w), {i}, 1)) - 1) * {m}"
+               for i, m in ((1, 256), (2, 16), (3, 1)))
+           + ", {b})")
+    df = spark.range(20000).selectExpr(
+        "cast(id as string) as w").unionAll(
+        spark.createDataFrame(
+            [("",), ("a",), ("unicode-ßøü",), ("two words",)], "w string"))
+    for b in (4096, 64, 7):
+        bad = df.selectExpr(
+            f"{_dsir_bucket_spark('w', b)} as fast",
+            ref.format(b=b) + " as ref",
+        ).filter("fast <> ref OR fast IS NULL").count()
+        assert bad == 0
+
+
 def test_dsir_importance_partitioning_independent(spark):
     docs = spark.createDataFrame(
         [(i, f"alpha beta w{i % 7} gamma w{i % 3}") for i in range(60)],

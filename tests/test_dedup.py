@@ -95,6 +95,25 @@ def test_simhash_identical_and_near(near_docs):
     assert 0 <= sh[0] < (1 << 60)
 
 
+def test_word_hashes_conv_equivalence(spark):
+    """The conv(reverse(..)) word-hash (one md5 + one conv per word) must
+    equal the original 15-step nibble aggregate — hex digit j carries
+    weight 16^(j-1), i.e. the reversed prefix read base-16. Guards the
+    r12 interpreted-lambda optimization in _WORD_HASHES_EXPR."""
+    from cassandra_ttl_remover_spark.operators.dedup import _WORD_HASHES_EXPR
+
+    ref = ("transform(transform(ws, w -> md5(w)), m -> "
+           " aggregate(sequence(1, 15), 0L, (a, j) -> a + shiftleft("
+           "  cast(instr('0123456789abcdef', substring(m, j, 1)) - 1 as bigint),"
+           "  (j - 1) * 4)))")
+    df = spark.range(20000).selectExpr(
+        "array(cast(id as string), concat('w', cast(id as string)), '') as ws")
+    bad = df.selectExpr(
+        _WORD_HASHES_EXPR.format(ws="ws") + " as fast", ref + " as ref"
+    ).filter("fast <> ref").count()
+    assert bad == 0
+
+
 def test_simhash_banded_equals_bruteforce(documents):
     banded = {(r.a, r.b, r.hamming) for r in
               dedup.simhash_neardup_pairs(documents, max_hamming=3, banded=True).collect()}
