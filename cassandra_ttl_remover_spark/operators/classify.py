@@ -30,10 +30,11 @@ accumulators with a rescaled quantum — flagged per function.
 Scale shape: featurization is explode + one map-side-combined
 groupBy(doc, bucket) — text never shuffles, the 8-byte bucket ints do.
 All model state (df dictionary <= dim rows, class sums <= classes*dim,
-weights <= dim+1) broadcasts; no join in this module ever shuffles its
-corpus side on anything but the doc id. Training iterations follow
-graph.pagerank's integer-loop pattern: tiny state frame, localCheckpoint
-per round, O(1) lineage.
+weights <= dim+1) broadcasts or inlines as literal expressions; no join
+in this module ever shuffles its corpus side on anything but the doc id.
+Training iterations follow doremi_weights' bounded-driver-loop pattern:
+one single-exchange gradient job per round, the <= dim+1 weight state
+driver-held in exact integer arithmetic (see _fit_weights).
 """
 
 from __future__ import annotations
@@ -382,9 +383,20 @@ GROUP BY label, pred ORDER BY label, pred
 # ---------------------------------------------------------------------------
 
 def _lr_feats(docs: DataFrame, dim: int, text_col: str,
-              id_col: str) -> DataFrame:
-    """``(id, bucket, xq)`` — quantized frequencies ``(tf*Q) div dl``
-    plus the bias pseudo-bucket -1 with xq = Q for every featurized doc.
+              id_col: str,
+              labels: dict[str, str] | None = None) -> DataFrame:
+    """``(id[, *labels], bucket, xq)`` — quantized frequencies
+    ``(tf*Q) div dl`` plus the bias pseudo-bucket -1 with xq = Q for
+    every featurized doc.
+
+    ``labels`` maps extra output names to per-doc SQL expressions over
+    ``docs`` (the training label ``y``, an evaluation ``slice``, ...).
+    They ride the featurize as additional GROUP KEYS — constant per doc,
+    so grouping is unchanged — which lets the GD loop and the scoring
+    aggregation read them straight off the one checkpointed frame
+    instead of joining a separately-materialized label frame back on
+    the doc id every pass (r12: removed the _labels_checkpoint scan +
+    per-iteration co-partitioned join from every training consumer).
 
     The bias row is injected INTO the featurize explode (a literal -1
     prepended to each non-empty doc's bucket array) instead of being a
@@ -405,18 +417,20 @@ def _lr_feats(docs: DataFrame, dim: int, text_col: str,
     ws = f"filter(split({text_col}, ' '), w -> w <> '')"
     buckets = (f"if(size(_ws) = 0, array(), concat(array(-1L), "
                f"transform(_ws, s -> {_dsir_bucket_spark('s', dim)})))")
+    lab_names = list(labels or {})
+    lab_cols = [F.expr(e).alias(n) for n, e in (labels or {}).items()]
     return (
-        fan_out(docs.select(id_col, text_col), id_col)
-        .select(F.col(id_col), F.expr(ws).alias("_ws"))
+        fan_out(docs.select(id_col, *lab_cols, text_col), id_col)
+        .select(F.col(id_col), *lab_names, F.expr(ws).alias("_ws"))
         .select(
-            F.col(id_col),
+            F.col(id_col), *lab_names,
             F.expr("size(_ws)").cast("long").alias("dl"),
             F.explode(F.expr(buckets)).alias("bucket"),
         )
-        .groupBy(id_col, "dl", "bucket")
+        .groupBy(id_col, *lab_names, "dl", "bucket")
         .agg(F.count("*").cast("long").alias("tf"))
         .select(
-            F.col(id_col), "bucket",
+            F.col(id_col), *lab_names, "bucket",
             F.expr(f"if(bucket = -1, {LR_Q}L, (tf * {LR_Q}) div dl)")
             .cast("long").alias("xq"),
         )
@@ -426,22 +440,117 @@ def _lr_feats(docs: DataFrame, dim: int, text_col: str,
 
 def _labels_checkpoint(labels: DataFrame, id_col: str) -> DataFrame:
     """Materialize a label projection ONCE, pre-partitioned on the doc
-    id. The label frame is narrow (id + y, sometimes a slice/domain/
-    digest) but its LINEAGE is a full corpus scan — and ``_logreg_fit``
-    consumes it once per GD iteration plus once more for scoring, each
-    consumption inside its own (broadcast-build) job. Un-checkpointed,
-    every one of those jobs re-ran the corpus scan (measured r12:
-    model_curate evaluated its gopher+md5 label lineage 3x — once per
-    iteration and once for the margin join, ~2 s of the 6.6 s entry).
-    The id partitioning mirrors _lr_feats': the per-iteration residual
-    join and the scoring join are then exchange-free on both sides."""
+    id. The frame is narrow (id + domain/digest) but its LINEAGE is a
+    full corpus scan, and downstream branches would otherwise re-run
+    that scan per consuming job. The id partitioning mirrors
+    _lr_feats': the scoring join-back is exchange-free on both sides.
+    (The training label itself no longer lives here — it rides the
+    feature frame as a group key; this survives for projections too
+    wide to multiply through the featurize exchange, e.g.
+    model_curate's md5 digest.)"""
     return checkpoint_partitioned(labels.repartition(F.col(id_col)))
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Spark's ``div`` (and DuckDB's ``//`` on these oracles): int64
+    division truncating toward zero — Python's ``//`` floors instead,
+    so negatives need the explicit form."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _w_lookup_expr(w: dict[int, int], dim: int) -> str:
+    """O(1) literal weight lookup for a feats row: the <= dim+1 weight
+    map inlined as a literal ARRAY indexed by ``bucket + 2`` (bucket is
+    -1..dim-1 by _dsir_bucket_spark construction), so the margin
+    projection is pure codegen'd arithmetic — no broadcast join, no
+    interpreted map scan. An empty map (iteration 0) is the constant
+    0 margin."""
+    if not w:
+        return "0L"
+    vals = ", ".join(f"{w.get(b, 0)}L" for b in range(-1, dim))
+    return f"element_at(array({vals}), cast(bucket + 2 as int))"
+
+
+def _grad_round_frame(feats: DataFrame, w: dict[int, int], dim: int,
+                      id_col: str) -> DataFrame:
+    """ONE GD round as ONE single-exchange frame over the checkpointed
+    ``(id, y, bucket, xq)`` feature rows: the per-doc margin is a window
+    sum over the id partition (co-partitioned with the checkpoint's
+    hash(id) layout — no exchange, one in-task sort), the residual is
+    computed inline per row (constant within a doc), and the gradient
+    is the map-side-combined groupBy(bucket) — the only exchange, and
+    it carries <= dim+1 keys. ``c`` on the bias bucket -1 doubles as
+    the featurized-doc count N (exactly one bias row per doc)."""
+    from pyspark.sql import Window
+
+    D = LR_S * LR_Q
+    win = Window.partitionBy(id_col)
+    return (
+        feats
+        .withColumn("_m", F.sum(
+            F.expr(f"({_w_lookup_expr(w, dim)}) * xq")).over(win)
+            .cast("long"))
+        .select(
+            "bucket",
+            F.expr(
+                f"((((2 * y - 1) * ({D} + abs(_m)) - _m) * {LR_R})"
+                f" div (2 * ({D} + abs(_m)))) * xq"
+            ).cast("long").alias("_gx"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("_gx").cast("long").alias("g"),
+             F.count("*").cast("long").alias("c"))
+    )
+
+
+def _fit_weights(feats: DataFrame, iters: int, dim: int,
+                 id_col: str) -> dict[int, int]:
+    """Full-batch GD over a checkpointed ``(id, y, bucket, xq)`` frame
+    with the weight STATE on the driver — the bounded-collect
+    convention (doremi_weights' driver loop, score_documents' weight
+    map): each iteration is exactly ONE Spark job (see
+    :func:`_grad_round_frame`) whose <= dim+1 gradient rows are
+    collected, and the integer weight update runs in exact Python
+    arithmetic (`_tdiv` = Spark's truncating ``div``), bit-identical
+    to the unrolled SQL oracle.
+
+    This replaces the frame-resident loop (broadcast weights + margins
+    agg + residual join + gradient join + weight-update join +
+    checkpoint per iteration — ~8 AQE stage-jobs each): same integers,
+    iters jobs total, no broadcast builds, no weight-frame lineage."""
+    w: dict[int, int] = {}
+    n: int | None = None
+    for _ in range(max(iters, 0)):
+        rows = _grad_round_frame(feats, w, dim, id_col).collect()
+        if not rows:
+            break  # empty corpus: no buckets, weights stay empty
+        if n is None:
+            n = sum(int(r.c) for r in rows if r.bucket == -1)
+            w = {int(r.bucket): 0 for r in rows}
+        if n == 0:
+            break
+        g = {int(r.bucket): int(r.g) for r in rows}
+        den = n * LR_R * LR_Q
+        w = {b: wb + _tdiv(LR_ETA * LR_S * g.get(b, 0), den)
+             for b, wb in w.items()}
+    if n is None and iters <= 0:
+        # iters = 0 still reports the zero-initialized dictionary
+        w = {int(r.bucket): 0
+             for r in feats.select("bucket").distinct().collect()}
+    return w
+
+
+def _weights_frame(spark, w: dict[int, int]) -> DataFrame:
+    """``(bucket, weight)`` frame off a driver weight map — <= dim+1
+    rows, ordered by bucket (logreg_train's declared output shape)."""
+    rows = [(int(b), int(v)) for b, v in sorted(w.items())]
+    return spark.createDataFrame(rows, "bucket long, weight long")
 
 
 def logreg_train(docs: DataFrame, label_expr: str = "lang = 'en'",
                  dim: int = 64, iters: int = 2, text_col: str = "text",
-                 id_col: str = "doc_id", *,
-                 checkpoint: bool = True) -> DataFrame:
+                 id_col: str = "doc_id") -> DataFrame:
     """Binary logistic-regression training ON Spark: full-batch gradient
     descent over hashed token-frequency features, entirely in quantized
     integer arithmetic (module docstring), so the learned weights
@@ -463,76 +572,19 @@ def logreg_train(docs: DataFrame, label_expr: str = "lang = 'en'",
     truncating div on negatives agrees between engines: both round
     toward zero.)
 
-    Scale: the weight frame is <= dim+1 rows — broadcasts into the
-    margin join each iteration; each iteration is 2 broadcast joins +
-    2 map-side-combined aggs over the feature frame, which is
-    featurized ONCE and localCheckpointed. Iteration state follows
-    graph.pagerank's integer-loop pattern (O(1) lineage via
-    localCheckpoint; driver-sequenced fixed small ``iters`` is the
-    declared regime — this is a FILTER model, not a foundation model)."""
-    feats = checkpoint_partitioned(
-        _lr_feats(docs, dim, text_col, id_col))  # one featurize feeds every iteration twice
-    labels = _labels_checkpoint(docs.select(
-        F.col(id_col),
-        F.expr(f"if({label_expr}, 1L, 0L)").alias("y")), id_col)
-    return _logreg_fit(feats, labels, iters, id_col,
-                       checkpoint=checkpoint)
-
-
-def _logreg_fit(feats: DataFrame, labels: DataFrame, iters: int,
-                id_col: str, *, checkpoint: bool = True) -> DataFrame:
-    """GD loop over a prebuilt (and ideally checkpointed) feature frame —
-    shared by :func:`logreg_train` and :func:`logreg_auc` so evaluation
-    never featurizes the corpus a second time."""
-    dict_df = feats.select("bucket").distinct()
-    # every featurized doc carries exactly one bias row (bucket -1, by
-    # _lr_feats construction), so N is a plain filtered count — no
-    # distinct-over-ids pass over the feature frame
-    nrow = F.broadcast(
-        feats.filter(F.col("bucket") == -1).agg(
-            F.count("*").cast("long").alias("_n")))
-    weights = dict_df.select(
-        "bucket", F.lit(0).cast("long").alias("w"))
-    D = LR_S * LR_Q
-    for _ in range(iters):
-        margins = (
-            feats.join(F.broadcast(weights), "bucket")
-            .groupBy(id_col)
-            .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
-        )
-        resid = (
-            margins.join(labels, id_col)
-            .select(
-                F.col(id_col),
-                F.expr(
-                    f"(((2 * y - 1) * ({D} + abs(m)) - m) * {LR_R})"
-                    f" div (2 * ({D} + abs(m)))"
-                ).cast("long").alias("rq"),
-            )
-        )
-        grad = (
-            feats.join(resid, id_col)
-            .groupBy("bucket")
-            .agg(F.sum(F.expr("rq * xq")).cast("long").alias("g"))
-        )
-        weights = (
-            weights.join(grad, "bucket", "left")
-            .crossJoin(nrow)
-            .select(
-                "bucket",
-                F.expr(
-                    f"w + ({LR_ETA} * {LR_S} * coalesce(g, 0L))"
-                    f" div (_n * {LR_R} * {LR_Q})"
-                ).cast("long").alias("w"),
-            )
-        )
-        if checkpoint:
-            # O(1) lineage across iterations (pagerank's stance);
-            # checkpoint=False keeps the nested plan visible for
-            # inspection/tests only
-            weights = weights.localCheckpoint(eager=False)
-    return weights.select(
-        "bucket", F.col("w").alias("weight")).orderBy("bucket")
+    Scale: each iteration is ONE Spark job — a single-exchange gradient
+    pass over the feature frame (featurized once, label riding it, both
+    checkpointed) with the <= dim+1 weights inlined as a literal array
+    and updated on the driver in exact integer arithmetic (the
+    doremi_weights / score_documents bounded-collect convention; see
+    :func:`_fit_weights`). Driver-sequenced fixed small ``iters`` is
+    the declared regime — this is a FILTER model, not a foundation
+    model."""
+    feats = checkpoint_partitioned(_lr_feats(
+        docs, dim, text_col, id_col,
+        labels={"y": f"if({label_expr}, 1L, 0L)"}))
+    return _weights_frame(
+        docs.sparkSession, _fit_weights(feats, iters, dim, id_col))
 
 
 def _lr_duck_ctes(label_expr: str, dim: int, iters: int,
@@ -613,27 +665,31 @@ def logreg_auc(docs: DataFrame, label_expr: str = "lang = 'en'",
     two-level distributed scan (see :func:`_auc_from_margins`) — no
     single-partition stage exists in the plan even when int64 margins
     are near-unique and the histogram is corpus-sized."""
-    feats = checkpoint_partitioned(
-        _lr_feats(docs, dim, text_col, id_col))  # ONE featurize feeds training and scoring
-    labels = _labels_checkpoint(docs.select(
-        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y")),
-        id_col)
-    weights = _logreg_fit(feats, labels, iters, id_col)
-    return _auc_from_margins(_margins(feats, weights, labels, id_col))
+    feats = checkpoint_partitioned(_lr_feats(
+        docs, dim, text_col, id_col,
+        labels={"y": f"if({label_expr}, 1L, 0L)"}))
+    w = _fit_weights(feats, iters, dim, id_col)
+    return _auc_from_margins(
+        _margins(feats, w, dim, id_col, extras=("y",)))
 
 
-def _margins(feats: DataFrame, weights: DataFrame, labels: DataFrame,
-             id_col: str) -> DataFrame:
-    """Per-doc integer margin joined with the label frame — the ONE
-    place the broadcast-weights scoring join lives (resubstitution,
-    holdout, sliced and calibration evaluation all compose it; the
-    labels frame may carry extra columns such as the slice)."""
+def _margins(feats: DataFrame, w: dict[int, int], dim: int,
+             id_col: str, extras: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc integer margin — the ONE place the trained-weights
+    scoring aggregation lives (resubstitution, holdout, sliced and
+    calibration evaluation all compose it). The weight map is inlined
+    as the same literal-array lookup the GD rounds use
+    (:func:`_w_lookup_expr`), so scoring is one map-side-combined
+    groupBy over the checkpointed feature rows — no broadcast join, no
+    label-frame join; ``extras`` names label columns riding the feats
+    frame (constant per doc, carried via ``first``). Output stays
+    hash-partitioned on the doc id for downstream co-partitioned
+    joins."""
     return (
-        feats.join(F.broadcast(
-            weights.select("bucket", F.col("weight").alias("w"))), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.expr("w * xq")).cast("long").alias("m"))
-        .join(labels, id_col)
+        feats.groupBy(id_col)
+        .agg(*[F.first(c).alias(c) for c in extras],
+             F.sum(F.expr(f"({_w_lookup_expr(w, dim)}) * xq"))
+             .cast("long").alias("m"))
     )
 
 
@@ -708,20 +764,17 @@ def logreg_holdout_auc(docs: DataFrame, train_where: str,
     ``train_where`` for the reproducible-split form (declared query).
 
     Scale: two featurizations (train + holdout, each one explode + one
-    map-side agg), model state broadcast — same shape as
+    map-side agg), model state a literal-array lookup — same shape as
     :func:`logreg_auc`, one extra corpus pass for the second frame."""
+    y = {"y": f"if({label_expr}, 1L, 0L)"}
     train = docs.filter(train_where)
     held = docs.filter(f"NOT ({train_where})")
     feats_tr = checkpoint_partitioned(
-        _lr_feats(train, dim, text_col, id_col))
-    labels_tr = _labels_checkpoint(train.select(
-        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y")),
-        id_col)
-    weights = _logreg_fit(feats_tr, labels_tr, iters, id_col)
-    feats_ev = _lr_feats(held, dim, text_col, id_col)
-    labels_ev = held.select(
-        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y"))
-    return _auc_from_margins(_margins(feats_ev, weights, labels_ev, id_col))
+        _lr_feats(train, dim, text_col, id_col, labels=y))
+    w = _fit_weights(feats_tr, iters, dim, id_col)
+    feats_ev = _lr_feats(held, dim, text_col, id_col, labels=y)
+    return _auc_from_margins(
+        _margins(feats_ev, w, dim, id_col, extras=("y",)))
 
 
 def _mf_duck_cte(weights_cte: str, id_col: str, x_cte: str = "x") -> str:
@@ -1050,14 +1103,16 @@ def model_curate_corpus(docs: DataFrame, label_expr: str = "lang = 'en'",
     Returns the surviving ``(id, domain, margin)`` rows ordered by id.
 
     Scale, stage by stage: gopher is a zero-shuffle projection fused
-    into both downstream corpus reads (featurize + label/digest — two
-    text scans total, the holdout-AUC shape); training broadcasts
-    weights per iteration over the id-partitioned checkpointed feature
-    frame; the gate threshold is :func:`margin_threshold_frame` (exact,
-    histogram-parallel, broadcast); the mix thresholds are a <=
-    |domains|-row broadcast; dedup shuffles only (digest, id) pairs.
-    No stage triggers a driver collect bigger than the two-level scan's
-    <= shards offsets."""
+    into both downstream corpus reads (featurize + domain/digest — two
+    text scans total, the holdout-AUC shape); training is one
+    single-exchange job per iteration over the id-partitioned
+    checkpointed feature frame with the <= dim+1 weights driver-held
+    (:func:`_fit_weights`); the gate threshold is
+    :func:`margin_threshold_frame` (exact, histogram-parallel,
+    broadcast); the mix thresholds are a <= |domains|-row broadcast;
+    dedup shuffles only (digest, id) pairs. No driver collect here is
+    ever bigger than the weight map / the two-level scan's <= shards
+    offsets."""
     from cassandra_ttl_remover_spark.operators.curate import (
         _MIX_BUCKETS,
         temperature_mix_thresholds,
@@ -1077,24 +1132,41 @@ def model_curate_corpus(docs: DataFrame, label_expr: str = "lang = 'en'",
         .filter("passes_gopher")
         .localCheckpoint(eager=False)
     )
-    feats = checkpoint_partitioned(_lr_feats(kept, dim, text_col, id_col))
+    feats = checkpoint_partitioned(_lr_feats(
+        kept, dim, text_col, id_col,
+        labels={"y": f"if({label_expr}, 1L, 0L)"}))
+    # the domain/digest projection stays its own narrow label frame
+    # (joined back on the id, co-partitioned with the margins agg): the
+    # 32-char digest would otherwise ride EVERY feats row through the
+    # featurize exchange (~dim rows per doc)
     labels = _labels_checkpoint(kept.select(
         F.col(id_col),
-        F.expr(f"if({label_expr}, 1L, 0L)").alias("y"),
         F.col(domain_col).alias("_dom0"),
         F.md5(F.col(text_col)).alias("_dg"),
     ), id_col)
-    weights = _logreg_fit(feats, labels.select(id_col, "y"), iters, id_col)
+    w = _fit_weights(feats, iters, dim, id_col)
     # the scored frame feeds FOUR consumers (the threshold histogram,
     # the mix-threshold counts, the mix filter, and — through mix — the
     # dedup representatives): checkpoint it once so the final job does
     # not re-evaluate the whole training+margins chain per branch
-    scored = _margins(feats, weights, labels, id_col).localCheckpoint(
-        eager=False)
-    thr = F.broadcast(margin_threshold_frame(scored, keep_frac, "m"))
+    scored = (
+        _margins(feats, w, dim, id_col)
+        .join(labels, id_col)
+        .localCheckpoint(eager=False)
+    )
+    # Both threshold frames are tiny (1 row / <= |domains| rows) but their
+    # PLANS are corpus-scale (margin histogram + two-level scan; domain
+    # counts over the gate). Each downstream job that broadcast-builds
+    # them would re-run those plans from the scored blocks (measured r12:
+    # the thr histogram re-executed per consumer, ~0.7 s each at sf0.1) —
+    # an eager localCheckpoint runs each exactly once and every consumer
+    # reads the materialized rows.
+    thr = F.broadcast(
+        margin_threshold_frame(scored, keep_frac, "m").localCheckpoint())
     gate = scored.join(thr, F.col("m") >= F.col("thr")).drop("thr")
     mthr = F.broadcast(
-        temperature_mix_thresholds(gate, temperature, domain_col="_dom0"))
+        temperature_mix_thresholds(gate, temperature, domain_col="_dom0")
+        .localCheckpoint())
     mix = (
         gate.join(mthr, gate["_dom0"] == mthr["_dom"])
         .filter(F.pmod(F.hash(F.col(id_col)), F.lit(_MIX_BUCKETS))
@@ -1198,14 +1270,13 @@ def logreg_sliced_auc(docs: DataFrame, slice_col: str = "source",
     the rank window is PARTITIONED BY the slice — per-slice histograms
     rank in parallel, so unlike the global AUC there is not even a
     bounded single-partition stage."""
-    feats = checkpoint_partitioned(
-        _lr_feats(docs, dim, text_col, id_col))
-    labels = _labels_checkpoint(docs.select(
-        F.col(id_col), F.col(slice_col).alias("slice"),
-        F.expr(f"if({label_expr}, 1L, 0L)").alias("y")), id_col)
-    weights = _logreg_fit(feats, labels.select(id_col, "y"), iters, id_col)
+    feats = checkpoint_partitioned(_lr_feats(
+        docs, dim, text_col, id_col,
+        labels={"y": f"if({label_expr}, 1L, 0L)", "slice": slice_col}))
+    w = _fit_weights(feats, iters, dim, id_col)
     return _auc_from_margins(
-        _margins(feats, weights, labels, id_col), group_col="slice")
+        _margins(feats, w, dim, id_col, extras=("y", "slice")),
+        group_col="slice")
 
 
 def logreg_sliced_auc_oracle_sql(slice_col: str = "source",
@@ -1254,17 +1325,15 @@ def logreg_calibration(docs: DataFrame, n_bins: int = 10,
     each bin actually sits. Brier term = ``(pq - y*2**20)^2``
     (int64: <= 2**40 per doc).
 
-    Scale: margins are the usual broadcast-weights join + doc-id agg;
-    the pq extrema are a 1-row broadcast aggregate; the report is one
+    Scale: margins are the usual literal-weights doc-id agg; the pq
+    extrema are a 1-row broadcast aggregate; the report is one
     map-side-combined groupBy over <= n_bins keys."""
-    feats = checkpoint_partitioned(
-        _lr_feats(docs, dim, text_col, id_col))
-    labels = _labels_checkpoint(docs.select(
-        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y")),
-        id_col)
-    weights = _logreg_fit(feats, labels, iters, id_col)
+    feats = checkpoint_partitioned(_lr_feats(
+        docs, dim, text_col, id_col,
+        labels={"y": f"if({label_expr}, 1L, 0L)"}))
+    w = _fit_weights(feats, iters, dim, id_col)
     D = LR_S * LR_Q
-    scored = _margins(feats, weights, labels, id_col).select(
+    scored = _margins(feats, w, dim, id_col, extras=("y",)).select(
         "y",
         F.expr(
             f"cast(floor((cast(({D} + abs(m) + m) as double)"
@@ -1346,7 +1415,7 @@ def quality_signals(docs: DataFrame, label_expr: str = "lang = 'en'",
 
     Scale: three independent signal pipelines over the same scan —
     each with its own documented shape (zero-shuffle projection;
-    broadcast-weights margins over the id-partitioned checkpointed
+    literal-weights margins over the id-partitioned checkpointed
     feature frame; histogram-model join) — combined by two doc-id
     joins of narrow integer frames. Nothing here is new machinery;
     the value is the composition."""
@@ -1356,12 +1425,11 @@ def quality_signals(docs: DataFrame, label_expr: str = "lang = 'en'",
     rules = gopher_rules(docs, text_col, id_col, min_words,
                          min_stop_hits=min_stop_hits).select(
         F.col(id_col), F.col("passes_gopher"))
-    feats = checkpoint_partitioned(_lr_feats(docs, dim, text_col, id_col))
-    labels = _labels_checkpoint(docs.select(
-        F.col(id_col), F.expr(f"if({label_expr}, 1L, 0L)").alias("y")),
-        id_col)
-    weights = _logreg_fit(feats, labels, iters, id_col)
-    margins = _margins(feats, weights, labels, id_col).select(
+    feats = checkpoint_partitioned(_lr_feats(
+        docs, dim, text_col, id_col,
+        labels={"y": f"if({label_expr}, 1L, 0L)"}))
+    w = _fit_weights(feats, iters, dim, id_col)
+    margins = _margins(feats, w, dim, id_col).select(
         F.col(id_col), F.col("m").alias("margin"))
     ppl = lm_perplexity(docs, lm_train_where, text_col, id_col).select(
         F.col(id_col), F.col("ppl_permille"))

@@ -166,21 +166,35 @@ def test_logreg_weight_update_matches_hand_computation(spark):
     assert set(w2.values()) == {-(C.LR_ETA * C.LR_S // 2)}
 
 
-def test_logreg_iteration_keeps_weights_broadcast_and_plan_flat(spark,
-                                                                documents):
-    # checkpoint=False exposes the nested iteration plan for inspection
-    df = C.logreg_train(documents, dim=64, iters=2, checkpoint=False)
-    assert has_broadcast_join(df), "the <=dim+1-row weight frame must broadcast"
-    # with checkpointing on (the default), the final plan must be CUT at
-    # the last iteration boundary instead of nesting every round
-    plan = formatted_plan(C.logreg_train(documents, dim=64, iters=2))
-    assert plan.count("Scan ExistingRDD") >= 1, (
-        "expected a localCheckpoint boundary in the final iteration plan"
-    )
-    nested = formatted_plan(df)
-    assert len(plan) < len(nested), (
-        "checkpointed plan should be strictly smaller than the nested one"
-    )
+def test_logreg_gd_round_is_one_exchange_and_id_partitioned(spark,
+                                                            documents):
+    # r12: the GD round is ONE single-exchange job — the margin window
+    # runs over the id partition of the checkpointed feature frame (no
+    # exchange, no broadcast build) and the only Exchange in the plan is
+    # the <= dim+1-key gradient groupBy. The weight state lives on the
+    # driver (the doremi_weights bounded-collect precedent), so there is
+    # no weights frame, no per-iteration join, and no checkpoint chain.
+    from cassandra_ttl_remover_spark.plans import checkpoint_partitioned
+
+    feats = checkpoint_partitioned(C._lr_feats(
+        documents, 64, "text", "doc_id", labels={"y": "if(lang = 'en', 1L, 0L)"}))
+    feats.count()  # materialize so the round plan sees the LogicalRDD
+    rnd = C._grad_round_frame(feats, {-1: 3, 0: -5}, 64, "doc_id")
+    plan = formatted_plan(rnd)
+    assert exchange_count(rnd) <= 1, plan
+    # the margin window must be partitioned on the doc id (never empty)
+    assert "windowspecdefinition(doc_id" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_logreg_driver_update_matches_spark_div_semantics():
+    # _tdiv must reproduce Spark's `div` (truncation toward zero) —
+    # Python's // floors, which differs on every mixed-sign gradient
+    for a in (-7, -6, -1, 0, 1, 6, 7):
+        for b in (-3, -2, 2, 3):
+            want = abs(a) // abs(b)
+            want = want if (a >= 0) == (b >= 0) else -want
+            assert C._tdiv(a, b) == want, (a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -286,14 +300,20 @@ def test_auc_window_runs_over_histogram_not_corpus(spark, documents):
 
 
 def test_logreg_feats_partitioning_survives_checkpoint(spark, documents):
-    # the GD loop's margin agg and residual join both key on the doc id;
-    # _lr_feats pre-partitions on id and checkpoint_partitioned keeps
-    # that partitioning VISIBLE through the checkpoint, so each
-    # iteration reuses it instead of re-exchanging the feature frame —
-    # plan-pinned: 2 iterations went 17 -> 11 exchanges with the fix
-    assert exchange_count(
-        C.logreg_train(documents, dim=64, iters=2, checkpoint=False)
-    ) <= 11
+    # the GD round's margin window keys on the doc id; _lr_feats
+    # pre-partitions on id and checkpoint_partitioned keeps that
+    # partitioning VISIBLE through the checkpoint, so every round (and
+    # the scoring agg) reuses it instead of re-exchanging the feature
+    # frame — plan-pinned: the scoring aggregation over the checkpoint
+    # adds ZERO exchanges
+    from cassandra_ttl_remover_spark.plans import checkpoint_partitioned
+
+    feats = checkpoint_partitioned(C._lr_feats(
+        documents, 64, "text", "doc_id",
+        labels={"y": "if(lang = 'en', 1L, 0L)"}))
+    feats.count()
+    scored = C._margins(feats, {-1: 3, 5: -2}, 64, "doc_id", extras=("y",))
+    assert exchange_count(scored) == 0, formatted_plan(scored)
 
 
 # ---------------------------------------------------------------------------

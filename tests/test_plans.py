@@ -697,9 +697,11 @@ PARTITIONED_WINDOW_SITES = {
                              "windows (partitioned on _pid [+ group]: "
                              "shard-sized by construction) + a "
                              "docstring mention"),
-    "operators/classify.py": (2, "per-id feature windows and per-key "
-                                 "margin ranks — key is doc_id-grade "
-                                 "(high cardinality)"),
+    "operators/classify.py": (3, "per-id feature windows, per-key "
+                                 "margin ranks, and the GD round's "
+                                 "per-doc margin window "
+                                 "(_grad_round_frame) — every key is "
+                                 "doc_id-grade (high cardinality)"),
     "operators/sessions.py": (6, "per-user/session-key event order — "
                                  "|users| reducers, the sessionize "
                                  "contract documents the per-key "
