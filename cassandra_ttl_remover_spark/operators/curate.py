@@ -1525,7 +1525,7 @@ def _dsir_bucket_duck(s: str, buckets: int) -> str:
 
 
 def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
-                   buckets: int) -> DataFrame:
+                   buckets: int, keep_empty: bool = False) -> DataFrame:
     """``(id, bucket)`` — one row per unigram+bigram occurrence, hashed
     into ``buckets``. A pure projection + explode: the 8-byte bucket ints
     shuffle, the text never does. The word array is HOISTED into its own
@@ -1535,7 +1535,9 @@ def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
     before the projection and exploded in the OUTER form (filter on the
     generated column) so neither a parallelism floor of 1 nor an
     inferred size()>0 filter pushed below the exchange serializes the
-    md5 chain onto the scan task — the _lm_bigrams discipline."""
+    md5 chain onto the scan task — the _lm_bigrams discipline.
+    ``keep_empty=True`` keeps the outer-explode placeholder row (bucket
+    NULL) for featureless docs — the _lm_bigrams scorer contract."""
     ws = f"filter(split({text_col}, ' '), w -> w <> '')"
     bigrams = (
         "CASE WHEN size(_ws) >= 2 THEN "
@@ -1543,7 +1545,7 @@ def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
         "i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1))) "
         "ELSE array() END"
     )
-    return (
+    exploded = (
         fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
         .select(F.col(id_col), F.expr(ws).alias("_ws"))
         .select(
@@ -1553,8 +1555,10 @@ def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
                        f"s -> {_dsir_bucket_spark('s', buckets)})")
             ).alias("bucket"),
         )
-        .filter(F.col("bucket").isNotNull())
     )
+    if keep_empty:
+        return exploded
+    return exploded.filter(F.col("bucket").isNotNull())
 
 
 def dsir_importance(raw: DataFrame, target: DataFrame,
@@ -1586,10 +1590,16 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
     scalar off the <= ``buckets``-row dictionary (bounded-collect
     convention). At 100 TB the explode dominates and is embarrassingly
     parallel; skew is impossible because the reduce key is the doc id."""
-    rf = _dsir_features(raw, text_col, id_col, buckets)
+    # the raw featurize keeps the placeholder row (bucket NULL) for
+    # featureless docs so the scoring doc-id reduce emits one row per
+    # raw doc itself — no stitch-back join (the r12 lm_score stance);
+    # the histogram branch filters the placeholders back out so the
+    # bucket dictionary is unchanged
+    rf = _dsir_features(raw, text_col, id_col, buckets, keep_empty=True)
     tf = _dsir_features(target, text_col, id_col, buckets)
     t_hist = tf.groupBy("bucket").agg(F.count("*").alias("t_n"))
-    r_hist = rf.groupBy("bucket").agg(F.count("*").alias("r_n"))
+    r_hist = rf.filter(F.col("bucket").isNotNull()) \
+        .groupBy("bucket").agg(F.count("*").alias("r_n"))
     dim = (
         t_hist.join(r_hist, "bucket", "full")
         .select(
@@ -1607,24 +1617,23 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
     ).collect()
     t_total = int(tot.t_occ or 0) + buckets - int(tot.n_occ)
     r_total = int(tot.r_occ or 0) + buckets - int(tot.n_occ)
-    per = (
+    return (
         rf.join(F.broadcast(dim), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_features"),
-            F.sum("t_sm").cast("long").alias("target_mass"),
-            F.sum("r_sm").cast("long").alias("raw_mass"),
+            F.count("bucket").cast("long").alias("n_features"),
+            F.coalesce(F.sum("t_sm"), F.lit(0)).cast("long")
+            .alias("target_mass"),
+            F.coalesce(F.sum("r_sm"), F.lit(0)).cast("long")
+            .alias("raw_mass"),
         )
-    )
-    return (
-        raw.select(id_col).join(per, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_features", F.lit(0)).alias("n_features"),
-            F.coalesce("target_mass", F.lit(0)).alias("target_mass"),
-            F.coalesce("raw_mass", F.lit(0)).alias("raw_mass"),
+            "n_features",
+            "target_mass",
+            "raw_mass",
             F.expr(
-                "CASE WHEN coalesce(raw_mass, 0) > 0 THEN CAST("
+                "CASE WHEN raw_mass > 0 THEN CAST("
                 f"(CAST(target_mass AS DECIMAL(38,0)) * {r_total} * 1000) "
                 f"div (CAST(raw_mass AS DECIMAL(38,0)) * {t_total}) "
                 "AS BIGINT) ELSE CAST(0 AS BIGINT) END"
@@ -1692,7 +1701,7 @@ ORDER BY d.{id_col}
 # ---------------------------------------------------------------------------
 
 def _lm_bigrams(docs: DataFrame, text_col: str, id_col: str,
-                buckets: int) -> DataFrame:
+                buckets: int, keep_empty: bool = False) -> DataFrame:
     """``(id, u, v)`` — one row per consecutive-token bigram, each token
     hashed into ``buckets`` independently (``u`` the context bucket,
     ``v`` the next-token bucket). The word array is hoisted, then hashed
@@ -1714,9 +1723,17 @@ def _lm_bigrams(docs: DataFrame, text_col: str, id_col: str,
     size()>0 filter that Catalyst pushes below the fan-out exchange,
     re-evaluating the whole md5 chain single-task on the scan side (the
     line_dedup r12 finding); a filter on the GENERATED column cannot
-    sink past the Generate."""
+    sink past the Generate.
+
+    ``keep_empty=True`` keeps the outer-explode's placeholder row (u/v
+    NULL) for documents with < 2 tokens, so a downstream groupBy(id)
+    emits one row per INPUT doc directly — the scorers consume this
+    form to skip the corpus-sized stitch-back join they otherwise need
+    to re-attach unscorable docs (r12: removed one Exchange+Sort+SMJ
+    per scoring entry). Model training keeps the default (bigram rows
+    only)."""
     ws = f"filter(split({text_col}, ' '), w -> w <> '')"
-    return (
+    exploded = (
         fan_out(docs.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.expr(ws).alias("_ws"))
         .select(
@@ -1734,10 +1751,11 @@ def _lm_bigrams(docs: DataFrame, text_col: str, id_col: str,
                 "ELSE array() END").alias("_bga"),
         )
         .select(F.col(id_col), F.explode_outer("_bga").alias("_bg"))
-        .filter(F.col("_bg").isNotNull())
-        .select(F.col(id_col), F.col("_bg.u").alias("u"),
-                F.col("_bg.v").alias("v"))
     )
+    if not keep_empty:
+        exploded = exploded.filter(F.col("_bg").isNotNull())
+    return exploded.select(F.col(id_col), F.col("_bg.u").alias("u"),
+                           F.col("_bg.v").alias("v"))
 
 
 def lm_perplexity(docs: DataFrame, train_where: str,
@@ -1810,33 +1828,35 @@ def lm_score(docs: DataFrame, model: DataFrame, *,
     """Score ``docs`` against a trained :func:`lm_model` — the serving
     half of :func:`lm_perplexity` (same output contract: one row per
     input doc, NULL ppl for the unscorable). Per-doc independent, so
-    scoring a micro-batch equals scoring the same rows in one batch."""
-    bg_all = _lm_bigrams(docs, text_col, id_col, buckets)
+    scoring a micro-batch equals scoring the same rows in one batch.
+
+    Plan shape (r12): the featurize keeps the outer-explode placeholder
+    row for < 2-token docs (``keep_empty``), so the doc-id reduce emits
+    one row per input doc by itself — no stitch-back join of the corpus
+    id frame (removed one Exchange+Sort+SortMergeJoin per scoring
+    entry; the null-keyed rows never match the left joins and score
+    NULL)."""
+    bg_all = _lm_bigrams(docs, text_col, id_col, buckets, keep_empty=True)
     ctx_hist = model.groupBy("u").agg(
         F.sum("c_uv").cast("long").alias("c_u"))
-    per = (
+    return (
         bg_all
         .join(model, ["u", "v"], "left")
         .join(F.broadcast(ctx_hist), ["u"], "left")
         .select(
             F.col(id_col),
+            F.col("u"),
             F.expr(
-                f"((coalesce(c_u, 0L) + {buckets}) * {scale})"
-                " div (coalesce(c_uv, 0L) + 1)"
+                "CASE WHEN u IS NULL THEN CAST(NULL AS BIGINT) ELSE"
+                f" ((coalesce(c_u, 0L) + {buckets}) * {scale})"
+                " div (coalesce(c_uv, 0L) + 1) END"
             ).alias("_invp"),
         )
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum("_invp").cast("long").alias("sum_invp"),
-        )
-    )
-    return (
-        docs.select(id_col).join(per, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce("sum_invp", F.lit(0)).cast("long").alias("sum_invp"),
+            F.count("u").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("_invp"), F.lit(0)).cast("long")
+            .alias("sum_invp"),
         )
         .withColumn(
             "ppl_permille",
@@ -2078,13 +2098,14 @@ GROUP BY d.{domain_col} ORDER BY domain""")
 # ---------------------------------------------------------------------------
 
 def _lm_trigrams(docs: DataFrame, text_col: str, id_col: str,
-                 buckets: int) -> DataFrame:
+                 buckets: int, keep_empty: bool = False) -> DataFrame:
     """``(id, u, v, w)`` — one row per consecutive-token trigram, each
     token hashed once (the _lm_bigrams construction, order-3 form —
-    including its fan-out floor and the CASE-guard + outer-explode
-    filter-pushdown discipline; see that docstring)."""
+    including its fan-out floor, the CASE-guard + outer-explode
+    filter-pushdown discipline, and the ``keep_empty`` placeholder-row
+    contract for scorers; see that docstring)."""
     ws = f"filter(split({text_col}, ' '), w -> w <> '')"
-    return (
+    exploded = (
         fan_out(docs.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.expr(ws).alias("_ws"))
         .select(
@@ -2103,10 +2124,12 @@ def _lm_trigrams(docs: DataFrame, text_col: str, id_col: str,
                 "ELSE array() END").alias("_tga"),
         )
         .select(F.col(id_col), F.explode_outer("_tga").alias("_tg"))
-        .filter(F.col("_tg").isNotNull())
-        .select(F.col(id_col), F.col("_tg.u").alias("u"),
-                F.col("_tg.v").alias("v"), F.col("_tg.w").alias("w"))
     )
+    if not keep_empty:
+        exploded = exploded.filter(F.col("_tg").isNotNull())
+    return exploded.select(F.col(id_col), F.col("_tg.u").alias("u"),
+                           F.col("_tg.v").alias("v"),
+                           F.col("_tg.w").alias("w"))
 
 
 def sbo_model(train_docs: DataFrame, text_col: str = "text",
@@ -2168,16 +2191,25 @@ def sbo_score(docs: DataFrame, model: DataFrame, *,
               text_col: str = "text", id_col: str = "doc_id",
               buckets: int = 4096, scale: int = 1000) -> DataFrame:
     """Serving half of :func:`sbo_perplexity` (per-doc independent —
-    streamable through the stream_lm_gate pattern)."""
-    tg = _lm_trigrams(docs, text_col, id_col, buckets)
+    streamable through the stream_lm_gate pattern).
+
+    Plan shape (r12, the lm_score stance): the featurize keeps the
+    placeholder row for < 3-token docs so the doc-id reduce emits one
+    row per input doc itself — no stitch-back join. The small backoff
+    marginals DERIVE from the larger ones (C1 = Σ_w A, D = Σ_v B2,
+    T = Σ C1) instead of each re-aggregating the full trigram
+    histogram: three of the five marginal aggregations now run over
+    the (much smaller) marginal frames — at scale the histogram is
+    corpus-bounded while A/B2 are type-bounded."""
+    tg = _lm_trigrams(docs, text_col, id_col, buckets, keep_empty=True)
     a_ctx = model.groupBy("u", "v").agg(
-        F.sum("c3").cast("long").alias("a_uv"))
+        F.sum("c3").cast("long").alias("a_uv")).localCheckpoint(eager=False)
     b2 = model.groupBy("v", "w").agg(
-        F.sum("c3").cast("long").alias("b_vw"))
-    c1 = model.groupBy("v").agg(F.sum("c3").cast("long").alias("c_v"))
-    d1 = model.groupBy("w").agg(F.sum("c3").cast("long").alias("d_w"))
-    tot = model.agg(F.sum("c3").cast("long").alias("t_all"))
-    per = (
+        F.sum("c3").cast("long").alias("b_vw")).localCheckpoint(eager=False)
+    c1 = a_ctx.groupBy("v").agg(F.sum("a_uv").cast("long").alias("c_v"))
+    d1 = b2.groupBy("w").agg(F.sum("b_vw").cast("long").alias("d_w"))
+    tot = c1.agg(F.sum("c_v").cast("long").alias("t_all"))
+    return (
         tg
         .join(model, ["u", "v", "w"], "left")
         .join(a_ctx, ["u", "v"], "left")
@@ -2187,11 +2219,13 @@ def sbo_score(docs: DataFrame, model: DataFrame, *,
         .crossJoin(F.broadcast(tot))
         .select(
             F.col(id_col),
+            F.col("u"),
             F.expr("if(coalesce(c3, 0L) > 0, 1L, 0L)").alias("_h3"),
             F.expr("if(coalesce(c3, 0L) = 0 and coalesce(b_vw, 0L) > 0,"
                    " 1L, 0L)").alias("_h2"),
             F.expr(
-                f"CASE WHEN coalesce(c3, 0L) > 0"
+                f"CASE WHEN u IS NULL THEN CAST(NULL AS BIGINT)"
+                f" WHEN coalesce(c3, 0L) > 0"
                 f" THEN ({scale} * a_uv) div c3"
                 f" WHEN coalesce(b_vw, 0L) > 0"
                 f" THEN (5 * {scale} * c_v) div (2 * b_vw)"
@@ -2201,21 +2235,11 @@ def sbo_score(docs: DataFrame, model: DataFrame, *,
         )
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_trigrams"),
+            F.count("u").cast("long").alias("n_trigrams"),
             F.sum("_h3").cast("long").alias("n_hits3"),
             F.sum("_h2").cast("long").alias("n_hits2"),
-            F.sum("_invp").cast("long").alias("sum_invp"),
-        )
-    )
-    return (
-        docs.select(id_col).join(per, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_trigrams", F.lit(0)).cast("long")
-            .alias("n_trigrams"),
-            F.coalesce("n_hits3", F.lit(0)).cast("long").alias("n_hits3"),
-            F.coalesce("n_hits2", F.lit(0)).cast("long").alias("n_hits2"),
-            F.coalesce("sum_invp", F.lit(0)).cast("long").alias("sum_invp"),
+            F.coalesce(F.sum("_invp"), F.lit(0)).cast("long")
+            .alias("sum_invp"),
         )
         .withColumn(
             "sbo_permille",
@@ -2848,8 +2872,10 @@ def kn_score(docs: DataFrame, model: DataFrame, *,
     """Score ``docs`` against a trained :func:`lm_model` histogram with
     interpolated Kneser-Ney — the serving half of
     :func:`kn_perplexity` (lm_score's contract: one row per input doc,
-    per-doc independent, NULL for the unscorable)."""
-    bg_all = _lm_bigrams(docs, text_col, id_col, buckets)
+    per-doc independent, NULL for the unscorable; r12 plan shape: the
+    keep_empty placeholder row replaces the stitch-back join, see
+    lm_score)."""
+    bg_all = _lm_bigrams(docs, text_col, id_col, buckets, keep_empty=True)
     ctx = model.groupBy("u").agg(
         F.sum("c_uv").cast("long").alias("c_u"),
         F.count("*").cast("long").alias("n1f"),
@@ -2857,34 +2883,27 @@ def kn_score(docs: DataFrame, model: DataFrame, *,
     bwd = model.groupBy("v").agg(F.count("*").cast("long").alias("n1b"))
     tt = model.agg(F.count("*").cast("long").alias("t_types"))
     inv = (
-        "least("
+        "CASE WHEN u IS NULL THEN CAST(NULL AS BIGINT) ELSE least("
         " CASE WHEN c_u IS NOT NULL THEN"
         f"  (4L * c_u * t_types * {scale}) div greatest("
         "    t_types * greatest(4L * coalesce(c_uv, 0L) - 3L, 0L)"
         "    + 3L * n1f * coalesce(n1b, 0L), 1L)"
         f" ELSE (t_types * {scale}) div greatest(coalesce(n1b, 0L), 1L)"
         " END,"
-        f" 4L * (t_types + {buckets}) * {scale})"
+        f" 4L * (t_types + {buckets}) * {scale}) END"
     )
-    per = (
+    return (
         bg_all
         .join(model, ["u", "v"], "left")
         .join(F.broadcast(ctx), ["u"], "left")
         .join(F.broadcast(bwd), ["v"], "left")
         .join(F.broadcast(tt))
-        .select(F.col(id_col), F.expr(inv).alias("_invp"))
+        .select(F.col(id_col), F.col("u"), F.expr(inv).alias("_invp"))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum("_invp").cast("long").alias("sum_invp"),
-        )
-    )
-    return (
-        docs.select(id_col).join(per, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce("sum_invp", F.lit(0)).cast("long").alias("sum_invp"),
+            F.count("u").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("_invp"), F.lit(0)).cast("long")
+            .alias("sum_invp"),
         )
         .withColumn(
             "kn_permille",
@@ -3020,8 +3039,10 @@ def mkn_score(docs: DataFrame, model: DataFrame, *,
               buckets: int = 4096, scale: int = 1000) -> DataFrame:
     """Score ``docs`` against a trained :func:`lm_model` histogram with
     modified Kneser-Ney — the serving half of :func:`mkn_perplexity`
-    (lm_score's contract: one row per input doc, NULL when unscorable)."""
-    bg_all = _lm_bigrams(docs, text_col, id_col, buckets)
+    (lm_score's contract: one row per input doc, NULL when unscorable;
+    r12 plan shape: the keep_empty placeholder row replaces the
+    stitch-back join, see lm_score)."""
+    bg_all = _lm_bigrams(docs, text_col, id_col, buckets, keep_empty=True)
     ctx = model.groupBy("u").agg(
         F.sum("c_uv").cast("long").alias("c_u"),
         F.sum(F.when(F.col("c_uv") == 1, 1).otherwise(0))
@@ -3051,7 +3072,7 @@ def mkn_score(docs: DataFrame, model: DataFrame, *,
         )
     )
     inv = (
-        "least("
+        "CASE WHEN u IS NULL THEN CAST(NULL AS BIGINT) ELSE least("
         " CASE WHEN c_u IS NOT NULL THEN"
         f"  (1024L * c_u * t_types * {scale}) div greatest("
         "    t_types * greatest(1024L * coalesce(c_uv, 0L)"
@@ -3061,27 +3082,20 @@ def mkn_score(docs: DataFrame, model: DataFrame, *,
         "    + (d1 * n1u + d2 * n2u + d3 * n3u) * coalesce(n1b, 0L), 1L)"
         f" ELSE (t_types * {scale}) div greatest(coalesce(n1b, 0L), 1L)"
         " END,"
-        f" 1024L * (t_types + {buckets}) * {scale})"
+        f" 1024L * (t_types + {buckets}) * {scale}) END"
     )
-    per = (
+    return (
         bg_all
         .join(model, ["u", "v"], "left")
         .join(F.broadcast(ctx), ["u"], "left")
         .join(F.broadcast(bwd), ["v"], "left")
         .join(F.broadcast(disc))
-        .select(F.col(id_col), F.expr(inv).alias("_invp"))
+        .select(F.col(id_col), F.col("u"), F.expr(inv).alias("_invp"))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum("_invp").cast("long").alias("sum_invp"),
-        )
-    )
-    return (
-        docs.select(id_col).join(per, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce("sum_invp", F.lit(0)).cast("long").alias("sum_invp"),
+            F.count("u").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("_invp"), F.lit(0)).cast("long")
+            .alias("sum_invp"),
         )
         .withColumn(
             "mkn_permille",

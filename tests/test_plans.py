@@ -863,3 +863,24 @@ def test_global_window_source_sites_are_pinned():
         f"global-window sites changed: {found} — route new sites "
         "through plans.two_level_* or document them in `allowed`"
     )
+
+
+def test_lm_scorers_have_no_stitchback_join(spark, documents):
+    # r12: the scoring featurize keeps the outer-explode placeholder
+    # row (keep_empty), so the doc-id reduce emits one row per input
+    # doc itself. The old shape re-attached unscorable docs with a
+    # corpus-sized SortMergeJoin (docs.select(id) JOIN per) — one
+    # Exchange+Sort of the whole id frame per scoring entry. Pin its
+    # absence, and pin the row contract the removal relies on.
+    from cassandra_ttl_remover_spark.operators import curate
+
+    n_docs = documents.count()
+    for fn in (curate.lm_perplexity, curate.kn_perplexity,
+               curate.mkn_perplexity, curate.sbo_perplexity):
+        df = fn(documents, "lang = 'en'")
+        assert "SortMergeJoin" not in formatted_plan(df), fn.__name__
+        assert df.count() == n_docs, fn.__name__  # one row per doc
+    dsir = curate.dsir_importance(
+        documents, documents.filter("source = 'src0'"))
+    assert "SortMergeJoin" not in formatted_plan(dsir)
+    assert dsir.count() == n_docs
