@@ -83,10 +83,32 @@ def shingle_frame(docs: DataFrame, text_col: str = "text",
 
 
 #: per-shingle i<j id-pair expansion over a sorted member id list ``m``.
+#: Retained as the reference form (tests pin the chained-Generate
+#: rewrite below against it); not used on any query path since r12.
 _ID_PAIRS_EXPR = (
     "flatten(transform(m, (x, i) -> "
     "transform(slice(m, i + 2, size(m)), y -> struct(x as a, y as b))))"
 )
+
+
+def _pair_expand(members: DataFrame) -> DataFrame:
+    """i<j pair expansion over each row's sorted member list ``m``,
+    emitted as ``(_x, _y)`` — as two CHAINED codegen Generates
+    (posexplode + explode(slice)) instead of the one interpreted
+    nested-lambda flatten (``_ID_PAIRS_EXPR``): higher-order
+    ``transform()`` lambdas never reach whole-stage codegen, and the
+    nested form also allocates the full O(B²) pair array per bucket
+    before exploding it, while the chained form streams pairs through
+    generated code (r12: pair expansion + count stage 0.75 -> 0.49 s
+    at sf0.1, value-identical — pinned in test_dedup). Works for any
+    element type (plain ids or (id, payload) structs)."""
+    return (
+        members.select(F.posexplode("m").alias("_i", "_x"), F.col("m"))
+        .select(
+            F.col("_x"),
+            F.explode(F.expr("slice(m, _i + 2, size(m))")).alias("_y"),
+        )
+    )
 
 
 def shingle_pair_counts(docs: DataFrame, text_col: str = "text",
@@ -120,8 +142,8 @@ def shingle_pair_counts(docs: DataFrame, text_col: str = "text",
         .filter(F.size("m") >= 2)
     )
     inter = (
-        members.select(F.explode(F.expr(_ID_PAIRS_EXPR)).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        _pair_expand(members)
+        .groupBy(F.col("_x").alias("a"), F.col("_y").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
@@ -315,8 +337,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
 
 
 #: per-bucket i<j pair expansion over a sorted member list ``m`` of
-#: struct<i: id, s: payload> — `transform` with index + `slice` generates
-#: each member's pairs with all later members; `flatten` concatenates.
+#: struct<i: id, s: payload>. Reference form of the chained-Generate
+#: rewrite (see _pair_expand); not used on any query path since r12.
 _BUCKET_PAIRS_EXPR = (
     "flatten(transform(m, (x, i) -> "
     "transform(slice(m, i + 2, size(m)), y -> "
@@ -349,8 +371,11 @@ def _bucket_pairs(banded: DataFrame, id_col: str, sig_col: str,
         .filter((F.size("m") >= 2) & (F.size("m") <= max_bucket))
     )
     return (
-        members.select(F.explode(F.expr(_BUCKET_PAIRS_EXPR)).alias("p"))
-        .select("p.a", "p.b", "p.siga", "p.sigb")
+        _pair_expand(members)
+        .select(
+            F.col("_x.i").alias("a"), F.col("_y.i").alias("b"),
+            F.col("_x.s").alias("siga"), F.col("_y.s").alias("sigb"),
+        )
         .dropDuplicates(["a", "b"])
     )
 
@@ -397,8 +422,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
         .filter((F.size("m") >= 2) & (F.size("m") <= max_bucket))
     )
     cand = (
-        members.select(F.explode(F.expr(_ID_PAIRS_EXPR)).alias("p"))
-        .select("p.a", "p.b")
+        _pair_expand(members)
+        .select(F.col("_x").alias("a"), F.col("_y").alias("b"))
         .dropDuplicates(["a", "b"])
     )
     sa = sig.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"))

@@ -488,3 +488,34 @@ def test_line_dedup_report_null_domain_label(spark, tmp_path):
                       dedup.line_dedup_report_oracle_sql(
                           domain_col="source"), con)
     assert ok, msg
+
+
+def test_pair_expand_matches_lambda_reference(spark):
+    # r12: the i<j pair expansion runs as two chained codegen Generates
+    # (posexplode + explode(slice)) — pin it row-identical against the
+    # retained interpreted nested-lambda form for BOTH member shapes
+    # (plain ids and (id, payload) structs), including the empty and
+    # single-member edge rows the filter normally removes.
+    from cassandra_ttl_remover_spark.operators.dedup import (
+        _BUCKET_PAIRS_EXPR, _ID_PAIRS_EXPR, _pair_expand)
+
+    ids = spark.createDataFrame(
+        [([1, 2, 3, 4],), ([7, 9],), ([5],), ([],)], "m array<bigint>")
+    ref = ids.select(F.explode(F.expr(_ID_PAIRS_EXPR)).alias("p")) \
+        .select("p.a", "p.b")
+    new = _pair_expand(ids).select(
+        F.col("_x").alias("a"), F.col("_y").alias("b"))
+    assert sorted(map(tuple, ref.collect())) == \
+        sorted(map(tuple, new.collect()))
+
+    structs = spark.createDataFrame(
+        [([(1, 11), (2, 22), (3, 33)],), ([(4, 44)],)],
+        "m array<struct<i: bigint, s: bigint>>")
+    ref_s = structs.select(
+        F.explode(F.expr(_BUCKET_PAIRS_EXPR)).alias("p")).select(
+        "p.a", "p.b", "p.siga", "p.sigb")
+    new_s = _pair_expand(structs).select(
+        F.col("_x.i").alias("a"), F.col("_y.i").alias("b"),
+        F.col("_x.s").alias("siga"), F.col("_y.s").alias("sigb"))
+    assert sorted(map(tuple, ref_s.collect())) == \
+        sorted(map(tuple, new_s.collect()))
