@@ -545,7 +545,8 @@ def _weights_frame(spark, w: dict[int, int]) -> DataFrame:
     """``(bucket, weight)`` frame off a driver weight map — <= dim+1
     rows, ordered by bucket (logreg_train's declared output shape)."""
     rows = [(int(b), int(v)) for b, v in sorted(w.items())]
-    return spark.createDataFrame(rows, "bucket long, weight long")
+    from cassandra_ttl_remover_spark.plans import local_frame
+    return local_frame(spark, rows, "bucket long, weight long")
 
 
 def logreg_train(docs: DataFrame, label_expr: str = "lang = 'en'",

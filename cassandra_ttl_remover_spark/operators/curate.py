@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from cassandra_ttl_remover_spark.operators import dedup, text
-from cassandra_ttl_remover_spark.plans import fan_out
+from cassandra_ttl_remover_spark.plans import fan_out, local_frame
 
 
 def curate_corpus(spark: SparkSession, docs: DataFrame, *,
@@ -329,7 +329,7 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, *,
         .distinct()
     )
     bits = bloom_bits(bench_sh, "sh", num_bits=num_bits, k=k)
-    bf = spark.createDataFrame([(bits,)], "bf array<bigint>")
+    bf = local_frame(spark, [(bits,)], "bf array<bigint>")
     preds = []
     for i in range(k):
         p = f"pmod(_h1 + {i} * _h2, {num_bits})"
@@ -2533,8 +2533,8 @@ def doremi_weights(docs: DataFrame, *, domain_col: str = "lang",
             acc[d] += w[d]
     spark = docs.sparkSession
     rows = [(d, excess[d], e[d], w[d], acc[d] // iters) for d in doms]
-    return spark.createDataFrame(
-        rows,
+    return local_frame(
+        spark, rows,
         f"{domain_col} string, excess_permille long, excess_step long, "
         "weight_final long, weight_avg long",
     ).orderBy(domain_col)
@@ -2737,7 +2737,8 @@ def doremi_resample(docs: DataFrame, *, domain_col: str = "lang",
     # audit's left-outer join below, tgt is the PRESERVED side, where a
     # broadcast hint is unsupported and would just log a dropped-hint
     # warning (both frames there are <= |domains| rows anyway)
-    tgt = spark.createDataFrame(
+    tgt = local_frame(
+        spark,
         [(d, navail[d], weights[d], targets[d]) for d in sorted(weights)],
         tgt_schema,
     )
@@ -3267,7 +3268,8 @@ def anneal_mix(docs: DataFrame,
     # broadcast hint only at the inner selection join (see
     # doremi_resample: on the audit's left-outer join tgt is the
     # preserved side, where the hint is unsupported)
-    tgt = spark.createDataFrame(
+    tgt = local_frame(
+        spark,
         rows, (f"phase string, {domain_col} string, n_avail long, "
                "weight long, k_target long"))
     ranked = _domain_rank(docs, alldoms, domain_col=domain_col,
@@ -3450,7 +3452,8 @@ def epoch_mix(docs: DataFrame, weights: dict[str, int], *,
                      k // navail[d], k % navail[d]))
     # broadcast hint only at the inner selection join (see
     # doremi_resample)
-    tgt = spark.createDataFrame(
+    tgt = local_frame(
+        spark,
         rows, (f"{domain_col} string, n_avail long, weight long, "
                "k_target long, n_full_epochs long, n_partial long"))
     ranked = _domain_rank(docs, doms, domain_col=domain_col,

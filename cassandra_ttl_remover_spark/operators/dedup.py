@@ -527,9 +527,11 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         # reserved key name: a caller whose id_col is literally "node"
         # (e.g. a generic graph frame) must not collide with the label
         # frame's join key
-        lab = spark.createDataFrame(
+        from cassandra_ttl_remover_spark.plans import local_frame
+        lab = local_frame(
+            spark,
             list(labels.items()),
-            schema=T.StructType([
+            T.StructType([
                 T.StructField("_cc_node", id_type),
                 T.StructField("component", id_type),
             ]),

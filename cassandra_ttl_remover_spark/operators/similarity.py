@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from cassandra_ttl_remover_spark.operators.dedup import QDOT_EXPR, _bucket_pairs
+from cassandra_ttl_remover_spark.plans import local_frame
 from cassandra_ttl_remover_spark.plans import fan_out
 
 
@@ -247,7 +248,7 @@ def ivf_index(emb: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
-    cent_df = spark.createDataFrame(
+    cent_df = local_frame(spark, 
         centroids, f"cell int, cvec {emb.schema[vec_col].dataType.simpleString()}"
     )
     return centroids, _assign_cells(emb, cent_df, vec_col, id_col)
@@ -294,7 +295,7 @@ def ivf_write(emb: DataFrame, path: str, n_cells: int = 16,
     only its probed cells via PARTITION PRUNING, never the full corpus."""
     centroids, assigned = ivf_index(emb, n_cells, vec_col, id_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    emb.sparkSession.createDataFrame(
+    local_frame(emb.sparkSession, 
         centroids, f"cell int, cvec {emb.schema[vec_col].dataType.simpleString()}"
     ).write.mode("overwrite").parquet(f"{path}/_centroids")
 
@@ -368,7 +369,7 @@ def _empty_tombstones(spark, id_col: str):
     """A 0-row frame of the sidecar schema — written (not limit(0) of
     the old sidecar, whose files a compaction overwrite may have just
     deleted; that form only worked via the OptimizeLimitZero rule)."""
-    return spark.createDataFrame([], f"{id_col} bigint, deleted_at bigint")
+    return local_frame(spark, [], f"{id_col} bigint, deleted_at bigint")
 
 
 def _index_delete(spark, path: str, ids: list, id_col: str,
@@ -384,7 +385,7 @@ def _index_delete(spark, path: str, ids: list, id_col: str,
     nondeterministic for no reader's benefit."""
     if not ids:
         return
-    spark.createDataFrame(
+    local_frame(spark, 
         [(i, deleted_at) for i in ids], f"{id_col} bigint, deleted_at bigint"
     ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
 
@@ -470,7 +471,7 @@ def ivf_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
 
         data_schema = StructType(
             [f for f in idx.schema.fields if f.name != "cell"])
-        (spark.createDataFrame([], data_schema).repartition(1)
+        (local_frame(spark, [], data_schema).repartition(1)
          .write.mode("overwrite").parquet(f"{path}/cell=-1"))
     # empty sidecar: overwrite with a 0-row frame of the same schema
     _empty_tombstones(spark, id_col).coalesce(1).write.mode(
@@ -505,7 +506,7 @@ def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
         key=lambda r: sum((float(a) - b) ** 2 for a, b in zip(r["cvec"], query_vec)),
     )
     probes = [int(r["cell"]) for r in by_dist[:nprobe]]
-    qdf = spark.createDataFrame([(query_vec,)], f"_qv array<float>")
+    qdf = local_frame(spark, [(query_vec,)], f"_qv array<float>")
     try:
         # the guard translates ONLY schema-inference failure on an
         # emptied index into an empty result; every other
@@ -521,7 +522,7 @@ def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
         if cond != "UNABLE_TO_INFER_SCHEMA":
             raise
         # no list files at all (pre-keeper emptied index) — empty top-k
-        return spark.createDataFrame([], f"{id_col} bigint, dot bigint")
+        return local_frame(spark, [], f"{id_col} bigint, dot bigint")
     scan = idx_scan.filter(F.col("cell").isin(probes))
     if honor_tombstones:
         tombs = _index_tombstones(spark, path)
@@ -1281,7 +1282,7 @@ def gram_power_driver(spark, emb: DataFrame, vec_col: str = "embedding",
         s = max(max(abs(x) for x in v), 1)
         v = [_trunc_div(x * rescale, s) for x in v]
     out = [(i + 1, int(v[i])) for i in range(d)]
-    return spark.createDataFrame(out, "i int, v bigint")
+    return local_frame(spark, out, "i int, v bigint")
 
 
 def gram_power_driver_oracle_sql(table: str = "embeddings",
@@ -1385,7 +1386,7 @@ def _pq_train(emb: DataFrame, m: int, k_codes: int, vec_col: str,
         [[float(x) for x in r[0][b * db:(b + 1) * db]] for r in seeds]
         for b in range(m)
     ]
-    cb0_df = spark.createDataFrame([(cb0,)], "cb array<array<array<float>>>")
+    cb0_df = local_frame(spark, [(cb0,)], "cb array<array<array<float>>>")
     cbb0 = (f"transform(element_at(cb, block + 1), "
             f"c -> {QVEC_EXPR.format(v='c')})")
     d2s0 = f"transform({cbb0}, c -> {_PQ_L2('sub', 'c')})"
@@ -1414,7 +1415,7 @@ def _pq_train(emb: DataFrame, m: int, k_codes: int, vec_col: str,
     if any(x is None for blk in cbq for cw in blk for x in cw):
         # empty codeword fallback: the seed, quantized BY SPARK (python
         # round() is banker's — never quantize driver-side)
-        fallback = spark.createDataFrame(
+        fallback = local_frame(spark, 
             [(cb0,)], "cb array<array<array<float>>>"
         ).select(F.expr(
             "transform(cb, blk -> transform(blk, c -> "
@@ -1461,7 +1462,7 @@ def pq_topk(emb: DataFrame, query_id, k: int = 10, m: int = 4,
     semi-join + exact dot for the rerank. Requires dim % m == 0."""
     spark = emb.sparkSession
     cbq, db = _pq_train(emb, m, k_codes, vec_col, id_col)
-    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    cbq_df = local_frame(spark, [(cbq,)], "cbq array<array<array<bigint>>>")
     q = _query_vector_col(emb, query_id, vec_col, id_col)
 
     # --- encode + IP-ADC against the refined integer codebook (the
@@ -1501,7 +1502,7 @@ def pq_write(emb: DataFrame, path: str, m: int = 4, k_codes: int = 16,
     _pq_encode(emb, cbq, db, vec_col, id_col).write.mode(
         "overwrite").parquet(path)
     rows = [(b, c, cbq[b][c]) for b in range(m) for c in range(k_codes)]
-    spark.createDataFrame(
+    local_frame(spark, 
         rows, "block int, code int, comps array<bigint>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
 
@@ -1514,7 +1515,7 @@ def _pq_encode(emb: DataFrame, cbq: list, db: int, vec_col: str,
     queries mis-rank appended vectors)."""
     m = len(cbq)
     spark = emb.sparkSession
-    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    cbq_df = local_frame(spark, [(cbq,)], "cbq array<array<array<bigint>>>")
     codes = []
     for b in range(m):
         sub = f"slice(_qcorp, {b * db + 1}, {db})"
@@ -1599,7 +1600,7 @@ def pq_compact(spark, path: str, *, id_col: str = "vec_id") -> int:
             # (repartition(1) forces one part file so the schema
             # footer survives and the emptied index stays readable;
             # pq_query then returns an empty top-k frame)
-            survivors = spark.createDataFrame([], idx.schema).repartition(1)
+            survivors = local_frame(spark, [], idx.schema).repartition(1)
         else:
             survivors = idx.join(dead, id_col, "left_anti")
         survivors.write.mode("overwrite").parquet(tmp)
@@ -1698,7 +1699,7 @@ def pq_census(spark, path: str, emb: DataFrame,
     rows."""
     cbq, db = _pq_read_codebook(spark, path)
     m = len(cbq)
-    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    cbq_df = local_frame(spark, [(cbq,)], "cbq array<array<array<bigint>>>")
     joined = (
         spark.read.parquet(path)
         .join(emb.select(id_col, vec_col), id_col)
@@ -1748,7 +1749,7 @@ def pq_query(spark, path: str, emb: DataFrame, query_id, k: int = 10,
     cbq, db = _pq_read_codebook(spark, path)
     m = len(cbq)
     q = _query_vector_col(emb, query_id, vec_col, id_col)
-    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    cbq_df = local_frame(spark, [(cbq,)], "cbq array<array<array<bigint>>>")
     dt_terms = ", ".join(
         f"transform(element_at(cbq, {b + 1}), "
         f"c -> {_PQ_DOT(f'slice(_qq, {b * db + 1}, {db})', 'c')})"
@@ -1929,7 +1930,7 @@ def ivfpq_topk(emb: DataFrame, query_id, k: int = 10, n_cells: int = 8,
     centroids, assigned = ivf_index(emb, n_cells, vec_col, id_col)
     cbq, db = _pq_train(emb, m, k_codes, vec_col, id_col)
     probes = _probe_cells(emb, centroids, query_id, nprobe, vec_col, id_col)
-    cbq_df = spark.createDataFrame([(cbq,)],
+    cbq_df = local_frame(spark, [(cbq,)],
                                    "cbq array<array<array<bigint>>>")
     q = _query_vector_col(emb, query_id, vec_col, id_col)
     shortlist = (
@@ -1975,7 +1976,7 @@ def _pq_train_q(df: DataFrame, m: int, k_codes: int, qcol: str,
         for b in range(m)
     ]
     spark = df.sparkSession
-    cb_df = spark.createDataFrame([(cbq0,)], "cb array<array<array<bigint>>>")
+    cb_df = local_frame(spark, [(cbq0,)], "cb array<array<array<bigint>>>")
     cbb = "element_at(cb, block + 1)"
     d2s = f"transform({cbb}, c -> {_PQ_L2('sub', 'c')})"
     blocks = ", ".join(
@@ -2031,7 +2032,7 @@ def ivfpq_residual_topk(emb: DataFrame, query_id, k: int = 10,
     The unit test pins this measured relationship."""
     spark = emb.sparkSession
     centroids, assigned = ivf_index(emb, n_cells, vec_col, id_col)
-    cent_df = spark.createDataFrame(
+    cent_df = local_frame(spark, 
         centroids,
         f"cell int, cvec {emb.schema[vec_col].dataType.simpleString()}",
     )
@@ -2052,7 +2053,7 @@ def ivfpq_residual_topk(emb: DataFrame, query_id, k: int = 10,
         .withColumn("_qc", F.expr(QVEC_EXPR.format(v="cvec")))
         .select("cell", F.expr(_PQ_DOT("_qq", "_qc")).alias("cent_dot"))
     )
-    cbq_df = spark.createDataFrame([(cbq,)], "cbq array<array<array<bigint>>>")
+    cbq_df = local_frame(spark, [(cbq,)], "cbq array<array<array<bigint>>>")
     shortlist = (
         resid.filter(F.col("cell").isin(probes))
         .join(F.broadcast(cdots), "cell")

@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
-from cassandra_ttl_remover_spark.plans import fan_out
+from cassandra_ttl_remover_spark.plans import fan_out, local_frame
 
 # ---------------------------------------------------------------------------
 # Portable word/shingle primitives
@@ -72,7 +72,7 @@ def stopword_frame(spark: SparkSession) -> DataFrame:
     rows = [
         (lang, prio, w) for lang, prio, words in LANG_PROFILES for w in words
     ]
-    return spark.createDataFrame(rows, "lang string, prio int, word string")
+    return local_frame(spark, rows, "lang string, prio int, word string")
 
 
 def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text",
@@ -679,7 +679,7 @@ def keyword_search(docs: DataFrame, terms: list[str],
         raise ValueError("keyword_search needs at least one term")
     ix = index if index is not None else build_term_index(docs, text_col, id_col)
     spark = docs.sparkSession
-    tf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    tf = local_frame(spark, [(t,) for t in set(terms)], "term string")
     return (
         ix.join(broadcast(tf), "term")
         .groupBy(id_col)
@@ -1323,8 +1323,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 3, text_col: str = "text",
                 "seq", F.regexp_replace(F.trim(fused), " +", " ")
             )
     spark = docs.sparkSession
-    return spark.createDataFrame(
-        learned, "merge_round bigint, pair string, pair_count bigint"
+    return local_frame(
+        spark, learned, "merge_round bigint, pair string, pair_count bigint"
     ).orderBy("merge_round")
 
 

@@ -115,6 +115,38 @@ def fan_out(df: DataFrame, *key_cols: str, min_partitions: int | None = None) ->
 
 
 #: merge rule per algebraic aggregate for the two-stage salted_agg.
+def local_frame(spark, rows, schema) -> DataFrame:
+    """Small DRIVER-LOCAL DataFrame (shard offsets, dictionaries,
+    codebooks, mixture target tables) without the Python-worker
+    fan-out: stock ``spark.createDataFrame(rows)`` parallelizes the
+    list into ``defaultParallelism`` pickled slices, so EVERY stage
+    that consumes the frame runs |cores| tasks which each round-trip a
+    Python worker just to deserialize a handful of rows — measured r12
+    at 32 cores: 0.47 s per materialization of a 9-row frame and
+    10-20 s of aggregate executor CPU per consuming stage (the
+    parallelize/PythonRDD pattern showed up in anneal_mix,
+    doremi_weights, bpe_train and every two_level_* offsets join). The
+    pandas+Arrow constructor ships the same rows as ONE Arrow batch
+    decoded JVM-side (~0.05 s, zero Python workers); ``dtype=object``
+    keeps cells as Python objects so the explicit ``schema`` alone
+    drives the Arrow types (None in a long column stays NULL instead
+    of becoming NaN). Falls back to a single-slice parallelize when
+    pandas/Arrow is unavailable or the row list is empty (an empty
+    object frame cannot carry a nested schema through pandas). Rows
+    must be TUPLES matching ``schema`` order."""
+    rows = list(rows)
+    if rows:
+        try:
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame(rows, dtype=object), schema)
+        except Exception:  # pandas/Arrow missing or coercion gap
+            pass
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema)
+
+
 _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
@@ -327,7 +359,8 @@ def two_level_cumsums(df: DataFrame, order_cols: list[str],
     spark = df.sparkSession
     off_schema = "_pid int, " + ", ".join(
         f"_off{i} long" for i in range(len(val_cols)))
-    off_df = spark.createDataFrame(
+    off_df = local_frame(
+        spark,
         [(pid, *off) for pid, off in offsets.items()]
         or [(0, *([0] * len(val_cols)))],
         off_schema,
@@ -418,7 +451,8 @@ def two_level_row_number(df: DataFrame, order_cols: list[str],
                for i, c in enumerate(pc)]
             + [StructField("_off", LongType())]
         )
-        off_df = df.sparkSession.createDataFrame(
+        off_df = local_frame(
+            df.sparkSession,
             [(key[0], *key[1:], off) for key, off in offsets.items()]
             or [(0, *([None] * len(pc)), 0)],
             off_schema,
@@ -436,7 +470,8 @@ def two_level_row_number(df: DataFrame, order_cols: list[str],
                                            F.lit(0))).cast("long"))
             .drop("_pid", "_lrn", "_off")
         )
-    off_df = df.sparkSession.createDataFrame(
+    off_df = local_frame(
+        df.sparkSession,
         [(key[0], off) for key, off in offsets.items()] or [(0, 0)],
         "_pid int, _off long",
     )

@@ -59,6 +59,8 @@ import os
 import struct
 from typing import Iterable, Iterator
 
+from cassandra_ttl_remover_spark.plans import local_frame
+
 DELETION_MASK = 0x01
 EXPIRATION_MASK = 0x02
 #: Cassandra 2.x ColumnSerializer constants (public on-disk contract); the
@@ -714,7 +716,7 @@ def resample_summaries(spark, path: str, *, min_index_interval: int,
             yield pd.DataFrame(rows)
 
     return (
-        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        local_frame(spark, [(d,) for d in dirs], "dir string")
         .repartition(min(len(dirs), 32))
         .mapInPandas(
             _run,
@@ -990,7 +992,7 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
             ])
             specs.append((d, off, at_cell, markers))
     if not specs:
-        return spark.createDataFrame([], SSTABLE_SCHEMA)
+        return local_frame(spark, [], SSTABLE_SCHEMA)
 
     cols = ["pk", "cell", "kind", "ttl", "expiration",
             "writetime", "value"]
@@ -1016,7 +1018,7 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
                 yield pd.DataFrame(buf, columns=cols)
 
     return (
-        spark.createDataFrame(
+        local_frame(spark, 
             specs, "dir string, off long, at_cell boolean, markers string",
         )
         .repartition(min(len(specs), 32))
@@ -1124,7 +1126,7 @@ def verify_digests(spark, path: str):
             yield pd.DataFrame(rows)
 
     return (
-        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        local_frame(spark, [(d,) for d in dirs], "dir string")
         .repartition(min(len(dirs), 32))
         .mapInPandas(
             _check,
@@ -1248,7 +1250,7 @@ def scrub_tables(spark, path: str, deep: bool = False):
                 [_scrub_one_dir(d, deep) for d in pdf["dir"]])
 
     return (
-        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        local_frame(spark, [(d,) for d in dirs], "dir string")
         .repartition(min(len(dirs), 32))
         .mapInPandas(
             _run,
@@ -2110,7 +2112,7 @@ def rewrite_stripped(spark, path: str, out_dir: str,
                 out_rows, columns=["shard", "n_partitions", "n_cells"])
 
     report = (
-        spark.createDataFrame(
+        local_frame(spark, 
             specs, "gen string, idx int, data_path string, "
                    "start long, end long")
         .repartition(min(len(specs), 32))
@@ -2350,7 +2352,7 @@ def merge_compact_sorted(spark, path: str, *, gc_grace_us: int,
                                "status"])
 
     return (
-        spark.createDataFrame(ranges, "ks string, kp string")
+        local_frame(spark, ranges, "ks string, kp string")
         .repartition(len(ranges))
         .mapInPandas(
             _merge,
@@ -2447,7 +2449,7 @@ def first_key_beyond(spark, path: str, key: str):
             yield pd.DataFrame(rows)
 
     return (
-        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        local_frame(spark, [(d,) for d in dirs], "dir string")
         .repartition(min(len(dirs), 32))
         .mapInPandas(
             _read,
@@ -2498,7 +2500,7 @@ def stats_census(spark, path: str):
             yield pd.DataFrame(rows)
 
     return (
-        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        local_frame(spark, [(d,) for d in dirs], "dir string")
         .repartition(min(len(dirs), 32))
         .mapInPandas(
             _read,
@@ -3449,7 +3451,7 @@ def droppable_census(spark, path: str, *, gc_grace_us: int,
                                "n_droppable_deletes", "n_expired"])
 
     return (
-        spark.createDataFrame([(d,) for d in dirs], "dir string")
+        local_frame(spark, [(d,) for d in dirs], "dir string")
         .repartition(min(len(dirs), 32))
         .mapInPandas(
             _count,
@@ -3628,7 +3630,7 @@ def gc_rewrite_single(spark, path: str, out_dir: str, *,
                                    "n_atoms_out"])
 
     report = (
-        spark.createDataFrame(
+        local_frame(spark, 
             specs, "gen string, idx int, data_path string, "
                    "start long, end long")
         .repartition(min(len(specs), 32))

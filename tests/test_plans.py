@@ -884,3 +884,31 @@ def test_lm_scorers_have_no_stitchback_join(spark, documents):
         documents, documents.filter("source = 'src0'"))
     assert "SortMergeJoin" not in formatted_plan(dsir)
     assert dsir.count() == n_docs
+
+
+def test_local_frame_semantics(spark):
+    # r12: driver-local frames build from ONE Arrow batch instead of
+    # defaultParallelism pickled slices (each consuming stage ran
+    # |cores| Python-worker round-trips). Pin the semantics the
+    # conversion relies on: None stays NULL under an explicit schema
+    # (dtype=object — no NaN coercion), nested array cells survive,
+    # empty lists work, and small frames keep >= 1 partition.
+    from cassandra_ttl_remover_spark.plans import local_frame
+
+    df = local_frame(spark, [(None, "en", 3), (2, None, None)],
+                     "a long, b string, c long")
+    assert [tuple(r) for r in df.orderBy("c").collect()] == [
+        (2, None, None), (None, "en", 3)]
+    assert df.schema.simpleString() == "struct<a:bigint,b:string,c:bigint>"
+
+    nested = local_frame(spark, [([[[1, 2], [3, 4]]],)],
+                         "cb array<array<array<bigint>>>")
+    assert nested.collect()[0].cb == [[[1, 2], [3, 4]]]
+
+    empty = local_frame(spark, [], "x long, y string")
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<x:bigint,y:string>"
+
+    many = local_frame(spark, [(i,) for i in range(64)], "i long")
+    assert many.rdd.getNumPartitions() >= 1
+    assert many.agg(F.sum("i")).collect()[0][0] == 64 * 63 // 2
