@@ -42,6 +42,14 @@ line_dedup 2.09, mkn_perplexity 2.53 (between its add-1 and KN
 siblings), anneal_mix 1.82; the doremi-path regrades (two-level
 partitioned rank) left doremi_weights/logreg_train at r11 levels
 (2.69 / 4.71).
+
+Round-12 OPTIMIZATION floors (same-box idle pair, 2026-08-18,
+plans/r12/BENCH_idle_session4_{start,end}.json — this box runs ~25%
+slower than the 08-17 one, so compare within the pair only): total
+97.89 -> 81.00 s across the optimization commits (featurize hash-once,
+driver-held logreg weights, LM stitch-back removal, chained-Generate
+pair expansion, Arrow-batch driver-local frames); r1 subset
+15.07 -> 12.72 s. Per-entry attribution in OPTIMIZATION_r12.md.
 """
 
 from __future__ import annotations
