@@ -643,81 +643,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS row — maintained by hand with each code change; the
 #: contract test pins these to the front of the graded window.
 _REGRADE_FIRST = [
-    # round 12: maintained as round-12 changes land — changed queries
-    # are prepended here AND to the front of _DRIVER_PRIORITY.
-    # doremi NULL-domain symmetry (r11 ADVICE) + the per-domain rank
-    # moved off the low-cardinality partitionBy window onto
-    # plans.two_level_row_number(partition_cols=...) (r11 verdict weak):
-    "q_pipe_doremi_mix",
-    "q_n74_doremi_weights",
-    # sample_per_group's rank re-routed through the same partitioned
-    # two-level primitive (the verdict's "same rule" re-examination):
-    "q_n24_sample_per_group",
-    # tokenizer_fertility's domain label now coalesces NULL -> '<null>'
-    # on both engines (r11 ADVICE low):
-    "q_n75_tokenizer_fertility",
-    # ivf_query's emptied-index guard narrowed to UNABLE_TO_INFER_SCHEMA
-    # (r11 ADVICE low) — every declared query through ivf_query:
-    "q_n8h_ann_ivf_delete",
-    "q_n8c_ann_ivf_materialized",
-    "q_n8d_ann_ivf_append",
-    "q_st21_stream_ivf_ingest",
+    # round 13 (optimization round): queries whose implementation
+    # changed this round after their last green CORRECTNESS row are
+    # prepended here as the changes land (contract: changed queries
+    # open the graded window).
 ]
 
 _DRIVER_PRIORITY = [
     *_REGRADE_FIRST,
-    # --- round-12 rotation: stalest-green-first, regenerated from
-    # CORRECTNESS_r01..r11 (script pattern in ROTATION_r12_plan.md; same
-    # green rule as tests/test_harness_contract.py). After r11 graded its
-    # window, the stalest evidence is the round-4 tail (22 queries), then
-    # round 5. The list is the FULL declared surface, deduplicated. New
-    # round-12 queries are inserted just below this comment as they land
-    # (never-graded leads the stale pool). ---
-    # --- new in round 12 (never graded) ---
-    "q_n77_line_dedup",
-    "q_n78_mkn_perplexity",
-    "q_pipe_anneal_mix",
-    "q_st24_stream_mkn_gate",
-    "q_n79_epoch_mix",
-    "q_n80_boilerplate_report",
-    # --- last green: round 4 ---
-    "q_n40_hard_negatives",
-    "q_x15_hopping_window",
-    "q_x16_exact_correlation",
-    "q_a6_sketch_intersection",
-    "q_n41_equidepth_histogram",
-    "q_st14_stream_sliding_window",
-    "q_f5_text_lines_roundtrip",
-    "q_j3_shuffle_hash_join_rollup",
-    "q_v5_gram_matrix",
-    "q_se5_transition_matrix",
-    "q_d5_referential_integrity",
-    "q_j4_broadcast_nested_loop",
-    "q_n42_bpe_segment",
-    "q_mm7_pgm_decode",
-    "q_w5_time_travel",
-    "q_a7_range_distinct",
-    "q_d6_distribution_drift",
-    "q_x17_lateral_posexplode",
-    "q_sql_q18_large_orders",
-    "q_v6_power_iteration",
-    "q_n16_mix_decisions",
-    "q_n16b_mix_report",
-    # --- last green: round 5 ---
-    "q_n18_normalize_text",
-    "q_n19_sample_fixed",
-    "q_n20_pack_sequences",
-    "q_n21_repetition_ratio",
-    "q_n22_scrub_pii",
-    "q_n23_vocab_topk",
-    "q_n25_unigram_quality",
-    "q_n26_tfidf_topk",
-    "q_n27_chunk_sliding",
-    "q_n28_hash_split",
-    "q_n29_dedup_vs_corpus",
-    "q_n30_containment_pairs",
-    "q_n31_bigram_quality",
-    "q_n32_keyword_search",
+    # --- round-13 rotation: stalest-green-first, regenerated from
+    # CORRECTNESS_r01..r12 (script pattern in ROTATION_r13_plan.md;
+    # same green rule as tests/test_harness_contract.py). All 334
+    # declared queries have at least one green row; the window is
+    # the stalest tail (round 5 onward). Full surface, no dupes. ---
+    # --- last green: round 5 (30 queries) ---
     "q_n33_cluster_histogram",
     "q_mm11_png_decode",
     "q_mm12_gif_decode",
@@ -748,7 +687,7 @@ _DRIVER_PRIORITY = [
     "q_x6_group_median",
     "q_p3_pivot_counts",
     "q_x3_scalar_functions",
-    # --- last green: round 6 ---
+    # --- last green: round 6 (42 queries) ---
     "q_ml4_grouped_fit",
     "q_ml5_chi2_tokens",
     "q_ml6_ttest",
@@ -791,7 +730,7 @@ _DRIVER_PRIORITY = [
     "q_x5_rollup",
     "q_sql_q13_custdist",
     "q_sql_q15_top_supplier",
-    # --- last green: round 7 ---
+    # --- last green: round 7 (40 queries) ---
     "q_s11_sstable_counter_cells",
     "q_s12_sstable_gen_mc",
     "q_s13_sstable_compressed",
@@ -832,7 +771,7 @@ _DRIVER_PRIORITY = [
     "q_ml1_linear_fit",
     "q_ml2_ridge_fit",
     "q_ml3_residual_outliers",
-    # --- last green: round 8 ---
+    # --- last green: round 8 (44 queries) ---
     "q_m8_cli_native_job",
     "q_s20_scrub_report",
     "q_s19_clustering_slice",
@@ -877,7 +816,7 @@ _DRIVER_PRIORITY = [
     "q_sql_q6_forecast_revenue",
     "q_sql_q10_returned_items",
     "q_x7_window_analytics",
-    # --- last green: round 9 ---
+    # --- last green: round 9 (40 queries) ---
     "q_g3_kcore",
     "q_n45_bpe_train",
     "q_t9_sstable_merge_compact",
@@ -918,7 +857,7 @@ _DRIVER_PRIORITY = [
     "q_st6_stream_dedup_vs_corpus",
     "q_st7_stream_file_sink",
     "q_st8_stream_upsert",
-    # --- last green: round 10 ---
+    # --- last green: round 10 (45 queries) ---
     "q_n61_logreg_train",
     "q_n62_classifier_auc",
     "q_n63_holdout_auc",
@@ -964,7 +903,7 @@ _DRIVER_PRIORITY = [
     "q_n8_ann_lsh",
     "q_n8b_ann_ivf",
     "q_n9_minhash_recall",
-    # --- last green: round 11 ---
+    # --- last green: round 11 (43 queries) ---
     "q_ml10_theil_sen",
     "q_st22_stream_lm_gate",
     "q_st23_stream_sbo_gate",
@@ -1008,6 +947,57 @@ _DRIVER_PRIORITY = [
     "q_st13_stream_custom_state",
     "q_x14_pandas_udaf",
     "q_g2_triangles",
+    # --- last green: round 12 (50 queries) ---
+    "q_pipe_doremi_mix",
+    "q_n74_doremi_weights",
+    "q_n24_sample_per_group",
+    "q_n75_tokenizer_fertility",
+    "q_n8h_ann_ivf_delete",
+    "q_n8c_ann_ivf_materialized",
+    "q_n8d_ann_ivf_append",
+    "q_st21_stream_ivf_ingest",
+    "q_n77_line_dedup",
+    "q_n78_mkn_perplexity",
+    "q_pipe_anneal_mix",
+    "q_st24_stream_mkn_gate",
+    "q_n79_epoch_mix",
+    "q_n80_boilerplate_report",
+    "q_n40_hard_negatives",
+    "q_x15_hopping_window",
+    "q_x16_exact_correlation",
+    "q_a6_sketch_intersection",
+    "q_n41_equidepth_histogram",
+    "q_st14_stream_sliding_window",
+    "q_f5_text_lines_roundtrip",
+    "q_j3_shuffle_hash_join_rollup",
+    "q_v5_gram_matrix",
+    "q_se5_transition_matrix",
+    "q_d5_referential_integrity",
+    "q_j4_broadcast_nested_loop",
+    "q_n42_bpe_segment",
+    "q_mm7_pgm_decode",
+    "q_w5_time_travel",
+    "q_a7_range_distinct",
+    "q_d6_distribution_drift",
+    "q_x17_lateral_posexplode",
+    "q_sql_q18_large_orders",
+    "q_v6_power_iteration",
+    "q_n16_mix_decisions",
+    "q_n16b_mix_report",
+    "q_n18_normalize_text",
+    "q_n19_sample_fixed",
+    "q_n20_pack_sequences",
+    "q_n21_repetition_ratio",
+    "q_n22_scrub_pii",
+    "q_n23_vocab_topk",
+    "q_n25_unigram_quality",
+    "q_n26_tfidf_topk",
+    "q_n27_chunk_sliding",
+    "q_n28_hash_split",
+    "q_n29_dedup_vs_corpus",
+    "q_n30_containment_pairs",
+    "q_n31_bigram_quality",
+    "q_n32_keyword_search",
 ]
 
 
