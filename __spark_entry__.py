@@ -647,6 +647,13 @@ _REGRADE_FIRST = [
     # changed this round after their last green CORRECTNESS row are
     # prepended here as the changes land (contract: changed queries
     # open the graded window).
+    # gated_exact_dedup reorder (digest window before the gates —
+    # value-identical, plan changed):
+    "q_pipe_curate",
+    "q_pipe_curate_lsh",
+    "q_st5_stream_curate_gate",
+    # kcore: survivor-set semi-joins now broadcast (edges never shuffle):
+    "q_g3_kcore",
 ]
 
 _DRIVER_PRIORITY = [
@@ -817,7 +824,6 @@ _DRIVER_PRIORITY = [
     "q_sql_q10_returned_items",
     "q_x7_window_analytics",
     # --- last green: round 9 (40 queries) ---
-    "q_g3_kcore",
     "q_n45_bpe_train",
     "q_t9_sstable_merge_compact",
     "q_t8_sstable_compact_e2e",
@@ -848,12 +854,10 @@ _DRIVER_PRIORITY = [
     "q_j2_shuffle_join_rollup",
     "q_aj_asof_join",
     "q_x13_array_functions",
-    "q_pipe_curate",
     "q_st1_stream_strip",
     "q_st2_stream_dedup",
     "q_st3_stream_expiring_window",
     "q_st4_stream_sessions",
-    "q_st5_stream_curate_gate",
     "q_st6_stream_dedup_vs_corpus",
     "q_st7_stream_file_sink",
     "q_st8_stream_upsert",
@@ -923,7 +927,6 @@ _DRIVER_PRIORITY = [
     "q_n37_substring_dup_census",
     "q_n15_decontaminate",
     "q_n15b_decontaminate_bloom",
-    "q_pipe_curate_lsh",
     "q_mm8_ppm_decode",
     "q_s7_sstable_scan",
     "q_s8_sstable_strip",

@@ -82,12 +82,37 @@ def gated_exact_dedup(spark: SparkSession, docs: DataFrame, *,
     curation paths: quality gate -> language gate -> exact dedup. Returns
     ``(id_col, text_col, pred_lang, quality)`` for every surviving doc.
     """
+    # Exact dedup as ONE window over the content digest (row_number, id-asc
+    # tie-break == the min-id representative the oracle computes): a single
+    # shuffle on the digest, versus the agg + join-back shape which costs a
+    # second exchange (or leans on a broadcast that stops existing at 100 TB).
+    #
+    # Order (r13): the digest window runs FIRST, the quality/language gates
+    # AFTER it. The two commute exactly — a digest group's rows carry
+    # identical text, so the (text-only) gates pass for all of a group or
+    # none of it and the min-id representative is unchanged. What the
+    # reorder buys (guide §2.5/§1.2): the gate battery (the prefix's whole
+    # CPU cost — HOF chains over every word) runs on the parallel,
+    # already-deduped side of the exchange instead of the scan side, where
+    # a single-file source serialized it onto one task (measured r13:
+    # 543 ms single-task at sf0.1) — and a fan_out cannot fix that, because
+    # Catalyst substitutes the gate predicate through the projections and
+    # pushes the whole HOF chain below any repartition (the r12 line_dedup
+    # finding, re-measured here: +1.0 s). Shuffle bytes stay bounded: the
+    # rank-1 filter plans as a map-side WindowGroupLimit, so the exchange
+    # carries at most one row per distinct text per map task.
+    digest_w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    reps = (
+        docs.select(id_col, text_col)
+        .withColumn("_rn", F.row_number().over(digest_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     # both gates are pure per-row projections, so they CHAIN (quality keeps
-    # text; lang_id keeps text+quality) — zero joins, zero shuffles before
-    # the first dedup aggregation, one codegen'd scan of the corpus
+    # text; lang_id keeps text+quality) — zero joins, zero further shuffles
     scored = text.lang_id(
         spark,
-        text.quality_score(docs, text_col, id_col, keep_cols=[text_col]),
+        text.quality_score(reps, text_col, id_col, keep_cols=[text_col]),
         text_col,
         id_col,
         keep_cols=[text_col, "quality"],
@@ -95,23 +120,13 @@ def gated_exact_dedup(spark: SparkSession, docs: DataFrame, *,
     keep0 = scored.select(id_col, text_col, "pred_lang", "quality").filter(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs)
     )
-    # Exact dedup as ONE window over the content digest (row_number, id-asc
-    # tie-break == the min-id representative the oracle computes): a single
-    # shuffle on the digest, versus the agg + join-back shape which costs a
-    # second exchange (or leans on a broadcast that stops existing at 100 TB).
-    digest_w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     # Stage boundary: materialize the exact-deduped survivors once.
     # Downstream consumes keep1 from several branches (the shingle
     # inverted-index join alone reads it twice); without materialization
     # the quality/lang joins re-execute per branch. At 100 TB this boundary
     # is a write to storage between pipeline stages; locally
     # localCheckpoint gives the same cut with lineage truncation.
-    return (
-        keep0.withColumn("_rn", F.row_number().over(digest_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .localCheckpoint(eager=False)
-    )
+    return keep0.localCheckpoint(eager=False)
 
 
 def curate_lsh_invariants(spark: SparkSession, docs: DataFrame, *,

@@ -101,7 +101,20 @@ def _pair_expand(members: DataFrame) -> DataFrame:
     before exploding it, while the chained form streams pairs through
     generated code (r12: pair expansion + count stage 0.75 -> 0.49 s
     at sf0.1, value-identical — pinned in test_dedup). Works for any
-    element type (plain ids or (id, payload) structs)."""
+    element type (plain ids or (id, payload) structs).
+
+    Examined and left (r13): AQE coalesces the members exchange to 1-3
+    tasks at sf0.1 (member-list bytes are small), so the expansion +
+    map-side pair aggregate run narrow. A fan_out floor ahead of the
+    expansion was A/B'd both keyless (sortBeforeRepartition pays a
+    local sort of array-cell rows) and keyed by the bucket columns:
+    same-session ABAB showed no win on the shingle path (1.854 vs
+    1.852 s — the collect_list aggregate dominates) and a small LOSS
+    on the minhash path (2.083 -> 2.224 s min-of-4) — the extra
+    exchange costs more than the narrow Generate stage it spreads.
+    At 100 TB the members frame's size estimate exceeds the
+    parallelism target and AQE keeps the stage wide on its own; skew
+    is bounded by the callers' ``max_df``/``max_bucket`` caps."""
     return (
         members.select(F.posexplode("m").alias("_i", "_x"), F.col("m"))
         .select(

@@ -273,10 +273,13 @@ def kcore(edges: DataFrame, k: int = 12, rounds: int = 2, *,
     Fixed ``rounds`` instead of peel-to-fixpoint is the same stance as
     the integer pagerank above: a bounded, deterministic computation that
     an unrolled-CTE oracle recomputes exactly. At 100 TB you run the same
-    loop to convergence with an emptiness check on the peeled frontier
-    (each round is one partial-aggregated degree count + two semi-joins;
-    all shuffles key on the node id, and AQE picks broadcast sides when
-    the survivor set collapses). Each round ends with a
+    loop to convergence with an emptiness check on the peeled frontier.
+    Each round is one partial-aggregated degree count (the only exchange,
+    carrying <= |V| combined rows) plus two BROADCAST semi-joins — the
+    survivor set is <= |V| node ids, the same bound pagerank's rank
+    broadcast already rides, so the edge list itself NEVER shuffles
+    (r13: the unhinted joins planned as sort-merge, exchanging the whole
+    edge list twice per round on src then dst). Each round ends with a
     ``localCheckpoint(eager=False)`` — exactly pagerank's lineage stance
     above — so the plan stays O(1) deep however many rounds run, instead
     of nesting the whole previous peel under two fresh semi-joins per
@@ -291,9 +294,9 @@ def kcore(edges: DataFrame, k: int = 12, rounds: int = 2, *,
             .select("src")
         )
         e = (
-            e.join(keep.withColumnRenamed("src", "_a"),
+            e.join(F.broadcast(keep.withColumnRenamed("src", "_a")),
                    F.col("src") == F.col("_a"), "left_semi")
-            .join(keep.withColumnRenamed("src", "_b"),
+            .join(F.broadcast(keep.withColumnRenamed("src", "_b")),
                   F.col("dst") == F.col("_b"), "left_semi")
         )
         if checkpoint:

@@ -14,8 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from cassandra_ttl_remover_spark.operators.dedup import QDOT_EXPR, _bucket_pairs
-from cassandra_ttl_remover_spark.plans import local_frame
-from cassandra_ttl_remover_spark.plans import fan_out
+from cassandra_ttl_remover_spark.plans import fan_out, local_frame
 
 
 def _query_vector_col(emb: DataFrame, query_id, vec_col: str, id_col: str):
@@ -248,7 +247,7 @@ def ivf_index(emb: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
-    cent_df = local_frame(spark, 
+    cent_df = local_frame(spark,
         centroids, f"cell int, cvec {emb.schema[vec_col].dataType.simpleString()}"
     )
     return centroids, _assign_cells(emb, cent_df, vec_col, id_col)
@@ -295,7 +294,7 @@ def ivf_write(emb: DataFrame, path: str, n_cells: int = 16,
     only its probed cells via PARTITION PRUNING, never the full corpus."""
     centroids, assigned = ivf_index(emb, n_cells, vec_col, id_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    local_frame(emb.sparkSession, 
+    local_frame(emb.sparkSession,
         centroids, f"cell int, cvec {emb.schema[vec_col].dataType.simpleString()}"
     ).write.mode("overwrite").parquet(f"{path}/_centroids")
 
@@ -385,7 +384,7 @@ def _index_delete(spark, path: str, ids: list, id_col: str,
     nondeterministic for no reader's benefit."""
     if not ids:
         return
-    local_frame(spark, 
+    local_frame(spark,
         [(i, deleted_at) for i in ids], f"{id_col} bigint, deleted_at bigint"
     ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
 
@@ -1415,7 +1414,7 @@ def _pq_train(emb: DataFrame, m: int, k_codes: int, vec_col: str,
     if any(x is None for blk in cbq for cw in blk for x in cw):
         # empty codeword fallback: the seed, quantized BY SPARK (python
         # round() is banker's — never quantize driver-side)
-        fallback = local_frame(spark, 
+        fallback = local_frame(spark,
             [(cb0,)], "cb array<array<array<float>>>"
         ).select(F.expr(
             "transform(cb, blk -> transform(blk, c -> "
@@ -1502,7 +1501,7 @@ def pq_write(emb: DataFrame, path: str, m: int = 4, k_codes: int = 16,
     _pq_encode(emb, cbq, db, vec_col, id_col).write.mode(
         "overwrite").parquet(path)
     rows = [(b, c, cbq[b][c]) for b in range(m) for c in range(k_codes)]
-    local_frame(spark, 
+    local_frame(spark,
         rows, "block int, code int, comps array<bigint>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
 
@@ -2032,7 +2031,7 @@ def ivfpq_residual_topk(emb: DataFrame, query_id, k: int = 10,
     The unit test pins this measured relationship."""
     spark = emb.sparkSession
     centroids, assigned = ivf_index(emb, n_cells, vec_col, id_col)
-    cent_df = local_frame(spark, 
+    cent_df = local_frame(spark,
         centroids,
         f"cell int, cvec {emb.schema[vec_col].dataType.simpleString()}",
     )

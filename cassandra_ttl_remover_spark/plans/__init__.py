@@ -114,7 +114,6 @@ def fan_out(df: DataFrame, *key_cols: str, min_partitions: int | None = None) ->
     return df.repartition(target)
 
 
-#: merge rule per algebraic aggregate for the two-stage salted_agg.
 def local_frame(spark, rows, schema) -> DataFrame:
     """Small DRIVER-LOCAL DataFrame (shard offsets, dictionaries,
     codebooks, mixture target tables) without the Python-worker
@@ -133,20 +132,36 @@ def local_frame(spark, rows, schema) -> DataFrame:
     of becoming NaN). Falls back to a single-slice parallelize when
     pandas/Arrow is unavailable or the row list is empty (an empty
     object frame cannot carry a nested schema through pandas). Rows
-    must be TUPLES matching ``schema`` order."""
+    must be TUPLES matching ``schema`` order.
+
+    Only ImportError (no pandas) falls back — a schema/coercion error
+    from the pandas path re-raises as itself rather than resurfacing as
+    a confusing parallelize-path error (r12 ADVICE: the bare
+    ``except Exception`` silently swallowed real schema bugs). The
+    fallback stays single-slice so a missing pandas degrades the
+    construction, never the consumers' task counts. Sessions with Arrow
+    OFF (the Spark default for user-supplied sessions; ENGINE_CONF turns
+    it on) take the same single-slice fallback — the pandas constructor
+    without Arrow quietly reverts to a defaultParallelism parallelize,
+    the exact fan-out this helper exists to remove."""
     rows = list(rows)
     if rows:
+        arrow_on = str(spark.conf.get(
+            "spark.sql.execution.arrow.pyspark.enabled", "false"
+        )).lower() == "true"
         try:
             import pandas as pd
-
-            return spark.createDataFrame(
-                pd.DataFrame(rows, dtype=object), schema)
-        except Exception:  # pandas/Arrow missing or coercion gap
+        except ImportError:
             pass
+        else:
+            if arrow_on:
+                return spark.createDataFrame(
+                    pd.DataFrame(rows, dtype=object), schema)
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, numSlices=1), schema)
 
 
+#: merge rule per algebraic aggregate for the two-stage salted_agg.
 _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 

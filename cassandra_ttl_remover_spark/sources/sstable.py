@@ -1018,7 +1018,7 @@ def scan_partition_slice(spark, path: str, key: str, cell_start: str,
                 yield pd.DataFrame(buf, columns=cols)
 
     return (
-        local_frame(spark, 
+        local_frame(spark,
             specs, "dir string, off long, at_cell boolean, markers string",
         )
         .repartition(min(len(specs), 32))
@@ -2112,7 +2112,7 @@ def rewrite_stripped(spark, path: str, out_dir: str,
                 out_rows, columns=["shard", "n_partitions", "n_cells"])
 
     report = (
-        local_frame(spark, 
+        local_frame(spark,
             specs, "gen string, idx int, data_path string, "
                    "start long, end long")
         .repartition(min(len(specs), 32))
@@ -3630,7 +3630,7 @@ def gc_rewrite_single(spark, path: str, out_dir: str, *,
                                    "n_atoms_out"])
 
     report = (
-        local_frame(spark, 
+        local_frame(spark,
             specs, "gen string, idx int, data_path string, "
                    "start long, end long")
         .repartition(min(len(specs), 32))

@@ -874,15 +874,26 @@ def test_lm_scorers_have_no_stitchback_join(spark, documents):
     # absence, and pin the row contract the removal relies on.
     from cassandra_ttl_remover_spark.operators import curate
 
+    def joins_keyed_on_doc_id(df):
+        # the stitch-back was a join keyed on the DOC ID (any strategy);
+        # the model-side lookups key on bucket ints (u/v/w) and may
+        # legitimately become SortMergeJoin under a lower broadcast
+        # threshold — r12 ADVICE: pin the removed shape, not any SMJ
+        return [
+            ln.strip() for ln in formatted_plan(df).splitlines()
+            if ln.strip().startswith(("Left keys", "Right keys"))
+            and "doc_id" in ln
+        ]
+
     n_docs = documents.count()
     for fn in (curate.lm_perplexity, curate.kn_perplexity,
                curate.mkn_perplexity, curate.sbo_perplexity):
         df = fn(documents, "lang = 'en'")
-        assert "SortMergeJoin" not in formatted_plan(df), fn.__name__
+        assert not joins_keyed_on_doc_id(df), fn.__name__
         assert df.count() == n_docs, fn.__name__  # one row per doc
     dsir = curate.dsir_importance(
         documents, documents.filter("source = 'src0'"))
-    assert "SortMergeJoin" not in formatted_plan(dsir)
+    assert not joins_keyed_on_doc_id(dsir)
     assert dsir.count() == n_docs
 
 
