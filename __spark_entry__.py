@@ -654,6 +654,13 @@ _REGRADE_FIRST = [
     "q_st5_stream_curate_gate",
     # kcore: survivor-set semi-joins now broadcast (edges never shuffle):
     "q_g3_kcore",
+    # semdedup: cluster-partitioned checkpoint (checkpoint_partitioned):
+    "q_n38_semdedup",
+    # model_curate: gopher gate fanned out behind a Generate guard:
+    "q_pipe_model_curate",
+    "q_st12_stream_model_gate",
+    # text_knn: collected query vector + fused dot/norm aggregate:
+    "q_n59_text_knn",
 ]
 
 _DRIVER_PRIORITY = [
@@ -838,7 +845,6 @@ _DRIVER_PRIORITY = [
     "q_s27_summary_resample",
     "q_n57_bm25_topk",
     "q_n58_hashed_tfidf",
-    "q_n59_text_knn",
     "q_n60_rocchio_confusion",
     "q_x8_json_extract",
     "q_x9_correlated_subquery",
@@ -867,11 +873,9 @@ _DRIVER_PRIORITY = [
     "q_n63_holdout_auc",
     "q_n65_sliced_auc",
     "q_n67_calibration",
-    "q_st12_stream_model_gate",
     "q_n56_gopher_rules",
     "q_n66_temperature_mix",
     "q_n68_lm_perplexity",
-    "q_pipe_model_curate",
     "q_n69_lm_ppl_buckets",
     "q_n70_lm_domain_report",
     "q_n71_sbo_perplexity",
@@ -941,7 +945,6 @@ _DRIVER_PRIORITY = [
     "q_x18_approx_percentile",
     "q_n8e_ann_pq",
     "q_n8f_ann_pq_materialized",
-    "q_n38_semdedup",
     "q_w4_bucketed_colocated_join",
     "q_st12_stream_enrich",
     "q_n39_deterministic_shuffle",

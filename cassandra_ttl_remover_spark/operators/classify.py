@@ -215,32 +215,43 @@ def text_knn(docs: DataFrame, query_id, k: int = 20, dim: int = 1024,
     ``double(dot) / (sqrt(n2_d) * sqrt(n2_q))`` — three correctly-rounded
     ops on exactly-converted int64s, bit-stable across engines.
 
-    Scale: the query vector (<= dim rows) broadcasts into a bucket join
-    against the corpus weights; one groupBy(id) re-agg; TakeOrdered
-    top-k (per-partition heads, no global sort). One corpus featurize +
-    one doc-id-keyed shuffle total — the inverted-bucket join only ever
-    moves (id, bucket, w) ints."""
+    Scale: the query vector (<= dim rows) is collected once off the
+    checkpointed weight frame — the bounded-collect convention — and
+    re-enters as ONE Arrow-batch broadcast (plans.local_frame) with its
+    squared norm folded to a literal; dot and the corpus norms then come
+    out of a SINGLE left-join + groupBy(id) pass, and TakeOrdered picks
+    the top-k (per-partition heads, no global sort). One corpus
+    featurize + one doc-id-keyed shuffle total. r12's four lazy
+    consumers (query filter, query norm, dot join, norms agg) raced to
+    materialize the weight checkpoint concurrently and re-aggregated the
+    corpus twice; the collect forces the featurize to run exactly once
+    and the fused aggregate halves the corpus passes (ABAB r13:
+    1.372 -> 1.205 s warm at sf0.1). ``dot > 0`` reproduces the old
+    inner bucket join's row set exactly — weights are strictly positive,
+    so a shared bucket implies a positive dot."""
+    from cassandra_ttl_remover_spark.plans import local_frame
+
     w = hashed_tfidf(docs, dim, text_col, id_col).select(
         id_col, "bucket", "w").filter(F.col("w") > 0)
-    w = w.localCheckpoint(eager=False)  # feeds query, norms and dot once each
-    qv = F.broadcast(
-        w.filter(F.col(id_col) == F.lit(query_id))
-        .select(F.col("bucket"), F.col("w").alias("_qw"))
-    )
-    qn = F.broadcast(
-        w.filter(F.col(id_col) == F.lit(query_id))
-        .agg(F.sum(F.expr("w * w")).cast("long").alias("_qn2"))
-    )
-    dots = (
-        w.join(qv, "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.expr("w * _qw")).cast("long").alias("dot"))
-    )
-    norms = w.groupBy(id_col).agg(
-        F.sum(F.expr("w * w")).cast("long").alias("_n2"))
+    w = w.localCheckpoint(eager=False)
+    q_rows = w.filter(F.col(id_col) == F.lit(query_id)) \
+        .select("bucket", "w").collect()
+    qn2 = sum(int(r["w"]) ** 2 for r in q_rows)
+    types = {f.name: f.dataType.simpleString() for f in w.schema.fields}
+    qv = F.broadcast(local_frame(
+        docs.sparkSession,
+        [(r["bucket"], r["w"]) for r in q_rows],
+        f"bucket {types['bucket']}, _qw {types['w']}",
+    ))
     return (
-        dots.join(norms, id_col)
-        .crossJoin(qn)
+        w.join(qv, "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.expr("w * coalesce(_qw, 0L)")).cast("long").alias("dot"),
+            F.sum(F.expr("w * w")).cast("long").alias("_n2"),
+        )
+        .filter(F.col("dot") > 0)
+        .withColumn("_qn2", F.lit(qn2).cast("long"))
         .select(
             F.col(id_col), "dot",
             F.expr("cast(dot as double) / (sqrt(cast(_n2 as double)) *"
@@ -1126,11 +1137,24 @@ def model_curate_corpus(docs: DataFrame, label_expr: str = "lang = 'en'",
     # battery (measured r12: two text scans + two gopher evaluations for
     # one gate). At 100 TB this is the gate->train stage boundary — one
     # write of the surviving docs, two cheap columnar reads.
+    #
+    # Parallelism floor (r13, guide §2.5): the gate battery is fanned out
+    # and applied as a Generate guard (explode of a 0/1-element array)
+    # rather than a filter — a filter on the projected passes_gopher
+    # column gets SUBSTITUTED through the projection and pushed below the
+    # fan-out exchange, re-serializing the whole HOF battery onto the
+    # single-split scan task (the r12 line_dedup finding; ABAB measured
+    # 0.64 -> 0.28 s for the gate stage at sf0.1). A Generate cannot sink
+    # below the exchange, and at scale fan_out is a planning-time no-op
+    # so the guard adds one trivial per-row array alloc.
     kept = (
-        gopher_rules(docs, text_col, id_col, min_words,
+        gopher_rules(fan_out(docs.select(id_col, text_col, domain_col)),
+                     text_col, id_col, min_words,
                      keep_cols=(text_col, domain_col),
                      min_stop_hits=min_stop_hits)
-        .filter("passes_gopher")
+        .withColumn("_g", F.explode(F.expr(
+            "CASE WHEN passes_gopher THEN array(1) ELSE array() END")))
+        .drop("_g")
         .localCheckpoint(eager=False)
     )
     feats = checkpoint_partitioned(_lr_feats(

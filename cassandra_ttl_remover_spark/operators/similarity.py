@@ -14,7 +14,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from cassandra_ttl_remover_spark.operators.dedup import QDOT_EXPR, _bucket_pairs
-from cassandra_ttl_remover_spark.plans import fan_out, local_frame
+from cassandra_ttl_remover_spark.plans import (checkpoint_partitioned, fan_out,
+                                                local_frame)
 
 
 def _query_vector_col(emb: DataFrame, query_id, vec_col: str, id_col: str):
@@ -922,19 +923,26 @@ def semdedup(emb: DataFrame, threshold: float = 0.9,
         ).alias("_b"))
         .select(id_col, F.col("_b.g").alias("cluster"))
     )
-    q = q0.select(id_col, "xq", "nrm").join(assigned, id_col) \
-        .localCheckpoint(eager=False)
-    # Explicit NUMBERED repartition pins the pair stage's parallelism:
-    # the exchange feeding a tiny-map-output join is exactly where AQE
-    # coalesces to one task and then serializes the quadratic dot-product
-    # work (same counter as the incremental-dedup band join). Effective
-    # parallelism is min(n, #clusters) — at scale k grows with the corpus
-    # (SemDeDup uses ~sqrt(n) clusters), so cluster count, not this knob,
-    # is the real ceiling.
+    # The cluster-keyed NUMBERED repartition moves INTO the checkpoint
+    # (r13), built with checkpoint_partitioned so the hashpartitioning
+    # survives into the LogicalRDD: BOTH pair sides then derive
+    # co-partitioned from the one materialization — no per-side
+    # repartition, and the pair probe can never be a 1-partition
+    # AQE-coalesced checkpoint (the r12-shape left `b` unpartitioned, so
+    # whenever the planner broadcast the repartitioned `a`, the whole
+    # quadratic dot-product stage serialized onto the checkpoint's single
+    # coalesced task — observed 2.8 s/1 task in the r13 profile). At
+    # scale neither side broadcasts and the cluster-keyed join reuses
+    # this one exchange on both sides. Effective parallelism is
+    # min(n, #clusters) — at scale k grows with the corpus (SemDeDup
+    # uses ~sqrt(n) clusters), so cluster count is the real ceiling.
     npart = emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    q = checkpoint_partitioned(
+        q0.select(id_col, "xq", "nrm").join(assigned, id_col)
+        .repartition(int(npart), "cluster")
+    )
     a = q.select(F.col(id_col).alias("a"), F.col("cluster"),
-                 F.col("xq").alias("xa"), F.col("nrm").alias("na")) \
-         .repartition(int(npart), "cluster")
+                 F.col("xq").alias("xa"), F.col("nrm").alias("na"))
     b = q.select(F.col(id_col).alias("b"), F.col("cluster"),
                  F.col("xq").alias("xb"), F.col("nrm").alias("nb"))
     t2 = threshold * threshold
